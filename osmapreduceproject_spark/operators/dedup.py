@@ -1,0 +1,198 @@
+"""Deduplication operators for training-data pipelines.
+
+Five strategies, all shuffle-disciplined for 100 TB:
+
+- exact        : hash-groupBy on content hash (one shuffle on a 60-bit key)
+- ngram_jaccard: exact set-similarity via token inverted index
+                 (explode → self-join on token → count agreement)
+- minhash_lsh  : MinHash signatures + banded LSH bucketing — candidate
+                 pairs come from equi-joins on band hashes, never an
+                 all-pairs comparison
+- simhash      : 64-bit sign-of-weighted-bits fingerprint; near-dups =
+                 small hamming distance within band buckets
+- embedding    : cosine-threshold near-dup over embedding vectors
+                 (delegates to operators/similarity.py)
+
+All hashes use the cross-engine md5 family (functions/hashing.py) so every
+strategy is DuckDB-oracle-checkable. No Python UDFs anywhere — signatures
+are higher-order array expressions, so the map side is codegen'd.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import md5_int, seeded_hash
+from .text import tokens
+
+P31 = 2147483647  # 2^31-1, the family's reduction modulus
+
+
+def exact_dedup(df: DataFrame, content_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id row per exact content match.
+
+    GroupBy on the 60-bit content hash, not the raw text — the shuffle
+    moves 8-byte keys instead of document bodies, which at 100 TB is the
+    difference between shuffling key-space and shuffling the corpus.
+    """
+    h = md5_int(F.col(content_col))
+    w = Window.partitionBy(h).orderBy(F.col(id_col).asc())
+    return df.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1).drop("__rn")
+
+
+def dup_groups(df: DataFrame, content_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact-duplicate clusters: (content hash, first id, count>1)."""
+    return (
+        df.groupBy(md5_int(F.col(content_col)).alias("content_hash"))
+        .agg(F.count(F.lit(1)).alias("n_dups"), F.min(id_col).alias("first_id"))
+        .where(F.col("n_dups") > 1)
+    )
+
+
+def _distinct_tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return df.select(
+        F.col(id_col), F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Exact Jaccard-similar pairs via a token inverted index.
+
+    explode(distinct tokens) → self-join on token (optionally within a
+    ``block_col`` blocking key) → |A∩B| by pair, combined with per-doc
+    set sizes for |A∪B|. The join is an equi-join on the token, so hot
+    tokens are the skew risk — at scale, drop ultra-high-df tokens first
+    (they can't create high-Jaccard pairs on their own) and let AQE split
+    what remains. Integer-count arithmetic → deterministic across engines.
+    """
+    cols = [id_col] + ([block_col] if block_col else [])
+    toks = df.select(*cols, F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"))
+    sizes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+    a = toks.select(*[F.col(c).alias(f"a_{c}") for c in cols], F.col("tok"))
+    b = toks.select(*[F.col(c).alias(f"b_{c}") for c in cols], F.col("tok"))
+    join_cond = [a["tok"] == b["tok"], a[f"a_{id_col}"] < b[f"b_{id_col}"]]
+    if block_col:
+        join_cond.append(a[f"a_{block_col}"] == b[f"b_{block_col}"])
+    inter = (
+        a.join(b, join_cond)
+        .groupBy(f"a_{id_col}", f"b_{id_col}")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias(f"a_{id_col}"), F.col("set_size").alias("a_size"))
+    sb = sizes.select(F.col(id_col).alias(f"b_{id_col}"), F.col("set_size").alias("b_size"))
+    pairs = (
+        inter.join(sa, f"a_{id_col}").join(sb, f"b_{id_col}")
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("a_size") + F.col("b_size") - F.col("n_common")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select(f"a_{id_col}", f"b_{id_col}", "n_common", "a_size", "b_size", "jaccard")
+    )
+    return pairs
+
+
+def minhash_signature(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", num_hashes: int = 16
+) -> DataFrame:
+    """MinHash signature: sig[s] = min over distinct tokens of
+    hash_s(token), one independent md5-seeded function per s.
+
+    Computed with array higher-order functions (array_min over transform)
+    — a narrow, codegen'd map; no explode, no shuffle. Signature width 16
+    at 31-bit precision gives ±0.12 jaccard std-err; widen for tighter
+    bounds.
+    """
+    toks = F.array_distinct(tokens(F.col(text_col)))
+    sig_cols = [
+        F.array_min(F.transform(toks, lambda w: seeded_hash(w, s) % P31)).alias(f"mh_{s}")
+        for s in range(num_hashes)
+    ]
+    return df.select(F.col(id_col), *sig_cols)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup candidate pairs via banded LSH over MinHash signatures,
+    then exact-Jaccard verification of candidates only.
+
+    Scale shape: candidates come from groupBy on (band_id, band_hash) —
+    an equi-shuffle on small keys. A pair is compared only if it collides
+    in ≥1 band, so cost tracks the number of true near-dups, not N².
+    rows = (a_id, b_id, jaccard) with jaccard ≥ threshold.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(df, id_col, text_col, num_hashes)
+    band_exprs = []
+    for b in range(bands):
+        parts = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_hash = md5_int(F.concat_ws(",", *[p.cast("string") for p in parts]))
+        band_exprs.append(F.struct(F.lit(b).alias("band"), band_hash.alias("bh")))
+    buckets = sig.select(
+        F.col(id_col), F.explode(F.array(*band_exprs)).alias("bb")
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    a = buckets.select(F.col(id_col).alias("a_id"), "band", "bh")
+    b = buckets.select(F.col(id_col).alias("b_id"), "band", "bh")
+    cand = (
+        a.join(b, ["band", "bh"])
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    # Exact verification of candidates only
+    toks = df.select(
+        F.col(id_col), F.array_distinct(tokens(F.col(text_col))).alias("tokset")
+    )
+    at = toks.select(F.col(id_col).alias("a_id"), F.col("tokset").alias("a_toks"))
+    bt = toks.select(F.col(id_col).alias("b_id"), F.col("tokset").alias("b_toks"))
+    verified = (
+        cand.join(at, "a_id")
+        .join(bt, "b_id")
+        .withColumn("n_common", F.size(F.array_intersect("a_toks", "b_toks")))
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.size("a_toks") + F.size("b_toks") - F.col("n_common")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", "jaccard")
+    )
+    return verified
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32) -> DataFrame:
+    """SimHash fingerprint: bit b of the output is 1 iff more (distinct)
+    tokens hash with bit b set than unset.
+
+    Implemented as explode(token) × explode(bit) → groupBy(id, bit) vote →
+    reassemble — two shuffles on (id) and (id,bit), both on integer keys.
+    32 bits keeps every intermediate well inside BIGINT under ANSI mode.
+    """
+    tok = _distinct_tokens(df, id_col, text_col).withColumn(
+        "h", seeded_hash(F.col("tok"), 0)
+    )
+    bits_df = tok.select(
+        id_col,
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
+        F.col("h"),
+    ).withColumn("vote", F.when(F.expr("shiftright(h, bit) & 1") == 1, 1).otherwise(-1))
+    votes = bits_df.groupBy(id_col, "bit").agg(F.sum("vote").alias("v"))
+    return votes.groupBy(id_col).agg(
+        F.sum(
+            F.when(F.col("v") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(0)
+        ).alias("simhash")
+    )

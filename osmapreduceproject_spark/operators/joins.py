@@ -1,0 +1,81 @@
+"""Join operators beyond plain ``df.join`` (SURVEY.md §2.B joins rows).
+
+Equi joins (inner/left/right/full/semi/anti) are plain ``df.join`` and
+need no wrapper — Catalyst picks broadcast / sort-merge / shuffled-hash,
+and AQE re-plans at runtime. This module adds the composites Spark lacks
+as built-ins: as-of join and range join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    right_cols: list[str],
+    suffix: str = "_asof",
+) -> DataFrame:
+    """As-of join: for each left row, the latest right row with
+    ``right_time <= left_time`` within the same ``on`` key.
+
+    Scale-first implementation: a single union + window pass instead of a
+    per-key pandas merge_asof or an O(|L|·|R|) inequality join. Both
+    inputs shuffle once on ``on``; the window's ``last(..., ignorenulls)``
+    carries the most recent right-side values forward onto left rows.
+    This survives 100 TB because the only shuffle is the same
+    hash-partition a plain equi-join would do, and state per key is one
+    row of carried values.
+    """
+    lt = F.col(left_time)
+    tagged_left = left.withColumn("__t", lt).withColumn("__is_left", F.lit(1))
+    for c in right_cols:
+        tagged_left = tagged_left.withColumn(f"{c}{suffix}", F.lit(None).cast(right.schema[c].dataType))
+    tagged_right = right.select(
+        F.col(on),
+        F.col(right_time).alias("__t"),
+        F.lit(0).alias("__is_left"),
+        *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
+    )
+    left_cols = [c for c in left.columns]
+    for c in left_cols:
+        if c not in (on,):
+            tagged_right = tagged_right.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+    unioned = tagged_left.unionByName(tagged_right)
+    # Right rows sort before left rows at equal timestamps (asof is <=).
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col("__t").asc(), F.col("__is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = unioned
+    for c in right_cols:
+        carried = carried.withColumn(
+            f"{c}{suffix}", F.last(F.col(f"{c}{suffix}"), ignorenulls=True).over(w)
+        )
+    return carried.where(F.col("__is_left") == 1).drop("__t", "__is_left")
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_point: str,
+    right_lo: str,
+    right_hi: str,
+    how: str = "inner",
+) -> DataFrame:
+    """Point-in-interval join: left rows matched to right intervals
+    ``[right_lo, right_hi)``.
+
+    Plain Spark plans this as BroadcastNestedLoopJoin when the interval
+    side is small (broadcast it); for two large sides, bucketize the point
+    and interval endpoints to a common grid and equi-join on the bucket
+    before filtering — turns O(N·M) into a co-partitioned join.
+    """
+    cond = (F.col(left_point) >= right[right_lo]) & (F.col(left_point) < right[right_hi])
+    return left.join(F.broadcast(right), cond, how)

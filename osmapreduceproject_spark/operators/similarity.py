@@ -1,0 +1,183 @@
+"""Embedding similarity search (SURVEY.md §2.B LLM-pipeline rows).
+
+Two paths over an ``array<float>`` embedding column:
+
+- :func:`cosine_topk` — exact brute-force top-k for a (small) query set.
+  The query side is broadcast; similarity is a zip_with/aggregate
+  higher-order expression (JVM-side, codegen'd — no Python). Cost is
+  O(|queries| · N) with no shuffle of the corpus: the right default when
+  |queries| is bounded, even at 100 TB corpus size.
+- :func:`lsh_topk` — approximate path: random-hyperplane (SRP) LSH
+  bucketing; candidates come from equi-joins on bucket signatures, so
+  cost tracks collisions, not N·Q. Recall/latency traded via
+  (num_planes, num_tables).
+
+All float math is accumulated in double, left-to-right (F.aggregate is a
+sequential fold) → deterministic, oracle-comparable after rounding.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ a[i]·b[i] in double, sequential fold → deterministic."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k neighbors per query vector, brute force.
+
+    Broadcast the query set → corpus never shuffles for the similarity
+    computation; the only shuffle is the final per-query top-k window,
+    keyed by query_id (bounded cardinality). Ranking uses the *rounded*
+    similarity plus the neighbor id as tiebreak so results are fully
+    deterministic across engines and partitionings.
+    """
+    q = queries.select(
+        F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qvec")
+    )
+    scored = corpus.join(F.broadcast(q), F.col(id_col) != F.col(query_id_col)).withColumn(
+        "sim", F.round(cosine(F.col(vec_col), F.col("__qvec")), 6)
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("sim").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, F.col(id_col).alias("neighbor_id"), "sim", "rank")
+    )
+
+
+def _srp_signature(vec: Column, planes: list[list[float]]) -> Column:
+    """Signed-random-projection signature: bit i = sign(vec · plane_i).
+
+    Planes are literal arrays baked into the plan (deterministic seed) —
+    no side data to distribute.
+    """
+    bits = []
+    for i, plane in enumerate(planes):
+        plane_col = F.array(*[F.lit(float(x)) for x in plane])
+        bits.append(F.when(dot(vec, plane_col) >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
+    sig = bits[0]
+    for b in bits[1:]:
+        sig = sig + b
+    return sig
+
+
+def _deterministic_planes(dim: int, num_planes: int, table: int) -> list[list[float]]:
+    """Deterministic pseudo-gaussian hyperplanes (Box-Muller over a
+    splitmix-style counter hash) — reproducible across runs/engines."""
+    planes = []
+    for p in range(num_planes):
+        vals = []
+        for d in range(dim):
+            # two uniform draws from a counter hash
+            x = (hash_u01(table * 1_000_003 + p * 1009 + d * 2 + 0) or 1e-12)
+            y = hash_u01(table * 1_000_003 + p * 1009 + d * 2 + 1)
+            vals.append(math.sqrt(-2.0 * math.log(x)) * math.cos(2.0 * math.pi * y))
+        planes.append(vals)
+    return planes
+
+
+def hash_u01(i: int) -> float:
+    """Deterministic uniform [0,1) from an integer counter (splitmix64)."""
+    x = (i + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+    x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+    x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+    x = x ^ (x >> 31)
+    return x / 2**64
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    dim: int = 64,
+    num_planes: int = 12,
+    num_tables: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k: SRP-LSH candidate generation + exact re-rank.
+
+    Each vector gets ``num_tables`` bucket signatures; query↔corpus
+    candidates are equi-joined on (table, signature) — the scale path when
+    the query set is itself huge (no broadcast possible). Exact cosine is
+    then computed only for candidates. Recall < 1.0 by construction;
+    raise num_tables / lower num_planes to trade cost for recall.
+    """
+    def with_sigs(df: DataFrame, idc: str) -> DataFrame:
+        rows = []
+        for t in range(num_tables):
+            planes = _deterministic_planes(dim, num_planes, t)
+            rows.append(
+                F.struct(F.lit(t).alias("tbl"), _srp_signature(F.col(vec_col), planes).alias("sig"))
+            )
+        return df.select(
+            F.col(idc), F.col(vec_col), F.explode(F.array(*rows)).alias("ts")
+        ).select(idc, vec_col, F.col("ts.tbl").alias("tbl"), F.col("ts.sig").alias("sig"))
+
+    c = with_sigs(corpus, id_col)
+    q = with_sigs(
+        queries.select(F.col(id_col).alias(query_id_col), F.col(vec_col)), query_id_col
+    ).select(query_id_col, F.col(vec_col).alias("__qvec"), "tbl", "sig")
+    cand = (
+        c.join(q, ["tbl", "sig"])
+        .where(F.col(id_col) != F.col(query_id_col))
+        .select(id_col, vec_col, query_id_col, "__qvec")
+        .distinct()
+    )
+    scored = cand.withColumn("sim", F.round(cosine(F.col(vec_col), F.col("__qvec")), 6))
+    w = Window.partitionBy(query_id_col).orderBy(F.col("sim").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, F.col(id_col).alias("neighbor_id"), "sim", "rank")
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate vector pairs (cosine ≥ threshold).
+
+    Test-scale exact implementation (self cross-join); the 100 TB path is
+    the same verification over :func:`lsh_topk`-style bucket candidates.
+    """
+    a = df.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_vec"))
+    b = df.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_vec"))
+    return (
+        a.join(b, F.col("a_id") < F.col("b_id"))
+        .withColumn("sim", F.round(cosine(F.col("a_vec"), F.col("b_vec")), 6))
+        .where(F.col("sim") >= threshold)
+        .select("a_id", "b_id", "sim")
+    )

@@ -1,0 +1,128 @@
+"""Text-analysis operators for the LLM-data-pipeline surface
+(SURVEY.md §2.B LLM-pipeline rows): tokenization, quality scoring,
+language-ID heuristic, document fingerprinting.
+
+Everything is built-in Catalyst expressions (split / higher-order array
+functions / md5) — no Python in the hot path, so each operator is a
+narrow map over the scan and scales linearly with input bytes. Designed
+against the ``documents`` fixture (doc_id, text, lang, source, n_chars).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import md5_int
+
+# Tiny per-language marker-word lists for the n-gram/stopword language-ID
+# heuristic. Deterministic and cross-engine expressible; real pipelines
+# would swap in fastText — the operator shape (score-per-lang → argmax)
+# is what matters here.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "value", "table"],
+    "es": ["el", "la", "de", "y", "que"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "fr": ["le", "la", "les", "et", "est"],
+    "zh": ["de", "shi", "le", "zai", "he"],
+}
+
+DEFAULT_STOPWORDS = ["the", "a", "of", "and", "to", "in"]
+
+
+def tokens(text_col: Column) -> Column:
+    """Whitespace tokenization (single-space corpus → exact split)."""
+    return F.split(text_col, " ")
+
+
+def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token count, distinct-token count, avg token length, type/token
+    ratio — the basic token-level features."""
+    toks = tokens(F.col(text_col))
+    return (
+        df.withColumn("n_tokens", F.size(toks))
+        .withColumn("n_distinct_tokens", F.size(F.array_distinct(toks)))
+        .withColumn(
+            "avg_token_len",
+            F.aggregate(toks, F.lit(0).cast("bigint"), lambda acc, w: acc + F.length(w)).cast(
+                "double"
+            )
+            / F.size(toks),
+        )
+        .withColumn(
+            "type_token_ratio",
+            F.size(F.array_distinct(toks)).cast("double") / F.size(toks),
+        )
+    )
+
+
+def with_quality_score(
+    df: DataFrame, text_col: str = "text", stopwords: list[str] | None = None
+) -> DataFrame:
+    """Heuristic quality features + composite score.
+
+    Features mirror common pretraining-data filters (C4/Gopher-style):
+    length, mean word length, stopword ratio, repetition (1 - type/token).
+    All integer-count ratios → bit-identical across engines.
+    """
+    sw = stopwords or DEFAULT_STOPWORDS
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda w: w.isin(sw)))
+    n_distinct = F.size(F.array_distinct(toks))
+    out = (
+        df.withColumn("n_tokens", n)
+        .withColumn("stopword_ratio", n_stop.cast("double") / n)
+        .withColumn("repetition_ratio", F.lit(1.0) - n_distinct.cast("double") / n)
+        .withColumn("mean_word_len", (F.length(F.col(text_col)) - n + 1).cast("double") / n)
+    )
+    # Composite: in-range length + some-but-not-too-many stopwords + low repetition
+    score = (
+        F.when((F.col("n_tokens") >= 10) & (F.col("n_tokens") <= 1000), F.lit(0.4)).otherwise(0.0)
+        + F.when(F.col("stopword_ratio").between(0.01, 0.5), F.lit(0.3)).otherwise(0.0)
+        + F.when(F.col("repetition_ratio") < 0.9, F.lit(0.3)).otherwise(0.0)
+    )
+    return out.withColumn("quality_score", score)
+
+
+def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-word language-ID: score = matching marker tokens per
+    language, predict argmax (ties broken by language code order).
+
+    Composed from higher-order array functions — a narrow map, no
+    shuffle, no UDF; at 100 TB this is scan-bound.
+    """
+    toks = tokens(F.col(text_col))
+    scored = df
+    for lang, markers in LANG_MARKERS.items():
+        scored = scored.withColumn(
+            f"score_{lang}", F.size(F.filter(toks, lambda w: w.isin(markers)))
+        )
+    langs = sorted(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
+    pred = F.lit("und")
+    # reversed so earlier codes win ties
+    for lang in reversed(langs):
+        pred = F.when(F.col(f"score_{lang}") == best, F.lit(lang)).otherwise(pred)
+    pred = F.when(best == 0, F.lit("und")).otherwise(pred)
+    return scored.withColumn("lang_pred", pred)
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic document fingerprint: polynomial rolling hash over
+    token hashes, ``h = (h*31 + md5int(tok)) mod 2^61-1``.
+
+    Cross-engine stable (md5 hash family, see functions/hashing.py) and
+    order-sensitive, unlike a bag-of-words hash — two docs with the same
+    words in different order fingerprint differently. Modulus 2^31-1
+    keeps every intermediate ≈2^36, far from BIGINT overflow (Spark 4
+    ANSI mode and DuckDB both error on overflow rather than wrap).
+    """
+    p = 2147483647  # 2^31 - 1
+    toks = tokens(F.col(text_col))
+    fp = F.aggregate(
+        toks,
+        F.lit(0).cast("bigint"),
+        lambda acc, w: (acc * 31 + (md5_int(w) % p)) % F.lit(p),
+    )
+    return df.withColumn("fingerprint", fp)

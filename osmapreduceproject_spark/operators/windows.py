@@ -1,0 +1,64 @@
+"""Window / ranking / sessionization operators (SURVEY.md §2.B window row).
+
+All pure built-in window functions — JVM-side, whole-stage-codegen'd, one
+shuffle per distinct partitioning. At 100 TB the rule is: every window in
+a query should share the same ``partitionBy`` where possible so Catalyst
+reuses the exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def top_k_per_group(
+    df: DataFrame, group_cols: list[str], order_cols: list[Column], k: int, rank_col: str = "rn"
+) -> DataFrame:
+    """Top-k rows per group via row_number — Spark pushes the rank filter
+    into a per-partition top-k (WindowGroupLimit in 3.5+), so each
+    partition keeps only k rows before the shuffle."""
+    w = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    return df.withColumn(rank_col, F.row_number().over(w)).where(F.col(rank_col) <= k)
+
+
+def global_top_k(df: DataFrame, order_cols: list[Column], k: int) -> DataFrame:
+    """Global top-k: ``orderBy().limit(k)`` plans TakeOrderedAndProject —
+    per-partition heap of k rows, then a k·partitions merge on the driver;
+    never a full global sort."""
+    return df.orderBy(*order_cols).limit(k)
+
+
+def sessionize(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    gap_seconds: int,
+    session_col: str = "session_id",
+) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the time since
+    the previous event of the same key exceeds ``gap_seconds``.
+
+    lag + cumulative-sum over one (key, ts) window — single shuffle on
+    ``key``; state is O(1) per row. The streaming twin is
+    ``F.session_window`` (streaming/windows.py).
+    """
+    w = Window.partitionBy(key).orderBy(F.col(ts).asc())
+    gap = F.col(ts).cast("long") - F.lag(F.col(ts).cast("long")).over(w)
+    is_new = F.when(gap.isNull() | (gap > gap_seconds), 1).otherwise(0)
+    return df.withColumn("__new", is_new).withColumn(
+        session_col,
+        F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    ).drop("__new")
+
+
+def running_agg(
+    df: DataFrame, key: str, order: Column, agg_col: Column, out_col: str
+) -> DataFrame:
+    """Running aggregate over an unbounded-preceding frame."""
+    w = (
+        Window.partitionBy(key)
+        .orderBy(order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn(out_col, F.sum(agg_col).over(w))

@@ -1,0 +1,45 @@
+"""Physical-plan inspection helpers.
+
+The 100 TB discipline is enforced by *asserting on plans*, not hoping:
+tests use these to check that filters reach the parquet scan
+(PushedFilters), projections prune columns (ReadSchema), small dims go
+broadcast, and hot paths stay inside WholeStageCodegen.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def explain_str(df: DataFrame, mode: str = "formatted") -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), mode)
+
+
+def has_pushed_filters(df: DataFrame, fragment: str) -> bool:
+    """True if the formatted plan shows ``fragment`` inside PushedFilters."""
+    plan = explain_str(df)
+    for line in plan.splitlines():
+        if "PushedFilters" in line and fragment in line:
+            return True
+    return False
+
+
+def scan_read_schema(df: DataFrame) -> list[str]:
+    """Column names the parquet scan actually reads (ReadSchema) — a
+    2-column projection reading 11 columns is a pruning bug."""
+    plan = explain_str(df)
+    cols: list[str] = []
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+        cols += [c.split(":")[0].strip() for c in m.group(1).split(",") if c.strip()]
+    return cols
+
+
+def has_broadcast_join(df: DataFrame) -> bool:
+    return "BroadcastHashJoin" in explain_str(df) or "BroadcastNestedLoopJoin" in explain_str(df)
+
+
+def wholestage_codegen_ids(df: DataFrame) -> int:
+    """Number of WholeStageCodegen spans — wider/fewer is better."""
+    return len(set(re.findall(r"WholeStageCodegen \((\d+)\)", explain_str(df))))

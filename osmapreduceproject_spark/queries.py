@@ -1,0 +1,1143 @@
+"""Query catalog: every declared operator as (Spark callable, DuckDB oracle).
+
+This is the engine's conformance surface (SURVEY.md §2): each entry is a
+named query over the fixture tables, implemented Spark-first, with an
+ANSI-SQL oracle that DuckDB runs on the same parquet files. The driver
+hash-compares both sides at sf0.01 (order-insensitive, columns sorted by
+name), so every query here is designed to be *bit-deterministic across
+engines*:
+
+- Float sums: operands cast to DECIMAL (exact, associative) and the exact
+  sum cast back to double — immune to summation-order differences.
+- Ratios/averages: computed from exact integer/decimal sums in double —
+  identical operand bits → identical result bits.
+- Hashes: the md5-based cross-engine family (functions/hashing.py).
+- Dot products: sequential left-to-right folds in double on both sides.
+- Rankings: always tiebroken by a unique key.
+
+Columns are aliased identically on both sides (the driver's compare keys
+on column names).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions.hashing import md5_int, md5_int_sql, seeded_hash_sql
+from .operators import dedup, similarity, text, windows
+from .operators.joins import asof_join
+
+DEC = "decimal(18,2)"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        from .sources.io import read_events
+
+        return read_events(spark, sf_dir)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def dsum(col: str) -> F.Column:
+    """Exact decimal sum of a 2-decimal double column, as double."""
+    return F.sum(F.col(col).cast(DEC)).cast("double")
+
+
+@dataclass
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # None → non-SQL-expressible, rows-only check
+    doc: str = ""
+
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+def q(name: str, oracle: str | None, doc: str = ""):
+    def deco(fn):
+        QUERIES[name] = QuerySpec(fn=fn, oracle=oracle, doc=doc)
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Relational core
+# ---------------------------------------------------------------------------
+
+@q(
+    "q01_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    "TPC-H Q1 shape: scan-filter-groupBy with 6 aggregates. Partial agg map-side; "
+    "filter pushed to parquet scan.",
+)
+def q01(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice").cast(DEC) * (F.lit(1) - F.col("l_discount").cast(DEC))
+    charge = disc * (F.lit(1) + F.col("l_tax").cast(DEC))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            F.sum(disc).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            (dsum("l_quantity") / F.count(F.lit(1))).alias("avg_qty"),
+            (dsum("l_extendedprice") / F.count(F.lit(1))).alias("avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@q(
+    "q02_global_sort",
+    """
+    SELECT ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) AS pos,
+           o_orderkey, o_totalprice
+    FROM orders
+    """,
+    "Reference conformance 0a generalized (parallel_sort.cpp:29-157): global total "
+    "order with explicit positions. At scale: range-partitioned sort, not a single "
+    "window — the window form is the oracle-checkable twin.",
+)
+def q02(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
+    return o.select(
+        F.row_number().over(w).alias("pos"), "o_orderkey", "o_totalprice"
+    )
+
+
+@q(
+    "q03_top_revenue_orders",
+    """
+    SELECT o.o_orderkey,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    GROUP BY o.o_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, o.o_orderkey
+    LIMIT 10
+    """,
+    "TPC-H Q3 shape: fact-fact join + group + deterministic top-10 "
+    "(TakeOrderedAndProject — heap per partition, no global sort).",
+)
+def q03(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice").cast(DEC) * (F.lit(1) - F.col("l_discount").cast(DEC))
+    return (
+        o.where(F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        .join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .select(
+            "o_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+@q(
+    "q04_filter_project",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS disc_price,
+           l_quantity
+    FROM lineitem
+    WHERE l_quantity < 5 AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    """,
+    "Projection + predicate: both pushed into the parquet scan "
+    "(PushedFilters + pruned ReadSchema, asserted in tests/test_plans.py).",
+)
+def q04(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_quantity") < 5)
+            & (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            (F.col("l_extendedprice").cast(DEC) * (F.lit(1) - F.col("l_discount").cast(DEC)))
+            .cast("double")
+            .alias("disc_price"),
+            "l_quantity",
+        )
+    )
+
+
+@q(
+    "q05_region_revenue",
+    """
+    SELECT r.r_name,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY r.r_name
+    """,
+    "TPC-H Q5 shape: snowflake join chain. Dims (region/nation/customer) go "
+    "broadcast; only the fact-fact orders↔lineitem join shuffles.",
+)
+def q05(spark, sf_dir):
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice").cast(DEC) * (F.lit(1) - F.col("l_discount").cast(DEC))
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+@q(
+    "q06_left_join",
+    """
+    SELECT c.c_mktsegment,
+           COUNT(o.o_orderkey) AS n_big_orders,
+           COUNT(*) AS n_rows
+    FROM customer c
+    LEFT JOIN orders o ON o.o_custkey = c.c_custkey AND o.o_totalprice > 400000
+    GROUP BY c.c_mktsegment
+    """,
+    "Left outer join with a join-side predicate → null-extended rows counted "
+    "differently by COUNT(col) vs COUNT(*).",
+)
+def q06(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    cond = (o["o_custkey"] == c["c_custkey"]) & (o["o_totalprice"] > 400000)
+    return (
+        c.join(o, cond, "left")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_big_orders"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@q(
+    "q07_semi_join",
+    """
+    SELECT c_custkey, c_mktsegment
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+    """,
+    "Left-semi join (EXISTS): no row multiplication, join stops at first match.",
+)
+def q07(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(
+        o.where(F.col("o_orderstatus") == "P"),
+        c["c_custkey"] == o["o_custkey"],
+        "left_semi",
+    ).select("c_custkey", "c_mktsegment")
+
+
+@q(
+    "q08_anti_join",
+    """
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    "Left-anti join (NOT EXISTS): customers with no orders.",
+)
+def q08(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@q(
+    "q09_window_funcs",
+    """
+    SELECT l_orderkey, l_linenumber,
+           ROW_NUMBER() OVER w AS rn,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (PARTITION BY l_orderkey ORDER BY l_shipdate, l_linenumber, l_partkey, l_suppkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty,
+           LAG(l_extendedprice) OVER w AS prev_price,
+           LEAD(l_extendedprice) OVER w AS next_price,
+           RANK() OVER (PARTITION BY l_orderkey ORDER BY l_quantity DESC, l_linenumber, l_partkey, l_suppkey) AS qty_rank
+    FROM lineitem
+    WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_shipdate, l_linenumber, l_partkey, l_suppkey)
+    """,
+    "Window suite: ranking + analytic + running frame, one shared shuffle on "
+    "l_orderkey (same partitionBy → Catalyst reuses the exchange).",
+)
+def q09(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    # (l_orderkey, l_linenumber) is NOT unique in the fixture — the full
+    # tiebreak (linenumber, partkey, suppkey) is, keeping windows
+    # deterministic.
+    w = Window.partitionBy("l_orderkey").orderBy(
+        "l_shipdate", "l_linenumber", "l_partkey", "l_suppkey"
+    )
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wrank = Window.partitionBy("l_orderkey").orderBy(
+        F.col("l_quantity").desc(), F.col("l_linenumber"), F.col("l_partkey"), F.col("l_suppkey")
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.row_number().over(w).alias("rn"),
+        F.sum(F.col("l_quantity").cast(DEC)).over(wrun).cast("double").alias("running_qty"),
+        F.lag("l_extendedprice").over(w).alias("prev_price"),
+        F.lead("l_extendedprice").over(w).alias("next_price"),
+        F.rank().over(wrank).alias("qty_rank"),
+    )
+
+
+@q(
+    "q10_rollup",
+    """
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "Hierarchical subtotals (rollup): partial-agg friendly, one shuffle.",
+)
+def q10(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"), dsum("l_quantity").alias("sum_qty")
+    )
+
+
+@q(
+    "q11_cube",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    "Full cube over two dimensions.",
+)
+def q11(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"), dsum("o_totalprice").alias("sum_price")
+    )
+
+
+@q(
+    "q12_grouping_sets",
+    """
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    "Explicit grouping sets via the SQL entry point (engine.sql).",
+)
+def q12(spark, sf_dir):
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@q(
+    "q13_intersect",
+    """
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+    """,
+    "Set intersection (distinct semantics).",
+)
+def q13(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    a = o.where(F.year("o_orderdate") == 1995).select("o_custkey")
+    b = o.where(F.year("o_orderdate") == 1996).select("o_custkey")
+    return a.intersect(b)
+
+
+@q(
+    "q14_except",
+    """
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+    """,
+    "Set difference (distinct semantics).",
+)
+def q14(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    a = o.where(F.year("o_orderdate") == 1995).select("o_custkey")
+    b = o.where(F.year("o_orderdate") == 1996).select("o_custkey")
+    return a.subtract(b)
+
+
+@q(
+    "q15_union_distinct",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+    "Union-distinct across two tables.",
+)
+def q15(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.union(s).distinct()
+
+
+@q(
+    "q16_distinct_agg",
+    """
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_supps,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    "Multi count-distinct: Catalyst plans expand + two-phase agg.",
+)
+def q16(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@q(
+    "q17_string_funcs",
+    """
+    SELECT p_partkey,
+           lower(p_name) AS name_lower,
+           upper(p_brand) AS brand_upper,
+           substr(p_type, 1, 5) AS type_prefix,
+           length(p_name) AS name_len,
+           replace(p_name, ' ', '_') AS name_snake,
+           split_part(p_name, ' ', 1) AS first_word,
+           concat(p_brand, '#', p_type) AS brand_type
+    FROM part
+    WHERE p_size >= 40
+    """,
+    "Scalar string-function coverage (all JVM builtins, codegen'd).",
+)
+def q17(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return p.where(F.col("p_size") >= 40).select(
+        "p_partkey",
+        F.lower("p_name").alias("name_lower"),
+        F.upper("p_brand").alias("brand_upper"),
+        F.substring("p_type", 1, 5).alias("type_prefix"),
+        F.length("p_name").alias("name_len"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
+        F.split(F.col("p_name"), " ").getItem(0).alias("first_word"),
+        F.concat(F.col("p_brand"), F.lit("#"), F.col("p_type")).alias("brand_type"),
+    )
+
+
+@q(
+    "q18_datetime",
+    """
+    SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+           strftime(MIN(o_orderdate), '%Y-%m-%d') AS first_day,
+           strftime(MAX(o_orderdate), '%Y-%m-%d') AS last_day
+    FROM orders
+    GROUP BY 1
+    """,
+    "Temporal bucketing via month truncation + min/max over timestamps.",
+)
+def q18(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("order_month"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("o_totalprice").alias("sum_price"),
+            F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("first_day"),
+            F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("last_day"),
+        )
+    )
+
+
+@q(
+    "q19_json_extract",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY event_type
+    """,
+    "Semi-structured access: JSON props column (events.props) via "
+    "get_json_object — exercised for the events fixture's schema.",
+)
+def q19(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.max(k).alias("max_k"),
+        dsum("value").alias("sum_value"),
+    )
+
+
+@q(
+    "q20_case_bucket",
+    """
+    SELECT CASE WHEN o_totalprice < 100000 THEN 'small'
+                WHEN o_totalprice < 300000 THEN 'medium'
+                ELSE 'large' END AS bucket,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM orders
+    GROUP BY 1
+    """,
+    "Conditional expression bucketing.",
+)
+def q20(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    bucket = (
+        F.when(F.col("o_totalprice") < 100000, "small")
+        .when(F.col("o_totalprice") < 300000, "medium")
+        .otherwise("large")
+    )
+    return o.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"), dsum("o_totalprice").alias("sum_price")
+    )
+
+
+@q(
+    "q21_topk_per_group",
+    """
+    SELECT * FROM (
+      SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber, l_partkey, l_suppkey) AS rn
+      FROM lineitem) t
+    WHERE rn <= 3
+    """,
+    "Top-k per group: rank filter pushes into per-partition group limits "
+    "(WindowGroupLimit) — no full sort of each group.",
+)
+def q21(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return windows.top_k_per_group(
+        li,
+        ["l_returnflag"],
+        [
+            F.col("l_extendedprice").desc(),
+            F.col("l_orderkey"),
+            F.col("l_linenumber"),
+            F.col("l_partkey"),
+            F.col("l_suppkey"),
+        ],
+        3,
+    ).select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice", "rn")
+
+
+@q(
+    "q22_percentiles",
+    """
+    SELECT event_type,
+           round(quantile_cont(CAST(value AS DOUBLE), 0.5), 6) AS p50,
+           round(quantile_cont(CAST(value AS DOUBLE), 0.9), 6) AS p90,
+           MIN(value) AS min_v, MAX(value) AS max_v
+    FROM events
+    GROUP BY event_type
+    """,
+    "Exact interpolated percentiles (Spark percentile ≡ DuckDB quantile_cont).",
+)
+def q22(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.percentile(F.col("value").cast("double"), F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile(F.col("value").cast("double"), F.lit(0.9)), 6).alias("p90"),
+        F.min("value").alias("min_v"),
+        F.max("value").alias("max_v"),
+    )
+
+
+@q(
+    "q23_stats_formula",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS mean_price,
+           sqrt(((CAST(FLOOR(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(o_totalprice AS DECIMAL(18,2)))) AS DOUBLE)
+                 + CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(o_totalprice AS DECIMAL(18,2))) - FLOOR(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(o_totalprice AS DECIMAL(18,2)))) AS DOUBLE))
+                 - CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   * CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*))
+                / (COUNT(*) - 1)) AS stddev_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    "Mean/stddev from exact decimal sums (sum, sum-of-squares) — "
+    "deterministic across engines unlike builtin stddev's fold order.",
+)
+def q23(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    p = F.col("o_totalprice").cast(DEC)
+    s = F.sum(p).cast("double")
+    sq_dec = F.sum(p * p)
+    sq = F.floor(sq_dec).cast("double") + (sq_dec - F.floor(sq_dec)).cast("double")
+    n = F.count(F.lit(1))
+    return o.groupBy("o_orderpriority").agg(
+        n.alias("n"),
+        (s / n).alias("mean_price"),
+        F.sqrt((sq - s * s / n) / (n - F.lit(1))).alias("stddev_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Temporal composites: as-of join, sessionization, streaming batch-twins
+# ---------------------------------------------------------------------------
+
+@q(
+    "q24_asof_join",
+    """
+    SELECT p.event_id, p.user_id,
+           epoch_us(p.ts) AS purchase_ts_us,
+           (SELECT epoch_us(max(c.ts)) FROM events c
+            WHERE c.user_id = p.user_id AND c.event_type = 'click' AND c.ts <= p.ts)
+             AS last_click_ts_us
+    FROM events p
+    WHERE p.event_type = 'purchase'
+    """,
+    "As-of join (operators/joins.py asof_join): each purchase matched to the "
+    "latest prior click of the same user. Union+window implementation — one "
+    "shuffle on user_id, no per-group pandas, no inequality join explosion "
+    "(reference lacks this op; SURVEY.md §2.B joins row 3).",
+)
+def q24(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    purchases = e.where(F.col("event_type") == "purchase")
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("ts").alias("click_ts")
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_time="ts",
+        right_time="ts",
+        right_cols=["click_ts"],
+        suffix="",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("purchase_ts_us"),
+        F.unix_micros(F.col("click_ts")).alias("last_click_ts_us"),
+    )
+
+
+@q(
+    "q25_sessionize",
+    """
+    WITH flagged AS (
+      SELECT user_id,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts)
+                       > 1800 * 1000000
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events)
+    SELECT user_id, SUM(is_new) AS n_sessions, COUNT(*) AS n_events
+    FROM flagged GROUP BY user_id
+    """,
+    "Gap-based sessionization (operators/windows.py sessionize): 30-min gap, "
+    "lag + cumsum, one shuffle on user_id.",
+)
+def q25(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    sess = windows.sessionize(e, key="user_id", ts="ts", gap_seconds=1800)
+    return sess.groupBy("user_id").agg(
+        F.max("session_id").alias("n_sessions"), F.count(F.lit(1)).alias("n_events")
+    )
+
+
+@q(
+    "q26_tumbling_window",
+    """
+    SELECT (epoch_us(ts) // 1000000 // 300) * 300 AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    "Tumbling 5-min window counts (streaming/windows.py tumbling_counts batch "
+    "twin; stream equivalence asserted in tests/test_streaming.py).",
+)
+def q26(spark, sf_dir):
+    from .streaming.windows import tumbling_counts
+
+    e = _t(spark, sf_dir, "events")
+    return tumbling_counts(e, window_len="5 minutes")
+
+
+@q(
+    "q27_sliding_window",
+    """
+    WITH offsets AS (SELECT unnest([0, 300]) AS off)
+    SELECT ((epoch_us(ts) // 1000000 - off) // 600) * 600 + off AS window_start,
+           event_type, COUNT(*) AS n_events
+    FROM events, offsets
+    WHERE (epoch_us(ts) // 1000000) >= ((epoch_us(ts) // 1000000 - off) // 600) * 600 + off
+    GROUP BY 1, 2
+    """,
+    "Sliding window (10-min length, 5-min slide): each event lands in 2 "
+    "overlapping windows.",
+)
+def q27(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    from .streaming.windows import sliding_counts
+
+    return sliding_counts(e, window_len="10 minutes", slide="5 minutes")
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline: dedup family
+# ---------------------------------------------------------------------------
+
+_H = md5_int_sql("text")
+
+@q(
+    "q28_dedup_exact_groups",
+    f"""
+    SELECT {_H} AS content_hash, COUNT(*) AS n_dups, MIN(doc_id) AS first_id
+    FROM documents
+    GROUP BY 1
+    HAVING COUNT(*) > 1
+    """,
+    "Exact-duplicate clusters by 60-bit content hash (operators/dedup.py "
+    "dup_groups): shuffle moves 8-byte keys, not document bodies.",
+)
+def q28(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return dedup.dup_groups(d)
+
+
+@q(
+    "q29_dedup_exact_keep_first",
+    f"""
+    SELECT doc_id FROM (
+      SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY {_H} ORDER BY doc_id) AS rn
+      FROM documents) t
+    WHERE rn = 1
+    """,
+    "Exact dedup, keep lowest doc_id per content group.",
+)
+def q29(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return dedup.exact_dedup(d).select("doc_id")
+
+
+@q(
+    "q30_ngram_jaccard_pairs",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+      FROM documents),
+    sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM toks GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS a_doc_id, b.doc_id AS b_doc_id, COUNT(*) AS n_common
+      FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT i.a_doc_id, i.b_doc_id, i.n_common,
+           sa.set_size AS a_size, sb.set_size AS b_size,
+           CAST(i.n_common AS DOUBLE) / (sa.set_size + sb.set_size - i.n_common) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.a_doc_id
+    JOIN sizes sb ON sb.doc_id = i.b_doc_id
+    WHERE CAST(i.n_common AS DOUBLE) / (sa.set_size + sb.set_size - i.n_common) >= 0.8
+    """,
+    "Exact n-gram (token-set) Jaccard near-dup pairs ≥0.8 via inverted index "
+    "(operators/dedup.py ngram_jaccard_pairs). Integer-count arithmetic → "
+    "bit-deterministic.",
+)
+def q30(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(d, threshold=0.8)
+
+
+def _minhash_oracle(num_hashes: int = 16, bands: int = 4, threshold: float = 0.5) -> str:
+    """Generate the DuckDB twin of dedup.minhash_lsh_pairs — same md5 hash
+    family, same banding, same exact-jaccard verification."""
+    rows_per_band = num_hashes // bands
+    mins = ",\n             ".join(
+        f"MIN({seeded_hash_sql('tok', s)} % 2147483647) AS mh_{s}"
+        for s in range(num_hashes)
+    )
+    band_selects = []
+    for b in range(bands):
+        parts = " || ',' || ".join(
+            f"mh_{b * rows_per_band + r}::VARCHAR" for r in range(rows_per_band)
+        )
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, {md5_int_sql(parts)} AS bh FROM sigs"
+        )
+    buckets = "\n      UNION ALL ".join(band_selects)
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+      FROM documents),
+    sigs AS (
+      SELECT doc_id,
+             {mins}
+      FROM toks GROUP BY doc_id),
+    buckets AS (
+      {buckets}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM buckets a JOIN buckets b ON a.band = b.band AND a.bh = b.bh
+      WHERE a.doc_id < b.doc_id),
+    sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM toks GROUP BY doc_id),
+    inter AS (
+      SELECT t1.doc_id AS a_id, t2.doc_id AS b_id, COUNT(*) AS n_common
+      FROM toks t1 JOIN toks t2 ON t1.tok = t2.tok AND t1.doc_id < t2.doc_id
+      JOIN cand c ON c.a_id = t1.doc_id AND c.b_id = t2.doc_id
+      GROUP BY 1, 2)
+    SELECT i.a_id, i.b_id,
+           CAST(i.n_common AS DOUBLE) / (sa.set_size + sb.set_size - i.n_common) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.a_id
+    JOIN sizes sb ON sb.doc_id = i.b_id
+    WHERE CAST(i.n_common AS DOUBLE) / (sa.set_size + sb.set_size - i.n_common) >= {threshold}
+    """
+
+
+@q(
+    "q31_minhash_lsh_pairs",
+    _minhash_oracle(),
+    "MinHash (16 hashes) + banded LSH (4 bands) near-dup candidates, "
+    "exact-jaccard verified ≥0.5 (operators/dedup.py minhash_lsh_pairs). "
+    "Candidates from equi-joins on band hashes — never an N² comparison. "
+    "The oracle replicates the full pipeline in SQL via the shared md5 "
+    "hash family.",
+)
+def q31(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(d, num_hashes=16, bands=4, threshold=0.5)
+
+
+@q(
+    "q32_simhash",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+      FROM documents),
+    hashed AS (
+      SELECT doc_id, {seeded_hash_sql('tok', 0)} AS h FROM toks),
+    votes AS (
+      SELECT doc_id, bit,
+             SUM(CASE WHEN ((h >> bit) & 1) = 1 THEN 1 ELSE -1 END) AS v
+      FROM hashed, (SELECT unnest(range(32)) AS bit)
+      GROUP BY doc_id, bit)
+    SELECT doc_id,
+           SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS simhash
+    FROM votes GROUP BY doc_id
+    """,
+    "32-bit SimHash fingerprints (operators/dedup.py simhash): bit-majority "
+    "vote over seeded token hashes.",
+)
+def q32(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return dedup.simhash(d, bits=32)
+
+
+@q(
+    "q33_fingerprint",
+    f"""
+    SELECT doc_id,
+           list_reduce(
+             list_concat([CAST(0 AS BIGINT)],
+               list_transform(string_split(text, ' '),
+                              w -> {md5_int_sql('w')} % 2147483647)),
+             (acc, h) -> (acc * 31 + h) % 2147483647) AS fingerprint
+    FROM documents
+    """,
+    "Order-sensitive rolling-hash document fingerprint "
+    "(operators/text.py with_fingerprint).",
+)
+def q33(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return text.with_fingerprint(d).select("doc_id", "fingerprint")
+
+
+_DOT = (
+    "list_reduce(list_concat([CAST(0.0 AS DOUBLE)], "
+    "list_transform(range(1, 65), i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), "
+    "(x, y) -> x + y)"
+)
+
+
+def _cosine_sql(a: str, b: str) -> str:
+    return (
+        f"({_DOT.format(a=a, b=b)} / "
+        f"(sqrt({_DOT.format(a=a, b=a)}) * sqrt({_DOT.format(a=b, b=b)})))"
+    )
+
+
+@q(
+    "q34_cosine_topk",
+    f"""
+    WITH qs AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT qs.query_id, e.vec_id AS neighbor_id,
+             round({_cosine_sql('qs.qe', 'e.embedding')}, 6) AS sim
+      FROM embeddings e, qs
+      WHERE e.vec_id != qs.query_id)
+    SELECT query_id, neighbor_id, sim, rank FROM (
+      SELECT query_id, neighbor_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+      FROM scored) t
+    WHERE rank <= 5
+    """,
+    "Exact brute-force cosine top-5 for 5 query vectors "
+    "(operators/similarity.py cosine_topk): query side broadcast, corpus "
+    "never shuffles; dot products are sequential double folds on both "
+    "engines → bit-deterministic. Scale path: lsh_topk (same API).",
+)
+def q34(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk(emb, emb.where(F.col("vec_id") < 5), k=5)
+
+
+@q(
+    "q35_embedding_neardup",
+    f"""
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           round({_cosine_sql('a.embedding', 'b.embedding')}, 6) AS sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE round({_cosine_sql('a.embedding', 'b.embedding')}, 6) >= 0.9
+    """,
+    "Embedding-cosine near-duplicate pairs ≥0.9 "
+    "(operators/similarity.py embedding_neardup_pairs).",
+)
+def q35(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.embedding_neardup_pairs(emb, threshold=0.9)
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline: text analysis
+# ---------------------------------------------------------------------------
+
+@q(
+    "q36_lang_stats",
+    """
+    SELECT lang, source, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars
+    FROM documents
+    WHERE lang IN ('en', 'de', 'es', 'fr', 'zh')
+    GROUP BY lang, source
+    """,
+    "Language filter + per-(lang, source) stats.",
+)
+def q36(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.where(F.col("lang").isin("en", "de", "es", "fr", "zh"))
+        .groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("sum_chars"))
+    )
+
+
+@q(
+    "q37_token_stats",
+    """
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+           CAST(list_reduce(list_concat([CAST(0 AS BIGINT)],
+                  list_transform(string_split(text, ' '), w -> CAST(length(w) AS BIGINT))),
+                (a, b) -> a + b) AS DOUBLE) / len(string_split(text, ' ')) AS avg_token_len,
+           CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+             / len(string_split(text, ' ')) AS type_token_ratio
+    FROM documents
+    """,
+    "Per-document token statistics (operators/text.py with_token_stats) — "
+    "whitespace tokenization + BPE-ish distinct-token features, all "
+    "higher-order array expressions, no UDFs.",
+)
+def q37(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return text.with_token_stats(d).select(
+        "doc_id", "n_tokens", "n_distinct_tokens", "avg_token_len", "type_token_ratio"
+    )
+
+
+def _quality_oracle() -> str:
+    sw = ", ".join(f"'{w}'" for w in text.DEFAULT_STOPWORDS)
+    return f"""
+    WITH feats AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tokens,
+             CAST(len(list_filter(string_split(text, ' '), w -> w IN ({sw}))) AS DOUBLE)
+               / len(string_split(text, ' ')) AS stopword_ratio,
+             1.0 - CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               / len(string_split(text, ' ')) AS repetition_ratio,
+             CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
+               / len(string_split(text, ' ')) AS mean_word_len
+      FROM documents)
+    SELECT doc_id, n_tokens, stopword_ratio, repetition_ratio, mean_word_len,
+           (CASE WHEN n_tokens >= 10 AND n_tokens <= 1000 THEN 0.4 ELSE 0.0 END
+            + CASE WHEN stopword_ratio BETWEEN 0.01 AND 0.5 THEN 0.3 ELSE 0.0 END
+            + CASE WHEN repetition_ratio < 0.9 THEN 0.3 ELSE 0.0 END) AS quality_score
+    FROM feats
+    """
+
+
+@q(
+    "q38_quality_score",
+    _quality_oracle(),
+    "C4/Gopher-style quality heuristics + composite score "
+    "(operators/text.py with_quality_score).",
+)
+def q38(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return text.with_quality_score(d).select(
+        "doc_id", "n_tokens", "stopword_ratio", "repetition_ratio",
+        "mean_word_len", "quality_score",
+    )
+
+
+def _lang_id_oracle() -> str:
+    langs = sorted(text.LANG_MARKERS)
+    scores = ",\n             ".join(
+        "len(list_filter(string_split(text, ' '), w -> w IN ({}))) AS score_{}".format(
+            ", ".join(f"'{m}'" for m in text.LANG_MARKERS[lang]), lang
+        )
+        for lang in langs
+    )
+    greatest = "greatest({})".format(", ".join(f"score_{lang}" for lang in langs))
+    case = " ".join(f"WHEN score_{lang} = best THEN '{lang}'" for lang in langs)
+    return f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             {scores}
+      FROM documents),
+    with_best AS (SELECT *, {greatest} AS best FROM scored)
+    SELECT doc_id, lang,
+           {", ".join(f"score_{lang}" for lang in langs)},
+           CASE WHEN best = 0 THEN 'und' {case} ELSE 'und' END AS lang_pred
+    FROM with_best
+    """
+
+
+@q(
+    "q39_lang_id",
+    _lang_id_oracle(),
+    "Marker-word language-ID heuristic (operators/text.py with_lang_id): "
+    "per-language marker scores → argmax, ties to alphabetically-first code.",
+)
+def q39(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    langs = sorted(text.LANG_MARKERS)
+    return text.with_lang_id(d).select(
+        "doc_id", "lang", *[f"score_{lang}" for lang in langs], "lang_pred"
+    )
+
+
+@q(
+    "q40_global_agg",
+    """
+    SELECT MAX(l_extendedprice) AS max_price,
+           MIN(l_extendedprice) AS min_price,
+           COUNT(*) AS n_rows,
+           COUNT(DISTINCT l_orderkey) AS n_orders
+    FROM lineitem
+    """,
+    "Reference conformance 0b generalized (max_aggregation.cpp:23-113): "
+    "global extremes — partial agg per partition, 1-row exchange, final agg "
+    "(the CAS/semaphore combine, done by Spark's plan).",
+)
+def q40(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.max("l_extendedprice").alias("max_price"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Reference conformance programs (seeded generated input → no SQL oracle;
+# verified against local python oracles in tests/test_conformance.py)
+# ---------------------------------------------------------------------------
+
+@q(
+    "conf_sort_seeded",
+    None,
+    "parallel_sort conformance (parallel_sort.cpp:29-157): globally sort "
+    "131072 seeded ints. Rows-only driver check; exact oracle in "
+    "tests/test_conformance.py.",
+)
+def conf_sort(spark, sf_dir):
+    from .datagen import seeded_ints
+    from .mapreduce import parallel_sort
+
+    return parallel_sort(seeded_ints(spark, 131072, seed=12345))
+
+
+@q(
+    "conf_max_seeded",
+    None,
+    "max_aggregation conformance (max_aggregation.cpp:23-113): global max "
+    "of 1,000,000 seeded ints. Rows-only driver check; exact oracle in "
+    "tests/test_conformance.py.",
+)
+def conf_max(spark, sf_dir):
+    from .datagen import seeded_ints
+    from .mapreduce import max_aggregation
+
+    return max_aggregation(seeded_ints(spark, 1_000_000, seed=999))

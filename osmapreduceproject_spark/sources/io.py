@@ -1,0 +1,84 @@
+"""Sources & sinks (SURVEY.md §2.B scans/sources rows).
+
+Engine policy: explicit schemas in the core API (matches the reference's
+fixed-compile-time-shape philosophy, ``/root/reference/parallel_sort.cpp``
+— one implicit int column); schema inference only as an opt-in
+convenience. Parquet is the primary format: columnar, predicate pushdown,
+partition pruning — all prerequisites at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+def read_parquet(spark: SparkSession, path: str, schema: StructType | None = None) -> DataFrame:
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(path)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | None = None,
+    header: bool = True,
+    infer: bool = False,
+) -> DataFrame:
+    reader = spark.read.option("header", header)
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif infer:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema: StructType | None = None) -> DataFrame:
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def write_parquet(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).parquet(path)
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: list[str], mode: str = "overwrite"
+) -> None:
+    """Partitioned parquet write — the layout that enables partition
+    pruning on later scans (the 100 TB access path)."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite", header: bool = True) -> None:
+    df.write.mode(mode).option("header", header).csv(path)
+
+
+# events.parquet stores ts as parquet TIMESTAMP(NANOS), which Spark 4
+# refuses to map to TimestampType (PARQUET_TYPE_ILLEGAL). Reading with a
+# schema-forced LongType yields raw nanos with no session conf needed;
+# we then truncate to microseconds — exactly what DuckDB does when it
+# casts ns → its µs TIMESTAMP, keeping the oracle comparison exact.
+from pyspark.sql import functions as _F
+from pyspark.sql import types as _T
+
+EVENTS_RAW_SCHEMA = _T.StructType(
+    [
+        _T.StructField("event_id", _T.LongType()),
+        _T.StructField("ts", _T.LongType()),  # raw nanos
+        _T.StructField("user_id", _T.LongType()),
+        _T.StructField("event_type", _T.StringType()),
+        _T.StructField("value", _T.DoubleType()),
+        _T.StructField("props", _T.StringType()),
+    ]
+)
+
+
+def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events fixture with ts as a proper µs TimestampType."""
+    raw = spark.read.schema(EVENTS_RAW_SCHEMA).parquet(f"{sf_dir}/events.parquet")
+    return raw.withColumn("ts", _F.timestamp_micros(_F.expr("ts div 1000")))

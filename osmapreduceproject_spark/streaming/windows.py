@@ -1,0 +1,113 @@
+"""Structured Streaming surface (SURVEY.md §2.B streaming row).
+
+Builders return *unbound* transformations applicable to either a batch or
+a streaming DataFrame — the batch twin is what the DuckDB oracle checks,
+and batch/stream equivalence is asserted in tests (replay
+``events.parquet`` through a file-source stream with availableNow).
+
+Watermark discipline at scale: state size for a windowed agg is
+O(open windows × groups); the watermark bounds it. Session windows and
+dropDuplicates keep per-key state — always pair them with a watermark in
+production or state grows without bound.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def tumbling_counts(
+    df: DataFrame,
+    ts_col: str = "ts",
+    window_len: str = "5 minutes",
+    group_col: str = "event_type",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Tumbling-window count+sum per group. Epoch-aligned (F.window), so
+    the bucket start equals floor(epoch/len)·len — oracle-friendly arithmetic."""
+    if watermark:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(F.window(ts_col, window_len).alias("w"), F.col(group_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            # decimal-exact sum → double: summation-order independent
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            group_col,
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(
+    df: DataFrame,
+    ts_col: str = "ts",
+    window_len: str = "10 minutes",
+    slide: str = "5 minutes",
+    group_col: str = "event_type",
+    watermark: str | None = None,
+) -> DataFrame:
+    if watermark:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(F.window(ts_col, window_len, slide).alias("w"), F.col(group_col))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            group_col,
+            "n_events",
+        )
+    )
+
+
+def session_counts(
+    df: DataFrame,
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    key_col: str = "user_id",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Session windows (gap-based). Batch twin: operators/windows.py
+    sessionize()."""
+    if watermark:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(F.session_window(ts_col, gap).alias("w"), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("session_start"),
+            key_col,
+            "n_events",
+        )
+    )
+
+
+def stream_dedup(
+    df: DataFrame, keys: list[str], ts_col: str = "ts", watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming exact dedup with bounded state (watermarked)."""
+    return df.withWatermark(ts_col, watermark).dropDuplicates(keys)
+
+
+def read_events_stream(spark, sf_dir: str, schema) -> DataFrame:
+    """Replay the events fixture as a file-source stream (one file = one
+    micro-batch under availableNow)."""
+    return spark.readStream.schema(schema).parquet(f"{sf_dir}/events.parquet")
+
+
+def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete"):
+    """Drive a streaming query to completion synchronously (test helper)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
