@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Benchmark harness — prints ONE JSON line with per-query wall times.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]. Each query executes to
+completion through the noop sink (full computation, no driver-side
+materialization cost), mirroring how a cluster job would terminate in a
+write. Includes the two reference conformance programs (seeded sort /
+max — /root/reference/parallel_sort.cpp, max_aggregation.cpp) at the
+reference's own sizes so BENCH is comparable to BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# Headline set: relational core + windows + temporal + dedup + similarity.
+BENCH_QUERIES = [
+    "q01_pricing_summary",
+    "q02_global_sort",
+    "q03_top_revenue_orders",
+    "q05_region_revenue",
+    "q09_window_funcs",
+    "q16_distinct_agg",
+    "q21_topk_per_group",
+    "q24_asof_join",
+    "q25_sessionize",
+    "q26_tumbling_window",
+    "q29_dedup_exact_keep_first",
+    "q31_minhash_lsh_pairs",
+    "q34_cosine_topk",
+    "conf_sort_seeded",
+    "conf_max_seeded",
+]
+
+
+def main() -> None:
+    from osmapreduceproject_spark.queries import QUERIES
+    from osmapreduceproject_spark.session import get_spark
+
+    spark = get_spark(app_name="bench", cpus=CPUS, shuffle_partitions=CPUS)
+    # Warm the JVM + file listing once so per-query numbers measure the
+    # queries, not first-touch costs.
+    spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
+
+    times: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = QUERIES[name].fn
+        t0 = time.perf_counter()
+        df = fn(spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cpus": CPUS,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

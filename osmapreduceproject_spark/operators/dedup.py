@@ -3,11 +3,12 @@
 Five strategies, all shuffle-disciplined for 100 TB:
 
 - exact        : hash-groupBy on content hash (one shuffle on a 60-bit key)
-- ngram_jaccard: exact set-similarity via token inverted index
-                 (explode → self-join on token → count agreement)
-- minhash_lsh  : MinHash signatures + banded LSH bucketing — candidate
-                 pairs come from equi-joins on band hashes, never an
-                 all-pairs comparison
+- ngram_jaccard: exact set-similarity over w-shingle sets via an
+                 inverted index (explode → self-join on shingle → count)
+- minhash_lsh  : MinHash over shingle sets (one md5 base hash + k
+                 universal-hash permutations mod 2^31-1) + banded LSH —
+                 candidate pairs come from equi-joins on band hashes,
+                 never an all-pairs comparison
 - simhash      : 64-bit sign-of-weighted-bits fingerprint; near-dups =
                  small hamming distance within band buckets
 - embedding    : cosine-threshold near-dup over embedding vectors
@@ -24,9 +25,25 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import md5_int, seeded_hash
-from .text import tokens
+from .text import shingles, tokens
 
 P31 = 2147483647  # 2^31-1, the family's reduction modulus
+
+
+def _minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the universal hash family
+    h_s(x) = (a_s·x + b_s) mod 2^31-1. Derived from a fixed splitmix64
+    counter so Spark plans and generated oracle SQL embed identical
+    literals. a_s ∈ [1, p), b_s ∈ [0, p)."""
+    coeffs = []
+    x = 0x9E3779B97F4A7C15
+    for _ in range(num_hashes):
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        a = (x >> 16) % (P31 - 1) + 1
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        b = (x >> 16) % P31
+        coeffs.append((a, b))
+    return coeffs
 
 
 def exact_dedup(df: DataFrame, content_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -61,19 +78,24 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.5,
+    k: int = 3,
     block_col: str | None = None,
 ) -> DataFrame:
-    """Exact Jaccard-similar pairs via a token inverted index.
+    """Exact Jaccard-similar pairs over distinct k-shingle sets, via a
+    shingle inverted index.
 
-    explode(distinct tokens) → self-join on token (optionally within a
-    ``block_col`` blocking key) → |A∩B| by pair, combined with per-doc
-    set sizes for |A∪B|. The join is an equi-join on the token, so hot
-    tokens are the skew risk — at scale, drop ultra-high-df tokens first
-    (they can't create high-Jaccard pairs on their own) and let AQE split
-    what remains. Integer-count arithmetic → deterministic across engines.
+    explode(distinct shingles) → self-join on shingle (optionally within
+    a ``block_col`` blocking key) → |A∩B| per pair, combined with per-doc
+    set sizes for |A∪B|. Shingles (not unigrams) keep the index selective:
+    a shared shingle implies shared *sequence*, so join fan-out tracks
+    true near-dups instead of vocabulary overlap. At 100 TB: additionally
+    drop ultra-high-df shingles (boilerplate) before the join and let AQE
+    split residual skew. Integer-count arithmetic → deterministic across
+    engines.
     """
     cols = [id_col] + ([block_col] if block_col else [])
-    toks = df.select(*cols, F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"))
+    sh = F.array_distinct(shingles(F.col(text_col), k))
+    toks = df.select(*cols, F.explode(sh).alias("tok"))
     sizes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
     a = toks.select(*[F.col(c).alias(f"a_{c}") for c in cols], F.col("tok"))
     b = toks.select(*[F.col(c).alias(f"b_{c}") for c in cols], F.col("tok"))
@@ -101,22 +123,36 @@ def ngram_jaccard_pairs(
 
 
 def minhash_signature(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", num_hashes: int = 16
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    k: int = 3,
 ) -> DataFrame:
-    """MinHash signature: sig[s] = min over distinct tokens of
-    hash_s(token), one independent md5-seeded function per s.
+    """MinHash signature over distinct k-shingles.
 
-    Computed with array higher-order functions (array_min over transform)
-    — a narrow, codegen'd map; no explode, no shuffle. Signature width 16
-    at 31-bit precision gives ±0.12 jaccard std-err; widen for tighter
-    bounds.
+    Shape: explode(distinct shingles) → one md5 base hash per (doc,
+    shingle) row → groupBy(doc) with ``num_hashes`` universal-hash mins
+    h_s(x) = (a_s·x + b_s) mod 2^31-1. The md5 is computed exactly once
+    per shingle (array-transform formulations re-evaluate it per
+    signature column — no common-subexpression elimination across
+    independent expression trees), and the permutations are pure
+    arithmetic, so widening the signature is nearly free. One shuffle on
+    the doc id; partial aggregation makes the map side emit one partial
+    signature per doc per partition. All intermediates < 2^62
+    (ANSI-overflow safe).
     """
-    toks = F.array_distinct(tokens(F.col(text_col)))
-    sig_cols = [
-        F.array_min(F.transform(toks, lambda w: seeded_hash(w, s) % P31)).alias(f"mh_{s}")
-        for s in range(num_hashes)
-    ]
-    return df.select(F.col(id_col), *sig_cols)
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles(F.col(text_col), k))).alias("tok"),
+    ).withColumn("h", md5_int(F.col("tok")) % P31)
+    coeffs = _minhash_coeffs(num_hashes)
+    return toks.groupBy(id_col).agg(
+        *[
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % P31).alias(f"mh_{s}")
+            for s, (a, b) in enumerate(coeffs)
+        ]
+    )
 
 
 def minhash_lsh_pairs(
@@ -126,17 +162,18 @@ def minhash_lsh_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     threshold: float = 0.5,
+    k: int = 3,
 ) -> DataFrame:
-    """Near-dup candidate pairs via banded LSH over MinHash signatures,
-    then exact-Jaccard verification of candidates only.
+    """Near-dup candidate pairs via banded LSH over shingle-MinHash
+    signatures, then exact-Jaccard verification of candidates only.
 
-    Scale shape: candidates come from groupBy on (band_id, band_hash) —
-    an equi-shuffle on small keys. A pair is compared only if it collides
-    in ≥1 band, so cost tracks the number of true near-dups, not N².
-    rows = (a_id, b_id, jaccard) with jaccard ≥ threshold.
+    Scale shape: candidates come from a groupBy/join on (band_id,
+    band_hash) — an equi-shuffle on small keys; a pair is compared only
+    if it collides in ≥1 band, so cost tracks true near-dups, not N².
+    rows = (a_id, b_id, jaccard ≥ threshold).
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signature(df, id_col, text_col, num_hashes)
+    sig = minhash_signature(df, id_col, text_col, num_hashes, k)
     band_exprs = []
     for b in range(bands):
         parts = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
@@ -153,9 +190,10 @@ def minhash_lsh_pairs(
         .select("a_id", "b_id")
         .distinct()
     )
-    # Exact verification of candidates only
+    # Exact verification of candidates only, on the same shingle sets
     toks = df.select(
-        F.col(id_col), F.array_distinct(tokens(F.col(text_col))).alias("tokset")
+        F.col(id_col),
+        F.array_distinct(shingles(F.col(text_col), k)).alias("tokset"),
     )
     at = toks.select(F.col(id_col).alias("a_id"), F.col("tokset").alias("a_toks"))
     bt = toks.select(F.col(id_col).alias("b_id"), F.col("tokset").alias("b_toks"))

@@ -126,3 +126,22 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
         lambda acc, w: (acc * 31 + (md5_int(w) % p)) % F.lit(p),
     )
     return df.withColumn("fingerprint", fp)
+
+
+def shingles(text_col: Column, k: int = 3) -> Column:
+    """w-shingles: overlapping k-token sequences joined by spaces.
+
+    The unit of near-dup detection — token *sets* collapse under a small
+    vocabulary (every doc looks like every other), while shingle sets
+    preserve sequence and separate genuinely different documents. Built
+    from sequence/transform higher-order expressions: narrow, codegen'd.
+    """
+    toks = tokens(text_col)
+    n = F.size(toks)
+    win = F.transform(
+        F.sequence(F.lit(0), n - k),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j + 1) for j in range(k)]
+        ),
+    )
+    return F.when(n >= k, win).otherwise(F.array(text_col))

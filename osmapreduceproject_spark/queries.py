@@ -784,9 +784,14 @@ def q29(spark, sf_dir):
 @q(
     "q30_ngram_jaccard_pairs",
     """
-    WITH toks AS (
-      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
-      FROM documents),
+    WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+    sh AS (SELECT doc_id,
+             CASE WHEN len(w) >= 3
+                  THEN list_transform(range(1, len(w) - 1),
+                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                  ELSE [text] END AS shingles
+           FROM w),
+    toks AS (SELECT doc_id, unnest(list_distinct(shingles)) AS tok FROM sh),
     sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM toks GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS a_doc_id, b.doc_id AS b_doc_id, COUNT(*) AS n_common
@@ -800,9 +805,10 @@ def q29(spark, sf_dir):
     JOIN sizes sb ON sb.doc_id = i.b_doc_id
     WHERE CAST(i.n_common AS DOUBLE) / (sa.set_size + sb.set_size - i.n_common) >= 0.8
     """,
-    "Exact n-gram (token-set) Jaccard near-dup pairs ≥0.8 via inverted index "
-    "(operators/dedup.py ngram_jaccard_pairs). Integer-count arithmetic → "
-    "bit-deterministic.",
+    "Exact 3-shingle Jaccard near-dup pairs ≥0.8 via inverted index "
+    "(operators/dedup.py ngram_jaccard_pairs). Shingles, not unigrams — "
+    "token sets collapse under a small vocabulary; shingle overlap implies "
+    "shared sequence, keeping join fan-out proportional to true near-dups.",
 )
 def q30(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
@@ -810,12 +816,16 @@ def q30(spark, sf_dir):
 
 
 def _minhash_oracle(num_hashes: int = 16, bands: int = 4, threshold: float = 0.5) -> str:
-    """Generate the DuckDB twin of dedup.minhash_lsh_pairs — same md5 hash
-    family, same banding, same exact-jaccard verification."""
+    """DuckDB twin of dedup.minhash_lsh_pairs — same shingling, same md5
+    base hash, same universal-hash (a·x+b mod 2^31-1) permutations, same
+    banding and exact-jaccard verification."""
+    from .operators.dedup import _minhash_coeffs
+
     rows_per_band = num_hashes // bands
+    base = md5_int_sql("tok") + " % 2147483647"
     mins = ",\n             ".join(
-        f"MIN({seeded_hash_sql('tok', s)} % 2147483647) AS mh_{s}"
-        for s in range(num_hashes)
+        f"MIN(({a} * ({base}) + {b}) % 2147483647) AS mh_{s}"
+        for s, (a, b) in enumerate(_minhash_coeffs(num_hashes))
     )
     band_selects = []
     for b in range(bands):
@@ -827,9 +837,14 @@ def _minhash_oracle(num_hashes: int = 16, bands: int = 4, threshold: float = 0.5
         )
     buckets = "\n      UNION ALL ".join(band_selects)
     return f"""
-    WITH toks AS (
-      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
-      FROM documents),
+    WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+    sh AS (SELECT doc_id,
+             CASE WHEN len(w) >= 3
+                  THEN list_transform(range(1, len(w) - 1),
+                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                  ELSE [text] END AS shingles
+           FROM w),
+    toks AS (SELECT doc_id, unnest(list_distinct(shingles)) AS tok FROM sh),
     sigs AS (
       SELECT doc_id,
              {mins}
@@ -1126,7 +1141,12 @@ def conf_sort(spark, sf_dir):
     from .datagen import seeded_ints
     from .mapreduce import parallel_sort
 
-    return parallel_sort(seeded_ints(spark, 131072, seed=12345))
+    # Cache the generated input: orderBy's range partitioner samples the
+    # input first, which would otherwise run the (Python-side) generator
+    # twice. 131072 ints are negligible in memory; at cluster scale the
+    # same guidance applies to any expensive-to-produce sort input.
+    df = seeded_ints(spark, 131072, seed=12345, num_partitions=8).cache()
+    return parallel_sort(df)
 
 
 @q(
