@@ -94,10 +94,19 @@ def stream_dedup(
     return df.withWatermark(ts_col, watermark).dropDuplicates(keys)
 
 
-def read_events_stream(spark, sf_dir: str, schema) -> DataFrame:
-    """Replay the events fixture as a file-source stream (one file = one
-    micro-batch under availableNow)."""
-    return spark.readStream.schema(schema).parquet(f"{sf_dir}/events.parquet")
+def read_events_stream(spark, events_dir: str) -> DataFrame:
+    """Replay the events fixture as a file-source stream.
+
+    ``events_dir`` must be a DIRECTORY containing events parquet file(s)
+    — Spark's file streaming source rejects a bare file path ("Option
+    'basePath' must be a directory"); symlink the fixture file into a
+    tmpdir when needed (see tests/test_streaming.py). The raw ts column
+    is nanos (see sources/io.py) and is converted to a µs timestamp.
+    """
+    from ..sources.io import EVENTS_RAW_SCHEMA
+
+    raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(events_dir)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete"):

@@ -1,0 +1,84 @@
+"""Reference conformance tests (SURVEY.md §5.2 items 1, 3, 4).
+
+Port of the reference's own verification machinery:
+- the N=32 manual-check case (README.md:137-140)
+- sortedness property scan (parallel_sort.cpp:137-142)
+- max ∈ input / equals local oracle (max_aggregation.cpp semantics)
+- --workers sweep invariance (README.md:46-47): results must not depend
+  on partitioning.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from osmapreduceproject_spark.datagen import seeded_ints, seeded_ints_local
+from osmapreduceproject_spark.mapreduce import (
+    is_sorted,
+    map_reduce,
+    max_aggregation,
+    parallel_sort,
+    run_conformance,
+)
+
+
+def test_datagen_matches_local_oracle(spark):
+    vals = [r.value for r in seeded_ints(spark, 1000, seed=12345).collect()]
+    assert sorted(vals) == sorted(seeded_ints_local(1000, 12345))
+    assert all(0 <= v <= 0x7FFFFFFF for v in vals)
+
+
+@pytest.mark.parametrize("workers", [1, 2, 4, 8])
+def test_datagen_partition_invariance(spark, workers):
+    """--workers sweep (README.md:46-47): dataset independent of chunking."""
+    vals = sorted(
+        r.value for r in seeded_ints(spark, 512, seed=999, num_partitions=workers).collect()
+    )
+    assert vals == sorted(seeded_ints_local(512, 999))
+
+
+def test_sort_n32_manual_case(spark):
+    """The reference's 'Input Size = 32' validation (README.md:137-140)."""
+    out = [r.value for r in parallel_sort(seeded_ints(spark, 32, seed=12345)).collect()]
+    assert out == sorted(seeded_ints_local(32, 12345))
+
+
+def test_sort_large_and_property(spark):
+    df = seeded_ints(spark, 131072, seed=12345, num_partitions=8).cache()
+    out = parallel_sort(df)
+    assert is_sorted(out)
+    first = out.limit(1).collect()[0].value
+    assert first == min(seeded_ints_local(131072, 12345))
+    df.unpersist()
+
+
+@pytest.mark.parametrize("workers", [1, 4])
+def test_max_agg(spark, workers):
+    df = seeded_ints(spark, 100_000, seed=999, num_partitions=workers)
+    got = max_aggregation(df).collect()[0]["max_value"]
+    assert got == max(seeded_ints_local(100_000, 999))
+
+
+def test_map_reduce_facade(spark):
+    """Generic facade: map = filter evens, reduce = sum — semantics match
+    a local computation."""
+    df = seeded_ints(spark, 10_000, seed=7)
+    out = map_reduce(
+        df,
+        map_fn=lambda d: d.where(F.col("value") % 2 == 0),
+        reduce_exprs=[F.sum("value").alias("total"), F.count(F.lit(1)).alias("n")],
+        workers=4,
+    ).collect()[0]
+    local = [v for v in seeded_ints_local(10_000, 7) if v % 2 == 0]
+    assert out["total"] == sum(local)
+    assert out["n"] == len(local)
+
+
+def test_run_conformance_report(spark):
+    """The reference's report format: phase times + RSS + verification."""
+    rep = run_conformance(spark, 4096, seed=12345, which="sort", workers=4)
+    assert rep["sorted_ok"] is True
+    assert rep["total_ms"] > 0 and rep["peak_rss_kb"] > 0
+    rep2 = run_conformance(spark, 4096, seed=999, which="max", workers=4)
+    assert rep2["final_max"] == max(seeded_ints_local(4096, 999))

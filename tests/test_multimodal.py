@@ -1,0 +1,51 @@
+"""Multimodal plumbing tests: schema contract, Arrow batch shape, frame
+sampling arithmetic — the decode itself is stubbed (no codec libs in this
+environment), the Spark-side pipeline is real."""
+
+from __future__ import annotations
+
+import pytest
+
+from osmapreduceproject_spark.operators.multimodal import (
+    extract_image_features,
+    resize_images,
+    sample_video_frames,
+    synthetic_media,
+)
+
+
+def test_feature_extraction_shape(spark):
+    media = synthetic_media(spark, n=32, kind="image")
+    feats = extract_image_features(media)
+    rows = feats.collect()
+    assert len(rows) == 32
+    assert set(feats.columns) == {
+        "media_id", "mean_r", "mean_g", "mean_b", "std_r", "std_g", "std_b",
+    }
+    for r in rows:
+        assert 0.0 <= r["mean_r"] <= 255.0 and r["std_r"] >= 0.0
+
+
+def test_feature_extraction_deterministic(spark):
+    media = synthetic_media(spark, n=8)
+    a = {r["media_id"]: r["mean_g"] for r in extract_image_features(media).collect()}
+    b = {
+        r["media_id"]: r["mean_g"]
+        for r in extract_image_features(media.repartition(5)).collect()
+    }
+    assert a == b
+
+
+def test_video_frame_sampling(spark):
+    media = synthetic_media(spark, n=4, kind="video")
+    out = sample_video_frames(media, every_n=3)
+    frames = sorted(
+        (r["media_id"], r["frame_idx"]) for r in out.where("media_id = 0").collect()
+    )
+    assert frames == [(0, 0), (0, 3), (0, 6), (0, 9)]  # n_frames=10, step 3
+
+
+def test_resize_is_explicit_stub(spark):
+    media = synthetic_media(spark, n=2)
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
+        resize_images(media, 16, 16).collect()
