@@ -1161,3 +1161,282 @@ def conf_max(spark, sf_dir):
     from .mapreduce import max_aggregation
 
     return max_aggregation(seeded_ints(spark, 1_000_000, seed=999))
+
+
+# ---------------------------------------------------------------------------
+# Extended relational coverage (pivot/unpivot, arrays, maps, subqueries,
+# argmin/argmax, regex, null handling, date arithmetic, range join)
+# ---------------------------------------------------------------------------
+
+@q(
+    "q41_pivot",
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_O,
+           CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_F
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    "Pivot on l_linestatus (explicit value list — no discovery pass; at "
+    "scale always pass the pivot values to avoid an extra distinct job).",
+)
+def q41(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    piv = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).cast("double"))
+    )
+    return piv.select(
+        "l_returnflag", F.col("O").alias("qty_O"), F.col("F").alias("qty_F")
+    )
+
+
+@q(
+    "q42_unpivot",
+    """
+    SELECT c_custkey, 'acctbal' AS metric, c_acctbal AS value FROM customer
+    UNION ALL
+    SELECT c_custkey, 'nationkey' AS metric, CAST(c_nationkey AS DOUBLE) AS value FROM customer
+    """,
+    "Unpivot (wide→long) via stack — the inverse of q41.",
+)
+def q42(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.expr(
+            "stack(2, 'acctbal', c_acctbal, 'nationkey', CAST(c_nationkey AS DOUBLE))"
+        ).alias("metric", "value"),
+    )
+
+
+@q(
+    "q43_array_funcs",
+    """
+    SELECT vec_id,
+           len(embedding) AS dim,
+           list_sort(embedding)[1] AS min_elem,
+           list_sort(embedding)[64] AS max_elem,
+           len(list_filter(embedding, x -> x > 0)) AS n_positive,
+           round(list_reduce(list_concat([CAST(0.0 AS DOUBLE)],
+                   list_transform(embedding, x -> CAST(x AS DOUBLE))), (a,b) -> a + b), 6) AS sum_elems
+    FROM embeddings
+    """,
+    "Array higher-order functions over the embedding column: sort, filter, "
+    "sequential-fold aggregate (all JVM codegen'd — SURVEY §2.B scalar fns).",
+)
+def q43(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    arr = F.col("embedding")
+    return e.select(
+        "vec_id",
+        F.size(arr).alias("dim"),
+        F.element_at(F.array_sort(arr), 1).alias("min_elem"),
+        F.element_at(F.array_sort(arr), 64).alias("max_elem"),
+        F.size(F.filter(arr, lambda x: x > 0)).alias("n_positive"),
+        F.round(
+            F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x.cast("double")), 6
+        ).alias("sum_elems"),
+    )
+
+
+@q(
+    "q44_json_map",
+    """
+    SELECT event_id,
+           unnest(json_keys(props)) AS prop_key,
+           CAST(props ->> unnest(json_keys(props)) AS BIGINT) AS prop_value
+    FROM events
+    """,
+    "JSON object → key/value rows: from_json to a map type + explode "
+    "(events.props semi-structured access beyond scalar extraction).",
+)
+def q44(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,bigint>")
+    return e.select("event_id", F.explode(m).alias("prop_key", "prop_value"))
+
+
+@q(
+    "q45_scalar_subquery",
+    """
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > 2 * (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) FROM orders)
+    """,
+    "Scalar subquery: orders above 2x the mean price (exact-decimal mean).",
+)
+def q45(spark, sf_dir):
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE o_totalprice > 2 * (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) FROM orders)
+        """
+    )
+
+
+@q(
+    "q46_min_by_max_by",
+    """
+    SELECT o_orderstatus,
+           arg_max(o_totalprice, o_orderkey) AS price_of_latest_order,
+           arg_min(o_totalprice, o_orderkey) AS price_of_first_order,
+           MAX(o_orderkey) AS max_key, MIN(o_orderkey) AS min_key
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    "argmin/argmax aggregates (min_by/max_by ≡ DuckDB arg_min/arg_max), "
+    "keyed on the unique order key for determinism.",
+)
+def q46(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.max_by("o_totalprice", "o_orderkey").alias("price_of_latest_order"),
+        F.min_by("o_totalprice", "o_orderkey").alias("price_of_first_order"),
+        F.max("o_orderkey").alias("max_key"),
+        F.min("o_orderkey").alias("min_key"),
+    )
+
+
+@q(
+    "q47_regex",
+    """
+    SELECT event_id,
+           CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) AS k_via_regex,
+           regexp_matches(event_type, '^(click|view)$') AS is_impression,
+           regexp_replace(event_type, '[aeiou]', '_', 'g') AS devoweled
+    FROM events
+    """,
+    "Regex scalar functions: extract (capture group), match test, global "
+    "replace — same RE subset valid in Java regex and RE2.",
+)
+def q47(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.regexp_extract("props", r'"k": (\d+)', 1).cast("bigint").alias("k_via_regex"),
+        F.col("event_type").rlike(r"^(click|view)$").alias("is_impression"),
+        F.regexp_replace("event_type", "[aeiou]", "_").alias("devoweled"),
+    )
+
+
+@q(
+    "q48_null_handling",
+    """
+    SELECT c.c_custkey,
+           COALESCE(o.n_orders, 0) AS n_orders,
+           CASE WHEN o.n_orders IS NULL THEN 'inactive' ELSE 'active' END AS status,
+           NULLIF(COALESCE(o.n_orders, 0), 0) AS n_or_null
+    FROM customer c
+    LEFT JOIN (SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey) o
+      ON o.o_custkey = c.c_custkey
+    """,
+    "Null-propagation suite: coalesce / nullif / IS NULL over an outer "
+    "join's null-extended side.",
+)
+def q48(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    counts = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_orders"))
+    j = c.join(counts, c["c_custkey"] == counts["o_custkey"], "left")
+    return j.select(
+        "c_custkey",
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.when(F.col("n_orders").isNull(), "inactive").otherwise("active").alias("status"),
+        F.nullif(F.coalesce("n_orders", F.lit(0)), F.lit(0)).alias("n_or_null"),
+    )
+
+
+@q(
+    "q49_date_arith",
+    """
+    SELECT o_orderkey,
+           strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS due_date,
+           date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS days_since_epoch_start,
+           strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+           year(o_orderdate) AS y, month(o_orderdate) AS m, day(o_orderdate) AS d,
+           dayofweek(o_orderdate) + 1 AS dow
+    FROM orders
+    WHERE o_orderkey < 1000
+    """,
+    "Date/interval arithmetic: add-interval, day difference, last_day, "
+    "calendar field extraction.",
+)
+def q49(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.where(F.col("o_orderkey") < 1000).select(
+        "o_orderkey",
+        F.date_format(F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"), "yyyy-MM-dd").alias(
+            "due_date"
+        ),
+        F.datediff(
+            F.col("o_orderdate"), F.lit("1995-01-01 00:00:00").cast("timestamp")
+        ).cast("bigint").alias("days_since_epoch_start"),
+        F.date_format(F.last_day("o_orderdate"), "yyyy-MM-dd").alias("month_end"),
+        F.year("o_orderdate").cast("bigint").alias("y"),
+        F.month("o_orderdate").cast("bigint").alias("m"),
+        F.dayofmonth("o_orderdate").cast("bigint").alias("d"),
+        F.dayofweek("o_orderdate").cast("bigint").alias("dow"),
+    )
+
+
+@q(
+    "q50_range_join",
+    """
+    WITH bands(band, lo, hi) AS (VALUES ('low', 0.0, 10.0), ('mid', 10.0, 20.0), ('high', 20.0, 1e9))
+    SELECT b.band, COUNT(*) AS n,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+    GROUP BY b.band
+    """,
+    "Point-in-interval range join (operators/joins.py range_join): the "
+    "interval side is broadcast, so the probe side never shuffles.",
+)
+def q50(spark, sf_dir):
+    from .operators.joins import range_join
+
+    e = _t(spark, sf_dir, "events")
+    bands = spark.createDataFrame(
+        [("low", 0.0, 10.0), ("mid", 10.0, 20.0), ("high", 20.0, 1e9)],
+        "band string, lo double, hi double",
+    )
+    return (
+        range_join(e, bands, "value", "lo", "hi")
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("sum_value"))
+    )
+
+
+@q(
+    "q51_approx_distinct",
+    None,
+    "approx_count_distinct (HyperLogLog++): sketch implementations differ "
+    "across engines, so this is rows-only checked; the exact-distinct "
+    "counterpart is oracle-checked in q16. Error bound asserted in tests.",
+)
+def q51(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+    )
+
+
+@q(
+    "q52_lsh_topk",
+    None,
+    "Approximate ANN via SRP-LSH bucketing (operators/similarity.py "
+    "lsh_topk) — the scale path when the query set is too large to "
+    "broadcast. Approximate by construction → rows-only check here; "
+    "recall vs exact brute force asserted in tests/test_operators.py.",
+)
+def q52(spark, sf_dir):
+    from .operators.similarity import lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return lsh_topk(
+        emb, emb.where(F.col("vec_id") < 5), k=5, num_planes=4, num_tables=8
+    )

@@ -201,3 +201,18 @@ def test_agg_partition_invariance(spark, workers):
     pdf = pd.read_parquet("/root/testdata/sf0.001/lineitem.parquet")
     assert float(row["s"]) == float(round(pdf["l_quantity"].round(2).sum(), 2))
     assert row["d"] == pdf["l_orderkey"].nunique()
+
+
+def test_approx_distinct_error_bound(spark):
+    """HLL++ default rsd=5%: assert within 15% of exact (3 sigma-ish)."""
+    li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    rows = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey").alias("approx"),
+            F.countDistinct("l_partkey").alias("exact"),
+        )
+        .collect()
+    )
+    for r in rows:
+        assert abs(r["approx"] - r["exact"]) / r["exact"] < 0.15, dict(r.asDict())
