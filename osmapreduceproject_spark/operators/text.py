@@ -145,3 +145,32 @@ def shingles(text_col: Column, k: int = 3) -> Column:
         ),
     )
     return F.when(n >= k, win).otherwise(F.array(text_col))
+
+
+def tfidf(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """TF-IDF per (doc, token): ``tf * ln((N+1)/(df+1))`` (smoothed idf).
+
+    Shape: explode → two hash aggregations (tf keyed on (doc, token),
+    df keyed on token) → broadcast of the 1-row corpus count. The only
+    wide exchanges are on the aggregation keys; the doc count joins in
+    as a broadcast, so nothing recombines through the driver. ``tfidf``
+    is rounded to 6 decimals for cross-engine comparability (ln is
+    correctly-rounded-within-1-ulp on both JVM and libm).
+    """
+    toks = df.select(id_col, F.explode(tokens(F.col(text_col))).alias("token"))
+    tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n = df.agg(F.count_distinct(id_col).alias("n_docs"))
+    return (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * F.log((F.col("n_docs").cast("double") + 1) / (F.col("df") + 1)),
+                6,
+            ),
+        )
+        .select(id_col, "token", "tf", "df", "tfidf")
+    )

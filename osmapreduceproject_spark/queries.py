@@ -1440,3 +1440,252 @@ def q52(spark, sf_dir):
     return lsh_topk(
         emb, emb.where(F.col("vec_id") < 5), k=5, num_planes=4, num_tables=8
     )
+
+
+# ---------------------------------------------------------------------------
+# UDF surface (SURVEY §2.B): scalar UDF, pandas UDF, grouped-map,
+# grouped-agg UDAF, UDTF — each with a bit-stable oracle where expressible
+# ---------------------------------------------------------------------------
+
+@q(
+    "q53_pandas_udf",
+    r"""
+    SELECT doc_id,
+           CASE WHEN len(trim(text)) = 0 THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+           reverse(lang) AS rev_lang
+    FROM documents
+    """,
+    "Arrow-batched scalar pandas UDF (token count) next to the row-at-a-time "
+    "Python UDF it deprecates (functions/udfs.py — the pandas path moves "
+    "data in Arrow batches, ~10-100x the row-pickling path).",
+)
+def q53(spark, sf_dir):
+    from .functions.udfs import py_reverse, token_count_pudf
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count_pudf("text").cast("bigint").alias("n_tokens"),
+        py_reverse("lang").alias("rev_lang"),
+    )
+
+
+@q(
+    "q54_grouped_map",
+    """
+    SELECT o_orderstatus, o_totalprice, o_orderkey,
+           ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                              ORDER BY o_totalprice, o_orderkey) AS rnk
+    FROM orders
+    """,
+    "Grouped-map applyInPandas (functions/udfs.py grouped_rank): whole group "
+    "shuffled to one task as a pandas frame. Production code should prefer "
+    "the window form (JVM-side); this entry proves the grouped-map surface.",
+)
+def q54(spark, sf_dir):
+    from .functions.udfs import grouped_rank
+
+    o = _t(spark, sf_dir, "orders")
+    return grouped_rank(o, "o_orderstatus", "o_totalprice", "o_orderkey", "rnk")
+
+
+@q(
+    "q55_grouped_agg_udaf",
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    "Grouped-agg pandas UDAF (functions/udfs.py cents_sum_udaf): exact "
+    "integer-cents sum — order-independent, hence oracle-checkable.",
+)
+def q55(spark, sf_dir):
+    from .functions.udfs import cents_sum_udaf
+
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(cents_sum_udaf("l_quantity").alias("qty_cents"))
+
+
+@q(
+    "q56_udtf",
+    r"""
+    SELECT doc_id,
+           CAST(generate_subscripts(toks, 1) - 1 AS INTEGER) AS pos,
+           unnest(toks) AS token
+    FROM (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM documents
+        WHERE doc_id < 30 AND len(trim(text)) > 0
+    )
+    """,
+    "Python UDTF (functions/udfs.py WordPositions) via SQL LATERAL join: "
+    "one input row fans out to one row per token with its position.",
+)
+def q56(spark, sf_dir):
+    from .functions.udfs import register_udtfs
+
+    register_udtfs(spark)
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        """
+        SELECT w.doc_id, w.pos, w.token
+        FROM documents AS d, LATERAL word_positions(d.doc_id, d.text) AS w
+        WHERE d.doc_id < 30
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Correlated subqueries + theta join (SURVEY §2.B joins/aggregation rows)
+# ---------------------------------------------------------------------------
+
+@q(
+    "q57_exists",
+    """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+    GROUP BY o_orderpriority
+    """,
+    "TPC-H Q4 shape: correlated EXISTS — Catalyst rewrites it to a left "
+    "semi join (same plan q07 builds with the DataFrame API).",
+)
+def q57(spark, sf_dir):
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders
+        WHERE EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+@q(
+    "q58_not_exists",
+    """
+    SELECT s_nationkey, COUNT(*) AS n_suppliers
+    FROM supplier
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_suppkey = s_suppkey AND l_quantity < 2)
+    GROUP BY s_nationkey
+    """,
+    "Correlated NOT EXISTS — rewritten to a left anti join (q08's plan).",
+)
+def q58(spark, sf_dir):
+    _t(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT s_nationkey, COUNT(*) AS n_suppliers
+        FROM supplier
+        WHERE NOT EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_suppkey = s_suppkey AND l_quantity < 2)
+        GROUP BY s_nationkey
+        """
+    )
+
+
+@q(
+    "q59_correlated_scalar",
+    """
+    SELECT l_partkey, l_orderkey, l_quantity
+    FROM lineitem l1
+    WHERE l_quantity < 0.2 * (
+        SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+        FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)
+    """,
+    "TPC-H Q17 shape: correlated scalar subquery (per-part mean as an "
+    "exact-decimal ratio). Catalyst de-correlates it into an aggregate + "
+    "join — no per-row re-execution.",
+)
+def q59(spark, sf_dir):
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_partkey, l_orderkey, l_quantity
+        FROM lineitem l1
+        WHERE l_quantity < 0.2 * (
+            SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+            FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)
+        """
+    )
+
+
+@q(
+    "q60_theta_join",
+    """
+    SELECT a.n_name AS nation_a, b.n_name AS nation_b
+    FROM nation a JOIN nation b
+      ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey
+    """,
+    "Theta (non-equi) join: same-region nation pairs. The equi part of the "
+    "predicate keys the join; the < term is a post-join filter — Catalyst "
+    "picks a hash join on n_regionkey, not a nested loop.",
+)
+def q60(spark, sf_dir):
+    n = _t(spark, sf_dir, "nation")
+    a = n.alias("a")
+    b = n.alias("b")
+    return a.join(
+        F.broadcast(b),
+        (F.col("a.n_regionkey") == F.col("b.n_regionkey"))
+        & (F.col("a.n_nationkey") < F.col("b.n_nationkey")),
+    ).select(F.col("a.n_name").alias("nation_a"), F.col("b.n_name").alias("nation_b"))
+
+
+# ---------------------------------------------------------------------------
+# Text feature pipeline: TF-IDF, n-grams (SURVEY §2.B LLM-pipeline rows)
+# ---------------------------------------------------------------------------
+
+@q(
+    "q61_tfidf",
+    """
+    WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token),
+    dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents)
+    SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
+           round(tf.tf * ln((CAST(n.n_docs AS DOUBLE) + 1) / (dfreq.df + 1)), 6) AS tfidf
+    FROM tf JOIN dfreq USING (token) CROSS JOIN n
+    """,
+    "TF-IDF (operators/text.py tfidf): explode → tf agg → df agg → "
+    "broadcast corpus count. Smoothed idf, rounded for cross-engine "
+    "float comparability.",
+)
+def q61(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return text.tfidf(d)
+
+
+@q(
+    "q62_ngrams",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    big AS (
+        SELECT t[i] || ' ' || t[i + 1] AS bigram
+        FROM toks, LATERAL UNNEST(generate_series(1, len(t) - 1)) AS g(i)
+    )
+    SELECT bigram, COUNT(*) AS n
+    FROM big GROUP BY bigram
+    ORDER BY n DESC, bigram LIMIT 20
+    """,
+    "Corpus bigram counts via the shingles operator (w=2): top-20 with a "
+    "deterministic tiebreak. Catalyst plans TakeOrderedAndProject — no "
+    "global sort materialization.",
+)
+def q62(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    big = d.select(F.explode(text.shingles(F.col("text"), k=2)).alias("bigram"))
+    return (
+        big.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "bigram")
+        .limit(20)
+    )

@@ -216,3 +216,55 @@ def test_approx_distinct_error_bound(spark):
     )
     for r in rows:
         assert abs(r["approx"] - r["exact"]) / r["exact"] < 0.15, dict(r.asDict())
+
+
+def test_udf_surface_self_contained(spark):
+    """Every UDF flavor must run with closures that don't require the
+    package on worker sys.path (verified for real from a foreign cwd by
+    the verify recipe; here: smoke + semantics)."""
+    from osmapreduceproject_spark.functions.udfs import (
+        cents_sum_udaf,
+        grouped_rank,
+        py_reverse,
+        register_udtfs,
+        token_count_pudf,
+    )
+
+    df = spark.createDataFrame(
+        [("a", "x y  z"), ("a", "one"), ("b", None)], "g string, t string"
+    )
+    got = df.select(
+        "g", token_count_pudf("t").alias("n"), py_reverse("t").alias("r")
+    ).collect()
+    by_t = {r["r"]: r["n"] for r in got}
+    assert by_t["z  y x"] == 3 and by_t["eno"] == 1 and None in by_t
+
+    num = spark.createDataFrame(
+        [("a", 1.25, 1), ("a", 0.75, 2), ("b", 2.0, 3)], "g string, v double, k bigint"
+    )
+    ranks = {
+        (r["g"], r["k"]): r["rnk"]
+        for r in grouped_rank(num, "g", "v", "k").collect()
+    }
+    assert ranks[("a", 2)] == 1 and ranks[("a", 1)] == 2 and ranks[("b", 3)] == 1
+
+    cents = num.groupBy("g").agg(cents_sum_udaf("v").alias("c")).collect()
+    assert {r["g"]: r["c"] for r in cents} == {"a": 200, "b": 200}
+
+    register_udtfs(spark)
+    rows = spark.sql("SELECT * FROM word_positions(7, '  a b ')").collect()
+    assert [(r["doc_id"], r["pos"], r["token"]) for r in rows] == [(7, 0, "a"), (7, 1, "b")]
+
+
+def test_tfidf_tiny(spark):
+    from osmapreduceproject_spark.operators.text import tfidf
+
+    d = spark.createDataFrame(
+        [(1, "a b a"), (2, "a c")], "doc_id bigint, text string"
+    )
+    rows = {(r["doc_id"], r["token"]): r for r in tfidf(d).collect()}
+    import math
+
+    assert rows[(1, "a")]["tf"] == 2 and rows[(1, "a")]["df"] == 2
+    assert rows[(2, "c")]["df"] == 1
+    assert rows[(2, "c")]["tfidf"] == round(1 * math.log(3 / 2), 6)
