@@ -79,3 +79,33 @@ def range_join(
     """
     cond = (F.col(left_point) >= right[right_lo]) & (F.col(left_point) < right[right_hi])
     return left.join(F.broadcast(right), cond, how)
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    how: str = "inner",
+    salts: int = 8,
+    salt_src: list[str] | None = None,
+) -> DataFrame:
+    """Skew-mitigating equi join.
+
+    Each left row gets a deterministic salt in ``[0, salts)``; the right
+    side is replicated ``salts`` times; the join key becomes
+    ``(on..., salt)``. A hot key's rows spread across ``salts`` reducers
+    instead of hammering one. Result set is identical to the unsalted
+    join (verified by oracle in q63).
+
+    When to reach for this instead of AQE: AQE's skew-join splitting only
+    rewrites sort-merge joins whose skewed side can be sub-split; explicit
+    salting also covers shuffled-hash joins, aggregations that must keep
+    the join's partitioning, and streaming joins where AQE doesn't apply.
+    The salt is a hash of ``salt_src`` (default: all left columns), not
+    rand() — same input → same partitioning → reproducible runs.
+    """
+    keys = on if isinstance(on, list) else [on]
+    salt_cols = salt_src or list(left.columns)
+    l = left.withColumn("__salt", F.pmod(F.hash(*salt_cols), F.lit(salts)))
+    r = right.withColumn("__salt", F.explode(F.sequence(F.lit(0), F.lit(salts - 1))))
+    return l.join(r, on=[*keys, "__salt"], how=how).drop("__salt")

@@ -71,9 +71,13 @@ def _decode_image_batch(payloads: pd.Series) -> np.ndarray:
     bytes. Here: a pseudo-image derived from the payload hash so the
     pipeline shape (bytes → HxWxC array → features) is fully exercised.
     """
+    import hashlib
+
     out = []
     for p in payloads:
-        h = abs(hash(bytes(p))) % (1 << 31)
+        # md5, not Python hash(): hash() is salted per-process (PYTHONHASHSEED)
+        # and would make the "decoded" pixels differ between runs.
+        h = int.from_bytes(hashlib.md5(bytes(p)).digest()[:4], "big")
         rng = np.random.default_rng(h)
         out.append(rng.integers(0, 256, size=(24, 32, 3), dtype=np.uint8))
     return np.stack(out)
@@ -87,10 +91,27 @@ def extract_image_features(df: DataFrame) -> DataFrame:
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Self-contained decode (duplicate of _decode_image_batch): the
+        # closure must not reference module globals — cloudpickle would
+        # serialize them by reference and workers whose driver runs from
+        # a foreign cwd can't import this package.
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        def decode(payloads):
+            out = []
+            for p in payloads:
+                h = int.from_bytes(hashlib.md5(bytes(p)).digest()[:4], "big")
+                rng = np.random.default_rng(h)
+                out.append(rng.integers(0, 256, size=(24, 32, 3), dtype=np.uint8))
+            return np.stack(out)
+
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            imgs = _decode_image_batch(pdf["payload"]).astype(np.float64)
+            imgs = decode(pdf["payload"]).astype(np.float64)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"].values,

@@ -43,3 +43,10 @@ def has_broadcast_join(df: DataFrame) -> bool:
 def wholestage_codegen_ids(df: DataFrame) -> int:
     """Number of WholeStageCodegen spans — wider/fewer is better."""
     return len(set(re.findall(r"WholeStageCodegen \((\d+)\)", explain_str(df))))
+
+
+def num_shuffle_exchanges(df: DataFrame) -> int:
+    """Count shuffle exchanges in the physical plan (AQE-final where
+    available). Bucketed co-located joins must show 0."""
+    plan = explain_str(df, "simple")
+    return plan.count("Exchange hashpartitioning") + plan.count("Exchange rangepartitioning")

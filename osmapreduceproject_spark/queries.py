@@ -1689,3 +1689,90 @@ def q62(spark, sf_dir):
         .orderBy(F.desc("n"), "bigram")
         .limit(20)
     )
+
+
+@q(
+    "q63_salted_join",
+    """
+    WITH flag_stats AS (
+        SELECT l_returnflag AS rf,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+           CAST(l.l_quantity / f.avg_qty > 1 AS BOOLEAN) AS above_avg
+    FROM lineitem l JOIN flag_stats f ON l.l_returnflag = f.rf
+    """,
+    "Salted skew join (operators/joins.py salted_join): l_returnflag has "
+    "only 3 values — the worst-case hot-key distribution. Salting spreads "
+    "each flag over 8 reducers; the result is oracle-identical to the "
+    "plain join.",
+)
+def q63(spark, sf_dir):
+    from .operators.joins import salted_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    flag_stats = li.groupBy(F.col("l_returnflag").alias("rf")).agg(
+        (dsum("l_quantity") / F.count(F.lit(1))).alias("avg_qty")
+    )
+    j = salted_join(
+        li.withColumnRenamed("l_returnflag", "rf"),
+        flag_stats,
+        on="rf",
+        salts=8,
+        salt_src=["l_orderkey", "l_linenumber"],
+    )
+    return j.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("rf").alias("l_returnflag"),
+        (F.col("l_quantity") / F.col("avg_qty") > 1).alias("above_avg"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal columns (SURVEY §2.B): binary payload + typed metadata,
+# decode/feature-extract via Arrow-batched mapInPandas (decode stubbed —
+# no codec libs in this environment; Spark-side plumbing is real)
+# ---------------------------------------------------------------------------
+
+@q(
+    "q64_multimodal_features",
+    None,
+    "Image feature extraction (operators/multimodal.py): binary payloads "
+    "→ mapInPandas decode (deterministic md5-seeded stub) → per-channel "
+    "mean/std → per-bucket aggregate. Rows-only check: the decoded pixels "
+    "come from a numpy RNG no SQL engine replicates.",
+)
+def q64(spark, sf_dir):
+    from .operators.multimodal import extract_image_features, synthetic_media
+
+    media = synthetic_media(spark, n=256, kind="image")
+    feats = extract_image_features(media)
+    return (
+        feats.withColumn("bucket", F.pmod(F.col("media_id"), F.lit(8)))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("mean_r"), 4).alias("avg_mean_r"),
+            F.round(F.avg("std_b"), 4).alias("avg_std_b"),
+        )
+    )
+
+
+@q(
+    "q65_frame_sample",
+    """
+    SELECT CAST(t.i AS BIGINT) AS media_id,
+           CAST(unnest(generate_series(0, 9, 2)) AS INTEGER) AS frame_idx
+    FROM (SELECT unnest(generate_series(0, 63)) AS i) t
+    """,
+    "Video frame sampling (operators/multimodal.py sample_video_frames): "
+    "each video row fans out to every-2nd-frame index rows. The sampling "
+    "arithmetic is the oracle-checked part (generated input, n_frames=10).",
+)
+def q65(spark, sf_dir):
+    from .operators.multimodal import sample_video_frames, synthetic_media
+
+    media = synthetic_media(spark, n=64, kind="video")
+    return sample_video_frames(media, every_n=2)

@@ -82,3 +82,23 @@ def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Events fixture with ts as a proper µs TimestampType."""
     raw = spark.read.schema(EVENTS_RAW_SCHEMA).parquet(f"{sf_dir}/events.parquet")
     return raw.withColumn("ts", _F.timestamp_micros(_F.expr("ts div 1000")))
+
+
+def write_bucketed(
+    df,
+    table: str,
+    key: str,
+    num_buckets: int,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed parquet table (session catalog): pre-shuffles once at
+    write time so every later equi-join/aggregation on ``key`` between
+    same-bucketed tables runs with NO exchange — the 100 TB answer to
+    repeated joins on the same key (shuffle paid once, amortized over
+    every downstream query). Pair with ``sortBy`` to also skip the
+    sort-merge join's sort."""
+    w = df.write.format("parquet").mode(mode).bucketBy(num_buckets, key)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)

@@ -80,3 +80,60 @@ def test_asof_join_single_shuffle(spark):
     a union + window, i.e. one hash exchange on the key."""
     plan = explain_str(QUERIES["q24_asof_join"].fn(spark, SF_CORRECT))
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
+
+
+def test_bucketed_join_no_shuffle(spark, tmp_path):
+    """Co-located join: both sides bucketed on the key → zero exchanges.
+
+    This is the amortized-shuffle strategy for 100 TB: pay the
+    partitioning once at write time, every downstream join is narrow.
+    """
+    from osmapreduceproject_spark.plans.inspect import num_shuffle_exchanges
+    from osmapreduceproject_spark.sources.io import write_bucketed
+
+    o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    c = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_customer")
+    (o.write.format("parquet").mode("overwrite")
+       .bucketBy(4, "o_custkey").sortBy("o_custkey")
+       .option("path", str(tmp_path / "b_orders")).saveAsTable("b_orders"))
+    (c.write.format("parquet").mode("overwrite")
+       .bucketBy(4, "c_custkey").sortBy("c_custkey")
+       .option("path", str(tmp_path / "b_customer")).saveAsTable("b_customer"))
+    bo, bc = spark.table("b_orders"), spark.table("b_customer")
+    joined = bo.join(bc, bo["o_custkey"] == bc["c_custkey"])
+    # disable broadcast so the test exercises the co-located SMJ path
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        assert num_shuffle_exchanges(joined) == 0
+        plain = o.join(c, o["o_custkey"] == c["c_custkey"])
+        assert num_shuffle_exchanges(plain) >= 2
+        assert joined.count() == plain.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")
+    # write_bucketed is the library wrapper over the same path
+    spark.sql("DROP TABLE IF EXISTS b_nation")
+    write_bucketed(
+        spark.read.parquet("/root/testdata/sf0.001/nation.parquet"),
+        "b_nation", "n_nationkey", 2, sort_cols=["n_nationkey"],
+    )
+    assert spark.table("b_nation").count() == 25
+    spark.sql("DROP TABLE IF EXISTS b_nation")
+
+
+def test_salted_join_matches_plain(spark):
+    from osmapreduceproject_spark.operators.joins import salted_join
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    dim = li.groupBy("l_returnflag").count().withColumnRenamed("count", "n")
+    salted = salted_join(li, dim, on="l_returnflag", salts=4,
+                         salt_src=["l_orderkey", "l_linenumber"])
+    plain = li.join(dim, on="l_returnflag")
+    assert salted.count() == plain.count()
+    assert sorted(salted.columns) == sorted(plain.columns)
+    a = salted.groupBy("l_returnflag").count().collect()
+    b = plain.groupBy("l_returnflag").count().collect()
+    assert {(r[0], r[1]) for r in a} == {(r[0], r[1]) for r in b}

@@ -92,3 +92,32 @@ def test_stream_dedup(spark):
     _run(stream.groupBy().agg(F.count(F.lit(1)).alias("n")), "dedup_out")
     n = spark.sql("SELECT n FROM dedup_out").collect()[0][0]
     assert n == read_events(spark, SF_SMOKE).select("event_id").distinct().count()
+
+
+def test_stateful_running_totals(spark):
+    """applyInPandasWithState running totals: the final per-key state
+    after draining the stream must equal the batch aggregate."""
+    from osmapreduceproject_spark.streaming.stateful import running_totals_stateful
+
+    stream = running_totals_stateful(_stream_events(spark))
+    _run(stream, "stateful_out", mode="update")
+    # update mode appends one row per key per batch; the row with max n
+    # per key is the final state (n is monotone).
+    final = spark.sql(
+        """
+        SELECT event_type, max_by(n, n) AS n, max_by(total_cents, n) AS total_cents
+        FROM stateful_out GROUP BY event_type
+        """
+    ).collect()
+    got = {r["event_type"]: (r["n"], r["total_cents"]) for r in final}
+    batch = (
+        read_events(spark, SF_SMOKE)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("total_cents"),
+        )
+        .collect()
+    )
+    want = {r["event_type"]: (r["n"], r["total_cents"]) for r in batch}
+    assert got == want
