@@ -37,6 +37,10 @@ BENCH_QUERIES = [
     "q29_dedup_exact_keep_first",
     "q31_minhash_lsh_pairs",
     "q34_cosine_topk",
+    "q54_grouped_map",
+    "q61_tfidf",
+    "q63_salted_join",
+    "q66_ivf_topk",
     "conf_sort_seeded",
     "conf_max_seeded",
 ]

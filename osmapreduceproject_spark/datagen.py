@@ -72,8 +72,16 @@ def seeded_ints(
             vals = (mix(ids ^ mix(seeds)) & u64(0x7FFFFFFF)).astype(np.int64)
             yield pd.DataFrame({"value": vals})
 
-    rng = spark.range(n, numPartitions=num_partitions) if num_partitions else spark.range(n)
-    return rng.mapInPandas(gen, schema="value long")
+    if num_partitions is None:
+        # Size partitions to the data (~256k rows each), not to the core
+        # count: a 131k-row conformance run through 32 Python workers pays
+        # 32 worker spin-ups twice (orderBy's range-bound sampling pass +
+        # the real pass) for microseconds of numpy work — measured 12x
+        # slower than one right-sized partition. Large n still fans out,
+        # capped at 4x parallelism (AQE coalesces from there).
+        par = spark.sparkContext.defaultParallelism
+        num_partitions = max(1, min((n + 262143) // 262144, par * 4))
+    return spark.range(n, numPartitions=num_partitions).mapInPandas(gen, schema="value long")
 
 
 def seeded_ints_local(n: int, seed: int) -> list[int]:

@@ -1776,3 +1776,20 @@ def q65(spark, sf_dir):
 
     media = synthetic_media(spark, n=64, kind="video")
     return sample_video_frames(media, every_n=2)
+
+
+@q(
+    "q66_ivf_topk",
+    None,
+    "Approximate ANN via an IVF coarse index (operators/similarity.py "
+    "ivf_topk): assign → probe nprobe lists → exact re-rank. Approximate "
+    "by construction → rows-only check; recall vs the exact brute force "
+    "asserted in tests/test_operators.py.",
+)
+def q66(spark, sf_dir):
+    from .operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb, emb.where(F.col("vec_id") < 5), k=5, n_centroids=16, nprobe=6
+    )

@@ -268,3 +268,26 @@ def test_tfidf_tiny(spark):
     assert rows[(1, "a")]["tf"] == 2 and rows[(1, "a")]["df"] == 2
     assert rows[(2, "c")]["df"] == 1
     assert rows[(2, "c")]["tfidf"] == round(1 * math.log(3 / 2), 6)
+
+
+def test_ivf_topk_recall(spark):
+    """IVF with nprobe probing must recover most exact neighbors; with
+    nprobe == n_centroids it degenerates to exact brute force."""
+    from osmapreduceproject_spark.operators.similarity import cosine_topk, ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = emb.where(F.col("vec_id") < 5)
+    exact = {
+        (r["query_id"], r["neighbor_id"]) for r in cosine_topk(emb, qs, k=5).collect()
+    }
+    full_probe = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(emb, qs, k=5, n_centroids=8, nprobe=8).collect()
+    }
+    assert full_probe == exact  # exhaustive probing == brute force
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(emb, qs, k=5, n_centroids=8, nprobe=4).collect()
+    }
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.5, f"recall {recall}"
