@@ -1793,3 +1793,75 @@ def q66(spark, sf_dir):
     return ivf_topk(
         emb, emb.where(F.col("vec_id") < 5), k=5, n_centroids=16, nprobe=6
     )
+
+
+@q(
+    "q67_window_analytics",
+    """
+    SELECT o_orderkey, o_orderstatus,
+           DENSE_RANK() OVER w AS drnk,
+           NTILE(4) OVER w AS quartile,
+           round(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           round(CUME_DIST() OVER w, 6) AS cdist,
+           FIRST_VALUE(o_orderkey) OVER w AS first_key,
+           NTH_VALUE(o_orderkey, 2) OVER w AS second_key,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+                (PARTITION BY o_orderstatus ORDER BY o_totalprice
+                 RANGE BETWEEN 100 PRECEDING AND CURRENT ROW) AS DOUBLE) AS nearby_sum
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+    """,
+    "Analytic-window completion of q09: dense_rank/ntile/percent_rank/"
+    "cume_dist/first_value/nth_value + a RANGE (value-based) frame. All "
+    "windows share one partitionBy → a single exchange feeds every "
+    "function.",
+)
+def q67(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    wrange = (
+        Window.partitionBy("o_orderstatus")
+        .orderBy("o_totalprice")
+        .rangeBetween(-100, 0)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.first("o_orderkey").over(w).alias("first_key"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_key"),
+        F.sum(F.col("o_totalprice").cast(DEC)).over(wrange).cast("double").alias("nearby_sum"),
+    )
+
+
+@q(
+    "q68_hash_split",
+    f"""
+    SELECT split, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM (
+        SELECT o_totalprice,
+               CASE WHEN {md5_int_sql("CAST(o_orderkey AS VARCHAR)")} % 100 < 80
+                    THEN 'train' ELSE 'eval' END AS split
+        FROM orders
+    )
+    GROUP BY split
+    """,
+    "Deterministic train/eval split by content hash (md5 % 100 < 80): the "
+    "sampling primitive a training pipeline needs — reproducible across "
+    "runs, engines, and partitionings, unlike rand()-based df.sample. "
+    "Narrow map + small agg; no shuffle of the raw data.",
+)
+def q68(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    split = F.when(
+        md5_int(F.col("o_orderkey").cast("string")) % 100 < 80, "train"
+    ).otherwise("eval")
+    return (
+        o.withColumn("split", split)
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("o_totalprice").alias("sum_price"))
+    )

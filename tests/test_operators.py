@@ -291,3 +291,22 @@ def test_ivf_topk_recall(spark):
     }
     recall = len(approx & exact) / len(exact)
     assert recall >= 0.5, f"recall {recall}"
+
+
+def test_csv_json_roundtrip(spark, tmp_path):
+    """CSV/JSON sources: write fixture data out, read it back with an
+    explicit schema, values identical (SURVEY §2.B scans/sinks rows)."""
+    from osmapreduceproject_spark.sources.io import (
+        read_csv,
+        read_json,
+        write_csv,
+    )
+
+    n = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    write_csv(n, str(tmp_path / "nation_csv"))
+    back_csv = read_csv(spark, str(tmp_path / "nation_csv"), schema=n.schema)
+    assert sorted(map(tuple, back_csv.collect())) == sorted(map(tuple, n.collect()))
+
+    n.write.mode("overwrite").json(str(tmp_path / "nation_json"))
+    back_json = read_json(spark, str(tmp_path / "nation_json"), schema=n.schema)
+    assert sorted(map(tuple, back_json.collect())) == sorted(map(tuple, n.collect()))
