@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import md5_int, seeded_hash
+from ..plans.inspect import fan_out
 from .text import shingles, tokens
 
 P31 = 2147483647  # 2^31-1, the family's reduction modulus
@@ -68,6 +69,7 @@ def dup_groups(df: DataFrame, content_col: str = "text", id_col: str = "doc_id")
 
 
 def _distinct_tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    df = fan_out(df)
     return df.select(
         F.col(id_col), F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok")
     )
@@ -94,8 +96,11 @@ def ngram_jaccard_pairs(
     engines.
     """
     cols = [id_col] + ([block_col] if block_col else [])
+    df = fan_out(df)
     sh = F.array_distinct(shingles(F.col(text_col), k))
-    toks = df.select(*cols, F.explode(sh).alias("tok"))
+    # Materialized once: the inverted index feeds three consumers (sizes,
+    # a-side, b-side) that would each re-run the shingle explode.
+    toks = df.select(*cols, F.explode(sh).alias("tok")).persist()
     sizes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
     a = toks.select(*[F.col(c).alias(f"a_{c}") for c in cols], F.col("tok"))
     b = toks.select(*[F.col(c).alias(f"b_{c}") for c in cols], F.col("tok"))
@@ -142,7 +147,7 @@ def minhash_signature(
     signature per doc per partition. All intermediates < 2^62
     (ANSI-overflow safe).
     """
-    toks = df.select(
+    toks = fan_out(df).select(
         F.col(id_col),
         F.explode(F.array_distinct(shingles(F.col(text_col), k))).alias("tok"),
     ).withColumn("h", md5_int(F.col("tok")) % P31)
@@ -179,9 +184,16 @@ def minhash_lsh_pairs(
         parts = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
         band_hash = md5_int(F.concat_ws(",", *[p.cast("string") for p in parts]))
         band_exprs.append(F.struct(F.lit(b).alias("band"), band_hash.alias("bh")))
-    buckets = sig.select(
-        F.col(id_col), F.explode(F.array(*band_exprs)).alias("bb")
-    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    # Materialize the bucket table: the a/b self-join would otherwise
+    # execute the whole shingle→signature DAG twice (Spark shares no
+    # common subplans across self-join branches). This is the classic
+    # MinHash design at any scale — signatures are tiny ((1+bands) ints
+    # per doc) and always worth materializing before banding joins.
+    buckets = (
+        sig.select(F.col(id_col), F.explode(F.array(*band_exprs)).alias("bb"))
+        .select(id_col, F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+        .persist()
+    )
     a = buckets.select(F.col(id_col).alias("a_id"), "band", "bh")
     b = buckets.select(F.col(id_col).alias("b_id"), "band", "bh")
     cand = (
@@ -190,11 +202,15 @@ def minhash_lsh_pairs(
         .select("a_id", "b_id")
         .distinct()
     )
-    # Exact verification of candidates only, on the same shingle sets
-    toks = df.select(
+    # Exact verification of candidates only, on the same shingle sets.
+    # Persisted for the same self-join reason as the bucket table; at
+    # 100 TB the candidate set is sparse, so the two probe joins against
+    # this table dominate any recompute saving — but recomputing the
+    # shingle explode twice is strictly worse.
+    toks = fan_out(df).select(
         F.col(id_col),
         F.array_distinct(shingles(F.col(text_col), k)).alias("tokset"),
-    )
+    ).persist()
     at = toks.select(F.col(id_col).alias("a_id"), F.col("tokset").alias("a_toks"))
     bt = toks.select(F.col(id_col).alias("b_id"), F.col("tokset").alias("b_toks"))
     verified = (

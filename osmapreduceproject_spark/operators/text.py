@@ -14,6 +14,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.hashing import md5_int
+from ..plans.inspect import fan_out
 
 # Tiny per-language marker-word lists for the n-gram/stopword language-ID
 # heuristic. Deterministic and cross-engine expressible; real pipelines
@@ -157,7 +158,7 @@ def tfidf(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Data
     is rounded to 6 decimals for cross-engine comparability (ln is
     correctly-rounded-within-1-ulp on both JVM and libm).
     """
-    toks = df.select(id_col, F.explode(tokens(F.col(text_col))).alias("token"))
+    toks = fan_out(df).select(id_col, F.explode(tokens(F.col(text_col))).alias("token"))
     tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     n = df.agg(F.count_distinct(id_col).alias("n_docs"))

