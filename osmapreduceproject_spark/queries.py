@@ -1865,3 +1865,32 @@ def q68(spark, sf_dir):
         .groupBy("split")
         .agg(F.count(F.lit(1)).alias("n"), dsum("o_totalprice").alias("sum_price"))
     )
+
+
+@q(
+    "q69_interval_join",
+    """
+    SELECT l.user_id,
+           l.event_id AS l_event_id,
+           r.event_id AS r_event_id,
+           CAST(floor(epoch(l.ts)) AS BIGINT) AS l_epoch,
+           CAST(floor(epoch(r.ts)) AS BIGINT) AS r_epoch
+    FROM (SELECT * FROM events WHERE event_type = 'click') l
+    JOIN (SELECT * FROM events WHERE event_type = 'view') r
+      ON l.user_id = r.user_id
+     AND r.ts >= l.ts - INTERVAL 5 MINUTE
+     AND r.ts <= l.ts
+    """,
+    "Batch twin of the watermarked stream-stream interval join "
+    "(streaming/joins.py stream_stream_interval_join): view→click "
+    "attribution within 5 minutes per user. Stream/batch equivalence is "
+    "asserted in tests/test_streaming.py; this entry oracle-checks the "
+    "join semantics themselves.",
+)
+def q69(spark, sf_dir):
+    from .streaming.joins import stream_stream_interval_join
+
+    e = _t(spark, sf_dir, "events")
+    clicks = e.where(F.col("event_type") == "click")
+    views = e.where(F.col("event_type") == "view")
+    return stream_stream_interval_join(clicks, views, key="user_id")

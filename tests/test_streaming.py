@@ -121,3 +121,48 @@ def test_stateful_running_totals(spark):
     )
     want = {r["event_type"]: (r["n"], r["total_cents"]) for r in batch}
     assert got == want
+
+
+def test_stream_static_enrich(spark):
+    """Stream-static dimension join: stateless enrichment, stream result
+    equals the batch join."""
+    from osmapreduceproject_spark.streaming.joins import stream_static_enrich
+
+    dim = spark.createDataFrame(
+        [("click", "impression"), ("view", "impression"), ("purchase", "conversion"),
+         ("signup", "conversion"), ("error", "ops")],
+        "event_type string, category string",
+    )
+    out = stream_static_enrich(_stream_events(spark), dim, "event_type").groupBy(
+        "category"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    _run(out, "enrich_out")
+    batch = (
+        read_events(spark, SF_SMOKE)
+        .join(dim, "event_type")
+        .groupBy("category")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert _rows(spark, "enrich_out") == {tuple(r) for r in batch.collect()}
+
+
+def test_stream_stream_interval_join(spark):
+    """Watermarked stream-stream join: view→click attribution within 5
+    minutes per user, equal to the batch twin (replay has no late data,
+    so the watermark only bounds state)."""
+    from osmapreduceproject_spark.streaming.joins import stream_stream_interval_join
+
+    def split(df):
+        return (
+            df.where(F.col("event_type") == "click"),
+            df.where(F.col("event_type") == "view"),
+        )
+
+    s_clicks, s_views = split(_stream_events(spark))
+    stream = stream_stream_interval_join(s_clicks, s_views, key="user_id")
+    _run(stream, "ssj_out", mode="append")
+    b_clicks, b_views = split(read_events(spark, SF_SMOKE))
+    batch = stream_stream_interval_join(b_clicks, b_views, key="user_id")
+    got = _rows(spark, "ssj_out")
+    want = {tuple(r) for r in batch.collect()}
+    assert got == want and len(want) > 0
