@@ -1894,3 +1894,132 @@ def q69(spark, sf_dir):
     clicks = e.where(F.col("event_type") == "click")
     views = e.where(F.col("event_type") == "view")
     return stream_stream_interval_join(clicks, views, key="user_id")
+
+
+# ---------------------------------------------------------------------------
+# Flagship composite pipelines
+# ---------------------------------------------------------------------------
+
+@q(
+    "q70_data_prep_pipeline",
+    f"""
+    WITH scored AS (
+        SELECT doc_id, text, lang,
+               len(string_split(text, ' ')) AS n_tokens,
+               len(list_filter(string_split(text, ' '),
+                   x -> list_contains(['the','a','of','and','to','in'], x))) * 1.0
+                   / len(string_split(text, ' ')) AS stopword_ratio
+        FROM documents
+    ),
+    filtered AS (
+        SELECT * FROM scored
+        WHERE n_tokens BETWEEN 10 AND 1000 AND stopword_ratio BETWEEN 0.01 AND 0.5
+    ),
+    kept AS (
+        SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY {md5_int_sql("text")} ORDER BY doc_id) AS rn
+            FROM filtered) WHERE rn = 1
+    )
+    SELECT lang,
+           CASE WHEN {md5_int_sql("CAST(doc_id AS VARCHAR)")} % 100 < 90
+                THEN 'train' ELSE 'eval' END AS split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens_total
+    FROM kept GROUP BY lang, split
+    """,
+    "End-to-end training-data prep: quality filter (token count + "
+    "stopword ratio) → exact dedup keep-first → content-hash train/eval "
+    "split → per-(lang, split) corpus stats. Every stage is a narrow map "
+    "or a key-hash shuffle; the whole pipeline is one Catalyst plan — "
+    "the composition a 100 TB curation job runs nightly.",
+)
+def q70(spark, sf_dir):
+    from .operators.dedup import exact_dedup
+    from .operators.text import with_quality_score
+
+    d = _t(spark, sf_dir, "documents")
+    scored = with_quality_score(d)
+    filtered = scored.where(
+        F.col("n_tokens").between(10, 1000)
+        & F.col("stopword_ratio").between(0.01, 0.5)
+    )
+    kept = exact_dedup(filtered)
+    split = F.when(
+        md5_int(F.col("doc_id").cast("string")) % 100 < 90, "train"
+    ).otherwise("eval")
+    return (
+        kept.withColumn("split", split)
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens_total"),
+        )
+    )
+
+
+@q(
+    "q71_returned_revenue",
+    """
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+    "TPC-H Q10 shape: 4-table join + agg + top-k. The fact table joins "
+    "through broadcast dims; the only wide exchange is the final "
+    "group-by, and the top-20 plans as TakeOrderedAndProject.",
+)
+def q71(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    n = _t(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice").cast(DEC) * (F.lit(1) - F.col("l_discount").cast(DEC))
+    return (
+        li.where(F.col("l_returnflag") == "R")
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@q(
+    "q72_brand_share",
+    """
+    SELECT p.p_brand,
+           CAST(SUM(CASE WHEN p.p_type LIKE 'PROMO%'
+                         THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+                              * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+                         ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS promo_revenue,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    GROUP BY p.p_brand
+    """,
+    "TPC-H Q14 shape: conditional aggregation over a fact-dim join "
+    "(promo share per brand). Dim broadcast; one exchange total.",
+)
+def q72(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice").cast(DEC) * (F.lit(1) - F.col("l_discount").cast(DEC))
+    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0).cast(DEC))
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand")
+        .agg(
+            F.sum(promo).cast("double").alias("promo_revenue"),
+            F.sum(rev).cast("double").alias("total_revenue"),
+        )
+    )
