@@ -198,51 +198,53 @@ def ivf_topk(
     Train: centroids are the first ``n_centroids`` corpus vectors by id —
     deterministic; a production deployment would run k-means, but the
     operator contract (assign → probe → re-rank) is identical and that is
-    the tested surface. The tiny centroid table is collected to the
-    driver and baked into the plan as literals (the standard pattern for
-    a trained quantizer: broadcast-sized by construction).
+    the tested surface.
 
-    Index: each corpus vector is assigned to its max-inner-product
-    centroid (argmax over ``n_centroids`` sequential-fold dot products —
-    all JVM-side codegen, no Python). Search: each query probes its top
-    ``nprobe`` centroid lists; candidates equi-join on the list id, then
-    exact cosine re-ranks. Cost per query drops from O(N) to
-    O(N·nprobe/n_centroids) expected.
+    The quantizer is a *broadcast DataFrame*, not driver-side literals:
+    assignment is ``corpus × broadcast(centroids)`` scored with a JVM
+    sequential-fold dot product, then ``max_by`` per vector — fully lazy
+    (no collect), no giant literal expression trees to re-analyze per
+    call, and the identical shape works when centroids number in the
+    thousands. Search: each query probes its top ``nprobe`` centroid
+    lists; candidates equi-join on the list id; exact cosine re-ranks.
+    Cost per query drops from O(N) to O(N·nprobe/n_centroids) expected.
 
     At 100 TB: n_centroids should scale to thousands (√N rule) so each
     inverted list stays executor-sized; the list-id join key then has
     enough cardinality to avoid reducer skew, and AQE splits any hot
     list. Rounded scores + id tiebreaks keep results deterministic.
     """
-    cents = corpus.orderBy(id_col).limit(n_centroids).select(vec_col).collect()
-    centroids = [(i, [float(x) for x in r[0]]) for i, r in enumerate(cents)]
+    wc = Window.orderBy(id_col)
+    cents = (
+        corpus.orderBy(id_col)
+        .limit(n_centroids)
+        .select((F.row_number().over(wc) - 1).alias("cid"), F.col(vec_col).alias("__cvec"))
+    )
+    score = F.round(dot(F.col(vec_col), F.col("__cvec")), 6)
 
-    def cent_scores(vec: Column) -> Column:
-        # array<struct<score,cid>> — array_sort orders by score then cid
-        return F.array(
-            *[
-                F.struct(
-                    F.round(dot(vec, F.array(*[F.lit(x) for x in cvec])), 6).alias("score"),
-                    F.lit(cid).alias("cid"),
-                )
-                for cid, cvec in centroids
-            ]
+    # assign: argmax_{cid} <vec, centroid>; ties break to the larger cid
+    assigned = (
+        corpus.crossJoin(F.broadcast(cents))
+        .withColumn("__score", score)
+        .groupBy(id_col)
+        .agg(
+            F.first(vec_col).alias(vec_col),  # constant within the group
+            F.max_by("cid", F.struct("__score", "cid")).alias("cid"),
         )
-
-    assigned = corpus.withColumn(
-        "cid", F.element_at(F.array_sort(cent_scores(F.col(vec_col))), -1)["cid"]
+    )
+    # probe: top-nprobe centroids per query, same ordering/tie rule
+    qscored = (
+        queries.select(F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qvec"))
+        .crossJoin(F.broadcast(cents))
+        .withColumn("__score", F.round(dot(F.col("__qvec"), F.col("__cvec")), 6))
+    )
+    wq = Window.partitionBy(query_id_col).orderBy(
+        F.col("__score").desc(), F.col("cid").desc()
     )
     probes = (
-        queries.select(F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qvec"))
-        .withColumn(
-            "cid",
-            F.explode(
-                F.transform(
-                    F.slice(F.reverse(F.array_sort(cent_scores(F.col("__qvec")))), 1, nprobe),
-                    lambda s: s["cid"],
-                )
-            ),
-        )
+        qscored.withColumn("__pr", F.row_number().over(wq))
+        .where(F.col("__pr") <= nprobe)
+        .select(query_id_col, "__qvec", "cid")
     )
     cand = (
         assigned.join(probes, "cid")
