@@ -2023,3 +2023,27 @@ def q72(spark, sf_dir):
             F.sum(rev).cast("double").alias("total_revenue"),
         )
     )
+
+
+@q(
+    "q73_collect_agg",
+    """
+    SELECT s_nationkey,
+           string_agg(s_name, ',' ORDER BY s_name) AS names,
+           COUNT(DISTINCT s_name) AS n_distinct,
+           COUNT(*) AS n
+    FROM supplier GROUP BY s_nationkey
+    """,
+    "Collection aggregates made deterministic: collect_list is "
+    "accumulation-order-dependent, so it is always wrapped in array_sort "
+    "before leaving the engine (here joined to a string for the oracle "
+    "compare). The rule every 100 TB pipeline needs: never expose raw "
+    "collect_list/collect_set order.",
+)
+def q73(spark, sf_dir):
+    s = _t(spark, sf_dir, "supplier")
+    return s.groupBy("s_nationkey").agg(
+        F.concat_ws(",", F.array_sort(F.collect_list("s_name"))).alias("names"),
+        F.size(F.collect_set("s_name")).cast("bigint").alias("n_distinct"),
+        F.count(F.lit(1)).alias("n"),
+    )
