@@ -259,3 +259,78 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select(query_id_col, F.col(id_col).alias("neighbor_id"), "sim", "rank")
     )
+
+
+def kmeans(
+    df: DataFrame,
+    k: int,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic Lloyd's k-means over an ``array<float>`` column.
+
+    The canonical *iterative* MapReduce job (the reference's map→combine
+    →reduce cycle run ``iters`` times): assign each vector to its nearest
+    centroid (map, via a broadcast join — no literal trees, no collect),
+    then recompute centroids as per-cluster means (reduce, one partial→
+    final aggregation on k keys). Initialization is the first ``k``
+    vectors by id, so runs are reproducible.
+
+    Per iteration: one broadcast of k·dim floats + one k-key shuffle of
+    partial sums — driver never touches vector data; at 100 TB each
+    iteration is a scan-bound pass. Returns (cid, centroid, n_members)
+    after ``iters`` rounds.
+
+    Reference parity note: the per-cluster mean is the same
+    partial/final combine as `/root/reference/max_aggregation.cpp:53-63`,
+    generalized from max to (sum, count) pairs.
+    """
+    wc = Window.orderBy(id_col)
+    cents = (
+        df.orderBy(id_col)
+        .limit(k)
+        .select((F.row_number().over(wc) - 1).alias("cid"), F.col(vec_col).alias("__cvec"))
+    )
+    vecs = df.select(id_col, F.col(vec_col).alias("__v"))
+    dist2 = F.aggregate(
+        F.zip_with(F.col("__v"), F.col("__cvec"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double"),
+    )
+    for _ in range(iters):
+        assigned = (
+            vecs.crossJoin(F.broadcast(cents))
+            .withColumn("__d", F.round(dist2, 9))
+            .groupBy(id_col)
+            .agg(
+                F.first("__v").alias("__v"),
+                # nearest centroid; ties to the smaller cid
+                F.min_by("cid", F.struct("__d", "cid")).alias("cid"),
+            )
+        )
+        # Reduce: per-(cluster, dimension) mean via posexplode + hash agg.
+        # Never collects member vectors into one task — partial sums make
+        # a billion-member cluster the same plan as a ten-member one.
+        per_dim = (
+            assigned.select("cid", F.posexplode("__v").alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(
+                F.sum(F.col("val").cast("double")).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+        )
+        cents = (
+            per_dim.withColumn("m", F.col("s") / F.col("n"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("__cvec"),
+                F.first("n").alias("n_members"),
+            )
+        )
+    return cents.select(
+        "cid", F.col("__cvec").alias("centroid"), "n_members"
+    )

@@ -2047,3 +2047,47 @@ def q73(spark, sf_dir):
         F.size(F.collect_set("s_name")).cast("bigint").alias("n_distinct"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@q(
+    "q74_map_funcs",
+    """
+    SELECT event_id, t.prop_key, t.doubled
+    FROM events, LATERAL (
+        SELECT unnest(json_keys(props)) AS prop_key,
+               CAST(props ->> unnest(json_keys(props)) AS BIGINT) * 2 AS doubled
+    ) t
+    WHERE CAST(props ->> t.prop_key AS BIGINT) * 2 > 100
+    """,
+    "Map higher-order functions over the parsed props map: "
+    "transform_values (double each value) + map_filter (keep > 100), "
+    "exploded to rows for the oracle compare. Complements q44's plain "
+    "map explode (SURVEY §2.B scalar fns, map row).",
+)
+def q74(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,bigint>")
+    doubled = F.transform_values(m, lambda k, v: v * 2)
+    kept = F.map_filter(doubled, lambda k, v: v > 100)
+    return e.select("event_id", F.explode(kept).alias("prop_key", "doubled"))
+
+
+@q(
+    "q75_kmeans",
+    None,
+    "Deterministic Lloyd k-means (operators/similarity.py kmeans): the "
+    "canonical iterative MapReduce job — broadcast-join assignment (map) "
+    "+ per-(cluster, dimension) partial-sum means (reduce) per round. "
+    "Iterative → not single-statement SQL; rows-only check here, "
+    "determinism and convergence asserted in tests.",
+)
+def q75(spark, sf_dir):
+    from .operators.similarity import kmeans
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = kmeans(emb, k=8, iters=2)
+    return out.select(
+        "cid",
+        "n_members",
+        F.round(F.element_at("centroid", 1), 6).alias("c0"),
+    )

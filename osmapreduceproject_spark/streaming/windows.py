@@ -120,3 +120,25 @@ def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete"
     )
     q.awaitTermination()
     return q
+
+
+def write_stream_foreach_batch(stream_df: DataFrame, out_dir: str):
+    """foreachBatch parquet sink with idempotent batch directories.
+
+    The standard exactly-once recipe when the target isn't a native
+    streaming sink: each micro-batch lands in ``batch_id=<n>/`` with
+    overwrite semantics, so a replayed batch (restart between write and
+    checkpoint commit) rewrites the same directory instead of
+    duplicating rows. Downstream reads the directory tree as one
+    partitioned dataset.
+    """
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
+
+    return (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{out_dir}/_checkpoint")
+        .start()
+    )

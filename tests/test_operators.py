@@ -310,3 +310,25 @@ def test_csv_json_roundtrip(spark, tmp_path):
     n.write.mode("overwrite").json(str(tmp_path / "nation_json"))
     back_json = read_json(spark, str(tmp_path / "nation_json"), schema=n.schema)
     assert sorted(map(tuple, back_json.collect())) == sorted(map(tuple, n.collect()))
+
+
+def test_kmeans_deterministic_and_converges(spark):
+    from osmapreduceproject_spark.operators.similarity import kmeans
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = sorted(map(tuple, kmeans(e, k=4, iters=2).collect()))
+    b = sorted(map(tuple, kmeans(e, k=4, iters=2).collect()))
+    assert a == b  # same input → same clusters, bit for bit
+    assert sum(r[2] for r in a) == e.count()  # every vector assigned once
+
+    def inertia(iters):
+        import numpy as np
+        import pandas as pd
+
+        cents = {r["cid"]: np.array(r["centroid"]) for r in kmeans(e, k=4, iters=iters).collect()}
+        vecs = pd.read_parquet("/root/testdata/sf0.001/embeddings.parquet")["embedding"]
+        return sum(
+            min(float(((np.array(v) - c) ** 2).sum()) for c in cents.values()) for v in vecs
+        )
+
+    assert inertia(3) <= inertia(1) + 1e-9  # Lloyd monotonicity
