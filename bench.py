@@ -46,6 +46,55 @@ BENCH_QUERIES = [
 ]
 
 
+def reference_timings() -> dict:
+    """Re-run the reference programs on this machine (SURVEY.md §6: the
+    honest comparison is same-hardware). Compiles both C++ sources from
+    the read-only snapshot into a temp dir; any failure degrades to an
+    empty dict rather than breaking the bench.
+
+    Note for interpretation: these are single-shot in-memory C++ runs at
+    the reference's own sizes (131k sort / 1M max). The engine's
+    conf_sort_seeded / conf_max_seeded run the same workloads through
+    Spark — the delta is JVM+scheduler overhead that amortizes away at
+    the data sizes Spark exists for.
+    """
+    import re
+    import shutil
+    import subprocess
+    import tempfile
+
+    out: dict[str, int] = {}
+    tmp = tempfile.mkdtemp(prefix="refbin_")
+    try:
+        for prog in ("parallel_sort", "max_aggregation"):
+            subprocess.run(
+                ["g++", "-O2", "-std=c++17", "-pthread", "-o", f"{tmp}/{prog}",
+                 f"/root/reference/{prog}.cpp"],
+                check=True, capture_output=True, timeout=120,
+            )
+        r = subprocess.run(
+            [f"{tmp}/parallel_sort", "--mode", "thread", "--workers", "8",
+             "--size", "131072"],
+            capture_output=True, text=True, timeout=60, check=True,
+        )
+        m = re.search(r"Total time \(ms\): (\d+)", r.stdout)
+        if m:
+            out["ref_sort_total_ms"] = int(m.group(1))
+        r = subprocess.run(
+            [f"{tmp}/max_aggregation", "--mode", "thread", "--workers", "8",
+             "--size", "1000000"],
+            capture_output=True, text=True, timeout=60, check=True,
+        )
+        m = re.search(r"Map time \(ms\): (\d+)", r.stdout)
+        if m:
+            out["ref_max_map_ms"] = int(m.group(1))
+    except Exception:
+        pass
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 def main() -> None:
     from osmapreduceproject_spark.queries import QUERIES
     from osmapreduceproject_spark.session import get_spark
@@ -79,6 +128,7 @@ def main() -> None:
         "total_warm": round(sum(warm.values()), 3),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cpus": CPUS,
+        "reference": reference_timings(),
     }
     print(json.dumps(out))
     spark.stop()
