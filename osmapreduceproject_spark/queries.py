@@ -2091,3 +2091,28 @@ def q75(spark, sf_dir):
         "n_members",
         F.round(F.element_at("centroid", 1), 6).alias("c0"),
     )
+
+
+@q(
+    "q76_null_safe_eq",
+    """
+    WITH oc AS (SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY o_custkey)
+    SELECT c.c_custkey,
+           oc.n IS NOT DISTINCT FROM 1 AS exactly_one,
+           oc.n IS NOT DISTINCT FROM NULL AS has_no_orders
+    FROM customer c LEFT JOIN oc ON oc.o_custkey = c.c_custkey
+    """,
+    "Null-safe equality (<=> / IS NOT DISTINCT FROM) over an outer "
+    "join's null-extended side — NULL <=> NULL is true, NULL <=> 1 is "
+    "false, never NULL. Completes q48's null-handling suite.",
+)
+def q76(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    oc = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n"))
+    j = c.join(oc, c["c_custkey"] == oc["o_custkey"], "left")
+    return j.select(
+        "c_custkey",
+        F.col("n").eqNullSafe(F.lit(1)).alias("exactly_one"),
+        F.col("n").eqNullSafe(F.lit(None).cast("bigint")).alias("has_no_orders"),
+    )
