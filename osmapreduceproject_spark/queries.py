@@ -2116,3 +2116,193 @@ def q76(spark, sf_dir):
         F.col("n").eqNullSafe(F.lit(1)).alias("exactly_one"),
         F.col("n").eqNullSafe(F.lit(None).cast("bigint")).alias("has_no_orders"),
     )
+
+
+@q(
+    "q77_min_cost_supplier",
+    """
+    SELECT DISTINCT p.p_partkey, p.p_name, s.s_name, n.n_name,
+                    l.l_extendedprice AS min_price
+    FROM part p
+    JOIN lineitem l ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_type = 'STANDARD' AND p.p_size <= 10
+      AND l.l_extendedprice = (SELECT MIN(l2.l_extendedprice)
+                               FROM lineitem l2
+                               WHERE l2.l_partkey = p.p_partkey)
+    """,
+    "TPC-H Q2 shape: cheapest supplier per part via a correlated MIN "
+    "subquery. Implemented as its decorrelated plan: broadcast the "
+    "filtered part dim into lineitem, a min-over-window on the partkey "
+    "partition (one shuffle, no self-join re-scan), then broadcast dim "
+    "lookups. MIN of stored doubles is order-independent, so the "
+    "equality filter is engine-stable.",
+)
+def q77(spark, sf_dir):
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "STANDARD") & (F.col("p_size") <= 10)
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    offers = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"]).select(
+        "p_partkey", "p_name", "l_suppkey", "l_extendedprice"
+    )
+    w = Window.partitionBy("p_partkey")
+    winners = offers.withColumn("min_price", F.min("l_extendedprice").over(w)).filter(
+        F.col("l_extendedprice") == F.col("min_price")
+    )
+    return (
+        winners.join(F.broadcast(s), winners["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .select("p_partkey", "p_name", "s_name", "n_name", "min_price")
+        .distinct()
+    )
+
+
+@q(
+    "q78_value_share",
+    """
+    WITH b AS (
+        SELECT l_partkey,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS v
+        FROM lineitem
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation ON n_nationkey = s_nationkey
+        WHERE n_regionkey = 0
+        GROUP BY l_partkey)
+    SELECT l_partkey, CAST(v AS DOUBLE) AS part_value
+    FROM b
+    WHERE CAST(v AS DOUBLE) >
+          1.5 * ((SELECT CAST(SUM(v) AS DOUBLE) FROM b) / (SELECT COUNT(*) FROM b))
+    """,
+    "TPC-H Q11 shape: per-part value among region-0 suppliers, kept only "
+    "when above 1.5x the mean group value (scale-invariant threshold). "
+    "The global total is a second aggregate over the SAME grouped "
+    "intermediate, so the Spark plan persists nothing and reuses the "
+    "exchange; threshold math follows the exact-decimal-sum-then-double "
+    "convention so both engines compare identical bits.",
+)
+def q78(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 0)
+    rsup = s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"]).select(
+        "s_suppkey"
+    )
+    val = F.col("l_extendedprice").cast(DEC) * (
+        F.lit(1) - F.col("l_discount").cast(DEC)
+    )
+    grouped = (
+        li.join(F.broadcast(rsup), li["l_suppkey"] == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(val).alias("v"))
+    )
+    stats = grouped.agg(
+        F.sum("v").cast("double").alias("tot"), F.count(F.lit(1)).alias("cnt")
+    )
+    return (
+        grouped.crossJoin(F.broadcast(stats))
+        .filter(
+            F.col("v").cast("double")
+            > F.lit(1.5) * (F.col("tot") / F.col("cnt"))
+        )
+        .select("l_partkey", F.col("v").cast("double").alias("part_value"))
+    )
+
+
+@q(
+    "q79_qualified_suppliers",
+    """
+    WITH ship AS (
+        SELECT l_suppkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+        FROM lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+        GROUP BY l_suppkey)
+    SELECT s.s_suppkey, s.s_name, n.n_name
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE s.s_suppkey IN (
+        SELECT l_suppkey FROM ship
+        WHERE CAST(qty AS DOUBLE) >
+              1.1 * ((SELECT CAST(SUM(qty) AS DOUBLE) FROM ship)
+                     / (SELECT COUNT(*) FROM ship)))
+    """,
+    "TPC-H Q20 shape: nested IN-subqueries with an aggregate — suppliers "
+    "who shipped above 1.1x the mean per-supplier quantity of 'small%' "
+    "parts. Plan: broadcast semi-join the filtered part keys into "
+    "lineitem (pushdown-friendly), one groupBy on suppkey, then the "
+    "qualifying supplier set broadcast back as a semi join — the big "
+    "table is scanned once and shuffled once.",
+)
+def q79(spark, sf_dir):
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").startswith("small"))
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    ship = (
+        li.join(
+            F.broadcast(part.select("p_partkey")),
+            li["l_partkey"] == F.col("p_partkey"),
+            "semi",
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("qty"))
+    )
+    stats = ship.agg(
+        F.sum("qty").cast("double").alias("tot"), F.count(F.lit(1)).alias("cnt")
+    )
+    qualifying = (
+        ship.crossJoin(F.broadcast(stats))
+        .filter(
+            F.col("qty").cast("double") > F.lit(1.1) * (F.col("tot") / F.col("cnt"))
+        )
+        .select("l_suppkey")
+    )
+    return (
+        s.join(F.broadcast(qualifying), s["s_suppkey"] == F.col("l_suppkey"), "semi")
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .select("s_suppkey", "s_name", "n_name")
+    )
+
+
+@q(
+    "q80_low_activity_premium",
+    """
+    SELECT n_name, COUNT(*) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+    FROM customer
+    JOIN nation ON n_nationkey = c_nationkey
+    WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                              / COUNT(*)
+                       FROM customer WHERE c_acctbal > 0)
+      AND (SELECT COUNT(*) FROM orders WHERE o_custkey = c_custkey) < 7
+    GROUP BY n_name
+    """,
+    "TPC-H Q22 shape: above-average-balance customers with fewer than 7 "
+    "orders, rolled up by nation. The correlated COUNT(*) subquery is the "
+    "classic 'count bug' case — customers with ZERO orders must count as "
+    "0, not drop out — which Catalyst decorrelates into a left outer "
+    "join + coalesce(cnt, 0). Expressed in SQL on the Spark side "
+    "deliberately, to exercise that rewrite (q76 builds the same "
+    "null-extension by hand with the DataFrame API).",
+)
+def q80(spark, sf_dir):
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT n_name, COUNT(*) AS numcust,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        FROM customer
+        JOIN nation ON n_nationkey = c_nationkey
+        WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                                  / COUNT(*)
+                           FROM customer WHERE c_acctbal > 0)
+          AND (SELECT COUNT(*) FROM orders WHERE o_custkey = c_custkey) < 7
+        GROUP BY n_name
+        """
+    )
