@@ -2306,3 +2306,81 @@ def q80(spark, sf_dir):
         GROUP BY n_name
         """
     )
+
+
+@q(
+    "q81_lateral_topk",
+    """
+    SELECT n.n_name, top.c_custkey, top.c_name, top.c_acctbal
+    FROM nation n, LATERAL (
+        SELECT c_custkey, c_name, c_acctbal
+        FROM customer
+        WHERE c_nationkey = n.n_nationkey
+        ORDER BY c_acctbal DESC, c_custkey
+        LIMIT 3) AS top
+    """,
+    "LATERAL (dependent) join: top-3 customers by balance per nation, "
+    "expressed as a correlated subquery in the FROM clause. Catalyst "
+    "plans the DependentJoin via decorrelation into the same "
+    "window-rank shape q21 builds by hand — per-group LIMIT never "
+    "executes once-per-outer-row. Unique-key tiebreak keeps the pick "
+    "engine-stable.",
+)
+def q81(spark, sf_dir):
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT n.n_name, top.c_custkey, top.c_name, top.c_acctbal
+        FROM nation n JOIN LATERAL (
+            SELECT c_custkey, c_name, c_acctbal
+            FROM customer
+            WHERE c_nationkey = n.n_nationkey
+            ORDER BY c_acctbal DESC, c_custkey
+            LIMIT 3) AS top
+        """
+    )
+
+
+@q(
+    "q82_recursive_spine",
+    """
+    WITH RECURSIVE months(m) AS (
+        SELECT DATE '1995-01-01'
+        UNION ALL
+        SELECT m + INTERVAL 1 MONTH FROM months WHERE m < DATE '2001-12-01'),
+    oc AS (
+        SELECT strftime(o_orderdate, '%Y-%m') AS om, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS v
+        FROM orders GROUP BY 1)
+    SELECT strftime(m, '%Y-%m') AS month,
+           COALESCE(n, 0) AS n_orders,
+           COALESCE(v, 0.0) AS revenue
+    FROM months LEFT JOIN oc ON oc.om = strftime(m, '%Y-%m')
+    """,
+    "Recursive CTE (Spark 4 WITH RECURSIVE): an 84-month date spine "
+    "generated by iteration, left-joined to per-month order aggregates "
+    "so gap months surface as explicit zeros — the time-series "
+    "densification shape reporting pipelines need. The spine is tiny "
+    "(driver-sized) while orders aggregates first, so the join "
+    "broadcasts; month keys are TZ-free formatted strings per the q18 "
+    "datetime discipline.",
+)
+def q82(spark, sf_dir):
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        WITH RECURSIVE months(m) AS (
+            SELECT DATE '1995-01-01'
+            UNION ALL
+            SELECT m + INTERVAL '1' MONTH FROM months WHERE m < DATE '2001-12-01'),
+        oc AS (
+            SELECT date_format(o_orderdate, 'yyyy-MM') AS om, COUNT(*) AS n,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS v
+            FROM orders GROUP BY 1)
+        SELECT date_format(m, 'yyyy-MM') AS month,
+               COALESCE(n, 0L) AS n_orders,
+               COALESCE(v, 0.0D) AS revenue
+        FROM months LEFT JOIN oc ON oc.om = date_format(m, 'yyyy-MM')
+        """
+    )
