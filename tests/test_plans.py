@@ -137,3 +137,32 @@ def test_salted_join_matches_plain(spark):
     a = salted.groupBy("l_returnflag").count().collect()
     b = plain.groupBy("l_returnflag").count().collect()
     assert {(r[0], r[1]) for r in a} == {(r[0], r[1]) for r in b}
+
+
+def test_q77_min_cost_single_shuffle(spark):
+    """TPC-H Q2 shape: the correlated-MIN decorrelation must be a
+    min-over-window on ONE partkey exchange (no self-join re-scan of
+    lineitem) with every dim arriving by broadcast."""
+    from osmapreduceproject_spark.plans.inspect import num_shuffle_exchanges
+
+    df = QUERIES["q77_min_cost_supplier"].fn(spark, SF_CORRECT)
+    plan = explain_str(df)
+    assert num_shuffle_exchanges(df) <= 2, plan  # partkey + final distinct
+    assert plan.count("BroadcastExchange") >= 3, plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
+
+
+def test_q81_lateral_decorrelates_to_window(spark):
+    """The LATERAL per-nation LIMIT must decorrelate into a window rank
+    (one shuffle), not execute the subquery once per outer row."""
+    df = QUERIES["q81_lateral_topk"].fn(spark, SF_CORRECT)
+    plan = explain_str(df)
+    assert "Window" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_q82_spine_joins_by_broadcast(spark):
+    """The recursive month spine is driver-sized; joining it against the
+    per-month aggregate must broadcast, never shuffle the spine."""
+    df = QUERIES["q82_recursive_spine"].fn(spark, SF_CORRECT)
+    assert has_broadcast_join(df), explain_str(df)
