@@ -131,9 +131,18 @@ def run_conformance(spark, n: int, seed: int, which: str, workers: int | None = 
             ok = is_sorted(out)
         result: dict[str, Any] = {"first": head[0][0] if head else None, "sorted_ok": ok}
     elif which == "max":
+        from .metrics import observed
+
         with timer.time("map_reduce"):
-            row = max_aggregation(df, workers=workers).collect()[0]
-        result = {"final_max": row["max_value"]}
+            # Final value captured by observation during the sink write —
+            # one job, no driver round-trip (metrics.observed docstring).
+            out, obs = observed(
+                max_aggregation(df, workers=workers),
+                F.max("max_value").alias("final_max"),
+                name="final",
+            )
+            out.write.format("noop").mode("overwrite").save()
+        result = {"final_max": obs.get["final_max"]}
     else:
         raise ValueError(which)
     df.unpersist()

@@ -70,3 +70,20 @@ class PhaseTimer:
             if k.endswith("_ms"):
                 print(f"{k[:-3].capitalize()} time: {v} ms")
         print(f"Peak RSS: {rep['peak_rss_kb']} KB")
+
+
+def observed(df, *aggs, name: str = "engine"):
+    """Attach named aggregate metrics to a DataFrame, collected as a side
+    effect of whatever action runs it — the Spark-native version of the
+    reference printing its result inline with its timing report
+    (``max_aggregation.cpp:64-69``: ``Final max`` alongside ``Map time``).
+
+    Returns ``(df, Observation)``; read ``observation.get`` after an
+    action. Unlike a separate ``.agg().collect()``, this adds NO extra
+    job/scan — at 100 TB that second pass is the difference between free
+    telemetry and doubling the query.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    return df.observe(obs, *aggs), obs

@@ -332,3 +332,26 @@ def test_kmeans_deterministic_and_converges(spark):
         )
 
     assert inertia(3) <= inertia(1) + 1e-9  # Lloyd monotonicity
+
+
+def test_observed_metrics_single_pass(spark):
+    """observe() metrics arrive with the action itself — row count and an
+    exact decimal sum captured during a noop write, no second scan."""
+    from pyspark.sql import functions as F
+
+    from osmapreduceproject_spark.metrics import observed
+    from osmapreduceproject_spark.queries import QUERIES
+    from tests.conftest import SF_CORRECT
+
+    df = QUERIES["q01_pricing_summary"].fn(spark, SF_CORRECT)
+    got, obs = observed(
+        df,
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(F.col("sum_qty").cast("decimal(18,2)")).alias("qty"),
+        name="q01_obs",
+    )
+    got.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    assert m["rows"] == df.count()
+    expected = df.agg(F.sum(F.col("sum_qty").cast("decimal(18,2)"))).collect()[0][0]
+    assert m["qty"] == expected
