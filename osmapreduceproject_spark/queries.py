@@ -2384,3 +2384,44 @@ def q82(spark, sf_dir):
         FROM months LEFT JOIN oc ON oc.om = date_format(m, 'yyyy-MM')
         """
     )
+
+
+@q(
+    "q83_doc_chunks",
+    """
+    WITH w AS (
+        SELECT doc_id,
+               unnest(string_split(text, ' ')) AS w,
+               generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+        FROM documents)
+    SELECT doc_id, pos // 40 AS chunk_id, COUNT(*) AS n_tokens,
+           md5(string_agg(w, ' ' ORDER BY pos)) AS chunk_md5
+    FROM w GROUP BY doc_id, chunk_id
+    """,
+    "Document chunking for LLM sequence packing: split each doc into "
+    "40-token windows, reassembled order-exact (sort_array over "
+    "(pos, token) structs — collect_list alone is partition-order-"
+    "dependent) and fingerprinted with the cross-engine md5. The explode "
+    "stage is fanned out first (plans.inspect.fan_out) so a "
+    "few-partition scan doesn't serialize the row expansion.",
+)
+def q83(spark, sf_dir):
+    from .plans.inspect import fan_out
+
+    d = fan_out(_t(spark, sf_dir, "documents"))
+    words = d.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w"))
+    chunks = words.withColumn(
+        "chunk_id", F.floor(F.col("pos") / 40).cast("bigint")
+    )
+    return chunks.groupBy("doc_id", "chunk_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                    lambda s: s["w"],
+                ),
+                " ",
+            )
+        ).alias("chunk_md5"),
+    )
