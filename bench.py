@@ -41,6 +41,8 @@ BENCH_QUERIES = [
     "q61_tfidf",
     "q63_salted_join",
     "q66_ivf_topk",
+    "q77_min_cost_supplier",
+    "q83_doc_chunks",
     "conf_sort_seeded",
     "conf_max_seeded",
 ]
