@@ -166,3 +166,42 @@ def test_q82_spine_joins_by_broadcast(spark):
     per-month aggregate must broadcast, never shuffle the spine."""
     df = QUERIES["q82_recursive_spine"].fn(spark, SF_CORRECT)
     assert has_broadcast_join(df), explain_str(df)
+
+
+def test_aqe_skew_join_splits_at_runtime(spark):
+    """AQE skew handling fires for real: a 90%-hot key under lowered skew
+    thresholds must show `skew=true` splits in the FINAL adaptive plan.
+    This is the zero-code path that complements q63's explicit salting —
+    at 100 TB most skew should be absorbed here, salting reserved for
+    keys hot enough to blow past AQE's split sizes."""
+    conf = spark.conf
+    saved = {
+        k: conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.coalescePartitions.enabled",
+        )
+    }
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+        conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        fact = spark.range(300_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(0)).otherwise(F.col("id")).alias("k"),
+            F.col("id").alias("v"),
+        )
+        dim = spark.range(1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        j = fact.join(dim, "k").groupBy().agg(F.count(F.lit(1)).alias("n"))
+        assert j.collect()[0]["n"] == 270_100  # 270k hot-key + 100 tail matches
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)
