@@ -2425,3 +2425,53 @@ def q83(spark, sf_dir):
             )
         ).alias("chunk_md5"),
     )
+
+
+@q(
+    "q84_multiset_ops",
+    """
+    SELECT 'except_all' AS op, x.o_custkey FROM (
+        (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+        EXCEPT ALL
+        (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')) x
+    UNION ALL
+    SELECT 'intersect_all' AS op, y.o_custkey FROM (
+        (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+        INTERSECT ALL
+        (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')) y
+    """,
+    "Multiset (bag) set operations — EXCEPT ALL keeps multiplicity "
+    "max(0, n_a - n_b) per row, INTERSECT ALL keeps min(n_a, n_b) — "
+    "semantics q13/q14's distinct variants cannot express. Spark plans "
+    "both as a count-aggregate + generate (no sort), one shuffle each.",
+)
+def q84(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    b = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    ex = a.exceptAll(b).select(F.lit("except_all").alias("op"), "o_custkey")
+    it = a.intersectAll(b).select(F.lit("intersect_all").alias("op"), "o_custkey")
+    return ex.unionAll(it)
+
+
+@q(
+    "q85_grouping_flags",
+    """
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag) AS g_flag,
+           GROUPING(l_linestatus) AS g_status,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "GROUPING() flags over a rollup: distinguishes a subtotal row from a "
+    "detail row whose key is genuinely NULL — without the flag, rollup "
+    "output is ambiguous on nullable keys. Completes q10.",
+)
+def q85(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("bigint").alias("g_flag"),
+        F.grouping("l_linestatus").cast("bigint").alias("g_status"),
+        F.count(F.lit(1)).alias("n"),
+    )
