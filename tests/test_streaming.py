@@ -7,6 +7,8 @@ from __future__ import annotations
 import os
 import tempfile
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from osmapreduceproject_spark.sources.io import EVENTS_RAW_SCHEMA, read_events
@@ -193,3 +195,60 @@ def test_foreach_batch_sink(spark, tmp_path):
     q2 = write_stream_foreach_batch(stream(), out)
     q2.awaitTermination()
     assert spark.read.parquet(out).count() == want.count()
+
+
+def _has_protobuf() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithStateInPandas spawns a protobuf-based driver "
+    "worker; google.protobuf is not installed in this environment",
+)
+def test_stateful_v2_transform_with_state(spark):
+    """State-v2 (transformWithStateInPandas + RocksDB store): final
+    per-key totals must equal both the batch aggregate and the v1
+    applyInPandasWithState operator's result."""
+    from osmapreduceproject_spark.streaming.stateful import running_totals_tws
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    saved = spark.conf.get(provider_key, None)
+    try:
+        spark.conf.set(
+            provider_key,
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
+        stream = running_totals_tws(_stream_events(spark))
+        _run(stream, "tws_out", mode="update")
+        # n is monotone per key; the last update per key is the max.
+        got = {
+            (r["event_type"], r["n"], r["total_cents"])
+            for r in spark.sql(
+                """SELECT event_type, MAX(n) AS n, MAX(total_cents) AS total_cents
+                   FROM tws_out GROUP BY event_type"""
+            ).collect()
+        }
+        batch = {
+            (r["event_type"], r["n"], r["total_cents"])
+            for r in read_events(spark, SF_SMOKE)
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.round(F.col("value") * 100).cast("bigint")).alias(
+                    "total_cents"
+                ),
+            )
+            .collect()
+        }
+        assert got == batch
+    finally:
+        if saved is not None:
+            spark.conf.set(provider_key, saved)
+        else:
+            spark.conf.unset(provider_key)
