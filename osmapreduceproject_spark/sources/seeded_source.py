@@ -1,0 +1,86 @@
+"""The reference's seeded generator as a first-class Spark connector.
+
+Reference semantics (``/root/reference/parallel_sort.cpp:43-46``,
+``/root/reference/max_aggregation.cpp:34-38``): a seeded RNG stream masked
+to 31 bits is the programs' only input "scan". :mod:`..datagen` provides
+it as a ``mapInPandas`` transform; this module provides the same stream as
+a Spark 4 **Python data source** — ``spark.read.format("seeded_ints")
+.option("n", N).option("seed", S).load()`` — so it composes like any other
+source (schema, partition planning, and Arrow-batched reads owned by the
+connector, not the caller).
+
+Partition planning mirrors the reference's uniform chunking
+(``parallel_sort.cpp:62-67``): contiguous ``[start, end)`` id ranges, one
+per input partition, each generated independently via the counter-based
+splitmix64 hash — value_i = f(seed, i), no coordination, any scale.
+
+Every class is defined inside the factory closure so cloudpickle ships it
+by VALUE: executors never need this package importable (same
+self-containment rule as every UDF closure in this engine).
+"""
+
+from __future__ import annotations
+
+
+def make_seeded_ints_source():
+    """Build the DataSource class (closure-defined for pickling by value)."""
+    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+    class _Range(InputPartition):
+        def __init__(self, start: int, end: int):
+            self.start = start
+            self.end = end
+
+    class _Reader(DataSourceReader):
+        def __init__(self, options):
+            self.n = int(options.get("n", 131072))
+            self.seed = int(options.get("seed", 12345))
+            self.num_partitions = int(options.get("numpartitions", 0)) or max(
+                1, min((self.n + 262143) // 262144, 128)
+            )
+
+        def partitions(self):
+            per = (self.n + self.num_partitions - 1) // self.num_partitions
+            return [
+                _Range(i * per, min((i + 1) * per, self.n))
+                for i in range(self.num_partitions)
+                if i * per < self.n
+            ]
+
+        def read(self, partition):
+            import numpy as np
+            import pyarrow as pa
+
+            u64 = np.uint64
+
+            def mix(x):
+                with np.errstate(over="ignore"):
+                    x = (x + u64(0x9E3779B97F4A7C15)).astype(u64)
+                    x = ((x ^ (x >> u64(30))) * u64(0xBF58476D1CE4E5B9)).astype(u64)
+                    x = ((x ^ (x >> u64(27))) * u64(0x94D049BB133111EB)).astype(u64)
+                    return x ^ (x >> u64(31))
+
+            ids = np.arange(partition.start, partition.end, dtype=np.int64).astype(u64)
+            seeds = np.full(len(ids), self.seed, dtype=u64)
+            vals = (mix(ids ^ mix(seeds)) & u64(0x7FFFFFFF)).astype(np.int64)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids.astype(np.int64)), pa.array(vals)], names=["id", "value"]
+            )
+
+    class SeededIntsDataSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "seeded_ints"
+
+        def schema(self) -> str:
+            return "id bigint, value bigint"
+
+        def reader(self, schema):
+            return _Reader(self.options)
+
+    return SeededIntsDataSource
+
+
+def register_seeded_source(spark) -> None:
+    """Register ``format("seeded_ints")`` on this session (idempotent)."""
+    spark.dataSource.register(make_seeded_ints_source())

@@ -355,3 +355,28 @@ def test_observed_metrics_single_pass(spark):
     assert m["rows"] == df.count()
     expected = df.agg(F.sum(F.col("sum_qty").cast("decimal(18,2)"))).collect()[0][0]
     assert m["qty"] == expected
+
+
+def test_seeded_ints_python_datasource(spark):
+    """format("seeded_ints") connector: same stream as the datagen
+    oracle, independent of partition count (reference --workers sweep
+    semantics), Arrow-batched reads."""
+    from osmapreduceproject_spark.datagen import seeded_ints_local
+    from osmapreduceproject_spark.sources.seeded_source import register_seeded_source
+
+    register_seeded_source(spark)
+    df = spark.read.format("seeded_ints").option("n", 4096).option("seed", 12345).load()
+    assert [r["value"] for r in df.orderBy("id").collect()] == seeded_ints_local(
+        4096, 12345
+    )
+    repart = (
+        spark.read.format("seeded_ints")
+        .option("n", 4096)
+        .option("seed", 12345)
+        .option("numPartitions", 5)
+        .load()
+    )
+    assert repart.rdd.getNumPartitions() == 5
+    assert sorted(r["value"] for r in repart.collect()) == sorted(
+        seeded_ints_local(4096, 12345)
+    )
