@@ -24,7 +24,30 @@ from __future__ import annotations
 
 def make_seeded_ints_source():
     """Build the DataSource class (closure-defined for pickling by value)."""
-    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+        SimpleDataSourceStreamReader,
+    )
+
+    def _values(start: int, end: int, seed: int):
+        import numpy as np
+
+        u64 = np.uint64
+
+        def mix(x):
+            with np.errstate(over="ignore"):
+                x = (x + u64(0x9E3779B97F4A7C15)).astype(u64)
+                x = ((x ^ (x >> u64(30))) * u64(0xBF58476D1CE4E5B9)).astype(u64)
+                x = ((x ^ (x >> u64(27))) * u64(0x94D049BB133111EB)).astype(u64)
+                return x ^ (x >> u64(31))
+
+        ids = np.arange(start, end, dtype=np.int64).astype(u64)
+        seeds = np.full(len(ids), seed, dtype=u64)
+        return ids.astype(np.int64), (mix(ids ^ mix(seeds)) & u64(0x7FFFFFFF)).astype(
+            np.int64
+        )
 
     class _Range(InputPartition):
         def __init__(self, start: int, end: int):
@@ -67,6 +90,37 @@ def make_seeded_ints_source():
                 [pa.array(ids.astype(np.int64)), pa.array(vals)], names=["id", "value"]
             )
 
+    class _StreamReader(SimpleDataSourceStreamReader):
+        """Micro-batch stream over the same counter-hash value stream.
+
+        The offset is just the next row id, so any offset range
+        regenerates bit-identically — replay after failure is exact by
+        construction (the property file/Kafka sources need a log for,
+        a counter-based generator gets free).
+        """
+
+        def __init__(self, options):
+            self.seed = int(options.get("seed", 12345))
+            self.rows_per_batch = int(options.get("rowsperbatch", 10000))
+            self.n = int(options.get("n", 0))  # 0 → unbounded
+
+        def initialOffset(self):
+            return {"i": 0}
+
+        def _rows(self, start: int, end: int):
+            ids, vals = _values(start, end, self.seed)
+            return iter(zip(ids.tolist(), vals.tolist()))
+
+        def read(self, start):
+            i = start["i"]
+            end = i + self.rows_per_batch
+            if self.n:
+                end = min(end, self.n)
+            return self._rows(i, end), {"i": end}
+
+        def readBetweenOffsets(self, start, end):
+            return self._rows(start["i"], end["i"])
+
     class SeededIntsDataSource(DataSource):
         @classmethod
         def name(cls) -> str:
@@ -77,6 +131,9 @@ def make_seeded_ints_source():
 
         def reader(self, schema):
             return _Reader(self.options)
+
+        def simpleStreamReader(self, schema):
+            return _StreamReader(self.options)
 
     return SeededIntsDataSource
 
