@@ -380,3 +380,40 @@ def test_seeded_ints_python_datasource(spark):
     assert sorted(r["value"] for r in repart.collect()) == sorted(
         seeded_ints_local(4096, 12345)
     )
+
+
+def test_checksum_sink_two_phase_commit(spark, tmp_path):
+    """Custom writer connector: task-fold → driver-commit manifest. The
+    XOR-of-md5 fingerprint must match a driver-side oracle and be
+    independent of the write parallelism."""
+    import hashlib
+    import json
+
+    from osmapreduceproject_spark.datagen import seeded_ints_local
+    from osmapreduceproject_spark.sources.checksum_sink import register_checksum_sink
+    from osmapreduceproject_spark.sources.seeded_source import register_seeded_source
+
+    register_checksum_sink(spark)
+    register_seeded_source(spark)
+    want_fp = 0
+    for i, v in enumerate(seeded_ints_local(3000, 7)):
+        h = hashlib.md5(f"{i}\x1f{v}".encode()).digest()
+        want_fp ^= int.from_bytes(h[:8], "big")
+
+    manifests = []
+    for parts in (5, 2):
+        path = str(tmp_path / f"manifest_{parts}.json")
+        (
+            spark.read.format("seeded_ints")
+            .option("n", 3000)
+            .option("seed", 7)
+            .option("numPartitions", parts)
+            .load()
+            .write.format("checksum_sink")
+            .option("path", path)
+            .mode("append")
+            .save()
+        )
+        manifests.append(json.load(open(path)))
+    assert all(m["rows"] == 3000 and m["fingerprint"] == want_fp for m in manifests)
+    assert manifests[0]["tasks"] != manifests[1]["tasks"]  # parallelism varied
