@@ -58,17 +58,18 @@ def make_seeded_ints_source():
         def __init__(self, options):
             self.n = int(options.get("n", 131072))
             self.seed = int(options.get("seed", 12345))
-            self.num_partitions = int(options.get("numpartitions", 0)) or max(
-                1, min((self.n + 262143) // 262144, 128)
-            )
+            self.fixed_partitions = int(options.get("numpartitions", 0))
+            self.lo, self.hi = 0, self.n  # narrowed by pushFilters
 
         def partitions(self):
-            per = (self.n + self.num_partitions - 1) // self.num_partitions
+            span = max(0, self.hi - self.lo)
+            num = self.fixed_partitions or max(1, min((span + 262143) // 262144, 128))
+            per = (span + num - 1) // num if span else 1
             return [
-                _Range(i * per, min((i + 1) * per, self.n))
-                for i in range(self.num_partitions)
-                if i * per < self.n
-            ]
+                _Range(self.lo + i * per, min(self.lo + (i + 1) * per, self.hi))
+                for i in range(num)
+                if self.lo + i * per < self.hi
+            ] or [_Range(0, 0)]
 
         def read(self, partition):
             import numpy as np
@@ -89,6 +90,49 @@ def make_seeded_ints_source():
             yield pa.RecordBatch.from_arrays(
                 [pa.array(ids.astype(np.int64)), pa.array(vals)], names=["id", "value"]
             )
+
+    class _PushdownReader(_Reader):
+        """Reader with ``id``-range filter pushdown folded into partition
+        PLANNING: pruned ids are never generated, so a point/range lookup
+        over a 10^12-row synthetic table plans O(range) tasks, not O(n).
+        Value predicates can't be inverted through the hash and stay with
+        Spark. Kept as a subclass because merely overriding
+        ``pushFilters`` makes Spark refuse the read unless
+        ``spark.sql.python.filterPushdown.enabled`` is true — the
+        DataSource picks the reader to match the session conf.
+        """
+
+        def pushFilters(self, filters):
+            from pyspark.sql.datasource import (
+                EqualTo,
+                GreaterThan,
+                GreaterThanOrEqual,
+                LessThan,
+                LessThanOrEqual,
+            )
+
+            remaining = []
+            for f in filters:
+                attr = getattr(f, "attribute", None)
+                col = attr[0] if isinstance(attr, tuple) and len(attr) == 1 else attr
+                v = getattr(f, "value", None)
+                if col == "id" and isinstance(v, int):
+                    if isinstance(f, GreaterThan):
+                        self.lo = max(self.lo, v + 1)
+                    elif isinstance(f, GreaterThanOrEqual):
+                        self.lo = max(self.lo, v)
+                    elif isinstance(f, LessThan):
+                        self.hi = min(self.hi, v)
+                    elif isinstance(f, LessThanOrEqual):
+                        self.hi = min(self.hi, v + 1)
+                    elif isinstance(f, EqualTo):
+                        self.lo = max(self.lo, v)
+                        self.hi = min(self.hi, v + 1)
+                    else:
+                        remaining.append(f)
+                else:
+                    remaining.append(f)
+            return remaining
 
     class _StreamReader(SimpleDataSourceStreamReader):
         """Micro-batch stream over the same counter-hash value stream.
@@ -130,7 +174,13 @@ def make_seeded_ints_source():
             return "id bigint, value bigint"
 
         def reader(self, schema):
-            return _Reader(self.options)
+            # Opt-in via .option("pushdown", "true"): planning runs in a
+            # session-less Python subprocess, so the session conf can't
+            # be probed here — and a pushFilters-capable reader is a hard
+            # error unless spark.sql.python.filterPushdown.enabled is
+            # also set on the session (pair the two).
+            enabled = str(self.options.get("pushdown", "false")).lower() == "true"
+            return (_PushdownReader if enabled else _Reader)(self.options)
 
         def simpleStreamReader(self, schema):
             return _StreamReader(self.options)

@@ -417,3 +417,37 @@ def test_checksum_sink_two_phase_commit(spark, tmp_path):
         manifests.append(json.load(open(path)))
     assert all(m["rows"] == 3000 and m["fingerprint"] == want_fp for m in manifests)
     assert manifests[0]["tasks"] != manifests[1]["tasks"]  # parallelism varied
+
+
+def test_seeded_source_filter_pushdown(spark):
+    """Connector-level pushdown: id-range predicates narrow partition
+    PLANNING (pruned ids are never generated); un-invertible value
+    predicates stay with Spark post-scan."""
+    from osmapreduceproject_spark.datagen import seeded_ints_local
+    from osmapreduceproject_spark.sources.seeded_source import register_seeded_source
+
+    key = "spark.sql.python.filterPushdown.enabled"
+    saved = spark.conf.get(key, None)
+    try:
+        spark.conf.set(key, "true")
+        register_seeded_source(spark)
+        big = (
+            spark.read.format("seeded_ints")
+            .option("n", 2_000_000)
+            .option("seed", 999)
+            .option("pushdown", "true")
+            .load()
+        )
+        pruned = big.filter("id >= 500 AND id < 1500")
+        assert pruned.rdd.getNumPartitions() == 1  # vs 8 unpruned
+        assert [r["value"] for r in pruned.orderBy("id").collect()] == seeded_ints_local(
+            1500, 999
+        )[500:]
+        mixed = big.filter("id < 1000 AND value % 2 = 0")
+        local = [v for v in seeded_ints_local(1000, 999) if v % 2 == 0]
+        assert sorted(r["value"] for r in mixed.collect()) == sorted(local)
+    finally:
+        if saved is not None:
+            spark.conf.set(key, saved)
+        else:
+            spark.conf.unset(key)
