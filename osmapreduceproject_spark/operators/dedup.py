@@ -232,21 +232,28 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits:
     """SimHash fingerprint: bit b of the output is 1 iff more (distinct)
     tokens hash with bit b set than unset.
 
-    Implemented as explode(token) × explode(bit) → groupBy(id, bit) vote →
-    reassemble — two shuffles on (id) and (id,bit), both on integer keys.
-    32 bits keeps every intermediate well inside BIGINT under ANSI mode.
+    Bit-parallel form: one token row carries ONE 64-bit hash; the per-bit
+    majority votes are ``bits`` separate SUM aggregate columns in a single
+    ``groupBy(id)`` — full map-side partial aggregation, ONE shuffle of
+    O(docs × bits) partial rows, and no ×bits row explosion of the token
+    stream (the explode(bit) form multiplies the shuffled row count by the
+    bit width before any combining). 32 bits keeps every intermediate well
+    inside BIGINT under ANSI mode.
     """
     tok = _distinct_tokens(df, id_col, text_col).withColumn(
         "h", seeded_hash(F.col("tok"), 0)
     )
-    bits_df = tok.select(
-        id_col,
-        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
-        F.col("h"),
-    ).withColumn("vote", F.when(F.expr("shiftright(h, bit) & 1") == 1, 1).otherwise(-1))
-    votes = bits_df.groupBy(id_col, "bit").agg(F.sum("vote").alias("v"))
-    return votes.groupBy(id_col).agg(
+    votes = [
         F.sum(
-            F.when(F.col("v") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(0)
-        ).alias("simhash")
-    )
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v_{b}")
+        for b in range(bits)
+    ]
+    per_doc = tok.groupBy(id_col).agg(*votes)
+    fingerprint = None
+    for b in range(bits):
+        term = F.when(
+            F.col(f"v_{b}") > 0, F.lit(1 << b).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
+        fingerprint = term if fingerprint is None else fingerprint + term
+    return per_doc.select(F.col(id_col), fingerprint.alias("simhash"))

@@ -42,10 +42,15 @@ def sessionize(
     lag + cumulative-sum over one (key, ts) window — single shuffle on
     ``key``; state is O(1) per row. The streaming twin is
     ``F.session_window`` (streaming/windows.py).
+
+    Gaps are compared at microsecond precision (``unix_micros``), not
+    whole seconds — casting the timestamp to long truncates, so events
+    straddling the gap boundary by sub-second amounts would classify
+    differently from an epoch-µs oracle.
     """
     w = Window.partitionBy(key).orderBy(F.col(ts).asc())
-    gap = F.col(ts).cast("long") - F.lag(F.col(ts).cast("long")).over(w)
-    is_new = F.when(gap.isNull() | (gap > gap_seconds), 1).otherwise(0)
+    gap = F.unix_micros(F.col(ts)) - F.lag(F.unix_micros(F.col(ts))).over(w)
+    is_new = F.when(gap.isNull() | (gap > gap_seconds * 1_000_000), 1).otherwise(0)
     return df.withColumn("__new", is_new).withColumn(
         session_col,
         F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)),

@@ -510,7 +510,7 @@ def q18(spark, sf_dir):
     """
     SELECT event_type,
            COUNT(*) AS n,
-           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
     FROM events
@@ -690,7 +690,7 @@ def q24(spark, sf_dir):
                   OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
                   THEN 1 ELSE 0 END AS is_new
       FROM events)
-    SELECT user_id, SUM(is_new) AS n_sessions, COUNT(*) AS n_events
+    SELECT user_id, CAST(SUM(is_new) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
     FROM flagged GROUP BY user_id
     """,
     "Gap-based sessionization (operators/windows.py sessionize): 30-min gap, "
@@ -898,7 +898,7 @@ def q31(spark, sf_dir):
       FROM hashed, (SELECT unnest(range(32)) AS bit)
       GROUP BY doc_id, bit)
     SELECT doc_id,
-           SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS simhash
+           CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
     FROM votes GROUP BY doc_id
     """,
     "32-bit SimHash fingerprints (operators/dedup.py simhash): bit-majority "
@@ -990,7 +990,7 @@ def q35(spark, sf_dir):
 @q(
     "q36_lang_stats",
     """
-    SELECT lang, source, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars
+    SELECT lang, source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
     FROM documents
     WHERE lang IN ('en', 'de', 'es', 'fr', 'zh')
     GROUP BY lang, source

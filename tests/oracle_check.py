@@ -59,6 +59,21 @@ def compare(spark_df, oracle_pdf: pd.DataFrame) -> list[str]:
     if len(sp) != len(oc):
         issues.append(f"row count differs: spark={len(sp)} oracle={len(oc)}")
         return issues
+    # The driver's hash is type-sensitive: DuckDB SUM(int) returns HUGEINT
+    # (→ object/float64 in pandas) while Spark returns bigint — equal
+    # values, different hash. Flag kind-level dtype divergence locally so
+    # that class of bug never reaches the driver. int widths are fine
+    # (i/u normalize together); numeric vs object/float is not.
+    for col in sp.columns:
+        ka = sp[col].dtype.kind.replace("u", "i")
+        kb = oc[col].dtype.kind.replace("u", "i")
+        if ka != kb and {ka, kb} <= {"i", "f", "b", "O"}:
+            issues.append(
+                f"col {col}: dtype kind differs: spark={sp[col].dtype} "
+                f"oracle={oc[col].dtype} (driver hash is type-sensitive)"
+            )
+    if issues:
+        return issues
     for col in sp.columns:
         sv, ov = sp[col].tolist(), oc[col].tolist()
         bad = [
