@@ -88,27 +88,113 @@ def max_aggregation(
     return df.agg(F.max(col).alias("max_value"))
 
 
+def ranked_sort(
+    df: DataFrame,
+    order_cols: list[Column],
+    pos_col: str = "pos",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Global total order WITH explicit positions, never a single-partition
+    window.
+
+    The scale-safe generalization of ``parallel_sort.cpp:29-157``:
+
+    1. ``repartitionByRange`` + ``sortWithinPartitions`` — the parallel
+       sample-sort ``orderBy`` plans; partition *i* holds a contiguous key
+       range below partition *i+1*'s.
+    2. ``monotonically_increasing_id()`` on the sorted runs encodes
+       (partition id << 33) + local offset → free per-row local ranks with
+       no window and no extra shuffle.
+    3. Per-partition counts (≤ num_partitions rows) → cumulative offsets
+       via a broadcast non-equi self-join on the tiny counts table →
+       broadcast-joined back. ``pos = offset + local + 1``.
+
+    The plan contains NO ``Exchange SinglePartition``: the only O(N) moves
+    are the range shuffle itself. The sorted run is persisted because two
+    branches (counts, output) consume it — Spark shares no subplans across
+    branches, and ``monotonically_increasing_id`` must observe identical
+    partition layouts in both. Callers release via
+    ``plans.inspect.release_intermediates()``; at 100 TB use the same plan
+    with DISK_ONLY storage (``zipWithIndex``'s two-pass design, kept in
+    the DataFrame API).
+
+    Positions are deterministic when ``order_cols`` is a unique total
+    order; under ties, tied rows are interchangeable so the result *set*
+    is still deterministic.
+    """
+    from .plans.inspect import tracked_persist
+
+    nparts = num_partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    sorted_runs = (
+        df.repartitionByRange(int(nparts), *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .select(
+            "*",
+            F.spark_partition_id().alias("__pid"),
+            F.monotonically_increasing_id().bitwiseAND(F.lit((1 << 33) - 1)).alias("__local"),
+        )
+    )
+    sorted_runs = tracked_persist(sorted_runs)
+    counts = sorted_runs.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"))
+    b = counts.select(F.col("__pid").alias("__bpid"), F.col("__cnt").alias("__bcnt"))
+    offsets = (
+        counts.join(F.broadcast(b), F.col("__bpid") < F.col("__pid"), "left")
+        .groupBy("__pid")
+        .agg(F.coalesce(F.sum("__bcnt"), F.lit(0)).alias("__offset"))
+    )
+    out_cols = [c for c in df.columns]
+    return (
+        sorted_runs.join(F.broadcast(offsets), "__pid")
+        .select((F.col("__offset") + F.col("__local") + 1).alias(pos_col), *out_cols)
+    )
+
+
 def is_sorted(df: DataFrame, col: str = "value") -> bool:
     """Distributed sortedness check — port of the reference's verify scan
-    (``parallel_sort.cpp:137-142``), but without collecting N rows.
+    (``parallel_sort.cpp:137-142``), but without collecting N rows or
+    funneling them through a single-partition window.
 
-    Works on the *output order* by zipping each row with its position
-    within the final sorted output via a monotonically increasing window —
-    for scale we instead validate the defining property: the multiset is
-    unchanged and per-partition runs are sorted with non-overlapping
-    bounds. Here (test-scale) we use a lag comparison.
+    Validates the defining property of a partitioned sort in ONE scan with
+    ZERO shuffles: every partition is a sorted run, and run bounds are
+    non-overlapping in partition order. ``mapInPandas`` emits one summary
+    row per partition (pid, run-sorted?, min, max, count); only those
+    ≤ num_partitions rows reach the driver for the boundary check.
     """
-    from pyspark.sql import Window
+    vt = df.schema[col].dataType.simpleString()
+    src = df.select(F.spark_partition_id().alias("__pid"), F.col(col).alias("v"))
 
-    w = Window.orderBy(F.monotonically_increasing_id())
-    bad = (
-        df.select(F.col(col).alias("v"))
-        .withColumn("prev", F.lag("v").over(w))
-        .where(F.col("prev") > F.col("v"))
-        .limit(1)
-        .count()
+    # Self-contained closure (no module-level references): workers may not
+    # have this package importable when driven from a foreign cwd.
+    def summarize(batches):
+        import pandas as pd
+
+        pid, ok, prev, vmin, vmax, cnt = None, True, None, None, None, 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            if pid is None:
+                pid = int(pdf["__pid"].iloc[0])
+                vmin = pdf["v"].iloc[0]
+            arr = pdf["v"]
+            if prev is not None and arr.iloc[0] < prev:
+                ok = False
+            if not arr.is_monotonic_increasing:
+                ok = False
+            prev = arr.iloc[-1]
+            vmax = arr.iloc[-1]
+            cnt += len(pdf)
+        if cnt:
+            yield pd.DataFrame(
+                {"pid": [pid], "ok": [ok], "vmin": [vmin], "vmax": [vmax], "cnt": [cnt]}
+            )
+
+    stats = src.mapInPandas(
+        summarize, schema=f"pid int, ok boolean, vmin {vt}, vmax {vt}, cnt long"
     )
-    return bad == 0
+    rows = sorted(stats.collect(), key=lambda r: r.pid)  # ≤ num_partitions rows
+    if any(not r.ok for r in rows):
+        return False
+    return all(a.vmax <= b.vmin for a, b in zip(rows, rows[1:]))
 
 
 def run_conformance(spark, n: int, seed: int, which: str, workers: int | None = None) -> dict:

@@ -52,6 +52,35 @@ def num_shuffle_exchanges(df: DataFrame) -> int:
     return plan.count("Exchange hashpartitioning") + plan.count("Exchange rangepartitioning")
 
 
+_INTERMEDIATES: list[DataFrame] = []
+
+
+def tracked_persist(df: DataFrame) -> DataFrame:
+    """``persist()`` with a session-level registry so long-lived sessions
+    can reclaim executor storage.
+
+    Operators that persist intermediates (MinHash buckets, token sets,
+    sorted runs) return lazy DataFrames whose evaluation *needs* the cache
+    — they cannot unpersist before the caller materializes the result.
+    The contract: callers that loop over many operator invocations call
+    :func:`release_intermediates` after materializing each result (bench
+    and the test suite do). Storage is additionally LRU-evicted by Spark,
+    so an unreleased cache degrades to recompute, never to OOM.
+    """
+    df = df.persist()
+    _INTERMEDIATES.append(df)
+    return df
+
+
+def release_intermediates() -> int:
+    """Unpersist every tracked intermediate; returns how many."""
+    n = 0
+    while _INTERMEDIATES:
+        _INTERMEDIATES.pop().unpersist()
+        n += 1
+    return n
+
+
 def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Repartition up to the cluster's parallelism when the input arrives
     under-partitioned.

@@ -114,15 +114,15 @@ def q01(spark, sf_dir):
     FROM orders
     """,
     "Reference conformance 0a generalized (parallel_sort.cpp:29-157): global total "
-    "order with explicit positions. At scale: range-partitioned sort, not a single "
-    "window — the window form is the oracle-checkable twin.",
+    "order with explicit positions via mapreduce.ranked_sort — range-partitioned "
+    "sample-sort + per-partition local ranks + broadcast cumulative offsets. No "
+    "single-partition window anywhere in the plan (asserted in tests/test_plans.py).",
 )
 def q02(spark, sf_dir):
-    o = _t(spark, sf_dir, "orders")
-    w = Window.orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
-    return o.select(
-        F.row_number().over(w).alias("pos"), "o_orderkey", "o_totalprice"
-    )
+    from .mapreduce import ranked_sort
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    return ranked_sort(o, [F.col("o_totalprice").asc(), F.col("o_orderkey").asc()])
 
 
 @q(

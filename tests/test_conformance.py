@@ -53,6 +53,18 @@ def test_sort_large_and_property(spark):
     df.unpersist()
 
 
+def test_is_sorted_rejects_unsorted(spark):
+    """The verify scan must actually detect disorder — both within-run
+    violations and overlapping partition bounds."""
+    df = seeded_ints(spark, 4096, seed=3, num_partitions=4)  # unsorted draw
+    assert is_sorted(df) is False
+    assert is_sorted(parallel_sort(df)) is True
+    # overlapping bounds: two sorted runs with interleaved ranges
+    a = spark.range(0, 100).select(F.col("id").alias("value")).coalesce(1)
+    b = spark.range(50, 150).select(F.col("id").alias("value")).coalesce(1)
+    assert is_sorted(a.union(b)) is False
+
+
 @pytest.mark.parametrize("workers", [1, 4])
 def test_max_agg(spark, workers):
     df = seeded_ints(spark, 100_000, seed=999, num_partitions=workers)

@@ -124,6 +124,44 @@ def test_bucketed_join_no_shuffle(spark, tmp_path):
     spark.sql("DROP TABLE IF EXISTS b_nation")
 
 
+def test_q02_ranked_sort_no_single_partition_exchange(spark):
+    """The global-order query must be the parallel sample-sort plan: a
+    range shuffle + broadcast offsets — NEVER a single-partition window
+    funneling all rows through one task (VERDICT r1 'what's wrong' #2)."""
+    from osmapreduceproject_spark.plans.inspect import release_intermediates
+
+    df = QUERIES["q02_global_sort"].fn(spark, SF_CORRECT)
+    plan = explain_str(df)
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "rangepartitioning" in plan, plan
+    assert has_broadcast_join(df), plan
+    release_intermediates()
+
+
+def test_ranked_sort_matches_window_form(spark):
+    """ranked_sort positions ≡ row_number over a global window (the
+    oracle-checkable twin) on data with ties across partitions."""
+    from pyspark.sql import Window
+
+    from osmapreduceproject_spark.mapreduce import ranked_sort
+    from osmapreduceproject_spark.plans.inspect import release_intermediates
+
+    df = spark.range(5000).select(
+        (F.col("id") % 97).alias("k"), F.col("id").alias("uid")
+    )
+    got = {
+        (r.pos, r.k, r.uid)
+        for r in ranked_sort(df, [F.col("k").asc(), F.col("uid").asc()]).collect()
+    }
+    w = Window.orderBy(F.col("k").asc(), F.col("uid").asc())
+    want = {
+        (r.pos, r.k, r.uid)
+        for r in df.select(F.row_number().over(w).alias("pos"), "k", "uid").collect()
+    }
+    assert got == want
+    release_intermediates()
+
+
 def test_salted_join_matches_plain(spark):
     from osmapreduceproject_spark.operators.joins import salted_join
 
