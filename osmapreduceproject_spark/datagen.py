@@ -87,3 +87,51 @@ def seeded_ints(
 def seeded_ints_local(n: int, seed: int) -> list[int]:
     """Driver-side oracle for tests: same stream as :func:`seeded_ints`."""
     return _values_for_ids(np.arange(n, dtype=np.int64), seed).tolist()
+
+
+_C0, _C1, _C2 = 0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+_M64, _M32 = 1 << 64, 1 << 32
+
+
+def _mix_int(x: int) -> int:
+    """Pure-int splitmix64 finalizer (same as :func:`splitmix64`)."""
+    x = (x + _C0) % _M64
+    x = ((x ^ (x >> 30)) * _C1) % _M64
+    x = ((x ^ (x >> 27)) * _C2) % _M64
+    return x ^ (x >> 31)
+
+
+def _mulmod64_sql(x: str, c: int) -> str:
+    """DuckDB SQL for ``(x * c) mod 2^64``. DuckDB UBIGINT arithmetic
+    errors on overflow, so the multiply is done 32-bit-split in HUGEINT:
+    ``x*c ≡ lo·clo + ((lo·chi + hi·clo) mod 2^32)·2^32  (mod 2^64)`` —
+    every intermediate ≤ 2^65, well inside HUGEINT."""
+    clo, chi = c % _M32, c // _M32
+    a = f"(({x})::HUGEINT % 4294967296) * {clo}"
+    b = f"(({x})::HUGEINT % 4294967296) * {chi}"
+    d = f"(({x})::HUGEINT // 4294967296) * {clo}"
+    return (
+        f"(({a} + (({b} + {d}) % 4294967296) * 4294967296)"
+        f" % 18446744073709551616::HUGEINT)::UBIGINT"
+    )
+
+
+def seeded_ints_sql(n: int, seed: int) -> str:
+    """DuckDB SQL producing the exact :func:`seeded_ints` value stream —
+    the cross-engine oracle for the conformance programs.
+
+    splitmix64 in SQL: xor/shift on UBIGINT (bit-exact), add/multiply via
+    HUGEINT mod 2^64 (:func:`_mulmod64_sql`). ``mix(seed)`` is a constant,
+    precomputed here and embedded as a literal. Verified value-identical
+    to :func:`seeded_ints_local` for n up to 10^6 in
+    tests/test_conformance.py.
+    """
+    s = _mix_int(seed)
+    return f"""
+    WITH ids AS (SELECT i::UBIGINT AS id FROM generate_series(0, {n - 1}) t(i)),
+    s1 AS (SELECT ((xor(id, {s}::UBIGINT)::HUGEINT + {_C0})
+                   % 18446744073709551616::HUGEINT)::UBIGINT AS x FROM ids),
+    s2 AS (SELECT {_mulmod64_sql('xor(x, x >> 30)', _C1)} AS x FROM s1),
+    s3 AS (SELECT {_mulmod64_sql('xor(x, x >> 27)', _C2)} AS x FROM s2)
+    SELECT (xor(x, x >> 31) & 2147483647::UBIGINT)::BIGINT AS value FROM s3
+    """

@@ -1130,12 +1130,23 @@ def q40(spark, sf_dir):
 # verified against local python oracles in tests/test_conformance.py)
 # ---------------------------------------------------------------------------
 
+def _conf_oracle(n: int, seed: int, agg: str | None = None) -> str:
+    from .datagen import seeded_ints_sql
+
+    body = seeded_ints_sql(n, seed)
+    if agg is None:
+        return body
+    return f"SELECT {agg} FROM ({body})"
+
+
 @q(
     "conf_sort_seeded",
-    None,
+    _conf_oracle(131072, 12345),
     "parallel_sort conformance (parallel_sort.cpp:29-157): globally sort "
-    "131072 seeded ints. Rows-only driver check; exact oracle in "
-    "tests/test_conformance.py.",
+    "131072 seeded ints. Full SQL oracle: splitmix64 replicated in DuckDB "
+    "(datagen.seeded_ints_sql) — the driver compares the exact value "
+    "multiset; sortedness is additionally asserted in "
+    "tests/test_conformance.py (the driver's hash is order-insensitive).",
 )
 def conf_sort(spark, sf_dir):
     from .datagen import seeded_ints
@@ -1151,10 +1162,10 @@ def conf_sort(spark, sf_dir):
 
 @q(
     "conf_max_seeded",
-    None,
+    _conf_oracle(1_000_000, 999, agg="MAX(value) AS max_value"),
     "max_aggregation conformance (max_aggregation.cpp:23-113): global max "
-    "of 1,000,000 seeded ints. Rows-only driver check; exact oracle in "
-    "tests/test_conformance.py.",
+    "of 1,000,000 seeded ints. Full SQL oracle: splitmix64 replicated in "
+    "DuckDB (datagen.seeded_ints_sql).",
 )
 def conf_max(spark, sf_dir):
     from .datagen import seeded_ints

@@ -38,6 +38,21 @@ def test_datagen_partition_invariance(spark, workers):
     assert vals == sorted(seeded_ints_local(512, 999))
 
 
+def test_seeded_ints_sql_matches_local_oracle():
+    """The DuckDB splitmix64 replica must be value-identical to the
+    generator — this is what makes the conf queries fully oracle-checked
+    by the driver instead of rows-only."""
+    import duckdb
+
+    from osmapreduceproject_spark.datagen import seeded_ints_sql
+
+    con = duckdb.connect()
+    for n, seed in [(32, 12345), (4096, 7), (131072, 12345)]:
+        got = [r[0] for r in con.execute(seeded_ints_sql(n, seed)).fetchall()]
+        assert got == seeded_ints_local(n, seed), (n, seed)
+    con.close()
+
+
 def test_sort_n32_manual_case(spark):
     """The reference's 'Input Size = 32' validation (README.md:137-140)."""
     out = [r.value for r in parallel_sort(seeded_ints(spark, 32, seed=12345)).collect()]
