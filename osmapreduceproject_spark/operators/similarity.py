@@ -167,16 +167,57 @@ def embedding_neardup_pairs(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int = 64,
+    num_planes: int = 10,
+    num_tables: int = 6,
 ) -> DataFrame:
-    """Near-duplicate vector pairs (cosine ≥ threshold).
+    """Near-duplicate vector pairs (cosine ≥ threshold) via SRP-LSH
+    buckets + exact verification — the same candidates-from-equi-joins
+    discipline as MinHash dedup (operators/dedup.py minhash_lsh_pairs),
+    never an all-pairs self-join.
 
-    Test-scale exact implementation (self cross-join); the 100 TB path is
-    the same verification over :func:`lsh_topk`-style bucket candidates.
+    Shape: each vector gets ``num_tables`` signed-random-projection
+    signatures (deterministic hyperplanes); candidate pairs come from a
+    self-equi-join on (table, signature); exact cosine is computed for
+    candidates only. Cost tracks bucket collisions (for random pairs,
+    ~``num_tables``·2^-``num_planes``), not N². Recall is the standard
+    SRP tradeoff — (1-(1-(1-θ/π)^planes)^tables): ≈0.997 at sim 0.99,
+    ≈0.7 at the 0.9 boundary with the defaults; raise ``num_tables`` to
+    push it up.
+
+    Signature and bucket tables are persisted (self-join would re-execute
+    the upstream DAG); callers release via
+    ``plans.inspect.release_intermediates()``.
     """
-    a = df.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_vec"))
-    b = df.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_vec"))
+    from ..plans.inspect import tracked_persist
+
+    sig_structs = []
+    for t in range(num_tables):
+        planes = _deterministic_planes(dim, num_planes, t)
+        sig_structs.append(
+            F.struct(
+                F.lit(t).alias("tbl"),
+                _srp_signature(F.col(vec_col), planes).alias("sig"),
+            )
+        )
+    buckets = tracked_persist(
+        df.select(F.col(id_col), F.explode(F.array(*sig_structs)).alias("ts"))
+        .select(id_col, F.col("ts.tbl").alias("tbl"), F.col("ts.sig").alias("sig"))
+    )
+    a = buckets.select(F.col(id_col).alias("a_id"), "tbl", "sig")
+    b = buckets.select(F.col(id_col).alias("b_id"), "tbl", "sig")
+    cand = (
+        a.join(b, ["tbl", "sig"])
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    vecs = tracked_persist(df.select(F.col(id_col), F.col(vec_col)))
+    av = vecs.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_vec"))
+    bv = vecs.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_vec"))
     return (
-        a.join(b, F.col("a_id") < F.col("b_id"))
+        cand.join(av, "a_id")
+        .join(bv, "b_id")
         .withColumn("sim", F.round(cosine(F.col("a_vec"), F.col("b_vec")), 6))
         .where(F.col("sim") >= threshold)
         .select("a_id", "b_id", "sim")

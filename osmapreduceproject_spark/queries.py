@@ -967,16 +967,49 @@ def q34(spark, sf_dir):
     return similarity.cosine_topk(emb, emb.where(F.col("vec_id") < 5), k=5)
 
 
+def _srp_neardup_oracle(
+    threshold: float = 0.9, dim: int = 64, num_planes: int = 10, num_tables: int = 6
+) -> str:
+    """DuckDB replica of the SRP-LSH near-dup pipeline: identical plane
+    literals → identical signatures → identical candidate set → identical
+    verified pairs (the q31 oracle pattern, applied to embeddings)."""
+    from .operators.similarity import _deterministic_planes
+
+    table_selects = []
+    for t in range(num_tables):
+        planes = _deterministic_planes(dim, num_planes, t)
+        bits = []
+        for i, plane in enumerate(planes):
+            plane_sql = "(" + "[" + ", ".join(repr(v) for v in plane) + "]" + ")"
+            d = _DOT.format(a="embedding", b=plane_sql)
+            bits.append(f"(CASE WHEN {d} >= 0 THEN {1 << i} ELSE 0 END)")
+        sig = " + ".join(bits)
+        table_selects.append(f"SELECT vec_id, {t} AS tbl, {sig} AS sig FROM embeddings")
+    buckets = "\n      UNION ALL ".join(table_selects)
+    return f"""
+    WITH buckets AS (
+      {buckets}),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+      FROM buckets a JOIN buckets b ON a.tbl = b.tbl AND a.sig = b.sig
+      WHERE a.vec_id < b.vec_id)
+    SELECT c.a_id, c.b_id,
+           round({_cosine_sql('ea.embedding', 'eb.embedding')}, 6) AS sim
+    FROM cand c
+    JOIN embeddings ea ON ea.vec_id = c.a_id
+    JOIN embeddings eb ON eb.vec_id = c.b_id
+    WHERE round({_cosine_sql('ea.embedding', 'eb.embedding')}, 6) >= {threshold}
+    """
+
+
 @q(
     "q35_embedding_neardup",
-    f"""
-    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-           round({_cosine_sql('a.embedding', 'b.embedding')}, 6) AS sim
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE round({_cosine_sql('a.embedding', 'b.embedding')}, 6) >= 0.9
-    """,
-    "Embedding-cosine near-duplicate pairs ≥0.9 "
-    "(operators/similarity.py embedding_neardup_pairs).",
+    _srp_neardup_oracle(threshold=0.9),
+    "Embedding-cosine near-duplicate pairs ≥0.9 via SRP-LSH buckets + "
+    "exact verification (operators/similarity.py embedding_neardup_pairs). "
+    "Candidates come from equi-joins on (table, signature) — no all-pairs "
+    "self-join (plan-asserted); the oracle replicates the bucket pipeline "
+    "with identical hyperplane literals.",
 )
 def q35(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")

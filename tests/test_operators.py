@@ -160,8 +160,26 @@ def test_embedding_neardup_symmetric_dataset(spark):
             Row(vec_id=2, embedding=[-1.0, 0.5]),
         ]
     )
-    pairs = embedding_neardup_pairs(emb, threshold=0.99).collect()
+    pairs = embedding_neardup_pairs(
+        emb, threshold=0.99, dim=2, num_planes=4, num_tables=4
+    ).collect()
     assert {(p["a_id"], p["b_id"]) for p in pairs} == {(0, 1)}
+
+
+def test_embedding_neardup_lsh_matches_oracle_nonempty(spark, duck):
+    """The SRP-LSH bucket pipeline must be engine-identical on a result
+    set that is NOT empty: at threshold 0.2 the sf0.01 embeddings yield
+    ~190 pairs, and Spark buckets+verify must equal the DuckDB replica
+    exactly (same planes, same candidates, same rounded sims)."""
+    from osmapreduceproject_spark.plans.inspect import release_intermediates
+    from osmapreduceproject_spark.queries import _srp_neardup_oracle
+    from tests.oracle_check import compare
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    sdf = embedding_neardup_pairs(emb, threshold=0.2)
+    assert sdf.count() > 0
+    assert compare(sdf, duck.execute(_srp_neardup_oracle(threshold=0.2)).df()) == []
+    release_intermediates()
 
 
 def test_quality_score_bounds(spark):

@@ -162,6 +162,18 @@ def test_ranked_sort_matches_window_form(spark):
     release_intermediates()
 
 
+def test_q35_neardup_no_cross_join(spark):
+    """Embedding near-dup must route through LSH bucket equi-joins — an
+    all-pairs self-join (CartesianProduct / NestedLoop) is the one plan
+    that cannot survive 100× scale (VERDICT r1 'what's wrong' #3)."""
+    from osmapreduceproject_spark.plans.inspect import release_intermediates
+
+    df = QUERIES["q35_embedding_neardup"].fn(spark, SF_CORRECT)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
+    release_intermediates()
+
+
 def test_salted_join_matches_plain(spark):
     from osmapreduceproject_spark.operators.joins import salted_join
 
