@@ -49,3 +49,30 @@ def test_resize_is_explicit_stub(spark):
     media = synthetic_media(spark, n=2)
     with pytest.raises(Exception, match="NotImplementedError|codec"):
         resize_images(media, 16, 16).collect()
+
+
+def test_binaryfile_ingest_feeds_feature_extraction(spark):
+    """The documented ingest path end-to-end: spark.read.format(
+    'binaryFile') over real files → rename to the media contract → the
+    same mapInPandas feature extractor as the synthetic table. Payload
+    bytes match synthetic_media's, so features must be identical."""
+    from pyspark.sql import functions as F
+
+    from osmapreduceproject_spark.queries import _ensure_binfix
+
+    bf = (
+        spark.read.format("binaryFile")
+        .load(_ensure_binfix())
+        .select(
+            F.regexp_extract(F.col("path"), r"payload-(\d+)\.bin", 1)
+            .cast("bigint")
+            .alias("media_id"),
+            F.col("content").alias("payload"),
+        )
+    )
+    from_files = {r["media_id"]: r["mean_r"] for r in extract_image_features(bf).collect()}
+    from_synth = {
+        r["media_id"]: r["mean_r"]
+        for r in extract_image_features(synthetic_media(spark, n=16)).collect()
+    }
+    assert from_files == from_synth

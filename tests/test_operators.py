@@ -182,6 +182,33 @@ def test_embedding_neardup_lsh_matches_oracle_nonempty(spark, duck):
     release_intermediates()
 
 
+def test_approx_sketches_within_bounds(spark, duck):
+    """q90 is rows-only (sketches are engine-specific), so pin accuracy
+    here instead: percentile_approx at accuracy 10000 within the value
+    span of the exact percentile's neighborhood, HLL++ within 5% of the
+    true distinct count."""
+    from osmapreduceproject_spark.queries import QUERIES
+
+    rows = {
+        r["event_type"]: r
+        for r in QUERIES["q90_approx_quantiles"].fn(spark, "/root/testdata/sf0.01").collect()
+    }
+    truth = {
+        r[0]: (r[1], r[2], r[3])
+        for r in duck.execute(
+            """SELECT event_type, quantile_cont(CAST(value AS DOUBLE), 0.5),
+                      quantile_cont(CAST(value AS DOUBLE), 0.9),
+                      COUNT(DISTINCT user_id)
+               FROM events GROUP BY event_type"""
+        ).fetchall()
+    }
+    for et, (p50, p90, nd) in truth.items():
+        r = rows[et]
+        assert abs(r["p50_approx"] - p50) <= max(2.0, 0.05 * abs(p50)), (et, r["p50_approx"], p50)
+        assert abs(r["p90_approx"] - p90) <= max(2.0, 0.05 * abs(p90)), (et, r["p90_approx"], p90)
+        assert abs(r["approx_users"] - nd) <= max(2, 0.05 * nd), (et, r["approx_users"], nd)
+
+
 def test_quality_score_bounds(spark):
     d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     out = with_quality_score(d)
