@@ -36,7 +36,9 @@ BENCH_QUERIES = [
     "q26_tumbling_window",
     "q29_dedup_exact_keep_first",
     "q31_minhash_lsh_pairs",
+    "q32_simhash",
     "q34_cosine_topk",
+    "q35_embedding_neardup",
     "q54_grouped_map",
     "q61_tfidf",
     "q63_salted_join",
@@ -106,6 +108,8 @@ def main() -> None:
     # queries, not first-touch costs.
     spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
 
+    from osmapreduceproject_spark.plans.inspect import release_intermediates
+
     times: dict[str, float] = {}
     warm: dict[str, float] = {}
     for name in BENCH_QUERIES:
@@ -115,10 +119,15 @@ def main() -> None:
         df = fn(spark, SF_DIR)
         df.write.format("noop").mode("overwrite").save()
         times[name] = round(time.perf_counter() - t0, 3)
+        release_intermediates()
         # warm: steady-state execution (what the Nth run of a recurring job pays)
         t0 = time.perf_counter()
         fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
         warm[name] = round(time.perf_counter() - t0, 3)
+        # reclaim executor storage between queries: persisted operator
+        # intermediates (LSH buckets, sorted runs, token sets) are
+        # per-invocation, not cross-query state
+        release_intermediates()
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import md5_int, seeded_hash
-from ..plans.inspect import fan_out
+from ..plans.inspect import fan_out, tracked_persist
 from .text import shingles, tokens
 
 P31 = 2147483647  # 2^31-1, the family's reduction modulus
@@ -100,7 +100,8 @@ def ngram_jaccard_pairs(
     sh = F.array_distinct(shingles(F.col(text_col), k))
     # Materialized once: the inverted index feeds three consumers (sizes,
     # a-side, b-side) that would each re-run the shingle explode.
-    toks = df.select(*cols, F.explode(sh).alias("tok")).persist()
+    # tracked_persist → callers release via plans.inspect.release_intermediates().
+    toks = tracked_persist(df.select(*cols, F.explode(sh).alias("tok")))
     sizes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
     a = toks.select(*[F.col(c).alias(f"a_{c}") for c in cols], F.col("tok"))
     b = toks.select(*[F.col(c).alias(f"b_{c}") for c in cols], F.col("tok"))
@@ -189,10 +190,9 @@ def minhash_lsh_pairs(
     # common subplans across self-join branches). This is the classic
     # MinHash design at any scale — signatures are tiny ((1+bands) ints
     # per doc) and always worth materializing before banding joins.
-    buckets = (
+    buckets = tracked_persist(
         sig.select(F.col(id_col), F.explode(F.array(*band_exprs)).alias("bb"))
         .select(id_col, F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
-        .persist()
     )
     a = buckets.select(F.col(id_col).alias("a_id"), "band", "bh")
     b = buckets.select(F.col(id_col).alias("b_id"), "band", "bh")
@@ -207,10 +207,12 @@ def minhash_lsh_pairs(
     # 100 TB the candidate set is sparse, so the two probe joins against
     # this table dominate any recompute saving — but recomputing the
     # shingle explode twice is strictly worse.
-    toks = fan_out(df).select(
-        F.col(id_col),
-        F.array_distinct(shingles(F.col(text_col), k)).alias("tokset"),
-    ).persist()
+    toks = tracked_persist(
+        fan_out(df).select(
+            F.col(id_col),
+            F.array_distinct(shingles(F.col(text_col), k)).alias("tokset"),
+        )
+    )
     at = toks.select(F.col(id_col).alias("a_id"), F.col("tokset").alias("a_toks"))
     bt = toks.select(F.col(id_col).alias("b_id"), F.col("tokset").alias("b_toks"))
     verified = (

@@ -970,19 +970,25 @@ def q34(spark, sf_dir):
 def _srp_neardup_oracle(
     threshold: float = 0.9, dim: int = 64, num_planes: int = 10, num_tables: int = 6
 ) -> str:
-    """DuckDB replica of the SRP-LSH near-dup pipeline: identical plane
-    literals → identical signatures → identical candidate set → identical
-    verified pairs (the q31 oracle pattern, applied to embeddings)."""
-    from .operators.similarity import _deterministic_planes
+    """DuckDB replica of the sparse-SRP-LSH near-dup pipeline: identical
+    plane entries → identical signatures → identical candidate set →
+    identical verified pairs (the q31 oracle pattern, applied to
+    embeddings). Projections are sums of ±embedding[d] in the same
+    (sorted-dimension, left-associative) order as the Spark expression, so
+    the sign decisions are bit-identical."""
+    from .operators.similarity import _sparse_planes
 
     table_selects = []
     for t in range(num_tables):
-        planes = _deterministic_planes(dim, num_planes, t)
+        planes = _sparse_planes(dim, num_planes, t)
         bits = []
-        for i, plane in enumerate(planes):
-            plane_sql = "(" + "[" + ", ".join(repr(v) for v in plane) + "]" + ")"
-            d = _DOT.format(a="embedding", b=plane_sql)
-            bits.append(f"(CASE WHEN {d} >= 0 THEN {1 << i} ELSE 0 END)")
+        for i, entries in enumerate(planes):
+            terms = [
+                ("" if sign > 0 else "-") + f"CAST(embedding[{idx + 1}] AS DOUBLE)"
+                for idx, sign in entries
+            ]
+            proj = " + ".join(f"({term})" for term in terms)
+            bits.append(f"(CASE WHEN {proj} >= 0 THEN {1 << i} ELSE 0 END)")
         sig = " + ".join(bits)
         table_selects.append(f"SELECT vec_id, {t} AS tbl, {sig} AS sig FROM embeddings")
     buckets = "\n      UNION ALL ".join(table_selects)
@@ -1185,11 +1191,14 @@ def conf_sort(spark, sf_dir):
     from .datagen import seeded_ints
     from .mapreduce import parallel_sort
 
+    from .plans.inspect import tracked_persist
+
     # Cache the generated input: orderBy's range partitioner samples the
     # input first, which would otherwise run the (Python-side) generator
     # twice. 131072 ints are negligible in memory; at cluster scale the
     # same guidance applies to any expensive-to-produce sort input.
-    df = seeded_ints(spark, 131072, seed=12345, num_partitions=8).cache()
+    # tracked_persist → released by callers via release_intermediates().
+    df = tracked_persist(seeded_ints(spark, 131072, seed=12345, num_partitions=8))
     return parallel_sort(df)
 
 

@@ -5,8 +5,10 @@ The reference verifies its own output inline (``Sorted OK`` —
 idea to the connector layer with Spark's two-phase write protocol:
 
 - each TASK writes nothing durable — it folds its partition into a
-  ``(rows, xor-of-md5)`` commit message (order- and partition-independent,
-  so the manifest is stable under any parallelism);
+  ``(rows, sum-of-md5 mod 2^64)`` commit message (wrapping addition is
+  order- and partition-independent, so the manifest is stable under any
+  parallelism — and unlike XOR, a row occurring an even number of times
+  does NOT cancel out, so duplicate-row corruptions stay detectable);
 - the DRIVER's ``commit()`` aggregates all task messages and atomically
   publishes one JSON manifest (tmp file + rename). A failed/speculated
   task never contributes — exactly the task-commit/job-commit split that
@@ -51,7 +53,10 @@ def make_checksum_sink():
                 rows += 1
                 canon = "\x1f".join(str(row[c]) for c in self.cols)
                 h = hashlib.md5(canon.encode("utf-8")).digest()
-                fp ^= int.from_bytes(h[:8], "big")  # XOR: order-independent
+                # Multiset hash: wrapping ADD, not XOR — commutative (so
+                # order/partition-independent) but duplicate rows compound
+                # instead of cancelling pairwise.
+                fp = (fp + int.from_bytes(h[:8], "big")) % (1 << 64)
             return _Msg(rows=rows, fingerprint=fp)
 
         def commit(self, messages):
@@ -65,7 +70,7 @@ def make_checksum_sink():
                 "columns": self.cols,
             }
             for m in messages:
-                manifest["fingerprint"] ^= m.fingerprint
+                manifest["fingerprint"] = (manifest["fingerprint"] + m.fingerprint) % (1 << 64)
             tmp = f"{self.path}.tmp"
             with open(tmp, "w") as f:
                 json.dump(manifest, f)

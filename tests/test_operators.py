@@ -429,8 +429,8 @@ def test_seeded_ints_python_datasource(spark):
 
 def test_checksum_sink_two_phase_commit(spark, tmp_path):
     """Custom writer connector: task-fold → driver-commit manifest. The
-    XOR-of-md5 fingerprint must match a driver-side oracle and be
-    independent of the write parallelism."""
+    sum-of-md5 (mod 2^64) fingerprint must match a driver-side oracle and
+    be independent of the write parallelism."""
     import hashlib
     import json
 
@@ -443,7 +443,7 @@ def test_checksum_sink_two_phase_commit(spark, tmp_path):
     want_fp = 0
     for i, v in enumerate(seeded_ints_local(3000, 7)):
         h = hashlib.md5(f"{i}\x1f{v}".encode()).digest()
-        want_fp ^= int.from_bytes(h[:8], "big")
+        want_fp = (want_fp + int.from_bytes(h[:8], "big")) % (1 << 64)
 
     manifests = []
     for parts in (5, 2):
@@ -462,6 +462,33 @@ def test_checksum_sink_two_phase_commit(spark, tmp_path):
         manifests.append(json.load(open(path)))
     assert all(m["rows"] == 3000 and m["fingerprint"] == want_fp for m in manifests)
     assert manifests[0]["tasks"] != manifests[1]["tasks"]  # parallelism varied
+
+
+def test_checksum_sink_detects_even_multiplicity_change(spark, tmp_path):
+    """The multiset hash must distinguish datasets that differ only by
+    compensating even-multiplicity rows (same row count) — the corruption
+    class an XOR fold is blind to."""
+    import json
+
+    from osmapreduceproject_spark.sources.checksum_sink import register_checksum_sink
+
+    register_checksum_sink(spark)
+    from pyspark.sql import Row
+
+    base = [Row(k=1), Row(k=1), Row(k=2), Row(k=2)]
+    corrupt = [Row(k=3), Row(k=3), Row(k=4), Row(k=4)]  # same count, all-even diff
+    fps = []
+    for i, rows in enumerate((base, corrupt)):
+        path = str(tmp_path / f"m{i}.json")
+        (
+            spark.createDataFrame(rows)
+            .write.format("checksum_sink")
+            .option("path", path)
+            .mode("append")
+            .save()
+        )
+        fps.append(json.load(open(path))["fingerprint"])
+    assert fps[0] != fps[1]
 
 
 def test_seeded_source_filter_pushdown(spark):
