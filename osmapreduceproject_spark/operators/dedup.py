@@ -230,6 +230,64 @@ def minhash_lsh_pairs(
     return verified
 
 
+def dedup_clusters(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    k: int = 3,
+    max_iters: int = 20,
+) -> DataFrame:
+    """Duplicate-cluster assignment: connected components over the
+    exact-Jaccard near-dup pair graph, as iterative min-label propagation
+    to fixpoint. Returns (id, cluster_id) where cluster_id is the minimum
+    member id of the component — the canonical representative used to pick
+    one survivor per duplicate group in training-data dedup.
+
+    The per-iteration plan is one equi-join + one groupBy on the EDGE set
+    (near-dup pairs — sparse relative to the corpus) plus a broadcast-able
+    label update; convergence takes component-diameter iterations, and
+    near-dup components are clique-like (diameter 1–2). At 100 TB:
+    checkpoint labels every few iterations to cut lineage, and switch to
+    alternating large-star/small-star rounds (Kiveris et al.) if
+    adversarial long chains are possible. Deterministic: min is
+    order-insensitive.
+    """
+    a, b = f"a_{id_col}", f"b_{id_col}"
+    pairs = ngram_jaccard_pairs(df, id_col, text_col, threshold, k).select(a, b)
+    edges = tracked_persist(
+        pairs.select(F.col(a).alias("src"), F.col(b).alias("dst")).union(
+            pairs.select(F.col(b).alias("src"), F.col(a).alias("dst"))
+        )
+    )
+    labels = df.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
+    for _ in range(max_iters):
+        nbr = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = tracked_persist(
+            labels.join(nbr, labels["node"] == nbr["src"], "left").select(
+                F.col("node"),
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))
+
+
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32) -> DataFrame:
     """SimHash fingerprint: bit b of the output is 1 iff more (distinct)
     tokens hash with bit b set than unset.

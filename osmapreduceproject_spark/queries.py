@@ -2706,6 +2706,83 @@ def q90(spark, sf_dir):
     )
 
 
+@q(
+    "q91_variant_type",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+           COUNT(CAST(json_extract_string(props, '$.missing') AS BIGINT)) AS n_missing_present
+    FROM events GROUP BY event_type
+    """,
+    "Spark 4 VARIANT surface: parse_json → open variant column, typed "
+    "variant_get extraction, try_variant_get on an absent path (all-null → "
+    "COUNT 0). Complements q19's get_json_object: variant parses once and "
+    "binary-encodes, so repeated typed extraction avoids per-access JSON "
+    "re-parsing — the right shape when props carry many fields at 100 TB. "
+    "Oracle via DuckDB JSON (same values, JSON-typed path).",
+)
+def q91(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    k = F.variant_get(v, "$.k", "bigint")
+    missing = F.try_variant_get(v, "$.missing", "bigint")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.max(k).alias("max_k"),
+        F.count(missing).alias("n_missing_present"),
+    )
+
+
+_JACCARD_PAIRS_CTE = """
+    w AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+    sh AS (SELECT doc_id,
+             CASE WHEN len(w) >= 3
+                  THEN list_transform(range(1, len(w) - 1),
+                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                  ELSE [text] END AS shingles
+           FROM w),
+    toks AS (SELECT doc_id, unnest(list_distinct(shingles)) AS tok FROM sh),
+    sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM toks GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_common
+      FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT i.a_id, i.b_id FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.a_id
+      JOIN sizes sb ON sb.doc_id = i.b_id
+      WHERE CAST(i.n_common AS DOUBLE) / (sa.set_size + sb.set_size - i.n_common) >= 0.8)
+"""
+
+
+@q(
+    "q92_dedup_clusters",
+    f"""
+    WITH RECURSIVE
+    {_JACCARD_PAIRS_CTE},
+    edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+              UNION ALL SELECT b_id, a_id FROM pairs),
+    walk AS (
+      SELECT doc_id AS node, doc_id AS label FROM documents
+      UNION
+      SELECT e.src AS node, w.label FROM edges e JOIN walk w ON w.node = e.dst)
+    SELECT node AS doc_id, MIN(label) AS cluster_id FROM walk GROUP BY node
+    """,
+    "Duplicate-cluster assignment (operators/dedup.py dedup_clusters): "
+    "connected components over the q30 near-dup pair graph via iterative "
+    "min-label propagation to fixpoint — the canonical-representative step "
+    "of a dedup pipeline. Oracle: DuckDB recursive transitive closure, "
+    "MIN(label) over the reachable set; equal because the Spark loop runs "
+    "to fixpoint (diameter-bounded), not a fixed iteration count.",
+)
+def q92(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return dedup.dedup_clusters(d, threshold=0.8)
+
+
 # ---------------------------------------------------------------------------
 # Catalog ordering. The driver's CORRECTNESS file covers only the FIRST 50
 # ``queries()`` entries (round 1's file was exactly the first 50 in

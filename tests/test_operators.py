@@ -209,6 +209,48 @@ def test_approx_sketches_within_bounds(spark, duck):
         assert abs(r["approx_users"] - nd) <= max(2, 0.05 * nd), (et, r["approx_users"], nd)
 
 
+def test_dedup_clusters_match_union_find(spark):
+    """Cluster assignment must equal the transitive closure of the pair
+    graph (a chain A~B~C must land in ONE cluster even if A≁C directly).
+    Oracle: Python union-find over the operator's own pair output."""
+    from osmapreduceproject_spark.operators.dedup import dedup_clusters, ngram_jaccard_pairs
+    from osmapreduceproject_spark.plans.inspect import release_intermediates
+
+    docs = [
+        Row(doc_id=1, text="a b c d e f g h i j"),
+        Row(doc_id=2, text="a b c d e f g h x y"),
+        Row(doc_id=3, text="c d e f g h x y z w"),
+        Row(doc_id=4, text="p q r s t u v"),
+        Row(doc_id=5, text="p q r s t u k"),
+        Row(doc_id=6, text="totally different words here now"),
+    ]
+    df = spark.createDataFrame(docs)
+    pairs = [
+        (r[0], r[1])
+        for r in ngram_jaccard_pairs(df, threshold=0.25).select("a_doc_id", "b_doc_id").collect()
+    ]
+    release_intermediates()
+    assert pairs, "fixture must produce at least one near-dup pair"
+    parent = {d.doc_id: d.doc_id for d in docs}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in pairs:
+        parent[find(u)] = find(v)
+    want = {d.doc_id: min(x for x in parent if find(x) == find(d.doc_id)) for d in docs}
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup_clusters(df, threshold=0.25).collect()
+    }
+    release_intermediates()
+    assert got == want
+    assert len(set(got.values())) < len(docs)  # something actually clustered
+
+
 def test_quality_score_bounds(spark):
     d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     out = with_quality_score(d)
