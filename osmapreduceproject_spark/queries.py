@@ -2706,6 +2706,95 @@ def q90(spark, sf_dir):
     )
 
 
+_SRCFIX_DIR = "/tmp/spark_graft_srcfix"
+
+
+def _ensure_srcfix() -> str:
+    """Deterministic CSV + JSONL fixtures for the text-source ingest rows
+    (SURVEY §2.B scans/sources): 200 rows each, pure-integer-derived
+    values so both engines parse identical bytes. Written once, atomic."""
+    import json as _json
+    import os
+
+    os.makedirs(_SRCFIX_DIR, exist_ok=True)
+    csv_p = f"{_SRCFIX_DIR}/data.csv"
+    if not os.path.exists(csv_p):
+        lines = ["id,cat,val"]
+        for i in range(200):
+            lines.append(f"{i},{'ABCD'[i % 4]},{(i * 37) % 1000}.{i % 100:02d}")
+        tmp = f"{csv_p}.tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            f.write("\n".join(lines) + "\n")
+        os.replace(tmp, csv_p)
+    jsonl_p = f"{_SRCFIX_DIR}/data.jsonl"
+    if not os.path.exists(jsonl_p):
+        tmp = f"{jsonl_p}.tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            for i in range(200):
+                f.write(
+                    _json.dumps(
+                        {
+                            "id": i,
+                            "tags": [f"t{j}" for j in range(i % 4)],
+                            "m": {"k": (i * i) % 97},
+                        }
+                    )
+                    + "\n"
+                )
+        os.replace(tmp, jsonl_p)
+    return _SRCFIX_DIR
+
+
+@q(
+    "q93_csv_source",
+    f"""
+    SELECT cat, COUNT(*) AS n,
+           CAST(SUM(CAST(val AS DECIMAL(18,2))) AS DOUBLE) AS sum_val,
+           MIN(id) AS min_id, MAX(id) AS max_id
+    FROM read_csv('{_ensure_srcfix()}/data.csv', header=true,
+                  columns={{'id': 'BIGINT', 'cat': 'VARCHAR', 'val': 'DOUBLE'}})
+    GROUP BY cat
+    """,
+    "CSV ingestion (SURVEY §2.B scans/sources row): spark.read.csv with an "
+    "EXPLICIT schema — at 100 TB schema inference is a full extra pass, so "
+    "production reads always declare the schema. Verified against DuckDB "
+    "read_csv over the same file; decimal-exact sum discipline as q01.",
+)
+def q93(spark, sf_dir):
+    sch = "id bigint, cat string, val double"
+    df = spark.read.csv(f"{_ensure_srcfix()}/data.csv", header=True, schema=sch)
+    return df.groupBy("cat").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("val").alias("sum_val"),
+        F.min("id").alias("min_id"),
+        F.max("id").alias("max_id"),
+    )
+
+
+@q(
+    "q94_json_source",
+    f"""
+    SELECT len(tags) AS n_tags, COUNT(*) AS n,
+           CAST(SUM(m.k) AS BIGINT) AS sum_k,
+           MIN(id) AS first_id
+    FROM read_json('{_ensure_srcfix()}/data.jsonl', format='newline_delimited')
+    GROUP BY len(tags)
+    """,
+    "JSON-lines ingestion with nested struct + array fields and an "
+    "explicit schema (same no-inference discipline as q93): array length "
+    "and nested-field access pushed into the scan projection. Verified "
+    "against DuckDB read_json over the same file.",
+)
+def q94(spark, sf_dir):
+    sch = "id bigint, tags array<string>, m struct<k: bigint>"
+    df = spark.read.json(f"{_ensure_srcfix()}/data.jsonl", schema=sch)
+    return df.groupBy(F.size("tags").alias("n_tags")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("m.k").alias("sum_k"),
+        F.min("id").alias("first_id"),
+    )
+
+
 @q(
     "q91_variant_type",
     """
