@@ -237,9 +237,11 @@ def embedding_neardup_pairs(
     self-equi-join on (table, signature); exact cosine is computed for
     candidates only. Cost tracks bucket collisions (for random pairs,
     ~``num_tables``·2^-``num_planes``), not N². Recall is the standard
-    SRP tradeoff — (1-(1-(1-θ/π)^planes)^tables): ≈0.997 at sim 0.99,
-    ≈0.7 at the 0.9 boundary with the defaults; raise ``num_tables`` to
-    push it up.
+    SRP tradeoff, 1-(1-(1-θ/π)^planes)^tables: with the defaults ≈0.997
+    at sim 0.99, ≈0.92 at 0.95, but only ≈0.19 down at 0.9 — sign-LSH
+    bucketing is a ≥0.95 near-dup tool; catching 0.9-boundary pairs with
+    high recall needs ~5× more tables (or multi-probe), which is a cost
+    knob, not a design change.
 
     Signature and bucket tables are persisted (self-join would re-execute
     the upstream DAG); callers release via

