@@ -102,6 +102,34 @@ def test_map_reduce_facade(spark):
     assert out["n"] == len(local)
 
 
+@pytest.mark.skipif(
+    not __import__("os").environ.get("SPARK_GRAFT_SCALE"),
+    reason="scale smoke: set SPARK_GRAFT_SCALE=1 (sorts 10M rows, ~1 min)",
+)
+def test_ranked_sort_scale_smoke(spark):
+    """10M-row probe of the scale path: ranked_sort's positions must be a
+    permutation of 1..N with per-partition sorted runs and non-overlapping
+    bounds — evidence the plan (range shuffle + broadcast offsets, no
+    single-partition funnel) behaves beyond fixture scale."""
+    from pyspark.sql import functions as F
+
+    from osmapreduceproject_spark.mapreduce import is_sorted, ranked_sort
+    from osmapreduceproject_spark.plans.inspect import release_intermediates
+
+    n = 10_000_000
+    df = seeded_ints(spark, n, seed=424242)
+    ranked = ranked_sort(df.select("value"), [F.col("value").asc()], num_partitions=64)
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("pos").alias("lo"),
+        F.max("pos").alias("hi"),
+        F.countDistinct("pos").alias("nd"),
+    ).collect()[0]
+    assert (agg["n"], agg["lo"], agg["hi"], agg["nd"]) == (n, 1, n, n)
+    assert is_sorted(ranked.orderBy("pos"), "value") is True
+    release_intermediates()
+
+
 def test_run_conformance_report(spark):
     """The reference's report format: phase times + RSS + verification."""
     rep = run_conformance(spark, 4096, seed=12345, which="sort", workers=4)

@@ -209,6 +209,29 @@ def test_approx_sketches_within_bounds(spark, duck):
         assert abs(r["approx_users"] - nd) <= max(2, 0.05 * nd), (et, r["approx_users"], nd)
 
 
+def test_minhash_xxhash64_family_matches_md5_pairs(spark):
+    """The production hash family (xxhash64, JVM intrinsic) must find the
+    same verified near-dup pairs as the oracle-comparable md5 family on
+    the fixture: candidates differ per family, but exact-jaccard
+    verification makes both converge on the true pair set when the
+    near-dups are pronounced (as planted in the fixture)."""
+    from osmapreduceproject_spark.operators.dedup import minhash_lsh_pairs
+    from osmapreduceproject_spark.plans.inspect import release_intermediates
+
+    d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    md5_pairs = {
+        (r["a_id"], r["b_id"])
+        for r in minhash_lsh_pairs(d, threshold=0.5, hash_family="md5").collect()
+    }
+    release_intermediates()
+    xx_pairs = {
+        (r["a_id"], r["b_id"])
+        for r in minhash_lsh_pairs(d, threshold=0.5, hash_family="xxhash64").collect()
+    }
+    release_intermediates()
+    assert md5_pairs and md5_pairs == xx_pairs
+
+
 def test_dedup_clusters_match_union_find(spark):
     """Cluster assignment must equal the transitive closure of the pair
     graph (a chain A~B~C must land in ONE cluster even if A≁C directly).
