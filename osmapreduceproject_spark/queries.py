@@ -2612,7 +2612,30 @@ def q87(spark, sf_dir):
 # binaryFile ingestion (SURVEY §2.B multimodal row's documented ingest path)
 # ---------------------------------------------------------------------------
 
-_BINFIX_DIR = "/tmp/spark_graft_binfix"
+def _fixture_dir(name: str) -> str:
+    """Writable fixture directory: /tmp preferred, falling back to the
+    system temp dir and finally a dot-dir next to the package — module
+    import must not die on an unwritable /tmp, because the oracle SQL
+    strings (which embed these paths) are built at import time."""
+    import os
+    import tempfile
+
+    pkg_parent = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for base in ("/tmp", tempfile.gettempdir(), os.path.join(pkg_parent, ".fixtures")):
+        d = os.path.join(base, name)
+        try:
+            os.makedirs(d, exist_ok=True)
+            probe = os.path.join(d, f".w.{os.getpid()}")
+            with open(probe, "w") as f:
+                f.write("1")
+            os.remove(probe)
+            return d
+        except OSError:
+            continue
+    raise OSError(f"no writable fixture dir for {name}")
+
+
+_BINFIX_DIR = _fixture_dir("spark_graft_binfix")
 
 
 def _ensure_binfix() -> str:
@@ -2708,7 +2731,7 @@ def q90(spark, sf_dir):
     )
 
 
-_SRCFIX_DIR = "/tmp/spark_graft_srcfix"
+_SRCFIX_DIR = _fixture_dir("spark_graft_srcfix")
 
 
 def _ensure_srcfix() -> str:
