@@ -148,6 +148,73 @@ def shingles(text_col: Column, k: int = 3) -> Column:
     return F.when(n >= k, win).otherwise(F.array(text_col))
 
 
+# Simplified GPT-2-style pretokenizer classes: letter runs, digit runs,
+# punctuation. Plain character classes so the Java (Spark) and RE2
+# (DuckDB) regex engines agree exactly.
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def with_regex_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """BPE-ish token counting: a regex pretokenizer (letter runs / digit
+    runs / single punctuation) plus the chars/4 subword heuristic — the
+    two standard cheap estimators of LLM token cost when the real
+    tokenizer is too expensive to run over a whole corpus. Narrow map,
+    no shuffle; both engines evaluate the same character-class regex.
+    """
+    pieces = F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_PATTERN), F.lit(0))
+    return (
+        df.withColumn("n_regex_tokens", F.size(pieces))
+        .withColumn("n_word_tokens", F.size(tokens(F.col(text_col))))
+        .withColumn(
+            "n_subword_est",
+            F.ceil(F.length(F.col(text_col)).cast("double") / 4).cast("bigint"),
+        )
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    budget: int = 512,
+    shards: int = 16,
+) -> DataFrame:
+    """Concatenate-then-chunk sequence packing: documents are laid out in
+    stable id order and cut into fixed ``budget``-token training
+    sequences (documents may straddle a boundary — the GPT-style
+    pack-with-EOD scheme). Returns per-doc placement: shard, start
+    sequence index and offset within it.
+
+    Scale shape: a GLOBAL running sum would be a single-partition window,
+    so documents are first sharded by a content-stable hash
+    (md5(id) % shards) and packed independently per shard — exactly how
+    production packing parallelizes; each shard's window is one ordinary
+    hash-partitioned exchange. Sequence ids are (shard, seq_in_shard)
+    pairs so shards never coordinate.
+    """
+    from pyspark.sql import Window
+
+    n_tok = F.size(tokens(F.col(text_col)))
+    shard = md5_int(F.col(id_col).cast("string")) % shards
+    out = df.select(F.col(id_col), shard.alias("shard"), n_tok.alias("n_tokens"))
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return (
+        out.withColumn("cum_tokens", cum)
+        .withColumn(
+            "start_seq", F.floor((F.col("cum_tokens") - F.col("n_tokens")) / budget)
+        )
+        .withColumn(
+            "start_offset", (F.col("cum_tokens") - F.col("n_tokens")) % budget
+        )
+        .withColumn("end_seq", F.floor((F.col("cum_tokens") - 1) / budget))
+    )
+
+
 def tfidf(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """TF-IDF per (doc, token): ``tf * ln((N+1)/(df+1))`` (smoothed idf).
 

@@ -274,6 +274,28 @@ def test_dedup_clusters_match_union_find(spark):
     assert len(set(got.values())) < len(docs)  # something actually clustered
 
 
+def test_sequence_packing_invariants(spark):
+    """Packing layout must be gap-free per shard: offsets in [0, budget),
+    straddle math consistent, and cumulative sums exactly the running
+    total of the shard's documents in id order."""
+    from osmapreduceproject_spark.operators.text import pack_sequences
+
+    d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    budget = 128
+    rows = pack_sequences(d, budget=budget, shards=4).collect()
+    by_shard = {}
+    for r in rows:
+        assert 0 <= r["start_offset"] < budget
+        assert r["end_seq"] - r["start_seq"] == (r["start_offset"] + r["n_tokens"] - 1) // budget
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard_rows in by_shard.values():
+        shard_rows.sort(key=lambda r: r["doc_id"])
+        run = 0
+        for r in shard_rows:
+            run += r["n_tokens"]
+            assert r["cum_tokens"] == run  # gap-free concatenation layout
+
+
 def test_quality_score_bounds(spark):
     d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     out = with_quality_score(d)
