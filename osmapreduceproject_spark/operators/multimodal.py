@@ -131,6 +131,52 @@ def extract_image_features(df: DataFrame) -> DataFrame:
     return df.select("media_id", "payload").mapInPandas(run, schema=schema)
 
 
+def extract_audio_features(df: DataFrame) -> DataFrame:
+    """Decode → per-clip waveform features (RMS, peak, zero-crossing
+    rate), via mapInPandas — the audio twin of
+    :func:`extract_image_features`.
+
+    The decode is a deterministic STUB (pseudo-waveform seeded from the
+    payload md5; a real deployment drops in soundfile/torchaudio);
+    everything Spark-side — Arrow batching, schema contract, no shuffle —
+    is real and tested. Output: media_id, n_samples, rms, peak, zcr.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Self-contained closure: no module-global references (workers may
+        # not have this package importable from a foreign driver cwd).
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        n_samples = 2048
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            waves = []
+            for p in pdf["payload"]:
+                h = int.from_bytes(hashlib.md5(bytes(p)).digest()[:4], "big")
+                rng = np.random.default_rng(h)
+                waves.append(rng.standard_normal(n_samples))
+            w = np.stack(waves)
+            signs = np.sign(w)
+            zc = (signs[:, 1:] != signs[:, :-1]).mean(axis=1)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "n_samples": np.full(len(pdf), n_samples, dtype=np.int64),
+                    "rms": np.sqrt((w * w).mean(axis=1)),
+                    "peak": np.abs(w).max(axis=1),
+                    "zcr": zc,
+                }
+            )
+
+    schema = "media_id long, n_samples long, rms double, peak double, zcr double"
+    return df.select("media_id", "payload").mapInPandas(run, schema=schema)
+
+
 def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
     """Resize stub: real implementation would decode, resize, re-encode.
 

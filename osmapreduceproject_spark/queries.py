@@ -2929,6 +2929,22 @@ def q95(spark, sf_dir):
 
 
 @q(
+    "q97_audio_features",
+    None,
+    "Audio feature extraction over opaque binary payloads "
+    "(operators/multimodal.py extract_audio_features): mapInPandas "
+    "(Arrow-batched, no shuffle) computing RMS / peak / zero-crossing "
+    "rate per clip. Decode is a deterministic stub (no audio libs in "
+    "this environment) → rows-only; determinism across partitionings is "
+    "unit-tested like the image twin.",
+)
+def q97(spark, sf_dir):
+    from .operators.multimodal import extract_audio_features, synthetic_media
+
+    return extract_audio_features(synthetic_media(spark, n=64, kind="audio"))
+
+
+@q(
     "q96_regex_tokens",
     r"""
     SELECT doc_id,

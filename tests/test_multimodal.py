@@ -51,6 +51,20 @@ def test_resize_is_explicit_stub(spark):
         resize_images(media, 16, 16).collect()
 
 
+def test_audio_features_shape_and_determinism(spark):
+    from osmapreduceproject_spark.operators.multimodal import extract_audio_features
+
+    media = synthetic_media(spark, n=8, kind="audio")
+    a = {r["media_id"]: (r["rms"], r["zcr"]) for r in extract_audio_features(media).collect()}
+    b = {
+        r["media_id"]: (r["rms"], r["zcr"])
+        for r in extract_audio_features(media.repartition(5)).collect()
+    }
+    assert a == b and len(a) == 8
+    for rms, zcr in a.values():
+        assert rms > 0 and 0.0 < zcr < 1.0
+
+
 def test_binaryfile_ingest_feeds_feature_extraction(spark):
     """The documented ingest path end-to-end: spark.read.format(
     'binaryFile') over real files → rename to the media contract → the
