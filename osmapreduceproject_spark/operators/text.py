@@ -215,6 +215,38 @@ def pack_sequences(
     )
 
 
+# RE2-safe patterns (no backreferences / lookaround) so Spark's Java regex
+# and DuckDB's RE2 produce identical replacements.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\+?[0-9][0-9()\-\s]{7,}[0-9]", "<PHONE>"),
+    ("ip", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+]
+
+
+def redact_pii(df: DataFrame, text_col: str = "text", out_col: str = "clean_text") -> DataFrame:
+    """PII redaction: chained regexp_replace for emails / phone-number
+    runs / IPv4 literals → placeholder tokens. A narrow scan-bound map
+    (codegen'd JVM regex); patterns are RE2-safe so the op stays
+    oracle-checkable. Real pipelines extend PII_PATTERNS; the operator
+    shape (ordered replace chain + audit count) is the contract."""
+    out = F.col(text_col)
+    for _, pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return df.withColumn(out_col, out).withColumn(
+        "n_redactions",
+        F.size(F.split(F.col(out_col), "<EMAIL>|<PHONE>|<IP>")) - 1,
+    )
+
+
+def normalize_text(df: DataFrame, text_col: str = "text", out_col: str = "norm_text") -> DataFrame:
+    """Canonical text normalization: lowercase, collapse whitespace runs,
+    trim. The standard preprocessing before exact-dedup hashing — two
+    docs differing only in case/spacing should collide."""
+    collapsed = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    return df.withColumn(out_col, F.trim(collapsed))
+
+
 def tfidf(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """TF-IDF per (doc, token): ``tf * ln((N+1)/(df+1))`` (smoothed idf).
 

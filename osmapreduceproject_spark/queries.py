@@ -2929,6 +2929,66 @@ def q95(spark, sf_dir):
 
 
 @q(
+    "q98_pii_redaction",
+    r"""
+    WITH red AS (
+      SELECT doc_id,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 '\+?[0-9][0-9()\-\s]{7,}[0-9]', '<PHONE>', 'g'),
+               '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS clean_text
+      FROM documents)
+    SELECT doc_id,
+           ('0x' || substr(md5(clean_text), 1, 15))::BIGINT AS clean_hash,
+           CAST(len(string_split_regex(clean_text, '<EMAIL>|<PHONE>|<IP>')) - 1 AS INT)
+             AS n_redactions
+    FROM red
+    """,
+    "PII redaction (operators/text.py redact_pii): chained RE2-safe "
+    "regexp_replace (emails, phone runs, IPv4) → placeholders, with an "
+    "audit count. Output is the md5 hash of the redacted text (the "
+    "dedup-key form) so the oracle compares full-text equality without "
+    "hauling document bodies through the driver hash.",
+)
+def q98(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    out = text.redact_pii(d)
+    return out.select(
+        "doc_id",
+        md5_int(F.col("clean_text")).alias("clean_hash"),
+        F.col("n_redactions"),
+    )
+
+
+@q(
+    "q99_normalize_text",
+    r"""
+    WITH n AS (
+      SELECT doc_id,
+             trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm_text
+      FROM documents)
+    SELECT doc_id,
+           ('0x' || substr(md5(norm_text), 1, 15))::BIGINT AS norm_hash,
+           length(norm_text) AS n_chars_norm
+    FROM n
+    """,
+    "Text normalization (operators/text.py normalize_text): lowercase + "
+    "whitespace-collapse + trim — the canonical preprocessing before "
+    "exact-dedup hashing. Compared via md5 of the normalized text.",
+)
+def q99(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    out = text.normalize_text(d)
+    return out.select(
+        "doc_id",
+        md5_int(F.col("norm_text")).alias("norm_hash"),
+        F.length("norm_text").alias("n_chars_norm"),
+    )
+
+
+@q(
     "q97_audio_features",
     None,
     "Audio feature extraction over opaque binary payloads "

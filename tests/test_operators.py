@@ -296,6 +296,27 @@ def test_sequence_packing_invariants(spark):
             assert r["cum_tokens"] == run  # gap-free concatenation layout
 
 
+def test_pii_redaction_and_normalization(spark):
+    from osmapreduceproject_spark.operators.text import normalize_text, redact_pii
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="mail a.b@x-corp.io or call +1 (555) 123-4567 from 10.0.0.1 ok"),
+            Row(doc_id=2, text="no pii here"),
+        ]
+    )
+    out = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    assert out[1]["clean_text"] == "mail <EMAIL> or call <PHONE> from <IP> ok"
+    assert out[1]["n_redactions"] == 3
+    assert out[2]["clean_text"] == "no pii here" and out[2]["n_redactions"] == 0
+    # normalization: case/spacing-variant docs converge to the same form
+    nv = spark.createDataFrame(
+        [Row(doc_id=1, text="Hello   World "), Row(doc_id=2, text="hello world")]
+    )
+    norm = {r["doc_id"]: r["norm_text"] for r in normalize_text(nv).collect()}
+    assert norm[1] == norm[2] == "hello world"
+
+
 def test_quality_score_bounds(spark):
     d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     out = with_quality_score(d)
