@@ -249,37 +249,39 @@ def minhash_lsh_pairs(
     return verified
 
 
-def dedup_clusters(
-    df: DataFrame,
+def connected_components(
+    nodes: DataFrame,
+    pairs: DataFrame,
     id_col: str = "doc_id",
-    text_col: str = "text",
-    threshold: float = 0.8,
-    k: int = 3,
+    a_col: str = "a_id",
+    b_col: str = "b_id",
     max_iters: int = 20,
 ) -> DataFrame:
-    """Duplicate-cluster assignment: connected components over the
-    exact-Jaccard near-dup pair graph, as iterative min-label propagation
-    to fixpoint. Returns (id, cluster_id) where cluster_id is the minimum
-    member id of the component — the canonical representative used to pick
-    one survivor per duplicate group in training-data dedup.
+    """Connected components over an arbitrary undirected pair graph, as
+    iterative min-label propagation to fixpoint. Returns (id, cluster_id)
+    where cluster_id is the minimum member id of the component.
+
+    Pair-source-agnostic: feed it exact-Jaccard pairs
+    (:func:`ngram_jaccard_pairs`), MinHash pairs
+    (:func:`minhash_lsh_pairs`), or embedding near-dup pairs
+    (similarity.embedding_neardup_pairs) — the clustering step of a dedup
+    pipeline is the same graph problem regardless of how candidate pairs
+    were found.
 
     The per-iteration plan is one equi-join + one groupBy on the EDGE set
-    (near-dup pairs — sparse relative to the corpus) plus a broadcast-able
-    label update; convergence takes component-diameter iterations, and
-    near-dup components are clique-like (diameter 1–2). At 100 TB:
-    checkpoint labels every few iterations to cut lineage, and switch to
-    alternating large-star/small-star rounds (Kiveris et al.) if
-    adversarial long chains are possible. Deterministic: min is
-    order-insensitive.
+    (sparse relative to the corpus) plus a broadcast-able label update;
+    convergence takes component-diameter iterations, and near-dup
+    components are clique-like (diameter 1–2). At 100 TB: checkpoint
+    labels every few iterations to cut lineage, and switch to alternating
+    large-star/small-star rounds (Kiveris et al.) if adversarial long
+    chains are possible. Deterministic: min is order-insensitive.
     """
-    a, b = f"a_{id_col}", f"b_{id_col}"
-    pairs = ngram_jaccard_pairs(df, id_col, text_col, threshold, k).select(a, b)
     edges = tracked_persist(
-        pairs.select(F.col(a).alias("src"), F.col(b).alias("dst")).union(
-            pairs.select(F.col(b).alias("src"), F.col(a).alias("dst"))
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst")).union(
+            pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
         )
     )
-    labels = df.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
+    labels = nodes.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
     for _ in range(max_iters):
         nbr = (
             edges.join(labels, edges["dst"] == labels["node"])
@@ -305,6 +307,23 @@ def dedup_clusters(
         if changed == 0:
             break
     return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))
+
+
+def dedup_clusters(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    k: int = 3,
+    max_iters: int = 20,
+) -> DataFrame:
+    """Duplicate-cluster assignment: :func:`connected_components` over the
+    exact-Jaccard near-dup pair graph — the canonical-representative step
+    used to pick one survivor per duplicate group in training-data dedup.
+    """
+    a, b = f"a_{id_col}", f"b_{id_col}"
+    pairs = ngram_jaccard_pairs(df, id_col, text_col, threshold, k).select(a, b)
+    return connected_components(df, pairs, id_col=id_col, a_col=a, b_col=b, max_iters=max_iters)
 
 
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32) -> DataFrame:

@@ -85,3 +85,75 @@ def test_asof_join_matches_pandas(spark, ltimes, rtimes):
         for row in merged.itertuples()
     }
     assert got == want
+
+
+@given(
+    data=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=200), vals),
+        min_size=1,
+        max_size=50,
+    )
+)
+@SET
+def test_ranked_sort_matches_python_sorted(spark, data):
+    """ranked_sort positions == Python sorted() ranks on random data with
+    duplicate keys (the (key, uid) pair makes the total order unique)."""
+    from osmapreduceproject_spark.mapreduce import ranked_sort
+    from osmapreduceproject_spark.plans.inspect import release_intermediates
+
+    df = spark.createDataFrame(
+        [(k, i) for i, (k, _) in enumerate(data)], "k bigint, uid bigint"
+    )
+    got = sorted(
+        (r["pos"], r["k"], r["uid"])
+        for r in ranked_sort(df, [F.col("k").asc(), F.col("uid").asc()], num_partitions=3).collect()
+    )
+    release_intermediates()
+    want = [
+        (i + 1, k, uid)
+        for i, (k, uid) in enumerate(sorted((k, i) for i, (k, _) in enumerate(data)))
+    ]
+    assert got == want
+
+
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=14), st.integers(min_value=0, max_value=14)
+        ),
+        min_size=0,
+        max_size=20,
+    )
+)
+@SET
+def test_connected_components_match_union_find(spark, edges):
+    """connected_components on random graphs == Python union-find:
+    min-label propagation must close arbitrary chains/cycles, not just
+    the clique-like graphs real near-dups produce."""
+    from osmapreduceproject_spark.operators.dedup import connected_components
+    from osmapreduceproject_spark.plans.inspect import release_intermediates
+
+    n = 15
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id bigint")
+    pairs = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in edges if a != b] or [(0, 0)],
+        "a_id bigint, b_id bigint",
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(nodes, pairs).collect()
+    }
+    release_intermediates()
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        if a != b:
+            parent[find(a)] = find(b)
+    want = {i: min(j for j in range(n) if find(j) == find(i)) for i in range(n)}
+    assert got == want
