@@ -209,6 +209,48 @@ def test_approx_sketches_within_bounds(spark, duck):
         assert abs(r["approx_users"] - nd) <= max(2, 0.05 * nd), (et, r["approx_users"], nd)
 
 
+import os as _os
+import pytest as _pytest
+
+
+@_pytest.mark.skipif(
+    not _os.environ.get("SPARK_GRAFT_SCALE"),
+    reason="scale smoke: set SPARK_GRAFT_SCALE=1 (300k docs through MinHash LSH)",
+)
+def test_minhash_scale_smoke(spark):
+    """300k synthetic docs with 3,000 planted exact-duplicate pairs
+    through the full MinHash→LSH→verify pipeline (xxhash64 family — the
+    production path). Exact duplicates have identical signatures, so LSH
+    recall on them is 1.0 by construction: found pairs must equal the
+    planted set exactly. Evidences the candidates-from-equi-joins design
+    at volumes where an all-pairs plan (4.5e10 comparisons) could not
+    run."""
+    from pyspark.sql import functions as F
+
+    from osmapreduceproject_spark.operators.dedup import minhash_lsh_pairs
+    from osmapreduceproject_spark.plans.inspect import release_intermediates
+
+    n = 300_000
+    base = F.when(F.col("id") % 100 == 0, F.col("id") + 1).otherwise(F.col("id"))
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(19)),
+                lambda j: F.concat(F.lit("w"), ((base * 31 + j * 7) % 999983).cast("string")),
+            ),
+        ).alias("text"),
+    )
+    got = {
+        (r["a_id"], r["b_id"])
+        for r in minhash_lsh_pairs(docs, threshold=0.9, hash_family="xxhash64").collect()
+    }
+    release_intermediates()
+    want = {(i, i + 1) for i in range(0, n, 100)}
+    assert got == want
+
+
 def test_minhash_xxhash64_family_matches_md5_pairs(spark):
     """The production hash family (xxhash64, JVM intrinsic) must find the
     same verified near-dup pairs as the oracle-comparable md5 family on
