@@ -124,9 +124,18 @@ def ranked_sort(
     """
     from .plans.inspect import tracked_persist
 
-    nparts = num_partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    if num_partitions:
+        nparts = int(num_partitions)
+    else:
+        # spark.sql.shuffle.partitions may be "auto" on AQE-managed
+        # platforms; fall back to the cluster's default parallelism rather
+        # than failing at plan-build time.
+        try:
+            nparts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        except (TypeError, ValueError):
+            nparts = df.sparkSession.sparkContext.defaultParallelism
     sorted_runs = (
-        df.repartitionByRange(int(nparts), *order_cols)
+        df.repartitionByRange(nparts, *order_cols)
         .sortWithinPartitions(*order_cols)
         .select(
             "*",

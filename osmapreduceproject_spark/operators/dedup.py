@@ -275,6 +275,11 @@ def connected_components(
     labels every few iterations to cut lineage, and switch to alternating
     large-star/small-star rounds (Kiveris et al.) if adversarial long
     chains are possible. Deterministic: min is order-insensitive.
+
+    ``max_iters`` is a lineage-depth guard, not a truncation point: if the
+    labels have not reached fixpoint within ``max_iters`` rounds (a
+    component with diameter > ``max_iters``), the function raises rather
+    than silently returning wrong cluster labels.
     """
     edges = tracked_persist(
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst")).union(
@@ -282,6 +287,7 @@ def connected_components(
         )
     )
     labels = nodes.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
+    converged = False
     for _ in range(max_iters):
         nbr = (
             edges.join(labels, edges["dst"] == labels["node"])
@@ -305,7 +311,14 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not reach fixpoint in {max_iters} "
+            "iterations (a component's diameter exceeds max_iters); raise "
+            "max_iters or use large-star/small-star rounds for long-chain graphs"
+        )
     return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))
 
 

@@ -216,10 +216,13 @@ def pack_sequences(
 
 
 # RE2-safe patterns (no backreferences / lookaround) so Spark's Java regex
-# and DuckDB's RE2 produce identical replacements.
+# and DuckDB's RE2 produce identical replacements. The phone run class
+# excludes \n/\t (a \s class merged separate numeric tokens across lines)
+# and is length-bounded to the E.164 envelope so timestamps don't get
+# swallowed whole.
 PII_PATTERNS: list[tuple[str, str, str]] = [
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
-    ("phone", r"\+?[0-9][0-9()\-\s]{7,}[0-9]", "<PHONE>"),
+    ("phone", r"\+?[0-9][0-9()\- ]{7,14}[0-9]", "<PHONE>"),
     ("ip", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
 ]
 
@@ -229,14 +232,19 @@ def redact_pii(df: DataFrame, text_col: str = "text", out_col: str = "clean_text
     runs / IPv4 literals → placeholder tokens. A narrow scan-bound map
     (codegen'd JVM regex); patterns are RE2-safe so the op stays
     oracle-checkable. Real pipelines extend PII_PATTERNS; the operator
-    shape (ordered replace chain + audit count) is the contract."""
-    out = F.col(text_col)
+    shape (ordered replace chain + audit count) is the contract.
+
+    ``n_redactions`` counts pattern MATCHES at each step of the replace
+    chain (pattern i is counted on the text after replacements 1..i-1),
+    not placeholder substrings in the output — documents that already
+    contain literal ``<EMAIL>``/``<PHONE>``/``<IP>`` don't inflate the
+    audit count."""
+    cur = F.col(text_col)
+    n = F.lit(0)
     for _, pat, repl in PII_PATTERNS:
-        out = F.regexp_replace(out, pat, repl)
-    return df.withColumn(out_col, out).withColumn(
-        "n_redactions",
-        F.size(F.split(F.col(out_col), "<EMAIL>|<PHONE>|<IP>")) - 1,
-    )
+        n = n + F.size(F.regexp_extract_all(cur, F.lit(pat), F.lit(0)))
+        cur = F.regexp_replace(cur, pat, repl)
+    return df.withColumn(out_col, cur).withColumn("n_redactions", n.cast("int"))
 
 
 def normalize_text(df: DataFrame, text_col: str = "text", out_col: str = "norm_text") -> DataFrame:

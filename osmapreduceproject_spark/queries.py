@@ -2931,26 +2931,37 @@ def q95(spark, sf_dir):
 @q(
     "q98_pii_redaction",
     r"""
-    WITH red AS (
+    WITH s1 AS (
       SELECT doc_id,
-             regexp_replace(
-               regexp_replace(
-                 regexp_replace(text,
-                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-                 '\+?[0-9][0-9()\-\s]{7,}[0-9]', '<PHONE>', 'g'),
+             len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS c_email,
+             regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+      FROM documents),
+    s2 AS (
+      SELECT doc_id, c_email,
+             len(regexp_extract_all(t1, '\+?[0-9][0-9()\- ]{7,14}[0-9]')) AS c_phone,
+             regexp_replace(t1, '\+?[0-9][0-9()\- ]{7,14}[0-9]', '<PHONE>', 'g') AS t2
+      FROM s1),
+    s3 AS (
+      SELECT doc_id, c_email, c_phone,
+             len(regexp_extract_all(t2,
+               '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS c_ip,
+             regexp_replace(t2,
                '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS clean_text
-      FROM documents)
+      FROM s2)
     SELECT doc_id,
            ('0x' || substr(md5(clean_text), 1, 15))::BIGINT AS clean_hash,
-           CAST(len(string_split_regex(clean_text, '<EMAIL>|<PHONE>|<IP>')) - 1 AS INT)
-             AS n_redactions
-    FROM red
+           CAST(c_email + c_phone + c_ip AS INT) AS n_redactions
+    FROM s3
     """,
     "PII redaction (operators/text.py redact_pii): chained RE2-safe "
     "regexp_replace (emails, phone runs, IPv4) → placeholders, with an "
-    "audit count. Output is the md5 hash of the redacted text (the "
-    "dedup-key form) so the oracle compares full-text equality without "
-    "hauling document bodies through the driver hash.",
+    "audit count of pattern MATCHES counted stepwise before each replace "
+    "(pre-existing literal placeholders don't inflate it). Output is the "
+    "md5 hash of the redacted text (the dedup-key form) so the oracle "
+    "compares full-text equality without hauling document bodies through "
+    "the driver hash.",
 )
 def q98(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")

@@ -316,6 +316,32 @@ def test_dedup_clusters_match_union_find(spark):
     assert len(set(got.values())) < len(docs)  # something actually clustered
 
 
+def test_connected_components_raises_when_not_converged(spark):
+    """max_iters is a guard, not a truncation point: a long-chain graph
+    whose diameter exceeds max_iters must raise rather than silently
+    return unconverged (wrong) cluster labels."""
+    import pytest
+
+    from osmapreduceproject_spark.operators.dedup import connected_components
+    from osmapreduceproject_spark.plans.inspect import release_intermediates
+
+    n = 6
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id bigint")
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "a_id bigint, b_id bigint"
+    )
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        connected_components(nodes, chain, max_iters=1)
+    release_intermediates()
+    # and with enough iterations the same graph converges to one cluster
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(nodes, chain, max_iters=n).collect()
+    }
+    release_intermediates()
+    assert got == {i: 0 for i in range(n)}
+
+
 def test_sequence_packing_invariants(spark):
     """Packing layout must be gap-free per shard: offsets in [0, budget),
     straddle math consistent, and cumulative sums exactly the running
@@ -351,6 +377,19 @@ def test_pii_redaction_and_normalization(spark):
     assert out[1]["clean_text"] == "mail <EMAIL> or call <PHONE> from <IP> ok"
     assert out[1]["n_redactions"] == 3
     assert out[2]["clean_text"] == "no pii here" and out[2]["n_redactions"] == 0
+    # audit counts matches, not output placeholders: a pre-existing literal
+    # placeholder must not inflate n_redactions
+    lit = spark.createDataFrame(
+        [Row(doc_id=1, text="already has <EMAIL> and <PHONE> markers")]
+    )
+    lr = redact_pii(lit).collect()[0]
+    assert lr["n_redactions"] == 0
+    assert lr["clean_text"] == "already has <EMAIL> and <PHONE> markers"
+    # phone run class has no \n: numeric tokens on separate lines stay separate
+    nl = spark.createDataFrame([Row(doc_id=1, text="555 123 4567\n987 654 3210")])
+    nr = redact_pii(nl).collect()[0]
+    assert nr["clean_text"] == "<PHONE>\n<PHONE>"
+    assert nr["n_redactions"] == 2
     # normalization: case/spacing-variant docs converge to the same form
     nv = spark.createDataFrame(
         [Row(doc_id=1, text="Hello   World "), Row(doc_id=2, text="hello world")]
