@@ -968,14 +968,20 @@ def q34(spark, sf_dir):
 
 
 def _srp_neardup_oracle(
-    threshold: float = 0.9, dim: int = 64, num_planes: int = 10, num_tables: int = 6
+    threshold: float = 0.9,
+    dim: int = 64,
+    num_planes: int = 10,
+    num_tables: int = 6,
+    source: str = "embeddings",
+    prelude: str = "",
 ) -> str:
     """DuckDB replica of the sparse-SRP-LSH near-dup pipeline: identical
     plane entries → identical signatures → identical candidate set →
     identical verified pairs (the q31 oracle pattern, applied to
     embeddings). Projections are sums of ±embedding[d] in the same
     (sorted-dimension, left-associative) order as the Spark expression, so
-    the sign decisions are bit-identical."""
+    the sign decisions are bit-identical. ``source``/``prelude`` let the
+    caller run the pipeline over a derived CTE instead of the raw table."""
     from .operators.similarity import _sparse_planes
 
     table_selects = []
@@ -990,10 +996,10 @@ def _srp_neardup_oracle(
             proj = " + ".join(f"({term})" for term in terms)
             bits.append(f"(CASE WHEN {proj} >= 0 THEN {1 << i} ELSE 0 END)")
         sig = " + ".join(bits)
-        table_selects.append(f"SELECT vec_id, {t} AS tbl, {sig} AS sig FROM embeddings")
+        table_selects.append(f"SELECT vec_id, {t} AS tbl, {sig} AS sig FROM {source}")
     buckets = "\n      UNION ALL ".join(table_selects)
     return f"""
-    WITH buckets AS (
+    WITH {prelude}buckets AS (
       {buckets}),
     cand AS (
       SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
@@ -1002,26 +1008,68 @@ def _srp_neardup_oracle(
     SELECT c.a_id, c.b_id,
            round({_cosine_sql('ea.embedding', 'eb.embedding')}, 6) AS sim
     FROM cand c
-    JOIN embeddings ea ON ea.vec_id = c.a_id
-    JOIN embeddings eb ON eb.vec_id = c.b_id
+    JOIN {source} ea ON ea.vec_id = c.a_id
+    JOIN {source} eb ON eb.vec_id = c.b_id
     WHERE round({_cosine_sql('ea.embedding', 'eb.embedding')}, 6) >= {threshold}
     """
 
 
+# q35's input plants deterministic near-duplicates so the driver verdict
+# certifies actual pairs: vec_id < 8 gets a jittered copy (+0.125 on dim 0,
+# an exact binary double so both engines store bit-identical values) at
+# vec_id + 1000000. Unit-norm fixture vectors put the planted cosine at
+# ≥ 0.992 — above the 0.95 threshold with SRP recall ≈ 0.9985/pair, and the
+# oracle replicates the exact bucket pipeline so Spark and DuckDB agree on
+# whichever candidates the planes actually surface.
+_Q35_PRELUDE = """planted AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+      FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000 AS vec_id,
+             list_transform(embedding, (x, i) ->
+               CASE WHEN i = 1 THEN CAST(x AS DOUBLE) + 0.125
+                    ELSE CAST(x AS DOUBLE) END) AS embedding
+      FROM embeddings WHERE vec_id < 8),
+    """
+
+
+def _planted_embeddings(emb):
+    """Spark twin of ``_Q35_PRELUDE``: base vectors cast to double, plus a
+    jittered copy of vec_id < 8 at vec_id + 1000000 (dim 0 shifted by the
+    exact binary value 0.125)."""
+    base = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    jitter = emb.where(F.col("vec_id") < 8).select(
+        (F.col("vec_id") + F.lit(1000000)).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: F.when(i == 0, x.cast("double") + F.lit(0.125)).otherwise(
+                x.cast("double")
+            ),
+        ).alias("embedding"),
+    )
+    return base.unionByName(jitter)
+
+
 @q(
     "q35_embedding_neardup",
-    _srp_neardup_oracle(threshold=0.95),
+    _srp_neardup_oracle(threshold=0.95, source="planted", prelude=_Q35_PRELUDE),
     "Embedding-cosine near-duplicate pairs ≥0.95 via SRP-LSH buckets + "
     "exact verification (operators/similarity.py embedding_neardup_pairs). "
     "Candidates come from equi-joins on (table, signature) — no all-pairs "
     "self-join (plan-asserted); the oracle replicates the bucket pipeline "
-    "with identical sparse-plane entries. 0.95 is the honest operating "
-    "point for sign-LSH recall (≈0.92 here, ≈0.997 at 0.99); a 0.9 "
-    "threshold would need ~5× more tables for comparable recall.",
+    "with identical sparse-plane entries. The input plants 8 deterministic "
+    "≥0.99-cosine duplicate pairs (jittered copies of vec_id<8) so the "
+    "driver verdict certifies a non-empty result. 0.95 is the honest "
+    "operating point for sign-LSH recall (≈0.92 here, ≈0.997 at 0.99); a "
+    "0.9 threshold would need ~5× more tables for comparable recall.",
 )
 def q35(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
-    return similarity.embedding_neardup_pairs(emb, threshold=0.95)
+    return similarity.embedding_neardup_pairs(
+        _planted_embeddings(emb), threshold=0.95
+    )
 
 
 # ---------------------------------------------------------------------------
