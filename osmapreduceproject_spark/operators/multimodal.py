@@ -2,9 +2,12 @@
 
 Design: media are opaque ``binary`` columns plus a typed metadata struct —
 the Spark-side contract (schema, partition discipline, Arrow batch shape)
-is real and tested; the actual codecs are stubbed because no media
-libraries ship in this environment. Swap `_decode_image_batch` for a
-PIL/torchaudio implementation and nothing else changes.
+is real and tested. Compressed-codec decode is stubbed because no media
+libraries ship in this environment (swap `_decode_image_batch` for a
+PIL/torchaudio implementation and nothing else changes);
+:func:`resize_images` is REAL over the uncompressed RAW8 RGB layout
+(:func:`synthetic_raw_images`) — pure-NumPy nearest-neighbor, no codec
+needed.
 
 Scale notes: decode/feature-extract run as ``mapInPandas`` (Arrow-batched,
 one Python worker per core, no shuffle); rows carrying multi-MB payloads
@@ -177,23 +180,107 @@ def extract_audio_features(df: DataFrame) -> DataFrame:
     return df.select("media_id", "payload").mapInPandas(run, schema=schema)
 
 
-def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
-    """Resize stub: real implementation would decode, resize, re-encode.
+def synthetic_raw_images(
+    spark, n: int = 64, width: int = 32, height: int = 24
+) -> DataFrame:
+    """Deterministic RAW8 RGB image table: payload is ``height × width × 3``
+    row-major uint8 bytes (an uncompressed BMP-without-header frame), pixels
+    seeded from media_id — every stage downstream is reproducible and no
+    codec library is needed to decode."""
 
-    Raises NotImplementedError at execution time via a guarded UDF when
-    invoked on real media; passes through metadata updates so plan-level
-    tests can assert the schema contract.
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Self-contained closure (no module-global references): workers on
+        # a foreign-cwd driver can't import this package.
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            payloads = [
+                np.random.default_rng(int(m))
+                .integers(0, 256, size=(height, width, 3), dtype=np.uint8)
+                .tobytes()
+                for m in pdf["id"]
+            ]
+            yield pd.DataFrame({"media_id": pdf["id"].values, "payload": payloads})
+
+    raw = spark.range(n).mapInPandas(gen, "media_id long, payload binary")
+    return raw.select(
+        "media_id",
+        F.lit("image").alias("kind"),
+        "payload",
+        F.struct(
+            F.lit(width).alias("width"),
+            F.lit(height).alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(1).alias("n_frames"),
+        ).alias("meta"),
+    )
+
+
+def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
+    """Nearest-neighbor resize of RAW8 RGB payloads to ``width × height``.
+
+    Decodes the uncompressed row-major ``meta.height × meta.width × 3``
+    uint8 layout (:func:`synthetic_raw_images` emits it; any raw RGB frame
+    qualifies), resizes with pure-NumPy integer index mapping
+    (``src = floor(dst · in / out)`` — deterministic, no interpolation
+    float rounding), re-encodes to the same layout, and rewrites
+    ``meta.width/height``. Runs as mapInPandas: Arrow-batched, no shuffle,
+    no codec libraries. Payloads whose length doesn't match the declared
+    dimensions raise ValueError (a decode error, not a silent skip).
     """
+    out_w, out_h = int(width), int(height)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            raise NotImplementedError(
-                "image resize requires a codec library (PIL) not present in this "
-                "environment; Spark-side plumbing is the tested surface"
-            )
-            yield pdf  # pragma: no cover
+        # Self-contained closure: no module-global references.
+        import numpy as np
+        import pandas as pd
 
-    return df.mapInPandas(run, schema=df.schema)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            resized = []
+            for p, w, h in zip(pdf["payload"], pdf["width"], pdf["height"]):
+                w, h = int(w), int(h)
+                buf = np.frombuffer(bytes(p), dtype=np.uint8)
+                if buf.size != w * h * 3:
+                    raise ValueError(
+                        f"payload length {buf.size} is not a {h}x{w}x3 RAW8 RGB frame"
+                    )
+                img = buf.reshape(h, w, 3)
+                rows = (np.arange(out_h) * h) // out_h
+                cols = (np.arange(out_w) * w) // out_w
+                resized.append(img[rows][:, cols].tobytes())
+            out = pdf[["media_id", "kind", "sample_rate", "n_frames"]].copy()
+            out["payload"] = resized
+            yield out
+
+    flat = df.select(
+        "media_id",
+        "kind",
+        "payload",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.col("meta.sample_rate").alias("sample_rate"),
+        F.col("meta.n_frames").alias("n_frames"),
+    )
+    out = flat.mapInPandas(
+        run,
+        "media_id long, kind string, sample_rate int, n_frames int, payload binary",
+    )
+    return out.select(
+        "media_id",
+        "kind",
+        "payload",
+        F.struct(
+            F.lit(out_w).alias("width"),
+            F.lit(out_h).alias("height"),
+            F.col("sample_rate"),
+            F.col("n_frames"),
+        ).alias("meta"),
+    )
 
 
 def sample_video_frames(df: DataFrame, every_n: int = 2) -> DataFrame:

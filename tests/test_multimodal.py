@@ -45,9 +45,63 @@ def test_video_frame_sampling(spark):
     assert frames == [(0, 0), (0, 3), (0, 6), (0, 9)]  # n_frames=10, step 3
 
 
-def test_resize_is_explicit_stub(spark):
-    media = synthetic_media(spark, n=2)
-    with pytest.raises(Exception, match="NotImplementedError|codec"):
+def test_resize_known_payload_exact(spark):
+    """Nearest-neighbor resize on a hand-built 2x2 RAW8 frame: upscale to
+    4x4 must replicate each source pixel into a 2x2 block, downscale back
+    must recover the original bytes exactly (src = floor(dst*in/out))."""
+    import numpy as np
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    px = np.array(
+        [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [9, 9, 9]]], dtype=np.uint8
+    )
+    from osmapreduceproject_spark.operators.multimodal import MEDIA_SCHEMA
+
+    df = spark.createDataFrame(
+        [
+            Row(
+                media_id=1,
+                kind="image",
+                payload=bytearray(px.tobytes()),
+                meta=Row(width=2, height=2, sample_rate=None, n_frames=1),
+            )
+        ],
+        schema=MEDIA_SCHEMA,
+    )
+    up = resize_images(df, 4, 4)
+    row = up.collect()[0]
+    assert row["meta"]["width"] == 4 and row["meta"]["height"] == 4
+    got = np.frombuffer(bytes(row["payload"]), dtype=np.uint8).reshape(4, 4, 3)
+    want = px.repeat(2, axis=0).repeat(2, axis=1)
+    assert (got == want).all()
+    back = resize_images(up, 2, 2).collect()[0]
+    assert bytes(back["payload"]) == px.tobytes()
+
+
+def test_resize_synthetic_roundtrip_and_determinism(spark):
+    from osmapreduceproject_spark.operators.multimodal import synthetic_raw_images
+
+    media = synthetic_raw_images(spark, n=8, width=16, height=12)
+    out = resize_images(media, 8, 6)
+    rows = out.collect()
+    assert len(rows) == 8
+    for r in rows:
+        assert len(bytes(r["payload"])) == 8 * 6 * 3
+        assert r["meta"]["width"] == 8 and r["meta"]["height"] == 6
+    a = {r["media_id"]: bytes(r["payload"]) for r in rows}
+    b = {
+        r["media_id"]: bytes(r["payload"])
+        for r in resize_images(media.repartition(5), 8, 6).collect()
+    }
+    assert a == b
+
+
+def test_resize_rejects_malformed_payload(spark):
+    """A payload whose byte length contradicts the declared dimensions is a
+    decode ERROR, not a silent skip."""
+    media = synthetic_media(spark, n=2)  # utf-8 'payload:N' bytes, not RAW8
+    with pytest.raises(Exception, match="RAW8"):
         resize_images(media, 16, 16).collect()
 
 
