@@ -251,6 +251,40 @@ def test_minhash_scale_smoke(spark):
     assert got == want
 
 
+@_pytest.mark.skipif(
+    not _os.environ.get("SPARK_GRAFT_SCALE"),
+    reason="scale smoke: set SPARK_GRAFT_SCALE=1 (300k-node connected components)",
+)
+def test_connected_components_scale_smoke(spark):
+    """300k nodes with planted cluster structure (100k chains of 3:
+    {3k, 3k+1, 3k+2} linked 3k–3k+1–3k+2, no cross-chain edges) through
+    min-label propagation. Every node must land on label 3·⌊id/3⌋ and the
+    distinct-cluster count must be exactly n/3 — verified by aggregation,
+    never by collecting 300k rows. Mirrors the MinHash smoke: evidence
+    the per-iteration equi-join+groupBy plan converges at volumes where
+    correctness can't be eyeballed."""
+    from pyspark.sql import functions as F
+
+    from osmapreduceproject_spark.operators.dedup import connected_components
+    from osmapreduceproject_spark.plans.inspect import release_intermediates
+
+    n = 300_000
+    nodes = spark.range(n).select(F.col("id").alias("doc_id"))
+    edges = (
+        spark.range(n)
+        .where(F.col("id") % 3 != 2)
+        .select(F.col("id").alias("a_id"), (F.col("id") + 1).alias("b_id"))
+    )
+    labels = connected_components(nodes, edges)
+    bad = labels.where(
+        F.col("cluster_id") != (F.col("doc_id") - F.col("doc_id") % 3)
+    ).count()
+    n_clusters = labels.select("cluster_id").distinct().count()
+    release_intermediates()
+    assert bad == 0
+    assert n_clusters == n // 3
+
+
 def test_minhash_xxhash64_family_matches_md5_pairs(spark):
     """The production hash family (xxhash64, JVM intrinsic) must find the
     same verified near-dup pairs as the oracle-comparable md5 family on
