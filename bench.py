@@ -36,6 +36,7 @@ BENCH_QUERIES = [
     "q26_tumbling_window",
     "q29_dedup_exact_keep_first",
     "q31_minhash_lsh_pairs",
+    "q102_minhash_xxhash",  # q31 on the production hash family (xxhash64)
     "q32_simhash",
     "q34_cosine_topk",
     "q35_embedding_neardup",
@@ -181,7 +182,13 @@ def main() -> None:
             "honestly; r01 'warm' numbers for cache-using queries (q31, conf_sort) "
             "reused blocks leaked by the cold run and understate steady-state cost. "
             "q02's warm increase is the range-partitioned ranked sort replacing the "
-            "single-partition window (scale-safe plan, more fixture-scale overhead)."
+            "single-partition window (scale-safe plan, more fixture-scale overhead). "
+            "q05's r02 flag (1.56->2.03s) was investigated r03: 6 back-to-back runs "
+            "span 1.64-1.95s with an unchanged all-broadcast plan (4 "
+            "BroadcastHashJoin, 0 SortMergeJoin) - same-machine load jitter, not a "
+            "plan change. q102_minhash_xxhash is q31 on the production xxhash64 "
+            "hash family; the md5/xxhash64 delta is the cross-engine oracle "
+            "determinism tax q31 pays."
         ),
         "reference": reference_timings(),
     }

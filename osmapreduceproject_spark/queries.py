@@ -3147,6 +3147,24 @@ def q100(spark, sf_dir):
     return session_counts(e, gap="30 minutes")
 
 
+@q(
+    "q102_minhash_xxhash",
+    None,
+    "q31's MinHash+LSH pipeline on the PRODUCTION hash family (xxhash64 — "
+    "a JVM intrinsic, no hex-string materialization) instead of the "
+    "oracle-comparable md5 family. Rows-only: xxhash64 is not replicable "
+    "in DuckDB SQL, but pair-set equality with the md5 family is asserted "
+    "in tests (test_minhash_xxhash64_family_matches_md5_pairs) and the "
+    "300k-doc scale smoke runs this family. Benchmarked alongside q31 so "
+    "BENCH reflects the path a real user runs.",
+)
+def q102(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(
+        d, num_hashes=16, bands=4, threshold=0.5, hash_family="xxhash64"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Catalog ordering. The driver's CORRECTNESS file covers only the FIRST 50
 # ``queries()`` entries, so the verdict window is a scarce resource.
