@@ -1,0 +1,73 @@
+"""Deterministic sampling / corpus-mixing operators.
+
+Training-data pipelines re-sample sources at different rates (domain
+mixing: up-weight books, down-weight web crawl) and need the decision to
+be REPRODUCIBLE — re-running the pipeline, on any cluster layout, must
+keep exactly the same rows. Spark's ``df.sample`` is seeded per-partition
+and changes membership when partitioning changes, so these operators key
+the decision on CONTENT (a 60-bit md5 of the row key, bucketed mod 1e6),
+like the hash train/eval split (queries.py q68): membership is a pure
+function of the row, independent of partitioning, ordering, and cluster
+size — and replicable in any engine with md5, which keeps every sampling
+query oracle-checkable.
+
+All expressions are built-in Catalyst (md5/conv/%), codegen'd, no UDFs;
+``stratified_sample`` gets per-stratum rates via a BROADCAST join of a
+tiny rates table, so sampling is a narrow scan-bound filter at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import md5_int
+
+BUCKETS = 1_000_000
+
+
+def _bucket(key_col: str, salt: str):
+    """Content-stable bucket in [0, 1e6): md5 of 'salt|key'."""
+    return (
+        md5_int(F.concat_ws("|", F.lit(salt), F.col(key_col).cast("string")))
+        % BUCKETS
+    )
+
+
+def deterministic_sample(
+    df: DataFrame, rate: float, key_col: str = "doc_id", salt: str = "sample"
+) -> DataFrame:
+    """Keep a row iff its content bucket < rate·1e6 — a reproducible
+    Bernoulli(rate) sample. Different ``salt`` values give independent
+    samples over the same keys."""
+    return df.where(_bucket(key_col, salt) < int(rate * BUCKETS))
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    strata_col: str = "source",
+    key_col: str = "doc_id",
+    default_rate: float = 0.0,
+    salt: str = "mix",
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the domain-mixing /
+    source-reweighting step of corpus construction.
+
+    The (stratum → rate) table is joined in as a BROADCAST left join
+    (strata counts are tiny — sources, languages, domains), so the plan
+    stays a narrow filter over the scan: no shuffle of the corpus, no
+    driver-side literal explosion when the rate table grows to thousands
+    of domains. Strata missing from ``rates`` get ``default_rate``.
+    """
+    spark = df.sparkSession
+    rates_df = spark.createDataFrame(
+        [(k, float(v)) for k, v in sorted(rates.items())],
+        f"{strata_col} string, __rate double",
+    )
+    return (
+        df.join(F.broadcast(rates_df), strata_col, "left")
+        .withColumn("__rate", F.coalesce("__rate", F.lit(float(default_rate))))
+        .where(_bucket(key_col, salt) < (F.col("__rate") * BUCKETS).cast("bigint"))
+        .drop("__rate")
+    )

@@ -282,3 +282,106 @@ def tfidf(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Data
         )
         .select(id_col, "token", "tf", "df", "tfidf")
     )
+
+
+def ngram_contamination(
+    train: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: per training document, how many of its
+    distinct k-gram shingles appear anywhere in the benchmark/eval set —
+    the standard guard against evaluation leakage in training corpora
+    (n-gram overlap decontamination, as popularized by the GPT-3 and
+    PaLM data papers).
+
+    Shape: the benchmark shingle set is distinct-collapsed and BROADCAST
+    (eval suites are tiny next to a training corpus — at 100 TB train the
+    benchmark side is still MBs), so training shingles never shuffle for
+    the probe; the only wide exchange is the per-doc hit count on
+    ``id_col``. Output: (id, n_contaminated_ngrams, contaminated) for
+    every training doc, zero-filled via a left join so clean docs appear
+    explicitly.
+    """
+    tr = fan_out(train).select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles(F.col(text_col), k))).alias("ng"),
+    )
+    bm = (
+        benchmark.select(
+            F.explode(F.array_distinct(shingles(F.col(text_col), k))).alias("ng")
+        )
+        .distinct()
+    )
+    hits = (
+        tr.join(F.broadcast(bm), "ng")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_contaminated_ngrams"))
+    )
+    return (
+        train.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_contaminated_ngrams", F.lit(0).cast("bigint")).alias(
+                "n_contaminated_ngrams"
+            ),
+        )
+        .withColumn("contaminated", F.col("n_contaminated_ngrams") > 0)
+    )
+
+
+def repetition_score(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """Intra-document repetition: 1 − distinct/total k-gram shingles —
+    the cheap detector for boilerplate/template/spam documents whose
+    text loops (a standard quality-filter feature alongside
+    :func:`with_quality_score`'s length/stopword ratios). A narrow
+    codegen'd map; rounded to 6 decimals for cross-engine comparison."""
+    sh = shingles(F.col(text_col), k)
+    return (
+        df.select(
+            F.col(id_col),
+            F.size(sh).alias("n_ngrams"),
+            F.size(F.array_distinct(sh)).alias("n_distinct_ngrams"),
+        )
+        .withColumn(
+            "repetition",
+            F.round(
+                F.lit(1.0)
+                - F.col("n_distinct_ngrams").cast("double") / F.col("n_ngrams"),
+                6,
+            ),
+        )
+    )
+
+
+def build_vocab(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    size: int = 100,
+) -> DataFrame:
+    """Corpus vocabulary: the ``size`` most document-frequent tokens with
+    a deterministic rank (df DESC, token ASC tiebreak) — the token-list
+    step of tokenizer training / stopword discovery.
+
+    Scale shape: distinct-per-doc explode → one hash aggregation keyed on
+    token → global top-k. The top-k is ``orderBy().limit()`` — Spark
+    plans TakeOrderedAndProject (per-partition heaps merged at the
+    driver, O(size) memory), NOT a full sort; the rank window then runs
+    over only the ``size`` surviving rows, so its single partition is
+    bounded by construction, never O(vocabulary).
+    """
+    from pyspark.sql import Window
+
+    toks = fan_out(df).select(
+        F.col(id_col), F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("token")
+    )
+    dfreq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    top = dfreq.orderBy(F.col("df").desc(), F.col("token").asc()).limit(size)
+    w = Window.orderBy(F.col("df").desc(), F.col("token").asc())
+    return top.withColumn("rank", F.row_number().over(w))

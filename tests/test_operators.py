@@ -746,3 +746,75 @@ def test_seeded_source_filter_pushdown(spark):
             spark.conf.set(key, saved)
         else:
             spark.conf.unset(key)
+
+
+def test_deterministic_sampling_partition_invariant(spark):
+    """Sample membership must be a pure function of row content: identical
+    under repartitioning (df.sample's per-partition seeds are not), and
+    independent across salts."""
+    from osmapreduceproject_spark.operators.sampling import deterministic_sample
+
+    df = spark.range(2000).select(F.col("id").alias("doc_id"))
+    a = {r["doc_id"] for r in deterministic_sample(df, 0.3).collect()}
+    b = {r["doc_id"] for r in deterministic_sample(df.repartition(7), 0.3).collect()}
+    assert a == b
+    assert 0.2 < len(a) / 2000 < 0.4  # Bernoulli(0.3) within loose bounds
+    c = {r["doc_id"] for r in deterministic_sample(df, 0.3, salt="other").collect()}
+    assert c != a  # independent sample under a different salt
+
+
+def test_stratified_sample_rates_and_defaults(spark):
+    from pyspark.sql import Row
+
+    from osmapreduceproject_spark.operators.sampling import stratified_sample
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, source="keep" if i % 3 == 0 else ("drop" if i % 3 == 1 else "unknown")) for i in range(3000)]
+    )
+    out = stratified_sample(
+        df, {"keep": 1.0, "drop": 0.0}, strata_col="source", key_col="doc_id"
+    )
+    got = {r["source"]: r["n"] for r in out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got.get("keep") == 1000   # rate 1.0 keeps every row
+    assert "drop" not in got         # rate 0.0 keeps none
+    assert "unknown" not in got      # default_rate 0.0 drops unlisted strata
+    half = stratified_sample(
+        df, {"keep": 1.0}, strata_col="source", key_col="doc_id", default_rate=0.5
+    )
+    n_unknown = half.where(F.col("source") == "unknown").count()
+    assert 350 < n_unknown < 650     # default rate applies to unlisted strata
+
+
+def test_ngram_contamination_flags_overlap(spark):
+    from pyspark.sql import Row
+
+    from osmapreduceproject_spark.operators.text import ngram_contamination
+
+    bench = spark.createDataFrame([Row(doc_id=100, text="alpha beta gamma delta")])
+    train = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="x y alpha beta gamma z"),   # shares 'alpha beta gamma'
+            Row(doc_id=2, text="totally clean words here"),  # no overlap
+        ]
+    )
+    got = {r["doc_id"]: r for r in ngram_contamination(train, bench).collect()}
+    assert got[1]["contaminated"] and got[1]["n_contaminated_ngrams"] == 1
+    assert not got[2]["contaminated"] and got[2]["n_contaminated_ngrams"] == 0
+
+
+def test_build_vocab_rank_and_plan(spark):
+    """Deterministic (df DESC, token) ranking, and the global top-k must
+    plan as TakeOrderedAndProject — not a full sort."""
+    from pyspark.sql import Row
+
+    from osmapreduceproject_spark.operators.text import build_vocab
+
+    docs = [Row(doc_id=i, text="common " + ("mid " if i % 2 == 0 else "") + f"rare{i}") for i in range(10)]
+    df = spark.createDataFrame(docs)
+    out = build_vocab(df, size=3)
+    rows = sorted(out.collect(), key=lambda r: r["rank"])
+    assert [r["token"] for r in rows][:2] == ["common", "mid"]
+    assert rows[0]["df"] == 10 and rows[1]["df"] == 5
+    assert rows[2]["token"] == "rare0"  # df ties broken by token ASC
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
