@@ -276,13 +276,36 @@ def embedding_neardup_pairs(
         .select("a_id", "b_id")
         .distinct()
     )
-    vecs = df.select(F.col(id_col), F.col(vec_col))  # plain re-scan: cheaper than caching the corpus
-    av = vecs.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_vec"))
-    bv = vecs.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_vec"))
+    # Plain re-scan (cheaper than caching the corpus), with the L2 norm
+    # computed ONCE PER VECTOR in the projection: the verify join then
+    # evaluates one dot fold per candidate pair instead of re-folding both
+    # norms per pair (3 folds → 1). Same expression structure as
+    # cosine() — dot/(norm·norm) in doubles — so the value is
+    # bit-identical and the oracle unchanged.
+    vecs = df.select(
+        F.col(id_col), F.col(vec_col), norm(F.col(vec_col)).alias("__nrm")
+    )
+    av = vecs.select(
+        F.col(id_col).alias("a_id"),
+        F.col(vec_col).alias("a_vec"),
+        F.col("__nrm").alias("__a_nrm"),
+    )
+    bv = vecs.select(
+        F.col(id_col).alias("b_id"),
+        F.col(vec_col).alias("b_vec"),
+        F.col("__nrm").alias("__b_nrm"),
+    )
     return (
         cand.join(av, "a_id")
         .join(bv, "b_id")
-        .withColumn("sim", F.round(cosine(F.col("a_vec"), F.col("b_vec")), 6))
+        .withColumn(
+            "sim",
+            F.round(
+                dot(F.col("a_vec"), F.col("b_vec"))
+                / (F.col("__a_nrm") * F.col("__b_nrm")),
+                6,
+            ),
+        )
         .where(F.col("sim") >= threshold)
         .select("a_id", "b_id", "sim")
     )
