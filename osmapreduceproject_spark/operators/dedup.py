@@ -256,6 +256,7 @@ def connected_components(
     a_col: str = "a_id",
     b_col: str = "b_id",
     max_iters: int = 20,
+    checkpoint_interval: int = 5,
 ) -> DataFrame:
     """Connected components over an arbitrary undirected pair graph, as
     iterative min-label propagation to fixpoint. Returns (id, cluster_id)
@@ -280,6 +281,15 @@ def connected_components(
     labels have not reached fixpoint within ``max_iters`` rounds (a
     component with diameter > ``max_iters``), the function raises rather
     than silently returning wrong cluster labels.
+
+    Every ``checkpoint_interval`` iterations the label frame is
+    ``localCheckpoint``-ed: persist alone truncates *recomputation* but
+    the logical plan still doubles per round (analyzer/optimizer time and
+    lineage depth grow without bound on long chains); the checkpoint cuts
+    the plan back to a leaf. localCheckpoint (executor-local blocks, no
+    HDFS round-trip) is the right default for this always-rebuildable
+    intermediate; pass a cluster checkpoint dir and use ``checkpoint()``
+    where executor loss must be survivable mid-job.
     """
     edges = tracked_persist(
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst")).union(
@@ -288,7 +298,7 @@ def connected_components(
     )
     labels = nodes.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
     converged = False
-    for _ in range(max_iters):
+    for it in range(max_iters):
         nbr = (
             edges.join(labels, edges["dst"] == labels["node"])
             .groupBy("src")
@@ -313,6 +323,8 @@ def connected_components(
         if changed == 0:
             converged = True
             break
+        if checkpoint_interval and (it + 1) % checkpoint_interval == 0:
+            labels = labels.localCheckpoint(eager=True)
     if not converged:
         raise RuntimeError(
             f"connected_components did not reach fixpoint in {max_iters} "

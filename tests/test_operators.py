@@ -376,6 +376,28 @@ def test_connected_components_raises_when_not_converged(spark):
     assert got == {i: 0 for i in range(n)}
 
 
+def test_connected_components_checkpointing_path(spark):
+    """A 12-node path needs ~11 propagation rounds: with
+    checkpoint_interval=2 the localCheckpoint lineage cut fires several
+    times mid-run and must not perturb the fixpoint result."""
+    from osmapreduceproject_spark.operators.dedup import connected_components
+    from osmapreduceproject_spark.plans.inspect import release_intermediates
+
+    n = 12
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id bigint")
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "a_id bigint, b_id bigint"
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(
+            nodes, chain, max_iters=15, checkpoint_interval=2
+        ).collect()
+    }
+    release_intermediates()
+    assert got == {i: 0 for i in range(n)}
+
+
 def test_sequence_packing_invariants(spark):
     """Packing layout must be gap-free per shard: offsets in [0, budget),
     straddle math consistent, and cumulative sums exactly the running
