@@ -18,8 +18,6 @@ sequential fold) → deterministic, oracle-comparable after rounding.
 
 from __future__ import annotations
 
-import math
-
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -80,37 +78,6 @@ def cosine_topk(
         .where(F.col("rank") <= k)
         .select(query_id_col, F.col(id_col).alias("neighbor_id"), "sim", "rank")
     )
-
-
-def _srp_signature(vec: Column, planes: list[list[float]]) -> Column:
-    """Signed-random-projection signature: bit i = sign(vec · plane_i).
-
-    Planes are literal arrays baked into the plan (deterministic seed) —
-    no side data to distribute.
-    """
-    bits = []
-    for i, plane in enumerate(planes):
-        plane_col = F.array(*[F.lit(float(x)) for x in plane])
-        bits.append(F.when(dot(vec, plane_col) >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
-    sig = bits[0]
-    for b in bits[1:]:
-        sig = sig + b
-    return sig
-
-
-def _deterministic_planes(dim: int, num_planes: int, table: int) -> list[list[float]]:
-    """Deterministic pseudo-gaussian hyperplanes (Box-Muller over a
-    splitmix-style counter hash) — reproducible across runs/engines."""
-    planes = []
-    for p in range(num_planes):
-        vals = []
-        for d in range(dim):
-            # two uniform draws from a counter hash
-            x = (hash_u01(table * 1_000_003 + p * 1009 + d * 2 + 0) or 1e-12)
-            y = hash_u01(table * 1_000_003 + p * 1009 + d * 2 + 1)
-            vals.append(math.sqrt(-2.0 * math.log(x)) * math.cos(2.0 * math.pi * y))
-        planes.append(vals)
-    return planes
 
 
 def hash_u01(i: int) -> float:
@@ -187,17 +154,29 @@ def lsh_topk(
     the query set is itself huge (no broadcast possible). Exact cosine is
     then computed only for candidates. Recall < 1.0 by construction;
     raise num_tables / lower num_planes to trade cost for recall.
+
+    Signatures come from the same sparse ±1 plane family as
+    :func:`embedding_neardup_pairs` (deterministic splitmix positions,
+    codegen'd getItem sums, one projection column per table before the
+    explode — see the janino note there), so the full pipeline is
+    replicable in oracle SQL and q52 is value-checked, not rows-only.
     """
     def with_sigs(df: DataFrame, idc: str) -> DataFrame:
-        rows = []
+        sig_cols = []
         for t in range(num_tables):
-            planes = _deterministic_planes(dim, num_planes, t)
-            rows.append(
-                F.struct(F.lit(t).alias("tbl"), _srp_signature(F.col(vec_col), planes).alias("sig"))
+            planes = _sparse_planes(dim, num_planes, t)
+            sig_cols.append(
+                _sparse_signature(F.col(vec_col), planes).alias(f"__sig_{t}")
             )
-        return df.select(
-            F.col(idc), F.col(vec_col), F.explode(F.array(*rows)).alias("ts")
-        ).select(idc, vec_col, F.col("ts.tbl").alias("tbl"), F.col("ts.sig").alias("sig"))
+        structs = [
+            F.struct(F.lit(t).alias("tbl"), F.col(f"__sig_{t}").alias("sig"))
+            for t in range(num_tables)
+        ]
+        return (
+            df.select(F.col(idc), F.col(vec_col), *sig_cols)
+            .select(F.col(idc), F.col(vec_col), F.explode(F.array(*structs)).alias("ts"))
+            .select(idc, vec_col, F.col("ts.tbl").alias("tbl"), F.col("ts.sig").alias("sig"))
+        )
 
     c = with_sigs(corpus, id_col)
     q = with_sigs(

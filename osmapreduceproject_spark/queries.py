@@ -967,6 +967,24 @@ def q34(spark, sf_dir):
     return similarity.cosine_topk(emb, emb.where(F.col("vec_id") < 5), k=5)
 
 
+def _sparse_sig_sql(dim: int, num_planes: int, table: int) -> str:
+    """SQL text computing the sparse-SRP signature for one table —
+    byte-for-byte the same ±entries, in the same (sorted-dimension,
+    left-associative) order, as ``_sparse_signature``'s Spark expression,
+    so sign decisions are bit-identical across engines."""
+    from .operators.similarity import _sparse_planes
+
+    bits = []
+    for i, entries in enumerate(_sparse_planes(dim, num_planes, table)):
+        terms = [
+            ("" if sign > 0 else "-") + f"CAST(embedding[{idx + 1}] AS DOUBLE)"
+            for idx, sign in entries
+        ]
+        proj = " + ".join(f"({term})" for term in terms)
+        bits.append(f"(CASE WHEN {proj} >= 0 THEN {1 << i} ELSE 0 END)")
+    return " + ".join(bits)
+
+
 def _srp_neardup_oracle(
     threshold: float = 0.9,
     dim: int = 64,
@@ -982,21 +1000,11 @@ def _srp_neardup_oracle(
     (sorted-dimension, left-associative) order as the Spark expression, so
     the sign decisions are bit-identical. ``source``/``prelude`` let the
     caller run the pipeline over a derived CTE instead of the raw table."""
-    from .operators.similarity import _sparse_planes
-
-    table_selects = []
-    for t in range(num_tables):
-        planes = _sparse_planes(dim, num_planes, t)
-        bits = []
-        for i, entries in enumerate(planes):
-            terms = [
-                ("" if sign > 0 else "-") + f"CAST(embedding[{idx + 1}] AS DOUBLE)"
-                for idx, sign in entries
-            ]
-            proj = " + ".join(f"({term})" for term in terms)
-            bits.append(f"(CASE WHEN {proj} >= 0 THEN {1 << i} ELSE 0 END)")
-        sig = " + ".join(bits)
-        table_selects.append(f"SELECT vec_id, {t} AS tbl, {sig} AS sig FROM {source}")
+    table_selects = [
+        f"SELECT vec_id, {t} AS tbl, {_sparse_sig_sql(dim, num_planes, t)} AS sig "
+        f"FROM {source}"
+        for t in range(num_tables)
+    ]
     buckets = "\n      UNION ALL ".join(table_selects)
     return f"""
     WITH {prelude}buckets AS (
