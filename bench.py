@@ -114,7 +114,18 @@ def previous_round_warm() -> dict[str, float]:
         doc = json.load(open(files[-1]))
         if "queries_warm" in doc:
             return doc["queries_warm"]
-        m = re.search(r'\{"metric".*\}', doc.get("tail", ""))
+        parsed = doc.get("parsed")
+        if isinstance(parsed, dict) and "queries_warm" in parsed:
+            return parsed["queries_warm"]
+        tail = doc.get("tail", "")
+        # The driver FRONT-truncates the tail, so the bench JSON line often
+        # starts mid-object and a whole-line parse fails. The queries_warm
+        # object itself is flat (no nested braces), so match it directly.
+        m = re.search(r'"queries_warm":\s*(\{[^{}]*\})', tail)
+        if m:
+            return json.loads(m.group(1))
+        # Last resort: whole-line parse for an untruncated tail.
+        m = re.search(r'\{"metric".*\}', tail)
         if m:
             return json.loads(m.group(0)).get("queries_warm", {})
     except Exception:
@@ -158,6 +169,14 @@ def main() -> None:
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     prev = previous_round_warm()
+    import glob as _glob
+
+    have_prev_bench = bool(
+        _glob.glob(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json"))
+    )
+    # Self-check (VERDICT r3 finding #1): a prior BENCH file with an empty
+    # parse means the regression flagger is blind — surface it, don't mask it.
+    prev_parse_ok = bool(prev) or not have_prev_bench
     regressions = {
         name: {"warm": warm[name], "prev_warm": prev[name]}
         for name in warm
@@ -176,6 +195,8 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cpus": CPUS,
         "warm_regressions_vs_prev_round": regressions,
+        "prev_round_warm_parse_ok": prev_parse_ok,
+        "prev_round_warm_count": len(prev),
         "notes": (
             "warm times since r02 release per-invocation operator caches between "
             "runs (plans.inspect.release_intermediates), so every run recomputes "
@@ -186,7 +207,12 @@ def main() -> None:
             "q05's r02 flag (1.56->2.03s) was investigated r03: 6 back-to-back runs "
             "span 1.64-1.95s with an unchanged all-broadcast plan (4 "
             "BroadcastHashJoin, 0 SortMergeJoin) - same-machine load jitter, not a "
-            "plan change. q102_minhash_xxhash is q31 on the production xxhash64 "
+            "plan change. q01's r03 flag (1.078->1.422s, masked by the then-broken "
+            "tail parser, fixed r04) was investigated r04 with the same protocol "
+            "(tools/rerun_query.py): 6 back-to-back runs span 0.893-1.345s (min "
+            "BELOW the r02 number) on the unchanged scan->partial-agg->final plan "
+            "(1 Exchange, 0 joins, 0 SinglePartition) - load jitter, closed. "
+            "q102_minhash_xxhash is q31 on the production xxhash64 "
             "hash family; the md5/xxhash64 delta is the cross-engine oracle "
             "determinism tax q31 pays."
         ),
