@@ -1536,13 +1536,61 @@ def q51(spark, sf_dir):
     )
 
 
+def _lsh_topk_oracle(
+    k: int = 5,
+    dim: int = 64,
+    num_planes: int = 4,
+    num_tables: int = 8,
+    query_pred: str = "vec_id < 5",
+) -> str:
+    """DuckDB replica of the lsh_topk pipeline (operators/similarity.py):
+    identical sparse-plane entries → identical signatures → identical
+    query↔corpus candidate set → identical re-ranked top-k. Same
+    machinery as q35's ``_srp_neardup_oracle``, with a separate query
+    bucket side instead of a self-join."""
+    cbuckets = "\n      UNION ALL ".join(
+        f"SELECT vec_id, {t} AS tbl, {_sparse_sig_sql(dim, num_planes, t)} AS sig "
+        f"FROM embeddings"
+        for t in range(num_tables)
+    )
+    qbuckets = "\n      UNION ALL ".join(
+        f"SELECT vec_id AS query_id, {t} AS tbl, "
+        f"{_sparse_sig_sql(dim, num_planes, t)} AS sig "
+        f"FROM embeddings WHERE {query_pred}"
+        for t in range(num_tables)
+    )
+    return f"""
+    WITH cbuckets AS (
+      {cbuckets}),
+    qbuckets AS (
+      {qbuckets}),
+    cand AS (
+      SELECT DISTINCT c.vec_id, q.query_id
+      FROM cbuckets c JOIN qbuckets q ON c.tbl = q.tbl AND c.sig = q.sig
+      WHERE c.vec_id != q.query_id),
+    scored AS (
+      SELECT cand.query_id, cand.vec_id AS neighbor_id,
+             round({_cosine_sql('e.embedding', 'eq.embedding')}, 6) AS sim
+      FROM cand
+      JOIN embeddings e ON e.vec_id = cand.vec_id
+      JOIN embeddings eq ON eq.vec_id = cand.query_id)
+    SELECT query_id, neighbor_id, sim, rank FROM (
+      SELECT query_id, neighbor_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+      FROM scored) t
+    WHERE rank <= {k}
+    """
+
+
 @q(
     "q52_lsh_topk",
-    None,
+    _lsh_topk_oracle(k=5, num_planes=4, num_tables=8),
     "Approximate ANN via SRP-LSH bucketing (operators/similarity.py "
     "lsh_topk) — the scale path when the query set is too large to "
-    "broadcast. Approximate by construction → rows-only check here; "
-    "recall vs exact brute force asserted in tests/test_operators.py.",
+    "broadcast. Value-checked (r4): the oracle replicates the exact "
+    "sparse-plane bucket pipeline (q35's machinery), so both engines "
+    "surface the identical candidate set and re-ranked top-k; recall vs "
+    "exact brute force additionally asserted in tests/test_operators.py.",
 )
 def q52(spark, sf_dir):
     from .operators.similarity import lsh_topk
@@ -1889,13 +1937,66 @@ def q65(spark, sf_dir):
     return sample_video_frames(media, every_n=2)
 
 
+def _ivf_topk_oracle(
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 6,
+    query_pred: str = "vec_id < 5",
+) -> str:
+    """DuckDB replica of the ivf_topk pipeline (operators/similarity.py):
+    centroids are the first ``n_centroids`` vectors by id (deterministic),
+    assignment is argmax of the rounded dot with ties to the larger cid
+    (the max_by(cid, struct(score, cid)) rule), probes are the top
+    ``nprobe`` centroids per query under the same ordering, and the final
+    re-rank is exact rounded cosine — every step matches the Spark
+    operator bit-for-bit, so the approximate result is value-checkable."""
+    cdot = _DOT.format(a="e.embedding", b="c.cvec")
+    return f"""
+    WITH cents AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cvec
+      FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {n_centroids})),
+    cscore AS (
+      SELECT e.vec_id, c.cid, round({cdot}, 6) AS score
+      FROM embeddings e CROSS JOIN cents c),
+    assigned AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cid DESC) AS rn
+        FROM cscore) t WHERE rn = 1),
+    qscore AS (
+      SELECT e.vec_id AS query_id, c.cid, round({cdot}, 6) AS score
+      FROM embeddings e CROSS JOIN cents c WHERE e.{query_pred}),
+    probes AS (
+      SELECT query_id, cid FROM (
+        SELECT query_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, cid DESC) AS rn
+        FROM qscore) t WHERE rn <= {nprobe}),
+    cand AS (
+      SELECT DISTINCT a.vec_id, p.query_id
+      FROM assigned a JOIN probes p ON a.cid = p.cid
+      WHERE a.vec_id != p.query_id),
+    scored AS (
+      SELECT cand.query_id, cand.vec_id AS neighbor_id,
+             round({_cosine_sql('e.embedding', 'eq.embedding')}, 6) AS sim
+      FROM cand
+      JOIN embeddings e ON e.vec_id = cand.vec_id
+      JOIN embeddings eq ON eq.vec_id = cand.query_id)
+    SELECT query_id, neighbor_id, sim, rank FROM (
+      SELECT query_id, neighbor_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+      FROM scored) t
+    WHERE rank <= {k}
+    """
+
+
 @q(
     "q66_ivf_topk",
-    None,
+    _ivf_topk_oracle(k=5, n_centroids=16, nprobe=6),
     "Approximate ANN via an IVF coarse index (operators/similarity.py "
-    "ivf_topk): assign → probe nprobe lists → exact re-rank. Approximate "
-    "by construction → rows-only check; recall vs the exact brute force "
-    "asserted in tests/test_operators.py.",
+    "ivf_topk): assign → probe nprobe lists → exact re-rank. Value-checked "
+    "(r4): centroids are deterministic (first-16 by id), assignment/probe "
+    "ordering uses rounded scores with cid tiebreaks, so the oracle "
+    "replicates the full approximate pipeline, not just its shape.",
 )
 def q66(spark, sf_dir):
     from .operators.similarity import ivf_topk
@@ -3303,75 +3404,68 @@ def q106(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # Catalog ordering. The driver's CORRECTNESS file covers only the FIRST 50
 # ``queries()`` entries, so the verdict window is a scarce resource.
-# Round-3 window: (a) the 9 round-2 additions that have never been
-# driver-graded (q91–q99), (b) this round's new queries (q100/q101) and
-# the re-graded non-vacuous q35, (c) regression canaries whose operators
-# changed this round (q02 ranked_sort, q25 session semantics, q30/q31
-# dedup module — pinned per round-2 advice), then (d) 34 round-1 queries
-# that have exactly ONE driver verdict, giving them a second grade. The
-# remainder (all driver-graded in r01+r02) follows after slot 50;
-# cross-round coverage is the union of the three windows, and every entry
-# regardless of position is verified by tests/test_oracle_parity.py
-# against the same comparison.
+# Round-4 window: (a) new r4 oracles that have never been value-graded
+# (q52 SRP top-k, q66 IVF — both moved off rows-only this round), (b)
+# regression canaries whose operators/oracle machinery changed this round
+# (q92 connected-components rewrite, q35/q31 shared LSH machinery, q02
+# perennial sort canary), (c) this round's new queries (slots reserved,
+# backfilled as added), then (d) the round-2-only cohort — queries whose
+# single driver verdict is from r2 — for second grades. Deliberately
+# deferred to r5 (single green verdict, untouched pure-Catalyst SQL
+# surface, lowest regression risk): q41 q42 q45 q46 q48 q49 q57 q58 q59
+# q74 q76; rows-only entries add no hash evidence on a regrade and also
+# wait (q51 q64 q75 q90). Cross-round coverage is the union of the four
+# windows, and every entry regardless of position is verified by
+# tests/test_oracle_parity.py against the same comparison.
 # ---------------------------------------------------------------------------
 
 _VERDICT_WINDOW = [
-    # (a) never driver-graded: added after round 2's window was full
-    "q91_variant_type",
+    # (a) new r4 value-checks: first-ever hash-graded verdicts
+    "q52_lsh_topk",
+    "q66_ivf_topk",
+    # (b) canaries: operators/machinery touched this round
     "q92_dedup_clusters",
-    "q93_csv_source",
-    "q94_json_source",
-    "q95_sequence_packing",
-    "q96_regex_tokens",
-    "q97_audio_features",
-    "q98_pii_redaction",
-    "q99_normalize_text",
-    # (b) new this round + re-graded with a non-empty (planted) result
-    "q100_session_window",
-    "q101_resize_images",
     "q35_embedding_neardup",
-    # (c) canaries: operators touched this round
-    "q02_global_sort",
-    "q25_sessionize",
-    "q30_ngram_jaccard_pairs",
     "q31_minhash_lsh_pairs",
-    # (d) single-verdict round-1 queries: second grade
-    "q01_pricing_summary",
-    "q03_top_revenue_orders",
-    "q04_filter_project",
-    "q05_region_revenue",
-    "q06_left_join",
-    "q07_semi_join",
-    "q08_anti_join",
-    "q09_window_funcs",
-    "q10_rollup",
-    "q11_cube",
-    "q12_grouping_sets",
-    "q13_intersect",
-    "q14_except",
-    "q15_union_distinct",
-    "q16_distinct_agg",
-    "q17_string_funcs",
-    "q18_datetime",
-    "q20_case_bucket",
-    "q21_topk_per_group",
-    "q22_percentiles",
-    "q23_stats_formula",
-    "q24_asof_join",
-    "q26_tumbling_window",
-    "q27_sliding_window",
-    "q28_dedup_exact_groups",
-    "q29_dedup_exact_keep_first",
-    "q33_fingerprint",
-    "q34_cosine_topk",
-    "q37_token_stats",
-    "q38_quality_score",
-    # new LLM-pipeline operators this round: fresh verdicts beat second
-    # grades, so these take the last four slots
-    "q103_decontamination",
-    "q104_repetition_score",
-    "q105_source_mixing",
-    "q106_vocab_build",
+    "q02_global_sort",
+    # (c) new r4 queries get inserted here as they are added
+    # (d) round-2-only cohort: second grades
+    "q36_lang_stats",
+    "q39_lang_id",
+    "q40_global_agg",
+    "q43_array_funcs",
+    "q44_json_map",
+    "q47_regex",
+    "q50_range_join",
+    "q53_pandas_udf",
+    "q54_grouped_map",
+    "q55_grouped_agg_udaf",
+    "q56_udtf",
+    "q60_theta_join",
+    "q61_tfidf",
+    "q62_ngrams",
+    "q63_salted_join",
+    "q65_frame_sample",
+    "q67_window_analytics",
+    "q68_hash_split",
+    "q69_interval_join",
+    "q70_data_prep_pipeline",
+    "q71_returned_revenue",
+    "q72_brand_share",
+    "q73_collect_agg",
+    "q77_min_cost_supplier",
+    "q78_value_share",
+    "q79_qualified_suppliers",
+    "q80_low_activity_premium",
+    "q81_lateral_topk",
+    "q82_recursive_spine",
+    "q83_doc_chunks",
+    "q84_multiset_ops",
+    "q85_grouping_flags",
+    "q86_right_outer_join",
+    "q87_full_outer_join",
+    "q88_binaryfile_ingest",
+    "q89_builtin_stats",
 ]
 
 
