@@ -58,11 +58,17 @@ def write_csv(df: DataFrame, path: str, mode: str = "overwrite", header: bool = 
     df.write.mode(mode).option("header", header).csv(path)
 
 
-# events.parquet stores ts as parquet TIMESTAMP(NANOS), which Spark 4
-# refuses to map to TimestampType (PARQUET_TYPE_ILLEGAL). Reading with a
-# schema-forced LongType yields raw nanos with no session conf needed;
-# we then truncate to microseconds — exactly what DuckDB does when it
-# casts ns → its µs TIMESTAMP, keeping the oracle comparison exact.
+# The events fixture's ts column has shipped in two physical layouts:
+# parquet TIMESTAMP(NANOS) (which Spark 4 refuses to map to TimestampType,
+# PARQUET_TYPE_ILLEGAL) and plain TIMESTAMP(MICROS). Both are INT64 on
+# disk, so one schema-forced LongType read handles both — sniff the unit
+# from the footer and truncate ns → µs (exactly DuckDB's ns → µs cast).
+# Deliberately NOT a native timestamp read for the µs layout: the file is
+# tz-naive (NTZ), and casting NTZ → TimestampType re-interprets the
+# wall-clock in the *session* timezone, making every epoch-derived value
+# session-tz-dependent. timestamp_micros(raw int) pins the instant to
+# the wall-clock-as-UTC reading under ANY session tz — the same instants
+# DuckDB's naive TIMESTAMP arithmetic produces.
 from pyspark.sql import functions as _F
 from pyspark.sql import types as _T
 
@@ -78,10 +84,24 @@ EVENTS_RAW_SCHEMA = _T.StructType(
 )
 
 
+def _events_ts_unit(path: str) -> str:
+    """Physical time unit of events.parquet's ts column ('us' or 'ns').
+
+    Footer-only read (no data pages); one file's footer answers for the
+    whole dataset since the fixture is written in one shot.
+    """
+    import pyarrow.parquet as _pq
+
+    field = _pq.read_schema(path).field("ts")
+    return getattr(field.type, "unit", "us")
+
+
 def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Events fixture with ts as a proper µs TimestampType."""
-    raw = spark.read.schema(EVENTS_RAW_SCHEMA).parquet(f"{sf_dir}/events.parquet")
-    return raw.withColumn("ts", _F.timestamp_micros(_F.expr("ts div 1000")))
+    path = f"{sf_dir}/events.parquet"
+    raw = spark.read.schema(EVENTS_RAW_SCHEMA).parquet(path)
+    micros = _F.expr("ts div 1000") if _events_ts_unit(path) == "ns" else _F.col("ts")
+    return raw.withColumn("ts", _F.timestamp_micros(micros))
 
 
 def write_bucketed(

@@ -100,13 +100,20 @@ def read_events_stream(spark, events_dir: str) -> DataFrame:
     ``events_dir`` must be a DIRECTORY containing events parquet file(s)
     — Spark's file streaming source rejects a bare file path ("Option
     'basePath' must be a directory"); symlink the fixture file into a
-    tmpdir when needed (see tests/test_streaming.py). The raw ts column
-    is nanos (see sources/io.py) and is converted to a µs timestamp.
+    tmpdir when needed (see tests/test_streaming.py). The fixture's ts
+    layout is sniffed per sources/io.py (ns-int64 legacy vs native µs)
+    and normalized to a µs timestamp either way, so batch and stream
+    readers agree bit-for-bit.
     """
-    from ..sources.io import EVENTS_RAW_SCHEMA
+    import glob as _glob
 
+    from ..sources.io import EVENTS_RAW_SCHEMA, _events_ts_unit
+
+    files = sorted(_glob.glob(f"{events_dir}/*.parquet"))
+    unit = _events_ts_unit(files[0]) if files else "us"
     raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(events_dir)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    micros = F.expr("ts div 1000") if unit == "ns" else F.col("ts")
+    return raw.withColumn("ts", F.timestamp_micros(micros))
 
 
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete"):

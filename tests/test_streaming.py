@@ -11,8 +11,9 @@ import pytest
 
 from pyspark.sql import functions as F
 
-from osmapreduceproject_spark.sources.io import EVENTS_RAW_SCHEMA, read_events
+from osmapreduceproject_spark.sources.io import read_events
 from osmapreduceproject_spark.streaming.windows import (
+    read_events_stream,
     session_counts,
     sliding_counts,
     stream_dedup,
@@ -30,8 +31,7 @@ def _events_stream_dir() -> str:
 
 
 def _stream_events(spark):
-    raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(_events_stream_dir())
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return read_events_stream(spark, _events_stream_dir())
 
 
 def _run(stream_df, name, mode="complete"):
@@ -179,10 +179,7 @@ def test_foreach_batch_sink(spark, tmp_path):
     src = _events_stream_dir()  # one source dir: the checkpoint pins its path
 
     def stream():
-        raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(src)
-        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))).select(
-            "event_id", "value"
-        )
+        return read_events_stream(spark, src).select("event_id", "value")
 
     q = write_stream_foreach_batch(stream(), out)
     q.awaitTermination()
