@@ -453,13 +453,21 @@ def dedup_clusters(
     threshold: float = 0.8,
     k: int = 3,
     max_iters: int = 20,
+    method: str = "label",
 ) -> DataFrame:
-    """Duplicate-cluster assignment: :func:`connected_components` over the
+    """Duplicate-cluster assignment: connected components over the
     exact-Jaccard near-dup pair graph — the canonical-representative step
     used to pick one survivor per duplicate group in training-data dedup.
+
+    ``method``: ``"label"`` (min-label propagation — converges in diameter
+    rounds, ideal for the shallow near-clique graphs real near-dups form)
+    or ``"star"`` (:func:`connected_components_star` — O(log n) rounds,
+    the safe choice when component shape is unknown/adversarial).
     """
     a, b = f"a_{id_col}", f"b_{id_col}"
     pairs = ngram_jaccard_pairs(df, id_col, text_col, threshold, k).select(a, b)
+    if method == "star":
+        return connected_components_star(df, pairs, id_col=id_col, a_col=a, b_col=b)
     return connected_components(df, pairs, id_col=id_col, a_col=a, b_col=b, max_iters=max_iters)
 
 

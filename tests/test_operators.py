@@ -376,6 +376,53 @@ def test_connected_components_raises_when_not_converged(spark):
     assert got == {i: 0 for i in range(n)}
 
 
+def test_connected_components_star_long_chain(spark):
+    """The adversarial case min-label propagation cannot handle: a
+    120-node path graph (diameter 119 ≫ max_iters=20). The min-label
+    version correctly raises; the large-star/small-star version must
+    converge in O(log n) rounds and label the whole chain 0 — the escape
+    hatch a 100 TB run switches to when component shape is unknown."""
+    import pytest
+
+    from osmapreduceproject_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+    from osmapreduceproject_spark.plans.inspect import release_intermediates
+
+    n = 120
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id bigint")
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "a_id bigint, b_id bigint"
+    )
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        connected_components(nodes, chain, max_iters=20)
+    release_intermediates()
+    labels = connected_components_star(nodes, chain)
+    bad = labels.where(labels.cluster_id != 0).count()
+    release_intermediates()
+    assert bad == 0
+
+
+def test_connected_components_star_matches_label_on_fixture(spark):
+    """Both component algorithms must agree exactly on the real near-dup
+    pair graph of the documents fixture (the q92 input)."""
+    from osmapreduceproject_spark.operators.dedup import dedup_clusters
+    from osmapreduceproject_spark.plans.inspect import release_intermediates
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    label = {
+        (r["doc_id"], r["cluster_id"])
+        for r in dedup_clusters(df, threshold=0.25, method="label").collect()
+    }
+    star = {
+        (r["doc_id"], r["cluster_id"])
+        for r in dedup_clusters(df, threshold=0.25, method="star").collect()
+    }
+    release_intermediates()
+    assert label == star
+
+
 def test_connected_components_checkpointing_path(spark):
     """A 12-node path needs ~11 propagation rounds: with
     checkpoint_interval=2 the localCheckpoint lineage cut fires several

@@ -157,3 +157,46 @@ def test_connected_components_match_union_find(spark, edges):
             parent[find(a)] = find(b)
     want = {i: min(j for j in range(n) if find(j) == find(i)) for i in range(n)}
     assert got == want
+
+
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=14), st.integers(min_value=0, max_value=14)
+        ),
+        min_size=0,
+        max_size=20,
+    )
+)
+@SET
+def test_connected_components_star_match_union_find(spark, edges):
+    """connected_components_star (large-star/small-star rounds) on random
+    graphs == Python union-find — same contract as the min-label version,
+    exercised over arbitrary chains/cycles/self-loop-free multigraphs."""
+    from osmapreduceproject_spark.operators.dedup import connected_components_star
+    from osmapreduceproject_spark.plans.inspect import release_intermediates
+
+    n = 15
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id bigint")
+    pairs = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in edges if a != b] or [(0, 0)],
+        "a_id bigint, b_id bigint",
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components_star(nodes, pairs).collect()
+    }
+    release_intermediates()
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        if a != b:
+            parent[find(a)] = find(b)
+    want = {i: min(j for j in range(n) if find(j) == find(i)) for i in range(n)}
+    assert got == want
