@@ -285,6 +285,46 @@ def test_connected_components_scale_smoke(spark):
     assert n_clusters == n // 3
 
 
+@_pytest.mark.skipif(
+    not _os.environ.get("SPARK_GRAFT_SCALE"),
+    reason="scale smoke: set SPARK_GRAFT_SCALE=1 (300k vectors through SRP-LSH)",
+)
+def test_embedding_neardup_scale_smoke(spark):
+    """300k synthetic 64-d vectors with 3,000 planted exact-duplicate
+    pairs through the full SRP-LSH→verify pipeline. Duplicates share
+    every sparse-plane signature, so bucket recall on them is 1.0 by
+    construction; random vectors (xxhash64-decorrelated components,
+    cosine concentrated near 0) cannot pass the ≥0.95 exact verify — so
+    found pairs must equal the planted set exactly. num_planes is the
+    scale knob and must grow ~log2(N): at the fixture default (10) random
+    collisions alone are C(300k,2)·2^-10·tables ≈ 264M candidate pairs,
+    while 20 planes cuts that to ~260k with exact-duplicate recall still
+    1.0. Mirrors the MinHash and connected-components smokes: evidence
+    the candidates-from-equi-joins design holds where an all-pairs plan
+    (4.5e10 cosines) could not run."""
+    from pyspark.sql import functions as F
+
+    from osmapreduceproject_spark.operators.similarity import embedding_neardup_pairs
+    from osmapreduceproject_spark.plans.inspect import release_intermediates
+
+    n = 300_000
+    base = F.when(F.col("id") % 100 == 0, F.col("id") + 1).otherwise(F.col("id"))
+    vecs = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda j: (F.pmod(F.xxhash64(base, j), F.lit(10007)) / 10007.0 - 0.5),
+        ).alias("embedding"),
+    )
+    got = {
+        (r["a_id"], r["b_id"])
+        for r in embedding_neardup_pairs(vecs, threshold=0.95, num_planes=20).collect()
+    }
+    release_intermediates()
+    want = {(i, i + 1) for i in range(0, n, 100)}
+    assert got == want
+
+
 def test_minhash_xxhash64_family_matches_md5_pairs(spark):
     """The production hash family (xxhash64, JVM intrinsic) must find the
     same verified near-dup pairs as the oracle-comparable md5 family on
