@@ -400,10 +400,20 @@ def kmeans(
         .select((F.row_number().over(wc) - 1).alias("cid"), F.col(vec_col).alias("__cvec"))
     )
     vecs = df.select(id_col, F.col(vec_col).alias("__v"))
+    # Squared diffs in DOUBLE even when both inputs are float32: float32
+    # subtract/multiply round differently across engines (and differently
+    # from iteration 2, where centroids are already double means), so the
+    # double cast is what makes every distance bit-identical to the
+    # unrolled SQL oracle's CAST(.. AS DOUBLE) arithmetic.
     dist2 = F.aggregate(
-        F.zip_with(F.col("__v"), F.col("__cvec"), lambda a, b: (a - b) * (a - b)),
+        F.zip_with(
+            F.col("__v"),
+            F.col("__cvec"),
+            lambda a, b: (a.cast("double") - b.cast("double"))
+            * (a.cast("double") - b.cast("double")),
+        ),
         F.lit(0.0),
-        lambda acc, x: acc + x.cast("double"),
+        lambda acc, x: acc + x,
     )
     for _ in range(iters):
         assigned = (
@@ -427,8 +437,14 @@ def kmeans(
                 F.count(F.lit(1)).alias("n"),
             )
         )
+        # Means rounded to 9 decimals per iteration: a double SUM's value
+        # depends on accumulation order (partitioning here, engine there),
+        # so unrounded means would feed last-ulp jitter forward into the
+        # next assignment round. The round is a fixed-point contraction of
+        # that jitter — it keeps every iteration's centroids identical
+        # across runs, partitionings, and engines.
         cents = (
-            per_dim.withColumn("m", F.col("s") / F.col("n"))
+            per_dim.withColumn("m", F.round(F.col("s") / F.col("n"), 9))
             .groupBy("cid")
             .agg(
                 F.transform(

@@ -2284,14 +2284,62 @@ def q74(spark, sf_dir):
     return e.select("event_id", F.explode(kept).alias("prop_key", "doubled"))
 
 
+def _kmeans_oracle(k: int = 8, iters: int = 2) -> str:
+    """DuckDB replica of the kmeans pipeline (operators/similarity.py):
+    the fixed iteration count lets the loop unroll into one CTE chain per
+    round (assign → per-(cid, dim) mean → re-list). Parity hinges on three
+    deliberate determinism choices shared with the operator: squared
+    diffs in DOUBLE (float32 arithmetic rounds differently across
+    engines), distances rounded to 9 decimals with ties to the smaller
+    cid (the min_by(cid, struct(d, cid)) rule), and centroid means
+    rounded to 9 decimals per iteration so accumulation-order jitter in
+    the double SUM cannot compound across rounds."""
+    d2 = (
+        "list_reduce(list_concat([CAST(0.0 AS DOUBLE)], "
+        "list_transform(range(1, 65), i -> "
+        "(CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)) * "
+        "(CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)))), (x, y) -> x + y)"
+    )
+    ctes = [
+        f"c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, "
+        f"embedding AS cvec "
+        f"FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {k}))"
+    ]
+    for it in range(1, iters + 1):
+        dist = d2.format(a="e.embedding", b="c.cvec")
+        ctes.append(
+            f"a{it} AS (SELECT vec_id, cid FROM ("
+            f"SELECT e.vec_id, c.cid, ROW_NUMBER() OVER ("
+            f"PARTITION BY e.vec_id ORDER BY round({dist}, 9), c.cid) AS rn "
+            f"FROM embeddings e CROSS JOIN c{it - 1} c) t WHERE rn = 1)"
+        )
+        ctes.append(
+            f"pd{it} AS (SELECT a.cid, t.i, "
+            f"round(SUM(CAST(e.embedding[t.i] AS DOUBLE)) / COUNT(*), 9) AS m, "
+            f"COUNT(*) AS n "
+            f"FROM a{it} a JOIN embeddings e USING (vec_id) "
+            f"CROSS JOIN range(1, 65) t(i) GROUP BY a.cid, t.i)"
+        )
+        ctes.append(
+            f"c{it} AS (SELECT cid, list(m ORDER BY i) AS cvec, "
+            f"MAX(n) AS n_members FROM pd{it} GROUP BY cid)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT cid, n_members, round(cvec[1], 6) AS c0 FROM c{iters}"
+    )
+
+
 @q(
     "q75_kmeans",
-    None,
+    _kmeans_oracle(k=8, iters=2),
     "Deterministic Lloyd k-means (operators/similarity.py kmeans): the "
     "canonical iterative MapReduce job — broadcast-join assignment (map) "
     "+ per-(cluster, dimension) partial-sum means (reduce) per round. "
-    "Iterative → not single-statement SQL; rows-only check here, "
-    "determinism and convergence asserted in tests.",
+    "Value-checked (r4): fixed iteration count unrolls into SQL, and "
+    "double-cast diffs + 9-decimal distance/mean rounding make every "
+    "round's assignments and centroids bit-identical across engines.",
 )
 def q75(spark, sf_dir):
     from .operators.similarity import kmeans
@@ -3429,6 +3477,7 @@ _VERDICT_WINDOW = [
     "q31_minhash_lsh_pairs",
     "q02_global_sort",
     # (c) new r4 queries get inserted here as they are added
+    "q75_kmeans",
     # (d) round-2-only cohort: second grades
     "q36_lang_stats",
     "q39_lang_id",
