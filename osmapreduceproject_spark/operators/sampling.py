@@ -71,3 +71,33 @@ def stratified_sample(
         .where(_bucket(key_col, salt) < (F.col("__rate") * BUCKETS).cast("bigint"))
         .drop("__rate")
     )
+
+
+def mixing_weights(
+    df: DataFrame, strata_col: str = "source", alpha: float = 0.7
+) -> DataFrame:
+    """Temperature-scaled source-mixing weights: weight_s ∝ n_s^alpha,
+    normalized — the standard multinomial re-balancing of corpus
+    construction (alpha < 1 up-weights small sources, alpha = 1 keeps
+    natural proportions). The output table is what
+    :func:`stratified_sample` consumes as its per-stratum rates.
+
+    Scale shape: one strata-keyed count aggregation (tiny result), one
+    broadcast single-row normalizer — the corpus is scanned once and
+    never shuffled beyond the count's partial aggregation. Weights
+    rounded to 6 decimals (pow/sum ulp differences across engines).
+    """
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    norm = counts.agg(
+        F.sum(F.pow(F.col("n_docs").cast("double"), F.lit(alpha))).alias("__z")
+    )
+    return (
+        counts.crossJoin(F.broadcast(norm))
+        .select(
+            F.col(strata_col),
+            F.col("n_docs"),
+            F.round(
+                F.pow(F.col("n_docs").cast("double"), F.lit(alpha)) / F.col("__z"), 6
+            ).alias("weight"),
+        )
+    )

@@ -385,3 +385,106 @@ def build_vocab(
     top = dfreq.orderBy(F.col("df").desc(), F.col("token").asc()).limit(size)
     w = Window.orderBy(F.col("df").desc(), F.col("token").asc())
     return top.withColumn("rank", F.row_number().over(w))
+
+
+def remove_boilerplate_tokens(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df_frac: float = 0.5,
+) -> DataFrame:
+    """Corpus-adaptive boilerplate removal: drop every token whose
+    document frequency exceeds ``max_df_frac`` of the corpus — the
+    data-driven generalization of a fixed stopword list (CCNet-style
+    "remove what the corpus itself says is template text"). Returns
+    (id, clean_text, n_removed) with surviving tokens in original order.
+
+    Scale shape: the boilerplate list is DERIVED (distinct-per-doc
+    explode → one token-keyed aggregation) but APPLIED as a narrow map —
+    the list collapses to a single sorted-array row (bounded by the
+    high-df vocabulary, small by Zipf's law) that broadcast-cross-joins
+    onto the corpus, where a higher-order ``filter`` keeps order and
+    duplicates. The corpus itself never shuffles for the removal pass.
+    """
+    toks = tokens(F.col(text_col))
+    dfreq = (
+        fan_out(df)
+        .select(F.explode(F.array_distinct(toks)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    n_docs = df.agg(F.count(F.lit(1)).alias("__n"))
+    stoplist = (
+        dfreq.crossJoin(F.broadcast(n_docs))
+        .where(F.col("df") > F.lit(max_df_frac) * F.col("__n"))
+        .agg(F.sort_array(F.collect_list("token")).alias("__stop"))
+    )
+    kept = F.filter(toks, lambda t: ~F.array_contains(F.col("__stop"), t))
+    return (
+        df.crossJoin(F.broadcast(stoplist))
+        .select(
+            F.col(id_col),
+            F.array_join(kept, " ").alias("clean_text"),
+            (F.size(toks) - F.size(kept)).alias("n_removed"),
+        )
+    )
+
+
+def unigram_logprob(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document mean unigram log2-probability under the corpus's own
+    unigram model — the cheap stand-in for the LM-perplexity quality
+    filter (CCNet/RedPajama): template/boilerplate text scores high,
+    rare-garbage text scores low. Returns (id, n_tokens, avg_logprob).
+
+    Scale shape: one token-keyed aggregation builds the model; the
+    corpus total collapses to one broadcast row; scoring is an equi-join
+    of exploded tokens against the (comparatively small) frequency table
+    followed by a doc-keyed aggregation. Rounded to 6 decimals so
+    double-sum accumulation order and libm log ulp differences can't
+    leak into the comparison.
+    """
+    toks = (
+        fan_out(df)
+        .select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token"))
+    )
+    freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    total = freq.agg(F.sum("c").alias("__n"))
+    return (
+        toks.join(freq, "token")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.avg(F.log2(F.col("c").cast("double") / F.col("__n"))), 6
+            ).alias("avg_logprob"),
+        )
+    )
+
+
+def word_entropy(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document Shannon entropy (bits) of the within-document word
+    distribution — the lexical-diversity quality signal: near-zero for
+    looping/template text, high for varied prose. Computed as
+    H = log2(n) − Σ c·log2(c) / n over per-word counts c, which keeps
+    the aggregation a single partial-summable pass (no per-word division
+    before the combine). Returns (id, n_tokens, entropy), 6 decimals.
+    """
+    counts = (
+        fan_out(df)
+        .select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token"))
+        .groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return counts.groupBy(id_col).agg(
+        F.sum("c").alias("n_tokens"),
+        F.round(
+            F.log2(F.sum("c"))
+            - F.sum(F.col("c") * F.log2("c")) / F.sum("c"),
+            6,
+        ).alias("entropy"),
+    )

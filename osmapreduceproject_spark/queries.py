@@ -3449,6 +3449,107 @@ def q106(spark, sf_dir):
     return text.build_vocab(d, size=100)
 
 
+@q(
+    "q107_boilerplate_removal",
+    """
+    WITH total AS (SELECT COUNT(*) AS n FROM documents),
+    toks AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+      FROM documents),
+    dfreq AS (SELECT token, COUNT(*) AS df FROM toks GROUP BY token),
+    stop AS (
+      SELECT coalesce(list(token ORDER BY token), []) AS sl
+      FROM dfreq, total WHERE df > CAST(0.78 AS DOUBLE) * total.n)
+    SELECT doc_id,
+           coalesce(array_to_string(
+             list_filter(string_split(text, ' '), w -> NOT list_contains(sl, w)),
+             ' '), '') AS clean_text,
+           len(string_split(text, ' '))
+             - len(list_filter(string_split(text, ' '), w -> NOT list_contains(sl, w)))
+             AS n_removed
+    FROM documents, stop
+    """,
+    "Corpus-adaptive boilerplate removal (operators/text.py "
+    "remove_boilerplate_tokens): tokens in >78% of documents are dropped "
+    "— the data-driven stopword list. The list is derived by one "
+    "token-keyed aggregation, collapses to a single broadcast array row, "
+    "and is applied as a narrow higher-order filter preserving token "
+    "order — the corpus never shuffles for the removal pass.",
+)
+def q107(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return text.remove_boilerplate_tokens(d, max_df_frac=0.78)
+
+
+@q(
+    "q108_unigram_logprob",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+    freq AS (SELECT token, COUNT(*) AS c FROM toks GROUP BY token),
+    total AS (SELECT SUM(c) AS n FROM freq)
+    SELECT doc_id, COUNT(*) AS n_tokens,
+           round(AVG(log2(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))), 6) AS avg_logprob
+    FROM toks JOIN freq USING (token) CROSS JOIN total
+    GROUP BY doc_id
+    """,
+    "Per-document mean unigram log2-probability under the corpus's own "
+    "unigram model (operators/text.py unigram_logprob) — the cheap LM "
+    "perplexity quality proxy (CCNet-style). Model = one token-keyed "
+    "aggregation; scoring = exploded tokens equi-joined against the "
+    "frequency table + doc-keyed aggregation; 6-decimal rounding "
+    "absorbs sum-order and libm-log ulp differences.",
+)
+def q108(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return text.unigram_logprob(d)
+
+
+@q(
+    "q109_word_entropy",
+    """
+    WITH counts AS (
+      SELECT doc_id, token, COUNT(*) AS c FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+      GROUP BY doc_id, token)
+    SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+           round(log2(CAST(SUM(c) AS DOUBLE))
+                 - SUM(c * log2(CAST(c AS DOUBLE))) / SUM(c), 6) AS entropy
+    FROM counts GROUP BY doc_id
+    """,
+    "Per-document Shannon entropy of the within-doc word distribution "
+    "(operators/text.py word_entropy) — the lexical-diversity quality "
+    "signal (near 0 for looping/template text). H = log2(n) − "
+    "Σ c·log2(c)/n keeps the aggregation one partial-summable pass: no "
+    "per-word division before the combine.",
+)
+def q109(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return text.word_entropy(d)
+
+
+@q(
+    "q110_mixing_weights",
+    """
+    WITH g AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+    z AS (SELECT SUM(pow(CAST(n_docs AS DOUBLE), 0.7)) AS z FROM g)
+    SELECT source, n_docs,
+           round(pow(CAST(n_docs AS DOUBLE), 0.7) / z, 6) AS weight
+    FROM g, z
+    """,
+    "Temperature-scaled source-mixing weights (operators/sampling.py "
+    "mixing_weights): weight ∝ n^0.7 normalized — the multinomial "
+    "re-balancing of corpus construction, producing the rates table "
+    "stratified_sample consumes. One strata-keyed count + one broadcast "
+    "normalizer row; the corpus is scanned once.",
+)
+def q110(spark, sf_dir):
+    from .operators.sampling import mixing_weights
+
+    d = _t(spark, sf_dir, "documents")
+    return mixing_weights(d, alpha=0.7)
+
+
 # ---------------------------------------------------------------------------
 # Catalog ordering. The driver's CORRECTNESS file covers only the FIRST 50
 # ``queries()`` entries, so the verdict window is a scarce resource.
@@ -3478,6 +3579,10 @@ _VERDICT_WINDOW = [
     "q02_global_sort",
     # (c) new r4 queries get inserted here as they are added
     "q75_kmeans",
+    "q107_boilerplate_removal",
+    "q108_unigram_logprob",
+    "q109_word_entropy",
+    "q110_mixing_weights",
     # (d) round-2-only cohort: second grades
     "q36_lang_stats",
     "q39_lang_id",

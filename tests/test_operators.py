@@ -927,3 +927,83 @@ def test_build_vocab_rank_and_plan(spark):
     assert rows[2]["token"] == "rare0"  # df ties broken by token ASC
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_remove_boilerplate_tokens_semantics(spark):
+    """Order and duplicates preserved for survivors; threshold 1.0 keeps
+    everything (empty stoplist must behave as a no-op, not a null trap);
+    a fully-boiled-away doc yields '' and the full removal count."""
+    from pyspark.sql import Row
+
+    from osmapreduceproject_spark.operators.text import remove_boilerplate_tokens
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=0, text="the cat the dog the"),
+            Row(doc_id=1, text="the the"),
+            Row(doc_id=2, text="the bird"),
+        ]
+    )
+    # 'the' is in 3/3 docs; everything else in 1/3.
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_removed"])
+        for r in remove_boilerplate_tokens(df, max_df_frac=0.5).collect()
+    }
+    assert got[0] == ("cat dog", 3)
+    assert got[1] == ("", 2)
+    assert got[2] == ("bird", 1)
+    noop = {
+        r["doc_id"]: r["n_removed"]
+        for r in remove_boilerplate_tokens(df, max_df_frac=1.0).collect()
+    }
+    assert noop == {0: 0, 1: 0, 2: 0}
+
+
+def test_unigram_logprob_uniform_corpus(spark):
+    """On a corpus whose unigram model is uniform over 4 types, every
+    token scores log2(1/4) = -2 exactly."""
+    from pyspark.sql import Row
+
+    from osmapreduceproject_spark.operators.text import unigram_logprob
+
+    df = spark.createDataFrame(
+        [Row(doc_id=0, text="a b"), Row(doc_id=1, text="c d")]
+    )
+    got = {r["doc_id"]: (r["n_tokens"], r["avg_logprob"]) for r in unigram_logprob(df).collect()}
+    assert got == {0: (2, -2.0), 1: (2, -2.0)}
+
+
+def test_word_entropy_extremes(spark):
+    """Zero bits for a single repeated word; exactly 1 bit for a 50/50
+    two-word doc; 6-decimal rounding for the general case."""
+    from pyspark.sql import Row
+
+    from osmapreduceproject_spark.operators.text import word_entropy
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=0, text="x x x x"),
+            Row(doc_id=1, text="x y x y"),
+            Row(doc_id=2, text="x x x y"),
+        ]
+    )
+    got = {r["doc_id"]: (r["n_tokens"], r["entropy"]) for r in word_entropy(df).collect()}
+    assert got[0] == (4, 0.0)
+    assert got[1] == (4, 1.0)
+    assert got[2] == (4, 0.811278)  # H(3/4, 1/4)
+
+
+def test_mixing_weights_normalized(spark):
+    """alpha=1 reproduces natural proportions; alpha<1 up-weights the
+    small source; weights always sum to ~1."""
+    from pyspark.sql import Row
+
+    from osmapreduceproject_spark.operators.sampling import mixing_weights
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, source="big" if i < 90 else "small") for i in range(100)]
+    )
+    nat = {r["source"]: r["weight"] for r in mixing_weights(df, alpha=1.0).collect()}
+    assert nat == {"big": 0.9, "small": 0.1}
+    temp = {r["source"]: r["weight"] for r in mixing_weights(df, alpha=0.5).collect()}
+    assert temp["small"] > 0.1 and abs(sum(temp.values()) - 1.0) < 1e-5
