@@ -438,12 +438,16 @@ def unigram_logprob(
     filter (CCNet/RedPajama): template/boilerplate text scores high,
     rare-garbage text scores low. Returns (id, n_tokens, avg_logprob).
 
-    Scale shape: one token-keyed aggregation builds the model; the
-    corpus total collapses to one broadcast row; scoring is an equi-join
-    of exploded tokens against the (comparatively small) frequency table
-    followed by a doc-keyed aggregation. Rounded to 6 decimals so
-    double-sum accumulation order and libm log ulp differences can't
-    leak into the comparison.
+    Scale shape: one token-keyed aggregation builds the model (partial
+    agg collapses each partition to ~vocabulary rows before the
+    shuffle); the corpus total collapses to one broadcast row; scoring
+    BROADCASTS the frequency table — vocabulary is corpus-sublinear by
+    Zipf/Heaps, so this keeps the exploded corpus from re-shuffling on
+    token (the naive equi-join would move every token twice). The final
+    doc-keyed aggregation again partial-aggregates to ~1 row per doc per
+    partition (a doc's exploded tokens are co-located). Rounded to 6
+    decimals so double-sum accumulation order and libm log ulp
+    differences can't leak into the comparison.
     """
     toks = (
         fan_out(df)
@@ -452,7 +456,7 @@ def unigram_logprob(
     freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
     total = freq.agg(F.sum("c").alias("__n"))
     return (
-        toks.join(freq, "token")
+        toks.join(F.broadcast(freq), "token")
         .crossJoin(F.broadcast(total))
         .groupBy(id_col)
         .agg(
