@@ -319,6 +319,11 @@ def connected_components(
             .limit(1)
             .count()
         )
+        # The convergence probe materialized new_labels; the previous
+        # round's label cache is dead — release it eagerly so storage
+        # stays at one label frame regardless of iteration count.
+        if it > 0:
+            labels.unpersist()
         labels = new_labels
         if changed == 0:
             converged = True
@@ -422,6 +427,12 @@ def connected_components_star(
             .distinct()
         )
         new_sig = _signature(new_edges)
+        # The signature action just materialized new_edges' cache, so the
+        # previous round's frames are dead — release them NOW instead of
+        # at release_intermediates(): storage stays bounded at one
+        # round's edge sets however many rounds a 100 TB graph takes.
+        large.unpersist()
+        edges.unpersist()
         edges = new_edges
         if new_sig == sig:
             converged = True
