@@ -255,3 +255,23 @@ def test_aqe_skew_join_splits_at_runtime(spark):
     finally:
         for k, v in saved.items():
             conf.set(k, v)
+
+
+def test_unigram_model_broadcasts_q108(spark):
+    """The logprob scoring join must broadcast the (Zipf-small) frequency
+    table — a sort-merge join here would re-shuffle the exploded corpus
+    on token, the exact shape the operator exists to avoid."""
+    df = QUERIES["q108_unigram_logprob"].fn(spark, SF_CORRECT)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_boilerplate_stoplist_broadcasts_q107(spark):
+    """The derived stoplist must reach the corpus as a broadcast
+    single-row array (BroadcastNestedLoopJoin over one row), never a
+    shuffled join of the corpus."""
+    df = QUERIES["q107_boilerplate_removal"].fn(spark, SF_CORRECT)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
