@@ -346,7 +346,6 @@ def connected_components_star(
     a_col: str = "a_id",
     b_col: str = "b_id",
     max_rounds: int = 40,
-    checkpoint_interval: int = 3,
 ) -> DataFrame:
     """Connected components via alternating large-star/small-star rounds
     (Kiveris et al., "Connected Components in MapReduce and Beyond",
@@ -370,11 +369,23 @@ def connected_components_star(
     is detected by an O(1)-row signature (count + bit_xor of xxhash64 over
     canonical edges) going stable across a full round — no driver-side
     edge materialization. Labels then read directly off the final stars.
-    At 100 TB: every step is an equi-join/groupBy on edges (shuffles the
-    edge set, never the corpus), intermediate star edges are persisted and
-    released per round, and lineage is cut by localCheckpoint every
-    ``checkpoint_interval`` rounds. Deterministic: min/bit_xor are
-    order-insensitive.
+
+    Each round's output is an EAGER ``localCheckpoint`` — a deliberate
+    plan-size control, not just a lineage cut: one round references its
+    input ~12× (two unions, two self-aggregation joins), so building on
+    live plans grows the logical tree ~12× per round and the driver dies
+    assembling plan/explain strings long before the data is a problem
+    (measured: a 5-round toy graph OOMs an 8 GB driver). Persist-based
+    cache substitution also bounds this, but only while every prior
+    round's cache entry is retained; the checkpoint leaf makes round
+    plans O(1) by construction and lets each round's scratch (the
+    persisted large-star frame, the previous round's blocks) be released
+    as soon as the next checkpoint materializes. At 100 TB: every step is
+    an equi-join/groupBy on edges (shuffles the edge set, never the
+    corpus), and the per-round checkpoint is the standard iterative-graph
+    discipline (executor-local blocks; use ``checkpoint()`` with a
+    cluster dir where executor loss must be survivable mid-job).
+    Deterministic: min/bit_xor are order-insensitive.
 
     ``max_rounds`` is a safety guard like ``max_iters`` in the label
     version: O(log²n) convergence makes 40 rounds astronomically more than
@@ -385,10 +396,10 @@ def connected_components_star(
     e_raw = pairs.select(F.col(a_col).alias("x"), F.col(b_col).alias("y")).where(
         F.col(a_col) != F.col(b_col)
     )
-    edges = tracked_persist(
-        e_raw.select(
-            F.greatest("x", "y").alias("u"), F.least("x", "y").alias("v")
-        ).distinct()
+    edges = (
+        e_raw.select(F.greatest("x", "y").alias("u"), F.least("x", "y").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
     )
 
     def _signature(e: DataFrame) -> tuple:
@@ -419,27 +430,27 @@ def connected_components_star(
         # Small-star over the (already large→small) star edges:
         # m = min(N(u)); reconnect every neighbor and u itself to m.
         mins2 = large.groupBy("u").agg(F.min("v").alias("mn"))
-        new_edges = tracked_persist(
+        new_edges = (
             large.join(mins2, "u")
             .select(F.col("v").alias("u"), F.col("mn").alias("v"))
             .union(mins2.select(F.col("u"), F.col("mn").alias("v")))
             .where(F.col("u") != F.col("v"))
             .distinct()
+            .localCheckpoint(eager=True)
         )
         new_sig = _signature(new_edges)
-        # The signature action just materialized new_edges' cache, so the
-        # previous round's frames are dead — release them NOW instead of
-        # at release_intermediates(): storage stays bounded at one
-        # round's edge sets however many rounds a 100 TB graph takes.
+        # The eager checkpoint materialized new_edges as its own blocks,
+        # so this round's scratch is dead — release the persisted
+        # large-star frame now (the previous round's checkpoint blocks
+        # are freed by the ContextCleaner once unreferenced): storage
+        # stays bounded at ~one round's edge sets however many rounds a
+        # 100 TB graph takes.
         large.unpersist()
-        edges.unpersist()
         edges = new_edges
         if new_sig == sig:
             converged = True
             break
         sig = new_sig
-        if checkpoint_interval and (rnd + 1) % checkpoint_interval == 0:
-            edges = edges.localCheckpoint(eager=True)
     if not converged:
         raise RuntimeError(
             f"connected_components_star did not stabilize in {max_rounds} "

@@ -51,6 +51,20 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Long-running-driver hygiene (a 100 TB driver runs for days; the
+        # test session runs thousands of jobs): the SQL status listener
+        # retains plan-graph strings for up to 1000 executions even with
+        # the UI disabled — iterative operators (connected components,
+        # k-means) generate large plans per round and can OOM the driver
+        # heap on retention alone. Keep a small window; likewise bound
+        # job/stage retention and run the ContextCleaner's periodic GC
+        # often enough that shuffle/broadcast/checkpoint state from
+        # finished iterations is actually released.
+        .config("spark.sql.ui.retainedExecutions", "50")
+        .config("spark.ui.retainedJobs", "200")
+        .config("spark.ui.retainedStages", "200")
+        .config("spark.ui.retainedTasks", "2000")
+        .config("spark.cleaner.periodicGC.interval", "2min")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
