@@ -46,6 +46,8 @@ BENCH_QUERIES = [
     "q66_ivf_topk",
     "q77_min_cost_supplier",
     "q83_doc_chunks",
+    "q107_boilerplate_removal",  # r4: corpus-derived stoplist, broadcast apply
+    "q108_unigram_logprob",  # r4: LM-proxy scoring, broadcast model
     "conf_sort_seeded",
     "conf_max_seeded",
 ]
@@ -214,7 +216,9 @@ def main() -> None:
             "(1 Exchange, 0 joins, 0 SinglePartition) - load jitter, closed. "
             "q102_minhash_xxhash is q31 on the production xxhash64 "
             "hash family; the md5/xxhash64 delta is the cross-engine oracle "
-            "determinism tax q31 pays."
+            "determinism tax q31 pays. r04 adds q107_boilerplate_removal and "
+            "q108_unigram_logprob (new corpus-model operators) to the headline "
+            "set - subtract both for like-for-like totals vs r03."
         ),
         "reference": reference_timings(),
     }
