@@ -275,3 +275,28 @@ def test_boilerplate_stoplist_broadcasts_q107(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_star_components_plan_stays_bounded(spark):
+    """Iterative-loop plan discipline: each star round must emit a
+    checkpoint LEAF, so the final label plan is O(1) in round count. A
+    regression to live-plan chaining grows the tree ~12x per round (two
+    unions + two self-aggregation joins) and OOMs the driver assembling
+    plan strings before data size is ever a factor — this pins the fix."""
+    from pyspark.sql import functions as F
+
+    from osmapreduceproject_spark.operators.dedup import connected_components_star
+    from osmapreduceproject_spark.plans.inspect import release_intermediates
+
+    n = 64
+    nodes = spark.range(n).select(F.col("id").alias("doc_id"))
+    chain = spark.range(n - 1).select(
+        F.col("id").alias("a_id"), (F.col("id") + 1).alias("b_id")
+    )
+    labels = connected_components_star(nodes, chain)  # ~7 star rounds
+    plan = labels._jdf.queryExecution().optimizedPlan().toString()
+    release_intermediates()
+    # The edge side of the label join must be a materialized leaf, and the
+    # whole optimized plan must stay small regardless of rounds run.
+    assert "LogicalRDD" in plan or "ExistingRDD" in plan, plan[:2000]
+    assert len(plan) < 20_000, f"plan grew to {len(plan)} chars"
