@@ -3550,6 +3550,68 @@ def q110(spark, sf_dir):
     return mixing_weights(d, alpha=0.7)
 
 
+@q(
+    "q111_neardup_survivors",
+    f"""
+    WITH RECURSIVE
+    {_JACCARD_PAIRS_CTE},
+    edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+              UNION ALL SELECT b_id, a_id FROM pairs),
+    walk AS (
+      SELECT doc_id AS node, doc_id AS label FROM documents
+      UNION
+      SELECT e.src AS node, w.label FROM edges e JOIN walk w ON w.node = e.dst),
+    clusters AS (SELECT node AS doc_id, MIN(label) AS cluster_id FROM walk GROUP BY node)
+    SELECT cluster_id AS survivor_id, COUNT(*) AS n_members
+    FROM clusters GROUP BY cluster_id HAVING COUNT(*) > 1
+    """,
+    "End-to-end near-dedup summary (dedup_clusters → keep-first): each "
+    "duplicate group's surviving doc (the component minimum — exactly the "
+    "row a keep-first pass retains) with its member count; singleton "
+    "clusters are filtered so the result is the removal worklist. One "
+    "k-key aggregation over the q92 cluster assignment.",
+)
+def q111(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    clusters = dedup.dedup_clusters(d, threshold=0.8)
+    return (
+        clusters.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .where(F.col("n_members") > 1)
+        .select(F.col("cluster_id").alias("survivor_id"), "n_members")
+    )
+
+
+@q(
+    "q112_shard_stats",
+    f"""
+    SELECT {md5_int_sql("CAST(doc_id AS VARCHAR)")} % 16 AS shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars_total
+    FROM documents GROUP BY 1
+    """,
+    "Training-shard assignment audit: content-hash docs into 16 shards "
+    "(md5 of doc_id — reproducible across runs/engines/partitionings, the "
+    "q68/q105 primitive) with per-shard doc/token/byte accounting — the "
+    "balance check a dataloader-sharding job runs before writing. Narrow "
+    "map + 16-key aggregation; at scale the same expression feeds "
+    "write_partitioned(partition_cols=['shard']).",
+)
+def q112(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    shard = md5_int(F.col("doc_id").cast("string")) % 16
+    return (
+        d.withColumn("shard", shard)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(F.split("text", " "))).alias("n_tokens"),
+            F.sum("n_chars").alias("n_chars_total"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Catalog ordering. The driver's CORRECTNESS file covers only the FIRST 50
 # ``queries()`` entries, so the verdict window is a scarce resource.
@@ -3583,6 +3645,8 @@ _VERDICT_WINDOW = [
     "q108_unigram_logprob",
     "q109_word_entropy",
     "q110_mixing_weights",
+    "q111_neardup_survivors",
+    "q112_shard_stats",
     # (d) round-2-only cohort: second grades
     "q36_lang_stats",
     "q39_lang_id",
