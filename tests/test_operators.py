@@ -1007,3 +1007,32 @@ def test_mixing_weights_normalized(spark):
     assert nat == {"big": 0.9, "small": 0.1}
     temp = {r["source"]: r["weight"] for r in mixing_weights(df, alpha=0.5).collect()}
     assert temp["small"] > 0.1 and abs(sum(temp.values()) - 1.0) < 1e-5
+
+
+@_pytest.mark.skipif(
+    not _os.environ.get("SPARK_GRAFT_SCALE"),
+    reason="scale smoke: set SPARK_GRAFT_SCALE=1 (300k-node path through star CC)",
+)
+def test_connected_components_star_long_path_scale_smoke(spark):
+    """The adversarial graph at volume: one 300k-node PATH (diameter
+    299,999 — min-label propagation would need 300k rounds; its guard
+    correctly refuses). Large-star/small-star must converge in O(log n)
+    rounds and label every node 0, verified by aggregation. With the
+    per-round checkpoint leaves this also exercises bounded-plan/bounded-
+    storage discipline over the longest convergence run the suite has."""
+    from pyspark.sql import functions as F
+
+    from osmapreduceproject_spark.operators.dedup import connected_components_star
+    from osmapreduceproject_spark.plans.inspect import release_intermediates
+
+    n = 300_000
+    nodes = spark.range(n).select(F.col("id").alias("doc_id"))
+    path = spark.range(n - 1).select(
+        F.col("id").alias("a_id"), (F.col("id") + 1).alias("b_id")
+    )
+    labels = connected_components_star(nodes, path)
+    bad = labels.where(F.col("cluster_id") != 0).count()
+    n_nodes = labels.count()
+    release_intermediates()
+    assert bad == 0
+    assert n_nodes == n
