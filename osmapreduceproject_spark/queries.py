@@ -3612,6 +3612,52 @@ def q112(spark, sf_dir):
     )
 
 
+@q(
+    "q113_corpus_report",
+    f"""
+    WITH
+    {_JACCARD_PAIRS_CTE},
+    base AS (
+      SELECT COUNT(*) AS n_docs,
+             COUNT(*) - COUNT(DISTINCT text) AS n_exact_dup_docs,
+             COUNT(DISTINCT lang) AS n_langs,
+             COUNT(DISTINCT source) AS n_sources,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+             round(AVG(len(string_split(text, ' '))), 6) AS avg_tokens,
+             CAST(SUM(CASE WHEN len(string_split(text, ' ')) < 10
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_short_docs
+      FROM documents),
+    nd AS (SELECT COUNT(*) AS n_neardup_pairs FROM pairs)
+    SELECT base.*, nd.n_neardup_pairs FROM base, nd
+    """,
+    "Corpus health report — the one-row nightly summary a curation "
+    "pipeline publishes: doc/token counts, exact-dup and ≥0.8-Jaccard "
+    "near-dup volume, language/source cardinality, short-doc count. "
+    "Composes the dedup and text-stat operators into two aggregations "
+    "(one corpus-wide, one over the near-dup pair set) joined as single "
+    "broadcast rows; every metric reuses a machinery already "
+    "value-checked on its own (q28/q30/q37).",
+)
+def q113(spark, sf_dir):
+    from .operators.dedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    ntok = F.size(F.split("text", " "))
+    base = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.count(F.lit(1)) - F.countDistinct("text")).alias("n_exact_dup_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum(ntok).alias("n_tokens"),
+        F.round(F.avg(ntok), 6).alias("avg_tokens"),
+        F.sum(F.when(ntok < 10, 1).otherwise(0)).alias("n_short_docs"),
+    )
+    nd = ngram_jaccard_pairs(d, threshold=0.8).agg(
+        F.count(F.lit(1)).alias("n_neardup_pairs")
+    )
+    return base.crossJoin(F.broadcast(nd))
+
+
 # ---------------------------------------------------------------------------
 # Catalog ordering. The driver's CORRECTNESS file covers only the FIRST 50
 # ``queries()`` entries, so the verdict window is a scarce resource.
@@ -3647,6 +3693,7 @@ _VERDICT_WINDOW = [
     "q110_mixing_weights",
     "q111_neardup_survivors",
     "q112_shard_stats",
+    "q113_corpus_report",
     # (d) round-2-only cohort: second grades
     "q36_lang_stats",
     "q39_lang_id",
