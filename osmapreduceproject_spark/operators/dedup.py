@@ -273,9 +273,10 @@ def connected_components(
     (sparse relative to the corpus) plus a broadcast-able label update;
     convergence takes component-diameter iterations, and near-dup
     components are clique-like (diameter 1–2). At 100 TB: checkpoint
-    labels every few iterations to cut lineage, and switch to alternating
-    large-star/small-star rounds (Kiveris et al.) if adversarial long
-    chains are possible. Deterministic: min is order-insensitive.
+    labels every few iterations to cut lineage, and switch to
+    :func:`connected_components_star` (alternating large-star/small-star
+    rounds, O(log n)) if adversarial long chains are possible.
+    Deterministic: min is order-insensitive.
 
     ``max_iters`` is a lineage-depth guard, not a truncation point: if the
     labels have not reached fixpoint within ``max_iters`` rounds (a
@@ -334,7 +335,7 @@ def connected_components(
         raise RuntimeError(
             f"connected_components did not reach fixpoint in {max_iters} "
             "iterations (a component's diameter exceeds max_iters); raise "
-            "max_iters or use large-star/small-star rounds for long-chain graphs"
+            "max_iters or use connected_components_star for long-chain graphs"
         )
     return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))
 
