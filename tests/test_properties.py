@@ -200,3 +200,38 @@ def test_connected_components_star_match_union_find(spark, edges):
             parent[find(a)] = find(b)
     want = {i: min(j for j in range(n) if find(j) == find(i)) for i in range(n)}
     assert got == want
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "d", "e"]), min_size=1, max_size=8),
+        min_size=1,
+        max_size=10,
+    )
+)
+@SET
+def test_boilerplate_removal_matches_python(spark, docs):
+    """remove_boilerplate_tokens on random tiny corpora == the direct
+    Python computation: df-thresholded stopword set, order/duplicate-
+    preserving removal, exact removal counts — including the all-stop and
+    no-stop corners the fixture can't hit."""
+    from collections import Counter
+
+    from osmapreduceproject_spark.operators.text import remove_boilerplate_tokens
+
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(docs)], "doc_id bigint, text string"
+    )
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_removed"])
+        for r in remove_boilerplate_tokens(df, max_df_frac=0.5).collect()
+    }
+    dfreq: Counter = Counter()
+    for ws in docs:
+        dfreq.update(set(ws))
+    stop = {w for w, c in dfreq.items() if c > 0.5 * len(docs)}
+    want = {
+        i: (" ".join(w for w in ws if w not in stop), sum(w in stop for w in ws))
+        for i, ws in enumerate(docs)
+    }
+    assert got == want
