@@ -3613,6 +3613,32 @@ def q112(spark, sf_dir):
 
 
 @q(
+    "q114_dedup_clusters_star",
+    f"""
+    WITH RECURSIVE
+    {_JACCARD_PAIRS_CTE},
+    edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+              UNION ALL SELECT b_id, a_id FROM pairs),
+    walk AS (
+      SELECT doc_id AS node, doc_id AS label FROM documents
+      UNION
+      SELECT e.src AS node, w.label FROM edges e JOIN walk w ON w.node = e.dst)
+    SELECT node AS doc_id, MIN(label) AS cluster_id FROM walk GROUP BY node
+    """,
+    "q92's cluster assignment through the OTHER component algorithm: "
+    "alternating large-star/small-star rounds (operators/dedup.py "
+    "connected_components_star, O(log n) rounds vs diameter — the escape "
+    "hatch for adversarial long-chain graphs). Same transitive-closure "
+    "oracle as q92 because both algorithms compute the same fixpoint; a "
+    "driver hash-match here certifies the star path end-to-end, not just "
+    "its local tests.",
+)
+def q114(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return dedup.dedup_clusters(d, threshold=0.8, method="star")
+
+
+@q(
     "q113_corpus_report",
     f"""
     WITH
@@ -3694,6 +3720,9 @@ _VERDICT_WINDOW = [
     "q111_neardup_survivors",
     "q112_shard_stats",
     "q113_corpus_report",
+    # star-path driver verdict; takes the slot of q89_builtin_stats
+    # (pure-Catalyst stddev/avg, already green r2+r3 — lowest-risk defer)
+    "q114_dedup_clusters_star",
     # (d) round-2-only cohort: second grades
     "q36_lang_stats",
     "q39_lang_id",
@@ -3730,7 +3759,9 @@ _VERDICT_WINDOW = [
     "q86_right_outer_join",
     "q87_full_outer_join",
     "q88_binaryfile_ingest",
-    "q89_builtin_stats",
+    # q89_builtin_stats deferred to r5: its window slot went to
+    # q114_dedup_clusters_star (see (c) above); q89 stays covered by the
+    # local parity gate and already has green r2 driver verdicts.
 ]
 
 
