@@ -3639,6 +3639,36 @@ def q114(spark, sf_dir):
 
 
 @q(
+    "q115_training_shuffle",
+    f"""
+    SELECT doc_id,
+           ROW_NUMBER() OVER (
+             ORDER BY {md5_int_sql("'shuf|' || CAST(doc_id AS VARCHAR)")}, doc_id
+           ) AS pos
+    FROM documents
+    """,
+    "Deterministic training-order shuffle: global positions over a "
+    "content-hash ordering (md5 of a salted doc_id) — reproducible "
+    "epoch shuffling independent of partitioning/cluster layout, the "
+    "step between curation and sequence packing. Reuses ranked_sort "
+    "(mapreduce.py): range-partitioned sample sort + broadcast "
+    "cumulative offsets, NO single-partition window — the same "
+    "scale-safe machinery as q02, driven by a hash key instead of a "
+    "value key.",
+)
+def q115(spark, sf_dir):
+    from .mapreduce import ranked_sort
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        md5_int(F.concat(F.lit("shuf|"), F.col("doc_id").cast("string"))).alias("__h"),
+    )
+    return ranked_sort(d, [F.col("__h").asc(), F.col("doc_id").asc()]).select(
+        "doc_id", "pos"
+    )
+
+
+@q(
     "q113_corpus_report",
     f"""
     WITH
