@@ -88,10 +88,20 @@ def _events_ts_unit(path: str) -> str:
     """Physical time unit of events.parquet's ts column ('us' or 'ns').
 
     Footer-only read (no data pages); one file's footer answers for the
-    whole dataset since the fixture is written in one shot.
+    whole dataset since the fixture is written in one shot. Accepts a
+    bare file or a directory of part files (a future regeneration could
+    switch layouts, as the ns → µs drift already did once).
     """
+    import glob as _glob
+    import os as _os
+
     import pyarrow.parquet as _pq
 
+    if _os.path.isdir(path):
+        parts = sorted(_glob.glob(f"{path}/*.parquet"))
+        if not parts:
+            return "us"
+        path = parts[0]
     field = _pq.read_schema(path).field("ts")
     return getattr(field.type, "unit", "us")
 
