@@ -235,3 +235,68 @@ def test_boilerplate_removal_matches_python(spark, docs):
         for i, ws in enumerate(docs)
     }
     assert got == want
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=1, max_size=8),
+        min_size=1,
+        max_size=8,
+    )
+)
+@SET
+def test_word_entropy_matches_python(spark, docs):
+    """word_entropy on random tiny corpora == direct Python H = log2(n) −
+    Σ c·log2(c)/n, to the operator's 6-decimal rounding."""
+    import math
+    from collections import Counter
+
+    from osmapreduceproject_spark.operators.text import word_entropy
+
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(docs)], "doc_id bigint, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["entropy"]) for r in word_entropy(df).collect()
+    }
+    want = {}
+    for i, ws in enumerate(docs):
+        n = len(ws)
+        s = sum(c * math.log2(c) for c in Counter(ws).values())
+        want[i] = (n, round(math.log2(n) - s / n, 6))
+    assert got == want
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=1, max_size=6),
+        min_size=1,
+        max_size=8,
+    )
+)
+@SET
+def test_unigram_logprob_matches_python(spark, docs):
+    """unigram_logprob on random tiny corpora == direct Python mean
+    log2(corpus unigram probability), to 6 decimals."""
+    import math
+    from collections import Counter
+
+    from osmapreduceproject_spark.operators.text import unigram_logprob
+
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(docs)], "doc_id bigint, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["avg_logprob"])
+        for r in unigram_logprob(df).collect()
+    }
+    freq = Counter(w for ws in docs for w in ws)
+    total = sum(freq.values())
+    want = {
+        i: (
+            len(ws),
+            round(sum(math.log2(freq[w] / total) for w in ws) / len(ws), 6),
+        )
+        for i, ws in enumerate(docs)
+    }
+    assert got == want
