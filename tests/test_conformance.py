@@ -137,3 +137,26 @@ def test_run_conformance_report(spark):
     assert rep["total_ms"] > 0 and rep["peak_rss_kb"] > 0
     rep2 = run_conformance(spark, 4096, seed=999, which="max", workers=4)
     assert rep2["final_max"] == max(seeded_ints_local(4096, 999))
+
+
+def test_cli_mirrors_reference_invocation():
+    """`python -m osmapreduceproject_spark sort --mode thread --workers 2
+    --size 4096` must run end-to-end and print the reference's report
+    shape (README.md:30-56): Mode/workers/size header, per-phase ms,
+    total, verification flag, peak RSS. Subprocess on purpose — the CLI
+    owns (and stops) its own SparkSession."""
+    import subprocess
+    import sys
+
+    proc = subprocess.run(
+        [sys.executable, "-m", "osmapreduceproject_spark", "sort",
+         "--mode", "thread", "--workers", "2", "--size", "4096"],
+        capture_output=True, text=True, timeout=300,
+        cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    out = proc.stdout
+    assert "Mode: thread, workers=2, size=4096" in out
+    assert "Total time (ms):" in out
+    assert "Sorted OK: yes" in out
+    assert "Peak RSS (KB):" in out
