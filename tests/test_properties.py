@@ -300,3 +300,54 @@ def test_unigram_logprob_matches_python(spark, docs):
         for i, ws in enumerate(docs)
     }
     assert got == want
+
+
+@given(
+    counts=st.lists(st.integers(min_value=1, max_value=500), min_size=1, max_size=6)
+)
+@SET
+def test_mixing_weights_match_python(spark, counts):
+    """mixing_weights on arbitrary strata sizes == direct Python
+    n^alpha / Z to the 6-decimal rounding, and weights sum to ~1."""
+    from osmapreduceproject_spark.operators.sampling import mixing_weights
+
+    rows = [(f"s{j}", i) for j, c in enumerate(counts) for i in range(c)]
+    df = spark.createDataFrame(rows, "source string, doc_id bigint")
+    got = {
+        r["source"]: (r["n_docs"], r["weight"])
+        for r in mixing_weights(df, alpha=0.7).collect()
+    }
+    z = sum(c ** 0.7 for c in counts)
+    want = {f"s{j}": (c, round(c ** 0.7 / z, 6)) for j, c in enumerate(counts)}
+    assert got == want
+    assert abs(sum(w for _, w in got.values()) - 1.0) < 1e-4
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c"]), min_size=1, max_size=10),
+        min_size=1,
+        max_size=6,
+    )
+)
+@SET
+def test_repetition_score_matches_python(spark, docs):
+    """repetition_score == direct Python 1 − distinct/total 3-gram
+    shingles (whole text when shorter than k), to 6 decimals."""
+    from osmapreduceproject_spark.operators.text import repetition_score
+
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(docs)], "doc_id bigint, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_ngrams"], r["n_distinct_ngrams"], r["repetition"])
+        for r in repetition_score(df, k=3).collect()
+    }
+    want = {}
+    for i, ws in enumerate(docs):
+        if len(ws) >= 3:
+            sh = [" ".join(ws[j:j + 3]) for j in range(len(ws) - 2)]
+        else:
+            sh = [" ".join(ws)]
+        want[i] = (len(sh), len(set(sh)), round(1.0 - len(set(sh)) / len(sh), 6))
+    assert got == want
