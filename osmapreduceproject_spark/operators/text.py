@@ -492,3 +492,56 @@ def word_entropy(
             6,
         ).alias("entropy"),
     )
+
+
+def filter_report(
+    train: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 10,
+    max_tokens: int = 1000,
+    max_repetition: float = 0.6,
+    min_stopword_ratio: float = 0.01,
+    stopwords: list[str] | None = None,
+) -> DataFrame:
+    """Per-document filter report: which curation rules each doc trips
+    (length bounds, repetition, stopword floor, benchmark contamination)
+    and whether it survives — the auditable "why was this dropped" record
+    a production pipeline keeps next to the filtered corpus, rather than
+    silently deleting rows.
+
+    Reasons are a fixed-order comma-joined string (stable across engines
+    and partitionings); ``keep`` is true iff no rule fired. Shape: all
+    length/repetition/stopword signals are one narrow codegen'd map; the
+    contamination flag joins :func:`ngram_contamination`'s per-doc counts
+    on ``id_col`` (benchmark side broadcast there). One wide exchange
+    total at any scale.
+    """
+    sw = stopwords or DEFAULT_STOPWORDS
+    ws = tokens(F.col(text_col))
+    ntok = F.size(ws)
+    swr = F.size(F.filter(ws, lambda t: t.isin(*sw))).cast("double") / F.size(ws)
+    sh = shingles(F.col(text_col), 3)
+    rep = F.round(
+        F.lit(1.0) - F.size(F.array_distinct(sh)).cast("double") / F.size(sh), 6
+    )
+    cont = ngram_contamination(train, benchmark, id_col=id_col, text_col=text_col)
+    reasons = F.array_compact(
+        F.array(
+            F.when(ntok < min_tokens, "too_short"),
+            F.when(ntok > max_tokens, "too_long"),
+            F.when(rep > max_repetition, "high_repetition"),
+            F.when(swr < min_stopword_ratio, "low_stopword"),
+            F.when(F.col("contaminated"), "contaminated"),
+        )
+    )
+    return (
+        train.join(cont.select(id_col, "contaminated"), id_col)
+        .select(
+            F.col(id_col),
+            ntok.alias("n_tokens"),
+            F.array_join(reasons, ",").alias("reasons"),
+            (F.size(reasons) == 0).alias("keep"),
+        )
+    )

@@ -3639,6 +3639,62 @@ def q114(spark, sf_dir):
 
 
 @q(
+    "q116_filter_report",
+    """
+    WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+    sh AS (SELECT doc_id,
+             CASE WHEN len(w) >= 3
+                  THEN list_transform(range(1, len(w) - 1),
+                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                  ELSE [text] END AS shingles
+           FROM w),
+    toks AS (SELECT doc_id, unnest(list_distinct(shingles)) AS ng FROM sh),
+    bm AS (SELECT DISTINCT ng FROM toks WHERE doc_id % 97 = 0),
+    tr AS (SELECT doc_id, ng FROM toks WHERE doc_id % 97 <> 0),
+    hits AS (SELECT tr.doc_id, COUNT(*) AS n FROM tr JOIN bm ON tr.ng = bm.ng
+             GROUP BY tr.doc_id),
+    m AS (
+      SELECT w.doc_id,
+             len(w.w) AS ntok,
+             CAST(len(list_filter(w.w, x ->
+                 list_contains(['the','a','of','and','to','in'], x))) AS DOUBLE)
+               / len(w.w) AS swr,
+             round(1 - CAST(len(list_distinct(sh.shingles)) AS DOUBLE)
+                       / len(sh.shingles), 6) AS rep,
+             COALESCE(h.n, 0) > 0 AS contaminated
+      FROM w JOIN sh ON w.doc_id = sh.doc_id
+      LEFT JOIN hits h ON w.doc_id = h.doc_id
+      WHERE w.doc_id % 97 <> 0),
+    r AS (
+      SELECT doc_id, ntok,
+             list_filter([
+               CASE WHEN ntok < 10 THEN 'too_short' END,
+               CASE WHEN ntok > 1000 THEN 'too_long' END,
+               CASE WHEN rep > 0.6 THEN 'high_repetition' END,
+               CASE WHEN swr < 0.01 THEN 'low_stopword' END,
+               CASE WHEN contaminated THEN 'contaminated' END
+             ], x -> x IS NOT NULL) AS rl
+      FROM m)
+    SELECT doc_id, CAST(ntok AS BIGINT) AS n_tokens,
+           COALESCE(array_to_string(rl, ','), '') AS reasons,
+           len(rl) = 0 AS keep
+    FROM r
+    """,
+    "Per-document filter report (operators/text.py filter_report): which "
+    "curation rules each doc trips — length bounds, 3-gram repetition, "
+    "stopword floor, benchmark contamination (q103's held-out split) — "
+    "as a fixed-order reason list plus the keep flag: the auditable "
+    "'why was this dropped' record a pipeline keeps next to its filtered "
+    "corpus. Narrow signal map + the one contamination join.",
+)
+def q116(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    train = d.where(F.col("doc_id") % 97 != 0)
+    benchmark = d.where(F.col("doc_id") % 97 == 0)
+    return text.filter_report(train, benchmark)
+
+
+@q(
     "q115_training_shuffle",
     f"""
     SELECT doc_id,
