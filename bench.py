@@ -102,14 +102,98 @@ def reference_timings() -> dict:
     return out
 
 
-def previous_round_warm() -> dict[str, float]:
-    """Warm per-query times from the latest BENCH_r*.json, for >20%%
-    round-over-round regression flagging. The driver wraps the bench JSON
-    line inside a "tail" field; tolerate both shapes and any absence."""
+def _repo_dir() -> str:
+    return os.path.dirname(os.path.abspath(__file__))
+
+
+def _latest_driver_round() -> int:
+    """Highest N among the driver's BENCH_r{N}.json artifacts (0 if none)."""
     import glob
     import re
 
-    files = sorted(glob.glob(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json")))
+    rounds = []
+    for f in glob.glob(os.path.join(_repo_dir(), "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", f)
+        if m:
+            rounds.append(int(m.group(1)))
+    return max(rounds, default=0)
+
+
+def history_path(round_n: int) -> str:
+    return os.path.join(_repo_dir(), "bench_history", f"r{round_n:02d}.json")
+
+
+def write_history(out: dict, round_n: int) -> str | None:
+    """Persist the COMPLETE bench output in-repo (VERDICT r4 #1): the
+    driver's BENCH_r{N}.json front-truncates its "tail" to a byte budget
+    with no completeness guarantee, so regression flagging must never
+    depend on it. Only written at the driver's per-round config (sf0.1)
+    so local sf0.01 iteration runs can't poison the comparison base."""
+    if out.get("sf") != 0.1:
+        return None
+    path = history_path(round_n)
+    os.makedirs(os.path.join(_repo_dir(), "bench_history"), exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+        f.write("\n")
+    return path
+
+
+def _warm_from_truncated_tail(tail: str) -> dict[str, float]:
+    """Recover queries_warm from the driver's front-truncated tail.
+
+    The driver cuts the tail at an ARBITRARY byte offset from the front —
+    r03's cut landed before the "queries_warm" key (key survives, object
+    matchable); r04's landed *inside* the object (key gone, first entry's
+    key half-eaten). Handle both, in order of how much survives.
+    """
+    import re
+
+    # Key survives: the warm object is flat (no nested braces) — match it.
+    m = re.search(r'"queries_warm":\s*(\{[^{}]*\})', tail)
+    if m:
+        try:
+            return json.loads(m.group(1))
+        except Exception:
+            pass
+    # Key cut away: everything between the tail start and "total_warm" is
+    # (the surviving suffix of) the warm object, because the bench line's
+    # key order is fixed: queries, queries_warm, total_warm, ... Scan
+    # complete '"name": float' pairs; a first pair whose key was half-eaten
+    # by the cut has no opening quote and drops out naturally. A cut that
+    # lands before queries_warm leaves the key intact (handled above), and
+    # one that lands after it leaves no pairs before total_warm — so this
+    # path never mixes in cold-times or scalar fields.
+    idx = tail.find('"total_warm"')
+    if idx == -1:
+        return {}
+    frag = tail[:idx]
+    pairs = re.findall(r'"([A-Za-z_]\w*)":\s*([0-9]+(?:\.[0-9]+)?)', frag)
+    return {k: float(v) for k, v in pairs if k not in ("queries", "queries_warm")}
+
+
+def previous_round_warm() -> dict[str, float]:
+    """Warm per-query times of the previous round, for >20%% round-over-round
+    regression flagging.
+
+    Preference order (VERDICT r3 #1 and r4 #1 — this has been blind twice):
+      1. bench_history/r{N}.json for the latest driver round N — the
+         complete record bench.py itself wrote during that round.
+      2. The driver's BENCH_r{N}.json: its "parsed" field, a top-level
+         queries_warm, or recovery from the front-truncated "tail"
+         (including a cut landing inside the queries_warm object).
+    """
+    import glob
+
+    n = _latest_driver_round()
+    if n:
+        try:
+            hist = json.load(open(history_path(n)))
+            if isinstance(hist.get("queries_warm"), dict) and hist["queries_warm"]:
+                return hist["queries_warm"]
+        except Exception:
+            pass
+    files = sorted(glob.glob(os.path.join(_repo_dir(), "BENCH_r*.json")))
     if not files:
         return {}
     try:
@@ -119,17 +203,7 @@ def previous_round_warm() -> dict[str, float]:
         parsed = doc.get("parsed")
         if isinstance(parsed, dict) and "queries_warm" in parsed:
             return parsed["queries_warm"]
-        tail = doc.get("tail", "")
-        # The driver FRONT-truncates the tail, so the bench JSON line often
-        # starts mid-object and a whole-line parse fails. The queries_warm
-        # object itself is flat (no nested braces), so match it directly.
-        m = re.search(r'"queries_warm":\s*(\{[^{}]*\})', tail)
-        if m:
-            return json.loads(m.group(1))
-        # Last resort: whole-line parse for an untruncated tail.
-        m = re.search(r'\{"metric".*\}', tail)
-        if m:
-            return json.loads(m.group(0)).get("queries_warm", {})
+        return _warm_from_truncated_tail(doc.get("tail", ""))
     except Exception:
         pass
     return {}
@@ -222,6 +296,11 @@ def main() -> None:
         ),
         "reference": reference_timings(),
     }
+    # Complete in-repo record for next round's flagger (never truncated).
+    this_round = _latest_driver_round() + 1
+    hist_path = write_history(out, this_round)
+    if hist_path:
+        out["history_file"] = os.path.relpath(hist_path, _repo_dir())
     print(json.dumps(out))
     spark.stop()
 

@@ -1,8 +1,14 @@
 """Tests for the bench.py harness itself (no Spark needed).
 
-VERDICT r3 finding #1: previous_round_warm() silently returned {} on the
-driver's FRONT-truncated BENCH tail, disabling round-over-round regression
-flagging. These tests pin the recovery paths.
+VERDICT r3 #1 and r4 #1: previous_round_warm() has been blind twice, once
+per truncation geometry — r03's driver cut landed BEFORE the
+"queries_warm" key (recoverable by matching the keyed object), r04's
+landed INSIDE it (key gone, first entry's key half-eaten). The durable
+fix is an in-repo complete record (bench_history/r{N}.json) that the
+flagger prefers; tail recovery remains as the fallback for rounds that
+predate the history. These tests pin every path against synthetic
+geometries AND against whatever real driver artifact is present — never
+against hardcoded values from one driver drop (the r4 failure mode).
 """
 from __future__ import annotations
 
@@ -23,7 +29,8 @@ def _with_bench_files(tmp_path, monkeypatch, docs):
         (tmp_path / name).write_text(json.dumps(doc))
 
 
-def test_parses_front_truncated_tail(tmp_path, monkeypatch):
+def test_parses_front_truncated_tail_key_survives(tmp_path, monkeypatch):
+    # r03 geometry: cut lands before "queries_warm"; the key survives.
     tail = (
         '_lsh_pairs": 4.509}, "queries_warm": {"q01": 1.422, "q02": 0.529}, '
         '"total_warm": 1.951, "notes": "x"}\n'
@@ -33,6 +40,37 @@ def test_parses_front_truncated_tail(tmp_path, monkeypatch):
     )
     got = bench.previous_round_warm()
     assert got == {"q01": 1.422, "q02": 0.529}
+
+
+def test_parses_tail_cut_inside_queries_warm(tmp_path, monkeypatch):
+    # r04 geometry: cut lands INSIDE queries_warm — the key itself and the
+    # first entry's opening quote are gone. The half-eaten first pair must
+    # drop; every complete pair before "total_warm" must be recovered.
+    entries = {f"q{i:02d}_name": round(0.1 * i, 3) for i in range(1, 21)}
+    body = ", ".join(f'"{k}": {v}' for k, v in entries.items())
+    tail = (
+        '04_cut_key": 0.437, '  # half-eaten first pair: no opening quote
+        + body
+        + '}, "total_warm": 25.03, "sf": 0.1, "cpus": 32, "notes": "x"}\n'
+    )
+    _with_bench_files(
+        tmp_path, monkeypatch, {"BENCH_r04.json": {"tail": tail, "parsed": None}}
+    )
+    got = bench.previous_round_warm()
+    assert got == entries
+    assert len(got) >= 15
+    assert "04_cut_key" not in got and "total_warm" not in got
+    assert "sf" not in got and "cpus" not in got
+
+
+def test_tail_cut_after_queries_warm_yields_empty(tmp_path, monkeypatch):
+    # Cut landing past the warm object: no pairs before total_warm — the
+    # fragment path must return {} rather than scraping scalar fields.
+    tail = '"total_warm": 25.03, "sf": 0.1, "cpus": 32, "notes": "x"}\n'
+    _with_bench_files(
+        tmp_path, monkeypatch, {"BENCH_r04.json": {"tail": tail, "parsed": None}}
+    )
+    assert bench.previous_round_warm() == {}
 
 
 def test_parses_untruncated_tail(tmp_path, monkeypatch):
@@ -59,6 +97,37 @@ def test_prefers_driver_parsed_field(tmp_path, monkeypatch):
     assert bench.previous_round_warm() == {"qp": 9.0}
 
 
+def test_history_preferred_over_driver_artifact(tmp_path, monkeypatch):
+    # The in-repo complete record must win over ANY driver-artifact shape:
+    # the driver file truncates with no completeness guarantee.
+    _with_bench_files(
+        tmp_path,
+        monkeypatch,
+        {
+            "BENCH_r04.json": {
+                "tail": "garbage with no recoverable object",
+                "parsed": {"queries_warm": {"q_from_driver": 1.0}},
+            }
+        },
+    )
+    os.makedirs(tmp_path / "bench_history")
+    (tmp_path / "bench_history" / "r04.json").write_text(
+        json.dumps({"queries_warm": {"q_full_record": 2.0}})
+    )
+    assert bench.previous_round_warm() == {"q_full_record": 2.0}
+
+
+def test_corrupt_history_falls_back_to_driver(tmp_path, monkeypatch):
+    _with_bench_files(
+        tmp_path,
+        monkeypatch,
+        {"BENCH_r04.json": {"parsed": {"queries_warm": {"qd": 3.0}}}},
+    )
+    os.makedirs(tmp_path / "bench_history")
+    (tmp_path / "bench_history" / "r04.json").write_text("{not json")
+    assert bench.previous_round_warm() == {"qd": 3.0}
+
+
 def test_uses_latest_round(tmp_path, monkeypatch):
     _with_bench_files(
         tmp_path,
@@ -76,8 +145,32 @@ def test_no_files_returns_empty(tmp_path, monkeypatch):
     assert bench.previous_round_warm() == {}
 
 
-def test_real_r03_file_parses_nonempty():
-    """The actual driver-written BENCH_r03.json must yield warm numbers."""
+def test_write_history_gated_on_driver_sf(tmp_path, monkeypatch):
+    monkeypatch.setattr(
+        bench.os.path, "dirname", lambda p: str(tmp_path), raising=False
+    )
+    # local iteration at sf0.01 must NOT write (would poison the base)
+    assert bench.write_history({"sf": 0.01, "queries_warm": {"q": 1}}, 5) is None
+    assert not os.path.exists(tmp_path / "bench_history" / "r05.json")
+    # the driver config (sf0.1) writes the complete doc
+    doc = {"sf": 0.1, "queries_warm": {"q": 1.5}, "notes": "n" * 4096}
+    path = bench.write_history(doc, 5)
+    assert path == str(tmp_path / "bench_history" / "r05.json")
+    assert json.load(open(path)) == doc
+
+
+def test_real_latest_artifact_parses_nonempty():
+    """Against the REAL repo artifacts (driver BENCH files + any committed
+    bench_history), the flagger must see the previous round's warm times.
+    No hardcoded values: the driver re-truncates at an arbitrary offset
+    every round, so pinning one drop's numbers breaks on the next
+    (the exact r4 failure). ≥15 entries is the VERDICT r4 'done' bar."""
     got = bench.previous_round_warm()
-    assert len(got) >= 20
-    assert got["q01_pricing_summary"] == 1.422
+    assert len(got) >= 15, f"flagger recovered only {len(got)} warm entries"
+    assert all(isinstance(v, float) and v > 0 for v in got.values())
+
+
+def test_latest_driver_round_real_repo():
+    # BENCH_r01..r04 are committed; the next history write must target
+    # round >= 5 so it never clobbers a past round's record.
+    assert bench._latest_driver_round() >= 4
