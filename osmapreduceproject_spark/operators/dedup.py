@@ -298,6 +298,7 @@ def connected_components(
         )
     )
     labels = nodes.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
+    cached = None  # the persisted label frame awaiting release
     converged = False
     for it in range(max_iters):
         nbr = (
@@ -322,15 +323,24 @@ def connected_components(
         )
         # The convergence probe materialized new_labels; the previous
         # round's label cache is dead — release it eagerly so storage
-        # stays at one label frame regardless of iteration count.
-        if it > 0:
-            labels.unpersist()
+        # stays at one label frame regardless of iteration count. Track
+        # the persisted frame explicitly: after a checkpoint, ``labels``
+        # is the checkpointed DataFrame and unpersisting IT would be a
+        # no-op, leaking one cache entry per checkpoint interval.
+        if cached is not None:
+            cached.unpersist()
+        cached = new_labels
         labels = new_labels
         if changed == 0:
             converged = True
             break
         if checkpoint_interval and (it + 1) % checkpoint_interval == 0:
             labels = labels.localCheckpoint(eager=True)
+            # The eager checkpoint materialized its own executor-local
+            # blocks; the persisted pre-checkpoint frame is dead now, not
+            # next round.
+            cached.unpersist()
+            cached = None
     if not converged:
         raise RuntimeError(
             f"connected_components did not reach fixpoint in {max_iters} "

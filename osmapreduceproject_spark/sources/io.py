@@ -103,7 +103,19 @@ def _events_ts_unit(path: str) -> str:
             return "us"
         path = parts[0]
     field = _pq.read_schema(path).field("ts")
-    return getattr(field.type, "unit", "us")
+    unit = getattr(field.type, "unit", None)
+    if unit not in ("us", "ns"):
+        # Fail fast on any layout this reader has never seen (e.g. a
+        # future regeneration shipping timestamp[ms] or plain int64):
+        # silently defaulting to the µs path would mis-scale every epoch
+        # by 1000× — the exact class of bug this sniffer exists to stop.
+        raise ValueError(
+            f"events.parquet ts column has unsupported physical type "
+            f"{field.type!r} (unit={unit!r}); read_events understands "
+            "timestamp[us] and timestamp[ns] only — extend the sniffer "
+            "rather than guessing a scale"
+        )
+    return unit
 
 
 def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:

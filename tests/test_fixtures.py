@@ -51,6 +51,25 @@ EXPECTED = {
 }
 
 
+def test_events_ts_unit_sniffer_rejects_unknown_layouts(tmp_path):
+    """ADVICE r4: a drift to timestamp[ms] must fail fast in the READER,
+    not only in the schema pin above — defaulting to the µs path would
+    silently mis-scale every event time 1000×."""
+    import pyarrow as pa
+
+    from osmapreduceproject_spark.sources.io import _events_ts_unit
+
+    for unit in ("us", "ns"):
+        t = pa.table({"ts": pa.array([1, 2], type=pa.timestamp(unit))})
+        pq.write_table(t, tmp_path / f"{unit}.parquet")
+        assert _events_ts_unit(str(tmp_path / f"{unit}.parquet")) == unit
+    for bad in (pa.timestamp("ms"), pa.timestamp("s"), pa.int64()):
+        t = pa.table({"ts": pa.array([1, 2], type=bad)})
+        pq.write_table(t, tmp_path / "bad.parquet")
+        with pytest.raises(ValueError, match="unsupported physical type"):
+            _events_ts_unit(str(tmp_path / "bad.parquet"))
+
+
 @pytest.mark.parametrize("table", sorted(EXPECTED))
 def test_fixture_schema(table):
     schema = pq.read_schema(f"{SF_CORRECT}/{table}.parquet")

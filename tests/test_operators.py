@@ -466,10 +466,25 @@ def test_connected_components_star_matches_label_on_fixture(spark):
 def test_connected_components_checkpointing_path(spark):
     """A 12-node path needs ~11 propagation rounds: with
     checkpoint_interval=2 the localCheckpoint lineage cut fires several
-    times mid-run and must not perturb the fixpoint result."""
+    times mid-run and must not perturb the fixpoint result. Also pins the
+    storage invariant (ADVICE r4): the pre-checkpoint persisted label
+    frame must be released AT the checkpoint, not leaked one entry per
+    interval — cached storage stays O(1) however many rounds run."""
     from osmapreduceproject_spark.operators.dedup import connected_components
     from osmapreduceproject_spark.plans.inspect import release_intermediates
 
+    sc = spark.sparkContext
+
+    def n_cached_plans() -> int:
+        # DataFrame-cache entries carry the physical-plan string as the
+        # RDD name; localCheckpoint blocks (legitimately alive until the
+        # ContextCleaner collects them) are plain 'MapPartitionsRDD'.
+        return sum(
+            1 for i in sc._jsc.sc().getRDDStorageInfo() if "\n" in i.name()
+        )
+
+    spark.catalog.clearCache()
+    base_cached = n_cached_plans()
     n = 12
     nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id bigint")
     chain = spark.createDataFrame(
@@ -481,8 +496,16 @@ def test_connected_components_checkpointing_path(spark):
             nodes, chain, max_iters=15, checkpoint_interval=2
         ).collect()
     }
+    # Live cache right after the run: the edge frame + at most the final
+    # label frame. ~11 rounds with interval 2 would leak ~5 more entries
+    # without the boundary release.
+    cached_after = n_cached_plans() - base_cached
     release_intermediates()
     assert got == {i: 0 for i in range(n)}
+    assert cached_after <= 2, (
+        f"{cached_after} cached frames after connected_components — "
+        "label caches are leaking across checkpoint boundaries"
+    )
 
 
 def test_sequence_packing_invariants(spark):
