@@ -45,6 +45,31 @@ def wholestage_codegen_ids(df: DataFrame) -> int:
     return len(set(re.findall(r"WholeStageCodegen \((\d+)\)", explain_str(df))))
 
 
+def data_carrying_single_partitions(df: DataFrame) -> list[str]:
+    """``Exchange SinglePartition`` nodes whose child is NOT a partial
+    aggregate — exchanges that funnel raw DATA through one task.
+
+    A SinglePartition exchange is the correct, unavoidable final step of
+    a global aggregate: its child is the partial (map-side) aggregate, so
+    the exchange moves one pre-aggregated row per input partition at ANY
+    data scale. Any other child means unbounded rows through a single
+    task — a global sort, an unaggregated funnel — the one plan shape
+    that cannot survive a 100× scale-up. Returns the offending child
+    lines (empty = plan is scale-safe on this invariant), so PLANS.md's
+    honest "defect only when it carries data" reclassification can never
+    quietly widen into absorbing a real regression.
+    """
+    lines = explain_str(df, "simple").splitlines()
+    bad: list[str] = []
+    for i, ln in enumerate(lines):
+        if "Exchange SinglePartition" not in ln:
+            continue
+        child = lines[i + 1].strip() if i + 1 < len(lines) else "<no child>"
+        if not ("Aggregate" in child and "partial_" in child):
+            bad.append(child)
+    return bad
+
+
 def num_shuffle_exchanges(df: DataFrame) -> int:
     """Count shuffle exchanges in the physical plan (AQE-final where
     available). Bucketed co-located joins must show 0."""

@@ -277,6 +277,38 @@ def test_boilerplate_stoplist_broadcasts_q107(spark):
     assert "SortMergeJoin" not in plan, plan
 
 
+def test_no_data_carrying_single_partition_in_headline_plans(spark):
+    """VERDICT r4 #3: PLANS.md honestly reclassified SinglePartition
+    exchanges as defects *only when they carry data* (q107/q108/q113's
+    are one-pre-aggregated-row-per-partition scalar finals). Pin the
+    data-carrying variant specifically so that reclassification can't
+    silently widen: every headline plan must show NO SinglePartition
+    exchange whose child isn't a partial aggregate. The synthetic probe
+    proves the detector actually fires on the bad shape."""
+    from osmapreduceproject_spark.plans.inspect import (
+        data_carrying_single_partitions,
+        release_intermediates,
+    )
+    from tools.dump_plans import PLAN_QUERIES
+
+    # Detector self-test: an unpartitioned window funnels every row
+    # through one task (the exact shape q02's ranked_sort replaces) and
+    # must fire; a scalar global aggregate (partial child) must not.
+    from pyspark.sql import Window
+
+    funnel = spark.range(1000).select(
+        F.row_number().over(Window.orderBy("id")).alias("pos"), "id"
+    )
+    assert data_carrying_single_partitions(funnel), explain_str(funnel)
+    ok_scalar = spark.range(100).agg(F.sum("id").alias("s"))
+    assert data_carrying_single_partitions(ok_scalar) == []
+    for name in PLAN_QUERIES:
+        df = QUERIES[name].fn(spark, SF_CORRECT)
+        bad = data_carrying_single_partitions(df)
+        release_intermediates()
+        assert not bad, f"{name} funnels data through one task: {bad}"
+
+
 def test_star_components_plan_stays_bounded(spark):
     """Iterative-loop plan discipline: each star round must emit a
     checkpoint LEAF, so the final label plan is O(1) in round count. A
