@@ -219,6 +219,195 @@ def synthetic_raw_images(
     )
 
 
+def arith_raw_images(
+    spark, n: int = 256, width: int = 16, height: int = 12
+) -> DataFrame:
+    """RAW8 RGB image table whose pixel bytes follow a CLOSED-FORM integer
+    formula over the row-major byte index ``i``:
+
+        v(media_id, i) = (31·media_id + 7·i + (i² mod 251)) mod 256
+
+    Unlike :func:`synthetic_raw_images` (RNG pixels — the adversarial
+    fixture for byte-exact resize tests), every byte here is regenerable
+    by any SQL engine with integer arithmetic, which is what upgrades the
+    RAW8 decode→feature path from a rows-only check to a full
+    cross-engine value oracle (q64). Same schema/meta contract as the
+    other media sources."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Self-contained closure (no module-global references): workers on
+        # a foreign-cwd driver can't import this package.
+        import numpy as np
+        import pandas as pd
+
+        idx = np.arange(width * height * 3, dtype=np.int64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            payloads = [
+                ((31 * int(m) + 7 * idx + (idx * idx) % 251) % 256)
+                .astype(np.uint8)
+                .tobytes()
+                for m in pdf["id"]
+            ]
+            yield pd.DataFrame({"media_id": pdf["id"].values, "payload": payloads})
+
+    raw = spark.range(n).mapInPandas(gen, "media_id long, payload binary")
+    return raw.select(
+        "media_id",
+        F.lit("image").alias("kind"),
+        "payload",
+        F.struct(
+            F.lit(width).alias("width"),
+            F.lit(height).alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(1).alias("n_frames"),
+        ).alias("meta"),
+    )
+
+
+def extract_raw_image_features(df: DataFrame) -> DataFrame:
+    """Per-channel mean/std over the RAW8 RGB layout — a REAL decode, no
+    stub anywhere: payload bytes → height×width×3 uint8 → features.
+
+    Cross-engine determinism (the queries.py float rules): mean and E[x²]
+    derive from exact int64 channel sums divided once in double — the
+    same bits under any partitioning or engine — and
+    std = sqrt(E[x²] − mean²) composes only those operands. Output is
+    UNROUNDED; hash-gated callers apply F.round. Payloads whose length
+    doesn't match meta dims raise (decode error, not a silent skip).
+    Runs as mapInPandas: Arrow-batched, one pass, no shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Self-contained closure: no module-global references.
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            for m, p, w, h in zip(
+                pdf["media_id"], pdf["payload"], pdf["width"], pdf["height"]
+            ):
+                buf = np.frombuffer(bytes(p), dtype=np.uint8)
+                w, h = int(w), int(h)
+                if buf.size != w * h * 3:
+                    raise ValueError(
+                        f"payload length {buf.size} is not a {h}x{w}x3 RAW8 RGB frame"
+                    )
+                ch = buf.reshape(-1, 3).astype(np.int64)
+                per = w * h
+                s = ch.sum(axis=0)
+                s2 = (ch * ch).sum(axis=0)
+                mean = s / per
+                std = np.sqrt(s2 / per - mean * mean)
+                rows.append((int(m), *mean.tolist(), *std.tolist()))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "mean_r", "mean_g", "mean_b",
+                    "std_r", "std_g", "std_b",
+                ],
+            )
+
+    flat = df.select(
+        "media_id",
+        "payload",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+    )
+    return flat.mapInPandas(
+        run,
+        "media_id long, mean_r double, mean_g double, mean_b double, "
+        "std_r double, std_g double, std_b double",
+    )
+
+
+def arith_raw_audio(spark, n: int = 64, n_samples: int = 2048) -> DataFrame:
+    """Uncompressed 8-bit-PCM audio table with closed-form samples:
+
+        v(media_id, i) = (17·media_id + 11·i + (i² mod 89)) mod 256
+
+    The audio twin of :func:`arith_raw_images` — SQL-regenerable bytes so
+    the decode→waveform-feature path gets a full value oracle (q97)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Self-contained closure: no module-global references.
+        import numpy as np
+        import pandas as pd
+
+        idx = np.arange(n_samples, dtype=np.int64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            payloads = [
+                ((17 * int(m) + 11 * idx + (idx * idx) % 89) % 256)
+                .astype(np.uint8)
+                .tobytes()
+                for m in pdf["id"]
+            ]
+            yield pd.DataFrame({"media_id": pdf["id"].values, "payload": payloads})
+
+    raw = spark.range(n).mapInPandas(gen, "media_id long, payload binary")
+    return raw.select(
+        "media_id",
+        F.lit("audio").alias("kind"),
+        "payload",
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(16000).alias("sample_rate"),
+            F.lit(None).cast("int").alias("n_frames"),
+        ).alias("meta"),
+    )
+
+
+def extract_raw_audio_features(df: DataFrame) -> DataFrame:
+    """Waveform features over 8-bit PCM payloads — a REAL decode: bytes →
+    centered integer wave (v − 128) → n_samples / RMS / peak /
+    zero-crossing rate.
+
+    Determinism mirrors :func:`extract_raw_image_features`: RMS is
+    sqrt(exact-int64 Σw² / n); peak is an integer max; ZCR is an integer
+    sign-change count over consecutive samples divided by (n−1). Output
+    UNROUNDED doubles (+ integer n_samples/peak); callers round for the
+    hash gate. mapInPandas, no shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Self-contained closure: no module-global references.
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            for m, p in zip(pdf["media_id"], pdf["payload"]):
+                w = np.frombuffer(bytes(p), dtype=np.uint8).astype(np.int64) - 128
+                n = w.size
+                if n < 2:
+                    raise ValueError(f"payload of {n} samples is not a waveform")
+                signs = np.sign(w)
+                zc = int((signs[1:] != signs[:-1]).sum())
+                rows.append(
+                    (
+                        int(m),
+                        n,
+                        float(np.sqrt(int((w * w).sum()) / n)),
+                        int(np.abs(w).max()),
+                        zc / (n - 1),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "n_samples", "rms", "peak", "zcr"]
+            )
+
+    return df.select("media_id", "payload").mapInPandas(
+        run, "media_id long, n_samples long, rms double, peak long, zcr double"
+    )
+
+
 def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
     """Nearest-neighbor resize of RAW8 RGB payloads to ``width × height``.
 

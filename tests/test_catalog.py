@@ -43,11 +43,13 @@ def test_rows_only_set_is_the_documented_one():
     decode, engine-specific hash family) — growth here must be a
     conscious decision, not an oversight."""
     rows_only = {n for n, s in QUERIES.items() if s.oracle is None}
+    # r5: q64/q97 left this set — the RAW8/PCM feature paths gained full
+    # closed-form value oracles (VERDICT r4 #6). What remains: the two
+    # sketch queries (engine-specific by design), the RNG-pixel resize,
+    # and the xxhash64 bench twin (not DuckDB-expressible, permanent).
     assert rows_only == {
         "q51_approx_distinct",
-        "q64_multimodal_features",
         "q90_approx_quantiles",
-        "q97_audio_features",
         "q101_resize_images",
         "q102_minhash_xxhash",
     }, rows_only

@@ -144,3 +144,107 @@ def test_binaryfile_ingest_feeds_feature_extraction(spark):
         for r in extract_image_features(synthetic_media(spark, n=16)).collect()
     }
     assert from_files == from_synth
+
+
+def test_raw_image_features_known_values(spark):
+    """extract_raw_image_features on a hand-built 2x1x3 frame: channel
+    means/stds must equal the exact closed-form values."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from osmapreduceproject_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_raw_image_features,
+    )
+
+    # two pixels: (10, 200, 0) and (30, 200, 255)
+    px = np.array([[[10, 200, 0], [30, 200, 255]]], dtype=np.uint8)
+    df = spark.createDataFrame(
+        [
+            Row(
+                media_id=7,
+                kind="image",
+                payload=bytearray(px.tobytes()),
+                meta=Row(width=2, height=1, sample_rate=None, n_frames=1),
+            )
+        ],
+        schema=MEDIA_SCHEMA,
+    )
+    r = extract_raw_image_features(df).collect()[0]
+    assert r["media_id"] == 7
+    assert r["mean_r"] == 20.0 and r["mean_g"] == 200.0 and r["mean_b"] == 127.5
+    assert r["std_r"] == 10.0 and r["std_g"] == 0.0 and r["std_b"] == 127.5
+
+
+def test_raw_image_features_rejects_malformed_payload(spark):
+    from osmapreduceproject_spark.operators.multimodal import (
+        extract_raw_image_features,
+    )
+
+    media = synthetic_media(spark, n=2)  # utf-8 'payload:N' bytes, not RAW8
+    with pytest.raises(Exception, match="RAW8"):
+        extract_raw_image_features(media).collect()
+
+
+def test_raw_audio_features_known_values(spark):
+    """extract_raw_audio_features on a hand-built 4-sample clip:
+    bytes [128, 129, 127, 128] → centered wave [0, 1, -1, 0] →
+    rms = sqrt(2/4), peak = 1, zcr = 3/3 (every adjacent sign differs)."""
+    import math
+
+    from pyspark.sql import Row
+
+    from osmapreduceproject_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_raw_audio_features,
+    )
+
+    df = spark.createDataFrame(
+        [
+            Row(
+                media_id=3,
+                kind="audio",
+                payload=bytearray(bytes([128, 129, 127, 128])),
+                meta=Row(width=None, height=None, sample_rate=16000, n_frames=None),
+            )
+        ],
+        schema=MEDIA_SCHEMA,
+    )
+    r = extract_raw_audio_features(df).collect()[0]
+    assert r["media_id"] == 3 and r["n_samples"] == 4
+    assert r["rms"] == math.sqrt(0.5)
+    assert r["peak"] == 1
+    assert r["zcr"] == 1.0
+
+
+def test_arith_raw_media_partitioning_invariance(spark):
+    """The closed-form generators must emit identical bytes under any
+    partitioning (they derive from media_id alone), and the real
+    extractors must therefore produce identical features."""
+    from osmapreduceproject_spark.operators.multimodal import (
+        arith_raw_audio,
+        arith_raw_images,
+        extract_raw_audio_features,
+        extract_raw_image_features,
+    )
+
+    img = arith_raw_images(spark, n=12, width=8, height=6)
+    a = {
+        r["media_id"]: (r["mean_r"], r["std_b"])
+        for r in extract_raw_image_features(img).collect()
+    }
+    b = {
+        r["media_id"]: (r["mean_r"], r["std_b"])
+        for r in extract_raw_image_features(img.repartition(5)).collect()
+    }
+    assert a == b and len(a) == 12
+    au = arith_raw_audio(spark, n=6, n_samples=256)
+    c = {
+        r["media_id"]: (r["rms"], r["zcr"], r["peak"])
+        for r in extract_raw_audio_features(au).collect()
+    }
+    d = {
+        r["media_id"]: (r["rms"], r["zcr"], r["peak"])
+        for r in extract_raw_audio_features(au.repartition(4)).collect()
+    }
+    assert c == d and len(c) == 6
