@@ -48,6 +48,15 @@ BENCH_QUERIES = [
     "q83_doc_chunks",
     "q107_boilerplate_removal",  # r4: corpus-derived stoplist, broadcast apply
     "q108_unigram_logprob",  # r4: LM-proxy scoring, broadcast model
+    # r5 additions (VERDICT r4 #4): the r4-new operators that joined the
+    # catalog without a headline timing — subtract these six for
+    # like-for-like totals vs r04.
+    "q109_word_entropy",  # partial-summable entropy, two narrow aggs
+    "q110_mixing_weights",  # broadcast rate table
+    "q113_corpus_report",  # one-row corpus summary composition
+    "q114_dedup_clusters_star",  # large-star/small-star components (iterative)
+    "q115_training_shuffle",  # second ranked_sort consumer
+    "q116_filter_report",  # per-document filter audit
     "conf_sort_seeded",
     "conf_max_seeded",
 ]
@@ -290,9 +299,10 @@ def main() -> None:
             "(1 Exchange, 0 joins, 0 SinglePartition) - load jitter, closed. "
             "q102_minhash_xxhash is q31 on the production xxhash64 "
             "hash family; the md5/xxhash64 delta is the cross-engine oracle "
-            "determinism tax q31 pays. r04 adds q107_boilerplate_removal and "
-            "q108_unigram_logprob (new corpus-model operators) to the headline "
-            "set - subtract both for like-for-like totals vs r03."
+            "determinism tax q31 pays. r04 added q107/q108 to the headline set; "
+            "r05 adds q109, q110, q113, q114 (star components - the new "
+            "iterative path), q115 (second ranked_sort consumer), and q116 - "
+            "subtract those six for like-for-like totals vs r04."
         ),
         "reference": reference_timings(),
     }
