@@ -178,6 +178,93 @@ def minhash_signature(
     )
 
 
+def _band_buckets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int,
+    bands: int,
+    k: int,
+    hash_family: str,
+) -> DataFrame:
+    """(id, band, band-hash) bucket rows from the banded MinHash
+    signature — the shared candidate-generation core of the self-join
+    (:func:`minhash_lsh_pairs`) and cross-corpus
+    (:func:`cross_corpus_neardup_pairs`) LSH paths."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(df, id_col, text_col, num_hashes, k, hash_family)
+    band_exprs = []
+    for b in range(bands):
+        parts = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        joined = F.concat_ws(",", *[p.cast("string") for p in parts])
+        band_hash = md5_int(joined) if hash_family == "md5" else F.xxhash64(joined)
+        band_exprs.append(F.struct(F.lit(b).alias("band"), band_hash.alias("bh")))
+    return sig.select(F.col(id_col), F.explode(F.array(*band_exprs)).alias("bb")).select(
+        id_col, F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
+    )
+
+
+def cross_corpus_neardup_pairs(
+    corpus: DataFrame,
+    probe: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    k: int = 3,
+    hash_family: str = "md5",
+) -> DataFrame:
+    """Near-duplicate pairs BETWEEN two corpora — fuzzy benchmark
+    decontamination.
+
+    q103's exact n-gram decontamination catches verbatim benchmark text;
+    a paraphrased or lightly-edited eval item evades it. This is the
+    near-dup complement: the same banded-MinHash machinery as
+    :func:`minhash_lsh_pairs`, with candidates restricted to CROSS-corpus
+    band collisions (corpus-side id × probe-side id), then
+    exact-Jaccard-verified against ``threshold``.
+
+    Scale shape: each side is shingled/signed once; candidates come from
+    an equi-join of the two bucket tables on (band, band-hash) — never
+    corpus × probe. With |probe| ≪ |corpus| (the normal decontamination
+    shape: a few benchmarks vs a web-scale corpus) the probe bucket table
+    is broadcast-sized, so the corpus side never shuffles for the
+    candidate join. rows = (corpus_id, probe_id, jaccard ≥ threshold).
+    """
+    cb = tracked_persist(
+        _band_buckets(corpus, id_col, text_col, num_hashes, bands, k, hash_family)
+    )
+    pb = tracked_persist(
+        _band_buckets(probe, id_col, text_col, num_hashes, bands, k, hash_family)
+    )
+    a = cb.select(F.col(id_col).alias("corpus_id"), "band", "bh")
+    b = pb.select(F.col(id_col).alias("probe_id"), "band", "bh")
+    cand = a.join(b, ["band", "bh"]).select("corpus_id", "probe_id").distinct()
+    shingle_sets = lambda d: fan_out(d).select(  # noqa: E731
+        F.col(id_col),
+        F.array_distinct(shingles(F.col(text_col), k)).alias("tokset"),
+    )
+    at = shingle_sets(corpus).select(
+        F.col(id_col).alias("corpus_id"), F.col("tokset").alias("a_toks")
+    )
+    bt = shingle_sets(probe).select(
+        F.col(id_col).alias("probe_id"), F.col("tokset").alias("b_toks")
+    )
+    return (
+        cand.join(at, "corpus_id")
+        .join(bt, "probe_id")
+        .withColumn("n_common", F.size(F.array_intersect("a_toks", "b_toks")))
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.size("a_toks") + F.size("b_toks") - F.col("n_common")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("corpus_id", "probe_id", "jaccard")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -196,22 +283,13 @@ def minhash_lsh_pairs(
     if it collides in ≥1 band, so cost tracks true near-dups, not N².
     rows = (a_id, b_id, jaccard ≥ threshold).
     """
-    rows_per_band = num_hashes // bands
-    sig = minhash_signature(df, id_col, text_col, num_hashes, k, hash_family)
-    band_exprs = []
-    for b in range(bands):
-        parts = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
-        joined = F.concat_ws(",", *[p.cast("string") for p in parts])
-        band_hash = md5_int(joined) if hash_family == "md5" else F.xxhash64(joined)
-        band_exprs.append(F.struct(F.lit(b).alias("band"), band_hash.alias("bh")))
     # Materialize the bucket table: the a/b self-join would otherwise
     # execute the whole shingle→signature DAG twice (Spark shares no
     # common subplans across self-join branches). This is the classic
     # MinHash design at any scale — signatures are tiny ((1+bands) ints
     # per doc) and always worth materializing before banding joins.
     buckets = tracked_persist(
-        sig.select(F.col(id_col), F.explode(F.array(*band_exprs)).alias("bb"))
-        .select(id_col, F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+        _band_buckets(df, id_col, text_col, num_hashes, bands, k, hash_family)
     )
     a = buckets.select(F.col(id_col).alias("a_id"), "band", "bh")
     b = buckets.select(F.col(id_col).alias("b_id"), "band", "bh")

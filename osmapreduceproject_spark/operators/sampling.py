@@ -18,7 +18,7 @@ tiny rates table, so sampling is a narrow scan-bound filter at any scale.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import md5_int
@@ -70,6 +70,39 @@ def stratified_sample(
         .withColumn("__rate", F.coalesce("__rate", F.lit(float(default_rate))))
         .where(_bucket(key_col, salt) < (F.col("__rate") * BUCKETS).cast("bigint"))
         .drop("__rate")
+    )
+
+
+def cap_per_source(
+    df: DataFrame,
+    cap: int,
+    strata_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "cap",
+) -> DataFrame:
+    """Per-domain document cap — the guard against any single source /
+    domain flooding the corpus (web-crawl curation caps docs per
+    registered domain before mixing).
+
+    Keeps at most ``cap`` rows per stratum, selected by the content-stable
+    bucket order with the key as tiebreak — NOT arrival or partition
+    order: the kept set is a reproducible unbiased within-stratum sample,
+    identical on any cluster layout, rather than "whichever rows the scan
+    produced first". Changing ``salt`` re-draws the kept subset.
+
+    Scale shape: one window keyed on the stratum — a single shuffle on
+    ``strata_col``. The rank ≤ cap filter plans as WindowGroupLimit
+    (asserted in tests/test_plans.py): each map task keeps only its local
+    top-``cap`` per stratum before the exchange, so a hot domain ships
+    O(cap · partitions) rows, not its full volume.
+    """
+    w = Window.partitionBy(strata_col).orderBy(
+        _bucket(key_col, salt).asc(), F.col(key_col).asc()
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= int(cap))
+        .drop("__rk")
     )
 
 

@@ -545,3 +545,44 @@ def filter_report(
             (F.size(reasons) == 0).alias("keep"),
         )
     )
+
+
+def duplicate_ngram_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """Per-document duplicate n-gram fraction — the Gopher/Dolma-family
+    quality signal "how much of this document's text appears elsewhere in
+    the corpus": of the doc's DISTINCT k-word shingles, the fraction
+    whose corpus document-frequency is ≥ 2. High values flag boilerplate,
+    mirrors, and template text that document-level dedup (exact or
+    near-dup) misses because the *whole* documents differ.
+
+    Scale shape: explode distinct shingles once, shingle-keyed df count
+    (map-side combined), join the counts back on the same shingle key,
+    one doc-keyed aggregation. No pair enumeration anywhere — cost tracks
+    corpus shingle volume, not document pairs. At 100 TB, drop
+    ultra-high-df shingles from the join's build side first if the df
+    table itself gets hot (their df≥2 verdict is already known).
+
+    Returns (id, n_shingles, n_dup_shingles, dup_frac)."""
+    from ..plans.inspect import tracked_persist
+
+    sh = F.array_distinct(shingles(F.col(text_col), k))
+    toks = tracked_persist(
+        fan_out(df).select(F.col(id_col), F.explode(sh).alias("tok"))
+    )
+    dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        toks.join(dfreq, "tok")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("df") >= 2, 1).otherwise(0)).alias("n_dup_shingles"),
+        )
+        .withColumn(
+            "dup_frac",
+            F.round(
+                F.col("n_dup_shingles").cast("double") / F.col("n_shingles"), 6
+            ),
+        )
+    )

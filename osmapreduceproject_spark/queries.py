@@ -3795,6 +3795,152 @@ def q115(spark, sf_dir):
     )
 
 
+def _cross_minhash_oracle(
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    probe_mod: int = 10,
+    probe_rem: int = 3,
+) -> str:
+    """DuckDB twin of dedup.cross_corpus_neardup_pairs on a doc_id-mod
+    corpus/probe split — same shingling, md5 base hash, universal-hash
+    permutations and banding as q31's oracle, with candidates restricted
+    to cross-side band collisions."""
+    from .operators.dedup import _minhash_coeffs
+
+    rows_per_band = num_hashes // bands
+    base = md5_int_sql("tok") + " % 2147483647"
+    mins = ",\n             ".join(
+        f"MIN(({a} * ({base}) + {b}) % 2147483647) AS mh_{s}"
+        for s, (a, b) in enumerate(_minhash_coeffs(num_hashes))
+    )
+    band_selects = []
+    for b in range(bands):
+        parts = " || ',' || ".join(
+            f"mh_{b * rows_per_band + r}::VARCHAR" for r in range(rows_per_band)
+        )
+        band_selects.append(
+            f"SELECT doc_id, side, {b} AS band, {md5_int_sql(parts)} AS bh FROM sigs"
+        )
+    buckets = "\n      UNION ALL ".join(band_selects)
+    return f"""
+    WITH docs AS (
+      SELECT doc_id, text,
+             CASE WHEN doc_id % {probe_mod} = {probe_rem} THEN 1 ELSE 0 END AS side
+      FROM documents),
+    w AS (SELECT doc_id, side, text, string_split(text, ' ') AS w FROM docs),
+    sh AS (SELECT doc_id, side,
+             CASE WHEN len(w) >= 3
+                  THEN list_transform(range(1, len(w) - 1),
+                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                  ELSE [text] END AS shingles
+           FROM w),
+    toks AS (SELECT doc_id, side, unnest(list_distinct(shingles)) AS tok FROM sh),
+    sigs AS (
+      SELECT doc_id, side,
+             {mins}
+      FROM toks GROUP BY doc_id, side),
+    buckets AS (
+      {buckets}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS corpus_id, b.doc_id AS probe_id
+      FROM buckets a JOIN buckets b ON a.band = b.band AND a.bh = b.bh
+      WHERE a.side = 0 AND b.side = 1),
+    sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM toks GROUP BY doc_id),
+    inter AS (
+      SELECT c.corpus_id, c.probe_id, COUNT(*) AS n_common
+      FROM cand c
+      JOIN toks t1 ON t1.doc_id = c.corpus_id
+      JOIN toks t2 ON t2.doc_id = c.probe_id AND t2.tok = t1.tok
+      GROUP BY 1, 2)
+    SELECT i.corpus_id, i.probe_id,
+           CAST(i.n_common AS DOUBLE) / (sa.set_size + sb.set_size - i.n_common) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.corpus_id
+    JOIN sizes sb ON sb.doc_id = i.probe_id
+    WHERE CAST(i.n_common AS DOUBLE) / (sa.set_size + sb.set_size - i.n_common) >= {threshold}
+    """
+
+
+@q(
+    "q117_cross_decontamination",
+    _cross_minhash_oracle(),
+    "Fuzzy benchmark decontamination (operators/dedup.py "
+    "cross_corpus_neardup_pairs): near-dup pairs BETWEEN a training "
+    "corpus and an eval probe set via cross-side banded-MinHash bucket "
+    "collisions + exact-Jaccard verification — catches the paraphrased/"
+    "lightly-edited benchmark leakage q103's exact n-gram matching "
+    "misses. Candidates come only from (band, band-hash) equi-joins "
+    "across the two bucket tables, never corpus × probe; with a small "
+    "probe set the candidate join broadcasts. Split here: doc_id % 10 "
+    "== 3 plays the benchmark side.",
+)
+def q117(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.where(F.col("doc_id") % 10 != 3)
+    probe = d.where(F.col("doc_id") % 10 == 3)
+    return dedup.cross_corpus_neardup_pairs(corpus, probe, threshold=0.5)
+
+
+@q(
+    "q118_source_caps",
+    f"""
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY {md5_int_sql("'cap|' || CAST(doc_id AS VARCHAR)")} % 1000000 ASC,
+                        doc_id ASC) AS rk
+      FROM documents) t
+    WHERE rk <= 40
+    """,
+    "Per-domain document caps (operators/sampling.py cap_per_source): at "
+    "most 40 docs per source, selected by content-stable hash order (not "
+    "arrival order) — the anti-flooding guard of web-corpus curation, "
+    "reproducible on any cluster layout. Plans as WindowGroupLimit "
+    "(asserted in tests/test_plans.py): map tasks keep local top-40 per "
+    "source before the one stratum-keyed exchange, so a hot domain ships "
+    "O(cap·partitions) rows, never its full volume.",
+)
+def q118(spark, sf_dir):
+    from .operators.sampling import cap_per_source
+
+    d = _t(spark, sf_dir, "documents")
+    return cap_per_source(d, cap=40).select("doc_id", "source")
+
+
+@q(
+    "q119_dup_ngram_fraction",
+    """
+    WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+    sh AS (SELECT doc_id,
+             CASE WHEN len(w) >= 3
+                  THEN list_transform(range(1, len(w) - 1),
+                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                  ELSE [text] END AS shingles
+           FROM w),
+    toks AS (SELECT doc_id, unnest(list_distinct(shingles)) AS tok FROM sh),
+    dfreq AS (SELECT tok, COUNT(*) AS df FROM toks GROUP BY tok)
+    SELECT t.doc_id,
+           COUNT(*) AS n_shingles,
+           CAST(SUM(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_shingles,
+           round(CAST(SUM(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS dup_frac
+    FROM toks t JOIN dfreq d ON d.tok = t.tok
+    GROUP BY t.doc_id
+    """,
+    "Per-document duplicate n-gram fraction (operators/text.py "
+    "duplicate_ngram_stats) — the Gopher/Dolma-family quality signal for "
+    "substring-level duplication that document-level dedup misses: of "
+    "each doc's distinct 3-shingles, the share with corpus document "
+    "frequency ≥ 2. One shingle-keyed count + same-key join-back + one "
+    "doc-keyed agg — no pair enumeration, cost tracks shingle volume.",
+)
+def q119(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return text.duplicate_ngram_stats(d)
+
+
 @q(
     "q113_corpus_report",
     f"""
@@ -3846,9 +3992,11 @@ def q113(spark, sf_dir):
 # ``queries()`` entries, so the verdict window is a scarce resource.
 # Round-5 window (slots allocated from the per-query grade counts across
 # CORRECTNESS_r01–r04): (a) hash-checkable queries with NO driver verdict
-# yet — q115/q116 (added after the r4 window was drawn) and q64/q97
-# (upgraded this round from rows-only to full RAW8 value oracles, VERDICT
-# r4 #6); (b) the single-grade r1/r2 cohort the r4 verdict queued (q41
+# yet — q115/q116 (added after the r4 window was drawn), the r5-new
+# q117–q119 (cross-corpus decontamination, source caps, dup-ngram
+# fraction), and q64/q97 (upgraded this round from rows-only to full RAW8
+# value oracles, VERDICT r4 #6); (b) the single-grade r1/r2 cohort the r4
+# verdict queued (q41
 # q42 q45 q46 q48 q49 q57 q58 q59 q74 q76 + q89); (c) the r3-only
 # singles (q91 q93–q96 q98–q100 q103–q106); (d) second grades for every
 # r4-new operator while fresh (q107–q114); (e) canaries on machinery
@@ -3867,6 +4015,9 @@ _VERDICT_WINDOW = [
     # (a) hash-checkable, zero driver verdicts
     "q115_training_shuffle",
     "q116_filter_report",
+    "q117_cross_decontamination",  # new in r5
+    "q118_source_caps",  # new in r5
+    "q119_dup_ngram_fraction",  # new in r5
     "q64_multimodal_features",  # first hash grade: RAW8 image value oracle (r5)
     "q97_audio_features",  # first hash grade: 8-bit-PCM value oracle (r5)
     # (b) single-grade r1/r2 cohort (deferred since r3 — seconds due)
@@ -3917,9 +4068,6 @@ _VERDICT_WINDOW = [
     "q01_pricing_summary",
     "q03_top_revenue_orders",
     "q04_filter_project",
-    "q05_region_revenue",
-    "q06_left_join",
-    "q07_semi_join",
 ]
 
 

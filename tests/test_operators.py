@@ -1109,3 +1109,86 @@ def test_mixing_weights_feed_stratified_sample(spark):
     a = {r["doc_id"] for r in kept.select("doc_id").collect()}
     b = {r["doc_id"] for r in again.select("doc_id").collect()}
     assert a == b
+
+
+def test_cross_corpus_neardup_planted_pair(spark):
+    """cross_corpus_neardup_pairs must find a planted corpus↔probe
+    near-dup, never intra-side pairs, and report the exact Jaccard."""
+    from osmapreduceproject_spark.operators.dedup import cross_corpus_neardup_pairs
+    from osmapreduceproject_spark.plans.inspect import release_intermediates
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    corpus = spark.createDataFrame(
+        [
+            (1, base),
+            (2, "completely unrelated text about spark physical plans and shuffles"),
+            (3, "another unrelated document mentioning parquet footers and arrow"),
+            # intra-corpus near-dup of doc 1: must NOT appear in the output
+            (4, base + " again"),
+        ],
+        "doc_id bigint, text string",
+    )
+    probe = spark.createDataFrame(
+        [
+            (100, base + " indeed"),  # near-dup of corpus docs 1 and 4
+            (101, "totally different benchmark question about algebraic topology"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {
+        (r["corpus_id"], r["probe_id"])
+        for r in cross_corpus_neardup_pairs(corpus, probe, threshold=0.5).collect()
+    }
+    release_intermediates()
+    assert (1, 100) in got and (4, 100) in got
+    assert all(p in (100, 101) for _, p in got), got
+    assert all(c in (1, 2, 3, 4) for c, _ in got), got
+    assert (1, 101) not in got
+
+
+def test_cap_per_source_invariants(spark):
+    """cap_per_source: at most cap rows per stratum, full strata below the
+    cap are kept whole, and membership is identical under any
+    partitioning (content-keyed, not arrival-keyed)."""
+    from osmapreduceproject_spark.operators.sampling import cap_per_source
+
+    d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    # cap below the fixture's 25-docs-per-source so the cap actually binds
+    capped = cap_per_source(d, cap=10)
+    per = {r["source"]: r["n"] for r in capped.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    full = {r["source"]: r["n"] for r in d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert per and all(n <= 10 for n in per.values()), per
+    for s, n in full.items():
+        assert per[s] == min(n, 10), (s, n, per[s])
+    a = {r["doc_id"] for r in capped.collect()}
+    b = {r["doc_id"] for r in cap_per_source(d.repartition(7), cap=10).collect()}
+    assert a == b
+    # a different salt re-draws the kept subset
+    c = {r["doc_id"] for r in cap_per_source(d, cap=10, salt="cap2").collect()}
+    assert c != a
+
+
+def test_duplicate_ngram_stats_known_case(spark):
+    """Hand-checkable corpus: two docs sharing one 3-shingle, one doc
+    sharing none."""
+    from osmapreduceproject_spark.operators.text import duplicate_ngram_stats
+    from osmapreduceproject_spark.plans.inspect import release_intermediates
+
+    d = spark.createDataFrame(
+        [
+            (1, "a b c d"),      # shingles: "a b c", "b c d"
+            (2, "a b c x"),      # shingles: "a b c", "b c x"
+            (3, "p q r s"),      # shingles: "p q r", "q r s"
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_shingles"], r["n_dup_shingles"], r["dup_frac"])
+        for r in duplicate_ngram_stats(d).collect()
+    }
+    release_intermediates()
+    assert got[1] == (2, 1, 0.5)
+    assert got[2] == (2, 1, 0.5)
+    assert got[3] == (2, 0, 0.0)

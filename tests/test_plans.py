@@ -332,3 +332,25 @@ def test_star_components_plan_stays_bounded(spark):
     # whole optimized plan must stay small regardless of rounds run.
     assert "LogicalRDD" in plan or "ExistingRDD" in plan, plan[:2000]
     assert len(plan) < 20_000, f"plan grew to {len(plan)} chars"
+
+
+def test_source_caps_window_group_limit_q118(spark):
+    """The per-source cap must plan as WindowGroupLimit: map tasks keep a
+    local top-cap per stratum before the exchange, so a hot domain ships
+    O(cap·partitions) rows — the rank filter must not degenerate into a
+    full window materialization."""
+    df = QUERIES["q118_source_caps"].fn(spark, SF_CORRECT)
+    plan = explain_str(df)
+    assert "WindowGroupLimit" in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_cross_decontamination_no_cartesian_q117(spark):
+    """Cross-corpus candidates must come from (band, band-hash)
+    equi-joins between the two bucket tables — never corpus × probe."""
+    from osmapreduceproject_spark.plans.inspect import release_intermediates
+
+    df = QUERIES["q117_cross_decontamination"].fn(spark, SF_CORRECT)
+    plan = explain_str(df)
+    release_intermediates()
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
