@@ -517,7 +517,14 @@ def filter_report(
     contamination flag joins :func:`ngram_contamination`'s per-doc counts
     on ``id_col`` (benchmark side broadcast there). One wide exchange
     total at any scale.
+
+    The signal map runs on a ``fan_out`` of the input: the per-row
+    shingle/stopword expressions are CPU-heavy (~0.1 ms/doc), and a small
+    parquet that lands in one partition would otherwise execute them
+    single-threaded (measured 4.5 s → 0.4 s at sf0.1 on 32 cores). At
+    100 TB the input is already wide and the fan-out is a no-op.
     """
+    train = fan_out(train)
     sw = stopwords or DEFAULT_STOPWORDS
     ws = tokens(F.col(text_col))
     ntok = F.size(ws)
