@@ -302,7 +302,14 @@ def main() -> None:
             "determinism tax q31 pays. r04 added q107/q108 to the headline set; "
             "r05 adds q109, q110, q113, q114 (star components - the new "
             "iterative path), q115 (second ranked_sort consumer), and q116 - "
-            "subtract those six for like-for-like totals vs r04."
+            "subtract those six for like-for-like totals vs r04. r05 "
+            "investigation (same protocol as q01/q05): a q31/q102 uptick in one "
+            "r05 run was re-checked with tools/rerun_query.py - 6 back-to-back "
+            "q31 runs span 1.51-2.49s with min at the r04 level on an unchanged "
+            "plan census (3 BroadcastHashJoin, 0 SortMergeJoin, 0 "
+            "SinglePartition; an earlier same-code r05 run measured 1.49s) - "
+            "load jitter, closed. q116's r05 8.2s first timing was REAL (narrow "
+            "signal map ran on one partition) and was fixed by fan_out: 1.5s."
         ),
         "reference": reference_timings(),
     }

@@ -174,3 +174,13 @@ def test_latest_driver_round_real_repo():
     # BENCH_r01..r04 are committed; the next history write must target
     # round >= 5 so it never clobbers a past round's record.
     assert bench._latest_driver_round() >= 4
+
+
+def test_bench_queries_exist_in_catalog():
+    """Every headline bench entry must be a declared catalog query — a
+    rename in queries.py must fail here, not at the driver's bench run."""
+    from osmapreduceproject_spark.queries import QUERIES
+
+    missing = [n for n in bench.BENCH_QUERIES if n not in QUERIES]
+    assert not missing, missing
+    assert len(set(bench.BENCH_QUERIES)) == len(bench.BENCH_QUERIES)
