@@ -351,3 +351,66 @@ def test_repetition_score_matches_python(spark, docs):
             sh = [" ".join(ws)]
         want[i] = (len(sh), len(set(sh)), round(1.0 - len(set(sh)) / len(sh), 6))
     assert got == want
+
+
+@given(data=rows, cap=st.integers(min_value=1, max_value=6))
+@SET
+def test_cap_per_source_matches_pandas_oracle(spark, data, cap):
+    """cap_per_source keeps exactly the cap-smallest rows per stratum
+    under the content-hash order — replicated with a pandas oracle over
+    the same md5 bucket values."""
+    from osmapreduceproject_spark.operators.sampling import cap_per_source
+
+    df = spark.createDataFrame(
+        [(i, f"s{k}") for i, (k, _) in enumerate(data)], "doc_id bigint, source string"
+    )
+    got = {r["doc_id"] for r in cap_per_source(df, cap=cap).collect()}
+    import hashlib
+
+    def bucket(doc_id):
+        h = hashlib.md5(f"cap|{doc_id}".encode()).hexdigest()
+        return int(h[:15], 16) % 1_000_000
+
+    pdf = pd.DataFrame(
+        [(i, f"s{k}") for i, (k, _) in enumerate(data)], columns=["doc_id", "source"]
+    )
+    pdf["b"] = pdf["doc_id"].map(bucket)
+    want = set(
+        pdf.sort_values(["b", "doc_id"]).groupby("source").head(cap)["doc_id"]
+    )
+    assert got == want
+
+
+@given(texts=st.lists(st.sampled_from(["a b c d", "a b c x", "p q r s", "a b"]),
+                      min_size=1, max_size=12))
+@SET
+def test_duplicate_ngram_fraction_matches_python_oracle(spark, texts):
+    """dup_frac equals the Python-computed share of a doc's distinct
+    3-shingles whose corpus df ≥ 2, and always lies in [0, 1]."""
+    from collections import Counter
+
+    from osmapreduceproject_spark.operators.text import duplicate_ngram_stats
+    from osmapreduceproject_spark.plans.inspect import release_intermediates
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id bigint, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_shingles"], r["n_dup_shingles"], r["dup_frac"])
+        for r in duplicate_ngram_stats(df).collect()
+    }
+    release_intermediates()
+
+    def sh(t):
+        w = t.split(" ")
+        return set(
+            " ".join(w[i:i + 3]) for i in range(len(w) - 2)
+        ) if len(w) >= 3 else {t}
+
+    dfreq = Counter(g for t in texts for g in sh(t))
+    for i, t in enumerate(texts):
+        s = sh(t)
+        dup = sum(1 for g in s if dfreq[g] >= 2)
+        assert got[i][0] == len(s) and got[i][1] == dup
+        assert got[i][2] == round(dup / len(s), 6)
+        assert 0.0 <= got[i][2] <= 1.0
