@@ -1192,3 +1192,49 @@ def test_duplicate_ngram_stats_known_case(spark):
     assert got[1] == (2, 1, 0.5)
     assert got[2] == (2, 1, 0.5)
     assert got[3] == (2, 0, 0.0)
+
+
+@_pytest.mark.skipif(
+    not _os.environ.get("SPARK_GRAFT_SCALE"),
+    reason="scale smoke: set SPARK_GRAFT_SCALE=1 (300k-doc corpus vs 3k probe)",
+)
+def test_cross_corpus_decontamination_scale_smoke(spark):
+    """300k-doc training corpus vs a 3k-doc probe whose every member is an
+    exact duplicate of one corpus doc (ids 0, 100, 200, …): the
+    cross-corpus LSH path must recover exactly the 3,000 planted
+    corpus↔probe pairs (exact dups ⇒ identical signatures ⇒ recall 1.0 by
+    construction), at a volume where corpus × probe (9e8 comparisons)
+    could not run. Mirrors test_minhash_scale_smoke for the q117 path."""
+    from pyspark.sql import functions as F
+
+    from osmapreduceproject_spark.operators.dedup import cross_corpus_neardup_pairs
+    from osmapreduceproject_spark.plans.inspect import release_intermediates
+
+    n = 300_000
+
+    def doc_text(idcol):
+        return F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(19)),
+                lambda j: F.concat(
+                    F.lit("w"), ((idcol * 31 + j * 7) % 999983).cast("string")
+                ),
+            ),
+        )
+
+    corpus = spark.range(n).select(
+        F.col("id").alias("doc_id"), doc_text(F.col("id")).alias("text")
+    )
+    probe = spark.range(0, n, 100).select(
+        (F.col("id") + 1_000_000).alias("doc_id"), doc_text(F.col("id")).alias("text")
+    )
+    got = {
+        (r["corpus_id"], r["probe_id"])
+        for r in cross_corpus_neardup_pairs(
+            corpus, probe, threshold=0.9, hash_family="xxhash64"
+        ).collect()
+    }
+    release_intermediates()
+    want = {(i, i + 1_000_000) for i in range(0, n, 100)}
+    assert got == want
