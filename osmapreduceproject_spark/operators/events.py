@@ -1,0 +1,95 @@
+"""Event-analytics operators: funnel conversion and retention cohorts.
+
+The product-analytics surface every event store grows (mirrors the
+reference's aggregation row, SURVEY.md §2.B group-by/agg — see
+`/root/reference/max_aggregation.cpp:23-112` for the partial→final
+combine these queries generalize): both operators are
+user-keyed partial aggregations followed by a small final aggregation,
+so at 100 TB the only wide exchange hashes on ``user_id`` — the same
+key both operators share, letting Catalyst reuse one exchange when they
+run in the same job. Nothing here windows over the full corpus or
+sorts globally.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SECONDS_PER_WEEK = 604800
+
+
+def funnel_counts(
+    df: DataFrame,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Min-timestamp funnel: a user converts through step k iff the
+    earliest occurrences of steps 1..k are in non-decreasing time order
+    (the standard first-touch funnel — cheap, one pass, no per-event
+    sequence scan; re-tries after a later step don't count, which is the
+    conservative reading).
+
+    Scale shape: one user-keyed aggregation computes all step-min
+    timestamps in a single shuffle (map-side combined conditional mins);
+    the step counts are then one scalar final over that — the
+    ``Exchange SinglePartition`` carries one pre-aggregated row per
+    partition, the correct shape at any scale. Output: one row per step
+    (step, step_name, n_users), n_users non-increasing down the funnel.
+    """
+    mins = [
+        F.min(F.when(F.col(type_col) == s, F.col(ts_col))).alias(f"m{i}")
+        for i, s in enumerate(steps, start=1)
+    ]
+    per_user = df.groupBy(user_col).agg(*mins)
+    converted = F.col("m1").isNotNull()
+    counts = []
+    for i in range(1, len(steps) + 1):
+        if i > 1:
+            converted = converted & F.col(f"m{i}").isNotNull() & (
+                F.col(f"m{i}") >= F.col(f"m{i - 1}")
+            )
+        counts.append(F.sum(converted.cast("bigint")).alias(f"n{i}"))
+    row = per_user.agg(*counts)
+    stack_args = ", ".join(
+        f"CAST({i} AS BIGINT), '{s}', n{i}" for i, s in enumerate(steps, start=1)
+    )
+    return row.selectExpr(
+        f"stack({len(steps)}, {stack_args}) AS (step, step_name, n_users)"
+    )
+
+
+def week_index(ts_col: str = "ts") -> F.Column:
+    """Epoch-week index (floor(epoch_seconds / 604800)) — integer math
+    identical on every engine, no timezone or week-start convention."""
+    return F.floor(F.unix_timestamp(F.col(ts_col)) / SECONDS_PER_WEEK).cast("bigint")
+
+
+def retention_cohorts(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly retention cohorts: users grouped by first-active epoch-week,
+    counted at each later week offset — the triangle chart behind every
+    retention dashboard.
+
+    Scale shape: distinct (user, week) pairs → user-keyed min for the
+    cohort week → join back on ``user_col`` (both sides already hashed on
+    it, so the join reuses the aggregation's partitioning) → a small
+    (cohort, offset)-keyed count. The distinct collapses event volume to
+    at most users × weeks rows before anything else moves; no window
+    functions, no global sort.
+    """
+    weeks = df.select(F.col(user_col), week_index(ts_col).alias("week_idx")).distinct()
+    cohort = weeks.groupBy(user_col).agg(F.min("week_idx").alias("cohort_week"))
+    return (
+        weeks.join(cohort, user_col)
+        .groupBy(
+            "cohort_week",
+            (F.col("week_idx") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.count_distinct(F.col(user_col)).alias("n_users"))
+    )

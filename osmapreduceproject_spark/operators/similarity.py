@@ -457,3 +457,39 @@ def kmeans(
     return cents.select(
         "cid", F.col("__cvec").alias("centroid"), "n_members"
     )
+
+
+def embedding_norm_stats(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-label embedding health report: vector count, dimension spread,
+    and L2-norm min/avg/max — the sanity pass an embedding pipeline runs
+    before indexing (all-zero vectors, un-normalized batches, and
+    mixed-dimension corruption all show up here, and all three break
+    cosine retrieval silently if unchecked).
+
+    Scale shape: the norm is the same sequential double fold as
+    :func:`norm` (narrow map, deterministic); the report is one
+    label-keyed aggregation with map-side combine — the only exchange
+    carries O(labels × partitions) pre-aggregated rows.
+
+    Returns (label, n_vecs, n_dims_min, n_dims_max, n_zero_vecs,
+    min_norm, avg_norm, max_norm); norms rounded to 6 decimals.
+    """
+    v = F.col(vec_col)
+    rn = F.round(norm(v), 6)
+    return (
+        df.select(F.col(label_col), F.size(v).cast("bigint").alias("n_dims"), rn.alias("l2"))
+        .groupBy(label_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.min("n_dims").alias("n_dims_min"),
+            F.max("n_dims").alias("n_dims_max"),
+            F.sum(F.when(F.col("l2") == 0.0, 1).otherwise(0)).alias("n_zero_vecs"),
+            F.min("l2").alias("min_norm"),
+            F.round(F.avg("l2"), 6).alias("avg_norm"),
+            F.max("l2").alias("max_norm"),
+        )
+    )

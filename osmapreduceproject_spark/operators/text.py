@@ -593,3 +593,75 @@ def duplicate_ngram_stats(
             ),
         )
     )
+
+
+def length_histogram(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Log2-bucketed context-length histogram: docs and token volume per
+    power-of-two token-count bucket — the sequence-length distribution a
+    training pipeline checks before choosing context length / packing
+    strategy (how much of the corpus is short-doc padding waste, how much
+    exceeds the window and gets truncated).
+
+    Scale shape: one narrow codegen'd map (token count → floor(log2))
+    followed by one ~30-key aggregation — map-side combine collapses each
+    partition to the bucket count first, so the exchange carries
+    O(buckets × partitions) rows regardless of corpus size.
+
+    Returns (len_bucket, bucket_lo, n_docs, n_tokens_total, min_tokens,
+    max_tokens); bucket_lo = 2^len_bucket, the bucket's inclusive floor.
+    """
+    ntok = F.size(tokens(F.col(text_col))).cast("bigint")
+    bucket = F.floor(F.log2(ntok.cast("double"))).cast("bigint")
+    return (
+        df.select(ntok.alias("n_tokens"), bucket.alias("len_bucket"))
+        .groupBy("len_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens_total"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+        )
+        .withColumn("bucket_lo", F.pow(F.lit(2.0), F.col("len_bucket")).cast("bigint"))
+        .select("len_bucket", "bucket_lo", "n_docs", "n_tokens_total",
+                "min_tokens", "max_tokens")
+    )
+
+
+def quality_quartiles(
+    df: DataFrame,
+    strata_col: str = "source",
+    n_bins: int = 4,
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-stratum quality-score quantile bins: NTILE(n) over
+    ``with_quality_score``'s composite, ordered (score desc, doc_id) for
+    a deterministic total order, then per-(stratum, bin) stats — the
+    "keep the top quartile per domain" selection step of quality-pruned
+    corpus construction (DSIR/Ask-LLM-style pipelines bin on a model
+    score; the binning machinery is identical).
+
+    Scale shape: the window partitions by ``strata_col``, so each stratum
+    sorts independently in parallel — there is no global sort and no
+    single-partition window. One exchange on the stratum key feeds both
+    the window and the final (stratum, bin) aggregation.
+
+    Returns (stratum, bin, n_docs, avg_score, min_score, max_score).
+    """
+    from pyspark.sql import Window
+
+    scored = with_quality_score(df, text_col=text_col)
+    w = Window.partitionBy(strata_col).orderBy(
+        F.col("quality_score").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("bin", F.ntile(n_bins).over(w).cast("bigint"))
+        .groupBy(F.col(strata_col).alias("stratum"), "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("quality_score"), 6).alias("avg_score"),
+            F.round(F.min("quality_score"), 6).alias("min_score"),
+            F.round(F.max("quality_score"), 6).alias("max_score"),
+        )
+    )

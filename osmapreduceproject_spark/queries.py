@@ -3987,6 +3987,145 @@ def q113(spark, sf_dir):
     return base.crossJoin(F.broadcast(nd))
 
 
+@q(
+    "q120_length_histogram",
+    """
+    WITH t AS (SELECT len(string_split(text, ' ')) AS n_tokens FROM documents),
+    b AS (SELECT n_tokens,
+                 CAST(floor(log2(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS len_bucket
+          FROM t)
+    SELECT len_bucket, CAST(pow(2.0, len_bucket) AS BIGINT) AS bucket_lo,
+           COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens_total,
+           MIN(n_tokens) AS min_tokens, MAX(n_tokens) AS max_tokens
+    FROM b GROUP BY len_bucket
+    """,
+    "Log2-bucketed context-length histogram (operators/text.py "
+    "length_histogram) — the sequence-length distribution behind context-"
+    "window and packing decisions. Narrow map + ~30-key aggregation with "
+    "map-side combine; the exchange carries O(buckets x partitions) rows "
+    "at any corpus size.",
+)
+def q120(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return text.length_histogram(d)
+
+
+@q(
+    "q121_quality_quartiles",
+    f"""
+    WITH q AS ({_quality_oracle()}),
+    s AS (SELECT q.doc_id, q.quality_score, d.source FROM q JOIN documents d USING (doc_id)),
+    b AS (SELECT source AS stratum, quality_score,
+                 CAST(NTILE(4) OVER (PARTITION BY source
+                                     ORDER BY quality_score DESC, doc_id) AS BIGINT) AS bin
+          FROM s)
+    SELECT stratum, bin, COUNT(*) AS n_docs,
+           round(AVG(quality_score), 6) AS avg_score,
+           round(MIN(quality_score), 6) AS min_score,
+           round(MAX(quality_score), 6) AS max_score
+    FROM b GROUP BY stratum, bin
+    """,
+    "Per-source quality-score quartile bins (operators/text.py "
+    "quality_quartiles): NTILE(4) over the q38 composite with a "
+    "deterministic (score desc, doc_id) order, then per-(source, bin) "
+    "stats — the 'keep the top quartile per domain' selection step of "
+    "quality-pruned corpus construction. The window partitions by source, "
+    "so strata sort independently in parallel: no global sort, no "
+    "single-partition window, one stratum-keyed exchange.",
+)
+def q121(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return text.quality_quartiles(d, strata_col="source", n_bins=4)
+
+
+@q(
+    "q122_event_funnel",
+    """
+    WITH per_user AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS m1,
+             min(CASE WHEN event_type = 'click' THEN ts END) AS m2,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS m3
+      FROM events GROUP BY user_id),
+    c AS (SELECT
+      CAST(SUM(CASE WHEN m1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      CAST(SUM(CASE WHEN m1 IS NOT NULL AND m2 IS NOT NULL AND m2 >= m1
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+      CAST(SUM(CASE WHEN m1 IS NOT NULL AND m2 IS NOT NULL AND m2 >= m1
+                     AND m3 IS NOT NULL AND m3 >= m2
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n3
+      FROM per_user)
+    SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_name, n1 AS n_users FROM c
+    UNION ALL SELECT CAST(2 AS BIGINT), 'click', n2 FROM c
+    UNION ALL SELECT CAST(3 AS BIGINT), 'purchase', n3 FROM c
+    """,
+    "First-touch funnel conversion view->click->purchase "
+    "(operators/events.py funnel_counts): a user converts through step k "
+    "iff the earliest occurrences of steps 1..k are in time order. One "
+    "user-keyed aggregation computes every step-min in a single shuffle "
+    "(map-side combined conditional mins); the step counts are a scalar "
+    "final whose SinglePartition exchange carries one pre-aggregated row "
+    "per partition — correct shape at any scale.",
+)
+def q122(spark, sf_dir):
+    from .operators.events import funnel_counts
+
+    e = _t(spark, sf_dir, "events")
+    return funnel_counts(e, steps=("view", "click", "purchase"))
+
+
+@q(
+    "q123_embedding_norms",
+    f"""
+    WITH n AS (
+      SELECT label, len(embedding) AS n_dims,
+             round(sqrt({_DOT.format(a='embedding', b='embedding')}), 6) AS l2
+      FROM embeddings)
+    SELECT label, COUNT(*) AS n_vecs,
+           MIN(n_dims) AS n_dims_min, MAX(n_dims) AS n_dims_max,
+           CAST(SUM(CASE WHEN l2 = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_vecs,
+           MIN(l2) AS min_norm, round(AVG(l2), 6) AS avg_norm, MAX(l2) AS max_norm
+    FROM n GROUP BY label
+    """,
+    "Per-label embedding health report (operators/similarity.py "
+    "embedding_norm_stats): vector count, dimension spread, zero-vector "
+    "count, L2-norm min/avg/max — the pre-indexing sanity pass that "
+    "catches un-normalized batches and corrupt rows before they poison "
+    "cosine retrieval. Same sequential double fold as the q34 norm "
+    "(bit-deterministic across engines) + one label-keyed aggregation.",
+)
+def q123(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.embedding_norm_stats(emb)
+
+
+@q(
+    "q124_retention_cohorts",
+    """
+    WITH weeks AS (
+      SELECT DISTINCT user_id,
+             epoch_us(ts) // 1000000 // 604800 AS week_idx
+      FROM events),
+    cohort AS (SELECT user_id, MIN(week_idx) AS cohort_week FROM weeks GROUP BY user_id)
+    SELECT c.cohort_week, w.week_idx - c.cohort_week AS week_offset,
+           COUNT(DISTINCT w.user_id) AS n_users
+    FROM weeks w JOIN cohort c USING (user_id)
+    GROUP BY 1, 2
+    """,
+    "Weekly retention cohorts (operators/events.py retention_cohorts): "
+    "users grouped by first-active epoch-week, counted at each later week "
+    "offset — the retention-triangle query. Epoch-week integer math is "
+    "engine- and timezone-convention-free. distinct (user, week) "
+    "collapses event volume first; the cohort join reuses the user-keyed "
+    "partitioning of the aggregation that feeds it.",
+)
+def q124(spark, sf_dir):
+    from .operators.events import retention_cohorts
+
+    e = _t(spark, sf_dir, "events")
+    return retention_cohorts(e)
+
+
 # ---------------------------------------------------------------------------
 # Catalog ordering. The driver's CORRECTNESS file covers only the FIRST 50
 # ``queries()`` entries, so the verdict window is a scarce resource.
@@ -4060,14 +4199,16 @@ _VERDICT_WINDOW = [
     "q24_asof_join",  # events reader fail-fast
     "q26_tumbling_window",  # events reader fail-fast
     "q02_global_sort",  # perennial sort canary
-    # (f) fillers: oldest two-grade entries (last graded r2/r3)
+    # (a') added mid-round-5: zero driver verdicts, hash-checkable — they
+    # displace five of the two-grade fillers this window carried
+    "q120_length_histogram",
+    "q121_quality_quartiles",
+    "q122_event_funnel",
+    "q123_embedding_norms",
+    "q124_retention_cohorts",
+    # (f) fillers: oldest two-grade entries (last graded r2)
     "conf_sort_seeded",
     "conf_max_seeded",
-    "q19_json_extract",
-    "q32_simhash",
-    "q01_pricing_summary",
-    "q03_top_revenue_orders",
-    "q04_filter_project",
 ]
 
 

@@ -1238,3 +1238,113 @@ def test_cross_corpus_decontamination_scale_smoke(spark):
     release_intermediates()
     want = {(i, i + 1_000_000) for i in range(0, n, 100)}
     assert got == want
+
+
+def test_funnel_counts_tiny(spark):
+    from datetime import datetime
+
+    from osmapreduceproject_spark.operators.events import funnel_counts
+
+    def ts(m):
+        return datetime(2024, 1, 1, 0, m)
+
+    # u1 full funnel in order; u2 clicked before viewing (drops at click);
+    # u3 view only; u4 purchase only (never enters).
+    rows = [
+        Row(user_id=1, event_type="view", ts=ts(0)),
+        Row(user_id=1, event_type="click", ts=ts(1)),
+        Row(user_id=1, event_type="purchase", ts=ts(2)),
+        Row(user_id=2, event_type="click", ts=ts(0)),
+        Row(user_id=2, event_type="view", ts=ts(1)),
+        Row(user_id=3, event_type="view", ts=ts(0)),
+        Row(user_id=4, event_type="purchase", ts=ts(0)),
+    ]
+    out = funnel_counts(spark.createDataFrame(rows)).orderBy("step").collect()
+    assert [(r.step, r.step_name, r.n_users) for r in out] == [
+        (1, "view", 3),
+        (2, "click", 1),
+        (3, "purchase", 1),
+    ]
+
+
+def test_funnel_counts_monotone_on_fixture(spark):
+    from osmapreduceproject_spark.operators.events import funnel_counts
+    from osmapreduceproject_spark.sources.io import read_events
+    from tests.conftest import SF_CORRECT
+
+    e = read_events(spark, SF_CORRECT)
+    counts = [r.n_users for r in funnel_counts(e).orderBy("step").collect()]
+    assert len(counts) == 3
+    assert counts == sorted(counts, reverse=True), counts
+
+
+def test_retention_cohorts_tiny(spark):
+    from datetime import datetime
+
+    from osmapreduceproject_spark.operators.events import retention_cohorts
+
+    def wk(i, h=0):
+        # epoch weeks run Thursday→Thursday (1970-01-01 was a Thursday);
+        # rows 7 days apart land in consecutive epoch weeks regardless
+        return datetime(2024, 1, 3 + 7 * i, 12 + h, 0)
+
+    rows = [
+        # u1 active weeks 0,1,2 ; u2 active weeks 0,2 ; u3 joins week 1
+        Row(user_id=1, ts=wk(0)), Row(user_id=1, ts=wk(1)), Row(user_id=1, ts=wk(2)),
+        Row(user_id=2, ts=wk(0)), Row(user_id=2, ts=wk(2)),
+        Row(user_id=3, ts=wk(1)), Row(user_id=3, ts=wk(1, h=3)),
+    ]
+    out = retention_cohorts(spark.createDataFrame(rows))
+    got = {(r.cohort_week, r.week_offset): r.n_users for r in out.collect()}
+    cohorts = sorted({c for c, _ in got})
+    c0, c1 = cohorts[0], cohorts[1]
+    assert got[(c0, 0)] == 2 and got[(c0, 1)] == 1 and got[(c0, 2)] == 2
+    assert got[(c1, 0)] == 1 and (c1, 1) not in got
+    # week-0 retention is by construction the cohort size: every user is
+    # active in their own first week
+    assert all(got[(c, 0)] >= got.get((c, off), 0) or off == 0
+               for c, off in got)
+
+
+def test_length_histogram_partition(spark):
+    from osmapreduceproject_spark.operators.text import length_histogram
+    from tests.conftest import SF_CORRECT
+
+    d = spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+    hist = length_histogram(d).collect()
+    assert sum(r.n_docs for r in hist) == d.count()
+    for r in hist:
+        assert r.bucket_lo == 2 ** r.len_bucket
+        assert r.bucket_lo <= r.min_tokens <= r.max_tokens < 2 * r.bucket_lo
+
+
+def test_quality_quartiles_balanced(spark):
+    from osmapreduceproject_spark.operators.text import quality_quartiles
+    from tests.conftest import SF_CORRECT
+
+    d = spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+    out = quality_quartiles(d, strata_col="source", n_bins=4).collect()
+    by_stratum: dict[str, list] = {}
+    for r in out:
+        by_stratum.setdefault(r.stratum, []).append(r)
+    for stratum, rows in by_stratum.items():
+        assert sorted(r.bin for r in rows) == [1, 2, 3, 4], stratum
+        counts = [r.n_docs for r in rows]
+        assert max(counts) - min(counts) <= 1, (stratum, counts)  # NTILE balance
+        # bins ordered by score: bin 1's min >= bin 4's max
+        rows = sorted(rows, key=lambda r: r.bin)
+        for a, b in zip(rows, rows[1:]):
+            assert a.min_score >= b.max_score - 1e-9, (stratum, a, b)
+
+
+def test_embedding_norm_stats_sane(spark):
+    from osmapreduceproject_spark.operators.similarity import embedding_norm_stats
+    from tests.conftest import SF_CORRECT
+
+    emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+    out = embedding_norm_stats(emb).collect()
+    assert sum(r.n_vecs for r in out) == emb.count()
+    for r in out:
+        assert r.n_dims_min == r.n_dims_max == 64
+        assert 0.0 <= r.min_norm <= r.avg_norm <= r.max_norm
+        assert r.n_zero_vecs == 0
