@@ -493,3 +493,111 @@ def embedding_norm_stats(
             F.max("l2").alias("max_norm"),
         )
     )
+
+
+def _sq_subdist(a: Column, b: Column, j: Column, d_sub: int) -> Column:
+    """Squared L2 distance between subspace ``j`` (1-based) of two
+    vectors: sequential double fold over the ``d_sub`` slice →
+    bit-deterministic and identical to the DuckDB replica's order."""
+    start = (j - 1) * d_sub + 1
+    return F.aggregate(
+        F.zip_with(
+            F.slice(a, start, d_sub),
+            F.slice(b, start, d_sub),
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    m: int = 4,
+    k_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k via product quantization (PQ) with asymmetric
+    distance computation (ADC) — the memory-scale path for vector search:
+    each corpus vector is stored as ``m`` one-byte codes (here m=4: a
+    64-dim float vector compresses 64×), and query-time distance is a
+    table lookup per subspace, never a full-vector scan.
+
+    Train: like :func:`ivf_topk`, the codebook is the first ``k_codes``
+    corpus vectors' subvectors — deterministic; production would run
+    k-means per subspace (the :func:`kmeans` operator composes), but the
+    encode → lookup-table → ADC contract is identical and is the tested
+    surface.
+
+    Scale shape: the codebook is a broadcast DataFrame (m·k_codes rows);
+    encoding is corpus × broadcast with a partial-aggregating
+    ``min_by`` per (vector, subspace) — map-side combine, one narrow
+    shuffle of m rows per vector. ADC joins the code table against the
+    per-query lookup table on (subspace, code) — k-codes-bounded build
+    side, broadcast. The per-subspace partial distances are summed via
+    conditional single-element aggregates added in fixed subspace order,
+    so the estimate is bit-deterministic across engines and partition
+    orders. No cross join against raw vectors anywhere after encode.
+
+    Returns (query_id, neighbor_id, est_dist, rank), est_dist ascending
+    (squared L2 estimate, 6 decimals), ties broken by neighbor id.
+    """
+    dim_probe = len(corpus.select(vec_col).first()[0])
+    d_sub = dim_probe // m
+    wc = Window.orderBy(id_col)
+    cb = (
+        corpus.orderBy(id_col)
+        .limit(k_codes)
+        .select((F.row_number().over(wc) - 1).alias("code"), F.col(vec_col).alias("__cvec"))
+        .select(
+            "code",
+            "__cvec",
+            F.explode(F.array(*[F.lit(j) for j in range(1, m + 1)])).alias("j"),
+        )
+    )
+    # encode: argmin_code over each subspace; partial-aggregating min_by
+    enc = (
+        corpus.crossJoin(F.broadcast(cb))
+        .withColumn(
+            "__d", _sq_subdist(F.col(vec_col), F.col("__cvec"), F.col("j"), d_sub)
+        )
+        .groupBy(id_col, "j")
+        .agg(F.min_by("code", F.struct("__d", "code")).alias("code"))
+    )
+    # per-query lookup table: distance from the query's subvector to every
+    # codebook entry of that subspace
+    qd = (
+        queries.select(F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qvec"))
+        .crossJoin(F.broadcast(cb))
+        .select(
+            query_id_col,
+            "j",
+            "code",
+            _sq_subdist(F.col("__qvec"), F.col("__cvec"), F.col("j"), d_sub).alias("__qd"),
+        )
+    )
+    per_sub = [
+        F.sum(F.when(F.col("j") == j, F.col("__qd"))).alias(f"__d{j}")
+        for j in range(1, m + 1)
+    ]
+    est_expr = F.col("__d1")
+    for j in range(2, m + 1):
+        est_expr = est_expr + F.col(f"__d{j}")
+    est = (
+        enc.join(F.broadcast(qd), ["j", "code"])
+        .where(F.col(id_col) != F.col(query_id_col))
+        .groupBy(query_id_col, id_col)
+        .agg(*per_sub)
+        .withColumn("est_dist", F.round(est_expr, 6))
+    )
+    w = Window.partitionBy(query_id_col).orderBy("est_dist", F.col(id_col).asc())
+    return (
+        est.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, F.col(id_col).alias("neighbor_id"), "est_dist", "rank")
+    )

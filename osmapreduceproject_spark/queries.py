@@ -4126,6 +4126,66 @@ def q124(spark, sf_dir):
     return retention_cohorts(e)
 
 
+_PQ_SQDIST = (
+    "list_reduce(list_concat([CAST(0.0 AS DOUBLE)], "
+    "list_transform(range(1, 17), i -> "
+    "(CAST({a}[(j-1)*16 + i] AS DOUBLE) - CAST({b}[(j-1)*16 + i] AS DOUBLE)) "
+    "* (CAST({a}[(j-1)*16 + i] AS DOUBLE) - CAST({b}[(j-1)*16 + i] AS DOUBLE)))), "
+    "(x, y) -> x + y)"
+)
+
+
+@q(
+    "q125_pq_topk",
+    f"""
+    WITH cb AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code, embedding AS cvec
+      FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)),
+    cbs AS (SELECT code, j, cvec FROM cb CROSS JOIN unnest([1, 2, 3, 4]) AS t(j)),
+    enc0 AS (
+      SELECT e.vec_id, s.j, s.code,
+             {_PQ_SQDIST.format(a='e.embedding', b='s.cvec')} AS d
+      FROM embeddings e CROSS JOIN cbs s),
+    enc AS (
+      SELECT vec_id, j, code FROM (
+        SELECT vec_id, j, code,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d, code) AS rn
+        FROM enc0) WHERE rn = 1),
+    qd AS (
+      SELECT e.vec_id AS query_id, s.j, s.code,
+             {_PQ_SQDIST.format(a='e.embedding', b='s.cvec')} AS qd
+      FROM embeddings e CROSS JOIN cbs s WHERE e.vec_id < 3),
+    est AS (
+      SELECT qd.query_id, enc.vec_id AS neighbor_id,
+             round(SUM(CASE WHEN enc.j = 1 THEN qd.qd END)
+                   + SUM(CASE WHEN enc.j = 2 THEN qd.qd END)
+                   + SUM(CASE WHEN enc.j = 3 THEN qd.qd END)
+                   + SUM(CASE WHEN enc.j = 4 THEN qd.qd END), 6) AS est_dist
+      FROM enc JOIN qd ON qd.j = enc.j AND qd.code = enc.code
+      WHERE enc.vec_id != qd.query_id
+      GROUP BY 1, 2)
+    SELECT query_id, neighbor_id, est_dist, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY est_dist, neighbor_id) AS rank
+      FROM est) t
+    WHERE rank <= 10
+    """,
+    "Product-quantization ANN with asymmetric distance computation "
+    "(operators/similarity.py pq_topk): corpus vectors compress to m=4 "
+    "one-byte codes (64x memory reduction — the storage-scale path for "
+    "100 TB vector search); query distance is a per-subspace lookup-table "
+    "sum, never a full-vector scan after encode. Codebook broadcast, "
+    "encode is a partial-aggregating min_by, ADC joins codes against the "
+    "broadcast per-query table on (subspace, code). Per-subspace partial "
+    "distances add in fixed subspace order → bit-deterministic estimate; "
+    "the DuckDB replica mirrors codebook, argmin tie-rule, and addition "
+    "order exactly.",
+)
+def q125(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.pq_topk(emb, emb.where(F.col("vec_id") < 3), k=10)
+
+
 # ---------------------------------------------------------------------------
 # Catalog ordering. The driver's CORRECTNESS file covers only the FIRST 50
 # ``queries()`` entries, so the verdict window is a scarce resource.
@@ -4206,9 +4266,9 @@ _VERDICT_WINDOW = [
     "q122_event_funnel",
     "q123_embedding_norms",
     "q124_retention_cohorts",
-    # (f) fillers: oldest two-grade entries (last graded r2)
+    "q125_pq_topk",
+    # (f) filler: oldest two-grade entry (last graded r2)
     "conf_sort_seeded",
-    "conf_max_seeded",
 ]
 
 

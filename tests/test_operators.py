@@ -1348,3 +1348,24 @@ def test_embedding_norm_stats_sane(spark):
         assert r.n_dims_min == r.n_dims_max == 64
         assert 0.0 <= r.min_norm <= r.avg_norm <= r.max_norm
         assert r.n_zero_vecs == 0
+
+
+def test_pq_topk_exact_copy_ranks_first(spark):
+    from osmapreduceproject_spark.operators.similarity import pq_topk
+
+    # ids 0..15 are the codebook by construction (first 16 by id); ids
+    # 100+j are exact copies of vectors j<3. A query that IS a codebook
+    # vector has zero distance to its own codes, so its copy's ADC
+    # estimate is exactly 0.0 and must rank first.
+    def vec(seed):
+        return [float(((seed * 31 + i * 7) % 19) - 9) for i in range(64)]
+
+    rows = [Row(vec_id=i, embedding=vec(i)) for i in range(16)]
+    rows += [Row(vec_id=100 + j, embedding=vec(j)) for j in range(3)]
+    corpus = spark.createDataFrame(rows)
+    out = pq_topk(corpus, corpus.where(F.col("vec_id") < 3), k=5)
+    top1 = {r.query_id: (r.neighbor_id, r.est_dist) for r in out.where(F.col("rank") == 1).collect()}
+    assert top1 == {0: (100, 0.0), 1: (101, 0.0), 2: (102, 0.0)}
+    for r in out.collect():
+        assert r.est_dist >= 0.0
+        assert 1 <= r.rank <= 5
