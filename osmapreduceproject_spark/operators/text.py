@@ -665,3 +665,56 @@ def quality_quartiles(
             F.round(F.max("quality_score"), 6).alias("max_score"),
         )
     )
+
+
+def duplicate_span_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """Per-document duplicate SPAN extraction — the contiguous-run
+    refinement of :func:`duplicate_ngram_stats`: instead of just counting
+    duplicated shingles, find each document's maximal runs of consecutive
+    shingle positions whose shingle appears in ≥2 distinct documents. A
+    long run is a copied passage (boilerplate header, license block,
+    syndicated paragraph) — the thing substring-level dedup actually
+    removes, where an isolated duplicated shingle is usually a common
+    phrase. Suffix-array pipelines (the exact method) don't distribute;
+    this shingle-position gaps-and-islands form is the Spark-shaped
+    equivalent: runs of duplicated k-shingles ≈ duplicated substrings of
+    length ≥ k+run-1 tokens.
+
+    Scale shape: positional shingle explode (persisted, reused twice) →
+    shingle-keyed distinct-doc frequency → join-back on the shingle key →
+    per-doc window (partitioned by doc — parallel, no global sort) → two
+    doc-keyed aggregations. Cost tracks shingle volume; nothing is
+    pairwise. Returns one row per doc that has ≥1 duplicated position:
+    (id, n_dup_positions, n_runs, max_run_shingles, max_dup_span_tokens).
+    """
+    from pyspark.sql import Window
+
+    from ..plans.inspect import tracked_persist
+
+    pos = tracked_persist(
+        fan_out(df).select(
+            F.col(id_col),
+            F.posexplode(shingles(F.col(text_col), k)).alias("pos", "tok"),
+        )
+    )
+    dfreq = pos.groupBy("tok").agg(F.count_distinct(id_col).alias("df"))
+    dup = pos.join(dfreq.where(F.col("df") >= 2).select("tok"), "tok")
+    island = F.col("pos") - F.row_number().over(
+        Window.partitionBy(id_col).orderBy("pos")
+    )
+    runs = (
+        dup.withColumn("island", island)
+        .groupBy(id_col, "island")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+    )
+    return (
+        runs.groupBy(id_col)
+        .agg(
+            F.sum("run_len").alias("n_dup_positions"),
+            F.count(F.lit(1)).alias("n_runs"),
+            F.max("run_len").alias("max_run_shingles"),
+        )
+        .withColumn("max_dup_span_tokens", F.col("max_run_shingles") + F.lit(k - 1))
+    )

@@ -4186,6 +4186,47 @@ def q125(spark, sf_dir):
     return similarity.pq_topk(emb, emb.where(F.col("vec_id") < 3), k=10)
 
 
+@q(
+    "q126_dup_spans",
+    """
+    WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+    sh AS (SELECT doc_id,
+             CASE WHEN len(w) >= 3
+                  THEN list_transform(range(1, len(w) - 1),
+                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                  ELSE [text] END AS shingles
+           FROM w),
+    pos0 AS (SELECT doc_id,
+               unnest(list_transform(shingles, (x, i) -> {'tok': x, 'p': i})) AS u
+             FROM sh),
+    pos AS (SELECT doc_id, u.tok AS tok, u.p AS pos FROM pos0),
+    dfreq AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM pos GROUP BY tok),
+    dup AS (SELECT p.doc_id, p.pos FROM pos p JOIN dfreq d USING (tok) WHERE d.df >= 2),
+    runs AS (SELECT doc_id,
+               pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+             FROM dup),
+    r2 AS (SELECT doc_id, island, COUNT(*) AS run_len FROM runs GROUP BY 1, 2)
+    SELECT doc_id, CAST(SUM(run_len) AS BIGINT) AS n_dup_positions,
+           COUNT(*) AS n_runs,
+           MAX(run_len) AS max_run_shingles,
+           MAX(run_len) + 2 AS max_dup_span_tokens
+    FROM r2 GROUP BY doc_id
+    """,
+    "Duplicate SPAN extraction (operators/text.py duplicate_span_stats): "
+    "per-doc maximal runs of consecutive shingle positions whose shingle "
+    "appears in >=2 distinct documents — the copied-passage finder "
+    "(boilerplate headers, license blocks, syndicated paragraphs) that "
+    "q119's per-shingle counting can't localize. The Spark-shaped stand-in "
+    "for suffix-array substring dedup: positional explode -> shingle-keyed "
+    "doc frequency -> join-back -> per-doc gaps-and-islands window "
+    "(parallel by doc, no global sort) -> doc-keyed aggregation. Nothing "
+    "pairwise; cost tracks shingle volume.",
+)
+def q126(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return text.duplicate_span_stats(d)
+
+
 # ---------------------------------------------------------------------------
 # Catalog ordering. The driver's CORRECTNESS file covers only the FIRST 50
 # ``queries()`` entries, so the verdict window is a scarce resource.
@@ -4267,8 +4308,7 @@ _VERDICT_WINDOW = [
     "q123_embedding_norms",
     "q124_retention_cohorts",
     "q125_pq_topk",
-    # (f) filler: oldest two-grade entry (last graded r2)
-    "conf_sort_seeded",
+    "q126_dup_spans",
 ]
 
 

@@ -1369,3 +1369,24 @@ def test_pq_topk_exact_copy_ranks_first(spark):
     for r in out.collect():
         assert r.est_dist >= 0.0
         assert 1 <= r.rank <= 5
+
+
+def test_duplicate_span_stats_known_passage(spark):
+    from osmapreduceproject_spark.operators.text import duplicate_span_stats
+
+    # docs 1 and 2 share the 6-token passage "a b c d e f" (4 consecutive
+    # duplicated 3-shingles -> max span = 6 tokens); docs 1 and 3 also
+    # share the isolated shingle "x y z" (a 1-shingle run). doc 4 is
+    # clean and must not appear.
+    rows = [
+        Row(doc_id=1, text="a b c d e f q1 q2 q3 x y z"),
+        Row(doc_id=2, text="p1 p2 a b c d e f p3"),
+        Row(doc_id=3, text="r1 x y z r2 r3"),
+        Row(doc_id=4, text="u1 u2 u3 u4 u5 u6 u7"),
+    ]
+    out = {r.doc_id: r for r in duplicate_span_stats(spark.createDataFrame(rows)).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1].max_run_shingles == 4 and out[1].max_dup_span_tokens == 6
+    assert out[1].n_runs == 2 and out[1].n_dup_positions == 5
+    assert out[2].max_run_shingles == 4 and out[2].n_runs == 1
+    assert out[3].max_run_shingles == 1 and out[3].max_dup_span_tokens == 3
