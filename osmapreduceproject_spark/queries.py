@@ -4227,6 +4227,46 @@ def q126(spark, sf_dir):
     return text.duplicate_span_stats(d)
 
 
+_ORC_DIR = _fixture_dir("spark_graft_orc")
+
+
+@q(
+    "q127_orc_roundtrip",
+    """
+    SELECT lang, source, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars_total,
+           MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+    FROM documents GROUP BY lang, source
+    """,
+    "ORC source/sink roundtrip (sources/io.py read_orc/write_orc — "
+    "SURVEY §2.B scans/sources row): documents are written to ORC and "
+    "read back through Spark's built-in vectorized ORC reader, then "
+    "aggregated; the oracle aggregates the original parquet, so any "
+    "roundtrip corruption (type mangling, row loss, encoding drift) "
+    "hash-mismatches. ORC is the Hive/Trino-warehouse interop format; "
+    "same pushdown/pruning machinery as parquet at scale.",
+)
+def q127(spark, sf_dir):
+    import os
+
+    from .sources.io import read_orc, write_orc
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    path = os.path.join(_ORC_DIR, f"documents_{tag}.orc")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        write_orc(_t(spark, sf_dir, "documents"), path)
+    return (
+        read_orc(spark, path)
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("n_chars_total"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Catalog ordering. The driver's CORRECTNESS file covers only the FIRST 50
 # ``queries()`` entries, so the verdict window is a scarce resource.
@@ -4299,7 +4339,8 @@ _VERDICT_WINDOW = [
     "q92_dedup_clusters",  # components cache-release fix
     "q24_asof_join",  # events reader fail-fast
     "q26_tumbling_window",  # events reader fail-fast
-    "q02_global_sort",  # perennial sort canary
+    # (q02 yields its canary slot this window: q115 exercises the same
+    # ranked_sort machinery and has zero grades)
     # (a') added mid-round-5: zero driver verdicts, hash-checkable — they
     # displace five of the two-grade fillers this window carried
     "q120_length_histogram",
@@ -4309,6 +4350,7 @@ _VERDICT_WINDOW = [
     "q124_retention_cohorts",
     "q125_pq_topk",
     "q126_dup_spans",
+    "q127_orc_roundtrip",
 ]
 
 

@@ -144,3 +144,17 @@ def write_bucketed(
     if sort_cols:
         w = w.sortBy(*sort_cols)
     w.saveAsTable(table)
+
+
+def read_orc(spark: SparkSession, path: str, schema: StructType | None = None) -> DataFrame:
+    """ORC scan — Spark's second columnar format, built in (no extra
+    package). Same vectorized reader + predicate-pushdown machinery as
+    parquet; production use is interop with Hive/Trino warehouses."""
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    return r.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).orc(path)

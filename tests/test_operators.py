@@ -1390,3 +1390,18 @@ def test_duplicate_span_stats_known_passage(spark):
     assert out[1].n_runs == 2 and out[1].n_dup_positions == 5
     assert out[2].max_run_shingles == 4 and out[2].n_runs == 1
     assert out[3].max_run_shingles == 1 and out[3].max_dup_span_tokens == 3
+
+
+def test_orc_roundtrip_preserves_values(spark, tmp_path):
+    from osmapreduceproject_spark.sources.io import read_orc, write_orc
+
+    rows = [
+        Row(id=i, name=f"n{i}", val=i * 0.5, tags=[f"t{j}" for j in range(i % 3)])
+        for i in range(50)
+    ]
+    src = spark.createDataFrame(rows)
+    path = str(tmp_path / "t.orc")
+    write_orc(src, path)
+    back = read_orc(spark, path)
+    assert back.schema == src.schema
+    assert sorted(back.collect()) == sorted(src.collect())
