@@ -57,6 +57,16 @@ BENCH_QUERIES = [
     "q114_dedup_clusters_star",  # large-star/small-star components (iterative)
     "q115_training_shuffle",  # second ranked_sort consumer
     "q116_filter_report",  # per-document filter audit
+    # r5 mid-round additions: the operators that joined the catalog after
+    # the first r5 bench record — subtract for like-for-like vs earlier
+    # r05 history entries.
+    "q117_cross_decontamination",  # cross-side banded-MinHash buckets
+    "q119_dup_ngram_fraction",  # shingle df join-back
+    "q121_quality_quartiles",  # per-stratum parallel NTILE
+    "q122_event_funnel",  # user-keyed conditional mins + scalar final
+    "q124_retention_cohorts",  # distinct (user,week) + cohort join
+    "q125_pq_topk",  # PQ encode + ADC lookup join
+    "q126_dup_spans",  # positional shingles + gaps-and-islands window
     "conf_sort_seeded",
     "conf_max_seeded",
 ]

@@ -1405,3 +1405,41 @@ def test_orc_roundtrip_preserves_values(spark, tmp_path):
     back = read_orc(spark, path)
     assert back.schema == src.schema
     assert sorted(back.collect()) == sorted(src.collect())
+
+
+@pytest.mark.skipif(
+    not _os.environ.get("SPARK_GRAFT_SCALE"),
+    reason="scale smoke: set SPARK_GRAFT_SCALE=1 (300k vectors through PQ/ADC)",
+)
+def test_pq_topk_scale_smoke(spark):
+    """300k synthetic 64-d vectors through PQ encode + ADC ranking, with
+    exact copies of the three query vectors planted at high ids. Each
+    query IS a codebook vector (first-16-by-id codebook), so its copy
+    encodes to the query's own codes and the ADC estimate is exactly
+    0.0 — the copy must surface with est_dist 0. Other vectors can tie
+    at 0 only by encoding to the identical 4-code combo (~N/16^4 ≈ 5
+    expected), which is why the assertion is membership-with-zero, not
+    rank-1. Evidence the encode (corpus × broadcast codebook, partial
+    min_by) and ADC (code-table equi-join) shapes hold at volume —
+    no all-pairs distance computation anywhere."""
+    from pyspark.sql import functions as F
+
+    from osmapreduceproject_spark.operators.similarity import pq_topk
+    from osmapreduceproject_spark.plans.inspect import release_intermediates
+
+    n = 300_000
+    base = F.when(F.col("id").isin(200_000, 200_001, 200_002), F.col("id") - 200_000).otherwise(
+        F.col("id")
+    )
+    vecs = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda j: (F.pmod(F.xxhash64(base, j), F.lit(10007)) / 10007.0 - 0.5),
+        ).alias("embedding"),
+    )
+    out = pq_topk(vecs, vecs.where(F.col("vec_id") < 3), k=25).collect()
+    release_intermediates()
+    got = {(r.query_id, r.neighbor_id): r.est_dist for r in out}
+    for j in range(3):
+        assert got.get((j, 200_000 + j)) == 0.0, got
