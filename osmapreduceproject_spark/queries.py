@@ -4363,6 +4363,66 @@ def q129(spark, sf_dir):
     )
 
 
+@q(
+    "q130_integrity_audit",
+    """
+    SELECT 'orphan_lineitems' AS check_name, COUNT(*) AS n_violations
+    FROM lineitem l
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'orphan_orders', COUNT(*) FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'invalid_customer_nation', COUNT(*) FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)
+    UNION ALL
+    SELECT 'bad_quantity', COUNT(*) FROM lineitem WHERE l_quantity <= 0
+    UNION ALL
+    SELECT 'bad_discount', COUNT(*) FROM lineitem
+    WHERE l_discount < 0 OR l_discount > 1
+    UNION ALL
+    SELECT 'dup_orderkeys', COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders
+    """,
+    "Referential-integrity / domain audit — the data-quality gate a "
+    "warehouse runs after ingest: orphan foreign keys via LEFT ANTI "
+    "joins (lineitem→orders, orders→customer, customer→nation), value-"
+    "domain violations as pushed-down filter counts, and primary-key "
+    "duplication via count-vs-distinct. Each check is a scalar final "
+    "over an anti-join or filtered scan (dims broadcast), unioned into "
+    "one (check_name, n_violations) report — at 100 TB the anti-joins "
+    "shuffle keys only, and the filter checks are scan-bound.",
+)
+def q130(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+
+    def one(name, df):
+        return df.agg(F.count(F.lit(1)).alias("n_violations")).select(
+            F.lit(name).alias("check_name"), "n_violations"
+        )
+
+    checks = [
+        one("orphan_lineitems",
+            li.join(o, li["l_orderkey"] == o["o_orderkey"], "left_anti")),
+        one("orphan_orders",
+            o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"], "left_anti")),
+        one("invalid_customer_nation",
+            c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"], "left_anti")),
+        one("bad_quantity", li.where(F.col("l_quantity") <= 0)),
+        one("bad_discount",
+            li.where((F.col("l_discount") < 0) | (F.col("l_discount") > 1))),
+        o.agg(
+            (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("n_violations")
+        ).select(F.lit("dup_orderkeys").alias("check_name"), "n_violations"),
+    ]
+    out = checks[0]
+    for ch in checks[1:]:
+        out = out.unionByName(ch)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Catalog ordering. The driver's CORRECTNESS file covers only the FIRST 50
 # ``queries()`` entries, so the verdict window is a scarce resource.
@@ -4375,10 +4435,10 @@ def q129(spark, sf_dir):
 # q120–q129 (length histogram, quality quartiles, funnel, embedding
 # norms, retention, PQ/ADC, dup spans, ORC roundtrip, skew report,
 # disjunctive join) listed after group (e); (b) the single-grade r1/r2
-# cohort the r4 verdict queued (q41 q42 q45 q46 q48 q49 q57 q58 q59 +
-# q89; q74/q76 yielded their slots to the zero-grade q128/q129 — they
-# are double-deferred pure-Catalyst scalar queries, the lowest-risk
-# class in the catalog); (c) the r3-only
+# cohort the r4 verdict queued (q41 q42 q45 q46 q48 q49 q57 q58 +
+# q89; q59/q74/q76 yielded their slots to the zero-grade q128–q130 —
+# they are double-deferred pure-Catalyst scalar/subquery queries, the
+# lowest-risk class in the catalog); (c) the r3-only
 # singles (q91 q93–q96 q98–q100 q103–q106); (d) second grades for every
 # r4-new operator while fresh (q107–q114); (e) canaries on machinery
 # touched this round (q92 components-cache fix, q24/q26 events-reader
@@ -4410,7 +4470,6 @@ _VERDICT_WINDOW = [
     "q49_date_arith",
     "q57_exists",
     "q58_not_exists",
-    "q59_correlated_scalar",
     "q89_builtin_stats",
     # (c) r3-only singles
     "q91_variant_type",
@@ -4452,6 +4511,7 @@ _VERDICT_WINDOW = [
     "q127_orc_roundtrip",
     "q128_skew_report",
     "q129_disjunctive_join",
+    "q130_integrity_audit",
 ]
 
 
