@@ -319,7 +319,12 @@ def main() -> None:
             "plan census (3 BroadcastHashJoin, 0 SortMergeJoin, 0 "
             "SinglePartition; an earlier same-code r05 run measured 1.49s) - "
             "load jitter, closed. q116's r05 8.2s first timing was REAL (narrow "
-            "signal map ran on one partition) and was fixed by fan_out: 1.5s."
+            "signal map ran on one partition) and was fixed by fan_out: 1.5s. "
+            "Second r05 investigation after the headline set grew to 40 "
+            "queries: q83/q107/q102 upticks in the longer run all returned to "
+            "their baseline mins on 6 isolated reruns (q83 0.74, q107 0.87, "
+            "q102 1.62) with unchanged plan censuses - cross-query cache/GC "
+            "interference in the longer suite, not plan regressions."
         ),
         "reference": reference_timings(),
     }

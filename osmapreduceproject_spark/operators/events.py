@@ -19,6 +19,29 @@ from pyspark.sql import functions as F
 SECONDS_PER_WEEK = 604800
 
 
+def funnel_user_mins(
+    df: DataFrame,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-user earliest timestamp of each funnel step (m1..mN) — the
+    single stateful aggregation of the funnel, factored out because it is
+    the streaming-able part: conditional ``min`` is an incrementally
+    maintainable aggregate, so the same expression runs over
+    ``readStream`` (update/complete mode) with per-user state bounded at
+    one row of N timestamps; the scalar step-count finalization then runs
+    batch-side over the sink (chained stateful aggregations are not
+    streamable). Batch↔stream equivalence is asserted in
+    tests/test_streaming.py."""
+    mins = [
+        F.min(F.when(F.col(type_col) == s, F.col(ts_col))).alias(f"m{i}")
+        for i, s in enumerate(steps, start=1)
+    ]
+    return df.groupBy(user_col).agg(*mins)
+
+
 def funnel_counts(
     df: DataFrame,
     steps: tuple[str, ...] = ("view", "click", "purchase"),
@@ -39,11 +62,7 @@ def funnel_counts(
     partition, the correct shape at any scale. Output: one row per step
     (step, step_name, n_users), n_users non-increasing down the funnel.
     """
-    mins = [
-        F.min(F.when(F.col(type_col) == s, F.col(ts_col))).alias(f"m{i}")
-        for i, s in enumerate(steps, start=1)
-    ]
-    per_user = df.groupBy(user_col).agg(*mins)
+    per_user = funnel_user_mins(df, steps, user_col, type_col, ts_col)
     converted = F.col("m1").isNotNull()
     counts = []
     for i in range(1, len(steps) + 1):

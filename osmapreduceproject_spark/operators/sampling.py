@@ -134,3 +134,51 @@ def mixing_weights(
             ).alias("weight"),
         )
     )
+
+
+def epoch_plan(
+    df: DataFrame,
+    token_budget: int,
+    strata_col: str = "source",
+    alpha: float = 0.5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Data-budget solver: given a training token budget, how many epochs
+    of each source does the temperature-scaled mixture imply? The
+    planning step between corpus stats and dataloader config — it makes
+    over-sampling visible (epochs ≫ 1 on a small up-weighted source
+    means that source repeats many times in training, the
+    repetition-harm regime) and under-sampling explicit (epochs < 1
+    means the budget never sees all of the source).
+
+    weight_s ∝ n_tokens_s^alpha normalized (token-weighted, not
+    doc-weighted — budgets are in tokens); target_tokens_s =
+    budget·weight_s; epochs_s = target_tokens_s / n_tokens_s.
+
+    Scale shape: one strata-keyed count/sum aggregation (map-side
+    combined, tiny result) + one broadcast single-row normalizer; the
+    corpus is scanned once. Same shape as :func:`mixing_weights`.
+    """
+    from .text import tokens
+
+    nt = F.size(tokens(F.col(text_col))).cast("bigint")
+    g = df.groupBy(strata_col).agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum(nt).alias("n_tokens")
+    )
+    z = g.agg(
+        F.sum(F.pow(F.col("n_tokens").cast("double"), F.lit(alpha))).alias("__z")
+    )
+    w = F.pow(F.col("n_tokens").cast("double"), F.lit(alpha)) / F.col("__z")
+    return (
+        g.crossJoin(F.broadcast(z))
+        .select(
+            F.col(strata_col),
+            "n_docs",
+            "n_tokens",
+            F.round(w, 6).alias("weight"),
+            F.round(F.lit(float(token_budget)) * w, 6).alias("target_tokens"),
+            F.round(
+                F.lit(float(token_budget)) * w / F.col("n_tokens"), 6
+            ).alias("epochs"),
+        )
+    )

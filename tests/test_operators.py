@@ -1443,3 +1443,18 @@ def test_pq_topk_scale_smoke(spark):
     got = {(r.query_id, r.neighbor_id): r.est_dist for r in out}
     for j in range(3):
         assert got.get((j, 200_000 + j)) == 0.0, got
+
+
+def test_epoch_plan_budget_conserved(spark):
+    from osmapreduceproject_spark.operators.sampling import epoch_plan
+    from tests.conftest import SF_CORRECT
+
+    d = spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+    rows = epoch_plan(d, token_budget=1_000_000, alpha=0.5).collect()
+    # weights normalize; targets partition the budget; epochs satisfy
+    # epochs * n_tokens == target_tokens
+    assert abs(sum(r.weight for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r.target_tokens for r in rows) - 1_000_000) < 1.0
+    for r in rows:
+        assert abs(r.epochs * r.n_tokens - r.target_tokens) < max(1e-3 * r.target_tokens, 0.5)
+        assert r.epochs > 0

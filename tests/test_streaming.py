@@ -281,3 +281,20 @@ def test_seeded_stream_source_matches_batch(spark):
         ).collect()
     ]
     assert got == seeded_ints_local(5000, 999)
+
+
+def test_funnel_user_mins_batch_stream_equivalence(spark):
+    """The funnel's stateful stage (per-user conditional step-mins) is an
+    incrementally maintainable aggregation — replaying the events fixture
+    as a stream must produce exactly the batch result. The scalar
+    step-count finalization is batch-only by design (chained stateful
+    aggs aren't streamable), so equivalence here covers the full funnel:
+    the finalization is a deterministic function of this output."""
+    from osmapreduceproject_spark.operators.events import funnel_user_mins
+
+    batch = {
+        tuple(r)
+        for r in funnel_user_mins(read_events(spark, SF_SMOKE)).collect()
+    }
+    _run(funnel_user_mins(_stream_events(spark)), "funnel_mins", mode="complete")
+    assert _rows(spark, "funnel_mins") == batch
