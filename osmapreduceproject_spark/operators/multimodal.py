@@ -484,3 +484,60 @@ def sample_video_frames(df: DataFrame, every_n: int = 2) -> DataFrame:
             ).alias("frame_idx"),
         )
     )
+
+
+def dhash_images(df: DataFrame) -> DataFrame:
+    """Perceptual difference-hash (dHash) over RAW8 RGB payloads — the
+    image-dedup primitive: decode → integer grayscale ((r+g+b)//3) →
+    nearest-neighbor 9×8 downsample (same floor(dst·in/out) index map as
+    :func:`resize_images`) → 64 horizontal-gradient bits packed into a
+    signed int64 (wrapped two's-complement). Scale-invariant under the
+    engine's own NN resize by construction: floor-index maps compose
+    (floor(floor(x)/k) = floor(x/k)), so an integer-factor NN upscale
+    samples the identical source pixels and hashes equally — which is
+    exactly what makes dHash a cross-resolution duplicate key. Grouping
+    equal hashes (or banding bytes for hamming-near matches, q32's
+    SimHash machinery) turns this into image near-dedup.
+
+    mapInPandas, Arrow-batched, no shuffle; bad payload lengths raise.
+    Returns (media_id, dhash)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Self-contained closure: no module-global references.
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = []
+            for m, p, w, h in zip(
+                pdf["media_id"], pdf["payload"], pdf["width"], pdf["height"]
+            ):
+                w, h = int(w), int(h)
+                buf = np.frombuffer(bytes(p), dtype=np.uint8)
+                if buf.size != w * h * 3:
+                    raise ValueError(
+                        f"payload length {buf.size} is not a {h}x{w}x3 RAW8 RGB frame"
+                    )
+                gray = buf.reshape(h, w, 3).astype(np.int64).sum(axis=2) // 3
+                rr = (np.arange(8) * h) // 8
+                cc = (np.arange(9) * w) // 9
+                g = gray[rr][:, cc]  # 8 × 9 sample grid
+                bits = (g[:, :-1] < g[:, 1:]).flatten()  # row-major 64 bits
+                hval = 0
+                for i, b in enumerate(bits):
+                    if b:
+                        hval |= 1 << i
+                if hval >= 1 << 63:
+                    hval -= 1 << 64
+                out.append((int(m), hval))
+            yield pd.DataFrame(out, columns=["media_id", "dhash"])
+
+    flat = df.select(
+        "media_id",
+        "payload",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+    )
+    return flat.mapInPandas(run, "media_id long, dhash long")

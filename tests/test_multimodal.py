@@ -248,3 +248,23 @@ def test_arith_raw_media_partitioning_invariance(spark):
         for r in extract_raw_audio_features(au.repartition(4)).collect()
     }
     assert c == d and len(c) == 6
+
+
+def test_dhash_invariant_under_integer_upscale(spark):
+    from osmapreduceproject_spark.operators.multimodal import (
+        arith_raw_images,
+        dhash_images,
+        resize_images,
+    )
+
+    base = arith_raw_images(spark, n=32, width=16, height=12)
+    orig = {r.media_id: r.dhash for r in dhash_images(base).collect()}
+    up = {
+        r.media_id: r.dhash
+        for r in dhash_images(resize_images(base, 32, 24)).collect()
+    }
+    # cross-resolution duplicate key: every 2x NN upscale collides with
+    # its original
+    assert up == orig
+    # and the hash actually separates distinct images (not a constant)
+    assert len(set(orig.values())) > 25
