@@ -541,3 +541,102 @@ def dhash_images(df: DataFrame) -> DataFrame:
         F.col("meta.height").alias("height"),
     )
     return flat.mapInPandas(run, "media_id long, dhash long")
+
+
+def arith_raw_images_perturbed(
+    spark,
+    n: int = 96,
+    width: int = 16,
+    height: int = 12,
+    delta: int = 3,
+    n_bytes: int = 12,
+    id_offset: int = 1000,
+) -> DataFrame:
+    """Perturbed twins of :func:`arith_raw_images`: media_id
+    ``id_offset + m`` carries m's pixels with ``delta`` added (mod 256)
+    to the first ``n_bytes`` bytes — a localized edit (a few pixels of
+    the top-left corner), the fixture for *near*-duplicate detection:
+    the dHash differs in only the gradient bits those pixels touch.
+    Same closed-form regenerability as the base table."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Self-contained closure: no module-global references.
+        import numpy as np
+        import pandas as pd
+
+        idx = np.arange(width * height * 3, dtype=np.int64)
+        bump = np.where(idx < n_bytes, delta, 0)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            payloads = [
+                ((31 * int(m) + 7 * idx + (idx * idx) % 251 + bump) % 256)
+                .astype(np.uint8)
+                .tobytes()
+                for m in pdf["id"]
+            ]
+            yield pd.DataFrame(
+                {"media_id": pdf["id"].values + id_offset, "payload": payloads}
+            )
+
+    raw = spark.range(n).mapInPandas(gen, "media_id long, payload binary")
+    return raw.select(
+        "media_id",
+        F.lit("image").alias("kind"),
+        "payload",
+        F.struct(
+            F.lit(width).alias("width"),
+            F.lit(height).alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(1).alias("n_frames"),
+        ).alias("meta"),
+    )
+
+
+def dhash_neardup_pairs(
+    df: DataFrame, max_hamming: int = 6, n_bands: int = 8
+) -> DataFrame:
+    """Image NEAR-duplicate pairs via banded dHash — the perceptual
+    analogue of MinHash-LSH: hash every image (:func:`dhash_images`),
+    split the 64-bit hash into ``n_bands`` byte bands, equi-join on
+    (band, value) collisions, verify candidates with an exact popcount
+    hamming distance. Pigeonhole guarantee: with 8 bands, any pair
+    within hamming ≤ 7 shares at least one untouched band, so recall at
+    the default threshold is 1.0 — and candidates come only from band
+    equi-joins, never an all-pairs distance pass (the q31/q35 scale
+    discipline applied to images).
+
+    Bands are unsigned byte extractions (shiftrightunsigned) from the
+    signed hash — replicated in the oracle as HUGEINT division on the
+    pre-wrap value. Returns (a_id, b_id, hamming), a_id < b_id."""
+    from pyspark.sql import Window  # noqa: F401  (parity with siblings)
+
+    d = dhash_images(df)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftrightunsigned(F.col("dhash"), 8 * b).bitwiseAND(F.lit(255)).alias("bval"),
+        )
+        for b in range(n_bands)
+    ]
+    bands = d.select(
+        "media_id", "dhash", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("media_id", "dhash", F.col("bb.band").alias("band"), F.col("bb.bval").alias("bval"))
+    a = bands.select(
+        F.col("media_id").alias("a_id"), F.col("dhash").alias("__da"), "band", "bval"
+    )
+    b = bands.select(
+        F.col("media_id").alias("b_id"), F.col("dhash").alias("__db"), "band", "bval"
+    )
+    cand = (
+        a.join(b, ["band", "bval"])
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "__da", "__db")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("__da").bitwiseXOR(F.col("__db"))).cast("bigint")
+    return (
+        cand.withColumn("hamming", ham)
+        .where(F.col("hamming") <= max_hamming)
+        .select("a_id", "b_id", "hamming")
+    )

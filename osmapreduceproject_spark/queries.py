@@ -4519,6 +4519,90 @@ def q132(spark, sf_dir):
     return d1.unionByName(d2).select("media_id", "variant", "dhash")
 
 
+def _dhash_hash_sql(w: int, h: int, delta: int = 0, n_bytes: int = 0) -> str:
+    """HUGEINT SQL expression for the unsigned dHash of arith_raw_images
+    pixels (optionally with arith_raw_images_perturbed's +delta on the
+    first n_bytes bytes) — same grid/bit order as dhash_images."""
+    rr = [(r * h) // 8 for r in range(8)]
+    cc = [(c * w) // 9 for c in range(9)]
+
+    def g(R: int, C: int) -> str:
+        terms = []
+        for k in range(3):
+            i = (R * w + C) * 3 + k
+            ci = 7 * i + (i * i) % 251 + (delta if i < n_bytes else 0)
+            terms.append(f"((31*m + {ci}) % 256)")
+        return f"(({' + '.join(terms)}) // 3)"
+
+    bit_terms = []
+    for r in range(8):
+        for c in range(8):
+            bit = r * 8 + c
+            bit_terms.append(
+                f"CASE WHEN {g(rr[r], cc[c])} < {g(rr[r], cc[c + 1])} "
+                f"THEN CAST({1 << bit} AS HUGEINT) ELSE CAST(0 AS HUGEINT) END"
+            )
+    return "(" + "\n             + ".join(bit_terms) + ")"
+
+
+def _dhash_neardup_oracle(
+    n: int = 96, w: int = 16, h: int = 12, delta: int = 3, n_bytes: int = 12,
+    max_hamming: int = 6,
+) -> str:
+    divisors = ", ".join(
+        f"({b}, CAST('{256 ** b}' AS HUGEINT))" for b in range(8)
+    )
+    return f"""
+    WITH t AS (SELECT unnest(generate_series(0, {n - 1})) AS m),
+    h1 AS (SELECT CAST(m AS BIGINT) AS media_id,
+                  {_dhash_hash_sql(w, h)} AS hv FROM t),
+    h2 AS (SELECT CAST(m + 1000 AS BIGINT) AS media_id,
+                  {_dhash_hash_sql(w, h, delta, n_bytes)} AS hv FROM t),
+    hh AS (SELECT * FROM h1 UNION ALL SELECT * FROM h2),
+    signed AS (
+      SELECT media_id, hv,
+             CAST(CASE WHEN hv >= CAST('9223372036854775808' AS HUGEINT)
+                       THEN hv - CAST('18446744073709551616' AS HUGEINT)
+                       ELSE hv END AS BIGINT) AS dhash
+      FROM hh),
+    bands AS (
+      SELECT media_id, dhash, bb.b AS band,
+             CAST((hv // bb.dv) % 256 AS BIGINT) AS bval
+      FROM signed CROSS JOIN (VALUES {divisors}) AS bb(b, dv)),
+    cand AS (
+      SELECT DISTINCT x.media_id AS a_id, y.media_id AS b_id,
+                      x.dhash AS da, y.dhash AS db
+      FROM bands x JOIN bands y
+        ON x.band = y.band AND x.bval = y.bval AND x.media_id < y.media_id)
+    SELECT a_id, b_id, CAST(bit_count(xor(da, db)) AS BIGINT) AS hamming
+    FROM cand WHERE bit_count(xor(da, db)) <= {max_hamming}
+    """
+
+
+@q(
+    "q133_image_neardup",
+    _dhash_neardup_oracle(),
+    "Image NEAR-duplicate pairs via banded dHash (operators/multimodal.py "
+    "dhash_neardup_pairs) — MinHash-LSH's discipline applied to images: "
+    "96 closed-form originals + locally-perturbed twins (+3 on the first "
+    "12 bytes), byte-band equi-join candidates, exact popcount-hamming "
+    "verify at <=6. Pigeonhole: 8 bands guarantee recall 1.0 up to "
+    "hamming 7; candidates never come from an all-pairs pass. The oracle "
+    "replays hash, band extraction (HUGEINT division on the pre-wrap "
+    "value = unsigned shift), join, and popcount closed-form.",
+)
+def q133(spark, sf_dir):
+    from .operators.multimodal import (
+        arith_raw_images,
+        arith_raw_images_perturbed,
+        dhash_neardup_pairs,
+    )
+
+    base = arith_raw_images(spark, n=96, width=16, height=12)
+    pert = arith_raw_images_perturbed(spark, n=96, width=16, height=12)
+    return dhash_neardup_pairs(base.unionByName(pert), max_hamming=6)
+
+
 # ---------------------------------------------------------------------------
 # Catalog ordering. The driver's CORRECTNESS file covers only the FIRST 50
 # ``queries()`` entries, so the verdict window is a scarce resource.
@@ -4531,8 +4615,8 @@ def q132(spark, sf_dir):
 # q120–q129 (length histogram, quality quartiles, funnel, embedding
 # norms, retention, PQ/ADC, dup spans, ORC roundtrip, skew report,
 # disjunctive join) listed after group (e); (b) the single-grade r1/r2
-# cohort the r4 verdict queued (q41 q42 q45 q46 q48 q49 +
-# q89; q57/q58/q59/q74/q76 yielded their slots to the zero-grade q128–q132 —
+# cohort the r4 verdict queued (q41 q42 q45 q46 q48 +
+# q89; q49/q57/q58/q59/q74/q76 yielded their slots to the zero-grade q128–q133 —
 # they are double-deferred pure-Catalyst scalar/subquery queries, the
 # lowest-risk class in the catalog); (c) the r3-only
 # singles (q91 q93–q96 q98–q100 q103–q106); (d) second grades for every
@@ -4563,7 +4647,6 @@ _VERDICT_WINDOW = [
     "q45_scalar_subquery",
     "q46_min_by_max_by",
     "q48_null_handling",
-    "q49_date_arith",
     "q89_builtin_stats",
     # (c) r3-only singles
     "q91_variant_type",
@@ -4608,6 +4691,7 @@ _VERDICT_WINDOW = [
     "q130_integrity_audit",
     "q131_epoch_plan",
     "q132_image_dhash_dedup",
+    "q133_image_neardup",
 ]
 
 

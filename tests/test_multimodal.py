@@ -268,3 +268,24 @@ def test_dhash_invariant_under_integer_upscale(spark):
     assert up == orig
     # and the hash actually separates distinct images (not a constant)
     assert len(set(orig.values())) > 25
+
+
+def test_dhash_neardup_finds_planted_perturbations(spark):
+    from osmapreduceproject_spark.operators.multimodal import (
+        arith_raw_images,
+        arith_raw_images_perturbed,
+        dhash_neardup_pairs,
+    )
+
+    base = arith_raw_images(spark, n=16, width=16, height=12)
+    pert = arith_raw_images_perturbed(spark, n=16, width=16, height=12)
+    pairs = {
+        (r.a_id, r.b_id): r.hamming
+        for r in dhash_neardup_pairs(base.unionByName(pert), max_hamming=6).collect()
+    }
+    # every locally-perturbed twin is recovered as a near-dup of its
+    # original (the +3-on-12-bytes edit touches only top-left gradient
+    # bits), and hamming stays within the verify threshold
+    for m in range(16):
+        assert (m, 1000 + m) in pairs, m
+        assert 0 <= pairs[(m, 1000 + m)] <= 6
