@@ -4603,6 +4603,114 @@ def q133(spark, sf_dir):
     return dhash_neardup_pairs(base.unionByName(pert), max_hamming=6)
 
 
+@q(
+    "q134_bpe_pair_counts",
+    """
+    WITH w AS (SELECT string_split(text, ' ') AS w FROM documents),
+    pairs AS (
+      SELECT unnest(list_transform(range(1, len(w)),
+                                   i -> w[i] || '|' || w[i+1])) AS pair
+      FROM w WHERE len(w) >= 2),
+    counts AS (SELECT pair, COUNT(*) AS cnt FROM pairs GROUP BY pair)
+    SELECT pair, cnt FROM counts
+    ORDER BY cnt DESC, pair LIMIT 20
+    """,
+    "Adjacent-pair frequency counting — the inner loop of BPE tokenizer "
+    "training (which symbol pair to merge next is argmax of exactly this "
+    "table), distributed: explode each document's adjacent token pairs, "
+    "pair-keyed count with map-side combine, deterministic top-20 via "
+    "TakeOrdered (count desc, pair) — per-partition heaps, never a "
+    "global sort. Composes with q106's vocab build into a full "
+    "tokenizer-training data path; at 100 TB each merge round is one "
+    "such aggregation over the current symbol sequence.",
+)
+def q134(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    pair_arr = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws("|", F.element_at(toks, i), F.element_at(toks, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        d.select(F.explode(pair_arr).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("pair"))
+        .limit(20)
+    )
+
+
+@q(
+    "q135_ab_metrics",
+    f"""
+    WITH assigned AS (
+      SELECT *, CASE WHEN {md5_int_sql("'ab|' || CAST(user_id AS VARCHAR)")} % 2 = 0
+                     THEN 'A' ELSE 'B' END AS variant
+      FROM events),
+    per_user AS (
+      SELECT variant, user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS m1,
+             min(CASE WHEN event_type = 'click' THEN ts END) AS m2,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS m3
+      FROM assigned GROUP BY variant, user_id),
+    users AS (
+      SELECT variant, COUNT(*) AS n_users,
+             CAST(SUM(CASE WHEN m1 IS NOT NULL AND m2 IS NOT NULL AND m2 >= m1
+                            AND m3 IS NOT NULL AND m3 >= m2
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
+      FROM per_user GROUP BY variant),
+    ev AS (SELECT variant, COUNT(*) AS n_events FROM assigned GROUP BY variant)
+    SELECT u.variant, u.n_users, ev.n_events, u.n_converted,
+           round(CAST(u.n_converted AS DOUBLE) / u.n_users, 6) AS conversion_rate
+    FROM users u JOIN ev USING (variant)
+    """,
+    "Hash-split A/B experiment readout: users deterministically assigned "
+    "to variants by content hash (the q68 split primitive — stable "
+    "across runs/engines/cluster layouts, no assignment table to store), "
+    "then per-variant user counts, event volume, and full-funnel "
+    "conversion rate (q122's min-timestamp semantics). Two user/variant-"
+    "keyed aggregations joined on a 2-row key — the exchange carries "
+    "pre-aggregated rows only.",
+)
+def q135(spark, sf_dir):
+    from .operators.events import funnel_user_mins
+
+    e = _t(spark, sf_dir, "events")
+    variant = F.when(
+        md5_int(F.concat(F.lit("ab|"), F.col("user_id").cast("string"))) % 2 == 0,
+        F.lit("A"),
+    ).otherwise(F.lit("B"))
+    assigned = e.withColumn("variant", variant)
+    per_user = assigned.groupBy("variant", "user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("m1"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("m2"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("m3"),
+    )
+    conv = (
+        F.col("m1").isNotNull()
+        & F.col("m2").isNotNull() & (F.col("m2") >= F.col("m1"))
+        & F.col("m3").isNotNull() & (F.col("m3") >= F.col("m2"))
+    )
+    users = per_user.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(conv.cast("bigint")).alias("n_converted"),
+    )
+    ev = assigned.groupBy("variant").agg(F.count(F.lit(1)).alias("n_events"))
+    return (
+        users.join(ev, "variant")
+        .select(
+            "variant", "n_users", "n_events", "n_converted",
+            F.round(
+                F.col("n_converted").cast("double") / F.col("n_users"), 6
+            ).alias("conversion_rate"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Catalog ordering. The driver's CORRECTNESS file covers only the FIRST 50
 # ``queries()`` entries, so the verdict window is a scarce resource.
@@ -4615,8 +4723,9 @@ def q133(spark, sf_dir):
 # q120–q129 (length histogram, quality quartiles, funnel, embedding
 # norms, retention, PQ/ADC, dup spans, ORC roundtrip, skew report,
 # disjunctive join) listed after group (e); (b) the single-grade r1/r2
-# cohort the r4 verdict queued (q41 q42 q45 q46 q48 +
-# q89; q49/q57/q58/q59/q74/q76 yielded their slots to the zero-grade q128–q133 —
+# cohort the r4 verdict queued (q41 q42 q46 +
+# q89; q45/q48/q49/q57/q58/q59/q74/q76 yielded their slots to the
+# zero-grade q128–q135 —
 # they are double-deferred pure-Catalyst scalar/subquery queries, the
 # lowest-risk class in the catalog); (c) the r3-only
 # singles (q91 q93–q96 q98–q100 q103–q106); (d) second grades for every
@@ -4644,9 +4753,7 @@ _VERDICT_WINDOW = [
     # (b) single-grade r1/r2 cohort (deferred since r3 — seconds due)
     "q41_pivot",
     "q42_unpivot",
-    "q45_scalar_subquery",
     "q46_min_by_max_by",
-    "q48_null_handling",
     "q89_builtin_stats",
     # (c) r3-only singles
     "q91_variant_type",
@@ -4692,6 +4799,8 @@ _VERDICT_WINDOW = [
     "q131_epoch_plan",
     "q132_image_dhash_dedup",
     "q133_image_neardup",
+    "q134_bpe_pair_counts",
+    "q135_ab_metrics",
 ]
 
 
