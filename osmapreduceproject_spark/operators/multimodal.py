@@ -640,3 +640,47 @@ def dhash_neardup_pairs(
         .where(F.col("hamming") <= max_hamming)
         .select("a_id", "b_id", "hamming")
     )
+
+
+def audio_fingerprint(df: DataFrame, frame: int = 8, n_frames: int = 65) -> DataFrame:
+    """Acoustic fingerprint over 8-bit-PCM payloads — the audio analogue
+    of :func:`dhash_images`: integer frame energies (sum of raw byte
+    values per ``frame``-sample window) reduced to 64
+    energy-gradient bits (e[k] < e[k+1]) packed into a signed int64.
+    All-integer arithmetic end-to-end, so the fingerprint is replicable
+    closed-form by any engine — the same property that upgraded the
+    RAW8 image path. Band-joining these fingerprints (q133's machinery)
+    gives hamming-near audio dedup; equal fingerprints are the
+    re-encoded-duplicate key. mapInPandas, Arrow-batched, no shuffle;
+    clips shorter than frame·n_frames samples raise.
+
+    Returns (media_id, fp)."""
+    need = frame * n_frames
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Self-contained closure: no module-global references.
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = []
+            for m, p in zip(pdf["media_id"], pdf["payload"]):
+                buf = np.frombuffer(bytes(p), dtype=np.uint8)
+                if buf.size < need:
+                    raise ValueError(
+                        f"payload has {buf.size} samples; fingerprint needs {need}"
+                    )
+                e = buf[:need].astype(np.int64).reshape(n_frames, frame).sum(axis=1)
+                bits = e[:-1] < e[1:]
+                fp = 0
+                for i, b in enumerate(bits):
+                    if b:
+                        fp |= 1 << i
+                if fp >= 1 << 63:
+                    fp -= 1 << 64
+                out.append((int(m), fp))
+            yield pd.DataFrame(out, columns=["media_id", "fp"])
+
+    return df.select("media_id", "payload").mapInPandas(run, "media_id long, fp long")

@@ -4711,6 +4711,97 @@ def q135(spark, sf_dir):
     )
 
 
+def _audio_fp_oracle(n: int = 64, frame: int = 8, n_frames: int = 65) -> str:
+    """Closed-form replica of audio_fingerprint over arith_raw_audio
+    samples: frame energies are literal 8-term modular sums, gradient
+    bits and the signed wrap mirror the Spark packing exactly."""
+
+    def e(k: int) -> str:
+        terms = []
+        for j in range(frame):
+            i = k * frame + j
+            ci = 11 * i + (i * i) % 89
+            terms.append(f"((17*m + {ci}) % 256)")
+        return "(" + " + ".join(terms) + ")"
+
+    bit_terms = []
+    for k in range(n_frames - 1):
+        bit_terms.append(
+            f"CASE WHEN {e(k)} < {e(k + 1)} "
+            f"THEN CAST({1 << k} AS HUGEINT) ELSE CAST(0 AS HUGEINT) END"
+        )
+    hash_expr = "(" + "\n             + ".join(bit_terms) + ")"
+    return f"""
+    WITH t AS (SELECT unnest(generate_series(0, {n - 1})) AS m),
+    hsh AS (SELECT m, {hash_expr} AS hv FROM t)
+    SELECT CAST(m AS BIGINT) AS media_id,
+           CAST(CASE WHEN hv >= CAST('9223372036854775808' AS HUGEINT)
+                     THEN hv - CAST('18446744073709551616' AS HUGEINT)
+                     ELSE hv END AS BIGINT) AS fp
+    FROM hsh
+    """
+
+
+@q(
+    "q136_audio_fingerprint",
+    _audio_fp_oracle(),
+    "Acoustic fingerprinting (operators/multimodal.py audio_fingerprint) "
+    "— the audio analogue of q132's dHash: 8-bit-PCM decode -> integer "
+    "frame energies -> 64 energy-gradient bits packed to int64, "
+    "all-integer end-to-end so the DuckDB oracle regenerates every "
+    "energy from the closed-form sample formula and replays bit packing "
+    "and signed wrap exactly. Equal fingerprints are the duplicate-clip "
+    "key; band-joining them (q133's machinery) gives hamming-near audio "
+    "dedup. With this, every modality has a value-checked dedup "
+    "primitive: text (MinHash/SimHash), embeddings (SRP-LSH), images "
+    "(dHash), audio (energy fingerprint).",
+)
+def q136(spark, sf_dir):
+    from .operators.multimodal import arith_raw_audio, audio_fingerprint
+
+    return audio_fingerprint(arith_raw_audio(spark, n=64, n_samples=2048))
+
+
+@q(
+    "q137_hybrid_retrieval",
+    f"""
+    WITH q AS ({_quality_oracle()}),
+    good AS (SELECT doc_id FROM q WHERE quality_score >= 0.7),
+    corpus AS (SELECT e.vec_id, e.embedding FROM embeddings e
+               JOIN good g ON g.doc_id = e.vec_id),
+    qs AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 3),
+    scored AS (
+      SELECT qs.query_id, c.vec_id AS neighbor_id,
+             round({_cosine_sql('qs.qe', 'c.embedding')}, 6) AS sim
+      FROM corpus c, qs
+      WHERE c.vec_id != qs.query_id)
+    SELECT query_id, neighbor_id, sim, rank FROM (
+      SELECT query_id, neighbor_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id) AS rank
+      FROM scored) t
+    WHERE rank <= 5
+    """,
+    "Hybrid curated retrieval — the composition a training-data search "
+    "stack actually runs: quality-filter the documents (q38's composite "
+    ">= 0.7), join the survivors to their embeddings on doc_id = vec_id "
+    "(the multimodal id contract), then exact cosine top-5 over the "
+    "curated corpus only. The quality filter is a narrow map feeding a "
+    "key equi-join; retrieval cost scales with the SURVIVING corpus, "
+    "which is the point of filtering before indexing.",
+)
+def q137(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    e = _t(spark, sf_dir, "embeddings")
+    good = (
+        text.with_quality_score(d)
+        .where(F.col("quality_score") >= 0.7)
+        .select("doc_id")
+    )
+    corpus = e.join(good, e["vec_id"] == good["doc_id"]).select("vec_id", "embedding")
+    return similarity.cosine_topk(corpus, e.where(F.col("vec_id") < 3), k=5)
+
+
 # ---------------------------------------------------------------------------
 # Catalog ordering. The driver's CORRECTNESS file covers only the FIRST 50
 # ``queries()`` entries, so the verdict window is a scarce resource.
@@ -4723,9 +4814,9 @@ def q135(spark, sf_dir):
 # q120–q129 (length histogram, quality quartiles, funnel, embedding
 # norms, retention, PQ/ADC, dup spans, ORC roundtrip, skew report,
 # disjunctive join) listed after group (e); (b) the single-grade r1/r2
-# cohort the r4 verdict queued (q41 q42 q46 +
-# q89; q45/q48/q49/q57/q58/q59/q74/q76 yielded their slots to the
-# zero-grade q128–q135 —
+# cohort the r4 verdict queued (q41 q42; q45/q46/q48/q49/q57/q58/q59/
+# q74/q76/q89 yielded their slots to the
+# zero-grade q128–q137 —
 # they are double-deferred pure-Catalyst scalar/subquery queries, the
 # lowest-risk class in the catalog); (c) the r3-only
 # singles (q91 q93–q96 q98–q100 q103–q106); (d) second grades for every
@@ -4753,8 +4844,6 @@ _VERDICT_WINDOW = [
     # (b) single-grade r1/r2 cohort (deferred since r3 — seconds due)
     "q41_pivot",
     "q42_unpivot",
-    "q46_min_by_max_by",
-    "q89_builtin_stats",
     # (c) r3-only singles
     "q91_variant_type",
     "q93_csv_source",
@@ -4801,6 +4890,8 @@ _VERDICT_WINDOW = [
     "q133_image_neardup",
     "q134_bpe_pair_counts",
     "q135_ab_metrics",
+    "q136_audio_fingerprint",
+    "q137_hybrid_retrieval",
 ]
 
 

@@ -289,3 +289,18 @@ def test_dhash_neardup_finds_planted_perturbations(spark):
     for m in range(16):
         assert (m, 1000 + m) in pairs, m
         assert 0 <= pairs[(m, 1000 + m)] <= 6
+
+
+def test_audio_fingerprint_disperses_and_is_deterministic(spark):
+    from osmapreduceproject_spark.operators.multimodal import (
+        arith_raw_audio,
+        audio_fingerprint,
+    )
+
+    clips = arith_raw_audio(spark, n=32, n_samples=2048)
+    a = {r.media_id: r.fp for r in audio_fingerprint(clips).collect()}
+    b = {r.media_id: r.fp for r in audio_fingerprint(clips).collect()}
+    assert a == b  # partitioning-independent
+    assert len(a) == 32
+    # a constant fingerprint would make the dedup key useless
+    assert len(set(a.values())) > 1
