@@ -67,6 +67,9 @@ BENCH_QUERIES = [
     "q124_retention_cohorts",  # distinct (user,week) + cohort join
     "q125_pq_topk",  # PQ encode + ADC lookup join
     "q126_dup_spans",  # positional shingles + gaps-and-islands window
+    "q128_skew_report",  # heavy-hitter pre-flight over lineitem
+    "q130_integrity_audit",  # anti-join FK checks over the full schema
+    "q134_bpe_pair_counts",  # adjacent-pair explode + top-20
     "conf_sort_seeded",
     "conf_max_seeded",
 ]

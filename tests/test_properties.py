@@ -414,3 +414,86 @@ def test_duplicate_ngram_fraction_matches_python_oracle(spark, texts):
         assert got[i][0] == len(s) and got[i][1] == dup
         assert got[i][2] == round(dup / len(s), 6)
         assert 0.0 <= got[i][2] <= 1.0
+
+
+@given(texts=st.lists(
+    st.sampled_from(["a b c d e f", "a b c d x y", "p q r s t u", "a b", "x y a b c d"]),
+    min_size=2, max_size=10))
+@SET
+def test_duplicate_span_stats_matches_python_oracle(spark, texts):
+    """Span stats equal a direct Python gaps-and-islands computation:
+    duplicated positions are those whose 3-shingle occurs in ≥2 distinct
+    docs; runs are maximal consecutive position blocks."""
+    from collections import defaultdict
+
+    from osmapreduceproject_spark.operators.text import duplicate_span_stats
+    from osmapreduceproject_spark.plans.inspect import release_intermediates
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id bigint, text string")
+    got = {
+        r["doc_id"]: (r["n_dup_positions"], r["n_runs"], r["max_run_shingles"])
+        for r in duplicate_span_stats(df).collect()
+    }
+    release_intermediates()
+
+    def shingle_list(t):
+        w = t.split(" ")
+        return [" ".join(w[i:i + 3]) for i in range(len(w) - 2)] if len(w) >= 3 else [t]
+
+    docs_of = defaultdict(set)
+    for i, t in enumerate(texts):
+        for g in set(shingle_list(t)):
+            docs_of[g].add(i)
+    want = {}
+    for i, t in enumerate(texts):
+        dup_pos = [p for p, g in enumerate(shingle_list(t)) if len(docs_of[g]) >= 2]
+        if not dup_pos:
+            continue
+        runs, cur = [], 1
+        for a, b in zip(dup_pos, dup_pos[1:]):
+            if b == a + 1:
+                cur += 1
+            else:
+                runs.append(cur)
+                cur = 1
+        runs.append(cur)
+        want[i] = (len(dup_pos), len(runs), max(runs))
+    assert got == want
+
+
+@given(events=st.lists(
+    st.tuples(st.integers(0, 4),                    # user
+              st.sampled_from(["view", "click", "purchase", "other"]),
+              st.integers(0, 50)),                  # minute offset
+    min_size=1, max_size=30))
+@SET
+def test_funnel_counts_match_python_oracle(spark, events):
+    """Step counts equal the min-timestamp funnel computed directly in
+    Python, and are non-increasing down the funnel."""
+    from datetime import datetime, timedelta
+
+    from osmapreduceproject_spark.operators.events import funnel_counts
+
+    base = datetime(2024, 1, 1)
+    rows = [(u, t, base + timedelta(minutes=m)) for u, t, m in events]
+    df = spark.createDataFrame(rows, "user_id bigint, event_type string, ts timestamp")
+    got = [r.n_users for r in funnel_counts(df).orderBy("step").collect()]
+
+    mins = {}
+    for u, t, m in events:
+        if t in ("view", "click", "purchase"):
+            key = (u, t)
+            mins[key] = min(mins.get(key, m), m)
+    n = [0, 0, 0]
+    for u in {u for u, _, _ in events}:
+        m1 = mins.get((u, "view"))
+        m2 = mins.get((u, "click"))
+        m3 = mins.get((u, "purchase"))
+        if m1 is not None:
+            n[0] += 1
+            if m2 is not None and m2 >= m1:
+                n[1] += 1
+                if m3 is not None and m3 >= m2:
+                    n[2] += 1
+    assert got == n
+    assert got[0] >= got[1] >= got[2]
