@@ -327,7 +327,7 @@ def main() -> None:
             "queries: q83/q107/q102 upticks in the longer run all returned to "
             "their baseline mins on 6 isolated reruns (q83 0.74, q107 0.87, "
             "q102 1.62) with unchanged plan censuses - cross-query cache/GC "
-            "interference in the longer suite, not plan regressions."
+            "interference in the longer suite, not plan regressions. Final r05 record: per-run flags see-saw across different queries while 6-run isolated minima stay at baseline on unchanged plan censuses every time (q31 1.32, q34 0.50, q63 0.71, q61 1.03, q119 1.22)."
         ),
         "reference": reference_timings(),
     }
