@@ -354,3 +354,27 @@ def test_cross_decontamination_no_cartesian_q117(spark):
     plan = explain_str(df)
     release_intermediates()
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
+
+
+def test_image_neardup_no_cartesian_q133(spark):
+    """Banded-dHash candidates must come from (band, value) equi-joins —
+    never an all-pairs image distance pass; same discipline as q31/q35."""
+    from osmapreduceproject_spark.plans.inspect import release_intermediates
+
+    df = QUERIES["q133_image_neardup"].fn(spark, SF_CORRECT)
+    plan = explain_str(df)
+    release_intermediates()
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
+
+
+def test_pq_topk_no_cartesian_after_encode_q125(spark):
+    """PQ/ADC ranking joins the code table against the broadcast
+    per-query lookup table on (subspace, code); the only corpus-wide
+    broadcast joins carry the m·k_codes codebook — no raw-vector
+    cross join appears anywhere in the plan."""
+    from osmapreduceproject_spark.plans.inspect import release_intermediates
+
+    df = QUERIES["q125_pq_topk"].fn(spark, SF_CORRECT)
+    plan = explain_str(df)
+    release_intermediates()
+    assert "CartesianProduct" not in plan, plan
