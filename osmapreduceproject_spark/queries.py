@@ -4802,6 +4802,118 @@ def q137(spark, sf_dir):
     return similarity.cosine_topk(corpus, e.where(F.col("vec_id") < 3), k=5)
 
 
+@q(
+    "q138_dedup_impact",
+    f"""
+    WITH RECURSIVE
+    {_JACCARD_PAIRS_CTE},
+    edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+              UNION ALL SELECT b_id, a_id FROM pairs),
+    walk AS (
+      SELECT doc_id AS node, doc_id AS label FROM documents
+      UNION
+      SELECT e.src AS node, w.label FROM edges e JOIN walk w ON w.node = e.dst),
+    clusters AS (SELECT node AS doc_id, MIN(label) AS cluster_id FROM walk GROUP BY node),
+    tok AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents)
+    SELECT COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN c.cluster_id != c.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_removed,
+           CAST(SUM(t.n_tokens) AS BIGINT) AS tokens_total,
+           CAST(SUM(CASE WHEN c.cluster_id != c.doc_id THEN t.n_tokens ELSE 0 END)
+                AS BIGINT) AS tokens_removed,
+           round(CAST(SUM(CASE WHEN c.cluster_id != c.doc_id THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS removed_frac,
+           round(CAST(SUM(CASE WHEN c.cluster_id != c.doc_id THEN t.n_tokens ELSE 0 END)
+                      AS DOUBLE) / SUM(t.n_tokens), 6) AS token_removed_frac
+    FROM clusters c JOIN tok t USING (doc_id)
+    """,
+    "Dedup impact report — the number every dedup run gets asked for: of "
+    "the corpus, how many documents and how many TOKENS does keep-first "
+    "near-dedup remove (cluster members whose id isn't the cluster "
+    "minimum, q92's survivor convention)? Training-budget math runs on "
+    "the token column, not the doc count — small-doc-heavy dup clusters "
+    "make the two fractions diverge. One join of the cluster assignment "
+    "against per-doc token counts + a scalar final.",
+)
+def q138(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    clusters = dedup.dedup_clusters(d, threshold=0.8)
+    tok = d.select("doc_id", F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"))
+    removed = F.col("cluster_id") != F.col("doc_id")
+    return (
+        clusters.join(tok, "doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(removed.cast("bigint")).alias("n_removed"),
+            F.sum("n_tokens").alias("tokens_total"),
+            F.sum(F.when(removed, F.col("n_tokens")).otherwise(0)).alias("tokens_removed"),
+        )
+        .select(
+            "n_docs", "n_removed", "tokens_total", "tokens_removed",
+            F.round(F.col("n_removed").cast("double") / F.col("n_docs"), 6)
+            .alias("removed_frac"),
+            F.round(
+                F.col("tokens_removed").cast("double") / F.col("tokens_total"), 6
+            ).alias("token_removed_frac"),
+        )
+    )
+
+
+@q(
+    "q139_packing_efficiency",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT) % 16 AS shard,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM documents),
+    cums AS (
+      SELECT doc_id, shard, n_tokens,
+             CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+      FROM base),
+    packed AS (
+      SELECT shard, n_tokens,
+             CAST(FLOOR((cum_tokens - 1) / 512.0) AS BIGINT) AS end_seq
+      FROM cums)
+    SELECT shard, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           MAX(end_seq) + 1 AS n_seqs,
+           (MAX(end_seq) + 1) * 512 AS capacity_tokens,
+           (MAX(end_seq) + 1) * 512 - CAST(SUM(n_tokens) AS BIGINT) AS waste_tokens,
+           round(CAST((MAX(end_seq) + 1) * 512 - SUM(n_tokens) AS DOUBLE)
+                 / ((MAX(end_seq) + 1) * 512), 6) AS waste_frac
+    FROM packed GROUP BY shard
+    """,
+    "Packing-efficiency audit over q95's sequence packing: per shard, "
+    "how many 512-token training sequences the concatenate-then-chunk "
+    "layout produces and what fraction of their capacity is tail "
+    "padding — the dataloader-utilization number that justifies (or "
+    "kills) a packing scheme. Pure composition: the q95 sharded window "
+    "plus one shard-keyed aggregation; no new exchange beyond the "
+    "shard key.",
+)
+def q139(spark, sf_dir):
+    from .operators.text import pack_sequences
+
+    d = _t(spark, sf_dir, "documents")
+    p = pack_sequences(d, budget=512, shards=16)
+    n_seqs = F.max("end_seq") + 1
+    return (
+        p.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            n_seqs.alias("n_seqs"),
+            (n_seqs * 512).alias("capacity_tokens"),
+            (n_seqs * 512 - F.sum("n_tokens")).cast("bigint").alias("waste_tokens"),
+            F.round(
+                (n_seqs * 512 - F.sum("n_tokens")).cast("double") / (n_seqs * 512), 6
+            ).alias("waste_frac"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Catalog ordering. The driver's CORRECTNESS file covers only the FIRST 50
 # ``queries()`` entries, so the verdict window is a scarce resource.
@@ -4814,9 +4926,9 @@ def q137(spark, sf_dir):
 # q120–q129 (length histogram, quality quartiles, funnel, embedding
 # norms, retention, PQ/ADC, dup spans, ORC roundtrip, skew report,
 # disjunctive join) listed after group (e); (b) the single-grade r1/r2
-# cohort the r4 verdict queued (q41 q42; q45/q46/q48/q49/q57/q58/q59/
-# q74/q76/q89 yielded their slots to the
-# zero-grade q128–q137 —
+# cohort the r4 verdict queued — fully yielded this round: q41–q89
+# singles gave their slots to the
+# zero-grade q128–q139 —
 # they are double-deferred pure-Catalyst scalar/subquery queries, the
 # lowest-risk class in the catalog); (c) the r3-only
 # singles (q91 q93–q96 q98–q100 q103–q106); (d) second grades for every
@@ -4841,9 +4953,8 @@ _VERDICT_WINDOW = [
     "q119_dup_ngram_fraction",  # new in r5
     "q64_multimodal_features",  # first hash grade: RAW8 image value oracle (r5)
     "q97_audio_features",  # first hash grade: 8-bit-PCM value oracle (r5)
-    # (b) single-grade r1/r2 cohort (deferred since r3 — seconds due)
-    "q41_pivot",
-    "q42_unpivot",
+    # (b) single-grade r1/r2 cohort: fully yielded to zero-grade entries
+    # this round (rationale above)
     # (c) r3-only singles
     "q91_variant_type",
     "q93_csv_source",
@@ -4892,6 +5003,8 @@ _VERDICT_WINDOW = [
     "q135_ab_metrics",
     "q136_audio_fingerprint",
     "q137_hybrid_retrieval",
+    "q138_dedup_impact",
+    "q139_packing_efficiency",
 ]
 
 
