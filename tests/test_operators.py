@@ -1458,3 +1458,30 @@ def test_epoch_plan_budget_conserved(spark):
     for r in rows:
         assert abs(r.epochs * r.n_tokens - r.target_tokens) < max(1e-3 * r.target_tokens, 0.5)
         assert r.epochs > 0
+
+
+def test_zorder_key_properties(spark):
+    from osmapreduceproject_spark.functions.layout import zorder_key
+
+    df = spark.createDataFrame(
+        [(a, b) for a in range(8) for b in range(8)], "a bigint, b bigint"
+    )
+    got = {
+        (r.a, r.b): r.z
+        for r in df.select("a", "b", zorder_key(F.col("a"), F.col("b"), bits=3).alias("z")).collect()
+    }
+
+    def morton(a, b):
+        z = 0
+        for i in range(3):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    # exact Morton interleave, bijective on the 8x8 grid, monotone in
+    # each argument with the other fixed
+    assert got == {(a, b): morton(a, b) for a in range(8) for b in range(8)}
+    assert len(set(got.values())) == 64
+    for b in range(8):
+        col = [got[(a, b)] for a in range(8)]
+        assert col == sorted(col)

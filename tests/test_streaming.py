@@ -298,3 +298,30 @@ def test_funnel_user_mins_batch_stream_equivalence(spark):
     }
     _run(funnel_user_mins(_stream_events(spark)), "funnel_mins", mode="complete")
     assert _rows(spark, "funnel_mins") == batch
+
+
+def test_retention_user_week_stage_batch_stream_equivalence(spark):
+    """Retention's first stage — distinct (user, epoch-week) pairs — is
+    streaming dedup with bounded watermark state: replaying the events
+    fixture must yield exactly the batch distinct set. The cohort-min
+    and offset aggregations are deterministic functions of this output,
+    so the equivalence covers retention_cohorts end-to-end the same way
+    the funnel test covers funnel_counts."""
+    from osmapreduceproject_spark.operators.events import week_index
+
+    ev = read_events(spark, SF_SMOKE)
+    batch = {
+        (r.user_id, r.week_idx)
+        for r in ev.select("user_id", week_index("ts").alias("week_idx"))
+        .distinct()
+        .collect()
+    }
+    stream = (
+        _stream_events(spark)
+        .withColumn("week_idx", week_index("ts"))
+        .withWatermark("ts", "1 hour")
+        .dropDuplicates(["user_id", "week_idx"])
+        .select("user_id", "week_idx")
+    )
+    _run(stream, "retention_weeks", mode="append")
+    assert _rows(spark, "retention_weeks") == batch
