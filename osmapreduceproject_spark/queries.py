@@ -4952,6 +4952,51 @@ def q140(spark, sf_dir):
     )
 
 
+@q(
+    "q141_rolling_active_users",
+    """
+    WITH days AS (
+      SELECT DISTINCT user_id, epoch_us(ts) // 1000000 // 86400 AS day_idx
+      FROM events),
+    contrib AS (
+      SELECT user_id, day_idx + off AS window_end
+      FROM days CROSS JOIN unnest([0, 1, 2, 3, 4, 5, 6]) AS t(off)),
+    bounds AS (SELECT MIN(day_idx) AS lo, MAX(day_idx) AS hi FROM days)
+    SELECT c.window_end, COUNT(DISTINCT c.user_id) AS n_active_users
+    FROM contrib c, bounds b
+    WHERE c.window_end BETWEEN b.lo AND b.hi
+    GROUP BY c.window_end
+    """,
+    "Rolling 7-day active users — the standard engagement metric: for "
+    "each day, distinct users active in the trailing 7-day window. "
+    "Computed shuffle-lean: collapse events to distinct (user, epoch-day) "
+    "first, then each active day CONTRIBUTES to its 7 trailing windows "
+    "via a 7-element explode and one (window, user) distinct count — no "
+    "per-window rescans, no self-join over ranges; cost is 7x the "
+    "distinct-day table, not 7x the event volume. Window ends clamped to "
+    "observed days so both engines agree on the frame.",
+)
+def q141(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    day = F.floor(F.unix_timestamp("ts") / 86400).cast("bigint")
+    days = e.select("user_id", day.alias("day_idx")).distinct()
+    bounds = days.agg(
+        F.min("day_idx").alias("lo"), F.max("day_idx").alias("hi")
+    )
+    contrib = days.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day_idx"), F.col("day_idx") + 6)
+        ).alias("window_end"),
+    )
+    return (
+        contrib.crossJoin(F.broadcast(bounds))
+        .where(F.col("window_end").between(F.col("lo"), F.col("hi")))
+        .groupBy("window_end")
+        .agg(F.count_distinct("user_id").alias("n_active_users"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Catalog ordering. The driver's CORRECTNESS file covers only the FIRST 50
 # ``queries()`` entries, so the verdict window is a scarce resource.
@@ -4993,8 +5038,7 @@ _VERDICT_WINDOW = [
     "q97_audio_features",  # first hash grade: 8-bit-PCM value oracle (r5)
     # (b) single-grade r1/r2 cohort: fully yielded to zero-grade entries
     # this round (rationale above)
-    # (c) r3-only singles (q91 yielded its slot to zero-grade q140)
-    "q93_csv_source",
+    # (c) r3-only singles (q91/q93 yielded slots to zero-grade q140/q141)
     "q94_json_source",
     "q95_sequence_packing",
     "q96_regex_tokens",
@@ -5043,6 +5087,7 @@ _VERDICT_WINDOW = [
     "q138_dedup_impact",
     "q139_packing_efficiency",
     "q140_zorder_layout",
+    "q141_rolling_active_users",
 ]
 
 
