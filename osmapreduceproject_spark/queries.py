@@ -4997,6 +4997,176 @@ def q141(spark, sf_dir):
     )
 
 
+@q(
+    "q142_event_anomaly",
+    """
+    WITH hours AS (
+      SELECT epoch_us(ts) // 1000000 // 3600 AS hour_idx, COUNT(*) AS n_events
+      FROM events GROUP BY 1),
+    stats AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(n_events) AS BIGINT) AS s1,
+             CAST(SUM(n_events * n_events) AS BIGINT) AS s2
+      FROM hours),
+    scored AS (
+      SELECT h.hour_idx, h.n_events,
+             round((h.n_events - CAST(s1 AS DOUBLE) / n)
+                   / sqrt(CAST(s2 AS DOUBLE) / n
+                          - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)),
+                   6) AS z
+      FROM hours h CROSS JOIN stats)
+    SELECT hour_idx, n_events, z FROM scored WHERE abs(z) >= 2.0
+    """,
+    "Hourly event-volume anomaly detection: per-hour counts z-scored "
+    "against the corpus's own mean/std and flagged at |z| >= 2 — the "
+    "monitoring query behind every traffic-spike alert. Mean and "
+    "variance derive from exact integer Σc and Σc² divided once in "
+    "double (the q64 determinism discipline), so z is bit-identical "
+    "across engines and partitionings. One hour-keyed count + a "
+    "broadcast one-row stats join; observed hours only (absent hours "
+    "carry no count on either engine).",
+)
+def q142(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    hour = F.floor(F.unix_timestamp("ts") / 3600).cast("bigint")
+    hours = e.groupBy(hour.alias("hour_idx")).agg(F.count(F.lit(1)).alias("n_events"))
+    stats = hours.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_events").alias("s1"),
+        F.sum(F.col("n_events") * F.col("n_events")).alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n")
+    var = F.col("s2").cast("double") / F.col("n") - mean * mean
+    z = F.round((F.col("n_events") - mean) / F.sqrt(var), 6)
+    return (
+        hours.crossJoin(F.broadcast(stats))
+        .withColumn("z", z)
+        .where(F.abs(F.col("z")) >= 2.0)
+        .select("hour_idx", "n_events", "z")
+    )
+
+
+@q(
+    "q143_pmi_collocations",
+    """
+    WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+    uni AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+    nn AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM uni),
+    w AS (SELECT string_split(text, ' ') AS w FROM documents),
+    prs AS (
+      SELECT unnest(list_transform(range(1, len(w)), i -> [w[i], w[i+1]])) AS p
+      FROM w WHERE len(w) >= 2),
+    pair_counts AS (SELECT p[1] AS a, p[2] AS b, COUNT(*) AS c_ab
+                    FROM prs GROUP BY 1, 2),
+    pp AS (SELECT CAST(SUM(c_ab) AS BIGINT) AS p FROM pair_counts),
+    scored AS (
+      SELECT pc.a, pc.b, pc.c_ab,
+             round(log2((CAST(pc.c_ab AS DOUBLE) / pp.p)
+                        / ((CAST(ua.c AS DOUBLE) / nn.n)
+                           * (CAST(ub.c AS DOUBLE) / nn.n))), 6) AS pmi
+      FROM pair_counts pc
+      JOIN uni ua ON ua.tok = pc.a
+      JOIN uni ub ON ub.tok = pc.b
+      CROSS JOIN nn CROSS JOIN pp
+      WHERE pc.c_ab >= 5)
+    SELECT a, b, c_ab, pmi FROM scored
+    ORDER BY pmi DESC, a, b LIMIT 20
+    """,
+    "PMI collocation mining — the classic phrase/term-discovery signal: "
+    "log2 of observed adjacent-pair probability over the independence "
+    "expectation, for pairs seen >= 5 times, top-20. Reuses the q134 "
+    "pair machinery plus unigram counts; two token-keyed aggregations, "
+    "two equi-joins back on the token key, broadcast one-row totals, "
+    "TakeOrdered final. log2 operands are ratios of exact integers -> "
+    "bit-identical arguments; 6-decimal rounding absorbs libm ulp.",
+)
+def q143(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    uni = (
+        d.select(F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    nn = uni.agg(F.sum("c").alias("n"))
+    pair_arr = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.array(F.element_at(toks, i), F.element_at(toks, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<array<string>>"))
+    pair_counts = (
+        d.select(F.explode(pair_arr).alias("p"))
+        .select(F.col("p")[0].alias("a"), F.col("p")[1].alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+    )
+    pp = pair_counts.agg(F.sum("c_ab").alias("p"))
+    ua = uni.select(F.col("tok").alias("a"), F.col("c").alias("__ca"))
+    ub = uni.select(F.col("tok").alias("b"), F.col("c").alias("__cb"))
+    pmi = F.round(
+        F.log2(
+            (F.col("c_ab").cast("double") / F.col("p"))
+            / (
+                (F.col("__ca").cast("double") / F.col("n"))
+                * (F.col("__cb").cast("double") / F.col("n"))
+            )
+        ),
+        6,
+    )
+    return (
+        pair_counts.where(F.col("c_ab") >= 5)
+        .join(ua, "a")
+        .join(ub, "b")
+        .crossJoin(F.broadcast(nn))
+        .crossJoin(F.broadcast(pp))
+        .withColumn("pmi", pmi)
+        .orderBy(F.col("pmi").desc(), "a", "b")
+        .limit(20)
+        .select("a", "b", "c_ab", "pmi")
+    )
+
+
+@q(
+    "q144_ship_delay_distribution",
+    """
+    SELECT o.o_orderpriority,
+           CAST(floor(date_diff('day', o.o_orderdate, l.l_shipdate) / 7.0) AS BIGINT)
+             AS delay_week,
+           COUNT(*) AS n_lineitems,
+           MIN(date_diff('day', o.o_orderdate, l.l_shipdate)) AS min_delay_days,
+           MAX(date_diff('day', o.o_orderdate, l.l_shipdate)) AS max_delay_days
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY 1, 2
+    """,
+    "Order-to-ship delay distribution per priority, bucketed by week — "
+    "the fulfillment-latency histogram. DATE arithmetic is exact-integer "
+    "day differences on both engines; the week bucket is an explicit "
+    "floor (DuckDB's // truncates toward zero on the fixture's negative "
+    "delays, Spark floors — the one integer-division semantic the two "
+    "engines disagree on). Join shuffles on the order key; the "
+    "histogram is a small two-key aggregation with map-side combine.",
+)
+def q144(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    delay = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    return (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(
+            "o_orderpriority",
+            F.floor(delay / 7).cast("bigint").alias("delay_week"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            F.min(delay).alias("min_delay_days"),
+            F.max(delay).alias("max_delay_days"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Catalog ordering. The driver's CORRECTNESS file covers only the FIRST 50
 # ``queries()`` entries, so the verdict window is a scarce resource.
@@ -5038,10 +5208,8 @@ _VERDICT_WINDOW = [
     "q97_audio_features",  # first hash grade: 8-bit-PCM value oracle (r5)
     # (b) single-grade r1/r2 cohort: fully yielded to zero-grade entries
     # this round (rationale above)
-    # (c) r3-only singles (q91/q93 yielded slots to zero-grade q140/q141)
-    "q94_json_source",
-    "q95_sequence_packing",
-    "q96_regex_tokens",
+    # (c) r3-only singles (q91/q93–q96 yielded slots to zero-grade
+    # q140–q144)
     "q98_pii_redaction",
     "q99_normalize_text",
     "q100_session_window",
@@ -5088,6 +5256,9 @@ _VERDICT_WINDOW = [
     "q139_packing_efficiency",
     "q140_zorder_layout",
     "q141_rolling_active_users",
+    "q142_event_anomaly",
+    "q143_pmi_collocations",
+    "q144_ship_delay_distribution",
 ]
 
 
