@@ -5167,6 +5167,78 @@ def q144(spark, sf_dir):
     )
 
 
+@q(
+    "q145_dupgraph_triangles",
+    f"""
+    WITH
+    {_JACCARD_PAIRS_CTE},
+    e AS (SELECT a_id AS a, b_id AS b FROM pairs)
+    SELECT COUNT(*) AS n_triangles
+    FROM e e1
+    JOIN e e2 ON e2.a = e1.b
+    JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    """,
+    "Triangle count over the >=0.8-Jaccard near-dup graph — the graph-"
+    "density audit that distinguishes chain-shaped dup clusters (pair "
+    "edits propagating, few triangles) from clique-shaped ones (one "
+    "template, many copies, triangle-dense). Counted once per triangle "
+    "via the oriented a<b edge list and two equi-joins (the standard "
+    "distributed triangle enumeration — at scale, preceded by "
+    "degree-ordering so the join fans out on low-degree vertices). "
+    "Third graph algorithm in the engine after the two connected-"
+    "components variants.",
+)
+def q145(spark, sf_dir):
+    from .operators.dedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    e = ngram_jaccard_pairs(d, threshold=0.8).select(
+        F.col("a_doc_id").alias("a"), F.col("b_doc_id").alias("b")
+    )
+    e1 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = e.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    return (
+        e1.join(e2, "y")
+        .join(e3, ["x", "z"])
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+
+
+@q(
+    "q146_dupgraph_degrees",
+    f"""
+    WITH
+    {_JACCARD_PAIRS_CTE},
+    ends AS (SELECT a_id AS node FROM pairs UNION ALL SELECT b_id FROM pairs),
+    deg AS (SELECT node, COUNT(*) AS degree FROM ends GROUP BY node)
+    SELECT degree, COUNT(*) AS n_nodes FROM deg GROUP BY degree
+    """,
+    "Degree distribution of the near-dup graph — the skew diagnostic for "
+    "the dedup pipeline itself: a hub node (one document near-similar to "
+    "thousands) is exactly what makes min-label components slow and "
+    "candidate joins hot, so this histogram is the pre-flight check "
+    "before choosing the components algorithm (q92 min-label vs q114 "
+    "star) and the join strategy. Two small keyed aggregations over the "
+    "edge list; isolated documents carry no edge and are absent on both "
+    "engines.",
+)
+def q146(spark, sf_dir):
+    from .operators.dedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    p = ngram_jaccard_pairs(d, threshold=0.8)
+    both = p.select(F.col("a_doc_id").alias("node")).unionAll(
+        p.select(F.col("b_doc_id").alias("node"))
+    )
+    return (
+        both.groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .groupBy("degree")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Catalog ordering. The driver's CORRECTNESS file covers only the FIRST 50
 # ``queries()`` entries, so the verdict window is a scarce resource.
@@ -5208,10 +5280,8 @@ _VERDICT_WINDOW = [
     "q97_audio_features",  # first hash grade: 8-bit-PCM value oracle (r5)
     # (b) single-grade r1/r2 cohort: fully yielded to zero-grade entries
     # this round (rationale above)
-    # (c) r3-only singles (q91/q93–q96 yielded slots to zero-grade
-    # q140–q144)
-    "q98_pii_redaction",
-    "q99_normalize_text",
+    # (c) r3-only singles (q91/q93–q96/q98/q99 yielded slots to
+    # zero-grade q140–q146)
     "q100_session_window",
     "q103_decontamination",
     "q104_repetition_score",
@@ -5259,6 +5329,8 @@ _VERDICT_WINDOW = [
     "q142_event_anomaly",
     "q143_pmi_collocations",
     "q144_ship_delay_distribution",
+    "q145_dupgraph_triangles",
+    "q146_dupgraph_degrees",
 ]
 
 
