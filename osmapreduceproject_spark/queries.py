@@ -5239,6 +5239,71 @@ def q146(spark, sf_dir):
     )
 
 
+@q(
+    "q147_quality_vs_dup",
+    f"""
+    WITH RECURSIVE
+    {_JACCARD_PAIRS_CTE},
+    edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+              UNION ALL SELECT b_id, a_id FROM pairs),
+    walk AS (
+      SELECT doc_id AS node, doc_id AS label FROM documents
+      UNION
+      SELECT e.src AS node, w.label FROM edges e JOIN walk w ON w.node = e.dst),
+    clusters AS (SELECT node AS doc_id, MIN(label) AS cluster_id FROM walk GROUP BY node),
+    csize AS (SELECT cluster_id, COUNT(*) AS sz FROM clusters GROUP BY cluster_id),
+    dup AS (SELECT c.doc_id, CASE WHEN s.sz > 1 THEN 1 ELSE 0 END AS is_dup
+            FROM clusters c JOIN csize s USING (cluster_id)),
+    q AS ({_quality_oracle()}),
+    binned AS (
+      SELECT doc_id,
+             CAST(NTILE(4) OVER (ORDER BY quality_score DESC, doc_id) AS BIGINT) AS bin
+      FROM q)
+    SELECT b.bin, COUNT(*) AS n_docs,
+           CAST(SUM(d.is_dup) AS BIGINT) AS n_dup_members,
+           round(CAST(SUM(d.is_dup) AS DOUBLE) / COUNT(*), 6) AS dup_frac
+    FROM binned b JOIN dup d USING (doc_id)
+    GROUP BY b.bin
+    """,
+    "Quality-vs-duplication cross-audit: per corpus-wide quality "
+    "quartile, the fraction of documents sitting in a >1-member "
+    "near-dup cluster — the analysis that tests the standing curation "
+    "hypothesis that low-quality text is duplication-heavy (if true, "
+    "quality filtering buys dedup for free; if false, both passes are "
+    "needed). Joins the q38 score ranking against the q92 cluster "
+    "assignment; the corpus-wide NTILE is acceptable here because its "
+    "input is one row per doc (already reduced), and the same audit "
+    "at 100 TB would bin by fixed score thresholds instead "
+    "(documented tradeoff).",
+)
+def q147(spark, sf_dir):
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    clusters = dedup.dedup_clusters(d, threshold=0.8)
+    csize = clusters.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("sz"))
+    dup = clusters.join(csize, "cluster_id").select(
+        "doc_id", (F.col("sz") > 1).cast("int").alias("is_dup")
+    )
+    w = Window.orderBy(F.col("quality_score").desc(), F.col("doc_id"))
+    binned = (
+        text.with_quality_score(d)
+        .select("doc_id", "quality_score")
+        .withColumn("bin", F.ntile(4).over(w).cast("bigint"))
+    )
+    return (
+        binned.join(dup, "doc_id")
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("is_dup").cast("bigint").alias("n_dup_members"),
+            F.round(F.sum("is_dup").cast("double") / F.count(F.lit(1)), 6).alias(
+                "dup_frac"
+            ),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Catalog ordering. The driver's CORRECTNESS file covers only the FIRST 50
 # ``queries()`` entries, so the verdict window is a scarce resource.
@@ -5280,9 +5345,8 @@ _VERDICT_WINDOW = [
     "q97_audio_features",  # first hash grade: 8-bit-PCM value oracle (r5)
     # (b) single-grade r1/r2 cohort: fully yielded to zero-grade entries
     # this round (rationale above)
-    # (c) r3-only singles (q91/q93–q96/q98/q99 yielded slots to
-    # zero-grade q140–q146)
-    "q100_session_window",
+    # (c) r3-only singles (q91/q93–q96/q98–q100 yielded slots to
+    # zero-grade q140–q147)
     "q103_decontamination",
     "q104_repetition_score",
     "q105_source_mixing",
@@ -5331,6 +5395,7 @@ _VERDICT_WINDOW = [
     "q144_ship_delay_distribution",
     "q145_dupgraph_triangles",
     "q146_dupgraph_degrees",
+    "q147_quality_vs_dup",
 ]
 
 
