@@ -5304,6 +5304,99 @@ def q147(spark, sf_dir):
     )
 
 
+@q(
+    "q148_incremental_rollup",
+    """
+    WITH daily AS (
+      SELECT o_orderpriority, o_orderdate AS day,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS rev,
+             COUNT(*) AS n
+      FROM orders GROUP BY 1, 2),
+    weekly AS (
+      SELECT o_orderpriority,
+             CAST(floor(epoch_us(CAST(day AS TIMESTAMP)) / 1000000.0 / 604800) AS BIGINT)
+               AS week_idx,
+             CAST(SUM(rev) AS DOUBLE) AS revenue,
+             CAST(SUM(n) AS BIGINT) AS n_orders
+      FROM daily GROUP BY 1, 2)
+    SELECT * FROM weekly
+    """,
+    "Incremental rollup via partial reaggregation — the warehouse "
+    "pattern behind every materialized daily table: weekly revenue per "
+    "priority is computed FROM the daily partials (sum of sums, exact "
+    "decimal), never by rescanning orders. The semantic claim — "
+    "reaggregating partials equals direct aggregation — is what the "
+    "oracle checks, because decimal addition is associative where double "
+    "addition is not (summing doubles daily-then-weekly would drift "
+    "from the direct sum). At 100 TB the daily table is the stored "
+    "increment; each new day appends one partial and the weekly view "
+    "reaggregates only affected weeks.",
+)
+def q148(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        "o_orderpriority", F.col("o_orderdate").alias("day")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast(DEC)).alias("rev"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    week = F.floor(
+        F.unix_timestamp(F.col("day").cast("timestamp")) / 604800
+    ).cast("bigint")
+    return daily.groupBy("o_orderpriority", week.alias("week_idx")).agg(
+        F.sum("rev").cast("double").alias("revenue"),
+        F.sum("n").alias("n_orders"),
+    )
+
+
+@q(
+    "q149_snapshot_diff",
+    """
+    WITH v1 AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 10 != 7),
+    v2 AS (SELECT doc_id,
+                  md5(CASE WHEN doc_id % 10 = 1 THEN text || ' [edited]' ELSE text END) AS h
+           FROM documents WHERE doc_id % 10 != 3)
+    SELECT
+      CAST(SUM(CASE WHEN v1.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+      CAST(SUM(CASE WHEN v2.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+      CAST(SUM(CASE WHEN v1.doc_id IS NOT NULL AND v2.doc_id IS NOT NULL
+                     AND v1.h != v2.h THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+      CAST(SUM(CASE WHEN v1.doc_id IS NOT NULL AND v2.doc_id IS NOT NULL
+                     AND v1.h = v2.h THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
+    FROM v1 FULL OUTER JOIN v2 USING (doc_id)
+    """,
+    "CDC-style snapshot diff — the table-diff every ingestion pipeline "
+    "runs between corpus versions: keyed full outer join of two "
+    "snapshots comparing content hashes, classifying every key as "
+    "added / removed / changed / unchanged in one pass. Snapshots are "
+    "simulated by deterministic id-slices of the fixture (v2 drops one "
+    "decile, adds another back, edits a third). Content compare is by "
+    "md5, so 100 TB text bodies never move through the join — only "
+    "(key, hash) pairs shuffle.",
+)
+def q149(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    v1 = d.where(F.col("doc_id") % 10 != 7).select(
+        "doc_id", F.md5("text").alias("h1")
+    )
+    v2 = d.where(F.col("doc_id") % 10 != 3).select(
+        "doc_id",
+        F.md5(
+            F.when(
+                F.col("doc_id") % 10 == 1, F.concat(F.col("text"), F.lit(" [edited]"))
+            ).otherwise(F.col("text"))
+        ).alias("h2"),
+    )
+    j = v1.join(v2, "doc_id", "full_outer")
+    present = F.col("h1").isNotNull() & F.col("h2").isNotNull()
+    return j.agg(
+        F.sum(F.col("h1").isNull().cast("bigint")).alias("n_added"),
+        F.sum(F.col("h2").isNull().cast("bigint")).alias("n_removed"),
+        F.sum((present & (F.col("h1") != F.col("h2"))).cast("bigint")).alias("n_changed"),
+        F.sum((present & (F.col("h1") == F.col("h2"))).cast("bigint")).alias("n_unchanged"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Catalog ordering. The driver's CORRECTNESS file covers only the FIRST 50
 # ``queries()`` entries, so the verdict window is a scarce resource.
@@ -5345,10 +5438,8 @@ _VERDICT_WINDOW = [
     "q97_audio_features",  # first hash grade: 8-bit-PCM value oracle (r5)
     # (b) single-grade r1/r2 cohort: fully yielded to zero-grade entries
     # this round (rationale above)
-    # (c) r3-only singles (q91/q93–q96/q98–q100 yielded slots to
-    # zero-grade q140–q147)
-    "q103_decontamination",
-    "q104_repetition_score",
+    # (c) r3-only singles (q91/q93–q96/q98–q100/q103/q104 yielded slots
+    # to zero-grade q140–q149)
     "q105_source_mixing",
     "q106_vocab_build",
     # (d) r4-new operators: second grades while fresh
@@ -5396,6 +5487,8 @@ _VERDICT_WINDOW = [
     "q145_dupgraph_triangles",
     "q146_dupgraph_degrees",
     "q147_quality_vs_dup",
+    "q148_incremental_rollup",
+    "q149_snapshot_diff",
 ]
 
 
