@@ -5397,6 +5397,63 @@ def q149(spark, sf_dir):
     )
 
 
+@q(
+    "q150_dedup_keep_best",
+    f"""
+    WITH RECURSIVE
+    {_JACCARD_PAIRS_CTE},
+    edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+              UNION ALL SELECT b_id, a_id FROM pairs),
+    walk AS (
+      SELECT doc_id AS node, doc_id AS label FROM documents
+      UNION
+      SELECT e.src AS node, w.label FROM edges e JOIN walk w ON w.node = e.dst),
+    clusters AS (SELECT node AS doc_id, MIN(label) AS cluster_id FROM walk GROUP BY node),
+    q AS ({_quality_oracle()}),
+    ranked AS (
+      SELECT c.cluster_id, c.doc_id, q.quality_score,
+             ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                                ORDER BY q.quality_score DESC, c.doc_id) AS rk,
+             COUNT(*) OVER (PARTITION BY c.cluster_id) AS sz
+      FROM clusters c JOIN q USING (doc_id))
+    SELECT cluster_id, doc_id AS kept_doc_id,
+           round(quality_score, 6) AS kept_score,
+           CAST(sz AS BIGINT) AS n_members
+    FROM ranked WHERE rk = 1 AND sz > 1
+    """,
+    "Keep-BEST near-dedup — what production pipelines actually retain "
+    "from each duplicate group: the highest-quality member (q38 "
+    "composite, doc_id tiebreak), not the arbitrary first. One row per "
+    ">1-member cluster with the surviving doc and its score. The "
+    "cluster-keyed window partitions by cluster_id (parallel, no "
+    "global sort); the quality signal is a narrow map joined on the "
+    "doc key. Complements q29 (keep-first exact) and q111 (min-id "
+    "survivor worklist).",
+)
+def q150(spark, sf_dir):
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    clusters = dedup.dedup_clusters(d, threshold=0.8)
+    q_scores = text.with_quality_score(d).select("doc_id", "quality_score")
+    j = clusters.join(q_scores, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality_score").desc(), F.col("doc_id")
+    )
+    wc = Window.partitionBy("cluster_id")
+    return (
+        j.withColumn("rk", F.row_number().over(w))
+        .withColumn("sz", F.count(F.lit(1)).over(wc))
+        .where((F.col("rk") == 1) & (F.col("sz") > 1))
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("kept_doc_id"),
+            F.round("quality_score", 6).alias("kept_score"),
+            F.col("sz").cast("bigint").alias("n_members"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Catalog ordering. The driver's CORRECTNESS file covers only the FIRST 50
 # ``queries()`` entries, so the verdict window is a scarce resource.
@@ -5438,9 +5495,8 @@ _VERDICT_WINDOW = [
     "q97_audio_features",  # first hash grade: 8-bit-PCM value oracle (r5)
     # (b) single-grade r1/r2 cohort: fully yielded to zero-grade entries
     # this round (rationale above)
-    # (c) r3-only singles (q91/q93–q96/q98–q100/q103/q104 yielded slots
-    # to zero-grade q140–q149)
-    "q105_source_mixing",
+    # (c) r3-only singles (q91/q93–q96/q98–q100/q103–q105 yielded slots
+    # to zero-grade q140–q150)
     "q106_vocab_build",
     # (d) r4-new operators: second grades while fresh
     "q107_boilerplate_removal",
@@ -5489,6 +5545,7 @@ _VERDICT_WINDOW = [
     "q147_quality_vs_dup",
     "q148_incremental_rollup",
     "q149_snapshot_diff",
+    "q150_dedup_keep_best",
 ]
 
 
