@@ -5454,6 +5454,62 @@ def q150(spark, sf_dir):
     )
 
 
+@q(
+    "q151_table_profile",
+    """
+    WITH s AS (SELECT
+      COUNT(*) AS n_rows,
+      SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS qty_nulls,
+      MIN(l_quantity) AS qty_min, MAX(l_quantity) AS qty_max,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty_sum,
+      SUM(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS price_nulls,
+      MIN(l_extendedprice) AS price_min, MAX(l_extendedprice) AS price_max,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum,
+      SUM(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS disc_nulls,
+      MIN(l_discount) AS disc_min, MAX(l_discount) AS disc_max,
+      CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS disc_sum
+      FROM lineitem)
+    SELECT 'l_quantity' AS column_name, n_rows,
+           CAST(qty_nulls AS BIGINT) AS n_nulls,
+           qty_min AS min_val, qty_max AS max_val,
+           round(qty_sum / n_rows, 6) AS mean_val FROM s
+    UNION ALL
+    SELECT 'l_extendedprice', n_rows, CAST(price_nulls AS BIGINT),
+           price_min, price_max, round(price_sum / n_rows, 6) FROM s
+    UNION ALL
+    SELECT 'l_discount', n_rows, CAST(disc_nulls AS BIGINT),
+           disc_min, disc_max, round(disc_sum / n_rows, 6) FROM s
+    """,
+    "Column profiler — the data-profiling pass every warehouse runs on "
+    "ingest (row count, null count, min/max/mean per numeric column), "
+    "emitted one row per column. All stats compute in a SINGLE "
+    "aggregation over one scan (never one pass per column — at 100 TB "
+    "a per-column loop is N full scans), then unpivot to the report "
+    "shape; means use the exact-decimal sum discipline.",
+)
+def q151(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("bigint")).alias(f"{c}__nulls"),
+            F.min(c).alias(f"{c}__min"),
+            F.max(c).alias(f"{c}__max"),
+            F.sum(F.col(c).cast(DEC)).cast("double").alias(f"{c}__sum"),
+        ]
+    s = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nulls, {c}__min, {c}__max, round({c}__sum / n_rows, 6)"
+        for c in cols
+    )
+    return s.selectExpr(
+        "n_rows",
+        f"stack({len(cols)}, {stack_args}) AS "
+        "(column_name, n_nulls, min_val, max_val, mean_val)",
+    ).select("column_name", "n_rows", "n_nulls", "min_val", "max_val", "mean_val")
+
+
 # ---------------------------------------------------------------------------
 # Catalog ordering. The driver's CORRECTNESS file covers only the FIRST 50
 # ``queries()`` entries, so the verdict window is a scarce resource.
@@ -5495,9 +5551,8 @@ _VERDICT_WINDOW = [
     "q97_audio_features",  # first hash grade: 8-bit-PCM value oracle (r5)
     # (b) single-grade r1/r2 cohort: fully yielded to zero-grade entries
     # this round (rationale above)
-    # (c) r3-only singles (q91/q93–q96/q98–q100/q103–q105 yielded slots
-    # to zero-grade q140–q150)
-    "q106_vocab_build",
+    # (c) r3-only singles: fully yielded to zero-grade entries this
+    # round (q91/q93–q96/q98–q100/q103–q106 → q140–q151)
     # (d) r4-new operators: second grades while fresh
     "q107_boilerplate_removal",
     "q108_unigram_logprob",
@@ -5546,6 +5601,7 @@ _VERDICT_WINDOW = [
     "q148_incremental_rollup",
     "q149_snapshot_diff",
     "q150_dedup_keep_best",
+    "q151_table_profile",
 ]
 
 
