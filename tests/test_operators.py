@@ -1485,3 +1485,56 @@ def test_zorder_key_properties(spark):
     for b in range(8):
         col = [got[(a, b)] for a in range(8)]
         assert col == sorted(col)
+
+
+@pytest.mark.skipif(
+    not _os.environ.get("SPARK_GRAFT_SCALE"),
+    reason="scale smoke: set SPARK_GRAFT_SCALE=1 (10M events through funnel + retention)",
+)
+def test_events_analytics_scale_smoke(spark):
+    """10M synthetic events (100k users x 100 events, deterministic
+    xxhash64-derived types/timestamps spanning ~12 weeks) through the
+    funnel and retention paths. Closed-form construction guarantees
+    every user views at minute 0, clicks at minute 1, and purchases at
+    minute 2 of their own stream, so full-funnel conversion must be
+    exactly 100k; week-0 retention must equal the number of distinct
+    first-active weeks' cohort sizes summed (= 100k users). Evidence
+    the user-keyed conditional-min and distinct-(user,week) shapes hold
+    at volume - both are single-shuffle map-side-combined aggregations."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from osmapreduceproject_spark.operators.events import funnel_counts, retention_cohorts
+
+    n_users, per_user = 100_000, 100
+    base = int(datetime(2024, 1, 1).timestamp())
+    ev = spark.range(n_users * per_user).select(
+        (F.col("id") % n_users).alias("user_id"),
+        (F.col("id") / n_users).cast("bigint").alias("seq"),
+    )
+    # user's stream starts at a user-specific hour; first three events are
+    # view/click/purchase one minute apart; the rest are noise types at
+    # hash-jittered times strictly AFTER minute 2
+    start = F.lit(base) + (F.pmod(F.xxhash64("user_id"), F.lit(2000)) * 3600)
+    noise_off = F.lit(180) + F.pmod(F.xxhash64("user_id", "seq"), F.lit(86400 * 80))
+    ts_secs = F.when(F.col("seq") == 0, start).when(
+        F.col("seq") == 1, start + 60
+    ).when(F.col("seq") == 2, start + 120).otherwise(start + noise_off)
+    etype = F.when(F.col("seq") == 0, "view").when(F.col("seq") == 1, "click").when(
+        F.col("seq") == 2, "purchase"
+    ).otherwise(
+        F.element_at(
+            F.array(F.lit("error"), F.lit("signup"), F.lit("other")),
+            (F.pmod(F.xxhash64("seq", "user_id"), F.lit(3)) + 1).cast("int"),
+        )
+    )
+    events = ev.select(
+        "user_id", etype.alias("event_type"), F.timestamp_seconds(ts_secs).alias("ts")
+    )
+    funnel = {r.step_name: r.n_users for r in funnel_counts(events).collect()}
+    assert funnel == {"view": n_users, "click": n_users, "purchase": n_users}
+    ret = retention_cohorts(events)
+    week0 = ret.where(F.col("week_offset") == 0).agg(F.sum("n_users")).first()[0]
+    assert week0 == n_users
+    assert ret.where(F.col("week_offset") < 0).count() == 0
