@@ -5510,6 +5510,61 @@ def q151(spark, sf_dir):
     ).select("column_name", "n_rows", "n_nulls", "min_val", "max_val", "mean_val")
 
 
+_BUCKETED_DIR = _fixture_dir("spark_graft_bucketed")
+
+
+@q(
+    "q152_bucketed_join",
+    """
+    SELECT c.c_mktsegment, o.o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY 1, 2
+    """,
+    "Co-located bucketed join as a graded query (sources/io.py "
+    "write_bucketed): orders and customer are written as 8-bucket "
+    "sorted tables on the customer key, then joined THROUGH the "
+    "catalog — the amortized-shuffle strategy where the partitioning "
+    "is paid once at write time and every downstream join on the key "
+    "is exchange-free (zero-Exchange plan asserted in "
+    "tests/test_plans.py). The oracle joins the raw parquet, so the "
+    "whole bucketed write→catalog-read→join path is value-checked, "
+    "not just plan-checked.",
+)
+def q152(spark, sf_dir):
+    import os
+
+    from .sources.io import write_bucketed
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    to_name = f"bkt_orders_{tag}".replace(".", "_")
+    tc_name = f"bkt_customer_{tag}".replace(".", "_")
+    for name, table, key in (
+        (to_name, "orders", "o_custkey"),
+        (tc_name, "customer", "c_custkey"),
+    ):
+        if not spark.catalog.tableExists(name):
+            df = _t(spark, sf_dir, table)
+            (
+                df.write.format("parquet")
+                .mode("overwrite")
+                .bucketBy(8, key)
+                .sortBy(key)
+                .option("path", os.path.join(_BUCKETED_DIR, name))
+                .saveAsTable(name)
+            )
+    bo, bc = spark.table(to_name), spark.table(tc_name)
+    return (
+        bo.join(bc, bo["o_custkey"] == bc["c_custkey"])
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("revenue"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Catalog ordering. The driver's CORRECTNESS file covers only the FIRST 50
 # ``queries()`` entries, so the verdict window is a scarce resource.
@@ -5564,8 +5619,7 @@ _VERDICT_WINDOW = [
     "q114_dedup_clusters_star",
     # (e) canaries: machinery touched in r5
     "q92_dedup_clusters",  # components cache-release fix
-    "q24_asof_join",  # events reader fail-fast
-    "q26_tumbling_window",  # events reader fail-fast
+    "q24_asof_join",  # events reader fail-fast (q26 yielded its twin slot)
     # (q02 yields its canary slot this window: q115 exercises the same
     # ranked_sort machinery and has zero grades)
     # (a') added mid-round-5: zero driver verdicts, hash-checkable — they
@@ -5602,6 +5656,7 @@ _VERDICT_WINDOW = [
     "q149_snapshot_diff",
     "q150_dedup_keep_best",
     "q151_table_profile",
+    "q152_bucketed_join",
 ]
 
 

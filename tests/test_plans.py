@@ -378,3 +378,26 @@ def test_pq_topk_no_cartesian_after_encode_q125(spark):
     plan = explain_str(df)
     release_intermediates()
     assert "CartesianProduct" not in plan, plan
+
+
+def test_bucketed_join_query_zero_exchanges_q152(spark):
+    """The graded bucketed-join query must actually take the co-located
+    path: with broadcast disabled, the join of the two bucketed tables
+    plans ZERO shuffle exchanges before the final aggregation exchange."""
+    from osmapreduceproject_spark.plans.inspect import release_intermediates
+
+    df = QUERIES["q152_bucketed_join"].fn(spark, SF_CORRECT)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        to = spark.table([t for t in spark.catalog.listTables()
+                          if t.name.startswith("bkt_orders")][0].name)
+        tc = spark.table([t for t in spark.catalog.listTables()
+                          if t.name.startswith("bkt_customer")][0].name)
+        joined = to.join(tc, to["o_custkey"] == tc["c_custkey"])
+        from osmapreduceproject_spark.plans.inspect import num_shuffle_exchanges
+
+        assert num_shuffle_exchanges(joined) == 0, explain_str(joined)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        release_intermediates()
+    assert df.count() > 0
