@@ -5658,6 +5658,66 @@ def q154(spark, sf_dir):
     )
 
 
+@q(
+    "q155_session_metrics",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts))
+                        OVER (PARTITION BY user_id ORDER BY ts) > 1800 * 1000000
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM flagged),
+    per_session AS (
+      SELECT user_id, session_id, COUNT(*) AS n_events,
+             (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 1000000 AS duration_s
+      FROM sess GROUP BY user_id, session_id)
+    SELECT COUNT(*) AS n_sessions,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces,
+           round(CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS bounce_rate,
+           round(CAST(SUM(n_events) AS DOUBLE) / COUNT(*), 6) AS events_per_session,
+           CAST(SUM(duration_s) AS BIGINT) AS total_duration_s,
+           CAST(MAX(duration_s) AS BIGINT) AS max_duration_s
+    FROM per_session
+    """,
+    "Session-quality metrics over the q25 gap sessionization: bounce "
+    "rate (single-event sessions), events per session, and duration "
+    "totals — the engagement summary every product-analytics stack "
+    "publishes next to the session table. Per-user windows (parallel) "
+    "feed one (user, session)-keyed aggregation and a scalar final "
+    "whose SinglePartition exchange carries pre-aggregated rows only. "
+    "Durations are exact epoch-microsecond integer math (positive, so "
+    "DuckDB's truncating // equals floor here).",
+)
+def q155(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    sess = windows.sessionize(e, key="user_id", ts="ts", gap_seconds=1800)
+    per_session = sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.floor(
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))) / 1_000_000
+        ).alias("duration_s"),
+    )
+    bounce = F.sum((F.col("n_events") == 1).cast("bigint"))
+    return per_session.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        bounce.alias("n_bounces"),
+        F.round(bounce.cast("double") / F.count(F.lit(1)), 6).alias("bounce_rate"),
+        F.round(
+            F.sum("n_events").cast("double") / F.count(F.lit(1)), 6
+        ).alias("events_per_session"),
+        F.sum("duration_s").cast("bigint").alias("total_duration_s"),
+        F.max("duration_s").cast("bigint").alias("max_duration_s"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Catalog ordering. The driver's CORRECTNESS file covers only the FIRST 50
 # ``queries()`` entries, so the verdict window is a scarce resource.
@@ -5701,14 +5761,13 @@ _VERDICT_WINDOW = [
     # this round (rationale above)
     # (c) r3-only singles: fully yielded to zero-grade entries this
     # round (q91/q93–q96/q98–q100/q103–q106 → q140–q151)
-    # (d) r4-new operators: second grades while fresh (q109/q110 yielded
-    # to zero-grade q153/q154 — both are property-tested against Python
-    # oracles independently of the driver)
+    # (d) r4-new operators: second grades while fresh (q109/q110/q113
+    # yielded to zero-grade q153–q155 — q109/q110 are property-tested
+    # against Python oracles, q113 composes machinery graded elsewhere)
     "q107_boilerplate_removal",
     "q108_unigram_logprob",
     "q111_neardup_survivors",
     "q112_shard_stats",
-    "q113_corpus_report",
     "q114_dedup_clusters_star",
     # (e) canaries: machinery touched in r5
     "q92_dedup_clusters",  # components cache-release fix
@@ -5752,6 +5811,7 @@ _VERDICT_WINDOW = [
     "q152_bucketed_join",
     "q153_langid_confusion",
     "q154_pq_reconstruction_error",
+    "q155_session_metrics",
 ]
 
 
