@@ -5718,6 +5718,50 @@ def q155(spark, sf_dir):
     )
 
 
+@q(
+    "q156_chunk_dedup",
+    """
+    WITH w AS (
+        SELECT doc_id,
+               unnest(string_split(text, ' ')) AS w,
+               generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+        FROM documents),
+    chunks AS (
+      SELECT doc_id, pos // 40 AS chunk_id,
+             md5(string_agg(w, ' ' ORDER BY pos)) AS chunk_md5,
+             COUNT(*) AS n_tokens
+      FROM w GROUP BY doc_id, chunk_id)
+    SELECT chunk_md5, COUNT(*) AS n_occurrences,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           MIN(doc_id) AS first_doc_id,
+           CAST(SUM(n_tokens) - MIN(n_tokens) AS BIGINT) AS removable_tokens
+    FROM chunks GROUP BY chunk_md5 HAVING COUNT(*) > 1
+    """,
+    "Paragraph/chunk-level exact dedup (the Dolma-style sub-document "
+    "pass): q83's 40-token chunks fingerprinted and grouped by content "
+    "hash; duplicate chunks report occurrence count, distinct-doc "
+    "spread, the keep-first survivor doc, and the token volume a "
+    "chunk-level dedup would remove. Catches repeated passages INSIDE "
+    "otherwise-unique documents that doc-level dedup (exact or near) "
+    "keeps. Hash-keyed aggregation over the chunk table — chunk bodies "
+    "never shuffle, only (hash, doc, count) rows.",
+)
+def q156(spark, sf_dir):
+    chunks = QUERIES["q83_doc_chunks"].fn(spark, sf_dir)
+    return (
+        chunks.groupBy("chunk_md5")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("first_doc_id"),
+            (F.sum("n_tokens") - F.min("n_tokens")).cast("bigint").alias(
+                "removable_tokens"
+            ),
+        )
+        .where(F.col("n_occurrences") > 1)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Catalog ordering. The driver's CORRECTNESS file covers only the FIRST 50
 # ``queries()`` entries, so the verdict window is a scarce resource.
@@ -5761,13 +5805,13 @@ _VERDICT_WINDOW = [
     # this round (rationale above)
     # (c) r3-only singles: fully yielded to zero-grade entries this
     # round (q91/q93–q96/q98–q100/q103–q106 → q140–q151)
-    # (d) r4-new operators: second grades while fresh (q109/q110/q113
-    # yielded to zero-grade q153–q155 — q109/q110 are property-tested
-    # against Python oracles, q113 composes machinery graded elsewhere)
+    # (d) r4-new operators: second grades while fresh (q109/q110/q112/
+    # q113 yielded to zero-grade q153–q156 — q109/q110 are property-
+    # tested against Python oracles, q112/q113 compose machinery graded
+    # elsewhere)
     "q107_boilerplate_removal",
     "q108_unigram_logprob",
     "q111_neardup_survivors",
-    "q112_shard_stats",
     "q114_dedup_clusters_star",
     # (e) canaries: machinery touched in r5
     "q92_dedup_clusters",  # components cache-release fix
@@ -5812,6 +5856,7 @@ _VERDICT_WINDOW = [
     "q153_langid_confusion",
     "q154_pq_reconstruction_error",
     "q155_session_metrics",
+    "q156_chunk_dedup",
 ]
 
 
