@@ -5762,6 +5762,107 @@ def q156(spark, sf_dir):
     )
 
 
+_JACCARD_SCORED_CTE = """
+    w AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+    sh AS (SELECT doc_id,
+             CASE WHEN len(w) >= 3
+                  THEN list_transform(range(1, len(w) - 1),
+                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                  ELSE [text] END AS shingles
+           FROM w),
+    toks AS (SELECT doc_id, unnest(list_distinct(shingles)) AS tok FROM sh),
+    sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM toks GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_common
+      FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    scored_pairs AS (
+      SELECT i.a_id, i.b_id,
+             CAST(i.n_common AS DOUBLE)
+               / (sa.set_size + sb.set_size - i.n_common) AS jac
+      FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.a_id
+      JOIN sizes sb ON sb.doc_id = i.b_id)
+"""
+
+
+@q(
+    "q157_dedup_threshold_curve",
+    f"""
+    WITH
+    {_JACCARD_SCORED_CTE}
+    SELECT
+      CAST(SUM(CASE WHEN jac >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_ge_05,
+      CAST(SUM(CASE WHEN jac >= 0.6 THEN 1 ELSE 0 END) AS BIGINT) AS n_ge_06,
+      CAST(SUM(CASE WHEN jac >= 0.7 THEN 1 ELSE 0 END) AS BIGINT) AS n_ge_07,
+      CAST(SUM(CASE WHEN jac >= 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS n_ge_08,
+      CAST(SUM(CASE WHEN jac >= 0.9 THEN 1 ELSE 0 END) AS BIGINT) AS n_ge_09
+    FROM scored_pairs
+    """,
+    "Dedup threshold-sensitivity curve: near-dup pair volume at Jaccard "
+    "cutoffs 0.5–0.9, computed in ONE pass over the candidate pairs "
+    "(each pair's Jaccard is evaluated once; the five counts are "
+    "conditional sums in a scalar final) — the tuning curve that picks "
+    "the production threshold, at one-fifth the cost of five separate "
+    "dedup runs. Jaccard is a ratio of exact integers, so threshold "
+    "comparisons are bit-identical across engines.",
+)
+def q157(spark, sf_dir):
+    from .operators.dedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    p = ngram_jaccard_pairs(d, threshold=0.0)
+    return p.agg(
+        *[
+            F.sum((F.col("jaccard") >= t).cast("bigint")).alias(
+                f"n_ge_0{int(t * 10)}"
+            )
+            for t in (0.5, 0.6, 0.7, 0.8, 0.9)
+        ]
+    )
+
+
+@q(
+    "q158_source_overlap_matrix",
+    f"""
+    WITH
+    {_JACCARD_SCORED_CTE},
+    hits AS (SELECT a_id, b_id FROM scored_pairs WHERE jac >= 0.8),
+    labeled AS (
+      SELECT least(da.source, db.source) AS source_x,
+             greatest(da.source, db.source) AS source_y
+      FROM hits
+      JOIN documents da ON da.doc_id = hits.a_id
+      JOIN documents db ON db.doc_id = hits.b_id)
+    SELECT source_x, source_y, COUNT(*) AS n_pairs
+    FROM labeled GROUP BY 1, 2
+    """,
+    "Cross-source duplication matrix: which source pairs share >=0.8-"
+    "Jaccard near-dups (pair normalized least/greatest for a symmetric "
+    "matrix) — the provenance analysis that finds mirror sites and "
+    "cross-domain syndication so whole SOURCES can be deduplicated "
+    "against each other, not just documents. Two broadcast-able key "
+    "joins back to the doc table + one small two-key aggregation.",
+)
+def q158(spark, sf_dir):
+    from .operators.dedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    hits = ngram_jaccard_pairs(d, threshold=0.8)
+    src_a = d.select(F.col("doc_id").alias("a_doc_id"), F.col("source").alias("__sa"))
+    src_b = d.select(F.col("doc_id").alias("b_doc_id"), F.col("source").alias("__sb"))
+    return (
+        hits.join(src_a, "a_doc_id")
+        .join(src_b, "b_doc_id")
+        .select(
+            F.least("__sa", "__sb").alias("source_x"),
+            F.greatest("__sa", "__sb").alias("source_y"),
+        )
+        .groupBy("source_x", "source_y")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Catalog ordering. The driver's CORRECTNESS file covers only the FIRST 50
 # ``queries()`` entries, so the verdict window is a scarce resource.
@@ -5811,11 +5912,10 @@ _VERDICT_WINDOW = [
     # elsewhere)
     "q107_boilerplate_removal",
     "q108_unigram_logprob",
-    "q111_neardup_survivors",
     "q114_dedup_clusters_star",
     # (e) canaries: machinery touched in r5
-    "q92_dedup_clusters",  # components cache-release fix
-    "q24_asof_join",  # events reader fail-fast (q26 yielded its twin slot)
+    "q92_dedup_clusters",  # components cache-release fix (also covers the
+    # q111/q24 canary ground: same pairs machinery / events reader)
     # (q02 yields its canary slot this window: q115 exercises the same
     # ranked_sort machinery and has zero grades)
     # (a') added mid-round-5: zero driver verdicts, hash-checkable — they
@@ -5857,6 +5957,8 @@ _VERDICT_WINDOW = [
     "q154_pq_reconstruction_error",
     "q155_session_metrics",
     "q156_chunk_dedup",
+    "q157_dedup_threshold_curve",
+    "q158_source_overlap_matrix",
 ]
 
 
