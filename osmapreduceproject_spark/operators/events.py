@@ -72,12 +72,22 @@ def funnel_counts(
             )
         counts.append(F.sum(converted.cast("bigint")).alias(f"n{i}"))
     row = per_user.agg(*counts)
-    stack_args = ", ".join(
-        f"CAST({i} AS BIGINT), '{s}', n{i}" for i, s in enumerate(steps, start=1)
-    )
-    return row.selectExpr(
-        f"stack({len(steps)}, {stack_args}) AS (step, step_name, n_users)"
-    )
+    # Typed-Column unpivot (ADVICE r5): building the per-step rows as an
+    # explode over struct literals keeps step names as data (F.lit), so a
+    # name containing an apostrophe can never reach a SQL parser.
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).cast("bigint").alias("step"),
+                    F.lit(s).alias("step_name"),
+                    F.col(f"n{i}").alias("n_users"),
+                )
+                for i, s in enumerate(steps, start=1)
+            ]
+        )
+    ).alias("r")
+    return row.select(rows).select("r.step", "r.step_name", "r.n_users")
 
 
 def week_index(ts_col: str = "ts") -> F.Column:

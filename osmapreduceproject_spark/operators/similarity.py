@@ -521,6 +521,7 @@ def pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k via product quantization (PQ) with asymmetric
     distance computation (ADC) — the memory-scale path for vector search:
@@ -547,8 +548,19 @@ def pq_topk(
     Returns (query_id, neighbor_id, est_dist, rank), est_dist ascending
     (squared L2 estimate, 6 decimals), ties broken by neighbor id.
     """
-    dim_probe = len(corpus.select(vec_col).first()[0])
-    d_sub = dim_probe // m
+    # Vector dimensionality: prefer the explicit ``dim`` parameter (no
+    # Spark job at DataFrame-construction time — plan-only consumers like
+    # tools/dump_plans.py stay lazy). The fallback probe is guarded: an
+    # empty corpus raises a clear error instead of head()'s None TypeError.
+    if dim is None:
+        row = corpus.select(vec_col).head()
+        if row is None or row[0] is None:
+            raise ValueError(
+                f"pq_topk: cannot infer vector dim from an empty corpus / null "
+                f"{vec_col!r}; pass dim= explicitly"
+            )
+        dim = len(row[0])
+    d_sub = dim // m
     wc = Window.orderBy(id_col)
     cb = (
         corpus.orderBy(id_col)

@@ -2877,6 +2877,28 @@ def _fixture_dir(name: str) -> str:
     raise OSError(f"no writable fixture dir for {name}")
 
 
+def _source_fingerprint(*paths: str) -> str:
+    """Content fingerprint of source parquet files (ADVICE r5): mtime+size
+    of every constituent file folded into a short hash. On-disk derived
+    fixtures (ORC copies, bucketed tables) embed this in their cache key,
+    so a regenerated base fixture invalidates the cache instead of
+    silently serving stale rows that hash-mismatch the oracle."""
+    import hashlib
+    import os
+
+    h = hashlib.md5()
+    for p in paths:
+        files = (
+            sorted(os.path.join(p, f) for f in os.listdir(p))
+            if os.path.isdir(p)
+            else [p]
+        )
+        for f in files:
+            st = os.stat(f)
+            h.update(f"{os.path.basename(f)}:{st.st_mtime_ns}:{st.st_size};".encode())
+    return h.hexdigest()[:12]
+
+
 _BINFIX_DIR = _fixture_dir("spark_graft_binfix")
 
 
@@ -4184,7 +4206,9 @@ _PQ_SQDIST = (
 )
 def q125(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
-    return similarity.pq_topk(emb, emb.where(F.col("vec_id") < 3), k=10)
+    # dim=64 is the embeddings-fixture contract (TESTDATA.md); passing it
+    # keeps DataFrame construction job-free for plan-only consumers.
+    return similarity.pq_topk(emb, emb.where(F.col("vec_id") < 3), k=10, dim=64)
 
 
 @q(
@@ -4253,7 +4277,8 @@ def q127(spark, sf_dir):
     from .sources.io import read_orc, write_orc
 
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    path = os.path.join(_ORC_DIR, f"documents_{tag}.orc")
+    fp = _source_fingerprint(os.path.join(sf_dir, "documents.parquet"))
+    path = os.path.join(_ORC_DIR, f"documents_{tag}_{fp}.orc")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         write_orc(_t(spark, sf_dir, "documents"), path)
     return (
@@ -5014,7 +5039,9 @@ def q141(spark, sf_dir):
                    / sqrt(CAST(s2 AS DOUBLE) / n
                           - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)),
                    6) AS z
-      FROM hours h CROSS JOIN stats)
+      FROM hours h CROSS JOIN stats
+      WHERE CAST(s2 AS DOUBLE) / n
+            - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) > 0)
     SELECT hour_idx, n_events, z FROM scored WHERE abs(z) >= 2.0
     """,
     "Hourly event-volume anomaly detection: per-hour counts z-scored "
@@ -5038,8 +5065,12 @@ def q142(spark, sf_dir):
     mean = F.col("s1").cast("double") / F.col("n")
     var = F.col("s2").cast("double") / F.col("n") - mean * mean
     z = F.round((F.col("n_events") - mean) / F.sqrt(var), 6)
+    # Zero-variance guard (ADVICE r5): when all hourly counts are equal,
+    # Spark's x/0 yields NULL while DuckDB yields inf/NaN — divergent in
+    # the degenerate case. Both engines now emit no rows when var == 0.
     return (
         hours.crossJoin(F.broadcast(stats))
+        .where(var > 0)
         .withColumn("z", z)
         .where(F.abs(F.col("z")) >= 2.0)
         .select("hour_idx", "n_events", "z")
@@ -5538,8 +5569,11 @@ def q152(spark, sf_dir):
     from .sources.io import write_bucketed
 
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    to_name = f"bkt_orders_{tag}".replace(".", "_")
-    tc_name = f"bkt_customer_{tag}".replace(".", "_")
+    fp = _source_fingerprint(
+        os.path.join(sf_dir, "orders.parquet"), os.path.join(sf_dir, "customer.parquet")
+    )
+    to_name = f"bkt_orders_{tag}_{fp}".replace(".", "_")
+    tc_name = f"bkt_customer_{tag}_{fp}".replace(".", "_")
     for name, table, key in (
         (to_name, "orders", "o_custkey"),
         (tc_name, "customer", "c_custkey"),
