@@ -82,6 +82,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     k: int = 3,
     block_col: str | None = None,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard-similar pairs over distinct k-shingle sets, via a
     shingle inverted index.
@@ -90,10 +91,23 @@ def ngram_jaccard_pairs(
     a ``block_col`` blocking key) → |A∩B| per pair, combined with per-doc
     set sizes for |A∪B|. Shingles (not unigrams) keep the index selective:
     a shared shingle implies shared *sequence*, so join fan-out tracks
-    true near-dups instead of vocabulary overlap. At 100 TB: additionally
-    drop ultra-high-df shingles (boilerplate) before the join and let AQE
-    split residual skew. Integer-count arithmetic → deterministic across
-    engines.
+    true near-dups instead of vocabulary overlap. Integer-count
+    arithmetic → deterministic across engines.
+
+    ``max_df`` is the 100 TB guard: a shingle appearing in d documents
+    contributes d²/2 candidate rows to the inverted-index self-join
+    *before* the threshold filter can prune anything — boilerplate
+    (license headers, navigation chrome) makes that quadratic. With
+    ``max_df`` set, shingles with document frequency > max_df are dropped
+    from the index (one narrow groupBy over the index + a broadcast
+    anti-join — the hot set is tiny by definition), bounding per-shingle
+    fan-out at max_df²/2 and total candidates at O(|index|·max_df).
+    Semantics become "Jaccard over shingles with df ≤ max_df": set sizes
+    are computed over the capped sets too, so the score remains a true
+    Jaccard of the indexed sets. Default None (off) so fixture-scale
+    consumers keep exact uncapped semantics unless they opt in; capped
+    consumers (q113/q157/q158) apply the identical cap in their DuckDB
+    oracles.
     """
     cols = [id_col] + ([block_col] if block_col else [])
     df = fan_out(df)
@@ -102,6 +116,18 @@ def ngram_jaccard_pairs(
     # a-side, b-side) that would each re-run the shingle explode.
     # tracked_persist → callers release via plans.inspect.release_intermediates().
     toks = tracked_persist(df.select(*cols, F.explode(sh).alias("tok")))
+    if max_df is not None:
+        # Document frequency == row count per tok: the index already holds
+        # one row per (doc, distinct shingle). The hot set (df > max_df)
+        # is small by construction — broadcast anti-join, no extra shuffle
+        # of the index itself.
+        hot = (
+            toks.groupBy("tok")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .where(F.col("__df") > max_df)
+            .select("tok")
+        )
+        toks = toks.join(F.broadcast(hot), "tok", "left_anti")
     sizes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
     a = toks.select(*[F.col(c).alias(f"a_{c}") for c in cols], F.col("tok"))
     b = toks.select(*[F.col(c).alias(f"b_{c}") for c in cols], F.col("tok"))

@@ -3114,7 +3114,13 @@ def q91(spark, sf_dir):
     )
 
 
-_JACCARD_PAIRS_CTE = """
+def _jaccard_toks_sql(max_df: int | None = None) -> str:
+    """Oracle replica of the ngram_jaccard_pairs shingle index, with the
+    operator's optional ``max_df`` hot-shingle cap mirrored exactly:
+    shingles with document frequency > max_df are anti-filtered out of
+    the index BEFORE sizes/intersections, so both engines score the same
+    capped sets."""
+    base = """
     w AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
     sh AS (SELECT doc_id,
              CASE WHEN len(w) >= 3
@@ -3122,7 +3128,19 @@ _JACCARD_PAIRS_CTE = """
                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
                   ELSE [text] END AS shingles
            FROM w),
-    toks AS (SELECT doc_id, unnest(list_distinct(shingles)) AS tok FROM sh),
+    toks0 AS (SELECT doc_id, unnest(list_distinct(shingles)) AS tok FROM sh)"""
+    if max_df is None:
+        return base + ",\n    toks AS (SELECT doc_id, tok FROM toks0)"
+    return base + f""",
+    hot AS (SELECT tok FROM toks0 GROUP BY tok HAVING COUNT(*) > {max_df}),
+    toks AS (SELECT t.doc_id, t.tok FROM toks0 t
+             WHERE NOT EXISTS (SELECT 1 FROM hot h WHERE h.tok = t.tok))"""
+
+
+def _jaccard_pairs_sql(max_df: int | None = None) -> str:
+    return (
+        _jaccard_toks_sql(max_df)
+        + """,
     sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM toks GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_common
@@ -3134,6 +3152,10 @@ _JACCARD_PAIRS_CTE = """
       JOIN sizes sb ON sb.doc_id = i.b_id
       WHERE CAST(i.n_common AS DOUBLE) / (sa.set_size + sb.set_size - i.n_common) >= 0.8)
 """
+    )
+
+
+_JACCARD_PAIRS_CTE = _jaccard_pairs_sql(None)
 
 
 @q(
@@ -3968,7 +3990,7 @@ def q119(spark, sf_dir):
     "q113_corpus_report",
     f"""
     WITH
-    {_JACCARD_PAIRS_CTE},
+    {_jaccard_pairs_sql(max_df=5)},
     base AS (
       SELECT COUNT(*) AS n_docs,
              COUNT(*) - COUNT(DISTINCT text) AS n_exact_dup_docs,
@@ -3988,7 +4010,9 @@ def q119(spark, sf_dir):
     "Composes the dedup and text-stat operators into two aggregations "
     "(one corpus-wide, one over the near-dup pair set) joined as single "
     "broadcast rows; every metric reuses a machinery already "
-    "value-checked on its own (q28/q30/q37).",
+    "value-checked on its own (q28/q30/q37). The near-dup count runs "
+    "with the max_df=5 hot-shingle cap (mirrored in the oracle) so the "
+    "nightly report never pays quadratic boilerplate fan-out.",
 )
 def q113(spark, sf_dir):
     from .operators.dedup import ngram_jaccard_pairs
@@ -4004,7 +4028,7 @@ def q113(spark, sf_dir):
         F.round(F.avg(ntok), 6).alias("avg_tokens"),
         F.sum(F.when(ntok < 10, 1).otherwise(0)).alias("n_short_docs"),
     )
-    nd = ngram_jaccard_pairs(d, threshold=0.8).agg(
+    nd = ngram_jaccard_pairs(d, threshold=0.8, max_df=5).agg(
         F.count(F.lit(1)).alias("n_neardup_pairs")
     )
     return base.crossJoin(F.broadcast(nd))
@@ -5796,15 +5820,10 @@ def q156(spark, sf_dir):
     )
 
 
-_JACCARD_SCORED_CTE = """
-    w AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
-    sh AS (SELECT doc_id,
-             CASE WHEN len(w) >= 3
-                  THEN list_transform(range(1, len(w) - 1),
-                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
-                  ELSE [text] END AS shingles
-           FROM w),
-    toks AS (SELECT doc_id, unnest(list_distinct(shingles)) AS tok FROM sh),
+def _jaccard_scored_sql(max_df: int | None = None) -> str:
+    return (
+        _jaccard_toks_sql(max_df)
+        + """,
     sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM toks GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_common
@@ -5818,13 +5837,14 @@ _JACCARD_SCORED_CTE = """
       JOIN sizes sa ON sa.doc_id = i.a_id
       JOIN sizes sb ON sb.doc_id = i.b_id)
 """
+    )
 
 
 @q(
     "q157_dedup_threshold_curve",
     f"""
     WITH
-    {_JACCARD_SCORED_CTE}
+    {_jaccard_scored_sql(max_df=5)}
     SELECT
       CAST(SUM(CASE WHEN jac >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_ge_05,
       CAST(SUM(CASE WHEN jac >= 0.6 THEN 1 ELSE 0 END) AS BIGINT) AS n_ge_06,
@@ -5839,13 +5859,16 @@ _JACCARD_SCORED_CTE = """
     "conditional sums in a scalar final) — the tuning curve that picks "
     "the production threshold, at one-fifth the cost of five separate "
     "dedup runs. Jaccard is a ratio of exact integers, so threshold "
-    "comparisons are bit-identical across engines.",
+    "comparisons are bit-identical across engines. Runs with the "
+    "max_df=5 hot-shingle cap (mirrored in the oracle): at threshold "
+    "0.0 nothing downstream prunes candidates, so the cap IS the "
+    "100 TB safety bound on the pair enumeration.",
 )
 def q157(spark, sf_dir):
     from .operators.dedup import ngram_jaccard_pairs
 
     d = _t(spark, sf_dir, "documents")
-    p = ngram_jaccard_pairs(d, threshold=0.0)
+    p = ngram_jaccard_pairs(d, threshold=0.0, max_df=5)
     return p.agg(
         *[
             F.sum((F.col("jaccard") >= t).cast("bigint")).alias(
@@ -5860,7 +5883,7 @@ def q157(spark, sf_dir):
     "q158_source_overlap_matrix",
     f"""
     WITH
-    {_JACCARD_SCORED_CTE},
+    {_jaccard_scored_sql(max_df=5)},
     hits AS (SELECT a_id, b_id FROM scored_pairs WHERE jac >= 0.8),
     labeled AS (
       SELECT least(da.source, db.source) AS source_x,
@@ -5876,13 +5899,15 @@ def q157(spark, sf_dir):
     "matrix) — the provenance analysis that finds mirror sites and "
     "cross-domain syndication so whole SOURCES can be deduplicated "
     "against each other, not just documents. Two broadcast-able key "
-    "joins back to the doc table + one small two-key aggregation.",
+    "joins back to the doc table + one small two-key aggregation. "
+    "Pair generation runs with the max_df=5 boilerplate-shingle cap "
+    "(mirrored in the oracle).",
 )
 def q158(spark, sf_dir):
     from .operators.dedup import ngram_jaccard_pairs
 
     d = _t(spark, sf_dir, "documents")
-    hits = ngram_jaccard_pairs(d, threshold=0.8)
+    hits = ngram_jaccard_pairs(d, threshold=0.8, max_df=5)
     src_a = d.select(F.col("doc_id").alias("a_doc_id"), F.col("source").alias("__sa"))
     src_b = d.select(F.col("doc_id").alias("b_doc_id"), F.col("source").alias("__sb"))
     return (

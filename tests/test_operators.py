@@ -109,6 +109,60 @@ def test_ngram_jaccard_identical_docs(spark):
     assert (pairs[0]["a_doc_id"], pairs[0]["b_doc_id"], pairs[0]["jaccard"]) == (1, 2, 1.0)
 
 
+def test_ngram_jaccard_max_df_bounds_hot_shingle_candidates(spark):
+    """One boilerplate shingle planted across all N docs: uncapped, the
+    inverted-index self-join enumerates every co-shingle pair — N(N-1)/2
+    candidates from that single shingle (the quadratic blowup the cap
+    exists to stop). With max_df < N the hot shingle is dropped from the
+    index before the join, so candidate volume collapses to the pairs
+    that share a low-df shingle only."""
+    n = 40
+    docs = [
+        # per-doc unique prefix + the shared boilerplate tail; every doc
+        # contributes the df=N shingle "common boiler plate"
+        Row(doc_id=i, text=f"x{i} y{i} z{i} common boiler plate")
+        for i in range(n)
+    ]
+    # plus one genuine near-dup pair sharing low-df (df=2) shingles
+    docs.append(Row(doc_id=n, text="alpha beta gamma delta epsilon zeta"))
+    docs.append(Row(doc_id=n + 1, text="alpha beta gamma delta epsilon zeta"))
+    df = spark.createDataFrame(docs)
+
+    uncapped = ngram_jaccard_pairs(df, threshold=0.0).count()
+    assert uncapped >= n * (n - 1) // 2  # hot shingle alone is quadratic
+
+    capped = ngram_jaccard_pairs(df, threshold=0.0, max_df=5).collect()
+    # candidate volume is bounded: only the planted low-df near-dup pair
+    # survives — every hot-shingle-only pair is gone
+    assert {(r["a_doc_id"], r["b_doc_id"]) for r in capped} == {(n, n + 1)}
+    # and the score is a true Jaccard of the CAPPED sets (all their
+    # shingles have df=2 <= max_df, so it is exactly 1.0)
+    assert capped[0]["jaccard"] == 1.0
+
+
+def test_ngram_jaccard_max_df_caps_sizes_consistently(spark):
+    """Set sizes must be computed over the capped sets, not the raw ones:
+    two docs sharing only low-df shingles plus a dropped hot shingle
+    still score 1.0 (intersection and union both shrink by the same
+    dropped shingle)."""
+    rows = [Row(doc_id=i, text=f"u{i} v{i} w{i} hot hot2 hot3") for i in range(10)]
+    rows += [
+        Row(doc_id=100, text="p q r s hot hot2 hot3"),
+        Row(doc_id=101, text="p q r s hot hot2 hot3"),
+    ]
+    df = spark.createDataFrame(rows)
+    out = {
+        (r["a_doc_id"], r["b_doc_id"]): r
+        for r in ngram_jaccard_pairs(df, threshold=0.0, max_df=5).collect()
+    }
+    assert set(out) == {(100, 101)}
+    r = out[(100, 101)]
+    # "p q r", "q r s" survive (df=2); "r s hot" also df=2 → survives;
+    # "s hot hot2" df=2 survives; "hot hot2 hot3" df=12 → dropped.
+    assert r["a_size"] == r["b_size"] == r["n_common"] == 4
+    assert r["jaccard"] == 1.0
+
+
 def test_minhash_identical_docs_collide(spark):
     rows = [
         Row(doc_id=1, text="one two three four five six seven eight nine ten"),
@@ -245,6 +299,46 @@ def test_minhash_scale_smoke(spark):
     got = {
         (r["a_id"], r["b_id"])
         for r in minhash_lsh_pairs(docs, threshold=0.9, hash_family="xxhash64").collect()
+    }
+    release_intermediates()
+    want = {(i, i + 1) for i in range(0, n, 100)}
+    assert got == want
+
+
+@_pytest.mark.skipif(
+    not _os.environ.get("SPARK_GRAFT_SCALE"),
+    reason="scale smoke: set SPARK_GRAFT_SCALE=1 (200k docs, boilerplate-saturated exact Jaccard)",
+)
+def test_ngram_jaccard_max_df_scale_smoke(spark):
+    """200k synthetic docs that ALL share a boilerplate tail (the
+    license-header/navigation-chrome shape): the hot shingles have
+    df=200k, so the uncapped inverted-index self-join would enumerate
+    ~2e10 candidate pairs — unrunnable by construction. With max_df the
+    hot shingles are anti-filtered before the join and the exact-Jaccard
+    path completes in seconds, finding exactly the 2,000 planted
+    identical pairs (their discriminative shingles have df=2 ≤ max_df,
+    so capped Jaccard is still 1.0)."""
+    from pyspark.sql import functions as F
+
+    from osmapreduceproject_spark.operators.dedup import ngram_jaccard_pairs
+    from osmapreduceproject_spark.plans.inspect import release_intermediates
+
+    n = 200_000
+    base = F.when(F.col("id") % 100 == 0, F.col("id") + 1).otherwise(F.col("id"))
+    unique_part = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(5)),
+            lambda j: F.concat(F.lit("w"), ((base * 31 + j * 7) % 999983).cast("string")),
+        ),
+    )
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(unique_part, F.lit(" all rights reserved see license page")).alias("text"),
+    )
+    got = {
+        (r["a_doc_id"], r["b_doc_id"])
+        for r in ngram_jaccard_pairs(docs, threshold=0.9, max_df=5).collect()
     }
     release_intermediates()
     want = {(i, i + 1) for i in range(0, n, 100)}
