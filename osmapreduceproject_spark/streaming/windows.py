@@ -94,6 +94,35 @@ def stream_dedup(
     return df.withWatermark(ts_col, watermark).dropDuplicates(keys)
 
 
+def deduped_user_counts(
+    df: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Distinct-user counts per event type AFTER exact dedup on
+    (user, type) — the dedup→aggregate composition every streaming
+    ingestion pipeline runs (dedup bounds upstream at-least-once
+    delivery; the aggregate feeds dashboards). Chained stateful
+    operators: dropDuplicates keeps per-key state (watermark-bounded),
+    the downstream count is a second stateful agg.
+
+    The twin contract: in batch mode dropDuplicates == DISTINCT, so the
+    result is COUNT(DISTINCT user) per type — and because the aggregate
+    counts *keys*, the output is invariant to WHICH duplicate row
+    survives, which is exactly what makes this composition
+    oracle-checkable (q159) despite dropDuplicates' arbitrary-survivor
+    semantics."""
+    if watermark:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.dropDuplicates([user_col, type_col])
+        .groupBy(type_col)
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
 def read_events_stream(spark, events_dir: str) -> DataFrame:
     """Replay the events fixture as a file-source stream.
 

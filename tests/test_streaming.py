@@ -96,6 +96,18 @@ def test_stream_dedup(spark):
     assert n == read_events(spark, SF_SMOKE).select("event_id").distinct().count()
 
 
+def test_deduped_user_counts_batch_stream_equivalence(spark):
+    """The q159 twin's stream side: chained stateful operators
+    (watermarked dropDuplicates → count per type) replayed over the
+    events fixture must equal the shared builder's batch result."""
+    from osmapreduceproject_spark.streaming.windows import deduped_user_counts
+
+    batch = deduped_user_counts(read_events(spark, SF_SMOKE))
+    stream = deduped_user_counts(_stream_events(spark), watermark="1 hour")
+    _run(stream, "dedup_counts_out")
+    assert _rows(spark, "dedup_counts_out") == {tuple(r) for r in batch.collect()}
+
+
 def test_stateful_running_totals(spark):
     """applyInPandasWithState running totals: the final per-key state
     after draining the stream must equal the batch aggregate."""
