@@ -70,6 +70,17 @@ BENCH_QUERIES = [
     "q128_skew_report",  # heavy-hitter pre-flight over lineitem
     "q130_integrity_audit",  # anti-join FK checks over the full schema
     "q134_bpe_pair_counts",  # adjacent-pair explode + top-20
+    # r6 additions (VERDICT r5 #3): the r5-new heavy operators that joined
+    # the catalog after the headline set was last widened — subtract these
+    # eight for like-for-like totals vs r05.
+    "q132_image_dhash_dedup",  # RAW8 decode → dHash → hash-keyed groups
+    "q133_image_neardup",  # banded hamming near-dup over dHash
+    "q136_audio_fingerprint",  # PCM energy fingerprint, hash-keyed
+    "q143_pmi_collocations",  # bigram explode + two broadcast totals
+    "q150_dedup_keep_best",  # cluster join + quality argmax per cluster
+    "q156_chunk_dedup",  # chunk explode + md5 groupBy
+    "q157_dedup_threshold_curve",  # capped exact-Jaccard, threshold 0.0
+    "q158_source_overlap_matrix",  # capped exact-Jaccard + source joins
     "conf_sort_seeded",
     "conf_max_seeded",
 ]
@@ -327,7 +338,14 @@ def main() -> None:
             "queries: q83/q107/q102 upticks in the longer run all returned to "
             "their baseline mins on 6 isolated reruns (q83 0.74, q107 0.87, "
             "q102 1.62) with unchanged plan censuses - cross-query cache/GC "
-            "interference in the longer suite, not plan regressions. Final r05 record: per-run flags see-saw across different queries while 6-run isolated minima stay at baseline on unchanged plan censuses every time (q31 1.32, q34 0.50, q63 0.71, q61 1.03, q119 1.22)."
+            "interference in the longer suite, not plan regressions. Final r05 record: per-run flags see-saw across different queries while 6-run isolated minima stay at baseline on unchanged plan censuses every time (q31 1.32, q34 0.50, q63 0.71, q61 1.03, q119 1.22). "
+            "r06 adds q132/q133/q136/q143/q150/q156-q158 to the headline set "
+            "(VERDICT r5 #3) - subtract those eight for like-for-like totals "
+            "vs r05. r06 also threads the max_df=5 hot-shingle cap through "
+            "q113/q157/q158: their pair machinery now anti-filters "
+            "boilerplate shingles before the inverted-index self-join, so "
+            "small deltas on those three are a plan change (capped "
+            "candidates), not jitter."
         ),
         "reference": reference_timings(),
     }
