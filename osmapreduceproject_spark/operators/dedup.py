@@ -638,3 +638,43 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits:
         ).otherwise(F.lit(0).cast("bigint"))
         fingerprint = term if fingerprint is None else fingerprint + term
     return per_doc.select(F.col(id_col), fingerprint.alias("simhash"))
+
+
+def delta_dedup_status(
+    incoming: DataFrame,
+    corpus: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental-ingestion dedup classification: label every incoming
+    document ``dup_of_corpus`` (exact content already indexed),
+    ``dup_in_batch`` (repeated within the incoming batch itself — only
+    the lowest-id copy stays ``new``), or ``new``. This is the admission
+    filter of a continuously-growing corpus: only ``new`` rows proceed to
+    indexing, and the three counts are the ingestion-health metrics.
+
+    Scale shape: both sides reduce to 60-bit content hashes before
+    anything moves — the corpus side collapses to its distinct hash set
+    (8-byte keys, one shuffle), joined LEFT against the incoming batch on
+    the hash; within-batch duplicates use a hash-partitioned row_number
+    (parallel by hash, no global sort). Nothing ever shuffles document
+    bodies, and the corpus is never re-read per batch in production (its
+    hash set is the persisted dedup index this operator's join models).
+    """
+    h = md5_int(F.col(content_col))
+    inc = incoming.withColumn("__h", h)
+    corpus_hashes = (
+        corpus.select(h.alias("__h")).distinct().withColumn("__in_corpus", F.lit(1))
+    )
+    w = Window.partitionBy("__h").orderBy(F.col(id_col).asc())
+    return (
+        inc.join(corpus_hashes, "__h", "left")
+        .withColumn("__rn", F.row_number().over(w))
+        .withColumn(
+            "dedup_status",
+            F.when(F.col("__in_corpus") == 1, F.lit("dup_of_corpus"))
+            .when(F.col("__rn") > 1, F.lit("dup_in_batch"))
+            .otherwise(F.lit("new")),
+        )
+        .drop("__h", "__in_corpus", "__rn")
+    )

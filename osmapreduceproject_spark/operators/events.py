@@ -122,3 +122,45 @@ def retention_cohorts(
         )
         .agg(F.count_distinct(F.col(user_col)).alias("n_users"))
     )
+
+
+def event_transitions(
+    df: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition matrix between event types: for each
+    user's time-ordered event sequence, count (from → to) adjacent pairs
+    and row-normalize into transition probabilities — the behavioral
+    model behind next-action prediction and anomaly scoring on event
+    streams.
+
+    Scale shape: the ``lead()`` window partitions by user (parallel, no
+    global sort — each user's events sort within their hash partition);
+    the transition matrix is a bounded types²-key aggregation with
+    map-side combine, and the row-normalizing window partitions by
+    ``from_type`` (bounded cardinality). The exchange after the window
+    carries one row per (from, to) pair per partition, never event
+    volume. Ordering is tiebroken by the unique event id so the sequence
+    — and therefore every count — is deterministic across engines and
+    partitionings.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col).asc(), F.col(id_col).asc())
+    pairs = df.select(
+        F.col(type_col).alias("from_type"),
+        F.lead(type_col).over(w).alias("to_type"),
+    ).where(F.col("to_type").isNotNull())
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    wrow = Window.partitionBy("from_type")
+    return counts.withColumn(
+        "prob",
+        F.round(
+            F.col("n_transitions").cast("double") / F.sum("n_transitions").over(wrow), 6
+        ),
+    )

@@ -718,3 +718,50 @@ def duplicate_span_stats(
         )
         .withColumn("max_dup_span_tokens", F.col("max_run_shingles") + F.lit(k - 1))
     )
+
+
+def vocab_health(
+    df: DataFrame, text_col: str = "text", strata_col: str = "source"
+) -> DataFrame:
+    """Per-stratum vocabulary-health report: token volume, distinct type
+    count, type-token ratio, hapax share (types seen exactly once — the
+    long-tail mass), and top-word share (mass of the single most frequent
+    token) — the Zipf-shape diagnostics that flag template-generated or
+    boilerplate-heavy sources before they skew a training mix.
+
+    Scale shape: one (stratum, token)-keyed count with map-side combine
+    — the only exchange that sees token volume, and it carries partial
+    counts, not text — then a stratum-keyed rollup over the count table
+    (bounded by vocabulary size, not corpus size). All ratios divide
+    exact integers once in double, so they are bit-identical across
+    engines and partitionings.
+    """
+    from ..plans.inspect import fan_out
+
+    toks = fan_out(df).select(
+        F.col(strata_col), F.explode(tokens(F.col(text_col))).alias("tok")
+    )
+    counts = toks.groupBy(strata_col, "tok").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        counts.groupBy(strata_col)
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_types"),
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("n_hapax"),
+            F.max("c").alias("top_count"),
+        )
+        .select(
+            strata_col,
+            "n_tokens",
+            "n_types",
+            F.round(F.col("n_types").cast("double") / F.col("n_tokens"), 6).alias(
+                "type_token_ratio"
+            ),
+            F.round(F.col("n_hapax").cast("double") / F.col("n_types"), 6).alias(
+                "hapax_share"
+            ),
+            F.round(F.col("top_count").cast("double") / F.col("n_tokens"), 6).alias(
+                "top_word_share"
+            ),
+        )
+    )

@@ -5945,6 +5945,199 @@ def q159(spark, sf_dir):
     return deduped_user_counts(_t(spark, sf_dir, "events"))
 
 
+_SPLIT3_KEY = "'split3|' || CAST(doc_id AS VARCHAR)"
+_SPLIT3_SQL = (
+    f"CASE WHEN {md5_int_sql(_SPLIT3_KEY)} % 100 < 80 THEN 'train' "
+    f"WHEN {md5_int_sql(_SPLIT3_KEY)} % 100 < 90 THEN 'val' ELSE 'test' END"
+)
+
+
+@q(
+    "q160_split_leakage",
+    f"""
+    WITH
+    {_jaccard_scored_sql(max_df=5)},
+    hits AS (SELECT a_id, b_id FROM scored_pairs WHERE jac >= 0.8),
+    sp AS (SELECT doc_id, {_SPLIT3_SQL} AS split FROM documents),
+    labeled AS (
+      SELECT least(sa.split, sb.split) AS split_x,
+             greatest(sa.split, sb.split) AS split_y
+      FROM hits
+      JOIN sp sa ON sa.doc_id = hits.a_id
+      JOIN sp sb ON sb.doc_id = hits.b_id)
+    SELECT split_x, split_y, COUNT(*) AS n_pairs,
+           split_x <> split_y AS is_leak
+    FROM labeled GROUP BY 1, 2
+    """,
+    "Train/val/test leakage audit: assign every document a deterministic "
+    "content-hash split (md5 % 100 → 80/10/10, the q68 primitive "
+    "three-way), then count ≥0.8-Jaccard near-dup pairs per split "
+    "combination — cross-split pairs (is_leak) are eval contamination "
+    "that document-level random splitting cannot see and that survives "
+    "exact dedup. The audit every training pipeline must run BEFORE "
+    "trusting held-out loss. Pair machinery runs with the max_df=5 "
+    "boilerplate cap (mirrored in the oracle); split labels join back "
+    "broadcast-shaped; output is a ≤6-row matrix.",
+)
+def q160(spark, sf_dir):
+    from .operators.dedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    b = (
+        md5_int(F.concat_ws("|", F.lit("split3"), F.col("doc_id").cast("string")))
+        % 100
+    )
+    sp = d.select(
+        "doc_id",
+        F.when(b < 80, "train").when(b < 90, "val").otherwise("test").alias("split"),
+    )
+    pairs = ngram_jaccard_pairs(d, threshold=0.8, max_df=5)
+    sa = sp.select(F.col("doc_id").alias("a_doc_id"), F.col("split").alias("__sa"))
+    sb = sp.select(F.col("doc_id").alias("b_doc_id"), F.col("split").alias("__sb"))
+    return (
+        pairs.join(sa, "a_doc_id")
+        .join(sb, "b_doc_id")
+        .groupBy(
+            F.least("__sa", "__sb").alias("split_x"),
+            F.greatest("__sa", "__sb").alias("split_y"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .withColumn("is_leak", F.col("split_x") != F.col("split_y"))
+    )
+
+
+@q(
+    "q161_event_transitions",
+    """
+    WITH nx AS (
+      SELECT event_type AS from_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS to_type
+      FROM events),
+    c AS (SELECT from_type, to_type, COUNT(*) AS n_transitions
+          FROM nx WHERE to_type IS NOT NULL GROUP BY 1, 2)
+    SELECT from_type, to_type, n_transitions,
+           round(CAST(n_transitions AS DOUBLE)
+                 / SUM(n_transitions) OVER (PARTITION BY from_type), 6) AS prob
+    FROM c
+    """,
+    "First-order Markov transition matrix between event types "
+    "(operators/events.py event_transitions): per-user time-ordered "
+    "lead() pairs counted into a types² matrix with row-normalized "
+    "probabilities — the behavioral model behind next-action prediction "
+    "and sequence-anomaly scoring. The window partitions by user "
+    "(parallel, no global sort, event-id tiebreak for engine-identical "
+    "sequences); the matrix agg and the row-normalizing window both run "
+    "over bounded key spaces, so no stage after the per-user sort sees "
+    "event volume.",
+)
+def q161(spark, sf_dir):
+    from .operators.events import event_transitions
+
+    return event_transitions(_t(spark, sf_dir, "events"))
+
+
+@q(
+    "q162_vocab_health",
+    """
+    WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+                  FROM documents),
+    counts AS (SELECT source, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+    per AS (SELECT source,
+                   CAST(SUM(c) AS BIGINT) AS n_tokens,
+                   COUNT(*) AS n_types,
+                   CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+                   MAX(c) AS top_count
+            FROM counts GROUP BY source)
+    SELECT source, n_tokens, n_types,
+           round(CAST(n_types AS DOUBLE) / n_tokens, 6) AS type_token_ratio,
+           round(CAST(n_hapax AS DOUBLE) / n_types, 6) AS hapax_share,
+           round(CAST(top_count AS DOUBLE) / n_tokens, 6) AS top_word_share
+    FROM per
+    """,
+    "Per-source vocabulary-health report (operators/text.py "
+    "vocab_health): token volume, type count, type-token ratio, hapax "
+    "share, and top-word mass — the Zipf-shape diagnostics that flag "
+    "template-generated or boilerplate-heavy sources before they skew a "
+    "training mix. One (source, token) count with map-side combine (the "
+    "only exchange that sees token volume carries partial counts, not "
+    "text) + a vocabulary-bounded rollup; every ratio divides exact "
+    "integers once in double.",
+)
+def q162(spark, sf_dir):
+    return text.vocab_health(_t(spark, sf_dir, "documents"))
+
+
+@q(
+    "q163_delta_dedup",
+    f"""
+    WITH inc AS (SELECT doc_id, source, {md5_int_sql('text')} AS h
+                 FROM documents WHERE doc_id % 10 = 0),
+    corp AS (SELECT DISTINCT {md5_int_sql('text')} AS h
+             FROM documents WHERE doc_id % 10 <> 0),
+    st AS (
+      SELECT i.doc_id, i.source,
+             CASE WHEN c.h IS NOT NULL THEN 'dup_of_corpus'
+                  WHEN ROW_NUMBER() OVER (PARTITION BY i.h
+                                          ORDER BY i.doc_id) > 1
+                       THEN 'dup_in_batch'
+                  ELSE 'new' END AS dedup_status
+      FROM inc i LEFT JOIN corp c ON c.h = i.h)
+    SELECT source, dedup_status, COUNT(*) AS n_docs,
+           MIN(doc_id) AS min_doc_id
+    FROM st GROUP BY 1, 2
+    """,
+    "Incremental-ingestion dedup report (operators/dedup.py "
+    "delta_dedup_status): an incoming batch (docs with id % 10 = 0, "
+    "simulating the day's crawl) classified against the standing corpus "
+    "— dup_of_corpus (content hash already indexed), dup_in_batch "
+    "(repeat within the batch, lowest id stays new), or new — counted "
+    "per source. The admission filter of a continuously-growing corpus: "
+    "both sides collapse to 60-bit content hashes before anything "
+    "moves, the within-batch tie-break is a hash-partitioned "
+    "row_number, and document bodies never shuffle.",
+)
+def q163(spark, sf_dir):
+    from .operators.dedup import delta_dedup_status
+
+    d = _t(spark, sf_dir, "documents")
+    incoming = d.where(F.col("doc_id") % 10 == 0)
+    corpus = d.where(F.col("doc_id") % 10 != 0)
+    return (
+        delta_dedup_status(incoming, corpus)
+        .groupBy("source", "dedup_status")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+    )
+
+
+@q(
+    "q164_running_totals_twin",
+    """
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM events GROUP BY event_type
+    """,
+    "Batch twin of the custom stateful streaming operator "
+    "(streaming/stateful.py running_totals_stateful — "
+    "applyInPandasWithState per-key running count + integer-cents sum, "
+    "and its state-v2 transformWithStateInPandas sibling): the stream's "
+    "final per-key state must equal this one-shuffle aggregate, asserted "
+    "in tests/test_streaming.py by draining the replayed fixture. "
+    "Integer cents keep the sum exact and order-independent on both "
+    "engines (the q64 determinism discipline), which is what lets a "
+    "custom state machine be value-oracled at all.",
+)
+def q164(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("total_cents"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Catalog ordering. The driver's CORRECTNESS file covers only the FIRST 50
 # ``queries()`` entries, so the verdict window is a scarce resource.
@@ -5972,6 +6165,11 @@ def q159(spark, sf_dir):
 _VERDICT_WINDOW = [
     # (a) r6-new queries — graded the round they are declared
     "q159_stream_dedup_twin",
+    "q160_split_leakage",
+    "q161_event_transitions",
+    "q162_vocab_health",
+    "q163_delta_dedup",
+    "q164_running_totals_twin",
     # (b) r6-touched machinery regrades
     "q113_corpus_report",  # max_df=5 cap, both engines
     "q157_dedup_threshold_curve",  # max_df=5 cap, both engines

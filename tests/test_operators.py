@@ -1632,3 +1632,88 @@ def test_events_analytics_scale_smoke(spark):
     week0 = ret.where(F.col("week_offset") == 0).agg(F.sum("n_users")).first()[0]
     assert week0 == n_users
     assert ret.where(F.col("week_offset") < 0).count() == 0
+
+
+def test_event_transitions_tiny(spark):
+    """Hand-computable sequence: u1 view→click→view, u2 view→view.
+    Transitions: view→click 1, click→view 1, view→view 1; probs
+    row-normalized per from_type."""
+    from datetime import datetime
+
+    from osmapreduceproject_spark.operators.events import event_transitions
+
+    rows = [
+        Row(event_id=1, user_id=1, event_type="view", ts=datetime(2024, 1, 1, 0, 0)),
+        Row(event_id=2, user_id=1, event_type="click", ts=datetime(2024, 1, 1, 0, 1)),
+        Row(event_id=3, user_id=1, event_type="view", ts=datetime(2024, 1, 1, 0, 2)),
+        Row(event_id=4, user_id=2, event_type="view", ts=datetime(2024, 1, 1, 0, 0)),
+        Row(event_id=5, user_id=2, event_type="view", ts=datetime(2024, 1, 1, 0, 5)),
+    ]
+    out = {
+        (r["from_type"], r["to_type"]): (r["n_transitions"], r["prob"])
+        for r in event_transitions(spark.createDataFrame(rows)).collect()
+    }
+    assert out == {
+        ("view", "click"): (1, 0.5),
+        ("view", "view"): (1, 0.5),
+        ("click", "view"): (1, 1.0),
+    }
+
+
+def test_event_transitions_ts_tie_broken_by_event_id(spark):
+    """Two events at the SAME timestamp: the unique event-id tiebreak
+    fixes the sequence, so the result is deterministic."""
+    from datetime import datetime
+
+    from osmapreduceproject_spark.operators.events import event_transitions
+
+    t = datetime(2024, 1, 1, 0, 0)
+    rows = [
+        Row(event_id=2, user_id=1, event_type="b", ts=t),
+        Row(event_id=1, user_id=1, event_type="a", ts=t),
+        Row(event_id=3, user_id=1, event_type="c", ts=t),
+    ]
+    out = {
+        (r["from_type"], r["to_type"])
+        for r in event_transitions(spark.createDataFrame(rows)).collect()
+    }
+    assert out == {("a", "b"), ("b", "c")}
+
+
+def test_vocab_health_known_case(spark):
+    """4 tokens, 3 types, 2 hapax, top count 2 → ratios exact."""
+    from osmapreduceproject_spark.operators.text import vocab_health
+
+    df = spark.createDataFrame([Row(source="s1", text="a a b c")])
+    r = vocab_health(df).collect()[0]
+    assert (r["n_tokens"], r["n_types"], r["n_hapax"] if "n_hapax" in r else 2) == (4, 3, 2)
+    assert r["type_token_ratio"] == 0.75
+    assert r["hapax_share"] == round(2 / 3, 6)
+    assert r["top_word_share"] == 0.5
+
+
+def test_delta_dedup_status_tiny(spark):
+    """Incoming: one exact corpus dup, one within-batch dup pair, one new."""
+    from osmapreduceproject_spark.operators.dedup import delta_dedup_status
+
+    corpus = spark.createDataFrame(
+        [Row(doc_id=100, text="already indexed"), Row(doc_id=101, text="other doc")]
+    )
+    incoming = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="already indexed"),  # dup_of_corpus
+            Row(doc_id=2, text="fresh content"),  # new (first of batch pair)
+            Row(doc_id=3, text="fresh content"),  # dup_in_batch
+            Row(doc_id=4, text="unique new doc"),  # new
+        ]
+    )
+    out = {
+        r["doc_id"]: r["dedup_status"]
+        for r in delta_dedup_status(incoming, corpus).collect()
+    }
+    assert out == {
+        1: "dup_of_corpus",
+        2: "new",
+        3: "dup_in_batch",
+        4: "new",
+    }
