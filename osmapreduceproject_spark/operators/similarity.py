@@ -290,6 +290,49 @@ def embedding_neardup_pairs(
     )
 
 
+def _ivf_cents(
+    corpus: DataFrame, n_centroids: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """Deterministic coarse quantizer: first ``n_centroids`` corpus
+    vectors by id, numbered 0..n-1 (broadcast-tiny)."""
+    wc = Window.orderBy(id_col)
+    return (
+        corpus.orderBy(id_col)
+        .limit(n_centroids)
+        .select((F.row_number().over(wc) - 1).alias("cid"), F.col(vec_col).alias("__cvec"))
+    )
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep_vec: bool = False,
+) -> DataFrame:
+    """IVF list assignment: (id, cid) per corpus vector — argmax of the
+    rounded dot product against the broadcast quantizer, ties to the
+    larger cid (the max_by(cid, struct(score, cid)) rule shared with
+    :func:`ivf_topk` so index audits see the index search uses).
+
+    Scale shape: corpus × broadcast(centroids) scored JVM-side, one
+    partial-aggregating max_by per vector — no shuffle of vectors beyond
+    the id-keyed agg, no collect. ``keep_vec`` carries the vector through
+    for consumers that re-rank (ivf_topk); audits leave it off so only
+    (id, cid) pairs flow."""
+    cents = _ivf_cents(corpus, n_centroids, id_col, vec_col)
+    score = F.round(dot(F.col(vec_col), F.col("__cvec")), 6)
+    aggs = ([F.first(vec_col).alias(vec_col)] if keep_vec else []) + [
+        F.max_by("cid", F.struct("__score", "cid")).alias("cid")
+    ]
+    return (
+        corpus.crossJoin(F.broadcast(cents))
+        .withColumn("__score", score)
+        .groupBy(id_col)
+        .agg(*aggs)
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -321,24 +364,9 @@ def ivf_topk(
     enough cardinality to avoid reducer skew, and AQE splits any hot
     list. Rounded scores + id tiebreaks keep results deterministic.
     """
-    wc = Window.orderBy(id_col)
-    cents = (
-        corpus.orderBy(id_col)
-        .limit(n_centroids)
-        .select((F.row_number().over(wc) - 1).alias("cid"), F.col(vec_col).alias("__cvec"))
-    )
-    score = F.round(dot(F.col(vec_col), F.col("__cvec")), 6)
-
+    cents = _ivf_cents(corpus, n_centroids, id_col, vec_col)
     # assign: argmax_{cid} <vec, centroid>; ties break to the larger cid
-    assigned = (
-        corpus.crossJoin(F.broadcast(cents))
-        .withColumn("__score", score)
-        .groupBy(id_col)
-        .agg(
-            F.first(vec_col).alias(vec_col),  # constant within the group
-            F.max_by("cid", F.struct("__score", "cid")).alias("cid"),
-        )
-    )
+    assigned = ivf_assign(corpus, n_centroids, id_col, vec_col, keep_vec=True)
     # probe: top-nprobe centroids per query, same ordering/tie rule
     qscored = (
         queries.select(F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qvec"))
