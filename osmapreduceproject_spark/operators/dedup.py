@@ -217,8 +217,18 @@ def _band_buckets(
     signature — the shared candidate-generation core of the self-join
     (:func:`minhash_lsh_pairs`) and cross-corpus
     (:func:`cross_corpus_neardup_pairs`) LSH paths."""
-    rows_per_band = num_hashes // bands
     sig = minhash_signature(df, id_col, text_col, num_hashes, k, hash_family)
+    return _bands_from_sig(sig, id_col, num_hashes, bands, hash_family)
+
+
+def _bands_from_sig(
+    sig: DataFrame, id_col: str, num_hashes: int, bands: int, hash_family: str
+) -> DataFrame:
+    """Banding over an already-computed signature frame — split out so
+    consumers that need BOTH the signature and its buckets (the q168
+    calibration report) band a persisted signature instead of running
+    the shingle→signature DAG twice."""
+    rows_per_band = num_hashes // bands
     band_exprs = []
     for b in range(bands):
         parts = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
@@ -677,4 +687,90 @@ def delta_dedup_status(
             .otherwise(F.lit("new")),
         )
         .drop("__h", "__in_corpus", "__rn")
+    )
+
+
+def minhash_calibration_report(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    k: int = 3,
+    hash_family: str = "md5",
+) -> DataFrame:
+    """One-row QA report on the MinHash estimator over the LSH candidate
+    set: how far the signature-agreement estimate (matching components /
+    num_hashes) sits from exact Jaccard, and what fraction of candidates
+    the exact verification keeps at ``threshold`` — the calibration
+    check that decides whether num_hashes/bands are adequate BEFORE a
+    corpus-wide dedup run trusts the estimator.
+
+    Output: (n_candidates, n_verified, precision, mean_abs_err,
+    max_abs_err). Per-pair |est − exact| is scaled to integer millionths
+    before aggregating, so the means are sums of exact integers divided
+    once in double — bit-identical across engines and partition orders.
+
+    Scale shape: identical to :func:`minhash_lsh_pairs` — candidates
+    from band equi-joins, signatures banded from ONE persisted signature
+    frame (not recomputed), exact verification on candidates only — plus
+    a scalar final whose single-partition exchange carries one
+    pre-aggregated row per partition.
+    """
+    sig = tracked_persist(
+        minhash_signature(df, id_col, text_col, num_hashes, k, hash_family)
+    )
+    buckets = _bands_from_sig(sig, id_col, num_hashes, bands, hash_family)
+    a = buckets.select(F.col(id_col).alias("a_id"), "band", "bh")
+    b = buckets.select(F.col(id_col).alias("b_id"), "band", "bh")
+    cand = (
+        a.join(b, ["band", "bh"])
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    sig_a = sig.select(
+        F.col(id_col).alias("a_id"), *[F.col(f"mh_{s}").alias(f"a_mh_{s}") for s in range(num_hashes)]
+    )
+    sig_b = sig.select(
+        F.col(id_col).alias("b_id"), *[F.col(f"mh_{s}").alias(f"b_mh_{s}") for s in range(num_hashes)]
+    )
+    matches = sum(
+        (F.col(f"a_mh_{s}") == F.col(f"b_mh_{s}")).cast("int") for s in range(num_hashes)
+    )
+    toks = tracked_persist(
+        fan_out(df).select(
+            F.col(id_col),
+            F.array_distinct(shingles(F.col(text_col), k)).alias("tokset"),
+        )
+    )
+    at = toks.select(F.col(id_col).alias("a_id"), F.col("tokset").alias("a_toks"))
+    bt = toks.select(F.col(id_col).alias("b_id"), F.col("tokset").alias("b_toks"))
+    n_common = F.size(F.array_intersect("a_toks", "b_toks"))
+    exact = n_common.cast("double") / (
+        F.size("a_toks") + F.size("b_toks") - n_common
+    )
+    est = matches.cast("double") / F.lit(float(num_hashes))
+    err_u = F.round(F.abs(est - exact) * 1000000).cast("bigint")
+    scored = (
+        cand.join(sig_a, "a_id")
+        .join(sig_b, "b_id")
+        .join(at, "a_id")
+        .join(bt, "b_id")
+        .select(
+            err_u.alias("err_u"),
+            (exact >= threshold).cast("bigint").alias("is_verified"),
+        )
+    )
+    return scored.agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.sum("is_verified").alias("n_verified"),
+        F.round(
+            F.sum("is_verified").cast("double") / F.count(F.lit(1)), 6
+        ).alias("precision"),
+        F.round(
+            F.sum("err_u").cast("double") / (F.count(F.lit(1)) * 1000000.0), 6
+        ).alias("mean_abs_err"),
+        F.round(F.max("err_u").cast("double") / 1000000.0, 6).alias("max_abs_err"),
     )

@@ -816,18 +816,16 @@ def q30(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(d, threshold=0.8)
 
 
-def _minhash_oracle(
+def _minhash_cte(
     num_hashes: int = 16,
     bands: int = 4,
-    threshold: float = 0.5,
     src: str = "documents",
     pre_cte: str = "",
 ) -> str:
-    """DuckDB twin of dedup.minhash_lsh_pairs — same shingling, same md5
-    base hash, same universal-hash (a·x+b mod 2^31-1) permutations, same
-    banding and exact-jaccard verification. ``src``/``pre_cte`` let the
-    pipeline run over a derived (doc_id, text) relation (e.g. chunk
-    texts, q165) instead of raw documents."""
+    """Shared WITH-body of the MinHash/LSH oracle replicas: shingles →
+    md5-family signatures → banded buckets → candidate pairs → exact
+    sizes/intersections. Consumed by the near-dup pairs oracle (q31/q165)
+    and the calibration report (q168)."""
     from .operators.dedup import _minhash_coeffs
 
     rows_per_band = num_hashes // bands
@@ -845,8 +843,7 @@ def _minhash_oracle(
             f"SELECT doc_id, {b} AS band, {md5_int_sql(parts)} AS bh FROM sigs"
         )
     buckets = "\n      UNION ALL ".join(band_selects)
-    return f"""
-    WITH {pre_cte}w AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM {src}),
+    cte = f"""{pre_cte}w AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM {src}),
     sh AS (SELECT doc_id,
              CASE WHEN len(w) >= 3
                   THEN list_transform(range(1, len(w) - 1),
@@ -869,13 +866,68 @@ def _minhash_oracle(
       SELECT t1.doc_id AS a_id, t2.doc_id AS b_id, COUNT(*) AS n_common
       FROM toks t1 JOIN toks t2 ON t1.tok = t2.tok AND t1.doc_id < t2.doc_id
       JOIN cand c ON c.a_id = t1.doc_id AND c.b_id = t2.doc_id
-      GROUP BY 1, 2)
+      GROUP BY 1, 2)"""
+    return cte
+
+
+def _minhash_oracle(
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    src: str = "documents",
+    pre_cte: str = "",
+) -> str:
+    """DuckDB twin of dedup.minhash_lsh_pairs — same shingling, same md5
+    base hash, same universal-hash (a·x+b mod 2^31-1) permutations, same
+    banding and exact-jaccard verification. ``src``/``pre_cte`` let the
+    pipeline run over a derived (doc_id, text) relation (e.g. chunk
+    texts, q165) instead of raw documents."""
+    return f"""
+    WITH {_minhash_cte(num_hashes, bands, src, pre_cte)}
     SELECT i.a_id, i.b_id,
            CAST(i.n_common AS DOUBLE) / (sa.set_size + sb.set_size - i.n_common) AS jaccard
     FROM inter i
     JOIN sizes sa ON sa.doc_id = i.a_id
     JOIN sizes sb ON sb.doc_id = i.b_id
     WHERE CAST(i.n_common AS DOUBLE) / (sa.set_size + sb.set_size - i.n_common) >= {threshold}
+    """
+
+
+def _minhash_calibration_oracle(
+    num_hashes: int = 16, bands: int = 4, threshold: float = 0.5
+) -> str:
+    """DuckDB twin of dedup.minhash_calibration_report: per-candidate
+    |signature-agreement estimate − exact Jaccard| scaled to integer
+    millionths, aggregated to one row. Candidates with NO shared shingle
+    (possible — distinct shingles can collide to the same permuted min)
+    have no ``inter`` row, hence the LEFT JOIN with n_common→0: they are
+    real candidates the estimator must be scored on."""
+    matches = " + ".join(
+        f"CASE WHEN sa.mh_{s} = sb.mh_{s} THEN 1 ELSE 0 END"
+        for s in range(num_hashes)
+    )
+    return f"""
+    WITH {_minhash_cte(num_hashes, bands)},
+    scored AS (
+      SELECT ({matches}) / {num_hashes}.0 AS est,
+             CAST(COALESCE(i.n_common, 0) AS DOUBLE)
+               / (za.set_size + zb.set_size - COALESCE(i.n_common, 0)) AS exact
+      FROM cand c
+      JOIN sigs sa ON sa.doc_id = c.a_id
+      JOIN sigs sb ON sb.doc_id = c.b_id
+      JOIN sizes za ON za.doc_id = c.a_id
+      JOIN sizes zb ON zb.doc_id = c.b_id
+      LEFT JOIN inter i ON i.a_id = c.a_id AND i.b_id = c.b_id),
+    err AS (
+      SELECT CAST(round(abs(est - exact) * 1000000) AS BIGINT) AS err_u,
+             CASE WHEN exact >= {threshold} THEN 1 ELSE 0 END AS is_verified
+      FROM scored)
+    SELECT COUNT(*) AS n_candidates,
+           CAST(SUM(is_verified) AS BIGINT) AS n_verified,
+           round(CAST(SUM(is_verified) AS DOUBLE) / COUNT(*), 6) AS precision,
+           round(CAST(SUM(err_u) AS DOUBLE) / (COUNT(*) * 1000000.0), 6) AS mean_abs_err,
+           round(CAST(MAX(err_u) AS DOUBLE) / 1000000.0, 6) AS max_abs_err
+    FROM err
     """
 
 
@@ -6251,6 +6303,98 @@ def q166(spark, sf_dir):
     )
 
 
+@q(
+    "q167_late_supplier_blame",
+    """
+    WITH j AS (
+      SELECT l_orderkey, l_suppkey,
+             l_shipdate > o_orderdate + INTERVAL 90 DAY AS late
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      WHERE o_orderstatus = 'F'),
+    per_os AS (SELECT l_orderkey, l_suppkey, MAX(late) AS is_late
+               FROM j GROUP BY 1, 2),
+    per_o AS (SELECT l_orderkey, COUNT(*) AS n_supp,
+                     CAST(SUM(CASE WHEN is_late THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+              FROM per_os GROUP BY 1),
+    culprits AS (
+      SELECT per_os.l_suppkey FROM per_os JOIN per_o USING (l_orderkey)
+      WHERE is_late AND n_supp >= 2 AND n_late = 1)
+    SELECT s_name, numwait FROM (
+      SELECT s_name, COUNT(*) AS numwait,
+             ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, s_name) AS rn
+      FROM culprits JOIN supplier ON s_suppkey = l_suppkey
+      GROUP BY s_name) t
+    WHERE rn <= 25
+    """,
+    "TPC-H Q21 shape (suppliers who kept waiting multi-supplier orders, "
+    "adapted to the fixture's shipdate columns: late = shipped >90 days "
+    "after order date): the sole late supplier in a finished order with "
+    "2+ suppliers, counted per supplier, top-25. The classic doubly-"
+    "correlated EXISTS/NOT-EXISTS is REFORMULATED as one aggregation "
+    "pass — per-(order, supplier) late flags, then per-order "
+    "supplier/late counts, then the culprit filter — semantically "
+    "identical but a single orderkey-partitioned pipeline (the two aggs "
+    "and the join all reuse one exchange) instead of two correlated "
+    "probes per lineitem; at scale that is the difference between 2 "
+    "shuffles and 3 self-joins of the fact table. Deterministic top-25 "
+    "via (count desc, name) row_number.",
+)
+def q167(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    s = _t(spark, sf_dir, "supplier")
+    j = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")).alias(
+            "late"
+        ),
+    )
+    per_os = j.groupBy("l_orderkey", "l_suppkey").agg(F.max("late").alias("is_late"))
+    per_o = per_os.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum(F.col("is_late").cast("bigint")).alias("n_late"),
+    )
+    culprits = (
+        per_os.join(per_o, "l_orderkey")
+        .where(F.col("is_late") & (F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+        .select("l_suppkey")
+    )
+    counts = (
+        culprits.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+    # orderBy+limit → TakeOrderedAndProject (per-partition top-25 heaps,
+    # no SinglePartition window); the (count desc, name) total order makes
+    # the cut deterministic.
+    return (
+        counts.orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(25)
+        .select("s_name", "numwait")
+    )
+
+
+@q(
+    "q168_minhash_calibration",
+    _minhash_calibration_oracle(num_hashes=16, bands=4, threshold=0.5),
+    "MinHash estimator calibration report (operators/dedup.py "
+    "minhash_calibration_report): over the LSH candidate set, one row "
+    "of (candidates, exact-verified count, precision at the 0.5 "
+    "threshold, mean/max |signature-estimate − exact Jaccard|) — the QA "
+    "check that decides whether num_hashes/bands are adequate before a "
+    "corpus-wide dedup trusts the estimator. Signatures are banded from "
+    "ONE persisted signature frame; per-pair errors are scaled to "
+    "integer millionths so the aggregate is order-independent; "
+    "zero-overlap candidates (min-collisions without a shared shingle) "
+    "are scored too (oracle LEFT JOIN).",
+)
+def q168(spark, sf_dir):
+    return dedup.minhash_calibration_report(
+        _t(spark, sf_dir, "documents"), num_hashes=16, bands=4, threshold=0.5
+    )
+
+
 # ---------------------------------------------------------------------------
 # Catalog ordering. The driver's CORRECTNESS file covers only the FIRST 50
 # ``queries()`` entries, so the verdict window is a scarce resource.
@@ -6285,6 +6429,8 @@ _VERDICT_WINDOW = [
     "q164_running_totals_twin",
     "q165_chunk_neardup",
     "q166_ivf_balance",
+    "q167_late_supplier_blame",
+    "q168_minhash_calibration",
     # (b) r6-touched machinery regrades
     "q113_corpus_report",  # max_df=5 cap, both engines
     "q157_dedup_threshold_curve",  # max_df=5 cap, both engines
@@ -6328,6 +6474,10 @@ _VERDICT_WINDOW = [
     "q02_global_sort",  # ranked_sort ground (zero-SinglePartition plan)
     "q26_tumbling_window",  # tumbling streaming twin + events reader
     "q24_asof_join",  # as-of join ground
+    # (g) remaining slots: the one pre-r5 single left (q111), plus the
+    # r5 single sharing machinery with r6-new q165 (chunking)
+    "q111_neardup_survivors",  # r4 single — last pre-r5 single-grade query
+    "q156_chunk_dedup",  # chunk machinery shared with r6-new q165
 ]
 
 

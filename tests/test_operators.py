@@ -1717,3 +1717,23 @@ def test_delta_dedup_status_tiny(spark):
         3: "dup_in_batch",
         4: "new",
     }
+
+
+def test_minhash_calibration_identical_docs(spark):
+    """Two identical docs: their signatures agree on every component and
+    exact Jaccard is 1.0 → one candidate, zero estimator error, full
+    precision."""
+    from osmapreduceproject_spark.operators.dedup import minhash_calibration_report
+    from osmapreduceproject_spark.plans.inspect import release_intermediates
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the quick brown fox jumps over the lazy dog"),
+            Row(doc_id=2, text="the quick brown fox jumps over the lazy dog"),
+            Row(doc_id=3, text="completely different words entirely here now today ok fine"),
+        ]
+    )
+    r = minhash_calibration_report(df, threshold=0.5).collect()[0]
+    release_intermediates()
+    assert (r["n_candidates"], r["n_verified"], r["precision"]) == (1, 1, 1.0)
+    assert r["mean_abs_err"] == 0.0 and r["max_abs_err"] == 0.0
