@@ -497,3 +497,111 @@ def test_funnel_counts_match_python_oracle(spark, events):
                     n[2] += 1
     assert got == n
     assert got[0] >= got[1] >= got[2]
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4),  # user
+            st.integers(min_value=0, max_value=3),  # type index
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@SET
+def test_event_transitions_match_python(spark, events):
+    """Transition counts equal a per-user python fold over the id-ordered
+    sequence; total transitions == n_events - n_active_users; probs
+    row-normalize to 1 per from_type."""
+    from datetime import datetime, timedelta
+
+    from osmapreduceproject_spark.operators.events import event_transitions
+
+    types = ["view", "click", "purchase", "error"]
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (i, u, types[t], t0 + timedelta(seconds=i))
+        for i, (u, t) in enumerate(events)
+    ]
+    df = spark.createDataFrame(rows, "event_id bigint, user_id bigint, event_type string, ts timestamp")
+    got = {
+        (r["from_type"], r["to_type"]): r["n_transitions"]
+        for r in event_transitions(df).collect()
+    }
+    import collections
+
+    seqs = collections.defaultdict(list)
+    for i, (u, t) in enumerate(events):
+        seqs[u].append((i, types[t]))
+    want = collections.Counter()
+    for u, seq in seqs.items():
+        ordered = [t for _, t in sorted(seq)]
+        for a, b in zip(ordered, ordered[1:]):
+            want[(a, b)] += 1
+    assert got == dict(want)
+    assert sum(got.values()) == len(events) - len(seqs)
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.integers(min_value=0, max_value=9), min_size=1, max_size=8),
+        min_size=1,
+        max_size=12,
+    )
+)
+@SET
+def test_vocab_health_matches_python(spark, docs):
+    """Single-stratum vocab health equals a python Counter oracle."""
+    from osmapreduceproject_spark.operators.text import vocab_health
+
+    texts = [" ".join(f"w{t}" for t in d) for d in docs]
+    df = spark.createDataFrame([("s", t) for t in texts], "source string, text string")
+    r = vocab_health(df).collect()[0]
+    import collections
+
+    c = collections.Counter(t for d in docs for t in d)
+    n_tokens = sum(c.values())
+    n_types = len(c)
+    n_hapax = sum(1 for v in c.values() if v == 1)
+    top = max(c.values())
+    assert r["n_tokens"] == n_tokens and r["n_types"] == n_types
+    assert r["type_token_ratio"] == round(n_types / n_tokens, 6)
+    assert r["hapax_share"] == round(n_hapax / n_types, 6)
+    assert r["top_word_share"] == round(top / n_tokens, 6)
+
+
+@given(
+    inc=st.lists(st.integers(min_value=0, max_value=6), min_size=1, max_size=15),
+    corp=st.lists(st.integers(min_value=0, max_value=6), min_size=0, max_size=15),
+)
+@SET
+def test_delta_dedup_status_matches_python(spark, inc, corp):
+    """Status classification equals the obvious python rule: corpus
+    membership wins, then first-in-batch by id, else new."""
+    from osmapreduceproject_spark.operators.dedup import delta_dedup_status
+
+    incoming = spark.createDataFrame(
+        [(i, f"text-{k}") for i, k in enumerate(inc)], "doc_id bigint, text string"
+    )
+    corpus = spark.createDataFrame(
+        [(100 + i, f"text-{k}") for i, k in enumerate(corp)] or [(999, "zz")],
+        "doc_id bigint, text string",
+    )
+    corpus_texts = {f"text-{k}" for k in corp} if corp else {"zz"}
+    got = {
+        r["doc_id"]: r["dedup_status"]
+        for r in delta_dedup_status(incoming, corpus).collect()
+    }
+    seen: set[str] = set()
+    want = {}
+    for i, k in enumerate(inc):  # ids ascend with i → first = min id
+        t = f"text-{k}"
+        if t in corpus_texts:
+            want[i] = "dup_of_corpus"
+        elif t in seen:
+            want[i] = "dup_in_batch"
+        else:
+            want[i] = "new"
+            seen.add(t)
+    assert got == want
