@@ -401,3 +401,19 @@ def test_bucketed_join_query_zero_exchanges_q152(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         release_intermediates()
     assert df.count() > 0
+
+
+def test_max_df_cap_is_broadcast_anti_join(spark):
+    """The q157/q158/q113 hot-shingle cap must stay a BROADCAST anti-join
+    (the hot set is tiny by definition); a SortMergeJoin LeftAnti here
+    would shuffle the whole inverted index twice and defeat the cap's
+    purpose."""
+    from osmapreduceproject_spark.operators.dedup import ngram_jaccard_pairs
+    from osmapreduceproject_spark.plans.inspect import release_intermediates
+
+    df = QUERIES["q157_dedup_threshold_curve"].fn(spark, SF_CORRECT)
+    plan = explain_str(df)
+    release_intermediates()
+    assert "BroadcastHashJoin LeftAnti" in plan, plan
+    assert "SortMergeJoin LeftAnti" not in plan
+    assert "ShuffledHashJoin LeftAnti" not in plan
