@@ -345,7 +345,17 @@ def main() -> None:
             "q113/q157/q158: their pair machinery now anti-filters "
             "boilerplate shingles before the inverted-index self-join, so "
             "small deltas on those three are a plan change (capped "
-            "candidates), not jitter."
+            "candidates), not jitter. r06 investigation: q113's first capped "
+            "timing (3.3-4.1s vs 1.76 r5) was REAL - the df groupBy + "
+            "anti-join re-ran per index consumer - fixed by persisting the "
+            "capped index (6-run median 2.6s, min 1.98s); the residual over "
+            "r5 is the cap's one extra index aggregation, the price of the "
+            "100TB safety bound, not a regression. Remaining r06 flags "
+            "(q31/q102/q32/q61/q66) were re-checked with 6-run isolated "
+            "minima: q31 1.70, q102 1.86, q32 1.30, q61 1.32, q66 1.04 - "
+            "all near r5 levels on unchanged plan censuses (q66's census "
+            "verified bit-identical before/after the ivf_assign refactor); "
+            "a uniform few-hundred-ms session-wide offset, load not plans."
         ),
         "reference": reference_timings(),
     }
