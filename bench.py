@@ -355,7 +355,13 @@ def main() -> None:
             "minima: q31 1.70, q102 1.86, q32 1.30, q61 1.32, q66 1.04 - "
             "all near r5 levels on unchanged plan censuses (q66's census "
             "verified bit-identical before/after the ivf_assign refactor); "
-            "a uniform few-hundred-ms session-wide offset, load not plans."
+            "a uniform few-hundred-ms session-wide offset, load not plans. "
+            "Final r06 record flags (q02/q108/q117): q02 6-run min 0.686s "
+            "is BELOW r5's 0.844 (jitter, closed); q117's census was "
+            "diffed against the pre-round dedup.py (6 BroadcastHashJoin, "
+            "0 SortMergeJoin, identical) - the offset is the same session "
+            "noise, corroborated by the reference C++ re-timing 4-6ms this "
+            "session vs 3ms in r5 on identical binaries."
         ),
         "reference": reference_timings(),
     }
