@@ -1604,6 +1604,7 @@ def test_events_analytics_scale_smoke(spark):
     n_users, per_user = 100_000, 100
     base = int(datetime(2024, 1, 1).timestamp())
     ev = spark.range(n_users * per_user).select(
+        F.col("id"),
         (F.col("id") % n_users).alias("user_id"),
         (F.col("id") / n_users).cast("bigint").alias("seq"),
     )
@@ -1624,7 +1625,10 @@ def test_events_analytics_scale_smoke(spark):
         )
     )
     events = ev.select(
-        "user_id", etype.alias("event_type"), F.timestamp_seconds(ts_secs).alias("ts")
+        F.col("id").alias("event_id"),
+        "user_id",
+        etype.alias("event_type"),
+        F.timestamp_seconds(ts_secs).alias("ts"),
     )
     funnel = {r.step_name: r.n_users for r in funnel_counts(events).collect()}
     assert funnel == {"view": n_users, "click": n_users, "purchase": n_users}
@@ -1632,6 +1636,20 @@ def test_events_analytics_scale_smoke(spark):
     week0 = ret.where(F.col("week_offset") == 0).agg(F.sum("n_users")).first()[0]
     assert week0 == n_users
     assert ret.where(F.col("week_offset") < 0).count() == 0
+    # transition matrix at the same volume: every user's stream begins
+    # view→click→purchase before any noise, so those two cells are
+    # exactly n_users each, and total transitions = n_events - n_users
+    # (one fewer transition than events per user) — evidences the
+    # user-partitioned lead window + bounded-key agg shape at 10M rows.
+    from osmapreduceproject_spark.operators.events import event_transitions
+
+    tm = {
+        (r["from_type"], r["to_type"]): r["n_transitions"]
+        for r in event_transitions(events).collect()
+    }
+    assert tm[("view", "click")] == n_users
+    assert tm[("click", "purchase")] == n_users
+    assert sum(tm.values()) == n_users * per_user - n_users
 
 
 def test_event_transitions_tiny(spark):

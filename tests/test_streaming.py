@@ -337,3 +337,34 @@ def test_retention_user_week_stage_batch_stream_equivalence(spark):
     )
     _run(stream, "retention_weeks", mode="append")
     assert _rows(spark, "retention_weeks") == batch
+
+
+def test_deduped_user_counts_multibatch_stream(spark, tmp_path):
+    """The q159 chained-stateful builder across MULTIPLE micro-batches:
+    the fixture is split into 3 parquet files streamed one file per
+    trigger, so dedup state and the downstream count must carry across
+    batch boundaries. A years-wide watermark keeps replay order from
+    classifying any event late (the single-batch test plus this one
+    bracket the semantics: state chaining here, watermark plumbing
+    there)."""
+    from osmapreduceproject_spark.streaming.windows import deduped_user_counts
+
+    ev = read_events(spark, SF_SMOKE)
+    src = str(tmp_path / "ev3")
+    ev.repartition(3).write.parquet(src)
+    stream_src = spark.readStream.schema(ev.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    stream = deduped_user_counts(stream_src, watermark="3650 days")
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("ddc_multi")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert q.lastProgress is not None  # multiple batches actually ran
+    got = _rows(spark, "ddc_multi")
+    want = {tuple(r) for r in deduped_user_counts(ev).collect()}
+    assert got == want
