@@ -736,8 +736,6 @@ def vocab_health(
     exact integers once in double, so they are bit-identical across
     engines and partitionings.
     """
-    from ..plans.inspect import fan_out
-
     toks = fan_out(df).select(
         F.col(strata_col), F.explode(tokens(F.col(text_col))).alias("tok")
     )

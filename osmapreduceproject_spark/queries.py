@@ -4364,6 +4364,14 @@ def q127(spark, sf_dir):
     fp = _source_fingerprint(os.path.join(sf_dir, "documents.parquet"))
     path = os.path.join(_ORC_DIR, f"documents_{tag}_{fp}.orc")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        # evict stale fingerprints of the same tag so regenerated base
+        # fixtures don't accumulate dead copies
+        import glob
+        import shutil
+
+        for stale in glob.glob(os.path.join(_ORC_DIR, f"documents_{tag}_*.orc")):
+            if stale != path:
+                shutil.rmtree(stale, ignore_errors=True)
         write_orc(_t(spark, sf_dir, "documents"), path)
     return (
         read_orc(spark, path)
@@ -5663,6 +5671,19 @@ def q152(spark, sf_dir):
         (tc_name, "customer", "c_custkey"),
     ):
         if not spark.catalog.tableExists(name):
+            # evict stale fingerprints of the same tag (dropped from the
+            # catalog if this session registered them, and from disk
+            # either way) before writing the fresh copy
+            import glob
+            import shutil
+
+            prefix = name.rsplit("_", 1)[0] + "_"
+            for stale in glob.glob(os.path.join(_BUCKETED_DIR, f"{prefix}*")):
+                base = os.path.basename(stale)
+                if base not in (to_name, tc_name):
+                    if spark.catalog.tableExists(base):
+                        spark.sql(f"DROP TABLE IF EXISTS {base}")
+                    shutil.rmtree(stale, ignore_errors=True)
             df = _t(spark, sf_dir, table)
             (
                 df.write.format("parquet")

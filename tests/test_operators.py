@@ -1704,7 +1704,7 @@ def test_vocab_health_known_case(spark):
 
     df = spark.createDataFrame([Row(source="s1", text="a a b c")])
     r = vocab_health(df).collect()[0]
-    assert (r["n_tokens"], r["n_types"], r["n_hapax"] if "n_hapax" in r else 2) == (4, 3, 2)
+    assert (r["n_tokens"], r["n_types"]) == (4, 3)
     assert r["type_token_ratio"] == 0.75
     assert r["hapax_share"] == round(2 / 3, 6)
     assert r["top_word_share"] == 0.5
@@ -1755,3 +1755,25 @@ def test_minhash_calibration_identical_docs(spark):
     release_intermediates()
     assert (r["n_candidates"], r["n_verified"], r["precision"]) == (1, 1, 1.0)
     assert r["mean_abs_err"] == 0.0 and r["max_abs_err"] == 0.0
+
+
+def test_orc_fixture_cache_evicts_stale_fingerprints(spark):
+    """A stale fingerprint dir for the same sf tag is removed when the
+    fresh copy is (re)written, so regenerated base fixtures don't
+    accumulate dead cache copies."""
+    import os
+    import shutil
+
+    from osmapreduceproject_spark.queries import QUERIES, _ORC_DIR
+    from tests.conftest import SF_CORRECT
+
+    tag = os.path.basename(os.path.normpath(SF_CORRECT))
+    stale = os.path.join(_ORC_DIR, f"documents_{tag}_deadbeef0000.orc")
+    os.makedirs(stale, exist_ok=True)
+    # force a rewrite by removing the current cache (whatever its fp)
+    for d in os.listdir(_ORC_DIR):
+        full = os.path.join(_ORC_DIR, d)
+        if d.startswith(f"documents_{tag}_") and full != stale:
+            shutil.rmtree(full, ignore_errors=True)
+    QUERIES["q127_orc_roundtrip"].fn(spark, SF_CORRECT).count()
+    assert not os.path.exists(stale)
