@@ -641,3 +641,48 @@ def pq_topk(
         .where(F.col("rank") <= k)
         .select(query_id_col, F.col(id_col).alias("neighbor_id"), "est_dist", "rank")
     )
+
+
+def semantic_dedup_pairs(
+    emb: DataFrame,
+    n_clusters: int = 16,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-shape semantic dedup (Abbas et al. 2023, public paper):
+    cluster the embedding space, then compare cosine similarity WITHIN
+    each cluster only — semantic near-dup candidates from cluster
+    blocking instead of an all-pairs scan. Complements the text-surface
+    strategies (MinHash catches lexical copies; this catches paraphrases
+    whose embeddings coincide) and the SRP-LSH path (bucket recall is
+    probabilistic there, cluster-local here).
+
+    Recall contract: a ≥threshold pair is found iff both members land in
+    the same cluster — the paper's trade by design (near-identical
+    embeddings quantize together; the miss band is pairs straddling a
+    cluster boundary). Deterministic end-to-end: the coarse quantizer is
+    :func:`ivf_assign` (first-n-by-id centroids, rounded-score argmax,
+    cid tiebreak) and similarities round to 6 decimals with id-ordered
+    pairs.
+
+    Scale shape: assignment is corpus × broadcast(quantizer) with a
+    partial max_by; the self-join keys on cid, so the shuffle moves each
+    vector once and pair volume is Σ |cluster|²/2, controlled by
+    n_clusters (√N rule keeps clusters executor-sized; AQE splits a hot
+    cluster). Nothing all-pairs, nothing driver-side.
+    """
+    assigned = ivf_assign(emb, n_clusters, id_col, vec_col, keep_vec=True)
+    a = assigned.select(
+        "cid", F.col(id_col).alias("a_id"), F.col(vec_col).alias("__av")
+    )
+    b = assigned.select(
+        "cid", F.col(id_col).alias("b_id"), F.col(vec_col).alias("__bv")
+    )
+    return (
+        a.join(b, "cid")
+        .where(F.col("a_id") < F.col("b_id"))
+        .withColumn("sim", F.round(cosine(F.col("__av"), F.col("__bv")), 6))
+        .where(F.col("sim") >= threshold)
+        .select("a_id", "b_id", "cid", "sim")
+    )

@@ -10,7 +10,7 @@ against the ``documents`` fixture (doc_id, text, lang, source, n_chars).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import md5_int
@@ -762,4 +762,105 @@ def vocab_health(
                 "top_word_share"
             ),
         )
+    )
+
+
+def bigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.4,
+    min_count: int = 2,
+) -> DataFrame:
+    """Per-document mean bigram log2-probability with stupid backoff
+    (Brants et al. 2007, public paper) — the next step up from the
+    unigram proxy (:func:`unigram_logprob`) toward the LM-perplexity
+    quality filter: P(w|prev) = c(prev,w)/c(prev) when the bigram
+    survives ``min_count`` pruning, else α·c(w)/N. Fluent prose keeps
+    its bigrams in the pruned model; token-salad garbage backs off
+    everywhere and scores low. Returns (id, n_bigrams, avg_logprob),
+    6 decimals.
+
+    Scale shape: bigram rows come from a per-document lag window
+    (parallel by doc, no global sort); the bigram model is built with
+    one (prev, w)-keyed count and PRUNED before joining back — pruning
+    is what keeps the model join's build side vocabulary-scale instead
+    of corpus-scale. Unigram table and corpus total broadcast. The
+    scoring join keys on (prev, w); the final doc-keyed aggregation
+    partial-aggregates per partition.
+    """
+    w = Window.partitionBy(id_col).orderBy("pos")
+    toks = fan_out(df).select(
+        F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("pos", "w")
+    )
+    big = toks.withColumn("pw", F.lag("w").over(w)).where(F.col("pw").isNotNull())
+    bi_model = (
+        big.groupBy("pw", "w")
+        .agg(F.count(F.lit(1)).alias("c_bi"))
+        .where(F.col("c_bi") >= min_count)
+    )
+    uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c_uni"))
+    total = uni.agg(F.sum("c_uni").alias("__n"))
+    prev_uni = uni.select(F.col("w").alias("pw"), F.col("c_uni").alias("c_prev"))
+    logp = F.when(
+        F.col("c_bi").isNotNull(),
+        F.log2(F.col("c_bi").cast("double") / F.col("c_prev")),
+    ).otherwise(
+        F.log2(F.lit(alpha) * F.col("c_uni").cast("double") / F.col("__n"))
+    )
+    return (
+        big.join(bi_model, ["pw", "w"], "left")
+        .join(F.broadcast(prev_uni), "pw")
+        .join(F.broadcast(uni), "w")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(logp), 6).alias("avg_logprob"),
+        )
+    )
+
+
+def lang_consistency(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 20,
+) -> DataFrame:
+    """Within-document language consistency: language-ID each
+    ``chunk_tokens``-token chunk (the q39 marker heuristic), then report
+    per document the majority language, chunk counts, the majority share,
+    and a mixed-language flag — catches code-switched and
+    template-spliced documents that a whole-document language label
+    averages away (a document-level lang-ID can be confidently 'en' on a
+    doc whose second half is another language).
+
+    Scale shape: chunking is a narrow array-slice map (no join back —
+    chunks are built per row from the token array); the lang-ID is the
+    same narrow higher-order scoring as :func:`with_lang_id`; the only
+    exchanges are the (doc, lang)-keyed count and the doc-keyed rollup,
+    both bounded by chunks-per-doc × languages. Majority ties break to
+    the lexicographically larger language code (max_by struct rule) —
+    deterministic across engines.
+    """
+    toks = tokens(F.col(text_col))
+    n_chunks = F.ceil(F.size(toks) / F.lit(chunk_tokens)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(F.slice(toks, i * chunk_tokens + 1, chunk_tokens), " "),
+    )
+    cdf = fan_out(df).select(F.col(id_col), F.explode(chunks).alias(text_col))
+    labeled = with_lang_id(cdf).select(F.col(id_col), F.col("lang_pred"))
+    per_lang = labeled.groupBy(id_col, "lang_pred").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return per_lang.groupBy(id_col).agg(
+        F.sum("c").alias("n_chunks"),
+        F.max_by("lang_pred", F.struct(F.col("c"), F.col("lang_pred"))).alias(
+            "majority_lang"
+        ),
+        F.max("c").alias("n_majority"),
+        F.count(F.lit(1)).alias("n_langs"),
+        F.round(F.max("c").cast("double") / F.sum("c"), 6).alias("consistency"),
+        (F.count(F.lit(1)) > 1).alias("is_mixed"),
     )

@@ -1777,3 +1777,76 @@ def test_orc_fixture_cache_evicts_stale_fingerprints(spark):
             shutil.rmtree(full, ignore_errors=True)
     QUERIES["q127_orc_roundtrip"].fn(spark, SF_CORRECT).count()
     assert not os.path.exists(stale)
+
+
+def test_semantic_dedup_pairs_cluster_blocked(spark):
+    """Planted identical embeddings land in the same cluster (same argmax
+    by construction) and are found at threshold ~1.0; orthogonal vectors
+    never pair."""
+    from osmapreduceproject_spark.operators.similarity import semantic_dedup_pairs
+
+    def vec(axis, scale=1.0, dim=8):
+        v = [0.0] * dim
+        v[axis] = scale
+        return v
+
+    rows = [
+        Row(vec_id=0, embedding=vec(0)),          # centroid 0
+        Row(vec_id=1, embedding=vec(1)),          # centroid 1
+        Row(vec_id=2, embedding=vec(0, 0.9)),     # cluster 0
+        Row(vec_id=3, embedding=vec(0, 0.8)),     # cluster 0, dup of 4
+        Row(vec_id=4, embedding=vec(0, 0.8)),     # cluster 0, dup of 3
+        Row(vec_id=5, embedding=vec(1, 0.7)),     # cluster 1
+        Row(vec_id=6, embedding=vec(1, 0.6)),     # cluster 1
+    ]
+    out = semantic_dedup_pairs(
+        spark.createDataFrame(rows), n_clusters=2, threshold=0.999
+    ).collect()
+    found = {(r["a_id"], r["b_id"]) for r in out}
+    # scaled copies of the same axis are cosine 1.0 within their cluster
+    assert (3, 4) in found
+    assert all(a < b for a, b in found)
+    # no cross-axis pair can reach the threshold (cosine 0)
+    for a, b in found:
+        assert {a, b} <= {0, 2, 3, 4} or {a, b} <= {1, 5, 6}
+
+
+def test_bigram_logprob_known_case(spark):
+    """Hand-computed stupid-backoff scores: doc 1's bigrams all survive
+    pruning; doc 2's single hapax bigram backs off to alpha-unigram."""
+    import math
+
+    from osmapreduceproject_spark.operators.text import bigram_logprob
+
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="a b a b a b"), Row(doc_id=2, text="x y")]
+    )
+    out = {r["doc_id"]: r for r in bigram_logprob(df, alpha=0.4, min_count=2).collect()}
+    # corpus: c(a,b)=3, c(b,a)=2 (both kept); c(x,y)=1 (pruned)
+    # unigrams: a=3 b=3 x=1 y=1, N=8
+    want1 = round((3 * math.log2(3 / 3) + 2 * math.log2(2 / 3)) / 5, 6)
+    assert (out[1]["n_bigrams"], out[1]["avg_logprob"]) == (5, want1)
+    want2 = round(math.log2(0.4 * 1 / 8), 6)
+    assert (out[2]["n_bigrams"], out[2]["avg_logprob"]) == (1, want2)
+
+
+def test_lang_consistency_flags_code_switching(spark):
+    """Two English-marker chunks + one Spanish-marker chunk → majority en,
+    consistency 2/3, mixed; a pure doc is not mixed."""
+    from osmapreduceproject_spark.operators.text import lang_consistency
+
+    en = "the a of and value table the a of and value table the a of and value table a a"
+    es = "el la de y que el la de y que el la de y que el la de y que"
+    assert len(en.split()) == 20 and len(es.split()) == 20
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=f"{en} {en} {es}"),  # 3 chunks: en en es
+            Row(doc_id=2, text=en),  # 1 chunk: en
+        ]
+    )
+    out = {r["doc_id"]: r for r in lang_consistency(df, chunk_tokens=20).collect()}
+    r1 = out[1]
+    assert (r1["n_chunks"], r1["majority_lang"], r1["n_majority"]) == (3, "en", 2)
+    assert r1["consistency"] == round(2 / 3, 6) and r1["is_mixed"]
+    r2 = out[2]
+    assert (r2["n_chunks"], r2["majority_lang"], r2["is_mixed"]) == (1, "en", False)
