@@ -164,3 +164,53 @@ def event_transitions(
             F.col("n_transitions").cast("double") / F.sum("n_transitions").over(wrow), 6
         ),
     )
+
+
+def top_event_paths(
+    df: DataFrame,
+    path_len: int = 3,
+    top_n: int = 20,
+    gap_seconds: int = 1800,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Most common length-``path_len`` event-type paths WITHIN sessions —
+    the sequence-mining extension of :func:`event_transitions` (paths of
+    2 are its transition pairs): per user-session, consecutive event
+    types joined as "a>b>c", counted corpus-wide, top-N. The report
+    behind funnel discovery — which multi-step journeys actually happen,
+    rather than the analyst-guessed funnel of q122.
+
+    Scale shape: gap-sessionization and the lead() chain share ONE
+    user-keyed sort (Catalyst reuses the exchange: both windows
+    partition by user); paths never materialize per-document arrays —
+    each event row looks ahead path_len−1 rows inside its partition.
+    The path count is a bounded-key aggregation (types^path_len ceiling,
+    far fewer in practice) with map-side combine, and top-N plans as
+    TakeOrderedAndProject. Ordering ties break on the unique event id,
+    so every path — and the final ranking, tie-broken by path string —
+    is deterministic across engines.
+    """
+    from pyspark.sql import Window
+
+    from .windows import sessionize
+
+    sess = sessionize(df, key=user_col, ts=ts_col, gap_seconds=gap_seconds)
+    w = Window.partitionBy(user_col, "session_id").orderBy(
+        F.col(ts_col).asc(), F.col(id_col).asc()
+    )
+    steps = [F.col(type_col)] + [
+        F.lead(type_col, i).over(w) for i in range(1, path_len)
+    ]
+    path = F.concat_ws(">", *steps)
+    complete = steps[-1].isNotNull()
+    return (
+        sess.select(path.alias("path"), complete.alias("__ok"))
+        .where(F.col("__ok"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_paths"))
+        .orderBy(F.col("n_paths").desc(), F.col("path").asc())
+        .limit(top_n)
+    )

@@ -1850,3 +1850,55 @@ def test_lang_consistency_flags_code_switching(spark):
     assert r1["consistency"] == round(2 / 3, 6) and r1["is_mixed"]
     r2 = out[2]
     assert (r2["n_chunks"], r2["majority_lang"], r2["is_mixed"]) == (1, "en", False)
+
+
+def test_exact_percentile_matches_sorted_oracle(spark):
+    """Two-pass bucket-counting percentiles equal the values at
+    ceil(p*n) in the fully sorted column, including min/max edges."""
+    import math
+
+    from osmapreduceproject_spark.operators.stats import exact_percentile
+
+    vals = [float(v) for v in [7, 1, 99, 42, 42, 3, 15, 8, 23, 4, 16, 0]]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    ps = [0.0, 0.25, 0.5, 0.9, 1.0]
+    got = exact_percentile(df, "x", ps, n_buckets=8)
+    s = sorted(vals)
+    want = [s[max(1, math.ceil(p * len(s))) - 1] for p in ps]
+    assert got == want
+
+
+def test_exact_percentile_constant_and_skewed(spark):
+    from osmapreduceproject_spark.operators.stats import exact_percentile
+
+    const = spark.createDataFrame([(5.0,)] * 10, "x double")
+    assert exact_percentile(const, "x", [0.5]) == [5.0]
+    # heavy skew: 99 zeros and one outlier — median must stay exact
+    skew = spark.createDataFrame([(0.0,)] * 99 + [(1e9,)], "x double")
+    assert exact_percentile(skew, "x", [0.5, 1.0], n_buckets=4) == [0.0, 1e9]
+
+
+def test_top_event_paths_known_sessions(spark):
+    """u1 runs view>click>purchase twice in one session; u2's identical
+    events split across two sessions produce no complete 3-path."""
+    from datetime import datetime, timedelta
+
+    from osmapreduceproject_spark.operators.events import top_event_paths
+
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    seq = ["view", "click", "purchase", "view", "click", "purchase"]
+    for i, et in enumerate(seq):  # one session, 1-min gaps
+        rows.append(Row(event_id=i, user_id=1, event_type=et,
+                        ts=t0 + timedelta(minutes=i)))
+    for i, et in enumerate(["view", "click", "purchase"]):  # 1h gaps → 3 sessions
+        rows.append(Row(event_id=100 + i, user_id=2, event_type=et,
+                        ts=t0 + timedelta(hours=2 * i)))
+    out = {
+        r["path"]: r["n_paths"]
+        for r in top_event_paths(spark.createDataFrame(rows), path_len=3).collect()
+    }
+    assert out["view>click>purchase"] == 2
+    assert out["click>purchase>view"] == 1
+    assert out["purchase>view>click"] == 1
+    assert sum(out.values()) == 4  # u1's 4 complete windows, none from u2
