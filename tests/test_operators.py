@@ -1902,3 +1902,28 @@ def test_top_event_paths_known_sessions(spark):
     assert out["click>purchase>view"] == 1
     assert out["purchase>view>click"] == 1
     assert sum(out.values()) == 4  # u1's 4 complete windows, none from u2
+
+
+def test_fuzzy_match_pairs_blocked_levenshtein(spark):
+    """Typo variants within the same prefix block pair up at their exact
+    edit distance; a pair differing inside the prefix is the documented
+    blocking miss; distant strings never pair."""
+    from osmapreduceproject_spark.operators.dedup import fuzzy_match_pairs
+
+    rows = [
+        Row(doc_id=1, text="Acme Widget Co"),
+        Row(doc_id=2, text="acme widgett co"),   # 1 insertion after lower()
+        Row(doc_id=3, text="acme widget corp"),  # dist 2 from #1 ("co"->"corp")
+        Row(doc_id=4, text="zcme widget co"),    # 1 sub but FIRST char: other block
+        Row(doc_id=5, text="completely different name"),
+    ]
+    out = {
+        (r["a_id"], r["b_id"]): r["dist"]
+        for r in fuzzy_match_pairs(
+            spark.createDataFrame(rows), max_dist=2, prefix_len=4
+        ).collect()
+    }
+    assert out[(1, 2)] == 1
+    assert out[(1, 3)] == 2
+    assert (1, 4) not in out  # prefix-block miss, by design
+    assert all(5 not in pair for pair in out)
