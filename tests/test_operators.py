@@ -1650,6 +1650,17 @@ def test_events_analytics_scale_smoke(spark):
     assert tm[("view", "click")] == n_users
     assert tm[("click", "purchase")] == n_users
     assert sum(tm.values()) == n_users * per_user - n_users
+    # session path mining at the same volume: noise types never include
+    # the funnel words, so the view>click>purchase 3-path occurs exactly
+    # once per user (the stream's first three events, 1 min apart — one
+    # session regardless of where the noise lands)
+    from osmapreduceproject_spark.operators.events import top_event_paths
+
+    paths = {
+        r["path"]: r["n_paths"]
+        for r in top_event_paths(events, path_len=3, top_n=5).collect()
+    }
+    assert paths["view>click>purchase"] == n_users
 
 
 def test_event_transitions_tiny(spark):
@@ -1927,3 +1938,39 @@ def test_fuzzy_match_pairs_blocked_levenshtein(spark):
     assert out[(1, 3)] == 2
     assert (1, 4) not in out  # prefix-block miss, by design
     assert all(5 not in pair for pair in out)
+
+
+@_pytest.mark.skipif(
+    not _os.environ.get("SPARK_GRAFT_SCALE"),
+    reason="scale smoke: set SPARK_GRAFT_SCALE=1 (100k strings through blocked Levenshtein)",
+)
+def test_fuzzy_match_scale_smoke(spark):
+    """100k hashed-word strings with 1,000 planted one-edit pairs through
+    blocked Levenshtein matching: prefixes of the leading hashed word
+    spread the corpus over ~1k blocks, so the edit-distance kernel runs
+    on block-local candidates (~5e6) instead of the 5e9 all-pairs —
+    found pairs must equal the planted set exactly (non-planted strings
+    in a shared block differ in whole hashed words, far beyond the
+    distance bound)."""
+    from pyspark.sql import functions as F
+
+    from osmapreduceproject_spark.operators.dedup import fuzzy_match_pairs
+
+    n = 100_000
+    base = F.when(F.col("id") % 100 == 0, F.col("id") + 1).otherwise(F.col("id"))
+    s = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(2)),
+            lambda j: F.concat(F.lit("w"), ((base * 31 + j * 7) % 999983).cast("string")),
+        ),
+    )
+    # the even member of each planted pair gets one appended char (dist 1)
+    s = F.when(F.col("id") % 100 == 0, F.concat(s, F.lit("x"))).otherwise(s)
+    df = spark.range(n).select(F.col("id").alias("doc_id"), s.alias("text"))
+    got = {
+        (r["a_id"], r["b_id"], r["dist"])
+        for r in fuzzy_match_pairs(df, max_dist=2, prefix_len=4).collect()
+    }
+    want = {(i, i + 1, 1) for i in range(0, n, 100)}
+    assert got == want
