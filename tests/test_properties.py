@@ -605,3 +605,50 @@ def test_delta_dedup_status_matches_python(spark, inc, corp):
             want[i] = "new"
             seen.add(t)
     assert got == want
+
+
+@given(
+    vals=st.lists(
+        st.integers(min_value=-10_000, max_value=10_000), min_size=1, max_size=60
+    ),
+    ps=st.lists(st.floats(min_value=0.0, max_value=1.0), min_size=1, max_size=4),
+)
+@SET
+def test_exact_percentile_matches_python(spark, vals, ps):
+    """Two-pass bucket percentiles equal the ceil(p*n)-rank element of
+    the fully sorted list for arbitrary data and percentiles."""
+    import math
+
+    from osmapreduceproject_spark.operators.stats import exact_percentile
+
+    df = spark.createDataFrame([(float(v),) for v in vals], "x double")
+    got = exact_percentile(df, "x", ps, n_buckets=7)
+    s = sorted(float(v) for v in vals)
+    want = [s[max(1, math.ceil(p * len(s))) - 1] for p in ps]
+    assert got == want
+
+
+@given(
+    words=st.lists(
+        st.sampled_from(["alpha", "beta", "gamma", "delta"]),
+        min_size=3,
+        max_size=10,
+    )
+)
+@SET
+def test_fuzzy_match_finds_planted_single_edit(spark, words):
+    """A string and its one-char-appended variant (same prefix, length
+    diff 1) always pair at distance 1."""
+    from osmapreduceproject_spark.operators.dedup import fuzzy_match_pairs
+
+    s = " ".join(words)
+    df = spark.createDataFrame(
+        [(1, s), (2, s + "x"), (3, "unrelated totally different string")],
+        "doc_id bigint, text string",
+    )
+    out = {
+        (r["a_id"], r["b_id"]): r["dist"]
+        for r in fuzzy_match_pairs(df, max_dist=2, prefix_len=4).collect()
+    }
+    assert out.get((1, 2)) == 1
+    assert all(3 not in k for k in out)
