@@ -93,3 +93,26 @@ def exact_percentile(
         )
         out.append(float(val))
     return out
+
+
+def mad_outlier_bounds(
+    df: DataFrame, col: str, k: float = 3.0, n_buckets: int = 1024
+) -> tuple[float, float, float]:
+    """Robust outlier fences via median absolute deviation: returns
+    (median, lo, hi) with lo/hi = median ∓ k·1.4826·MAD — the
+    monitoring-grade alternative to mean/std z-scores (q142), unmoved
+    by the very outliers it hunts (a traffic spike inflates a stddev
+    fence but not a MAD fence).
+
+    Both the median and the MAD median run through
+    :func:`exact_percentile` — exact, two passes each, bounded driver
+    histograms only. The deviation column is computed lazily; no
+    materialization of the corpus.
+    """
+    med = exact_percentile(df, col, [0.5], n_buckets)[0]
+    dev = df.select(
+        (F.abs(F.col(col).cast("double") - F.lit(med))).alias("__dev")
+    )
+    mad = exact_percentile(dev, "__dev", [0.5], n_buckets)[0]
+    half = k * 1.4826 * mad
+    return med, med - half, med + half

@@ -67,3 +67,31 @@ def running_agg(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return df.withColumn(out_col, F.sum(agg_col).over(w))
+
+
+def compact_latest(
+    df: DataFrame,
+    key_cols: list[str],
+    version_col: str,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """CDC/upsert compaction: keep each key's LATEST version — the
+    standard merge-on-read step that turns an append-only change log
+    into current state (the other half of the q149 snapshot diff, which
+    detects changes; this applies them).
+
+    One key-partitioned window ranked by (version desc, tiebreak desc)
+    — a single shuffle on the key, no join back, deterministic when the
+    tiebreak makes (key, version, tiebreak) unique (e.g. a change-log
+    sequence number). At scale this is the compaction shape every lake
+    table format runs; AQE splits hot keys.
+    """
+    order = [F.col(version_col).desc()]
+    if tiebreak_col:
+        order.append(F.col(tiebreak_col).desc())
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )

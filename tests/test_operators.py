@@ -1974,3 +1974,34 @@ def test_fuzzy_match_scale_smoke(spark):
     }
     want = {(i, i + 1, 1) for i in range(0, n, 100)}
     assert got == want
+
+
+def test_compact_latest_keeps_max_version(spark):
+    from osmapreduceproject_spark.operators.windows import compact_latest
+
+    rows = [
+        Row(k=1, v=1, seq=10, val="a"),
+        Row(k=1, v=3, seq=11, val="b"),
+        Row(k=1, v=3, seq=12, val="c"),  # same version, later seq wins
+        Row(k=2, v=7, seq=1, val="d"),
+    ]
+    out = {
+        r["k"]: (r["v"], r["val"])
+        for r in compact_latest(
+            spark.createDataFrame(rows), ["k"], "v", tiebreak_col="seq"
+        ).collect()
+    }
+    assert out == {1: (3, "c"), 2: (7, "d")}
+
+
+def test_mad_outlier_bounds_robust_to_outlier(spark):
+    """One extreme outlier moves a stddev fence but not the MAD fence."""
+    from osmapreduceproject_spark.operators.stats import mad_outlier_bounds
+
+    vals = [10.0, 11.0, 12.0, 13.0, 14.0, 1e6]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    med, lo, hi = mad_outlier_bounds(df, "x", k=3.0, n_buckets=16)
+    assert med == 12.0  # ceil(0.5*6)=3rd of sorted → 12
+    # MAD = median(|x-12|) = median([2,1,0,1,2,999988]) → 3rd = 1
+    assert (lo, hi) == (12.0 - 3 * 1.4826, 12.0 + 3 * 1.4826)
+    assert not (lo <= 1e6 <= hi)  # the outlier is outside its own fence
