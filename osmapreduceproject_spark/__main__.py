@@ -14,25 +14,25 @@ reference's thread/process distinction (the shuffle service plays the
 role of its shared-memory staging; SURVEY.md §2.A S3). The report mirrors
 ``parallel_sort.cpp:144-152`` / ``max_aggregation.cpp:64-69``: phase
 times in ms, verification flag (sort) or final value (max), peak RSS.
+
+Beyond the reference surface, ``curate`` runs the end-to-end corpus
+curation pipeline (pipelines.curate_corpus) over a documents parquet::
+
+    python -m osmapreduceproject_spark curate \
+        --input /path/documents.parquet --output /path/curated \
+        --min-tokens 10 --max-tokens 1000 --threshold 0.8 --cap 40
+
+and prints one JSON line with the per-stage survival funnel.
 """
 
 from __future__ import annotations
 
 import argparse
+import json
 import sys
 
 
-def main(argv: list[str] | None = None) -> int:
-    p = argparse.ArgumentParser(prog="python -m osmapreduceproject_spark")
-    p.add_argument("which", choices=["sort", "max"], help="reference program to run")
-    p.add_argument("--mode", choices=["thread", "proc"], default="thread",
-                   help="accepted for reference CLI parity; both map to "
-                        "local-mode executor threads")
-    p.add_argument("--workers", type=int, default=4, help="parallelism (local[N])")
-    p.add_argument("--size", type=int, default=131072, help="number of integers")
-    p.add_argument("--seed", type=int, default=42, help="data-generation seed")
-    args = p.parse_args(argv)
-
+def _conf_cmd(args) -> int:
     from .mapreduce import run_conformance
     from .session import get_spark
 
@@ -56,6 +56,68 @@ def main(argv: list[str] | None = None) -> int:
     if "peak_rss_kb" in r:
         print(f"Peak RSS (KB): {r['peak_rss_kb']}")
     return 0 if (args.which == "max" or r.get("sorted_ok")) else 1
+
+
+def _curate_cmd(args) -> int:
+    from .pipelines import curate_corpus, curation_report
+    from .session import get_spark
+
+    spark = get_spark(app_name="curate", cpus=args.workers,
+                      shuffle_partitions=args.workers)
+    try:
+        docs = spark.read.parquet(args.input)
+        stages = curate_corpus(
+            docs,
+            min_tokens=args.min_tokens,
+            max_tokens=args.max_tokens,
+            languages=args.languages.split(",") if args.languages else None,
+            near_dup_threshold=args.threshold,
+            cap=args.cap,
+            hash_family=args.hash_family,
+        )
+        report = curation_report(stages)
+        stages[-1][1].write.mode("overwrite").parquet(args.output)
+        print(json.dumps({"stages": report, "output": args.output}))
+    finally:
+        spark.stop()
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="python -m osmapreduceproject_spark")
+    sub = p.add_subparsers(dest="which", required=True)
+
+    for name in ("sort", "max"):
+        sp = sub.add_parser(name, help=f"reference {name} program")
+        sp.add_argument("--mode", choices=["thread", "proc"], default="thread",
+                        help="accepted for reference CLI parity; both map to "
+                             "local-mode executor threads")
+        sp.add_argument("--workers", type=int, default=4,
+                        help="parallelism (local[N])")
+        sp.add_argument("--size", type=int, default=131072,
+                        help="number of integers")
+        sp.add_argument("--seed", type=int, default=42,
+                        help="data-generation seed")
+        sp.set_defaults(fn=_conf_cmd)
+
+    cp = sub.add_parser("curate", help="end-to-end corpus curation pipeline")
+    cp.add_argument("--input", required=True, help="documents parquet path")
+    cp.add_argument("--output", required=True, help="curated parquet output dir")
+    cp.add_argument("--workers", type=int, default=4, help="parallelism (local[N])")
+    cp.add_argument("--min-tokens", type=int, default=10)
+    cp.add_argument("--max-tokens", type=int, default=1000)
+    cp.add_argument("--languages", default=None,
+                    help="comma-separated lang codes to keep (default: all)")
+    cp.add_argument("--threshold", type=float, default=0.8,
+                    help="near-dup Jaccard threshold")
+    cp.add_argument("--cap", type=int, default=None, help="max docs per source")
+    cp.add_argument("--hash-family", choices=["xxhash64", "md5"],
+                    default="xxhash64",
+                    help="MinHash base hash (xxhash64 = production path)")
+    cp.set_defaults(fn=_curate_cmd)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
 
 
 if __name__ == "__main__":

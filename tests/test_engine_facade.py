@@ -36,3 +36,51 @@ def test_engine_facade_end_to_end(spark):
         reduce_exprs=[F.count(F.lit(1)).alias("n")],
     ).collect()
     assert out[0]["n"] == sum(1 for v in vals if v % 2 == 0)
+
+
+def test_curate_pipeline_stages_monotone(spark):
+    """The curation funnel over the fixture: stage survivor counts are
+    non-increasing, exact dedup removes the fixture's planted exact
+    dups, and the curated frame keeps the documents schema."""
+    from osmapreduceproject_spark.pipelines import curate_corpus, curation_report
+    from osmapreduceproject_spark.plans.inspect import release_intermediates
+    from tests.conftest import SF_SMOKE
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    stages = curate_corpus(docs, min_tokens=1, max_tokens=100000, cap=40)
+    report = curation_report(stages)
+    release_intermediates()
+    names = [n for n, _ in report]
+    assert names == ["input", "length_filter", "exact_dedup", "near_dedup", "source_cap"]
+    counts = [c for _, c in report]
+    assert all(a >= b for a, b in zip(counts, counts[1:]))
+    n_exact_distinct = docs.select("text").distinct().count()
+    assert dict(report)["exact_dedup"] == n_exact_distinct
+    assert set(stages[-1][1].columns) == set(docs.columns)
+
+
+def test_curate_cli_end_to_end(tmp_path):
+    """`python -m osmapreduceproject_spark curate` over the fixture:
+    writes curated parquet and prints a JSON funnel report. Subprocess on
+    purpose — the CLI owns (and stops) its own SparkSession."""
+    import json as _json
+    import subprocess
+    import sys
+
+    from tests.conftest import SF_SMOKE
+
+    out_dir = str(tmp_path / "curated")
+    proc = subprocess.run(
+        [sys.executable, "-m", "osmapreduceproject_spark", "curate",
+         "--input", f"{SF_SMOKE}/documents.parquet", "--output", out_dir,
+         "--workers", "2", "--min-tokens", "1", "--max-tokens", "100000"],
+        capture_output=True, text=True, timeout=300,
+        cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    rep = _json.loads(proc.stdout.strip().splitlines()[-1])
+    stages = dict((s, n) for s, n in rep["stages"])
+    assert stages["input"] > 0 and stages["near_dedup"] <= stages["exact_dedup"]
+    import glob
+
+    assert glob.glob(f"{out_dir}/*.parquet") or glob.glob(f"{out_dir}/part-*")
