@@ -80,3 +80,72 @@ def curation_report(stages: list[tuple[str, DataFrame]]) -> list[tuple[str, int]
     curation run publishes. Each count is one job; run on the cluster
     that runs the pipeline, never collect the data itself."""
     return [(name, df.count()) for name, df in stages]
+
+
+def decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.5,
+    hash_family: str = "xxhash64",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """Eval-hygiene pipeline: remove training documents that fuzzily
+    match a held-out benchmark (cross-corpus banded MinHash + exact
+    Jaccard verification — catches the paraphrased leakage exact n-gram
+    decontamination misses). Returns ``(clean_train, hits)`` — publish
+    the hits, drop them from training.
+
+    The removal is a LEFT ANTI join of the training corpus against the
+    distinct contaminated-id set: at scale the hit set is tiny (a few
+    benchmarks vs a web corpus), so the anti-join broadcasts and the
+    corpus never shuffles for the removal either.
+    """
+    from .operators.dedup import cross_corpus_neardup_pairs
+
+    hits = cross_corpus_neardup_pairs(
+        train,
+        benchmark,
+        id_col=id_col,
+        text_col=text_col,
+        threshold=threshold,
+        hash_family=hash_family,
+    )
+    contaminated = hits.select(F.col("corpus_id").alias(id_col)).distinct()
+    clean = train.join(F.broadcast(contaminated), id_col, "left_anti")
+    return clean, hits
+
+
+def build_ann_index(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Vector-index build pipeline: IVF-assign every vector with the
+    deterministic coarse quantizer, returning ``(postings, balance)`` —
+    the posting-list table (cid, vec id) the q66 search path probes, and
+    the per-list balance report (the q166 skew diagnostic) an index
+    build must publish before queries trust it.
+
+    One corpus × broadcast(quantizer) pass; the balance report
+    aggregates (cid) keys only. Writing ``postings`` partitioned by cid
+    gives the on-disk layout where a probe reads only its lists.
+    """
+    from .operators.similarity import ivf_assign
+
+    postings = ivf_assign(emb, n_centroids, id_col, vec_col)
+    lists = postings.groupBy("cid").agg(F.count(F.lit(1)).alias("list_size"))
+    tot = lists.agg(
+        F.sum("list_size").alias("n_vecs"),
+        (F.sum("list_size").cast("double") / F.count(F.lit(1))).alias("mean_size"),
+    )
+    balance = lists.crossJoin(F.broadcast(tot)).select(
+        "cid",
+        "list_size",
+        F.round(F.col("list_size").cast("double") / F.col("n_vecs"), 6).alias("share"),
+        F.round(F.col("list_size").cast("double") / F.col("mean_size"), 6).alias(
+            "skew_vs_mean"
+        ),
+    )
+    return postings, balance

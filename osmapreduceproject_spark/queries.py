@@ -6304,24 +6304,10 @@ def q165(spark, sf_dir):
     "with a partial max_by; the report aggregates (cid) keys only.",
 )
 def q166(spark, sf_dir):
-    from .operators.similarity import ivf_assign
+    from .pipelines import build_ann_index
 
     emb = _t(spark, sf_dir, "embeddings")
-    lists = ivf_assign(emb, n_centroids=16).groupBy("cid").agg(
-        F.count(F.lit(1)).alias("list_size")
-    )
-    tot = lists.agg(
-        F.sum("list_size").alias("n_vecs"),
-        (F.sum("list_size").cast("double") / F.count(F.lit(1))).alias("mean_size"),
-    )
-    return lists.crossJoin(F.broadcast(tot)).select(
-        "cid",
-        "list_size",
-        F.round(F.col("list_size").cast("double") / F.col("n_vecs"), 6).alias("share"),
-        F.round(F.col("list_size").cast("double") / F.col("mean_size"), 6).alias(
-            "skew_vs_mean"
-        ),
-    )
+    return build_ann_index(emb, n_centroids=16)[1]
 
 
 @q(

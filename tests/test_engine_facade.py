@@ -84,3 +84,44 @@ def test_curate_cli_end_to_end(tmp_path):
     import glob
 
     assert glob.glob(f"{out_dir}/*.parquet") or glob.glob(f"{out_dir}/part-*")
+
+
+def test_decontaminate_removes_planted_overlap(spark):
+    """A benchmark doc copied verbatim into training must be detected
+    and anti-joined out; unrelated training docs survive."""
+    from pyspark.sql import Row
+
+    from osmapreduceproject_spark.pipelines import decontaminate
+    from osmapreduceproject_spark.plans.inspect import release_intermediates
+
+    bench = spark.createDataFrame(
+        [Row(doc_id=900, text="the quick brown fox jumps over the lazy dog today")]
+    )
+    train = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the quick brown fox jumps over the lazy dog today"),
+            Row(doc_id=2, text="completely unrelated training document about spark joins"),
+            Row(doc_id=3, text="another unrelated training document about parquet files"),
+        ]
+    )
+    clean, hits = decontaminate(train, bench, threshold=0.8)
+    got_hits = {(r["corpus_id"], r["probe_id"]) for r in hits.collect()}
+    kept = {r["doc_id"] for r in clean.collect()}
+    release_intermediates()
+    assert got_hits == {(1, 900)}
+    assert kept == {2, 3}
+
+
+def test_build_ann_index_consistent_with_balance(spark):
+    """Postings and balance agree: every vector appears once, list sizes
+    sum to the corpus, shares sum to ~1."""
+    from osmapreduceproject_spark.pipelines import build_ann_index
+    from tests.conftest import SF_SMOKE
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    postings, balance = build_ann_index(emb, n_centroids=8)
+    n = emb.count()
+    assert postings.count() == n
+    rows = balance.collect()
+    assert sum(r["list_size"] for r in rows) == n
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-4
