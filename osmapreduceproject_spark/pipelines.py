@@ -149,3 +149,38 @@ def build_ann_index(
         ),
     )
     return postings, balance
+
+
+def split_corpus(
+    docs: DataFrame,
+    weights: dict[str, int] | None = None,
+    salt: str = "split3",
+    id_col: str = "doc_id",
+) -> dict[str, DataFrame]:
+    """Deterministic train/val/test split by content hash (md5 % 100 —
+    the q68 primitive, three-way as in q160): membership is a pure
+    function of the row key, independent of partitioning, ordering, and
+    cluster size, so re-running the pipeline anywhere reproduces the
+    exact split. ``weights`` maps split name → percentage (default
+    80/10/10, must sum to 100).
+
+    Write each returned frame partitioned by nothing (they are already
+    disjoint row sets); pair with q160's leakage audit before trusting
+    held-out loss — a hash split is leak-free only at the EXACT-document
+    level, and near-dups still cross it.
+    """
+    from .functions.hashing import md5_int
+
+    weights = weights or {"train": 80, "val": 10, "test": 10}
+    if sum(weights.values()) != 100:
+        raise ValueError(f"split weights must sum to 100: {weights}")
+    bucket = (
+        md5_int(F.concat_ws("|", F.lit(salt), F.col(id_col).cast("string"))) % 100
+    )
+    out: dict[str, DataFrame] = {}
+    lo = 0
+    for name, pct in weights.items():
+        hi = lo + pct
+        out[name] = docs.where((bucket >= lo) & (bucket < hi))
+        lo = hi
+    return out

@@ -125,3 +125,23 @@ def test_build_ann_index_consistent_with_balance(spark):
     rows = balance.collect()
     assert sum(r["list_size"] for r in rows) == n
     assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-4
+
+
+def test_split_corpus_partitions_exactly(spark):
+    """The three splits are disjoint, cover the corpus, and reproduce
+    bit-identically on a differently-partitioned input."""
+    from osmapreduceproject_spark.pipelines import split_corpus
+    from tests.conftest import SF_SMOKE
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    splits = split_corpus(docs)
+    ids = {k: {r["doc_id"] for r in v.select("doc_id").collect()} for k, v in splits.items()}
+    n = docs.count()
+    assert sum(len(v) for v in ids.values()) == n
+    assert len(ids["train"] | ids["val"] | ids["test"]) == n
+    # partitioning-independence: same membership from a repartitioned input
+    splits2 = split_corpus(docs.repartition(13))
+    ids2 = {k: {r["doc_id"] for r in v.select("doc_id").collect()} for k, v in splits2.items()}
+    assert ids == ids2
+    # default weights: train is the large split
+    assert len(ids["train"]) > len(ids["val"]) and len(ids["train"]) > len(ids["test"])
