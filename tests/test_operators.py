@@ -2005,3 +2005,38 @@ def test_mad_outlier_bounds_robust_to_outlier(spark):
     # MAD = median(|x-12|) = median([2,1,0,1,2,999988]) → 3rd = 1
     assert (lo, hi) == (12.0 - 3 * 1.4826, 12.0 + 3 * 1.4826)
     assert not (lo <= 1e6 <= hi)  # the outlier is outside its own fence
+
+
+def test_round6_operators_empty_input(spark):
+    """Empty frames flow through the round's new operators without
+    error and yield empty results (no NPEs from windows, joins, or
+    aggregations over zero rows)."""
+    from osmapreduceproject_spark.operators.dedup import (
+        delta_dedup_status,
+        fuzzy_match_pairs,
+        minhash_calibration_report,
+        ngram_jaccard_pairs,
+    )
+    from osmapreduceproject_spark.operators.events import (
+        event_transitions,
+        top_event_paths,
+    )
+    from osmapreduceproject_spark.operators.text import vocab_health
+    from osmapreduceproject_spark.plans.inspect import release_intermediates
+
+    empty_docs = spark.createDataFrame(
+        [], "doc_id bigint, text string, source string"
+    )
+    empty_events = spark.createDataFrame(
+        [], "event_id bigint, user_id bigint, event_type string, ts timestamp"
+    )
+    assert ngram_jaccard_pairs(empty_docs, threshold=0.0, max_df=5).count() == 0
+    assert fuzzy_match_pairs(empty_docs).count() == 0
+    assert vocab_health(empty_docs).count() == 0
+    assert event_transitions(empty_events).count() == 0
+    assert top_event_paths(empty_events).count() == 0
+    assert delta_dedup_status(empty_docs, empty_docs).count() == 0
+    # scalar-final report over zero candidates: one row, zero counts
+    r = minhash_calibration_report(empty_docs).collect()[0]
+    release_intermediates()
+    assert r["n_candidates"] == 0
