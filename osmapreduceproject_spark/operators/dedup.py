@@ -785,6 +785,7 @@ def fuzzy_match_pairs(
     text_col: str = "text",
     max_dist: int = 2,
     prefix_len: int = 4,
+    max_block: int | None = None,
 ) -> DataFrame:
     """Entity-resolution fuzzy duplicates: pairs within Levenshtein
     distance ``max_dist`` over a normalized string column — the
@@ -796,16 +797,34 @@ def fuzzy_match_pairs(
     normalized ``prefix_len``-prefix, pre-filtered by the edit-distance
     length bound (|len(a)−len(b)| ≤ max_dist — exact, no recall loss)
     before Levenshtein evaluates. Prefix blocking is the standard ER
-    recall trade (pairs differing inside the first ``prefix_len``
-    characters are missed); production raises recall with a second pass
-    on another key family (suffix, phonetic) — same operator, different
-    ``prefix_len``/normalization. Spark's ``levenshtein`` accepts a
-    threshold so the quadratic DP row short-circuits at max_dist+1.
+    recall trade, with two documented miss classes: (a) pairs differing
+    inside the first ``prefix_len`` characters, and (b) a string
+    SHORTER than ``prefix_len`` blocks on its full text, so it pairs
+    only with strings sharing that exact short prefix-block — 'abc' vs
+    'abcd' (distance 1) is missed because their keys are 'abc' vs
+    'abcd'. Production raises recall with a second pass on another key
+    family (suffix, phonetic, smaller ``prefix_len``) — same operator,
+    different parameters. Spark's ``levenshtein`` accepts a threshold
+    so the quadratic DP row short-circuits at max_dist+1.
+
+    ``max_block`` is the 100 TB guard (same failure class and same fix
+    as ``ngram_jaccard_pairs``' max_df): a block of d strings
+    contributes d²/2 Levenshtein evaluations, and on URL- or
+    template-shaped corpora (every entity starting 'http', 'the ', a
+    shared brand prefix) one block is O(n) — the join goes quadratic
+    and AQE can split the hot partition but not reduce the pair count.
+    With ``max_block`` set, blocks holding more than that many strings
+    are dropped ENTIRELY (one narrow groupBy on the block key + a
+    broadcast anti-join) before the self-join, bounding per-block
+    fan-out at max_block²/2. Documented recall trade: members of a
+    dropped block can still be matched by a different key family, and
+    a saturated prefix usually means the block key carries no signal
+    anyway.
 
     Scale shape: one equi-shuffle on the prefix key; block sizes bound
-    the comparison volume (AQE splits a hot prefix); the length filter
-    prunes before the edit-distance kernel runs. Deterministic: exact
-    integer distances, id-ordered pairs.
+    the comparison volume (``max_block`` bounds it adversarially); the
+    length filter prunes before the edit-distance kernel runs.
+    Deterministic: exact integer distances, id-ordered pairs.
     """
     norm = F.lower(F.trim(F.col(text_col)))
     keyed = df.select(
@@ -814,6 +833,14 @@ def fuzzy_match_pairs(
         F.substring(norm, 1, prefix_len).alias("__blk"),
         F.length(norm).alias("__len"),
     )
+    if max_block is not None:
+        hot = (
+            keyed.groupBy("__blk")
+            .agg(F.count(F.lit(1)).alias("__bc"))
+            .where(F.col("__bc") > int(max_block))
+            .select("__blk")
+        )
+        keyed = keyed.join(F.broadcast(hot), "__blk", "left_anti")
     a = keyed.select(
         F.col(id_col).alias("a_id"), F.col("__s").alias("__sa"),
         F.col("__blk"), F.col("__len").alias("__la"),

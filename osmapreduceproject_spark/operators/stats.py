@@ -5,16 +5,79 @@ aggregation state — fine per-group, wrong for a GLOBAL percentile over
 100 TB (one task holds the column). ``F.percentile_approx`` (q90) trades
 exactness for a sketch. :func:`exact_percentile` is the third point in
 that design space: exact answers with bounded memory, via the classic
-two-pass bucket-counting algorithm — no global sort, no single-task
+multi-pass bucket-counting algorithm — no global sort, no single-task
 buffering; the only driver-side data is a bounded histogram.
 """
 
 from __future__ import annotations
 
+import functools
 import math
+import operator
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _bucket_expr(v: F.Column, lo: float, width: float, n_buckets: int) -> F.Column:
+    """THE bucket assignment — built once per (lo, width) and reused by
+    both the histogram pass and every narrowing filter, so the two can
+    never disagree on a value that lands exactly on a float bucket
+    boundary (recomputing the boundary as ``lo + b*width`` and range-
+    filtering on it is NOT bit-equivalent to ``floor((v-lo)/width)``)."""
+    return F.least(
+        F.floor((v - F.lit(lo)) / F.lit(width)).cast("int"), F.lit(n_buckets - 1)
+    )
+
+
+def _audit_take_ordered(frame: DataFrame, plan_audit: list | None) -> None:
+    if plan_audit is not None:
+        from ..plans.inspect import take_ordered_limits
+
+        plan_audit.extend(take_ordered_limits(frame))
+
+
+def _kth_smallest(
+    sub: DataFrame, k: int, n_buckets: int, cap: int, plan_audit: list | None
+) -> float:
+    """The k-th smallest value of ``sub.__v`` (1-indexed), never planning
+    a TakeOrdered with limit > ``cap``: while k exceeds the cap, re-bucket
+    the current value range and descend into the covering bucket (each
+    round shrinks the range ~n_buckets×; pure-tie ranges terminate at
+    ``lo == hi``). Only once k ≤ cap does an ``orderBy().limit(k)`` run —
+    a bounded per-task heap and a ≤cap-row final task, not the O(n)
+    data-carrying single partition a zero-inflated column would otherwise
+    produce (90% zeros + p50 ⇒ k ≈ 0.45·n inside one bucket)."""
+    for _ in range(64):
+        row = sub.agg(
+            F.min("__v").alias("lo"), F.max("__v").alias("hi")
+        ).first()
+        lo, hi = row["lo"], row["hi"]
+        if lo == hi:
+            return lo
+        if k <= cap:
+            break
+        width = (hi - lo) / n_buckets
+        b = _bucket_expr(F.col("__v"), lo, width, n_buckets)
+        hist = {
+            r["b"]: r["cnt"]
+            for r in sub.groupBy(b.alias("b"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        }
+        below, target = 0, n_buckets - 1
+        for bb in sorted(hist):
+            if below + hist[bb] >= k:
+                target = bb
+                break
+            below += hist[bb]
+        sub = sub.where(b == F.lit(target))
+        k -= below
+    frame = (
+        sub.orderBy(F.col("__v").asc()).limit(k).agg(F.max("__v").alias("v"))
+    )
+    _audit_take_ordered(frame, plan_audit)
+    return frame.first()["v"]
 
 
 def exact_percentile(
@@ -22,81 +85,110 @@ def exact_percentile(
     col: str,
     percentiles: list[float],
     n_buckets: int = 1024,
+    hot_cap: int | None = None,
+    plan_audit: list | None = None,
 ) -> list[float]:
     """EXACT discrete percentiles (quantile_disc semantics: the value at
-    1-indexed ascending rank ``ceil(p·n)``) of a numeric column, in two
-    distributed passes:
+    1-indexed ascending rank ``ceil(p·n)``) of a numeric column:
 
-    1. one narrow aggregation computes (min, max, n); a second computes
-       per-bucket counts over ``n_buckets`` uniform buckets — the
-       driver receives only the bounded histogram (metadata-scale:
-       n_buckets rows, never data);
-    2. for each requested rank, the covering bucket is located on the
-       histogram's cumulative sums, and ONLY that bucket's rows are
-       scanned again — a pushed-down range filter — taking the
-       (rank − rows_below)-th smallest inside it via a bucket-local
-       TakeOrdered.
+    1. one narrow aggregation computes (min, max, n) over the non-null,
+       non-NaN rows (NaN is counted by ``F.count`` but falls outside
+       every bucket, so it is excluded up front — ranks are computed
+       over exactly the population the scans can reach);
+    2. one histogram pass buckets the column into ``n_buckets`` uniform
+       buckets — the driver receives only the bounded histogram
+       (metadata-scale: n_buckets rows, never data);
+    3. ALL requested ranks are resolved against the one histogram, and
+       every rank whose covering bucket is small (≤ ``hot_cap``,
+       default max(10·n/n_buckets, 1024)) is answered by a SINGLE
+       batched scan — a bucket-partitioned row_number over only the
+       covering buckets (each partition ≤ hot_cap rows), not one
+       full-column scan per percentile;
+    4. a rank whose covering bucket is HOT (skew: a zero-inflated or
+       low-cardinality column can put O(n) rows in one bucket)
+       recursively re-buckets that bucket's value range until the local
+       rank fits under the cap (:func:`_kth_smallest`) — the plan never
+       contains a TakeOrdered with limit > hot_cap (assert via
+       ``plan_audit``/plans.inspect.take_ordered_limits).
 
-    Memory per task is O(bucket), not O(n); skewed value distributions
-    degrade gracefully (a hot bucket is still a tiny fraction of the
-    column, and n_buckets can grow logarithmically with data size).
-    Deterministic: bucket boundaries are pure arithmetic on (min, max)
-    and ranks are integers.
+    Memory per task is O(hot_cap ∨ bucket), not O(n); skewed value
+    distributions trigger extra bounded rounds, never a data-carrying
+    single partition. Deterministic: bucket assignment is ONE shared
+    expression (histogram and filters can't disagree on boundary
+    values) and ranks are integers.
 
     Returns the percentile values in the order requested. Raises on an
-    empty input (no rank exists).
+    empty (all-null/NaN) input — no rank exists.
     """
+    if not percentiles:
+        return []
     c = F.col(col).cast("double")
-    lo_hi_n = df.agg(
-        F.min(c).alias("lo"), F.max(c).alias("hi"), F.count(c).alias("n")
+    valid = df.where(c.isNotNull() & ~F.isnan(c)).select(c.alias("__v"))
+    v = F.col("__v")
+    row = valid.agg(
+        F.min(v).alias("lo"), F.max(v).alias("hi"), F.count(v).alias("n")
     ).first()
-    lo, hi, n = lo_hi_n["lo"], lo_hi_n["hi"], lo_hi_n["n"]
+    lo, hi, n = row["lo"], row["hi"], row["n"]
     if not n:
-        raise ValueError(f"exact_percentile: no non-null rows in {col!r}")
+        raise ValueError(f"exact_percentile: no non-null finite rows in {col!r}")
     if lo == hi:
         return [float(lo) for _ in percentiles]
+    cap = hot_cap if hot_cap is not None else max(10 * n // n_buckets, 1024)
     width = (hi - lo) / n_buckets
-    bucket = F.least(
-        F.floor((c - F.lit(lo)) / F.lit(width)).cast("int"), F.lit(n_buckets - 1)
-    )
+    bucket = _bucket_expr(v, lo, width, n_buckets)
     hist = {
         r["b"]: r["cnt"]
-        for r in df.where(c.isNotNull())
-        .groupBy(bucket.alias("b"))
+        for r in valid.groupBy(bucket.alias("b"))
         .agg(F.count(F.lit(1)).alias("cnt"))
         .collect()
     }
-    out: list[float] = []
-    for p in percentiles:
-        rank = max(1, math.ceil(p * n))  # 1-indexed ascending
+    ranks = [max(1, math.ceil(p * n)) for p in percentiles]
+    needed: dict[tuple[int, int], list[int]] = {}
+    for idx, rank in enumerate(ranks):
         below, target = 0, n_buckets - 1
-        for b in range(n_buckets):
-            cnt = hist.get(b, 0)
-            if below + cnt >= rank:
+        for b in sorted(hist):
+            if below + hist[b] >= rank:
                 target = b
                 break
-            below += cnt
-        b_lo = lo + target * width
-        b_hi = hi if target == n_buckets - 1 else lo + (target + 1) * width
-        in_bucket = df.where(
-            c.isNotNull()
-            & (c >= F.lit(b_lo))
-            & ((c < F.lit(b_hi)) if target < n_buckets - 1 else (c <= F.lit(b_hi)))
+            below += hist[b]
+        needed.setdefault((target, rank - below), []).append(idx)
+    out: list[float] = [0.0] * len(ranks)
+    cold = [bk for bk in needed if hist.get(bk[0], 0) <= cap]
+    hot = [bk for bk in needed if bk not in cold]
+    if cold:
+        bs = sorted({b for b, _ in cold})
+        w = Window.partitionBy("__b").orderBy(v.asc())
+        pred = functools.reduce(
+            operator.or_,
+            [(F.col("__b") == b) & (F.col("__rn") == k) for b, k in cold],
         )
-        k_local = rank - below
-        val = (
-            in_bucket.select(c.alias("v"))
-            .orderBy(F.col("v").asc())
-            .limit(k_local)
-            .agg(F.max("v"))
-            .first()[0]
-        )
-        out.append(float(val))
+        got = {
+            (r["__b"], r["__rn"]): r["__v"]
+            for r in valid.withColumn("__b", bucket)
+            .where(F.col("__b").isin([int(b) for b in bs]))
+            .withColumn("__rn", F.row_number().over(w))
+            .where(pred)
+            .select("__b", "__rn", "__v")
+            .collect()
+        }
+        for b, k in cold:
+            for idx in needed[(b, k)]:
+                out[idx] = float(got[(b, k)])
+    for b, k in hot:
+        sub = valid.where(bucket == F.lit(int(b)))
+        val = _kth_smallest(sub, k, n_buckets, cap, plan_audit)
+        for idx in needed[(b, k)]:
+            out[idx] = float(val)
     return out
 
 
 def mad_outlier_bounds(
-    df: DataFrame, col: str, k: float = 3.0, n_buckets: int = 1024
+    df: DataFrame,
+    col: str,
+    k: float = 3.0,
+    n_buckets: int = 1024,
+    hot_cap: int | None = None,
+    plan_audit: list | None = None,
 ) -> tuple[float, float, float]:
     """Robust outlier fences via median absolute deviation: returns
     (median, lo, hi) with lo/hi = median ∓ k·1.4826·MAD — the
@@ -105,14 +197,15 @@ def mad_outlier_bounds(
     fence but not a MAD fence).
 
     Both the median and the MAD median run through
-    :func:`exact_percentile` — exact, two passes each, bounded driver
-    histograms only. The deviation column is computed lazily; no
-    materialization of the corpus.
+    :func:`exact_percentile` — exact, batched passes, bounded driver
+    histograms only, hot buckets handled by bounded recursion. The
+    deviation column is computed lazily; no materialization of the
+    corpus.
     """
-    med = exact_percentile(df, col, [0.5], n_buckets)[0]
+    med = exact_percentile(df, col, [0.5], n_buckets, hot_cap, plan_audit)[0]
     dev = df.select(
         (F.abs(F.col(col).cast("double") - F.lit(med))).alias("__dev")
     )
-    mad = exact_percentile(dev, "__dev", [0.5], n_buckets)[0]
+    mad = exact_percentile(dev, "__dev", [0.5], n_buckets, hot_cap, plan_audit)[0]
     half = k * 1.4826 * mad
     return med, med - half, med + half

@@ -70,6 +70,19 @@ def data_carrying_single_partitions(df: DataFrame) -> list[str]:
     return bad
 
 
+def take_ordered_limits(df: DataFrame) -> list[int]:
+    """``limit`` of every TakeOrderedAndProject in the physical plan —
+    the per-task heap size AND the row count funneled through the final
+    single task. Bounded-k invariants (exact_percentile's hot-bucket
+    recursion) assert ``max(...) <= cap``: a TakeOrdered whose limit
+    grows with the data is a data-carrying single partition wearing a
+    different node name."""
+    return [
+        int(m)
+        for m in re.findall(r"TakeOrderedAndProject\(limit=(\d+)", explain_str(df, "simple"))
+    ]
+
+
 def num_shuffle_exchanges(df: DataFrame) -> int:
     """Count shuffle exchanges in the physical plan (AQE-final where
     available). Bucketed co-located joins must show 0."""

@@ -113,11 +113,17 @@ def deduped_user_counts(
     counts *keys*, the output is invariant to WHICH duplicate row
     survives, which is exactly what makes this composition
     oracle-checkable (q159) despite dropDuplicates' arbitrary-survivor
-    semantics."""
+    semantics.
+
+    NULL users are filtered BEFORE the dedup: dropDuplicates would keep
+    one null-key row and count(1) would include it, while the oracle's
+    COUNT(DISTINCT user_id) excludes NULLs — the filter makes both
+    engines agree regardless of fixture contents."""
     if watermark:
         df = df.withWatermark(ts_col, watermark)
     return (
-        df.dropDuplicates([user_col, type_col])
+        df.where(F.col(user_col).isNotNull())
+        .dropDuplicates([user_col, type_col])
         .groupBy(type_col)
         .agg(F.count(F.lit(1)).alias("n_users"))
     )

@@ -1994,6 +1994,77 @@ def test_compact_latest_keeps_max_version(spark):
     assert out == {1: (3, "c"), 2: (7, "d")}
 
 
+def test_exact_percentile_zero_inflated_bounded_plan(spark):
+    """The r6-verdict hot-bucket finding: a 90%-zero column puts the
+    median's covering bucket at O(n) with k_local ≈ 0.45·n — the old
+    ``limit(k_local)`` planned an O(n) TakeOrdered. The recursion must
+    (a) still return exact values and (b) never plan a TakeOrdered with
+    limit > hot_cap (plan-audited via plans.inspect)."""
+    import math
+
+    from osmapreduceproject_spark.operators.stats import exact_percentile
+
+    vals = [0.0] * 9000 + [1000.0 + i for i in range(1000)]
+    df = spark.createDataFrame([(v,) for v in vals], "x double").repartition(8)
+    audit: list[int] = []
+    ps = [0.5, 0.95, 0.999]
+    got = exact_percentile(df, "x", ps, n_buckets=16, hot_cap=100, plan_audit=audit)
+    s = sorted(vals)
+    assert got == [s[max(1, math.ceil(p * len(s))) - 1] for p in ps]
+    assert audit and max(audit) <= 100
+
+
+def test_exact_percentile_batched_nan_and_boundary(spark):
+    """NaN rows are excluded from n and every scan (counting them would
+    compute ranks over a population no bucket can reach); several
+    percentiles resolve against ONE histogram + one batched second
+    pass; values landing exactly on float bucket boundaries stay
+    consistent because histogram and refinement share one bucket
+    expression."""
+    import math
+
+    from osmapreduceproject_spark.operators.stats import exact_percentile
+
+    # 0..127 → with lo=0, hi=127 and 8 buckets many values sit exactly
+    # on bucket boundaries (width 15.875, v=63.5*k style edges avoided;
+    # use a power-of-two range so width is exact binary: lo=0 hi=128)
+    vals = [float(i) for i in range(129)]
+    df = spark.createDataFrame(
+        [(v,) for v in vals] + [(float("nan"),)] * 7 + [(None,)] * 5, "x double"
+    )
+    ps = [0.1, 0.25, 0.5, 0.75, 0.9, 1.0]
+    got = exact_percentile(df, "x", ps, n_buckets=8)
+    s = sorted(vals)
+    assert got == [s[max(1, math.ceil(p * len(s))) - 1] for p in ps]
+
+
+def test_fuzzy_match_max_block_drops_hot_prefix(spark):
+    """All-shared-prefix corpora (the r6-verdict hot-block finding): with
+    ``max_block`` set, the saturated block is dropped entirely — its
+    planted near-pair is sacrificed (documented recall trade) while
+    pairs in healthy blocks are still found."""
+    from osmapreduceproject_spark.operators.dedup import fuzzy_match_pairs
+
+    rows = [Row(doc_id=i, text=f"http://site-{i}.example/page") for i in range(50)]
+    rows.append(Row(doc_id=100, text="http://site-1.example/pagex"))  # planted, hot block
+    rows += [
+        Row(doc_id=200, text="acme widget co"),
+        Row(doc_id=201, text="acme widgett co"),  # planted, healthy block
+    ]
+    df = spark.createDataFrame(rows)
+    capped = {
+        (r["a_id"], r["b_id"]): r["dist"]
+        for r in fuzzy_match_pairs(df, max_dist=2, prefix_len=4, max_block=10).collect()
+    }
+    assert capped == {(200, 201): 1}
+    # uncapped finds the hot-block pair too — the cap is the only delta
+    uncapped = {
+        (r["a_id"], r["b_id"]): r["dist"]
+        for r in fuzzy_match_pairs(df, max_dist=2, prefix_len=4).collect()
+    }
+    assert uncapped[(1, 100)] == 1 and uncapped[(200, 201)] == 1
+
+
 def test_mad_outlier_bounds_robust_to_outlier(spark):
     """One extreme outlier moves a stddev fence but not the MAD fence."""
     from osmapreduceproject_spark.operators.stats import mad_outlier_bounds
