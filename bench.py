@@ -81,9 +81,70 @@ BENCH_QUERIES = [
     "q156_chunk_dedup",  # chunk explode + md5 groupBy
     "q157_dedup_threshold_curve",  # capped exact-Jaccard, threshold 0.0
     "q158_source_overlap_matrix",  # capped exact-Jaccard + source joins
+    # r7 additions (VERDICT r6 #5): the r6-new queries q159-q168 join the
+    # headline set — subtract these ten for like-for-like totals vs r06.
+    "q159_stream_dedup_twin",  # chained stateful dedup→count batch twin
+    "q160_split_leakage",  # cross-split capped-Jaccard audit
+    "q161_event_transitions",  # user-partitioned lead + bounded-key agg
+    "q162_vocab_health",  # per-source type/token aggregation
+    "q163_delta_dedup",  # batch-vs-corpus keyed hash join
+    "q164_running_totals_twin",  # running-totals window twin
+    "q165_chunk_neardup",  # chunk-keyed full MinHash/LSH pipeline
+    "q166_ivf_balance",  # IVF assign + cid-keyed balance report
+    "q167_late_supplier_blame",  # Q21-shape orderkey-partitioned agg
+    "q168_minhash_calibration",  # signature-vs-exact estimator QA
+    # r7-new queries (graded this round — VERDICT r6 #1/#4): subtract
+    # these nine too for like-for-like totals vs r06.
+    "q169_semantic_dedup",  # cluster-blocked cosine near-dup
+    "q170_fuzzy_entity_match",  # blocked Levenshtein + max_block cap
+    "q171_exact_percentiles",  # batched bucket-counting order stats
+    "q172_mad_outlier_fences",  # two exact medians + fence arithmetic
+    "q173_bigram_quality",  # pruned bigram LM scoring join
+    "q174_lang_consistency",  # per-chunk lang-ID rollup
+    "q175_event_paths",  # sessionized length-3 path mining
+    "q176_cdc_compaction",  # change-log latest-version compaction
+    "q177_curation_funnel",  # end-to-end curate_corpus survival report
     "conf_sort_seeded",
     "conf_max_seeded",
 ]
+
+
+def rerun_protocol(spark, name: str, runs: int = 6) -> dict:
+    """The q05/q01 flag-closing protocol (BENCH_r03+ notes), callable
+    in-session: one cold run, ``runs`` timed warm runs releasing operator
+    caches between them, plus the physical plan's join/exchange census so
+    a plan change is visible alongside the timings. bench.py auto-invokes
+    this for every >20%% warm flag at the end of a run (VERDICT r6 #6:
+    every flag carries its own rerun evidence in the record — a loaded
+    session can never again leave flags closed by prose alone);
+    tools/rerun_query.py wraps the same function for manual use."""
+    import re
+
+    from osmapreduceproject_spark.plans.inspect import release_intermediates
+    from osmapreduceproject_spark.queries import QUERIES
+
+    fn = QUERIES[name].fn
+    fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+    release_intermediates()
+    runs_s = []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        runs_s.append(round(time.perf_counter() - t0, 3))
+        release_intermediates()
+    plan = fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    census = {
+        k: len(re.findall(k, plan))
+        for k in ("BroadcastHashJoin", "SortMergeJoin", "Exchange", "SinglePartition")
+    }
+    ts = sorted(runs_s)
+    return {
+        "runs": runs_s,
+        "min": ts[0],
+        "median": ts[len(ts) // 2],
+        "max": ts[-1],
+        "plan_census": census,
+    }
 
 
 def reference_timings() -> dict:
@@ -294,6 +355,13 @@ def main() -> None:
         and warm[name] > prev[name] * 1.2
         and warm[name] - prev[name] > 0.3  # damp sub-second jitter
     }
+    # Close every flag with recorded evidence, not prose (VERDICT r6 #6):
+    # each flagged query gets the 6-run isolated protocol in THIS session
+    # and the result is embedded next to the flag. Interpretation key:
+    # rerun.min at/below prev_warm with an unchanged census = load;
+    # rerun.min persistently above on a changed census = real.
+    for name in regressions:
+        regressions[name]["rerun"] = rerun_protocol(spark, name, runs=6)
     out = {
         "metric": "headline_queries_total_wall",
         "value": round(sum(times.values()), 3),

@@ -1976,6 +1976,72 @@ def test_fuzzy_match_scale_smoke(spark):
     assert got == want
 
 
+@_pytest.mark.skipif(
+    not _os.environ.get("SPARK_GRAFT_SCALE"),
+    reason="scale smoke: set SPARK_GRAFT_SCALE=1 (100k strings, 90% prefix-saturated, capped)",
+)
+def test_fuzzy_match_saturated_prefix_scale_smoke(spark):
+    """Adversarial blocking corpus (the r6-verdict hot-block class): 90k
+    of 100k strings share one 4-char prefix — uncapped, that single
+    block alone is ~4e9 Levenshtein candidates, unrunnable by
+    construction. With max_block the saturated block is dropped in one
+    narrow groupBy + broadcast anti-join, and the healthy 10% of the
+    corpus still yields exactly its planted pairs."""
+    from pyspark.sql import functions as F
+
+    from osmapreduceproject_spark.operators.dedup import fuzzy_match_pairs
+
+    n = 100_000
+    split = 90_000
+    base = F.when(F.col("id") % 100 == 0, F.col("id") + 1).otherwise(F.col("id"))
+    word = lambda j: F.concat(  # noqa: E731
+        F.lit("w"), ((base * 31 + j * 7) % 999983).cast("string")
+    )
+    healthy = F.concat_ws(" ", word(0), word(1), word(2))
+    saturated = F.concat(F.lit("http://site/"), healthy)
+    s = F.when(F.col("id") < split, saturated).otherwise(healthy)
+    s = F.when(F.col("id") % 100 == 0, F.concat(s, F.lit("x"))).otherwise(s)
+    df = spark.range(n).select(F.col("id").alias("doc_id"), s.alias("text"))
+    got = {
+        (r["a_id"], r["b_id"], r["dist"])
+        for r in fuzzy_match_pairs(
+            df, max_dist=2, prefix_len=4, max_block=1000
+        ).collect()
+    }
+    want = {(i, i + 1, 1) for i in range(split, n, 100)}
+    assert got == want
+
+
+@_pytest.mark.skipif(
+    not _os.environ.get("SPARK_GRAFT_SCALE"),
+    reason="scale smoke: set SPARK_GRAFT_SCALE=1 (10M-row zero-inflated exact percentiles)",
+)
+def test_exact_percentile_zero_inflated_scale_smoke(spark):
+    """10M rows, 90%% zeros: the median's covering bucket holds 9M rows —
+    the pre-r7 plan took an O(n) TakeOrdered here. The recursion answers
+    p50 via lo==hi on the all-zero bucket and the tail ranks via
+    bounded-k TakeOrdereds, against closed-form expected values
+    (non-zero values are ids ≡ 9 (mod 10), ascending: the k-th is
+    10k−1)."""
+    from pyspark.sql import functions as F
+
+    from osmapreduceproject_spark.operators.stats import exact_percentile
+
+    n = 10_000_000
+    df = spark.range(n).select(
+        F.when(F.col("id") % 10 < 9, F.lit(0.0))
+        .otherwise(F.col("id").cast("double"))
+        .alias("x")
+    )
+    audit: list[int] = []
+    got = exact_percentile(df, "x", [0.5, 0.95, 0.99], plan_audit=audit)
+    # rank 5e6 → 0; rank 9.5e6 → 500000th nonzero = 4999999; rank
+    # 9.9e6 → 900000th nonzero = 8999999
+    assert got == [0.0, 4_999_999.0, 8_999_999.0]
+    cap = max(10 * n // 1024, 1024)
+    assert not audit or max(audit) <= cap
+
+
 def test_compact_latest_keeps_max_version(spark):
     from osmapreduceproject_spark.operators.windows import compact_latest
 

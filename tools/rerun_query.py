@@ -4,61 +4,32 @@ a real plan regression (the q05 protocol from BENCH_r03 notes).
 Usage: python tools/rerun_query.py q01_pricing_summary [runs]
 Prints per-run warm seconds, min/median/max, and the physical plan's join/
 exchange census so a plan change is visible alongside the timings.
+
+Since r7 the protocol itself lives in bench.rerun_protocol — bench.py
+auto-invokes it for every >20% warm flag at the end of a run (the flag's
+"rerun" block in the record); this CLI wraps the same function for manual
+investigation so both paths can never diverge.
 """
 from __future__ import annotations
 
 import json
 import os
-import re
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-
-SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
 def main() -> None:
     name = sys.argv[1]
     runs = int(sys.argv[2]) if len(sys.argv) > 2 else 6
 
-    from osmapreduceproject_spark.plans.inspect import release_intermediates
-    from osmapreduceproject_spark.queries import QUERIES
+    from bench import CPUS, SF_DIR, rerun_protocol
     from osmapreduceproject_spark.session import get_spark
 
     spark = get_spark(app_name="rerun", cpus=CPUS, shuffle_partitions=CPUS)
     spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
-    fn = QUERIES[name].fn
-
-    # one cold run to pay codegen, then N timed warm runs
-    fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-    release_intermediates()
-    times = []
-    for _ in range(runs):
-        t0 = time.perf_counter()
-        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        times.append(round(time.perf_counter() - t0, 3))
-        release_intermediates()
-
-    plan = fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
-    census = {
-        k: len(re.findall(k, plan))
-        for k in ("BroadcastHashJoin", "SortMergeJoin", "Exchange", "SinglePartition")
-    }
-    times_sorted = sorted(times)
-    print(
-        json.dumps(
-            {
-                "query": name,
-                "runs": times,
-                "min": times_sorted[0],
-                "median": times_sorted[len(times) // 2],
-                "max": times_sorted[-1],
-                "plan_census": census,
-            }
-        )
-    )
+    out = {"query": name, **rerun_protocol(spark, name, runs)}
+    print(json.dumps(out))
     spark.stop()
 
 
