@@ -428,8 +428,22 @@ def main() -> None:
             "is BELOW r5's 0.844 (jitter, closed); q117's census was "
             "diffed against the pre-round dedup.py (6 BroadcastHashJoin, "
             "0 SortMergeJoin, identical) - the offset is the same session "
-            "noise, corroborated by the reference C++ re-timing 4-6ms this "
-            "session vs 3ms in r5 on identical binaries."
+            "noise, corroborated by the reference C++ re-timing this "
+            "session (see the reference field of the r06 record: "
+            "ref_sort_total_ms 23 in the final driver run) vs 3ms in r5 "
+            "on identical binaries. "
+            "r07 adds q159-q168 (the r6-new cohort, VERDICT r6 #5) and the "
+            "nine r7-new queries q169-q177 to the headline set - subtract "
+            "those nineteen for like-for-like totals vs r06. q177 is the "
+            "end-to-end curate_corpus pipeline (MinHash pairs + iterative "
+            "connected components + six stage counts in one timing) - "
+            "expect it among the most expensive entries by construction; "
+            "q171 runs the multi-pass exact-percentile protocol (driver-"
+            "side histogram loop), so its timing counts several small "
+            "jobs, not one query. Since r07, every >20% warm flag carries "
+            "an embedded 'rerun' block (6-run isolated minima + plan "
+            "census) generated in-session by bench.rerun_protocol - flags "
+            "are closed by recorded evidence, not prose (VERDICT r6 #6)."
         ),
         "reference": reference_timings(),
     }

@@ -686,3 +686,95 @@ def semantic_dedup_pairs(
         .where(F.col("sim") >= threshold)
         .select("a_id", "b_id", "cid", "sim")
     )
+
+
+def cluster_drift(
+    old: DataFrame,
+    new: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Embedding-distribution drift between two corpus snapshots — the
+    monitoring report a dataset refresh publishes before retraining on
+    it: both snapshots are assigned with the SAME deterministic coarse
+    quantizer (centroids from the OLD snapshot, so the partition of the
+    space is held fixed), then each cluster reports its population shift
+    and how far its mean vector moved. A new crawl that floods one
+    semantic region shows up as (n_new ≫ n_old); a subtle domain shift
+    shows up as centroid_drift with stable counts.
+
+    Cross-engine determinism: per-dimension means are computed over
+    ``round(x·scale)`` integer components (exact, associative sums); the
+    L2 over the 64 per-dimension mean deltas runs as a sequential fold
+    over the dimension-sorted array (the q123 rule — never an
+    order-arbitrary float sum). Returns
+    (cid, n_old, n_new, centroid_drift) with drift in original units,
+    6 decimals; a cluster empty on either side reports NULL drift.
+
+    Scale shape: assignment is corpus × broadcast(quantizer); the
+    component explode shuffles (cid, dim)-keyed partial sums (bounded:
+    n_centroids × dim keys, map-side combined), never vectors; the
+    final join/aggregate touches n_centroids rows.
+    """
+    cents = _ivf_cents(old, n_centroids, id_col, vec_col)
+
+    def _assigned(corpus: DataFrame) -> DataFrame:
+        score = F.round(dot(F.col(vec_col), F.col("__cvec")), 6)
+        return (
+            corpus.crossJoin(F.broadcast(cents))
+            .withColumn("__score", score)
+            .groupBy(id_col)
+            .agg(
+                F.first(vec_col).alias(vec_col),
+                F.max_by("cid", F.struct("__score", "cid")).alias("cid"),
+            )
+        )
+
+    def _dim_sums(corpus: DataFrame) -> DataFrame:
+        return (
+            _assigned(corpus)
+            .select("cid", F.posexplode(vec_col).alias("dim", "__x"))
+            .groupBy("cid", "dim")
+            .agg(
+                F.sum(
+                    F.round(F.col("__x").cast("double") * scale).cast("bigint")
+                ).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+        )
+
+    o = _dim_sums(old).select(
+        "cid", "dim", F.col("s").alias("s_old"), F.col("n").alias("n_old")
+    )
+    nw = _dim_sums(new).select(
+        "cid", "dim", F.col("s").alias("s_new"), F.col("n").alias("n_new")
+    )
+    j = o.join(nw, ["cid", "dim"], "full_outer")
+    delta = (
+        F.col("s_new").cast("double") / F.col("n_new")
+        - F.col("s_old").cast("double") / F.col("n_old")
+    )
+    per_cid = j.groupBy("cid").agg(
+        F.max(F.coalesce("n_old", F.lit(0))).alias("n_old"),
+        F.max(F.coalesce("n_new", F.lit(0))).alias("n_new"),
+        F.array_sort(
+            F.collect_list(F.struct(F.col("dim"), (delta * delta).alias("d2")))
+        ).alias("__deltas"),
+    )
+    drift = F.when(
+        (F.col("n_old") > 0) & (F.col("n_new") > 0),
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    "__deltas", F.lit(0.0), lambda acc, e: acc + e["d2"]
+                )
+            )
+            / scale,
+            6,
+        ),
+    )
+    return per_cid.select(
+        "cid", "n_old", "n_new", drift.alias("centroid_drift")
+    )

@@ -864,3 +864,53 @@ def lang_consistency(
         F.round(F.max("c").cast("double") / F.sum("c"), 6).alias("consistency"),
         (F.count(F.lit(1)) > 1).alias("is_mixed"),
     )
+
+
+def zipf_fit(
+    df: DataFrame,
+    strata_col: str = "source",
+    text_col: str = "text",
+    top_n: int = 100,
+) -> DataFrame:
+    """Per-stratum Zipf fit: least-squares regression of log2(frequency)
+    on log2(rank) over the top ``top_n`` words — natural language sits
+    near slope −1; template/boilerplate-heavy strata flatten (few words
+    dominate), and token-salad strata steepen irregularly. The
+    distribution-shape QA signal that complements vocab_health's scalar
+    ratios: (stratum, n_words, slope, intercept, r2), 6 decimals.
+
+    Scale shape: one (stratum, word)-keyed count with map-side combine;
+    the rank window partitions by stratum and keeps only top_n rows per
+    stratum (WindowGroupLimit); the regression aggregates exactly
+    ``top_n`` (x, y) points per stratum — sums over ≤top_n doubles, so
+    the 6-decimal round is far outside float association noise.
+    """
+    from pyspark.sql import Window
+
+    toks = fan_out(df).select(
+        F.col(strata_col), F.explode(tokens(F.col(text_col))).alias("tok")
+    )
+    counts = toks.groupBy(strata_col, "tok").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy(strata_col).orderBy(F.col("c").desc(), F.col("tok").asc())
+    ranked = (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_n)
+        .select(
+            strata_col,
+            F.log2(F.col("rank").cast("double")).alias("x"),
+            F.log2(F.col("c").cast("double")).alias("y"),
+        )
+    )
+    n = F.count(F.lit(1)).cast("double")
+    sx, sy = F.sum("x"), F.sum("y")
+    sxx, syy = F.sum(F.col("x") * F.col("x")), F.sum(F.col("y") * F.col("y"))
+    sxy = F.sum(F.col("x") * F.col("y"))
+    cov_n = n * sxy - sx * sy
+    var_x = n * sxx - sx * sx
+    var_y = n * syy - sy * sy
+    return ranked.groupBy(strata_col).agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.round(cov_n / var_x, 6).alias("slope"),
+        F.round((sy - (cov_n / var_x) * sx) / n, 6).alias("intercept"),
+        F.round((cov_n * cov_n) / (var_x * var_y), 6).alias("r2"),
+    )

@@ -95,3 +95,84 @@ def compact_latest(
         .where(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def resample_ffill(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    value_col: str,
+    step_seconds: int,
+) -> DataFrame:
+    """Time-series regularization: per key, a fixed-interval grid of slot
+    timestamps spanning the key's own observation span (slot boundaries
+    aligned to absolute epoch multiples of ``step_seconds``), each slot
+    carrying the LAST observed value at or before it (forward fill) plus
+    the staleness of that observation — the resampling step that turns
+    irregular event streams into the regular series that dashboards,
+    joins against other series, and feature pipelines require.
+
+    Implemented WITHOUT an as-of join: grid rows (null value) union with
+    observations, and one per-key window takes ``last(value,
+    ignorenulls=True)`` over the (ts, is_grid, value)-ordered frame —
+    an observation landing exactly on a slot boundary sorts before the
+    slot and is included in its fill. Returns
+    (key, slot_epoch [s], value, staleness_s).
+
+    Scale shape: one per-key (min, max) aggregation builds the grid via
+    ``sequence`` (grid volume = span/step per key, never event volume);
+    one per-key window fills — both exchanges hash on the key, so a
+    key's whole series never funnels through a global sort. Keys whose
+    span contains no slot boundary emit no rows (documented: a series
+    shorter than one step has no complete slot). Determinism: slot
+    arithmetic is integer µs; among same-timestamp observations the
+    largest value wins the fill (value tiebreak in the sort order).
+    """
+    step_us = int(step_seconds) * 1_000_000
+    ep = F.unix_micros(F.col(ts))
+    obs = df.select(
+        F.col(key).alias("__k"),
+        ep.alias("__e"),
+        F.col(value_col).cast("double").alias("__v"),
+        F.lit(0).alias("__grid"),
+    )
+    spans = obs.groupBy("__k").agg(F.min("__e").alias("__lo"), F.max("__e").alias("__hi"))
+    grid = (
+        spans.where(
+            F.floor(F.col("__hi") / step_us) * step_us
+            >= F.ceil(F.col("__lo") / F.lit(step_us).cast("double")) * step_us
+        )
+        .select(
+            "__k",
+            F.explode(
+                F.sequence(
+                    (F.ceil(F.col("__lo") / F.lit(step_us).cast("double")) * step_us).cast("bigint"),
+                    (F.floor(F.col("__hi") / step_us) * step_us).cast("bigint"),
+                    F.lit(step_us),
+                )
+            ).alias("__e"),
+        )
+        .withColumn("__v", F.lit(None).cast("double"))
+        .withColumn("__grid", F.lit(1))
+    )
+    w = (
+        Window.partitionBy("__k")
+        .orderBy(F.col("__e").asc(), F.col("__grid").asc(), F.col("__v").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = (
+        obs.unionByName(grid)
+        .withColumn("__fv", F.last("__v", ignorenulls=True).over(w))
+        .withColumn(
+            "__fe",
+            F.last(
+                F.when(F.col("__grid") == 0, F.col("__e")), ignorenulls=True
+            ).over(w),
+        )
+    )
+    return filled.where(F.col("__grid") == 1).select(
+        F.col("__k").alias(key),
+        (F.col("__e") / 1_000_000).cast("bigint").alias("slot_epoch"),
+        F.col("__fv").alias(value_col),
+        ((F.col("__e") - F.col("__fe")) / 1_000_000).cast("bigint").alias("staleness_s"),
+    )

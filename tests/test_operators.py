@@ -2177,3 +2177,95 @@ def test_round6_operators_empty_input(spark):
     r = minhash_calibration_report(empty_docs).collect()[0]
     release_intermediates()
     assert r["n_candidates"] == 0
+
+
+def test_resample_ffill_grid_and_staleness(spark):
+    """Regular slots span each key's own observation range; each slot
+    carries the last observation at-or-before it with its staleness; a
+    boundary-exact observation fills its own slot; a key whose span
+    contains no slot boundary emits nothing."""
+    from datetime import datetime
+
+    from osmapreduceproject_spark.operators.windows import resample_ffill
+
+    t = lambda s: datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    rows = [
+        Row(k="a", ts=datetime(2024, 1, 1, 0, 0, 5), v=1.0),
+        Row(k="a", ts=datetime(2024, 1, 1, 0, 0, 10), v=2.0),  # on boundary
+        Row(k="a", ts=datetime(2024, 1, 1, 0, 0, 33), v=3.0),
+        Row(k="b", ts=t(11), v=9.0),
+        Row(k="b", ts=t(18), v=8.0),  # span 11..18: no multiple of 10
+    ]
+    out = {
+        (r["k"], r["slot_epoch"] % 100): (r["v"], r["staleness_s"])
+        for r in resample_ffill(
+            spark.createDataFrame(rows), key="k", ts="ts", value_col="v",
+            step_seconds=10,
+        ).collect()
+    }
+    # slots for a: 10, 20, 30 (epoch % 100 used for readability)
+    assert out == {
+        ("a", 10): (2.0, 0),   # boundary observation included
+        ("a", 20): (2.0, 10),  # forward-filled, 10s stale
+        ("a", 30): (2.0, 20),
+    }
+
+
+def test_zipf_fit_known_slope(spark):
+    """A corpus engineered with freq(rank r) = 2^(6-r) has exact points
+    y = 6 - x·(…): ranks 1,2,4 → log2 ranks 0,1,2 and log2 freqs 5,4,3
+    … use exact powers so slope is closed-form."""
+    from osmapreduceproject_spark.operators.text import zipf_fit
+
+    # words: w1 ×8, w2 ×4, w3 ×2, w4 ×1 → ranks 1..4
+    words = ["w1"] * 8 + ["w2"] * 4 + ["w3"] * 2 + ["w4"]
+    df = spark.createDataFrame(
+        [Row(source="s", text=" ".join(words))]
+    )
+    r = zipf_fit(df, top_n=4).collect()[0]
+    assert r["n_words"] == 4
+    # x = log2([1,2,3,4]), y = [3,2,1,0]; slope from least squares
+    import math
+
+    xs = [math.log2(i) for i in (1, 2, 3, 4)]
+    ys = [3.0, 2.0, 1.0, 0.0]
+    n = 4.0
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    sxx = sum(a * a for a in xs)
+    want = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert abs(r["slope"] - round(want, 6)) < 1e-9
+    assert 0.9 < r["r2"] <= 1.0
+
+
+def test_cluster_drift_counts_and_movement(spark):
+    """Identical snapshots drift 0 everywhere; shifting every member of
+    one cluster by +0.5 in one dimension moves that cluster's centroid
+    by exactly 0.5 and leaves the others at 0."""
+    from osmapreduceproject_spark.operators.similarity import cluster_drift
+
+    def vec(base):
+        return [float(base)] * 4
+
+    old_rows = [Row(vec_id=i, embedding=vec(1.0 if i % 2 else -1.0)) for i in range(8)]
+    old = spark.createDataFrame(old_rows)
+    same = cluster_drift(old, old, n_centroids=2)
+    assert {r["centroid_drift"] for r in same.collect()} == {0.0}
+    # shift the members of the cluster containing +1 vectors
+    newer = spark.createDataFrame(
+        [
+            Row(
+                vec_id=r.vec_id,
+                embedding=(
+                    [r.embedding[0] + 0.5] + r.embedding[1:]
+                    if r.embedding[0] > 0
+                    else r.embedding
+                ),
+            )
+            for r in old_rows
+        ]
+    )
+    out = {r["cid"]: r for r in cluster_drift(old, newer, n_centroids=2).collect()}
+    drifts = sorted(round(r["centroid_drift"], 6) for r in out.values())
+    assert drifts == [0.0, 0.5]
+    assert all(r["n_old"] == 4 and r["n_new"] == 4 for r in out.values())
