@@ -176,3 +176,72 @@ def resample_ffill(
         F.col("__fv").alias(value_col),
         ((F.col("__e") - F.col("__fe")) / 1_000_000).cast("bigint").alias("staleness_s"),
     )
+
+
+def _disc_median_per_key(df: DataFrame, key: str, val: str, out: str) -> DataFrame:
+    """Per-key DISCRETE median (quantile_disc convention: the value at
+    1-indexed rank ceil(n/2)) via one key-partitioned rank — exact,
+    oracle-replicable, and bounded by the per-key series length (unlike
+    the global-percentile machinery, which exists because a GLOBAL
+    median can't sort in one task). Ties share a value, so the selected
+    median is deterministic regardless of tie order."""
+    w = Window.partitionBy(key).orderBy(F.col(val).asc())
+    wc = Window.partitionBy(key)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__n", F.count(F.lit(1)).over(wc))
+        .where(F.col("__rn") == F.ceil(F.col("__n") / 2))
+        .select(key, F.col(val).alias(out))
+    )
+
+
+def series_anomalies(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    value_col: str,
+    step_seconds: int,
+    k: float = 3.0,
+) -> DataFrame:
+    """Per-key robust anomaly flags over the REGULARIZED series: resample
+    (:func:`resample_ffill`), then flag slots outside each key's
+    median ∓ k·1.4826·MAD fence — the per-series twin of the global MAD
+    fences (operators/stats.py mad_outlier_bounds) and the robust
+    alternative to q142's mean/std z-scores, computed on the gap-filled
+    grid so a silent sensor (stale forward-fills) doesn't fabricate
+    variance and a bursty one isn't over-weighted.
+
+    Medians are exact per-key DISCRETE medians (quantile_disc rank
+    convention) via key-partitioned ranks — each key's series is
+    span/step slots, so per-key sorting is bounded by construction; no
+    global machinery, no approximation. Fences use the same arithmetic
+    order on both engines. Returns the resampled rows plus
+    (median, fence_lo, fence_hi, is_anomaly).
+
+    Scale shape: every exchange hashes on ``key`` (the resample window,
+    both median ranks, and the fence join-backs), so Catalyst reuses one
+    partitioning end-to-end; fence tables are one row per key.
+    """
+    s = resample_ffill(df, key, ts, value_col, step_seconds)
+    med = _disc_median_per_key(s, key, value_col, "__med")
+    dev = s.join(med, key).withColumn(
+        "__adev", F.abs(F.col(value_col) - F.col("__med"))
+    )
+    mad = _disc_median_per_key(dev, key, "__adev", "__mad")
+    half = F.lit(k) * 1.4826 * F.col("__mad")
+    return (
+        dev.join(mad, key)
+        .select(
+            key,
+            "slot_epoch",
+            value_col,
+            "staleness_s",
+            F.col("__med").alias("median"),
+            (F.col("__med") - half).alias("fence_lo"),
+            (F.col("__med") + half).alias("fence_hi"),
+            (
+                (F.col(value_col) < F.col("__med") - half)
+                | (F.col(value_col) > F.col("__med") + half)
+            ).alias("is_anomaly"),
+        )
+    )

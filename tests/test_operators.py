@@ -2269,3 +2269,32 @@ def test_cluster_drift_counts_and_movement(spark):
     drifts = sorted(round(r["centroid_drift"], 6) for r in out.values())
     assert drifts == [0.0, 0.5]
     assert all(r["n_old"] == 4 and r["n_new"] == 4 for r in out.values())
+
+
+def test_series_anomalies_flags_spike(spark):
+    """A flat series with one spike: the spike slot (and only it) is
+    flagged; the fences come from the per-key discrete median/MAD."""
+    from datetime import datetime
+
+    from osmapreduceproject_spark.operators.windows import series_anomalies
+
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+    from datetime import timedelta
+
+    rows = []
+    for i in range(12):
+        v = 10.0 if i != 7 else 500.0
+        rows.append(Row(k="a", ts=t0 + timedelta(seconds=10 * i), v=v))
+    out = {
+        r["slot_epoch"] % 1000: r
+        for r in series_anomalies(
+            spark.createDataFrame(rows), key="k", ts="ts", value_col="v",
+            step_seconds=10,
+        ).collect()
+    }
+    flagged = {s for s, r in out.items() if r["is_anomaly"]}
+    # t0 epoch ends in …200, so the +70s spike slot is …270
+    assert flagged == {270}
+    r0 = next(iter(out.values()))
+    assert r0["median"] == 10.0  # MAD = 0 → fences collapse onto the median
+    assert r0["fence_lo"] == 10.0 and r0["fence_hi"] == 10.0
