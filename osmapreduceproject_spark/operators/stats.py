@@ -209,3 +209,38 @@ def mad_outlier_bounds(
     mad = exact_percentile(dev, "__dev", [0.5], n_buckets, hot_cap, plan_audit)[0]
     half = k * 1.4826 * mad
     return med, med - half, med + half
+
+
+def equi_depth_buckets(
+    df: DataFrame,
+    col: str,
+    n_bins: int,
+    n_buckets: int = 1024,
+    hot_cap: int | None = None,
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Global equi-depth binning: each row gets the quantile bucket
+    (1..n_bins) of its value — the feature-binning / monotone-binning
+    step of a training pipeline, and the equi-depth histogram layout a
+    range-partitioned write wants. Bucket b is the smallest b with
+    value ≤ the exact i/n_bins percentile boundary; nulls/NaNs keep a
+    NULL bucket.
+
+    The n_bins−1 boundaries come from ONE batched
+    :func:`exact_percentile` call (shared histogram, one second-pass
+    scan, hot buckets handled by bounded recursion), land on the driver
+    as plain literals, and assignment is a narrow broadcast-free map —
+    no sort, no join, no shuffle beyond the percentile machinery's
+    bounded passes. Heavily tied distributions yield duplicate
+    boundaries; the smallest qualifying bucket wins (some buckets then
+    hold no rows — the correct equi-depth answer for a value that
+    exceeds a whole bucket's mass).
+    """
+    ps = [i / n_bins for i in range(1, n_bins)]
+    bounds = exact_percentile(df, col, ps, n_buckets, hot_cap)
+    c = F.col(col).cast("double")
+    expr = F.when(c.isNull() | F.isnan(c), F.lit(None).cast("int"))
+    for i, b in enumerate(bounds):
+        expr = expr.when(c <= F.lit(b), i + 1)
+    expr = expr.otherwise(F.lit(n_bins))
+    return df.withColumn(bucket_col, expr)

@@ -245,3 +245,48 @@ def series_anomalies(
             ).alias("is_anomaly"),
         )
     )
+
+
+def series_correlation(
+    a: DataFrame,
+    b: DataFrame,
+    key: str,
+    ts: str,
+    value_col: str,
+    step_seconds: int,
+) -> DataFrame:
+    """Per-key Pearson correlation between two metric streams on a SHARED
+    regular grid: both inputs resample (:func:`resample_ffill`) to the
+    same absolute-aligned slots, inner-join on (key, slot), and
+    correlate — the "does latency move with error rate, per service"
+    report. Resampling first is what makes the correlation honest:
+    correlating raw irregular events silently weights bursty periods.
+
+    Returns (key, n_slots, corr), 6 decimals; keys with fewer than 2
+    overlapping slots or zero variance on either side report NULL corr.
+    The correlation aggregates per-key sums over the bounded slot grid
+    (span/step per key), so the 6-decimal round sits far outside float
+    association noise. Every exchange hashes on the key.
+    """
+    sa = resample_ffill(a, key, ts, value_col, step_seconds).select(
+        key, "slot_epoch", F.col(value_col).alias("__x")
+    )
+    sb = resample_ffill(b, key, ts, value_col, step_seconds).select(
+        key, "slot_epoch", F.col(value_col).alias("__y")
+    )
+    j = sa.join(sb, [key, "slot_epoch"])
+    n = F.count(F.lit(1)).cast("double")
+    sx, sy = F.sum("__x"), F.sum("__y")
+    sxx = F.sum(F.col("__x") * F.col("__x"))
+    syy = F.sum(F.col("__y") * F.col("__y"))
+    sxy = F.sum(F.col("__x") * F.col("__y"))
+    cov_n = n * sxy - sx * sy
+    var_x = n * sxx - sx * sx
+    var_y = n * syy - sy * sy
+    corr = F.when(
+        (n >= 2) & (var_x > 0) & (var_y > 0),
+        F.round(cov_n / F.sqrt(var_x * var_y), 6),
+    )
+    return j.groupBy(key).agg(
+        F.count(F.lit(1)).alias("n_slots"), corr.alias("corr")
+    )

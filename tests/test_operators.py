@@ -2298,3 +2298,48 @@ def test_series_anomalies_flags_spike(spark):
     r0 = next(iter(out.values()))
     assert r0["median"] == 10.0  # MAD = 0 → fences collapse onto the median
     assert r0["fence_lo"] == 10.0 and r0["fence_hi"] == 10.0
+
+
+def test_equi_depth_buckets_quartiles(spark):
+    """1..100 into 4 bins → exact quartiles of 25 rows each; nulls and
+    NaNs keep a NULL bucket."""
+    from osmapreduceproject_spark.operators.stats import equi_depth_buckets
+
+    rows = [(float(i),) for i in range(1, 101)] + [(None,), (float("nan"),)]
+    df = spark.createDataFrame(rows, "x double")
+    out = equi_depth_buckets(df, "x", 4, n_buckets=16).collect()
+    from collections import Counter
+
+    c = Counter(r["bucket"] for r in out)
+    assert c == Counter({1: 25, 2: 25, 3: 25, 4: 25, None: 2})
+    by_val = {r["x"]: r["bucket"] for r in out if r["x"] is not None}
+    assert by_val[25.0] == 1 and by_val[26.0] == 2
+    assert by_val[75.0] == 3 and by_val[76.0] == 4
+
+
+def test_series_correlation_signs(spark):
+    """y = 2x correlates +1; y = -x correlates -1; a constant side
+    reports NULL (zero variance)."""
+    from datetime import datetime, timedelta
+
+    from osmapreduceproject_spark.operators.windows import series_correlation
+
+    t0 = datetime(2024, 1, 1)
+    a_rows, b_rows = [], []
+    for i in range(10):
+        ts = t0 + timedelta(seconds=10 * i)
+        a_rows += [Row(k="pos", ts=ts, v=float(i)), Row(k="neg", ts=ts, v=float(i)),
+                   Row(k="flat", ts=ts, v=float(i))]
+        b_rows += [Row(k="pos", ts=ts, v=2.0 * i), Row(k="neg", ts=ts, v=-1.0 * i),
+                   Row(k="flat", ts=ts, v=7.0)]
+    out = {
+        r["k"]: (r["n_slots"], r["corr"])
+        for r in series_correlation(
+            spark.createDataFrame(a_rows), spark.createDataFrame(b_rows),
+            key="k", ts="ts", value_col="v", step_seconds=10,
+        ).collect()
+    }
+    assert out["pos"][1] == 1.0
+    assert out["neg"][1] == -1.0
+    assert out["flat"][1] is None
+    assert all(n >= 9 for n, _ in out.values())
