@@ -2343,3 +2343,79 @@ def test_series_correlation_signs(spark):
     assert out["neg"][1] == -1.0
     assert out["flat"][1] is None
     assert all(n >= 9 for n, _ in out.values())
+
+
+@_pytest.mark.skipif(
+    not _os.environ.get("SPARK_GRAFT_SCALE"),
+    reason="scale smoke: set SPARK_GRAFT_SCALE=1 (10M events through resample + anomaly fences)",
+)
+def test_resample_anomalies_scale_smoke(spark):
+    """10M events (1000 keys x 10k observations, one per 30s) through
+    resample + per-key MAD fences: grid size, fill values, and the
+    planted one-spike-per-key anomaly count are all closed-form. The
+    per-key windows stay bounded (10k obs + 5k slots per key) — no
+    global sort anywhere."""
+    from pyspark.sql import functions as F
+
+    from osmapreduceproject_spark.operators.windows import series_anomalies
+
+    n_keys, per_key, ivl, step = 1000, 10_000, 30, 60
+    base = 1_700_000_100  # NOT step-aligned: exercises ceil alignment
+    off = (F.col("id") / n_keys).cast("bigint") * ivl
+    spike = ((F.col("id") / n_keys).cast("bigint") == 500) # offset 15000
+    df = spark.range(n_keys * per_key).select(
+        (F.col("id") % n_keys).alias("k"),
+        F.timestamp_seconds(F.lit(base) + off).alias("ts"),
+        F.when(spike, 1000.0).otherwise(1.0).alias("v"),
+    )
+    out = series_anomalies(df, key="k", ts="ts", value_col="v", step_seconds=step)
+    agg = out.agg(
+        F.count(F.lit(1)).alias("n_slots"),
+        F.sum(F.col("is_anomaly").cast("bigint")).alias("n_anom"),
+        F.max("staleness_s").alias("max_stale"),
+    ).collect()[0]
+    span = (per_key - 1) * ivl  # 299970 s per key, starting at base
+    first = -(-base // step) * step
+    last = (base + span) // step * step
+    slots_per_key = (last - first) // step + 1
+    assert agg["n_slots"] == n_keys * slots_per_key
+    # spike lands at offset 15000 from an unaligned base: it is the
+    # last-obs for exactly ONE slot boundary per key (next obs 30s later
+    # overwrites before the following 60s boundary)
+    assert agg["n_anom"] == n_keys
+    assert agg["max_stale"] <= ivl
+
+
+@_pytest.mark.skipif(
+    not _os.environ.get("SPARK_GRAFT_SCALE"),
+    reason="scale smoke: set SPARK_GRAFT_SCALE=1 (300k vectors through cluster drift)",
+)
+def test_cluster_drift_scale_smoke(spark):
+    """300k 64-dim vectors against themselves: every cluster must report
+    EXACTLY zero drift (bit-identical integer-quantized means on both
+    sides) with old/new counts equal and summing to the corpus — the
+    exactness property that makes the monitor trustworthy, held at a
+    scale where float-sum shortcuts would already wobble."""
+    from pyspark.sql import functions as F
+
+    from osmapreduceproject_spark.operators.similarity import cluster_drift
+
+    n = 300_000
+    # dominant axis id%16 + small deterministic noise → vector id assigns
+    # to centroid id%16 (centroids are the first 16 ids = the 16 axes),
+    # so cluster populations are exactly n/16 each
+    emb = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda j: (
+                F.when(j == F.col("id") % 16, 1.0).otherwise(
+                    ((F.col("id") * 31 + j * 7) % 997) / 9970.0
+                )
+            ).cast("float"),
+        ).alias("embedding"),
+    )
+    rows = cluster_drift(emb, emb, n_centroids=16).collect()
+    assert len(rows) == 16
+    assert all(r["centroid_drift"] == 0.0 for r in rows)
+    assert all(r["n_old"] == r["n_new"] == n // 16 for r in rows)

@@ -652,3 +652,86 @@ def test_fuzzy_match_finds_planted_single_edit(spark, words):
     }
     assert out.get((1, 2)) == 1
     assert all(3 not in k for k in out)
+
+
+@given(
+    obs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),      # key
+            st.integers(min_value=0, max_value=200),    # offset seconds
+            st.integers(min_value=-50, max_value=50),   # value
+        ),
+        min_size=1,
+        max_size=30,
+        unique_by=lambda t: (t[0], t[1]),  # unique (key, ts): fill is tie-free
+    )
+)
+@SET
+def test_resample_ffill_matches_python(spark, obs):
+    """Every slot equals the last observation at-or-before it; slots span
+    exactly [ceil(min/step), floor(max/step)] per key."""
+    from datetime import datetime, timedelta, timezone
+
+    from osmapreduceproject_spark.operators.windows import resample_ffill
+
+    step = 30
+    t0 = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    base = int(t0.timestamp())
+    df = spark.createDataFrame(
+        [(k, t0 + timedelta(seconds=s), float(v)) for k, s, v in obs],
+        "k bigint, ts timestamp, v double",
+    )
+    got = {
+        (r["k"], r["slot_epoch"]): (r["v"], r["staleness_s"])
+        for r in resample_ffill(df, key="k", ts="ts", value_col="v",
+                                step_seconds=step).collect()
+    }
+    want = {}
+    bykey: dict[int, list[tuple[int, float]]] = {}
+    for k, s, v in obs:
+        bykey.setdefault(k, []).append((base + s, float(v)))
+    for k, series in bykey.items():
+        series.sort()
+        lo, hi = series[0][0], series[-1][0]
+        first = -(-lo // step) * step
+        last = (hi // step) * step
+        t = first
+        while t <= last:
+            prior = [(e, v) for e, v in series if e <= t]
+            e, v = prior[-1]
+            want[(k, t)] = (v, t - e)
+            t += step
+    assert got == want
+
+
+@given(
+    vals=st.lists(
+        st.integers(min_value=-1000, max_value=1000), min_size=4, max_size=50
+    ),
+    n_bins=st.integers(min_value=2, max_value=6),
+)
+@SET
+def test_equi_depth_buckets_matches_python(spark, vals, n_bins):
+    """Bucket of v = smallest b with v <= quantile_disc(b/n_bins), else
+    n_bins — for arbitrary (tied, skewed) data."""
+    import math
+
+    from osmapreduceproject_spark.operators.stats import equi_depth_buckets
+
+    df = spark.createDataFrame([(float(v),) for v in vals], "x double")
+    got = {}
+    for r in equi_depth_buckets(df, "x", n_bins, n_buckets=8).collect():
+        got.setdefault(r["x"], set()).add(r["bucket"])
+    s = sorted(float(v) for v in vals)
+    bounds = [
+        s[max(1, math.ceil(i / n_bins * len(s))) - 1] for i in range(1, n_bins)
+    ]
+
+    def want_bucket(v):
+        for i, b in enumerate(bounds):
+            if v <= b:
+                return i + 1
+        return n_bins
+
+    for v, buckets in got.items():
+        assert buckets == {want_bucket(v)}
