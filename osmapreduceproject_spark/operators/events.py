@@ -214,3 +214,78 @@ def top_event_paths(
         .orderBy(F.col("n_paths").desc(), F.col("path").asc())
         .limit(top_n)
     )
+
+
+def multi_touch_attribution(
+    df: DataFrame,
+    conversion_type: str = "purchase",
+    touch_types: tuple[str, ...] = ("view", "click"),
+    lookback_seconds: int = 86400,
+    decay_halflife_s: int | None = None,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Multi-touch channel attribution: every conversion's credit is
+    split across the SAME user's touch events inside the lookback window
+    (touch strictly before the conversion, within ``lookback_seconds``),
+    then rolled up per channel — the marketing-analytics counterpart of
+    q24's single-touch (last-click) as-of attribution. ``decay_halflife_s``
+    None → linear (equal split per touch); set → time-decay weights
+    0.5^(age/halflife) normalized per conversion (recent touches earn
+    more). Conversions with zero in-window touches drop out (their
+    credit is unattributable — report them via the count delta against
+    q122's funnel, not by inventing a channel).
+
+    Returns (channel, n_touches, credited_conversions, credited_value),
+    6 decimals — credited_conversions sums each conversion's fractional
+    credit, so the column totals the number of ATTRIBUTED conversions
+    exactly.
+
+    Scale shape: the conversions × touches join is user-keyed (both
+    sides hash on the user — co-partitioned, no broadcast of event
+    volume); fan-out per conversion is bounded by the user's touches
+    inside the lookback window; the per-conversion normalization
+    windows on the conversion id (bounded groups); the final rollup is
+    a channels-cardinality aggregation with map-side combine. Ordering
+    never matters: weights are per-row functions of (age, per-conversion
+    totals), and the 6-decimal round at the rollup absorbs float
+    association noise.
+    """
+    from pyspark.sql import Window
+
+    conv = df.where(F.col(type_col) == conversion_type).select(
+        F.col(user_col).alias("__u"),
+        F.col(id_col).alias("__cid"),
+        F.unix_micros(F.col(ts_col)).alias("__cts"),
+        F.col(value_col).cast("double").alias("__cval"),
+    )
+    touch = df.where(F.col(type_col).isin(list(touch_types))).select(
+        F.col(user_col).alias("__u"),
+        F.col(type_col).alias("channel"),
+        F.unix_micros(F.col(ts_col)).alias("__tts"),
+    )
+    j = conv.join(touch, "__u").where(
+        (F.col("__tts") < F.col("__cts"))
+        & (F.col("__tts") >= F.col("__cts") - lookback_seconds * 1_000_000)
+    )
+    w = Window.partitionBy("__cid")
+    if decay_halflife_s is None:
+        credit = F.lit(1.0) / F.count(F.lit(1)).over(w)
+    else:
+        age_s = (F.col("__cts") - F.col("__tts")) / 1_000_000.0
+        weight = F.pow(F.lit(0.5), age_s / F.lit(float(decay_halflife_s)))
+        credit = weight / F.sum(weight).over(w)
+    return (
+        j.withColumn("__credit", credit)
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.round(F.sum("__credit"), 6).alias("credited_conversions"),
+            F.round(F.sum(F.col("__credit") * F.col("__cval")), 6).alias(
+                "credited_value"
+            ),
+        )
+    )

@@ -2419,3 +2419,42 @@ def test_cluster_drift_scale_smoke(spark):
     assert len(rows) == 16
     assert all(r["centroid_drift"] == 0.0 for r in rows)
     assert all(r["n_old"] == r["n_new"] == n // 16 for r in rows)
+
+
+def test_multi_touch_attribution_linear_and_decay(spark):
+    """One conversion with a view and a click in-window and one stale
+    view outside the lookback: linear splits 50/50 over the in-window
+    touches; decay weights the recent click more; an untouched user's
+    conversion drops out."""
+    from datetime import datetime, timedelta
+
+    from osmapreduceproject_spark.operators.events import multi_touch_attribution
+
+    t0 = datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        Row(event_id=1, user_id=1, event_type="view",
+            ts=t0 - timedelta(days=3), value=0.0),          # outside lookback
+        Row(event_id=2, user_id=1, event_type="view",
+            ts=t0 - timedelta(hours=10), value=0.0),
+        Row(event_id=3, user_id=1, event_type="click",
+            ts=t0 - timedelta(hours=1), value=0.0),
+        Row(event_id=4, user_id=1, event_type="purchase", ts=t0, value=100.0),
+        Row(event_id=5, user_id=2, event_type="purchase", ts=t0, value=50.0),
+    ]
+    df = spark.createDataFrame(rows)
+    linear = {
+        r["channel"]: r
+        for r in multi_touch_attribution(df, lookback_seconds=86400).collect()
+    }
+    assert set(linear) == {"view", "click"}
+    assert linear["view"]["credited_conversions"] == 0.5
+    assert linear["click"]["credited_conversions"] == 0.5
+    assert linear["view"]["credited_value"] == 50.0
+    # decay: click (1h old) outweighs view (10h old) at 1h halflife
+    decay = {
+        r["channel"]: r["credited_conversions"]
+        for r in multi_touch_attribution(
+            df, lookback_seconds=86400, decay_halflife_s=3600
+        ).collect()
+    }
+    assert decay["click"] > 0.99 and abs(decay["click"] + decay["view"] - 1.0) < 1e-6
