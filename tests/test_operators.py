@@ -2458,3 +2458,26 @@ def test_multi_touch_attribution_linear_and_decay(spark):
         ).collect()
     }
     assert decay["click"] > 0.99 and abs(decay["click"] + decay["view"] - 1.0) < 1e-6
+
+
+def test_refresh_report_sections(spark):
+    """The refresh report's diff counts, source deltas, and vocab deltas
+    agree with hand-computed values on a tiny two-snapshot corpus."""
+    from osmapreduceproject_spark.pipelines import refresh_report
+
+    old = spark.createDataFrame(
+        [(1, "a b c", "s1"), (2, "d e f", "s1"), (3, "g h i", "s2")],
+        "doc_id bigint, text string, source string",
+    )
+    new = spark.createDataFrame(
+        [(1, "a b c", "s1"), (2, "d e CHANGED", "s1"), (4, "j k l", "s3")],
+        "doc_id bigint, text string, source string",
+    )
+    sections = dict(refresh_report(old, new))
+    d = sections["content_diff"].collect()[0]
+    assert (d["n_added"], d["n_removed"], d["n_changed"], d["n_unchanged"]) == (1, 1, 1, 1)
+    deltas = {r["source"]: r["delta"] for r in sections["source_deltas"].collect()}
+    assert deltas == {"s1": 0, "s2": -1, "s3": 1}
+    vd = {r["source"] for r in sections["vocab_deltas"].collect()}
+    assert vd == {"s1", "s2", "s3"}
+    assert "cluster_drift" not in sections  # no embeddings supplied
