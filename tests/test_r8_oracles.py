@@ -1,0 +1,328 @@
+"""Cross-engine (DuckDB) parity for the r8-ready operators — the q178+
+declarations, proven against their oracles BEFORE they enter the catalog
+(SURVEY.md §8 round-7: operators ship a round ahead of their grades; this
+file is what makes the r8 declaration a copy-paste, and what guarantees
+no r8-ready operator carries an unverifiable contract).
+
+Each test is (future Spark query body, future oracle SQL, driver-identical
+compare) at sf0.01 — the same comparison tests/test_oracle_parity.py runs
+for declared queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_CORRECT
+from tests.oracle_check import compare
+
+STEP = 3600
+STEP_US = STEP * 1_000_000
+
+
+def _events(spark):
+    from osmapreduceproject_spark.queries import _t
+
+    return _t(spark, SF_CORRECT, "events")
+
+
+_RESAMPLE_CTE = f"""
+    obs AS (SELECT user_id AS k, epoch_us(ts) AS e, CAST(value AS DOUBLE) AS v
+            FROM events),
+    spans AS (SELECT k, MIN(e) AS lo, MAX(e) AS hi FROM obs GROUP BY k),
+    grid AS (
+      SELECT k, unnest(range(
+        CAST(ceil(lo / {STEP_US}.0) * {STEP_US} AS BIGINT),
+        CAST(floor(hi / {STEP_US}.0) * {STEP_US} AS BIGINT) + 1,
+        {STEP_US})) AS e
+      FROM spans),
+    resampled AS (
+      SELECT g.k, g.e // 1000000 AS slot_epoch, o.v AS value,
+             (g.e - o.e) // 1000000 AS staleness_s
+      FROM grid g ASOF JOIN obs o ON g.k = o.k AND o.e <= g.e)"""
+
+
+def test_resample_ffill_oracle(spark, duck):
+    from osmapreduceproject_spark.operators.windows import resample_ffill
+
+    got = resample_ffill(
+        _events(spark), key="user_id", ts="ts", value_col="value",
+        step_seconds=STEP,
+    )
+    sql = f"""
+    WITH {_RESAMPLE_CTE}
+    SELECT k AS user_id, slot_epoch, value, staleness_s FROM resampled
+    """
+    assert compare(got, duck.execute(sql).df()) == []
+
+
+def test_series_anomalies_oracle(spark, duck):
+    from osmapreduceproject_spark.operators.windows import series_anomalies
+
+    got = series_anomalies(
+        _events(spark), key="user_id", ts="ts", value_col="value",
+        step_seconds=STEP, k=3.0,
+    )
+    sql = f"""
+    WITH {_RESAMPLE_CTE},
+    med AS (SELECT k, quantile_disc(value, 0.5) AS m FROM resampled GROUP BY k),
+    dev AS (SELECT r.*, m.m, abs(r.value - m.m) AS adev
+            FROM resampled r JOIN med m ON m.k = r.k),
+    mad AS (SELECT k, quantile_disc(adev, 0.5) AS d FROM dev GROUP BY k)
+    SELECT dev.k AS user_id, dev.slot_epoch, dev.value, dev.staleness_s,
+           dev.m AS median,
+           dev.m - 3.0 * 1.4826 * mad.d AS fence_lo,
+           dev.m + 3.0 * 1.4826 * mad.d AS fence_hi,
+           (dev.value < dev.m - 3.0 * 1.4826 * mad.d
+            OR dev.value > dev.m + 3.0 * 1.4826 * mad.d) AS is_anomaly
+    FROM dev JOIN mad ON mad.k = dev.k
+    """
+    assert compare(got, duck.execute(sql).df()) == []
+
+
+def test_zipf_fit_oracle(spark, duck):
+    from osmapreduceproject_spark.operators.text import zipf_fit
+    from osmapreduceproject_spark.queries import _t
+
+    got = zipf_fit(_t(spark, SF_CORRECT, "documents"), top_n=100)
+    sql = """
+    WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+                  FROM documents),
+    counts AS (SELECT source, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+    ranked AS (
+      SELECT source,
+             log2(CAST(ROW_NUMBER() OVER
+                       (PARTITION BY source ORDER BY c DESC, tok ASC) AS DOUBLE)) AS x,
+             log2(CAST(c AS DOUBLE)) AS y,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY c DESC, tok ASC) AS rk
+      FROM counts QUALIFY rk <= 100),
+    sums AS (
+      SELECT source, CAST(COUNT(*) AS DOUBLE) AS n,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x*x) AS sxx, SUM(y*y) AS syy, SUM(x*y) AS sxy
+      FROM ranked GROUP BY source)
+    SELECT source, CAST(n AS BIGINT) AS n_words,
+           round((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) AS slope,
+           round((sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n, 6) AS intercept,
+           round(((n*sxy - sx*sy) * (n*sxy - sx*sy))
+                 / ((n*sxx - sx*sx) * (n*syy - sy*sy)), 6) AS r2
+    FROM sums
+    """
+    assert compare(got, duck.execute(sql).df()) == []
+
+
+_DOT = (
+    "list_reduce(list_concat([CAST(0.0 AS DOUBLE)], "
+    "list_transform(range(1, 65), i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), "
+    "(x, y) -> x + y)"
+)
+
+
+def test_cluster_drift_oracle(spark, duck):
+    from osmapreduceproject_spark.operators.similarity import cluster_drift
+    from osmapreduceproject_spark.queries import _t
+
+    emb = _t(spark, SF_CORRECT, "embeddings")
+    newer = emb.select(
+        "vec_id",
+        F.when(
+            F.col("vec_id") < 50,
+            F.concat(
+                F.array((F.element_at("embedding", 1) + F.lit(0.05)).cast("float")),
+                F.slice("embedding", 2, 63),
+            ),
+        ).otherwise(F.col("embedding")).alias("embedding"),
+    )
+    got = cluster_drift(emb, newer, n_centroids=16)
+    assign = """
+      SELECT vec_id, embedding, cid FROM (
+        SELECT e.vec_id, e.embedding, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY round({dot}, 6) DESC, c.cid DESC) AS rn
+        FROM {src} e CROSS JOIN cents c) t WHERE rn = 1"""
+    dims = """
+      SELECT cid, CAST(j AS INT) AS dim,
+             SUM(CAST(round(CAST(embedding[CAST(j AS INT) + 1] AS DOUBLE) * 1000000)
+                      AS BIGINT)) AS s,
+             COUNT(*) AS n
+      FROM {src}, (SELECT unnest(range(64)) AS j)
+      GROUP BY 1, 2"""
+    sql = f"""
+    WITH newsnap AS (
+      SELECT vec_id,
+             CASE WHEN vec_id < 50
+                  THEN list_concat([CAST(embedding[1] + 0.05 AS FLOAT)], embedding[2:64])
+                  ELSE embedding END AS embedding
+      FROM embeddings),
+    cents AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cvec
+      FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)),
+    a_old AS ({assign.format(dot=_DOT.format(a="e.embedding", b="c.cvec"), src="embeddings")}),
+    a_new AS ({assign.format(dot=_DOT.format(a="e.embedding", b="c.cvec"), src="newsnap")}),
+    d_old AS ({dims.format(src="a_old")}),
+    d_new AS ({dims.format(src="a_new")}),
+    j AS (
+      SELECT COALESCE(o.cid, n.cid) AS cid, COALESCE(o.dim, n.dim) AS dim,
+             o.s AS s_old, o.n AS n_old, n.s AS s_new, n.n AS n_new
+      FROM d_old o FULL OUTER JOIN d_new n ON o.cid = n.cid AND o.dim = n.dim),
+    per AS (
+      SELECT cid,
+             MAX(COALESCE(n_old, 0)) AS n_old, MAX(COALESCE(n_new, 0)) AS n_new,
+             list((CAST(s_new AS DOUBLE)/n_new - CAST(s_old AS DOUBLE)/n_old)
+                  * (CAST(s_new AS DOUBLE)/n_new - CAST(s_old AS DOUBLE)/n_old)
+                  ORDER BY dim) AS d2s
+      FROM j GROUP BY cid)
+    SELECT cid, CAST(n_old AS BIGINT) AS n_old, CAST(n_new AS BIGINT) AS n_new,
+           CASE WHEN n_old > 0 AND n_new > 0 THEN
+             round(sqrt(list_reduce(list_concat([CAST(0.0 AS DOUBLE)], d2s),
+                                    (x, y) -> x + y)) / 1000000, 6)
+           END AS centroid_drift
+    FROM per
+    """
+    assert compare(got, duck.execute(sql).df()) == []
+
+
+def test_equi_depth_buckets_oracle(spark, duck):
+    from osmapreduceproject_spark.operators.stats import equi_depth_buckets
+    from osmapreduceproject_spark.queries import _t
+
+    o = _t(spark, SF_CORRECT, "orders")
+    got = (
+        equi_depth_buckets(o, "o_totalprice", 8)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min(F.col("o_totalprice").cast("double")).alias("min_val"),
+            F.max(F.col("o_totalprice").cast("double")).alias("max_val"),
+        )
+    )
+    bounds = ", ".join(
+        f"(SELECT quantile_disc(CAST(o_totalprice AS DOUBLE), {i}/8.0) FROM orders) AS b{i}"
+        for i in range(1, 8)
+    )
+    case = " ".join(
+        f"WHEN CAST(o_totalprice AS DOUBLE) <= b{i} THEN {i}" for i in range(1, 8)
+    )
+    sql = f"""
+    WITH b AS (SELECT {bounds}),
+    assigned AS (
+      SELECT CAST(o_totalprice AS DOUBLE) AS v,
+             CASE {case} ELSE 8 END AS bucket
+      FROM orders, b)
+    SELECT CAST(bucket AS INTEGER) AS bucket, COUNT(*) AS n_rows,
+           MIN(v) AS min_val, MAX(v) AS max_val
+    FROM assigned GROUP BY bucket
+    """
+    assert compare(got, duck.execute(sql).df()) == []
+
+
+def test_series_correlation_oracle(spark, duck):
+    from osmapreduceproject_spark.operators.windows import series_correlation
+
+    e = _events(spark)
+    got = series_correlation(
+        e.where(F.col("event_type") == "view"),
+        e.where(F.col("event_type") == "click"),
+        key="user_id", ts="ts", value_col="value", step_seconds=STEP,
+    )
+    one_side = f"""
+      obs_{{side}} AS (
+        SELECT user_id AS k, epoch_us(ts) AS e, CAST(value AS DOUBLE) AS v
+        FROM events WHERE event_type = '{{etype}}'),
+      spans_{{side}} AS (SELECT k, MIN(e) AS lo, MAX(e) AS hi FROM obs_{{side}} GROUP BY k),
+      grid_{{side}} AS (
+        SELECT k, unnest(range(
+          CAST(ceil(lo / {STEP_US}.0) * {STEP_US} AS BIGINT),
+          CAST(floor(hi / {STEP_US}.0) * {STEP_US} AS BIGINT) + 1,
+          {STEP_US})) AS e
+        FROM spans_{{side}}),
+      rs_{{side}} AS (
+        SELECT g.k, g.e // 1000000 AS slot_epoch, o.v
+        FROM grid_{{side}} g ASOF JOIN obs_{{side}} o ON g.k = o.k AND o.e <= g.e)"""
+    sql = f"""
+    WITH {one_side.format(side="a", etype="view")},
+    {one_side.format(side="b", etype="click")},
+    j AS (
+      SELECT a.k, a.v AS x, b.v AS y
+      FROM rs_a a JOIN rs_b b ON a.k = b.k AND a.slot_epoch = b.slot_epoch),
+    sums AS (
+      SELECT k, CAST(COUNT(*) AS DOUBLE) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x*x) AS sxx, SUM(y*y) AS syy, SUM(x*y) AS sxy
+      FROM j GROUP BY k)
+    SELECT k AS user_id, CAST(n AS BIGINT) AS n_slots,
+           CASE WHEN n >= 2 AND (n*sxx - sx*sx) > 0 AND (n*syy - sy*sy) > 0 THEN
+             round((n*sxy - sx*sy) / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)), 6)
+           END AS corr
+    FROM sums
+    """
+    assert compare(got, duck.execute(sql).df()) == []
+
+
+def test_multi_touch_attribution_oracle(spark, duck):
+    from osmapreduceproject_spark.operators.events import multi_touch_attribution
+
+    got = multi_touch_attribution(
+        _events(spark), conversion_type="purchase",
+        touch_types=("view", "click"), lookback_seconds=86400,
+    )
+    sql = """
+    WITH conv AS (
+      SELECT user_id AS u, event_id AS cid, epoch_us(ts) AS cts,
+             CAST(value AS DOUBLE) AS cval
+      FROM events WHERE event_type = 'purchase'),
+    touch AS (
+      SELECT user_id AS u, event_type AS channel, epoch_us(ts) AS tts
+      FROM events WHERE event_type IN ('view', 'click')),
+    j AS (
+      SELECT c.cid, c.cval, t.channel,
+             COUNT(*) OVER (PARTITION BY c.cid) AS cnt
+      FROM conv c JOIN touch t ON c.u = t.u
+      WHERE t.tts < c.cts AND t.tts >= c.cts - CAST(86400 AS BIGINT) * 1000000)
+    SELECT channel, COUNT(*) AS n_touches,
+           round(SUM(1.0 / cnt), 6) AS credited_conversions,
+           round(SUM(cval / cnt), 6) AS credited_value
+    FROM j GROUP BY channel
+    """
+    assert compare(got, duck.execute(sql).df()) == []
+
+
+def test_refresh_vocab_deltas_oracle(spark, duck):
+    from osmapreduceproject_spark.pipelines import refresh_report
+    from osmapreduceproject_spark.queries import _t
+
+    d = _t(spark, SF_CORRECT, "documents")
+    old = d.where(F.col("doc_id") % 10 != 7)
+    new = d.where(F.col("doc_id") % 10 != 3).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 10 == 1, F.concat(F.col("text"), F.lit(" [edited]"))
+        ).otherwise(F.col("text")),
+    )
+    got = dict(refresh_report(old, new))["vocab_deltas"]
+    vh = """
+      vh_{side} AS (
+        WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+                      FROM {src}),
+        counts AS (SELECT source, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2)
+        SELECT source,
+               round(CAST(COUNT(*) AS DOUBLE) / SUM(c), 6) AS ttr,
+               round(CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                     / COUNT(*), 6) AS hapax,
+               round(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS topshare
+        FROM counts GROUP BY source)"""
+    sql = f"""
+    WITH oldsnap AS (SELECT * FROM documents WHERE doc_id % 10 != 7),
+    newsnap AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 10 = 1 THEN text || ' [edited]' ELSE text END AS text,
+             lang, source, n_chars
+      FROM documents WHERE doc_id % 10 != 3),
+    {vh.format(side="o", src="oldsnap")},
+    {vh.format(side="n", src="newsnap")}
+    SELECT COALESCE(o.source, n.source) AS source,
+           round(n.ttr - o.ttr, 6) AS ttr_delta,
+           round(n.hapax - o.hapax, 6) AS hapax_delta,
+           round(n.topshare - o.topshare, 6) AS top_share_delta
+    FROM vh_o o FULL OUTER JOIN vh_n n ON o.source = n.source
+    """
+    assert compare(got, duck.execute(sql).df()) == []
