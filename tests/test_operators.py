@@ -2481,3 +2481,50 @@ def test_refresh_report_sections(spark):
     vd = {r["source"] for r in sections["vocab_deltas"].collect()}
     assert vd == {"s1", "s2", "s3"}
     assert "cluster_drift" not in sections  # no embeddings supplied
+
+
+def test_round7_operators_empty_input(spark):
+    """Empty frames flow through the round's new operators without
+    error: empty results from the frame-valued ones, a clean raise from
+    the percentile machinery (no rank exists), and empty report
+    sections from the pipeline."""
+    import pytest as _pt
+
+    from osmapreduceproject_spark.operators.events import multi_touch_attribution
+    from osmapreduceproject_spark.operators.similarity import cluster_drift
+    from osmapreduceproject_spark.operators.stats import (
+        equi_depth_buckets,
+        exact_percentile,
+    )
+    from osmapreduceproject_spark.operators.text import zipf_fit
+    from osmapreduceproject_spark.operators.windows import (
+        resample_ffill,
+        series_anomalies,
+        series_correlation,
+    )
+    from osmapreduceproject_spark.pipelines import refresh_report
+
+    empty_series = spark.createDataFrame(
+        [], "k bigint, ts timestamp, v double"
+    )
+    empty_docs = spark.createDataFrame(
+        [], "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    empty_events = spark.createDataFrame(
+        [], "event_id bigint, user_id bigint, event_type string, ts timestamp, value double"
+    )
+    empty_emb = spark.createDataFrame([], "vec_id bigint, embedding array<float>")
+    kw = dict(key="k", ts="ts", value_col="v", step_seconds=60)
+    assert resample_ffill(empty_series, **kw).count() == 0
+    assert series_anomalies(empty_series, **kw).count() == 0
+    assert series_correlation(empty_series, empty_series, **kw).count() == 0
+    assert zipf_fit(empty_docs).count() == 0
+    assert cluster_drift(empty_emb, empty_emb).count() == 0
+    assert multi_touch_attribution(empty_events).count() == 0
+    with _pt.raises(ValueError):
+        exact_percentile(empty_series, "v", [0.5])
+    with _pt.raises(ValueError):
+        equi_depth_buckets(empty_series, "v", 4)
+    for name, section in refresh_report(empty_docs, empty_docs):
+        n = section.count()
+        assert n == (1 if name == "content_diff" else 0)
