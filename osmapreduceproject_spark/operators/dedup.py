@@ -859,3 +859,86 @@ def fuzzy_match_pairs(
         .where((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
         .select("a_id", "b_id", "dist")
     )
+
+
+def pagerank(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    iters: int = 5,
+    damping: float = 0.85,
+    id_col: str = "doc_id",
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+) -> DataFrame:
+    """Fixed-iteration PageRank over the undirected pair graph — the
+    hub-document score of a dup graph (a template that spawned hundreds
+    of near-copies out-ranks its copies, which connected components
+    can't see: CC says only WHICH cluster, centrality says which member
+    is the source) and the engine's second iterative-algorithm class
+    after min-label/star components (power iteration instead of label
+    propagation).
+
+    Deterministic and ORACLE-REPLICABLE by construction: the iteration
+    count is FIXED (no convergence probe — a fixpoint test on floats is
+    engine-dependent; a fixed power-iteration count is the same chained
+    computation everywhere), every iteration's ranks are quantized to
+    12 decimals on the way out (absorbing float-sum association noise
+    far below signal), dangling/isolated mass is redistributed
+    uniformly, and the final ranks round to 6. An oracle replays the
+    same ``iters`` steps as chained SQL CTEs.
+
+    Scale shape per iteration: one equi-join of the edge list against
+    the rank vector plus one dst-keyed partial-aggregating sum — the
+    exchanges carry (node, rank) pairs and edge endpoints, never
+    payloads; the dangling scalar is a broadcast single row; the rank
+    frame is persisted per round and the previous round released, so
+    storage holds ONE rank vector regardless of ``iters``. Lineage stays
+    shallow (iters is small and fixed); for large ``iters`` interpose
+    localCheckpoint exactly as connected_components does.
+    """
+    n = nodes.count()
+    if n == 0:
+        return nodes.select(
+            F.col(id_col).alias("node"), F.lit(0.0).alias("rank")
+        )
+    edges = tracked_persist(
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst")).union(
+            pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        )
+    )
+    deg = tracked_persist(
+        edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    )
+    base = nodes.select(F.col(id_col).alias("node"))
+    ranks = tracked_persist(
+        base.withColumn("rank", F.lit(1.0 / n))
+    )
+    for _ in range(iters):
+        dangling = (
+            ranks.join(deg, ranks["node"] == deg["src"], "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dang"))
+        )
+        contrib = (
+            edges.join(deg, "src")
+            .join(ranks, edges["src"] == ranks["node"])
+            .select(F.col("dst"), (F.col("rank") / F.col("deg")).alias("__c"))
+            .groupBy("dst")
+            .agg(F.sum("__c").alias("__in"))
+        )
+        new_ranks = tracked_persist(
+            base.join(contrib, base["node"] == contrib["dst"], "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                F.round(
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("__in"), F.lit(0.0)) + F.col("__dang") / n),
+                    12,
+                ).alias("rank"),
+            )
+        )
+        new_ranks.count()  # materialize before releasing the previous vector
+        ranks.unpersist()
+        ranks = new_ranks
+    return ranks.select("node", F.round("rank", 6).alias("rank"))

@@ -2528,3 +2528,32 @@ def test_round7_operators_empty_input(spark):
     for name, section in refresh_report(empty_docs, empty_docs):
         n = section.count()
         assert n == (1 if name == "content_diff" else 0)
+
+
+def test_pagerank_star_graph_matches_python(spark):
+    """5 fixed iterations on a star + isolated node equal a pure-Python
+    replica of the same damped, dangling-redistributing update; the hub
+    out-ranks its leaves and everything sums to ~1."""
+    from osmapreduceproject_spark.operators.dedup import pagerank
+
+    nodes = spark.createDataFrame([(i,) for i in range(5)], "doc_id bigint")
+    pairs = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3)], "a_id bigint, b_id bigint"
+    )  # node 4 isolated (dangling)
+    got = {r["node"]: r["rank"] for r in pagerank(nodes, pairs, iters=5).collect()}
+    # python replica of the exact update (incl. per-iteration 12-dec round)
+    n, d = 5, 0.85
+    deg = {0: 3, 1: 1, 2: 1, 3: 1}
+    r = {i: 1.0 / n for i in range(5)}
+    for _ in range(5):
+        dang = sum(v for k, v in r.items() if k not in deg)
+        inc = {i: 0.0 for i in range(5)}
+        for a, b in [(0, 1), (0, 2), (0, 3), (1, 0), (2, 0), (3, 0)]:
+            inc[b] += r[a] / deg[a]
+        r = {
+            i: round((1 - d) / n + d * (inc[i] + dang / n), 12) for i in range(5)
+        }
+    want = {i: round(v, 6) for i, v in r.items()}
+    assert got == want
+    assert got[0] > got[1] == got[2] == got[3] > got[4]
+    assert abs(sum(got.values()) - 1.0) < 1e-4

@@ -326,3 +326,43 @@ def test_refresh_vocab_deltas_oracle(spark, duck):
     FROM vh_o o FULL OUTER JOIN vh_n n ON o.source = n.source
     """
     assert compare(got, duck.execute(sql).df()) == []
+
+
+def test_pagerank_dup_graph_oracle(spark, duck):
+    from osmapreduceproject_spark.operators.dedup import ngram_jaccard_pairs, pagerank
+    from osmapreduceproject_spark.plans.inspect import release_intermediates
+    from osmapreduceproject_spark.queries import _jaccard_pairs_sql, _t
+
+    d = _t(spark, SF_CORRECT, "documents")
+    pairs = ngram_jaccard_pairs(d, threshold=0.8).select(
+        F.col("a_doc_id").alias("a_id"), F.col("b_doc_id").alias("b_id")
+    )
+    got = pagerank(d.select("doc_id"), pairs, iters=5, damping=0.85)
+    n_sql = "(SELECT COUNT(*) FROM documents)"
+    steps = []
+    for k in range(1, 6):
+        p = f"r{k-1}"
+        steps.append(f"""
+    d{k} AS (SELECT COALESCE(SUM(r), 0.0) AS dang FROM {p}
+             WHERE node NOT IN (SELECT src FROM deg)),
+    c{k} AS (SELECT e.dst AS node, SUM(p.r / g.deg) AS inc
+             FROM edges e JOIN deg g ON g.src = e.src
+             JOIN {p} p ON p.node = e.src GROUP BY e.dst),
+    r{k} AS (
+      SELECT b.node,
+             round((1 - 0.85) / {n_sql} + 0.85 * (COALESCE(c.inc, 0.0)
+                   + d.dang / {n_sql}), 12) AS r
+      FROM (SELECT doc_id AS node FROM documents) b
+      LEFT JOIN c{k} c ON c.node = b.node CROSS JOIN d{k} d)""")
+    sql = f"""
+    WITH {_jaccard_pairs_sql(None)},
+    edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+              UNION ALL SELECT b_id, a_id FROM pairs),
+    deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+    r0 AS (SELECT doc_id AS node, 1.0 / {n_sql} AS r FROM documents),
+    {",".join(steps)}
+    SELECT node, round(r, 6) AS rank FROM r5
+    """
+    issues = compare(got, duck.execute(sql).df())
+    release_intermediates()
+    assert issues == []
