@@ -182,3 +182,40 @@ def epoch_plan(
             ).alias("epochs"),
         )
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    n: int,
+    key_col: str = "doc_id",
+    salt: str = "wsample",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    Spirakis 2006 A-ES, public paper): each row draws a reproducible
+    uniform u ∈ (0, 1) from the md5 content bucket of (salt|key), keys
+    itself with −ln(u)/w, and the ``n`` SMALLEST keys are the sample —
+    inclusion probability proportional to ``weight_col``. The
+    quality-weighted corpus sampler: weight by q38's quality score and
+    high-quality documents are drawn preferentially, yet the drawn set
+    is a pure function of content — identical on any cluster layout,
+    re-runnable, and oracle-replicable (same hash, same ln, same ratio
+    on both engines). Rows with weight ≤ 0 or NULL are excluded (zero
+    inclusion mass).
+
+    Scale shape: the sample key is a narrow map over the scan;
+    ``orderBy().limit(n)`` plans TakeOrderedAndProject — a per-task heap
+    of the requested sample size, never a global sort. Ties break on the
+    row key (ln collisions are astronomically unlikely but determinism
+    is contractual, not probabilistic).
+    """
+    w = F.col(weight_col).cast("double")
+    u = (_bucket(key_col, salt) + 1).cast("double") / float(BUCKETS + 1)
+    rank = -F.log(u) / w
+    return (
+        df.where(w.isNotNull() & (w > 0))
+        .withColumn("__wr", rank)
+        .orderBy(F.col("__wr").asc(), F.col(key_col).asc())
+        .limit(int(n))
+        .drop("__wr")
+    )

@@ -158,3 +158,32 @@ def read_orc(spark: SparkSession, path: str, schema: StructType | None = None) -
 
 def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).orc(path)
+
+
+def parquet_zone_map(spark, path: str, cols: list[str]):
+    """Per-FILE min/max/null-count manifest over an existing parquet
+    dataset — the data-skipping zone map a scan planner prunes with
+    (pair with the z-order layout of q140, which is what makes these
+    per-file ranges narrow enough to skip). One scan of only the
+    requested columns, grouped by ``input_file_name()`` — the exchange
+    carries one partial row per (file, task), and the result is
+    files × 1 rows of metadata.
+
+    The ``file`` column is the basename (scheme/directory stripped), so
+    the manifest is location-independent and cross-engine comparable
+    (DuckDB's ``read_parquet(..., filename=true)`` yields plain paths
+    where Spark yields file: URIs).
+    """
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(path).select(
+        F.element_at(F.split(F.input_file_name(), "/"), -1).alias("file"), *cols
+    )
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs += [
+            F.min(c).alias(f"{c}_min"),
+            F.max(c).alias(f"{c}_max"),
+            F.sum(F.col(c).isNull().cast("bigint")).alias(f"{c}_nulls"),
+        ]
+    return df.groupBy("file").agg(*aggs)

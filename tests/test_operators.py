@@ -2557,3 +2557,45 @@ def test_pagerank_star_graph_matches_python(spark):
     assert got == want
     assert got[0] > got[1] == got[2] == got[3] > got[4]
     assert abs(sum(got.values()) - 1.0) < 1e-4
+
+
+def test_weighted_sample_deterministic_and_biased(spark):
+    """The A-ES draw is reproducible run-to-run, excludes non-positive
+    weights, and across many disjoint salts prefers heavy rows (a
+    statistical property asserted loosely: the heavy half must win well
+    over half of the draws)."""
+    from osmapreduceproject_spark.operators.sampling import weighted_sample
+
+    rows = [(i, 10.0 if i < 50 else 0.1) for i in range(100)]
+    rows += [(100, 0.0), (101, None)]
+    df = spark.createDataFrame(rows, "doc_id bigint, w double")
+    s1 = sorted(r["doc_id"] for r in weighted_sample(df, "w", 10).collect())
+    s2 = sorted(r["doc_id"] for r in weighted_sample(df, "w", 10).collect())
+    assert s1 == s2 and len(s1) == 10
+    assert all(i < 100 for i in s1)  # zero/null weights never drawn
+    heavy = 0
+    for salt in [f"s{k}" for k in range(8)]:
+        drawn = [r["doc_id"] for r in weighted_sample(df, "w", 10, salt=salt).collect()]
+        heavy += sum(1 for i in drawn if i < 50)
+    assert heavy > 8 * 10 * 0.7  # 100:1 weight ratio → heavy rows dominate
+
+
+def test_parquet_zone_map_per_file_ranges(spark, tmp_path):
+    """Partitioned write → one manifest row per file with exact min/max
+    and null counts; partition-pruned columns give disjoint ranges."""
+    from osmapreduceproject_spark.sources.io import parquet_zone_map, write_partitioned
+
+    df = spark.createDataFrame(
+        [(i, i % 3, float(i) if i % 10 else None) for i in range(300)],
+        "id bigint, part int, v double",
+    )
+    out = str(tmp_path / "zm")
+    write_partitioned(df, out, ["part"])
+    zm = parquet_zone_map(spark, out, ["id", "v"]).collect()
+    assert len(zm) >= 3  # at least one file per partition
+    total = sum(r["n_rows"] for r in zm)
+    assert total == 300
+    assert sum(r["v_nulls"] for r in zm) == 30
+    for r in zm:
+        assert r["id_min"] <= r["id_max"]
+        assert r["file"].endswith(".parquet")
