@@ -366,3 +366,40 @@ def test_pagerank_dup_graph_oracle(spark, duck):
     issues = compare(got, duck.execute(sql).df())
     release_intermediates()
     assert issues == []
+
+
+def test_weighted_sample_oracle(spark, duck):
+    from osmapreduceproject_spark.functions.hashing import md5_int_sql
+    from osmapreduceproject_spark.operators.sampling import weighted_sample
+    from osmapreduceproject_spark.queries import _t
+
+    d = _t(spark, SF_CORRECT, "documents")
+    got = weighted_sample(d, "n_chars", 50).select("doc_id", "source")
+    bucket = md5_int_sql("'wsample|' || CAST(doc_id AS VARCHAR)") + " % 1000000"
+    sql = f"""
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             -ln(CAST({bucket} + 1 AS DOUBLE) / 1000001.0)
+               / CAST(n_chars AS DOUBLE) AS wr
+      FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0)
+    ORDER BY wr ASC, doc_id ASC LIMIT 50
+    """
+    assert compare(got, duck.execute(sql).df()) == []
+
+
+def test_parquet_zone_map_oracle(spark, duck):
+    from osmapreduceproject_spark.sources.io import parquet_zone_map
+
+    got = parquet_zone_map(spark, f"{SF_CORRECT}/documents.parquet",
+                           ["doc_id", "n_chars"])
+    sql = f"""
+    SELECT string_split(filename, '/')[-1] AS file,
+           COUNT(*) AS n_rows,
+           MIN(doc_id) AS doc_id_min, MAX(doc_id) AS doc_id_max,
+           CAST(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS doc_id_nulls,
+           MIN(n_chars) AS n_chars_min, MAX(n_chars) AS n_chars_max,
+           CAST(SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_chars_nulls
+    FROM read_parquet('{SF_CORRECT}/documents.parquet', filename=true)
+    GROUP BY 1
+    """
+    assert compare(got, duck.execute(sql).df()) == []
