@@ -370,3 +370,47 @@ def test_deduped_user_counts_multibatch_stream(spark, tmp_path):
     got = _rows(spark, "ddc_multi")
     want = {tuple(r) for r in deduped_user_counts(ev).collect()}
     assert got == want
+
+
+def test_stream_upsert_sink_equals_batch_compaction(spark, tmp_path):
+    """A change log streamed one file per trigger through the upsert
+    sink yields a view identical to batch compact_latest over the whole
+    log — and the view survives (is unchanged by) any batch arrival
+    order because max-version compaction is order-free."""
+    from osmapreduceproject_spark.operators.windows import compact_latest
+    from osmapreduceproject_spark.streaming.upsert import (
+        read_upsert_view,
+        stream_upsert_sink,
+    )
+
+    rows = []
+    for k in range(40):
+        rows.append((k, 1, f"v1-{k}", False))
+        if k % 2 == 0:
+            rows.append((k, 2, f"v2-{k}", False))
+        if k % 10 == 3:
+            rows.append((k, 2, None, True))  # tombstone
+    log = spark.createDataFrame(
+        rows, "key bigint, version int, payload string, deleted boolean"
+    )
+    src = str(tmp_path / "log")
+    log.repartition(3).write.parquet(src)
+    stream = spark.readStream.schema(log.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    out = str(tmp_path / "view")
+    q = stream_upsert_sink(stream, out, ["key"], "version")
+    q.awaitTermination()
+    assert len(q.recentProgress) > 1  # multiple merge batches actually ran
+    got = {
+        (r["key"], r["version"], r["payload"], r["deleted"])
+        for r in read_upsert_view(spark, out).collect()
+    }
+    want = {
+        (r["key"], r["version"], r["payload"], r["deleted"])
+        for r in compact_latest(log, ["key"], "version").collect()
+    }
+    assert got == want
+    # the reader-side tombstone filter leaves exactly the live rows
+    live = {k for k, _, _, d in got if not d}
+    assert live == {k for k in range(40) if k % 10 != 3}
