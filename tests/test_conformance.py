@@ -160,3 +160,64 @@ def test_cli_mirrors_reference_invocation():
     assert "Total time (ms):" in out
     assert "Sorted OK: yes" in out
     assert "Peak RSS (KB):" in out
+
+
+def test_read_json_with_deadletter(spark, tmp_path):
+    """Good lines parse against the schema; corrupt lines land intact in
+    the dead-letter frame; counts partition the input exactly."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from osmapreduceproject_spark.sources.io import read_json_with_deadletter
+
+    p = tmp_path / "in.json"
+    p.write_text(
+        '{"id": 1, "name": "a"}\n'
+        'this is not json\n'
+        '{"id": 2, "name": "b"}\n'
+        '{"id": "NOT_A_NUMBER", "name": "c"}\n'
+    )
+    schema = StructType(
+        [StructField("id", LongType()), StructField("name", StringType())]
+    )
+    good, bad = read_json_with_deadletter(spark, str(p), schema)
+    assert {(r["id"], r["name"]) for r in good.collect()} == {(1, "a"), (2, "b")}
+    bads = [r["raw_record"] for r in bad.collect()]
+    assert len(bads) == 2 and any("not json" in b for b in bads)
+
+
+def test_incremental_read_processes_only_the_delta(spark, tmp_path):
+    """Three scheduler runs over a growing directory: each reads exactly
+    the uncommitted files; an uncommitted (failed) run re-reads the same
+    delta; after commit the next run sees only newer files."""
+    from osmapreduceproject_spark.sources.io import incremental_read
+
+    src, state = str(tmp_path / "src"), str(tmp_path / "state")
+    import os
+
+    os.makedirs(src)
+    spark.range(5).write.mode("overwrite").parquet(f"{src}/_tmp1")
+    # move part file in as a single stable name
+    import glob
+    import shutil
+
+    def land(name, df):
+        tmp = f"{src}/_stage_{name}"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(f"{tmp}/part-*.parquet")[0]
+        shutil.move(part, f"{src}/{name}.parquet")
+        shutil.rmtree(tmp)
+
+    shutil.rmtree(f"{src}/_tmp1")
+    land("f1", spark.range(0, 5))
+    df1, commit1 = incremental_read(spark, src, state)
+    assert df1.count() == 5
+    # failure: commit never called → same delta again
+    df1b, commit1b = incremental_read(spark, src, state)
+    assert df1b.count() == 5
+    commit1b()
+    land("f2", spark.range(100, 103))
+    df2, commit2 = incremental_read(spark, src, state)
+    assert sorted(r["id"] for r in df2.collect()) == [100, 101, 102]
+    commit2()
+    df3, _ = incremental_read(spark, src, state)
+    assert df3 is None
