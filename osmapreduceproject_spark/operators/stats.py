@@ -244,3 +244,41 @@ def equi_depth_buckets(
         expr = expr.when(c <= F.lit(b), i + 1)
     expr = expr.otherwise(F.lit(n_bins))
     return df.withColumn(bucket_col, expr)
+
+
+def winsorized_stats(
+    df: DataFrame,
+    col: str,
+    lo_p: float = 0.01,
+    hi_p: float = 0.99,
+    n_buckets: int = 1024,
+    hot_cap: int | None = None,
+) -> DataFrame:
+    """Outlier-robust summary via winsorization: values below the lo_p
+    percentile clamp up to it, values above hi_p clamp down — then
+    exact decimal-summed mean plus a trimmed count, in ONE narrow pass
+    after the (batched) percentile bounds land as literals. The
+    robust-mean companion to the MAD fences: a fat-tailed metric's
+    plain mean is owned by its outliers; the winsorized mean is the
+    production dashboard number.
+
+    Returns one row: (lo_bound, hi_bound, n, n_clamped_lo, n_clamped_hi,
+    winsorized_mean). Cross-engine exact: bounds are exact order
+    statistics; the mean sums DECIMAL(28,6)-quantized clamped values
+    (associative — no float-order noise) and divides once in double.
+    """
+    lo, hi = exact_percentile(df, col, [lo_p, hi_p], n_buckets, hot_cap)
+    c = F.col(col).cast("double")
+    clamped = F.least(F.greatest(c, F.lit(lo)), F.lit(hi))
+    valid = df.where(c.isNotNull() & ~F.isnan(c))
+    return valid.agg(
+        F.lit(lo).alias("lo_bound"),
+        F.lit(hi).alias("hi_bound"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum((c < F.lit(lo)).cast("bigint")).alias("n_clamped_lo"),
+        F.sum((c > F.lit(hi)).cast("bigint")).alias("n_clamped_hi"),
+        (
+            F.sum(clamped.cast("decimal(28,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("winsorized_mean"),
+    )

@@ -290,3 +290,42 @@ def series_correlation(
     return j.groupBy(key).agg(
         F.count(F.lit(1)).alias("n_slots"), corr.alias("corr")
     )
+
+
+def series_rolling(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    value_col: str,
+    step_seconds: int,
+    window_slots: int,
+) -> DataFrame:
+    """Rolling statistics over the REGULARIZED series: resample first
+    (:func:`resample_ffill`), then a ``window_slots``-slot trailing
+    frame per key yields moving mean/min/max and the observed slot
+    count — the smoothing/monitoring layer over irregular event
+    streams, honest because the grid is regular (a raw-event rolling
+    window over-weights bursts and silently skips silent periods).
+
+    One additional per-key window over the grid (Catalyst reuses the
+    resample's key partitioning); frames are row-bounded
+    (``window_slots``), so state per row is O(window). The mean rounds
+    to 6 decimals (frame sums are short, association noise is far
+    below the round).
+    """
+    s = resample_ffill(df, key, ts, value_col, step_seconds)
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col("slot_epoch").asc())
+        .rowsBetween(-(window_slots - 1), 0)
+    )
+    v = F.col(value_col)
+    return s.select(
+        key,
+        "slot_epoch",
+        value_col,
+        F.round(F.avg(v).over(w), 6).alias("rolling_mean"),
+        F.min(v).over(w).alias("rolling_min"),
+        F.max(v).over(w).alias("rolling_max"),
+        F.count(v).over(w).alias("n_slots_in_window"),
+    )

@@ -2599,3 +2599,40 @@ def test_parquet_zone_map_per_file_ranges(spark, tmp_path):
     for r in zm:
         assert r["id_min"] <= r["id_max"]
         assert r["file"].endswith(".parquet")
+
+
+def test_winsorized_stats_clamps_tails(spark):
+    """1..100 winsorized at [0.05, 0.95]: bounds are the exact rank
+    values, tails count correctly, and the mean is the clamped mean."""
+    from osmapreduceproject_spark.operators.stats import winsorized_stats
+
+    df = spark.createDataFrame([(float(i),) for i in range(1, 101)], "x double")
+    r = winsorized_stats(df, "x", 0.05, 0.95, n_buckets=16).collect()[0]
+    assert (r["lo_bound"], r["hi_bound"]) == (5.0, 95.0)
+    assert (r["n_clamped_lo"], r["n_clamped_hi"]) == (4, 5)
+    clamped = [min(max(v, 5.0), 95.0) for v in range(1, 101)]
+    assert r["winsorized_mean"] == sum(clamped) / 100
+
+
+def test_series_rolling_trailing_frame(spark):
+    """A 1,2,3,… series rolled over 3 slots: mean/min/max follow the
+    trailing frame, partial at the series head."""
+    from datetime import datetime, timedelta
+
+    from osmapreduceproject_spark.operators.windows import series_rolling
+
+    t0 = datetime(2024, 1, 1)
+    rows = [Row(k="a", ts=t0 + timedelta(seconds=10 * i), v=float(i + 1))
+            for i in range(6)]
+    out = sorted(
+        (r["slot_epoch"], r["rolling_mean"], r["rolling_min"], r["rolling_max"],
+         r["n_slots_in_window"])
+        for r in series_rolling(
+            spark.createDataFrame(rows), key="k", ts="ts", value_col="v",
+            step_seconds=10, window_slots=3,
+        ).collect()
+    )
+    means = [m for _, m, *_ in out]
+    assert means == [1.0, 1.5, 2.0, 3.0, 4.0, 5.0]
+    assert out[-1][2:] == (4.0, 6.0, 3)
+    assert out[0][4] == 1
