@@ -403,3 +403,46 @@ def test_parquet_zone_map_oracle(spark, duck):
     GROUP BY 1
     """
     assert compare(got, duck.execute(sql).df()) == []
+
+
+def test_winsorized_stats_oracle(spark, duck):
+    from osmapreduceproject_spark.operators.stats import winsorized_stats
+    from osmapreduceproject_spark.queries import _t
+
+    got = winsorized_stats(_t(spark, SF_CORRECT, "orders"), "o_totalprice",
+                           0.01, 0.99)
+    sql = """
+    WITH b AS (
+      SELECT quantile_disc(CAST(o_totalprice AS DOUBLE), 0.01) AS lo,
+             quantile_disc(CAST(o_totalprice AS DOUBLE), 0.99) AS hi
+      FROM orders)
+    SELECT lo AS lo_bound, hi AS hi_bound, COUNT(*) AS n,
+           CAST(SUM(CASE WHEN CAST(o_totalprice AS DOUBLE) < lo THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clamped_lo,
+           CAST(SUM(CASE WHEN CAST(o_totalprice AS DOUBLE) > hi THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clamped_hi,
+           CAST(SUM(CAST(least(greatest(CAST(o_totalprice AS DOUBLE), lo), hi)
+                         AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS winsorized_mean
+    FROM orders, b
+    GROUP BY lo, hi
+    """
+    assert compare(got, duck.execute(sql).df()) == []
+
+
+def test_series_rolling_oracle(spark, duck):
+    from osmapreduceproject_spark.operators.windows import series_rolling
+
+    got = series_rolling(_events(spark), key="user_id", ts="ts",
+                         value_col="value", step_seconds=STEP, window_slots=12)
+    sql = f"""
+    WITH {_RESAMPLE_CTE}
+    SELECT k AS user_id, slot_epoch, value,
+           round(AVG(value) OVER w, 6) AS rolling_mean,
+           MIN(value) OVER w AS rolling_min,
+           MAX(value) OVER w AS rolling_max,
+           COUNT(value) OVER w AS n_slots_in_window
+    FROM resampled
+    WINDOW w AS (PARTITION BY k ORDER BY slot_epoch
+                 ROWS BETWEEN 11 PRECEDING AND CURRENT ROW)
+    """
+    assert compare(got, duck.execute(sql).df()) == []
