@@ -423,21 +423,25 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
+        # The convergence flag rides ALONG in the update projection
+        # (changed ⇔ a neighbor label strictly improved ours) instead of
+        # re-joining the old and new label frames per round: the probe
+        # becomes a filter over the just-persisted frame — one fewer
+        # full-label-frame join and exchange per iteration (a few percent
+        # at fixture scale where the loop is scheduling-bound; at corpus
+        # scale the removed join is label-volume work per round).
         new_labels = tracked_persist(
             labels.join(nbr, labels["node"] == nbr["src"], "left").select(
                 F.col("node"),
                 F.least(
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
+                (
+                    F.coalesce(F.col("nbr_label"), F.col("label")) < F.col("label")
+                ).alias("__changed"),
             )
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-            .where(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
+        changed = new_labels.where(F.col("__changed")).limit(1).count()
         # The convergence probe materialized new_labels; the previous
         # round's label cache is dead — release it eagerly so storage
         # stays at one label frame regardless of iteration count. Track
@@ -447,7 +451,7 @@ def connected_components(
         if cached is not None:
             cached.unpersist()
         cached = new_labels
-        labels = new_labels
+        labels = new_labels.drop("__changed")
         if changed == 0:
             converged = True
             break
