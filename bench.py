@@ -443,7 +443,11 @@ def main() -> None:
             "jobs, not one query. Since r07, every >20% warm flag carries "
             "an embedded 'rerun' block (6-run isolated minima + plan "
             "census) generated in-session by bench.rerun_protocol - flags "
-            "are closed by recorded evidence, not prose (VERDICT r6 #6)."
+            "are closed by recorded evidence, not prose (VERDICT r6 #6). "
+            "Late-r7 plan change: the connected-components convergence "
+            "probe folded into the label-update pass (one fewer "
+            "label-frame join per iteration) - small deltas on the CC "
+            "lineage (q92/q111/q150/q177) are that change, not jitter."
         ),
         "reference": reference_timings(),
     }
