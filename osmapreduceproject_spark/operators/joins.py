@@ -20,19 +20,31 @@ def asof_join(
     right_time: str,
     right_cols: list[str],
     suffix: str = "_asof",
+    direction: str = "backward",
 ) -> DataFrame:
-    """As-of join: for each left row, the latest right row with
-    ``right_time <= left_time`` within the same ``on`` key.
+    """As-of join: for each left row, the matching right row within the
+    same ``on`` key — ``backward`` (default) takes the latest right row
+    with ``right_time <= left_time``, ``forward`` the earliest with
+    ``right_time >= left_time``, ``nearest`` whichever of the two is
+    closer in time (ties to backward) — the full pandas ``merge_asof``
+    direction surface, without its single-machine limits.
 
     Scale-first implementation: a single union + window pass instead of a
     per-key pandas merge_asof or an O(|L|·|R|) inequality join. Both
-    inputs shuffle once on ``on``; the window's ``last(..., ignorenulls)``
-    carries the most recent right-side values forward onto left rows.
-    This survives 100 TB because the only shuffle is the same
-    hash-partition a plain equi-join would do, and state per key is one
-    row of carried values.
+    inputs shuffle once on ``on``; a window's ``last(..., ignorenulls)``
+    carries the most recent right-side values onto left rows (the
+    forward direction runs the mirrored descending window; ``nearest``
+    runs both over the SAME partitioning — Catalyst reuses one
+    exchange — and picks per row by time distance). This survives
+    100 TB because the only shuffle is the same hash-partition a plain
+    equi-join would do, and state per key is one row of carried values
+    per direction.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"asof_join: unknown direction {direction!r}")
     lt = F.col(left_time)
+    nearest = direction == "nearest"
+    carried_cols = list(right_cols) + (["__rtime"] if nearest else [])
     tagged_left = left.withColumn("__t", lt).withColumn("__is_left", F.lit(1))
     for c in right_cols:
         tagged_left = tagged_left.withColumn(f"{c}{suffix}", F.lit(None).cast(right.schema[c].dataType))
@@ -42,21 +54,63 @@ def asof_join(
         F.lit(0).alias("__is_left"),
         *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
     )
+    if nearest:
+        tagged_left = tagged_left.withColumn(
+            f"__rtime{suffix}", F.lit(None).cast("double")
+        )
+        tagged_right = tagged_right.withColumn(
+            f"__rtime{suffix}", F.col("__t").cast("double")
+        )
     left_cols = [c for c in left.columns]
     for c in left_cols:
         if c not in (on,):
             tagged_right = tagged_right.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
     unioned = tagged_left.unionByName(tagged_right)
-    # Right rows sort before left rows at equal timestamps (asof is <=).
-    w = (
+    # Right rows sort before left rows at equal timestamps in BOTH
+    # directions (asof bounds are inclusive: <= backward, >= forward).
+    wb = (
         Window.partitionBy(on)
         .orderBy(F.col("__t").asc(), F.col("__is_left").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    wf = (
+        Window.partitionBy(on)
+        .orderBy(F.col("__t").desc(), F.col("__is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
     carried = unioned
-    for c in right_cols:
-        carried = carried.withColumn(
-            f"{c}{suffix}", F.last(F.col(f"{c}{suffix}"), ignorenulls=True).over(w)
+    if direction == "backward":
+        for c in right_cols:
+            carried = carried.withColumn(
+                f"{c}{suffix}", F.last(F.col(f"{c}{suffix}"), ignorenulls=True).over(wb)
+            )
+    elif direction == "forward":
+        for c in right_cols:
+            carried = carried.withColumn(
+                f"{c}{suffix}", F.last(F.col(f"{c}{suffix}"), ignorenulls=True).over(wf)
+            )
+    else:
+        for c in carried_cols:
+            carried = carried.withColumn(
+                f"__b_{c}", F.last(F.col(f"{c}{suffix}"), ignorenulls=True).over(wb)
+            ).withColumn(
+                f"__f_{c}", F.last(F.col(f"{c}{suffix}"), ignorenulls=True).over(wf)
+            )
+        tnum = F.col("__t").cast("double")
+        back_rt = F.col("__b___rtime")
+        fwd_rt = F.col("__f___rtime")
+        prefer_fwd = fwd_rt.isNotNull() & (
+            back_rt.isNull() | ((fwd_rt - tnum) < (tnum - back_rt))
+        )
+        for c in right_cols:
+            carried = carried.withColumn(
+                f"{c}{suffix}",
+                F.when(prefer_fwd, F.col(f"__f_{c}")).otherwise(F.col(f"__b_{c}")),
+            )
+        carried = carried.drop(
+            f"__rtime{suffix}",
+            *[f"__b_{c}" for c in carried_cols],
+            *[f"__f_{c}" for c in carried_cols],
         )
     return carried.where(F.col("__is_left") == 1).drop("__t", "__is_left")
 

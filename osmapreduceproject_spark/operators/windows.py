@@ -329,3 +329,50 @@ def series_rolling(
         F.max(v).over(w).alias("rolling_max"),
         F.count(v).over(w).alias("n_slots_in_window"),
     )
+
+
+def interval_union_duration(
+    df: DataFrame,
+    key: str,
+    start: str,
+    end: str,
+) -> DataFrame:
+    """Total COVERED time per key over possibly-overlapping intervals —
+    union length, the "actual time spent" metric naive SUM(end − start)
+    double-counts whenever sessions/jobs/spans overlap. Classic
+    gaps-and-islands sweep: order intervals by start within the key,
+    carry the running max end; an interval whose start exceeds that
+    running max opens a new island; union length = Σ island spans.
+
+    Returns (key, n_intervals, n_islands, covered_s). Exact integer-µs
+    arithmetic end-to-end. One key-partitioned sort feeds the running
+    max, the island numbering, and the island aggregation — a single
+    exchange on the key; islands and keys are bounded aggregations.
+    """
+    s = F.unix_micros(F.col(start))
+    e = F.unix_micros(F.col(end))
+    w = Window.partitionBy(key).orderBy(s.asc(), e.asc())
+    prev_max_end = F.max(e).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    is_new = F.when(prev_max_end.isNull() | (s > prev_max_end), 1).otherwise(0)
+    islands = (
+        df.withColumn("__s", s)
+        .withColumn("__e", e)
+        .withColumn("__new", is_new)
+        .withColumn(
+            "__island",
+            F.sum("__new").over(
+                Window.partitionBy(key)
+                .orderBy(F.col("__s").asc(), F.col("__e").asc())
+                .rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    per_island = islands.groupBy(key, "__island").agg(
+        F.count(F.lit(1)).alias("__n"),
+        (F.max("__e") - F.min("__s")).alias("__span_us"),
+    )
+    return per_island.groupBy(key).agg(
+        F.sum("__n").alias("n_intervals"),
+        F.count(F.lit(1)).alias("n_islands"),
+        (F.sum("__span_us") / 1_000_000).cast("bigint").alias("covered_s"),
+    )

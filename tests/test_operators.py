@@ -2636,3 +2636,61 @@ def test_series_rolling_trailing_frame(spark):
     assert means == [1.0, 1.5, 2.0, 3.0, 4.0, 5.0]
     assert out[-1][2:] == (4.0, 6.0, 3)
     assert out[0][4] == 1
+
+
+def test_asof_join_directions(spark):
+    """Backward takes the latest at-or-before, forward the earliest
+    at-or-after, nearest the closer side with ties to backward."""
+    from osmapreduceproject_spark.operators.joins import asof_join
+
+    quotes = spark.createDataFrame(
+        [Row(sym="A", t=10, px=1.0), Row(sym="A", t=20, px=2.0),
+         Row(sym="A", t=40, px=4.0)]
+    )
+    trades = spark.createDataFrame(
+        [Row(sym="A", t=5, q=1), Row(sym="A", t=24, q=2),
+         Row(sym="A", t=31, q=3), Row(sym="A", t=30, q=4)]
+    )
+
+    def run(direction):
+        return {
+            r["t"]: r["px_asof"]
+            for r in asof_join(
+                trades, quotes, on="sym", left_time="t", right_time="t",
+                right_cols=["px"], direction=direction,
+            ).collect()
+        }
+
+    assert run("backward") == {5: None, 24: 2.0, 31: 2.0, 30: 2.0}
+    assert run("forward") == {5: 1.0, 24: 4.0, 31: 4.0, 30: 4.0}
+    # t=24: back 4 away, fwd 16 → back; t=31: back 11, fwd 9 → fwd;
+    # t=30: equidistant (10/10) → backward wins the tie; t=5: only fwd
+    assert run("nearest") == {5: 1.0, 24: 2.0, 31: 4.0, 30: 2.0}
+
+
+def test_interval_union_duration_merges_overlaps(spark):
+    """Overlapping and touching intervals merge into islands; disjoint
+    ones don't; the union never double-counts."""
+    from datetime import datetime, timedelta
+
+    from osmapreduceproject_spark.operators.windows import interval_union_duration
+
+    t0 = datetime(2024, 1, 1)
+
+    def iv(k, a, b):
+        return Row(k=k, s=t0 + timedelta(seconds=a), e=t0 + timedelta(seconds=b))
+
+    rows = [
+        iv("a", 0, 100), iv("a", 50, 120),   # overlap → [0,120]
+        iv("a", 120, 150),                   # touching (start == max end) → same island
+        iv("a", 200, 210),                   # disjoint
+        iv("b", 0, 10), iv("b", 5, 7),       # contained
+    ]
+    out = {
+        r["k"]: (r["n_intervals"], r["n_islands"], r["covered_s"])
+        for r in interval_union_duration(
+            spark.createDataFrame(rows), key="k", start="s", end="e"
+        ).collect()
+    }
+    assert out["a"] == (4, 2, 160)  # [0,150] + [200,210]
+    assert out["b"] == (2, 1, 10)
