@@ -55,11 +55,25 @@ def asof_join(
         *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
     )
     if nearest:
+        # Exact time axis for the distance comparison: a timestamp cast
+        # to double is epoch SECONDS with ~4e-7 s error at current
+        # epochs — enough to flip a near-tie — so timestamps compare in
+        # integer µs (unix_micros); numeric time columns compare as-is.
+        from pyspark.sql.types import TimestampNTZType, TimestampType
+
+        is_ts = isinstance(
+            left.schema[left_time].dataType, (TimestampType, TimestampNTZType)
+        )
+
+        def _tnum(col):
+            return F.unix_micros(col) if is_ts else col.cast("double")
+
         tagged_left = tagged_left.withColumn(
-            f"__rtime{suffix}", F.lit(None).cast("double")
+            f"__rtime{suffix}",
+            F.lit(None).cast("bigint" if is_ts else "double"),
         )
         tagged_right = tagged_right.withColumn(
-            f"__rtime{suffix}", F.col("__t").cast("double")
+            f"__rtime{suffix}", _tnum(F.col("__t"))
         )
     left_cols = [c for c in left.columns]
     for c in left_cols:
@@ -96,7 +110,7 @@ def asof_join(
             ).withColumn(
                 f"__f_{c}", F.last(F.col(f"{c}{suffix}"), ignorenulls=True).over(wf)
             )
-        tnum = F.col("__t").cast("double")
+        tnum = _tnum(F.col("__t"))
         back_rt = F.col("__b___rtime")
         fwd_rt = F.col("__f___rtime")
         prefer_fwd = fwd_rt.isNotNull() & (

@@ -446,3 +446,94 @@ def test_series_rolling_oracle(spark, duck):
                  ROWS BETWEEN 11 PRECEDING AND CURRENT ROW)
     """
     assert compare(got, duck.execute(sql).df()) == []
+
+
+def test_asof_forward_nearest_oracle(spark, duck):
+    from osmapreduceproject_spark.operators.joins import asof_join
+
+    e = _events(spark)
+    purch = e.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = e.where(F.col("event_type") == "view").select("user_id", "ts", "value")
+
+    base = """
+    WITH p AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'purchase'),
+    b AS (SELECT event_id, value AS bv, vts AS bt FROM (
+            SELECT p.event_id, v.value, v.ts AS vts,
+                   ROW_NUMBER() OVER (PARTITION BY p.event_id
+                                      ORDER BY v.ts DESC) AS rn
+            FROM p JOIN events v ON v.user_id = p.user_id
+                 AND v.event_type = 'view' AND v.ts <= p.ts) t WHERE rn = 1),
+    f AS (SELECT event_id, value AS fv, vts AS ft FROM (
+            SELECT p.event_id, v.value, v.ts AS vts,
+                   ROW_NUMBER() OVER (PARTITION BY p.event_id
+                                      ORDER BY v.ts ASC) AS rn
+            FROM p JOIN events v ON v.user_id = p.user_id
+                 AND v.event_type = 'view' AND v.ts >= p.ts) t WHERE rn = 1)
+    """
+
+    fwd = asof_join(
+        purch, views, on="user_id", left_time="ts", right_time="ts",
+        right_cols=["value"], direction="forward",
+    ).select("event_id", F.col("value_asof"))
+    sql_fwd = base + """
+    SELECT p.event_id, f.fv AS value_asof
+    FROM p LEFT JOIN f USING (event_id)
+    """
+    assert compare(fwd, duck.execute(sql_fwd).df()) == []
+
+    near = asof_join(
+        purch, views, on="user_id", left_time="ts", right_time="ts",
+        right_cols=["value"], direction="nearest",
+    ).select("event_id", F.col("value_asof"))
+    sql_near = base + """
+    SELECT p.event_id,
+           CASE WHEN f.ft IS NOT NULL AND (b.bt IS NULL
+                     OR (epoch_us(f.ft) - epoch_us(p.ts))
+                        < (epoch_us(p.ts) - epoch_us(b.bt)))
+                THEN f.fv ELSE b.bv END AS value_asof
+    FROM p LEFT JOIN b USING (event_id) LEFT JOIN f USING (event_id)
+    """
+    assert compare(near, duck.execute(sql_near).df()) == []
+
+
+def test_interval_union_duration_oracle(spark, duck):
+    from osmapreduceproject_spark.operators.windows import interval_union_duration
+
+    e = _events(spark)
+    iv = e.select(
+        "user_id",
+        F.col("ts").alias("s"),
+        F.timestamp_micros(
+            F.unix_micros("ts") + F.floor(F.col("value")).cast("bigint") * 1_000_000
+        ).alias("e"),
+    )
+    got = interval_union_duration(iv, key="user_id", start="s", end="e")
+    sql = """
+    WITH iv AS (
+      SELECT user_id AS k, epoch_us(ts) AS s,
+             epoch_us(ts) + CAST(floor(value) AS BIGINT) * 1000000 AS e
+      FROM events),
+    m AS (SELECT k, s, e,
+                 MAX(e) OVER (PARTITION BY k ORDER BY s, e
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS pme
+          FROM iv),
+    fl AS (SELECT k, s, e,
+                  CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END AS nw
+           FROM m),
+    isl AS (SELECT k, s, e,
+                   SUM(nw) OVER (PARTITION BY k ORDER BY s, e
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS island
+            FROM fl),
+    pi AS (SELECT k, island, COUNT(*) AS n, MAX(e) - MIN(s) AS span
+           FROM isl GROUP BY 1, 2)
+    SELECT k AS user_id, CAST(SUM(n) AS BIGINT) AS n_intervals,
+           COUNT(*) AS n_islands,
+           CAST(SUM(span) // 1000000 AS BIGINT) AS covered_s
+    FROM pi GROUP BY k
+    """
+    assert compare(got, duck.execute(sql).df()) == []
