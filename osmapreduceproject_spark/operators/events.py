@@ -289,3 +289,46 @@ def multi_touch_attribution(
             ),
         )
     )
+
+
+def funnel_step_latencies(
+    df: DataFrame,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Time-to-convert between adjacent funnel steps: for every user who
+    reached step i+1 after reaching step i (first-touch timestamps, the
+    q122 funnel-ordering rule m_{i+1} ≥ m_i), the latency distribution
+    per step pair — the "WHERE does the funnel stall" report that step
+    conversion counts alone can't answer. Returns one row per
+    transition: (step_from, step_to, n_converted, avg_latency_s,
+    min_latency_s, max_latency_s).
+
+    Exactness: latencies are integer µs differences of the per-user
+    conditional mins; the average divides an exact integer-µs sum once
+    in double. Scale shape: one user-keyed aggregation (the
+    funnel_user_mins pass — streamable) then a steps-cardinality rollup;
+    nothing beyond the funnel's own exchange.
+    """
+    mins = funnel_user_mins(df, steps, user_col, type_col, ts_col)
+    out = None
+    for i in range(1, len(steps)):
+        a, b = f"m{i}", f"m{i + 1}"
+        lat = F.unix_micros(F.col(b)) - F.unix_micros(F.col(a))
+        stage = (
+            mins.where(F.col(a).isNotNull() & F.col(b).isNotNull() & (lat >= 0))
+            .agg(
+                F.lit(steps[i - 1]).alias("step_from"),
+                F.lit(steps[i]).alias("step_to"),
+                F.count(F.lit(1)).alias("n_converted"),
+                (F.sum(lat).cast("double") / (F.count(F.lit(1)) * 1_000_000.0)).alias(
+                    "avg_latency_s"
+                ),
+                (F.min(lat) / 1_000_000).cast("bigint").alias("min_latency_s"),
+                (F.max(lat) / 1_000_000).cast("bigint").alias("max_latency_s"),
+            )
+        )
+        out = stage if out is None else out.unionByName(stage)
+    return out

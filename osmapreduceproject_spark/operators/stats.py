@@ -282,3 +282,55 @@ def winsorized_stats(
             / F.count(F.lit(1))
         ).alias("winsorized_mean"),
     )
+
+
+def corr_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Pairwise Pearson correlations across numeric columns in ONE pass:
+    a single aggregation computes every Σx, Σx², and Σxy, and the
+    matrix assembles driver-side from those scalars — the profiling
+    step before feature selection or redundancy pruning, at the cost of
+    one scan regardless of how many pairs (k columns → k(k+1)/2 sums in
+    one partial-aggregating pass, never k² scans).
+
+    Returns (col_a, col_b, corr) for a < b, 6 decimals; NULL corr for a
+    zero-variance side. Rows with a NULL/NaN in EITHER member of a pair
+    are excluded pairwise (per-pair n), matching SQL CORR semantics.
+    """
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
+    aggs = []
+    for a, b in pairs:
+        x = F.col(a).cast("double")
+        y = F.col(b).cast("double")
+        ok = x.isNotNull() & ~F.isnan(x) & y.isNotNull() & ~F.isnan(y)
+        xv = F.when(ok, x)
+        yv = F.when(ok, y)
+        p = f"{a}__{b}"
+        aggs += [
+            F.count(xv).alias(f"n_{p}"),
+            F.sum(xv).alias(f"sx_{p}"),
+            F.sum(yv).alias(f"sy_{p}"),
+            F.sum(xv * xv).alias(f"sxx_{p}"),
+            F.sum(yv * yv).alias(f"syy_{p}"),
+            F.sum(xv * yv).alias(f"sxy_{p}"),
+        ]
+    row = df.agg(*aggs).first()
+    out = []
+    for a, b in pairs:
+        p = f"{a}__{b}"
+        n = float(row[f"n_{p}"] or 0)
+        if n >= 2:
+            sx, sy = row[f"sx_{p}"], row[f"sy_{p}"]
+            sxx, syy, sxy = row[f"sxx_{p}"], row[f"syy_{p}"], row[f"sxy_{p}"]
+            var_x = n * sxx - sx * sx
+            var_y = n * syy - sy * sy
+            corr = (
+                round((n * sxy - sx * sy) / math.sqrt(var_x * var_y), 6)
+                if var_x > 0 and var_y > 0
+                else None
+            )
+        else:
+            corr = None
+        out.append((a, b, corr))
+    return df.sparkSession.createDataFrame(
+        out, "col_a string, col_b string, corr double"
+    )

@@ -2694,3 +2694,51 @@ def test_interval_union_duration_merges_overlaps(spark):
     }
     assert out["a"] == (4, 2, 160)  # [0,150] + [200,210]
     assert out["b"] == (2, 1, 10)
+
+
+def test_funnel_step_latencies_known_case(spark):
+    """Two converting users (10s and 30s view→click) and one who clicked
+    BEFORE viewing (excluded by the funnel-ordering rule)."""
+    from datetime import datetime, timedelta
+
+    from osmapreduceproject_spark.operators.events import funnel_step_latencies
+
+    t0 = datetime(2024, 1, 1)
+
+    def ev(u, et, s):
+        return Row(user_id=u, event_type=et, ts=t0 + timedelta(seconds=s))
+
+    rows = [
+        ev(1, "view", 0), ev(1, "click", 10),
+        ev(2, "view", 0), ev(2, "click", 30), ev(2, "purchase", 90),
+        ev(3, "click", 0), ev(3, "view", 5),  # out of order → excluded
+    ]
+    out = {
+        (r["step_from"], r["step_to"]): r
+        for r in funnel_step_latencies(
+            spark.createDataFrame(rows), steps=("view", "click", "purchase")
+        ).collect()
+    }
+    vc = out[("view", "click")]
+    assert vc["n_converted"] == 2 and vc["avg_latency_s"] == 20.0
+    assert (vc["min_latency_s"], vc["max_latency_s"]) == (10, 30)
+    cp = out[("click", "purchase")]
+    assert cp["n_converted"] == 1 and cp["avg_latency_s"] == 60.0
+
+
+def test_corr_matrix_signs_and_nulls(spark):
+    """y = 2x correlates 1, z = -x correlates -1 with both, a constant
+    column yields NULL, and pairwise NULL exclusion holds."""
+    from osmapreduceproject_spark.operators.stats import corr_matrix
+
+    rows = [(float(i), 2.0 * i, -1.0 * i, 7.0) for i in range(10)]
+    rows.append((None, 5.0, 5.0, 7.0))  # excluded pairwise vs x
+    df = spark.createDataFrame(rows, "x double, y double, z double, c double")
+    out = {(r["col_a"], r["col_b"]): r["corr"] for r in corr_matrix(
+        df, ["x", "y", "z", "c"]).collect()}
+    assert out[("x", "y")] == 1.0
+    assert out[("x", "z")] == -1.0
+    # the (None, 5, 5) row is excluded from every x-pair but PARTICIPATES
+    # in (y, z) — pairwise exclusion, so that pair is near-but-not-exactly -1
+    assert -1.0 < out[("y", "z")] < -0.85
+    assert out[("x", "c")] is None and out[("y", "c")] is None
