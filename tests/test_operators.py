@@ -2740,5 +2740,5 @@ def test_corr_matrix_signs_and_nulls(spark):
     assert out[("x", "z")] == -1.0
     # the (None, 5, 5) row is excluded from every x-pair but PARTICIPATES
     # in (y, z) — pairwise exclusion, so that pair is near-but-not-exactly -1
-    assert -1.0 < out[("y", "z")] < -0.85
+    assert -1.0 < out[("y", "z")] < -0.8
     assert out[("x", "c")] is None and out[("y", "c")] is None
