@@ -284,7 +284,7 @@ def winsorized_stats(
     )
 
 
-def corr_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
+def corr_matrix(df: DataFrame, cols: list[str], scale: int = 1_000_000) -> DataFrame:
     """Pairwise Pearson correlations across numeric columns in ONE pass:
     a single aggregation computes every Σx, Σx², and Σxy, and the
     matrix assembles driver-side from those scalars — the profiling
@@ -292,44 +292,55 @@ def corr_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
     one scan regardless of how many pairs (k columns → k(k+1)/2 sums in
     one partial-aggregating pass, never k² scans).
 
-    Returns (col_a, col_b, corr) for a < b, 6 decimals; NULL corr for a
-    zero-variance side. Rows with a NULL/NaN in EITHER member of a pair
-    are excluded pairwise (per-pair n), matching SQL CORR semantics.
+    EXACT cross-engine arithmetic where naive float sums would not be:
+    the textbook n·Σxy − Σx·Σy form cancels catastrophically when
+    means dominate spread, amplifying float-association noise past any
+    rounding mask — so operands quantize to ``round(x·scale)`` integers
+    summed in DECIMAL(38,0) (associative, partition-order-free), the
+    cancellations run in arbitrary-precision driver integers, and only
+    the final ratio touches floating point. Inputs are thereby
+    quantized at 1/scale (exact for the fixture's 2-decimal numerics);
+    correlation is scale-invariant so the quantization factor cancels.
+
+    Returns (col_a, col_b, corr) for a < b; NULL corr for a
+    zero-variance side or n < 2. Rows with a NULL/NaN in EITHER member
+    of a pair are excluded pairwise (per-pair n), matching SQL CORR
+    semantics.
     """
     pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
+    dec = "decimal(38,0)"
     aggs = []
     for a, b in pairs:
         x = F.col(a).cast("double")
         y = F.col(b).cast("double")
         ok = x.isNotNull() & ~F.isnan(x) & y.isNotNull() & ~F.isnan(y)
-        xv = F.when(ok, x)
-        yv = F.when(ok, y)
+        xq = F.when(ok, F.round(x * scale)).cast(dec)
+        yq = F.when(ok, F.round(y * scale)).cast(dec)
         p = f"{a}__{b}"
         aggs += [
-            F.count(xv).alias(f"n_{p}"),
-            F.sum(xv).alias(f"sx_{p}"),
-            F.sum(yv).alias(f"sy_{p}"),
-            F.sum(xv * xv).alias(f"sxx_{p}"),
-            F.sum(yv * yv).alias(f"syy_{p}"),
-            F.sum(xv * yv).alias(f"sxy_{p}"),
+            F.count(xq).alias(f"n_{p}"),
+            F.sum(xq).alias(f"sx_{p}"),
+            F.sum(yq).alias(f"sy_{p}"),
+            F.sum(xq * xq).alias(f"sxx_{p}"),
+            F.sum(yq * yq).alias(f"syy_{p}"),
+            F.sum(xq * yq).alias(f"sxy_{p}"),
         ]
     row = df.agg(*aggs).first()
     out = []
     for a, b in pairs:
         p = f"{a}__{b}"
-        n = float(row[f"n_{p}"] or 0)
+        n = int(row[f"n_{p}"] or 0)
+        corr = None
         if n >= 2:
-            sx, sy = row[f"sx_{p}"], row[f"sy_{p}"]
-            sxx, syy, sxy = row[f"sxx_{p}"], row[f"syy_{p}"], row[f"sxy_{p}"]
-            var_x = n * sxx - sx * sx
+            sx, sy = int(row[f"sx_{p}"]), int(row[f"sy_{p}"])
+            sxx, syy = int(row[f"sxx_{p}"]), int(row[f"syy_{p}"])
+            sxy = int(row[f"sxy_{p}"])
+            var_x = n * sxx - sx * sx  # exact python ints
             var_y = n * syy - sy * sy
-            corr = (
-                round((n * sxy - sx * sy) / math.sqrt(var_x * var_y), 6)
-                if var_x > 0 and var_y > 0
-                else None
-            )
-        else:
-            corr = None
+            if var_x > 0 and var_y > 0:
+                corr = float(n * sxy - sx * sy) / math.sqrt(
+                    float(var_x) * float(var_y)
+                )
         out.append((a, b, corr))
     return df.sparkSession.createDataFrame(
         out, "col_a string, col_b string, corr double"

@@ -537,3 +537,63 @@ def test_interval_union_duration_oracle(spark, duck):
     FROM pi GROUP BY k
     """
     assert compare(got, duck.execute(sql).df()) == []
+
+
+def test_corr_matrix_oracle(spark, duck):
+    from osmapreduceproject_spark.operators.stats import corr_matrix
+    from osmapreduceproject_spark.queries import _t
+
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    got = corr_matrix(_t(spark, SF_CORRECT, "lineitem"), cols)
+    parts = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            parts.append(f"""
+    SELECT '{a}' AS col_a, '{b}' AS col_b,
+           CAST(n*sxy - sx*sy AS DOUBLE)
+             / sqrt(CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE))
+             AS corr
+    FROM (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+             SUM(xq) AS sx, SUM(yq) AS sy,
+             SUM(xq*xq) AS sxx, SUM(yq*yq) AS syy, SUM(xq*yq) AS sxy
+      FROM (
+        SELECT CAST(round(CAST({a} AS DOUBLE) * 1000000) AS HUGEINT) AS xq,
+               CAST(round(CAST({b} AS DOUBLE) * 1000000) AS HUGEINT) AS yq
+        FROM lineitem
+        WHERE {a} IS NOT NULL AND {b} IS NOT NULL))""")
+    sql = "\nUNION ALL".join(parts)
+    assert compare(got, duck.execute(sql).df()) == []
+
+
+def test_funnel_step_latencies_oracle(spark, duck):
+    from osmapreduceproject_spark.operators.events import funnel_step_latencies
+
+    got = funnel_step_latencies(
+        _events(spark), steps=("view", "click", "purchase")
+    )
+    sql = """
+    WITH m AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS m1,
+             MIN(CASE WHEN event_type = 'click' THEN ts END) AS m2,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS m3
+      FROM events GROUP BY user_id)
+    SELECT 'view' AS step_from, 'click' AS step_to,
+           COUNT(*) AS n_converted,
+           CAST(SUM(epoch_us(m2) - epoch_us(m1)) AS DOUBLE)
+             / (COUNT(*) * 1000000.0) AS avg_latency_s,
+           CAST(MIN(epoch_us(m2) - epoch_us(m1)) // 1000000 AS BIGINT) AS min_latency_s,
+           CAST(MAX(epoch_us(m2) - epoch_us(m1)) // 1000000 AS BIGINT) AS max_latency_s
+    FROM m WHERE m1 IS NOT NULL AND m2 IS NOT NULL
+          AND epoch_us(m2) - epoch_us(m1) >= 0
+    UNION ALL
+    SELECT 'click', 'purchase', COUNT(*),
+           CAST(SUM(epoch_us(m3) - epoch_us(m2)) AS DOUBLE)
+             / (COUNT(*) * 1000000.0),
+           CAST(MIN(epoch_us(m3) - epoch_us(m2)) // 1000000 AS BIGINT),
+           CAST(MAX(epoch_us(m3) - epoch_us(m2)) // 1000000 AS BIGINT)
+    FROM m WHERE m2 IS NOT NULL AND m3 IS NOT NULL
+          AND epoch_us(m3) - epoch_us(m2) >= 0
+    """
+    assert compare(got, duck.execute(sql).df()) == []
