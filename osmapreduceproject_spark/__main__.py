@@ -23,6 +23,15 @@ curation pipeline (pipelines.curate_corpus) over a documents parquet::
         --min-tokens 10 --max-tokens 1000 --threshold 0.8 --cap 40
 
 and prints one JSON line with the per-stage survival funnel.
+
+``profile`` runs the dataset-profiling surface over any parquet
+dataset — per-file zone map, exact percentiles, and the pairwise
+correlation matrix of the requested numeric columns::
+
+    python -m osmapreduceproject_spark profile \
+        --input /path/data.parquet --cols price,quantity,discount
+
+and prints one JSON document with the three sections.
 """
 
 from __future__ import annotations
@@ -83,6 +92,34 @@ def _curate_cmd(args) -> int:
     return 0
 
 
+def _profile_cmd(args) -> int:
+    from .operators.stats import corr_matrix, exact_percentile
+    from .session import get_spark
+    from .sources.io import parquet_zone_map
+
+    spark = get_spark(app_name="profile", cpus=args.workers,
+                      shuffle_partitions=args.workers)
+    try:
+        cols = [c for c in args.cols.split(",") if c]
+        out: dict = {"input": args.input, "cols": cols}
+        out["zone_map"] = [
+            r.asDict() for r in parquet_zone_map(spark, args.input, cols).collect()
+        ]
+        ps = [float(x) for x in args.percentiles.split(",") if x]
+        df = spark.read.parquet(args.input)
+        out["percentiles"] = {
+            c: dict(zip(ps, exact_percentile(df, c, ps))) for c in cols
+        }
+        if len(cols) > 1:
+            out["correlations"] = [
+                r.asDict() for r in corr_matrix(df, cols).collect()
+            ]
+        print(json.dumps(out, default=str))
+    finally:
+        spark.stop()
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="python -m osmapreduceproject_spark")
     sub = p.add_subparsers(dest="which", required=True)
@@ -115,6 +152,15 @@ def main(argv: list[str] | None = None) -> int:
                     default="xxhash64",
                     help="MinHash base hash (xxhash64 = production path)")
     cp.set_defaults(fn=_curate_cmd)
+
+    pp = sub.add_parser("profile", help="dataset profiling report")
+    pp.add_argument("--input", required=True, help="parquet dataset path")
+    pp.add_argument("--cols", required=True,
+                    help="comma-separated numeric columns to profile")
+    pp.add_argument("--percentiles", default="0.01,0.25,0.5,0.75,0.99",
+                    help="comma-separated percentiles for the exact quantiles")
+    pp.add_argument("--workers", type=int, default=4, help="parallelism (local[N])")
+    pp.set_defaults(fn=_profile_cmd)
 
     args = p.parse_args(argv)
     return args.fn(args)

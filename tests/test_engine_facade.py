@@ -145,3 +145,29 @@ def test_split_corpus_partitions_exactly(spark):
     assert ids == ids2
     # default weights: train is the large split
     assert len(ids["train"]) > len(ids["val"]) and len(ids["train"]) > len(ids["test"])
+
+
+def test_profile_cli_end_to_end(tmp_path):
+    """`python -m osmapreduceproject_spark profile` over the fixture:
+    prints one JSON document with zone map, exact percentiles, and the
+    correlation matrix. Subprocess on purpose — the CLI owns (and
+    stops) its own SparkSession."""
+    import json as _json
+    import subprocess
+    import sys
+
+    from tests.conftest import SF_SMOKE
+
+    proc = subprocess.run(
+        [sys.executable, "-m", "osmapreduceproject_spark", "profile",
+         "--input", f"{SF_SMOKE}/orders.parquet",
+         "--cols", "o_totalprice,o_orderkey",
+         "--percentiles", "0.5,0.9", "--workers", "2"],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    doc = _json.loads(proc.stdout.strip().splitlines()[-1])
+    assert doc["zone_map"] and doc["zone_map"][0]["n_rows"] > 0
+    assert set(doc["percentiles"]) == {"o_totalprice", "o_orderkey"}
+    assert len(doc["percentiles"]["o_totalprice"]) == 2
+    assert len(doc["correlations"]) == 1
