@@ -5463,9 +5463,15 @@ def q148(spark, sf_dir):
         F.sum(F.col("o_totalprice").cast(DEC)).alias("rev"),
         F.count(F.lit(1)).alias("n"),
     )
-    week = F.floor(
-        F.unix_timestamp(F.col("day").cast("timestamp")) / 604800
-    ).cast("bigint")
+    # TZ-free week index: cast-to-timestamp + unix_timestamp interprets
+    # the (ntz) day in the SESSION timezone — under a +8:45 session the
+    # epoch shifts 31500s and Thursday-early orders land in the prior
+    # week, diverging from the oracle's naive midnight. unix_date on the
+    # date part is pure calendar arithmetic: floor(epoch_day/7) equals
+    # the oracle's floor(epoch_us/604800) for naive midnights exactly.
+    week = F.floor(F.unix_date(F.col("day").cast("date")) / F.lit(7)).cast(
+        "bigint"
+    )
     return daily.groupBy("o_orderpriority", week.alias("week_idx")).agg(
         F.sum("rev").cast("double").alias("revenue"),
         F.sum("n").alias("n_orders"),
