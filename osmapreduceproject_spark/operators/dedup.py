@@ -946,3 +946,48 @@ def pagerank(
         ranks.unpersist()
         ranks = new_ranks
     return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    k: int = 3,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Asymmetric containment near-dup pairs: ``|A∩B| / |A|`` (and the
+    mirror ``/ |B|``) over distinct k-shingle sets, keeping pairs where
+    EITHER direction reaches ``threshold``. Containment is the
+    subset-quoting detector symmetric Jaccard structurally misses: a
+    short doc fully embedded in a long one has Jaccard ≈ |A|/|B| (small)
+    but containment(A→B) = 1.0 — reused passages, quoted articles,
+    aggregator pages. The standard companion to Jaccard in the dedup
+    literature (Broder's resemblance vs containment).
+
+    Reuses :func:`ngram_jaccard_pairs`'s capped inverted-index machinery
+    (one implementation: same index, same ``max_df`` hot-shingle guard
+    and its oracle-mirrored semantics, same candidate bound
+    O(|index|·max_df)); the containment filter replaces the Jaccard
+    filter in the SAME stage, so Catalyst collapses it into the
+    candidate aggregation — no extra pass. Output keeps both directions
+    plus Jaccard for triage.
+    """
+    base = ngram_jaccard_pairs(
+        df, id_col=id_col, text_col=text_col, threshold=0.0, k=k, max_df=max_df
+    )
+    cont_a = F.col("n_common").cast("double") / F.col("a_size")
+    cont_b = F.col("n_common").cast("double") / F.col("b_size")
+    return (
+        base.withColumn("containment_a", F.round(cont_a, 6))
+        .withColumn("containment_b", F.round(cont_b, 6))
+        .where(
+            (F.col("containment_a") >= threshold)
+            | (F.col("containment_b") >= threshold)
+        )
+        .select(
+            f"a_{id_col}", f"b_{id_col}", "n_common", "a_size", "b_size",
+            "containment_a", "containment_b",
+            F.round("jaccard", 6).alias("jaccard"),
+        )
+    )

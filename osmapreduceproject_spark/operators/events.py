@@ -332,3 +332,81 @@ def funnel_step_latencies(
         )
         out = stage if out is None else out.unionByName(stage)
     return out
+
+
+def ab_significance(
+    df: DataFrame,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    salt: str = "ab|",
+    z_crit: float = 1.959964,
+) -> DataFrame:
+    """Two-proportion z-test over a hash-split A/B experiment — the
+    significance readout on top of the q135 metrics: variants assigned by
+    content hash (``md5(salt || user_id) % 2``, the stable split
+    primitive — no assignment table), conversion = full ordered funnel
+    (q122's first-touch ``m_{i+1} >= m_i`` rule), then the pooled
+    two-proportion z-statistic
+
+        z = (p_b - p_a) / sqrt(p(1-p)(1/n_a + 1/n_b)),  p = (x_a+x_b)/(n_a+n_b)
+
+    with ``significant = |z| > z_crit`` (default 1.959964 ≈ two-sided
+    5%). Emitting z rather than a p-value keeps the result exact
+    closed-form arithmetic on integer counts — bit-identical across
+    engines, no erf approximation to diverge on.
+
+    Scale shape: one user-keyed conditional-min aggregation (the
+    streamable funnel pass), one 2-row variant rollup, then scalar
+    finalization — the reference's partial→final combine
+    (max_aggregation.cpp:70-112) with a hypothesis test as the final
+    step. The only wide exchange hashes on ``user_id``.
+    """
+    from ..functions.hashing import md5_int
+
+    variant = F.when(
+        md5_int(F.concat(F.lit(salt), F.col(user_col).cast("string"))) % 2 == 0,
+        F.lit("A"),
+    ).otherwise(F.lit("B"))
+    assigned = df.withColumn("__variant", variant)
+    # Per (variant, user): conditional mins, then ordered-conversion flag
+    # (funnel_user_mins' aggregation, keyed by variant as well).
+    m_aggs = [
+        F.min(F.when(F.col(type_col) == s, F.col(ts_col))).alias(f"m{i}")
+        for i, s in enumerate(steps, start=1)
+    ]
+    per_user = assigned.groupBy("__variant", user_col).agg(*m_aggs)
+    conv = F.col("m1").isNotNull()
+    for i in range(2, len(steps) + 1):
+        conv = conv & F.col(f"m{i}").isNotNull() & (
+            F.col(f"m{i}") >= F.col(f"m{i - 1}")
+        )
+    by_variant = per_user.groupBy("__variant").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(conv.cast("bigint")).alias("x"),
+    )
+    one = by_variant.agg(
+        F.sum(F.when(F.col("__variant") == "A", F.col("n"))).alias("n_a"),
+        F.sum(F.when(F.col("__variant") == "A", F.col("x"))).alias("conv_a"),
+        F.sum(F.when(F.col("__variant") == "B", F.col("n"))).alias("n_b"),
+        F.sum(F.when(F.col("__variant") == "B", F.col("x"))).alias("conv_b"),
+    )
+    p_a = F.col("conv_a").cast("double") / F.col("n_a")
+    p_b = F.col("conv_b").cast("double") / F.col("n_b")
+    pool = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    se = F.sqrt(
+        pool * (F.lit(1.0) - pool)
+        * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+    )
+    z = (p_b - p_a) / se
+    return one.select(
+        "n_a", "conv_a", "n_b", "conv_b",
+        F.round(p_a, 6).alias("rate_a"),
+        F.round(p_b, 6).alias("rate_b"),
+        F.round(p_b - p_a, 6).alias("lift"),
+        F.round(z, 6).alias("z_score"),
+        (F.abs(z) > F.lit(z_crit)).alias("significant"),
+    )

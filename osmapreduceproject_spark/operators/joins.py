@@ -177,3 +177,103 @@ def salted_join(
     l = left.withColumn("__salt", F.pmod(F.hash(*salt_cols), F.lit(salts)))
     r = right.withColumn("__salt", F.explode(F.sequence(F.lit(0), F.lit(salts - 1))))
     return l.join(r, on=[*keys, "__salt"], how=how).drop("__salt")
+
+
+def _bloom_positions(key: F.Column, n_bits: int, n_hashes: int) -> F.Column:
+    from ..functions.hashing import seeded_hash
+
+    return F.array(*[seeded_hash(key, s) % n_bits for s in range(n_hashes)])
+
+
+def bloom_prejoin(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str | None = None,
+    n_bits: int = 8192,
+    n_hashes: int = 3,
+) -> DataFrame:
+    """Bloom-filter semi-join pruning: filter ``fact`` down to rows whose
+    key MIGHT exist in ``dim``, using a ``n_bits``-bit Bloom filter built
+    from the dim keys — the classic pre-shuffle reduction when the dim
+    side is too large to broadcast as a hash set but the fact side is
+    vastly larger still (Spark's own runtime row-level filtering /
+    InjectRuntimeFilter plays this trick internally; this operator makes
+    it explicit, parameterized, and cross-engine verifiable via the
+    deterministic md5 hash family instead of an opaque native filter).
+
+    Build: dim keys → ``n_hashes`` seeded positions each → DISTINCT set
+    bits (≤ n_bits integers, metadata-scale) aggregated to ONE row and
+    broadcast. Probe: a narrow map — fact survives iff ALL its positions
+    are set (``forall``). No shuffle touches fact; the output may contain
+    Bloom false positives (one-sided error) and is intended to feed the
+    exact join, which then carries only the pruned volume. At 100 TB the
+    wide exchange after pruning moves ``n_pass`` rows, not ``n_fact``.
+    """
+    dim_key = dim_key or fact_key
+    bits = (
+        dim.select(
+            F.explode(
+                _bloom_positions(F.col(dim_key).cast("string"), n_bits, n_hashes)
+            ).alias("__bit")
+        )
+        .distinct()
+        .agg(F.array_sort(F.collect_set("__bit")).alias("__bits"))
+    )
+    probe = _bloom_positions(F.col(fact_key).cast("string"), n_bits, n_hashes)
+    return (
+        fact.crossJoin(F.broadcast(bits))
+        .where(F.forall(probe, lambda p: F.array_contains(F.col("__bits"), p)))
+        .drop("__bits")
+    )
+
+
+def bloom_prejoin_report(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str | None = None,
+    n_bits: int = 8192,
+    n_hashes: int = 3,
+) -> DataFrame:
+    """One-row calibration report for :func:`bloom_prejoin`: total fact
+    rows, rows passing the Bloom probe, rows with a TRUE dim match
+    (exact left-semi join over the already-pruned survivors), false
+    positives and their rate among pass-throughs, and the pruned
+    fraction — the "is n_bits big enough for this key population" check
+    to run at small scale before sizing the filter for the cluster.
+    Deterministic md5 positions → fully value-oracle-able, unlike a
+    native Bloom whose bit layout is implementation-defined.
+    """
+    dim_key = dim_key or fact_key
+    passed = bloom_prejoin(fact, dim, fact_key, dim_key, n_bits, n_hashes)
+    n_fact = fact.agg(F.count(F.lit(1)).alias("n_fact"))
+    hits = passed.join(
+        dim.select(F.col(dim_key).alias(fact_key)).distinct(), fact_key, "left_semi"
+    )
+    stats = passed.agg(F.count(F.lit(1)).alias("n_pass_bloom")).crossJoin(
+        F.broadcast(hits.agg(F.count(F.lit(1)).alias("n_true_match")))
+    )
+    return (
+        n_fact.crossJoin(F.broadcast(stats))
+        .select(
+            "n_fact", "n_pass_bloom", "n_true_match",
+            (F.col("n_pass_bloom") - F.col("n_true_match")).alias("n_false_pos"),
+            F.when(
+                F.col("n_pass_bloom") > 0,
+                F.round(
+                    (F.col("n_pass_bloom") - F.col("n_true_match")).cast("double")
+                    / F.col("n_pass_bloom"),
+                    6,
+                ),
+            ).alias("false_pos_rate"),
+            F.when(
+                F.col("n_fact") > 0,
+                F.round(
+                    F.lit(1.0)
+                    - F.col("n_pass_bloom").cast("double") / F.col("n_fact"),
+                    6,
+                ),
+            ).alias("pruned_frac"),
+        )
+    )

@@ -345,3 +345,149 @@ def corr_matrix(df: DataFrame, cols: list[str], scale: int = 1_000_000) -> DataF
     return df.sparkSession.createDataFrame(
         out, "col_a string, col_b string, corr double"
     )
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+    min_share: float = 0.01,
+) -> DataFrame:
+    """Count-Min-sketch heavy hitters with a per-key exact/estimate
+    audit: build a ``depth × width`` CMS over ``key_col`` (hash row
+    ``depth`` times with the seeded md5 family, increment one bucket per
+    row per seed), estimate each candidate key as the MIN of its
+    ``depth`` bucket counts, and report keys whose ESTIMATE reaches
+    ``min_share`` of total rows, alongside their exact counts — the
+    sketch-vs-truth calibration a pipeline runs before trusting CMS
+    numbers corpus-wide (the q168 pattern applied to frequency
+    sketching).
+
+    Unlike the engine's HLL/approx-quantile surface (q51/q90 —
+    implementation-defined sketches, rows-only checkable), the md5 hash
+    family (functions/hashing.py) makes every bucket index reproducible
+    in ANSI SQL, so this sketch is fully value-oracle-able: estimates
+    are deterministic integer minima, ``overestimate = estimate − exact``
+    is the classic CMS one-sided error, never negative.
+
+    Scale shape (the reference's partial→final combine,
+    max_aggregation.cpp:70-112, with a fixed-size state): the sketch is
+    one explode(depth) → (seed, bucket) groupBy with map-side combine —
+    state bounded at depth·width rows regardless of input size, then
+    broadcast to score candidates; candidate exact counts are one
+    key-keyed groupBy. At 100 TB the sketch build shuffles depth·width
+    pre-combined rows per task, not data.
+    """
+    from ..functions.hashing import seeded_hash
+
+    key = F.col(key_col).cast("string")
+    hashed = df.select(
+        key.alias("__k"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(s).alias("seed"),
+                    (seeded_hash(key, s) % width).alias("bucket"),
+                )
+                for s in range(depth)
+            ])
+        ).alias("h"),
+    )
+    sketch = hashed.groupBy("h.seed", "h.bucket").agg(
+        F.count(F.lit(1)).alias("bucket_count")
+    )
+    exact = df.groupBy(key.alias("__k")).agg(F.count(F.lit(1)).alias("exact_count"))
+    cand = exact.select(
+        "__k", "exact_count",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(s).alias("seed"),
+                    (seeded_hash(F.col("__k"), s) % width).alias("bucket"),
+                )
+                for s in range(depth)
+            ])
+        ).alias("h"),
+    )
+    est = (
+        cand.join(
+            F.broadcast(sketch),
+            [cand["h.seed"] == sketch["seed"], cand["h.bucket"] == sketch["bucket"]],
+        )
+        .groupBy("__k", "exact_count")
+        .agg(F.min("bucket_count").alias("cms_estimate"))
+    )
+    # Total rows as a broadcast 1-row aggregate (Σ exact counts) — no
+    # separate driver-side count job, no second scan of the input.
+    total = exact.agg(F.sum("exact_count").alias("__total"))
+    return (
+        est.crossJoin(F.broadcast(total))
+        .where(F.col("cms_estimate") >= F.lit(min_share) * F.col("__total"))
+        .select(
+            F.col("__k").alias(key_col),
+            "exact_count",
+            "cms_estimate",
+            (F.col("cms_estimate") - F.col("exact_count")).alias("overestimate"),
+            F.round(
+                F.col("cms_estimate") / F.col("__total").cast("double"), 6
+            ).alias("est_share"),
+        )
+    )
+
+
+def key_skew_report(
+    df: DataFrame,
+    key_col: str,
+    n_partitions: int = 200,
+    percentiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Shuffle-key skew diagnostic — the "would a groupBy/join on this
+    key break at 1000 executors" report run BEFORE committing a
+    partitioning strategy: per-key count distribution (max, top-1 share,
+    exact count percentiles via :func:`exact_percentile`'s bounded
+    multi-pass machinery) plus a deterministic hash-partition simulation
+    (``md5(key) % n_partitions``): ``max_partition_share`` is the
+    largest simulated partition's row share and ``skew_factor`` is that
+    share relative to the uniform ideal ``1/n_partitions`` — a
+    skew_factor near 1 means AQE has nothing to split; ≫1 quantifies
+    the straggler before it happens (salting/broadcast decision input).
+
+    One key-keyed aggregation (persisted — it feeds the scalar rollup,
+    the percentile passes, and the partition simulation), then
+    bounded-cardinality aggregations only: everything after the first
+    groupBy is metadata-scale. Eager like :func:`exact_percentile`
+    (the percentile literals are resolved while building the report).
+    Returns one row.
+    """
+    from ..functions.hashing import md5_int
+    from ..plans.inspect import tracked_persist
+
+    key = F.col(key_col).cast("string")
+    counts = tracked_persist(
+        df.groupBy(key.alias("__k")).agg(F.count(F.lit(1)).alias("key_count"))
+    )
+    p_vals = exact_percentile(counts, "key_count", list(percentiles))
+    parts = counts.groupBy(
+        F.pmod(md5_int(F.col("__k")), F.lit(n_partitions)).alias("__p")
+    ).agg(F.sum("key_count").alias("part_rows"))
+    top = counts.agg(
+        F.sum("key_count").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("key_count").alias("max_key_count"),
+    )
+    maxp = parts.agg(F.max("part_rows").alias("max_part_rows"))
+    share = F.col("max_part_rows").cast("double") / F.col("n_rows")
+    out = top.crossJoin(F.broadcast(maxp)).select(
+        "n_rows", "n_keys", "max_key_count",
+        F.round(F.col("max_key_count").cast("double") / F.col("n_rows"), 6).alias(
+            "top1_share"
+        ),
+        *[
+            F.lit(int(v)).cast("bigint").alias(f"p{int(p * 100)}_key_count")
+            for p, v in zip(percentiles, p_vals)
+        ],
+        F.round(share, 6).alias("max_partition_share"),
+        F.round(share * n_partitions, 6).alias("skew_factor"),
+    )
+    return out

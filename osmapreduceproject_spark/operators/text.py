@@ -914,3 +914,98 @@ def zipf_fit(
         F.round((sy - (cov_n / var_x) * sx) / n, 6).alias("intercept"),
         F.round((cov_n * cov_n) / (var_x * var_y), 6).alias("r2"),
     )
+
+
+def gopher_rules(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_ratio: float = 0.9,
+    max_ellipsis_ratio: float = 0.3,
+    min_alpha_ratio: float = 0.8,
+    min_stopword_hits: int = 2,
+    stopwords: list[str] | None = None,
+) -> DataFrame:
+    """Per-document Gopher-style repetition-free quality rules (the
+    published MassiveText filter heuristics: word-count bounds, mean
+    word length bounds, symbol-to-word ratio, bullet/ellipsis line
+    ratios, alphabetic-word fraction, required-stopword hits), with the
+    same auditable fixed-order ``reasons`` / ``keep`` contract as
+    :func:`filter_report`.
+
+    Complements :func:`filter_report` (C4-style length/repetition/
+    contamination) and :func:`with_quality_score` (composite score):
+    these are the *structural* junk detectors — code listings, menus,
+    bullet-farms, ellipsis-truncated scrapes — that token-ratio signals
+    miss. Thresholds default to the published values; pipeline callers
+    tune per corpus.
+
+    Every signal is exact integer/count arithmetic over one narrow
+    codegen'd map (split + higher-order array functions — no UDF, no
+    shuffle), so results are bit-identical across engines and the
+    operator is scan-bound at 100 TB. Counts of ``#`` and ``...`` use
+    non-overlapping leftmost replace semantics, identical in Spark and
+    DuckDB. Reference parity: extends the reference's per-record map
+    stage (parallel_sort.cpp:21-78 chunk map) to rule evaluation.
+    """
+    sw = stopwords or ["the", "be", "to", "of", "and", "that", "have", "with"]
+    df = fan_out(df)
+    ws = tokens(F.col(text_col))
+    n_words = F.size(ws)
+    sum_len = F.aggregate(ws, F.lit(0).cast("bigint"), lambda a, w: a + F.length(w))
+    mean_wl = sum_len.cast("double") / n_words
+    txt = F.col(text_col)
+    n_hash = F.length(txt) - F.length(F.replace(txt, F.lit("#"), F.lit("")))
+    n_ellipsis = (F.length(txt) - F.length(F.replace(txt, F.lit("..."), F.lit("")))) / 3
+    symbol_ratio = (n_hash + n_ellipsis).cast("double") / n_words
+    lines = F.split(txt, "\n")
+    n_lines = F.size(lines)
+    bullet_ratio = (
+        F.size(
+            F.filter(
+                lines,
+                lambda l: l.startswith("- ") | l.startswith("* ") | l.startswith("• "),
+            )
+        ).cast("double")
+        / n_lines
+    )
+    ellipsis_ratio = (
+        F.size(F.filter(lines, lambda l: l.endswith("..."))).cast("double") / n_lines
+    )
+    alpha_ratio = (
+        F.size(F.filter(ws, lambda w: w.rlike("[A-Za-z]"))).cast("double") / n_words
+    )
+    sw_hits = F.size(F.filter(F.array(*[F.lit(s) for s in sw]), lambda s: F.array_contains(ws, s)))
+    feats = df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        F.round(symbol_ratio, 6).alias("symbol_ratio"),
+        F.round(bullet_ratio, 6).alias("bullet_ratio"),
+        F.round(ellipsis_ratio, 6).alias("ellipsis_ratio"),
+        F.round(alpha_ratio, 6).alias("alpha_word_ratio"),
+        sw_hits.alias("stopword_hits"),
+    )
+    reasons = F.array_compact(
+        F.array(
+            F.when(F.col("n_words") < min_words, "too_few_words"),
+            F.when(F.col("n_words") > max_words, "too_many_words"),
+            F.when(F.col("mean_word_len") < min_mean_word_len, "short_words"),
+            F.when(F.col("mean_word_len") > max_mean_word_len, "long_words"),
+            F.when(F.col("symbol_ratio") > max_symbol_ratio, "symbol_heavy"),
+            F.when(F.col("bullet_ratio") > max_bullet_ratio, "bullet_heavy"),
+            F.when(F.col("ellipsis_ratio") > max_ellipsis_ratio, "ellipsis_heavy"),
+            F.when(F.col("alpha_word_ratio") < min_alpha_ratio, "non_alpha"),
+            F.when(F.col("stopword_hits") < min_stopword_hits, "no_stopwords"),
+        )
+    )
+    return feats.select(
+        "*",
+        F.array_join(reasons, ",").alias("reasons"),
+        (F.size(reasons) == 0).alias("keep"),
+    )

@@ -2742,3 +2742,89 @@ def test_corr_matrix_signs_and_nulls(spark):
     # in (y, z) — pairwise exclusion, so that pair is near-but-not-exactly -1
     assert -1.0 < out[("y", "z")] < -0.8
     assert out[("x", "c")] is None and out[("y", "c")] is None
+
+
+def test_gopher_rules_structural_flags(spark):
+    from osmapreduceproject_spark.operators.text import gopher_rules
+
+    docs = spark.createDataFrame(
+        [
+            # healthy: enough words, stopwords present, alphabetic
+            (1, "the quick brown fox and the lazy dog ran to town with zeal " * 5),
+            # bullet farm: >90% of lines start with a bullet
+            (2, "\n".join(["- item number %d here" % i for i in range(10)])),
+            # ellipsis-truncated scrape: every line ends with ...
+            (3, "\n".join(["the teaser text of story %d..." % i for i in range(5)])),
+            # symbol-heavy: hashes dominate
+            (4, "# # # # # # # # code block the of and that"),
+            # numeric junk: words carry no alphabetic chars
+            (5, "1 2 3 4 5 6 7 8 9 10 11 12"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = gopher_rules(docs, min_words=5).toPandas().set_index("doc_id")
+    assert bool(out.loc[1, "keep"])
+    assert "bullet_heavy" in out.loc[2, "reasons"]
+    assert "ellipsis_heavy" in out.loc[3, "reasons"]
+    assert "symbol_heavy" in out.loc[4, "reasons"]
+    assert "non_alpha" in out.loc[5, "reasons"]
+    assert not out.loc[2:5, "keep"].any()
+    # ellipsis lines also count toward the symbol ratio (3 chars = 1 hit)
+    assert out.loc[3, "symbol_ratio"] > 0
+
+
+def test_containment_catches_embedded_doc(spark):
+    """A short doc fully quoted inside a long one: Jaccard is diluted
+    below any useful threshold, containment(A→B) is exactly 1.0."""
+    from osmapreduceproject_spark.operators.dedup import containment_pairs
+
+    short = "alpha beta gamma delta epsilon zeta"
+    long = "intro words here " + short + " plus a very long unrelated tail " + \
+        " ".join("filler%d" % i for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, short), (2, long), (3, "completely different text body entirely")],
+        ["doc_id", "text"],
+    )
+    out = containment_pairs(docs, threshold=0.9).toPandas()
+    assert len(out) == 1
+    row = out.iloc[0]
+    assert (row.a_doc_id, row.b_doc_id) == (1, 2)
+    assert row.containment_a == 1.0
+    assert row.jaccard < 0.2
+
+
+def test_new_batch_operators_empty_input(spark):
+    """Empty frames flow through the gopher/containment/CMS/skew/bloom/
+    A-B batch without error: empty frame-valued results, empty or
+    degenerate one-row reports, and a clean raise where a rank is
+    required (key_skew_report's percentile pass)."""
+    import pytest as _pt
+
+    from osmapreduceproject_spark.operators.dedup import containment_pairs
+    from osmapreduceproject_spark.operators.events import ab_significance
+    from osmapreduceproject_spark.operators.joins import (
+        bloom_prejoin,
+        bloom_prejoin_report,
+    )
+    from osmapreduceproject_spark.operators.stats import (
+        cms_heavy_hitters,
+        key_skew_report,
+    )
+    from osmapreduceproject_spark.operators.text import gopher_rules
+
+    empty_docs = spark.createDataFrame([], "doc_id bigint, text string")
+    empty_events = spark.createDataFrame(
+        [], "event_id bigint, user_id bigint, event_type string, ts timestamp"
+    )
+    empty_orders = spark.createDataFrame([], "o_orderkey bigint, o_custkey bigint")
+    empty_cust = spark.createDataFrame([], "c_custkey bigint")
+    assert gopher_rules(empty_docs).count() == 0
+    assert containment_pairs(empty_docs).count() == 0
+    assert cms_heavy_hitters(empty_events, "user_id").count() == 0
+    assert bloom_prejoin(empty_orders, empty_cust, "o_custkey", "c_custkey").count() == 0
+    # one-row reports over empty inputs: defined shape, null/degenerate values
+    assert ab_significance(empty_events).count() == 1
+    rep = bloom_prejoin_report(empty_orders, empty_cust, "o_custkey", "c_custkey")
+    assert rep.count() == 1 and rep.first()["n_fact"] == 0
+    with _pt.raises(ValueError):
+        key_skew_report(empty_events, "user_id")
