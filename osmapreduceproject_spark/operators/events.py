@@ -410,3 +410,76 @@ def ab_significance(
         F.round(z, 6).alias("z_score"),
         (F.abs(z) > F.lit(z_crit)).alias("significant"),
     )
+
+
+def rfm_segmentation(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    n_bins: int = 4,
+) -> DataFrame:
+    """RFM (recency / frequency / monetary) user segmentation: per-user
+    days-since-last-event, event count, and value sum, each scored into
+    ``n_bins`` equi-depth quantile bins, plus the concatenated segment
+    label ("444" = most recent / most frequent / highest spend) — the
+    classic cohorting operator every event warehouse grows.
+
+    Scored via :func:`~..operators.stats.equi_depth_buckets` (exact
+    quantile boundaries from the bounded multi-pass percentile
+    machinery, assignment a narrow map), NOT a global ``ntile`` window —
+    ntile's global sort is a data-carrying single partition over every
+    user, exactly the plan shape the engine forbids at 100 TB; the
+    equi-depth path computes the same discrete-quantile cutoffs with
+    driver-side state bounded at the histogram. Recency is scored on
+    NEGATED staleness so a HIGHER score is better on all three axes
+    (boundary ties collapse to the smaller bin on identical sides in
+    both engines: scores are deterministic).
+
+    Scale shape: one user-keyed aggregation, then three bounded
+    percentile passes over the per-user frame (n_users rows, already
+    aggregated) and a narrow scoring map. Reference parity: the
+    partial→final aggregation (max_aggregation.cpp:70-112) feeding a
+    per-key classification.
+    """
+    from .stats import equi_depth_buckets
+
+    # Monetary sums micro-quantized integers (the corr_matrix/winsorized
+    # convention): a plain double sum is partial-order-sensitive, and the
+    # quantile boundary comparisons downstream must be bit-deterministic.
+    agg = df.groupBy(user_col).agg(
+        F.max(ts_col).alias("__last"),
+        F.count(F.lit(1)).alias("frequency"),
+        (
+            F.sum(
+                F.round(F.col(value_col).cast("double") * 1_000_000).cast("bigint")
+            )
+            / 1_000_000.0
+        ).alias("monetary"),
+    )
+    # Corpus "now" anchor: a broadcast 1-row max over the per-user frame
+    # (scalar partial→final), not an unpartitioned window (which would
+    # plan a data-carrying single partition over every user).
+    anchor = agg.agg(F.max("__last").alias("__now"))
+    per_user = (
+        agg.crossJoin(F.broadcast(anchor))
+        .withColumn(
+            "recency_days",
+            F.floor(
+                (F.unix_micros(F.col("__now")) - F.unix_micros(F.col("__last")))
+                / (86400 * 1_000_000)
+            ).cast("bigint"),
+        )
+        .withColumn("__neg_rec", -F.col("recency_days").cast("double"))
+    )
+    scored = equi_depth_buckets(per_user, "__neg_rec", n_bins, bucket_col="r_score")
+    scored = equi_depth_buckets(scored, "frequency", n_bins, bucket_col="f_score")
+    scored = equi_depth_buckets(scored, "monetary", n_bins, bucket_col="m_score")
+    return scored.select(
+        user_col, "recency_days", "frequency",
+        F.round("monetary", 6).alias("monetary"),
+        "r_score", "f_score", "m_score",
+        F.concat_ws(
+            "", F.col("r_score"), F.col("f_score"), F.col("m_score")
+        ).alias("segment"),
+    )

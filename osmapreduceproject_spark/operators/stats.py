@@ -491,3 +491,61 @@ def key_skew_report(
         F.round(share * n_partitions, 6).alias("skew_factor"),
     )
     return out
+
+
+def chi2_independence(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Chi-squared test of independence between two categorical columns,
+    with Cramér's V effect size — the categorical companion to
+    :func:`~..operators.events.ab_significance`'s two-proportion z-test:
+    "is source mix independent of language", "does event type depend on
+    variant". Emits the statistic and degrees of freedom, not a p-value
+    (no incomplete-gamma approximation to diverge across engines) —
+    exact closed-form arithmetic on integer counts.
+
+    Uses the identity  χ² = n·(Σ_cells o²/(rowtot·coltot)) − n  which
+    needs only the OBSERVED cells (zero cells of the full r×c table
+    contribute via the −n term), so the computation is one (a,b)-keyed
+    count, marginals via two windows OVER THE CONTINGENCY TABLE (r·c
+    rows — metadata-scale, no second scan of the input), and one scalar
+    finalization (the reference's partial→final combine,
+    max_aggregation.cpp:70-112). NULL categories count as a level
+    (they're real segments); returns one row:
+    (n, levels_a, levels_b, dof, chi2, cramers_v).
+    """
+    cont = df.groupBy(
+        F.col(col_a).alias("__a"), F.col(col_b).alias("__b")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    wa = Window.partitionBy("__a")
+    wb = Window.partitionBy("__b")
+    cells = cont.select(
+        "__a", "__b", "o",
+        F.sum("o").over(wa).alias("rt"),
+        F.sum("o").over(wb).alias("ct"),
+    )
+    agg = cells.agg(
+        F.sum("o").alias("n"),
+        # struct-wrapped so a NULL category counts as its own level
+        # (collect_set drops bare NULLs, but not NULL-carrying structs)
+        F.size(F.collect_set(F.struct(F.col("__a").isNull(), F.col("__a")))).alias(
+            "levels_a"
+        ),
+        F.size(F.collect_set(F.struct(F.col("__b").isNull(), F.col("__b")))).alias(
+            "levels_b"
+        ),
+        F.sum(
+            F.col("o").cast("double") * F.col("o")
+            / (F.col("rt") * F.col("ct"))
+        ).alias("__s"),
+    )
+    chi2 = F.col("n") * F.col("__s") - F.col("n")
+    dof = (F.col("levels_a") - 1) * (F.col("levels_b") - 1)
+    mindim = F.least(F.col("levels_a") - 1, F.col("levels_b") - 1)
+    return agg.select(
+        "n", "levels_a", "levels_b",
+        dof.cast("bigint").alias("dof"),
+        F.round(chi2, 6).alias("chi2"),
+        F.when(
+            (F.col("n") > 0) & (mindim > 0),
+            F.round(F.sqrt(chi2 / (F.col("n") * mindim)), 6),
+        ).alias("cramers_v"),
+    )

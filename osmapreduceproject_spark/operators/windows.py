@@ -331,6 +331,59 @@ def series_rolling(
     )
 
 
+def series_trend(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    value_col: str,
+    step_seconds: int,
+) -> DataFrame:
+    """Per-key least-squares trend over the REGULARIZED series: resample
+    first (:func:`resample_ffill`), then regress value on the key-local
+    slot index — slope per step, intercept (fitted value at the key's
+    first slot), and r² per key. The "which services are drifting and
+    how fast" report: :func:`series_anomalies` flags points,
+    ``series_trend`` quantifies direction — zipf_fit's regression shape
+    applied to time.
+
+    The regressor is the key-LOCAL slot index ((slot − first slot) /
+    step — small exact integers), not the absolute epoch: centering
+    keeps ``n·Σxy − Σx·Σy`` away from the catastrophic-cancellation
+    regime that absolute-epoch x values (~5e5) would enter (the
+    corr_matrix lesson), so plain double sums stay far inside the
+    6-decimal round. Keys with <2 slots or zero x-variance report NULL
+    slope; r² additionally NULL for flat (zero-variance) values.
+
+    Scale shape: one per-key MIN window over the resample's existing key
+    partitioning (no extra exchange), then a key-keyed aggregation of
+    bounded per-key grids — every exchange hashes on the key.
+    """
+    s = resample_ffill(df, key, ts, value_col, step_seconds)
+    w = Window.partitionBy(key)
+    x = (
+        (F.col("slot_epoch") - F.min("slot_epoch").over(w)) / step_seconds
+    ).cast("double")
+    g = s.select(key, x.alias("__x"), F.col(value_col).cast("double").alias("__y"))
+    n = F.count(F.lit(1)).cast("double")
+    sx, sy = F.sum("__x"), F.sum("__y")
+    sxx = F.sum(F.col("__x") * F.col("__x"))
+    syy = F.sum(F.col("__y") * F.col("__y"))
+    sxy = F.sum(F.col("__x") * F.col("__y"))
+    cov_n = n * sxy - sx * sy
+    var_x = n * sxx - sx * sx
+    var_y = n * syy - sy * sy
+    ok = (n >= 2) & (var_x > 0)
+    slope = F.when(ok, F.round(cov_n / var_x, 6))
+    intercept = F.when(ok, F.round((sy - (cov_n / var_x) * sx) / n, 6))
+    r2 = F.when(ok & (var_y > 0), F.round((cov_n * cov_n) / (var_x * var_y), 6))
+    return g.groupBy(key).agg(
+        F.count(F.lit(1)).alias("n_slots"),
+        slope.alias("slope_per_step"),
+        intercept.alias("intercept"),
+        r2.alias("r2"),
+    )
+
+
 def interval_union_duration(
     df: DataFrame,
     key: str,

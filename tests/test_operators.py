@@ -2828,3 +2828,24 @@ def test_new_batch_operators_empty_input(spark):
     assert rep.count() == 1 and rep.first()["n_fact"] == 0
     with _pt.raises(ValueError):
         key_skew_report(empty_events, "user_id")
+
+
+def test_chi2_independence_known_table(spark):
+    """2x2 contingency [[10,20],[20,10]]: all expected cells are 15, so
+    chi2 = 4*(5^2/15) = 20/3; NULL categories count as levels."""
+    from osmapreduceproject_spark.operators.stats import chi2_independence
+
+    rows = (
+        [("x", "u")] * 10 + [("x", "v")] * 20 + [("y", "u")] * 20 + [("y", "v")] * 10
+    )
+    df = spark.createDataFrame(rows, ["a", "b"])
+    out = chi2_independence(df, "a", "b").first()
+    assert out["n"] == 60 and out["dof"] == 1
+    assert abs(out["chi2"] - 20.0 / 3.0) < 1e-6
+    assert abs(out["cramers_v"] - (20.0 / 3.0 / 60) ** 0.5) < 1e-6
+
+    with_null = spark.createDataFrame(
+        rows + [(None, "u")] * 5, "a string, b string"
+    )
+    out2 = chi2_independence(with_null, "a", "b").first()
+    assert out2["levels_a"] == 3 and out2["dof"] == 2

@@ -856,3 +856,112 @@ def test_bloom_prejoin_report_oracle(spark, duck):
     row = got.toPandas().iloc[0]
     assert row.n_pass_bloom < row.n_fact          # it actually prunes
     assert row.n_true_match <= row.n_pass_bloom   # one-sided error only
+
+
+def test_series_trend_oracle(spark, duck):
+    from osmapreduceproject_spark.operators.windows import series_trend
+
+    got = series_trend(
+        _events(spark), key="user_id", ts="ts", value_col="value",
+        step_seconds=STEP,
+    )
+    sql = f"""
+    WITH {_RESAMPLE_CTE},
+    xy AS (
+      SELECT k,
+             CAST((slot_epoch - MIN(slot_epoch) OVER (PARTITION BY k))
+                  / {STEP} AS DOUBLE) AS x,
+             CAST(value AS DOUBLE) AS y
+      FROM resampled),
+    s AS (
+      SELECT k, CAST(COUNT(*) AS DOUBLE) AS n,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x*x) AS sxx, SUM(y*y) AS syy, SUM(x*y) AS sxy
+      FROM xy GROUP BY k)
+    SELECT k AS user_id, CAST(n AS BIGINT) AS n_slots,
+           CASE WHEN n >= 2 AND n*sxx - sx*sx > 0
+                THEN round((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) END
+             AS slope_per_step,
+           CASE WHEN n >= 2 AND n*sxx - sx*sx > 0
+                THEN round((sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n, 6) END
+             AS intercept,
+           CASE WHEN n >= 2 AND n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
+                THEN round(((n*sxy - sx*sy) * (n*sxy - sx*sy))
+                           / ((n*sxx - sx*sx) * (n*syy - sy*sy)), 6) END
+             AS r2
+    FROM s
+    """
+    assert compare(got, duck.execute(sql).df()) == []
+
+
+def test_chi2_independence_oracle(spark, duck):
+    from osmapreduceproject_spark.operators.stats import chi2_independence
+    from osmapreduceproject_spark.queries import _t
+
+    got = chi2_independence(_t(spark, SF_CORRECT, "documents"), "lang", "source")
+    sql = """
+    WITH cont AS (SELECT lang AS a, source AS b, COUNT(*) AS o
+                  FROM documents GROUP BY 1, 2),
+    cells AS (
+      SELECT a, b, o,
+             SUM(o) OVER (PARTITION BY a) AS rt,
+             SUM(o) OVER (PARTITION BY b) AS ct
+      FROM cont),
+    agg AS (
+      SELECT CAST(SUM(o) AS BIGINT) AS n,
+             CAST(COUNT(DISTINCT a) AS INT) AS levels_a,
+             CAST(COUNT(DISTINCT b) AS INT) AS levels_b,
+             SUM(CAST(o AS DOUBLE) * o / (rt * ct)) AS s
+      FROM cells)
+    SELECT n, levels_a, levels_b,
+           CAST((levels_a - 1) * (levels_b - 1) AS BIGINT) AS dof,
+           round(n * s - n, 6) AS chi2,
+           CASE WHEN n > 0 AND least(levels_a - 1, levels_b - 1) > 0
+                THEN round(sqrt((n * s - n)
+                                / (n * least(levels_a - 1, levels_b - 1))), 6)
+           END AS cramers_v
+    FROM agg
+    """
+    assert compare(got, duck.execute(sql).df()) == []
+
+
+def test_rfm_segmentation_oracle(spark, duck):
+    from osmapreduceproject_spark.operators.events import rfm_segmentation
+
+    got = rfm_segmentation(_events(spark))
+    score = (
+        "CASE WHEN {v} <= {q}[1] THEN 1 WHEN {v} <= {q}[2] THEN 2 "
+        "WHEN {v} <= {q}[3] THEN 3 ELSE 4 END"
+    )
+    sql = f"""
+    WITH per_user AS (
+      SELECT user_id, MAX(ts) AS last_ts, COUNT(*) AS frequency,
+             SUM(CAST(round(CAST(value AS DOUBLE) * 1000000) AS BIGINT))
+               / 1000000.0 AS monetary
+      FROM events GROUP BY 1),
+    anchor AS (SELECT MAX(last_ts) AS now FROM per_user),
+    base AS (
+      SELECT p.user_id, p.frequency, p.monetary,
+             CAST(floor((epoch_us(a.now) - epoch_us(p.last_ts))
+                        / 86400000000) AS BIGINT) AS recency_days
+      FROM per_user p, anchor a),
+    b2 AS (SELECT *, -CAST(recency_days AS DOUBLE) AS neg_rec FROM base),
+    q AS (SELECT quantile_disc(neg_rec, [0.25, 0.5, 0.75]) AS qr,
+                 quantile_disc(CAST(frequency AS DOUBLE), [0.25, 0.5, 0.75]) AS qf,
+                 quantile_disc(monetary, [0.25, 0.5, 0.75]) AS qm
+          FROM b2),
+    scored AS (
+      SELECT b.user_id, b.recency_days, b.frequency,
+             round(b.monetary, 6) AS monetary,
+             CAST({score.format(v='b.neg_rec', q='q.qr')} AS INT) AS r_score,
+             CAST({score.format(v='CAST(b.frequency AS DOUBLE)', q='q.qf')} AS INT)
+               AS f_score,
+             CAST({score.format(v='b.monetary', q='q.qm')} AS INT) AS m_score
+      FROM b2 b, q)
+    SELECT *, CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+              || CAST(m_score AS VARCHAR) AS segment
+    FROM scored
+    """
+    assert compare(got, duck.execute(sql).df()) == []
+    seg = got.toPandas()
+    assert seg.r_score.between(1, 4).all() and seg.segment.str.len().eq(3).all()
