@@ -549,3 +549,73 @@ def chi2_independence(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
             F.round(F.sqrt(chi2 / (F.col("n") * mindim)), 6),
         ).alias("cramers_v"),
     )
+
+
+def welch_ttest(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Welch's unequal-variance t-test between two groups of a numeric
+    column — the continuous-metric companion to
+    :func:`~..operators.events.ab_significance`'s proportion z-test
+    ("did mean order value move", not just conversion). Emits the t
+    statistic and the Welch–Satterthwaite degrees of freedom, not a
+    p-value (no incomplete-beta approximation to diverge on).
+
+    Follows :func:`corr_matrix`'s exactness recipe: group sums
+    quantize to ``round(x·scale)`` integers in DECIMAL(38,0)
+    (associative, partition-order-free), the variance cancellation
+    ``n·Σx² − (Σx)²`` runs in arbitrary-precision driver integers over
+    the TWO aggregate rows (bounded — never data), and only the final
+    ratios touch floating point, in one fixed expression order mirrored
+    by the oracle. NULL/NaN rows are excluded per group; t and dof are
+    NULL when either group has n < 2 or both variances are zero.
+    Returns one row: (n_a, n_b, mean_a, mean_b, t_stat, welch_dof).
+    """
+    dec = "decimal(38,0)"
+    x = F.col(value_col).cast("double")
+    ok = x.isNotNull() & ~F.isnan(x)
+    out_aggs = []
+    for tag, gval in (("a", group_a), ("b", group_b)):
+        in_g = ok & (F.col(group_col) == F.lit(gval))
+        xq = F.when(in_g, F.round(x * scale)).cast(dec)
+        out_aggs += [
+            F.count(xq).alias(f"n_{tag}"),
+            F.sum(xq).alias(f"sx_{tag}"),
+            F.sum(xq * xq).alias(f"sxx_{tag}"),
+        ]
+    row = df.agg(*out_aggs).first()
+    n_a, n_b = int(row["n_a"] or 0), int(row["n_b"] or 0)
+    mean_a = mean_b = t = dof = None
+    if n_a >= 1:
+        mean_a = float(int(row["sx_a"])) / n_a / scale
+    if n_b >= 1:
+        mean_b = float(int(row["sx_b"])) / n_b / scale
+    if n_a >= 2 and n_b >= 2:
+        var_a = (
+            float(n_a * int(row["sxx_a"]) - int(row["sx_a"]) ** 2)
+            / (n_a * (n_a - 1))
+            / float(scale) ** 2
+        )
+        var_b = (
+            float(n_b * int(row["sxx_b"]) - int(row["sx_b"]) ** 2)
+            / (n_b * (n_b - 1))
+            / float(scale) ** 2
+        )
+        vn_a, vn_b = var_a / n_a, var_b / n_b
+        se2 = vn_a + vn_b
+        if se2 > 0:
+            t = (mean_b - mean_a) / math.sqrt(se2)
+            dof = (se2 * se2) / (
+                vn_a * vn_a / (n_a - 1) + vn_b * vn_b / (n_b - 1)
+            )
+    rnd = lambda v: None if v is None else round(v, 6)  # noqa: E731
+    return df.sparkSession.createDataFrame(
+        [(n_a, n_b, rnd(mean_a), rnd(mean_b), rnd(t), rnd(dof))],
+        "n_a bigint, n_b bigint, mean_a double, mean_b double, "
+        "t_stat double, welch_dof double",
+    )

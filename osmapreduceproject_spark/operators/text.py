@@ -1009,3 +1009,44 @@ def gopher_rules(
         F.array_join(reasons, ",").alias("reasons"),
         (F.size(reasons) == 0).alias("keep"),
     )
+
+
+def hashing_vectorizer(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 1024,
+    signed: bool = True,
+) -> DataFrame:
+    """Feature hashing (the hashing-trick vectorizer): each token maps
+    to bucket ``md5(tok) % dim``; with ``signed`` a second hash bit
+    gives the occurrence a ±1 sign so collision noise is zero-mean
+    (Weinberger et al.'s unbiased variant) — the fixed-width,
+    vocabulary-free featurization step in front of linear models or
+    similarity search, where :func:`build_vocab`'s id assignment would
+    need a corpus-wide vocabulary broadcast.
+
+    Output is the SPARSE form — (id, bucket, weight) triplets, weight =
+    signed occurrence sum (possibly 0 or negative under collisions) or
+    the plain term frequency — which is what a 100 TB corpus wants
+    shuffled: dense dim-arrays would carry dim·n_docs cells of mostly
+    zeros through the exchange. One token explode → one (id, bucket)
+    aggregation with map-side combine; the md5 family keeps every
+    bucket and sign reproducible in ANSI SQL (cross-engine stable,
+    functions/hashing.py).
+    """
+    toks = fan_out(df).select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
+    )
+    bucket = (md5_int(F.col("tok")) % dim).alias("bucket")
+    if signed:
+        from ..functions.hashing import seeded_hash
+
+        sign = F.when(seeded_hash(F.col("tok"), 1) % 2 == 0, 1).otherwise(-1)
+    else:
+        sign = F.lit(1)
+    return (
+        toks.select(id_col, bucket, sign.alias("__s"))
+        .groupBy(id_col, "bucket")
+        .agg(F.sum("__s").alias("weight"))
+    )

@@ -965,3 +965,85 @@ def test_rfm_segmentation_oracle(spark, duck):
     assert compare(got, duck.execute(sql).df()) == []
     seg = got.toPandas()
     assert seg.r_score.between(1, 4).all() and seg.segment.str.len().eq(3).all()
+
+
+def test_ewma_oracle(spark, duck):
+    from osmapreduceproject_spark.operators.windows import ewma
+
+    got = ewma(
+        _events(spark), key="user_id", ts="ts", value_col="value",
+        step_seconds=STEP, alpha=0.3,
+    )
+    sql = f"""
+    WITH RECURSIVE {_RESAMPLE_CTE},
+    numbered AS (
+      SELECT k, slot_epoch, value,
+             ROW_NUMBER() OVER (PARTITION BY k ORDER BY slot_epoch) AS ord
+      FROM resampled),
+    walk AS (
+      SELECT k, ord, slot_epoch, value,
+             CAST(round(value * 1000000) AS BIGINT) AS eq
+      FROM numbered WHERE ord = 1
+      UNION ALL
+      SELECT n.k, n.ord, n.slot_epoch, n.value,
+             CAST(round(CAST(0.3 AS DOUBLE) * round(n.value * 1000000)
+                        + CAST(0.7 AS DOUBLE) * w.eq) AS BIGINT)
+      FROM numbered n JOIN walk w ON n.k = w.k AND n.ord = w.ord + 1)
+    SELECT k AS user_id, slot_epoch, value, eq / 1000000.0 AS ewma FROM walk
+    """
+    assert compare(got, duck.execute(sql).df()) == []
+
+
+def test_hashing_vectorizer_oracle(spark, duck):
+    from osmapreduceproject_spark.operators.text import hashing_vectorizer
+    from osmapreduceproject_spark.queries import _t
+    from osmapreduceproject_spark.functions.hashing import md5_int_sql, seeded_hash_sql
+
+    got = hashing_vectorizer(_t(spark, SF_CORRECT, "documents"), dim=1024)
+    sql = f"""
+    WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                  FROM documents)
+    SELECT doc_id, {md5_int_sql('tok')} % 1024 AS bucket,
+           CAST(SUM(CASE WHEN {seeded_hash_sql('tok', 1)} % 2 = 0
+                         THEN 1 ELSE -1 END) AS BIGINT) AS weight
+    FROM toks GROUP BY 1, 2
+    """
+    assert compare(got, duck.execute(sql).df()) == []
+
+
+def test_welch_ttest_oracle(spark, duck):
+    from osmapreduceproject_spark.operators.stats import welch_ttest
+
+    got = welch_ttest(_events(spark), "event_type", "value", "view", "purchase")
+    xq = (
+        "CASE WHEN event_type = '{g}' AND value IS NOT NULL "
+        "AND NOT isnan(CAST(value AS DOUBLE)) "
+        "THEN CAST(round(CAST(value AS DOUBLE) * 1000000) AS HUGEINT) END"
+    )
+    sql = f"""
+    WITH s AS (
+      SELECT COUNT({xq.format(g='view')}) AS n_a,
+             SUM({xq.format(g='view')}) AS sx_a,
+             SUM({xq.format(g='view')} * {xq.format(g='view')}) AS sxx_a,
+             COUNT({xq.format(g='purchase')}) AS n_b,
+             SUM({xq.format(g='purchase')}) AS sx_b,
+             SUM({xq.format(g='purchase')} * {xq.format(g='purchase')}) AS sxx_b
+      FROM events),
+    m AS (
+      SELECT *,
+             CAST(sx_a AS DOUBLE) / n_a / 1000000 AS mean_a,
+             CAST(sx_b AS DOUBLE) / n_b / 1000000 AS mean_b,
+             CAST(n_a * sxx_a - sx_a * sx_a AS DOUBLE)
+               / (n_a * (n_a - 1)) / 1000000000000.0 / n_a AS vn_a,
+             CAST(n_b * sxx_b - sx_b * sx_b AS DOUBLE)
+               / (n_b * (n_b - 1)) / 1000000000000.0 / n_b AS vn_b
+      FROM s)
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           round(mean_a, 6) AS mean_a, round(mean_b, 6) AS mean_b,
+           round((mean_b - mean_a) / sqrt(vn_a + vn_b), 6) AS t_stat,
+           round((vn_a + vn_b) * (vn_a + vn_b)
+                 / (vn_a * vn_a / (n_a - 1) + vn_b * vn_b / (n_b - 1)), 6)
+             AS welch_dof
+    FROM m
+    """
+    assert compare(got, duck.execute(sql).df()) == []
