@@ -2849,3 +2849,47 @@ def test_chi2_independence_known_table(spark):
     )
     out2 = chi2_independence(with_null, "a", "b").first()
     assert out2["levels_a"] == 3 and out2["dof"] == 2
+
+
+@_pytest.mark.skipif(
+    not _os.environ.get("SPARK_GRAFT_SCALE"),
+    reason="scale smoke: set SPARK_GRAFT_SCALE=1 (10M rows through CMS + bloom prejoin)",
+)
+def test_cms_bloom_scale_smoke(spark):
+    """10M rows with a closed-form Zipf-ish key mix through the Count-Min
+    sketch and the Bloom prejoin: heavy keys must surface with exact
+    counts (estimates >= exact, bounded sketch state), and the Bloom
+    probe must pass every true match (one-sided error) while pruning
+    most of the fact side. Both operators' state is metadata-scale by
+    construction (depth x width counters; <= n_bits set bits)."""
+    from pyspark.sql import functions as F
+
+    from osmapreduceproject_spark.operators.joins import bloom_prejoin_report
+    from osmapreduceproject_spark.operators.stats import cms_heavy_hitters
+
+    n = 10_000_000
+    # key: id % 100000, except rows with id % 10 == 3 collapse onto the
+    # heavy key 7 (the %10==3 rule never captures a multiple of 100, so
+    # the dim keys below keep their full population)
+    df = spark.range(n).select(
+        F.when(F.col("id") % 10 == 3, F.lit(7))
+        .otherwise(F.col("id") % 100_000)
+        .alias("k")
+    )
+    hh = cms_heavy_hitters(df, "k", depth=4, width=4096, min_share=0.05).collect()
+    assert len(hh) == 1 and hh[0]["k"] == "7"
+    # n/10 heavy rows + the natural id % 100000 == 7 rows (id%10 = 7 != 3)
+    exact_7 = n // 10 + n // 100_000
+    assert hh[0]["exact_count"] == exact_7
+    assert hh[0]["cms_estimate"] >= hh[0]["exact_count"]
+
+    dim = spark.range(1000).select((F.col("id") * 100).alias("k"))  # every 100th key
+    rep = bloom_prejoin_report(
+        df, dim, "k", n_bits=65536, n_hashes=3
+    ).first()
+    assert rep["n_fact"] == n
+    # no false negatives: every multiple-of-100 row survives the probe
+    n_true = n * 1000 // 100_000
+    assert rep["n_true_match"] == n_true
+    assert rep["n_pass_bloom"] >= n_true
+    assert rep["n_pass_bloom"] < n // 2  # prunes the bulk of the fact side

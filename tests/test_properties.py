@@ -735,3 +735,111 @@ def test_equi_depth_buckets_matches_python(spark, vals, n_bins):
 
     for v, buckets in got.items():
         assert buckets == {want_bucket(v)}
+
+
+@given(keys=st.lists(st.integers(min_value=0, max_value=20), min_size=1, max_size=60))
+@SET
+def test_cms_matches_python_sketch(spark, keys):
+    """CMS estimates equal a pure-Python replay of the same md5 sketch,
+    and the one-sided error invariant holds: estimate >= exact count."""
+    import hashlib
+    from collections import Counter
+
+    from osmapreduceproject_spark.operators.stats import cms_heavy_hitters
+
+    depth, width = 3, 16
+    df = spark.createDataFrame([(k,) for k in keys], "k bigint")
+    got = {
+        r["k"]: (r["exact_count"], r["cms_estimate"])
+        for r in cms_heavy_hitters(df, "k", depth=depth, width=width,
+                                   min_share=0.0).collect()
+    }
+
+    def h(s, seed):
+        return int(hashlib.md5(f"{seed}:{s}".encode()).hexdigest()[:15], 16)
+
+    sketch = Counter()
+    for k in keys:
+        for s in range(depth):
+            sketch[(s, h(str(k), s) % width)] += 1
+    exact = Counter(str(k) for k in keys)
+    for k, cnt in exact.items():
+        est = min(sketch[(s, h(k, s) % width)] for s in range(depth))
+        assert got[k] == (cnt, est)
+        assert est >= cnt
+
+
+@given(vals=st.lists(st.integers(min_value=-500, max_value=500), min_size=1, max_size=30),
+       alpha_pct=st.integers(min_value=1, max_value=99))
+@SET
+def test_ewma_matches_python_fold(spark, vals, alpha_pct):
+    """The integer-state EWMA recurrence replays exactly in Python."""
+    import datetime
+
+    from osmapreduceproject_spark.operators.windows import ewma
+
+    alpha = alpha_pct / 100.0
+    base = datetime.datetime(2025, 1, 1)
+    rows = [
+        (1, base + datetime.timedelta(seconds=3600 * i), float(v))
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, "k bigint, ts timestamp, v double")
+    got = [
+        r["ewma"]
+        for r in ewma(df, "k", "ts", "v", 3600, alpha=alpha)
+        .orderBy("slot_epoch")
+        .collect()
+    ]
+    def rnd(x):
+        # Spark's round and DuckDB's round both take ties AWAY from zero
+        # (verified: round(2.5)=3, round(-2.5)=-3 on each); Python's
+        # builtin round is half-to-even and diverges on exact .5 states
+        # (e.g. 0.85 * 1228250 = 1044012.5), so the replica must not use it.
+        import math
+
+        return math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+
+    state = None
+    want = []
+    for v in vals:
+        vq = rnd(float(v) * 1_000_000)
+        state = vq if state is None else rnd(alpha * vq + (1.0 - alpha) * state)
+        want.append(state / 1_000_000.0)
+    assert got == want
+
+
+@given(texts=st.lists(
+    st.sampled_from(["a b c d e", "a b c d e f g", "x y z w", "a b c", "p q"]),
+    min_size=2, max_size=10))
+@SET
+def test_containment_matches_python_sets(spark, texts):
+    """Containment pairs equal brute-force shingle-set arithmetic."""
+    from osmapreduceproject_spark.operators.dedup import containment_pairs
+
+    docs = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got = {
+        (r["a_doc_id"], r["b_doc_id"]): (r["containment_a"], r["containment_b"])
+        for r in containment_pairs(df, threshold=0.5).collect()
+    }
+
+    def sh(t):
+        w = t.split(" ")
+        if len(w) < 3:
+            return {t}
+        return {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
+
+    want = {}
+    for i, ti in docs:
+        for j, tj in docs:
+            if i >= j:
+                continue
+            inter = len(sh(ti) & sh(tj))
+            if not inter:
+                continue
+            ca = round(inter / len(sh(ti)), 6)
+            cb = round(inter / len(sh(tj)), 6)
+            if ca >= 0.5 or cb >= 0.5:
+                want[(i, j)] = (ca, cb)
+    assert got == want
