@@ -276,3 +276,72 @@ def incremental_read(
         _os.replace(tmp, ledger)
 
     return df, commit
+
+
+def read_csv_with_deadletter(
+    spark: SparkSession, path: str, schema: StructType, header: bool = False
+) -> tuple[DataFrame, DataFrame]:
+    """CSV twin of :func:`read_json_with_deadletter`: schema-enforced
+    ingest returning ``(good, bad)`` from one PERMISSIVE pass, with the
+    raw text of every row that failed to parse (wrong arity, bad cast)
+    routed to the dead-letter frame instead of silently nulling
+    (DROPMALFORMED) or failing the job (FAILFAST). Same 100 TB contract:
+    dead-letter volume is the upstream-drift alarm signal.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StringType, StructField
+
+    corrupt = "_corrupt_record"
+    full = StructType(list(schema.fields) + [StructField(corrupt, StringType())])
+    raw = (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt)
+        .option("header", str(header).lower())
+        .csv(path)
+    )
+    raw = raw.cache()  # same QUERY_ONLY_CORRUPT_RECORD_COLUMN resolution
+    good = raw.where(F.col(corrupt).isNull()).drop(corrupt)
+    bad = raw.where(F.col(corrupt).isNotNull()).select(
+        F.col(corrupt).alias("raw_record")
+    )
+    return good, bad
+
+
+def read_parquet_merged(spark: SparkSession, path: str) -> DataFrame:
+    """Schema-evolution read: parquet directory scan with
+    ``mergeSchema`` — files written under older, narrower schemas
+    surface NULLs in the columns they predate instead of failing the
+    scan or silently adopting one footer's schema (Spark's default
+    takes an arbitrary file's schema when footers disagree). The read
+    path every long-lived dataset needs once columns start being added.
+
+    Schema merging reads every footer (metadata, not data — cheap
+    relative to the scan, but at 100 TB with millions of files pin the
+    merged schema in a table catalog once known and pass it explicitly
+    to :func:`read_parquet` instead).
+    """
+    return spark.read.option("mergeSchema", "true").parquet(path)
+
+
+def read_binary_files(
+    spark: SparkSession, path: str, glob: str | None = None
+) -> DataFrame:
+    """Opaque-binary ingest (images/audio/video payloads) via Spark's
+    ``binaryFile`` source: (path, modificationTime, length, content) —
+    the loading end of the multimodal surface
+    (operators/multimodal.py): content stays an opaque ``binary``
+    column for the decode/feature UDFs; nothing interprets bytes at
+    scan time. ``glob`` filters by pattern (e.g. ``*.png``) BEFORE any
+    bytes move.
+
+    Scale note: one row per file — the right shape for multimodal
+    corpora where each object is a self-contained payload; pack tiny
+    files into parquet binary columns (q97-style) before shipping
+    100 TB of them through a scan, since per-file open cost dominates
+    below ~1 MB.
+    """
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)

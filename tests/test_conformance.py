@@ -221,3 +221,55 @@ def test_incremental_read_processes_only_the_delta(spark, tmp_path):
     commit2()
     df3, _ = incremental_read(spark, src, state)
     assert df3 is None
+
+
+def test_read_csv_with_deadletter(spark, tmp_path):
+    """CSV rows that fail the schema (bad casts) dead-letter intact;
+    clean rows parse; the two frames partition the input."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from osmapreduceproject_spark.sources.io import read_csv_with_deadletter
+
+    p = tmp_path / "in.csv"
+    p.write_text("1,a\nxx,b\n2,c\n")
+    schema = StructType(
+        [StructField("id", LongType()), StructField("name", StringType())]
+    )
+    good, bad = read_csv_with_deadletter(spark, str(p), schema)
+    assert {(r["id"], r["name"]) for r in good.collect()} == {(1, "a"), (2, "c")}
+    bads = [r["raw_record"] for r in bad.collect()]
+    assert bads == ["xx,b"]
+
+
+def test_read_parquet_merged_schema_evolution(spark, tmp_path):
+    """Files written under an older, narrower schema surface NULLs in
+    the later columns; the default (non-merged) read would pick one
+    footer's schema arbitrarily."""
+    from osmapreduceproject_spark.sources.io import read_parquet_merged
+
+    old = spark.createDataFrame([(1, "a")], "id bigint, name string")
+    new = spark.createDataFrame(
+        [(2, "b", 9.5)], "id bigint, name string, score double"
+    )
+    old.write.parquet(str(tmp_path / "d" / "old"))
+    new.write.parquet(str(tmp_path / "d" / "new"))
+    got = read_parquet_merged(spark, str(tmp_path / "d" / "*"))
+    rows = {(r["id"], r["name"], r["score"]) for r in got.collect()}
+    assert rows == {(1, "a", None), (2, "b", 9.5)}
+    assert set(got.columns) == {"id", "name", "score"}
+
+
+def test_read_binary_files(spark, tmp_path):
+    """binaryFile ingest: one row per file, exact bytes, glob filters
+    before any bytes move."""
+    from osmapreduceproject_spark.sources.io import read_binary_files
+
+    (tmp_path / "a.bin").write_bytes(b"\x00\x01\x02")
+    (tmp_path / "b.bin").write_bytes(b"payload")
+    (tmp_path / "skip.txt").write_text("nope")
+    got = read_binary_files(spark, str(tmp_path), glob="*.bin")
+    rows = {
+        (r["path"].rsplit("/", 1)[-1], bytes(r["content"]), r["length"])
+        for r in got.collect()
+    }
+    assert rows == {("a.bin", b"\x00\x01\x02", 3), ("b.bin", b"payload", 7)}
