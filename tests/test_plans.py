@@ -417,3 +417,50 @@ def test_max_df_cap_is_broadcast_anti_join(spark):
     assert "BroadcastHashJoin LeftAnti" in plan, plan
     assert "SortMergeJoin LeftAnti" not in plan
     assert "ShuffledHashJoin LeftAnti" not in plan
+
+
+def test_new_batch_plan_shapes(spark):
+    """Scale-shape assertions for the staged operator batch: the CMS
+    sketch joins broadcast (sketch is depth x width, metadata-scale),
+    the Bloom bitset rides a broadcast nested-loop over ONE aggregate
+    row (never a shuffled join against the fact side), containment
+    pairs plan no cartesian product, and none of the four plans carries
+    a data-carrying single partition."""
+    from osmapreduceproject_spark.operators.dedup import containment_pairs
+    from osmapreduceproject_spark.operators.joins import bloom_prejoin
+    from osmapreduceproject_spark.operators.stats import cms_heavy_hitters
+    from osmapreduceproject_spark.operators.text import gopher_rules
+    from osmapreduceproject_spark.plans.inspect import (
+        data_carrying_single_partitions,
+        explain_str,
+    )
+    from osmapreduceproject_spark.queries import _t
+
+    sf = "/root/testdata/sf0.001"
+    docs = _t(spark, sf, "documents")
+    ev = _t(spark, sf, "events")
+
+    cms = cms_heavy_hitters(ev, "user_id", depth=2, width=64)
+    plan = explain_str(cms)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert data_carrying_single_partitions(cms) == [], plan
+
+    bloom = bloom_prejoin(
+        ev, docs.select(F.col("doc_id").alias("user_id")), "user_id"
+    )
+    plan = explain_str(bloom)
+    assert "BroadcastNestedLoopJoin" in plan, plan  # one-row bitset side
+    assert "CartesianProduct" not in plan, plan
+
+    cont = containment_pairs(docs, threshold=0.5, max_df=5)
+    plan = explain_str(cont)
+    assert "CartesianProduct" not in plan, plan
+    assert data_carrying_single_partitions(cont) == [], plan
+
+    goph = gopher_rules(docs)
+    plan = explain_str(goph)
+    # pure narrow map over the scan: the only exchange is fan_out's
+    # deliberate round-robin CPU spread (a no-op at scale) — no keyed
+    # shuffle anywhere
+    assert "hashpartitioning" not in plan, plan
