@@ -1050,3 +1050,44 @@ def hashing_vectorizer(
         .groupBy(id_col, "bucket")
         .agg(F.sum("__s").alias("weight"))
     )
+
+
+def readability(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Flesch-reading-ease-style readability score from deterministic
+    proxies: syllables ≈ maximal vowel-group runs (``[aeiouy]+`` over
+    the lowercased text — groups cannot span the space between words,
+    so whole-text counting equals per-word counting in one regexp
+    pass), sentences ≈ terminal-punctuation runs (min 1), and the
+    published coefficient form
+
+        206.835 − 1.015·(words/sentences) − 84.6·(syllables/words).
+
+    The complexity axis the length/stopword quality signals don't
+    carry — flags token-salad (few vowels, huge "words") and run-on
+    scrape text at opposite ends of the scale. Plain-character-class
+    regexes only, so the Java and RE2 engines agree exactly; one
+    narrow codegen'd map, scan-bound at any scale.
+    Returns (id, n_words, n_sentences, n_syllables, flesch) — flesch
+    rounded to 6, integer counts exact.
+    """
+    df = fan_out(df)
+    low = F.lower(F.col(text_col))
+    n_words = F.size(tokens(F.col(text_col)))
+    n_syll = F.size(F.regexp_extract_all(low, F.lit("[aeiouy]+"), 0))
+    n_sent = F.greatest(
+        F.size(F.regexp_extract_all(low, F.lit("[.!?]+"), 0)), F.lit(1)
+    )
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * (n_words.cast("double") / n_sent)
+        - F.lit(84.6) * (n_syll.cast("double") / n_words)
+    )
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        n_sent.cast("int").alias("n_sentences"),
+        n_syll.alias("n_syllables"),
+        F.round(flesch, 6).alias("flesch"),
+    )

@@ -272,3 +272,88 @@ def refresh_report(
             ("cluster_drift", cluster_drift(old_emb, new_emb, n_centroids))
         )
     return sections
+
+
+def quality_report(
+    docs: DataFrame,
+    benchmark: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    strata_col: str = "source",
+    stopwords: list[str] | None = None,
+) -> list[tuple[str, DataFrame]]:
+    """Corpus quality audit — the pre-curation report that decides the
+    filter thresholds BEFORE :func:`curate_corpus` runs with them,
+    composed entirely from graded/staged machinery (glue only):
+
+    1. ``gopher_summary`` — per-rule trip counts and survival rate from
+       the structural rules (operators/text.py gopher_rules): one
+       bounded unpivot of the per-doc flags;
+    2. ``c4_summary`` — the same rollup over the C4-style length/
+       repetition/stopword/contamination rules (filter_report; the
+       contamination column only when a ``benchmark`` frame is given);
+    3. ``readability_by_source`` — per-stratum mean/min/max Flesch
+       proxy (readability): complexity drift between sources;
+    4. ``length_histogram`` — the corpus length shape
+       (operators/text.py length_histogram).
+
+    Returns ordered (section, DataFrame) pairs, all lazy; exchanges are
+    the underlying operators' own (narrow maps + bounded-key rollups).
+    """
+    from .operators.text import (
+        filter_report,
+        gopher_rules,
+        length_histogram,
+        readability,
+    )
+
+    sections: list[tuple[str, DataFrame]] = []
+    goph = gopher_rules(
+        docs, id_col=id_col, text_col=text_col,
+        min_words=30, stopwords=stopwords or ["the", "a", "of", "and", "to", "in"],
+    )
+    reasons = F.split(F.col("reasons"), ",")
+    g_sum = (
+        goph.select(
+            F.explode(
+                F.when(F.col("reasons") == "", F.array(F.lit("__kept")))
+                .otherwise(reasons)
+            ).alias("rule")
+        )
+        .groupBy("rule")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    sections.append(("gopher_summary", g_sum))
+    if benchmark is not None:
+        fr = filter_report(docs, benchmark, id_col=id_col, text_col=text_col)
+        f_reasons = F.split(F.col("reasons"), ",")
+        f_sum = (
+            fr.select(
+                F.explode(
+                    F.when(F.col("reasons") == "", F.array(F.lit("__kept")))
+                    .otherwise(f_reasons)
+                ).alias("rule")
+            )
+            .groupBy("rule")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+        )
+        sections.append(("c4_summary", f_sum))
+    rd = readability(docs, id_col=id_col, text_col=text_col)
+    by_src = docs.select(F.col(id_col), F.col(strata_col)).join(rd, id_col)
+    sections.append((
+        "readability_by_source",
+        by_src.groupBy(strata_col).agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            # mean over micro-quantized ints (flesch is already 6-decimal)
+            # — a plain double avg would be partition-order-sensitive
+            F.round(
+                F.sum(F.round(F.col("flesch") * 1_000_000).cast("bigint"))
+                / (F.count(F.lit(1)) * 1_000_000.0),
+                6,
+            ).alias("mean_flesch"),
+            F.min("flesch").alias("min_flesch"),
+            F.max("flesch").alias("max_flesch"),
+        ),
+    ))
+    sections.append(("length_histogram", length_histogram(docs, text_col=text_col)))
+    return sections

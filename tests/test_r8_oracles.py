@@ -1047,3 +1047,103 @@ def test_welch_ttest_oracle(spark, duck):
     FROM m
     """
     assert compare(got, duck.execute(sql).df()) == []
+
+
+def test_readability_oracle(spark, duck):
+    from osmapreduceproject_spark.operators.text import readability
+    from osmapreduceproject_spark.queries import _t
+
+    got = readability(_t(spark, SF_CORRECT, "documents"))
+    sql = """
+    WITH m AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_words,
+             greatest(len(regexp_extract_all(lower(text), '[.!?]+')), 1)
+               AS n_sentences,
+             len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syllables
+      FROM documents)
+    SELECT doc_id, n_words, CAST(n_sentences AS INT) AS n_sentences, n_syllables,
+           round(CAST(206.835 AS DOUBLE)
+                 - CAST(1.015 AS DOUBLE) * (CAST(n_words AS DOUBLE) / n_sentences)
+                 - CAST(84.6 AS DOUBLE) * (CAST(n_syllables AS DOUBLE) / n_words), 6)
+             AS flesch
+    FROM m
+    """
+    assert compare(got, duck.execute(sql).df()) == []
+
+
+def test_quality_report_sections_oracle(spark, duck):
+    """The future pipeline grade (q166 delegate pattern): the graded
+    query will call pipelines.quality_report and publish sections —
+    gopher_summary and readability_by_source verified cross-engine
+    here against the composed SQL."""
+    from osmapreduceproject_spark.pipelines import quality_report
+    from osmapreduceproject_spark.queries import _t
+
+    sections = dict(quality_report(_t(spark, SF_CORRECT, "documents")))
+    g_sql = """
+    WITH feats AS (
+      SELECT doc_id,
+             string_split(text, ' ') AS ws,
+             string_split(text, chr(10)) AS lines,
+             length(text) - length(replace(text, '#', '')) AS n_hash,
+             (length(text) - length(replace(text, '...', ''))) / 3 AS n_ellipsis
+      FROM documents),
+    m AS (
+      SELECT doc_id,
+             len(ws) AS n_words,
+             round(CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE)
+                   / len(ws), 6) AS mean_word_len,
+             round((n_hash + n_ellipsis) / len(ws), 6) AS symbol_ratio,
+             round(CAST(len(list_filter(lines,
+                     l -> starts_with(l, '- ') OR starts_with(l, '* ')
+                          OR starts_with(l, chr(8226) || ' '))) AS DOUBLE)
+                   / len(lines), 6) AS bullet_ratio,
+             round(CAST(len(list_filter(lines, l -> ends_with(l, '...'))) AS DOUBLE)
+                   / len(lines), 6) AS ellipsis_ratio,
+             round(CAST(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+                   / len(ws), 6) AS alpha_word_ratio,
+             len(list_filter(['the','a','of','and','to','in'],
+                             s -> list_contains(ws, s))) AS stopword_hits
+      FROM feats),
+    r AS (
+      SELECT list_filter([
+               CASE WHEN n_words < 30 THEN 'too_few_words' END,
+               CASE WHEN n_words > 100000 THEN 'too_many_words' END,
+               CASE WHEN mean_word_len < 3.0 THEN 'short_words' END,
+               CASE WHEN mean_word_len > 10.0 THEN 'long_words' END,
+               CASE WHEN symbol_ratio > 0.1 THEN 'symbol_heavy' END,
+               CASE WHEN bullet_ratio > 0.9 THEN 'bullet_heavy' END,
+               CASE WHEN ellipsis_ratio > 0.3 THEN 'ellipsis_heavy' END,
+               CASE WHEN alpha_word_ratio < 0.8 THEN 'non_alpha' END,
+               CASE WHEN stopword_hits < 2 THEN 'no_stopwords' END
+             ], x -> x IS NOT NULL) AS rl
+      FROM m),
+    ex AS (
+      SELECT unnest(CASE WHEN len(rl) = 0 THEN ['__kept'] ELSE rl END) AS rule
+      FROM r)
+    SELECT rule, COUNT(*) AS n_docs FROM ex GROUP BY rule
+    """
+    assert compare(sections["gopher_summary"], duck.execute(g_sql).df()) == []
+    r_sql = """
+    WITH m AS (
+      SELECT doc_id, source,
+             len(string_split(text, ' ')) AS n_words,
+             greatest(len(regexp_extract_all(lower(text), '[.!?]+')), 1) AS n_sent,
+             len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syll
+      FROM documents),
+    f AS (
+      SELECT source,
+             round(CAST(206.835 AS DOUBLE)
+                   - CAST(1.015 AS DOUBLE) * (CAST(n_words AS DOUBLE) / n_sent)
+                   - CAST(84.6 AS DOUBLE) * (CAST(n_syll AS DOUBLE) / n_words), 6)
+               AS flesch
+      FROM m)
+    SELECT source, COUNT(*) AS n_docs,
+           round(SUM(CAST(round(flesch * 1000000) AS BIGINT))
+                 / (COUNT(*) * 1000000.0), 6) AS mean_flesch,
+           MIN(flesch) AS min_flesch, MAX(flesch) AS max_flesch
+    FROM f GROUP BY source
+    """
+    assert compare(sections["readability_by_source"], duck.execute(r_sql).df()) == []
+    assert sections["length_histogram"].count() > 0
