@@ -178,6 +178,98 @@ def resample_ffill(
     )
 
 
+def resample_interpolate(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    value_col: str,
+    step_seconds: int,
+) -> DataFrame:
+    """Linear-interpolation twin of :func:`resample_ffill`: each grid
+    slot carries the value interpolated between the bracketing
+    observations, ``v = v0 + (v1−v0)·(t−t0)/(t1−t0)`` — the
+    regularization continuous gauges (temperature, price, battery)
+    want, where forward-fill's step function would bias downstream
+    means; counters and state flags should keep ffill.
+
+    Same grid-union-window machinery, one extra window: the backward
+    pass fills the last observation at-or-before each slot (value AND
+    epoch), the forward pass — the same window descending — fills the
+    first at-or-after; both always exist because the grid spans
+    [ceil(min obs), floor(max obs)]. A slot landing exactly on an
+    observation reduces to that observation (guarded before the ratio,
+    so no 0/0). Among same-timestamp observations the largest value
+    wins on BOTH sides (the ffill tiebreak, kept symmetric).
+    Interpolation is one fixed per-row IEEE expression — deterministic
+    across engines with no accumulated state. Returns
+    (key, slot_epoch, value, prev_gap_s, next_gap_s).
+
+    Scale shape: identical to resample_ffill — grid volume is span/step
+    per key, both windows reuse ONE key-hashed exchange, nothing sorts
+    globally.
+    """
+    step_us = int(step_seconds) * 1_000_000
+    ep = F.unix_micros(F.col(ts))
+    obs = df.select(
+        F.col(key).alias("__k"),
+        ep.alias("__e"),
+        F.col(value_col).cast("double").alias("__v"),
+        F.lit(0).alias("__grid"),
+    )
+    spans = obs.groupBy("__k").agg(F.min("__e").alias("__lo"), F.max("__e").alias("__hi"))
+    grid = (
+        spans.where(
+            F.floor(F.col("__hi") / step_us) * step_us
+            >= F.ceil(F.col("__lo") / F.lit(step_us).cast("double")) * step_us
+        )
+        .select(
+            "__k",
+            F.explode(
+                F.sequence(
+                    (F.ceil(F.col("__lo") / F.lit(step_us).cast("double")) * step_us).cast("bigint"),
+                    (F.floor(F.col("__hi") / step_us) * step_us).cast("bigint"),
+                    F.lit(step_us),
+                )
+            ).alias("__e"),
+        )
+        .withColumn("__v", F.lit(None).cast("double"))
+        .withColumn("__grid", F.lit(1))
+    )
+    wb = (
+        Window.partitionBy("__k")
+        .orderBy(F.col("__e").asc(), F.col("__grid").asc(), F.col("__v").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy("__k")
+        .orderBy(F.col("__e").desc(), F.col("__grid").asc(), F.col("__v").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ov = F.when(F.col("__grid") == 0, F.col("__v"))
+    oe = F.when(F.col("__grid") == 0, F.col("__e"))
+    u = (
+        obs.unionByName(grid)
+        .withColumn("__pv", F.last(ov, ignorenulls=True).over(wb))
+        .withColumn("__pe", F.last(oe, ignorenulls=True).over(wb))
+        .withColumn("__nv", F.last(ov, ignorenulls=True).over(wf))
+        .withColumn("__ne", F.last(oe, ignorenulls=True).over(wf))
+    )
+    exact = F.col("__ne") == F.col("__pe")
+    ratio = (F.col("__e") - F.col("__pe")).cast("double") / (
+        F.col("__ne") - F.col("__pe")
+    )
+    interp = F.when(exact, F.col("__pv")).otherwise(
+        F.col("__pv") + (F.col("__nv") - F.col("__pv")) * ratio
+    )
+    return u.where(F.col("__grid") == 1).select(
+        F.col("__k").alias(key),
+        (F.col("__e") / 1_000_000).cast("bigint").alias("slot_epoch"),
+        F.round(interp, 6).alias(value_col),
+        ((F.col("__e") - F.col("__pe")) / 1_000_000).cast("bigint").alias("prev_gap_s"),
+        ((F.col("__ne") - F.col("__e")) / 1_000_000).cast("bigint").alias("next_gap_s"),
+    )
+
+
 def _disc_median_per_key(df: DataFrame, key: str, val: str, out: str) -> DataFrame:
     """Per-key DISCRETE median (quantile_disc convention: the value at
     1-indexed rank ceil(n/2)) via one key-partitioned rank — exact,

@@ -2893,3 +2893,29 @@ def test_cms_bloom_scale_smoke(spark):
     assert rep["n_true_match"] == n_true
     assert rep["n_pass_bloom"] >= n_true
     assert rep["n_pass_bloom"] < n // 2  # prunes the bulk of the fact side
+
+
+def test_resample_interpolate_known_case(spark):
+    """Two observations 100 apart over 4 slots: the interior slots take
+    exact linear-interpolation values; slots on an observation reduce to
+    it (no 0/0)."""
+    import datetime
+
+    from osmapreduceproject_spark.operators.windows import resample_interpolate
+
+    base = datetime.datetime(2025, 1, 1)  # aligned to the 60s grid
+    rows = [
+        (1, base, 0.0),
+        (1, base + datetime.timedelta(seconds=240), 100.0),
+    ]
+    df = spark.createDataFrame(rows, "k bigint, ts timestamp, v double")
+    out = {
+        r["slot_epoch"]: (r["v"], r["prev_gap_s"], r["next_gap_s"])
+        for r in resample_interpolate(df, "k", "ts", "v", 60).collect()
+    }
+    e0 = int(base.replace(tzinfo=datetime.timezone.utc).timestamp())
+    assert out[e0] == (0.0, 0, 0)
+    assert out[e0 + 60] == (25.0, 60, 180)
+    assert out[e0 + 120] == (50.0, 120, 120)
+    assert out[e0 + 180] == (75.0, 180, 60)
+    assert out[e0 + 240] == (100.0, 0, 0)

@@ -1147,3 +1147,37 @@ def test_quality_report_sections_oracle(spark, duck):
     """
     assert compare(sections["readability_by_source"], duck.execute(r_sql).df()) == []
     assert sections["length_histogram"].count() > 0
+
+
+def test_resample_interpolate_oracle(spark, duck):
+    from osmapreduceproject_spark.operators.windows import resample_interpolate
+
+    got = resample_interpolate(
+        _events(spark), key="user_id", ts="ts", value_col="value",
+        step_seconds=STEP,
+    )
+    sql = f"""
+    WITH obs AS (SELECT user_id AS k, epoch_us(ts) AS e, CAST(value AS DOUBLE) AS v
+                 FROM events),
+    obs2 AS (SELECT k, e, MAX(v) AS v FROM obs GROUP BY 1, 2),
+    spans AS (SELECT k, MIN(e) AS lo, MAX(e) AS hi FROM obs GROUP BY k),
+    grid AS (
+      SELECT k, unnest(range(
+        CAST(ceil(lo / {STEP_US}.0) * {STEP_US} AS BIGINT),
+        CAST(floor(hi / {STEP_US}.0) * {STEP_US} AS BIGINT) + 1,
+        {STEP_US})) AS e
+      FROM spans),
+    b AS (SELECT g.k, g.e, o.v AS pv, o.e AS pe
+          FROM grid g ASOF JOIN obs2 o ON g.k = o.k AND o.e <= g.e),
+    f AS (SELECT g.k, g.e, o.v AS nv, o.e AS ne
+          FROM grid g ASOF JOIN obs2 o ON g.k = o.k AND o.e >= g.e)
+    SELECT b.k AS user_id, b.e // 1000000 AS slot_epoch,
+           round(CASE WHEN f.ne = b.pe THEN b.pv
+                      ELSE b.pv + (f.nv - b.pv)
+                           * (CAST(b.e - b.pe AS DOUBLE) / (f.ne - b.pe))
+                 END, 6) AS value,
+           (b.e - b.pe) // 1000000 AS prev_gap_s,
+           (f.ne - b.e) // 1000000 AS next_gap_s
+    FROM b JOIN f ON f.k = b.k AND f.e = b.e
+    """
+    assert compare(got, duck.execute(sql).df()) == []
