@@ -619,3 +619,78 @@ def welch_ttest(
         "n_a bigint, n_b bigint, mean_a double, mean_b double, "
         "t_stat double, welch_dof double",
     )
+
+
+def psi(
+    ref: DataFrame,
+    cur: DataFrame,
+    col: str,
+    n_bins: int = 10,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index between a reference and a current
+    sample of a numeric column — the standard "has this score/feature
+    distribution drifted since the model was fit" gate (rule of thumb:
+    <0.1 stable, >0.25 act). Bins are the REFERENCE sample's exact
+    equi-depth quantile bins (:func:`exact_percentile` boundaries — the
+    bounded multi-pass machinery, no sort), applied identically to both
+    samples; per-bin proportions are clamped at ``eps`` before the
+    ``(q−p)·ln(q/p)`` term so an emptied bin contributes a large finite
+    term instead of ±inf.
+
+    Complements :func:`~..operators.similarity.cluster_drift` (embedding
+    drift) and the vocab/source deltas of ``pipelines.refresh_report``
+    with the scalar-feature drift axis. Returns one row per bin
+    (bin, n_ref, n_cur, p_ref, p_cur, psi_term, all 6-decimal) — total
+    PSI is the sum of psi_term, left to the caller so the per-bin
+    attribution (WHICH bins moved) stays visible.
+
+    Scale shape: the percentile passes are bounded; each sample then
+    takes one narrow bucket-assignment map and one n_bins-key count —
+    the join of the two count frames is n_bins rows. Deterministic:
+    integer counts, one fixed expression order, ln on identical IEEE
+    doubles.
+    """
+    ps = [i / n_bins for i in range(1, n_bins)]
+    bounds = exact_percentile(ref, col, ps)
+
+    def assign(df: DataFrame) -> DataFrame:
+        c = F.col(col).cast("double")
+        expr = F.when(c.isNull() | F.isnan(c), F.lit(None).cast("int"))
+        for i, b in enumerate(bounds):
+            expr = expr.when(c <= F.lit(b), i + 1)
+        expr = expr.otherwise(F.lit(n_bins))
+        return (
+            df.where(c.isNotNull() & ~F.isnan(c))
+            .groupBy(expr.alias("bin"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    bins = ref.sparkSession.range(1, n_bins + 1).select(
+        F.col("id").cast("int").alias("bin")
+    )
+    r = assign(ref).withColumnRenamed("n", "n_ref")
+    c = assign(cur).withColumnRenamed("n", "n_cur")
+    j = (
+        bins.join(F.broadcast(r), "bin", "left")
+        .join(F.broadcast(c), "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+            F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+        )
+    )
+    tot = j.agg(
+        F.sum("n_ref").alias("__tr"), F.sum("n_cur").alias("__tc")
+    )
+    p = F.greatest(F.col("n_ref").cast("double") / F.col("__tr"), F.lit(eps))
+    q = F.greatest(F.col("n_cur").cast("double") / F.col("__tc"), F.lit(eps))
+    return (
+        j.crossJoin(F.broadcast(tot))
+        .select(
+            "bin", "n_ref", "n_cur",
+            F.round(p, 6).alias("p_ref"),
+            F.round(q, 6).alias("p_cur"),
+            F.round((q - p) * F.log(q / p), 6).alias("psi_term"),
+        )
+    )

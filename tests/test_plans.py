@@ -464,3 +464,32 @@ def test_new_batch_plan_shapes(spark):
     # deliberate round-robin CPU spread (a no-op at scale) — no keyed
     # shuffle anywhere
     assert "hashpartitioning" not in plan, plan
+
+
+def test_dynamic_partition_pruning_on_partitioned_layout(spark, tmp_path):
+    """A fact table written with write_partitioned and joined to a
+    filtered dim must plan dynamic partition pruning: the fact scan's
+    partition filter carries the runtime subquery, so only the dim-
+    selected partitions are read — the 100 TB access-path win the
+    partitioned layout exists for."""
+    from osmapreduceproject_spark.plans.inspect import explain_str
+    from osmapreduceproject_spark.queries import _t
+    from osmapreduceproject_spark.sources.io import write_partitioned
+
+    sf = "/root/testdata/sf0.001"
+    orders = _t(spark, sf, "orders").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    path = str(tmp_path / "orders_by_year")
+    write_partitioned(orders, path, ["o_year"])
+    fact = spark.read.parquet(path)
+    dim = (
+        _t(spark, sf, "orders")
+        .select(F.year("o_orderdate").alias("o_year"))
+        .distinct()
+        .orderBy("o_year")
+        .limit(2)
+    )
+    joined = fact.join(dim, "o_year").groupBy("o_year").count()
+    plan = explain_str(joined)
+    assert "dynamicpruning" in plan.lower() or "PartitionFilters: [isnotnull(o_year" in plan, plan

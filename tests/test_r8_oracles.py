@@ -1181,3 +1181,43 @@ def test_resample_interpolate_oracle(spark, duck):
     FROM b JOIN f ON f.k = b.k AND f.e = b.e
     """
     assert compare(got, duck.execute(sql).df()) == []
+
+
+def test_psi_oracle(spark, duck):
+    from osmapreduceproject_spark.operators.stats import psi
+    from osmapreduceproject_spark.queries import _t
+
+    o = _t(spark, SF_CORRECT, "orders")
+    got = psi(o, o.where(F.col("o_orderpriority") == "1-URGENT"),
+              "o_totalprice", n_bins=10)
+    case = " ".join(
+        f"WHEN v <= q[{i}] THEN {i}" for i in range(1, 10)
+    )
+    sql = f"""
+    WITH q AS (SELECT quantile_disc(CAST(o_totalprice AS DOUBLE),
+                 [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS q FROM orders),
+    r AS (SELECT CASE {case} ELSE 10 END AS bin, COUNT(*) AS n_ref
+          FROM (SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders), q
+          GROUP BY 1),
+    c AS (SELECT CASE {case} ELSE 10 END AS bin, COUNT(*) AS n_cur
+          FROM (SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
+                WHERE o_orderpriority = '1-URGENT'), q
+          GROUP BY 1),
+    bins AS (SELECT CAST(unnest(range(1, 11)) AS INT) AS bin),
+    j AS (SELECT b.bin, COALESCE(r.n_ref, 0) AS n_ref, COALESCE(c.n_cur, 0) AS n_cur
+          FROM bins b LEFT JOIN r ON r.bin = b.bin LEFT JOIN c ON c.bin = b.bin),
+    t AS (SELECT SUM(n_ref) AS tr, SUM(n_cur) AS tc FROM j)
+    SELECT j.bin, CAST(j.n_ref AS BIGINT) AS n_ref, CAST(j.n_cur AS BIGINT) AS n_cur,
+           round(greatest(CAST(j.n_ref AS DOUBLE) / t.tr, CAST(1e-6 AS DOUBLE)), 6)
+             AS p_ref,
+           round(greatest(CAST(j.n_cur AS DOUBLE) / t.tc, CAST(1e-6 AS DOUBLE)), 6)
+             AS p_cur,
+           round((greatest(CAST(j.n_cur AS DOUBLE) / t.tc, CAST(1e-6 AS DOUBLE))
+                  - greatest(CAST(j.n_ref AS DOUBLE) / t.tr, CAST(1e-6 AS DOUBLE)))
+                 * ln(greatest(CAST(j.n_cur AS DOUBLE) / t.tc, CAST(1e-6 AS DOUBLE))
+                      / greatest(CAST(j.n_ref AS DOUBLE) / t.tr, CAST(1e-6 AS DOUBLE))), 6)
+             AS psi_term
+    FROM j, t
+    """
+    assert compare(got, duck.execute(sql).df()) == []
+    assert got.count() == 10
