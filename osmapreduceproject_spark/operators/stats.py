@@ -694,3 +694,81 @@ def psi(
             F.round((q - p) * F.log(q / p), 6).alias("psi_term"),
         )
     )
+
+
+def hll_estimate(
+    df: DataFrame,
+    key_col: str,
+    p: int = 10,
+) -> DataFrame:
+    """HyperLogLog distinct-count estimate with a FULLY deterministic,
+    cross-engine-reproducible sketch — the audit twin of Spark's native
+    ``approx_count_distinct`` (q51), whose binary register layout is
+    implementation-defined and therefore only rows-only checkable. Here
+    the registers derive from the md5 hash family: the top ``p`` of the
+    60 hash bits pick one of ``m = 2^p`` registers, the rank is the
+    position of the first 1-bit in the remaining 50 bits (string-exact
+    via ``bin()``, no float log2 on integers), and the register table is
+    one (register → max rank) aggregation — bounded at m rows, the
+    whole point of HLL at 100 TB.
+
+    The harmonic sum runs in INTEGER space (``Σ 2^(51−M_j)`` as bigint;
+    a float Σ2^−M mixes magnitudes across >53 bits and becomes
+    partition-order-dependent), with the standard small-range linear
+    counting correction when empty registers remain. Reports the
+    estimate NEXT TO the exact distinct count and the relative error —
+    the calibration contract of :func:`cms_heavy_hitters`/q168: run at
+    sample scale, trust (or re-parameterize) at corpus scale, where the
+    exact column is dropped. Returns one row.
+    """
+    from ..functions.hashing import md5_int
+
+    m = 1 << p
+    shift = 60 - p  # remainder width of the 60-bit hash
+    h = md5_int(F.col(key_col).cast("string"))
+    # integer shift, NOT h / 2^shift: the division path goes through
+    # double and a 60-bit hash exceeds the 53-bit significand — boundary
+    # hashes would land in the wrong register (and disagree with the
+    # oracle's exact integer >>)
+    reg = F.shiftright(h, shift)  # top p bits
+    rest = h % F.lit(1 << shift)
+    # rank = leading zeros in the shift-bit remainder + 1, string-exact
+    rank = F.when(rest == 0, F.lit(shift + 1)).otherwise(
+        F.lit(shift + 1) - F.length(F.bin(rest))
+    )
+    regs = (
+        df.where(F.col(key_col).isNotNull())
+        .groupBy(reg.alias("__r"))
+        .agg(F.max(rank).alias("__m"))
+    )
+    # harmonic sum scaled by 2^(shift+1) so it stays in exact integers
+    sums = regs.agg(
+        F.count(F.lit(1)).alias("n_present"),
+        F.sum(
+            F.pow(F.lit(2.0), F.lit(shift + 1) - F.col("__m")).cast("bigint")
+        ).alias("__s_present"),
+    )
+    exact = df.where(F.col(key_col).isNotNull()).agg(
+        F.count_distinct(F.col(key_col)).alias("exact_distinct")
+    )
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    s_total = (
+        F.col("__s_present")
+        + (F.lit(m) - F.col("n_present")) * F.lit(1 << (shift + 1))
+    )
+    raw = F.lit(alpha * m * m * float(1 << (shift + 1))) / s_total
+    zeros = F.lit(m) - F.col("n_present")
+    linear = F.lit(float(m)) * F.log(F.lit(float(m)) / zeros)
+    est = F.when((zeros > 0) & (raw <= 2.5 * m), linear).otherwise(raw)
+    return (
+        sums.crossJoin(F.broadcast(exact))
+        .select(
+            F.lit(m).alias("n_registers"),
+            "n_present",
+            F.round(est, 6).alias("hll_estimate"),
+            "exact_distinct",
+            F.round(
+                (est - F.col("exact_distinct")) / F.col("exact_distinct"), 6
+            ).alias("rel_error"),
+        )
+    )

@@ -1221,3 +1221,61 @@ def test_psi_oracle(spark, duck):
     """
     assert compare(got, duck.execute(sql).df()) == []
     assert got.count() == 10
+
+
+def _hll_sql(table, key, m=1024):
+    from osmapreduceproject_spark.functions.hashing import md5_int_sql
+
+    shift, rest_mod = 60 - 10, 1 << 50
+    scale = 1 << (shift + 1)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    const = alpha * m * m * float(scale)
+    return f"""
+    WITH hv AS (SELECT {md5_int_sql(f'CAST({key} AS VARCHAR)')} AS h
+                FROM {table} WHERE {key} IS NOT NULL),
+    regs AS (
+      SELECT h >> {shift} AS r,
+             MAX(CASE WHEN h % {rest_mod} = 0 THEN {shift + 1}
+                      ELSE {shift + 1} - length(bin(h % {rest_mod})) END) AS m
+      FROM hv GROUP BY 1),
+    s AS (SELECT COUNT(*) AS n_present,
+                 SUM(CAST(pow(2.0, {shift + 1} - m) AS BIGINT)) AS sp
+          FROM regs),
+    ex AS (SELECT COUNT(DISTINCT {key}) AS exact_distinct
+           FROM {table} WHERE {key} IS NOT NULL),
+    c AS (
+      SELECT s.n_present, ex.exact_distinct,
+             CAST({const!r} AS DOUBLE)
+               / (s.sp + ({m} - s.n_present) * CAST({scale} AS BIGINT)) AS raw,
+             {m} - s.n_present AS zeros
+      FROM s, ex),
+    e AS (
+      SELECT *, CASE WHEN zeros > 0 AND raw <= {2.5 * m!r}
+                     THEN CAST({float(m)!r} AS DOUBLE)
+                          * ln(CAST({float(m)!r} AS DOUBLE) / zeros)
+                     ELSE raw END AS est
+      FROM c)
+    SELECT {m} AS n_registers, CAST(n_present AS BIGINT) AS n_present,
+           round(est, 6) AS hll_estimate,
+           CAST(exact_distinct AS BIGINT) AS exact_distinct,
+           round((est - exact_distinct) / exact_distinct, 6) AS rel_error
+    FROM e
+    """
+
+
+def test_hll_estimate_oracle(spark, duck):
+    from osmapreduceproject_spark.operators.stats import hll_estimate
+    from osmapreduceproject_spark.queries import _t
+
+    # 150 distinct users → linear-counting branch
+    got = hll_estimate(_events(spark), "user_id")
+    assert compare(got, duck.execute(_hll_sql("events", "user_id")).df()) == []
+    row = got.first()
+    assert abs(row["rel_error"]) < 0.25
+
+    # ~15k distinct order keys → raw harmonic branch
+    got2 = hll_estimate(_t(spark, SF_CORRECT, "lineitem"), "l_orderkey")
+    assert compare(got2, duck.execute(_hll_sql("lineitem", "l_orderkey")).df()) == []
+    row2 = got2.first()
+    assert row2["n_present"] > 900          # registers saturated → raw branch
+    assert abs(row2["rel_error"]) < 0.15    # ~3.25%/sqrt(m) expected
