@@ -1091,3 +1091,47 @@ def readability(
         n_syll.alias("n_syllables"),
         F.round(flesch, 6).alias("flesch"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 40,
+    stride: int = 20,
+) -> DataFrame:
+    """Overlapping sliding-window chunker — the retrieval/RAG unit
+    (q83's non-overlapping chunker is the sequence-packing unit; an
+    embedding index wants overlap so no answer span straddles a chunk
+    boundary unseen): chunk k covers tokens ``[k·stride,
+    k·stride + chunk_tokens)``, one chunk per stride step while the
+    start is inside the document, final chunks partial.
+
+    A narrow per-row transform over the token array (sequence +
+    slice + array_join — no join back, no shuffle: chunk rows explode
+    from their own document row), so cost is output-token volume and
+    the operator is scan-bound at 100 TB; downstream chunk-keyed work
+    (embedding, chunk dedup via q156/q165 machinery) shuffles on
+    (doc, chunk) naturally. Returns (id, chunk_id, n_tokens,
+    chunk_text), deterministic for any stride ≤ chunk_tokens > 0.
+    """
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    n_chunks = F.ceil(n / F.lit(stride)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda k: F.struct(
+            k.cast("bigint").alias("chunk_id"),
+            F.slice(toks, k * stride + 1, chunk_tokens).alias("__w"),
+        ),
+    )
+    return (
+        fan_out(df)
+        .select(F.col(id_col), F.explode(chunks).alias("c"))
+        .select(
+            id_col,
+            F.col("c.chunk_id").alias("chunk_id"),
+            F.size("c.__w").alias("n_tokens"),
+            F.array_join("c.__w", " ").alias("chunk_text"),
+        )
+    )

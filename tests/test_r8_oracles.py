@@ -1279,3 +1279,29 @@ def test_hll_estimate_oracle(spark, duck):
     row2 = got2.first()
     assert row2["n_present"] > 900          # registers saturated → raw branch
     assert abs(row2["rel_error"]) < 0.15    # ~3.25%/sqrt(m) expected
+
+
+def test_chunk_documents_oracle(spark, duck):
+    from osmapreduceproject_spark.operators.text import chunk_documents
+    from osmapreduceproject_spark.queries import _t
+
+    got = chunk_documents(
+        _t(spark, SF_CORRECT, "documents"), chunk_tokens=40, stride=20
+    )
+    sql = """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    k AS (SELECT doc_id, ws,
+                 unnest(range(CAST(ceil(len(ws) / 20.0) AS BIGINT))) AS chunk_id
+          FROM w)
+    SELECT doc_id, chunk_id,
+           CAST(len(ws[chunk_id * 20 + 1 : chunk_id * 20 + 40]) AS INT) AS n_tokens,
+           array_to_string(ws[chunk_id * 20 + 1 : chunk_id * 20 + 40], ' ')
+             AS chunk_text
+    FROM k
+    """
+    assert compare(got, duck.execute(sql).df()) == []
+    # overlap: consecutive chunks share chunk_tokens - stride tokens
+    one = got.where(F.col("doc_id") == 1).orderBy("chunk_id").collect()
+    if len(one) >= 2:
+        a, b = one[0]["chunk_text"].split(" "), one[1]["chunk_text"].split(" ")
+        assert a[20:] == b[: len(a) - 20]
