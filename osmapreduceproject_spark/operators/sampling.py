@@ -219,3 +219,76 @@ def weighted_sample(
         .limit(int(n))
         .drop("__wr")
     )
+
+
+def negative_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    k: int = 4,
+    salt: str = "neg|",
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: for
+    every anchor row, ``k`` pseudo-random OTHER rows drawn by content
+    hash — reproducible across runs, engines, and cluster layouts, so a
+    training set's negatives are stable data, not a runtime accident
+    (the q68/q115 hash-reproducibility contract applied to pair
+    construction).
+
+    Candidate t for anchor i is index ``md5(salt ∥ id ∥ t) % (n−1)``,
+    shifted past the anchor's own index (the classic skip-self map:
+    j < i keeps j, j ≥ i becomes j+1) — self-pairs are impossible by
+    construction rather than by rejection-resampling, which would need
+    a data-dependent number of hash rounds. Indexing is
+    :func:`~..mapreduce.ranked_sort` over ``id_col`` (parallel sample
+    sort — no single-partition window), negatives resolve through one
+    index-keyed equi-join. With n < 2 there is nothing to sample —
+    returns empty. Output: (anchor id, neg_rank 1..k, negative id).
+
+    Scale shape: the range shuffle of ranked_sort plus one hash join on
+    the dense index; k multiplies only the slim (anchor, index) frame,
+    never document bodies. Duplicate negatives for one anchor are
+    possible (sampling WITH replacement across ranks) — the standard
+    trade; dedup downstream if the loss requires distinct negatives.
+    """
+    from ..functions.hashing import md5_int
+    from ..mapreduce import ranked_sort
+    from ..plans.inspect import release_intermediates  # noqa: F401  (caller releases)
+
+    indexed = ranked_sort(
+        df.select(F.col(id_col)), [F.col(id_col).asc()], pos_col="__pos"
+    ).select(F.col(id_col), (F.col("__pos") - 1).alias("__i"))
+    n_row = indexed.agg(F.count(F.lit(1)).alias("__n"))
+    anchors = indexed.crossJoin(F.broadcast(n_row)).where(F.col("__n") >= 2)
+    drawn = anchors.select(
+        F.col(id_col).alias("anchor_id"),
+        F.col("__i"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(t).alias("neg_rank"),
+                    (
+                        md5_int(
+                            F.concat(
+                                F.lit(salt),
+                                F.col(id_col).cast("string"),
+                                F.lit("|"),
+                                F.lit(str(t)),
+                            )
+                        )
+                        % (F.col("__n") - 1)
+                    ).alias("__j0"),
+                )
+                for t in range(1, k + 1)
+            ])
+        ).alias("s"),
+    ).select(
+        "anchor_id",
+        F.col("s.neg_rank").alias("neg_rank"),
+        F.when(F.col("s.__j0") < F.col("__i"), F.col("s.__j0"))
+        .otherwise(F.col("s.__j0") + 1)
+        .alias("__j"),
+    )
+    lookup = indexed.select(
+        F.col("__i").alias("__j"), F.col(id_col).alias("negative_id")
+    )
+    return drawn.join(lookup, "__j").select("anchor_id", "neg_rank", "negative_id")

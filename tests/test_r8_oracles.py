@@ -1305,3 +1305,35 @@ def test_chunk_documents_oracle(spark, duck):
     if len(one) >= 2:
         a, b = one[0]["chunk_text"].split(" "), one[1]["chunk_text"].split(" ")
         assert a[20:] == b[: len(a) - 20]
+
+
+def test_negative_pairs_oracle(spark, duck):
+    from osmapreduceproject_spark.operators.sampling import negative_pairs
+    from osmapreduceproject_spark.plans.inspect import release_intermediates
+    from osmapreduceproject_spark.queries import _t
+    from osmapreduceproject_spark.functions.hashing import md5_int_sql
+
+    got = negative_pairs(_t(spark, SF_CORRECT, "documents"), k=3)
+    h = md5_int_sql("'neg|' || CAST(doc_id AS VARCHAR) || '|' || CAST(t AS VARCHAR)")
+    sql = f"""
+    WITH idx AS (SELECT doc_id,
+                        ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS i
+                 FROM documents),
+    n AS (SELECT COUNT(*) AS n FROM idx),
+    drawn AS (
+      SELECT idx.doc_id AS anchor_id, CAST(t AS INT) AS neg_rank,
+             {h} % (n.n - 1) AS j0, idx.i
+      FROM idx, n, (SELECT unnest(range(1, 4)) AS t)
+      WHERE n.n >= 2),
+    mapped AS (
+      SELECT anchor_id, neg_rank,
+             CASE WHEN j0 < i THEN j0 ELSE j0 + 1 END AS j
+      FROM drawn)
+    SELECT m.anchor_id, m.neg_rank, idx.doc_id AS negative_id
+    FROM mapped m JOIN idx ON idx.i = m.j
+    """
+    assert compare(got, duck.execute(sql).df()) == []
+    pdf = got.toPandas()
+    assert len(pdf) == 3 * 500
+    assert (pdf.anchor_id != pdf.negative_id).all()   # skip-self holds
+    release_intermediates()
