@@ -772,3 +772,92 @@ def hll_estimate(
             ).alias("rel_error"),
         )
     )
+
+
+# P(Poisson(1) <= k) cumulative thresholds, k = 0..7; mass beyond 8 is
+# ~1e-6 and truncates to weight 8. Shared literals: both engines compare
+# the same uniform against the same doubles, so weights are identical.
+_POIS1_CDF = [
+    0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+    0.9810118431238462, 0.9963401531726563, 0.9994058151824183,
+    0.9999167588507119, 0.9999897508033253,
+]
+
+
+def bootstrap_mean_ci(
+    df: DataFrame,
+    col: str,
+    n_resamples: int = 64,
+    alpha: float = 0.05,
+    scale: int = 1_000_000,
+    salt: str = "boot|",
+    id_col: str | None = None,
+) -> DataFrame:
+    """Poisson-bootstrap confidence interval for a column mean in ONE
+    pass — the distributed bootstrap (Poisson(1) weights approximate
+    multinomial resampling without materializing B copies of the data):
+    each row draws a deterministic weight per resample from the md5
+    hash of (salt, row id, resample index), all B weighted sums
+    accumulate in one aggregation, and the driver takes the empirical
+    ``alpha/2``/``1−alpha/2`` quantiles of the B resample means
+    (discrete, ceil-rank convention — the engine's quantile_disc rule).
+
+    Hash-seeded weights make the resampling REPRODUCIBLE — the
+    bootstrap is data, not a run artifact — and fully value-oracle-able
+    (shared CDF literals, quantized-integer sums in DECIMAL(38,0), the
+    corr_matrix exactness recipe). ``id_col`` defaults to the value
+    column itself: rows with equal values are then resampled as a
+    block, which leaves every resample mean unchanged for identical
+    inputs (the estimator depends on values, not identities); pass a
+    unique id for row-level draws. Oracle-bound callers should prefer
+    an explicit integer ``id_col``: the default seeds from the DOUBLE's
+    string form, whose exponent formatting can differ across engines
+    for very small/large magnitudes (fixture-range values agree).
+    Returns one row:
+    (n, mean, ci_lo, ci_hi, n_resamples).
+
+    Scale shape: the B·2 sums ride one partial-aggregating scan (the
+    reference's combine, max_aggregation.cpp:70-112); driver state is
+    the B means. NULL/NaN rows are excluded.
+    """
+    from ..functions.hashing import md5_int
+
+    dec = "decimal(38,0)"
+    x = F.col(col).cast("double")
+    ok = x.isNotNull() & ~F.isnan(x)
+    xq = F.when(ok, F.round(x * scale)).cast(dec)
+    rid = F.col(id_col).cast("string") if id_col else x.cast("string")
+    aggs = [F.count(xq).alias("n"), F.sum(xq).alias("sx")]
+    for b in range(n_resamples):
+        u = md5_int(
+            F.concat(F.lit(salt), rid, F.lit(f"|{b}"))
+        ).cast("double") / F.lit(float(1 << 60))
+        w = F.lit(8)
+        for k in range(len(_POIS1_CDF) - 1, -1, -1):
+            w = F.when(u < F.lit(_POIS1_CDF[k]), F.lit(k)).otherwise(w)
+        w = F.when(ok, w).cast(dec)
+        aggs += [
+            F.sum(w * xq).alias(f"swx_{b}"),
+            F.sum(w).alias(f"sw_{b}"),
+        ]
+    row = df.agg(*aggs).first()
+    n = int(row["n"] or 0)
+    if n == 0:
+        raise ValueError(f"bootstrap_mean_ci: no non-null finite rows in {col!r}")
+    mean = float(int(row["sx"])) / n / scale
+    means = []
+    for b in range(n_resamples):
+        sw = int(row[f"sw_{b}"] or 0)
+        if sw > 0:
+            means.append(float(int(row[f"swx_{b}"])) / sw / scale)
+    means.sort()
+    lo_rank = max(1, math.ceil(alpha / 2 * len(means)))
+    hi_rank = max(1, math.ceil((1 - alpha / 2) * len(means)))
+    return df.sparkSession.createDataFrame(
+        [(
+            n, round(mean, 6),
+            round(means[lo_rank - 1], 6), round(means[hi_rank - 1], 6),
+            n_resamples,
+        )],
+        "n bigint, mean double, ci_lo double, ci_hi double, n_resamples int",
+    )

@@ -1337,3 +1337,58 @@ def test_negative_pairs_oracle(spark, duck):
     assert len(pdf) == 3 * 500
     assert (pdf.anchor_id != pdf.negative_id).all()   # skip-self holds
     release_intermediates()
+
+
+def test_bootstrap_mean_ci_oracle(spark, duck):
+    from osmapreduceproject_spark.operators.stats import (
+        _POIS1_CDF,
+        bootstrap_mean_ci,
+    )
+    from osmapreduceproject_spark.functions.hashing import md5_int_sql
+
+    B = 16
+    got = bootstrap_mean_ci(_events(spark), "value", n_resamples=B)
+    w_case = "CASE " + " ".join(
+        f"WHEN u{{b}} < {t!r} THEN {k}" for k, t in enumerate(_POIS1_CDF)
+    ) + " ELSE 8 END"
+    cols, sums = [], []
+    for b in range(B):
+        h = md5_int_sql(
+            "'boot|' || CAST(CAST(value AS DOUBLE) AS VARCHAR) || '|" + str(b) + "'"
+        )
+        cols.append(
+            f"CAST({h} AS DOUBLE) / 1152921504606846976.0 AS u{b}"
+        )
+        sums.append(
+            f"SUM(CAST({w_case.format(b=b)} AS HUGEINT) * xq) AS swx_{b}, "
+            f"SUM(CAST({w_case.format(b=b)} AS HUGEINT)) AS sw_{b}"
+        )
+    mean_list = ", ".join(
+        f"CAST(swx_{b} AS DOUBLE) / sw_{b} / 1000000" for b in range(B)
+    )
+    sql = f"""
+    WITH base AS (
+      SELECT CAST(round(CAST(value AS DOUBLE) * 1000000) AS HUGEINT) AS xq,
+             {', '.join(cols)}
+      FROM events
+      WHERE value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))),
+    s AS (SELECT COUNT(*) AS n, SUM(xq) AS sx, {', '.join(sums)} FROM base),
+    means AS (
+      SELECT s.n, s.sx, unnest([{mean_list}]) AS m FROM s),
+    ranked AS (
+      SELECT n, sx, m,
+             ROW_NUMBER() OVER (ORDER BY m) AS rk,
+             COUNT(*) OVER () AS nb
+      FROM means WHERE m IS NOT NULL)
+    SELECT CAST(n AS BIGINT) AS n,
+           round(CAST(sx AS DOUBLE) / n / 1000000, 6) AS mean,
+           round(MAX(CASE WHEN rk = greatest(1, CAST(ceil(0.025 * nb) AS BIGINT))
+                          THEN m END), 6) AS ci_lo,
+           round(MAX(CASE WHEN rk = greatest(1, CAST(ceil(0.975 * nb) AS BIGINT))
+                          THEN m END), 6) AS ci_hi,
+           {B} AS n_resamples
+    FROM ranked GROUP BY n, sx
+    """
+    assert compare(got, duck.execute(sql).df()) == []
+    row = got.first()
+    assert row["ci_lo"] <= row["mean"] <= row["ci_hi"]
