@@ -483,3 +483,73 @@ def rfm_segmentation(
             "", F.col("r_score"), F.col("f_score"), F.col("m_score")
         ).alias("segment"),
     )
+
+
+def windowed_funnel(
+    df: DataFrame,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    within_seconds: int = 86400,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Time-constrained funnel: step i+1 counts only if it happens
+    within ``within_seconds`` AFTER the user's step-i anchor — the
+    "converted within 24h" report. q122's first-touch funnel is the
+    unbounded limit; the windowed variant is what campaign and checkout
+    analyses actually ask, and it is NOT derivable from the
+    unconditioned per-step minima (a user can click days after the
+    anchoring view yet re-view later: earliest-chain semantics need the
+    constraint applied at each hop).
+
+    Anchors greedily: step 1's anchor is the user's earliest step-1
+    event; step i+1's anchor is the EARLIEST step-i+1 event inside
+    ``(anchor_i, anchor_i + within]``. Greedy-earliest maximizes
+    conversion under a fixed per-hop window (any later qualifying
+    anchor only shrinks the next hop's room — earliest anchoring
+    dominates), so the count is well-defined, not heuristic.
+
+    Scale shape: one conditional-min aggregation per hop, each keyed on
+    ``user_col`` — K−1 user-keyed passes over the (user, step-type)
+    slice of events, every exchange on the same key so Catalyst reuses
+    the partitioning; no per-event sequential scan, no window over
+    event volume. Output one row per step: (step, step_name, n_users),
+    non-increasing.
+    """
+    ep = F.unix_micros(F.col(ts_col))
+    within_us = int(within_seconds) * 1_000_000
+    by_type = {
+        s: df.where(F.col(type_col) == s).select(
+            F.col(user_col).alias("__u"), ep.alias("__e")
+        )
+        for s in steps
+    }
+    anchors = by_type[steps[0]].groupBy("__u").agg(F.min("__e").alias("__a"))
+    counts = [anchors.agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit(1).cast("bigint").alias("step"),
+        F.lit(steps[0]).alias("step_name"),
+        F.col("n").alias("n_users"),
+    )]
+    for i, s in enumerate(steps[1:], start=2):
+        nxt = (
+            by_type[s]
+            .join(anchors, "__u")
+            .where(
+                (F.col("__e") > F.col("__a"))
+                & (F.col("__e") <= F.col("__a") + within_us)
+            )
+            .groupBy("__u")
+            .agg(F.min("__e").alias("__a"))
+        )
+        anchors = nxt
+        counts.append(
+            anchors.agg(F.count(F.lit(1)).alias("n")).select(
+                F.lit(i).cast("bigint").alias("step"),
+                F.lit(s).alias("step_name"),
+                F.col("n").alias("n_users"),
+            )
+        )
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    return out

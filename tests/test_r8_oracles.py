@@ -1392,3 +1392,40 @@ def test_bootstrap_mean_ci_oracle(spark, duck):
     assert compare(got, duck.execute(sql).df()) == []
     row = got.first()
     assert row["ci_lo"] <= row["mean"] <= row["ci_hi"]
+
+
+def test_windowed_funnel_oracle(spark, duck):
+    from osmapreduceproject_spark.operators.events import (
+        funnel_counts,
+        windowed_funnel,
+    )
+
+    W = 21600  # 6h — tight enough to bite on the fixture
+    got = windowed_funnel(_events(spark), within_seconds=W)
+    wus = W * 1_000_000
+    sql = f"""
+    WITH a1 AS (SELECT user_id AS u, MIN(epoch_us(ts)) AS a FROM events
+                WHERE event_type = 'view' GROUP BY 1),
+    a2 AS (SELECT e.user_id AS u, MIN(epoch_us(e.ts)) AS a
+           FROM events e JOIN a1 ON a1.u = e.user_id
+           WHERE e.event_type = 'click'
+             AND epoch_us(e.ts) > a1.a AND epoch_us(e.ts) <= a1.a + {wus}
+           GROUP BY 1),
+    a3 AS (SELECT e.user_id AS u, MIN(epoch_us(e.ts)) AS a
+           FROM events e JOIN a2 ON a2.u = e.user_id
+           WHERE e.event_type = 'purchase'
+             AND epoch_us(e.ts) > a2.a AND epoch_us(e.ts) <= a2.a + {wus}
+           GROUP BY 1)
+    SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_name,
+           (SELECT COUNT(*) FROM a1) AS n_users
+    UNION ALL SELECT 2, 'click', (SELECT COUNT(*) FROM a2)
+    UNION ALL SELECT 3, 'purchase', (SELECT COUNT(*) FROM a3)
+    """
+    assert compare(got, duck.execute(sql).df()) == []
+    # the window must actually constrain vs the unbounded funnel
+    rows = {r["step"]: r["n_users"] for r in got.collect()}
+    unbounded = {
+        r["step"]: r["n_users"] for r in funnel_counts(_events(spark)).collect()
+    }
+    assert rows[1] == unbounded[1]          # step-1 anchor is identical
+    assert rows[2] <= rows[1] and rows[3] <= rows[2]
