@@ -551,6 +551,111 @@ def ewma(
     )
 
 
+def cusum_changepoints(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    value_col: str,
+    step_seconds: int,
+    drift_k: float = 0.5,
+    threshold_h: float = 5.0,
+) -> DataFrame:
+    """Per-key CUSUM change-point detection over the REGULARIZED grid:
+    the two-sided cumulative-sum statistic on standardized values,
+
+        s⁺_t = max(0, s⁺_{t−1} + z_t − k),  s⁻_t = max(0, s⁻_{t−1} − z_t − k),
+
+    flagging a level SHIFT when either side crosses ``h`` (and resetting
+    that side) — the sustained-drift detector that complements
+    :func:`series_anomalies`' point-outlier MAD fences: a 1.5σ step
+    change never trips a 3σ fence but accumulates in CUSUM within a few
+    slots. Standardization uses the key's own exact mean and the exact
+    DISCRETE-median-based MAD scale (the q172 machinery), both from the
+    resampled grid; zero-MAD keys (constant series) emit no flags.
+
+    The recurrence walks INTEGER micro-unit state exactly like
+    :func:`ewma` (round(x,9)-style float state diverges across engines
+    by an ulp at decimal-grid boundaries), ordered-array fold per key,
+    state bounded by series length. Returns flagged slots only:
+    (key, slot_epoch, value, side ['up'|'down'], cusum_stat).
+    """
+    s = resample_ffill(df, key, ts, value_col, step_seconds)
+    stats = s.groupBy(key).agg(
+        (
+            F.sum(F.round(F.col(value_col) * 1_000_000).cast("bigint"))
+            / (F.count(F.lit(1)) * 1_000_000.0)
+        ).alias("__mu"),
+    )
+    med = _disc_median_per_key(s, key, value_col, "__med")
+    dev = s.join(med, key).withColumn(
+        "__adev", F.abs(F.col(value_col) - F.col("__med"))
+    )
+    mad = _disc_median_per_key(dev, key, "__adev", "__mad")
+    base = (
+        s.join(stats, key)
+        .join(mad, key)
+        .where(F.col("__mad") > 0)
+        .withColumn("__sigma", F.col("__mad") * 1.4826)
+    )
+    rows = base.groupBy(key, "__mu", "__sigma").agg(
+        F.array_sort(
+            F.collect_list(F.struct("slot_epoch", F.col(value_col).alias("v")))
+        ).alias("__series")
+    )
+    kq = int(round(drift_k * 1_000_000))
+    hq = int(round(threshold_h * 1_000_000))
+    zq = lambda x: F.round(  # noqa: E731 — z in integer micro-units
+        (x - F.col("__mu")) / F.col("__sigma") * 1_000_000
+    ).cast("bigint")
+    state_t = (
+        "array<struct<slot_epoch:bigint,v:double,up:bigint,dn:bigint,"
+        "flag_up:boolean,flag_dn:boolean>>"
+    )
+    def _step(acc, x):
+        # a side that flagged on the previous slot restarts from 0
+        prev_up = F.when(F.size(acc) == 0, F.lit(0)).otherwise(
+            F.when(F.element_at(acc, -1)["flag_up"], F.lit(0)).otherwise(
+                F.element_at(acc, -1)["up"]
+            )
+        )
+        prev_dn = F.when(F.size(acc) == 0, F.lit(0)).otherwise(
+            F.when(F.element_at(acc, -1)["flag_dn"], F.lit(0)).otherwise(
+                F.element_at(acc, -1)["dn"]
+            )
+        )
+        z = zq(x["v"])
+        up = F.greatest(F.lit(0).cast("bigint"), prev_up + z - kq)
+        dn = F.greatest(F.lit(0).cast("bigint"), prev_dn - z - kq)
+        return F.concat(
+            acc,
+            F.array(
+                F.struct(
+                    x["slot_epoch"].alias("slot_epoch"),
+                    x["v"].alias("v"),
+                    up.alias("up"),
+                    dn.alias("dn"),
+                    (up > hq).alias("flag_up"),
+                    (dn > hq).alias("flag_dn"),
+                )
+            ),
+        )
+    folded = F.aggregate(F.col("__series"), F.array().cast(state_t), _step)
+    out = rows.select(key, F.explode(folded).alias("r")).where(
+        F.col("r.flag_up") | F.col("r.flag_dn")
+    )
+    return out.select(
+        key,
+        F.col("r.slot_epoch").alias("slot_epoch"),
+        F.col("r.v").alias(value_col),
+        F.when(F.col("r.flag_up"), F.lit("up")).otherwise(F.lit("down")).alias("side"),
+        F.round(
+            F.when(F.col("r.flag_up"), F.col("r.up")).otherwise(F.col("r.dn"))
+            / 1_000_000.0,
+            6,
+        ).alias("cusum_stat"),
+    )
+
+
 def interval_union_duration(
     df: DataFrame,
     key: str,

@@ -2919,3 +2919,52 @@ def test_resample_interpolate_known_case(spark):
     assert out[e0 + 120] == (50.0, 120, 120)
     assert out[e0 + 180] == (75.0, 180, 60)
     assert out[e0 + 240] == (100.0, 0, 0)
+
+
+def test_cusum_changepoints_planted_shift(spark):
+    """A level shift accumulates and flags; the flagged set replays
+    exactly in Python with the same integer micro-unit state."""
+    import datetime
+    import math as _math
+
+    from osmapreduceproject_spark.operators.windows import cusum_changepoints
+
+    base = datetime.datetime(2025, 1, 1)
+    vals = [9.0, 11.0] * 25 + [12.0, 14.0] * 25
+    rows = [
+        (1, base + datetime.timedelta(seconds=60 * i), v)
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, "k bigint, ts timestamp, v double")
+    got = {
+        (r["slot_epoch"], r["side"], r["cusum_stat"])
+        for r in cusum_changepoints(df, "k", "ts", "v", 60).collect()
+    }
+    # python replay: mu from quantized mean, sigma from discrete MAD
+    n = len(vals)
+    mu = sum(round(v * 1e6) for v in vals) / (n * 1e6)
+    med = sorted(vals)[_math.ceil(0.5 * n) - 1]
+    mad = sorted(abs(v - med) for v in vals)[_math.ceil(0.5 * n) - 1]
+    sigma = mad * 1.4826
+    e0 = int(base.replace(tzinfo=datetime.timezone.utc).timestamp())
+
+    def rnd(x):
+        return _math.floor(x + 0.5) if x >= 0 else _math.ceil(x - 0.5)
+
+    up = dn = 0
+    want = set()
+    for i, v in enumerate(vals):
+        z = rnd((v - mu) / sigma * 1e6)
+        up = max(0, up + z - 500_000)
+        dn = max(0, dn - z - 500_000)
+        fu, fd = up > 5_000_000, dn > 5_000_000
+        if fu or fd:
+            want.add((e0 + 60 * i, "up" if fu else "down",
+                      round((up if fu else dn) / 1e6, 6)))
+        if fu:
+            up = 0
+        if fd:
+            dn = 0
+    assert got == want
+    sides = {s for _, s, _ in got}
+    assert sides == {"up", "down"}  # both halves drift vs the global mean

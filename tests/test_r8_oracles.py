@@ -1429,3 +1429,45 @@ def test_windowed_funnel_oracle(spark, duck):
     }
     assert rows[1] == unbounded[1]          # step-1 anchor is identical
     assert rows[2] <= rows[1] and rows[3] <= rows[2]
+
+
+def test_cusum_changepoints_oracle(spark, duck):
+    from osmapreduceproject_spark.operators.windows import cusum_changepoints
+
+    got = cusum_changepoints(
+        _events(spark), key="user_id", ts="ts", value_col="value",
+        step_seconds=STEP,
+    )
+    z = "CAST(round((b.value - b.mu) / b.sigma * 1000000) AS BIGINT)"
+    sql = f"""
+    WITH RECURSIVE {_RESAMPLE_CTE},
+    mu AS (SELECT k, SUM(CAST(round(value * 1000000) AS BIGINT))
+                    / (COUNT(*) * 1000000.0) AS mu
+           FROM resampled GROUP BY k),
+    med AS (SELECT k, quantile_disc(value, 0.5) AS med FROM resampled GROUP BY k),
+    mad AS (SELECT r.k, quantile_disc(abs(r.value - med.med), 0.5) AS mad
+            FROM resampled r JOIN med USING (k) GROUP BY r.k),
+    b AS (SELECT r.k, r.slot_epoch, r.value, mu.mu,
+                 mad.mad * CAST(1.4826 AS DOUBLE) AS sigma,
+                 ROW_NUMBER() OVER (PARTITION BY r.k ORDER BY r.slot_epoch) AS ord
+          FROM resampled r JOIN mu USING (k) JOIN mad USING (k)
+          WHERE mad.mad > 0),
+    walk AS (
+      SELECT k, ord, slot_epoch, value,
+             greatest(CAST(0 AS BIGINT), {z} - 500000) AS up,
+             greatest(CAST(0 AS BIGINT), -{z} - 500000) AS dn
+      FROM b WHERE ord = 1
+      UNION ALL
+      SELECT b.k, b.ord, b.slot_epoch, b.value,
+             greatest(CAST(0 AS BIGINT),
+               (CASE WHEN w.up > 5000000 THEN 0 ELSE w.up END) + {z} - 500000),
+             greatest(CAST(0 AS BIGINT),
+               (CASE WHEN w.dn > 5000000 THEN 0 ELSE w.dn END) - {z} - 500000)
+      FROM b JOIN walk w ON w.k = b.k AND b.ord = w.ord + 1)
+    SELECT k AS user_id, slot_epoch, value,
+           CASE WHEN up > 5000000 THEN 'up' ELSE 'down' END AS side,
+           round((CASE WHEN up > 5000000 THEN up ELSE dn END) / 1000000.0, 6)
+             AS cusum_stat
+    FROM walk WHERE up > 5000000 OR dn > 5000000
+    """
+    assert compare(got, duck.execute(sql).df()) == []
