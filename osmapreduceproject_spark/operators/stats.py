@@ -861,3 +861,119 @@ def bootstrap_mean_ci(
         )],
         "n bigint, mean double, ci_lo double, ci_hi double, n_resamples int",
     )
+
+
+def target_encode(
+    df: DataFrame,
+    cat_col: str,
+    target_col: str,
+    smoothing: float = 10.0,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Smoothed target encoding — the category → mean-target feature map
+    with the standard additive-smoothing shrinkage toward the global
+    prior, ``enc = (Σy + m·prior) / (n + m)``: rare categories shrink to
+    the prior instead of memorizing their few labels (the leakage-prone
+    naive mean), frequent categories approach their own mean. Returns
+    the bounded MAPPING frame (category, n, category mean, encoding) —
+    callers broadcast-join it back; shipping the map rather than the
+    encoded rows is what a 100 TB pipeline wants (the map is
+    category-cardinality-sized metadata).
+
+    Exactness: target sums quantize to integers (micro-units) so both
+    the per-category and the global sums are partition-order-free; the
+    prior and encodings are fixed-order float expressions over those
+    integers, 6-decimal rounded. NULL/NaN targets are excluded; a NULL
+    category is a real level and gets a row.
+    """
+    y = F.col(target_col).cast("double")
+    ok = y.isNotNull() & ~F.isnan(y)
+    yq = F.when(ok, F.round(y * scale)).cast("decimal(38,0)")
+    per_cat = df.groupBy(F.col(cat_col).alias("category")).agg(
+        F.count(yq).alias("n"),
+        F.sum(yq).alias("__sy"),
+    )
+    tot = per_cat.agg(
+        F.sum("n").alias("__tn"), F.sum("__sy").alias("__tsy")
+    )
+    prior = F.col("__tsy").cast("double") / F.col("__tn") / scale
+    cat_mean = F.col("__sy").cast("double") / F.col("n") / scale
+    enc = (
+        (F.col("__sy").cast("double") / scale + F.lit(smoothing) * prior)
+        / (F.col("n") + F.lit(smoothing))
+    )
+    return (
+        per_cat.crossJoin(F.broadcast(tot))
+        .select(
+            "category",
+            "n",
+            F.round(cat_mean, 6).alias("category_mean"),
+            F.round(enc, 6).alias("encoding"),
+            F.round(prior, 6).alias("prior"),
+        )
+    )
+
+
+def expect_report(df: DataFrame, rules: list[dict]) -> DataFrame:
+    """Declarative data-quality expectations — the contract-check layer
+    a production table runs before publishing (the
+    expectations-framework shape, engine-native): each rule is a dict
+    ``{"col", "check", "arg"?}`` with checks ``not_null`` / ``min`` /
+    ``max`` / ``regex`` (substring search — anchor with ``^...$`` for a
+    full match; Java and RE2 agree on plain character classes) /
+    ``in_set`` / ``unique``, and the
+    report gives per-rule violation counts and rates over one scan —
+    complementing q130's referential-integrity audit with column-level
+    contracts.
+
+    All rules evaluate as conditional sums in a SINGLE aggregation
+    (``unique``, the one non-row-local check, rides the same pass as
+    ``n − count_distinct``); the unpivot to one row per rule is a
+    bounded typed-struct explode (the q122 pattern). Deterministic
+    integer counts → exact cross-engine. Returns
+    (rule_id, col, check, n_rows, n_violations, violation_rate).
+    """
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, r in enumerate(rules):
+        c = F.col(r["col"])
+        check, arg = r["check"], r.get("arg")
+        if check == "not_null":
+            bad = c.isNull()
+        elif check == "min":
+            bad = c.isNotNull() & (c < F.lit(arg))
+        elif check == "max":
+            bad = c.isNotNull() & (c > F.lit(arg))
+        elif check == "regex":
+            bad = c.isNotNull() & ~c.cast("string").rlike(str(arg))
+        elif check == "in_set":
+            bad = c.isNotNull() & ~c.isin(list(arg))
+        elif check == "unique":
+            aggs.append(
+                (F.count(c) - F.count_distinct(c)).alias(f"__v{i}")
+            )
+            continue
+        else:
+            raise ValueError(f"unknown check: {check!r}")
+        aggs.append(F.sum(bad.cast("bigint")).alias(f"__v{i}"))
+    row = df.agg(*aggs)
+    out = F.explode(
+        F.array(*[
+            F.struct(
+                F.lit(i).cast("int").alias("rule_id"),
+                F.lit(r["col"]).alias("col"),
+                F.lit(r["check"]).alias("check"),
+                F.col("__n").alias("n_rows"),
+                F.coalesce(F.col(f"__v{i}"), F.lit(0)).alias("n_violations"),
+            )
+            for i, r in enumerate(rules)
+        ])
+    ).alias("r")
+    return row.select(out).select(
+        "r.rule_id", "r.col", "r.check", "r.n_rows", "r.n_violations",
+        F.when(
+            F.col("r.n_rows") > 0,
+            F.round(
+                F.col("r.n_violations").cast("double") / F.col("r.n_rows"), 6
+            ),
+        ).alias("violation_rate"),
+    )

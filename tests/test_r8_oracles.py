@@ -1471,3 +1471,84 @@ def test_cusum_changepoints_oracle(spark, duck):
     FROM walk WHERE up > 5000000 OR dn > 5000000
     """
     assert compare(got, duck.execute(sql).df()) == []
+
+
+def test_target_encode_oracle(spark, duck):
+    from osmapreduceproject_spark.operators.stats import target_encode
+    from osmapreduceproject_spark.queries import _t
+
+    got = target_encode(
+        _t(spark, SF_CORRECT, "orders"), "o_orderpriority", "o_totalprice"
+    )
+    sql = """
+    WITH base AS (
+      SELECT o_orderpriority AS category,
+             CASE WHEN o_totalprice IS NOT NULL
+                   AND NOT isnan(CAST(o_totalprice AS DOUBLE))
+                  THEN CAST(round(CAST(o_totalprice AS DOUBLE) * 1000000)
+                            AS HUGEINT) END AS yq
+      FROM orders),
+    per AS (SELECT category, COUNT(yq) AS n, SUM(yq) AS sy
+            FROM base GROUP BY 1),
+    tot AS (SELECT SUM(n) AS tn, SUM(sy) AS tsy FROM per)
+    SELECT per.category, CAST(per.n AS BIGINT) AS n,
+           round(CAST(per.sy AS DOUBLE) / per.n / 1000000, 6) AS category_mean,
+           round((CAST(per.sy AS DOUBLE) / 1000000
+                  + CAST(10.0 AS DOUBLE)
+                    * (CAST(tot.tsy AS DOUBLE) / tot.tn / 1000000))
+                 / (per.n + CAST(10.0 AS DOUBLE)), 6) AS encoding,
+           round(CAST(tot.tsy AS DOUBLE) / tot.tn / 1000000, 6) AS prior
+    FROM per, tot
+    """
+    assert compare(got, duck.execute(sql).df()) == []
+
+
+def test_expect_report_oracle(spark, duck):
+    from osmapreduceproject_spark.operators.stats import expect_report
+    from osmapreduceproject_spark.queries import _t
+
+    rules = [
+        {"col": "l_quantity", "check": "min", "arg": 1},
+        {"col": "l_quantity", "check": "max", "arg": 30},
+        {"col": "l_shipdate", "check": "not_null"},
+        {"col": "l_returnflag", "check": "in_set", "arg": ["A", "N"]},
+        {"col": "l_linestatus", "check": "regex", "arg": "^O$"},
+        {"col": "l_orderkey", "check": "unique"},
+    ]
+    got = expect_report(_t(spark, SF_CORRECT, "lineitem"), rules)
+    sql = """
+    WITH s AS (
+      SELECT COUNT(*) AS n,
+        SUM(CASE WHEN l_quantity IS NOT NULL AND l_quantity < 1
+                 THEN 1 ELSE 0 END) AS v0,
+        SUM(CASE WHEN l_quantity IS NOT NULL AND l_quantity > 30
+                 THEN 1 ELSE 0 END) AS v1,
+        SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS v2,
+        SUM(CASE WHEN l_returnflag IS NOT NULL
+                  AND l_returnflag NOT IN ('A', 'N') THEN 1 ELSE 0 END) AS v3,
+        SUM(CASE WHEN l_linestatus IS NOT NULL
+                  AND NOT regexp_matches(CAST(l_linestatus AS VARCHAR), '^O$')
+                 THEN 1 ELSE 0 END) AS v4,
+        COUNT(l_orderkey) - COUNT(DISTINCT l_orderkey) AS v5
+      FROM lineitem),
+    r AS (
+      SELECT * FROM (VALUES
+        (0, 'l_quantity', 'min'), (1, 'l_quantity', 'max'),
+        (2, 'l_shipdate', 'not_null'), (3, 'l_returnflag', 'in_set'),
+        (4, 'l_linestatus', 'regex'), (5, 'l_orderkey', 'unique'))
+        AS t(rule_id, col, "check"))
+    SELECT CAST(r.rule_id AS INT) AS rule_id, r.col, r."check",
+           CAST(s.n AS BIGINT) AS n_rows,
+           CAST(CASE r.rule_id WHEN 0 THEN s.v0 WHEN 1 THEN s.v1
+                WHEN 2 THEN s.v2 WHEN 3 THEN s.v3 WHEN 4 THEN s.v4
+                ELSE s.v5 END AS BIGINT) AS n_violations,
+           CASE WHEN s.n > 0 THEN
+             round(CAST(CASE r.rule_id WHEN 0 THEN s.v0 WHEN 1 THEN s.v1
+                        WHEN 2 THEN s.v2 WHEN 3 THEN s.v3 WHEN 4 THEN s.v4
+                        ELSE s.v5 END AS DOUBLE) / s.n, 6) END AS violation_rate
+    FROM r, s
+    """
+    assert compare(got, duck.execute(sql).df()) == []
+    pdf = got.toPandas().set_index("rule_id")
+    assert pdf.loc[1, "n_violations"] > 0     # quantities above 30 exist
+    assert pdf.loc[5, "n_violations"] > 0     # orderkey repeats in lineitem
