@@ -977,3 +977,51 @@ def expect_report(df: DataFrame, rules: list[dict]) -> DataFrame:
             ),
         ).alias("violation_rate"),
     )
+
+
+def benford_check(
+    df: DataFrame,
+    col: str,
+    scale: int = 100,
+) -> DataFrame:
+    """Benford's-law first-significant-digit audit — the classic
+    fabricated-numbers screen for financial/metric columns: observed
+    digit shares vs the Benford expectation ``log10(1 + 1/d)``, with
+    the chi-squared goodness-of-fit statistic (dof = 8) accumulated
+    over the 9 digit rows. Flags synthetic, truncated, or capped
+    distributions that per-column min/max contracts can't see.
+
+    The first digit comes from the STRING form of the value quantized
+    to integer units (``round(x·scale)`` — cents for money): integer →
+    string is exact and identical across engines, avoiding the float
+    ``log10`` boundary hazard at powers of ten that a closed-form digit
+    extraction carries. Only values with ``|x·scale| ≥ 1`` have a first
+    significant digit; zeros/NULL/NaN are excluded and reported via
+    ``n_used``. One narrow map + a 9-key aggregation. Returns 9 rows:
+    (digit, n, observed_share, benford_share, chi2_term), 6-decimal.
+    """
+    x = F.col(col).cast("double")
+    ok = x.isNotNull() & ~F.isnan(x)
+    q = F.round(F.abs(x) * scale).cast("bigint")
+    digit = F.substring(q.cast("string"), 1, 1).cast("int")
+    base = df.where(ok & (q >= 1)).select(digit.alias("digit"))
+    counts = base.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    digits = df.sparkSession.range(1, 10).select(F.col("id").cast("int").alias("digit"))
+    full = digits.join(F.broadcast(counts), "digit", "left").select(
+        "digit", F.coalesce("n", F.lit(0)).alias("n")
+    )
+    tot = full.agg(F.sum("n").alias("__t"))
+    p_obs = F.col("n").cast("double") / F.col("__t")
+    p_exp = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    chi_term = (
+        (p_obs - p_exp) * (p_obs - p_exp) / p_exp * F.col("__t")
+    )
+    return (
+        full.crossJoin(F.broadcast(tot))
+        .select(
+            "digit", "n",
+            F.round(p_obs, 6).alias("observed_share"),
+            F.round(p_exp, 6).alias("benford_share"),
+            F.round(chi_term, 6).alias("chi2_term"),
+        )
+    )

@@ -1552,3 +1552,37 @@ def test_expect_report_oracle(spark, duck):
     pdf = got.toPandas().set_index("rule_id")
     assert pdf.loc[1, "n_violations"] > 0     # quantities above 30 exist
     assert pdf.loc[5, "n_violations"] > 0     # orderkey repeats in lineitem
+
+
+def test_benford_check_oracle(spark, duck):
+    from osmapreduceproject_spark.operators.stats import benford_check
+    from osmapreduceproject_spark.queries import _t
+
+    got = benford_check(_t(spark, SF_CORRECT, "orders"), "o_totalprice")
+    sql = """
+    WITH base AS (
+      SELECT CAST(substr(CAST(CAST(round(abs(CAST(o_totalprice AS DOUBLE)) * 100)
+                               AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+      FROM orders
+      WHERE o_totalprice IS NOT NULL AND NOT isnan(CAST(o_totalprice AS DOUBLE))
+        AND CAST(round(abs(CAST(o_totalprice AS DOUBLE)) * 100) AS BIGINT) >= 1),
+    counts AS (SELECT digit, COUNT(*) AS n FROM base GROUP BY 1),
+    fl AS (
+      SELECT d.digit, COALESCE(c.n, 0) AS n
+      FROM (SELECT CAST(unnest(range(1, 10)) AS INT) AS digit) d
+      LEFT JOIN counts c ON c.digit = d.digit),
+    t AS (SELECT SUM(n) AS t FROM fl)
+    SELECT f.digit, CAST(f.n AS BIGINT) AS n,
+           round(CAST(f.n AS DOUBLE) / t.t, 6) AS observed_share,
+           round(log10(CAST(1.0 AS DOUBLE) + CAST(1.0 AS DOUBLE) / f.digit), 6)
+             AS benford_share,
+           round((CAST(f.n AS DOUBLE) / t.t
+                  - log10(CAST(1.0 AS DOUBLE) + CAST(1.0 AS DOUBLE) / f.digit))
+                 * (CAST(f.n AS DOUBLE) / t.t
+                    - log10(CAST(1.0 AS DOUBLE) + CAST(1.0 AS DOUBLE) / f.digit))
+                 / log10(CAST(1.0 AS DOUBLE) + CAST(1.0 AS DOUBLE) / f.digit)
+                 * t.t, 6) AS chi2_term
+    FROM fl f, t
+    """
+    assert compare(got, duck.execute(sql).df()) == []
+    assert got.count() == 9
