@@ -778,3 +778,43 @@ def cluster_drift(
     return per_cid.select(
         "cid", "n_old", "n_new", drift.alias("centroid_drift")
     )
+
+
+def recall_at_k(
+    exact: DataFrame,
+    approx: DataFrame,
+    query_id_col: str = "query_id",
+    neighbor_col: str = "neighbor_id",
+) -> DataFrame:
+    """Per-query recall of an approximate top-k result against the
+    exact one — the standard ANN quality gate (the q168 calibration
+    contract applied to retrieval): both inputs in the
+    :func:`cosine_topk` output shape, recall = |approx ∩ exact| /
+    |exact| per query. Run at sample scale against brute force, pick
+    nprobe/bands/n_centroids, then trust the index corpus-wide where
+    brute force is unaffordable — without this gate an ANN index's
+    recall is a guess.
+
+    One equi-join on (query, neighbor) + two query-keyed counts — all
+    exchanges on the query key, bounded by k rows per query. Returns
+    (query_id, n_expected, n_hit, recall), 6-decimal; a query present
+    only in ``exact`` reports recall 0.
+    """
+    e = exact.select(F.col(query_id_col), F.col(neighbor_col))
+    a = approx.select(F.col(query_id_col), F.col(neighbor_col))
+    hits = e.join(a, [query_id_col, neighbor_col]).groupBy(query_id_col).agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    totals = e.groupBy(query_id_col).agg(F.count(F.lit(1)).alias("n_expected"))
+    return (
+        totals.join(hits, query_id_col, "left")
+        .select(
+            query_id_col,
+            "n_expected",
+            F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+            F.round(
+                F.coalesce("n_hit", F.lit(0)).cast("double") / F.col("n_expected"),
+                6,
+            ).alias("recall"),
+        )
+    )

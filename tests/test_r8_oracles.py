@@ -1586,3 +1586,42 @@ def test_benford_check_oracle(spark, duck):
     """
     assert compare(got, duck.execute(sql).df()) == []
     assert got.count() == 9
+
+
+def test_recall_at_k_oracle(spark, duck):
+    """recall_at_k's join/count logic verified cross-engine over pinned
+    inputs (exact vs IVF top-k on the embeddings fixture — the future
+    graded query composes the q34/q66 oracle replicas the same way)."""
+    from osmapreduceproject_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+        recall_at_k,
+    )
+    from osmapreduceproject_spark.queries import _t
+
+    emb = _t(spark, SF_CORRECT, "embeddings")
+    qs = emb.where(F.col("vec_id") < 10)
+    exact = cosine_topk(emb, qs, k=10)
+    approx = ivf_topk(emb, qs, k=10, n_centroids=16, nprobe=4)
+    got = recall_at_k(exact, approx)
+    duck.register("__exact", exact.toPandas())
+    duck.register("__approx", approx.toPandas())
+    sql = """
+    WITH e AS (SELECT query_id, neighbor_id FROM __exact),
+    a AS (SELECT query_id, neighbor_id FROM __approx),
+    hits AS (SELECT e.query_id, COUNT(*) AS n_hit
+             FROM e JOIN a ON a.query_id = e.query_id
+                          AND a.neighbor_id = e.neighbor_id
+             GROUP BY 1),
+    t AS (SELECT query_id, COUNT(*) AS n_expected FROM e GROUP BY 1)
+    SELECT t.query_id, CAST(t.n_expected AS BIGINT) AS n_expected,
+           CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+           round(CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / t.n_expected, 6) AS recall
+    FROM t LEFT JOIN hits h ON h.query_id = t.query_id
+    """
+    assert compare(got, duck.execute(sql).df()) == []
+    pdf = got.toPandas()
+    assert len(pdf) == 10 and (pdf.recall > 0).all()
+    assert pdf.recall.mean() > 0.5  # nprobe=4/16 recovers most neighbors
+    duck.unregister("__exact")
+    duck.unregister("__approx")
