@@ -2968,3 +2968,72 @@ def test_cusum_changepoints_planted_shift(spark):
     assert got == want
     sides = {s for _, s, _ in got}
     assert sides == {"up", "down"}  # both halves drift vs the global mean
+
+
+def test_late_batch_operators_empty_input(spark):
+    """Empty frames flow through the late staged batch without error:
+    empty frame results, degenerate one-row reports, and clean raises
+    where a population is required."""
+    import pytest as _pt
+
+    from osmapreduceproject_spark.operators.events import (
+        rfm_segmentation,
+        windowed_funnel,
+    )
+    from osmapreduceproject_spark.operators.similarity import recall_at_k
+    from osmapreduceproject_spark.operators.stats import (
+        benford_check,
+        bootstrap_mean_ci,
+        chi2_independence,
+        expect_report,
+        hll_estimate,
+        psi,
+        target_encode,
+        welch_ttest,
+    )
+    from osmapreduceproject_spark.operators.text import (
+        chunk_documents,
+        hashing_vectorizer,
+        readability,
+    )
+    from osmapreduceproject_spark.operators.windows import (
+        cusum_changepoints,
+        ewma,
+        resample_interpolate,
+    )
+
+    empty_docs = spark.createDataFrame([], "doc_id bigint, text string")
+    empty_events = spark.createDataFrame(
+        [], "event_id bigint, user_id bigint, event_type string, "
+            "ts timestamp, value double"
+    )
+    empty_series = spark.createDataFrame([], "k bigint, ts timestamp, v double")
+    empty_topk = spark.createDataFrame(
+        [], "query_id bigint, neighbor_id bigint, sim double, rank int"
+    )
+    kw = dict(key="k", ts="ts", value_col="v", step_seconds=60)
+    assert ewma(empty_series, **kw).count() == 0
+    assert resample_interpolate(empty_series, **kw).count() == 0
+    assert cusum_changepoints(empty_series, **kw).count() == 0
+    assert chunk_documents(empty_docs).count() == 0
+    assert hashing_vectorizer(empty_docs).count() == 0
+    assert readability(empty_docs).count() == 0
+    assert windowed_funnel(empty_events).count() == 3      # 0-count steps
+    assert target_encode(empty_events, "event_type", "value").count() == 0
+    assert benford_check(empty_events, "value").count() == 9
+    assert chi2_independence(empty_events, "event_type", "user_id").count() == 1
+    assert welch_ttest(empty_events, "event_type", "value", "a", "b").count() == 1
+    assert recall_at_k(empty_topk, empty_topk).count() == 0
+    assert expect_report(
+        empty_events, [{"col": "value", "check": "not_null"}]
+    ).first()["n_violations"] == 0
+    assert hll_estimate(empty_events, "user_id").first()["exact_distinct"] == 0
+    # population-requiring operators raise cleanly (the exact_percentile
+    # contract): no rank exists over an empty frame
+    for raising in (
+        lambda: rfm_segmentation(empty_events).count(),
+        lambda: psi(empty_events, empty_events, "value").count(),
+        lambda: bootstrap_mean_ci(empty_events, "value"),
+    ):
+        with _pt.raises(ValueError):
+            raising()
