@@ -553,3 +553,51 @@ def windowed_funnel(
     for c in counts[1:]:
         out = out.unionByName(c)
     return out
+
+
+def activity_streaks(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Longest consecutive-day activity streak per user — the
+    gaps-and-islands pattern (q126's duplicate-span machinery applied
+    to engagement): distinct active days per user, islands identified
+    by ``epoch_day − row_number`` (constant within a consecutive run),
+    then per-user longest/current streak and totals. The
+    retention-adjacent metric cohort tables can't express (cohorts see
+    WHICH week a user returns, streaks see how continuously).
+
+    Days are UTC epoch days (``unix_date`` on the µs-pinned timestamp —
+    timezone-free integer arithmetic, the q148 lesson). Scale shape:
+    the distinct collapses event volume to user-days first; the
+    row_number window partitions by user (bounded by active days per
+    user); two user-keyed aggregations end the plan — every exchange
+    hashes on the user. Returns (user, n_active_days, n_streaks,
+    longest_streak, current_streak) where ``current_streak`` is the
+    streak touching the user's LAST active day.
+    """
+    from pyspark.sql import Window
+
+    # floor(epoch_us / day_us), NOT to_date(ts): to_date renders in the
+    # SESSION timezone, shifting day boundaries under a non-UTC session
+    # (the q148 class of bug the hostile-TZ sweep exists to catch)
+    days = df.select(
+        F.col(user_col),
+        F.floor(F.unix_micros(F.col(ts_col)) / 86_400_000_000).cast("bigint").alias(
+            "__day"
+        ),
+    ).distinct()
+    w = Window.partitionBy(user_col).orderBy(F.col("__day").asc())
+    islands = days.withColumn(
+        "__isl", F.col("__day") - F.row_number().over(w)
+    )
+    runs = islands.groupBy(user_col, "__isl").agg(
+        F.count(F.lit(1)).alias("__len"), F.max("__day").alias("__end")
+    )
+    return runs.groupBy(user_col).agg(
+        F.sum("__len").alias("n_active_days"),
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.max("__len").alias("longest_streak"),
+        F.max_by("__len", F.col("__end")).alias("current_streak"),
+    )

@@ -1625,3 +1625,30 @@ def test_recall_at_k_oracle(spark, duck):
     assert pdf.recall.mean() > 0.5  # nprobe=4/16 recovers most neighbors
     duck.unregister("__exact")
     duck.unregister("__approx")
+
+
+def test_activity_streaks_oracle(spark, duck):
+    from osmapreduceproject_spark.operators.events import activity_streaks
+
+    got = activity_streaks(_events(spark))
+    sql = """
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d
+      FROM events),
+    isl AS (
+      SELECT user_id, d,
+             d - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS g
+      FROM days),
+    runs AS (
+      SELECT user_id, g, COUNT(*) AS len, MAX(d) AS e
+      FROM isl GROUP BY 1, 2)
+    SELECT user_id, CAST(SUM(len) AS BIGINT) AS n_active_days,
+           CAST(COUNT(*) AS BIGINT) AS n_streaks,
+           CAST(MAX(len) AS BIGINT) AS longest_streak,
+           CAST(max_by(len, e) AS BIGINT) AS current_streak
+    FROM runs GROUP BY user_id
+    """
+    assert compare(got, duck.execute(sql).df()) == []
+    pdf = got.toPandas()
+    assert (pdf.longest_streak >= pdf.current_streak).all()
+    assert (pdf.n_active_days >= pdf.longest_streak).all()
