@@ -486,7 +486,7 @@ def sample_video_frames(df: DataFrame, every_n: int = 2) -> DataFrame:
     )
 
 
-def dhash_images(df: DataFrame) -> DataFrame:
+def dhash_images(df: DataFrame, extra_cols: list[str] | None = None) -> DataFrame:
     """Perceptual difference-hash (dHash) over RAW8 RGB payloads — the
     image-dedup primitive: decode → integer grayscale ((r+g+b)//3) →
     nearest-neighbor 9×8 downsample (same floor(dst·in/out) index map as
@@ -500,7 +500,9 @@ def dhash_images(df: DataFrame) -> DataFrame:
     SimHash machinery) turns this into image near-dedup.
 
     mapInPandas, Arrow-batched, no shuffle; bad payload lengths raise.
-    Returns (media_id, dhash)."""
+    Returns (media_id, *extra_cols, dhash) — ``extra_cols`` pass through
+    untouched (e.g. ``frame_idx`` for per-frame video hashing)."""
+    extra_cols = extra_cols or []
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # Self-contained closure: no module-global references.
@@ -511,8 +513,10 @@ def dhash_images(df: DataFrame) -> DataFrame:
             if len(pdf) == 0:
                 continue
             out = []
-            for m, p, w, h in zip(
-                pdf["media_id"], pdf["payload"], pdf["width"], pdf["height"]
+            extras = [pdf[c] for c in pdf.columns
+                      if c not in ("media_id", "payload", "width", "height")]
+            for m, p, w, h, *ex in zip(
+                pdf["media_id"], pdf["payload"], pdf["width"], pdf["height"], *extras
             ):
                 w, h = int(w), int(h)
                 buf = np.frombuffer(bytes(p), dtype=np.uint8)
@@ -531,16 +535,20 @@ def dhash_images(df: DataFrame) -> DataFrame:
                         hval |= 1 << i
                 if hval >= 1 << 63:
                     hval -= 1 << 64
-                out.append((int(m), hval))
-            yield pd.DataFrame(out, columns=["media_id", "dhash"])
+                out.append((int(m), *ex, hval))
+            cols = [c for c in pdf.columns
+                    if c not in ("media_id", "payload", "width", "height")]
+            yield pd.DataFrame(out, columns=["media_id", *cols, "dhash"])
 
     flat = df.select(
         "media_id",
         "payload",
         F.col("meta.width").alias("width"),
         F.col("meta.height").alias("height"),
+        *extra_cols,
     )
-    return flat.mapInPandas(run, "media_id long, dhash long")
+    schema = "media_id long, " + "".join(f"{c} long, " for c in extra_cols) + "dhash long"
+    return flat.mapInPandas(run, schema)
 
 
 def arith_raw_images_perturbed(
@@ -684,3 +692,46 @@ def audio_fingerprint(df: DataFrame, frame: int = 8, n_frames: int = 65) -> Data
             yield pd.DataFrame(out, columns=["media_id", "fp"])
 
     return df.select("media_id", "payload").mapInPandas(run, "media_id long, fp long")
+
+
+def scene_changes(
+    frames: DataFrame,
+    max_hamming: int = 10,
+) -> DataFrame:
+    """Video scene-cut detection over RAW8 frames: dHash every frame
+    (:func:`dhash_images` with ``frame_idx`` passthrough — the SAME
+    value-oracled perceptual hash as the q132/q133 image dedup), then a
+    per-video lag window compares adjacent sampled frames by
+    popcount-hamming; a distance above ``max_hamming`` flags a cut.
+    Within-scene motion moves a few gradient bits, a cut rewrites the
+    composition — the same threshold logic as q133's near-dup banding,
+    applied along time. Input: (media_id, frame_idx, payload,
+    meta.width, meta.height) rows, e.g. from the frame-sampling
+    plumbing of :func:`sample_video_frames` joined to decoded frames.
+
+    Scale shape: hashing is Arrow-batched mapInPandas (no shuffle); the
+    comparison is ONE per-video window over 8-byte hashes ordered by
+    frame index — frame payloads never shuffle, only (video, idx, hash)
+    triplets. Returns flagged transitions:
+    (media_id, from_frame, to_frame, hamming).
+    """
+    from pyspark.sql import Window
+
+    hashed = dhash_images(frames, extra_cols=["frame_idx"])
+    w = Window.partitionBy("media_id").orderBy(F.col("frame_idx").asc())
+    lagged = (
+        hashed.withColumn("__prev_hash", F.lag("dhash").over(w))
+        .withColumn("__prev_idx", F.lag("frame_idx").over(w))
+        .where(F.col("__prev_hash").isNotNull())
+    )
+    ham = F.bit_count(F.col("dhash").bitwiseXOR(F.col("__prev_hash"))).cast("bigint")
+    return (
+        lagged.withColumn("hamming", ham)
+        .where(F.col("hamming") > max_hamming)
+        .select(
+            "media_id",
+            F.col("__prev_idx").alias("from_frame"),
+            F.col("frame_idx").alias("to_frame"),
+            "hamming",
+        )
+    )

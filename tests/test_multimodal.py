@@ -304,3 +304,36 @@ def test_audio_fingerprint_disperses_and_is_deterministic(spark):
     assert len(a) == 32
     # a constant fingerprint would make the dedup key useless
     assert len(set(a.values())) > 1
+
+
+def test_scene_changes_flags_planted_cut(spark):
+    """Two synthetic videos of smooth-gradient frames with a hard cut at
+    frame 5 (pattern inverts): exactly one flagged transition per video,
+    at the cut; within-scene frames (identical here) never flag. The
+    dhash primitive itself is value-oracled via q132/q133."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from osmapreduceproject_spark.operators.multimodal import scene_changes
+
+    w, h = 18, 16
+    rows = []
+    for vid in (0, 1):
+        for f in range(10):
+            # scene A: horizontal ramp; scene B (after cut): inverted ramp
+            ramp = np.tile(np.arange(w, dtype=np.uint8) * 10, (h, 1))
+            gray = ramp if f < 5 else ramp[:, ::-1]
+            rgb = np.repeat(gray[:, :, None], 3, axis=2).astype(np.uint8)
+            rows.append(
+                Row(
+                    media_id=vid,
+                    frame_idx=f,
+                    payload=bytearray(rgb.tobytes()),
+                    meta=Row(width=w, height=h),
+                )
+            )
+    df = spark.createDataFrame(rows)
+    out = scene_changes(df, max_hamming=10).collect()
+    got = {(r["media_id"], r["from_frame"], r["to_frame"]) for r in out}
+    assert got == {(0, 4, 5), (1, 4, 5)}
+    assert all(r["hamming"] > 10 for r in out)
