@@ -1025,3 +1025,61 @@ def benford_check(
             F.round(chi_term, 6).alias("chi2_term"),
         )
     )
+
+
+def mutual_information(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Mutual information (nats) between two categorical columns, with
+    the normalized variant ``MI / min(H(a), H(b))`` — the dependence
+    STRENGTH measure next to :func:`chi2_independence`'s significance
+    test (χ² grows with n even for trivial dependence; MI does not).
+    Feature-selection and redundancy-pruning input.
+
+    Same contingency machinery as chi2: one (a,b)-keyed count; the
+    grand total is a broadcast 1-row aggregate (never an unpartitioned
+    window), marginals are bounded level-keyed aggregations of the
+    contingency table, and only observed cells contribute (zero cells
+    add zero MI terms by the 0·ln 0 = 0 convention). Everything is a
+    fixed-order float expression over integer counts — ln on identical
+    IEEE doubles, 6-decimal rounded. NULL categories count as levels.
+    Returns one row: (n, mi_nats, h_a, h_b, normalized_mi).
+    """
+    cont = df.groupBy(
+        F.col(col_a).alias("__a"), F.col(col_b).alias("__b")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    tot = cont.agg(F.sum("o").alias("n"))
+    ra = cont.groupBy("__a").agg(F.sum("o").alias("rt"))
+    rb = cont.groupBy("__b").agg(F.sum("o").alias("ct"))
+    cells = (
+        cont.join(F.broadcast(ra), "__a")
+        .join(F.broadcast(rb), "__b")
+        .crossJoin(F.broadcast(tot))
+    )
+    p = F.col("o").cast("double") / F.col("n")
+    mi_term = p * F.log(
+        F.col("o").cast("double") * F.col("n") / (F.col("rt") * F.col("ct"))
+    )
+    mi = cells.agg(F.max("n").alias("n"), F.sum(mi_term).alias("__mi"))
+
+    def _entropy(marg: DataFrame, cnt: str, out: str) -> DataFrame:
+        t = marg.crossJoin(F.broadcast(tot)).select(
+            (
+                -(F.col(cnt).cast("double") / F.col("n"))
+                * F.log(F.col(cnt).cast("double") / F.col("n"))
+            ).alias("t")
+        )
+        return t.agg(F.sum("t").alias(out))
+
+    hmin = F.least(F.col("h_a"), F.col("h_b"))
+    return (
+        mi.crossJoin(F.broadcast(_entropy(ra, "rt", "h_a")))
+        .crossJoin(F.broadcast(_entropy(rb, "ct", "h_b")))
+        .select(
+            "n",
+            F.round("__mi", 6).alias("mi_nats"),
+            F.round("h_a", 6).alias("h_a"),
+            F.round("h_b", 6).alias("h_b"),
+            F.when(
+                hmin > 0, F.round(F.col("__mi") / hmin, 6)
+            ).alias("normalized_mi"),
+        )
+    )

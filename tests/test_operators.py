@@ -3037,3 +3037,22 @@ def test_late_batch_operators_empty_input(spark):
     ):
         with _pt.raises(ValueError):
             raising()
+
+
+def test_mutual_information_known_cases(spark):
+    """Independent columns give ~0 MI; a bijective dependence gives
+    normalized MI of exactly 1."""
+    from osmapreduceproject_spark.operators.stats import mutual_information
+
+    indep = spark.createDataFrame(
+        [(a, b) for a in "xy" for b in "uv" for _ in range(5)], ["a", "b"]
+    )
+    r1 = mutual_information(indep, "a", "b").first()
+    assert abs(r1["mi_nats"]) < 1e-9
+
+    dep = spark.createDataFrame(
+        [("x", "u")] * 5 + [("y", "v")] * 5 + [("z", "w")] * 5, ["a", "b"]
+    )
+    r2 = mutual_information(dep, "a", "b").first()
+    assert r2["normalized_mi"] == 1.0
+    assert abs(r2["mi_nats"] - r2["h_a"]) < 1e-6

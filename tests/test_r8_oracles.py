@@ -1652,3 +1652,36 @@ def test_activity_streaks_oracle(spark, duck):
     pdf = got.toPandas()
     assert (pdf.longest_streak >= pdf.current_streak).all()
     assert (pdf.n_active_days >= pdf.longest_streak).all()
+
+
+def test_mutual_information_oracle(spark, duck):
+    from osmapreduceproject_spark.operators.stats import mutual_information
+    from osmapreduceproject_spark.queries import _t
+
+    got = mutual_information(_t(spark, SF_CORRECT, "documents"), "lang", "source")
+    sql = """
+    WITH cont AS (SELECT lang AS a, source AS b, COUNT(*) AS o
+                  FROM documents GROUP BY 1, 2),
+    tot AS (SELECT SUM(o) AS n FROM cont),
+    ra AS (SELECT a, SUM(o) AS rt FROM cont GROUP BY 1),
+    rb AS (SELECT b, SUM(o) AS ct FROM cont GROUP BY 1),
+    mi AS (
+      SELECT MAX(t.n) AS n,
+             SUM((CAST(o AS DOUBLE) / t.n)
+                 * ln(CAST(o AS DOUBLE) * t.n / (ra.rt * rb.ct))) AS mi
+      FROM cont JOIN ra USING (a) JOIN rb USING (b), tot t),
+    ha AS (SELECT SUM(-(CAST(rt AS DOUBLE) / t.n)
+                      * ln(CAST(rt AS DOUBLE) / t.n)) AS h_a
+           FROM ra, tot t),
+    hb AS (SELECT SUM(-(CAST(ct AS DOUBLE) / t.n)
+                      * ln(CAST(ct AS DOUBLE) / t.n)) AS h_b
+           FROM rb, tot t)
+    SELECT CAST(mi.n AS BIGINT) AS n, round(mi.mi, 6) AS mi_nats,
+           round(ha.h_a, 6) AS h_a, round(hb.h_b, 6) AS h_b,
+           CASE WHEN least(ha.h_a, hb.h_b) > 0
+                THEN round(mi.mi / least(ha.h_a, hb.h_b), 6) END AS normalized_mi
+    FROM mi, ha, hb
+    """
+    assert compare(got, duck.execute(sql).df()) == []
+    row = got.first()
+    assert 0 <= row["normalized_mi"] <= 1 or abs(row["mi_nats"]) < 1e-5
