@@ -656,6 +656,51 @@ def cusum_changepoints(
     )
 
 
+def seasonal_profile(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    value_col: str,
+    step_seconds: int,
+    period_slots: int = 24,
+) -> DataFrame:
+    """Per-key seasonal profile over the REGULARIZED grid: slots fold
+    onto their position within a ``period_slots`` cycle (24 with hourly
+    steps = hour-of-day, 168 = hour-of-week), and each (key, position)
+    reports its mean and the additive seasonal index (position mean −
+    key mean) — the baseline layer alerting needs before
+    :func:`series_anomalies`/:func:`cusum_changepoints` can separate
+    "traffic is low because it's 4am" from "traffic is low". Positions
+    are pure integer arithmetic on the absolute slot number
+    (timezone-free by construction — a calendar hour-of-day would shift
+    with the session zone, the q148 class of bug).
+
+    Means sum micro-quantized integers (partition-order-free); the key
+    mean is the mean OF the key's slot values (equal-weighted per slot,
+    consistent with the position means). Bounded aggregations only:
+    (key, position) and key — nothing beyond the resample's own
+    exchanges. Returns (key, season_pos, n_slots, pos_mean,
+    seasonal_index), 6-decimal.
+    """
+    s = resample_ffill(df, key, ts, value_col, step_seconds)
+    vq = F.round(F.col(value_col) * 1_000_000).cast("bigint")
+    pos = (F.floor(F.col("slot_epoch") / step_seconds) % period_slots).cast("int")
+    base = s.select(key, pos.alias("season_pos"), vq.alias("__vq"))
+    per_pos = base.groupBy(key, "season_pos").agg(
+        F.count(F.lit(1)).alias("n_slots"), F.sum("__vq").alias("__s")
+    )
+    per_key = base.groupBy(key).agg(
+        F.count(F.lit(1)).alias("__kn"), F.sum("__vq").alias("__ks")
+    )
+    pos_mean = F.col("__s").cast("double") / F.col("n_slots") / 1_000_000
+    key_mean = F.col("__ks").cast("double") / F.col("__kn") / 1_000_000
+    return per_pos.join(per_key, key).select(
+        key, "season_pos", "n_slots",
+        F.round(pos_mean, 6).alias("pos_mean"),
+        F.round(pos_mean - key_mean, 6).alias("seasonal_index"),
+    )
+
+
 def interval_union_duration(
     df: DataFrame,
     key: str,

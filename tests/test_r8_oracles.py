@@ -1685,3 +1685,28 @@ def test_mutual_information_oracle(spark, duck):
     assert compare(got, duck.execute(sql).df()) == []
     row = got.first()
     assert 0 <= row["normalized_mi"] <= 1 or abs(row["mi_nats"]) < 1e-5
+
+
+def test_seasonal_profile_oracle(spark, duck):
+    from osmapreduceproject_spark.operators.windows import seasonal_profile
+
+    got = seasonal_profile(
+        _events(spark), key="user_id", ts="ts", value_col="value",
+        step_seconds=STEP, period_slots=24,
+    )
+    sql = f"""
+    WITH {_RESAMPLE_CTE},
+    base AS (
+      SELECT k, CAST((slot_epoch // {STEP}) % 24 AS INT) AS season_pos,
+             CAST(round(value * 1000000) AS BIGINT) AS vq
+      FROM resampled),
+    per_pos AS (SELECT k, season_pos, COUNT(*) AS n_slots, SUM(vq) AS s
+                FROM base GROUP BY 1, 2),
+    per_key AS (SELECT k, COUNT(*) AS kn, SUM(vq) AS ks FROM base GROUP BY 1)
+    SELECT p.k AS user_id, p.season_pos, CAST(p.n_slots AS BIGINT) AS n_slots,
+           round(CAST(p.s AS DOUBLE) / p.n_slots / 1000000, 6) AS pos_mean,
+           round(CAST(p.s AS DOUBLE) / p.n_slots / 1000000
+                 - CAST(g.ks AS DOUBLE) / g.kn / 1000000, 6) AS seasonal_index
+    FROM per_pos p JOIN per_key g ON g.k = p.k
+    """
+    assert compare(got, duck.execute(sql).df()) == []
