@@ -292,3 +292,38 @@ def negative_pairs(
         F.col("__i").alias("__j"), F.col(id_col).alias("negative_id")
     )
     return drawn.join(lookup, "__j").select("anchor_id", "neg_rank", "negative_id")
+
+
+def temporal_split(
+    df: DataFrame,
+    ts_col: str,
+    train_frac: float = 0.8,
+) -> DataFrame:
+    """Time-based train/eval split: rows at or before the exact
+    ``train_frac`` quantile of the timestamp go to ``train``, later
+    rows to ``eval`` — the leakage-safe split for anything with
+    temporal structure (forecasting, churn, recommendation), where the
+    hash split (q68) would let the model peek at the future. The
+    cutoff is the exact discrete quantile of epoch-µs via the bounded
+    multi-pass percentile machinery — no sort, driver state is a
+    histogram — and comparison happens in integer µs.
+
+    Returns the input plus (split, cutoff_epoch_us); ties AT the
+    cutoff all land in train (≤), so the boundary is deterministic
+    regardless of partitioning. NULL timestamps are excluded (a row
+    with no time cannot be placed honestly on a timeline).
+    """
+    from .stats import exact_percentile
+
+    with_e = df.where(F.col(ts_col).isNotNull()).withColumn(
+        "__e", F.unix_micros(F.col(ts_col))
+    )
+    cutoff = int(exact_percentile(with_e, "__e", [train_frac])[0])
+    return (
+        with_e.withColumn(
+            "split",
+            F.when(F.col("__e") <= cutoff, F.lit("train")).otherwise(F.lit("eval")),
+        )
+        .withColumn("cutoff_epoch_us", F.lit(cutoff).cast("bigint"))
+        .drop("__e")
+    )

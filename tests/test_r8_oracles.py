@@ -1710,3 +1710,30 @@ def test_seasonal_profile_oracle(spark, duck):
     FROM per_pos p JOIN per_key g ON g.k = p.k
     """
     assert compare(got, duck.execute(sql).df()) == []
+
+
+def test_temporal_split_oracle(spark, duck):
+    from osmapreduceproject_spark.operators.sampling import temporal_split
+
+    got = (
+        temporal_split(_events(spark), "ts", train_frac=0.8)
+        .groupBy("split", "cutoff_epoch_us")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max(F.unix_micros("ts")).alias("max_e"),
+            F.min(F.unix_micros("ts")).alias("min_e"),
+        )
+    )
+    sql = """
+    WITH e AS (SELECT epoch_us(ts) AS e FROM events WHERE ts IS NOT NULL),
+    c AS (SELECT quantile_disc(e, 0.8) AS cutoff FROM e)
+    SELECT CASE WHEN e.e <= c.cutoff THEN 'train' ELSE 'eval' END AS split,
+           c.cutoff AS cutoff_epoch_us,
+           COUNT(*) AS n, MAX(e.e) AS max_e, MIN(e.e) AS min_e
+    FROM e, c GROUP BY 1, 2
+    """
+    assert compare(got, duck.execute(sql).df()) == []
+    rows = {r["split"]: r for r in got.collect()}
+    # no leakage: every train row precedes every eval row
+    assert rows["train"]["max_e"] <= rows["eval"]["min_e"]
+    assert rows["train"]["n"] >= rows["eval"]["n"]
