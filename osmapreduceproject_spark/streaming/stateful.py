@@ -100,3 +100,112 @@ def running_totals_tws(
         outputMode="Update",
         timeMode="None",
     )
+
+
+def ewma_events_batch(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    alpha: float = 0.3,
+) -> DataFrame:
+    """Batch twin of :func:`ewma_stateful`: per-key EWMA over the
+    EVENT sequence in (ts, id) order — one ordered-array fold with the
+    integer micro-unit state of ``operators.windows.ewma`` (the
+    grid-free variant: per-event smoothing, the contract a stream can
+    maintain without a resample barrier). Emits the final state per
+    key: (key, n_events, ewma)."""
+    from pyspark.sql import functions as F
+
+    rows = df.groupBy(key_col).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.unix_micros(F.col(ts_col)).alias("e"),
+                    F.col(id_col).alias("i"),
+                    F.col(value_col).cast("double").alias("v"),
+                )
+            )
+        ).alias("__s")
+    )
+    folded = F.aggregate(
+        F.col("__s"),
+        F.struct(
+            F.lit(0).cast("bigint").alias("n"), F.lit(0).cast("bigint").alias("eq")
+        ),
+        lambda acc, x: F.struct(
+            (acc["n"] + 1).alias("n"),
+            F.when(
+                acc["n"] == 0, F.round(x["v"] * 1_000_000).cast("bigint")
+            )
+            .otherwise(
+                F.round(
+                    F.lit(alpha) * F.round(x["v"] * 1_000_000)
+                    + F.lit(1.0 - alpha) * acc["eq"]
+                ).cast("bigint")
+            )
+            .alias("eq"),
+        ),
+    )
+    return rows.select(
+        F.col(key_col),
+        folded["n"].alias("n_events"),
+        (folded["eq"] / 1_000_000.0).alias("ewma"),
+    )
+
+
+def ewma_stateful(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    alpha: float = 0.3,
+) -> DataFrame:
+    """Streaming per-key EWMA with ONE integer state cell per key —
+    the alerting baseline maintained incrementally (the reference's
+    shared reduce cell, max_aggregation.cpp:47-63, with exponential
+    decay instead of max): rows sort by (event time, id) within each
+    micro-batch and fold into the quantized integer state that
+    replays bit-identically (the operators.windows.ewma recurrence),
+    so stream-after-N-batches equals the batch fold over the same
+    prefix WHEN batches arrive in event-time order (the file-source
+    replay contract; out-of-order arrivals update state in arrival
+    order — document feed ordering or pre-sort upstream). Output mode
+    update: (key, n_events, ewma) per touched key."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = f"{key_col} bigint, n_events bigint, ewma double"
+    state_schema = "n bigint, eq bigint"
+    a, b = float(alpha), 1.0 - float(alpha)  # captured by value in the closure
+
+    def update(key, pdf_iter, state):
+        import math
+
+        import pandas as pd
+
+        def rnd(x):
+            # ties away from zero — Spark/DuckDB round semantics, NOT
+            # Python's half-to-even builtin
+            return math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+
+        n, eq = state.get if state.exists else (0, 0)
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values([ts_col, id_col])
+            for v in pdf[value_col].astype(float):
+                vq = rnd(v * 1_000_000)
+                eq = vq if n == 0 else rnd(a * vq + b * eq)
+                n += 1
+        state.update((n, eq))
+        yield pd.DataFrame(
+            {key_col: [key[0]], "n_events": [n], "ewma": [eq / 1_000_000.0]}
+        )
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -414,3 +414,67 @@ def test_stream_upsert_sink_equals_batch_compaction(spark, tmp_path):
     # the reader-side tombstone filter leaves exactly the live rows
     live = {k for k, _, _, d in got if not d}
     assert live == {k for k in range(40) if k % 10 != 3}
+
+
+def test_ewma_stateful_equals_batch_fold(spark, tmp_path):
+    """Streaming per-key EWMA across 3 TIME-ORDERED micro-batches equals
+    the batch ordered fold over the same events: files carry disjoint,
+    increasing time ranges with forced mtime order so the file source
+    replays them in sequence, and the integer state carries across
+    batch boundaries."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from osmapreduceproject_spark.streaming.stateful import (
+        ewma_events_batch,
+        ewma_stateful,
+    )
+
+    ev = read_events(spark, SF_SMOKE).select("event_id", "user_id", "ts", "value")
+    bounds = ev.agg(
+        F.expr("percentile_approx(unix_micros(ts), 0.34)").alias("b1"),
+        F.expr("percentile_approx(unix_micros(ts), 0.67)").alias("b2"),
+    ).first()
+    src = str(tmp_path / "ordered")
+    os.makedirs(src)
+    parts = [
+        ev.where(F.unix_micros("ts") <= bounds["b1"]),
+        ev.where(
+            (F.unix_micros("ts") > bounds["b1"])
+            & (F.unix_micros("ts") <= bounds["b2"])
+        ),
+        ev.where(F.unix_micros("ts") > bounds["b2"]),
+    ]
+    t0 = time.time()
+    for i, p in enumerate(parts):
+        d = f"{src}/f{i}.parquet"
+        p.coalesce(1).write.parquet(d)
+        for root, _, files in os.walk(d):
+            for f in files:
+                os.utime(os.path.join(root, f), (t0 + i * 10, t0 + i * 10))
+    stream_src = spark.readStream.schema(ev.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(f"{src}/*.parquet")
+    q = (
+        ewma_stateful(stream_src)
+        .writeStream.format("memory")
+        .queryName("ewma_state")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(q.recentProgress) > 1  # state actually crossed batches
+    updates = spark.table("ewma_state").collect()
+    final = {}
+    for r in updates:  # n_events grows monotonically: keep the largest
+        k = r["user_id"]
+        if k not in final or r["n_events"] > final[k][0]:
+            final[k] = (r["n_events"], r["ewma"])
+    want = {
+        r["user_id"]: (r["n_events"], r["ewma"])
+        for r in ewma_events_batch(ev).collect()
+    }
+    assert final == want
