@@ -1737,3 +1737,36 @@ def test_temporal_split_oracle(spark, duck):
     # no leakage: every train row precedes every eval row
     assert rows["train"]["max_e"] <= rows["eval"]["min_e"]
     assert rows["train"]["n"] >= rows["eval"]["n"]
+
+
+def test_ewma_events_batch_oracle(spark, duck):
+    """Oracle for the future streaming-twin grade (q164 pattern: the
+    graded query runs the batch twin; stream equivalence is asserted in
+    tests/test_streaming.py)."""
+    from osmapreduceproject_spark.streaming.stateful import ewma_events_batch
+
+    got = ewma_events_batch(_events(spark))
+    sql = """
+    WITH RECURSIVE obs AS (
+      SELECT user_id AS k, epoch_us(ts) AS e, event_id AS i,
+             CAST(value AS DOUBLE) AS v,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(ts), event_id) AS ord
+      FROM events),
+    walk AS (
+      SELECT k, ord, CAST(round(v * 1000000) AS BIGINT) AS eq
+      FROM obs WHERE ord = 1
+      UNION ALL
+      SELECT o.k, o.ord,
+             CAST(round(CAST(0.3 AS DOUBLE) * round(o.v * 1000000)
+                        + CAST(0.7 AS DOUBLE) * w.eq) AS BIGINT)
+      FROM obs o JOIN walk w ON w.k = o.k AND o.ord = w.ord + 1),
+    fin AS (
+      SELECT k, MAX(ord) AS n_events,
+             max_by(eq, ord) AS eq
+      FROM walk GROUP BY k)
+    SELECT k AS user_id, CAST(n_events AS BIGINT) AS n_events,
+           eq / 1000000.0 AS ewma
+    FROM fin
+    """
+    assert compare(got, duck.execute(sql).df()) == []
