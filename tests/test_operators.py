@@ -3056,3 +3056,59 @@ def test_mutual_information_known_cases(spark):
     r2 = mutual_information(dep, "a", "b").first()
     assert r2["normalized_mi"] == 1.0
     assert abs(r2["mi_nats"] - r2["h_a"]) < 1e-6
+
+
+@_pytest.mark.skipif(
+    not _os.environ.get("SPARK_GRAFT_SCALE"),
+    reason="scale smoke: set SPARK_GRAFT_SCALE=1 (10M events through interpolate + CUSUM)",
+)
+def test_interpolate_cusum_scale_smoke(spark):
+    """10M events (1000 keys x 10k observations 30s apart, values on a
+    sawtooth with a planted mid-series level shift) through linear
+    interpolation and CUSUM: grid sizes are closed-form, interpolated
+    slots stay within the sawtooth envelope, and every key flags at
+    least one change after its shift point while the integer state
+    keeps both operators deterministic at volume."""
+    from pyspark.sql import functions as F
+
+    from osmapreduceproject_spark.operators.windows import (
+        cusum_changepoints,
+        resample_interpolate,
+    )
+
+    n_keys, per_key, ivl, step = 1000, 10_000, 30, 60
+    base = 1_700_000_100  # unaligned to the grid
+    idx = (F.col("id") / n_keys).cast("bigint")
+    shift = F.when(idx >= per_key // 2, 30.0).otherwise(0.0)
+    df = spark.range(n_keys * per_key).select(
+        (F.col("id") % n_keys).alias("k"),
+        F.timestamp_seconds(F.lit(base) + idx * ivl).alias("ts"),
+        ((idx % 4).cast("double") + shift).alias("v"),
+    )
+    interp = resample_interpolate(df, key="k", ts="ts", value_col="v",
+                                  step_seconds=step)
+    agg = interp.agg(
+        F.count(F.lit(1)).alias("n_slots"),
+        F.min("v").alias("vmin"), F.max("v").alias("vmax"),
+        F.max("prev_gap_s").alias("max_prev"),
+    ).first()
+    span = (per_key - 1) * ivl
+    first = -(-base // step) * step
+    last = (base + span) // step * step
+    slots_per_key = (last - first) // step + 1
+    assert agg["n_slots"] == n_keys * slots_per_key
+    assert 0.0 <= agg["vmin"] and agg["vmax"] <= 33.0   # sawtooth envelope
+    assert agg["max_prev"] <= ivl
+
+    flags = cusum_changepoints(df, key="k", ts="ts", value_col="v",
+                               step_seconds=step)
+    per_key_flags = flags.where(F.col("side") == "up").groupBy("k").agg(
+        F.min("slot_epoch").alias("first_up")
+    )
+    shift_epoch = base + (per_key // 2) * ivl
+    row = per_key_flags.agg(
+        F.count(F.lit(1)).alias("n_keys_flagged"),
+        F.max("first_up").alias("latest_first_up"),
+    ).first()
+    assert row["n_keys_flagged"] == n_keys          # every key detects the shift
+    assert row["latest_first_up"] >= shift_epoch    # never before it happens
