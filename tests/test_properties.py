@@ -843,3 +843,105 @@ def test_containment_matches_python_sets(spark, texts):
             if ca >= 0.5 or cb >= 0.5:
                 want[(i, j)] = (ca, cb)
     assert got == want
+
+
+@given(texts=st.lists(
+    st.sampled_from([
+        "the quick brown fox jumps over the lazy dog again and again",
+        "1 2 3 4 5 6",
+        "# # # # code",
+        "word " * 8,
+        "tiny",
+    ]),
+    min_size=1, max_size=8))
+@SET
+def test_gopher_rules_match_python(spark, texts):
+    """Gopher rule flags equal a pure-Python evaluation of the same
+    thresholds over the same tokenization."""
+    from osmapreduceproject_spark.operators.text import gopher_rules
+
+    docs = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got = {
+        r["doc_id"]: (r["reasons"], r["keep"])
+        for r in gopher_rules(df, min_words=5, stopwords=["the", "and"]).collect()
+    }
+    for i, t in docs:
+        ws = t.split(" ")
+        lines = t.split("\n")
+        n = len(ws)
+        mean_wl = round(sum(len(w) for w in ws) / n, 6)
+        n_hash = t.count("#")
+        n_ell = (len(t) - len(t.replace("...", ""))) / 3
+        sym = round((n_hash + n_ell) / n, 6)
+        bullet = round(
+            sum(l.startswith(("- ", "* ", "• ")) for l in lines) / len(lines), 6
+        )
+        ell = round(sum(l.endswith("...") for l in lines) / len(lines), 6)
+        alpha = round(sum(any(c.isascii() and c.isalpha() for c in w) for w in ws) / n, 6)
+        hits = sum(s in ws for s in ["the", "and"])
+        reasons = [
+            r for cond, r in [
+                (n < 5, "too_few_words"),
+                (n > 100_000, "too_many_words"),
+                (mean_wl < 3.0, "short_words"),
+                (mean_wl > 10.0, "long_words"),
+                (sym > 0.1, "symbol_heavy"),
+                (bullet > 0.9, "bullet_heavy"),
+                (ell > 0.3, "ellipsis_heavy"),
+                (alpha < 0.8, "non_alpha"),
+                (hits < 2, "no_stopwords"),
+            ] if cond
+        ]
+        assert got[i] == (",".join(reasons), not reasons), (i, t, got[i], reasons)
+
+
+@given(texts=st.lists(
+    st.sampled_from(["a b c", "x y", "a a b", "hello world foo"]),
+    min_size=1, max_size=6))
+@SET
+def test_hashing_vectorizer_matches_python(spark, texts):
+    """Signed feature-hash triplets equal a pure-Python md5 replay."""
+    import hashlib
+    from collections import defaultdict
+
+    from osmapreduceproject_spark.operators.text import hashing_vectorizer
+
+    docs = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got = {
+        (r["doc_id"], r["bucket"]): r["weight"]
+        for r in hashing_vectorizer(df, dim=16).collect()
+    }
+
+    def h(s, seed=None):
+        key = f"{seed}:{s}" if seed is not None else s
+        return int(hashlib.md5(key.encode()).hexdigest()[:15], 16)
+
+    want = defaultdict(int)
+    for i, t in docs:
+        for tok in t.split(" "):
+            sign = 1 if h(tok, 1) % 2 == 0 else -1
+            want[(i, h(tok) % 16)] += sign
+    assert got == dict(want)
+
+
+@given(vals=st.lists(st.floats(min_value=0.01, max_value=9999,
+                               allow_nan=False, allow_infinity=False),
+                     min_size=1, max_size=40))
+@SET
+def test_benford_digits_match_python(spark, vals):
+    """First-digit counts equal Python's string-of-cents extraction."""
+    from collections import Counter
+
+    from osmapreduceproject_spark.operators.stats import benford_check
+
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = {r["digit"]: r["n"] for r in benford_check(df, "x").collect()}
+
+    def rnd(x):
+        import math
+        return math.floor(x + 0.5)
+
+    want = Counter(int(str(rnd(abs(v) * 100))[0]) for v in vals if rnd(abs(v) * 100) >= 1)
+    assert got == {d: want.get(d, 0) for d in range(1, 10)}
