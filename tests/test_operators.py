@@ -3112,3 +3112,20 @@ def test_interpolate_cusum_scale_smoke(spark):
     ).first()
     assert row["n_keys_flagged"] == n_keys          # every key detects the shift
     assert row["latest_first_up"] >= shift_epoch    # never before it happens
+
+
+def test_welch_ttest_known_case(spark):
+    """Closed-form check: groups {1,2,3} vs {2,4,6} — means 2 and 4,
+    variances 1 and 4; t = 2/sqrt(1/3 + 4/3) and Welch dof via the
+    Satterthwaite formula."""
+    from osmapreduceproject_spark.operators.stats import welch_ttest
+
+    rows = [("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 2.0), ("b", 4.0), ("b", 6.0)]
+    df = spark.createDataFrame(rows, "g string, x double")
+    r = welch_ttest(df, "g", "x", "a", "b").first()
+    assert (r["n_a"], r["n_b"]) == (3, 3)
+    assert (r["mean_a"], r["mean_b"]) == (2.0, 4.0)
+    se2 = 1.0 / 3 + 4.0 / 3
+    assert abs(r["t_stat"] - round(2.0 / se2 ** 0.5, 6)) < 1e-9
+    dof = se2 * se2 / ((1.0 / 3) ** 2 / 2 + (4.0 / 3) ** 2 / 2)
+    assert abs(r["welch_dof"] - round(dof, 6)) < 1e-9

@@ -945,3 +945,31 @@ def test_benford_digits_match_python(spark, vals):
 
     want = Counter(int(str(rnd(abs(v) * 100))[0]) for v in vals if rnd(abs(v) * 100) >= 1)
     assert got == {d: want.get(d, 0) for d in range(1, 10)}
+
+
+@given(epochs=st.lists(st.integers(min_value=1_600_000_000, max_value=1_700_000_000),
+                       min_size=2, max_size=40, unique=True),
+       frac_pct=st.integers(min_value=10, max_value=90))
+@SET
+def test_temporal_split_no_leakage(spark, epochs, frac_pct):
+    """On arbitrary timestamp sets every train row precedes every eval
+    row, the cutoff is the exact discrete quantile, and the split is
+    exhaustive."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from osmapreduceproject_spark.operators.sampling import temporal_split
+
+    frac = frac_pct / 100.0
+    df = spark.createDataFrame(
+        [(e,) for e in epochs], "e bigint"
+    ).select(F.timestamp_seconds(F.col("e")).alias("ts"), "e")
+    out = temporal_split(df, "ts", train_frac=frac).collect()
+    assert len(out) == len(epochs)
+    cutoff_us = sorted(e * 1_000_000 for e in epochs)[
+        max(1, math.ceil(frac * len(epochs))) - 1
+    ]
+    for r in out:
+        assert r["cutoff_epoch_us"] == cutoff_us
+        assert (r["split"] == "train") == (r["e"] * 1_000_000 <= cutoff_us)
