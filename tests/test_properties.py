@@ -973,3 +973,63 @@ def test_temporal_split_no_leakage(spark, epochs, frac_pct):
     for r in out:
         assert r["cutoff_epoch_us"] == cutoff_us
         assert (r["split"] == "train") == (r["e"] * 1_000_000 <= cutoff_us)
+
+
+@given(texts=st.lists(
+    st.sampled_from(["a b c d e f g h i", "one two", "w " * 30, "single"]),
+    min_size=1, max_size=6),
+    chunk=st.integers(min_value=2, max_value=6),
+    stride=st.integers(min_value=1, max_value=4))
+@SET
+def test_chunk_documents_matches_python(spark, texts, chunk, stride):
+    """Overlapping chunks equal a pure-Python slicer for arbitrary
+    (chunk_tokens, stride) combinations, stride <= chunk_tokens."""
+    import math
+
+    from osmapreduceproject_spark.operators.text import chunk_documents
+
+    stride = min(stride, chunk)
+    docs = [(i, t.strip()) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got = {
+        (r["doc_id"], r["chunk_id"]): (r["n_tokens"], r["chunk_text"])
+        for r in chunk_documents(df, chunk_tokens=chunk, stride=stride).collect()
+    }
+    want = {}
+    for i, t in docs:
+        ws = t.split(" ")
+        for k in range(math.ceil(len(ws) / stride)):
+            piece = ws[k * stride: k * stride + chunk]
+            want[(i, k)] = (len(piece), " ".join(piece))
+    assert got == want
+
+
+@given(texts=st.lists(
+    st.sampled_from([
+        "the cat sat. the dog ran! what now?",
+        "aeiou xyz qqq",
+        "a b c d e",
+        "yes",
+    ]),
+    min_size=1, max_size=6))
+@SET
+def test_readability_matches_python(spark, texts):
+    """Flesch proxy equals pure-Python regex counting of vowel groups
+    and terminal-punctuation runs."""
+    import re
+
+    from osmapreduceproject_spark.operators.text import readability
+
+    docs = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_sentences"], r["n_syllables"], r["flesch"])
+        for r in readability(df).collect()
+    }
+    for i, t in docs:
+        low = t.lower()
+        n_words = len(t.split(" "))
+        n_sent = max(len(re.findall(r"[.!?]+", low)), 1)
+        n_syll = len(re.findall(r"[aeiouy]+", low))
+        fl = round(206.835 - 1.015 * (n_words / n_sent) - 84.6 * (n_syll / n_words), 6)
+        assert got[i] == (n_words, n_sent, n_syll, fl), (t, got[i])
