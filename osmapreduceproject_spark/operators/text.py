@@ -1135,3 +1135,59 @@ def chunk_documents(
             F.array_join("c.__w", " ").alias("chunk_text"),
         )
     )
+
+
+def vocab_divergence(
+    a: DataFrame,
+    b: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Jensen–Shannon divergence between two corpora's word
+    distributions (nats, with the [0, ln 2] bound) plus support
+    accounting — the scalar "how different is this corpus from that
+    one" that :func:`vocab_health`'s per-side ratios and
+    ``refresh_report``'s population deltas can't give: the number that
+    ranks candidate mixtures against a reference corpus before
+    :func:`~..operators.sampling.mixing_weights` picks proportions.
+    JSD over the MIXTURE m = (p+q)/2 is finite even on disjoint
+    vocabularies (KL alone diverges on any word unique to one side).
+
+    One word count per side, a full-outer join on the word (the union
+    vocabulary — tokens, not documents, so the exchange is
+    vocab-sized), per-word closed-form terms with the 0·ln 0 = 0
+    convention, and a scalar finalization. Integer counts → fixed-order
+    float terms. Returns one row: (n_words_a, n_words_b, vocab_a,
+    vocab_b, vocab_shared, jsd_nats), 6-decimal.
+    """
+    def counts(df: DataFrame, name: str) -> DataFrame:
+        return (
+            fan_out(df)
+            .select(F.explode(tokens(F.col(text_col))).alias("tok"))
+            .groupBy("tok")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    ca, cb = counts(a, "na"), counts(b, "nb")
+    j = ca.join(cb, "tok", "full_outer").select(
+        F.coalesce("na", F.lit(0)).alias("na"),
+        F.coalesce("nb", F.lit(0)).alias("nb"),
+    )
+    tot = j.agg(F.sum("na").alias("ta"), F.sum("nb").alias("tb"))
+    w = j.crossJoin(F.broadcast(tot))
+    p = F.col("na").cast("double") / F.col("ta")
+    q = F.col("nb").cast("double") / F.col("tb")
+    m = (p + q) / 2
+    term = (
+        F.when(F.col("na") > 0, p * F.log(p / m) / 2).otherwise(F.lit(0.0))
+        + F.when(F.col("nb") > 0, q * F.log(q / m) / 2).otherwise(F.lit(0.0))
+    )
+    return w.agg(
+        F.max("ta").alias("n_words_a"),
+        F.max("tb").alias("n_words_b"),
+        F.sum((F.col("na") > 0).cast("bigint")).alias("vocab_a"),
+        F.sum((F.col("nb") > 0).cast("bigint")).alias("vocab_b"),
+        F.sum(((F.col("na") > 0) & (F.col("nb") > 0)).cast("bigint")).alias(
+            "vocab_shared"
+        ),
+        F.round(F.sum(term), 6).alias("jsd_nats"),
+    )

@@ -3129,3 +3129,20 @@ def test_welch_ttest_known_case(spark):
     assert abs(r["t_stat"] - round(2.0 / se2 ** 0.5, 6)) < 1e-9
     dof = se2 * se2 / ((1.0 / 3) ** 2 / 2 + (4.0 / 3) ** 2 / 2)
     assert abs(r["welch_dof"] - round(dof, 6)) < 1e-9
+
+
+def test_vocab_divergence_bounds(spark):
+    """Identical corpora give JSD exactly 0; disjoint vocabularies give
+    exactly ln 2."""
+    import math
+
+    from osmapreduceproject_spark.operators.text import vocab_divergence
+
+    a = spark.createDataFrame([(1, "x y z"), (2, "x x w")], "doc_id bigint, text string")
+    same = vocab_divergence(a, a).first()
+    assert same["jsd_nats"] == 0.0 and same["vocab_shared"] == same["vocab_a"]
+
+    b = spark.createDataFrame([(1, "p q r")], "doc_id bigint, text string")
+    disj = vocab_divergence(a, b).first()
+    assert disj["vocab_shared"] == 0
+    assert abs(disj["jsd_nats"] - round(math.log(2), 6)) < 1e-9

@@ -1770,3 +1770,44 @@ def test_ewma_events_batch_oracle(spark, duck):
     FROM fin
     """
     assert compare(got, duck.execute(sql).df()) == []
+
+
+def test_vocab_divergence_oracle(spark, duck):
+    from osmapreduceproject_spark.operators.text import vocab_divergence
+    from osmapreduceproject_spark.queries import _t
+
+    d = _t(spark, SF_CORRECT, "documents")
+    got = vocab_divergence(
+        d.where(F.col("source") < "src5"), d.where(F.col("source") >= "src5")
+    )
+    sql = """
+    WITH ta AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+                WHERE source < 'src5'),
+    tb AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+           WHERE source >= 'src5'),
+    ca AS (SELECT tok, COUNT(*) AS na FROM ta GROUP BY 1),
+    cb AS (SELECT tok, COUNT(*) AS nb FROM tb GROUP BY 1),
+    j AS (SELECT COALESCE(ca.na, 0) AS na, COALESCE(cb.nb, 0) AS nb
+          FROM ca FULL OUTER JOIN cb ON cb.tok = ca.tok),
+    t AS (SELECT SUM(na) AS ta, SUM(nb) AS tb FROM j),
+    w AS (
+      SELECT j.na, j.nb,
+             CAST(j.na AS DOUBLE) / t.ta AS p,
+             CAST(j.nb AS DOUBLE) / t.tb AS q
+      FROM j, t)
+    SELECT (SELECT CAST(MAX(ta) AS BIGINT) FROM t) AS n_words_a,
+           (SELECT CAST(MAX(tb) AS BIGINT) FROM t) AS n_words_b,
+           CAST(SUM(CASE WHEN na > 0 THEN 1 ELSE 0 END) AS BIGINT) AS vocab_a,
+           CAST(SUM(CASE WHEN nb > 0 THEN 1 ELSE 0 END) AS BIGINT) AS vocab_b,
+           CAST(SUM(CASE WHEN na > 0 AND nb > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS vocab_shared,
+           round(SUM(
+             (CASE WHEN na > 0 THEN p * ln(p / ((p + q) / 2)) / 2 ELSE 0 END)
+             + (CASE WHEN nb > 0 THEN q * ln(q / ((p + q) / 2)) / 2 ELSE 0 END)
+           ), 6) AS jsd_nats
+    FROM w
+    """
+    assert compare(got, duck.execute(sql).df()) == []
+    row = got.first()
+    import math
+    assert 0.0 <= row["jsd_nats"] <= math.log(2) + 1e-9
