@@ -601,3 +601,87 @@ def activity_streaks(
         F.max("__len").alias("longest_streak"),
         F.max_by("__len", F.col("__end")).alias("current_streak"),
     )
+
+
+def bot_detection(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    burst_window_s: int = 60,
+    max_burst: int = 30,
+    min_events: int = 20,
+    max_gap_cv: float = 0.1,
+) -> DataFrame:
+    """Behavioral bot screen over event timing — the traffic-cleaning
+    gate a training pipeline runs before user events feed analytics or
+    models: per user, inter-event gap statistics (mean and coefficient
+    of variation over integer-µs gaps) and the maximum burst (events in
+    any trailing ``burst_window_s``), flagging metronomic timing
+    (cv below ``max_gap_cv`` with enough events — humans jitter,
+    schedulers don't) and super-human burst rates. Gap variance uses
+    the exact integer cancellation n·Σg² − (Σg)² in DECIMAL(38,0)
+    (the corr_matrix recipe — µs gaps square past 2^53 fast).
+
+    Scale shape: one (user, time)-ordered lag window and one
+    range-frame count share the user-keyed exchange; then a user-keyed
+    aggregation. Nothing global. Returns flagged users only:
+    (user, n_events, mean_gap_s, gap_cv, max_burst, reasons) with the
+    fixed-order reasons contract of filter_report.
+    """
+    from pyspark.sql import Window
+
+    ep = F.unix_micros(F.col(ts_col))
+    w = Window.partitionBy(user_col).orderBy(ep.asc(), F.col(id_col).asc())
+    wr = (
+        Window.partitionBy(user_col)
+        .orderBy(ep.asc())
+        .rangeBetween(-(burst_window_s * 1_000_000 - 1), 0)
+    )
+    dec = "decimal(38,0)"
+    base = df.select(
+        F.col(user_col),
+        (ep - F.lag(ep).over(w)).alias("__gap"),
+        F.count(F.lit(1)).over(wr).alias("__burst"),
+    )
+    per_user = base.groupBy(user_col).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count("__gap").alias("__ng"),
+        F.sum(F.col("__gap").cast(dec)).alias("__sg"),
+        F.sum((F.col("__gap").cast(dec) * F.col("__gap").cast(dec))).alias("__sgg"),
+        F.max("__burst").alias("max_burst"),
+    )
+    n = F.col("__ng")
+    mean_us = F.col("__sg").cast("double") / n
+    # exact integer cancellation, then one double division
+    var_us2 = F.when(
+        n >= 2,
+        (n.cast(dec) * F.col("__sgg") - F.col("__sg") * F.col("__sg")).cast("double")
+        / (n * (n - 1)).cast("double"),
+    )
+    cv = F.when(
+        (n >= 2) & (mean_us > 0), F.round(F.sqrt(var_us2) / mean_us, 6)
+    )
+    stats = per_user.select(
+        user_col, "n_events", "max_burst",
+        F.round(mean_us / 1_000_000.0, 6).alias("mean_gap_s"),
+        cv.alias("gap_cv"),
+    )
+    reasons = F.array_compact(
+        F.array(
+            F.when(
+                (F.col("n_events") >= min_events)
+                & F.col("gap_cv").isNotNull()
+                & (F.col("gap_cv") < max_gap_cv),
+                F.lit("metronomic"),
+            ),
+            F.when(F.col("max_burst") > max_burst, F.lit("burst_rate")),
+        )
+    )
+    return (
+        stats.withColumn("reasons", F.array_join(reasons, ","))
+        .where(F.col("reasons") != "")
+        .select(
+            user_col, "n_events", "mean_gap_s", "gap_cv", "max_burst", "reasons"
+        )
+    )

@@ -3146,3 +3146,32 @@ def test_vocab_divergence_bounds(spark):
     disj = vocab_divergence(a, b).first()
     assert disj["vocab_shared"] == 0
     assert abs(disj["jsd_nats"] - round(math.log(2), 6)) < 1e-9
+
+
+def test_bot_detection_planted_bot(spark):
+    """A metronomic 10s-interval user and a burst user flag with the
+    right reasons; an organic jittered user does not."""
+    import datetime
+
+    from osmapreduceproject_spark.operators.events import bot_detection
+
+    base = datetime.datetime(2025, 1, 1)
+    rows = []
+    eid = 0
+    for i in range(50):  # bot: exact 10s metronome
+        rows.append((eid, 1, base + datetime.timedelta(seconds=10 * i))); eid += 1
+    for i in range(50):  # burster: 100 events in 50 seconds
+        rows.append((eid, 2, base + datetime.timedelta(seconds=i * 0.5))); eid += 1
+    jitter = [7, 23, 11, 61, 5, 43, 19, 97, 13, 37] * 5
+    t = base
+    for j in jitter:  # organic: irregular gaps, slow
+        t += datetime.timedelta(seconds=60 + j)
+        rows.append((eid, 3, t)); eid += 1
+    df = spark.createDataFrame(rows, "event_id bigint, user_id bigint, ts timestamp")
+    out = {
+        r["user_id"]: r["reasons"]
+        for r in bot_detection(df, burst_window_s=60, max_burst=30).collect()
+    }
+    assert "metronomic" in out[1]
+    assert "burst_rate" in out[2]
+    assert 3 not in out

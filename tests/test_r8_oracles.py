@@ -1811,3 +1811,52 @@ def test_vocab_divergence_oracle(spark, duck):
     row = got.first()
     import math
     assert 0.0 <= row["jsd_nats"] <= math.log(2) + 1e-9
+
+
+def test_bot_detection_oracle(spark, duck):
+    from osmapreduceproject_spark.operators.events import bot_detection
+
+    # thresholds loose enough that the organic fixture produces rows
+    got = bot_detection(
+        _events(spark), burst_window_s=3600, max_burst=3,
+        min_events=5, max_gap_cv=2.0,
+    )
+    sql = """
+    WITH base AS (
+      SELECT user_id, epoch_us(ts) AS e, event_id,
+             epoch_us(ts) - LAG(epoch_us(ts)) OVER
+               (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap,
+             COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                            RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)
+               AS burst
+      FROM events),
+    pu AS (
+      SELECT user_id, COUNT(*) AS n_events, COUNT(gap) AS ng,
+             SUM(CAST(gap AS HUGEINT)) AS sg,
+             SUM(CAST(gap AS HUGEINT) * CAST(gap AS HUGEINT)) AS sgg,
+             MAX(burst) AS max_burst
+      FROM base GROUP BY 1),
+    s AS (
+      SELECT user_id, n_events, max_burst,
+             round(CAST(sg AS DOUBLE) / ng / 1000000.0, 6) AS mean_gap_s,
+             CASE WHEN ng >= 2 AND CAST(sg AS DOUBLE) / ng > 0 THEN
+               round(sqrt(CAST(ng * sgg - sg * sg AS DOUBLE)
+                          / CAST(ng * (ng - 1) AS DOUBLE))
+                     / (CAST(sg AS DOUBLE) / ng), 6)
+             END AS gap_cv
+      FROM pu),
+    r AS (
+      SELECT *,
+             list_filter([
+               CASE WHEN n_events >= 5 AND gap_cv IS NOT NULL AND gap_cv < 2.0
+                    THEN 'metronomic' END,
+               CASE WHEN max_burst > 3 THEN 'burst_rate' END
+             ], x -> x IS NOT NULL) AS rl
+      FROM s)
+    SELECT user_id, CAST(n_events AS BIGINT) AS n_events, mean_gap_s, gap_cv,
+           CAST(max_burst AS BIGINT) AS max_burst,
+           list_aggregate(rl, 'string_agg', ',') AS reasons
+    FROM r WHERE len(rl) > 0
+    """
+    assert compare(got, duck.execute(sql).df()) == []
+    assert got.count() > 0
