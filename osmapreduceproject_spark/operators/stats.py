@@ -1083,3 +1083,54 @@ def mutual_information(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
             ).alias("normalized_mi"),
         )
     )
+
+
+def group_percentiles(
+    df: DataFrame,
+    group_col: str,
+    col: str,
+    percentiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """PER-GROUP exact discrete percentiles (the ceil-rank
+    ``quantile_disc`` convention shared with :func:`exact_percentile`)
+    — the per-source latency/size/quality report. The design split with
+    the global machinery is deliberate: a GLOBAL percentile must never
+    sort one column through one task (hence exact_percentile's bounded
+    multi-pass histograms), while a per-GROUP percentile sorts only
+    within each group's hash partition — one (group)-keyed window over
+    rows whose per-group volume is the operator's stated bound (use it
+    for per-source/per-tenant groups, not per-corpus; AQE splits hot
+    groups' exchanges but not the window state). NaN/NULL excluded.
+
+    One window (rank + count share it) and one filter per requested
+    rank, collapsed into a single pass; output
+    (group, p, value) rows, one per group × percentile.
+    """
+    v = F.col(col).cast("double")
+    base = df.where(v.isNotNull() & ~F.isnan(v)).select(
+        F.col(group_col).alias("__g"), v.alias("__v")
+    )
+    w = Window.partitionBy("__g").orderBy(F.col("__v").asc())
+    ranked = base.select(
+        "__g", "__v",
+        F.row_number().over(w).alias("__rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("__g")).alias("__n"),
+    )
+    targets = F.array_compact(
+        F.array(*[
+            F.when(
+                F.col("__rn")
+                == F.greatest(F.ceil(F.lit(p) * F.col("__n")), F.lit(1)),
+                F.lit(p),
+            )
+            for p in percentiles
+        ])
+    )
+    return (
+        ranked.select("__g", "__v", F.explode(targets).alias("p"))
+        .select(
+            F.col("__g").alias(group_col),
+            F.col("p"),
+            F.col("__v").alias("value"),
+        )
+    )

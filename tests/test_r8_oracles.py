@@ -1860,3 +1860,25 @@ def test_bot_detection_oracle(spark, duck):
     """
     assert compare(got, duck.execute(sql).df()) == []
     assert got.count() > 0
+
+
+def test_group_percentiles_oracle(spark, duck):
+    from osmapreduceproject_spark.operators.stats import group_percentiles
+    from osmapreduceproject_spark.queries import _t
+
+    got = group_percentiles(
+        _t(spark, SF_CORRECT, "orders"), "o_orderpriority", "o_totalprice"
+    )
+    sql = """
+    WITH v AS (SELECT o_orderpriority AS g, CAST(o_totalprice AS DOUBLE) AS x
+               FROM orders
+               WHERE o_totalprice IS NOT NULL
+                 AND NOT isnan(CAST(o_totalprice AS DOUBLE))),
+    q AS (SELECT g, quantile_disc(x, [0.5, 0.9, 0.99]) AS qs FROM v GROUP BY g)
+    SELECT g AS o_orderpriority,
+           ([0.5, 0.9, 0.99])[i] AS p,
+           qs[i] AS value
+    FROM q, (SELECT unnest(range(1, 4)) AS i) t
+    """
+    assert compare(got, duck.execute(sql).df()) == []
+    assert got.count() == 5 * 3  # five priorities x three ranks
