@@ -547,7 +547,13 @@ def dhash_images(df: DataFrame, extra_cols: list[str] | None = None) -> DataFram
         F.col("meta.height").alias("height"),
         *extra_cols,
     )
-    schema = "media_id long, " + "".join(f"{c} long, " for c in extra_cols) + "dhash long"
+    # Passthrough columns keep their REAL types (read off flat.schema) —
+    # hardcoding 'long' would miscast or fail Arrow conversion for a
+    # string key or double timestamp passthrough.
+    extra_schema = "".join(
+        f"{c} {flat.schema[c].dataType.simpleString()}, " for c in extra_cols
+    )
+    schema = "media_id long, " + extra_schema + "dhash long"
     return flat.mapInPandas(run, schema)
 
 

@@ -800,8 +800,12 @@ def recall_at_k(
     (query_id, n_expected, n_hit, recall), 6-decimal; a query present
     only in ``exact`` reports recall 0.
     """
-    e = exact.select(F.col(query_id_col), F.col(neighbor_col))
-    a = approx.select(F.col(query_id_col), F.col(neighbor_col))
+    # distinct() pins SET semantics: duplicate (query, neighbor) rows in
+    # either input would multiply through the equi-join and push recall
+    # past 1.0; top-k producers shouldn't emit dups, but the gate must
+    # not trust that.
+    e = exact.select(F.col(query_id_col), F.col(neighbor_col)).distinct()
+    a = approx.select(F.col(query_id_col), F.col(neighbor_col)).distinct()
     hits = e.join(a, [query_id_col, neighbor_col]).groupBy(query_id_col).agg(
         F.count(F.lit(1)).alias("n_hit")
     )

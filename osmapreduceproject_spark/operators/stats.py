@@ -1049,11 +1049,17 @@ def mutual_information(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
     tot = cont.agg(F.sum("o").alias("n"))
     ra = cont.groupBy("__a").agg(F.sum("o").alias("rt"))
     rb = cont.groupBy("__b").agg(F.sum("o").alias("ct"))
-    cells = (
-        cont.join(F.broadcast(ra), "__a")
-        .join(F.broadcast(rb), "__b")
-        .crossJoin(F.broadcast(tot))
-    )
+    # Marginals via windows over the contingency table (the
+    # chi2_independence pattern) — equi-joins on __a/__b would DROP
+    # NULL-keyed cells (SQL null-unsafe equality) and silently omit
+    # their MI terms while the join-free entropies still count them.
+    wa = Window.partitionBy("__a")
+    wb = Window.partitionBy("__b")
+    cells = cont.select(
+        "__a", "__b", "o",
+        F.sum("o").over(wa).alias("rt"),
+        F.sum("o").over(wb).alias("ct"),
+    ).crossJoin(F.broadcast(tot))
     p = F.col("o").cast("double") / F.col("n")
     mi_term = p * F.log(
         F.col("o").cast("double") * F.col("n") / (F.col("rt") * F.col("ct"))

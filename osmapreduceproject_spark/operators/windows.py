@@ -684,7 +684,12 @@ def seasonal_profile(
     """
     s = resample_ffill(df, key, ts, value_col, step_seconds)
     vq = F.round(F.col(value_col) * 1_000_000).cast("bigint")
-    pos = (F.floor(F.col("slot_epoch") / step_seconds) % period_slots).cast("int")
+    # pmod, not %: Spark's % follows the dividend's sign, so pre-1970
+    # slots (negative slot_epoch) would fold each cycle position into
+    # two groups (e.g. -1 and 23). pmod keeps positions in [0, period).
+    pos = F.pmod(
+        F.floor(F.col("slot_epoch") / step_seconds), F.lit(period_slots)
+    ).cast("int")
     base = s.select(key, pos.alias("season_pos"), vq.alias("__vq"))
     per_pos = base.groupBy(key, "season_pos").agg(
         F.count(F.lit(1)).alias("n_slots"), F.sum("__vq").alias("__s")

@@ -5,6 +5,7 @@ environment), the Spark-side pipeline is real."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from osmapreduceproject_spark.operators.multimodal import (
     extract_image_features,
@@ -268,6 +269,30 @@ def test_dhash_invariant_under_integer_upscale(spark):
     assert up == orig
     # and the hash actually separates distinct images (not a constant)
     assert len(set(orig.values())) > 25
+
+
+def test_dhash_passthrough_keeps_column_types(spark):
+    """extra_cols pass through with their REAL types: a string key and a
+    double score must survive the mapInPandas schema (the hardcoded
+    'long' passthrough miscast, ADVICE r7)."""
+    from osmapreduceproject_spark.operators.multimodal import (
+        arith_raw_images,
+        dhash_images,
+    )
+
+    base = arith_raw_images(spark, n=8, width=16, height=12).select(
+        "*",
+        F.concat(F.lit("img-"), F.col("media_id")).alias("skey"),
+        (F.col("media_id") * 1.5).alias("score"),
+    )
+    out = dhash_images(base, extra_cols=["skey", "score"])
+    assert dict(out.dtypes) == {
+        "media_id": "bigint", "skey": "string", "score": "double",
+        "dhash": "bigint",
+    }
+    rows = {r["media_id"]: (r["skey"], r["score"]) for r in out.collect()}
+    assert rows[3] == ("img-3", 4.5)
+    assert len(rows) == 8
 
 
 def test_dhash_neardup_finds_planted_perturbations(spark):

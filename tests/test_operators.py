@@ -3058,6 +3058,85 @@ def test_mutual_information_known_cases(spark):
     assert abs(r2["mi_nats"] - r2["h_a"]) < 1e-6
 
 
+def test_mutual_information_null_categories(spark):
+    """NULL categories are real levels (the docstring promise): a
+    bijective dependence where one level is NULL on each side must
+    still report normalized MI of exactly 1 — the regression for the
+    null-unsafe marginal equi-joins that silently dropped NULL-keyed
+    contingency cells from the MI sum while the join-free entropies
+    kept them (ADVICE r7)."""
+    from osmapreduceproject_spark.operators.stats import mutual_information
+
+    dep = spark.createDataFrame(
+        [(None, "u")] * 5 + [("x", None)] * 5 + [("y", "w")] * 5,
+        "a string, b string",
+    )
+    r = mutual_information(dep, "a", "b").first()
+    assert r["n"] == 15
+    assert r["normalized_mi"] == 1.0
+    # both entropies are log(3) — three levels incl. the NULL one —
+    # and the MI sum saw every cell (mi == h under bijection)
+    import math
+
+    assert abs(r["h_a"] - math.log(3)) < 1e-6
+    assert abs(r["h_b"] - math.log(3)) < 1e-6
+    assert abs(r["mi_nats"] - r["h_a"]) < 1e-6
+
+    # independent with NULL levels: MI ~ 0, never negative drift from
+    # dropped cells
+    indep = spark.createDataFrame(
+        [(a, b) for a in ["x", None] for b in ["u", None] for _ in range(5)],
+        "a string, b string",
+    )
+    r0 = mutual_information(indep, "a", "b").first()
+    assert abs(r0["mi_nats"]) < 1e-9
+
+
+def test_recall_at_k_duplicate_rows_clamped(spark):
+    """Set semantics under duplicated (query, neighbor) rows: join
+    multiplicity must not push recall past 1.0 (ADVICE r7)."""
+    from osmapreduceproject_spark.operators.similarity import recall_at_k
+
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 10), (1, 20)], "query_id bigint, neighbor_id bigint"
+    )
+    approx = spark.createDataFrame(
+        [(1, 10), (1, 10), (1, 10), (1, 99)],
+        "query_id bigint, neighbor_id bigint",
+    )
+    r = recall_at_k(exact, approx).first()
+    # sets: exact={10,20}, approx={10,99} → 1 hit of 2 expected
+    assert r["n_expected"] == 2
+    assert r["n_hit"] == 1
+    assert r["recall"] == 0.5
+
+
+def test_seasonal_profile_pre1970_positions(spark):
+    """Cycle positions stay in [0, period) for pre-1970 timestamps:
+    Spark's % follows the dividend's sign, so negative slot epochs
+    would split each position into two groups without pmod (ADVICE
+    r7)."""
+    import datetime as dt
+
+    from osmapreduceproject_spark.operators.windows import seasonal_profile
+
+    rows = [
+        (1, dt.datetime(1969, 12, 30, h, 0, 0), float(h % 24))
+        for h in range(96)
+    ]
+    df = spark.createDataFrame(rows, "k bigint, ts timestamp, v double")
+    prof = seasonal_profile(
+        df, key="k", ts="ts", value_col="v", step_seconds=3600,
+        period_slots=24,
+    ).collect()
+    positions = {r["season_pos"] for r in prof}
+    assert all(0 <= p < 24 for p in positions), sorted(positions)
+    # 96 hourly slots spanning the epoch boundary fold onto exactly 24
+    # positions, 4 slots each — no sign-split doubling
+    assert len(prof) == 24
+    assert all(r["n_slots"] == 4 for r in prof)
+
+
 @_pytest.mark.skipif(
     not _os.environ.get("SPARK_GRAFT_SCALE"),
     reason="scale smoke: set SPARK_GRAFT_SCALE=1 (10M events through interpolate + CUSUM)",
