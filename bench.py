@@ -104,6 +104,44 @@ BENCH_QUERIES = [
     "q175_event_paths",  # sessionized length-3 path mining
     "q176_cdc_compaction",  # change-log latest-version compaction
     "q177_curation_funnel",  # end-to-end curate_corpus survival report
+    # r8 additions (VERDICT r7 #3): the 35 r8-new declarations join the
+    # headline set the round they land — subtract these for like-for-like
+    # totals vs r07.
+    "q178_gopher_rules",  # rule-filter narrow scan
+    "q179_containment_pairs",  # max_df-capped containment/Jaccard pairs
+    "q180_cms_heavy_hitters",  # CMS sketch + exact-count audit join
+    "q181_ab_significance",  # hash-bucketed funnel z-test
+    "q182_bloom_prejoin",  # seeded Bloom build + fact probe report
+    "q183_key_skew_report",  # per-key counts + simulated partition load
+    "q184_series_trend",  # least-squares moments over the resample grid
+    "q185_chi2_independence",  # contingency windows + scalar finalize
+    "q186_rfm_segmentation",  # user agg + broadcast quartile boundaries
+    "q187_ewma_grid",  # per-key quantized EWMA fold on the grid
+    "q188_feature_hashing",  # hashing-trick explode + (doc,bucket) agg
+    "q189_welch_ttest",  # one-scan conditional moments, scalar out
+    "q190_readability",  # Flesch narrow map, zero shuffles
+    "q191_quality_report",  # pipeline delegate: gopher_summary section
+    "q192_resample_interpolate",  # backward+forward as-of on the grid
+    "q193_psi_drift",  # equi-depth reference bins + per-bin PSI
+    "q194_hll_audit",  # HLL registers + exact-distinct audit
+    "q195_rag_chunker",  # sliding-window chunk explode
+    "q196_negative_sampling",  # ranked_sort index + skip-self hash draw
+    "q197_bootstrap_ci",  # B=16 Poisson weights folded in one scan
+    "q198_windowed_funnel",  # per-step windowed min-anchors
+    "q199_cusum_changepoints",  # per-key CUSUM fold over the grid
+    "q200_target_encoding",  # category agg + broadcast prior
+    "q201_expect_report",  # 6 rules compiled into one scan
+    "q202_benford_audit",  # first-digit quantize + 9-bucket agg
+    "q203_ann_recall_gate",  # exact vs IVF top-k overlap
+    "q204_mutual_information",  # contingency cells + window marginals
+    "q205_seasonal_profile",  # pmod cycle position over the grid
+    "q206_temporal_split",  # exact-percentile cutoff + split summary
+    "q207_activity_streaks",  # gaps-and-islands over distinct days
+    "q208_ewma_stream_twin",  # per-event EWMA batch twin
+    "q209_vocab_divergence",  # token counts + full-outer JSD
+    "q210_bot_detection",  # gap CV + sliding burst window
+    "q211_group_percentiles",  # per-group exact discrete percentiles
+    "q212_merged_schema_read",  # mergeSchema footer-union read
     "conf_sort_seeded",
     "conf_max_seeded",
 ]
@@ -447,7 +485,16 @@ def main() -> None:
             "Late-r7 plan change: the connected-components convergence "
             "probe folded into the label-update pass (one fewer "
             "label-frame join per iteration) - small deltas on the CC "
-            "lineage (q92/q111/q150/q177) are that change, not jitter."
+            "lineage (q92/q111/q150/q177) are that change, not jitter. "
+            "r08 adds the 35 r8-new declarations q178-q212 to the "
+            "headline set (VERDICT r7 #3) - subtract those thirty-five "
+            "for like-for-like totals vs r07. Expected-expensive by "
+            "construction among them: q199 (CUSUM fold over the full "
+            "resample grid), q203 (exact + IVF top-k, two retrieval "
+            "pipelines in one timing), q196 (ranked_sort index build), "
+            "q179 (capped pair generation). q206 runs the multi-pass "
+            "exact-percentile cutoff like q171 - several small jobs in "
+            "one timing."
         ),
         "reference": reference_timings(),
     }
