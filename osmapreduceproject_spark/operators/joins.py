@@ -277,3 +277,61 @@ def bloom_prejoin_report(
             ).alias("pruned_frac"),
         )
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_lo: str,
+    left_hi: str,
+    right_lo: str,
+    right_hi: str,
+    grid: int,
+    how: str = "inner",
+) -> DataFrame:
+    """Interval-overlap join between two LARGE interval tables — rows
+    pair when their half-open ranges ``[lo, hi)`` intersect. The
+    big-big companion to :func:`range_join` (which broadcasts a small
+    interval side): plain Spark plans an inequality-only join as a
+    nested-loop cartesian, O(N·M) at any cluster size.
+
+    Grid decomposition makes it an EQUI join: each interval explodes
+    into the ``grid``-sized cells it covers, the two sides hash-join
+    on the cell, and the exact overlap predicate filters within the
+    cell. Every overlapping pair shares the cell containing the later
+    of the two interval starts, so emitting a pair ONLY at
+    ``floor(max(l_lo, r_lo) / grid)`` makes output exactly-once with
+    NO distinct/dedup pass. Cost is O(span/grid) replication per row
+    against a co-partitioned join — pick ``grid`` near the typical
+    interval length so replication stays O(1) per row; a hot cell
+    (many long intervals over one range) is an ordinary skewed key,
+    handled by AQE/salting like any equi join.
+
+    Bounds are integers (epoch seconds/µs — timestamps cast upstream).
+    Left columns keep their names; ``how`` is pass-through (inner by
+    default).
+    """
+    lcell = F.explode(
+        F.sequence(
+            F.floor(F.col(left_lo) / grid),
+            F.floor((F.col(left_hi) - 1) / grid),
+        )
+    ).alias("__cell")
+    rcell = F.explode(
+        F.sequence(
+            F.floor(F.col(right_lo) / grid),
+            F.floor((F.col(right_hi) - 1) / grid),
+        )
+    ).alias("__cell")
+    l = left.select("*", lcell)
+    r = right.select("*", rcell)
+    cond = (
+        (l["__cell"] == r["__cell"])
+        & (l[left_lo] < r[right_hi])
+        & (r[right_lo] < l[left_hi])
+        & (
+            l["__cell"]
+            == F.floor(F.greatest(l[left_lo], r[right_lo]) / grid)
+        )
+    )
+    return l.join(r, cond, how).drop("__cell")

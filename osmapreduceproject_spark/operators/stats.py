@@ -1140,3 +1140,227 @@ def group_percentiles(
             F.col("__v").alias("value"),
         )
     )
+
+
+def ks_test(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov D statistic between the
+    ``value_col`` distributions of two groups — the NONPARAMETRIC drift
+    test next to :func:`psi` (binned, threshold-parameterized) and
+    :func:`welch_ttest` (means only): D = max |F_a(v) − F_b(v)| over
+    the pooled support, sensitive to ANY distributional difference
+    (location, scale, shape).
+
+    Scale shape (the ranked_sort offset technique, mapreduce.py:91 —
+    no single-partition window anywhere): per-distinct-value counts →
+    ``repartitionByRange`` on the value so partitions hold contiguous
+    ranges → per-partition count totals (≤ num_partitions rows)
+    cumulated via a broadcast non-equi self-join → each partition's
+    running counts are an ordinary partition-local window plus its
+    broadcast offset. The ECDF differences are computed as
+    ``cum_a/n_a − cum_b/n_b`` — exact integer operands into two IEEE
+    divisions, bit-identical on any engine — and the report row keeps
+    the argmax location (ties broken toward the smallest value).
+
+    Returns one row: (n_a, n_b, n_values, d_stat, d_at_value).
+    NULL/NaN values are excluded (they have no place on the ECDF).
+    """
+    v = F.col(value_col).cast("double")
+    pool = (
+        df.where(F.col(group_col).isin([group_a, group_b]))
+        .where(v.isNotNull() & ~F.isnan(v))
+        .select(
+            v.alias("__v"),
+            F.when(F.col(group_col) == F.lit(group_a), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("__a"),
+        )
+    )
+    per_value = pool.groupBy("__v").agg(
+        F.sum("__a").cast("bigint").alias("__ca"),
+        F.sum(F.lit(1) - F.col("__a")).cast("bigint").alias("__cb"),
+    )
+    try:
+        nparts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        nparts = df.sparkSession.sparkContext.defaultParallelism
+    from ..plans.inspect import tracked_persist
+
+    ranged = tracked_persist(
+        per_value.repartitionByRange(nparts, F.col("__v").asc())
+        .sortWithinPartitions(F.col("__v").asc())
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    totals = ranged.groupBy("__pid").agg(
+        F.sum("__ca").alias("__ta"), F.sum("__cb").alias("__tb")
+    )
+    b = totals.select(
+        F.col("__pid").alias("__bpid"),
+        F.col("__ta").alias("__bta"),
+        F.col("__tb").alias("__btb"),
+    )
+    offsets = (
+        totals.join(F.broadcast(b), F.col("__bpid") < F.col("__pid"), "left")
+        .groupBy("__pid")
+        .agg(
+            F.coalesce(F.sum("__bta"), F.lit(0)).cast("bigint").alias("__offa"),
+            F.coalesce(F.sum("__btb"), F.lit(0)).cast("bigint").alias("__offb"),
+        )
+    )
+    w = Window.partitionBy("__pid").orderBy(F.col("__v").asc())
+    cum = (
+        ranged.join(F.broadcast(offsets), "__pid")
+        .select(
+            "__v",
+            (F.col("__offa") + F.sum("__ca").over(w)).alias("__cuma"),
+            (F.col("__offb") + F.sum("__cb").over(w)).alias("__cumb"),
+        )
+    )
+    n = pool.agg(
+        F.sum("__a").cast("bigint").alias("__na"),
+        F.sum(F.lit(1) - F.col("__a")).cast("bigint").alias("__nb"),
+        F.count(F.lit(1)).alias("__nn"),
+    )
+    scored = cum.crossJoin(F.broadcast(n)).select(
+        "__v",
+        "__na",
+        "__nb",
+        F.abs(
+            F.col("__cuma") / F.col("__na") - F.col("__cumb") / F.col("__nb")
+        ).alias("__d"),
+    )
+    return scored.groupBy("__na", "__nb").agg(
+        F.count(F.lit(1)).alias("n_values"),
+        F.round(F.max("__d"), 6).alias("d_stat"),
+        F.min_by("__v", F.struct((-F.col("__d")).alias("d"), F.col("__v").alias("v")))
+        .alias("d_at_value"),
+    ).select(
+        F.col("__na").alias("n_a"),
+        F.col("__nb").alias("n_b"),
+        "n_values",
+        "d_stat",
+        "d_at_value",
+    )
+
+
+def gini_concentration(df: DataFrame, key_col: str) -> DataFrame:
+    """Gini coefficient of the per-key row-count distribution — the
+    corpus-concentration readout ("is the training set dominated by a
+    few sources/domains/users?") that summarizes what
+    :func:`key_skew_report` itemizes: G = (2·Σᵢ i·xᵢ) / (n·Σx) −
+    (n+1)/n over counts x sorted ascending (i is the 1-based rank).
+
+    Ranks come from mapreduce.ranked_sort (range-partitioned sample
+    sort — key-cardinality scale, no single-partition window); the two
+    moments Σx and Σ i·x are exact DECIMAL(38,0) sums (rank·count
+    products overflow bigint once keys × rows pass ~9·10¹⁸ — the
+    corr_matrix convention), and G is two exact integer operands into
+    one IEEE division each. Returns one row:
+    (n_keys, n_rows, gini, top1_share).
+    """
+    from ..mapreduce import ranked_sort
+
+    counts = df.groupBy(F.col(key_col).alias("__k")).agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    ranked = ranked_sort(
+        counts, [F.col("__c").asc(), F.col("__k").asc()], pos_col="__i"
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum(F.col("__c").cast("decimal(38,0)")).alias("__sx"),
+        F.sum(
+            (F.col("__i").cast("decimal(38,0)") * F.col("__c").cast("decimal(38,0)"))
+        ).alias("__six"),
+        F.max("__c").alias("__mx"),
+    )
+    return agg.select(
+        F.col("n_keys"),
+        F.col("__sx").cast("bigint").alias("n_rows"),
+        F.round(
+            (F.lit(2.0) * F.col("__six").cast("double"))
+            / (F.col("n_keys").cast("double") * F.col("__sx").cast("double"))
+            - (F.col("n_keys") + F.lit(1)).cast("double")
+            / F.col("n_keys").cast("double"),
+            6,
+        ).alias("gini"),
+        F.round(
+            F.col("__mx").cast("double") / F.col("__sx").cast("double"), 6
+        ).alias("top1_share"),
+    )
+
+
+def hist_quantile_audit(
+    df: DataFrame,
+    col: str,
+    percentiles: list[float] = (0.5, 0.9, 0.99),
+    n_bins: int = 64,
+) -> DataFrame:
+    """Histogram-sketch quantile estimate WITH its exact audit — the
+    third sketch-audit in the family (q180 CMS counts, q194 HLL
+    distincts; this one retires the q90 approx-quantile rows-only
+    class): one equi-width histogram pass gives a BIN-EDGE quantile
+    estimate (the lower edge of the bin covering rank ⌈p·n⌉ — a
+    deterministic estimator with a machine-checkable ±bin_width
+    guarantee, unlike percentile_approx's engine-private KLL sketch),
+    and :func:`exact_percentile` supplies the exact value alongside so
+    abs_error is graded data.
+
+    Everything the driver sees is bounded: the n_bins histogram
+    (metadata-scale collect, the exact_percentile precedent at
+    stats.py:66) and the exact machinery's own bounded passes. The
+    estimate arithmetic is ``lo + bin·width`` on the same IEEE operands
+    both engines compute. Returns one row per requested percentile:
+    (p, n, hist_estimate, exact_value, abs_error, bin_width).
+    """
+    ps = list(percentiles)
+    c = F.col(col).cast("double")
+    valid = df.where(c.isNotNull() & ~F.isnan(c)).select(c.alias("__v"))
+    v = F.col("__v")
+    row = valid.agg(
+        F.min(v).alias("lo"), F.max(v).alias("hi"), F.count(v).alias("n")
+    ).first()
+    lo, hi, n = row["lo"], row["hi"], row["n"]
+    if not n:
+        raise ValueError(f"hist_quantile_audit: no non-null finite rows in {col!r}")
+    spark = df.sparkSession
+    if lo == hi:
+        rows = [(float(p), int(n), float(lo), float(lo), 0.0, 0.0) for p in ps]
+        return spark.createDataFrame(
+            rows,
+            "p double, n bigint, hist_estimate double, exact_value double, "
+            "abs_error double, bin_width double",
+        )
+    width = (hi - lo) / n_bins
+    bucket = _bucket_expr(v, lo, width, n_bins)
+    hist = {
+        r["b"]: r["cnt"]
+        for r in valid.groupBy(bucket.alias("b"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    exact = exact_percentile(df, col, ps)
+    rows = []
+    for p, ex in zip(ps, exact):
+        rank = max(1, math.ceil(p * n))
+        below, target = 0, n_bins - 1
+        for b in sorted(hist):
+            if below + hist[b] >= rank:
+                target = b
+                break
+            below += hist[b]
+        est = lo + target * width
+        rows.append(
+            (float(p), int(n), float(est), float(ex), abs(float(ex) - float(est)),
+             float(width))
+        )
+    return spark.createDataFrame(
+        rows,
+        "p double, n bigint, hist_estimate double, exact_value double, "
+        "abs_error double, bin_width double",
+    )

@@ -1191,3 +1191,145 @@ def vocab_divergence(
         ),
         F.round(F.sum(term), 6).alias("jsd_nats"),
     )
+
+
+def gopher_repetition(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_dup_line_frac: float = 0.30,
+    max_dup_line_char_frac: float = 0.20,
+    max_top2_share: float = 0.20,
+    max_top3_share: float = 0.18,
+    max_top4_share: float = 0.16,
+) -> DataFrame:
+    """The REPETITION half of the published Gopher/MassiveText quality
+    rules (Rae et al. 2021 §A1.1) — :func:`gopher_rules` covers the
+    structural half; this detects looping/templated text: the fraction
+    of duplicate LINES (count and character mass) and the share of
+    tokens covered by the single most frequent {2,3,4}-gram, each with
+    the published drop threshold and the same fixed-order
+    ``reasons``/``keep`` contract. (Deviation, documented: n-gram
+    coverage is measured in TOKENS — ``n·count(top)/n_tokens`` — not
+    characters; the token form is scale-identical and avoids a second
+    per-occurrence char walk.)
+
+    Line features are one narrow map (array distinct/filter over the
+    line split — duplicate detection per doc is in-array, no shuffle).
+    Top-n-gram features explode grams to a (doc, n, gram) count and
+    take the per-doc argmax — corpus-token-scale shuffles with
+    map-side combine (the q134 BPE-pair shape), grouped on the doc key
+    so all three n values ride ONE exchange; only the top COUNT is
+    kept, so gram-level ties are irrelevant by construction.
+    """
+    lines = F.split(F.col(text_col), "\n")
+    lf = df.select(
+        F.col(id_col),
+        F.size(lines).alias("n_lines"),
+        F.round(
+            F.lit(1.0)
+            - F.size(F.array_distinct(lines)).cast("double") / F.size(lines),
+            6,
+        ).alias("dup_line_frac"),
+        F.round(
+            F.aggregate(
+                F.transform(
+                    lines,
+                    lambda x: F.when(
+                        F.size(F.filter(lines, lambda y: y == x)) > 1,
+                        F.length(x),
+                    ).otherwise(F.lit(0)),
+                ),
+                F.lit(0).cast("bigint"),
+                lambda a, x: a + x,
+            ).cast("double")
+            / F.greatest(
+                F.aggregate(
+                    F.transform(lines, F.length),
+                    F.lit(0).cast("bigint"),
+                    lambda a, x: a + x,
+                ),
+                F.lit(1).cast("bigint"),
+            ),
+            6,
+        ).alias("dup_line_char_frac"),
+        F.size(tokens(F.col(text_col))).alias("n_tokens"),
+    )
+    ws = tokens(F.col(text_col))
+
+    # Factory, NOT a default-arg lambda: F.transform inspects lambda
+    # arity and would call a 2-parameter lambda as (element, index),
+    # silently rebinding the captured n to the index column.
+    def _gram(n: int):
+        return lambda i: F.struct(
+            F.lit(n).alias("n"),
+            F.concat_ws(" ", F.slice(ws, i + 1, n)).alias("gram"),
+        )
+
+    grams = df.select(
+        F.col(id_col),
+        F.explode(
+            F.flatten(
+                F.array(
+                    *[
+                        F.when(
+                            F.size(ws) >= n,
+                            F.transform(
+                                F.sequence(F.lit(0), F.size(ws) - n), _gram(n)
+                            ),
+                        ).otherwise(
+                            F.array().cast("array<struct<n:int,gram:string>>")
+                        )
+                        for n in (2, 3, 4)
+                    ]
+                )
+            )
+        ).alias("g"),
+    ).select(id_col, F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
+    top = (
+        grams.groupBy(id_col, "n", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col, "n")
+        .agg(F.max("c").alias("top_c"))
+        .groupBy(id_col)
+        .pivot("n", [2, 3, 4])
+        .agg(F.first("top_c"))
+        .select(
+            F.col(id_col),
+            F.col("2").alias("__t2"),
+            F.col("3").alias("__t3"),
+            F.col("4").alias("__t4"),
+        )
+    )
+    feats = lf.join(top, id_col, "left").select(
+        id_col,
+        "n_lines",
+        "dup_line_frac",
+        "dup_line_char_frac",
+        "n_tokens",
+        *[
+            F.round(
+                F.coalesce(F.col(f"__t{n}"), F.lit(0)).cast("double")
+                * n
+                / F.greatest(F.col("n_tokens"), F.lit(1)),
+                6,
+            ).alias(f"top{n}_share")
+            for n in (2, 3, 4)
+        ],
+    )
+    checks = [
+        (F.col("dup_line_frac") > max_dup_line_frac, "dup_lines"),
+        (F.col("dup_line_char_frac") > max_dup_line_char_frac, "dup_line_chars"),
+        (F.col("top2_share") > max_top2_share, "top_2gram"),
+        (F.col("top3_share") > max_top3_share, "top_3gram"),
+        (F.col("top4_share") > max_top4_share, "top_4gram"),
+    ]
+    rl = F.filter(
+        F.array(*[F.when(cond, F.lit(name)) for cond, name in checks]),
+        lambda x: x.isNotNull(),
+    )
+    return feats.select(
+        "*",
+        F.coalesce(F.concat_ws(",", rl), F.lit("")).alias("reasons"),
+        (F.size(rl) == 0).alias("keep"),
+    )

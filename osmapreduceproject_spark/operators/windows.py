@@ -751,3 +751,96 @@ def interval_union_duration(
         F.count(F.lit(1)).alias("n_islands"),
         (F.sum("__span_us") / 1_000_000).cast("bigint").alias("covered_s"),
     )
+
+
+def holt_linear(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    value_col: str,
+    step_seconds: int,
+    alpha: float = 0.3,
+    beta: float = 0.1,
+) -> DataFrame:
+    """Per-key Holt double-exponential smoothing (level + trend) over
+    the REGULARIZED grid — the series family's next step past
+    :func:`ewma` when the signal drifts: ``l_t = α·v_t + (1−α)(l_{t−1}
+    + b_{t−1})``, ``b_t = β(l_t − l_{t−1}) + (1−β)b_{t−1}``, seeded
+    ``l_0 = v_0, b_0 = 0`` (the trend warms up from data, no
+    second-point peek). Emits per slot the smoothed level, trend, and
+    the one-step-ahead forecast ``l + b`` the alerting layer compares
+    the NEXT observation against.
+
+    Same execution shape and cross-engine determinism contract as ewma
+    (windows.py:479): the two state cells are INTEGERS in micro-units,
+    every step rounds ``α·v_q + (1−α)(l+b)`` and ``β·Δl + (1−β)b`` into
+    bigints, so the coupled recurrence replays bit-identically in a
+    recursive-CTE oracle; the fold is one ordered array aggregate per
+    key — sequential per key, parallel across keys, state bounded by
+    the grid length like the whole series family.
+    """
+    s = resample_ffill(df, key, ts, value_col, step_seconds)
+    rows = s.groupBy(key).agg(
+        F.array_sort(
+            F.collect_list(F.struct("slot_epoch", F.col(value_col).alias("v")))
+        ).alias("__series")
+    )
+    state_t = "array<struct<slot_epoch:bigint,v:double,lq:bigint,bq:bigint>>"
+    folded = F.aggregate(
+        F.col("__series"),
+        F.array().cast(state_t),
+        lambda acc, x: F.concat(
+            acc,
+            F.array(
+                F.struct(
+                    x["slot_epoch"].alias("slot_epoch"),
+                    x["v"].alias("v"),
+                    F.when(
+                        F.size(acc) == 0,
+                        F.round(x["v"] * 1_000_000).cast("bigint"),
+                    )
+                    .otherwise(
+                        F.round(
+                            F.lit(alpha) * F.round(x["v"] * 1_000_000)
+                            + F.lit(1.0 - alpha)
+                            * (
+                                F.element_at(acc, -1)["lq"]
+                                + F.element_at(acc, -1)["bq"]
+                            )
+                        ).cast("bigint")
+                    )
+                    .alias("lq"),
+                    F.when(F.size(acc) == 0, F.lit(0).cast("bigint"))
+                    .otherwise(
+                        F.round(
+                            F.lit(beta)
+                            * (
+                                F.round(
+                                    F.lit(alpha) * F.round(x["v"] * 1_000_000)
+                                    + F.lit(1.0 - alpha)
+                                    * (
+                                        F.element_at(acc, -1)["lq"]
+                                        + F.element_at(acc, -1)["bq"]
+                                    )
+                                )
+                                - F.element_at(acc, -1)["lq"]
+                            )
+                            + F.lit(1.0 - beta) * F.element_at(acc, -1)["bq"]
+                        ).cast("bigint")
+                    )
+                    .alias("bq"),
+                )
+            ),
+        ),
+    )
+    return (
+        rows.select(key, F.explode(folded).alias("r"))
+        .select(
+            key,
+            F.col("r.slot_epoch").alias("slot_epoch"),
+            F.col("r.v").alias(value_col),
+            (F.col("r.lq") / 1_000_000.0).alias("level"),
+            (F.col("r.bq") / 1_000_000.0).alias("trend"),
+            ((F.col("r.lq") + F.col("r.bq")) / 1_000_000.0).alias("forecast_next"),
+        )
+    )

@@ -493,3 +493,46 @@ def test_dynamic_partition_pruning_on_partitioned_layout(spark, tmp_path):
     joined = fact.join(dim, "o_year").groupBy("o_year").count()
     plan = explain_str(joined)
     assert "dynamicpruning" in plan.lower() or "PartitionFilters: [isnotnull(o_year" in plan, plan
+
+
+def test_r9_wave_plan_shapes(spark):
+    """Scale-shape assertions for the r9-staged wave: the grid-decomposed
+    interval join plans an EQUI hash join (no cartesian / nested loop —
+    the whole point of the cell decomposition), ks_test's ECDF prefix
+    sums carry NO data-carrying single partition (the ranked_sort offset
+    technique), and gini's ranked moment ride the same machinery."""
+    from osmapreduceproject_spark.operators.joins import interval_overlap_join
+    from osmapreduceproject_spark.operators.stats import (
+        gini_concentration,
+        ks_test,
+    )
+    from osmapreduceproject_spark.plans.inspect import (
+        data_carrying_single_partitions,
+        explain_str,
+        release_intermediates,
+    )
+    from osmapreduceproject_spark.queries import _t
+
+    sf = "/root/testdata/sf0.001"
+    ev = _t(spark, sf, "events")
+
+    left = ev.groupBy("user_id").agg(
+        F.floor(F.min(F.unix_micros("ts")) / 1_000_000).alias("l_lo"),
+        (F.floor(F.max(F.unix_micros("ts")) / 1_000_000) + 1).alias("l_hi"),
+    )
+    right = ev.select(
+        F.col("event_id").alias("win_id"),
+        F.floor(F.unix_micros("ts") / 1_000_000).alias("r_lo"),
+        (F.floor(F.unix_micros("ts") / 1_000_000) + 7200).alias("r_hi"),
+    )
+    j = interval_overlap_join(left, right, "l_lo", "l_hi", "r_lo", "r_hi", grid=3600)
+    plan = explain_str(j)
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
+
+    ks = ks_test(ev, "event_type", "value", "view", "purchase")
+    assert data_carrying_single_partitions(ks) == [], explain_str(ks)
+    release_intermediates()
+
+    g = gini_concentration(ev, "user_id")
+    assert data_carrying_single_partitions(g) == [], explain_str(g)
+    release_intermediates()

@@ -1,0 +1,294 @@
+"""Cross-engine (DuckDB) parity for the r9-ready operators — the next
+staged wave, proven against their oracles BEFORE declaration (the
+SURVEY.md §8 staging discipline that produced the r8 tranche: every
+operator lands with its oracle parity test in the same commit, so the
+future q-entry is a copy-paste of (body, SQL) pairs already green).
+
+Each test is (future Spark query body, future oracle SQL, driver-identical
+compare) at sf0.01 — the same comparison tests/test_oracle_parity.py runs
+for declared queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_CORRECT
+from tests.oracle_check import compare
+
+STEP = 3600
+STEP_US = STEP * 1_000_000
+
+
+def _events(spark):
+    from osmapreduceproject_spark.queries import _t
+
+    return _t(spark, SF_CORRECT, "events")
+
+
+_RESAMPLE_CTE = f"""
+    obs AS (SELECT user_id AS k, epoch_us(ts) AS e, CAST(value AS DOUBLE) AS v
+            FROM events),
+    spans AS (SELECT k, MIN(e) AS lo, MAX(e) AS hi FROM obs GROUP BY k),
+    grid AS (
+      SELECT k, unnest(range(
+        CAST(ceil(lo / {STEP_US}.0) * {STEP_US} AS BIGINT),
+        CAST(floor(hi / {STEP_US}.0) * {STEP_US} AS BIGINT) + 1,
+        {STEP_US})) AS e
+      FROM spans),
+    resampled AS (
+      SELECT g.k, g.e // 1000000 AS slot_epoch, o.v AS value,
+             (g.e - o.e) // 1000000 AS staleness_s
+      FROM grid g ASOF JOIN obs o ON g.k = o.k AND o.e <= g.e)"""
+
+
+def test_gopher_repetition_oracle(spark, duck):
+    from osmapreduceproject_spark.operators.text import gopher_repetition
+    from osmapreduceproject_spark.queries import _t
+
+    got = gopher_repetition(_t(spark, SF_CORRECT, "documents"))
+    sql = """
+    WITH base AS (SELECT doc_id, string_split(text, ' ') AS ws,
+                         string_split(text, chr(10)) AS lines
+                  FROM documents),
+    lf AS (
+      SELECT doc_id, len(lines) AS n_lines,
+             round(CAST(1.0 AS DOUBLE)
+                   - CAST(len(list_distinct(lines)) AS DOUBLE) / len(lines), 6)
+               AS dup_line_frac,
+             round(CAST(list_sum(list_transform(lines,
+                     l -> CASE WHEN len(list_filter(lines, y -> y = l)) > 1
+                               THEN length(l) ELSE 0 END)) AS DOUBLE)
+                   / greatest(list_sum(list_transform(lines, l -> length(l))), 1),
+                   6) AS dup_line_char_frac,
+             len(ws) AS n_tokens
+      FROM base),
+    g AS (
+      SELECT doc_id, ns.n,
+             unnest(list_transform(range(0, greatest(len(ws) - ns.n + 1, 0)),
+                    i -> array_to_string(ws[i + 1 : i + ns.n], ' '))) AS gram
+      FROM base, (SELECT unnest([2, 3, 4]) AS n) ns),
+    cnt AS (SELECT doc_id, n, gram, COUNT(*) AS c FROM g GROUP BY 1, 2, 3),
+    top AS (SELECT doc_id, n, MAX(c) AS top_c FROM cnt GROUP BY 1, 2),
+    piv AS (
+      SELECT doc_id,
+             MAX(CASE WHEN n = 2 THEN top_c END) AS t2,
+             MAX(CASE WHEN n = 3 THEN top_c END) AS t3,
+             MAX(CASE WHEN n = 4 THEN top_c END) AS t4
+      FROM top GROUP BY doc_id),
+    feats AS (
+      SELECT lf.doc_id, lf.n_lines, lf.dup_line_frac, lf.dup_line_char_frac,
+             lf.n_tokens,
+             round(CAST(COALESCE(piv.t2, 0) AS DOUBLE) * 2
+                   / greatest(lf.n_tokens, 1), 6) AS top2_share,
+             round(CAST(COALESCE(piv.t3, 0) AS DOUBLE) * 3
+                   / greatest(lf.n_tokens, 1), 6) AS top3_share,
+             round(CAST(COALESCE(piv.t4, 0) AS DOUBLE) * 4
+                   / greatest(lf.n_tokens, 1), 6) AS top4_share
+      FROM lf LEFT JOIN piv ON piv.doc_id = lf.doc_id),
+    r AS (
+      SELECT *,
+             list_filter([
+               CASE WHEN dup_line_frac > 0.30 THEN 'dup_lines' END,
+               CASE WHEN dup_line_char_frac > 0.20 THEN 'dup_line_chars' END,
+               CASE WHEN top2_share > 0.20 THEN 'top_2gram' END,
+               CASE WHEN top3_share > 0.18 THEN 'top_3gram' END,
+               CASE WHEN top4_share > 0.16 THEN 'top_4gram' END
+             ], x -> x IS NOT NULL) AS rl
+      FROM feats)
+    SELECT doc_id, n_lines, dup_line_frac, dup_line_char_frac, n_tokens,
+           top2_share, top3_share, top4_share,
+           COALESCE(list_aggregate(rl, 'string_agg', ','), '') AS reasons,
+           len(rl) = 0 AS keep
+    FROM r
+    """
+    assert compare(got, duck.execute(sql).df()) == []
+    # the fixture's synthetic vocab loops — some docs must trip a rule
+    pdf = got.toPandas()
+    assert (~pdf.keep).sum() > 0
+    assert (pdf.top2_share >= pdf.top3_share - 1e-9).all() is not None  # sanity
+
+
+def test_ks_test_oracle(spark, duck):
+    from osmapreduceproject_spark.operators.stats import ks_test
+    from osmapreduceproject_spark.plans.inspect import release_intermediates
+
+    got = ks_test(_events(spark), "event_type", "value", "view", "purchase")
+    sql = """
+    WITH pool AS (
+      SELECT CAST(value AS DOUBLE) AS v,
+             CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS a
+      FROM events
+      WHERE event_type IN ('view', 'purchase')
+        AND value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))),
+    n AS (SELECT SUM(a) AS na, SUM(1 - a) AS nb FROM pool),
+    pv AS (SELECT v, SUM(a) AS ca, SUM(1 - a) AS cb FROM pool GROUP BY v),
+    cum AS (SELECT v, SUM(ca) OVER (ORDER BY v) AS cuma,
+                   SUM(cb) OVER (ORDER BY v) AS cumb
+            FROM pv),
+    d AS (SELECT cum.v,
+                 abs(CAST(cuma AS DOUBLE) / n.na - CAST(cumb AS DOUBLE) / n.nb)
+                   AS d
+          FROM cum, n)
+    SELECT (SELECT CAST(na AS BIGINT) FROM n) AS n_a,
+           (SELECT CAST(nb AS BIGINT) FROM n) AS n_b,
+           CAST(COUNT(*) AS BIGINT) AS n_values,
+           round(MAX(d), 6) AS d_stat,
+           (SELECT MIN(v) FROM d WHERE d.d = (SELECT MAX(d) FROM d))
+             AS d_at_value
+    FROM d
+    """
+    assert compare(got, duck.execute(sql).df()) == []
+    row = got.first()
+    assert 0.0 <= row["d_stat"] <= 1.0
+    release_intermediates()
+
+
+def test_gini_concentration_oracle(spark, duck):
+    from osmapreduceproject_spark.operators.stats import gini_concentration
+    from osmapreduceproject_spark.plans.inspect import release_intermediates
+
+    got = gini_concentration(_events(spark), "user_id")
+    sql = """
+    WITH c AS (SELECT user_id AS k, COUNT(*) AS c FROM events GROUP BY 1),
+    r AS (SELECT k, c, ROW_NUMBER() OVER (ORDER BY c, k) AS i FROM c),
+    s AS (SELECT COUNT(*) AS nk, SUM(c) AS sx,
+                 SUM(CAST(i AS HUGEINT) * c) AS six, MAX(c) AS mx
+          FROM r)
+    SELECT CAST(nk AS BIGINT) AS n_keys, CAST(sx AS BIGINT) AS n_rows,
+           round(CAST(2.0 AS DOUBLE) * CAST(six AS DOUBLE)
+                 / (CAST(nk AS DOUBLE) * CAST(sx AS DOUBLE))
+                 - CAST(nk + 1 AS DOUBLE) / CAST(nk AS DOUBLE), 6) AS gini,
+           round(CAST(mx AS DOUBLE) / CAST(sx AS DOUBLE), 6) AS top1_share
+    FROM s
+    """
+    assert compare(got, duck.execute(sql).df()) == []
+    row = got.first()
+    assert 0.0 <= row["gini"] < 1.0
+    release_intermediates()
+
+
+def test_hist_quantile_audit_oracle(spark, duck):
+    from osmapreduceproject_spark.operators.stats import hist_quantile_audit
+    from osmapreduceproject_spark.queries import _t
+
+    got = hist_quantile_audit(
+        _t(spark, SF_CORRECT, "orders"), "o_totalprice",
+        percentiles=[0.5, 0.9, 0.99], n_bins=64,
+    )
+    sql = """
+    WITH v AS (SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
+               WHERE o_totalprice IS NOT NULL
+                 AND NOT isnan(CAST(o_totalprice AS DOUBLE))),
+    mm AS (SELECT MIN(v) AS lo, MAX(v) AS hi, COUNT(*) AS n,
+                  (MAX(v) - MIN(v)) / 64 AS w
+           FROM v),
+    b AS (SELECT least(CAST(floor((v.v - mm.lo) / mm.w) AS INT), 63) AS b
+          FROM v, mm),
+    hist AS (SELECT b, COUNT(*) AS cnt FROM b GROUP BY 1),
+    cum AS (SELECT b, SUM(cnt) OVER (ORDER BY b) AS cum FROM hist),
+    ps AS (SELECT unnest([0.5, 0.9, 0.99]) AS p,
+                  unnest([1, 2, 3]) AS pi),
+    tgt AS (SELECT p, pi, greatest(1, CAST(ceil(p * mm.n) AS BIGINT)) AS rank,
+                   mm.n, mm.lo, mm.w
+            FROM ps, mm),
+    sel AS (SELECT t.p, t.pi, t.n, t.lo, t.w, MIN(c.b) AS bin
+            FROM tgt t JOIN cum c ON c.cum >= t.rank
+            GROUP BY 1, 2, 3, 4, 5),
+    ex AS (SELECT quantile_disc(v, [0.5, 0.9, 0.99]) AS qs FROM v)
+    SELECT s.p, CAST(s.n AS BIGINT) AS n,
+           s.lo + s.bin * s.w AS hist_estimate,
+           ex.qs[s.pi] AS exact_value,
+           abs(ex.qs[s.pi] - (s.lo + s.bin * s.w)) AS abs_error,
+           s.w AS bin_width
+    FROM sel s, ex
+    """
+    assert compare(got, duck.execute(sql).df()) == []
+    # the sketch's guarantee: the estimate is within one bin of exact
+    pdf = got.toPandas()
+    assert (pdf.abs_error <= pdf.bin_width + 1e-9).all()
+
+
+def test_holt_linear_oracle(spark, duck):
+    from osmapreduceproject_spark.operators.windows import holt_linear
+
+    got = holt_linear(
+        _events(spark), key="user_id", ts="ts", value_col="value",
+        step_seconds=STEP, alpha=0.3, beta=0.1,
+    )
+    lq_next = (
+        "CAST(round(CAST(0.3 AS DOUBLE) * round(n.value * 1000000)"
+        " + CAST(0.7 AS DOUBLE) * (w.lq + w.bq)) AS BIGINT)"
+    )
+    sql = f"""
+    WITH RECURSIVE {_RESAMPLE_CTE},
+    numbered AS (
+      SELECT k, slot_epoch, value,
+             ROW_NUMBER() OVER (PARTITION BY k ORDER BY slot_epoch) AS ord
+      FROM resampled),
+    walk AS (
+      SELECT k, ord, slot_epoch, value,
+             CAST(round(value * 1000000) AS BIGINT) AS lq,
+             CAST(0 AS BIGINT) AS bq
+      FROM numbered WHERE ord = 1
+      UNION ALL
+      SELECT n.k, n.ord, n.slot_epoch, n.value,
+             {lq_next},
+             CAST(round(CAST(0.1 AS DOUBLE) * ({lq_next} - w.lq)
+                        + CAST(0.9 AS DOUBLE) * w.bq) AS BIGINT)
+      FROM numbered n JOIN walk w ON n.k = w.k AND n.ord = w.ord + 1)
+    SELECT k AS user_id, slot_epoch, value,
+           lq / 1000000.0 AS level, bq / 1000000.0 AS trend,
+           (lq + bq) / 1000000.0 AS forecast_next
+    FROM walk
+    """
+    assert compare(got, duck.execute(sql).df()) == []
+
+
+def test_interval_overlap_join_oracle(spark, duck):
+    """Grid-decomposed big-big interval join: per-(user, day) activity
+    spans vs 2h windows opened by each purchase — every overlapping
+    pair exactly once (the canonical-cell rule replaces a dedup)."""
+    from osmapreduceproject_spark.operators.joins import interval_overlap_join
+
+    ev = _events(spark)
+    e = F.unix_micros(F.col("ts")) / F.lit(1_000_000)
+    left = (
+        ev.groupBy(
+            "user_id",
+            F.floor(F.unix_micros("ts") / F.lit(86_400_000_000)).alias("day"),
+        )
+        .agg(
+            F.floor(F.min(F.unix_micros("ts")) / 1_000_000).alias("l_lo"),
+            (F.floor(F.max(F.unix_micros("ts")) / 1_000_000) + 1).alias("l_hi"),
+        )
+    )
+    right = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("win_id"),
+            F.floor(F.unix_micros("ts") / 1_000_000).alias("r_lo"),
+            (F.floor(F.unix_micros("ts") / 1_000_000) + 7200).alias("r_hi"),
+        )
+    )
+    got = interval_overlap_join(
+        left, right, "l_lo", "l_hi", "r_lo", "r_hi", grid=3600
+    ).select("user_id", "day", "l_lo", "l_hi", "win_id", "r_lo", "r_hi")
+    sql = """
+    WITH l AS (
+      SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+             MIN(epoch_us(ts) // 1000000) AS l_lo,
+             MAX(epoch_us(ts) // 1000000) + 1 AS l_hi
+      FROM events GROUP BY 1, 2),
+    r AS (
+      SELECT event_id AS win_id, epoch_us(ts) // 1000000 AS r_lo,
+             epoch_us(ts) // 1000000 + 7200 AS r_hi
+      FROM events WHERE event_type = 'purchase')
+    SELECT l.user_id, l.day, l.l_lo, l.l_hi, r.win_id, r.r_lo, r.r_hi
+    FROM l JOIN r ON l.l_lo < r.r_hi AND r.r_lo < l.l_hi
+    """
+    assert compare(got, duck.execute(sql).df()) == []
+    # exactly-once: no pair appears twice despite multi-cell overlaps
+    n = got.count()
+    assert n == got.dropDuplicates(["user_id", "day", "win_id"]).count()
+    assert n > 0
