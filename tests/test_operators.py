@@ -3120,9 +3120,9 @@ def test_seasonal_profile_pre1970_positions(spark):
 
     from osmapreduceproject_spark.operators.windows import seasonal_profile
 
+    base = dt.datetime(1969, 12, 30, 0, 0, 0)
     rows = [
-        (1, dt.datetime(1969, 12, 30, h, 0, 0), float(h % 24))
-        for h in range(96)
+        (1, base + dt.timedelta(hours=h), float(h % 24)) for h in range(96)
     ]
     df = spark.createDataFrame(rows, "k bigint, ts timestamp, v double")
     prof = seasonal_profile(
