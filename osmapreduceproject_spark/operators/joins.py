@@ -203,14 +203,21 @@ def bloom_prejoin(
     deterministic md5 hash family instead of an opaque native filter).
 
     Build: dim keys → ``n_hashes`` seeded positions each → DISTINCT set
-    bits (≤ n_bits integers, metadata-scale) aggregated to ONE row and
-    broadcast. Probe: a narrow map — fact survives iff ALL its positions
-    are set (``forall``). No shuffle touches fact; the output may contain
-    Bloom false positives (one-sided error) and is intended to feed the
-    exact join, which then carries only the pruned volume. At 100 TB the
-    wide exchange after pruning moves ``n_pass`` rows, not ``n_fact``.
+    bits (≤ n_bits integers, metadata-scale) aggregated to ONE row,
+    packed into an ``n_bits/64``-word BITMASK, and broadcast. Probe: a
+    narrow map — fact survives iff the bit at every position is set
+    (element_at + bitwiseAND — O(1) per probe; the earlier
+    array_contains form linearly scanned the set-bit list per hash per
+    row, which dominated the probe at ~1k set bits). No shuffle touches
+    fact; the output may contain Bloom false positives (one-sided
+    error) and is intended to feed the exact join, which then carries
+    only the pruned volume. At 100 TB the wide exchange after pruning
+    moves ``n_pass`` rows, not ``n_fact``.
     """
     dim_key = dim_key or fact_key
+    # 32-bit words: 2^(b%32) stays exactly representable through the
+    # pow→bigint build (2^63 would clamp), and getbit probes O(1)
+    n_words = (n_bits + 31) // 32
     bits = (
         dim.select(
             F.explode(
@@ -219,12 +226,33 @@ def bloom_prejoin(
         )
         .distinct()
         .agg(F.array_sort(F.collect_set("__bit")).alias("__bits"))
+        .select(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_words - 1)),
+                lambda w: F.aggregate(
+                    F.filter(F.col("__bits"), lambda b: (b / 32).cast("int") == w),
+                    F.lit(0).cast("bigint"),
+                    lambda acc, b: acc.bitwiseOR(
+                        F.pow(F.lit(2.0), (b % 32).cast("int")).cast("bigint")
+                    ),
+                ),
+            ).alias("__mask")
+        )
     )
     probe = _bloom_positions(F.col(fact_key).cast("string"), n_bits, n_hashes)
     return (
         fact.crossJoin(F.broadcast(bits))
-        .where(F.forall(probe, lambda p: F.array_contains(F.col("__bits"), p)))
-        .drop("__bits")
+        .where(
+            F.forall(
+                probe,
+                lambda p: F.getbit(
+                    F.element_at(F.col("__mask"), (p / 32).cast("int") + 1),
+                    (p % 32).cast("int"),
+                )
+                == 1,
+            )
+        )
+        .drop("__mask")
     )
 
 
@@ -245,8 +273,14 @@ def bloom_prejoin_report(
     Deterministic md5 positions → fully value-oracle-able, unlike a
     native Bloom whose bit layout is implementation-defined.
     """
+    from ..plans.inspect import tracked_persist
+
     dim_key = dim_key or fact_key
-    passed = bloom_prejoin(fact, dim, fact_key, dim_key, n_bits, n_hashes)
+    # two consumers (pass count + true-match semi-join) — persist so the
+    # probe computes once; callers release via release_intermediates()
+    passed = tracked_persist(
+        bloom_prejoin(fact, dim, fact_key, dim_key, n_bits, n_hashes)
+    )
     n_fact = fact.agg(F.count(F.lit(1)).alias("n_fact"))
     hits = passed.join(
         dim.select(F.col(dim_key).alias(fact_key)).distinct(), fact_key, "left_semi"
