@@ -1364,3 +1364,148 @@ def hist_quantile_audit(
         "p double, n bigint, hist_estimate double, exact_value double, "
         "abs_error double, bin_width double",
     )
+
+
+def auc_roc(
+    df: DataFrame,
+    score_col: str,
+    label_col,
+) -> DataFrame:
+    """Exact AUC-ROC of a score against a boolean label via the
+    Mann–Whitney rank statistic — the acceptance gate for the quality
+    classifiers LLM data pipelines filter with (a fastText/logreg
+    quality score only earns its keep if it actually ranks kept docs
+    above dropped ones): AUC = (Σ_pos avg_rank − n₊(n₊+1)/2) /
+    (n₊·n₋), with midranks for ties, so a threshold sweep is never
+    needed.
+
+    Same scale shape as :func:`ks_test` (the ranked_sort offset
+    technique over per-distinct-value counts — no single-partition
+    window): midranks come from the ranged prefix sums DOUBLED to stay
+    integer (2·avg_rank = 2·cum_before + cnt + 1), the rank-sum moment
+    is a DECIMAL(38,0) sum (rank·count products overflow bigint past
+    ~9·10¹⁸), and AUC is exact integer operands into one IEEE
+    division. ``label_col`` may be a column name or a boolean Column
+    expression. Returns one row: (n_pos, n_neg, n_values, auc,
+    gini_coef) where gini_coef = 2·AUC − 1.
+    """
+    label = F.col(label_col) if isinstance(label_col, str) else label_col
+    v = F.col(score_col).cast("double")
+    pool = df.where(v.isNotNull() & ~F.isnan(v)).select(
+        v.alias("__v"), label.cast("int").alias("__pos")
+    )
+    per_value = pool.groupBy("__v").agg(
+        F.sum("__pos").cast("bigint").alias("__cp"),
+        F.count(F.lit(1)).cast("bigint").alias("__cn"),
+    )
+    try:
+        nparts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        nparts = df.sparkSession.sparkContext.defaultParallelism
+    from ..plans.inspect import tracked_persist
+
+    ranged = tracked_persist(
+        per_value.repartitionByRange(nparts, F.col("__v").asc())
+        .sortWithinPartitions(F.col("__v").asc())
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    totals = ranged.groupBy("__pid").agg(F.sum("__cn").alias("__tn"))
+    b = totals.select(F.col("__pid").alias("__bpid"), F.col("__tn").alias("__btn"))
+    offsets = (
+        totals.join(F.broadcast(b), F.col("__bpid") < F.col("__pid"), "left")
+        .groupBy("__pid")
+        .agg(F.coalesce(F.sum("__btn"), F.lit(0)).cast("bigint").alias("__off"))
+    )
+    w = Window.partitionBy("__pid").orderBy(F.col("__v").asc())
+    ranked = ranged.join(F.broadcast(offsets), "__pid").select(
+        "__cp",
+        "__cn",
+        # 2·avg_rank of this value's tied block — integer by construction
+        (
+            F.lit(2) * (F.col("__off") + F.sum("__cn").over(w) - F.col("__cn"))
+            + F.col("__cn")
+            + F.lit(1)
+        ).alias("__r2"),
+    )
+    agg = ranked.agg(
+        F.sum(F.col("__cp").cast("decimal(38,0)") * F.col("__r2").cast("decimal(38,0)"))
+        .alias("__rs2"),
+        F.sum("__cp").cast("bigint").alias("n_pos"),
+        F.sum(F.col("__cn") - F.col("__cp")).cast("bigint").alias("n_neg"),
+        F.count(F.lit(1)).alias("n_values"),
+    )
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        "n_values",
+        F.round(
+            (
+                F.col("__rs2").cast("double") / 2.0
+                - F.col("n_pos").cast("double")
+                * (F.col("n_pos") + 1).cast("double")
+                / 2.0
+            )
+            / (F.col("n_pos").cast("double") * F.col("n_neg").cast("double")),
+            6,
+        ).alias("auc"),
+        F.round(
+            F.lit(2.0)
+            * (
+                (
+                    F.col("__rs2").cast("double") / 2.0
+                    - F.col("n_pos").cast("double")
+                    * (F.col("n_pos") + 1).cast("double")
+                    / 2.0
+                )
+                / (F.col("n_pos").cast("double") * F.col("n_neg").cast("double"))
+            )
+            - F.lit(1.0),
+            6,
+        ).alias("gini_coef"),
+    )
+
+
+def calibration_bins(
+    df: DataFrame,
+    score_col: str,
+    label_col,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability-diagram bins for a [0,1] score against a boolean
+    label — AUC (:func:`auc_roc`) says the ranking is right; this says
+    the PROBABILITIES are right (a miscalibrated quality score breaks
+    any pipeline that thresholds it at a nominal precision): scores
+    bucket into ``n_bins`` equi-width bins, each reporting count, exact
+    mean score (integer micro-unit sum), observed positive rate, and
+    the signed calibration gap. Scores exactly 1.0 land in the top bin.
+
+    One narrow map + a ≤n_bins-key aggregation — nothing downstream of
+    the scan exceeds bin cardinality. Returns (bin, bin_lo, n, mean_score,
+    positive_rate, calibration_gap) rows for non-empty bins.
+    """
+    label = F.col(label_col) if isinstance(label_col, str) else label_col
+    v = F.col(score_col).cast("double")
+    base = df.where(v.isNotNull() & ~F.isnan(v)).select(
+        F.least(F.floor(v * n_bins).cast("int"), F.lit(n_bins - 1)).alias("bin"),
+        F.round(v * 1_000_000).cast("bigint").alias("__vq"),
+        label.cast("int").alias("__pos"),
+    )
+    per = base.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__vq").alias("__sv"),
+        F.sum("__pos").cast("bigint").alias("__np"),
+    )
+    return per.select(
+        "bin",
+        F.round(F.col("bin").cast("double") / n_bins, 6).alias("bin_lo"),
+        "n",
+        F.round(F.col("__sv").cast("double") / F.col("n") / 1_000_000, 6).alias(
+            "mean_score"
+        ),
+        F.round(F.col("__np").cast("double") / F.col("n"), 6).alias("positive_rate"),
+        F.round(
+            F.col("__np").cast("double") / F.col("n")
+            - F.col("__sv").cast("double") / F.col("n") / 1_000_000,
+            6,
+        ).alias("calibration_gap"),
+    )

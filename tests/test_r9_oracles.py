@@ -294,6 +294,90 @@ def test_interval_overlap_join_oracle(spark, duck):
     assert n > 0
 
 
+def test_auc_roc_oracle(spark, duck):
+    from osmapreduceproject_spark.operators.stats import auc_roc
+    from osmapreduceproject_spark.plans.inspect import release_intermediates
+
+    got = auc_roc(_events(spark), "value", F.col("event_type") == "purchase")
+    sql = """
+    WITH pool AS (
+      SELECT CAST(value AS DOUBLE) AS v,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS p
+      FROM events
+      WHERE value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))),
+    pv AS (SELECT v, SUM(p) AS cp, COUNT(*) AS cn FROM pool GROUP BY v),
+    r AS (SELECT cp, cn,
+                 2 * (SUM(cn) OVER (ORDER BY v) - cn) + cn + 1 AS r2
+          FROM pv),
+    s AS (SELECT SUM(CAST(cp AS HUGEINT) * r2) AS rs2, SUM(cp) AS np,
+                 SUM(cn - cp) AS nn, COUNT(*) AS nv
+          FROM r)
+    SELECT CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
+           CAST(nv AS BIGINT) AS n_values,
+           round((CAST(rs2 AS DOUBLE) / 2.0
+                  - CAST(np AS DOUBLE) * CAST(np + 1 AS DOUBLE) / 2.0)
+                 / (CAST(np AS DOUBLE) * CAST(nn AS DOUBLE)), 6) AS auc,
+           round(CAST(2.0 AS DOUBLE)
+                 * ((CAST(rs2 AS DOUBLE) / 2.0
+                     - CAST(np AS DOUBLE) * CAST(np + 1 AS DOUBLE) / 2.0)
+                    / (CAST(np AS DOUBLE) * CAST(nn AS DOUBLE)))
+                 - CAST(1.0 AS DOUBLE), 6) AS gini_coef
+    FROM s
+    """
+    assert compare(got, duck.execute(sql).df()) == []
+    row = got.first()
+    assert 0.0 <= row["auc"] <= 1.0
+    release_intermediates()
+
+
+def test_auc_roc_known_cases(spark):
+    """Closed-form pins: a perfectly separating score has AUC 1, a
+    constant score (all tied) has AUC exactly 0.5 by midranks."""
+    from osmapreduceproject_spark.operators.stats import auc_roc
+    from osmapreduceproject_spark.plans.inspect import release_intermediates
+
+    rows = [(float(i), i >= 50) for i in range(100)]
+    df = spark.createDataFrame(rows, "s double, y boolean")
+    assert auc_roc(df, "s", "y").first()["auc"] == 1.0
+    release_intermediates()
+    tied = spark.createDataFrame([(1.0, i % 3 == 0) for i in range(99)], "s double, y boolean")
+    assert auc_roc(tied, "s", "y").first()["auc"] == 0.5
+    release_intermediates()
+
+
+def test_calibration_bins_oracle(spark, duck):
+    from osmapreduceproject_spark.operators.stats import calibration_bins
+
+    ev = _events(spark)
+    v = F.col("value").cast("double")
+    scored = ev.where(v.isNotNull() & ~F.isnan(v)).select(
+        (v - F.floor(v)).alias("score"),
+        F.col("event_type"),
+    )
+    got = calibration_bins(scored, "score", F.col("event_type") == "purchase")
+    sql = """
+    WITH pool AS (
+      SELECT CAST(value AS DOUBLE) - floor(CAST(value AS DOUBLE)) AS s,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS p
+      FROM events
+      WHERE value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))),
+    base AS (SELECT least(CAST(floor(s * 10) AS INT), 9) AS bin,
+                    CAST(round(s * 1000000) AS BIGINT) AS vq, p
+             FROM pool),
+    per AS (SELECT bin, COUNT(*) AS n, SUM(vq) AS sv, SUM(p) AS np
+            FROM base GROUP BY 1)
+    SELECT bin, round(CAST(bin AS DOUBLE) / 10, 6) AS bin_lo, n,
+           round(CAST(sv AS DOUBLE) / n / 1000000, 6) AS mean_score,
+           round(CAST(np AS DOUBLE) / n, 6) AS positive_rate,
+           round(CAST(np AS DOUBLE) / n - CAST(sv AS DOUBLE) / n / 1000000, 6)
+             AS calibration_gap
+    FROM per
+    """
+    assert compare(got, duck.execute(sql).df()) == []
+    pdf = got.toPandas()
+    assert (pdf.n > 0).all() and len(pdf) <= 10
+
+
 import os as _os
 
 import pytest
