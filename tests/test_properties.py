@@ -1033,3 +1033,128 @@ def test_readability_matches_python(spark, texts):
         n_syll = len(re.findall(r"[aeiouy]+", low))
         fl = round(206.835 - 1.015 * (n_words / n_sent) - 84.6 * (n_syll / n_words), 6)
         assert got[i] == (n_words, n_sent, n_syll, fl), (t, got[i])
+
+
+@given(
+    data=st.lists(
+        st.tuples(st.booleans(), st.integers(min_value=-50, max_value=50)),
+        min_size=2,
+        max_size=60,
+    )
+)
+@SET
+def test_ks_test_matches_python_ecdf(spark, data):
+    """The ranged prefix-sum KS D equals the brute-force ECDF max over
+    pooled values — and both groups must be non-empty to have ECDFs."""
+    from osmapreduceproject_spark.operators.stats import ks_test
+    from osmapreduceproject_spark.plans.inspect import release_intermediates
+
+    a = [float(v) for g, v in data if g]
+    b = [float(v) for g, v in data if not g]
+    if not a or not b:
+        return
+    rows = [("a" if g else "b", float(v)) for g, v in data]
+    df = spark.createDataFrame(rows, "g string, v double")
+    row = ks_test(df, "g", "v", "a", "b").first()
+    values = sorted(set(a) | set(b))
+    want = max(
+        abs(
+            sum(1 for x in a if x <= t) / len(a)
+            - sum(1 for x in b if x <= t) / len(b)
+        )
+        for t in values
+    )
+    assert row["n_a"] == len(a) and row["n_b"] == len(b)
+    assert abs(row["d_stat"] - round(want, 6)) < 2e-6
+    release_intermediates()
+
+
+@given(
+    counts=st.lists(st.integers(min_value=1, max_value=12), min_size=1, max_size=12)
+)
+@SET
+def test_gini_matches_python(spark, counts):
+    """Ranked-moment Gini equals the classic sorted-counts formula."""
+    from osmapreduceproject_spark.operators.stats import gini_concentration
+    from osmapreduceproject_spark.plans.inspect import release_intermediates
+
+    rows = [(k,) for k, c in enumerate(counts) for _ in range(c)]
+    df = spark.createDataFrame(rows, "k bigint")
+    row = gini_concentration(df, "k").first()
+    xs = sorted(counts)
+    n, sx = len(xs), sum(xs)
+    want = (2.0 * sum((i + 1) * x for i, x in enumerate(xs))) / (n * sx) - (
+        n + 1
+    ) / n
+    assert row["n_keys"] == n and row["n_rows"] == sx
+    assert abs(row["gini"] - round(want, 6)) < 2e-6
+    release_intermediates()
+
+
+@given(
+    data=st.lists(
+        st.tuples(st.booleans(), st.integers(min_value=0, max_value=20)),
+        min_size=2,
+        max_size=60,
+    )
+)
+@SET
+def test_auc_matches_python_midranks(spark, data):
+    """Exact AUC equals the pairwise probability P(score_pos > score_neg)
+    + 0.5 P(tie) — the definition the midrank formula compresses."""
+    from osmapreduceproject_spark.operators.stats import auc_roc
+    from osmapreduceproject_spark.plans.inspect import release_intermediates
+
+    pos = [v for y, v in data if y]
+    neg = [v for y, v in data if not y]
+    if not pos or not neg:
+        return
+    df = spark.createDataFrame(
+        [(float(v), bool(y)) for y, v in data], "s double, y boolean"
+    )
+    row = auc_roc(df, "s", "y").first()
+    wins = sum(1 for p in pos for q in neg if p > q)
+    ties = sum(1 for p in pos for q in neg if p == q)
+    want = (wins + 0.5 * ties) / (len(pos) * len(neg))
+    assert row["n_pos"] == len(pos) and row["n_neg"] == len(neg)
+    assert abs(row["auc"] - round(want, 6)) < 2e-6
+    release_intermediates()
+
+
+@given(vals=st.lists(st.integers(min_value=-40, max_value=40), min_size=1, max_size=30))
+@SET
+def test_holt_linear_matches_python_fold(spark, vals):
+    """The coupled integer level/trend recurrence replays exactly in
+    Python (same away-from-zero rounding contract as the ewma test)."""
+    import datetime
+    import math
+
+    from osmapreduceproject_spark.operators.windows import holt_linear
+
+    def rnd(x):
+        return math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+
+    base = datetime.datetime(2025, 1, 1)
+    rows = [
+        (1, base + datetime.timedelta(seconds=3600 * i), float(v))
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, "k bigint, ts timestamp, v double")
+    got = [
+        (r["level"], r["trend"])
+        for r in holt_linear(df, "k", "ts", "v", 3600, alpha=0.3, beta=0.1)
+        .orderBy("slot_epoch")
+        .collect()
+    ]
+    lq = bq = None
+    want = []
+    for v in vals:
+        vq = rnd(float(v) * 1_000_000)
+        if lq is None:
+            lq, bq = vq, 0
+        else:
+            nl = rnd(0.3 * vq + 0.7 * (lq + bq))
+            bq = rnd(0.1 * (nl - lq) + 0.9 * bq)
+            lq = nl
+        want.append((lq / 1_000_000.0, bq / 1_000_000.0))
+    assert got == want
