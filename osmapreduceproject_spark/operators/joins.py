@@ -342,9 +342,13 @@ def interval_overlap_join(
     handled by AQE/salting like any equi join.
 
     Bounds are integers (epoch seconds/µs — timestamps cast upstream).
-    Left columns keep their names; ``how`` is pass-through (inner by
-    default).
+    EMPTY intervals (hi ≤ lo) are dropped before cell explosion — an
+    empty range overlaps nothing, and its descending cell sequence
+    would otherwise fabricate cells. Left columns keep their names;
+    ``how`` is pass-through (inner by default).
     """
+    left = left.where(F.col(left_hi) > F.col(left_lo))
+    right = right.where(F.col(right_hi) > F.col(right_lo))
     lcell = F.explode(
         F.sequence(
             F.floor(F.col(left_lo) / grid),

@@ -476,3 +476,19 @@ def test_gini_concentration_scale_smoke(spark):
     assert row["n_keys"] == k and row["n_rows"] == k * (k + 1) // 2
     assert abs(row["gini"] - round((k - 1) / (3 * k), 6)) < 1e-9
     release_intermediates()
+
+
+def test_interval_overlap_join_drops_empty_intervals(spark):
+    """An empty range [x, x) overlaps nothing — and without the guard
+    its DESCENDING cell sequence would fabricate cells and emit
+    spurious matches."""
+    from osmapreduceproject_spark.operators.joins import interval_overlap_join
+
+    left = spark.createDataFrame(
+        [(1, 5, 5), (2, 0, 10)], "lid int, l_lo long, l_hi long"
+    )
+    right = spark.createDataFrame([(7, 3, 7)], "rid int, r_lo long, r_hi long")
+    out = interval_overlap_join(
+        left, right, "l_lo", "l_hi", "r_lo", "r_hi", grid=4
+    ).collect()
+    assert [r["lid"] for r in out] == [2]
