@@ -1231,7 +1231,8 @@ def ks_test(
         "__na",
         "__nb",
         F.abs(
-            F.col("__cuma") / F.col("__na") - F.col("__cumb") / F.col("__nb")
+            F.col("__cuma") / F.nullif(F.col("__na"), F.lit(0))
+            - F.col("__cumb") / F.nullif(F.col("__nb"), F.lit(0))
         ).alias("__d"),
     )
     return scored.groupBy("__na", "__nb").agg(
@@ -1434,34 +1435,20 @@ def auc_roc(
         F.sum(F.col("__cn") - F.col("__cp")).cast("bigint").alias("n_neg"),
         F.count(F.lit(1)).alias("n_values"),
     )
+    auc_expr = (
+        F.col("__rs2").cast("double") / 2.0
+        - F.col("n_pos").cast("double") * (F.col("n_pos") + 1).cast("double") / 2.0
+    ) / (F.col("n_pos").cast("double") * F.col("n_neg").cast("double"))
+    defined = (F.col("n_pos") > 0) & (F.col("n_neg") > 0)
     return agg.select(
         "n_pos",
         "n_neg",
         "n_values",
-        F.round(
-            (
-                F.col("__rs2").cast("double") / 2.0
-                - F.col("n_pos").cast("double")
-                * (F.col("n_pos") + 1).cast("double")
-                / 2.0
-            )
-            / (F.col("n_pos").cast("double") * F.col("n_neg").cast("double")),
-            6,
-        ).alias("auc"),
-        F.round(
-            F.lit(2.0)
-            * (
-                (
-                    F.col("__rs2").cast("double") / 2.0
-                    - F.col("n_pos").cast("double")
-                    * (F.col("n_pos") + 1).cast("double")
-                    / 2.0
-                )
-                / (F.col("n_pos").cast("double") * F.col("n_neg").cast("double"))
-            )
-            - F.lit(1.0),
-            6,
-        ).alias("gini_coef"),
+        # one-class input has no ranking to score — NULL, not NaN/∞
+        F.when(defined, F.round(auc_expr, 6)).alias("auc"),
+        F.when(defined, F.round(F.lit(2.0) * auc_expr - F.lit(1.0), 6)).alias(
+            "gini_coef"
+        ),
     )
 
 

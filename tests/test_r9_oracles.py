@@ -492,3 +492,22 @@ def test_interval_overlap_join_drops_empty_intervals(spark):
         left, right, "l_lo", "l_hi", "r_lo", "r_hi", grid=4
     ).collect()
     assert [r["lid"] for r in out] == [2]
+
+
+def test_ks_and_auc_degenerate_inputs_are_null_not_errors(spark):
+    """One-class inputs have no ECDF pair / no ranking to score: the
+    statistics come back NULL (counts still reported) instead of an
+    ANSI divide-by-zero error or a NaN."""
+    from osmapreduceproject_spark.operators.stats import auc_roc, ks_test
+    from osmapreduceproject_spark.plans.inspect import release_intermediates
+
+    df = spark.createDataFrame([("a", 1.0), ("a", 2.0)], "g string, v double")
+    row = ks_test(df, "g", "v", "a", "b").first()
+    assert row["n_a"] == 2 and row["n_b"] == 0 and row["d_stat"] is None
+    release_intermediates()
+
+    df2 = spark.createDataFrame([(1.0, True), (2.0, True)], "s double, y boolean")
+    row2 = auc_roc(df2, "s", "y").first()
+    assert row2["n_pos"] == 2 and row2["n_neg"] == 0
+    assert row2["auc"] is None and row2["gini_coef"] is None
+    release_intermediates()
