@@ -327,3 +327,68 @@ def temporal_split(
         .withColumn("cutoff_epoch_us", F.lit(cutoff).cast("bigint"))
         .drop("__e")
     )
+
+
+def rebalance_to_mix(
+    df: DataFrame,
+    strata_col: str,
+    targets: dict[str, float],
+    id_col: str = "doc_id",
+    salt: str = "mix",
+) -> DataFrame:
+    """Materialize the LARGEST corpus subset matching a target stratum
+    mix exactly — the "rebalance to the published language/domain
+    ratios" step (:func:`mixing_weights` computes temperature WEIGHTS
+    for loss-side mixing; this physically re-samples the data when the
+    trainer wants materialized ratios): feasible total
+    ``T = min_s floor(n_s / t_s)`` (the stratum that runs out first
+    caps everything), per-stratum quota ``q_s = floor(t_s · T)``, and
+    each stratum keeps its ``q_s`` rows with the SMALLEST content-hash
+    rank — membership is a pure function of the data (md5 of
+    salt|stratum|id, id-tiebroken), so reruns and engines agree row
+    for row. Strata absent from ``targets`` are dropped (share 0).
+
+    Scale shape: one stratum-keyed count (bounded frame), the feasible
+    total as a broadcast scalar, then a rank window PARTITIONED BY
+    STRATUM — the documented per-stratum bound (strata are
+    languages/sources/domains, thousands at most; the window sorts one
+    stratum per task like group_percentiles documents). Output keeps
+    the input columns.
+    """
+    total_targets = sum(targets.values())
+    if not targets or total_targets <= 0:
+        raise ValueError("rebalance_to_mix: targets must have positive mass")
+    tgt = df.sparkSession.createDataFrame(
+        [(k, float(v) / total_targets) for k, v in targets.items()],
+        f"{strata_col} string, __t double",
+    )
+    counts = df.groupBy(F.col(strata_col)).agg(F.count(F.lit(1)).alias("__n"))
+    quotas = counts.join(F.broadcast(tgt), strata_col)
+    feasible = quotas.where(F.col("__t") > 0).agg(
+        F.min(F.floor(F.col("__n") / F.col("__t"))).alias("__T")
+    )
+    # feasible descends from quotas — alias both sides so the rejoin's
+    # attribute references resolve unambiguously
+    quotas = (
+        quotas.alias("qa")
+        .crossJoin(F.broadcast(feasible.alias("fa")))
+        .select(
+            F.col(f"qa.{strata_col}"),
+            F.floor(F.col("qa.__t") * F.col("fa.__T")).alias("__q"),
+        )
+    )
+    w = Window.partitionBy(strata_col).orderBy(
+        md5_int(
+            F.concat_ws(
+                "|",
+                F.lit(salt),
+                F.col(strata_col).cast("string"),
+                F.col(id_col).cast("string"),
+            )
+        ).asc(),
+        F.col(id_col).asc(),
+    )
+    ranked = df.join(F.broadcast(quotas), strata_col).withColumn(
+        "__r", F.row_number().over(w)
+    )
+    return ranked.where(F.col("__r") <= F.col("__q")).drop("__r", "__q")

@@ -511,3 +511,39 @@ def test_ks_and_auc_degenerate_inputs_are_null_not_errors(spark):
     assert row2["n_pos"] == 2 and row2["n_neg"] == 0
     assert row2["auc"] is None and row2["gini_coef"] is None
     release_intermediates()
+
+
+def test_rebalance_to_mix_oracle(spark, duck):
+    from osmapreduceproject_spark.functions.hashing import md5_int_sql
+    from osmapreduceproject_spark.operators.sampling import rebalance_to_mix
+    from osmapreduceproject_spark.queries import _t
+
+    got = rebalance_to_mix(
+        _t(spark, SF_CORRECT, "documents"), "lang",
+        {"en": 0.5, "de": 0.3, "fr": 0.2},
+    )
+    h = md5_int_sql("'mix|' || lang || '|' || CAST(doc_id AS VARCHAR)")
+    sql = f"""
+    WITH tgt AS (SELECT * FROM (VALUES ('en', CAST(0.5 AS DOUBLE)),
+                                        ('de', CAST(0.3 AS DOUBLE)),
+                                        ('fr', CAST(0.2 AS DOUBLE))) t(lang, t)),
+    counts AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
+    q0 AS (SELECT c.lang, c.n, tgt.t FROM counts c JOIN tgt USING (lang)),
+    f AS (SELECT MIN(floor(n / t)) AS ft FROM q0 WHERE t > 0),
+    quotas AS (SELECT lang, CAST(floor(q0.t * f.ft) AS BIGINT) AS q FROM q0, f),
+    ranked AS (
+      SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars, qs.q,
+             ROW_NUMBER() OVER (PARTITION BY d.lang ORDER BY {h}, d.doc_id) AS r
+      FROM documents d JOIN quotas qs USING (lang))
+    SELECT doc_id, text, lang, source, n_chars FROM ranked WHERE r <= q
+    """
+    assert compare(got, duck.execute(sql).df()) == []
+    # the materialized mix matches the targets within floor rounding
+    mix = {r["lang"]: r["n"] for r in got.groupBy("lang").count()
+           .withColumnRenamed("count", "n").collect()}
+    total = sum(mix.values())
+    assert total > 0
+    for lang, share in (("en", 0.5), ("de", 0.3), ("fr", 0.2)):
+        assert abs(mix.get(lang, 0) - share * total) <= len(mix)
+    # strata outside the targets are gone
+    assert set(mix) <= {"en", "de", "fr"}
