@@ -346,7 +346,9 @@ def rebalance_to_mix(
     each stratum keeps its ``q_s`` rows with the SMALLEST content-hash
     rank — membership is a pure function of the data (md5 of
     salt|stratum|id, id-tiebroken), so reruns and engines agree row
-    for row. Strata absent from ``targets`` are dropped (share 0).
+    for row. Strata absent from ``targets`` are dropped (share 0); a
+    TARGET stratum absent from the data makes the mix infeasible —
+    T = 0 and the result is empty, never a silent renormalization.
 
     Scale shape: one stratum-keyed count (bounded frame), the feasible
     total as a broadcast scalar, then a rank window PARTITIONED BY
@@ -363,7 +365,13 @@ def rebalance_to_mix(
         f"{strata_col} string, __t double",
     )
     counts = df.groupBy(F.col(strata_col)).agg(F.count(F.lit(1)).alias("__n"))
-    quotas = counts.join(F.broadcast(tgt), strata_col)
+    # LEFT join from the targets: a target stratum with NO rows means
+    # n_s = 0, so the feasible total is 0 and the result is EMPTY — the
+    # honest "this mix cannot be satisfied" answer, not a silent
+    # renormalization over the strata that happen to exist
+    quotas = F.broadcast(tgt).join(counts, strata_col, "left").select(
+        strata_col, F.coalesce(F.col("__n"), F.lit(0)).alias("__n"), "__t"
+    )
     feasible = quotas.where(F.col("__t") > 0).agg(
         F.min(F.floor(F.col("__n") / F.col("__t"))).alias("__T")
     )

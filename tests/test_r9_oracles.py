@@ -547,3 +547,15 @@ def test_rebalance_to_mix_oracle(spark, duck):
         assert abs(mix.get(lang, 0) - share * total) <= len(mix)
     # strata outside the targets are gone
     assert set(mix) <= {"en", "de", "fr"}
+
+
+def test_rebalance_to_mix_infeasible_target_is_empty(spark):
+    """A target stratum with no rows makes the whole mix infeasible —
+    the result is EMPTY, never a silent renormalization over whatever
+    strata happen to exist."""
+    from osmapreduceproject_spark.operators.sampling import rebalance_to_mix
+    from osmapreduceproject_spark.queries import _t
+
+    d = _t(spark, SF_CORRECT, "documents")
+    out = rebalance_to_mix(d, "lang", {"en": 0.5, "xx": 0.5})
+    assert out.count() == 0
