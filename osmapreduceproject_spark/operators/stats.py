@@ -818,7 +818,12 @@ def bootstrap_mean_ci(
 
     Scale shape: the B·2 sums ride one partial-aggregating scan (the
     reference's combine, max_aggregation.cpp:70-112); driver state is
-    the B means. NULL/NaN rows are excluded.
+    the B means. NULL/NaN rows are excluded. Hashing is the scan's
+    dominant per-row cost, so each md5 feeds THREE resamples (the
+    60-bit hash splits into three independent 20-bit lanes — 2⁻²⁰
+    uniform granularity, far inside bootstrap noise): ⌈B/3⌉ hashes per
+    row, not B. The lane hashes are pre-projected so the aggregation
+    never re-evaluates an md5.
     """
     from ..functions.hashing import md5_int
 
@@ -827,20 +832,30 @@ def bootstrap_mean_ci(
     ok = x.isNotNull() & ~F.isnan(x)
     xq = F.when(ok, F.round(x * scale)).cast(dec)
     rid = F.col(id_col).cast("string") if id_col else x.cast("string")
-    aggs = [F.count(xq).alias("n"), F.sum(xq).alias("sx")]
+    n_groups = (n_resamples + 2) // 3
+    proj = df.select(
+        ok.alias("__ok"),
+        xq.alias("__xq"),
+        *[
+            md5_int(F.concat(F.lit(salt), rid, F.lit(f"|{g}"))).alias(f"__h{g}")
+            for g in range(n_groups)
+        ],
+    )
+    aggs = [F.count("__xq").alias("n"), F.sum("__xq").alias("sx")]
     for b in range(n_resamples):
-        u = md5_int(
-            F.concat(F.lit(salt), rid, F.lit(f"|{b}"))
-        ).cast("double") / F.lit(float(1 << 60))
+        g, lane = b // 3, b % 3
+        u = (
+            F.shiftright(F.col(f"__h{g}"), 20 * lane) % F.lit(1 << 20)
+        ).cast("double") / F.lit(float(1 << 20))
         w = F.lit(8)
         for k in range(len(_POIS1_CDF) - 1, -1, -1):
             w = F.when(u < F.lit(_POIS1_CDF[k]), F.lit(k)).otherwise(w)
-        w = F.when(ok, w).cast(dec)
+        w = F.when(F.col("__ok"), w).cast(dec)
         aggs += [
-            F.sum(w * xq).alias(f"swx_{b}"),
+            F.sum(w * F.col("__xq")).alias(f"swx_{b}"),
             F.sum(w).alias(f"sw_{b}"),
         ]
-    row = df.agg(*aggs).first()
+    row = proj.agg(*aggs).first()
     n = int(row["n"] or 0)
     if n == 0:
         raise ValueError(f"bootstrap_mean_ci: no non-null finite rows in {col!r}")

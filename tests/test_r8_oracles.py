@@ -1352,12 +1352,16 @@ def test_bootstrap_mean_ci_oracle(spark, duck):
         f"WHEN u{{b}} < {t!r} THEN {k}" for k, t in enumerate(_POIS1_CDF)
     ) + " ELSE 8 END"
     cols, sums = [], []
-    for b in range(B):
+    # one md5 feeds three resamples: 20-bit lanes of the 60-bit hash
+    for g in range((B + 2) // 3):
         h = md5_int_sql(
-            "'boot|' || CAST(CAST(value AS DOUBLE) AS VARCHAR) || '|" + str(b) + "'"
+            "'boot|' || CAST(CAST(value AS DOUBLE) AS VARCHAR) || '|" + str(g) + "'"
         )
+        cols.append(f"{h} AS h{g}")
+    for b in range(B):
+        g, lane = b // 3, b % 3
         cols.append(
-            f"CAST({h} AS DOUBLE) / 1152921504606846976.0 AS u{b}"
+            f"CAST((h{g} >> {20 * lane}) % 1048576 AS DOUBLE) / 1048576.0 AS u{b}"
         )
         sums.append(
             f"SUM(CAST({w_case.format(b=b)} AS HUGEINT) * xq) AS swx_{b}, "
