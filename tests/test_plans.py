@@ -536,3 +536,25 @@ def test_r9_wave_plan_shapes(spark):
     g = gini_concentration(ev, "user_id")
     assert data_carrying_single_partitions(g) == [], explain_str(g)
     release_intermediates()
+
+
+def test_group_percentiles_window_is_group_partitioned(spark):
+    """The q211 contract, machine-visible (r7 verdict finding #2): the
+    per-group percentile window partitions on the GROUP key — the plan
+    carries no data-carrying single partition, so per-group volume
+    (per-source/per-tenant groups, the docstring's stated bound) is
+    what one task sorts, never the corpus."""
+    from osmapreduceproject_spark.operators.stats import group_percentiles
+    from osmapreduceproject_spark.plans.inspect import (
+        data_carrying_single_partitions,
+        explain_str,
+    )
+    from osmapreduceproject_spark.queries import _t
+
+    g = group_percentiles(
+        _t(spark, "/root/testdata/sf0.001", "orders"),
+        "o_orderpriority", "o_totalprice",
+    )
+    plan = explain_str(g)
+    assert data_carrying_single_partitions(g) == [], plan
+    assert "hashpartitioning(__g" in plan, plan
