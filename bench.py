@@ -142,6 +142,41 @@ BENCH_QUERIES = [
     "q210_bot_detection",  # gap CV + sliding burst window
     "q211_group_percentiles",  # per-group exact discrete percentiles
     "q212_merged_schema_read",  # mergeSchema footer-union read
+    # r9 additions (VERDICT r8 #3): the 28 r9-new declarations join the
+    # headline set the round they land — subtract these for like-for-like
+    # totals vs r08. Expected-expensive newcomers: q221 (5 pagerank
+    # rounds over the Jaccard dup graph), q214/q213 (full resample
+    # grids), q234 (Holt grid fold — the q187/q199 family), q218 (two
+    # resample grids + per-key moments), q235 (grid-decomposed interval
+    # join over per-(user,day) spans × purchase windows).
+    "q213_resample_ffill",  # grid union + per-key last(ignorenulls) fill
+    "q214_series_anomalies",  # exact per-key median/MAD fences on the grid
+    "q215_zipf_fit",  # token explode + per-source top-100 OLS
+    "q216_cluster_drift",  # two broadcast centroid assigns + dim agg
+    "q217_equi_depth_buckets",  # exact bounds broadcast + 8-key agg
+    "q218_series_correlation",  # two grids + slot equi-join + moments
+    "q219_multi_touch_attribution",  # lookback join + per-conversion window
+    "q220_refresh_vocab_deltas",  # two vocab-health passes + outer join
+    "q221_pagerank_dup_graph",  # 5 checkpoint-truncated power iterations
+    "q222_weighted_sample",  # Efraimidis–Spirakis TakeOrdered heap
+    "q223_parquet_zone_map",  # per-file min/max/null grouped scan
+    "q224_winsorized_stats",  # exact p1/p99 bounds + decimal mean
+    "q225_series_rolling",  # 12-slot trailing window on the grid
+    "q226_asof_forward_nearest",  # two as-of directions + event_id join
+    "q227_interval_union_duration",  # islands via running-max window
+    "q228_corr_matrix",  # one-pass quantized pairwise moments
+    "q229_funnel_step_latencies",  # conditional-min groupBy, 2-row out
+    "q230_gopher_repetition",  # dup-line arrays + one 3-n gram exchange
+    "q231_ks_drift",  # ranged-prefix ECDF sup-gap
+    "q232_gini_concentration",  # ranked_sort rank moment, scalar out
+    "q233_hist_quantile_audit",  # 64-bin histogram + exact audit join
+    "q234_holt_linear",  # coupled level+trend integer fold on the grid
+    "q235_interval_overlap_join",  # grid-cell explode + canonical-cell join
+    "q236_auc_roc",  # midrank Mann–Whitney, scalar out
+    "q237_calibration_bins",  # 10-bin reliability diagram
+    "q238_mix_rebalance",  # per-stratum quota fill by md5 rank
+    "q239_scene_changes",  # per-frame dHash + per-video lag window
+    "q240_upsert_replay_compaction",  # 4 compaction folds incl. replay
     "conf_sort_seeded",
     "conf_max_seeded",
 ]

@@ -557,6 +557,68 @@ def dhash_images(df: DataFrame, extra_cols: list[str] | None = None) -> DataFram
     return flat.mapInPandas(run, schema)
 
 
+def arith_video_frames(
+    spark,
+    n_videos: int = 24,
+    n_frames: int = 12,
+    cut_at: int = 6,
+    width: int = 16,
+    height: int = 12,
+    delta_bytes: int = 12,
+) -> DataFrame:
+    """Closed-form RAW8 video fixture for scene-cut detection: frame
+    ``f`` of video ``vid`` carries the :func:`arith_raw_images` pixel
+    formula for base image ``m = vid`` before the planted cut at
+    ``cut_at`` and ``m = vid + 500`` after it, plus per-frame motion
+    ``+f`` (mod 256) on the first ``delta_bytes`` bytes — a few
+    top-left pixels drift slightly frame to frame (within-scene motion
+    that moves ≤1 gradient bit, measured) while the cut rewrites the
+    whole composition (hamming ≥27 at these defaults). Every byte is
+    regenerable by integer SQL, which is what upgrades
+    :func:`scene_changes` from a planted-cut unit check to a full
+    cross-engine value oracle — the q132 RAW8 precedent applied along
+    time. Schema: (media_id, kind, frame_idx, payload, meta)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Self-contained closure (no module-global references): workers on
+        # a foreign-cwd driver can't import this package.
+        import numpy as np
+        import pandas as pd
+
+        idx = np.arange(width * height * 3, dtype=np.int64)
+        motion = (idx < delta_bytes).astype(np.int64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vids, fids, payloads = [], [], []
+            for i in pdf["id"]:
+                vid, f = divmod(int(i), n_frames)
+                m = vid if f < cut_at else vid + 500
+                v = (31 * m + 7 * idx + (idx * idx) % 251 + f * motion) % 256
+                vids.append(vid)
+                fids.append(f)
+                payloads.append(v.astype(np.uint8).tobytes())
+            yield pd.DataFrame(
+                {"media_id": vids, "frame_idx": fids, "payload": payloads}
+            )
+
+    raw = spark.range(n_videos * n_frames).mapInPandas(
+        gen, "media_id long, frame_idx int, payload binary"
+    )
+    return raw.select(
+        "media_id",
+        F.lit("video").alias("kind"),
+        "frame_idx",
+        "payload",
+        F.struct(
+            F.lit(width).alias("width"),
+            F.lit(height).alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(n_frames).alias("n_frames"),
+        ).alias("meta"),
+    )
+
+
 def arith_raw_images_perturbed(
     spark,
     n: int = 96,

@@ -476,6 +476,35 @@ def series_trend(
     )
 
 
+_SERIES_MAX_SLOTS = 8784  # 366 days at an hourly step
+
+
+def _guard_series(rows: DataFrame, max_slots: int, op: str) -> DataFrame:
+    """Fail fast when a key's collected grid exceeds ``max_slots``. The
+    ordered folds below append to the accumulated history array each
+    step (``concat(acc, array(step))``), so a key with L grid slots
+    copies ~L²/2 elements — fine at the documented per-key contract
+    (the fixtures top out at 720 hourly slots), silently quadratic for
+    an unguarded multi-year span at a fine step. The guard makes the
+    contract machine-enforced: coarsen ``step_seconds`` or raise
+    ``max_slots`` deliberately, with the cost named in the error.
+    """
+    ok = F.size("__series") <= F.lit(int(max_slots))
+    msg = F.concat(
+        F.lit(f"{op}: a key's resampled series has "),
+        F.size("__series").cast("string"),
+        F.lit(
+            f" grid slots, over max_slots={int(max_slots)} — the per-key "
+            "ordered fold copies O(slots^2) elements; increase "
+            "step_seconds or raise max_slots explicitly"
+        ),
+    )
+    return rows.withColumn(
+        "__series",
+        F.when(F.assert_true(ok, msg).isNull(), F.col("__series")),
+    )
+
+
 def ewma(
     df: DataFrame,
     key: str,
@@ -483,6 +512,7 @@ def ewma(
     value_col: str,
     step_seconds: int,
     alpha: float = 0.3,
+    max_slots: int = _SERIES_MAX_SLOTS,
 ) -> DataFrame:
     """Per-key exponentially weighted moving average over the
     REGULARIZED grid (:func:`resample_ffill` first — EWMA over irregular
@@ -504,7 +534,9 @@ def ewma(
     whole integer of the same IEEE double is exact on both engines —
     so every step computes ``round(α·v_q + (1−α)·e)`` into a bigint
     and the recurrence replays bit-identically anywhere. Emitted ewma
-    is the state / 1e6 (one shared IEEE division).
+    is the state / 1e6 (one shared IEEE division). The per-key bound is
+    machine-enforced: a series over ``max_slots`` grid slots raises
+    (see :func:`_guard_series` — the fold is quadratic in slots).
     """
     s = resample_ffill(df, key, ts, value_col, step_seconds)
     rows = (
@@ -515,6 +547,7 @@ def ewma(
             ).alias("__series")
         )
     )
+    rows = _guard_series(rows, max_slots, "ewma")
     folded = F.aggregate(
         F.col("__series"),
         F.array().cast("array<struct<slot_epoch:bigint,v:double,eq:bigint>>"),
@@ -559,6 +592,7 @@ def cusum_changepoints(
     step_seconds: int,
     drift_k: float = 0.5,
     threshold_h: float = 5.0,
+    max_slots: int = _SERIES_MAX_SLOTS,
 ) -> DataFrame:
     """Per-key CUSUM change-point detection over the REGULARIZED grid:
     the two-sided cumulative-sum statistic on standardized values,
@@ -576,8 +610,9 @@ def cusum_changepoints(
     The recurrence walks INTEGER micro-unit state exactly like
     :func:`ewma` (round(x,9)-style float state diverges across engines
     by an ulp at decimal-grid boundaries), ordered-array fold per key,
-    state bounded by series length. Returns flagged slots only:
-    (key, slot_epoch, value, side ['up'|'down'], cusum_stat).
+    state bounded by series length and capped at ``max_slots`` (the
+    guard raises — see :func:`_guard_series`). Returns flagged slots
+    only: (key, slot_epoch, value, side ['up'|'down'], cusum_stat).
     """
     s = resample_ffill(df, key, ts, value_col, step_seconds)
     stats = s.groupBy(key).agg(
@@ -602,6 +637,7 @@ def cusum_changepoints(
             F.collect_list(F.struct("slot_epoch", F.col(value_col).alias("v")))
         ).alias("__series")
     )
+    rows = _guard_series(rows, max_slots, "cusum_changepoints")
     kq = int(round(drift_k * 1_000_000))
     hq = int(round(threshold_h * 1_000_000))
     zq = lambda x: F.round(  # noqa: E731 — z in integer micro-units
@@ -761,6 +797,7 @@ def holt_linear(
     step_seconds: int,
     alpha: float = 0.3,
     beta: float = 0.1,
+    max_slots: int = _SERIES_MAX_SLOTS,
 ) -> DataFrame:
     """Per-key Holt double-exponential smoothing (level + trend) over
     the REGULARIZED grid — the series family's next step past
@@ -777,7 +814,8 @@ def holt_linear(
     bigints, so the coupled recurrence replays bit-identically in a
     recursive-CTE oracle; the fold is one ordered array aggregate per
     key — sequential per key, parallel across keys, state bounded by
-    the grid length like the whole series family.
+    the grid length like the whole series family and capped at
+    ``max_slots`` (the guard raises — see :func:`_guard_series`).
     """
     s = resample_ffill(df, key, ts, value_col, step_seconds)
     rows = s.groupBy(key).agg(
@@ -785,6 +823,7 @@ def holt_linear(
             F.collect_list(F.struct("slot_epoch", F.col(value_col).alias("v")))
         ).alias("__series")
     )
+    rows = _guard_series(rows, max_slots, "holt_linear")
     state_t = "array<struct<slot_epoch:bigint,v:double,lq:bigint,bq:bigint>>"
     folded = F.aggregate(
         F.col("__series"),

@@ -6868,89 +6868,100 @@ def q177(spark, sf_dir):
 # defined above this line.
 from . import queries_r8  # noqa: E402,F401
 
+# Register the round-9 tranche (q213–q240) the same way: the 17
+# r8-oracle-tested holdovers + the 9-operator r9 wave, every (body, SQL)
+# pair lifted verbatim from its pre-verified parity test, plus the two
+# verdict-r8 closers (q239 scene_changes full value oracle — #5; q240
+# upsert replay-idempotence relational grade — #6).
+from . import queries_r9  # noqa: E402,F401
+
 
 # ---------------------------------------------------------------------------
 # Catalog ordering. The driver's CORRECTNESS file covers only the FIRST 50
 # ``queries()`` entries, so the verdict window is a scarce resource.
-# Round-8 window (VERDICT r7 #1/#2/#6): (a) all 35 r8-NEW queries lead
-# — q178–q211 from the pre-drafted declaration map (every one carried
-# its oracle parity test in tests/test_r8_oracles.py a round BEFORE
-# declaration) plus q212, the I/O-protocol surface's relationally-
-# expressible representative (read_parquet_merged, verdict #6). The
-# verdict-named priorities (q180 CMS, q194 HLL, q191 pipeline grade,
-# q208 streaming twin, q179 containment, q203 recall@k) are all inside
-# this block. (b) The 8 starved r5 singles — q148 FIRST (its r7 TZ fix
-# is graded machinery change), then q143/q144/q145/q147/q151/q153/q154.
-# (c) Canaries: q01 (scan-agg ground), q31 (MinHash machinery),
-# q100 (streaming session twin, r6-stale). (d) The 4 stalest doubles:
-# conf_sort_seeded/conf_max_seeded (the REFERENCE conformance pair,
-# last hash-graded r2 — benched every round but 6 windows without a
-# driver value grade) and q03/q04 (oldest relational doubles, r3).
-# Published r8/r9 split for the overflow (SURVEY.md §8): the remaining
-# ~30 r3-era doubles (q05–q38 cohort) rotate in r9 behind any r9-new
-# declarations; q51/q90/q101/q102 stay rows-only by construction.
-# Cross-round coverage is the union of the eight windows, and every
+# Round-9 window (VERDICT r8 #1/#2/#5/#6): (a) all 28 r9-NEW queries
+# lead — q213–q238 from the pre-drafted declaration map (17
+# tests/test_r8_oracles.py holdovers + the 9-operator r9 wave in
+# tests/test_r9_oracles.py, every (body, SQL) pair green a round before
+# declaration), with the verdict-named priorities first: q233
+# hist-quantile audit (retires the q90 rows-only class — the third
+# sketch audit), the classifier-eval layer q236 AUC + q237 calibration
+# + q231 KS, q235 interval overlap join (the big-big join novelty),
+# q234 Holt; plus the two verdict-r8 closers q239 (scene_changes full
+# value oracle — #5, the last rows-only candidate retired) and q240
+# (upsert replay-idempotence graded relationally — #6, the q212
+# pattern for the CDC streaming path). (b) Canaries: q01 (scan-agg
+# ground), q31 (MinHash machinery), q164 (stateful streaming twin,
+# r7-stale). (c) The stalest regrades, oldest first: q19/q32 (last
+# value-graded r2 — the true stalest oracled entries) then the r3-era
+# cohort head q05–q18 + q20/q21/q22 (17 of the 27 remaining).
+# Published r9/r10 split for the overflow (SURVEY.md §8): the r3-era
+# tail q23/q25/q27/q28/q29/q30/q33/q34/q37/q38 rotates to r10 behind
+# any r10-new declarations; q51/q101/q102 stay rows-only by
+# construction (q90's class is retired by q233 this round).
+# Cross-round coverage is the union of the nine windows, and every
 # entry regardless of position is verified by tests/test_oracle_parity.py
 # against the same comparison.
 # ---------------------------------------------------------------------------
 
 _VERDICT_WINDOW = [
-    # (a) r8-new declarations — graded the round they land.
+    # (a) r9-new declarations — graded the round they land.
     # Verdict-priority six first:
-    "q180_cms_heavy_hitters",  # first sketch with a FULL value oracle
-    "q194_hll_audit",  # closes the q51 rows-only class
-    "q191_quality_report",  # second pipeline-delegate grade
-    "q208_ewma_stream_twin",  # streaming-EWMA batch twin (q164 pattern)
-    "q179_containment_pairs",  # dedup gate
-    "q203_ann_recall_gate",  # retrieval gate
+    "q233_hist_quantile_audit",  # third sketch audit; retires q90's class
+    "q236_auc_roc",  # classifier-eval: ranking quality
+    "q237_calibration_bins",  # classifier-eval: probability quality
+    "q231_ks_drift",  # distribution-shift gate
+    "q235_interval_overlap_join",  # big-big interval join novelty
+    "q234_holt_linear",  # series family's drift-aware step
     # rest of the declaration map in q-order:
-    "q178_gopher_rules",
-    "q181_ab_significance",
-    "q182_bloom_prejoin",
-    "q183_key_skew_report",
-    "q184_series_trend",
-    "q185_chi2_independence",
-    "q186_rfm_segmentation",
-    "q187_ewma_grid",
-    "q188_feature_hashing",
-    "q189_welch_ttest",
-    "q190_readability",
-    "q192_resample_interpolate",
-    "q193_psi_drift",
-    "q195_rag_chunker",
-    "q196_negative_sampling",
-    "q197_bootstrap_ci",
-    "q198_windowed_funnel",
-    "q199_cusum_changepoints",
-    "q200_target_encoding",
-    "q201_expect_report",
-    "q202_benford_audit",
-    "q204_mutual_information",
-    "q205_seasonal_profile",
-    "q206_temporal_split",
-    "q207_activity_streaks",
-    "q209_vocab_divergence",
-    "q210_bot_detection",
-    "q211_group_percentiles",
-    "q212_merged_schema_read",  # I/O surface representative (verdict #6)
-    # (b) starved r5 singles — q148 first (r7 TZ fix was ungraded)
-    "q148_incremental_rollup",
-    "q143_pmi_collocations",
-    "q144_ship_delay_distribution",
-    "q145_dupgraph_triangles",
-    "q147_quality_vs_dup",
-    "q151_table_profile",
-    "q153_langid_confusion",
-    "q154_pq_reconstruction_error",
-    # (c) canaries
+    "q213_resample_ffill",
+    "q214_series_anomalies",
+    "q215_zipf_fit",
+    "q216_cluster_drift",
+    "q217_equi_depth_buckets",
+    "q218_series_correlation",
+    "q219_multi_touch_attribution",
+    "q220_refresh_vocab_deltas",
+    "q221_pagerank_dup_graph",
+    "q222_weighted_sample",
+    "q223_parquet_zone_map",
+    "q224_winsorized_stats",
+    "q225_series_rolling",
+    "q226_asof_forward_nearest",
+    "q227_interval_union_duration",
+    "q228_corr_matrix",
+    "q229_funnel_step_latencies",
+    "q230_gopher_repetition",
+    "q232_gini_concentration",
+    "q238_mix_rebalance",
+    # verdict-r8 closers #5/#6:
+    "q239_scene_changes",
+    "q240_upsert_replay_compaction",
+    # (b) canaries
     "q01_pricing_summary",  # scan-filter-agg ground
-    "q31_minhash_lsh_pairs",  # MinHash machinery (also under q177/q191 kin)
-    "q100_session_window",  # streaming session twin, last graded r6
-    # (d) stalest doubles: reference conformance pair (r2) + oldest relational (r3)
-    "conf_sort_seeded",
-    "conf_max_seeded",
-    "q03_top_revenue_orders",
-    "q04_filter_project",
+    "q31_minhash_lsh_pairs",  # MinHash machinery
+    "q164_running_totals_twin",  # stateful streaming twin (r7-stale)
+    # (c) stalest regrades, oldest first: the two r2-era singles, then
+    # the r3-era cohort head (17 of the 27 remaining; tail → r10)
+    "q19_json_extract",
+    "q32_simhash",
+    "q05_region_revenue",
+    "q06_left_join",
+    "q07_semi_join",
+    "q08_anti_join",
+    "q09_window_funcs",
+    "q10_rollup",
+    "q11_cube",
+    "q12_grouping_sets",
+    "q13_intersect",
+    "q14_except",
+    "q15_union_distinct",
+    "q16_distinct_agg",
+    "q17_string_funcs",
+    "q18_datetime",
+    "q20_case_bucket",
+    "q21_topk_per_group",
+    "q22_percentiles",
 ]
 
 

@@ -3254,3 +3254,43 @@ def test_bot_detection_planted_bot(spark):
     assert "metronomic" in out[1]
     assert "burst_rate" in out[2]
     assert 3 not in out
+
+
+def test_series_fold_max_slots_guard_fires(spark):
+    """The series-family ordered folds copy O(L²) array elements per key
+    (concat-accumulate), so an unguarded long span at a fine step goes
+    silently quadratic — the guard turns the documented per-key bound
+    into a hard error naming the fix (VERDICT r8 finding #1). A 1-day
+    span at step=1s (86,401 slots > max_slots default 8,784) must raise;
+    an explicit max_slots override on the SAME data must pass."""
+    import datetime
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from osmapreduceproject_spark.operators.windows import (
+        cusum_changepoints,
+        ewma,
+        holt_linear,
+    )
+
+    base = datetime.datetime(2025, 1, 1)
+    # a 3-value cycle so cusum's zero-MAD filter keeps the key (two
+    # values split ~evenly make the majority value the median AND the
+    # MAD zero) — the guard must be what fires, not an empty frame
+    df = spark.createDataFrame(
+        [
+            (1, base + datetime.timedelta(hours=4 * i), float(1 + 3 * (i % 3)))
+            for i in range(7)
+        ],
+        "k bigint, ts timestamp, v double",
+    )
+    for op in (ewma, cusum_changepoints, holt_linear):
+        with pytest.raises(Exception, match="max_slots"):
+            op(df, "k", "ts", "v", 1).agg(F.count(F.lit(1))).collect()
+    # the override is the documented escape hatch — checked on a small
+    # series (25 hourly slots) so the test never pays a quadratic fold:
+    # max_slots below the series raises, an explicit raise above passes
+    with pytest.raises(Exception, match="max_slots"):
+        ewma(df, "k", "ts", "v", 3600, max_slots=10).count()
+    assert ewma(df, "k", "ts", "v", 3600, max_slots=25).count() == 25

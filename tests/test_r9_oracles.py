@@ -559,3 +559,56 @@ def test_rebalance_to_mix_infeasible_target_is_empty(spark):
     d = _t(spark, SF_CORRECT, "documents")
     out = rebalance_to_mix(d, "lang", {"en": 0.5, "xx": 0.5})
     assert out.count() == 0
+
+
+def test_scene_changes_value_oracle_and_planted_cuts(spark, duck):
+    """q239's fixture contract beyond parity (which
+    tests/test_oracle_parity.py now grades): the flagged set is EXACTLY
+    the planted cut in every video — within-scene motion (+f on the
+    first 12 bytes, ≤1 gradient bit) never flags, the base-image swap
+    at frame 6 always does."""
+    from osmapreduceproject_spark.operators.multimodal import (
+        arith_video_frames,
+        scene_changes,
+    )
+
+    frames = arith_video_frames(spark, n_videos=24, n_frames=12, cut_at=6)
+    out = scene_changes(frames, max_hamming=10).collect()
+    got = {(r["media_id"], r["from_frame"], r["to_frame"]) for r in out}
+    assert got == {(v, 5, 6) for v in range(24)}
+    assert all(r["hamming"] >= 27 for r in out)  # measured fixture floor
+
+
+def test_upsert_replay_fold_equals_one_shot(spark):
+    """q240's idempotence claim, checked directly: folding batches
+    sequentially through compact_latest WITH a replayed batch yields
+    the same view as one-shot compaction over the distinct log — the
+    relational core of stream_upsert_sink's exactly-once story."""
+    from pyspark.sql import functions as F
+
+    from osmapreduceproject_spark.operators.windows import compact_latest
+    from osmapreduceproject_spark.queries import QUERIES, _t
+
+    folded = QUERIES["q240_upsert_replay_compaction"].fn(spark, SF_CORRECT)
+    d = _t(spark, SF_CORRECT, "documents")
+    log = (
+        d.select("doc_id", F.md5("text").alias("h"), F.lit(1).alias("version"))
+        .unionByName(
+            d.where(F.col("doc_id") % 3 == 0).select(
+                "doc_id",
+                F.md5(F.concat("text", F.lit(" v2"))).alias("h"),
+                F.lit(2).alias("version"),
+            )
+        )
+        .unionByName(
+            d.where(F.col("doc_id") % 5 == 0).select(
+                "doc_id",
+                F.md5(F.concat("text", F.lit(" v3"))).alias("h"),
+                F.lit(3).alias("version"),
+            )
+        )
+    )
+    one_shot = compact_latest(log, ["doc_id"], "version")
+    a = {(r["doc_id"], r["version"], r["h"]) for r in folded.collect()}
+    b = {(r["doc_id"], r["version"], r["h"]) for r in one_shot.collect()}
+    assert a == b and len(a) > 0
