@@ -373,3 +373,48 @@ def interval_overlap_join(
         )
     )
     return l.join(r, cond, how).drop("__cell")
+
+
+def point_in_interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    grid: int,
+    how: str = "inner",
+) -> DataFrame:
+    """Point-in-interval join between a LARGE point table and a LARGE
+    interval table — a point row pairs with every interval whose
+    half-open range ``[lo, hi)`` contains it. The point-side companion
+    to :func:`interval_overlap_join` (timestamps vs maintenance
+    windows, prices vs tier bands, offsets vs document spans): plain
+    Spark plans the pure-inequality predicate as a nested-loop
+    cartesian.
+
+    Same grid decomposition, but SIMPLER exactly-once story: a point
+    lies in exactly ONE ``grid`` cell, so only the interval side
+    explodes (cells floor(lo/grid)..floor((hi-1)/grid)) and each
+    (point, interval) pair meets in exactly one cell — no
+    canonical-cell filter, no dedup. Cost is O(span/grid) replication
+    per interval against a co-partitioned equi join; pick ``grid``
+    near the typical interval length. EMPTY intervals (hi ≤ lo) drop
+    before explosion (their descending cell sequence would fabricate
+    cells). Bounds and points are integers (epoch seconds/µs cast
+    upstream). Point columns keep their names; ``how`` passes through.
+    """
+    intervals = intervals.where(F.col(hi_col) > F.col(lo_col))
+    icell = F.explode(
+        F.sequence(
+            F.floor(F.col(lo_col) / grid),
+            F.floor((F.col(hi_col) - 1) / grid),
+        )
+    ).alias("__cell")
+    p = points.withColumn("__cell", F.floor(F.col(point_col) / grid))
+    i = intervals.select("*", icell)
+    cond = (
+        (p["__cell"] == i["__cell"])
+        & (i[lo_col] <= p[point_col])
+        & (p[point_col] < i[hi_col])
+    )
+    return p.join(i, cond, how).drop("__cell")

@@ -803,3 +803,129 @@ def scene_changes(
             "hamming",
         )
     )
+
+
+def arith_raw_audio_silence(
+    spark,
+    n: int = 32,
+    n_samples: int = 2048,
+    quiet_ranges: tuple = ((512, 768), (1536, 1664)),
+) -> DataFrame:
+    """:func:`arith_raw_audio` with PLANTED SILENCE: samples inside the
+    ``quiet_ranges`` half-open intervals are exactly 128 (the 8-bit-PCM
+    zero level, |v−128| = 0) while the rest follow the closed-form
+    arithmetic wave — the fixture for silence/segment detection, fully
+    SQL-regenerable (a CASE over the sample index) so the
+    trim-detection path gets a cross-engine value oracle like the rest
+    of the RAW8/PCM family."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Self-contained closure: no module-global references.
+        import numpy as np
+        import pandas as pd
+
+        idx = np.arange(n_samples, dtype=np.int64)
+        quiet = np.zeros(n_samples, dtype=bool)
+        for lo, hi in quiet_ranges:
+            quiet[lo:hi] = True
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            payloads = []
+            for m in pdf["id"]:
+                v = (17 * int(m) + 11 * idx + (idx * idx) % 89) % 256
+                v = np.where(quiet, 128, v)
+                payloads.append(v.astype(np.uint8).tobytes())
+            yield pd.DataFrame({"media_id": pdf["id"].values, "payload": payloads})
+
+    raw = spark.range(n).mapInPandas(gen, "media_id long, payload binary")
+    return raw.select(
+        "media_id",
+        F.lit("audio").alias("kind"),
+        "payload",
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(16000).alias("sample_rate"),
+            F.lit(None).cast("int").alias("n_frames"),
+        ).alias("meta"),
+    )
+
+
+def audio_silence_segments(
+    df: DataFrame,
+    frame: int = 64,
+    max_amp: int = 64,
+    min_frames: int = 2,
+) -> DataFrame:
+    """Silence-segment detection over 8-bit-PCM payloads — the trim step
+    an ASR data pipeline runs before cutting clips: per ``frame``-sample
+    window, the integer amplitude mass Σ|v−128|; frames at or below
+    ``max_amp`` are silent; runs of ≥ ``min_frames`` consecutive silent
+    frames become segments. All-integer frame energies (the
+    :func:`audio_fingerprint` discipline) make the whole path
+    closed-form replicable.
+
+    Shape: energies are Arrow-batched mapInPandas (payloads never
+    shuffle — only (media_id, frame_idx, amp) triplets leave the map);
+    runs are the gaps-and-islands window pattern over SILENT FRAMES
+    ONLY (one per-media exchange carrying just the quiet minority).
+    Trailing samples short of a full frame are ignored. Returns
+    (media_id, start_frame, end_frame, n_frames) with ``end_frame``
+    inclusive.
+    """
+    from pyspark.sql import Window
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Self-contained closure: no module-global references.
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = []
+            for m, p in zip(pdf["media_id"], pdf["payload"]):
+                buf = np.frombuffer(bytes(p), dtype=np.uint8)
+                nf = buf.size // frame
+                if nf == 0:
+                    continue
+                amp = (
+                    np.abs(buf[: nf * frame].astype(np.int64) - 128)
+                    .reshape(nf, frame)
+                    .sum(axis=1)
+                )
+                for i, a in enumerate(amp):
+                    out.append((int(m), i, int(a)))
+            yield pd.DataFrame(out, columns=["media_id", "frame_idx", "amp"])
+
+    amps = df.select("media_id", "payload").mapInPandas(
+        run, "media_id long, frame_idx int, amp long"
+    )
+    silent = amps.where(F.col("amp") <= max_amp)
+    w = Window.partitionBy("media_id").orderBy(F.col("frame_idx").asc())
+    isl = (
+        silent.withColumn("__prev", F.lag("frame_idx").over(w))
+        .withColumn(
+            "__new",
+            F.when(
+                F.col("__prev").isNull()
+                | (F.col("frame_idx") - F.col("__prev") > 1),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "__island",
+            F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    return (
+        isl.groupBy("media_id", "__island")
+        .agg(
+            F.min("frame_idx").alias("start_frame"),
+            F.max("frame_idx").alias("end_frame"),
+            F.count(F.lit(1)).alias("n_frames"),
+        )
+        .where(F.col("n_frames") >= min_frames)
+        .drop("__island")
+    )

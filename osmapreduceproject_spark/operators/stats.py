@@ -1511,3 +1511,136 @@ def calibration_bins(
             6,
         ).alias("calibration_gap"),
     )
+
+
+def cohens_kappa(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Cohen's kappa agreement between two categorical label columns —
+    the inter-rater statistic an LLM-data pipeline runs between two
+    quality raters (two rule sets, a model vs a heuristic, two
+    annotation passes): observed agreement corrected for the agreement
+    their marginal label rates would produce by chance,
+    κ = (p_o − p_e)/(1 − p_e).
+
+    One (a, b)-keyed contingency count, then everything is metadata-
+    scale: the diagonal sum, and per-axis marginals joined BY CATEGORY
+    (p_e = Σ_k row_k·col_k / n²) over r·c rows. NULL labels count as a
+    real category (they agree with each other — the chi2_independence
+    convention); a degenerate table where p_e = 1 (both raters constant)
+    returns NULL kappa rather than 0/0. Exact integer counts into IEEE
+    divisions; one row out:
+    (n, n_agree, po, pe, kappa).
+    """
+    cont = df.groupBy(
+        F.col(col_a).alias("__a"), F.col(col_b).alias("__b")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    ra = cont.groupBy("__a").agg(F.sum("o").alias("__ra"))
+    cb = cont.groupBy("__b").agg(F.sum("o").alias("__cb"))
+    pe_terms = ra.join(cb, ra["__a"].eqNullSafe(cb["__b"]), "inner").select(
+        (F.col("__ra") * F.col("__cb")).alias("__rc")
+    )
+    pe_sum = pe_terms.agg(F.coalesce(F.sum("__rc"), F.lit(0)).alias("__pe_num"))
+    agg = cont.agg(
+        F.sum("o").alias("n"),
+        F.sum(
+            F.when(F.col("__a").eqNullSafe(F.col("__b")), F.col("o")).otherwise(
+                F.lit(0)
+            )
+        ).alias("n_agree"),
+    )
+    j = agg.crossJoin(F.broadcast(pe_sum))
+    po = F.col("n_agree") / F.col("n")
+    pe = F.col("__pe_num") / (F.col("n") * F.col("n"))
+    return j.select(
+        "n",
+        "n_agree",
+        F.round(po, 6).alias("po"),
+        F.round(pe, 6).alias("pe"),
+        F.when(pe < 1.0, F.round((po - pe) / (1.0 - pe), 6)).alias("kappa"),
+    )
+
+
+def brown_forsythe_test(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Brown–Forsythe test of equal SPREAD between two named groups —
+    Levene's test with MEDIAN centers (robust to the heavy tails real
+    value columns have): ANOVA's F statistic on the absolute deviations
+    z = |x − median_group|. The variance-drift companion to
+    :func:`welch_ttest` (which compares LOCATION): a feature whose mean
+    held but whose spread doubled fails THIS gate, not that one.
+
+    Two-group shape on purpose, and the exactness recipe is
+    :func:`welch_ttest`'s verbatim: per-group medians are exact
+    discrete order statistics (quantile_disc convention, one per-group
+    rank — each group sorts within one window partition, the documented
+    group_percentiles bound); deviations quantize to ``scale``
+    micro-units and sum in DECIMAL(38,0) (associative,
+    partition-order-free) in ONE conditional scan; the F statistic is
+    computed from the two exact moment rows in one fixed expression
+    order the oracle mirrors (the scale² factor cancels in the ratio).
+    Emits the statistic and dofs, not a p-value (no F-distribution
+    approximation to diverge across engines). F is NULL when the
+    within-group deviation mass is zero or either group is empty.
+    Returns one row:
+    (n_a, n_b, median_a, median_b, dof_between, dof_within, f_stat).
+    """
+    from .windows import _disc_median_per_key
+
+    dec = "decimal(38,0)"
+    v = F.col(value_col).cast("double")
+    pool = df.where(
+        F.col(group_col).isin([group_a, group_b]) & v.isNotNull() & ~F.isnan(v)
+    ).select(F.col(group_col).alias("__g"), v.alias("__v"))
+    med_rows = {
+        r["__g"]: r["__med"]
+        for r in _disc_median_per_key(pool, "__g", "__v", "__med").collect()
+    }
+    med_a = med_rows.get(group_a)
+    med_b = med_rows.get(group_b)
+    out_aggs = []
+    for tag, gval, med in (("a", group_a, med_a), ("b", group_b, med_b)):
+        in_g = F.col("__g") == F.lit(gval)
+        zq = F.when(
+            in_g, F.round(F.abs(F.col("__v") - F.lit(med or 0.0)) * scale)
+        ).cast(dec)
+        out_aggs += [
+            F.count(zq).alias(f"n_{tag}"),
+            F.sum(zq).alias(f"s_{tag}"),
+            F.sum(zq * zq).alias(f"ss_{tag}"),
+        ]
+    row = pool.agg(*out_aggs).first()
+    na, nb = int(row["n_a"] or 0), int(row["n_b"] or 0)
+    f_stat = None
+    if na >= 1 and nb >= 1 and na + nb >= 3:
+        sa, sb = int(row["s_a"]), int(row["s_b"])
+        ssa, ssb = int(row["ss_a"]), int(row["ss_b"])
+        mz = float(sa + sb) / (na + nb)
+        da = float(sa) / na - mz
+        db = float(sb) / nb - mz
+        between = na * (da * da) + nb * (db * db)
+        within = (float(ssa) - float(sa) * sa / na) + (
+            float(ssb) - float(sb) * sb / nb
+        )
+        if within > 0:
+            f_stat = between / (within / (na + nb - 2))
+    rnd = lambda x: None if x is None else round(x, 6)  # noqa: E731
+    return df.sparkSession.createDataFrame(
+        [
+            (
+                na,
+                nb,
+                med_a,
+                med_b,
+                1,
+                max(na + nb - 2, 0),
+                rnd(f_stat),
+            )
+        ],
+        "n_a bigint, n_b bigint, median_a double, median_b double, "
+        "dof_between bigint, dof_within bigint, f_stat double",
+    )

@@ -1333,3 +1333,65 @@ def gopher_repetition(
         F.coalesce(F.concat_ws(",", rl), F.lit("")).alias("reasons"),
         (F.size(rl) == 0).alias("keep"),
     )
+
+
+def ngram_novelty(
+    docs: DataFrame,
+    reference: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document n-gram novelty against a reference corpus: the
+    fraction of a document's DISTINCT word n-grams that appear nowhere
+    in the reference — the scoring complement of q103's decontamination
+    (which DROPS overlapping docs, this MEASURES how much of each doc
+    is new). A refresh pipeline ranks incoming docs by novelty to
+    prioritize genuinely new material; near-zero novelty means the doc
+    is recombined boilerplate even when no single document matches it.
+
+    Shape: both sides explode to distinct grams (whitespace tokens
+    joined with ' ', the :func:`gopher_repetition` convention — built
+    with an index lambda over ``sequence``, never a default-arg
+    closure); the reference collapses to its DISTINCT gram set once;
+    one gram-keyed LEFT join marks each doc gram found/not-found and a
+    doc-keyed count finishes. Exchanges carry grams, never texts; a
+    reference gram's duplication count never fans out (distinct before
+    the join). Docs with fewer than ``n`` tokens emit 0 grams and NULL
+    novelty. Returns (id_col, n_distinct_ngrams, n_novel, novelty).
+    """
+    ws = tokens(F.col(text_col))
+    gram = lambda i: F.concat_ws(" ", F.slice(ws, i + 1, n))  # noqa: E731
+
+    def grams_of(df: DataFrame, with_id: bool):
+        cols = [F.col(id_col)] if with_id else []
+        g = df.select(
+            *cols,
+            F.explode(
+                F.when(
+                    F.size(ws) >= n,
+                    F.transform(F.sequence(F.lit(0), F.size(ws) - n), gram),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("__gram"),
+        )
+        return g.distinct()
+
+    doc_grams = grams_of(docs, True)
+    ref_grams = grams_of(reference, False).withColumn("__hit", F.lit(1))
+    marked = doc_grams.join(ref_grams, "__gram", "left")
+    per_doc = marked.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_distinct_ngrams"),
+        F.sum(F.when(F.col("__hit").isNull(), 1).otherwise(0)).alias("n_novel"),
+    )
+    all_docs = docs.select(id_col).distinct()
+    return all_docs.join(per_doc, id_col, "left").select(
+        id_col,
+        F.coalesce("n_distinct_ngrams", F.lit(0)).alias("n_distinct_ngrams"),
+        F.coalesce("n_novel", F.lit(0)).alias("n_novel"),
+        F.when(
+            F.col("n_distinct_ngrams").isNotNull(),
+            F.round(
+                F.col("n_novel").cast("double") / F.col("n_distinct_ngrams"), 6
+            ),
+        ).alias("novelty"),
+    )

@@ -883,3 +883,84 @@ def holt_linear(
             ((F.col("r.lq") + F.col("r.bq")) / 1_000_000.0).alias("forecast_next"),
         )
     )
+
+
+def series_autocorrelation(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    value_col: str,
+    step_seconds: int,
+    max_lag: int = 3,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-key autocorrelation function over the REGULARIZED grid: for
+    each lag k = 1..max_lag, the Pearson correlation between the series
+    and itself shifted k slots — the periodicity detector that tells a
+    pipeline whether a signal has structure at a given cadence (daily
+    seasonality shows as a spike at lag 24 on an hourly grid) before it
+    commits to :func:`seasonal_profile`'s cycle. Defined over the
+    AVAILABLE pairs at each lag (the sample-correlation convention of
+    :func:`series_correlation`, not the fixed-variance textbook ACF —
+    documented so the oracle matches term for term).
+
+    Because :func:`resample_ffill` emits a COMPLETE grid per key,
+    shift-by-k is exactly ``F.lag(v, k)`` over the (key, slot) window —
+    no self-join per lag: ONE per-key window computes every lag column,
+    an unpivot turns them into (key, lag) rows, and quantized integer
+    moments (the series_correlation convention) finish per group.
+    Degenerate groups (constant series, < 2 pairs) emit NULL. Returns
+    (key, lag, n_pairs, acf).
+    """
+    s = resample_ffill(df, key, ts, value_col, step_seconds)
+    w = Window.partitionBy(key).orderBy(F.col("slot_epoch").asc())
+    lag_cols = [
+        F.lag(F.col(value_col), k).over(w).alias(f"__lag{k}")
+        for k in range(1, max_lag + 1)
+    ]
+    wide = s.select(key, F.col(value_col).alias("__v"), *lag_cols)
+    stacked = wide.select(
+        key,
+        "__v",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("lag"), F.col(f"__lag{k}").alias("__u")
+                    )
+                    for k in range(1, max_lag + 1)
+                ]
+            )
+        ).alias("__p"),
+    ).select(
+        key, F.col("__p.lag").alias("lag"), "__v", F.col("__p.__u").alias("__u")
+    ).where(F.col("__u").isNotNull())
+    xq = F.round(F.col("__v") * scale).cast("bigint")
+    yq = F.round(F.col("__u") * scale).cast("bigint")
+    sums = stacked.select(key, "lag", xq.alias("__x"), yq.alias("__y")).groupBy(
+        key, "lag"
+    ).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("__x").alias("__sx"),
+        F.sum("__y").alias("__sy"),
+        # per-ELEMENT decimal cast: a bigint Σx² overflows at ~9e18
+        # (8784 slots × (2e8)² clears it), the decimal sum never does
+        F.sum((F.col("__x") * F.col("__x")).cast("decimal(38,0)")).alias("__sxx"),
+        F.sum((F.col("__y") * F.col("__y")).cast("decimal(38,0)")).alias("__syy"),
+        F.sum((F.col("__x") * F.col("__y")).cast("decimal(38,0)")).alias("__sxy"),
+    )
+    n = F.col("n_pairs").cast("double")
+    sx, sy = F.col("__sx").cast("double"), F.col("__sy").cast("double")
+    sxx, syy = F.col("__sxx").cast("double"), F.col("__syy").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    return sums.select(
+        key,
+        "lag",
+        "n_pairs",
+        F.when(
+            (F.col("n_pairs") >= 2) & (vx > 0) & (vy > 0),
+            F.round((n * sxy - sx * sy) / F.sqrt(vx * vy), 6),
+        ).alias("acf"),
+    )

@@ -558,3 +558,44 @@ def test_group_percentiles_window_is_group_partitioned(spark):
     plan = explain_str(g)
     assert data_carrying_single_partitions(g) == [], plan
     assert "hashpartitioning(__g" in plan, plan
+
+
+def test_r10_wave_plan_shapes(spark):
+    """Scale-shape assertions for the r10-staged wave: the point-cell
+    decomposition plans an EQUI hash join (no cartesian — the naive
+    containment predicate is inequality-only), ngram_novelty's
+    reference side is DISTINCT before the gram join (a duplicated
+    reference gram must never fan out), and the autocorrelation window
+    partitions on the key (no data-carrying single partition)."""
+    from pyspark.sql import functions as F
+
+    from osmapreduceproject_spark.operators.joins import point_in_interval_join
+    from osmapreduceproject_spark.operators.text import ngram_novelty
+    from osmapreduceproject_spark.operators.windows import series_autocorrelation
+    from osmapreduceproject_spark.plans.inspect import (
+        data_carrying_single_partitions,
+        explain_str,
+    )
+    from osmapreduceproject_spark.queries import _t
+
+    sf = "/root/testdata/sf0.001"
+    ev = _t(spark, sf, "events")
+
+    points = ev.select(F.col("event_id").alias("pid"),
+                       F.floor(F.unix_micros("ts") / 1_000_000).alias("p"))
+    intervals = ev.groupBy("user_id").agg(
+        F.floor(F.min(F.unix_micros("ts")) / 1_000_000).alias("lo"),
+        (F.floor(F.max(F.unix_micros("ts")) / 1_000_000) + 1).alias("hi"),
+    )
+    j = point_in_interval_join(points, intervals, "p", "lo", "hi", grid=3600)
+    plan = explain_str(j)
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
+
+    d = _t(spark, sf, "documents")
+    nov = ngram_novelty(d, d.where(F.col("doc_id") % 10 < 8), n=3)
+    plan = explain_str(nov)
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
+
+    acf = series_autocorrelation(ev, key="user_id", ts="ts",
+                                 value_col="value", step_seconds=3600)
+    assert data_carrying_single_partitions(acf) == [], explain_str(acf)

@@ -1,0 +1,345 @@
+"""Cross-engine (DuckDB) parity for the r10-ready operators — the next
+staged wave, proven against their oracles BEFORE declaration (the
+SURVEY.md §8 staging discipline that produced the r8/r9 tranches: every
+operator lands with its oracle parity test in the same commit, so the
+future q-entry is a copy-paste of (body, SQL) pairs already green).
+
+Each test is (future Spark query body, future oracle SQL, driver-identical
+compare) at sf0.01 — the same comparison tests/test_oracle_parity.py runs
+for declared queries.
+"""
+
+from __future__ import annotations
+
+import os as _os
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_CORRECT
+from tests.oracle_check import compare
+
+STEP = 3600
+STEP_US = STEP * 1_000_000
+
+
+def _events(spark):
+    from osmapreduceproject_spark.queries import _t
+
+    return _t(spark, SF_CORRECT, "events")
+
+
+_RESAMPLE_CTE = f"""
+    obs AS (SELECT user_id AS k, epoch_us(ts) AS e, CAST(value AS DOUBLE) AS v
+            FROM events),
+    spans AS (SELECT k, MIN(e) AS lo, MAX(e) AS hi FROM obs GROUP BY k),
+    grid AS (
+      SELECT k, unnest(range(
+        CAST(ceil(lo / {STEP_US}.0) * {STEP_US} AS BIGINT),
+        CAST(floor(hi / {STEP_US}.0) * {STEP_US} AS BIGINT) + 1,
+        {STEP_US})) AS e
+      FROM spans),
+    resampled AS (
+      SELECT g.k, g.e // 1000000 AS slot_epoch, o.v AS value,
+             (g.e - o.e) // 1000000 AS staleness_s
+      FROM grid g ASOF JOIN obs o ON g.k = o.k AND o.e <= g.e)"""
+
+
+def test_point_in_interval_join_oracle(spark, duck):
+    """Purchase instants vs per-(user, day) activity spans — every
+    containing (point, interval) pair, exactly once, via the point-cell
+    equi join (a point lies in ONE cell, so no canonical-cell filter is
+    even needed)."""
+    from osmapreduceproject_spark.operators.joins import point_in_interval_join
+
+    ev = _events(spark)
+    points = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pt_id"),
+        F.floor(F.unix_micros("ts") / 1_000_000).alias("p"),
+    )
+    intervals = (
+        ev.groupBy(
+            "user_id",
+            F.floor(F.unix_micros("ts") / F.lit(86_400_000_000)).alias("day"),
+        )
+        .agg(
+            F.floor(F.min(F.unix_micros("ts")) / 1_000_000).alias("l_lo"),
+            (F.floor(F.max(F.unix_micros("ts")) / 1_000_000) + 1).alias("l_hi"),
+        )
+    )
+    got = point_in_interval_join(
+        points, intervals, "p", "l_lo", "l_hi", grid=3600
+    ).select("pt_id", "p", "user_id", "day", "l_lo", "l_hi")
+    sql = """
+    WITH pts AS (
+      SELECT event_id AS pt_id, epoch_us(ts) // 1000000 AS p
+      FROM events WHERE event_type = 'purchase'),
+    iv AS (
+      SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+             MIN(epoch_us(ts) // 1000000) AS l_lo,
+             MAX(epoch_us(ts) // 1000000) + 1 AS l_hi
+      FROM events GROUP BY 1, 2)
+    SELECT pts.pt_id, pts.p, iv.user_id, iv.day, iv.l_lo, iv.l_hi
+    FROM pts JOIN iv ON iv.l_lo <= pts.p AND pts.p < iv.l_hi
+    """
+    assert compare(got, duck.execute(sql).df()) == []
+    n = got.count()
+    assert n == got.dropDuplicates(["pt_id", "user_id", "day"]).count()
+    assert n > 0
+
+
+def test_audio_silence_segments_oracle(spark, duck):
+    """Planted-silence PCM clips: frame amplitude mass, silent-run
+    islands, and the ≥min_frames filter all replayed closed-form."""
+    from osmapreduceproject_spark.operators.multimodal import (
+        arith_raw_audio_silence,
+        audio_silence_segments,
+    )
+
+    clips = arith_raw_audio_silence(spark, n=32, n_samples=2048)
+    got = audio_silence_segments(clips, frame=64, max_amp=64, min_frames=2)
+    sql = """
+    WITH t AS (SELECT unnest(range(32)) AS m),
+    s AS (SELECT m, unnest(range(2048)) AS i FROM t),
+    v AS (SELECT m, i,
+            CASE WHEN (i >= 512 AND i < 768) OR (i >= 1536 AND i < 1664)
+                 THEN 128
+                 ELSE (17*m + 11*i + (i*i) % 89) % 256 END AS val
+          FROM s),
+    f AS (SELECT m, i // 64 AS fr, SUM(abs(val - 128)) AS amp
+          FROM v GROUP BY 1, 2),
+    sil AS (SELECT m, fr FROM f WHERE amp <= 64),
+    isl AS (SELECT m, fr,
+              CASE WHEN lag(fr) OVER w IS NULL OR fr - lag(fr) OVER w > 1
+                   THEN 1 ELSE 0 END AS nw
+            FROM sil WINDOW w AS (PARTITION BY m ORDER BY fr)),
+    grp AS (SELECT m, fr,
+              SUM(nw) OVER (PARTITION BY m ORDER BY fr) AS island
+            FROM isl)
+    SELECT CAST(m AS BIGINT) AS media_id, CAST(MIN(fr) AS INTEGER) AS start_frame,
+           CAST(MAX(fr) AS INTEGER) AS end_frame, COUNT(*) AS n_frames
+    FROM grp GROUP BY m, island HAVING COUNT(*) >= 2
+    """
+    assert compare(got, duck.execute(sql).df()) == []
+    # the planted ranges: samples [512,768) → frames 8-11, [1536,1664)
+    # → frames 24-25, in every clip
+    rows = {(r["media_id"], r["start_frame"], r["end_frame"]) for r in got.collect()}
+    assert rows == {(m, 8, 11) for m in range(32)} | {(m, 24, 25) for m in range(32)}
+
+
+def test_cohens_kappa_oracle(spark, duck):
+    """Two rule-raters over documents (length rule vs token-count rule):
+    kappa from exact contingency counts."""
+    from osmapreduceproject_spark.operators.stats import cohens_kappa
+
+    from osmapreduceproject_spark.queries import _t
+
+    d = _t(spark, SF_CORRECT, "documents")
+    rated = d.select(
+        (F.col("n_chars") >= 200).alias("rater_a"),
+        (F.size(F.split(F.col("text"), " ")) >= 30).alias("rater_b"),
+    )
+    got = cohens_kappa(rated, "rater_a", "rater_b")
+    sql = """
+    WITH r AS (SELECT (n_chars >= 200) AS a,
+                      (len(string_split(text, ' ')) >= 30) AS b
+               FROM documents),
+    cont AS (SELECT a, b, COUNT(*) AS o FROM r GROUP BY 1, 2),
+    tot AS (SELECT SUM(o) AS n,
+                   SUM(CASE WHEN a IS NOT DISTINCT FROM b THEN o ELSE 0 END)
+                     AS n_agree
+            FROM cont),
+    ra AS (SELECT a, SUM(o) AS ra FROM cont GROUP BY a),
+    cb AS (SELECT b, SUM(o) AS cb FROM cont GROUP BY b),
+    pe AS (SELECT COALESCE(SUM(ra * cb), 0) AS pe_num
+           FROM ra JOIN cb ON ra.a IS NOT DISTINCT FROM cb.b)
+    SELECT CAST(tot.n AS BIGINT) AS n, CAST(tot.n_agree AS BIGINT) AS n_agree,
+           round(CAST(tot.n_agree AS DOUBLE) / tot.n, 6) AS po,
+           round(CAST(pe.pe_num AS DOUBLE) / (tot.n * tot.n), 6) AS pe,
+           CASE WHEN CAST(pe.pe_num AS DOUBLE) / (tot.n * tot.n) < 1.0 THEN
+             round((CAST(tot.n_agree AS DOUBLE) / tot.n
+                    - CAST(pe.pe_num AS DOUBLE) / (tot.n * tot.n))
+                   / (1.0 - CAST(pe.pe_num AS DOUBLE) / (tot.n * tot.n)), 6)
+           END AS kappa
+    FROM tot, pe
+    """
+    assert compare(got, duck.execute(sql).df()) == []
+    row = got.first()
+    assert -1.0 <= row["kappa"] <= 1.0
+
+
+def test_cohens_kappa_known_cases(spark):
+    """Closed-form pins: identical raters → κ = 1; raters whose
+    agreement exactly equals chance → κ = 0."""
+    from osmapreduceproject_spark.operators.stats import cohens_kappa
+
+    same = spark.createDataFrame(
+        [(i % 2 == 0, i % 2 == 0) for i in range(40)], "a boolean, b boolean"
+    )
+    assert cohens_kappa(same, "a", "b").first()["kappa"] == 1.0
+    # independent 50/50 raters: po = 0.5 = pe → kappa 0
+    indep = spark.createDataFrame(
+        [((i // 2) % 2 == 0, i % 2 == 0) for i in range(40)],
+        "a boolean, b boolean",
+    )
+    assert cohens_kappa(indep, "a", "b").first()["kappa"] == 0.0
+
+
+def test_brown_forsythe_oracle(spark, duck):
+    """Spread-equality test between view and purchase values: exact
+    discrete medians, DECIMAL deviation moments, one fixed-order F."""
+    from osmapreduceproject_spark.operators.stats import brown_forsythe_test
+
+    got = brown_forsythe_test(_events(spark), "event_type", "value",
+                              "view", "purchase")
+    sql = """
+    WITH pool AS (
+      SELECT event_type AS g, CAST(value AS DOUBLE) AS v FROM events
+      WHERE event_type IN ('view', 'purchase')
+        AND value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))),
+    med AS (SELECT g, quantile_disc(v, 0.5) AS med FROM pool GROUP BY g),
+    z AS (SELECT p.g, CAST(round(abs(p.v - m.med) * 1000000) AS HUGEINT) AS z
+          FROM pool p JOIN med m ON m.g = p.g),
+    s AS (SELECT
+            SUM(CASE WHEN g = 'view' THEN 1 ELSE 0 END) AS na,
+            SUM(CASE WHEN g = 'view' THEN z END) AS sa,
+            SUM(CASE WHEN g = 'view' THEN z*z END) AS ssa,
+            SUM(CASE WHEN g = 'purchase' THEN 1 ELSE 0 END) AS nb,
+            SUM(CASE WHEN g = 'purchase' THEN z END) AS sb,
+            SUM(CASE WHEN g = 'purchase' THEN z*z END) AS ssb
+          FROM z),
+    m2 AS (SELECT *, CAST(sa + sb AS DOUBLE) / (na + nb) AS mz FROM s),
+    d AS (SELECT *, CAST(sa AS DOUBLE)/na - mz AS da,
+                    CAST(sb AS DOUBLE)/nb - mz AS db FROM m2),
+    fin AS (SELECT *,
+              na*(da*da) + nb*(db*db) AS between_ss,
+              (CAST(ssa AS DOUBLE) - CAST(sa AS DOUBLE)*sa/na)
+                + (CAST(ssb AS DOUBLE) - CAST(sb AS DOUBLE)*sb/nb) AS within_ss
+            FROM d)
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           (SELECT med FROM med WHERE g = 'view') AS median_a,
+           (SELECT med FROM med WHERE g = 'purchase') AS median_b,
+           CAST(1 AS BIGINT) AS dof_between,
+           CAST(na + nb - 2 AS BIGINT) AS dof_within,
+           CASE WHEN within_ss > 0 THEN
+             round(between_ss / (within_ss / (na + nb - 2)), 6)
+           END AS f_stat
+    FROM fin
+    """
+    assert compare(got, duck.execute(sql).df()) == []
+    row = got.first()
+    assert row["f_stat"] is not None and row["f_stat"] >= 0.0
+
+
+def test_brown_forsythe_degenerate_is_null(spark):
+    """Constant groups (zero within-deviation mass) → NULL F, not 0/0."""
+    from osmapreduceproject_spark.operators.stats import brown_forsythe_test
+
+    df = spark.createDataFrame(
+        [("a", 1.0)] * 5 + [("b", 2.0)] * 5, "g string, v double"
+    )
+    row = brown_forsythe_test(df, "g", "v", "a", "b").first()
+    assert row["n_a"] == 5 and row["n_b"] == 5 and row["f_stat"] is None
+
+
+def test_ngram_novelty_oracle(spark, duck):
+    """Every document scored against the doc_id%10<8 reference slice:
+    distinct-3-gram counts and the not-in-reference fraction."""
+    from osmapreduceproject_spark.operators.text import ngram_novelty
+    from osmapreduceproject_spark.queries import _t
+
+    d = _t(spark, SF_CORRECT, "documents")
+    got = ngram_novelty(d, d.where(F.col("doc_id") % 10 < 8), n=3)
+    grams = """
+      SELECT doc_id, unnest(list_transform(range(0, greatest(len(ws) - 2, 0)),
+             i -> array_to_string(ws[i + 1 : i + 3], ' '))) AS gram
+      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents{flt})"""
+    sql = f"""
+    WITH dg AS (SELECT DISTINCT doc_id, gram FROM ({grams.format(flt="")})),
+    rg AS (SELECT DISTINCT gram FROM ({grams.format(flt=" WHERE doc_id % 10 < 8")})),
+    per AS (SELECT d.doc_id, COUNT(*) AS n_distinct_ngrams,
+                   SUM(CASE WHEN r.gram IS NULL THEN 1 ELSE 0 END) AS n_novel
+            FROM dg d LEFT JOIN rg r ON r.gram = d.gram GROUP BY 1)
+    SELECT b.doc_id,
+           COALESCE(p.n_distinct_ngrams, 0) AS n_distinct_ngrams,
+           CAST(COALESCE(p.n_novel, 0) AS BIGINT) AS n_novel,
+           CASE WHEN p.n_distinct_ngrams IS NOT NULL THEN
+             round(CAST(p.n_novel AS DOUBLE) / p.n_distinct_ngrams, 6)
+           END AS novelty
+    FROM (SELECT DISTINCT doc_id FROM documents) b
+    LEFT JOIN per p USING (doc_id)
+    """
+    assert compare(got, duck.execute(sql).df()) == []
+    pdf = got.toPandas()
+    # reference members score 0 novelty; at least one held-out doc > 0
+    assert (pdf[pdf.doc_id % 10 < 8].n_novel == 0).all()
+    assert (pdf.n_novel > 0).any()
+
+
+def test_series_autocorrelation_oracle(spark, duck):
+    from osmapreduceproject_spark.operators.windows import series_autocorrelation
+
+    got = series_autocorrelation(
+        _events(spark), key="user_id", ts="ts", value_col="value",
+        step_seconds=STEP, max_lag=3,
+    )
+    sql = f"""
+    WITH {_RESAMPLE_CTE},
+    l AS (SELECT k, slot_epoch, value,
+            lag(value, 1) OVER w AS u1, lag(value, 2) OVER w AS u2,
+            lag(value, 3) OVER w AS u3
+          FROM resampled WINDOW w AS (PARTITION BY k ORDER BY slot_epoch)),
+    st AS (SELECT k, lg.lag AS lag, value AS v,
+                  CASE lg.lag WHEN 1 THEN u1 WHEN 2 THEN u2 ELSE u3 END AS u
+           FROM l, (SELECT unnest([1, 2, 3]) AS lag) lg
+           WHERE CASE lg.lag WHEN 1 THEN u1 WHEN 2 THEN u2 ELSE u3 END
+                 IS NOT NULL),
+    q AS (SELECT k, lag, CAST(round(v * 1000000) AS BIGINT) AS x,
+                 CAST(round(u * 1000000) AS BIGINT) AS y
+          FROM st),
+    s AS (SELECT k, lag, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                 SUM(x*x) AS sxx, SUM(y*y) AS syy, SUM(x*y) AS sxy
+          FROM q GROUP BY 1, 2),
+    fin AS (SELECT *,
+              n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx AS vx,
+              n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy AS vy
+            FROM s)
+    SELECT k AS user_id, CAST(lag AS INTEGER) AS lag, n AS n_pairs,
+           CASE WHEN n >= 2 AND vx > 0 AND vy > 0 THEN
+             round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+                   / sqrt(vx * vy), 6)
+           END AS acf
+    FROM fin
+    """
+    assert compare(got, duck.execute(sql).df()) == []
+    pdf = got.toPandas()
+    assert set(pdf.lag) == {1, 2, 3}
+    ok = pdf.acf.dropna()
+    assert ((ok >= -1.0 - 1e-9) & (ok <= 1.0 + 1e-9)).all()
+
+
+@pytest.mark.skipif(
+    not _os.environ.get("SPARK_GRAFT_SCALE"),
+    reason="scale smoke: set SPARK_GRAFT_SCALE=1 (2M points x 2M intervals)",
+)
+def test_point_in_interval_join_scale_smoke(spark):
+    """2M points × 2M intervals — 4·10¹² naive comparisons; the grid
+    path finds EXACTLY the 2M planted containments (point i = 100i+30
+    lies in interval i = [100i, 100i+50) and nothing else), once each."""
+    from osmapreduceproject_spark.operators.joins import point_in_interval_join
+
+    n = 2_000_000
+    points = spark.range(n).select(
+        F.col("id").alias("pid"), (F.col("id") * 100 + 30).alias("p")
+    )
+    intervals = spark.range(n).select(
+        F.col("id").alias("iid"),
+        (F.col("id") * 100).alias("lo"),
+        (F.col("id") * 100 + 50).alias("hi"),
+    )
+    j = point_in_interval_join(points, intervals, "p", "lo", "hi", grid=100)
+    agg = j.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("pid") == F.col("iid")).cast("int")).alias("self_pairs"),
+    ).first()
+    assert agg["n"] == n and agg["self_pairs"] == n
