@@ -529,7 +529,23 @@ def main() -> None:
             "pipelines in one timing), q196 (ranked_sort index build), "
             "q179 (capped pair generation). q206 runs the multi-pass "
             "exact-percentile cutoff like q171 - several small jobs in "
-            "one timing."
+            "one timing. "
+            "r09 adds the 28 r9-new declarations q213-q240 to the "
+            "headline set (VERDICT r8 #3) - subtract those twenty-eight "
+            "for like-for-like totals vs r08. Expected-expensive by "
+            "construction among them: q221 (5 pagerank rounds over the "
+            "Jaccard dup graph - edge generation + iteration in one "
+            "timing), q213/q214 (full resample grids; q214 adds two "
+            "exact per-key medians), q234 (Holt fold, the q187/q199 "
+            "family), q218 (two resample grids + slot join), q235 "
+            "(grid-decomposed interval join), q226 (two as-of passes "
+            "joined). q239/q240 are sub-second narrow pipelines. The "
+            "series-family folds gained a max_slots guard this round - "
+            "a scalar assert in the fold input, no plan-shape change; "
+            "q187/q199/q208 deltas beyond jitter would be real. q133 is "
+            "under explicit watch (VERDICT r8 finding #2): if its 6-run "
+            "minimum exceeds 1.97s again on an unchanged census, treat "
+            "as a real banded-hamming regression, not load."
         ),
         "reference": reference_timings(),
     }

@@ -895,28 +895,39 @@ def pagerank(
     the rank vector plus one dst-keyed partial-aggregating sum — the
     exchanges carry (node, rank) pairs and edge endpoints, never
     payloads; the dangling scalar is a broadcast single row; the rank
-    frame is persisted per round and the previous round released, so
-    storage holds ONE rank vector regardless of ``iters``. Lineage stays
-    shallow (iters is small and fixed); for large ``iters`` interpose
-    localCheckpoint exactly as connected_components does.
+    frame is checkpoint-truncated per round and the previous round's
+    blocks GC'd, so storage holds ONE rank vector regardless of
+    ``iters``.
+
+    Lineage discipline (the connected_components lesson, applied
+    unconditionally here): ``persist`` truncates RECOMPUTATION but not
+    the analyzed plan, and this loop references the edge list twice and
+    the rank vector three times per round — with a heavy edge GENERATOR
+    (the dup-graph case: a full near-dup pair pipeline) the plan tree
+    grows geometrically in ``iters`` and a 5-iteration run OOMs the
+    driver in plan stringification alone (measured under a default-heap
+    session, r9 hostile sweep). So the loop INPUTS (edges, deg) and
+    each round's rank vector are ``localCheckpoint``-ed: every
+    iteration plans against leaves, and the plan is constant-size in
+    ``iters``.
     """
     n = nodes.count()
     if n == 0:
         return nodes.select(
             F.col(id_col).alias("node"), F.lit(0.0).alias("rank")
         )
-    edges = tracked_persist(
-        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst")).union(
-            pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
-        )
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .localCheckpoint(eager=True)
     )
-    deg = tracked_persist(
-        edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    deg = (
+        edges.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=True)
     )
     base = nodes.select(F.col(id_col).alias("node"))
-    ranks = tracked_persist(
-        base.withColumn("rank", F.lit(1.0 / n))
-    )
+    ranks = base.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(eager=True)
     for _ in range(iters):
         dangling = (
             ranks.join(deg, ranks["node"] == deg["src"], "left_anti")
@@ -929,7 +940,10 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum("__c").alias("__in"))
         )
-        new_ranks = tracked_persist(
+        # eager checkpoint = materialize + truncate to a leaf; the
+        # previous round's blocks are dead and GC'd by the context
+        # cleaner (rank vectors are (node, rank) pairs — metadata-scale)
+        ranks = (
             base.join(contrib, base["node"] == contrib["dst"], "left")
             .crossJoin(F.broadcast(dangling))
             .select(
@@ -941,10 +955,8 @@ def pagerank(
                     12,
                 ).alias("rank"),
             )
+            .localCheckpoint(eager=True)
         )
-        new_ranks.count()  # materialize before releasing the previous vector
-        ranks.unpersist()
-        ranks = new_ranks
     return ranks.select("node", F.round("rank", 6).alias("rank"))
 
 

@@ -65,6 +65,15 @@ PLAN_QUERIES = [
     "q196_negative_sampling",  # ranked_sort range shuffle + dense-index equi-join
     "q203_ann_recall_gate",  # exact + IVF pipelines joined on query_id, no all-pairs
     "q212_merged_schema_read",  # two-footer union read, metadata-bound listing
+    # r9 additions — the declared r9 tranche's plan stories
+    "q213_resample_ffill",   # grid union + ONE key-partitioned fill window
+    "q221_pagerank_dup_graph",  # per-round src join + dst agg, persisted rank vector
+    "q222_weighted_sample",  # Efraimidis-Spirakis TakeOrderedAndProject heap
+    "q231_ks_drift",         # ECDF prefix sums via broadcast offsets, no 1-partition sort
+    "q233_hist_quantile_audit",  # 64-key histogram agg + exact-quantile audit join
+    "q235_interval_overlap_join",  # cell-explode equi join, NO cartesian
+    "q239_scene_changes",    # Arrow dHash map; only (video,idx,hash) enter the window
+    "q240_upsert_replay_compaction",  # chained key-partitioned row_number folds
 ]
 
 

@@ -12,7 +12,13 @@ configuration the standard gates never exercise:
   real q148 week-boundary bug in r7),
 - 16 shuffle partitions (neither the test suite's 8 nor the driver's 32).
 
-Usage:  python tools/hostile_sweep.py [names...]   (default: full catalog)
+Usage:  python tools/hostile_sweep.py [--aqe-off] [--partitions N] [names...]
+(default: full catalog, AQE on, 16 shuffle partitions)
+--aqe-off      : spark.sql.adaptive.enabled=false (proves correctness never
+                 leans on AQE's runtime re-planning — one run per round)
+--partitions N : shuffle-partition override; N=1 is the degenerate-
+                 parallelism probe (broadcast offsets, ranged prefix sums,
+                 and partition-count-derived defaults must hold at nparts=1)
 Exit code 0 = all green; prints one line per failure.
 """
 
@@ -36,17 +42,27 @@ def main() -> int:
     from osmapreduceproject_spark.queries import QUERIES
     from tests.oracle_check import check_query, duckdb_conn
 
+    args = sys.argv[1:]
+    aqe = "true"
+    partitions = "16"
+    if "--aqe-off" in args:
+        args.remove("--aqe-off")
+        aqe = "false"
+    if "--partitions" in args:
+        i = args.index("--partitions")
+        partitions = args[i + 1]
+        del args[i : i + 2]
     spark = (
         SparkSession.builder.master("local[8]")
         .appName("hostile_sweep")
-        .config("spark.sql.shuffle.partitions", "16")
+        .config("spark.sql.shuffle.partitions", partitions)
         .config("spark.sql.session.timeZone", "Australia/Eucla")
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.enabled", aqe)
         .getOrCreate()
     )
     duck = duckdb_conn(SF_DIR)
-    names = sys.argv[1:] or [n for n, s in QUERIES.items() if s.oracle is not None]
+    names = args or [n for n, s in QUERIES.items() if s.oracle is not None]
     failures = 0
     for i, name in enumerate(names, 1):
         try:
@@ -58,7 +74,10 @@ def main() -> int:
             print(f"FAIL {name}: " + "; ".join(issues), flush=True)
         if i % 25 == 0:
             print(f"... {i}/{len(names)} swept, {failures} failures", flush=True)
-    print(f"hostile sweep: {len(names) - failures}/{len(names)} green")
+    print(
+        f"hostile sweep (aqe={aqe}, partitions={partitions}): "
+        f"{len(names) - failures}/{len(names)} green"
+    )
     spark.stop()
     return 1 if failures else 0
 
