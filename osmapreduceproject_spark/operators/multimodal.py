@@ -929,3 +929,62 @@ def audio_silence_segments(
         .where(F.col("n_frames") >= min_frames)
         .drop("__island")
     )
+
+
+def video_keyframe_select(
+    frames: DataFrame,
+    max_hamming: int = 10,
+) -> DataFrame:
+    """Scene segmentation + keyframe selection — the downstream half of
+    :func:`scene_changes` a video-curation pipeline actually materializes:
+    dHash every frame (the value-oracled q132 hash), segment each video
+    at adjacent-frame hamming > ``max_hamming`` (lag + cumulative-sum
+    over one per-video window — the sessionize pattern along frame
+    time), and emit ONE representative per scene: the middle frame
+    (discrete-median position, ceil(n/2)-th frame of the scene), whose
+    stable choice dedups a video to O(scenes) frames for embedding or
+    captioning instead of O(frames).
+
+    Scale shape: hashing is Arrow-batched mapInPandas (payloads never
+    shuffle); segmentation and selection are two windows and one
+    groupBy, all keyed on the video — (video, frame, hash) triplets are
+    the only shuffled rows. Returns
+    (media_id, scene_idx, scene_start, scene_end, n_frames,
+    keyframe_idx) with frame bounds inclusive.
+    """
+    from pyspark.sql import Window
+
+    hashed = dhash_images(frames, extra_cols=["frame_idx"])
+    w = Window.partitionBy("media_id").orderBy(F.col("frame_idx").asc())
+    ham = F.bit_count(
+        F.col("dhash").bitwiseXOR(F.lag("dhash").over(w))
+    )
+    seg = (
+        hashed.withColumn(
+            "__new",
+            F.when(ham.isNull() | (ham > max_hamming), 1).otherwise(0),
+        )
+        .withColumn(
+            "scene_idx",
+            F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)) - 1,
+        )
+    )
+    ws = Window.partitionBy("media_id", "scene_idx").orderBy(
+        F.col("frame_idx").asc()
+    )
+    wc = Window.partitionBy("media_id", "scene_idx")
+    ranked = seg.withColumn("__rn", F.row_number().over(ws)).withColumn(
+        "__n", F.count(F.lit(1)).over(wc)
+    )
+    return (
+        ranked.groupBy("media_id", "scene_idx")
+        .agg(
+            F.min("frame_idx").alias("scene_start"),
+            F.max("frame_idx").alias("scene_end"),
+            F.max("__n").alias("n_frames"),
+            F.min(
+                F.when(F.col("__rn") == F.ceil(F.col("__n") / 2), F.col("frame_idx"))
+            ).alias("keyframe_idx"),
+        )
+        .withColumn("n_frames", F.col("n_frames").cast("bigint"))
+    )

@@ -400,3 +400,32 @@ def rebalance_to_mix(
         "__r", F.row_number().over(w)
     )
     return ranked.where(F.col("__r") <= F.col("__q")).drop("__r", "__q")
+
+
+def group_kfold(
+    df: DataFrame,
+    group_col: str,
+    k: int,
+    salt: str = "gkf",
+) -> DataFrame:
+    """Group-integral k-fold assignment: every row of a group lands in
+    the SAME fold (fold = cross-engine md5 of 'salt|group' mod k) — the
+    cross-validation split that prevents group leakage (all of one
+    user's events, one document's chunks, one domain's pages stay
+    together), the k-way companion of the q206 temporal split and the
+    q160 leakage audit. Deterministic and seedable via ``salt``:
+    reruns, engines, and partitionings all agree on every assignment.
+
+    A narrow map — no shuffle, no state: the fold is a pure function of
+    the group value, so it needs no group table, broadcasts nothing,
+    and scales to any corpus. Adds a ``fold`` column (0..k-1).
+    """
+    return df.withColumn(
+        "fold",
+        (
+            md5_int(
+                F.concat_ws("|", F.lit(salt), F.col(group_col).cast("string"))
+            )
+            % int(k)
+        ).cast("int"),
+    )

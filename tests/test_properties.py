@@ -1158,3 +1158,172 @@ def test_holt_linear_matches_python_fold(spark, vals):
             lq = nl
         want.append((lq / 1_000_000.0, bq / 1_000_000.0))
     assert got == want
+
+
+@given(
+    points=st.lists(st.integers(min_value=-50, max_value=50), min_size=1, max_size=20),
+    ivs=st.lists(
+        st.tuples(
+            st.integers(min_value=-50, max_value=50),
+            st.integers(min_value=0, max_value=30),
+        ),
+        min_size=1,
+        max_size=20,
+    ),
+    grid=st.sampled_from([1, 3, 7, 16]),
+)
+@SET
+def test_point_in_interval_join_matches_bruteforce(spark, points, ivs, grid):
+    """The grid decomposition is pure plumbing: for ANY grid size the
+    output equals the brute-force containment predicate, exactly once
+    per (point, interval) pair — including negative bounds (floor
+    semantics), empty intervals (dropped), and points on boundaries
+    (lo inclusive, hi exclusive)."""
+    from osmapreduceproject_spark.operators.joins import point_in_interval_join
+
+    pts = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(points)], "pid int, p long"
+    )
+    intervals = spark.createDataFrame(
+        [(j, lo, lo + ln) for j, (lo, ln) in enumerate(ivs)],
+        "iid int, lo long, hi long",
+    )
+    got = sorted(
+        (r["pid"], r["iid"])
+        for r in point_in_interval_join(pts, intervals, "p", "lo", "hi", grid).collect()
+    )
+    want = sorted(
+        (i, j)
+        for i, p in enumerate(points)
+        for j, (lo, ln) in enumerate(ivs)
+        if lo <= p < lo + ln
+    )
+    assert got == want
+
+
+@given(
+    labels=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 2)), min_size=2, max_size=60
+    )
+)
+@SET
+def test_cohens_kappa_matches_python(spark, labels):
+    """Kappa against the direct Python contingency computation — and the
+    bounds: po=1 ⇒ κ=1 (unless pe=1 → NULL), κ ≤ 1 always."""
+    from osmapreduceproject_spark.operators.stats import cohens_kappa
+
+    df = spark.createDataFrame(labels, "a int, b int")
+    row = cohens_kappa(df, "a", "b").first()
+    n = len(labels)
+    po = sum(1 for a, b in labels if a == b) / n
+    from collections import Counter
+
+    ca, cb = Counter(a for a, _ in labels), Counter(b for _, b in labels)
+    pe = sum(ca[k] * cb.get(k, 0) for k in ca) / (n * n)
+    assert row["n"] == n
+    assert abs(row["po"] - round(po, 6)) < 1e-9
+    assert abs(row["pe"] - round(pe, 6)) < 1e-9
+    if pe < 1.0:
+        assert abs(row["kappa"] - round((po - pe) / (1 - pe), 6)) < 1e-9
+        assert row["kappa"] <= 1.0 + 1e-9
+    else:
+        assert row["kappa"] is None
+
+
+@given(
+    series=st.lists(
+        st.integers(min_value=-100, max_value=100), min_size=3, max_size=30
+    )
+)
+@SET
+def test_series_autocorrelation_matches_python(spark, series):
+    """Lag-k ACF against a plain Python fold over the same quantized
+    pairs (one key, hourly observations so the grid IS the series)."""
+    import datetime
+    import math as _math
+
+    from osmapreduceproject_spark.operators.windows import series_autocorrelation
+
+    base = datetime.datetime(2025, 1, 1)
+    df = spark.createDataFrame(
+        [
+            (1, base + datetime.timedelta(hours=i), float(v))
+            for i, v in enumerate(series)
+        ],
+        "k bigint, ts timestamp, v double",
+    )
+    got = {
+        (r["lag"]): (r["n_pairs"], r["acf"])
+        for r in series_autocorrelation(
+            df, key="k", ts="ts", value_col="v", step_seconds=3600, max_lag=3
+        ).collect()
+    }
+    for lag in (1, 2, 3):
+        pairs = [
+            (round(series[i] * 1e6), round(series[i - lag] * 1e6))
+            for i in range(lag, len(series))
+        ]
+        if not pairs:
+            assert lag not in got
+            continue
+        n = len(pairs)
+        sx = sum(x for x, _ in pairs)
+        sy = sum(y for _, y in pairs)
+        sxx = sum(x * x for x, _ in pairs)
+        syy = sum(y * y for _, y in pairs)
+        sxy = sum(x * y for x, y in pairs)
+        vx, vy = n * sxx - sx * sx, n * syy - sy * sy
+        want = (
+            round((n * sxy - sx * sy) / _math.sqrt(vx * vy), 6)
+            if n >= 2 and vx > 0 and vy > 0
+            else None
+        )
+        assert got[lag][0] == n
+        if want is None:
+            assert got[lag][1] is None
+        else:
+            assert abs(got[lag][1] - want) < 1e-9
+
+
+@given(
+    data=st.lists(
+        st.tuples(st.booleans(), st.integers(min_value=-500, max_value=500)),
+        min_size=4,
+        max_size=60,
+    )
+)
+@SET
+def test_brown_forsythe_matches_python(spark, data):
+    """F statistic against a direct Python replay of the same quantized
+    integer arithmetic (discrete medians, micro-unit deviations)."""
+    import math as _math
+
+    from osmapreduceproject_spark.operators.stats import brown_forsythe_test
+
+    rows = [("a" if is_a else "b", float(v)) for is_a, v in data]
+    df = spark.createDataFrame(rows, "g string, v double")
+    row = brown_forsythe_test(df, "g", "v", "a", "b").first()
+    ga = sorted(v for g, v in rows if g == "a")
+    gb = sorted(v for g, v in rows if g == "b")
+    assert row["n_a"] == len(ga) and row["n_b"] == len(gb)
+    if not ga or not gb or len(ga) + len(gb) < 3:
+        assert row["f_stat"] is None
+        return
+    med_a = ga[_math.ceil(len(ga) / 2) - 1]
+    med_b = gb[_math.ceil(len(gb) / 2) - 1]
+    assert row["median_a"] == med_a and row["median_b"] == med_b
+    za = [round(abs(v - med_a) * 1e6) for v in ga]
+    zb = [round(abs(v - med_b) * 1e6) for v in gb]
+    na, nb = len(za), len(zb)
+    sa, sb = sum(za), sum(zb)
+    ssa, ssb = sum(z * z for z in za), sum(z * z for z in zb)
+    mz = float(sa + sb) / (na + nb)
+    da = float(sa) / na - mz
+    db = float(sb) / nb - mz
+    between = na * (da * da) + nb * (db * db)
+    within = (float(ssa) - float(sa) * sa / na) + (float(ssb) - float(sb) * sb / nb)
+    if within > 0:
+        assert abs(row["f_stat"] - round(between / (within / (na + nb - 2)), 6)) < 1e-9
+        assert row["f_stat"] >= 0
+    else:
+        assert row["f_stat"] is None

@@ -343,3 +343,89 @@ def test_point_in_interval_join_scale_smoke(spark):
         F.sum((F.col("pid") == F.col("iid")).cast("int")).alias("self_pairs"),
     ).first()
     assert agg["n"] == n and agg["self_pairs"] == n
+
+
+def test_group_kfold_oracle(spark, duck):
+    """Per-fold summary over documents grouped by source, plus the
+    integrity invariant: every group lands in exactly one fold."""
+    from osmapreduceproject_spark.functions.hashing import md5_int_sql
+    from osmapreduceproject_spark.operators.sampling import group_kfold
+    from osmapreduceproject_spark.queries import _t
+
+    d = _t(spark, SF_CORRECT, "documents")
+    folded = group_kfold(d, "source", 5)
+    got = folded.groupBy("fold").agg(
+        F.countDistinct("source").alias("n_groups"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    h = md5_int_sql("'gkf|' || CAST(source AS VARCHAR)")
+    sql = f"""
+    SELECT CAST({h} % 5 AS INTEGER) AS fold,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_groups,
+           COUNT(*) AS n_rows
+    FROM documents GROUP BY 1
+    """
+    assert compare(got, duck.execute(sql).df()) == []
+    # group integrity: a source never straddles folds
+    assert (
+        folded.groupBy("source")
+        .agg(F.countDistinct("fold").alias("nf"))
+        .where(F.col("nf") > 1)
+        .count()
+        == 0
+    )
+
+
+def test_video_keyframe_select_oracle(spark, duck):
+    """Scene segmentation + middle-frame keyframe over the q239
+    closed-form video fixture: the oracle replays hash, lag-hamming
+    segmentation, and the ceil(n/2) pick in SQL; the planted single cut
+    yields exactly two scenes per video with keyframes at frames 2/8."""
+    from osmapreduceproject_spark.operators.multimodal import (
+        arith_video_frames,
+        video_keyframe_select,
+    )
+    from osmapreduceproject_spark.queries_r9 import _scene_hash_sql
+
+    frames = arith_video_frames(spark, n_videos=24, n_frames=12, cut_at=6)
+    got = video_keyframe_select(frames, max_hamming=10)
+    sql = f"""
+    WITH frames AS (
+      SELECT v.vid, f.f,
+             CASE WHEN f.f < 6 THEN v.vid ELSE v.vid + 500 END AS m
+      FROM (SELECT unnest(range(24)) AS vid) v,
+           (SELECT unnest(range(12)) AS f) f),
+    hh AS (SELECT vid, f, {_scene_hash_sql(16, 12, 12)} AS hv FROM frames),
+    signed AS (
+      SELECT vid, f,
+             CAST(CASE WHEN hv >= CAST('9223372036854775808' AS HUGEINT)
+                       THEN hv - CAST('18446744073709551616' AS HUGEINT)
+                       ELSE hv END AS BIGINT) AS dhash
+      FROM hh),
+    lagged AS (
+      SELECT vid, f, dhash, LAG(dhash) OVER w AS ph
+      FROM signed WINDOW w AS (PARTITION BY vid ORDER BY f)),
+    flag AS (SELECT vid, f,
+               CASE WHEN ph IS NULL OR bit_count(xor(dhash, ph)) > 10
+                    THEN 1 ELSE 0 END AS nw
+             FROM lagged),
+    seg AS (SELECT vid, f,
+              SUM(nw) OVER (PARTITION BY vid ORDER BY f) - 1 AS scene
+            FROM flag),
+    rk AS (SELECT vid, scene, f,
+             ROW_NUMBER() OVER (PARTITION BY vid, scene ORDER BY f) AS rn,
+             COUNT(*) OVER (PARTITION BY vid, scene) AS n
+           FROM seg)
+    SELECT CAST(vid AS BIGINT) AS media_id, CAST(scene AS BIGINT) AS scene_idx,
+           CAST(MIN(f) AS INTEGER) AS scene_start,
+           CAST(MAX(f) AS INTEGER) AS scene_end,
+           COUNT(*) AS n_frames,
+           CAST(MIN(CASE WHEN rn = CAST(ceil(n / 2.0) AS BIGINT) THEN f END)
+                AS INTEGER) AS keyframe_idx
+    FROM rk GROUP BY 1, 2
+    """
+    assert compare(got, duck.execute(sql).df()) == []
+    rows = {
+        (r["media_id"], r["scene_idx"], r["keyframe_idx"]) for r in got.collect()
+    }
+    assert rows == {(v, 0, 2) for v in range(24)} | {(v, 1, 8) for v in range(24)}
