@@ -1215,7 +1215,12 @@ def gopher_repetition(
     per-occurrence char walk.)
 
     Line features are one narrow map (array distinct/filter over the
-    line split — duplicate detection per doc is in-array, no shuffle).
+    line split — duplicate detection per doc is in-array, no shuffle;
+    the char-mass pass is O(lines²) PER DOC, bounded by document line
+    counts the way the series folds are bounded by grid length — for a
+    corpus of pathological 100k-line documents, swap it for the
+    explode → (doc, line) count → weighted-sum formulation, which is
+    linear at one extra doc-keyed exchange).
     Top-n-gram features explode grams to a (doc, n, gram) count and
     take the per-doc argmax — corpus-token-scale shuffles with
     map-side combine (the q134 BPE-pair shape), grouped on the doc key

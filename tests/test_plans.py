@@ -599,3 +599,33 @@ def test_r10_wave_plan_shapes(spark):
     acf = series_autocorrelation(ev, key="user_id", ts="ts",
                                  value_col="value", step_seconds=3600)
     assert data_carrying_single_partitions(acf) == [], explain_str(acf)
+
+
+def test_pagerank_plan_is_constant_size_in_iters(spark):
+    """The r9 lineage fix, machine-visible: persist truncates
+    recomputation but NOT the analyzed plan, and pagerank references
+    its inputs several times per round — pre-fix, the 5-iteration plan
+    over a pair-pipeline edge generator grew geometrically and OOM'd a
+    default-heap driver in plan STRINGIFICATION. With the inputs and
+    the per-round rank vector as localCheckpoint leaves, the final
+    plan must be small and essentially independent of iters."""
+    from pyspark.sql import functions as F
+
+    from osmapreduceproject_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        pagerank,
+    )
+    from osmapreduceproject_spark.plans.inspect import explain_str
+    from osmapreduceproject_spark.queries import _t
+
+    d = _t(spark, "/root/testdata/sf0.001", "documents")
+    pairs = ngram_jaccard_pairs(d, threshold=0.8).select(
+        F.col("a_doc_id").alias("a_id"), F.col("b_doc_id").alias("b_id")
+    )
+    sizes = {}
+    for iters in (2, 5):
+        plan = explain_str(pagerank(d.select("doc_id"), pairs, iters=iters))
+        sizes[iters] = len(plan)
+        assert len(plan) < 100_000, f"{iters}-iter plan is {len(plan)} chars"
+    # leaf-truncated: more rounds must not inflate the FINAL plan
+    assert sizes[5] <= sizes[2] * 1.5, sizes
