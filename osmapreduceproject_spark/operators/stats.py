@@ -1530,15 +1530,21 @@ def cohens_kappa(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
     divisions; one row out:
     (n, n_agree, po, pe, kappa).
     """
+    dec = "decimal(38,0)"
     cont = df.groupBy(
         F.col(col_a).alias("__a"), F.col(col_b).alias("__b")
     ).agg(F.count(F.lit(1)).alias("o"))
     ra = cont.groupBy("__a").agg(F.sum("o").alias("__ra"))
     cb = cont.groupBy("__b").agg(F.sum("o").alias("__cb"))
+    # marginal products and n² in DECIMAL(38,0): bigint row_k·col_k (and
+    # n·n) overflows past ~3e9 rows — at 100 TB these are 1e24-class
+    # integers, exact in decimal, converted to double exactly once
     pe_terms = ra.join(cb, ra["__a"].eqNullSafe(cb["__b"]), "inner").select(
-        (F.col("__ra") * F.col("__cb")).alias("__rc")
+        (F.col("__ra").cast(dec) * F.col("__cb")).alias("__rc")
     )
-    pe_sum = pe_terms.agg(F.coalesce(F.sum("__rc"), F.lit(0)).alias("__pe_num"))
+    pe_sum = pe_terms.agg(
+        F.coalesce(F.sum("__rc"), F.lit(0).cast(dec)).alias("__pe_num")
+    )
     agg = cont.agg(
         F.sum("o").alias("n"),
         F.sum(
@@ -1549,7 +1555,9 @@ def cohens_kappa(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
     )
     j = agg.crossJoin(F.broadcast(pe_sum))
     po = F.col("n_agree") / F.col("n")
-    pe = F.col("__pe_num") / (F.col("n") * F.col("n"))
+    pe = F.col("__pe_num").cast("double") / (
+        F.col("n").cast(dec) * F.col("n")
+    ).cast("double")
     return j.select(
         "n",
         "n_agree",
