@@ -926,7 +926,10 @@ def pagerank(
         .agg(F.count(F.lit(1)).alias("deg"))
         .localCheckpoint(eager=True)
     )
-    base = nodes.select(F.col(id_col).alias("node"))
+    # base is a loop input too: without its own leaf, a heavy nodes
+    # pipeline would be re-planned AND re-executed inside every round's
+    # eager rank checkpoint
+    base = nodes.select(F.col(id_col).alias("node")).localCheckpoint(eager=True)
     ranks = base.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(eager=True)
     for _ in range(iters):
         dangling = (

@@ -344,9 +344,24 @@ def interval_overlap_join(
     Bounds are integers (epoch seconds/µs — timestamps cast upstream).
     EMPTY intervals (hi ≤ lo) are dropped before cell explosion — an
     empty range overlaps nothing, and its descending cell sequence
-    would otherwise fabricate cells. Left columns keep their names;
-    ``how`` is pass-through (inner by default).
+    would otherwise fabricate cells. Left columns keep their names.
+
+    ``how`` accepts inner ONLY: BOTH sides are cell-exploded, so every
+    other variant multiplies rows by covered cells — an outer join
+    emits an unmatched interval once per cell, and even semi/anti
+    evaluate per EXPLODED row (the canonical-cell rule only dedups
+    MATCHED pairs). Rejected loudly rather than silently multiplied;
+    derive semi/anti/outer from the inner result (distinct keys /
+    anti-join against them).
     """
+    if how.replace("_", "").lower() != "inner":
+        raise ValueError(
+            f"interval_overlap_join: how={how!r} is not supported — both "
+            "sides are cell-exploded, so non-inner variants emit rows "
+            "per covered cell (outer) or per exploded row (semi/anti); "
+            "derive them from the inner result: distinct left keys for "
+            "semi, an anti-join against those keys for anti/outer"
+        )
     left = left.where(F.col(left_hi) > F.col(left_lo))
     right = right.where(F.col(right_hi) > F.col(right_lo))
     lcell = F.explode(
@@ -401,8 +416,22 @@ def point_in_interval_join(
     near the typical interval length. EMPTY intervals (hi ≤ lo) drop
     before explosion (their descending cell sequence would fabricate
     cells). Bounds and points are integers (epoch seconds/µs cast
-    upstream). Point columns keep their names; ``how`` passes through.
+    upstream). Point columns keep their names.
+
+    ``how`` accepts inner and the POINT-side variants (left outer /
+    left_semi / left_anti — points are not exploded, so their
+    multiplicity is safe); right/full outer are rejected: an unmatched
+    interval would surface once per covered cell.
     """
+    allowed = {"inner", "left", "leftouter", "left_outer", "semi",
+               "leftsemi", "left_semi", "anti", "leftanti", "left_anti"}
+    if how.replace("_", "").lower() not in {a.replace("_", "") for a in allowed}:
+        raise ValueError(
+            f"point_in_interval_join: how={how!r} is not supported — the "
+            "interval side is cell-exploded, so right/full outer would "
+            "emit an unmatched interval once per covered cell; use the "
+            "point-side variants (inner/left/left_semi/left_anti)"
+        )
     intervals = intervals.where(F.col(hi_col) > F.col(lo_col))
     icell = F.explode(
         F.sequence(

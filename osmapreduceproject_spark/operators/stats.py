@@ -1601,9 +1601,12 @@ def brown_forsythe_test(
 
     dec = "decimal(38,0)"
     v = F.col(value_col).cast("double")
+    # two inherent passes (moments need the medians) — persist so the
+    # second pass reads cached rows instead of rescanning the source;
+    # released before returning (both materializations happen in-call)
     pool = df.where(
         F.col(group_col).isin([group_a, group_b]) & v.isNotNull() & ~F.isnan(v)
-    ).select(F.col(group_col).alias("__g"), v.alias("__v"))
+    ).select(F.col(group_col).alias("__g"), v.alias("__v")).persist()
     med_rows = {
         r["__g"]: r["__med"]
         for r in _disc_median_per_key(pool, "__g", "__v", "__med").collect()
@@ -1622,6 +1625,7 @@ def brown_forsythe_test(
             F.sum(zq * zq).alias(f"ss_{tag}"),
         ]
     row = pool.agg(*out_aggs).first()
+    pool.unpersist()
     na, nb = int(row["n_a"] or 0), int(row["n_b"] or 0)
     f_stat = None
     if na >= 1 and nb >= 1 and na + nb >= 3:

@@ -945,11 +945,13 @@ def series_autocorrelation(
         F.count(F.lit(1)).alias("n_pairs"),
         F.sum("__x").alias("__sx"),
         F.sum("__y").alias("__sy"),
-        # per-ELEMENT decimal cast: a bigint Σx² overflows at ~9e18
-        # (8784 slots × (2e8)² clears it), the decimal sum never does
-        F.sum((F.col("__x") * F.col("__x")).cast("decimal(38,0)")).alias("__sxx"),
-        F.sum((F.col("__y") * F.col("__y")).cast("decimal(38,0)")).alias("__syy"),
-        F.sum((F.col("__x") * F.col("__y")).cast("decimal(38,0)")).alias("__sxy"),
+        # per-OPERAND decimal cast (the corr_matrix recipe): the bigint
+        # PRODUCT itself overflows at |value| > ~3037 (xq ≈ 1e10 →
+        # xq² ≈ 1e20 > int64), so the cast must precede the multiply,
+        # not just the sum
+        F.sum(F.col("__x").cast("decimal(38,0)") * F.col("__x")).alias("__sxx"),
+        F.sum(F.col("__y").cast("decimal(38,0)") * F.col("__y")).alias("__syy"),
+        F.sum(F.col("__x").cast("decimal(38,0)") * F.col("__y")).alias("__sxy"),
     )
     n = F.col("n_pairs").cast("double")
     sx, sy = F.col("__sx").cast("double"), F.col("__sy").cast("double")

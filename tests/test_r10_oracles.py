@@ -298,7 +298,9 @@ def test_series_autocorrelation_oracle(spark, duck):
                  CAST(round(u * 1000000) AS BIGINT) AS y
           FROM st),
     s AS (SELECT k, lag, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
-                 SUM(x*x) AS sxx, SUM(y*y) AS syy, SUM(x*y) AS sxy
+                 SUM(CAST(x AS HUGEINT) * x) AS sxx,
+                 SUM(CAST(y AS HUGEINT) * y) AS syy,
+                 SUM(CAST(x AS HUGEINT) * y) AS sxy
           FROM q GROUP BY 1, 2),
     fin AS (SELECT *,
               n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx AS vx,
@@ -429,3 +431,60 @@ def test_video_keyframe_select_oracle(spark, duck):
         (r["media_id"], r["scene_idx"], r["keyframe_idx"]) for r in got.collect()
     }
     assert rows == {(v, 0, 2) for v in range(24)} | {(v, 1, 8) for v in range(24)}
+
+
+def test_grid_joins_reject_outer_variants(spark):
+    """Cell explosion duplicates UNMATCHED rows under outer joins (one
+    per covered cell) — both grid joins must reject those variants
+    loudly instead of silently multiplying; the safe variants stay
+    accepted (review finding, r9)."""
+    from osmapreduceproject_spark.operators.joins import (
+        interval_overlap_join,
+        point_in_interval_join,
+    )
+
+    pts = spark.createDataFrame([(1, 5)], "pid int, p long")
+    iv = spark.createDataFrame([(1, 0, 40)], "iid int, lo long, hi long")
+    with pytest.raises(ValueError, match="per covered cell"):
+        point_in_interval_join(pts, iv, "p", "lo", "hi", 4, how="full")
+    with pytest.raises(ValueError, match="per covered cell"):
+        point_in_interval_join(pts, iv, "p", "lo", "hi", 4, how="right")
+    # point-side outer is safe (points are not exploded): an unmatched
+    # point surfaces exactly once
+    lonely = spark.createDataFrame([(1, 5), (2, 100)], "pid int, p long")
+    out = point_in_interval_join(lonely, iv, "p", "lo", "hi", 4, how="left")
+    assert out.count() == 2 and out.where(F.col("iid").isNull()).count() == 1
+
+    # interval_overlap_join explodes BOTH sides, so even semi/anti
+    # evaluate per exploded row — only inner is accepted
+    l2 = spark.createDataFrame([(1, 0, 40)], "lid int, l_lo long, l_hi long")
+    r2 = spark.createDataFrame([(9, 100, 140)], "rid int, r_lo long, r_hi long")
+    for bad in ("left", "full", "left_anti", "left_semi"):
+        with pytest.raises(ValueError, match="covered cell|exploded row"):
+            interval_overlap_join(
+                l2, r2, "l_lo", "l_hi", "r_lo", "r_hi", 4, how=bad
+            )
+
+
+def test_series_autocorrelation_large_values_no_overflow(spark):
+    """|value| ≈ 10,000 quantizes to ~1e10; its square exceeds int64 —
+    the per-operand decimal cast must keep the moments exact instead of
+    raising ARITHMETIC_OVERFLOW (review finding, r9)."""
+    import datetime
+
+    from osmapreduceproject_spark.operators.windows import series_autocorrelation
+
+    base = datetime.datetime(2025, 1, 1)
+    df = spark.createDataFrame(
+        [
+            (1, base + datetime.timedelta(hours=i), 10_000.0 + (i % 7) * 913.0)
+            for i in range(24)
+        ],
+        "k bigint, ts timestamp, v double",
+    )
+    rows = series_autocorrelation(
+        df, key="k", ts="ts", value_col="v", step_seconds=3600, max_lag=2
+    ).collect()
+    assert {r["lag"] for r in rows} == {1, 2}
+    for r in rows:
+        assert r["acf"] is None or -1.0 - 1e-9 <= r["acf"] <= 1.0 + 1e-9

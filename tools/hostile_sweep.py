@@ -50,6 +50,9 @@ def main() -> int:
         aqe = "false"
     if "--partitions" in args:
         i = args.index("--partitions")
+        if i + 1 >= len(args) or not args[i + 1].isdigit():
+            print("usage: --partitions N (a positive integer)", file=sys.stderr)
+            return 2
         partitions = args[i + 1]
         del args[i : i + 2]
     spark = (
