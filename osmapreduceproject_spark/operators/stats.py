@@ -1656,3 +1656,142 @@ def brown_forsythe_test(
         "n_a bigint, n_b bigint, median_a double, median_b double, "
         "dof_between bigint, dof_within bigint, f_stat double",
     )
+
+
+def _doubled_midrank_map(vals: DataFrame) -> DataFrame:
+    """(__v) → (__v, __r2): each distinct value's DOUBLED midrank
+    (2·avg_rank of its tied block = 2·cum_before + count + 1 — integer
+    by construction), via the ranked_sort offset technique shared with
+    :func:`ks_test`/:func:`auc_roc`: per-distinct-value counts, a range
+    repartition on the value, per-partition totals cumulated through a
+    broadcast non-equi self-join, and a partition-LOCAL running sum —
+    no single-partition window. Input column ``__v`` must be non-null,
+    non-NaN. The returned frame is ``tracked_persist``-ed (it is
+    consumed by a join back to rows); callers release via
+    plans.inspect.release_intermediates().
+    """
+    from ..plans.inspect import tracked_persist
+
+    per_value = vals.groupBy("__v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__cn")
+    )
+    spark = vals.sparkSession
+    try:
+        nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        nparts = spark.sparkContext.defaultParallelism
+    ranged = tracked_persist(
+        per_value.repartitionByRange(nparts, F.col("__v").asc())
+        .sortWithinPartitions(F.col("__v").asc())
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    totals = ranged.groupBy("__pid").agg(F.sum("__cn").alias("__tn"))
+    b = totals.select(F.col("__pid").alias("__bpid"), F.col("__tn").alias("__btn"))
+    offsets = (
+        totals.join(F.broadcast(b), F.col("__bpid") < F.col("__pid"), "left")
+        .groupBy("__pid")
+        .agg(F.coalesce(F.sum("__btn"), F.lit(0)).cast("bigint").alias("__off"))
+    )
+    w = Window.partitionBy("__pid").orderBy(F.col("__v").asc())
+    return tracked_persist(
+        ranged.join(F.broadcast(offsets), "__pid").select(
+            "__v",
+            (
+                F.lit(2) * (F.col("__off") + F.sum("__cn").over(w) - F.col("__cn"))
+                + F.col("__cn")
+                + F.lit(1)
+            ).alias("__r2"),
+        )
+    )
+
+
+def spearman_corr(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Spearman rank correlation between two numeric columns — Pearson
+    over midranks, the monotone-association readout Pearson misses when
+    the relationship is nonlinear (a quality score that RANKS documents
+    correctly but on a warped scale still earns ρ≈1 here): the
+    outlier-robust companion to :func:`corr_matrix` and the
+    whole-column analogue of :func:`auc_roc`'s binary ranking gate.
+
+    Exactness recipe: both columns rank via DOUBLED midranks (integers,
+    the :func:`_doubled_midrank_map` machinery — no single-partition
+    window), rows join their ranks back by VALUE (two hash joins
+    against distinct-value frames), and Pearson runs over exact
+    DECIMAL(38,0) rank moments into IEEE divisions in one fixed
+    expression order — the doubled-rank scale factor cancels in the
+    ratio. Rows with NULL/NaN in EITHER column are excluded (pairwise
+    deletion of the complete-pair kind). Degenerate inputs (a constant
+    column, <2 rows) return NULL. One row: (n, spearman_rho).
+    """
+    dec = "decimal(38,0)"
+    va = F.col(col_a).cast("double")
+    vb = F.col(col_b).cast("double")
+    pool = df.where(
+        va.isNotNull() & ~F.isnan(va) & vb.isNotNull() & ~F.isnan(vb)
+    ).select(va.alias("__x"), vb.alias("__y"))
+    ra = _doubled_midrank_map(pool.select(F.col("__x").alias("__v"))).select(
+        F.col("__v").alias("__x"), F.col("__r2").alias("__ra")
+    )
+    rb = _doubled_midrank_map(pool.select(F.col("__y").alias("__v"))).select(
+        F.col("__v").alias("__y"), F.col("__r2").alias("__rb")
+    )
+    j = pool.join(ra, "__x").join(rb, "__y")
+    sums = j.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("__ra").cast(dec)).alias("__sx"),
+        F.sum(F.col("__rb").cast(dec)).alias("__sy"),
+        F.sum(F.col("__ra").cast(dec) * F.col("__ra")).alias("__sxx"),
+        F.sum(F.col("__rb").cast(dec) * F.col("__rb")).alias("__syy"),
+        F.sum(F.col("__ra").cast(dec) * F.col("__rb")).alias("__sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("__sx").cast("double"), F.col("__sy").cast("double")
+    sxx, syy = F.col("__sxx").cast("double"), F.col("__syy").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    return sums.select(
+        "n",
+        F.when(
+            (F.col("n") >= 2) & (vx > 0) & (vy > 0),
+            F.round((n * sxy - sx * sy) / F.sqrt(vx * vy), 6),
+        ).alias("spearman_rho"),
+    )
+
+
+def mcnemar_test(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """McNemar's test on two PAIRED boolean raters — the
+    did-the-change-help statistic for comparing two filters/classifiers
+    on the SAME rows (where :func:`cohens_kappa` measures agreement,
+    this weighs the DISAGREEMENTS against each other): only the
+    discordant counts matter, χ² = (b − c)²/(b + c) with b = a-only
+    positives and c = b-only positives (no continuity correction —
+    documented, so the oracle matches exactly; no p-value — no
+    chi-square CDF approximation to diverge across engines).
+
+    One conditional aggregation scan, exact integer counts into one
+    IEEE expression. NULL labels pair like values (NULL==NULL agrees,
+    the kappa convention). b + c = 0 (perfect agreement) → NULL
+    statistic, not 0/0. One row: (n, n_a_only, n_b_only, mcnemar_chi2).
+    """
+    a = F.col(col_a).cast("boolean")
+    b = F.col(col_b).cast("boolean")
+    agg = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(a.eqNullSafe(F.lit(True)) & ~b.eqNullSafe(F.lit(True)), 1)
+            .otherwise(0)
+        ).alias("n_a_only"),
+        F.sum(
+            F.when(b.eqNullSafe(F.lit(True)) & ~a.eqNullSafe(F.lit(True)), 1)
+            .otherwise(0)
+        ).alias("n_b_only"),
+    )
+    diff = F.col("n_a_only").cast("double") - F.col("n_b_only").cast("double")
+    tot = (F.col("n_a_only") + F.col("n_b_only")).cast("double")
+    return agg.select(
+        "n",
+        "n_a_only",
+        "n_b_only",
+        F.when(tot > 0, F.round(diff * diff / tot, 6)).alias("mcnemar_chi2"),
+    )

@@ -968,3 +968,49 @@ def series_autocorrelation(
             F.round((n * sxy - sx * sy) / F.sqrt(vx * vy), 6),
         ).alias("acf"),
     )
+
+
+def interval_gaps(
+    df: DataFrame,
+    key: str,
+    start: str,
+    end: str,
+    min_gap_seconds: int = 0,
+) -> DataFrame:
+    """Idle gaps per key — the complement of
+    :func:`interval_union_duration`: between each pair of consecutive
+    merged islands, the uncovered stretch (no interval touches it),
+    filtered to gaps of at least ``min_gap_seconds``. The "when was
+    this user/machine/job actually idle" feature that session length
+    alone can't give when spans overlap.
+
+    Same single-exchange sweep as the union: order intervals by start
+    within the key, carry the running max end; wherever an interval's
+    start exceeds that running max, the stretch (running_max, start)
+    is a gap — overlapping and contained intervals never fabricate one
+    because the RUNNING max (not the previous row's end) closes the
+    island. Exact integer-µs arithmetic. Returns
+    (key, gap_start_us, gap_end_us, gap_s) with µs epoch bounds and
+    whole-second duration.
+    """
+    sel = df.select(
+        F.col(key),
+        F.unix_micros(F.col(start)).alias("__s"),
+        F.unix_micros(F.col(end)).alias("__e"),
+    )
+    w = Window.partitionBy(key).orderBy(F.col("__s").asc(), F.col("__e").asc())
+    prev_max_end = F.max("__e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    gaps = sel.withColumn("__pme", prev_max_end).where(
+        F.col("__pme").isNotNull() & (F.col("__s") > F.col("__pme"))
+    )
+    return (
+        gaps.select(
+            key,
+            F.col("__pme").alias("gap_start_us"),
+            F.col("__s").alias("gap_end_us"),
+            ((F.col("__s") - F.col("__pme")) / 1_000_000)
+            .cast("bigint")
+            .alias("gap_s"),
+        )
+        .where(F.col("gap_s") >= int(min_gap_seconds))
+    )

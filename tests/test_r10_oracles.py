@@ -488,3 +488,147 @@ def test_series_autocorrelation_large_values_no_overflow(spark):
     assert {r["lag"] for r in rows} == {1, 2}
     for r in rows:
         assert r["acf"] is None or -1.0 - 1e-9 <= r["acf"] <= 1.0 + 1e-9
+
+
+def test_spearman_corr_oracle(spark, duck):
+    """Spearman over lineitem quantity vs price — quantity is heavily
+    tied, so the doubled-midrank machinery is what's under test."""
+    from osmapreduceproject_spark.operators.stats import spearman_corr
+    from osmapreduceproject_spark.plans.inspect import release_intermediates
+    from osmapreduceproject_spark.queries import _t
+
+    got = spearman_corr(
+        _t(spark, SF_CORRECT, "lineitem"), "l_quantity", "l_extendedprice"
+    )
+    rank = """
+      r{side} AS (SELECT {col} AS v, COUNT(*) AS cn FROM pool GROUP BY 1),
+      r{side}2 AS (SELECT v, 2*(SUM(cn) OVER (ORDER BY v) - cn) + cn + 1 AS r2
+                   FROM r{side})"""
+    sql = f"""
+    WITH pool AS (
+      SELECT CAST(l_quantity AS DOUBLE) AS x,
+             CAST(l_extendedprice AS DOUBLE) AS y
+      FROM lineitem
+      WHERE l_quantity IS NOT NULL AND NOT isnan(CAST(l_quantity AS DOUBLE))
+        AND l_extendedprice IS NOT NULL
+        AND NOT isnan(CAST(l_extendedprice AS DOUBLE))),
+    {rank.format(side="x", col="x")},
+    {rank.format(side="y", col="y")},
+    j AS (SELECT rx2.r2 AS ra, ry2.r2 AS rb
+          FROM pool JOIN rx2 ON rx2.v = pool.x JOIN ry2 ON ry2.v = pool.y),
+    s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 SUM(CAST(ra AS HUGEINT)) AS sx, SUM(CAST(rb AS HUGEINT)) AS sy,
+                 SUM(CAST(ra AS HUGEINT) * ra) AS sxx,
+                 SUM(CAST(rb AS HUGEINT) * rb) AS syy,
+                 SUM(CAST(ra AS HUGEINT) * rb) AS sxy
+          FROM j),
+    fin AS (SELECT *,
+              n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx AS vx,
+              n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy AS vy
+            FROM s)
+    SELECT n,
+           CASE WHEN n >= 2 AND vx > 0 AND vy > 0 THEN
+             round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+                   / sqrt(vx * vy), 6)
+           END AS spearman_rho
+    FROM fin
+    """
+    assert compare(got, duck.execute(sql).df()) == []
+    row = got.first()
+    assert -1.0 <= row["spearman_rho"] <= 1.0
+    release_intermediates()
+
+
+def test_spearman_known_cases(spark):
+    """Closed-form pins: any strictly monotone transform of a strictly
+    increasing sequence has ρ = 1; reversing it gives ρ = −1; a constant
+    column is degenerate → NULL."""
+    from osmapreduceproject_spark.operators.stats import spearman_corr
+    from osmapreduceproject_spark.plans.inspect import release_intermediates
+
+    up = spark.createDataFrame(
+        [(float(i), float(i * i * i + 5)) for i in range(20)], "x double, y double"
+    )
+    assert spearman_corr(up, "x", "y").first()["spearman_rho"] == 1.0
+    release_intermediates()
+    down = spark.createDataFrame(
+        [(float(i), float(-i)) for i in range(20)], "x double, y double"
+    )
+    assert spearman_corr(down, "x", "y").first()["spearman_rho"] == -1.0
+    release_intermediates()
+    const = spark.createDataFrame(
+        [(float(i), 7.0) for i in range(20)], "x double, y double"
+    )
+    assert spearman_corr(const, "x", "y").first()["spearman_rho"] is None
+    release_intermediates()
+
+
+def test_mcnemar_oracle(spark, duck):
+    """Paired-rater discordance over the kappa fixture raters."""
+    from osmapreduceproject_spark.operators.stats import mcnemar_test
+    from osmapreduceproject_spark.queries import _t
+
+    d = _t(spark, SF_CORRECT, "documents")
+    rated = d.select(
+        (F.col("n_chars") >= 200).alias("rater_a"),
+        (F.size(F.split(F.col("text"), " ")) >= 30).alias("rater_b"),
+    )
+    got = mcnemar_test(rated, "rater_a", "rater_b")
+    sql = """
+    WITH r AS (SELECT (n_chars >= 200) AS a,
+                      (len(string_split(text, ' ')) >= 30) AS b
+               FROM documents),
+    s AS (SELECT COUNT(*) AS n,
+                 SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS n_a_only,
+                 SUM(CASE WHEN b AND NOT a THEN 1 ELSE 0 END) AS n_b_only
+          FROM r)
+    SELECT CAST(n AS BIGINT) AS n, CAST(n_a_only AS BIGINT) AS n_a_only,
+           CAST(n_b_only AS BIGINT) AS n_b_only,
+           CASE WHEN n_a_only + n_b_only > 0 THEN
+             round((CAST(n_a_only AS DOUBLE) - CAST(n_b_only AS DOUBLE))
+                   * (CAST(n_a_only AS DOUBLE) - CAST(n_b_only AS DOUBLE))
+                   / CAST(n_a_only + n_b_only AS DOUBLE), 6)
+           END AS mcnemar_chi2
+    FROM s
+    """
+    assert compare(got, duck.execute(sql).df()) == []
+    # perfect agreement → NULL, not 0/0
+    from osmapreduceproject_spark.operators.stats import mcnemar_test as mt
+
+    same = spark.createDataFrame([(True, True), (False, False)], "a boolean, b boolean")
+    assert mt(same, "a", "b").first()["mcnemar_chi2"] is None
+
+
+def test_interval_gaps_oracle(spark, duck):
+    """Idle gaps between merged activity islands per user (q227's
+    interval construction), min_gap 60 s."""
+    from osmapreduceproject_spark.operators.windows import interval_gaps
+
+    e = _events(spark)
+    iv = e.select(
+        "user_id",
+        F.col("ts").alias("s"),
+        F.timestamp_micros(
+            F.unix_micros("ts") + F.floor(F.col("value")).cast("bigint") * 1_000_000
+        ).alias("e"),
+    )
+    got = interval_gaps(iv, key="user_id", start="s", end="e", min_gap_seconds=60)
+    sql = """
+    WITH iv AS (
+      SELECT user_id AS k, epoch_us(ts) AS s,
+             epoch_us(ts) + CAST(floor(value) AS BIGINT) * 1000000 AS e
+      FROM events),
+    m AS (SELECT k, s, e,
+                 MAX(e) OVER (PARTITION BY k ORDER BY s, e
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS pme
+          FROM iv)
+    SELECT k AS user_id, pme AS gap_start_us, s AS gap_end_us,
+           CAST((s - pme) // 1000000 AS BIGINT) AS gap_s
+    FROM m
+    WHERE pme IS NOT NULL AND s > pme AND (s - pme) // 1000000 >= 60
+    """
+    assert compare(got, duck.execute(sql).df()) == []
+    # gaps are genuinely uncovered: each gap's span intersects no interval
+    rows = got.limit(50).collect()
+    assert rows and all(r["gap_end_us"] > r["gap_start_us"] for r in rows)
