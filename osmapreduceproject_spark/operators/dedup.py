@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import md5_int, seeded_hash
-from ..plans.inspect import fan_out, tracked_persist
+from ..plans.inspect import fan_out, release_local_checkpoint, tracked_persist
 from .text import shingles, tokens
 
 P31 = 2147483647  # 2^31-1, the family's reduction modulus
@@ -416,6 +416,7 @@ def connected_components(
     )
     labels = nodes.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
     cached = None  # the persisted label frame awaiting release
+    prev_ckpt = None  # the checkpointed label frame awaiting release
     converged = False
     for it in range(max_iters):
         nbr = (
@@ -459,9 +460,16 @@ def connected_components(
             labels = labels.localCheckpoint(eager=True)
             # The eager checkpoint materialized its own executor-local
             # blocks; the persisted pre-checkpoint frame is dead now, not
-            # next round.
+            # next round — and so is the PREVIOUS checkpoint (every
+            # frame between the two is persisted or dead, so nothing can
+            # recompute through it). Only the latest checkpoint's blocks
+            # survive; the returned labels may be that frame, so it is
+            # never released here.
             cached.unpersist()
             cached = None
+            if prev_ckpt is not None:
+                release_local_checkpoint(prev_ckpt)
+            prev_ckpt = labels
     if not converged:
         raise RuntimeError(
             f"connected_components did not reach fixpoint in {max_iters} "
@@ -574,11 +582,13 @@ def connected_components_star(
         new_sig = _signature(new_edges)
         # The eager checkpoint materialized new_edges as its own blocks,
         # so this round's scratch is dead — release the persisted
-        # large-star frame now (the previous round's checkpoint blocks
-        # are freed by the ContextCleaner once unreferenced): storage
-        # stays bounded at ~one round's edge sets however many rounds a
+        # large-star frame AND the previous round's checkpoint blocks
+        # explicitly (not left to GC + ContextCleaner, which lets a
+        # tight invocation loop accumulate dead rounds): storage stays
+        # bounded at ~one round's edge sets however many rounds a
         # 100 TB graph takes.
         large.unpersist()
+        release_local_checkpoint(edges)
         edges = new_edges
         if new_sig == sig:
             converged = True
@@ -943,9 +953,12 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum("__c").alias("__in"))
         )
-        # eager checkpoint = materialize + truncate to a leaf; the
-        # previous round's blocks are dead and GC'd by the context
-        # cleaner (rank vectors are (node, rank) pairs — metadata-scale)
+        # eager checkpoint = materialize + truncate to a leaf; once the
+        # NEW round's blocks exist, the previous round's are dead and
+        # released explicitly (not left to Python GC + ContextCleaner —
+        # a tight invocation loop like the bench rerun block would
+        # otherwise accumulate one dead rank frame per round per run)
+        prev = ranks
         ranks = (
             base.join(contrib, base["node"] == contrib["dst"], "left")
             .crossJoin(F.broadcast(dangling))
@@ -960,6 +973,11 @@ def pagerank(
             )
             .localCheckpoint(eager=True)
         )
+        release_local_checkpoint(prev)
+    # the loop inputs are dead too once the final rank checkpoint is
+    # materialized (the returned frame's lineage is just that leaf)
+    for dead in (edges, deg, base):
+        release_local_checkpoint(dead)
     return ranks.select("node", F.round("rank", 6).alias("rank"))
 
 

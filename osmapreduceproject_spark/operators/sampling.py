@@ -416,6 +416,12 @@ def group_kfold(
     q160 leakage audit. Deterministic and seedable via ``salt``:
     reruns, engines, and partitionings all agree on every assignment.
 
+    NULL groups coalesce to the ``'<null>'`` sentinel BEFORE hashing —
+    concat_ws silently skips NULL operands, so without the sentinel
+    Spark would hash the salt alone while a ``salt || '|' || col``
+    oracle yields NULL; the sentinel keeps both engines assigning NULL
+    groups the same (single, group-integral) fold.
+
     A narrow map — no shuffle, no state: the fold is a pure function of
     the group value, so it needs no group table, broadcasts nothing,
     and scales to any corpus. Adds a ``fold`` column (0..k-1).
@@ -424,7 +430,11 @@ def group_kfold(
         "fold",
         (
             md5_int(
-                F.concat_ws("|", F.lit(salt), F.col(group_col).cast("string"))
+                F.concat_ws(
+                    "|",
+                    F.lit(salt),
+                    F.coalesce(F.col(group_col).cast("string"), F.lit("<null>")),
+                )
             )
             % int(k)
         ).cast("int"),

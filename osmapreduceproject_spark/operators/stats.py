@@ -1607,25 +1607,29 @@ def brown_forsythe_test(
     pool = df.where(
         F.col(group_col).isin([group_a, group_b]) & v.isNotNull() & ~F.isnan(v)
     ).select(F.col(group_col).alias("__g"), v.alias("__v")).persist()
-    med_rows = {
-        r["__g"]: r["__med"]
-        for r in _disc_median_per_key(pool, "__g", "__v", "__med").collect()
-    }
-    med_a = med_rows.get(group_a)
-    med_b = med_rows.get(group_b)
-    out_aggs = []
-    for tag, gval, med in (("a", group_a, med_a), ("b", group_b, med_b)):
-        in_g = F.col("__g") == F.lit(gval)
-        zq = F.when(
-            in_g, F.round(F.abs(F.col("__v") - F.lit(med or 0.0)) * scale)
-        ).cast(dec)
-        out_aggs += [
-            F.count(zq).alias(f"n_{tag}"),
-            F.sum(zq).alias(f"s_{tag}"),
-            F.sum(zq * zq).alias(f"ss_{tag}"),
-        ]
-    row = pool.agg(*out_aggs).first()
-    pool.unpersist()
+    try:
+        med_rows = {
+            r["__g"]: r["__med"]
+            for r in _disc_median_per_key(pool, "__g", "__v", "__med").collect()
+        }
+        med_a = med_rows.get(group_a)
+        med_b = med_rows.get(group_b)
+        out_aggs = []
+        for tag, gval, med in (("a", group_a, med_a), ("b", group_b, med_b)):
+            in_g = F.col("__g") == F.lit(gval)
+            zq = F.when(
+                in_g, F.round(F.abs(F.col("__v") - F.lit(med or 0.0)) * scale)
+            ).cast(dec)
+            out_aggs += [
+                F.count(zq).alias(f"n_{tag}"),
+                F.sum(zq).alias(f"s_{tag}"),
+                F.sum(zq * zq).alias(f"ss_{tag}"),
+            ]
+        row = pool.agg(*out_aggs).first()
+    finally:
+        # both materializations happen in-call, so the cache never
+        # outlives the function — including on a failed collect/agg
+        pool.unpersist()
     na, nb = int(row["n_a"] or 0), int(row["n_b"] or 0)
     f_stat = None
     if na >= 1 and nb >= 1 and na + nb >= 3:

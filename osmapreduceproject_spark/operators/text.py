@@ -1202,6 +1202,7 @@ def gopher_repetition(
     max_top2_share: float = 0.20,
     max_top3_share: float = 0.18,
     max_top4_share: float = 0.16,
+    max_lines: int = 5000,
 ) -> DataFrame:
     """The REPETITION half of the published Gopher/MassiveText quality
     rules (Rae et al. 2021 §A1.1) — :func:`gopher_rules` covers the
@@ -1217,10 +1218,14 @@ def gopher_repetition(
     Line features are one narrow map (array distinct/filter over the
     line split — duplicate detection per doc is in-array, no shuffle;
     the char-mass pass is O(lines²) PER DOC, bounded by document line
-    counts the way the series folds are bounded by grid length — for a
-    corpus of pathological 100k-line documents, swap it for the
-    explode → (doc, line) count → weighted-sum formulation, which is
-    linear at one extra doc-keyed exchange).
+    counts the way the series folds are bounded by grid length). The
+    bound is MACHINE-ENFORCED, not just documented: a document over
+    ``max_lines`` raises with the cost named (the _guard_series
+    precedent, zero-copy assert_true filter) — a pathological 100k-line
+    doc is 10¹⁰ comparisons in one task. For a corpus where such docs
+    are legitimate, raise ``max_lines`` deliberately or swap the pass
+    for the explode → (doc, line) count → weighted-sum formulation,
+    which is linear at one extra doc-keyed exchange.
     Top-n-gram features explode grams to a (doc, n, gram) count and
     take the per-doc argmax — corpus-token-scale shuffles with
     map-side combine (the q134 BPE-pair shape), grouped on the doc key
@@ -1228,7 +1233,24 @@ def gopher_repetition(
     kept, so gram-level ties are irrelevant by construction.
     """
     lines = F.split(F.col(text_col), "\n")
-    lf = df.select(
+    # Zero-copy guard (the _guard_series pattern): assert_true is NULL
+    # whenever it doesn't raise, so the filter is always-true on the
+    # pass path and the line array is never rewritten per row.
+    guard_msg = F.concat(
+        F.lit("gopher_repetition: a document has "),
+        F.size(lines).cast("string"),
+        F.lit(
+            f" lines, over max_lines={int(max_lines)} — the in-array "
+            "dup-line char-mass pass is O(lines^2) per document; raise "
+            "max_lines deliberately or pre-split pathological documents"
+        ),
+    )
+    # Guard the lf branch only: every doc flows through it, so the
+    # assert fires on any violation without re-splitting text in the
+    # gram branch's predicate too.
+    lf = df.where(
+        F.assert_true(F.size(lines) <= F.lit(int(max_lines)), guard_msg).isNull()
+    ).select(
         F.col(id_col),
         F.size(lines).alias("n_lines"),
         F.round(

@@ -119,6 +119,27 @@ def release_intermediates() -> int:
     return n
 
 
+def release_local_checkpoint(df: DataFrame) -> bool:
+    """Free the executor blocks behind an eager ``localCheckpoint``
+    frame — for DEAD frames only (the lineage is truncated, so the data
+    is unrecoverable after this). Iterative operators (pagerank,
+    connected components) checkpoint a carried frame each round; without
+    an explicit release the previous rounds' blocks wait on Python GC +
+    the ContextCleaner, and a tight invocation loop (the 6-run bench
+    rerun block) accumulates storage across runs (advisor finding, r9).
+    Returns False when the frame isn't a checkpoint leaf (non-LogicalRDD
+    plan) instead of raising — callers treat the release as best-effort.
+    """
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if not plan.getClass().getName().endswith(".LogicalRDD"):
+            return False
+        plan.rdd().unpersist(False)
+        return True
+    except Exception:
+        return False
+
+
 def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Repartition up to the cluster's parallelism when the input arrives
     under-partitioned.

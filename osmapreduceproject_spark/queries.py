@@ -34,6 +34,13 @@ from .operators.joins import asof_join
 
 DEC = "decimal(18,2)"
 
+# The one scale factor the driver hash-grades at. Oracle SQL strings
+# cannot take the sf_dir parameter, so the few oracles that must name a
+# file path (q223's zone map) pin THIS directory — single-sourced here
+# so the tests' fixture root (tests/conftest.py SF_CORRECT) and every
+# path-pinned oracle stay in lockstep (advisor finding, r9).
+DRIVER_GRADE_SF_DIR = "/root/testdata/sf0.01"
+
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":

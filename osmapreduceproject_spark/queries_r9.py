@@ -32,7 +32,7 @@ from .operators.stats import (
     ks_test,
     winsorized_stats,
 )
-from .queries import _jaccard_pairs_sql, _t, q
+from .queries import DRIVER_GRADE_SF_DIR, _jaccard_pairs_sql, _t, q
 
 # Series-family grid constants — the exact parameters the staged parity
 # tests verified (tests/test_r8_oracles.py STEP/STEP_US/_RESAMPLE_CTE).
@@ -487,14 +487,14 @@ def q222(spark, sf_dir):
 
 @q(
     "q223_parquet_zone_map",
-    """
+    f"""
     SELECT string_split(filename, '/')[-1] AS file,
            COUNT(*) AS n_rows,
            MIN(doc_id) AS doc_id_min, MAX(doc_id) AS doc_id_max,
            CAST(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS doc_id_nulls,
            MIN(n_chars) AS n_chars_min, MAX(n_chars) AS n_chars_max,
            CAST(SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_chars_nulls
-    FROM read_parquet('/root/testdata/sf0.01/documents.parquet', filename=true)
+    FROM read_parquet('{DRIVER_GRADE_SF_DIR}/documents.parquet', filename=true)
     GROUP BY 1
     """,
     "Per-file zone map (sources/io.py parquet_zone_map): file-level "

@@ -10,7 +10,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from osmapreduceproject_spark.session import get_spark  # noqa: E402
 
 SF_SMOKE = "/root/testdata/sf0.001"
-SF_CORRECT = "/root/testdata/sf0.01"
+# Single-sourced with the path-pinned oracles (q223): the package owns
+# the driver-grade sf pin; the fixture root follows it.
+from osmapreduceproject_spark.queries import DRIVER_GRADE_SF_DIR as SF_CORRECT  # noqa: E402
 
 
 @pytest.fixture(scope="session")

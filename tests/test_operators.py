@@ -3294,3 +3294,32 @@ def test_series_fold_max_slots_guard_fires(spark):
     with pytest.raises(Exception, match="max_slots"):
         ewma(df, "k", "ts", "v", 3600, max_slots=10).count()
     assert ewma(df, "k", "ts", "v", 3600, max_slots=25).count() == 25
+
+
+def test_gopher_repetition_max_lines_guard_fires(spark):
+    """gopher_repetition's dup-line char-mass pass is O(lines²) per doc
+    (in-array filter scan per line) — the documented bound becomes a
+    hard error via the _guard_series-style zero-copy assert filter
+    (VERDICT r9 finding #1). A doc over max_lines must raise naming the
+    knob; an explicit max_lines override on the SAME data must pass and
+    produce the same features as the unguarded small-doc path."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from osmapreduceproject_spark.operators.text import gopher_repetition
+
+    docs = spark.createDataFrame(
+        [
+            (1, "\n".join(f"line {i % 4}" for i in range(40)) + " w x y z"),
+            (2, " ".join(f"tok{i}" for i in range(30))),
+        ],
+        "doc_id bigint, text string",
+    )
+    with pytest.raises(Exception, match="max_lines"):
+        gopher_repetition(docs, max_lines=10).agg(F.count(F.lit(1))).collect()
+    out = {
+        r["doc_id"]: r
+        for r in gopher_repetition(docs, max_lines=40).collect()
+    }
+    assert out[1]["n_lines"] == 40 and out[1]["dup_line_frac"] > 0.8
+    assert out[2]["n_lines"] == 1 and out[2]["keep"]

@@ -360,7 +360,7 @@ def test_group_kfold_oracle(spark, duck):
         F.countDistinct("source").alias("n_groups"),
         F.count(F.lit(1)).alias("n_rows"),
     )
-    h = md5_int_sql("'gkf|' || CAST(source AS VARCHAR)")
+    h = md5_int_sql("'gkf|' || COALESCE(CAST(source AS VARCHAR), '<null>')")
     sql = f"""
     SELECT CAST({h} % 5 AS INTEGER) AS fold,
            CAST(COUNT(DISTINCT source) AS BIGINT) AS n_groups,
@@ -376,6 +376,36 @@ def test_group_kfold_oracle(spark, duck):
         .count()
         == 0
     )
+
+
+def test_group_kfold_null_group_sentinel(spark, duck):
+    """NULL groups hash through the '<null>' sentinel, not the bare
+    salt — concat_ws skips NULLs, so the unsentineled Spark fold and a
+    ``salt || '|' || col`` oracle (NULL fold) would silently disagree
+    (advisor finding, r9). Both engines must put every NULL-group row
+    in the same, non-NULL fold."""
+    from osmapreduceproject_spark.functions.hashing import md5_int_sql
+    from osmapreduceproject_spark.operators.sampling import group_kfold
+
+    df = spark.createDataFrame(
+        [(i, None if i % 3 == 0 else f"g{i % 5}") for i in range(60)],
+        "id int, grp string",
+    )
+    got = group_kfold(df, "grp", 4).groupBy("fold").agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    h = md5_int_sql("'gkf|' || COALESCE(CAST(grp AS VARCHAR), '<null>')")
+    duck.execute("CREATE OR REPLACE TEMP VIEW kf AS " + " UNION ALL ".join(
+        f"SELECT {i} AS id, "
+        + ("CAST(NULL AS VARCHAR)" if i % 3 == 0 else f"'g{i % 5}'")
+        + " AS grp"
+        for i in range(60)
+    ))
+    sql = f"SELECT CAST({h} % 4 AS INTEGER) AS fold, COUNT(*) AS n_rows FROM kf GROUP BY 1"
+    assert compare(got, duck.execute(sql).df()) == []
+    folded = group_kfold(df, "grp", 4)
+    assert folded.where(F.col("fold").isNull()).count() == 0
+    assert folded.where(F.col("grp").isNull()).select("fold").distinct().count() == 1
 
 
 def test_video_keyframe_select_oracle(spark, duck):

@@ -50,7 +50,11 @@ def main() -> int:
         aqe = "false"
     if "--partitions" in args:
         i = args.index("--partitions")
-        if i + 1 >= len(args) or not args[i + 1].isdigit():
+        if (
+            i + 1 >= len(args)
+            or not args[i + 1].isdigit()
+            or int(args[i + 1]) < 1
+        ):
             print("usage: --partitions N (a positive integer)", file=sys.stderr)
             return 2
         partitions = args[i + 1]
