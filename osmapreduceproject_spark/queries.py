@@ -6882,93 +6882,94 @@ from . import queries_r8  # noqa: E402,F401
 # upsert replay-idempotence relational grade — #6).
 from . import queries_r9  # noqa: E402,F401
 
+# Register the round-10 tranche (q241–q251): the 11-operator wave staged
+# at r9 close, every (body, SQL) pair lifted verbatim from its
+# pre-verified parity test in tests/test_r10_oracles.py.
+from . import queries_r10  # noqa: E402,F401
+
 
 # ---------------------------------------------------------------------------
 # Catalog ordering. The driver's CORRECTNESS file covers only the FIRST 50
 # ``queries()`` entries, so the verdict window is a scarce resource.
-# Round-9 window (VERDICT r8 #1/#2/#5/#6): (a) all 28 r9-NEW queries
-# lead — q213–q238 from the pre-drafted declaration map (17
-# tests/test_r8_oracles.py holdovers + the 9-operator r9 wave in
-# tests/test_r9_oracles.py, every (body, SQL) pair green a round before
-# declaration), with the verdict-named priorities first: q233
-# hist-quantile audit (retires the q90 rows-only class — the third
-# sketch audit), the classifier-eval layer q236 AUC + q237 calibration
-# + q231 KS, q235 interval overlap join (the big-big join novelty),
-# q234 Holt; plus the two verdict-r8 closers q239 (scene_changes full
-# value oracle — #5, the last rows-only candidate retired) and q240
-# (upsert replay-idempotence graded relationally — #6, the q212
-# pattern for the CDC streaming path). (b) Canaries: q01 (scan-agg
-# ground), q31 (MinHash machinery), q164 (stateful streaming twin,
-# r7-stale). (c) The stalest regrades, oldest first: q19/q32 (last
-# value-graded r2 — the true stalest oracled entries) then the r3-era
-# cohort head q05–q18 + q20/q21/q22 (17 of the 27 remaining).
-# Published r9/r10 split for the overflow (SURVEY.md §8): the r3-era
-# tail q23/q25/q27/q28/q29/q30/q33/q34/q37/q38 rotates to r10 behind
-# any r10-new declarations; q51/q101/q102 stay rows-only by
-# construction (q90's class is retired by q233 this round).
-# Cross-round coverage is the union of the nine windows, and every
+# Round-10 window — the EXACT 50-slot list published at r9 close
+# (SURVEY.md §8 round-10 declaration map; VERDICT r9 #1/#2 hold the
+# round to it): (a) the 11 r10-NEW declarations q241–q251, class-closers
+# first per the verdict's order — the eval-layer completion q249
+# Spearman + q250 McNemar + q243 kappa + q244 Brown–Forsythe, then
+# q241 point-in-interval join (2M×2M scale-smoked, judge-reran) + q251
+# interval gaps, q242 audio silence + q248 video keyframe (multimodal),
+# q245 n-gram novelty (text), q246 series ACF, q247 group k-fold
+# (sampling). (b) Canaries: q01 (scan-agg ground), q31 (MinHash
+# machinery), q159 (streaming dedup twin, r7-stale). (c) The 10-entry
+# r3-era tail (starved since r3 — the oldest oracled grades left), then
+# the 26 oldest r4-cohort entries in q-order. Overflow published for
+# r11 (SURVEY.md §8): the remaining 4 r4 entries q85–q88 + the r5
+# singles q64/q92/q97/q107/q108/q114 behind any r11-new staging;
+# q51/q101/q102 stay rows-only by construction.
+# Cross-round coverage is the union of the ten windows, and every
 # entry regardless of position is verified by tests/test_oracle_parity.py
 # against the same comparison.
 # ---------------------------------------------------------------------------
 
 _VERDICT_WINDOW = [
-    # (a) r9-new declarations — graded the round they land.
-    # Verdict-priority six first:
-    "q233_hist_quantile_audit",  # third sketch audit; retires q90's class
-    "q236_auc_roc",  # classifier-eval: ranking quality
-    "q237_calibration_bins",  # classifier-eval: probability quality
-    "q231_ks_drift",  # distribution-shift gate
-    "q235_interval_overlap_join",  # big-big interval join novelty
-    "q234_holt_linear",  # series family's drift-aware step
-    # rest of the declaration map in q-order:
-    "q213_resample_ffill",
-    "q214_series_anomalies",
-    "q215_zipf_fit",
-    "q216_cluster_drift",
-    "q217_equi_depth_buckets",
-    "q218_series_correlation",
-    "q219_multi_touch_attribution",
-    "q220_refresh_vocab_deltas",
-    "q221_pagerank_dup_graph",
-    "q222_weighted_sample",
-    "q223_parquet_zone_map",
-    "q224_winsorized_stats",
-    "q225_series_rolling",
-    "q226_asof_forward_nearest",
-    "q227_interval_union_duration",
-    "q228_corr_matrix",
-    "q229_funnel_step_latencies",
-    "q230_gopher_repetition",
-    "q232_gini_concentration",
-    "q238_mix_rebalance",
-    # verdict-r8 closers #5/#6:
-    "q239_scene_changes",
-    "q240_upsert_replay_compaction",
+    # (a) r10-new declarations — graded the round they land.
+    # Eval-layer completion first (verdict r9 #1 order):
+    "q249_spearman_corr",
+    "q250_mcnemar",
+    "q243_cohens_kappa",
+    "q244_brown_forsythe",
+    # joins / intervals:
+    "q241_point_in_interval_join",
+    "q251_interval_gaps",
+    # multimodal:
+    "q242_audio_silence_segments",
+    "q248_video_keyframe_select",
+    # text / series / sampling:
+    "q245_ngram_novelty",
+    "q246_series_autocorrelation",
+    "q247_group_kfold",
     # (b) canaries
     "q01_pricing_summary",  # scan-filter-agg ground
     "q31_minhash_lsh_pairs",  # MinHash machinery
-    "q164_running_totals_twin",  # stateful streaming twin (r7-stale)
-    # (c) stalest regrades, oldest first: the two r2-era singles, then
-    # the r3-era cohort head (17 of the 27 remaining; tail → r10)
-    "q19_json_extract",
-    "q32_simhash",
-    "q05_region_revenue",
-    "q06_left_join",
-    "q07_semi_join",
-    "q08_anti_join",
-    "q09_window_funcs",
-    "q10_rollup",
-    "q11_cube",
-    "q12_grouping_sets",
-    "q13_intersect",
-    "q14_except",
-    "q15_union_distinct",
-    "q16_distinct_agg",
-    "q17_string_funcs",
-    "q18_datetime",
-    "q20_case_bucket",
-    "q21_topk_per_group",
-    "q22_percentiles",
+    "q159_stream_dedup_twin",  # streaming dedup twin (r7-stale)
+    # (c) the r3-era tail, oldest-starved first (committed at r9 close)
+    "q23_stats_formula",
+    "q25_sessionize",
+    "q27_sliding_window",
+    "q28_dedup_exact_groups",
+    "q29_dedup_exact_keep_first",
+    "q30_ngram_jaccard_pairs",
+    "q33_fingerprint",
+    "q34_cosine_topk",
+    "q37_token_stats",
+    "q38_quality_score",
+    # (d) the 26 oldest r4-cohort entries in q-order (committed list)
+    "q35_embedding_neardup",
+    "q36_lang_stats",
+    "q39_lang_id",
+    "q40_global_agg",
+    "q52_lsh_topk",
+    "q61_tfidf",
+    "q62_ngrams",
+    "q63_salted_join",
+    "q65_frame_sample",
+    "q66_ivf_topk",
+    "q67_window_analytics",
+    "q68_hash_split",
+    "q69_interval_join",
+    "q70_data_prep_pipeline",
+    "q71_returned_revenue",
+    "q72_brand_share",
+    "q73_collect_agg",
+    "q75_kmeans",
+    "q77_min_cost_supplier",
+    "q78_value_share",
+    "q79_qualified_suppliers",
+    "q80_low_activity_premium",
+    "q81_lateral_topk",
+    "q82_recursive_spine",
+    "q83_doc_chunks",
+    "q84_multiset_ops",
 ]
 
 
