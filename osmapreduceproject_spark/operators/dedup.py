@@ -1024,3 +1024,40 @@ def containment_pairs(
             F.round("jaccard", 6).alias("jaccard"),
         )
     )
+
+
+def cluster_size_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    k: int = 3,
+) -> DataFrame:
+    """Duplicate-cluster SIZE distribution — the one-page answer to "how
+    duplicated is this corpus": for each cluster size s, how many
+    connected components of the near-dup graph have exactly s members
+    and how many documents they hold (s = 1 rows are the unduplicated
+    mass; the s ≥ 2 tail × (s−1)/s is exactly what dedup would delete).
+    The summary a curation run reads BEFORE committing to
+    :func:`dedup_clusters`' full materialization — template storms show
+    up as one giant s, light paraphrase dup as a long s = 2 tail.
+
+    Rides :func:`dedup_clusters` (min-label CC over the exact-Jaccard
+    pair graph — q92's graded machinery) and collapses the label frame
+    twice: cluster → size (doc-count rows), then size → (n_clusters,
+    n_docs) — both exchanges are cluster/size-keyed and the output is
+    at most |distinct sizes| rows. Returns
+    (cluster_size, n_clusters, n_docs), n_docs = size · n_clusters by
+    construction (asserted in the parity test).
+    """
+    labels = dedup_clusters(df, id_col=id_col, text_col=text_col,
+                            threshold=threshold, k=k)
+    sizes = labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        (F.count(F.lit(1)) * F.col("cluster_size")).alias("n_docs"),
+    ).select(
+        "cluster_size", "n_clusters", F.col("n_docs").cast("bigint").alias("n_docs")
+    )

@@ -685,3 +685,60 @@ def bot_detection(
             user_col, "n_events", "mean_gap_s", "gap_cv", "max_burst", "reasons"
         )
     )
+
+
+def inter_event_stats(
+    df: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+) -> DataFrame:
+    """Per-key inter-event gap distribution — the cadence profile
+    (how often does this user/device/sensor act) that feeds
+    :func:`bot_detection`'s heuristics as a reusable feature frame:
+    per key, the count, exact mean, min/max, and exact discrete median
+    of consecutive-event gaps in seconds.
+
+    Gaps come from ONE key-partitioned lag over event timestamps —
+    the gap MULTISET of a sorted timestamp multiset is order-unique,
+    so ties need no tiebreak for the emitted values. The mean is an
+    exact integer-µs sum into one IEEE division (the funnel-latency
+    recipe); the median is the per-key discrete order statistic
+    (:func:`~.windows._disc_median_per_key` — bounded by a key's own
+    event count). Keys with fewer than 2 events emit nothing (no
+    gaps exist). Every exchange hashes on the key. Returns
+    (key, n_events, n_gaps, mean_gap_s, min_gap_s, max_gap_s,
+    median_gap_s), seconds as 6-decimal doubles.
+    """
+    from pyspark.sql import Window
+
+    from .windows import _disc_median_per_key
+
+    e = F.unix_micros(F.col(ts))
+    w = Window.partitionBy(key).orderBy(F.col("__e").asc())
+    gaps = (
+        df.select(F.col(key), e.alias("__e"))
+        .withColumn("__gap_us", F.col("__e") - F.lag("__e").over(w))
+        .where(F.col("__gap_us").isNotNull())
+    )
+    agg = gaps.groupBy(key).agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum("__gap_us").alias("__sum_us"),
+        F.min("__gap_us").alias("__min_us"),
+        F.max("__gap_us").alias("__max_us"),
+    )
+    med = _disc_median_per_key(gaps, key, "__gap_us", "__med_us")
+    s = F.lit(1_000_000.0)
+    return (
+        agg.join(med, key)
+        .select(
+            key,
+            (F.col("n_gaps") + 1).alias("n_events"),
+            "n_gaps",
+            F.round(F.col("__sum_us").cast("double") / F.col("n_gaps") / s, 6).alias(
+                "mean_gap_s"
+            ),
+            F.round(F.col("__min_us").cast("double") / s, 6).alias("min_gap_s"),
+            F.round(F.col("__max_us").cast("double") / s, 6).alias("max_gap_s"),
+            F.round(F.col("__med_us").cast("double") / s, 6).alias("median_gap_s"),
+        )
+    )

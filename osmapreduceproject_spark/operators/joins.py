@@ -447,3 +447,64 @@ def point_in_interval_join(
         & (p[point_col] < i[hi_col])
     )
     return p.join(i, cond, how).drop("__cell")
+
+
+def epsilon_band_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    eps: int,
+    how: str = "inner",
+) -> DataFrame:
+    """ε-band join between two LARGE tables on a numeric axis: every
+    (l, r) pair with ``|l − r| ≤ eps`` — the keyless 1-D near-join
+    (align two systems' event logs within a tolerance, match
+    measurements to calibration readings, pair offsets across
+    re-tokenizations) that plain Spark plans as a nested-loop cartesian
+    for the pure-inequality predicate. Completes the grid-join family:
+    :func:`interval_overlap_join` is interval×interval,
+    :func:`point_in_interval_join` point×interval, this is point×point.
+
+    Grid decomposition with cell width ``eps``: |l − r| ≤ eps implies
+    the two cells ``floor(v/eps)`` differ by at most 1, so the LEFT
+    side keeps its single cell and the RIGHT side explodes into
+    {cell−1, cell, cell+1} (a fixed 3× on one side — grid choice is
+    built into the predicate, not tuned). The three emitted cells are
+    distinct, so each qualifying pair meets in EXACTLY one cell (the
+    left row's cell): exactly-once with no canonical-cell filter and no
+    dedup shuffle. The exact band predicate filters inside the same
+    join condition.
+
+    Bounds are integers (epoch seconds/µs or quantized upstream) and
+    ``eps`` a positive integer. Only ``inner`` is accepted: the right
+    side is cell-exploded, so any right-preserving variant would emit
+    an unmatched right row once per emitted cell, and left-preserving
+    variants would need the filter folded into join semantics —
+    compose with an anti/semi join downstream instead.
+    """
+    if how != "inner":
+        raise ValueError(
+            f"epsilon_band_join: how={how!r} is not supported — the right "
+            "side is cell-exploded (an unmatched right row would surface "
+            "once per emitted cell); only inner is exactly-once by "
+            "construction. Compose semi/anti downstream."
+        )
+    eps = int(eps)
+    if eps < 1:
+        raise ValueError("epsilon_band_join: eps must be a positive integer")
+    l = left.withColumn("__cell", F.floor(F.col(left_col) / eps))
+    r = right.select(
+        "*",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(right_col) / eps) - 1,
+                F.floor(F.col(right_col) / eps) + 1,
+            )
+        ).alias("__cell"),
+    )
+    cond = (
+        (l["__cell"] == r["__cell"])
+        & (F.abs(l[left_col] - r[right_col]) <= eps)
+    )
+    return l.join(r, cond, "inner").drop("__cell")

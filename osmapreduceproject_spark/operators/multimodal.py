@@ -988,3 +988,231 @@ def video_keyframe_select(
         )
         .withColumn("n_frames", F.col("n_frames").cast("bigint"))
     )
+
+
+def arith_raw_audio_clipped(
+    spark,
+    n: int = 32,
+    n_samples: int = 2048,
+    clip_ranges: tuple = (((512, 768), 255), ((1536, 1664), 0)),
+) -> DataFrame:
+    """:func:`arith_raw_audio` with PLANTED CLIPPING: samples inside each
+    ``clip_ranges`` half-open interval sit exactly at the given 8-bit
+    rail (255 = positive clip, 0 = negative clip) while the background
+    wave is remapped to [1, 254] so it can never touch a rail by
+    accident — the fixture for clipping detection, fully SQL-regenerable
+    (a CASE over the sample index) like the silence twin."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Self-contained closure: no module-global references.
+        import numpy as np
+        import pandas as pd
+
+        idx = np.arange(n_samples, dtype=np.int64)
+        rail = np.full(n_samples, -1, dtype=np.int64)
+        for (lo, hi), v in clip_ranges:
+            rail[lo:hi] = v
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            payloads = []
+            for m in pdf["id"]:
+                v = (17 * int(m) + 11 * idx + (idx * idx) % 89) % 253 + 1
+                v = np.where(rail >= 0, rail, v)
+                payloads.append(v.astype(np.uint8).tobytes())
+            yield pd.DataFrame({"media_id": pdf["id"].values, "payload": payloads})
+
+    raw = spark.range(n).mapInPandas(gen, "media_id long, payload binary")
+    return raw.select(
+        "media_id",
+        F.lit("audio").alias("kind"),
+        "payload",
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(16000).alias("sample_rate"),
+            F.lit(None).cast("int").alias("n_frames"),
+        ).alias("meta"),
+    )
+
+
+def audio_clipping_report(df: DataFrame) -> DataFrame:
+    """Clipping detection over 8-bit-PCM payloads — the gain-staging QC
+    an audio pipeline runs next to :func:`audio_silence_segments`
+    (silence says the clip is too quiet to use; this says it was
+    recorded too hot): per clip, how many samples sit AT a rail (0 or
+    255 — a digitized over-range sample can only land there) and the
+    longest consecutive clipped run (sustained saturation distorts;
+    isolated rail hits are usually legal signal extremes).
+
+    The whole computation is per-clip local: one Arrow-batched
+    mapInPandas pass decodes each payload and emits ONE summary row —
+    no per-sample rows ever shuffle (the run-length scan is a numpy
+    diff over the clip in its own task, bounded by clip length).
+    clip_frac is exact-integer division in double, rounded to 6.
+    Returns (media_id, n_samples, n_clipped, clip_frac,
+    longest_clipped_run).
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Self-contained closure: no module-global references.
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = []
+            for m, p in zip(pdf["media_id"], pdf["payload"]):
+                buf = np.frombuffer(bytes(p), dtype=np.uint8)
+                ns = int(buf.size)
+                clipped = (buf == 0) | (buf == 255)
+                n_clip = int(clipped.sum())
+                longest = 0
+                if n_clip:
+                    # run lengths of True blocks via edge indices
+                    edges = np.diff(clipped.astype(np.int8))
+                    starts = np.flatnonzero(edges == 1) + 1
+                    ends = np.flatnonzero(edges == -1) + 1
+                    if clipped[0]:
+                        starts = np.concatenate(([0], starts))
+                    if clipped[-1]:
+                        ends = np.concatenate((ends, [ns]))
+                    longest = int((ends - starts).max())
+                out.append((int(m), ns, n_clip, longest))
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "n_samples", "n_clipped", "longest_clipped_run",
+                ],
+            )
+
+    rep = df.select("media_id", "payload").mapInPandas(
+        run,
+        "media_id long, n_samples long, n_clipped long, "
+        "longest_clipped_run long",
+    )
+    return rep.select(
+        "media_id",
+        "n_samples",
+        "n_clipped",
+        F.round(
+            F.col("n_clipped").cast("double") / F.col("n_samples"), 6
+        ).alias("clip_frac"),
+        "longest_clipped_run",
+    )
+
+
+def arith_raw_images_bordered(
+    spark,
+    n: int = 64,
+    width: int = 16,
+    height: int = 12,
+    border_value: int = 200,
+) -> DataFrame:
+    """:func:`arith_raw_images` with a UNIFORM BORDER planted on every
+    EVEN media_id: all three channel bytes of every edge pixel (row 0,
+    row h−1, col 0, col w−1) are ``border_value``, interior pixels (and
+    all of every odd image) keep the closed-form arithmetic bytes — the
+    letterbox-detection fixture, fully SQL-regenerable like the rest of
+    the RAW8 family."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Self-contained closure: no module-global references.
+        import numpy as np
+        import pandas as pd
+
+        idx = np.arange(width * height * 3, dtype=np.int64)
+        border = np.zeros((height, width), dtype=bool)
+        border[0, :] = border[-1, :] = True
+        border[:, 0] = border[:, -1] = True
+        bmask = np.repeat(border.reshape(-1), 3)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            payloads = []
+            for m in pdf["id"]:
+                v = (31 * int(m) + 7 * idx + (idx * idx) % 251) % 256
+                if int(m) % 2 == 0:
+                    v = np.where(bmask, border_value, v)
+                payloads.append(v.astype(np.uint8).tobytes())
+            yield pd.DataFrame({"media_id": pdf["id"].values, "payload": payloads})
+
+    raw = spark.range(n).mapInPandas(gen, "media_id long, payload binary")
+    return raw.select(
+        "media_id",
+        F.lit("image").alias("kind"),
+        "payload",
+        F.struct(
+            F.lit(width).alias("width"),
+            F.lit(height).alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(1).alias("n_frames"),
+        ).alias("meta"),
+    )
+
+
+def image_border_uniformity(df: DataFrame, tol: int = 0) -> DataFrame:
+    """Letterbox/pillarbox detection over RAW8 RGB payloads — the
+    padded-frame screen an image-curation pipeline runs before cropping
+    or training (uniform borders are added pixels, not content): per
+    image, the fraction of BORDER pixels whose integer gray value
+    ``(r+g+b)//3`` is within ``tol`` of the top-left corner's gray.
+    A frac near 1 means the border is one flat color — letterboxed,
+    padded, or a solid-background scan.
+
+    Per-image local like :func:`audio_clipping_report`: one
+    Arrow-batched mapInPandas decodes each payload against its meta
+    dims and emits ONE row — pixels never shuffle. Dimension-mismatched
+    payloads raise (decode error, not a silent skip). Exact integer
+    gray comparison; frac is exact-integer division in double, 6
+    decimals. Returns (media_id, n_border_px, n_matching,
+    border_uniform_frac, is_letterboxed [frac ≥ 0.95]).
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Self-contained closure: no module-global references.
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = []
+            for m, p, w_, h_ in zip(
+                pdf["media_id"], pdf["payload"], pdf["width"], pdf["height"]
+            ):
+                w, h = int(w_), int(h_)
+                buf = np.frombuffer(bytes(p), dtype=np.uint8)
+                if buf.size != w * h * 3:
+                    raise ValueError(
+                        f"image_border_uniformity: media {int(m)} payload "
+                        f"{buf.size} bytes != {w}x{h}x3"
+                    )
+                px = buf.reshape(h, w, 3).astype(np.int64)
+                gray = px.sum(axis=2) // 3
+                border = np.zeros((h, w), dtype=bool)
+                border[0, :] = border[-1, :] = True
+                border[:, 0] = border[:, -1] = True
+                bg = gray[border]
+                corner = int(gray[0, 0])
+                match = int((np.abs(bg - corner) <= tol).sum())
+                out.append((int(m), int(bg.size), match))
+            yield pd.DataFrame(
+                out, columns=["media_id", "n_border_px", "n_matching"]
+            )
+
+    rep = df.select(
+        "media_id",
+        "payload",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+    ).mapInPandas(run, "media_id long, n_border_px long, n_matching long")
+    frac = F.col("n_matching").cast("double") / F.col("n_border_px")
+    return rep.select(
+        "media_id",
+        "n_border_px",
+        "n_matching",
+        F.round(frac, 6).alias("border_uniform_frac"),
+        (frac >= 0.95).alias("is_letterboxed"),
+    )

@@ -1799,3 +1799,186 @@ def mcnemar_test(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
         "n_b_only",
         F.when(tot > 0, F.round(diff * diff / tot, 6)).alias("mcnemar_chi2"),
     )
+
+
+def kruskal_wallis(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """Kruskal–Wallis rank test of equal LOCATION across k groups — the
+    nonparametric k-group member of the eval layer's location family
+    (:func:`welch_ttest` is 2-group parametric, :func:`brown_forsythe_test`
+    is 2-group spread; this asks "does ANY source/segment shift the
+    metric's distribution" without normality assumptions). Emits the
+    tie-corrected H statistic and its dof, not a p-value (no chi-square
+    CDF approximation to diverge across engines).
+
+    Computed via the rank-ANOVA identity H_adj = (N−1)·SSB/SST over
+    midranks — algebraically equal to the textbook 12/(N(N+1))·Σ…/C
+    form WITH the tie correction built in, and it needs only rank
+    moments: doubled midranks (exact integers, the
+    :func:`_doubled_midrank_map` machinery — the doubling cancels in
+    the ratio), per-group count and rank sums in DECIMAL(38,0), and a
+    driver-side finalize over the BOUNDED per-group rows (one row per
+    categorical level — the :func:`brown_forsythe_test` convention).
+    The one inexact step, Σ double(S_i)²/n_i, is a SEQUENTIAL fold in
+    group order mirrored term-for-term by the oracle's ordered
+    list_reduce (the queries.py float-rule for sequential folds).
+    Degenerate inputs (all values tied, <2 groups) → NULL H.
+    One row: (n, n_groups, dof, h_stat).
+    """
+    from ..plans.inspect import release_intermediates
+
+    dec = "decimal(38,0)"
+    v = F.col(value_col).cast("double")
+    pool = df.where(v.isNotNull() & ~F.isnan(v)).select(
+        F.col(group_col).alias("__g"), v.alias("__v")
+    )
+    r2 = _doubled_midrank_map(pool.select("__v"))
+    per = (
+        pool.join(r2, "__v")
+        .groupBy("__g")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(F.col("__r2").cast(dec)).alias("__s2"),
+            F.sum(F.col("__r2").cast(dec) * F.col("__r2")).alias("__s22"),
+        )
+        .orderBy(F.col("__g").asc_nulls_last())
+    )
+    rows = per.collect()  # bounded: one row per categorical level
+    release_intermediates()
+    n_total = sum(int(r["__n"]) for r in rows)
+    k = len(rows)
+    h = None
+    if k >= 2 and n_total >= 2:
+        sr = sum(int(r["__s2"]) for r in rows)  # exact Σ doubled ranks
+        srr = sum(int(r["__s22"]) for r in rows)  # exact Σ r2²
+        # sequential fold in group order — the oracle's list_reduce
+        # replays these exact operand bits term for term
+        sb = 0.0
+        for r in rows:
+            sb = sb + (float(int(r["__s2"])) * float(int(r["__s2"]))) / int(r["__n"])
+        cf = float(sr) * float(sr) / n_total
+        sst = float(srr) - cf
+        ssb = sb - cf
+        if sst > 0:
+            h = (n_total - 1) * ssb / sst
+    rnd = lambda x: None if x is None else round(x, 6)  # noqa: E731
+    return df.sparkSession.createDataFrame(
+        [(n_total, k, max(k - 1, 0), rnd(h))],
+        "n bigint, n_groups bigint, dof bigint, h_stat double",
+    )
+
+
+def anova_oneway(
+    df: DataFrame, group_col: str, value_col: str, scale: int = 1_000_000
+) -> DataFrame:
+    """Classic one-way ANOVA F across k groups — the parametric k-group
+    location test completing the family around :func:`welch_ttest`
+    (2-group, unequal variance), :func:`brown_forsythe_test` (spread),
+    and :func:`kruskal_wallis` (rank-based). Emits F and both dofs, no
+    p-value (no F-distribution approximation to diverge on).
+
+    Exactness recipe shared with the family: values quantize to
+    ``round(x·scale)`` integers summed in DECIMAL(38,0) per group (ONE
+    conditional scan — the per-group frame is bounded at one row per
+    categorical level), the between-group Σ double(S_i)²/n_i term is a
+    sequential fold in group order (oracle: ordered list_reduce), the
+    correction factor and within-group mass come from exact integer
+    moments, and the scale² factor cancels in the F ratio. NULL/NaN
+    values are excluded. F is NULL when k < 2, N ≤ k, or the
+    within-group mass is zero (constant groups).
+    One row: (n, n_groups, dof_between, dof_within, f_stat).
+    """
+    dec = "decimal(38,0)"
+    v = F.col(value_col).cast("double")
+    pool = df.where(v.isNotNull() & ~F.isnan(v)).select(
+        F.col(group_col).alias("__g"), v.alias("__v")
+    )
+    xq = F.round(F.col("__v") * scale).cast(dec)
+    per = (
+        pool.groupBy("__g")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(xq).alias("__s"),
+            F.sum(xq * xq).alias("__ss"),
+        )
+        .orderBy(F.col("__g").asc_nulls_last())
+    )
+    rows = per.collect()  # bounded: one row per categorical level
+    n_total = sum(int(r["__n"]) for r in rows)
+    k = len(rows)
+    f_stat = None
+    if k >= 2 and n_total > k:
+        sr = sum(int(r["__s"]) for r in rows)
+        srr = sum(int(r["__ss"]) for r in rows)
+        sb = 0.0
+        for r in rows:
+            sb = sb + (float(int(r["__s"])) * float(int(r["__s"]))) / int(r["__n"])
+        cf = float(sr) * float(sr) / n_total
+        ssb = sb - cf
+        ssw = float(srr) - sb
+        if ssw > 0:
+            f_stat = (ssb / (k - 1)) / (ssw / (n_total - k))
+    rnd = lambda x: None if x is None else round(x, 6)  # noqa: E731
+    return df.sparkSession.createDataFrame(
+        [(n_total, k, max(k - 1, 0), max(n_total - k, 0), rnd(f_stat))],
+        "n bigint, n_groups bigint, dof_between bigint, dof_within bigint, "
+        "f_stat double",
+    )
+
+
+def cohens_d(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Cohen's d standardized mean difference between two groups — the
+    EFFECT SIZE companion to :func:`welch_ttest`'s significance: at
+    100 TB row counts everything is "significant", so the gate a data
+    pipeline actually wants is "did the mean move by a meaningful
+    fraction of the spread" (|d| ≥ 0.2/0.5/0.8 small/medium/large).
+    Pooled-SD convention: sp² = ((n_a−1)s_a² + (n_b−1)s_b²)/(n_a+n_b−2),
+    d = (mean_b − mean_a)/sp.
+
+    The :func:`welch_ttest` exactness recipe verbatim: ONE conditional
+    scan of quantized DECIMAL(38,0) moments, variance cancellation
+    n·Σx² − (Σx)² in arbitrary-precision driver integers over the two
+    bounded aggregate rows, floats only in the final fixed-order
+    expression the oracle mirrors (scale cancels in d). NULL/NaN
+    excluded per group; d is NULL when either group has n < 2 or the
+    pooled spread is zero.
+    One row: (n_a, n_b, mean_a, mean_b, pooled_sd, cohens_d).
+    """
+    dec = "decimal(38,0)"
+    x = F.col(value_col).cast("double")
+    ok = x.isNotNull() & ~F.isnan(x)
+    out_aggs = []
+    for tag, gval in (("a", group_a), ("b", group_b)):
+        in_g = ok & (F.col(group_col) == F.lit(gval))
+        xq = F.when(in_g, F.round(x * scale)).cast(dec)
+        out_aggs += [
+            F.count(xq).alias(f"n_{tag}"),
+            F.sum(xq).alias(f"sx_{tag}"),
+            F.sum(xq * xq).alias(f"sxx_{tag}"),
+        ]
+    row = df.agg(*out_aggs).first()
+    n_a, n_b = int(row["n_a"] or 0), int(row["n_b"] or 0)
+    mean_a = mean_b = sd = d = None
+    if n_a >= 1:
+        mean_a = float(int(row["sx_a"])) / n_a / scale
+    if n_b >= 1:
+        mean_b = float(int(row["sx_b"])) / n_b / scale
+    if n_a >= 2 and n_b >= 2:
+        ssd_a = float(n_a * int(row["sxx_a"]) - int(row["sx_a"]) ** 2) / n_a
+        ssd_b = float(n_b * int(row["sxx_b"]) - int(row["sx_b"]) ** 2) / n_b
+        sp2 = (ssd_a + ssd_b) / (n_a + n_b - 2) / float(scale) ** 2
+        if sp2 > 0:
+            sd = math.sqrt(sp2)
+            d = (mean_b - mean_a) / sd
+    rnd = lambda v_: None if v_ is None else round(v_, 6)  # noqa: E731
+    return df.sparkSession.createDataFrame(
+        [(n_a, n_b, rnd(mean_a), rnd(mean_b), rnd(sd), rnd(d))],
+        "n_a bigint, n_b bigint, mean_a double, mean_b double, "
+        "pooled_sd double, cohens_d double",
+    )

@@ -1422,3 +1422,83 @@ def ngram_novelty(
             ),
         ).alias("novelty"),
     )
+
+
+def collocation_llr(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 20,
+) -> DataFrame:
+    """Dunning log-likelihood-ratio collocations over adjacent token
+    pairs — the robust standard for phrase discovery where raw PMI
+    (:func:`q143`'s signal) over-rewards rare pairs: LLR weighs the
+    full 2×2 contingency (pair observed / a-without-b / b-without-a /
+    neither), so a pair must be both SURPRISING and well-attested to
+    rank (Dunning 1993). Reported in BITS (log2 — the engine-wide
+    cross-engine log convention; the classic ln form is this × ln 2,
+    same ranking), as ``llr_bits = 2·[Σ xlogx(cells) − Σ xlogx(row
+    margins) − Σ xlogx(col margins) + xlogx(N)]`` with x·log2(x)=0 at 0.
+
+    Margins are over the BIGRAM event space (row = pairs starting with
+    a, col = pairs ending with b, N = total pairs) — the correct table
+    for "is the next word dependent on this one" (unigram counts would
+    miscount doc-final tokens). Scale shape: one pair explode to (a,b)
+    counts with map-side combine (the q134 BPE-pair shape), margins via
+    two windows OVER THE PAIR-COUNT table (bigram-vocab scale, never
+    the corpus), one broadcast total, TakeOrdered(top_k) — gram counts
+    shuffle, text never does. Ordering tiebreak (llr DESC, a, b) makes
+    top_k deterministic. All log operands are ratios/products of exact
+    integer counts; 6-decimal rounding absorbs libm ulp.
+    """
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    pair_arr = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.array(F.element_at(toks, i), F.element_at(toks, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<array<string>>"))
+    pair_counts = (
+        fan_out(df)
+        .select(F.explode(pair_arr).alias("p"))
+        .select(F.col("p")[0].alias("a"), F.col("p")[1].alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+    )
+    wa = Window.partitionBy("a")
+    wb = Window.partitionBy("b")
+    margins = pair_counts.select(
+        "a", "b", "c_ab",
+        F.sum("c_ab").over(wa).alias("__r1"),
+        F.sum("c_ab").over(wb).alias("__c1"),
+    )
+    total = pair_counts.agg(F.sum("c_ab").alias("__n"))
+
+    def xlx(k: F.Column) -> F.Column:
+        kd = k.cast("double")
+        return F.when(k > 0, kd * F.log2(kd)).otherwise(F.lit(0.0))
+
+    k11 = F.col("c_ab")
+    k12 = F.col("__r1") - k11
+    k21 = F.col("__c1") - k11
+    k22 = F.col("__n") - F.col("__r1") - F.col("__c1") + k11
+    llr = F.lit(2.0) * (
+        xlx(k11) + xlx(k12) + xlx(k21) + xlx(k22)
+        - xlx(F.col("__r1")) - xlx(F.col("__n") - F.col("__r1"))
+        - xlx(F.col("__c1")) - xlx(F.col("__n") - F.col("__c1"))
+        + xlx(F.col("__n"))
+    )
+    return (
+        margins.where(F.col("c_ab") >= int(min_count))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "a", "b", "c_ab",
+            F.col("__r1").alias("n_a_first"),
+            F.col("__c1").alias("n_b_second"),
+            F.round(llr, 6).alias("llr_bits"),
+        )
+        .orderBy(F.col("llr_bits").desc(), F.col("a").asc(), F.col("b").asc())
+        .limit(int(top_k))
+    )

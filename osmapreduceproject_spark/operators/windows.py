@@ -1014,3 +1014,41 @@ def interval_gaps(
         )
         .where(F.col("gap_s") >= int(min_gap_seconds))
     )
+
+
+def series_extrema(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    value_col: str,
+    step_seconds: int,
+) -> DataFrame:
+    """Strict local extrema over the REGULARIZED grid: slots whose value
+    is strictly greater (peak) or strictly smaller (trough) than BOTH
+    neighbors — the turning-point labeler feeding anomaly triage and
+    burst detection (where :func:`series_anomalies` asks "is this slot
+    outside the fences", this asks "is it a local turning point").
+    Plateau slots (equal to a neighbor) are NOT extrema by the strict
+    convention — documented so the oracle matches edge-for-edge; first
+    and last slots have one neighbor only and never qualify.
+
+    ONE per-key ordered window computes lag and lead (the
+    :func:`series_autocorrelation` shape — the grid is complete, so a
+    slot's neighbors ARE lag/lead 1); the classifier is a narrow map.
+    Every exchange hashes on the key.
+    Returns (key, slot_epoch, value, kind) with kind ∈ {'peak','trough'}.
+    """
+    s = resample_ffill(df, key, ts, value_col, step_seconds)
+    w = Window.partitionBy(key).orderBy(F.col("slot_epoch").asc())
+    v = F.col(value_col)
+    prev = F.lag(v).over(w)
+    nxt = F.lead(v).over(w)
+    kind = F.when(
+        prev.isNotNull() & nxt.isNotNull() & (v > prev) & (v > nxt), F.lit("peak")
+    ).when(
+        prev.isNotNull() & nxt.isNotNull() & (v < prev) & (v < nxt), F.lit("trough")
+    )
+    return (
+        s.select(key, "slot_epoch", value_col, kind.alias("kind"))
+        .where(F.col("kind").isNotNull())
+    )

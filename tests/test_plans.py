@@ -629,3 +629,44 @@ def test_pagerank_plan_is_constant_size_in_iters(spark):
         assert len(plan) < 100_000, f"{iters}-iter plan is {len(plan)} chars"
     # leaf-truncated: more rounds must not inflate the FINAL plan
     assert sizes[5] <= sizes[2] * 1.5, sizes
+
+
+def test_r11_wave_plan_shapes(spark):
+    """Scale-shape assertions for the r11-staged wave: the ε-band cell
+    decomposition plans an EQUI hash join (the naive |l−r| ≤ eps
+    predicate is inequality-only → cartesian), the collocation scorer's
+    margins ride windows over the PAIR-COUNT table (no data-carrying
+    single partition), and inter_event_stats partitions every exchange
+    on the key."""
+    from pyspark.sql import functions as F
+
+    from osmapreduceproject_spark.operators.events import inter_event_stats
+    from osmapreduceproject_spark.operators.joins import epsilon_band_join
+    from osmapreduceproject_spark.operators.text import collocation_llr
+    from osmapreduceproject_spark.plans.inspect import (
+        data_carrying_single_partitions,
+        explain_str,
+        take_ordered_limits,
+    )
+    from osmapreduceproject_spark.queries import _t
+
+    sf = "/root/testdata/sf0.001"
+    ev = _t(spark, sf, "events")
+
+    l = ev.select(F.col("event_id").alias("lid"),
+                  F.floor(F.unix_micros("ts") / 1_000_000).alias("lv"))
+    r = ev.select(F.col("event_id").alias("rid"),
+                  F.floor(F.unix_micros("ts") / 1_000_000).alias("rv"))
+    j = epsilon_band_join(l, r, "lv", "rv", eps=60)
+    plan = explain_str(j)
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
+
+    d = _t(spark, sf, "documents")
+    llr = collocation_llr(d, top_k=20)
+    assert data_carrying_single_partitions(llr) == [], explain_str(llr)
+    # the final top-k is a bounded heap, not a global sort
+    lims = take_ordered_limits(llr)
+    assert lims and max(lims) <= 20, explain_str(llr)
+
+    ies = inter_event_stats(ev, key="user_id", ts="ts")
+    assert data_carrying_single_partitions(ies) == [], explain_str(ies)
