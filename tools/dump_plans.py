@@ -74,6 +74,11 @@ PLAN_QUERIES = [
     "q235_interval_overlap_join",  # cell-explode equi join, NO cartesian
     "q239_scene_changes",    # Arrow dHash map; only (video,idx,hash) enter the window
     "q240_upsert_replay_compaction",  # chained key-partitioned row_number folds
+    # r10 tranche plan-shape carriers:
+    "q241_point_in_interval_join",  # interval cell-explode + point-cell EQUI join
+    "q245_ngram_novelty",    # distinct-gram sides, gram-keyed membership join
+    "q246_series_autocorrelation",  # ONE key window for all lags, no self-join
+    "q249_spearman_corr",    # doubled-midrank maps, broadcast-offset prefix sums
 ]
 
 
