@@ -742,3 +742,113 @@ def inter_event_stats(
             F.round(F.col("__med_us").cast("double") / s, 6).alias("median_gap_s"),
         )
     )
+
+
+def attribution_models(
+    df: DataFrame,
+    conversion_type: str = "purchase",
+    touch_types: tuple[str, ...] = ("view", "click"),
+    lookback_seconds: int = 86400,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-touch, last-touch, and linear attribution side by side —
+    the model-comparison table a marketing/conversion analysis reads
+    before committing to ONE model (:func:`multi_touch_attribution`
+    computes the linear/decay credit in value terms; this compares the
+    MODELS' conversion counts per channel: a channel that wins
+    first-touch but loses last-touch is a discovery channel, the
+    reverse a closer).
+
+    Same conversion×touch pairing as multi_touch_attribution (user-keyed
+    equi-join bounded by the lookback window); the first/last picks are
+    ONE per-conversion window ordering touches by (time, channel, —
+    deterministic under same-timestamp touches), and all three models
+    aggregate from the same joined frame in one pass. Conversions with
+    zero in-window touches drop (unattributable). Returns
+    (channel, n_touches, first_touch_conversions, last_touch_conversions,
+    linear_conversions), linear 6 decimals — each conversions column
+    totals the attributed-conversion count exactly.
+    """
+    from pyspark.sql import Window
+
+    conv = df.where(F.col(type_col) == conversion_type).select(
+        F.col(user_col).alias("__u"),
+        F.col(id_col).alias("__cid"),
+        F.unix_micros(F.col(ts_col)).alias("__cts"),
+    )
+    touch = df.where(F.col(type_col).isin(list(touch_types))).select(
+        F.col(user_col).alias("__u"),
+        F.col(type_col).alias("channel"),
+        F.unix_micros(F.col(ts_col)).alias("__tts"),
+    )
+    j = conv.join(touch, "__u").where(
+        (F.col("__tts") < F.col("__cts"))
+        & (F.col("__tts") >= F.col("__cts") - lookback_seconds * 1_000_000)
+    )
+    w = Window.partitionBy("__cid")
+    wo = w.orderBy(F.col("__tts").asc(), F.col("channel").asc())
+    wd = w.orderBy(F.col("__tts").desc(), F.col("channel").desc())
+    scored = j.select(
+        "channel",
+        (F.row_number().over(wo) == 1).cast("int").alias("__first"),
+        (F.row_number().over(wd) == 1).cast("int").alias("__last"),
+        (F.lit(1.0) / F.count(F.lit(1)).over(w)).alias("__linear"),
+    )
+    return scored.groupBy("channel").agg(
+        F.count(F.lit(1)).alias("n_touches"),
+        F.sum("__first").cast("bigint").alias("first_touch_conversions"),
+        F.sum("__last").cast("bigint").alias("last_touch_conversions"),
+        F.round(F.sum("__linear"), 6).alias("linear_conversions"),
+    )
+
+
+def weekly_churn(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Week-over-week churn/retention/new-user counts — the engagement
+    delta report next to :func:`retention_cohorts`' triangle (cohorts
+    answer "how do users age"; this answers "what happened THIS week"):
+    for every epoch-week w with activity in w or w−1, how many users
+    were retained (active both), new (active w, not w−1), and churned
+    (active w−1, not w).
+
+    Scale shape: events collapse to distinct (user, week) FIRST (at
+    most users × weeks rows move anywhere), then one user-keyed
+    full-outer self-join of week w against week w+1 classifies every
+    (user, week-boundary) into exactly one bucket, and a week-keyed
+    count finishes. Integer epoch-week indexes (:func:`week_index`) —
+    no timezone or week-start convention to diverge on. Returns
+    (week_idx, n_active, n_retained, n_new, n_churned_from_prev);
+    n_active = n_retained + n_new, and the week AFTER the last active
+    week appears with n_active = 0 carrying the final churn.
+    """
+    weeks = df.select(
+        F.col(user_col).alias("__u"), week_index(ts_col).alias("__w")
+    ).distinct()
+    nxt = weeks.select(F.col("__u"), (F.col("__w") + 1).alias("__w2"))
+    j = weeks.join(
+        nxt,
+        (weeks["__u"] == nxt["__u"]) & (weeks["__w"] == nxt["__w2"]),
+        "full",
+    ).select(
+        F.coalesce(weeks["__w"], nxt["__w2"]).alias("week_idx"),
+        weeks["__w"].isNotNull().alias("__active"),
+        nxt["__w2"].isNotNull().alias("__prev_active"),
+    )
+    return j.groupBy("week_idx").agg(
+        F.sum(F.col("__active").cast("int")).cast("bigint").alias("n_active"),
+        F.sum((F.col("__active") & F.col("__prev_active")).cast("int"))
+        .cast("bigint")
+        .alias("n_retained"),
+        F.sum((F.col("__active") & ~F.col("__prev_active")).cast("int"))
+        .cast("bigint")
+        .alias("n_new"),
+        F.sum((~F.col("__active") & F.col("__prev_active")).cast("int"))
+        .cast("bigint")
+        .alias("n_churned_from_prev"),
+    )

@@ -508,3 +508,49 @@ def epsilon_band_join(
         & (F.abs(l[left_col] - r[right_col]) <= eps)
     )
     return l.join(r, cond, "inner").drop("__cell")
+
+
+def knn_band_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    left_col: str,
+    right_id: str,
+    right_col: str,
+    k: int,
+    max_dist: int,
+) -> DataFrame:
+    """k-nearest-neighbor join on a 1-D numeric axis with a hard search
+    radius: for each left row, the ``k`` closest right rows within
+    ``max_dist`` — the bounded-radius 1-D kNN (match each reading to
+    its k nearest calibration points, each event to its k nearest
+    checkpoints) that a naive formulation plans as a cartesian plus a
+    global sort.
+
+    Composition of graded shapes: candidates come from
+    :func:`epsilon_band_join` (grid cells, exactly-once, equi-join
+    plan), then ONE left-id-partitioned window ranks candidates by
+    (distance, right value, right id) — fully deterministic under
+    ties — and keeps rank ≤ k. The radius is the scale contract:
+    per-left fan-in is bounded by the right-side density within
+    ``max_dist``, so the window state is bounded by construction
+    (an unbounded kNN would sort every right row per left row).
+    Returns left id/value + right id/value + ``dist`` + ``knn_rank``
+    (1-based).
+    """
+    cand = epsilon_band_join(
+        left.select(left_id, left_col),
+        right.select(right_id, right_col),
+        left_col,
+        right_col,
+        eps=int(max_dist),
+    )
+    dist = F.abs(F.col(left_col) - F.col(right_col))
+    w = Window.partitionBy(left_id).orderBy(
+        dist.asc(), F.col(right_col).asc(), F.col(right_id).asc()
+    )
+    return (
+        cand.withColumn("dist", dist)
+        .withColumn("knn_rank", F.row_number().over(w))
+        .where(F.col("knn_rank") <= int(k))
+    )

@@ -1216,3 +1216,45 @@ def image_border_uniformity(df: DataFrame, tol: int = 0) -> DataFrame:
         F.round(frac, 6).alias("border_uniform_frac"),
         (frac >= 0.95).alias("is_letterboxed"),
     )
+
+
+def video_motion_profile(
+    frames: DataFrame,
+    max_hamming: int = 10,
+) -> DataFrame:
+    """Per-video motion intensity profile — the triage scalar BEFORE
+    :func:`scene_changes`' per-cut detail (a static slideshow, a
+    continuous pan, and a jump-cut montage are different datasets):
+    per video, frame count, mean and max adjacent-frame dHash hamming
+    distance, and the number of hard cuts (hamming > ``max_hamming``).
+
+    Rides the exact value-oracled machinery of :func:`scene_changes`
+    (Arrow-batched per-frame dHash — only (video, idx, hash) triplets
+    leave the decode, payloads never shuffle; one per-video lag
+    window), then collapses to ONE row per video. mean_hamming is an
+    exact integer sum divided once in double, 6 decimals; single-frame
+    videos (no adjacent pairs) emit NULL mean/max and zero cuts.
+    Returns (media_id, n_frames, n_pairs, mean_hamming, max_hamming_obs,
+    n_cuts).
+    """
+    from pyspark.sql import Window
+
+    hashed = dhash_images(frames, extra_cols=["frame_idx"])
+    w = Window.partitionBy("media_id").orderBy(F.col("frame_idx").asc())
+    lagged = hashed.withColumn("__ph", F.lag("dhash").over(w))
+    ham = F.bit_count(F.col("dhash").bitwiseXOR(F.col("__ph")))
+    pairs = lagged.select(
+        "media_id",
+        F.when(F.col("__ph").isNotNull(), ham).alias("__ham"),
+    )
+    return pairs.groupBy("media_id").agg(
+        (F.count(F.lit(1))).alias("n_frames"),
+        F.count("__ham").alias("n_pairs"),
+        F.round(
+            F.sum("__ham").cast("double") / F.nullif(F.count("__ham"), F.lit(0)), 6
+        ).alias("mean_hamming"),
+        F.max("__ham").alias("max_hamming_obs"),
+        F.coalesce(
+            F.sum((F.col("__ham") > max_hamming).cast("int")), F.lit(0)
+        ).cast("bigint").alias("n_cuts"),
+    )

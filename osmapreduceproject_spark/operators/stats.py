@@ -1982,3 +1982,114 @@ def cohens_d(
         "n_a bigint, n_b bigint, mean_a double, mean_b double, "
         "pooled_sd double, cohens_d double",
     )
+
+
+def weighted_quantiles(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    percentiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Exact WEIGHTED discrete quantiles: the smallest value whose
+    cumulative weight reaches p·W — the order statistic a mixture
+    pipeline needs once rows stop counting equally (q110's loss-side
+    mixing weights, importance-weighted eval sets, byte-weighted
+    document sizes). The discrete convention mirrors ``quantile_disc``:
+    result is always an OBSERVED value, never an interpolation.
+
+    Scale shape (the :func:`ks_test` technique — no single-partition
+    window anywhere): weights quantize to integer micro-units and
+    collapse to per-distinct-value sums (ONE value-keyed aggregation
+    with map-side combine), a ``repartitionByRange`` puts contiguous
+    value ranges in each partition, per-partition totals cumulate
+    through a broadcast non-equi self-join, and each partition's
+    running weight is a partition-local window plus its broadcast
+    offset. Thresholds p·W are doubles built from the same exact
+    integers on both engines; the per-p pick is a broadcast of
+    |percentiles| rows against the distinct-value frame. Rows with
+    NULL/NaN values or NULL/NaN/non-positive weights are excluded.
+    Returns (p, value, total_weight) — one row per requested p,
+    total_weight in original units, 6 decimals.
+    """
+    from ..plans.inspect import tracked_persist
+
+    v = F.col(value_col).cast("double")
+    wgt = F.col(weight_col).cast("double")
+    pool = df.where(
+        v.isNotNull() & ~F.isnan(v) & wgt.isNotNull() & ~F.isnan(wgt) & (wgt > 0)
+    ).select(v.alias("__v"), F.round(wgt * scale).cast("bigint").alias("__wq"))
+    per_value = pool.groupBy("__v").agg(F.sum("__wq").alias("__w"))
+    spark = df.sparkSession
+    try:
+        nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        nparts = spark.sparkContext.defaultParallelism
+    ranged = tracked_persist(
+        per_value.repartitionByRange(nparts, F.col("__v").asc())
+        .sortWithinPartitions(F.col("__v").asc())
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    totals = ranged.groupBy("__pid").agg(F.sum("__w").alias("__tw"))
+    b = totals.select(F.col("__pid").alias("__bpid"), F.col("__tw").alias("__btw"))
+    offsets = (
+        totals.join(F.broadcast(b), F.col("__bpid") < F.col("__pid"), "left")
+        .groupBy("__pid")
+        .agg(F.coalesce(F.sum("__btw"), F.lit(0)).cast("bigint").alias("__off"))
+    )
+    w = Window.partitionBy("__pid").orderBy(F.col("__v").asc())
+    cum = ranged.join(F.broadcast(offsets), "__pid").select(
+        "__v", (F.col("__off") + F.sum("__w").over(w)).alias("__cum")
+    )
+    total = pool.agg(F.sum("__wq").alias("__W"))
+    ps = spark.createDataFrame([(float(p),) for p in percentiles], "p double")
+    hits = (
+        cum.crossJoin(F.broadcast(total))
+        .join(F.broadcast(ps), F.col("__cum") >= F.col("p") * F.col("__W"))
+        .groupBy("p")
+        .agg(
+            F.min("__v").alias("value"),
+            F.round(F.max(F.col("__W")).cast("double") / scale, 6).alias(
+                "total_weight"
+            ),
+        )
+    )
+    return hits.select("p", "value", "total_weight")
+
+
+def quantile_shift_report(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+    percentiles: tuple[float, ...] = (0.1, 0.25, 0.5, 0.75, 0.9),
+) -> DataFrame:
+    """Per-percentile shift between two groups' distributions — the
+    QQ-table drift readout that says WHERE a distribution moved
+    (:func:`ks_test` says "they differ", :func:`welch_ttest` says "the
+    mean moved"; this says "the p90 moved 3× more than the median" —
+    tail drift that both can under-describe). One row per requested p:
+    the exact discrete quantile of each group and the difference.
+
+    Delegates to :func:`group_percentiles` (per-group ceil-rank window
+    — bounded by per-group volume, the documented contract) and pivots
+    the two groups via one p-keyed join; NULL quantiles (an empty
+    group) propagate to a NULL shift. Returns (p, q_a, q_b, shift),
+    shifts 6 decimals.
+    """
+    base = df.where(F.col(group_col).isin([group_a, group_b]))
+    q = group_percentiles(base, group_col, value_col, percentiles)
+    qa = q.where(F.col(group_col) == F.lit(group_a)).select(
+        "p", F.col("value").alias("q_a")
+    )
+    qb = q.where(F.col(group_col) == F.lit(group_b)).select(
+        "p", F.col("value").alias("q_b")
+    )
+    return (
+        qa.join(qb, "p", "full")
+        .select(
+            "p", "q_a", "q_b",
+            F.round(F.col("q_b") - F.col("q_a"), 6).alias("shift"),
+        )
+    )

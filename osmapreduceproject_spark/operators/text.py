@@ -1502,3 +1502,45 @@ def collocation_llr(
         .orderBy(F.col("llr_bits").desc(), F.col("a").asc(), F.col("b").asc())
         .limit(int(top_k))
     )
+
+
+def char_class_report(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-document character-class composition — the encoding/garbage
+    screen a corpus QC runs next to :func:`with_quality_score` (which
+    scores WORDS; this catches mojibake, binary-in-text, digit dumps,
+    and wrong-script contamination at the CHARACTER level): fractions
+    of ASCII letters, digits, whitespace, ASCII punctuation, and
+    everything else (non-ASCII — the script/mojibake mass).
+
+    A pure narrow map: each class count is one ``regexp_count`` over
+    the text (anchored, deterministic ASCII classes — identical regex
+    semantics across engines), fractions are exact-integer divisions
+    in double. Zero-length docs emit NULL fractions, not 0/0. Returns
+    (id, n_chars, letter_frac, digit_frac, space_frac, punct_frac,
+    other_frac), 6 decimals; the five fractions sum to 1 on non-empty
+    docs (asserted in the parity test).
+    """
+    t = F.col(text_col)
+    n = F.length(t)
+    classes = {
+        "letter": "[A-Za-z]",
+        "digit": "[0-9]",
+        "space": r"[ \t\n\r]",
+        "punct": r"[!-/:-@\[-`{-~]",
+    }
+    counts = {
+        name: F.regexp_count(t, F.lit(pat)) for name, pat in classes.items()
+    }
+    known = None
+    for c in counts.values():
+        known = c if known is None else known + c
+    fr = lambda c: F.when(n > 0, F.round(c.cast("double") / n, 6))  # noqa: E731
+    return df.select(
+        F.col(id_col),
+        n.cast("bigint").alias("n_chars"),
+        fr(counts["letter"]).alias("letter_frac"),
+        fr(counts["digit"]).alias("digit_frac"),
+        fr(counts["space"]).alias("space_frac"),
+        fr(counts["punct"]).alias("punct_frac"),
+        fr(n - known).alias("other_frac"),
+    )

@@ -670,3 +670,40 @@ def test_r11_wave_plan_shapes(spark):
 
     ies = inter_event_stats(ev, key="user_id", ts="ts")
     assert data_carrying_single_partitions(ies) == [], explain_str(ies)
+
+
+def test_r12_wave_plan_shapes(spark):
+    """Scale-shape assertions for the r12-staged wave: weighted
+    quantiles' cumulative weights use the broadcast-offset technique
+    (no data-carrying single partition), the kNN band join stays an
+    equi hash join (no cartesian), and weekly_churn collapses to
+    distinct (user, week) before any join."""
+    from pyspark.sql import functions as F
+
+    from osmapreduceproject_spark.operators.events import weekly_churn
+    from osmapreduceproject_spark.operators.joins import knn_band_join
+    from osmapreduceproject_spark.operators.stats import weighted_quantiles
+    from osmapreduceproject_spark.plans.inspect import (
+        data_carrying_single_partitions,
+        explain_str,
+        release_intermediates,
+    )
+    from osmapreduceproject_spark.queries import _t
+
+    sf = "/root/testdata/sf0.001"
+    li = _t(spark, sf, "lineitem")
+    wq = weighted_quantiles(li, "l_extendedprice", "l_quantity")
+    assert data_carrying_single_partitions(wq) == [], explain_str(wq)
+    release_intermediates()
+
+    ev = _t(spark, sf, "events")
+    l = ev.select(F.col("event_id").alias("lid"),
+                  F.floor(F.unix_micros("ts") / 1_000_000).alias("lv"))
+    r = ev.select(F.col("event_id").alias("rid"),
+                  F.floor(F.unix_micros("ts") / 1_000_000).alias("rv"))
+    j = knn_band_join(l, r, "lid", "lv", "rid", "rv", k=3, max_dist=30)
+    plan = explain_str(j)
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
+
+    ch = weekly_churn(ev)
+    assert data_carrying_single_partitions(ch) == [], explain_str(ch)

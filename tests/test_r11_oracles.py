@@ -489,3 +489,31 @@ def test_image_border_uniformity_oracle(spark, duck):
         rows[m]["border_uniform_frac"] < 0.95 for m in range(1, 64, 2)
     )
     assert rows[0]["n_border_px"] == 2 * 16 + 2 * 12 - 4
+
+
+import os as _os
+
+
+@pytest.mark.skipif(
+    not _os.environ.get("SPARK_GRAFT_SCALE"),
+    reason="scale smoke: set SPARK_GRAFT_SCALE=1 (2M x 2M band join)",
+)
+def test_epsilon_band_join_scale_smoke(spark):
+    """2M × 2M keyless band join — 4·10¹² naive comparisons; the grid
+    path finds EXACTLY the 2M planted pairs (left i at 100i, right i at
+    100i+40 with eps=40 — neighbors are 60/140 away) once each."""
+    from osmapreduceproject_spark.operators.joins import epsilon_band_join
+
+    n = 2_000_000
+    left = spark.range(n).select(
+        F.col("id").alias("lid"), (F.col("id") * 100).alias("lv")
+    )
+    right = spark.range(n).select(
+        F.col("id").alias("rid"), (F.col("id") * 100 + 40).alias("rv")
+    )
+    j = epsilon_band_join(left, right, "lv", "rv", eps=40)
+    agg = j.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("lid") == F.col("rid")).cast("int")).alias("self_pairs"),
+    ).first()
+    assert agg["n"] == n and agg["self_pairs"] == n
