@@ -517,3 +517,40 @@ def test_epsilon_band_join_scale_smoke(spark):
         F.sum((F.col("lid") == F.col("rid")).cast("int")).alias("self_pairs"),
     ).first()
     assert agg["n"] == n and agg["self_pairs"] == n
+
+
+@pytest.mark.skipif(
+    not _os.environ.get("SPARK_GRAFT_SCALE"),
+    reason="scale smoke: set SPARK_GRAFT_SCALE=1 (10M rows through the KW midrank machinery)",
+)
+def test_kruskal_wallis_scale_smoke(spark):
+    """10M rows, 4 groups on a shared 1000-value grid with one group
+    shifted — evidences the doubled-midrank machinery (broadcast-offset
+    prefix sums, no single-partition window) and the bounded per-group
+    collect at a volume where a global rank window would funnel 10M
+    rows through one task. H must be large (one group clearly shifted)
+    and finite; the identical-groups control must sit near 0."""
+    from pyspark.sql import functions as F
+
+    from osmapreduceproject_spark.operators.stats import kruskal_wallis
+    from osmapreduceproject_spark.plans.inspect import release_intermediates
+
+    n = 10_000_000
+    df = spark.range(n).select(
+        (F.col("id") % 4).cast("string").alias("g"),
+        (
+            (F.col("id") / 4).cast("bigint") % 1000
+            + F.when(F.col("id") % 4 == 3, F.lit(500)).otherwise(F.lit(0))
+        ).cast("double").alias("v"),
+    )
+    row = kruskal_wallis(df, "g", "v").first()
+    assert row["n"] == n and row["n_groups"] == 4
+    assert row["h_stat"] is not None and row["h_stat"] > 100_000
+    release_intermediates()
+    same = spark.range(n).select(
+        (F.col("id") % 4).cast("string").alias("g"),
+        ((F.col("id") / 4).cast("bigint") % 1000).cast("double").alias("v"),
+    )
+    row2 = kruskal_wallis(same, "g", "v").first()
+    assert row2["h_stat"] is not None and row2["h_stat"] < 10.0
+    release_intermediates()

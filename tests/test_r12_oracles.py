@@ -293,3 +293,41 @@ def test_video_motion_profile_oracle(spark, duck):
         and rows[v]["n_cuts"] == 1
         for v in range(24)
     )
+
+
+import os as _os
+
+
+@pytest.mark.skipif(
+    not _os.environ.get("SPARK_GRAFT_SCALE"),
+    reason="scale smoke: set SPARK_GRAFT_SCALE=1 (10M weighted rows, planted quantiles)",
+)
+def test_weighted_quantiles_scale_smoke(spark):
+    """10M rows on a 1000-value grid where value v carries total weight
+    proportional to (v+1) — the closed-form weighted CDF is quadratic,
+    so p50 must land at v = ceil(sqrt(0.5)·1000)−1 ± 1 grid step.
+    Evidences the broadcast-offset cumulative weights at a volume where
+    a single-partition running sum would funnel the distinct-value
+    frame through one task."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from osmapreduceproject_spark.operators.stats import weighted_quantiles
+    from osmapreduceproject_spark.plans.inspect import release_intermediates
+
+    n = 10_000_000
+    df = spark.range(n).select(
+        (F.col("id") % 1000).cast("double").alias("v"),
+        ((F.col("id") % 1000) + 1).cast("double").alias("w"),
+    )
+    rows = {
+        r["p"]: r["value"]
+        for r in weighted_quantiles(df, "v", "w", percentiles=(0.5, 0.9)).collect()
+    }
+    # cum weight up to v is (v+1)(v+2)/2 of total 1000*1001/2
+    expect50 = math.ceil(math.sqrt(0.5 * 1000 * 1001) ) - 1
+    assert abs(rows[0.5] - expect50) <= 1.0
+    expect90 = math.ceil(math.sqrt(0.9 * 1000 * 1001)) - 1
+    assert abs(rows[0.9] - expect90) <= 1.0
+    release_intermediates()
