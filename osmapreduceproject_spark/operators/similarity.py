@@ -822,3 +822,59 @@ def recall_at_k(
             ).alias("recall"),
         )
     )
+
+
+def cluster_cohesion(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-cluster assignment-quality report over the deterministic
+    coarse quantizer: member count, mean cosine to the OWN centroid
+    (cohesion), and mean dot-score margin to the SECOND-best centroid
+    (separation) — the index-health readout that says whether an IVF
+    partitioning is worth probing at nprobe=1 (q166 checks list
+    BALANCE; this checks list QUALITY: high cohesion + wide margin
+    means the coarse quantizer respects the data's geometry, near-zero
+    margin means queries will straddle lists).
+
+    Scale shape (the :func:`ivf_assign` conventions exactly): corpus ×
+    broadcast(centroids) scored JVM-side with the same rounded-dot
+    tie-to-larger-cid rule, per-vector top-2 via one id-keyed
+    sort_array over ≤ n_centroids structs, then one cid-keyed
+    aggregation of integer-quantized cosines/margins (exact sums, one
+    IEEE division each, 6 decimals). Nothing all-pairs; vectors shuffle
+    once on the id key. Returns
+    (cid, n_members, mean_cosine, mean_margin).
+    """
+    cents = _ivf_cents(corpus, n_centroids, id_col, vec_col)
+    score = F.round(dot(F.col(vec_col), F.col("__cvec")), 6)
+    cos = F.round(cosine(F.col(vec_col), F.col("__cvec")), 6)
+    scored = corpus.crossJoin(F.broadcast(cents)).select(
+        F.col(id_col),
+        F.struct(score.alias("s"), F.col("cid").alias("cid"), cos.alias("cos")).alias(
+            "__sc"
+        ),
+    )
+    top2 = scored.groupBy(id_col).agg(
+        F.reverse(F.array_sort(F.collect_list("__sc"))).alias("__arr")
+    )
+    best = F.element_at("__arr", 1)
+    second = F.element_at("__arr", 2)
+    per_vec = top2.select(
+        best["cid"].alias("cid"),
+        F.round(best["cos"] * 1_000_000).cast("bigint").alias("__cosq"),
+        F.round((best["s"] - second["s"]) * 1_000_000)
+        .cast("bigint")
+        .alias("__marq"),
+    )
+    return per_vec.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.round(
+            F.sum("__cosq").cast("double") / F.count(F.lit(1)) / 1_000_000, 6
+        ).alias("mean_cosine"),
+        F.round(
+            F.sum("__marq").cast("double") / F.count(F.lit(1)) / 1_000_000, 6
+        ).alias("mean_margin"),
+    )

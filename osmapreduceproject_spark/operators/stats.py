@@ -2093,3 +2093,48 @@ def quantile_shift_report(
             F.round(F.col("q_b") - F.col("q_a"), 6).alias("shift"),
         )
     )
+
+
+def wilson_ci(
+    df: DataFrame,
+    group_col: str,
+    success_col: str,
+    z: float = 1.96,
+) -> DataFrame:
+    """Wilson score confidence interval for a per-group proportion —
+    the CI that stays inside [0, 1] and behaves at extreme p̂ where the
+    normal (Wald) interval collapses: the per-segment companion to
+    :func:`~..operators.events.ab_significance` (that compares two
+    groups; this bounds EACH group's rate — conversion by channel,
+    keep-rate by source, defect rate by shard).
+
+    One group-keyed conditional count (map-side combined); the interval
+    is one fixed-order closed-form expression over exact integer (k, n)
+    the oracle mirrors term for term, 6 decimals. NULL successes count
+    as failures (a row with no signal is a non-success, the funnel
+    convention). Empty groups cannot occur (a group exists only via its
+    rows). Returns (group, n, n_success, p_hat, ci_lo, ci_hi).
+    """
+    s = F.col(success_col).cast("boolean").eqNullSafe(F.lit(True))
+    per = df.groupBy(F.col(group_col)).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(s.cast("bigint")).alias("n_success"),
+    )
+    nn = F.col("n").cast("double")
+    p = F.col("n_success").cast("double") / nn
+    z2 = float(z) * float(z)
+    denom = 1.0 + F.lit(z2) / nn
+    center = (p + F.lit(z2) / (2.0 * nn)) / denom
+    half = (
+        F.lit(float(z))
+        * F.sqrt(p * (1.0 - p) / nn + F.lit(z2) / (4.0 * nn * nn))
+        / denom
+    )
+    return per.select(
+        group_col,
+        "n",
+        "n_success",
+        F.round(p, 6).alias("p_hat"),
+        F.round(center - half, 6).alias("ci_lo"),
+        F.round(center + half, 6).alias("ci_hi"),
+    )

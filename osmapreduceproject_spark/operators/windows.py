@@ -1052,3 +1052,135 @@ def series_extrema(
         s.select(key, "slot_epoch", value_col, kind.alias("kind"))
         .where(F.col("kind").isNotNull())
     )
+
+
+def mann_kendall_trend(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    value_col: str,
+    step_seconds: int,
+    max_slots: int = 2000,
+) -> DataFrame:
+    """Mann–Kendall trend test + Theil–Sen slope per key over the
+    REGULARIZED grid — the ROBUST counterpart to :func:`series_trend`'s
+    OLS line (one outlier can own a least-squares slope; MK/Sen ask
+    "do later slots exceed earlier slots more often than chance" and
+    "what is the median pairwise slope"): the standard monotone-trend
+    gate for sensor/metric series. Emits the exact S statistic, the
+    tie-corrected variance, the continuity-corrected z, and the Sen
+    slope (per slot).
+
+    All pairwise by definition — O(L²) per key — so the bound is
+    MACHINE-ENFORCED with its own tighter default (``max_slots`` 2000:
+    the Sen slope materializes the L(L−1)/2 pairwise-slope array,
+    ~16 MB per key at the bound; the series-family 8,784 default would
+    be ~300 MB). S runs in O(L) memory (per-index prefix filter counts
+    — the quantized integer comparisons are exact), slopes divide raw
+    doubles by integer index distance identically on both engines, and
+    the Sen median is the discrete ceil(n/2) order statistic
+    (quantile_disc convention). Tie variance uses per-key quantized
+    value counts: Var(S) = [n(n−1)(2n+5) − Σ t(t−1)(2t+5)]/18.
+    Keys with <2 slots emit NULL statistics. Returns
+    (key, n_slots, s_stat, var_s, z, sen_slope).
+    """
+    s = resample_ffill(df, key, ts, value_col, step_seconds)
+    rows = s.groupBy(key).agg(
+        F.array_sort(
+            F.collect_list(F.struct("slot_epoch", F.col(value_col).alias("v")))
+        ).alias("__series")
+    )
+    rows = _guard_series(rows, max_slots, "mann_kendall_trend")
+    vq = F.transform(
+        F.col("__series"), lambda x: F.round(x["v"] * 1_000_000).cast("bigint")
+    )
+    vs = F.transform(F.col("__series"), lambda x: x["v"])
+    rows = (
+        rows.withColumn("__vq", vq)
+        .withColumn("__vs", vs)
+        .withColumn("__n", F.size("__series"))
+    )
+    idx = F.sequence(F.lit(1), F.col("__n") - 1)
+    s_stat = F.when(
+        F.col("__n") >= 2,
+        F.aggregate(
+            idx,
+            F.lit(0).cast("bigint"),
+            lambda acc, j: acc
+            + F.size(
+                F.filter(
+                    F.slice(F.col("__vq"), F.lit(1), j),
+                    lambda x: x < F.element_at(F.col("__vq"), j + 1),
+                )
+            ).cast("bigint")
+            - F.size(
+                F.filter(
+                    F.slice(F.col("__vq"), F.lit(1), j),
+                    lambda x: x > F.element_at(F.col("__vq"), j + 1),
+                )
+            ).cast("bigint"),
+        ),
+    )
+    slopes = F.flatten(
+        F.transform(
+            idx,
+            lambda j: F.transform(
+                F.sequence(F.lit(0), j - 1),
+                lambda i: (
+                    F.element_at(F.col("__vs"), j + 1)
+                    - F.element_at(F.col("__vs"), i + 1)
+                )
+                / (j - i).cast("double"),
+            ),
+        )
+    )
+    sen = F.when(
+        F.col("__n") >= 2,
+        F.element_at(
+            F.array_sort(slopes),
+            F.ceil(
+                (F.col("__n") * (F.col("__n") - 1) / 2).cast("double") / 2
+            ).cast("int"),
+        ),
+    )
+    base = rows.select(
+        F.col(key), F.col("__n").alias("n_slots"),
+        s_stat.alias("s_stat"), sen.alias("__sen"),
+    )
+    ties = (
+        s.groupBy(
+            key, F.round(F.col(value_col) * 1_000_000).cast("bigint").alias("__q")
+        )
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .groupBy(key)
+        .agg(
+            F.sum(
+                F.col("__c") * (F.col("__c") - 1) * (2 * F.col("__c") + 5)
+            ).alias("__tie")
+        )
+    )
+    j = base.join(ties, key)
+    n = F.col("n_slots")
+    var_s = F.when(
+        n >= 2,
+        (
+            n.cast("double") * (n - 1) * (2 * n + 5)
+            - F.col("__tie").cast("double")
+        )
+        / 18.0,
+    )
+    sq = F.sqrt(var_s)
+    z = F.when(
+        var_s > 0,
+        F.when(F.col("s_stat") > 0, (F.col("s_stat") - 1) / sq)
+        .when(F.col("s_stat") < 0, (F.col("s_stat") + 1) / sq)
+        .otherwise(F.lit(0.0)),
+    )
+    return j.select(
+        key,
+        "n_slots",
+        "s_stat",
+        F.round(var_s, 6).alias("var_s"),
+        F.round(z, 6).alias("z"),
+        F.round(F.col("__sen"), 6).alias("sen_slope"),
+    )

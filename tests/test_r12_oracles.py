@@ -331,3 +331,193 @@ def test_weighted_quantiles_scale_smoke(spark):
     expect90 = math.ceil(math.sqrt(0.9 * 1000 * 1001)) - 1
     assert abs(rows[0.9] - expect90) <= 1.0
     release_intermediates()
+
+
+_STEP = 3600
+_STEP_US = _STEP * 1_000_000
+
+_RS_CTE = f"""
+    obs AS (SELECT user_id AS k, epoch_us(ts) AS e, CAST(value AS DOUBLE) AS v
+            FROM events),
+    spans AS (SELECT k, MIN(e) AS lo, MAX(e) AS hi FROM obs GROUP BY k),
+    grid AS (
+      SELECT k, unnest(range(
+        CAST(ceil(lo / {_STEP_US}.0) * {_STEP_US} AS BIGINT),
+        CAST(floor(hi / {_STEP_US}.0) * {_STEP_US} AS BIGINT) + 1,
+        {_STEP_US})) AS e
+      FROM spans),
+    resampled AS (
+      SELECT g.k, g.e // 1000000 AS slot_epoch, o.v AS value
+      FROM grid g ASOF JOIN obs o ON g.k = o.k AND o.e <= g.e)"""
+
+
+def test_mann_kendall_trend_oracle(spark, duck):
+    """MK S / tie-corrected variance / continuity-corrected z / Sen
+    slope per key, the all-pairs oracle replaying quantized sign
+    comparisons and the discrete median of pairwise slopes."""
+    from osmapreduceproject_spark.operators.windows import mann_kendall_trend
+
+    got = mann_kendall_trend(
+        _t(spark, "events"), key="user_id", ts="ts", value_col="value",
+        step_seconds=_STEP,
+    )
+    sql = f"""
+    WITH {_RS_CTE},
+    q AS (SELECT k, value AS v,
+                 CAST(round(value * 1000000) AS BIGINT) AS vq,
+                 ROW_NUMBER() OVER (PARTITION BY k ORDER BY slot_epoch) - 1 AS j
+          FROM resampled),
+    pairs AS (SELECT a.k,
+                     CASE WHEN b.vq > a.vq THEN 1
+                          WHEN b.vq < a.vq THEN -1 ELSE 0 END AS sg,
+                     (b.v - a.v) / CAST(b.j - a.j AS DOUBLE) AS slope
+              FROM q a JOIN q b ON a.k = b.k AND a.j < b.j),
+    per AS (SELECT k, SUM(sg) AS s_stat, quantile_disc(slope, 0.5) AS sen
+            FROM pairs GROUP BY k),
+    ties AS (SELECT k, SUM(c*(c-1)*(2*c+5)) AS tie FROM (
+               SELECT k, vq, COUNT(*) AS c FROM q GROUP BY 1, 2) GROUP BY k),
+    nn AS (SELECT k, COUNT(*) AS n FROM q GROUP BY k),
+    fin AS (
+      SELECT nn.k, nn.n, per.s_stat, per.sen,
+             CASE WHEN nn.n >= 2 THEN
+               (CAST(nn.n AS DOUBLE) * (nn.n - 1) * (2*nn.n + 5)
+                - CAST(ties.tie AS DOUBLE)) / 18.0
+             END AS var_s
+      FROM nn LEFT JOIN per ON per.k = nn.k
+      LEFT JOIN ties ON ties.k = nn.k)
+    SELECT k AS user_id, CAST(n AS BIGINT) AS n_slots,
+           CAST(s_stat AS BIGINT) AS s_stat,
+           round(var_s, 6) AS var_s,
+           round(CASE WHEN var_s > 0 THEN
+             CASE WHEN s_stat > 0 THEN (s_stat - 1) / sqrt(var_s)
+                  WHEN s_stat < 0 THEN (s_stat + 1) / sqrt(var_s)
+                  ELSE 0.0 END
+           END, 6) AS z,
+           round(sen, 6) AS sen_slope
+    FROM fin
+    """
+    assert compare(got, duck.execute(sql).df()) == []
+    pdf = got.toPandas().dropna(subset=["s_stat"])
+    assert len(pdf) > 0
+    # |S| is bounded by the pair count
+    assert (pdf.s_stat.abs() <= pdf.n_slots * (pdf.n_slots - 1) / 2).all()
+
+
+def test_mann_kendall_known_cases(spark):
+    """Pins: a strictly increasing series has S = n(n−1)/2 and Sen
+    slope exactly the common difference; a constant series has S = 0
+    with zero variance (NULL z)."""
+    import datetime
+
+    from osmapreduceproject_spark.operators.windows import mann_kendall_trend
+
+    base = datetime.datetime(2025, 1, 1)
+    inc = spark.createDataFrame(
+        [(1, base + datetime.timedelta(hours=i), 2.0 * i) for i in range(10)],
+        "k bigint, ts timestamp, v double",
+    )
+    r = mann_kendall_trend(inc, "k", "ts", "v", 3600).first()
+    assert r["s_stat"] == 45 and r["sen_slope"] == 2.0 and r["z"] > 0
+    const = spark.createDataFrame(
+        [(1, base + datetime.timedelta(hours=i), 7.0) for i in range(10)],
+        "k bigint, ts timestamp, v double",
+    )
+    r2 = mann_kendall_trend(const, "k", "ts", "v", 3600).first()
+    assert r2["s_stat"] == 0 and r2["z"] is None
+
+
+def test_mann_kendall_guard_fires(spark):
+    import datetime
+
+    from osmapreduceproject_spark.operators.windows import mann_kendall_trend
+
+    base = datetime.datetime(2025, 1, 1)
+    df = spark.createDataFrame(
+        [(1, base + datetime.timedelta(hours=i), float(i % 5)) for i in range(30)],
+        "k bigint, ts timestamp, v double",
+    )
+    with pytest.raises(Exception, match="max_slots"):
+        mann_kendall_trend(df, "k", "ts", "v", 3600, max_slots=10).count()
+    assert mann_kendall_trend(df, "k", "ts", "v", 3600, max_slots=30).count() == 1
+
+
+def test_wilson_ci_oracle(spark, duck):
+    from osmapreduceproject_spark.operators.stats import wilson_ci
+
+    ev = _t(spark, "events")
+    rated = ev.select("event_type", (F.col("value") > 5.0).alias("hit"))
+    got = wilson_ci(rated, "event_type", "hit")
+    sql = """
+    WITH per AS (
+      SELECT event_type, COUNT(*) AS n,
+             SUM(CASE WHEN CAST(value AS DOUBLE) > 5.0 THEN 1 ELSE 0 END) AS k
+      FROM events GROUP BY event_type),
+    e AS (SELECT event_type, n, k,
+                 CAST(k AS DOUBLE) / n AS p,
+                 1.0 + (1.96*1.96) / n AS denom
+          FROM per)
+    SELECT event_type, CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS n_success,
+           round(p, 6) AS p_hat,
+           round((p + (1.96*1.96) / (2.0*n)) / denom
+                 - 1.96 * sqrt(p*(1.0 - p)/n + (1.96*1.96)/(4.0*n*n)) / denom,
+                 6) AS ci_lo,
+           round((p + (1.96*1.96) / (2.0*n)) / denom
+                 + 1.96 * sqrt(p*(1.0 - p)/n + (1.96*1.96)/(4.0*n*n)) / denom,
+                 6) AS ci_hi
+    FROM e
+    """
+    assert compare(got, duck.execute(sql).df()) == []
+    pdf = got.toPandas()
+    assert ((pdf.ci_lo >= 0) & (pdf.ci_hi <= 1)).all()
+    assert ((pdf.ci_lo <= pdf.p_hat) & (pdf.p_hat <= pdf.ci_hi)).all()
+
+
+def test_cluster_cohesion_oracle(spark, duck):
+    """Per-cluster cohesion/margin over the deterministic quantizer:
+    the oracle replays the rounded-dot tie-to-larger-cid top-2 and the
+    quantized means with sequential-fold dot products."""
+    from osmapreduceproject_spark.operators.similarity import cluster_cohesion
+
+    got = cluster_cohesion(_t(spark, "embeddings"), n_centroids=16)
+    dotf = (
+        "list_reduce(list_concat([CAST(0.0 AS DOUBLE)], "
+        "list_transform(range(1, 65), i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), "
+        "(x, y) -> x + y)"
+    )
+    norm = (
+        "sqrt(list_reduce(list_concat([CAST(0.0 AS DOUBLE)], "
+        "list_transform(range(1, 65), i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))), "
+        "(x, y) -> x + y))"
+    )
+    d_ec = dotf.format(a="e.embedding", b="c.cvec")
+    n_e = norm.format(a="e.embedding")
+    n_c = norm.format(a="c.cvec")
+    sql = f"""
+    WITH cents AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cvec
+      FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)),
+    scored AS (
+      SELECT e.vec_id, c.cid,
+             round({d_ec}, 6) AS s,
+             round({d_ec} / ({n_e} * {n_c}), 6) AS cos
+      FROM embeddings e CROSS JOIN cents c),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                   ORDER BY s DESC, cid DESC) AS rn
+      FROM scored),
+    best AS (SELECT vec_id, cid, s,
+                    CAST(round(cos * 1000000) AS BIGINT) AS cosq
+             FROM ranked WHERE rn = 1),
+    sec AS (SELECT vec_id, s AS s2 FROM ranked WHERE rn = 2),
+    per AS (SELECT b.cid, b.cosq,
+                   CAST(round((b.s - sec.s2) * 1000000) AS BIGINT) AS marq
+            FROM best b JOIN sec ON sec.vec_id = b.vec_id)
+    SELECT cid, COUNT(*) AS n_members,
+           round(CAST(SUM(cosq) AS DOUBLE) / COUNT(*) / 1000000, 6) AS mean_cosine,
+           round(CAST(SUM(marq) AS DOUBLE) / COUNT(*) / 1000000, 6) AS mean_margin
+    FROM per GROUP BY cid
+    """
+    assert compare(got, duck.execute(sql).df()) == []
+    pdf = got.toPandas()
+    assert pdf.n_members.sum() == _t(spark, "embeddings").count()
+    assert (pdf.mean_margin >= 0).all()
