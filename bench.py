@@ -209,7 +209,7 @@ def sched_floor_probe(spark, chains: int = 3, shuffles_per_chain: int = 8) -> fl
     quiet host — a host-level PER-STAGE overhead shift is the leading
     hypothesis (those queries run 8–11 exchanges over fixture-scale
     data, so a few ms per stage moves their totals double-digit
-    percents while big-scan queries barely notice). This probe makes
+    percent while big-scan queries barely notice). This probe makes
     that attributable mechanically: recorded in every bench run, so a
     round-over-round uniform offset on many-small-stage queries can be
     checked against the probe's delta instead of re-arguing from plan

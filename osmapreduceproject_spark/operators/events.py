@@ -216,6 +216,44 @@ def top_event_paths(
     )
 
 
+def _conversion_touch_pairs(
+    df: DataFrame,
+    conversion_type: str,
+    touch_types: tuple[str, ...],
+    lookback_seconds: int,
+    user_col: str,
+    type_col: str,
+    ts_col: str,
+    id_col: str,
+    value_col: str | None = None,
+) -> DataFrame:
+    """(conversion × touch) pairs inside the lookback window — the ONE
+    pairing behind :func:`multi_touch_attribution` and
+    :func:`attribution_models` (review finding, r10: the join and its
+    boundary predicate were duplicated line-for-line; a semantics
+    change must land once). User-keyed equi-join, touch STRICTLY before
+    the conversion and within ``lookback_seconds``; per-conversion
+    fan-out bounded by the user's in-window touches. Emits
+    (__u, __cid, __cts[, __cval], channel, __tts)."""
+    conv_cols = [
+        F.col(user_col).alias("__u"),
+        F.col(id_col).alias("__cid"),
+        F.unix_micros(F.col(ts_col)).alias("__cts"),
+    ]
+    if value_col is not None:
+        conv_cols.append(F.col(value_col).cast("double").alias("__cval"))
+    conv = df.where(F.col(type_col) == conversion_type).select(*conv_cols)
+    touch = df.where(F.col(type_col).isin(list(touch_types))).select(
+        F.col(user_col).alias("__u"),
+        F.col(type_col).alias("channel"),
+        F.unix_micros(F.col(ts_col)).alias("__tts"),
+    )
+    return conv.join(touch, "__u").where(
+        (F.col("__tts") < F.col("__cts"))
+        & (F.col("__tts") >= F.col("__cts") - lookback_seconds * 1_000_000)
+    )
+
+
 def multi_touch_attribution(
     df: DataFrame,
     conversion_type: str = "purchase",
@@ -256,20 +294,9 @@ def multi_touch_attribution(
     """
     from pyspark.sql import Window
 
-    conv = df.where(F.col(type_col) == conversion_type).select(
-        F.col(user_col).alias("__u"),
-        F.col(id_col).alias("__cid"),
-        F.unix_micros(F.col(ts_col)).alias("__cts"),
-        F.col(value_col).cast("double").alias("__cval"),
-    )
-    touch = df.where(F.col(type_col).isin(list(touch_types))).select(
-        F.col(user_col).alias("__u"),
-        F.col(type_col).alias("channel"),
-        F.unix_micros(F.col(ts_col)).alias("__tts"),
-    )
-    j = conv.join(touch, "__u").where(
-        (F.col("__tts") < F.col("__cts"))
-        & (F.col("__tts") >= F.col("__cts") - lookback_seconds * 1_000_000)
+    j = _conversion_touch_pairs(
+        df, conversion_type, touch_types, lookback_seconds,
+        user_col, type_col, ts_col, id_col, value_col,
     )
     w = Window.partitionBy("__cid")
     if decay_halflife_s is None:
@@ -715,7 +742,13 @@ def inter_event_stats(
 
     e = F.unix_micros(F.col(ts))
     w = Window.partitionBy(key).orderBy(F.col("__e").asc())
-    gaps = (
+    from ..plans.inspect import tracked_persist
+
+    # two consumers (the moment aggregate and the median rank window)
+    # read the gap frame — persist it so the per-key sort+lag pass runs
+    # once, not twice (review finding, r10); tracked_persist → callers
+    # release via plans.inspect.release_intermediates()
+    gaps = tracked_persist(
         df.select(F.col(key), e.alias("__e"))
         .withColumn("__gap_us", F.col("__e") - F.lag("__e").over(w))
         .where(F.col("__gap_us").isNotNull())
@@ -774,19 +807,9 @@ def attribution_models(
     """
     from pyspark.sql import Window
 
-    conv = df.where(F.col(type_col) == conversion_type).select(
-        F.col(user_col).alias("__u"),
-        F.col(id_col).alias("__cid"),
-        F.unix_micros(F.col(ts_col)).alias("__cts"),
-    )
-    touch = df.where(F.col(type_col).isin(list(touch_types))).select(
-        F.col(user_col).alias("__u"),
-        F.col(type_col).alias("channel"),
-        F.unix_micros(F.col(ts_col)).alias("__tts"),
-    )
-    j = conv.join(touch, "__u").where(
-        (F.col("__tts") < F.col("__cts"))
-        & (F.col("__tts") >= F.col("__cts") - lookback_seconds * 1_000_000)
+    j = _conversion_touch_pairs(
+        df, conversion_type, touch_types, lookback_seconds,
+        user_col, type_col, ts_col, id_col,
     )
     w = Window.partitionBy("__cid")
     wo = w.orderBy(F.col("__tts").asc(), F.col("channel").asc())

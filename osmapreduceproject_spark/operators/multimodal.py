@@ -999,7 +999,7 @@ def arith_raw_audio_clipped(
     """:func:`arith_raw_audio` with PLANTED CLIPPING: samples inside each
     ``clip_ranges`` half-open interval sit exactly at the given 8-bit
     rail (255 = positive clip, 0 = negative clip) while the background
-    wave is remapped to [1, 254] so it can never touch a rail by
+    wave is remapped to [1, 253] so it can never touch a rail by
     accident — the fixture for clipping detection, fully SQL-regenerable
     (a CASE over the sample index) like the silence twin."""
 

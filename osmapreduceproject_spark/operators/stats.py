@@ -1157,6 +1157,64 @@ def group_percentiles(
     )
 
 
+def _ranged_cumsum(per_value: DataFrame, order_col: str, sum_cols: list[str]) -> DataFrame:
+    """Inclusive running prefix sums of ``sum_cols`` over ``per_value``
+    ordered by ``order_col``, with NO single-partition window anywhere
+    (the ranked_sort offset technique, mapreduce.py:91): range
+    repartition puts contiguous value ranges in each partition,
+    per-partition totals (≤ num_partitions rows) cumulate through a
+    broadcast non-equi self-join, and each partition's running sums are
+    an ordinary partition-local window plus its broadcast offset.
+
+    The ONE implementation behind every ECDF/rank consumer —
+    :func:`ks_test`, :func:`auc_roc`, :func:`_doubled_midrank_map`, and
+    :func:`weighted_quantiles` previously each carried a near-verbatim
+    copy (review finding, r10); a fix to the idiom's subtleties now
+    lands once. Preserves all input columns and appends
+    ``__cum_<col>`` per requested column. The range-partitioned frame
+    is ``tracked_persist``-ed (it feeds two passes: totals and the
+    final join); callers release via
+    plans.inspect.release_intermediates[_since]().
+    """
+    from ..plans.inspect import tracked_persist
+
+    spark = per_value.sparkSession
+    try:
+        nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        nparts = spark.sparkContext.defaultParallelism
+    ranged = tracked_persist(
+        per_value.repartitionByRange(nparts, F.col(order_col).asc())
+        .sortWithinPartitions(F.col(order_col).asc())
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    totals = ranged.groupBy("__pid").agg(
+        *[F.sum(c).alias(f"__t_{c}") for c in sum_cols]
+    )
+    b = totals.select(
+        F.col("__pid").alias("__bpid"),
+        *[F.col(f"__t_{c}").alias(f"__bt_{c}") for c in sum_cols],
+    )
+    offsets = (
+        totals.join(F.broadcast(b), F.col("__bpid") < F.col("__pid"), "left")
+        .groupBy("__pid")
+        .agg(
+            *[
+                F.coalesce(F.sum(f"__bt_{c}"), F.lit(0))
+                .cast("bigint")
+                .alias(f"__off_{c}")
+                for c in sum_cols
+            ]
+        )
+    )
+    w = Window.partitionBy("__pid").orderBy(F.col(order_col).asc())
+    out = [F.col(c) for c in per_value.columns] + [
+        (F.col(f"__off_{c}") + F.sum(c).over(w)).alias(f"__cum_{c}")
+        for c in sum_cols
+    ]
+    return ranged.join(F.broadcast(offsets), "__pid").select(*out)
+
+
 def ks_test(
     df: DataFrame,
     group_col: str,
@@ -1200,41 +1258,10 @@ def ks_test(
         F.sum("__a").cast("bigint").alias("__ca"),
         F.sum(F.lit(1) - F.col("__a")).cast("bigint").alias("__cb"),
     )
-    try:
-        nparts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    except (TypeError, ValueError):
-        nparts = df.sparkSession.sparkContext.defaultParallelism
-    from ..plans.inspect import tracked_persist
-
-    ranged = tracked_persist(
-        per_value.repartitionByRange(nparts, F.col("__v").asc())
-        .sortWithinPartitions(F.col("__v").asc())
-        .withColumn("__pid", F.spark_partition_id())
-    )
-    totals = ranged.groupBy("__pid").agg(
-        F.sum("__ca").alias("__ta"), F.sum("__cb").alias("__tb")
-    )
-    b = totals.select(
-        F.col("__pid").alias("__bpid"),
-        F.col("__ta").alias("__bta"),
-        F.col("__tb").alias("__btb"),
-    )
-    offsets = (
-        totals.join(F.broadcast(b), F.col("__bpid") < F.col("__pid"), "left")
-        .groupBy("__pid")
-        .agg(
-            F.coalesce(F.sum("__bta"), F.lit(0)).cast("bigint").alias("__offa"),
-            F.coalesce(F.sum("__btb"), F.lit(0)).cast("bigint").alias("__offb"),
-        )
-    )
-    w = Window.partitionBy("__pid").orderBy(F.col("__v").asc())
-    cum = (
-        ranged.join(F.broadcast(offsets), "__pid")
-        .select(
-            "__v",
-            (F.col("__offa") + F.sum("__ca").over(w)).alias("__cuma"),
-            (F.col("__offb") + F.sum("__cb").over(w)).alias("__cumb"),
-        )
+    cum = _ranged_cumsum(per_value, "__v", ["__ca", "__cb"]).select(
+        "__v",
+        F.col("__cum___ca").alias("__cuma"),
+        F.col("__cum___cb").alias("__cumb"),
     )
     n = pool.agg(
         F.sum("__a").cast("bigint").alias("__na"),
@@ -1414,31 +1441,12 @@ def auc_roc(
         F.sum("__pos").cast("bigint").alias("__cp"),
         F.count(F.lit(1)).cast("bigint").alias("__cn"),
     )
-    try:
-        nparts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    except (TypeError, ValueError):
-        nparts = df.sparkSession.sparkContext.defaultParallelism
-    from ..plans.inspect import tracked_persist
-
-    ranged = tracked_persist(
-        per_value.repartitionByRange(nparts, F.col("__v").asc())
-        .sortWithinPartitions(F.col("__v").asc())
-        .withColumn("__pid", F.spark_partition_id())
-    )
-    totals = ranged.groupBy("__pid").agg(F.sum("__cn").alias("__tn"))
-    b = totals.select(F.col("__pid").alias("__bpid"), F.col("__tn").alias("__btn"))
-    offsets = (
-        totals.join(F.broadcast(b), F.col("__bpid") < F.col("__pid"), "left")
-        .groupBy("__pid")
-        .agg(F.coalesce(F.sum("__btn"), F.lit(0)).cast("bigint").alias("__off"))
-    )
-    w = Window.partitionBy("__pid").orderBy(F.col("__v").asc())
-    ranked = ranged.join(F.broadcast(offsets), "__pid").select(
+    ranked = _ranged_cumsum(per_value, "__v", ["__cn"]).select(
         "__cp",
         "__cn",
         # 2·avg_rank of this value's tied block — integer by construction
         (
-            F.lit(2) * (F.col("__off") + F.sum("__cn").over(w) - F.col("__cn"))
+            F.lit(2) * (F.col("__cum___cn") - F.col("__cn"))
             + F.col("__cn")
             + F.lit(1)
         ).alias("__r2"),
@@ -1679,29 +1687,11 @@ def _doubled_midrank_map(vals: DataFrame) -> DataFrame:
     per_value = vals.groupBy("__v").agg(
         F.count(F.lit(1)).cast("bigint").alias("__cn")
     )
-    spark = vals.sparkSession
-    try:
-        nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    except (TypeError, ValueError):
-        nparts = spark.sparkContext.defaultParallelism
-    ranged = tracked_persist(
-        per_value.repartitionByRange(nparts, F.col("__v").asc())
-        .sortWithinPartitions(F.col("__v").asc())
-        .withColumn("__pid", F.spark_partition_id())
-    )
-    totals = ranged.groupBy("__pid").agg(F.sum("__cn").alias("__tn"))
-    b = totals.select(F.col("__pid").alias("__bpid"), F.col("__tn").alias("__btn"))
-    offsets = (
-        totals.join(F.broadcast(b), F.col("__bpid") < F.col("__pid"), "left")
-        .groupBy("__pid")
-        .agg(F.coalesce(F.sum("__btn"), F.lit(0)).cast("bigint").alias("__off"))
-    )
-    w = Window.partitionBy("__pid").orderBy(F.col("__v").asc())
     return tracked_persist(
-        ranged.join(F.broadcast(offsets), "__pid").select(
+        _ranged_cumsum(per_value, "__v", ["__cn"]).select(
             "__v",
             (
-                F.lit(2) * (F.col("__off") + F.sum("__cn").over(w) - F.col("__cn"))
+                F.lit(2) * (F.col("__cum___cn") - F.col("__cn"))
                 + F.col("__cn")
                 + F.lit(1)
             ).alias("__r2"),
@@ -1822,15 +1812,21 @@ def kruskal_wallis(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
     group order mirrored term-for-term by the oracle's ordered
     list_reduce (the queries.py float-rule for sequential folds).
     Degenerate inputs (all values tied, <2 groups) → NULL H.
+    The midrank caches materialize in-call, so the operator releases
+    ONLY the frames it registered (intermediates_mark /
+    release_intermediates_since) — a global in-call release would
+    unpersist caches backing other operators' still-pending lazy
+    results (review finding, r10).
     One row: (n, n_groups, dof, h_stat).
     """
-    from ..plans.inspect import release_intermediates
+    from ..plans.inspect import intermediates_mark, release_intermediates_since
 
     dec = "decimal(38,0)"
     v = F.col(value_col).cast("double")
     pool = df.where(v.isNotNull() & ~F.isnan(v)).select(
         F.col(group_col).alias("__g"), v.alias("__v")
     )
+    mark = intermediates_mark()
     r2 = _doubled_midrank_map(pool.select("__v"))
     per = (
         pool.join(r2, "__v")
@@ -1843,7 +1839,7 @@ def kruskal_wallis(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
         .orderBy(F.col("__g").asc_nulls_last())
     )
     rows = per.collect()  # bounded: one row per categorical level
-    release_intermediates()
+    release_intermediates_since(mark)
     n_total = sum(int(r["__n"]) for r in rows)
     k = len(rows)
     h = None
@@ -2012,8 +2008,6 @@ def weighted_quantiles(
     Returns (p, value, total_weight) — one row per requested p,
     total_weight in original units, 6 decimals.
     """
-    from ..plans.inspect import tracked_persist
-
     v = F.col(value_col).cast("double")
     wgt = F.col(weight_col).cast("double")
     pool = df.where(
@@ -2021,27 +2015,15 @@ def weighted_quantiles(
     ).select(v.alias("__v"), F.round(wgt * scale).cast("bigint").alias("__wq"))
     per_value = pool.groupBy("__v").agg(F.sum("__wq").alias("__w"))
     spark = df.sparkSession
-    try:
-        nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    except (TypeError, ValueError):
-        nparts = spark.sparkContext.defaultParallelism
-    ranged = tracked_persist(
-        per_value.repartitionByRange(nparts, F.col("__v").asc())
-        .sortWithinPartitions(F.col("__v").asc())
-        .withColumn("__pid", F.spark_partition_id())
+    cum = _ranged_cumsum(per_value, "__v", ["__w"]).select(
+        "__v", F.col("__cum___w").alias("__cum")
     )
-    totals = ranged.groupBy("__pid").agg(F.sum("__w").alias("__tw"))
-    b = totals.select(F.col("__pid").alias("__bpid"), F.col("__tw").alias("__btw"))
-    offsets = (
-        totals.join(F.broadcast(b), F.col("__bpid") < F.col("__pid"), "left")
-        .groupBy("__pid")
-        .agg(F.coalesce(F.sum("__btw"), F.lit(0)).cast("bigint").alias("__off"))
-    )
-    w = Window.partitionBy("__pid").orderBy(F.col("__v").asc())
-    cum = ranged.join(F.broadcast(offsets), "__pid").select(
-        "__v", (F.col("__off") + F.sum("__w").over(w)).alias("__cum")
-    )
-    total = pool.agg(F.sum("__wq").alias("__W"))
+    # total weight from the LAST partition totals would need ordering;
+    # cheaper and exact: sum the per-distinct-value sums (≤ |values|
+    # rows, already computed) — never a second scan of the raw input
+    # (review finding, r10: the pool re-aggregation doubled the
+    # heaviest stage per invocation)
+    total = per_value.agg(F.sum("__w").alias("__W"))
     ps = spark.createDataFrame([(float(p),) for p in percentiles], "p double")
     hits = (
         cum.crossJoin(F.broadcast(total))

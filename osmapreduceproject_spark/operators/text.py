@@ -1247,9 +1247,15 @@ def gopher_repetition(
     )
     # Guard the lf branch only: every doc flows through it, so the
     # assert fires on any violation without re-splitting text in the
-    # gram branch's predicate too.
+    # gram branch's predicate too. NULL text passes the guard (coalesce
+    # to true): assert_true raises on a NULL condition, and a NULL doc
+    # must keep flowing to the graceful keep-row path, not abort the
+    # job with a message-less error (review finding, r10).
     lf = df.where(
-        F.assert_true(F.size(lines) <= F.lit(int(max_lines)), guard_msg).isNull()
+        F.assert_true(
+            F.coalesce(F.size(lines) <= F.lit(int(max_lines)), F.lit(True)),
+            guard_msg,
+        ).isNull()
     ).select(
         F.col(id_col),
         F.size(lines).alias("n_lines"),

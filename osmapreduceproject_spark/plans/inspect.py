@@ -119,6 +119,27 @@ def release_intermediates() -> int:
     return n
 
 
+def intermediates_mark() -> int:
+    """Current length of the intermediate registry — pair with
+    :func:`release_intermediates_since` so an operator that fully
+    materializes in-call can release ONLY the caches it created,
+    without unpersisting frames backing OTHER operators' still-pending
+    lazy results (review finding, r10: a global in-call release
+    silently degrades a sibling's persisted pipeline to recompute)."""
+    return len(_INTERMEDIATES)
+
+
+def release_intermediates_since(mark: int) -> int:
+    """Unpersist intermediates registered after ``mark``; returns how
+    many. Safe for in-call cleanup: frames tracked before the mark
+    (other operators' caches) are left alone."""
+    n = 0
+    while len(_INTERMEDIATES) > mark:
+        _INTERMEDIATES.pop().unpersist()
+        n += 1
+    return n
+
+
 def release_local_checkpoint(df: DataFrame) -> bool:
     """Free the executor blocks behind an eager ``localCheckpoint``
     frame — for DEAD frames only (the lineage is truncated, so the data

@@ -3323,3 +3323,22 @@ def test_gopher_repetition_max_lines_guard_fires(spark):
     }
     assert out[1]["n_lines"] == 40 and out[1]["dup_line_frac"] > 0.8
     assert out[2]["n_lines"] == 1 and out[2]["keep"]
+
+
+def test_gopher_repetition_null_text_keeps_flowing(spark):
+    """A NULL-text document must flow to the graceful NULL-feature row,
+    not abort the job: assert_true raises on a NULL condition, so the
+    max_lines guard coalesces NULL line counts to pass (review finding,
+    r10 — the pre-guard behavior restored)."""
+    from pyspark.sql import functions as F
+
+    from osmapreduceproject_spark.operators.text import gopher_repetition
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+         (2, None)],
+        "doc_id bigint, text string",
+    )
+    rows = {r["doc_id"]: r for r in gopher_repetition(docs).collect()}
+    assert rows[1]["n_tokens"] == 10
+    assert 2 in rows  # the NULL doc surfaced instead of killing the job
