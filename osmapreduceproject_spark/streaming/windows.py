@@ -184,3 +184,81 @@ def write_stream_foreach_batch(stream_df: DataFrame, out_dir: str):
         .option("checkpointLocation", f"{out_dir}/_checkpoint")
         .start()
     )
+
+
+def late_arrival_report(
+    df: DataFrame,
+    delay_seconds: int,
+    window_seconds: int,
+    ts_col: str = "ts",
+    arrival_col: str = "event_id",
+) -> DataFrame:
+    """Watermark late-data accounting — the sizing study a streaming job
+    runs BEFORE committing to ``withWatermark(delay)``: replay events in
+    a deterministic arrival order (``arrival_col``), maintain the
+    running per-row watermark max(event time seen so far) − delay, and
+    classify each event late iff its event time is already behind that
+    watermark at arrival; report per tumbling window how many rows
+    arrive on time vs late. Per-ROW watermarking is the TIGHTEST
+    accounting: a real Structured Streaming run advances the watermark
+    only at micro-batch boundaries, so it drops a SUBSET of the rows
+    flagged late here — this report is the safe upper bound for
+    choosing ``delay``.
+
+    Scale shape: the running prefix max over arrival order is the
+    ranked_sort offset technique applied to MAX — range repartition on
+    the arrival key, per-partition maxima (≤ num_partitions rows)
+    broadcast-joined into prefix offsets, and a partition-local running
+    max — NO single-partition window for what is semantically a global
+    scan. Pure integer-µs arithmetic (session-timezone-immune); the
+    first-arriving row has no watermark and is on time by definition.
+    Returns (window_start_epoch, n_on_time, n_late_dropped, n_rows).
+    """
+    from pyspark.sql import Window
+
+    e = F.unix_micros(F.col(ts_col))
+    rows = df.select(F.col(arrival_col).alias("__a"), e.alias("__e"))
+    spark = df.sparkSession
+    try:
+        nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        nparts = spark.sparkContext.defaultParallelism
+    ranged = (
+        rows.repartitionByRange(nparts, F.col("__a").asc())
+        .sortWithinPartitions(F.col("__a").asc())
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    totals = ranged.groupBy("__pid").agg(F.max("__e").alias("__tm"))
+    b = totals.select(F.col("__pid").alias("__bpid"), F.col("__tm").alias("__btm"))
+    offsets = (
+        totals.join(F.broadcast(b), F.col("__bpid") < F.col("__pid"), "left")
+        .groupBy("__pid")
+        .agg(F.max("__btm").alias("__off"))  # NULL for the first partition
+    )
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(F.col("__a").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefix_max = F.greatest(
+        F.max("__e").over(w), F.col("__off")
+    )  # greatest() skips NULLs; NULL only for the very first row overall
+    classified = ranged.join(F.broadcast(offsets), "__pid").select(
+        "__e",
+        (
+            F.col("__e")
+            < prefix_max - F.lit(int(delay_seconds) * 1_000_000)
+        ).alias("__late"),
+    )
+    win = F.floor(F.col("__e") / F.lit(int(window_seconds) * 1_000_000)) * int(
+        window_seconds
+    )
+    return classified.groupBy(win.cast("bigint").alias("window_start_epoch")).agg(
+        F.sum((~F.coalesce(F.col("__late"), F.lit(False))).cast("int"))
+        .cast("bigint")
+        .alias("n_on_time"),
+        F.sum(F.coalesce(F.col("__late"), F.lit(False)).cast("int"))
+        .cast("bigint")
+        .alias("n_late_dropped"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )

@@ -521,3 +521,59 @@ def test_cluster_cohesion_oracle(spark, duck):
     pdf = got.toPandas()
     assert pdf.n_members.sum() == _t(spark, "embeddings").count()
     assert (pdf.mean_margin >= 0).all()
+
+
+def test_late_arrival_report_oracle(spark, duck):
+    """Per-row watermark accounting replayed with a plain running-max
+    window in SQL: same arrival order (event_id), same strict-<
+    lateness rule, same tumbling windows."""
+    from osmapreduceproject_spark.streaming.windows import late_arrival_report
+
+    got = late_arrival_report(
+        _t(spark, "events"), delay_seconds=3600, window_seconds=86400
+    )
+    sql = """
+    WITH a AS (
+      SELECT event_id AS aid, epoch_us(ts) AS e FROM events),
+    m AS (SELECT e,
+                 MAX(e) OVER (ORDER BY aid
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS pm
+          FROM a),
+    c AS (SELECT e,
+                 pm IS NOT NULL AND e < pm - CAST(3600 AS BIGINT) * 1000000
+                   AS late
+          FROM m)
+    SELECT CAST(e // (CAST(86400 AS BIGINT) * 1000000) * 86400 AS BIGINT) AS window_start_epoch,
+           CAST(SUM(CASE WHEN late THEN 0 ELSE 1 END) AS BIGINT) AS n_on_time,
+           CAST(SUM(CASE WHEN late THEN 1 ELSE 0 END) AS BIGINT) AS n_late_dropped,
+           COUNT(*) AS n_rows
+    FROM c GROUP BY 1
+    """
+    assert compare(got, duck.execute(sql).df()) == []
+    pdf = got.toPandas()
+    assert (pdf.n_on_time + pdf.n_late_dropped == pdf.n_rows).all()
+
+
+def test_late_arrival_known_case(spark):
+    """Pins: arrival order 10:00, 12:00, 10:30 with delay 1h — the
+    10:30 event is behind the 12:00-driven watermark (11:00) and is
+    late; in-order arrivals are never late; delay large enough keeps
+    everything."""
+    import datetime
+
+    from osmapreduceproject_spark.streaming.windows import late_arrival_report
+
+    base = datetime.datetime(2025, 1, 1, 10, 0)
+    df = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + datetime.timedelta(hours=2)),
+            (3, base + datetime.timedelta(minutes=30)),
+        ],
+        "event_id bigint, ts timestamp",
+    )
+    r = late_arrival_report(df, delay_seconds=3600, window_seconds=86400).first()
+    assert r["n_rows"] == 3 and r["n_late_dropped"] == 1
+    r2 = late_arrival_report(df, delay_seconds=7200, window_seconds=86400).first()
+    assert r2["n_late_dropped"] == 0
