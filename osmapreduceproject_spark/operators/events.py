@@ -875,3 +875,63 @@ def weekly_churn(
         .cast("bigint")
         .alias("n_churned_from_prev"),
     )
+
+
+def active_user_rollup(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    wau_days: int = 7,
+    mau_days: int = 30,
+) -> DataFrame:
+    """DAU/WAU/MAU per day — the engagement headline every event store
+    reports: for each epoch-day in the data's span, distinct users
+    active that day, in the trailing ``wau_days``, and in the trailing
+    ``mau_days``. Rolling DISTINCT is not window-able (a distinct count
+    cannot subtract departures), so the standard shape is contribution
+    explosion: each distinct (user, day) pair contributes to the ≤
+    ``mau_days`` target days it keeps the user active for.
+
+    Scale shape: events collapse to distinct (user, day) FIRST (the
+    :func:`retention_cohorts` discipline — at most users × days rows
+    move anywhere); each pair then explodes ×wau_days and ×mau_days
+    into (target_day, user) pairs whose distinct-count is one
+    day-keyed aggregation — bounded fan-out of the ALREADY-collapsed
+    frame, never of event volume. Days inside the span with zero
+    activity still report (grid = the full min..max day sequence, a
+    per-corpus-small frame); integer epoch-day arithmetic throughout
+    (timezone-immune). Returns (day_epoch, dau, wau, mau) with
+    day_epoch = floor(epoch_seconds/86400)·86400.
+    """
+    day = F.floor(F.unix_micros(F.col(ts_col)) / F.lit(86_400_000_000))
+    pairs = df.select(F.col(user_col).alias("__u"), day.alias("__d")).distinct()
+    dau = pairs.groupBy(F.col("__d").alias("__td")).agg(
+        F.count_distinct("__u").alias("dau")
+    )
+
+    def rolling(days_back: int, name: str) -> DataFrame:
+        contrib = pairs.select(
+            "__u",
+            F.explode(
+                F.sequence(F.col("__d"), F.col("__d") + days_back - 1)
+            ).alias("__td"),
+        ).distinct()
+        return contrib.groupBy("__td").agg(F.count_distinct("__u").alias(name))
+
+    wau = rolling(int(wau_days), "wau")
+    mau = rolling(int(mau_days), "mau")
+    span = pairs.agg(F.min("__d").alias("__lo"), F.max("__d").alias("__hi"))
+    grid = span.select(
+        F.explode(F.sequence(F.col("__lo"), F.col("__hi"))).alias("__td")
+    )
+    return (
+        grid.join(dau, "__td", "left")
+        .join(wau, "__td", "left")
+        .join(mau, "__td", "left")
+        .select(
+            (F.col("__td") * 86400).alias("day_epoch"),
+            F.coalesce("dau", F.lit(0)).alias("dau"),
+            F.coalesce("wau", F.lit(0)).alias("wau"),
+            F.coalesce("mau", F.lit(0)).alias("mau"),
+        )
+    )

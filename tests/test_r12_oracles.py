@@ -577,3 +577,99 @@ def test_late_arrival_known_case(spark):
     assert r["n_rows"] == 3 and r["n_late_dropped"] == 1
     r2 = late_arrival_report(df, delay_seconds=7200, window_seconds=86400).first()
     assert r2["n_late_dropped"] == 0
+
+
+def test_distribution_shape_report_oracle(spark, duck):
+    """Skew/kurtosis/JB from quantized raw moments: the oracle replays
+    the central-moment identities over HUGEINT sums in the identical
+    fixed expression order."""
+    from osmapreduceproject_spark.operators.stats import distribution_shape_report
+
+    got = distribution_shape_report(_t(spark, "orders"), "o_totalprice")
+    sql = """
+    WITH pool AS (
+      SELECT CAST(round(CAST(o_totalprice AS DOUBLE) * 10) AS HUGEINT) AS xq
+      FROM orders
+      WHERE o_totalprice IS NOT NULL AND NOT isnan(CAST(o_totalprice AS DOUBLE))),
+    s AS (SELECT COUNT(*) AS n, SUM(xq) AS s1, SUM(xq*xq) AS s2,
+                 SUM(xq*xq*xq) AS s3, SUM(xq*xq*xq*xq) AS s4
+          FROM pool),
+    d AS (SELECT n, s1,
+                 CAST(s1 AS DOUBLE) AS d1, CAST(s2 AS DOUBLE) AS d2,
+                 CAST(s3 AS DOUBLE) AS d3, CAST(s4 AS DOUBLE) AS d4
+          FROM s),
+    m AS (SELECT n, s1,
+                 n * d2 - d1 * d1 AS m2n,
+                 n * n * d3 - 3.0 * n * d1 * d2 + 2.0 * d1 * d1 * d1 AS m3n,
+                 n * n * n * d4 - 4.0 * n * n * d1 * d3
+                   + 6.0 * n * d1 * d1 * d2
+                   - 3.0 * d1 * d1 * d1 * d1 AS m4n
+          FROM d),
+    f AS (SELECT n,
+                 CAST(s1 AS DOUBLE) / n / 10 AS mean,
+                 CASE WHEN n >= 2 AND m2n > 0 THEN
+                   m3n / pow(m2n, 1.5)
+                 END AS skew,
+                 CASE WHEN n >= 2 AND m2n > 0 THEN
+                   m4n / (m2n * m2n) - 3.0
+                 END AS kurt
+          FROM m)
+    SELECT CAST(n AS BIGINT) AS n, round(mean, 6) AS mean,
+           round(skew, 6) AS skewness, round(kurt, 6) AS kurtosis_excess,
+           round(n / 6.0 * (skew * skew + kurt * kurt / 4.0), 6) AS jarque_bera
+    FROM f
+    """
+    assert compare(got, duck.execute(sql).df()) == []
+    row = got.first()
+    assert row["jarque_bera"] is not None and row["jarque_bera"] >= 0
+
+
+def test_distribution_shape_known_cases(spark):
+    """Pins: a symmetric two-point mass has skew 0 and kurtosis −2
+    (the minimum); the hand-computed {0,0,0,10} case has
+    skew = 93.75/18.75^1.5 ≈ 1.154701; constant input → NULL stats."""
+    from osmapreduceproject_spark.operators.stats import distribution_shape_report
+
+    sym = spark.createDataFrame([(0.0,), (1.0,)] * 8, "v double")
+    r = distribution_shape_report(sym, "v").first()
+    assert r["skewness"] == 0.0 and r["kurtosis_excess"] == -2.0
+    hand = spark.createDataFrame([(0.0,), (0.0,), (0.0,), (10.0,)], "v double")
+    r2 = distribution_shape_report(hand, "v").first()
+    assert r2["skewness"] == pytest.approx(1.154701, abs=1e-6)
+    const = spark.createDataFrame([(3.0,)] * 5, "v double")
+    r3 = distribution_shape_report(const, "v").first()
+    assert r3["skewness"] is None and r3["jarque_bera"] is None
+
+
+def test_active_user_rollup_oracle(spark, duck):
+    """DAU/WAU/MAU via contribution explosion of distinct (user, day)
+    pairs; the oracle uses the equivalent range predicate. Full-span
+    day grid, zero-activity days report zeros."""
+    from osmapreduceproject_spark.operators.events import active_user_rollup
+
+    got = active_user_rollup(_t(spark, "events"))
+    sql = """
+    WITH pairs AS (
+      SELECT DISTINCT user_id AS u, epoch_us(ts) // 86400000000 AS d
+      FROM events),
+    span AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM pairs),
+    grid AS (SELECT unnest(range(lo, hi + 1)) AS td FROM span),
+    dau AS (SELECT d AS td, COUNT(DISTINCT u) AS dau FROM pairs GROUP BY d),
+    wau AS (SELECT g.td, COUNT(DISTINCT p.u) AS wau
+            FROM grid g JOIN pairs p ON p.d <= g.td AND p.d > g.td - 7
+            GROUP BY g.td),
+    mau AS (SELECT g.td, COUNT(DISTINCT p.u) AS mau
+            FROM grid g JOIN pairs p ON p.d <= g.td AND p.d > g.td - 30
+            GROUP BY g.td)
+    SELECT CAST(g.td * 86400 AS BIGINT) AS day_epoch,
+           CAST(COALESCE(dau.dau, 0) AS BIGINT) AS dau,
+           CAST(COALESCE(wau.wau, 0) AS BIGINT) AS wau,
+           CAST(COALESCE(mau.mau, 0) AS BIGINT) AS mau
+    FROM grid g
+    LEFT JOIN dau ON dau.td = g.td
+    LEFT JOIN wau ON wau.td = g.td
+    LEFT JOIN mau ON mau.td = g.td
+    """
+    assert compare(got, duck.execute(sql).df()) == []
+    pdf = got.toPandas()
+    assert ((pdf.dau <= pdf.wau) & (pdf.wau <= pdf.mau)).all()
