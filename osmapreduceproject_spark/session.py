@@ -46,7 +46,15 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.sql.session.timeZone", "UTC")
+        # Default UTC; SPARK_GRAFT_TZ lets the hostile gates re-run any
+        # pytest file under an exotic session zone (Australia/Eucla,
+        # +8:45) without code changes — operators must be immune (pure
+        # integer epoch arithmetic), and re-running the STAGED oracle
+        # suites under it proves that a round before declaration.
+        .config(
+            "spark.sql.session.timeZone",
+            os.environ.get("SPARK_GRAFT_TZ", "UTC"),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
