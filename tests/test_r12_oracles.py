@@ -673,3 +673,56 @@ def test_active_user_rollup_oracle(spark, duck):
     assert compare(got, duck.execute(sql).df()) == []
     pdf = got.toPandas()
     assert ((pdf.dau <= pdf.wau) & (pdf.wau <= pdf.mau)).all()
+
+
+@pytest.mark.skipif(
+    not _os.environ.get("SPARK_GRAFT_SCALE"),
+    reason="scale smoke: set SPARK_GRAFT_SCALE=1 (10M rows, shape moments)",
+)
+def test_distribution_shape_scale_smoke(spark):
+    """10M rows on a symmetric two-point mass: skew exactly 0, excess
+    kurtosis exactly −2 — the quantized decimal moment sums survive the
+    fourth power at volume (the documented |x·scale|⁴·n bound)."""
+    from pyspark.sql import functions as F
+
+    from osmapreduceproject_spark.operators.stats import distribution_shape_report
+
+    n = 10_000_000
+    df = spark.range(n).select(
+        (F.col("id") % 2 * 1000).cast("double").alias("v")
+    )
+    r = distribution_shape_report(df, "v").first()
+    assert r["n"] == n and r["skewness"] == 0.0 and r["kurtosis_excess"] == -2.0
+
+
+@pytest.mark.skipif(
+    not _os.environ.get("SPARK_GRAFT_SCALE"),
+    reason="scale smoke: set SPARK_GRAFT_SCALE=1 (10M user-days through the rollup explosion)",
+)
+def test_active_user_rollup_scale_smoke(spark):
+    """100k users × 100 distinct days each (10M user-day pairs, 300M
+    contribution rows at the MAU fan-out): every user active every day
+    in a 100-day span → dau = wau = mau = 100k on every day from day 29
+    onward; day d < 29 has mau = 100k too (all users active within the
+    window) — pins the explosion arithmetic at volume."""
+    from pyspark.sql import functions as F
+
+    from osmapreduceproject_spark.operators.events import active_user_rollup
+
+    n_users, n_days = 100_000, 100
+    df = spark.range(n_users * n_days).select(
+        (F.col("id") % n_users).alias("user_id"),
+        F.timestamp_seconds(
+            (F.col("id") / n_users).cast("bigint") * 86400 + 1_700_000_000 // 86400 * 86400
+        ).alias("ts"),
+    )
+    out = active_user_rollup(df)
+    agg = out.agg(
+        F.count(F.lit(1)).alias("days"),
+        F.min("dau").alias("min_dau"),
+        F.min("mau").alias("min_mau"),
+        F.max("mau").alias("max_mau"),
+    ).first()
+    assert agg["days"] == n_days
+    assert agg["min_dau"] == n_users and agg["min_mau"] == n_users
+    assert agg["max_mau"] == n_users
