@@ -707,3 +707,29 @@ def test_r12_wave_plan_shapes(spark):
 
     ch = weekly_churn(ev)
     assert data_carrying_single_partitions(ch) == [], explain_str(ch)
+
+
+def test_wave4_plan_shapes(spark):
+    """Scale-shape assertions for the fourth staged wave: the
+    late-arrival prefix max uses the broadcast-offset technique (no
+    data-carrying single partition for a semantically global scan),
+    the DAU/WAU/MAU rollup collapses to distinct (user, day) before
+    any explosion, and the shape report is one aggregation scan."""
+    from osmapreduceproject_spark.operators.events import active_user_rollup
+    from osmapreduceproject_spark.plans.inspect import (
+        data_carrying_single_partitions,
+        explain_str,
+    )
+    from osmapreduceproject_spark.queries import _t
+    from osmapreduceproject_spark.streaming.windows import late_arrival_report
+
+    sf = "/root/testdata/sf0.001"
+    ev = _t(spark, sf, "events")
+
+    lar = late_arrival_report(ev, delay_seconds=3600, window_seconds=86400)
+    assert data_carrying_single_partitions(lar) == [], explain_str(lar)
+
+    rollup = active_user_rollup(ev)
+    plan = explain_str(rollup)
+    assert data_carrying_single_partitions(rollup) == [], plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
