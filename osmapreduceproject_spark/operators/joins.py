@@ -537,20 +537,42 @@ def knn_band_join(
     (an unbounded kNN would sort every right row per left row).
     Returns left id/value + right id/value + ``dist`` + ``knn_rank``
     (1-based).
+
+    The four id/value column names must be pairwise distinct (the
+    output carries all four side by side); the two SIDES may freely
+    share names internally — both are rebound to internal aliases
+    before the join, so ``knn_band_join(l, r, "id", "v", "rid", "v2")``
+    works even when ``l`` and ``r`` each have columns named ``id`` and
+    ``v`` (advisor finding, r10: unaliased same-name value columns
+    raised an ambiguous-reference AnalysisException after the join).
     """
+    names = [left_id, left_col, right_id, right_col]
+    if len(set(names)) != 4:
+        raise ValueError(
+            "knn_band_join: the output carries all four columns, so "
+            f"left/right id and value names must be pairwise distinct; got {names}"
+        )
     cand = epsilon_band_join(
-        left.select(left_id, left_col),
-        right.select(right_id, right_col),
-        left_col,
-        right_col,
+        left.select(F.col(left_id).alias("__lid"), F.col(left_col).alias("__lv")),
+        right.select(F.col(right_id).alias("__rid"), F.col(right_col).alias("__rv")),
+        "__lv",
+        "__rv",
         eps=int(max_dist),
     )
-    dist = F.abs(F.col(left_col) - F.col(right_col))
-    w = Window.partitionBy(left_id).orderBy(
-        dist.asc(), F.col(right_col).asc(), F.col(right_id).asc()
+    dist = F.abs(F.col("__lv") - F.col("__rv"))
+    w = Window.partitionBy("__lid").orderBy(
+        dist.asc(), F.col("__rv").asc(), F.col("__rid").asc()
     )
     return (
         cand.withColumn("dist", dist)
         .withColumn("knn_rank", F.row_number().over(w))
         .where(F.col("knn_rank") <= int(k))
+        .select(
+            F.col("__lid").alias(left_id),
+            F.col("__lv").alias(left_col),
+            F.col("__rid").alias(right_id),
+            F.col("__rv").alias(right_col),
+            "dist",
+            "knn_rank",
+        )
     )

@@ -1175,8 +1175,27 @@ def _ranged_cumsum(per_value: DataFrame, order_col: str, sum_cols: list[str]) ->
     is ``tracked_persist``-ed (it feeds two passes: totals and the
     final join); callers release via
     plans.inspect.release_intermediates[_since]().
+
+    ``sum_cols`` must be integral (the broadcast offsets accumulate in
+    exact bigint — every caller sums counts or quantized micro-units;
+    a double/decimal column would silently truncate its prefix sums
+    through the offset cast, so misuse fails loudly here instead —
+    advisor finding, r10). Quantize floats upstream (the
+    :func:`weighted_quantiles` pattern) before calling.
     """
+    from pyspark.sql import types as T
+
     from ..plans.inspect import tracked_persist
+
+    _integral = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    for c in sum_cols:
+        dt = per_value.schema[c].dataType
+        if not isinstance(dt, _integral):
+            raise TypeError(
+                f"_ranged_cumsum: sum column {c!r} has non-integral type "
+                f"{dt.simpleString()}; offsets accumulate in exact bigint — "
+                "quantize to integer units upstream"
+            )
 
     spark = per_value.sparkSession
     try:
@@ -2007,6 +2026,14 @@ def weighted_quantiles(
     NULL/NaN values or NULL/NaN/non-positive weights are excluded.
     Returns (p, value, total_weight) — one row per requested p,
     total_weight in original units, 6 decimals.
+
+    Empty-pool contract (advisor finding, r10): when EVERY row is
+    excluded (all values NULL/NaN or all weights NULL/NaN/non-positive)
+    the result has ZERO rows — there is no observed value for any
+    quantile to land on, and the SQL oracle's threshold join emits
+    nothing for the same reason. Callers that need one row per p
+    regardless should left-join their percentile frame against this
+    result.
     """
     v = F.col(value_col).cast("double")
     wgt = F.col(weight_col).cast("double")

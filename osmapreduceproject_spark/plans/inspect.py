@@ -8,9 +8,12 @@ broadcast, and hot paths stay inside WholeStageCodegen.
 
 from __future__ import annotations
 
+import logging
 import re
 
 from pyspark.sql import DataFrame
+
+_LOG = logging.getLogger(__name__)
 
 
 def explain_str(df: DataFrame, mode: str = "formatted") -> str:
@@ -150,14 +153,25 @@ def release_local_checkpoint(df: DataFrame) -> bool:
     rerun block) accumulates storage across runs (advisor finding, r9).
     Returns False when the frame isn't a checkpoint leaf (non-LogicalRDD
     plan) instead of raising — callers treat the release as best-effort.
+    Skips and failures log at debug (advisor finding, r10: the py4j
+    plan-class probe would silently disable this path if a Spark
+    upgrade renamed LogicalRDD — the behavior is additionally pinned by
+    tests/test_plans.py::test_release_local_checkpoint_drops_storage,
+    which fails loudly on such a rename).
     """
     try:
         plan = df._jdf.queryExecution().analyzed()
         if not plan.getClass().getName().endswith(".LogicalRDD"):
+            _LOG.debug(
+                "release_local_checkpoint: skipped — plan root is %s, "
+                "not a LogicalRDD checkpoint leaf",
+                plan.getClass().getName(),
+            )
             return False
         plan.rdd().unpersist(False)
         return True
     except Exception:
+        _LOG.debug("release_local_checkpoint: failed", exc_info=True)
         return False
 
 

@@ -733,3 +733,20 @@ def test_wave4_plan_shapes(spark):
     plan = explain_str(rollup)
     assert data_carrying_single_partitions(rollup) == [], plan
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
+
+
+def test_release_local_checkpoint_drops_storage(spark):
+    """Pin the release path's py4j plan probe (advisor finding, r10):
+    a checkpoint leaf's RDD storage level actually drops after release
+    — if a Spark upgrade renames LogicalRDD, the probe would return
+    False and this assertion fails loudly instead of the release path
+    silently disabling."""
+    from osmapreduceproject_spark.plans.inspect import release_local_checkpoint
+
+    df = spark.range(1000).localCheckpoint(eager=True)
+    rdd = df._jdf.queryExecution().analyzed().rdd()
+    assert rdd.getStorageLevel().useMemory()
+    assert release_local_checkpoint(df) is True
+    assert not rdd.getStorageLevel().useMemory()
+    # non-checkpoint frames are a safe no-op
+    assert release_local_checkpoint(spark.range(10)) is False

@@ -210,6 +210,59 @@ def test_knn_band_join_oracle(spark, duck):
     assert (pdf.dist <= 30).all()
 
 
+def test_knn_band_join_shared_and_clashing_names(spark):
+    """Advisor finding, r10: sides sharing a value-column name raised an
+    ambiguous-reference AnalysisException — both sides now rebind to
+    internal aliases, so shared names across sides work; the four
+    OUTPUT names must still be pairwise distinct (loud ValueError)."""
+    from osmapreduceproject_spark.operators.joins import knn_band_join
+
+    import pytest as _pytest
+
+    l = spark.createDataFrame([(1, 10), (2, 100)], "id int, v long")
+    r = spark.createDataFrame([(7, 12), (8, 14), (9, 104)], "rid int, rv long")
+    # the advice scenario: BOTH frames carry columns named id/v — the
+    # requested output names (id2/v2) are distinct, and the sides'
+    # extra same-named columns must not poison resolution
+    r_same = r.select(
+        F.col("rid").alias("id2"), F.col("rv").alias("v2"),
+        F.lit(0).alias("id"), F.lit(0).alias("v"),
+    )
+    shared = knn_band_join(l, r_same, "id", "v", "id2", "v2", k=2, max_dist=30)
+    rows = {(x["id"], x["knn_rank"]): x["id2"] for x in shared.collect()}
+    assert rows[(1, 1)] == 7 and rows[(1, 2)] == 8 and rows[(2, 1)] == 9
+    with _pytest.raises(ValueError, match="pairwise distinct"):
+        knn_band_join(l, r, "id", "v", "rid", "v", k=1, max_dist=5)
+
+
+def test_ranged_cumsum_rejects_non_integral(spark):
+    """Advisor finding, r10: a double/decimal sum column would silently
+    truncate its prefix sums through the bigint offset cast — misuse
+    now fails loudly at call time."""
+    import pytest as _pytest
+
+    from osmapreduceproject_spark.operators.stats import _ranged_cumsum
+
+    df = spark.createDataFrame([(1.0, 2.5)], "v double, w double")
+    with _pytest.raises(TypeError, match="non-integral"):
+        _ranged_cumsum(df, "v", ["w"])
+
+
+def test_weighted_quantiles_empty_pool_contract(spark):
+    """Documented contract (advisor finding, r10): an all-excluded pool
+    (NULL/NaN values, non-positive weights) returns ZERO rows — same as
+    the oracle's threshold join."""
+    from osmapreduceproject_spark.operators.stats import weighted_quantiles
+    from osmapreduceproject_spark.plans.inspect import release_intermediates
+
+    df = spark.createDataFrame(
+        [(None, 1.0), (2.0, 0.0), (3.0, -1.0), (float("nan"), 2.0)],
+        "v double, w double",
+    )
+    assert weighted_quantiles(df, "v", "w", percentiles=(0.5,)).count() == 0
+    release_intermediates()
+
+
 def test_char_class_report_oracle(spark, duck):
     from osmapreduceproject_spark.operators.text import char_class_report
 
