@@ -194,6 +194,39 @@ BENCH_QUERIES = [
     "q249_spearman_corr",  # doubled midranks + rank-moment scan
     "q250_mcnemar",  # one conditional-sum scan, scalar out
     "q251_interval_gaps",  # running-max window, gap filter
+    # r11 additions (VERDICT r10 #4): the 23 r11-new declarations join
+    # the headline set the round they land — subtract these for
+    # like-for-like totals vs r10. Expected-expensive newcomers: q266
+    # (ε-band candidates + per-left kNN rank window over every
+    # purchase×click pair within ±30 s), q264 (the conversion×touch
+    # 24 h-lookback pairing + three per-conversion windows), q268/q260/
+    # q261 (fixture decode + per-media reductions are cheap, but each
+    # pays the mapInPandas Arrow spin-up), q252 (doubled-midrank
+    # machinery: per-distinct-value counts + ranged prefix sums), q274
+    # (≤30× contribution explode on the collapsed user-day frame).
+    "q252_kruskal_wallis",  # doubled midranks + per-group rank moments
+    "q253_anova_oneway",  # one groupBy to quantized per-group moments
+    "q254_cohens_d",  # one conditional moment scan, scalar out
+    "q255_collocation_llr",  # bigram explode + margin windows + top-k heap
+    "q256_inter_event_stats",  # per-key lag gaps, persisted, + gap median
+    "q257_series_extrema",  # resample grid + one lag/lead window
+    "q258_cluster_size_stats",  # CC to fixpoint + two bounded groupBys
+    "q259_epsilon_band_join",  # 3-cell explode + cell equi-join
+    "q260_audio_clipping",  # PCM rail scan + clipped-run islands (Arrow)
+    "q261_image_border_uniformity",  # border gray reduce in-batch (Arrow)
+    "q262_weighted_quantiles",  # per-value weights + ranged prefix sums
+    "q263_quantile_shift",  # two per-group exact quantile sets + align
+    "q264_attribution_models",  # lookback pairing + 3 per-conversion windows
+    "q265_weekly_churn",  # distinct (user,week) + shifted full-outer align
+    "q266_knn_band_join",  # band candidates + per-left kNN rank window
+    "q267_char_class_report",  # five regex strips, pure narrow map
+    "q268_video_motion_profile",  # per-frame dHash + lag hamming (Arrow)
+    "q269_mann_kendall",  # per-key all-pairs S + Sen median (bounded)
+    "q270_wilson_ci",  # one conditional-count groupBy, closed form
+    "q271_cluster_cohesion",  # broadcast centroids + top-2 margin agg
+    "q272_late_arrival_report",  # ranged prefix-max watermark + window agg
+    "q273_distribution_shape",  # one quantized 4-moment scan, scalar out
+    "q274_active_user_rollup",  # user-day collapse + bounded horizon explode
     "conf_sort_seeded",
     "conf_max_seeded",
 ]
@@ -619,7 +652,19 @@ def main() -> None:
             "fixed 24-tiny-stage pipeline per run so future offsets of "
             "this class are attributed against the probe's delta, not "
             "re-argued; q182/q61 stay on watch - a census change or a "
-            "drift WITHOUT a matching probe drift is real."
+            "drift WITHOUT a matching probe drift is real. "
+            "r11 adds the 23 r11-new declarations q252-q274 to the "
+            "headline set (VERDICT r10 #4) - subtract those twenty-three "
+            "for like-for-like totals vs r10. Expected-expensive by "
+            "construction among them: q266 (band candidates + per-left "
+            "kNN rank window over every purchase-click pair within 30s), "
+            "q264 (conversion-touch lookback pairing + three "
+            "per-conversion windows), q252 (doubled-midrank machinery "
+            "like q249), q258 (connected components to fixpoint), q274 "
+            "(bounded horizon explode on the collapsed user-day frame); "
+            "the three multimodal QC entries (q260/q261/q268) and q247 "
+            "are fixture-scale - their timings are mostly Arrow "
+            "mapInPandas spin-up, not data."
         ),
         "reference": reference_timings(),
         "sched_floor_s": sched_floor_probe(spark),

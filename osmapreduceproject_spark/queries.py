@@ -6887,89 +6887,103 @@ from . import queries_r9  # noqa: E402,F401
 # pre-verified parity test in tests/test_r10_oracles.py.
 from . import queries_r10  # noqa: E402,F401
 
+# Register the round-11 tranche (q252–q274): the 23-operator map staged
+# at r10 close across four waves, every (body, SQL) pair lifted verbatim
+# from its pre-verified parity test in tests/test_r11_oracles.py +
+# tests/test_r12_oracles.py (hostile-TZ-proofed under Australia/Eucla
+# before declaration).
+from . import queries_r11  # noqa: E402,F401
+
 
 # ---------------------------------------------------------------------------
 # Catalog ordering. The driver's CORRECTNESS file covers only the FIRST 50
 # ``queries()`` entries, so the verdict window is a scarce resource.
-# Round-10 window — the EXACT 50-slot list published at r9 close
-# (SURVEY.md §8 round-10 declaration map; VERDICT r9 #1/#2 hold the
-# round to it): (a) the 11 r10-NEW declarations q241–q251, class-closers
-# first per the verdict's order — the eval-layer completion q249
-# Spearman + q250 McNemar + q243 kappa + q244 Brown–Forsythe, then
-# q241 point-in-interval join (2M×2M scale-smoked, judge-reran) + q251
-# interval gaps, q242 audio silence + q248 video keyframe (multimodal),
-# q245 n-gram novelty (text), q246 series ACF, q247 group k-fold
-# (sampling). (b) Canaries: q01 (scan-agg ground), q31 (MinHash
-# machinery), q159 (streaming dedup twin, r7-stale). (c) The 10-entry
-# r3-era tail (starved since r3 — the oldest oracled grades left), then
-# the 26 oldest r4-cohort entries in q-order. Overflow published for
-# r11 (SURVEY.md §8): the remaining 4 r4 entries q85–q88 + the r5
-# singles q64/q92/q97/q107/q108/q114 behind any r11-new staging;
+# Round-11 window — the EXACT 50-slot list published at r10 close
+# (SURVEY.md §8 round-11 declaration map; VERDICT r10 #1/#2 hold the
+# round to it): (a) the 23 r11-NEW declarations q252–q274 in the
+# verdict's staged order — the stats family first (q252 Kruskal–Wallis,
+# q253 ANOVA, q254 Cohen's d, q262 weighted quantiles, q263 quantile
+# shift, q270 Wilson CI, q273 distribution shape), then the grid-join
+# completions (q259 ε-band, q266 kNN band — 2M×2M judge-reran), the
+# events rollups (q256 inter-event, q264 attribution, q265 weekly
+# churn, q274 DAU/WAU/MAU — 10M judge-reran), text (q255 LLR, q267
+# char-class), multimodal QC (q260 clipping, q261 border, q268 motion),
+# windows (q257 extrema, q269 Mann–Kendall), q258 cluster sizes, q271
+# cohesion, q272 late-arrival. (b) Canaries: q01 (scan-agg ground),
+# q31 (MinHash machinery), q208 (EWMA streaming twin, r8-stale).
+# (c) The committed overflow: the 4 remaining r4-graded entries
+# q85–q88 + the r5-graded singles q64/q92/q97/q107/q108/q114.
+# (d) The 14 next-stalest regrades (ALL last graded r6 — the oldest
+# grades left after c) in q-order. The remaining r6-graded cohort
+# (q89+, q-order) rotates to r12 behind any r12-new staging;
 # q51/q101/q102 stay rows-only by construction.
-# Cross-round coverage is the union of the ten windows, and every
+# Cross-round coverage is the union of the eleven windows, and every
 # entry regardless of position is verified by tests/test_oracle_parity.py
 # against the same comparison.
 # ---------------------------------------------------------------------------
 
 _VERDICT_WINDOW = [
-    # (a) r10-new declarations — graded the round they land.
-    # Eval-layer completion first (verdict r9 #1 order):
-    "q249_spearman_corr",
-    "q250_mcnemar",
-    "q243_cohens_kappa",
-    "q244_brown_forsythe",
-    # joins / intervals:
-    "q241_point_in_interval_join",
-    "q251_interval_gaps",
-    # multimodal:
-    "q242_audio_silence_segments",
-    "q248_video_keyframe_select",
-    # text / series / sampling:
-    "q245_ngram_novelty",
-    "q246_series_autocorrelation",
-    "q247_group_kfold",
+    # (a) r11-new declarations — graded the round they land.
+    # Stats family first (verdict r10 #1 order):
+    "q252_kruskal_wallis",
+    "q253_anova_oneway",
+    "q254_cohens_d",
+    "q262_weighted_quantiles",
+    "q263_quantile_shift",
+    "q270_wilson_ci",
+    "q273_distribution_shape",
+    # grid-join completions:
+    "q259_epsilon_band_join",
+    "q266_knn_band_join",
+    # events rollups:
+    "q256_inter_event_stats",
+    "q264_attribution_models",
+    "q265_weekly_churn",
+    "q274_active_user_rollup",
+    # text:
+    "q255_collocation_llr",
+    "q267_char_class_report",
+    # multimodal QC:
+    "q260_audio_clipping",
+    "q261_image_border_uniformity",
+    "q268_video_motion_profile",
+    # windows / series:
+    "q257_series_extrema",
+    "q269_mann_kendall",
+    # dedup / similarity / streaming:
+    "q258_cluster_size_stats",
+    "q271_cluster_cohesion",
+    "q272_late_arrival_report",
     # (b) canaries
     "q01_pricing_summary",  # scan-filter-agg ground
     "q31_minhash_lsh_pairs",  # MinHash machinery
-    "q159_stream_dedup_twin",  # streaming dedup twin (r7-stale)
-    # (c) the r3-era tail, oldest-starved first (committed at r9 close)
-    "q23_stats_formula",
-    "q25_sessionize",
-    "q27_sliding_window",
-    "q28_dedup_exact_groups",
-    "q29_dedup_exact_keep_first",
-    "q30_ngram_jaccard_pairs",
-    "q33_fingerprint",
-    "q34_cosine_topk",
-    "q37_token_stats",
-    "q38_quality_score",
-    # (d) the 26 oldest r4-cohort entries in q-order (committed list)
-    "q35_embedding_neardup",
-    "q36_lang_stats",
-    "q39_lang_id",
-    "q40_global_agg",
-    "q52_lsh_topk",
-    "q61_tfidf",
-    "q62_ngrams",
-    "q63_salted_join",
-    "q65_frame_sample",
-    "q66_ivf_topk",
-    "q67_window_analytics",
-    "q68_hash_split",
-    "q69_interval_join",
-    "q70_data_prep_pipeline",
-    "q71_returned_revenue",
-    "q72_brand_share",
-    "q73_collect_agg",
-    "q75_kmeans",
-    "q77_min_cost_supplier",
-    "q78_value_share",
-    "q79_qualified_suppliers",
-    "q80_low_activity_premium",
-    "q81_lateral_topk",
-    "q82_recursive_spine",
-    "q83_doc_chunks",
-    "q84_multiset_ops",
+    "q208_ewma_stream_twin",  # streaming stateful twin (r8-stale)
+    # (c) committed overflow — last graded r4/r5 (the oldest grades left)
+    "q85_grouping_flags",
+    "q86_right_outer_join",
+    "q87_full_outer_join",
+    "q88_binaryfile_ingest",
+    "q64_multimodal_features",
+    "q92_dedup_clusters",
+    "q97_audio_features",
+    "q107_boilerplate_removal",
+    "q108_unigram_logprob",
+    "q114_dedup_clusters_star",
+    # (d) the 14 next-stalest regrades, all last graded r6, in q-order
+    "q02_global_sort",
+    "q24_asof_join",
+    "q26_tumbling_window",
+    "q41_pivot",
+    "q42_unpivot",
+    "q45_scalar_subquery",
+    "q46_min_by_max_by",
+    "q48_null_handling",
+    "q49_date_arith",
+    "q57_exists",
+    "q58_not_exists",
+    "q59_correlated_scalar",
+    "q74_map_funcs",
+    "q76_null_safe_eq",
 ]
 
 

@@ -1,0 +1,1081 @@
+"""Round-11 catalog tranche: the staged-operator declarations (q252–q274).
+
+Every entry was pre-verified a round early — its Spark body and oracle
+SQL are the same (body, SQL) pair its parity test ran green before
+declaration (tests/test_r11_oracles.py + tests/test_r12_oracles.py,
+SURVEY.md §8 staging discipline, fourth tranche after r8/r9/r10; all
+suites additionally re-ran green under the hostile Australia/Eucla
+session zone before the declaring round opened). Split out of
+queries.py for file hygiene; the registration decorator, fixture
+readers, and cross-engine float rules (queries.py module docstring)
+are shared.
+
+Imported by queries.py immediately before the verdict-window rotation,
+so these entries participate in the same QUERIES dict, the same
+tests/test_oracle_parity.py sweep, and the same driver grading.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .operators.dedup import cluster_size_stats
+from .operators.events import (
+    active_user_rollup,
+    attribution_models,
+    inter_event_stats,
+    weekly_churn,
+)
+from .operators.joins import epsilon_band_join, knn_band_join
+from .operators.multimodal import (
+    arith_raw_audio_clipped,
+    arith_raw_images_bordered,
+    arith_video_frames,
+    audio_clipping_report,
+    image_border_uniformity,
+    video_motion_profile,
+)
+from .operators.similarity import cluster_cohesion
+from .operators.stats import (
+    anova_oneway,
+    cohens_d,
+    distribution_shape_report,
+    kruskal_wallis,
+    quantile_shift_report,
+    weighted_quantiles,
+    wilson_ci,
+)
+from .operators.text import char_class_report, collocation_llr
+from .operators.windows import mann_kendall_trend, series_extrema
+from .queries import _jaccard_pairs_sql, _t, q
+from .queries_r9 import _scene_hash_sql
+from .streaming.windows import late_arrival_report
+
+
+@q(
+    "q252_kruskal_wallis",
+    """
+    WITH pool AS (
+      SELECT event_type AS g, CAST(value AS DOUBLE) AS v FROM events
+      WHERE value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))),
+    pv AS (SELECT v, COUNT(*) AS cn FROM pool GROUP BY v),
+    r2 AS (SELECT v, 2*(SUM(cn) OVER (ORDER BY v) - cn) + cn + 1 AS r2
+           FROM pv),
+    ranked AS (SELECT p.g, r2.r2 FROM pool p JOIN r2 ON r2.v = p.v),
+    per AS (SELECT g, COUNT(*) AS n, SUM(CAST(r2 AS HUGEINT)) AS s2,
+                   SUM(CAST(r2 AS HUGEINT) * r2) AS s22
+            FROM ranked GROUP BY g),
+    tot AS (SELECT SUM(n) AS nt, COUNT(*) AS k, SUM(s2) AS sr,
+                   SUM(s22) AS srr
+            FROM per),
+    fold AS (SELECT list_reduce(list_concat([CAST(0 AS DOUBLE)],
+               list(CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / n ORDER BY g)),
+               (a, b) -> a + b) AS sb
+             FROM per)
+    SELECT CAST(tot.nt AS BIGINT) AS n, CAST(tot.k AS BIGINT) AS n_groups,
+           CAST(tot.k - 1 AS BIGINT) AS dof,
+           CASE WHEN CAST(srr AS DOUBLE)
+                     - CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE) / nt > 0 THEN
+             round((tot.nt - 1)
+                   * (fold.sb - CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE) / nt)
+                   / (CAST(srr AS DOUBLE)
+                      - CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE) / nt), 6)
+           END AS h_stat
+    FROM tot, fold
+    """,
+    "Kruskal–Wallis k-group rank test (operators/stats.py "
+    "kruskal_wallis, location shift across ALL event types — k=4, "
+    "heavily tied values, so the tie-corrected midrank machinery is "
+    "what's under test): the nonparametric ANOVA a feature gate runs "
+    "when per-group distributions are skewed. Tie-corrected H via the "
+    "rank-ANOVA identity over DOUBLED midranks (every rank an exact "
+    "integer — the q249 Spearman machinery: per-distinct-value counts "
+    "+ _ranged_cumsum broadcast-offset prefix sums, NO global rank "
+    "window), rank moments in DECIMAL(38,0); the one inexact "
+    "Σ double(S_i)²/n_i term is an ORDERED sequential fold both "
+    "engines replay group-by-group. Degenerate inputs (all values "
+    "tied, single group) emit NULL H, not 0/0 — unit-pinned next to a "
+    "hand-computed perfect-separation case; 10M-row scale smoke "
+    "(gated) pins the shifted-group H at volume.",
+)
+def q252(spark, sf_dir):
+    return kruskal_wallis(_t(spark, sf_dir, "events"), "event_type", "value")
+
+
+@q(
+    "q253_anova_oneway",
+    """
+    WITH pool AS (
+      SELECT event_type AS g,
+             CAST(round(CAST(value AS DOUBLE) * 1000000) AS HUGEINT) AS xq
+      FROM events
+      WHERE value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))),
+    per AS (SELECT g, COUNT(*) AS n, SUM(xq) AS s, SUM(xq * xq) AS ss
+            FROM pool GROUP BY g),
+    tot AS (SELECT SUM(n) AS nt, COUNT(*) AS k, SUM(s) AS sr, SUM(ss) AS srr
+            FROM per),
+    fold AS (SELECT list_reduce(list_concat([CAST(0 AS DOUBLE)],
+               list(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n ORDER BY g)),
+               (a, b) -> a + b) AS sb
+             FROM per)
+    SELECT CAST(tot.nt AS BIGINT) AS n, CAST(tot.k AS BIGINT) AS n_groups,
+           CAST(tot.k - 1 AS BIGINT) AS dof_between,
+           CAST(tot.nt - tot.k AS BIGINT) AS dof_within,
+           CASE WHEN CAST(srr AS DOUBLE) - fold.sb > 0 THEN
+             round(((fold.sb - CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE) / nt)
+                    / (tot.k - 1))
+                   / ((CAST(srr AS DOUBLE) - fold.sb) / (tot.nt - tot.k)), 6)
+           END AS f_stat
+    FROM tot, fold
+    """,
+    "One-way ANOVA F (operators/stats.py anova_oneway, value means "
+    "across all event types): the parametric k-group location test "
+    "completing the family next to q252's rank version and q189's "
+    "two-group Welch t. ONE groupBy to per-group quantized "
+    "DECIMAL(38,0) moments (micro-unit integers — the welch_ttest "
+    "exactness recipe at k groups), between/within sums of squares "
+    "from the ≤k bounded aggregate rows, the one inexact "
+    "Σ double(S_i)²/n_i term an ORDERED fold both engines replay. "
+    "Zero within-group mass (all groups constant) → NULL F, not inf "
+    "(unit-pinned).",
+)
+def q253(spark, sf_dir):
+    return anova_oneway(_t(spark, sf_dir, "events"), "event_type", "value")
+
+
+@q(
+    "q254_cohens_d",
+    """
+    WITH pool AS (
+      SELECT event_type AS g,
+             CAST(round(CAST(value AS DOUBLE) * 1000000) AS HUGEINT) AS xq
+      FROM events
+      WHERE value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))),
+    s AS (SELECT
+            SUM(CASE WHEN g = 'view' THEN 1 ELSE 0 END) AS na,
+            SUM(CASE WHEN g = 'view' THEN xq END) AS sa,
+            SUM(CASE WHEN g = 'view' THEN xq*xq END) AS ssa,
+            SUM(CASE WHEN g = 'purchase' THEN 1 ELSE 0 END) AS nb,
+            SUM(CASE WHEN g = 'purchase' THEN xq END) AS sb,
+            SUM(CASE WHEN g = 'purchase' THEN xq*xq END) AS ssb
+          FROM pool),
+    m AS (SELECT *,
+            CAST(sa AS DOUBLE) / na / 1000000 AS mean_a,
+            CAST(sb AS DOUBLE) / nb / 1000000 AS mean_b,
+            CAST(na * ssa - sa * sa AS DOUBLE) / na AS ssd_a,
+            CAST(nb * ssb - sb * sb AS DOUBLE) / nb AS ssd_b
+          FROM s),
+    f AS (SELECT *,
+            (ssd_a + ssd_b) / (na + nb - 2) / 1000000000000.0 AS sp2
+          FROM m)
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           round(mean_a, 6) AS mean_a, round(mean_b, 6) AS mean_b,
+           CASE WHEN sp2 > 0 THEN round(sqrt(sp2), 6) END AS pooled_sd,
+           CASE WHEN sp2 > 0 THEN
+             round((mean_b - mean_a) / sqrt(sp2), 6)
+           END AS cohens_d
+    FROM f
+    """,
+    "Cohen's d standardized effect size (operators/stats.py cohens_d, "
+    "view vs purchase values): the significance/effect-size PAIR with "
+    "q189's Welch t — at 100 TB row counts everything is "
+    "'significant', so the gate a pipeline actually wants is whether "
+    "the mean moved by a meaningful fraction of the pooled spread "
+    "(|d| ≥ 0.2/0.5/0.8). ONE conditional scan of quantized "
+    "DECIMAL(38,0) moments, variance cancellation n·Σx² − (Σx)² in "
+    "arbitrary-precision driver integers over two bounded aggregate "
+    "rows, floats only in the final fixed-order expression the oracle "
+    "mirrors (scale cancels in d). Hand-computed d≈0.866 and d=0 "
+    "fixtures plus the zero-spread NULL contract unit-pinned.",
+)
+def q254(spark, sf_dir):
+    return cohens_d(
+        _t(spark, sf_dir, "events"), "event_type", "value", "view", "purchase"
+    )
+
+
+_XLX = (
+    "CASE WHEN {k} > 0 THEN CAST({k} AS DOUBLE) * log2(CAST({k} AS DOUBLE)) "
+    "ELSE 0.0 END"
+)
+
+
+@q(
+    "q255_collocation_llr",
+    f"""
+    WITH w AS (SELECT string_split(text, ' ') AS w FROM documents),
+    prs AS (
+      SELECT unnest(list_transform(range(1, len(w)), i -> [w[i], w[i+1]])) AS p
+      FROM w WHERE len(w) >= 2),
+    pair_counts AS (SELECT p[1] AS a, p[2] AS b, COUNT(*) AS c_ab
+                    FROM prs GROUP BY 1, 2),
+    m AS (SELECT a, b, c_ab,
+                 SUM(c_ab) OVER (PARTITION BY a) AS r1,
+                 SUM(c_ab) OVER (PARTITION BY b) AS c1
+          FROM pair_counts),
+    nn AS (SELECT SUM(c_ab) AS n FROM pair_counts),
+    sc AS (
+      SELECT a, b, c_ab, CAST(r1 AS BIGINT) AS n_a_first,
+             CAST(c1 AS BIGINT) AS n_b_second,
+             round(2.0 * ({_XLX.format(k="c_ab")}
+                          + {_XLX.format(k="(r1 - c_ab)")}
+                          + {_XLX.format(k="(c1 - c_ab)")}
+                          + {_XLX.format(k="(nn.n - r1 - c1 + c_ab)")}
+                          - {_XLX.format(k="r1")}
+                          - {_XLX.format(k="(nn.n - r1)")}
+                          - {_XLX.format(k="c1")}
+                          - {_XLX.format(k="(nn.n - c1)")}
+                          + {_XLX.format(k="nn.n")}), 6) AS llr_bits
+      FROM m, nn WHERE c_ab >= 5)
+    SELECT a, b, c_ab, n_a_first, n_b_second, llr_bits
+    FROM sc ORDER BY llr_bits DESC, a, b LIMIT 20
+    """,
+    "Dunning log-likelihood-ratio collocations (operators/text.py "
+    "collocation_llr, top-20 bigrams at min_count 5): the "
+    "robust-at-low-counts companion to q143's PMI (PMI explodes on "
+    "rare pairs; LLR shrinks them) — the phrase-mining/tokenizer-merge "
+    "signal. Bigram-space margins (how often a is FIRST, b is SECOND) "
+    "via two window sums on the same pair-counts frame; the 2·Σ k·log2 "
+    "k entropy form in a FIXED operand order both engines replay "
+    "bit-identically; bounded top-k heap (llr DESC, a, b tiebreak), "
+    "never a global sort of the pair space.",
+)
+def q255(spark, sf_dir):
+    return collocation_llr(_t(spark, sf_dir, "documents"), min_count=5, top_k=20)
+
+
+@q(
+    "q256_inter_event_stats",
+    """
+    WITH e AS (SELECT user_id AS k, epoch_us(ts) AS e FROM events),
+    g AS (SELECT k, e - lag(e) OVER (PARTITION BY k ORDER BY e) AS gap
+          FROM e),
+    gaps AS (SELECT k, gap FROM g WHERE gap IS NOT NULL),
+    agg AS (SELECT k, COUNT(*) AS n_gaps, SUM(gap) AS s,
+                   MIN(gap) AS mn, MAX(gap) AS mx,
+                   quantile_disc(gap, 0.5) AS med
+            FROM gaps GROUP BY k)
+    SELECT k AS user_id, CAST(n_gaps + 1 AS BIGINT) AS n_events,
+           n_gaps,
+           round(CAST(s AS DOUBLE) / n_gaps / 1000000.0, 6) AS mean_gap_s,
+           round(CAST(mn AS DOUBLE) / 1000000.0, 6) AS min_gap_s,
+           round(CAST(mx AS DOUBLE) / 1000000.0, 6) AS max_gap_s,
+           round(CAST(med AS DOUBLE) / 1000000.0, 6) AS median_gap_s
+    FROM agg
+    """,
+    "Per-key event-cadence profile (operators/events.py "
+    "inter_event_stats): the inter-arrival gap distribution (count, "
+    "exact mean, min/max, discrete median) behind bot detection, "
+    "session-gap threshold choice (q25's 30-min cut), and retention "
+    "modeling. ONE per-key ordered window produces lag gaps in pure "
+    "integer µs (session-timezone-immune), the per-key lag frame is "
+    "persisted so mean and median share one pass (review finding, "
+    "r10), the median is the per-GROUP sort (bounded by per-user "
+    "volume, never a global window). Users with <2 events have no "
+    "gaps and are absent by contract.",
+)
+def q256(spark, sf_dir):
+    return inter_event_stats(_t(spark, sf_dir, "events"), key="user_id", ts="ts")
+
+
+@q(
+    "q257_series_extrema",
+    """
+    WITH obs AS (SELECT user_id AS k, epoch_us(ts) AS e,
+                        CAST(value AS DOUBLE) AS v
+                 FROM events),
+    spans AS (SELECT k, MIN(e) AS lo, MAX(e) AS hi FROM obs GROUP BY k),
+    grid AS (
+      SELECT k, unnest(range(
+        CAST(ceil(lo / 3600000000.0) * 3600000000 AS BIGINT),
+        CAST(floor(hi / 3600000000.0) * 3600000000 AS BIGINT) + 1,
+        3600000000)) AS e
+      FROM spans),
+    resampled AS (
+      SELECT g.k, g.e // 1000000 AS slot_epoch, o.v AS value
+      FROM grid g ASOF JOIN obs o ON g.k = o.k AND o.e <= g.e),
+    lagged AS (
+      SELECT k, slot_epoch, value,
+             lag(value) OVER w AS pv, lead(value) OVER w AS nv
+      FROM resampled WINDOW w AS (PARTITION BY k ORDER BY slot_epoch))
+    SELECT k AS user_id, slot_epoch, value,
+           CASE WHEN value > pv AND value > nv THEN 'peak'
+                ELSE 'trough' END AS kind
+    FROM lagged
+    WHERE pv IS NOT NULL AND nv IS NOT NULL
+      AND ((value > pv AND value > nv) OR (value < pv AND value < nv))
+    """,
+    "Strict local extrema over the regularized series grid "
+    "(operators/windows.py series_extrema, hourly slots): peaks "
+    "(strictly above both neighbors) and troughs (strictly below) — "
+    "the turning-point detector feeding anomaly triage and the q234 "
+    "trend layer. Rides the SAME q213 resample machinery (per-key "
+    "span grid + as-of forward-fill, grid rows bounded by span/step), "
+    "then ONE per-key ordered window computes lag+lead in a single "
+    "pass; plateau slots are excluded by the strict convention on "
+    "both engines. Series boundaries (no neighbor) never emit.",
+)
+def q257(spark, sf_dir):
+    return series_extrema(
+        _t(spark, sf_dir, "events"), key="user_id", ts="ts",
+        value_col="value", step_seconds=3600,
+    )
+
+
+@q(
+    "q258_cluster_size_stats",
+    f"""
+    WITH RECURSIVE
+    {_jaccard_pairs_sql(None)},
+    edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+              UNION ALL SELECT b_id, a_id FROM pairs),
+    walk AS (
+      SELECT doc_id AS node, doc_id AS label FROM documents
+      UNION
+      SELECT e.src AS node, w.label FROM edges e JOIN walk w ON w.node = e.dst),
+    labels AS (SELECT node, MIN(label) AS cluster_id FROM walk GROUP BY node),
+    csizes AS (SELECT cluster_id, COUNT(*) AS cluster_size
+               FROM labels GROUP BY cluster_id)
+    SELECT cluster_size, COUNT(*) AS n_clusters,
+           CAST(COUNT(*) * cluster_size AS BIGINT) AS n_docs
+    FROM csizes GROUP BY cluster_size
+    """,
+    "Duplicate-cluster size distribution (operators/dedup.py "
+    "cluster_size_stats over the q92 connected-components machinery at "
+    "Jaccard ≥ 0.8): the dedup-health histogram (how many pairs, "
+    "triples, giant components) that decides between pair-level "
+    "removal and cluster-star collapse, and flags the pathological "
+    "giant-component case before a keep-one pass destroys a corpus. "
+    "Min-label CC to fixpoint (hash-to-min convergence, bounded "
+    "iterations, checkpoint-leafed) + two bounded groupBys; the "
+    "oracle replays the closure as a recursive CTE. Every doc appears "
+    "in exactly one cluster — Σ n_docs equals the corpus "
+    "(parity-pinned).",
+)
+def q258(spark, sf_dir):
+    return cluster_size_stats(_t(spark, sf_dir, "documents"), threshold=0.8)
+
+
+@q(
+    "q259_epsilon_band_join",
+    """
+    WITH p AS (SELECT event_id AS p_id, epoch_us(ts) // 1000000 AS p_sec
+               FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT event_id AS c_id, epoch_us(ts) // 1000000 AS c_sec
+          FROM events WHERE event_type = 'click')
+    SELECT p.p_id, p.p_sec, c.c_id, c.c_sec
+    FROM p JOIN c ON abs(p.p_sec - c.c_sec) <= 5
+    """,
+    "Keyless ε-band join (operators/joins.py epsilon_band_join, "
+    "purchases × clicks within ±5 s): every |l−r| ≤ ε pair — the 1-D "
+    "near-join (log alignment, measurement-to-calibration pairing) "
+    "that plain Spark plans as a nested-loop cartesian. Completes the "
+    "grid-join family: q235 interval×interval, q241 point×interval, "
+    "THIS point×point. Cell width = ε, the right side explodes into "
+    "{cell−1, cell, cell+1} (fixed 3×, no tuning knob) so each "
+    "qualifying pair meets in EXACTLY the left row's cell — "
+    "exactly-once with no dedup shuffle, cartesian-free plan-asserted "
+    "(test_plans.py), outer variants rejected loudly by construction. "
+    "Scale-smoked at 2M×2M (4·10¹² naive comparisons → exactly the 2M "
+    "planted pairs, judge-reran green at r10).",
+)
+def q259(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    purch = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.floor(F.unix_micros("ts") / 1_000_000).alias("p_sec"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"),
+        F.floor(F.unix_micros("ts") / 1_000_000).alias("c_sec"),
+    )
+    return epsilon_band_join(purch, clicks, "p_sec", "c_sec", eps=5)
+
+
+@q(
+    "q260_audio_clipping",
+    """
+    WITH t AS (SELECT unnest(range(32)) AS m),
+    s AS (SELECT m, unnest(range(2048)) AS i FROM t),
+    v AS (SELECT m, i,
+            CASE WHEN i >= 512 AND i < 768 THEN 255
+                 WHEN i >= 1536 AND i < 1664 THEN 0
+                 ELSE (17*m + 11*i + (i*i) % 89) % 253 + 1 END AS val
+          FROM s),
+    c AS (SELECT m, i FROM v WHERE val = 0 OR val = 255),
+    isl AS (SELECT m, i,
+              CASE WHEN lag(i) OVER w IS NULL OR i - lag(i) OVER w > 1
+                   THEN 1 ELSE 0 END AS nw
+            FROM c WINDOW w AS (PARTITION BY m ORDER BY i)),
+    grp AS (SELECT m, i, SUM(nw) OVER (PARTITION BY m ORDER BY i) AS island
+            FROM isl),
+    runs AS (SELECT m, island, COUNT(*) AS run_len FROM grp GROUP BY 1, 2),
+    per AS (SELECT m, SUM(run_len) AS n_clipped, MAX(run_len) AS longest
+            FROM runs GROUP BY m)
+    SELECT CAST(t.m AS BIGINT) AS media_id, CAST(2048 AS BIGINT) AS n_samples,
+           CAST(COALESCE(per.n_clipped, 0) AS BIGINT) AS n_clipped,
+           round(CAST(COALESCE(per.n_clipped, 0) AS DOUBLE) / 2048, 6) AS clip_frac,
+           CAST(COALESCE(per.longest, 0) AS BIGINT) AS longest_clipped_run
+    FROM t LEFT JOIN per ON per.m = t.m
+    """,
+    "Audio clipping QC report (operators/multimodal.py "
+    "audio_clipping_report over 8-bit-PCM payloads): per-clip count "
+    "and fraction of rail samples (0/255) plus the LONGEST consecutive "
+    "clipped run (sustained saturation vs isolated ticks) — the "
+    "ingest-quality gate an audio-training pipeline runs before "
+    "feature extraction. Fixture plants a 256-sample high rail and a "
+    "128-sample low rail in every clip; the oracle regenerates every "
+    "sample from the closed-form byte formula, so decode, rail "
+    "detection, and the lag-gap island logic are all value-pinned "
+    "(n_clipped=384, longest=256 per clip, unit-asserted). Rail "
+    "detection reduces inside the Arrow batch — payloads never "
+    "shuffle, only per-(clip, island) counts enter the windows.",
+)
+def q260(spark, sf_dir):
+    clips = arith_raw_audio_clipped(spark, n=32, n_samples=2048)
+    return audio_clipping_report(clips)
+
+
+_BORDER_GRAY = (
+    "(((31*m + 7*((r*16 + c)*3 + 0) + (((r*16 + c)*3 + 0)*((r*16 + c)*3 + 0)) % 251) % 256)"
+    " + ((31*m + 7*((r*16 + c)*3 + 1) + (((r*16 + c)*3 + 1)*((r*16 + c)*3 + 1)) % 251) % 256)"
+    " + ((31*m + 7*((r*16 + c)*3 + 2) + (((r*16 + c)*3 + 2)*((r*16 + c)*3 + 2)) % 251) % 256)) // 3"
+)
+
+
+@q(
+    "q261_image_border_uniformity",
+    f"""
+    WITH mm AS (SELECT unnest(range(64)) AS m),
+    horiz AS (SELECT r.r, c.c
+              FROM (SELECT unnest([0, 11]) AS r) r,
+                   (SELECT unnest(range(16)) AS c) c),
+    vert AS (SELECT r.r, c.c
+             FROM (SELECT unnest(range(1, 11)) AS r) r,
+                  (SELECT unnest([0, 15]) AS c) c),
+    coords AS (SELECT * FROM horiz UNION ALL SELECT * FROM vert),
+    gray AS (
+      SELECT mm.m, coords.r, coords.c,
+             CASE WHEN mm.m % 2 = 0 THEN 200 ELSE {_BORDER_GRAY} END AS gv
+      FROM mm, coords),
+    corner AS (SELECT m, gv AS cg FROM gray WHERE r = 0 AND c = 0),
+    per AS (
+      SELECT g2.m, COUNT(*) AS n_border,
+             SUM(CASE WHEN g2.gv = corner.cg THEN 1 ELSE 0 END) AS n_match
+      FROM gray g2 JOIN corner ON corner.m = g2.m
+      GROUP BY g2.m)
+    SELECT CAST(m AS BIGINT) AS media_id, CAST(n_border AS BIGINT) AS n_border_px,
+           CAST(n_match AS BIGINT) AS n_matching,
+           round(CAST(n_match AS DOUBLE) / n_border, 6) AS border_uniform_frac,
+           CAST(n_match AS DOUBLE) / n_border >= 0.95 AS is_letterboxed
+    FROM per
+    """,
+    "Image border-uniformity / letterbox detection "
+    "(operators/multimodal.py image_border_uniformity over RAW8 RGB "
+    "payloads): fraction of border pixels whose gray value matches the "
+    "top-left corner (within tol) — the crop-QC gate a vision-data "
+    "pipeline runs to flag letterboxed/padded frames before resize. "
+    "Fixture: 64 images, EVEN ids get a planted uniform gray-200 "
+    "border (must score 1.0 and flag), ODD ids keep the arithmetic "
+    "pixel formula (the oracle regenerates every border gray from the "
+    "closed-form byte/luma arithmetic — decode and the corner-match "
+    "rule value-pinned, n_border_px = 2w+2h−4 asserted). Gray "
+    "reduction happens inside the Arrow batch; payloads never "
+    "shuffle, one summary row per image.",
+)
+def q261(spark, sf_dir):
+    imgs = arith_raw_images_bordered(spark, n=64, width=16, height=12)
+    return image_border_uniformity(imgs, tol=0)
+
+
+@q(
+    "q262_weighted_quantiles",
+    """
+    WITH pool AS (
+      SELECT CAST(l_extendedprice AS DOUBLE) AS v,
+             CAST(round(CAST(l_quantity AS DOUBLE) * 1000000) AS BIGINT) AS wq
+      FROM lineitem
+      WHERE l_extendedprice IS NOT NULL
+        AND NOT isnan(CAST(l_extendedprice AS DOUBLE))
+        AND l_quantity IS NOT NULL AND NOT isnan(CAST(l_quantity AS DOUBLE))
+        AND CAST(l_quantity AS DOUBLE) > 0),
+    pv AS (SELECT v, SUM(wq) AS w FROM pool GROUP BY v),
+    cum AS (SELECT v, SUM(w) OVER (ORDER BY v) AS cw FROM pv),
+    tot AS (SELECT SUM(wq) AS W FROM pool),
+    ps AS (SELECT unnest([0.5, 0.9, 0.99]) AS p)
+    SELECT ps.p, MIN(cum.v) AS value,
+           round(CAST(MAX(tot.W) AS DOUBLE) / 1000000, 6) AS total_weight
+    FROM ps, tot, cum
+    WHERE cum.cw >= ps.p * tot.W
+    GROUP BY ps.p
+    """,
+    "Exact weighted discrete quantiles (operators/stats.py "
+    "weighted_quantiles, quantity-weighted price p50/p90/p99): the "
+    "smallest value whose cumulative weight reaches p·W — the order "
+    "statistic a mixture pipeline needs once rows stop counting "
+    "equally (loss-side mixing weights, byte-weighted doc sizes). "
+    "Weights quantize to integer micro-units, collapse to "
+    "per-distinct-value sums (map-side combine), then the "
+    "_ranged_cumsum broadcast-offset prefix sums — range repartition + "
+    "per-partition totals via broadcast non-equi self-join, NO "
+    "single-partition window anywhere; the per-p pick is a broadcast "
+    "of |p| rows. Hand-computed pin + 10M-row planted-CDF scale smoke "
+    "(gated); empty pools return zero rows by documented contract.",
+)
+def q262(spark, sf_dir):
+    return weighted_quantiles(
+        _t(spark, sf_dir, "lineitem"), "l_extendedprice", "l_quantity",
+        percentiles=(0.5, 0.9, 0.99),
+    )
+
+
+_QSHIFT_SIDE = """
+      q{side} AS (
+        SELECT unnest([0.1, 0.25, 0.5, 0.75, 0.9]) AS p,
+               unnest(quantile_disc(v, [0.1, 0.25, 0.5, 0.75, 0.9])) AS qv
+        FROM (
+          SELECT CAST(value AS DOUBLE) AS v FROM events
+          WHERE event_type = '{etype}' AND value IS NOT NULL
+            AND NOT isnan(CAST(value AS DOUBLE))))"""
+
+
+@q(
+    "q263_quantile_shift",
+    f"""
+    WITH {_QSHIFT_SIDE.format(side="a", etype="view")},
+    {_QSHIFT_SIDE.format(side="b", etype="purchase")}
+    SELECT COALESCE(qa.p, qb.p) AS p, qa.qv AS q_a, qb.qv AS q_b,
+           round(qb.qv - qa.qv, 6) AS shift
+    FROM qa FULL OUTER JOIN qb ON qa.p = qb.p
+    """,
+    "Per-percentile distribution shift report (operators/stats.py "
+    "quantile_shift_report, view vs purchase values at "
+    "p10/p25/p50/p75/p90): WHERE two distributions diverge — tails vs "
+    "body — the localization layer the scalar drift tests (q231 KS, "
+    "q244 Brown–Forsythe) can't give. Both groups' exact discrete "
+    "quantiles ride the group_percentiles machinery (per-group hash "
+    "partition sorts, never a global window), aligned on a broadcast "
+    "percentile frame; the full-outer alignment keeps a percentile "
+    "visible even when one side's group is absent.",
+)
+def q263(spark, sf_dir):
+    return quantile_shift_report(
+        _t(spark, sf_dir, "events"), "event_type", "value", "view", "purchase",
+        percentiles=(0.1, 0.25, 0.5, 0.75, 0.9),
+    )
+
+
+@q(
+    "q264_attribution_models",
+    """
+    WITH conv AS (
+      SELECT user_id AS u, event_id AS cid, epoch_us(ts) AS cts
+      FROM events WHERE event_type = 'purchase'),
+    touch AS (
+      SELECT user_id AS u, event_type AS channel, epoch_us(ts) AS tts
+      FROM events WHERE event_type IN ('view', 'click')),
+    j AS (
+      SELECT c.cid, t.channel, t.tts,
+             ROW_NUMBER() OVER (PARTITION BY c.cid
+                                ORDER BY t.tts ASC, t.channel ASC) AS rf,
+             ROW_NUMBER() OVER (PARTITION BY c.cid
+                                ORDER BY t.tts DESC, t.channel DESC) AS rl,
+             COUNT(*) OVER (PARTITION BY c.cid) AS cnt
+      FROM conv c JOIN touch t ON c.u = t.u
+      WHERE t.tts < c.cts AND t.tts >= c.cts - CAST(86400 AS BIGINT) * 1000000)
+    SELECT channel, COUNT(*) AS n_touches,
+           CAST(SUM(CASE WHEN rf = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS first_touch_conversions,
+           CAST(SUM(CASE WHEN rl = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS last_touch_conversions,
+           round(SUM(1.0 / cnt), 6) AS linear_conversions
+    FROM j GROUP BY channel
+    """,
+    "Multi-touch attribution models (operators/events.py "
+    "attribution_models — first-touch, last-touch, and linear credit "
+    "over one conversion↔touch pairing, purchases credited to "
+    "view/click within a 24 h lookback): the marketing/causal rollup "
+    "that decides channel budgets. ONE user-keyed equi-join builds "
+    "the bounded touch-pair frame (lookback caps fan-in — the shared "
+    "_conversion_touch_pairs helper, review-deduped r10), then two "
+    "deterministic row_number picks (ts + channel tiebreak) and a "
+    "per-conversion count share the SAME conversion-keyed exchange; "
+    "every model attributes exactly one credit per conversion — "
+    "totals agree across models (parity-pinned).",
+)
+def q264(spark, sf_dir):
+    return attribution_models(
+        _t(spark, sf_dir, "events"), conversion_type="purchase",
+        touch_types=("view", "click"), lookback_seconds=86400,
+    )
+
+
+@q(
+    "q265_weekly_churn",
+    """
+    WITH weeks AS (
+      SELECT DISTINCT user_id AS u,
+             CAST(floor(epoch_us(ts) / 1000000.0 / 604800) AS BIGINT) AS w
+      FROM events),
+    nxt AS (SELECT u, w + 1 AS w2 FROM weeks),
+    j AS (
+      SELECT COALESCE(weeks.w, nxt.w2) AS week_idx,
+             weeks.w IS NOT NULL AS active,
+             nxt.w2 IS NOT NULL AS prev_active
+      FROM weeks FULL OUTER JOIN nxt
+        ON weeks.u = nxt.u AND weeks.w = nxt.w2)
+    SELECT week_idx,
+           CAST(SUM(CASE WHEN active THEN 1 ELSE 0 END) AS BIGINT) AS n_active,
+           CAST(SUM(CASE WHEN active AND prev_active THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_retained,
+           CAST(SUM(CASE WHEN active AND NOT prev_active THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_new,
+           CAST(SUM(CASE WHEN NOT active AND prev_active THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_churned_from_prev
+    FROM j GROUP BY week_idx
+    """,
+    "Weekly churn/retention accounting (operators/events.py "
+    "weekly_churn): per epoch-week actives split into retained (also "
+    "active prior week), new (not active prior week), and churned-out "
+    "(active prior week, absent this one) — the cohort-health rollup "
+    "next to q124's retention triangle. Distinct (user, week) pairs "
+    "(map-side combine) self-aligned by a FULL OUTER join on (user, "
+    "week = week+1) — one shuffle on the pair frame, no window, no "
+    "per-user state; pure epoch-week floor division "
+    "(session-timezone-immune, the q148 lesson). active = retained + "
+    "new is parity-pinned.",
+)
+def q265(spark, sf_dir):
+    return weekly_churn(_t(spark, sf_dir, "events"), user_col="user_id", ts_col="ts")
+
+
+@q(
+    "q266_knn_band_join",
+    """
+    WITH p AS (SELECT event_id AS p_id, epoch_us(ts) // 1000000 AS p_sec
+               FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT event_id AS c_id, epoch_us(ts) // 1000000 AS c_sec
+          FROM events WHERE event_type = 'click'),
+    j AS (
+      SELECT p.p_id, p.p_sec, c.c_id, c.c_sec,
+             abs(p.p_sec - c.c_sec) AS dist,
+             ROW_NUMBER() OVER (PARTITION BY p.p_id
+                                ORDER BY abs(p.p_sec - c.c_sec) ASC,
+                                         c.c_sec ASC, c.c_id ASC) AS knn_rank
+      FROM p JOIN c ON abs(p.p_sec - c.c_sec) <= 30)
+    SELECT p_id, p_sec, c_id, c_sec, dist, CAST(knn_rank AS INTEGER) AS knn_rank
+    FROM j WHERE knn_rank <= 3
+    """,
+    "Bounded-radius 1-D kNN join (operators/joins.py knn_band_join, "
+    "each purchase's 3 nearest clicks within ±30 s): the "
+    "match-to-nearest-checkpoints primitive a naive formulation plans "
+    "as a cartesian plus a global sort. Composition of graded shapes: "
+    "candidates from q259's ε-band grid join (equi-join cells, "
+    "exactly-once), then ONE left-id-partitioned window ranks by "
+    "(distance, right value, right id) — fully deterministic under "
+    "ties — and keeps rank ≤ k. The radius is the scale contract: "
+    "per-left fan-in is bounded by right-side density within "
+    "max_dist, so window state is bounded by construction. Both sides "
+    "rebind to internal aliases (same-name value columns can't "
+    "collide — advisor fix, r10).",
+)
+def q266(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    purch = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.floor(F.unix_micros("ts") / 1_000_000).alias("p_sec"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"),
+        F.floor(F.unix_micros("ts") / 1_000_000).alias("c_sec"),
+    )
+    return knn_band_join(purch, clicks, "p_id", "p_sec", "c_id", "c_sec",
+                         k=3, max_dist=30)
+
+
+_CC_CNT = "(length(text) - length(regexp_replace(text, '{pat}', '', 'g')))"
+_CC_LETTERS = _CC_CNT.format(pat="[A-Za-z]")
+_CC_DIGITS = _CC_CNT.format(pat="[0-9]")
+_CC_SPACES = _CC_CNT.format(pat=r"[ \t\n\r]")
+_CC_PUNCTS = _CC_CNT.format(pat=r"[!-/:-@\[-`{{-~]".replace("{{", "{"))
+
+
+@q(
+    "q267_char_class_report",
+    f"""
+    WITH c AS (
+      SELECT doc_id, length(text) AS n,
+             {_CC_LETTERS} AS letters,
+             {_CC_DIGITS} AS digits,
+             {_CC_SPACES} AS spaces,
+             {_CC_PUNCTS} AS puncts
+      FROM documents)
+    SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
+           CASE WHEN n > 0 THEN round(CAST(letters AS DOUBLE) / n, 6) END AS letter_frac,
+           CASE WHEN n > 0 THEN round(CAST(digits AS DOUBLE) / n, 6) END AS digit_frac,
+           CASE WHEN n > 0 THEN round(CAST(spaces AS DOUBLE) / n, 6) END AS space_frac,
+           CASE WHEN n > 0 THEN round(CAST(puncts AS DOUBLE) / n, 6) END AS punct_frac,
+           CASE WHEN n > 0 THEN
+             round(CAST(n - letters - digits - spaces - puncts AS DOUBLE) / n, 6)
+           END AS other_frac
+    FROM c
+    """,
+    "Per-document character-class composition (operators/text.py "
+    "char_class_report): letter/digit/whitespace/ASCII-punctuation/"
+    "other fractions — the cheap screen for code-vs-prose, "
+    "table-dumps, and mojibake that a quality pipeline runs before "
+    "the heavier Gopher rules (q36/q38). Pure narrow map: five "
+    "regexp-strip length differences per row, zero shuffles, zero "
+    "UDFs; empty docs keep NULL fractions (not 0/0) and the five "
+    "fractions sum to 1 by construction (parity-pinned).",
+)
+def q267(spark, sf_dir):
+    return char_class_report(_t(spark, sf_dir, "documents"))
+
+
+@q(
+    "q268_video_motion_profile",
+    f"""
+    WITH frames AS (
+      SELECT v.vid, f.f,
+             CASE WHEN f.f < 6 THEN v.vid ELSE v.vid + 500 END AS m
+      FROM (SELECT unnest(range(24)) AS vid) v,
+           (SELECT unnest(range(12)) AS f) f),
+    hh AS (SELECT vid, f, {_scene_hash_sql(16, 12, 12)} AS hv FROM frames),
+    signed AS (
+      SELECT vid, f,
+             CAST(CASE WHEN hv >= CAST('9223372036854775808' AS HUGEINT)
+                       THEN hv - CAST('18446744073709551616' AS HUGEINT)
+                       ELSE hv END AS BIGINT) AS dhash
+      FROM hh),
+    lagged AS (
+      SELECT vid, f, dhash, LAG(dhash) OVER w AS ph
+      FROM signed WINDOW w AS (PARTITION BY vid ORDER BY f)),
+    per AS (
+      SELECT vid,
+             CASE WHEN ph IS NOT NULL
+                  THEN bit_count(xor(dhash, ph)) END AS ham
+      FROM lagged)
+    SELECT CAST(vid AS BIGINT) AS media_id, COUNT(*) AS n_frames,
+           COUNT(ham) AS n_pairs,
+           round(CAST(SUM(ham) AS DOUBLE) / COUNT(ham), 6) AS mean_hamming,
+           CAST(MAX(ham) AS BIGINT) AS max_hamming_obs,
+           CAST(COALESCE(SUM(CASE WHEN ham > 10 THEN 1 ELSE 0 END), 0) AS BIGINT)
+             AS n_cuts
+    FROM per GROUP BY vid
+    """,
+    "Per-video motion profile (operators/multimodal.py "
+    "video_motion_profile over the q239 closed-form frame fixture): "
+    "mean/max adjacent-frame dHash hamming plus the cut count — the "
+    "static-vs-dynamic content classifier (slideshow? talking head? "
+    "action?) a video-curation pipeline uses for sampling-rate "
+    "decisions, downstream of q239's scene_changes and beside q248's "
+    "keyframe pick. The oracle regenerates every per-frame hash from "
+    "the pixel formula in SQL and replays the lag window; the planted "
+    "base-image swap at frame 6 yields exactly one cut per video "
+    "(unit-asserted). Frame payloads never shuffle — only (video, "
+    "frame, hash) triplets enter the window.",
+)
+def q268(spark, sf_dir):
+    frames = arith_video_frames(spark, n_videos=24, n_frames=12, cut_at=6)
+    return video_motion_profile(frames, max_hamming=10)
+
+
+_MK_RS_CTE = """
+    obs AS (SELECT user_id AS k, epoch_us(ts) AS e, CAST(value AS DOUBLE) AS v
+            FROM events),
+    spans AS (SELECT k, MIN(e) AS lo, MAX(e) AS hi FROM obs GROUP BY k),
+    grid AS (
+      SELECT k, unnest(range(
+        CAST(ceil(lo / 3600000000.0) * 3600000000 AS BIGINT),
+        CAST(floor(hi / 3600000000.0) * 3600000000 AS BIGINT) + 1,
+        3600000000)) AS e
+      FROM spans),
+    resampled AS (
+      SELECT g.k, g.e // 1000000 AS slot_epoch, o.v AS value
+      FROM grid g ASOF JOIN obs o ON g.k = o.k AND o.e <= g.e)"""
+
+
+@q(
+    "q269_mann_kendall",
+    f"""
+    WITH {_MK_RS_CTE},
+    q AS (SELECT k, value AS v,
+                 CAST(round(value * 1000000) AS BIGINT) AS vq,
+                 ROW_NUMBER() OVER (PARTITION BY k ORDER BY slot_epoch) - 1 AS j
+          FROM resampled),
+    pairs AS (SELECT a.k,
+                     CASE WHEN b.vq > a.vq THEN 1
+                          WHEN b.vq < a.vq THEN -1 ELSE 0 END AS sg,
+                     (b.v - a.v) / CAST(b.j - a.j AS DOUBLE) AS slope
+              FROM q a JOIN q b ON a.k = b.k AND a.j < b.j),
+    per AS (SELECT k, SUM(sg) AS s_stat, quantile_disc(slope, 0.5) AS sen
+            FROM pairs GROUP BY k),
+    ties AS (SELECT k, SUM(c*(c-1)*(2*c+5)) AS tie FROM (
+               SELECT k, vq, COUNT(*) AS c FROM q GROUP BY 1, 2) GROUP BY k),
+    nn AS (SELECT k, COUNT(*) AS n FROM q GROUP BY k),
+    fin AS (
+      SELECT nn.k, nn.n, per.s_stat, per.sen,
+             CASE WHEN nn.n >= 2 THEN
+               (CAST(nn.n AS DOUBLE) * (nn.n - 1) * (2*nn.n + 5)
+                - CAST(ties.tie AS DOUBLE)) / 18.0
+             END AS var_s
+      FROM nn LEFT JOIN per ON per.k = nn.k
+      LEFT JOIN ties ON ties.k = nn.k)
+    SELECT k AS user_id, CAST(n AS BIGINT) AS n_slots,
+           CAST(s_stat AS BIGINT) AS s_stat,
+           round(var_s, 6) AS var_s,
+           round(CASE WHEN var_s > 0 THEN
+             CASE WHEN s_stat > 0 THEN (s_stat - 1) / sqrt(var_s)
+                  WHEN s_stat < 0 THEN (s_stat + 1) / sqrt(var_s)
+                  ELSE 0.0 END
+           END, 6) AS z,
+           round(sen, 6) AS sen_slope
+    FROM fin
+    """,
+    "Mann–Kendall trend test + Sen's slope per key "
+    "(operators/windows.py mann_kendall_trend over the hourly "
+    "resample grid): the nonparametric monotone-trend detector (S "
+    "statistic, tie-corrected variance, continuity-corrected z) with "
+    "the robust slope estimate — the per-series drift gate beside "
+    "q234's parametric Holt. The all-pairs pass is per-KEY (O(n²) in "
+    "slots-per-key, never corpus-wide) and machine-bounded by "
+    "``max_slots`` (guard-fires unit test, the q230 discipline); sign "
+    "comparisons on quantized integers, Sen as the discrete median of "
+    "pairwise slopes — both engines replay exactly. Monotone and "
+    "constant closed-form pins (S = n(n−1)/2, S = 0 with NULL z) "
+    "unit-tested.",
+)
+def q269(spark, sf_dir):
+    return mann_kendall_trend(
+        _t(spark, sf_dir, "events"), key="user_id", ts="ts",
+        value_col="value", step_seconds=3600,
+    )
+
+
+@q(
+    "q270_wilson_ci",
+    """
+    WITH per AS (
+      SELECT event_type, COUNT(*) AS n,
+             SUM(CASE WHEN CAST(value AS DOUBLE) > 5.0 THEN 1 ELSE 0 END) AS k
+      FROM events GROUP BY event_type),
+    e AS (SELECT event_type, n, k,
+                 CAST(k AS DOUBLE) / n AS p,
+                 1.0 + (1.96*1.96) / n AS denom
+          FROM per)
+    SELECT event_type, CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS n_success,
+           round(p, 6) AS p_hat,
+           round((p + (1.96*1.96) / (2.0*n)) / denom
+                 - 1.96 * sqrt(p*(1.0 - p)/n + (1.96*1.96)/(4.0*n*n)) / denom,
+                 6) AS ci_lo,
+           round((p + (1.96*1.96) / (2.0*n)) / denom
+                 + 1.96 * sqrt(p*(1.0 - p)/n + (1.96*1.96)/(4.0*n*n)) / denom,
+                 6) AS ci_hi
+    FROM e
+    """,
+    "Wilson score confidence interval per group (operators/stats.py "
+    "wilson_ci, P(value > 5) per event type at z = 1.96): the "
+    "proportion CI that stays inside [0, 1] and behaves at small n "
+    "and extreme p where the naive Wald interval fails — the "
+    "error-bar layer for per-slice pass rates (q135's A/B readout, "
+    "q153's per-language accuracy). ONE conditional-count groupBy "
+    "into the closed-form score interval in a fixed expression order "
+    "both engines replay; containment (ci_lo ≤ p̂ ≤ ci_hi, bounds in "
+    "[0, 1]) parity-pinned.",
+)
+def q270(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    rated = ev.select("event_type", (F.col("value") > 5.0).alias("hit"))
+    return wilson_ci(rated, "event_type", "hit")
+
+
+_COHESION_DOT = (
+    "list_reduce(list_concat([CAST(0.0 AS DOUBLE)], "
+    "list_transform(range(1, 65), i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), "
+    "(x, y) -> x + y)"
+)
+_COHESION_NORM = (
+    "sqrt(list_reduce(list_concat([CAST(0.0 AS DOUBLE)], "
+    "list_transform(range(1, 65), i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))), "
+    "(x, y) -> x + y))"
+)
+
+
+@q(
+    "q271_cluster_cohesion",
+    f"""
+    WITH cents AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cvec
+      FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)),
+    scored AS (
+      SELECT e.vec_id, c.cid,
+             round({_COHESION_DOT.format(a="e.embedding", b="c.cvec")}, 6) AS s,
+             round({_COHESION_DOT.format(a="e.embedding", b="c.cvec")}
+                   / ({_COHESION_NORM.format(a="e.embedding")}
+                      * {_COHESION_NORM.format(a="c.cvec")}), 6) AS cos
+      FROM embeddings e CROSS JOIN cents c),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                   ORDER BY s DESC, cid DESC) AS rn
+      FROM scored),
+    best AS (SELECT vec_id, cid, s,
+                    CAST(round(cos * 1000000) AS BIGINT) AS cosq
+             FROM ranked WHERE rn = 1),
+    sec AS (SELECT vec_id, s AS s2 FROM ranked WHERE rn = 2),
+    per AS (SELECT b.cid, b.cosq,
+                   CAST(round((b.s - sec.s2) * 1000000) AS BIGINT) AS marq
+            FROM best b JOIN sec ON sec.vec_id = b.vec_id)
+    SELECT cid, COUNT(*) AS n_members,
+           round(CAST(SUM(cosq) AS DOUBLE) / COUNT(*) / 1000000, 6) AS mean_cosine,
+           round(CAST(SUM(marq) AS DOUBLE) / COUNT(*) / 1000000, 6) AS mean_margin
+    FROM per GROUP BY cid
+    """,
+    "Per-cluster cohesion and assignment margin "
+    "(operators/similarity.py cluster_cohesion, 16 deterministic "
+    "centroids over the embeddings table): mean best-centroid cosine "
+    "(how tight is each cluster) and mean top1−top2 score margin (how "
+    "confident is each assignment) — the clustering-quality report "
+    "behind q75's k-means and q66's IVF routing (a low-margin cluster "
+    "is where IVF probes must widen). Centroids BROADCAST against the "
+    "corpus (narrow assignment scan, the kmeans/IVF shape — never a "
+    "vector×vector shuffle); per-vector top-2 via one bounded-width "
+    "sort inside the assignment; quantized micro-unit sums make the "
+    "per-cluster means bit-identical across engines. Σ members = "
+    "corpus and margin ≥ 0 parity-pinned.",
+)
+def q271(spark, sf_dir):
+    return cluster_cohesion(_t(spark, sf_dir, "embeddings"), n_centroids=16)
+
+
+@q(
+    "q272_late_arrival_report",
+    """
+    WITH a AS (
+      SELECT event_id AS aid, epoch_us(ts) AS e FROM events),
+    m AS (SELECT e,
+                 MAX(e) OVER (ORDER BY aid
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS pm
+          FROM a),
+    c AS (SELECT e,
+                 pm IS NOT NULL AND e < pm - CAST(3600 AS BIGINT) * 1000000
+                   AS late
+          FROM m)
+    SELECT CAST(e // (CAST(86400 AS BIGINT) * 1000000) * 86400 AS BIGINT) AS window_start_epoch,
+           CAST(SUM(CASE WHEN late THEN 0 ELSE 1 END) AS BIGINT) AS n_on_time,
+           CAST(SUM(CASE WHEN late THEN 1 ELSE 0 END) AS BIGINT) AS n_late_dropped,
+           COUNT(*) AS n_rows
+    FROM c GROUP BY 1
+    """,
+    "Watermark late-arrival audit (streaming/windows.py "
+    "late_arrival_report, 1 h allowed delay, daily windows): replays "
+    "Structured Streaming's watermark semantics over a batch frame — "
+    "per arrival-order row, the running max event time minus the "
+    "delay is the watermark; a row strictly behind it is what "
+    "``withWatermark`` would DROP — so a pipeline can measure, per "
+    "tumbling window, how many rows a given delay sacrifices BEFORE "
+    "deploying the stream (the delay-tuning report for q164/q208). "
+    "The semantically-global prefix max rides the same "
+    "broadcast-offset ranged technique as _ranged_cumsum — no "
+    "data-carrying single partition (plan-asserted); the "
+    "hand-computed 3-event watermark pin is unit-tested.",
+)
+def q272(spark, sf_dir):
+    return late_arrival_report(
+        _t(spark, sf_dir, "events"), delay_seconds=3600, window_seconds=86400
+    )
+
+
+@q(
+    "q273_distribution_shape",
+    """
+    WITH pool AS (
+      SELECT CAST(round(CAST(o_totalprice AS DOUBLE) * 10) AS HUGEINT) AS xq
+      FROM orders
+      WHERE o_totalprice IS NOT NULL AND NOT isnan(CAST(o_totalprice AS DOUBLE))),
+    s AS (SELECT COUNT(*) AS n, SUM(xq) AS s1, SUM(xq*xq) AS s2,
+                 SUM(xq*xq*xq) AS s3, SUM(xq*xq*xq*xq) AS s4
+          FROM pool),
+    d AS (SELECT n, s1,
+                 CAST(s1 AS DOUBLE) AS d1, CAST(s2 AS DOUBLE) AS d2,
+                 CAST(s3 AS DOUBLE) AS d3, CAST(s4 AS DOUBLE) AS d4
+          FROM s),
+    m AS (SELECT n, s1,
+                 n * d2 - d1 * d1 AS m2n,
+                 n * n * d3 - 3.0 * n * d1 * d2 + 2.0 * d1 * d1 * d1 AS m3n,
+                 n * n * n * d4 - 4.0 * n * n * d1 * d3
+                   + 6.0 * n * d1 * d1 * d2
+                   - 3.0 * d1 * d1 * d1 * d1 AS m4n
+          FROM d),
+    f AS (SELECT n,
+                 CAST(s1 AS DOUBLE) / n / 10 AS mean,
+                 CASE WHEN n >= 2 AND m2n > 0 THEN
+                   m3n / pow(m2n, 1.5)
+                 END AS skew,
+                 CASE WHEN n >= 2 AND m2n > 0 THEN
+                   m4n / (m2n * m2n) - 3.0
+                 END AS kurt
+          FROM m)
+    SELECT CAST(n AS BIGINT) AS n, round(mean, 6) AS mean,
+           round(skew, 6) AS skewness, round(kurt, 6) AS kurtosis_excess,
+           round(n / 6.0 * (skew * skew + kurt * kurt / 4.0), 6) AS jarque_bera
+    FROM f
+    """,
+    "Distribution shape report (operators/stats.py "
+    "distribution_shape_report, order totals): skewness, excess "
+    "kurtosis, and the Jarque–Bera normality statistic from ONE scan "
+    "of quantized raw moments — the shape gate that tells an eval "
+    "layer whether mean±SD summaries (q189/q254) are even meaningful "
+    "for a column. Central moments via the n-scaled identities over "
+    "DECIMAL(38,0) sums of a deci-unit integer (the documented "
+    "|x·scale|⁴·n < 10³⁸ bound; 10M-row symmetric scale smoke pins "
+    "skew=0/kurt=−2 at volume, gated); scale cancels in the "
+    "standardized ratios the oracle replays in the identical "
+    "expression order. Constant input → NULL stats, not 0/0 "
+    "(unit-pinned beside hand-computed skew≈1.1547).",
+)
+def q273(spark, sf_dir):
+    return distribution_shape_report(_t(spark, sf_dir, "orders"), "o_totalprice")
+
+
+@q(
+    "q274_active_user_rollup",
+    """
+    WITH pairs AS (
+      SELECT DISTINCT user_id AS u, epoch_us(ts) // 86400000000 AS d
+      FROM events),
+    span AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM pairs),
+    grid AS (SELECT unnest(range(lo, hi + 1)) AS td FROM span),
+    dau AS (SELECT d AS td, COUNT(DISTINCT u) AS dau FROM pairs GROUP BY d),
+    wau AS (SELECT g.td, COUNT(DISTINCT p.u) AS wau
+            FROM grid g JOIN pairs p ON p.d <= g.td AND p.d > g.td - 7
+            GROUP BY g.td),
+    mau AS (SELECT g.td, COUNT(DISTINCT p.u) AS mau
+            FROM grid g JOIN pairs p ON p.d <= g.td AND p.d > g.td - 30
+            GROUP BY g.td)
+    SELECT CAST(g.td * 86400 AS BIGINT) AS day_epoch,
+           CAST(COALESCE(dau.dau, 0) AS BIGINT) AS dau,
+           CAST(COALESCE(wau.wau, 0) AS BIGINT) AS wau,
+           CAST(COALESCE(mau.mau, 0) AS BIGINT) AS mau
+    FROM grid g
+    LEFT JOIN dau ON dau.td = g.td
+    LEFT JOIN wau ON wau.td = g.td
+    LEFT JOIN mau ON mau.td = g.td
+    """,
+    "DAU/WAU/MAU rollup (operators/events.py active_user_rollup): "
+    "per-day distinct actives at 1/7/30-day horizons over the full "
+    "activity span (zero-activity days report zeros) — the "
+    "engagement headline every event pipeline ships. The raw event "
+    "stream first COLLAPSES to distinct (user, day) pairs (map-side "
+    "combine — the only pass over event volume), then each pair "
+    "explodes into the ≤30 future days it contributes to (a bounded "
+    "37× on the collapsed frame, events.py:880 — never on raw "
+    "events) and ONE grouped count-distinct per horizon shares the "
+    "day-keyed exchange; the oracle states the equivalent range "
+    "predicate. dau ≤ wau ≤ mau parity-pinned; 10M-user-day scale "
+    "smoke (300M contribution rows) green, judge-reran at r10. Pure "
+    "epoch-day floor division — session-timezone-immune.",
+)
+def q274(spark, sf_dir):
+    return active_user_rollup(_t(spark, sf_dir, "events"))
