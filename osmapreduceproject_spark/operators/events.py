@@ -935,3 +935,67 @@ def active_user_rollup(
             F.coalesce("mau", F.lit(0)).alias("mau"),
         )
     )
+
+
+def max_concurrency(
+    df: DataFrame,
+    key: str,
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Peak concurrent intervals per key via the classic sweep line:
+    +1 at each interval start, −1 at each end, running-sum the
+    endpoints in time order — the "how many sessions/jobs/streams were
+    open at once" capacity statistic that interval-union coverage
+    (q227) and gaps (q251) don't give. Half-open ``[start, end)``
+    semantics: an interval ending exactly when another starts does NOT
+    overlap it, enforced by ordering −1 deltas before +1 at equal
+    timestamps. Empty intervals (end ≤ start) drop.
+
+    Shape: the endpoint frame is 2 rows per interval, the running sum
+    is ONE per-key ordered window (state bounded by per-key volume —
+    use a real key, not a constant), and the per-key max plus its
+    first-reached timestamp come from the same exchange. Within a tie
+    group of identical (t, +1) rows the intermediate running values
+    depend on row order, but the MAX and the argmin timestamp are
+    order-free (the max at t is the value after the whole tie group).
+    Returns (key, n_intervals, max_concurrent, t_at_max_us) with the
+    timestamp in integer epoch µs (session-timezone-immune).
+    """
+    from pyspark.sql import Window
+
+    iv = df.where(F.col(end_col) > F.col(start_col))
+    s = iv.select(
+        F.col(key).alias("__k"),
+        F.unix_micros(F.col(start_col)).alias("__t"),
+        F.lit(1).alias("__d"),
+    )
+    e = iv.select(
+        F.col(key).alias("__k"),
+        F.unix_micros(F.col(end_col)).alias("__t"),
+        F.lit(-1).alias("__d"),
+    )
+    pts = s.unionAll(e)
+    w = (
+        Window.partitionBy("__k")
+        .orderBy(F.col("__t").asc(), F.col("__d").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = pts.select("__k", "__t", "__d", F.sum("__d").over(w).alias("__run"))
+    wk = Window.partitionBy("__k")
+    peaked = run.select(
+        "__k", "__t", "__d", "__run", F.max("__run").over(wk).alias("__mx")
+    )
+    return (
+        peaked.where(F.col("__run") == F.col("__mx"))
+        .groupBy(F.col("__k").alias(key))
+        .agg(
+            F.max("__run").alias("max_concurrent"),
+            F.min("__t").alias("t_at_max_us"),
+        )
+        .join(
+            iv.groupBy(F.col(key)).agg(F.count(F.lit(1)).alias("n_intervals")),
+            key,
+        )
+        .select(key, "n_intervals", "max_concurrent", "t_at_max_us")
+    )

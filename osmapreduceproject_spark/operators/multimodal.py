@@ -1258,3 +1258,215 @@ def video_motion_profile(
             F.sum((F.col("__ham") > max_hamming).cast("int")), F.lit(0)
         ).cast("bigint").alias("n_cuts"),
     )
+
+
+def arith_raw_audio_dither(
+    spark,
+    n: int = 32,
+    n_samples: int = 2048,
+    quiet_ranges: tuple = ((512, 768), (1536, 1664)),
+) -> DataFrame:
+    """:func:`arith_raw_audio_silence` with DITHERED quiet sections:
+    samples inside ``quiet_ranges`` are ``127 + ((17·m + i) mod 3)``
+    (values 127/128/129 — a ±1 LSB noise floor instead of digital
+    zero) while the rest follow the closed-form arithmetic wave. The
+    fixture for signal-to-noise estimation: pure digital silence has
+    ZERO noise mass and makes any SNR ratio degenerate, so the SNR
+    path needs a floor that is quiet-but-nonzero, still fully
+    SQL-regenerable (a CASE over the sample index)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Self-contained closure: no module-global references.
+        import numpy as np
+        import pandas as pd
+
+        idx = np.arange(n_samples, dtype=np.int64)
+        quiet = np.zeros(n_samples, dtype=bool)
+        for lo, hi in quiet_ranges:
+            quiet[lo:hi] = True
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            payloads = []
+            for m in pdf["id"]:
+                v = (17 * int(m) + 11 * idx + (idx * idx) % 89) % 256
+                v = np.where(quiet, 127 + (17 * int(m) + idx) % 3, v)
+                payloads.append(v.astype(np.uint8).tobytes())
+            yield pd.DataFrame({"media_id": pdf["id"].values, "payload": payloads})
+
+    raw = spark.range(n).mapInPandas(gen, "media_id long, payload binary")
+    return raw.select(
+        "media_id",
+        F.lit("audio").alias("kind"),
+        "payload",
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(16000).alias("sample_rate"),
+            F.lit(None).cast("int").alias("n_frames"),
+        ).alias("meta"),
+    )
+
+
+def audio_snr_report(
+    df: DataFrame,
+    frame: int = 64,
+    max_amp: int = 64,
+) -> DataFrame:
+    """Per-clip signal-to-noise estimate over 8-bit-PCM payloads — the
+    recording-quality gate an audio-curation pipeline runs next to the
+    clipping report (q260): frames classify as noise floor (integer
+    amplitude mass Σ|v−128| at or below ``max_amp`` — the
+    :func:`audio_silence_segments` silence rule) or signal, and
+    SNR_dB = 10·log10(mean signal mass / mean noise mass). A clip
+    that is all signal or all floor, or whose floor mass is exactly 0
+    (digital silence), emits NULL SNR rather than ±inf — measure
+    those with the silence/clipping reports instead.
+
+    Shape: frame masses are the same Arrow-batched mapInPandas scan
+    as the silence path (payloads never shuffle — only
+    (media, frame, mass) triplets leave the map), then ONE media-keyed
+    aggregation of exact integer counts/masses; the two means and the
+    log ratio are a fixed-order double expression over those integers.
+    Returns (media_id, n_frames, n_floor_frames, floor_frac,
+    mean_signal_mass, mean_floor_mass, snr_db), 6-decimal.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Self-contained closure: no module-global references.
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = []
+            for m, p in zip(pdf["media_id"], pdf["payload"]):
+                buf = np.frombuffer(bytes(p), dtype=np.uint8)
+                nf = buf.size // frame
+                if nf == 0:
+                    continue
+                amp = (
+                    np.abs(buf[: nf * frame].astype(np.int64) - 128)
+                    .reshape(nf, frame)
+                    .sum(axis=1)
+                )
+                for i, a in enumerate(amp):
+                    out.append((int(m), i, int(a)))
+            yield pd.DataFrame(out, columns=["media_id", "frame_idx", "amp"])
+
+    masses = df.select("media_id", "payload").mapInPandas(
+        run, "media_id long, frame_idx int, amp long"
+    )
+    is_floor = F.col("amp") <= F.lit(int(max_amp))
+    agg = masses.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.sum(is_floor.cast("bigint")).alias("n_floor_frames"),
+        F.sum(F.when(is_floor, F.col("amp"))).alias("__floor_mass"),
+        F.sum(F.when(~is_floor, F.col("amp"))).alias("__sig_mass"),
+    )
+    n_sig = (F.col("n_frames") - F.col("n_floor_frames")).cast("double")
+    n_flr = F.col("n_floor_frames").cast("double")
+    sig_mean = F.col("__sig_mass").cast("double") / n_sig
+    flr_mean = F.col("__floor_mass").cast("double") / n_flr
+    ok = (
+        (F.col("n_floor_frames") > 0)
+        & (F.col("n_frames") > F.col("n_floor_frames"))
+        & (F.col("__floor_mass") > 0)
+    )
+    return agg.select(
+        "media_id",
+        "n_frames",
+        "n_floor_frames",
+        F.round(n_flr / F.col("n_frames"), 6).alias("floor_frac"),
+        F.when(
+            F.col("n_frames") > F.col("n_floor_frames"), F.round(sig_mean, 6)
+        ).alias("mean_signal_mass"),
+        F.when(F.col("n_floor_frames") > 0, F.round(flr_mean, 6)).alias(
+            "mean_floor_mass"
+        ),
+        F.when(ok, F.round(10.0 * F.log(10.0, sig_mean / flr_mean), 6)).alias(
+            "snr_db"
+        ),
+    )
+
+
+def image_exposure_report(df: DataFrame, n_bins: int = 16) -> DataFrame:
+    """Per-image exposure/contrast QC over RAW8 RGB payloads: gray-level
+    histogram entropy (bits, over ``n_bins`` uniform luma bins),
+    crushed-shadow and blown-highlight fractions (gray ≤ 7 / ≥ 248),
+    and the observed gray range — the cheap screens for
+    black/overexposed/low-contrast frames a vision-data pipeline drops
+    before paying for resize and embedding. Gray is the integer
+    (r + g + b) // 3 luma (the :func:`image_border_uniformity`
+    convention).
+
+    Shape: decode and the whole histogram reduce inside the Arrow
+    batch (payloads never shuffle; one summary row per image leaves
+    the map). Determinism: entropy uses the partial-summable
+    H = log2(n) − Σ c·log2(c)/n form with every c·log2(c) term rounded
+    to an integer at micro-units BEFORE the (exact, order-free) sum —
+    the same quantize-then-sum recipe as the stats family, replayed
+    term-for-term by the SQL oracle. Returns (media_id, n_px,
+    entropy_bits, shadow_frac, highlight_frac, gray_min, gray_max),
+    6-decimal.
+    """
+    nb = int(n_bins)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Self-contained closure: no module-global references.
+        import math as _math
+
+        import numpy as np
+        import pandas as pd
+
+        width = 256 // nb
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            for m, p, w, h in zip(
+                pdf["media_id"], pdf["payload"], pdf["width"], pdf["height"]
+            ):
+                buf = np.frombuffer(bytes(p), dtype=np.uint8)
+                w, h = int(w), int(h)
+                if buf.size != w * h * 3:
+                    raise ValueError(
+                        f"payload length {buf.size} is not a {h}x{w}x3 RAW8 RGB frame"
+                    )
+                gray = buf.reshape(-1, 3).astype(np.int64).sum(axis=1) // 3
+                n = gray.size
+                counts = np.bincount(gray // width, minlength=nb)
+                tq = sum(
+                    int(round(float(c) * _math.log2(float(c)) * 1_000_000))
+                    for c in counts
+                    if c > 0
+                )
+                entropy = _math.log2(n) - tq / 1_000_000 / n
+                rows.append(
+                    (
+                        int(m),
+                        int(n),
+                        round(entropy, 6),
+                        round(int((gray <= 7).sum()) / n, 6),
+                        round(int((gray >= 248).sum()) / n, 6),
+                        int(gray.min()),
+                        int(gray.max()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "n_px", "entropy_bits", "shadow_frac",
+                    "highlight_frac", "gray_min", "gray_max",
+                ],
+            )
+
+    return df.select(
+        "media_id", "payload",
+        F.col("meta.width").alias("width"), F.col("meta.height").alias("height"),
+    ).mapInPandas(
+        run,
+        "media_id long, n_px long, entropy_bits double, shadow_frac double, "
+        "highlight_frac double, gray_min long, gray_max long",
+    )

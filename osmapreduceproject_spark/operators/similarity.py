@@ -878,3 +878,60 @@ def cluster_cohesion(
             F.sum("__marq").cast("double") / F.count(F.lit(1)) / 1_000_000, 6
         ).alias("mean_margin"),
     )
+
+
+def silhouette_report(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-cluster simplified (centroid-based) silhouette over the
+    deterministic coarse quantizer — the normalized cousin of
+    :func:`cluster_cohesion`'s raw margin: with cosine distance
+    a = 1 − cos(best centroid) and b = 1 − cos(second-best),
+    s = (b − a)/max(a, b) ∈ [0, 1] here (b ≥ a by construction), so
+    clusters are comparable across corpora and embedding scales where
+    a dot-score margin is not. The standard medoid-silhouette
+    shortcut: per-vector work is against ≤ n_centroids BROADCAST
+    centroids, never other vectors — the O(n·k) report a 100 TB
+    corpus can afford where true pairwise silhouette (O(n²)) cannot.
+
+    Conventions mirror cluster_cohesion with ONE deliberate change:
+    ranking is by rounded COSINE (tie-to-larger-cid), not raw dot —
+    silhouette is a cosine-distance statistic, and cosine ranking is
+    what guarantees b ≥ a (s ∈ [0, 1]) regardless of vector norms.
+    Centroid frame from :func:`_ivf_cents`, one id-keyed top-2 over
+    ≤ n_centroids structs, per-vector s quantized to micro-units
+    before the per-cluster mean (exact sums, one IEEE division).
+    Vectors whose both top distances are 0 (exactly on two duplicate
+    centroid directions) emit NULL s and are excluded from the mean
+    but counted. Returns
+    (cid, n_members, n_scored, mean_silhouette), 6-decimal.
+    """
+    cents = _ivf_cents(corpus, n_centroids, id_col, vec_col)
+    cos = F.round(cosine(F.col(vec_col), F.col("__cvec")), 6)
+    scored = corpus.crossJoin(F.broadcast(cents)).select(
+        F.col(id_col),
+        F.struct(cos.alias("cos"), F.col("cid").alias("cid")).alias("__sc"),
+    )
+    top2 = scored.groupBy(id_col).agg(
+        F.reverse(F.array_sort(F.collect_list("__sc"))).alias("__arr")
+    )
+    best = F.element_at("__arr", 1)
+    second = F.element_at("__arr", 2)
+    a = 1.0 - best["cos"]
+    b = 1.0 - second["cos"]
+    sil = F.when(F.greatest(a, b) > 0, F.round((b - a) / F.greatest(a, b), 6))
+    per_vec = top2.select(
+        best["cid"].alias("cid"),
+        F.round(sil * 1_000_000).cast("bigint").alias("__sq"),
+    )
+    return per_vec.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.count("__sq").alias("n_scored"),
+        F.when(
+            F.count("__sq") > 0,
+            F.round(F.sum("__sq").cast("double") / F.count("__sq") / 1_000_000, 6),
+        ).alias("mean_silhouette"),
+    )

@@ -2222,3 +2222,194 @@ def distribution_shape_report(
         "n bigint, mean double, skewness double, kurtosis_excess double, "
         "jarque_bera double",
     )
+
+
+def odds_ratio(
+    df: DataFrame,
+    flag_a: str,
+    flag_b: str,
+    z: float = 1.96,
+) -> DataFrame:
+    """Odds ratio between two boolean flags with the Wald confidence
+    interval on the log-odds scale — the 2×2 association measure a
+    curation pipeline reads off "does tripping filter A change the odds
+    of tripping filter B" (or exposure × outcome in an experiment
+    readout), with the error bars :func:`wilson_ci` gives single
+    proportions. Exponentiating the log-OR ± z·SE bounds keeps the
+    interval positive and asymmetric, as it should be.
+
+    ONE conditional-count scan produces the four exact integer cells
+    (n11 both, n10 a-only, n01 b-only, n00 neither; rows with a NULL
+    flag are excluded — a missing rating is not a False); OR and the
+    CI are fixed-order double expressions over those integers that the
+    oracle mirrors. Any empty cell → NULL OR/CI, never ±inf (the
+    Haldane 0.5 correction is a modeling choice, not a default — apply
+    it upstream if wanted). Returns one row:
+    (n, n11, n10, n01, n00, odds_ratio, log_or, or_ci_lo, or_ci_hi).
+    """
+    a = F.col(flag_a).cast("boolean")
+    b = F.col(flag_b).cast("boolean")
+    pool = df.where(a.isNotNull() & b.isNotNull()).select(
+        a.alias("__a"), b.alias("__b")
+    )
+    cell = lambda pa, pb: F.sum(  # noqa: E731
+        ((F.col("__a") == pa) & (F.col("__b") == pb)).cast("bigint")
+    )
+    agg = pool.agg(
+        F.count(F.lit(1)).alias("n"),
+        cell(True, True).alias("n11"),
+        cell(True, False).alias("n10"),
+        cell(False, True).alias("n01"),
+        cell(False, False).alias("n00"),
+    )
+    n11, n10 = F.col("n11").cast("double"), F.col("n10").cast("double")
+    n01, n00 = F.col("n01").cast("double"), F.col("n00").cast("double")
+    ok = (n11 > 0) & (n10 > 0) & (n01 > 0) & (n00 > 0)
+    odds = (n11 * n00) / (n10 * n01)
+    se = F.sqrt(1.0 / n11 + 1.0 / n10 + 1.0 / n01 + 1.0 / n00)
+    return agg.select(
+        "n", "n11", "n10", "n01", "n00",
+        F.when(ok, F.round(odds, 6)).alias("odds_ratio"),
+        F.when(ok, F.round(F.log(odds), 6)).alias("log_or"),
+        F.when(ok, F.round(F.exp(F.log(odds) - F.lit(float(z)) * se), 6)).alias(
+            "or_ci_lo"
+        ),
+        F.when(ok, F.round(F.exp(F.log(odds) + F.lit(float(z)) * se), 6)).alias(
+            "or_ci_hi"
+        ),
+    )
+
+
+def chi2_gof(df: DataFrame, cat_col: str) -> DataFrame:
+    """Chi-squared goodness-of-fit of a categorical column against the
+    UNIFORM distribution over its observed levels — the "is this split
+    balanced" one-liner for hash buckets, k-fold assignments, and shard
+    keys (the statistical sibling of q112's shard accounting):
+    χ² = (k/n)·Σ o_i² − n needs only Σ o_i², so zero per-cell float
+    sums exist to diverge across engines. Emits the statistic and dof,
+    not a p-value (no incomplete-gamma to approximate — the
+    :func:`chi2_independence` convention).
+
+    One ``cat_col``-keyed count (map-side combine; NULL counts as a
+    level), one scalar finalization over exact DECIMAL(38,0) integer
+    moments, a single fixed-order double expression at the end.
+    Returns one row: (n, n_levels, dof, chi2).
+    """
+    counts = df.groupBy(F.col(cat_col).alias("__c")).agg(
+        F.count(F.lit(1)).alias("o")
+    )
+    agg = counts.agg(
+        F.sum("o").alias("n"),
+        F.count(F.lit(1)).alias("n_levels"),
+        F.sum(F.col("o").cast("decimal(38,0)") * F.col("o")).alias("__oo"),
+    )
+    chi2 = (
+        F.col("n_levels").cast("double")
+        * F.col("__oo").cast("double")
+        / F.col("n")
+        - F.col("n")
+    )
+    return agg.select(
+        "n",
+        "n_levels",
+        (F.col("n_levels") - 1).cast("bigint").alias("dof"),
+        F.when(F.col("n_levels") >= 2, F.round(chi2, 6)).alias("chi2"),
+    )
+
+
+def trimmed_mean(
+    df: DataFrame,
+    col: str,
+    trim: float = 0.1,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Symmetric trimmed mean: the exact mean of the values between the
+    ``trim`` and ``1−trim`` discrete percentiles (inclusive) — the
+    robust location estimate that DROPS the tails outright where
+    q224's winsorized stats CLAMP them; the right default for
+    latency/size columns whose tails are heavy but meaningless.
+
+    The cut values come from :func:`exact_percentile` (bounded
+    multi-pass bucket counting — never a global sort), so this is
+    "several small jobs in one timing" like q171/q206; the kept-range
+    mean is then ONE conditional scan of micro-quantized
+    DECIMAL(38,0) sums divided once in double. The discrete
+    ``quantile_disc`` cut convention means the kept mass can exceed
+    1−2·trim under ties — by design, both engines agree exactly.
+    Returns one row: (n, n_kept, lo_cut, hi_cut, trimmed_mean);
+    raises on an all-null/NaN column (no rank exists).
+    """
+    if not (0.0 < trim < 0.5):
+        raise ValueError(f"trimmed_mean: trim must be in (0, 0.5), got {trim}")
+    lo, hi = exact_percentile(df, col, [trim, 1.0 - trim])
+    v = F.col(col).cast("double")
+    ok = v.isNotNull() & ~F.isnan(v)
+    kept = ok & (v >= F.lit(lo)) & (v <= F.lit(hi))
+    vq = F.when(kept, F.round(v * scale)).cast("decimal(38,0)")
+    agg = df.agg(
+        F.sum(ok.cast("bigint")).alias("n"),
+        F.count(vq).alias("n_kept"),
+        F.sum(vq).alias("__s"),
+    )
+    return agg.select(
+        "n",
+        "n_kept",
+        F.lit(float(lo)).alias("lo_cut"),
+        F.lit(float(hi)).alias("hi_cut"),
+        F.when(
+            F.col("n_kept") > 0,
+            F.round(F.col("__s").cast("double") / F.col("n_kept") / scale, 6),
+        ).alias("trimmed_mean"),
+    )
+
+
+def group_diversity(
+    df: DataFrame,
+    group_col: str,
+    cat_col: str,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-group categorical diversity: Shannon entropy (bits) of the
+    within-group category distribution, its normalized form H/log2(k),
+    and the Herfindahl–Hirschman concentration index Σ(c/n)² — the
+    "is this user/source/shard doing one thing or many" profile (bot
+    accounts collapse to near-zero entropy over event types; a healthy
+    corpus source spreads over languages). The per-GROUP companion to
+    q109's per-document word entropy and q232's global Gini.
+
+    One (group, category)-keyed count (NULL is a real level), then one
+    group-keyed aggregation using the partial-summable identity
+    H = log2(n) − Σ c·log2(c)/n with EVERY c·log2(c) term quantized to
+    an integer BEFORE the sum (round half-up at micro-units) — exact,
+    order-free addition, so engines can't disagree on float summation
+    order; HHI rides exact Σc² the same way. Returns
+    (group, n, n_categories, entropy_bits, norm_entropy, hhi);
+    norm_entropy is NULL for single-category groups (log2(1) = 0).
+    """
+    counts = df.groupBy(
+        F.col(group_col).alias("__g"), F.col(cat_col).alias("__c")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    term = F.round(F.col("c").cast("double") * F.log2("c") * scale).cast(
+        "decimal(38,0)"
+    )
+    agg = counts.groupBy("__g").agg(
+        F.sum("c").alias("n"),
+        F.count(F.lit(1)).alias("n_categories"),
+        F.sum(term).alias("__t"),
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("c")).alias("__cc"),
+    )
+    h = F.log2(F.col("n")) - F.col("__t").cast("double") / scale / F.col("n")
+    return agg.select(
+        F.col("__g").alias(group_col),
+        "n",
+        "n_categories",
+        F.round(h, 6).alias("entropy_bits"),
+        F.when(
+            F.col("n_categories") >= 2,
+            F.round(h / F.log2(F.col("n_categories")), 6),
+        ).alias("norm_entropy"),
+        F.round(
+            F.col("__cc").cast("double") / (F.col("n").cast("double") * F.col("n")),
+            6,
+        ).alias("hhi"),
+    )

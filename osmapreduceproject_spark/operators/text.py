@@ -1550,3 +1550,61 @@ def char_class_report(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
         fr(counts["punct"]).alias("punct_frac"),
         fr(n - known).alias("other_frac"),
     )
+
+
+def tokenizer_fertility(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group tokenizer fertility report: characters per whitespace
+    token and per BPE-ish regex token, and the regex/whitespace
+    expansion ratio — the compression statistic tokenizer and
+    data-mixing decisions hinge on (a source whose chars-per-token is
+    2× another's costs 2× the context budget per unit of text; CJK and
+    code skew exactly this way). Uses the SAME two counting
+    conventions as q96 (:func:`with_regex_token_stats` — whitespace
+    split and the letter-run/digit-run/punctuation pretokenizer), so
+    the report is consistent with the per-doc counts.
+
+    Pure narrow per-doc counting into ONE group-keyed aggregation of
+    exact integer sums; the three ratios are single IEEE divisions of
+    those integers (bit-identical cross-engine). Groups whose token
+    count is zero emit NULL ratios. Returns (group, n_docs, n_chars,
+    n_ws_tokens, n_regex_tokens, chars_per_ws_token,
+    chars_per_regex_token, regex_per_ws_ratio), 6-decimal.
+    """
+    pieces = F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_PATTERN), F.lit(0))
+    per_doc = df.select(
+        F.col(group_col).alias("__g"),
+        F.length(F.col(text_col)).cast("bigint").alias("__nc"),
+        F.size(tokens(F.col(text_col))).cast("bigint").alias("__nw"),
+        F.size(pieces).cast("bigint").alias("__nr"),
+    )
+    agg = per_doc.groupBy(F.col("__g").alias(group_col)).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__nc").alias("n_chars"),
+        F.sum("__nw").alias("n_ws_tokens"),
+        F.sum("__nr").alias("n_regex_tokens"),
+    )
+    return agg.select(
+        group_col,
+        "n_docs",
+        "n_chars",
+        "n_ws_tokens",
+        "n_regex_tokens",
+        F.when(
+            F.col("n_ws_tokens") > 0,
+            F.round(F.col("n_chars").cast("double") / F.col("n_ws_tokens"), 6),
+        ).alias("chars_per_ws_token"),
+        F.when(
+            F.col("n_regex_tokens") > 0,
+            F.round(F.col("n_chars").cast("double") / F.col("n_regex_tokens"), 6),
+        ).alias("chars_per_regex_token"),
+        F.when(
+            F.col("n_ws_tokens") > 0,
+            F.round(
+                F.col("n_regex_tokens").cast("double") / F.col("n_ws_tokens"), 6
+            ),
+        ).alias("regex_per_ws_ratio"),
+    )

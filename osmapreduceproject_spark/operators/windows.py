@@ -1184,3 +1184,142 @@ def mann_kendall_trend(
         F.round(z, 6).alias("z"),
         F.round(F.col("__sen"), 6).alias("sen_slope"),
     )
+
+
+def seasonal_decompose(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    value_col: str,
+    step_seconds: int,
+    period_slots: int = 24,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-key additive seasonal decomposition SUMMARY over the
+    regularized grid: how much of each series' variance the
+    ``period_slots`` cycle explains — 1 − SS_residual/SS_total where
+    the fitted value at each slot is its cycle-position mean (the
+    :func:`seasonal_profile` baseline). The one-number answer to "is
+    this signal actually daily-periodic" that decides whether the
+    q205 profile is a usable baseline or noise; the ANOVA identity
+    makes it the R² of the position-as-factor model.
+
+    Exactness: per-(key, position) moments sum micro-quantized
+    DECIMAL integers; per-position residual mass SS_p − S_p²/n_p is a
+    double per position, combined by an ORDERED sequential fold over
+    the ≤ ``period_slots`` positions (collect_list + array_sort +
+    aggregate — bounded by the cycle length, replayed term-for-term
+    by the oracle's ORDER BY fold); SS_total comes from the same
+    integer moments in one fixed expression. Constant series (zero
+    total variance) emit NULL var_explained. Returns
+    (key, n_slots, n_positions, var_total, var_explained), 6-decimal,
+    var_total in original units.
+    """
+    s = resample_ffill(df, key, ts, value_col, step_seconds)
+    vq = F.round(F.col(value_col) * scale).cast("decimal(38,0)")
+    pos = F.pmod(
+        F.floor(F.col("slot_epoch") / step_seconds), F.lit(period_slots)
+    ).cast("int")
+    base = s.select(key, pos.alias("__pos"), vq.alias("__vq"))
+    per_pos = base.groupBy(key, "__pos").agg(
+        F.count(F.lit(1)).alias("__np"),
+        F.sum("__vq").alias("__sp"),
+        F.sum(F.col("__vq") * F.col("__vq")).alias("__ssp"),
+    )
+    resid_p = (
+        F.col("__ssp").cast("double")
+        - F.col("__sp").cast("double") * F.col("__sp").cast("double")
+        / F.col("__np")
+    )
+    folded = (
+        per_pos.select(
+            key,
+            "__np", "__sp", "__ssp",
+            F.struct(F.col("__pos"), resid_p.alias("r")).alias("__pr"),
+        )
+        .groupBy(key)
+        .agg(
+            F.sum("__np").alias("n_slots"),
+            F.count(F.lit(1)).alias("n_positions"),
+            F.sum("__sp").alias("__s"),
+            F.sum("__ssp").alias("__ss"),
+            F.aggregate(
+                F.array_sort(F.collect_list("__pr")),
+                F.lit(0.0),
+                lambda acc, x: acc + x["r"],
+            ).alias("__ss_resid"),
+        )
+    )
+    n = F.col("n_slots").cast("double")
+    ss_tot = (
+        F.col("__ss").cast("double")
+        - F.col("__s").cast("double") * F.col("__s").cast("double") / n
+    )
+    return folded.select(
+        key,
+        "n_slots",
+        "n_positions",
+        F.round(ss_tot / n / float(scale) ** 2, 6).alias("var_total"),
+        F.when(
+            ss_tot > 0, F.round(1.0 - F.col("__ss_resid") / ss_tot, 6)
+        ).alias("var_explained"),
+    )
+
+
+def ljung_box(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    value_col: str,
+    step_seconds: int,
+    max_lag: int = 3,
+    term_scale: int = 1_000_000_000_000,
+) -> DataFrame:
+    """Ljung–Box portmanteau statistic per key over the regularized
+    grid: Q = n·(n+2)·Σ_{k=1..m} ρ_k²/(n−k) with the
+    :func:`series_autocorrelation` sample-ACF convention — the
+    "is anything left in this series" whiteness screen a forecasting
+    layer runs over residuals (a high Q after q234's Holt fit means
+    the model missed structure; a low Q on the raw series means
+    there's nothing to model). Emits the statistic and dof, not a
+    p-value (the chi2_independence convention).
+
+    Built ON the graded ACF machinery: one per-key lag window produces
+    every ρ_k (quantized integer moments, 6-decimal — consumed at the
+    ROUNDED value so both engines agree bit-exactly), n recovers
+    exactly as n_pairs + lag (the grid is complete per key), and each
+    term ρ_k²/(n−k) quantizes to an integer at ``term_scale`` BEFORE
+    the ≤ max_lag-term sum — order-free addition. Degenerate lags
+    (NULL ρ: constant series or < 2 pairs) are excluded and counted;
+    keys with zero usable lags emit NULL Q. Returns
+    (key, n_slots, n_lags_used, dof, q_stat), 6-decimal.
+    """
+    acf = series_autocorrelation(
+        df, key=key, ts=ts, value_col=value_col,
+        step_seconds=step_seconds, max_lag=max_lag,
+    )
+    n = (F.col("n_pairs") + F.col("lag")).cast("double")
+    term = F.when(
+        F.col("acf").isNotNull(),
+        F.round(
+            F.col("acf") * F.col("acf") / (n - F.col("lag")) * term_scale
+        ).cast("decimal(38,0)"),
+    )
+    agg = acf.groupBy(key).agg(
+        F.max(F.col("n_pairs") + F.col("lag")).alias("n_slots"),
+        F.count(term).alias("n_lags_used"),
+        F.sum(term).alias("__t"),
+    )
+    nn = F.col("n_slots").cast("double")
+    return agg.select(
+        key,
+        "n_slots",
+        "n_lags_used",
+        F.col("n_lags_used").cast("bigint").alias("dof"),
+        F.when(
+            F.col("n_lags_used") > 0,
+            F.round(
+                nn * (nn + 2.0) * F.col("__t").cast("double") / term_scale, 6
+            ),
+        ).alias("q_stat"),
+    )

@@ -750,3 +750,51 @@ def test_release_local_checkpoint_drops_storage(spark):
     assert not rdd.getStorageLevel().useMemory()
     # non-checkpoint frames are a safe no-op
     assert release_local_checkpoint(spark.range(10)) is False
+
+
+def test_r13_wave_plan_shapes(spark):
+    """Scale-shape assertions for the wave staged for the r12
+    declaration window: the coverage-gap anti join stays on the grid
+    equi-join (no cartesian for the containment predicate), the
+    sweep-line running sum is a per-key window (no data-carrying
+    single partition), the seasonal decomposition's ordered fold rides
+    the per-key exchanges only, and the silhouette scorer broadcasts
+    the centroid frame instead of shuffling vectors against it."""
+    from pyspark.sql import functions as F
+
+    from osmapreduceproject_spark.operators.events import max_concurrency
+    from osmapreduceproject_spark.operators.joins import point_in_interval_join
+    from osmapreduceproject_spark.operators.similarity import silhouette_report
+    from osmapreduceproject_spark.operators.windows import seasonal_decompose
+    from osmapreduceproject_spark.plans.inspect import (
+        data_carrying_single_partitions,
+        explain_str,
+    )
+    from osmapreduceproject_spark.queries import _t
+
+    sf = "/root/testdata/sf0.001"
+    ev = _t(spark, sf, "events")
+
+    points = ev.select(F.col("event_id").alias("p_id"),
+                       F.floor(F.unix_micros("ts") / 1_000_000).alias("p_sec"))
+    ivs = ev.select(F.floor(F.unix_micros("ts") / 1_000_000).alias("c_lo"),
+                    (F.floor(F.unix_micros("ts") / 1_000_000) + 60).alias("c_hi"))
+    anti = point_in_interval_join(points, ivs, "p_sec", "c_lo", "c_hi",
+                                  grid=60, how="left_anti")
+    plan = explain_str(anti)
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
+
+    iv = ev.select("user_id", F.col("ts").alias("s"),
+                   F.timestamp_micros(F.unix_micros("ts") + 60_000_000).alias("e"))
+    mc = max_concurrency(iv, "user_id", "s", "e")
+    assert data_carrying_single_partitions(mc) == [], explain_str(mc)
+
+    sd = seasonal_decompose(ev, key="user_id", ts="ts", value_col="value",
+                            step_seconds=3600, period_slots=24)
+    assert data_carrying_single_partitions(sd) == [], explain_str(sd)
+
+    emb = _t(spark, sf, "embeddings")
+    sil = silhouette_report(emb, n_centroids=8)
+    plan = explain_str(sil)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan, plan
+    assert data_carrying_single_partitions(sil) == [], plan
