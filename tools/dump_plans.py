@@ -79,6 +79,11 @@ PLAN_QUERIES = [
     "q245_ngram_novelty",    # distinct-gram sides, gram-keyed membership join
     "q246_series_autocorrelation",  # ONE key window for all lags, no self-join
     "q249_spearman_corr",    # doubled-midrank maps, broadcast-offset prefix sums
+    # r11 tranche plan-shape carriers:
+    "q259_epsilon_band_join",  # 3-cell explode, EQUI hash join — no cartesian
+    "q266_knn_band_join",    # band candidates + per-left bounded rank window
+    "q272_late_arrival_report",  # ranged prefix-max watermark, no single partition
+    "q274_active_user_rollup",  # user-day collapse BEFORE the horizon explode
 ]
 
 
