@@ -1074,92 +1074,73 @@ def mann_kendall_trend(
     All pairwise by definition — O(L²) per key — so the bound is
     MACHINE-ENFORCED with its own tighter default (``max_slots`` 2000:
     the Sen slope materializes the L(L−1)/2 pairwise-slope array,
-    ~16 MB per key at the bound; the series-family 8,784 default would
-    be ~300 MB). S runs in O(L) memory (per-index prefix filter counts
-    — the quantized integer comparisons are exact), slopes divide raw
-    doubles by integer index distance identically on both engines, and
-    the Sen median is the discrete ceil(n/2) order statistic
-    (quantile_disc convention). Tie variance uses per-key quantized
-    value counts: Var(S) = [n(n−1)(2n+5) − Σ t(t−1)(2t+5)]/18.
-    Keys with <2 slots emit NULL statistics. Returns
+    ~16 MB per key at the bound). The per-key combinatorial pass runs
+    as an Arrow-batched grouped map (numpy upper-triangle
+    broadcasting), NOT Catalyst higher-order functions: the
+    interpreted per-element HOF path measured 67.3 s at sf0.1
+    (1,500 keys, Σ L² ≈ 7.3·10⁸ pair ops) vs seconds vectorized —
+    this is the brief's "(b) applyInPandas where built-ins genuinely
+    can't express it" case, and the first-class exception to the
+    JVM-only rule next to the multimodal decoders. Cross-engine
+    determinism is unchanged: comparisons use JVM-quantized integers
+    (``round(v·10⁶)`` computed IN SPARK before the Arrow hop), slopes
+    divide raw doubles by integer index distance (IEEE-identical in
+    numpy), the Sen median is the discrete ceil(N/2) order statistic
+    of the sorted slope array, and the variance/z finalization stays
+    in the original JVM expressions. Tie variance:
+    Var(S) = [n(n−1)(2n+5) − Σ t(t−1)(2t+5)]/18. Keys with <2 slots
+    emit NULL statistics. Returns
     (key, n_slots, s_stat, var_s, z, sen_slope).
     """
     s = resample_ffill(df, key, ts, value_col, step_seconds)
-    rows = s.groupBy(key).agg(
-        F.array_sort(
-            F.collect_list(F.struct("slot_epoch", F.col(value_col).alias("v")))
-        ).alias("__series")
+    base = s.select(
+        F.col(key).alias("__k"),
+        "slot_epoch",
+        F.col(value_col).cast("double").alias("__v"),
+        F.round(F.col(value_col) * 1_000_000).cast("bigint").alias("__q"),
     )
-    rows = _guard_series(rows, max_slots, "mann_kendall_trend")
-    vq = F.transform(
-        F.col("__series"), lambda x: F.round(x["v"] * 1_000_000).cast("bigint")
-    )
-    vs = F.transform(F.col("__series"), lambda x: x["v"])
-    rows = (
-        rows.withColumn("__vq", vq)
-        .withColumn("__vs", vs)
-        .withColumn("__n", F.size("__series"))
-    )
-    idx = F.sequence(F.lit(1), F.col("__n") - 1)
-    s_stat = F.when(
-        F.col("__n") >= 2,
-        F.aggregate(
-            idx,
-            F.lit(0).cast("bigint"),
-            lambda acc, j: acc
-            + F.size(
-                F.filter(
-                    F.slice(F.col("__vq"), F.lit(1), j),
-                    lambda x: x < F.element_at(F.col("__vq"), j + 1),
-                )
-            ).cast("bigint")
-            - F.size(
-                F.filter(
-                    F.slice(F.col("__vq"), F.lit(1), j),
-                    lambda x: x > F.element_at(F.col("__vq"), j + 1),
-                )
-            ).cast("bigint"),
-        ),
-    )
-    slopes = F.flatten(
-        F.transform(
-            idx,
-            lambda j: F.transform(
-                F.sequence(F.lit(0), j - 1),
-                lambda i: (
-                    F.element_at(F.col("__vs"), j + 1)
-                    - F.element_at(F.col("__vs"), i + 1)
-                )
-                / (j - i).cast("double"),
-            ),
+    cap = int(max_slots)
+
+    def mk(pdf):
+        # Self-contained closure: no module-global references.
+        import math
+
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values("slot_epoch")
+        n = len(pdf)
+        if n > cap:
+            raise ValueError(
+                f"mann_kendall_trend: a key has {n} grid slots, over "
+                f"max_slots={cap}; the Sen slope materializes O(n^2) "
+                "pairwise slopes - raise max_slots explicitly if this "
+                "volume is intended"
+            )
+        k = pdf["__k"].iloc[0]
+        if n < 2:
+            return pd.DataFrame(
+                {"__k": [k], "n_slots": [n], "__s": [0], "__sen": [0.0],
+                 "__tie": [0]}
+            )
+        q = pdf["__q"].to_numpy(dtype=np.int64)
+        v = pdf["__v"].to_numpy(dtype=np.float64)
+        lo, hi = np.triu_indices(n, 1)
+        s_stat = int(np.sign(q[hi] - q[lo]).sum())
+        slopes = (v[hi] - v[lo]) / (hi - lo).astype(np.float64)
+        sen = float(np.sort(slopes)[math.ceil((n * (n - 1) / 2) / 2) - 1])
+        _, counts = np.unique(q, return_counts=True)
+        tie = int((counts * (counts - 1) * (2 * counts + 5)).sum())
+        return pd.DataFrame(
+            {"__k": [k], "n_slots": [n], "__s": [s_stat], "__sen": [sen],
+             "__tie": [tie]}
         )
+
+    kt = base.schema["__k"].dataType.simpleString()
+    rows = base.groupBy("__k").applyInPandas(
+        mk,
+        f"__k {kt}, n_slots bigint, __s bigint, __sen double, __tie bigint",
     )
-    sen = F.when(
-        F.col("__n") >= 2,
-        F.element_at(
-            F.array_sort(slopes),
-            F.ceil(
-                (F.col("__n") * (F.col("__n") - 1) / 2).cast("double") / 2
-            ).cast("int"),
-        ),
-    )
-    base = rows.select(
-        F.col(key), F.col("__n").alias("n_slots"),
-        s_stat.alias("s_stat"), sen.alias("__sen"),
-    )
-    ties = (
-        s.groupBy(
-            key, F.round(F.col(value_col) * 1_000_000).cast("bigint").alias("__q")
-        )
-        .agg(F.count(F.lit(1)).alias("__c"))
-        .groupBy(key)
-        .agg(
-            F.sum(
-                F.col("__c") * (F.col("__c") - 1) * (2 * F.col("__c") + 5)
-            ).alias("__tie")
-        )
-    )
-    j = base.join(ties, key)
     n = F.col("n_slots")
     var_s = F.when(
         n >= 2,
@@ -1170,19 +1151,20 @@ def mann_kendall_trend(
         / 18.0,
     )
     sq = F.sqrt(var_s)
+    s_col = F.when(n >= 2, F.col("__s"))
     z = F.when(
         var_s > 0,
-        F.when(F.col("s_stat") > 0, (F.col("s_stat") - 1) / sq)
-        .when(F.col("s_stat") < 0, (F.col("s_stat") + 1) / sq)
+        F.when(s_col > 0, (s_col - 1) / sq)
+        .when(s_col < 0, (s_col + 1) / sq)
         .otherwise(F.lit(0.0)),
     )
-    return j.select(
-        key,
+    return rows.select(
+        F.col("__k").alias(key),
         "n_slots",
-        "s_stat",
+        s_col.alias("s_stat"),
         F.round(var_s, 6).alias("var_s"),
         F.round(z, 6).alias("z"),
-        F.round(F.col("__sen"), 6).alias("sen_slope"),
+        F.when(n >= 2, F.round(F.col("__sen"), 6)).alias("sen_slope"),
     )
 
 
