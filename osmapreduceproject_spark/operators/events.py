@@ -954,11 +954,14 @@ def max_concurrency(
 
     Shape: the endpoint frame is 2 rows per interval, the running sum
     is ONE per-key ordered window (state bounded by per-key volume —
-    use a real key, not a constant), and the per-key max plus its
-    first-reached timestamp come from the same exchange. Within a tie
-    group of identical (t, +1) rows the intermediate running values
-    depend on row order, but the MAX and the argmin timestamp are
-    order-free (the max at t is the value after the whole tie group).
+    use a real key, not a constant), and the per-key max, its
+    first-reached timestamp, AND the interval count all come from one
+    aggregation over the SAME exchange (n_intervals = the +1 endpoint
+    count — a separate count-join would re-scan the input, review
+    finding r11). Within a tie group of identical (t, +1) rows the
+    intermediate running values depend on row order, but the MAX and
+    the argmin timestamp are order-free (the max at t is the value
+    after the whole tie group).
     Returns (key, n_intervals, max_concurrent, t_at_max_us) with the
     timestamp in integer epoch µs (session-timezone-immune).
     """
@@ -987,15 +990,13 @@ def max_concurrency(
         "__k", "__t", "__d", "__run", F.max("__run").over(wk).alias("__mx")
     )
     return (
-        peaked.where(F.col("__run") == F.col("__mx"))
-        .groupBy(F.col("__k").alias(key))
+        peaked.groupBy(F.col("__k").alias(key))
         .agg(
+            F.sum((F.col("__d") == 1).cast("bigint")).alias("n_intervals"),
             F.max("__run").alias("max_concurrent"),
-            F.min("__t").alias("t_at_max_us"),
-        )
-        .join(
-            iv.groupBy(F.col(key)).agg(F.count(F.lit(1)).alias("n_intervals")),
-            key,
+            F.min(
+                F.when(F.col("__run") == F.col("__mx"), F.col("__t"))
+            ).alias("t_at_max_us"),
         )
         .select(key, "n_intervals", "max_concurrent", "t_at_max_us")
     )

@@ -1409,9 +1409,17 @@ def image_exposure_report(df: DataFrame, n_bins: int = 16) -> DataFrame:
     the same quantize-then-sum recipe as the stats family, replayed
     term-for-term by the SQL oracle. Returns (media_id, n_px,
     entropy_bits, shadow_frac, highlight_frac, gray_min, gray_max),
-    6-decimal.
+    6-decimal. ``n_bins`` must divide 256 evenly — a non-divisor would
+    silently spill gray 255 into an (n_bins+1)-th bin and feed the
+    entropy a different binning than documented (review finding, r11),
+    so it fails loudly instead.
     """
     nb = int(n_bins)
+    if nb < 1 or 256 % nb != 0:
+        raise ValueError(
+            f"image_exposure_report: n_bins={nb} must be a positive "
+            "divisor of 256 (bin = gray // (256/n_bins))"
+        )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # Self-contained closure: no module-global references.

@@ -2293,13 +2293,16 @@ def chi2_gof(df: DataFrame, cat_col: str) -> DataFrame:
     One ``cat_col``-keyed count (map-side combine; NULL counts as a
     level), one scalar finalization over exact DECIMAL(38,0) integer
     moments, a single fixed-order double expression at the end.
-    Returns one row: (n, n_levels, dof, chi2).
+    Returns one row: (n, n_levels, dof, chi2). Degenerate inputs floor
+    cleanly: a single level gives (n, 1, 0, NULL); an EMPTY input gives
+    (0, 0, 0, NULL) — never a negative dof or NULL count (review
+    finding, r11).
     """
     counts = df.groupBy(F.col(cat_col).alias("__c")).agg(
         F.count(F.lit(1)).alias("o")
     )
     agg = counts.agg(
-        F.sum("o").alias("n"),
+        F.coalesce(F.sum("o"), F.lit(0)).alias("n"),
         F.count(F.lit(1)).alias("n_levels"),
         F.sum(F.col("o").cast("decimal(38,0)") * F.col("o")).alias("__oo"),
     )
@@ -2312,7 +2315,7 @@ def chi2_gof(df: DataFrame, cat_col: str) -> DataFrame:
     return agg.select(
         "n",
         "n_levels",
-        (F.col("n_levels") - 1).cast("bigint").alias("dof"),
+        F.greatest(F.col("n_levels") - 1, F.lit(0)).cast("bigint").alias("dof"),
         F.when(F.col("n_levels") >= 2, F.round(chi2, 6)).alias("chi2"),
     )
 

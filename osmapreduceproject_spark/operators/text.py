@@ -1575,11 +1575,18 @@ def tokenizer_fertility(
     chars_per_regex_token, regex_per_ws_ratio), 6-decimal.
     """
     pieces = F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_PATTERN), F.lit(0))
+    # NULL text must contribute NULL (skipped by SUM) to every count —
+    # bare F.size() returns -1 for NULL under non-ANSI Spark, which
+    # would SUBTRACT from the token sums while the oracle's
+    # len(string_split(...)) skips NULLs (review finding, r11).
+    has_text = F.col(text_col).isNotNull()
     per_doc = df.select(
         F.col(group_col).alias("__g"),
         F.length(F.col(text_col)).cast("bigint").alias("__nc"),
-        F.size(tokens(F.col(text_col))).cast("bigint").alias("__nw"),
-        F.size(pieces).cast("bigint").alias("__nr"),
+        F.when(has_text, F.size(tokens(F.col(text_col))))
+        .cast("bigint")
+        .alias("__nw"),
+        F.when(has_text, F.size(pieces)).cast("bigint").alias("__nr"),
     )
     agg = per_doc.groupBy(F.col("__g").alias(group_col)).agg(
         F.count(F.lit(1)).alias("n_docs"),

@@ -1123,14 +1123,31 @@ def mann_kendall_trend(
                 {"__k": [k], "n_slots": [n], "__s": [0], "__sen": [0.0],
                  "__tie": [0]}
             )
-        q = pdf["__q"].to_numpy(dtype=np.int64)
+        # NULL grid values (a key's leading slots before its first
+        # non-null observation) arrive as NaN; the conventions mirror
+        # the SQL oracle exactly: a comparison against NULL contributes
+        # sign 0, NULL slopes are skipped by the Sen median
+        # (quantile_disc semantics), and NULL is one tie level (SQL
+        # GROUP BY groups all NULLs together). The old HOF path
+        # tolerated NULLs the same way; a bare int64 cast here crashed
+        # the Arrow worker instead (review finding, r11).
+        q = pdf["__q"].to_numpy(dtype=np.float64)  # ints < 2^53: exact
         v = pdf["__v"].to_numpy(dtype=np.float64)
         lo, hi = np.triu_indices(n, 1)
-        s_stat = int(np.sign(q[hi] - q[lo]).sum())
+        s_stat = int(np.nan_to_num(np.sign(q[hi] - q[lo]), nan=0.0).sum())
         slopes = (v[hi] - v[lo]) / (hi - lo).astype(np.float64)
-        sen = float(np.sort(slopes)[math.ceil((n * (n - 1) / 2) / 2) - 1])
-        _, counts = np.unique(q, return_counts=True)
+        good = slopes[~np.isnan(slopes)]
+        sen = (
+            float(np.sort(good)[math.ceil(good.size / 2) - 1])
+            if good.size
+            else float("nan")
+        )
+        nan_q = np.isnan(q)
+        _, counts = np.unique(q[~nan_q], return_counts=True)
+        counts = counts.astype(np.int64)
         tie = int((counts * (counts - 1) * (2 * counts + 5)).sum())
+        nn = int(nan_q.sum())
+        tie += nn * (nn - 1) * (2 * nn + 5)
         return pd.DataFrame(
             {"__k": [k], "n_slots": [n], "__s": [s_stat], "__sen": [sen],
              "__tie": [tie]}
@@ -1164,7 +1181,9 @@ def mann_kendall_trend(
         s_col.alias("s_stat"),
         F.round(var_s, 6).alias("var_s"),
         F.round(z, 6).alias("z"),
-        F.when(n >= 2, F.round(F.col("__sen"), 6)).alias("sen_slope"),
+        F.when(
+            (n >= 2) & ~F.isnan(F.col("__sen")), F.round(F.col("__sen"), 6)
+        ).alias("sen_slope"),
     )
 
 

@@ -59,7 +59,8 @@ def test_kruskal_wallis_oracle(spark, duck):
              FROM per)
     SELECT CAST(tot.nt AS BIGINT) AS n, CAST(tot.k AS BIGINT) AS n_groups,
            CAST(tot.k - 1 AS BIGINT) AS dof,
-           CASE WHEN CAST(srr AS DOUBLE)
+           CASE WHEN tot.k >= 2 AND tot.nt >= 2
+                     AND CAST(srr AS DOUBLE)
                      - CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE) / nt > 0 THEN
              round((tot.nt - 1)
                    * (fold.sb - CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE) / nt)
@@ -125,7 +126,8 @@ def test_anova_oneway_oracle(spark, duck):
     SELECT CAST(tot.nt AS BIGINT) AS n, CAST(tot.k AS BIGINT) AS n_groups,
            CAST(tot.k - 1 AS BIGINT) AS dof_between,
            CAST(tot.nt - tot.k AS BIGINT) AS dof_within,
-           CASE WHEN CAST(srr AS DOUBLE) - fold.sb > 0 THEN
+           CASE WHEN tot.k >= 2 AND tot.nt > tot.k
+                     AND CAST(srr AS DOUBLE) - fold.sb > 0 THEN
              round(((fold.sb - CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE) / nt)
                     / (tot.k - 1))
                    / ((CAST(srr AS DOUBLE) - fold.sb) / (tot.nt - tot.k)), 6)

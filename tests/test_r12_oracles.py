@@ -779,3 +779,32 @@ def test_active_user_rollup_scale_smoke(spark):
     assert agg["days"] == n_days
     assert agg["min_dau"] == n_users and agg["min_mau"] == n_users
     assert agg["max_mau"] == n_users
+
+
+def test_mann_kendall_null_values(spark):
+    """Review pin (r11): leading-NULL grid values (a key whose first
+    observations carry NULL value) must not crash the Arrow worker —
+    NULL comparisons contribute sign 0, NULL slopes are skipped by the
+    Sen median, NULL is one tie level (the oracle's conventions).
+    Hand case [NULL, 2, 4] hourly: S = 1 (only the 2<4 pair counts),
+    Sen = 2.0 (the one defined slope), Var = 3·2·11/18."""
+    import datetime
+
+    from osmapreduceproject_spark.operators.windows import mann_kendall_trend
+
+    base = datetime.datetime(2025, 1, 1)
+    df = spark.createDataFrame(
+        [(1, base, None), (1, base + datetime.timedelta(hours=1), 2.0),
+         (1, base + datetime.timedelta(hours=2), 4.0)],
+        "k bigint, ts timestamp, v double",
+    )
+    r = mann_kendall_trend(df, "k", "ts", "v", 3600).first()
+    assert r["n_slots"] == 3 and r["s_stat"] == 1
+    assert r["sen_slope"] == 2.0
+    assert r["var_s"] == pytest.approx(66 / 18, abs=1e-6)
+    allnull = spark.createDataFrame(
+        [(1, base + datetime.timedelta(hours=i), None) for i in range(4)],
+        "k bigint, ts timestamp, v double",
+    )
+    r2 = mann_kendall_trend(allnull, "k", "ts", "v", 3600).first()
+    assert r2["s_stat"] == 0 and r2["sen_slope"] is None

@@ -718,3 +718,40 @@ def test_max_concurrency_scale_smoke(spark):
         F.max("max_concurrent").alias("mx"),
     ).first()
     assert agg["keys"] == 1000 and agg["mn"] == 10 and agg["mx"] == 10
+
+
+def test_chi2_gof_empty_input(spark):
+    """Review pin (r11): empty input floors to (0, 0, 0, NULL), never a
+    negative dof or NULL count."""
+    from osmapreduceproject_spark.operators.stats import chi2_gof
+
+    df = spark.createDataFrame([], "c string")
+    r = chi2_gof(df, "c").first()
+    assert (r["n"], r["n_levels"], r["dof"], r["chi2"]) == (0, 0, 0, None)
+
+
+def test_tokenizer_fertility_null_text(spark):
+    """Review pin (r11): NULL text contributes NULL (skipped) to every
+    count — F.size's -1-on-NULL must never subtract from token sums."""
+    from osmapreduceproject_spark.operators.text import tokenizer_fertility
+
+    df = spark.createDataFrame(
+        [("s", "a b c"), ("s", None), ("s", "d e")], "source string, text string"
+    )
+    r = tokenizer_fertility(df).first()
+    assert r["n_docs"] == 3 and r["n_ws_tokens"] == 5
+    assert r["n_chars"] == 8 and r["n_regex_tokens"] == 5
+
+
+def test_image_exposure_rejects_bad_bins(spark):
+    """Review pin (r11): n_bins must divide 256 (a non-divisor would
+    silently add an extra histogram bin)."""
+    from osmapreduceproject_spark.operators.multimodal import (
+        arith_raw_images,
+        image_exposure_report,
+    )
+
+    imgs = arith_raw_images(spark, n=1, width=4, height=4)
+    with pytest.raises(ValueError, match="divisor of 256"):
+        image_exposure_report(imgs, n_bins=10)
+    assert image_exposure_report(imgs, n_bins=32).count() == 1
