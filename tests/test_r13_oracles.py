@@ -755,3 +755,36 @@ def test_image_exposure_rejects_bad_bins(spark):
     with pytest.raises(ValueError, match="divisor of 256"):
         image_exposure_report(imgs, n_bins=10)
     assert image_exposure_report(imgs, n_bins=32).count() == 1
+
+
+@pytest.mark.skipif(
+    not _os.environ.get("SPARK_GRAFT_SCALE"),
+    reason="scale smoke: set SPARK_GRAFT_SCALE=1 (10M slots through the decomposition)",
+)
+def test_seasonal_decompose_scale_smoke(spark):
+    """10k keys × 1000 hourly slots (10M grid rows), every series a pure
+    period-24 cycle: the position model explains ALL variance —
+    var_explained exactly 1.0 for every key, 24 positions each.
+    Evidences the per-(key, position) moment collapse and the bounded
+    ordered residual fold at volume (240k position rows, never a
+    per-slot window)."""
+    from osmapreduceproject_spark.operators.windows import seasonal_decompose
+
+    n_keys, n_slots = 10_000, 1_000
+    df = spark.range(n_keys * n_slots).select(
+        (F.col("id") % n_keys).alias("k"),
+        F.timestamp_seconds(
+            1_700_000_000 // 3600 * 3600
+            + (F.col("id") / n_keys).cast("bigint") * 3600
+        ).alias("ts"),
+        (((F.col("id") / n_keys).cast("bigint") % 24) * 10).cast("double").alias("v"),
+    )
+    out = seasonal_decompose(df, "k", "ts", "v", 3600, period_slots=24)
+    agg = out.agg(
+        F.count(F.lit(1)).alias("keys"),
+        F.min("var_explained").alias("mn"),
+        F.max("var_explained").alias("mx"),
+        F.min("n_positions").alias("np"),
+    ).first()
+    assert agg["keys"] == n_keys
+    assert agg["mn"] == 1.0 and agg["mx"] == 1.0 and agg["np"] == 24
