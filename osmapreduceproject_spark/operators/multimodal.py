@@ -1445,8 +1445,11 @@ def image_exposure_report(df: DataFrame, n_bins: int = 16) -> DataFrame:
                 gray = buf.reshape(-1, 3).astype(np.int64).sum(axis=1) // 3
                 n = gray.size
                 counts = np.bincount(gray // width, minlength=nb)
+                # half-up quantization (terms are non-negative) — Python
+                # round() is half-to-even, which diverges from the oracle's
+                # half-up on an exact .5 micro-unit (ADVICE r11)
                 tq = sum(
-                    int(round(float(c) * _math.log2(float(c)) * 1_000_000))
+                    int(_math.floor(float(c) * _math.log2(float(c)) * 1_000_000 + 0.5))
                     for c in counts
                     if c > 0
                 )

@@ -2244,7 +2244,10 @@ def odds_ratio(
     CI are fixed-order double expressions over those integers that the
     oracle mirrors. Any empty cell → NULL OR/CI, never ±inf (the
     Haldane 0.5 correction is a modeling choice, not a default — apply
-    it upstream if wanted). Returns one row:
+    it upstream if wanted). An empty pool (no rows, or every flag
+    NULL) reports four ZERO cells, never NULL counts — the
+    :func:`chi2_gof` never-a-NULL-count convention (ADVICE r11).
+    Returns one row:
     (n, n11, n10, n01, n00, odds_ratio, log_or, or_ci_lo, or_ci_hi).
     """
     a = F.col(flag_a).cast("boolean")
@@ -2252,8 +2255,9 @@ def odds_ratio(
     pool = df.where(a.isNotNull() & b.isNotNull()).select(
         a.alias("__a"), b.alias("__b")
     )
-    cell = lambda pa, pb: F.sum(  # noqa: E731
-        ((F.col("__a") == pa) & (F.col("__b") == pb)).cast("bigint")
+    cell = lambda pa, pb: F.coalesce(  # noqa: E731
+        F.sum(((F.col("__a") == pa) & (F.col("__b") == pb)).cast("bigint")),
+        F.lit(0).cast("bigint"),
     )
     agg = pool.agg(
         F.count(F.lit(1)).alias("n"),

@@ -1212,16 +1212,26 @@ def seasonal_decompose(
     aggregate — bounded by the cycle length, replayed term-for-term
     by the oracle's ORDER BY fold); SS_total comes from the same
     integer moments in one fixed expression. Constant series (zero
-    total variance) emit NULL var_explained. Returns
-    (key, n_slots, n_positions, var_total, var_explained), 6-decimal,
-    var_total in original units.
+    total variance) emit NULL var_explained.
+
+    NULL-slot convention (the :func:`mann_kendall` scenario — a key
+    whose leading observations carry NULL values leaves NULL-filled
+    grid slots): NULL-valued slots are EXCLUDED before the moments,
+    so ``n_slots`` counts value-bearing slots only and the variance
+    denominators never see phantom observations (ADVICE r11 — the
+    pre-fix convention counted them in n but not in the sums, biasing
+    var_total low). A key whose every slot is NULL emits no row.
+    Returns (key, n_slots, n_positions, var_total, var_explained),
+    6-decimal, var_total in original units.
     """
     s = resample_ffill(df, key, ts, value_col, step_seconds)
     vq = F.round(F.col(value_col) * scale).cast("decimal(38,0)")
     pos = F.pmod(
         F.floor(F.col("slot_epoch") / step_seconds), F.lit(period_slots)
     ).cast("int")
-    base = s.select(key, pos.alias("__pos"), vq.alias("__vq"))
+    base = s.select(key, pos.alias("__pos"), vq.alias("__vq")).where(
+        F.col("__vq").isNotNull()
+    )
     per_pos = base.groupBy(key, "__pos").agg(
         F.count(F.lit(1)).alias("__np"),
         F.sum("__vq").alias("__sp"),
@@ -1287,10 +1297,17 @@ def ljung_box(
 
     Built ON the graded ACF machinery: one per-key lag window produces
     every ρ_k (quantized integer moments, 6-decimal — consumed at the
-    ROUNDED value so both engines agree bit-exactly), n recovers
-    exactly as n_pairs + lag (the grid is complete per key), and each
-    term ρ_k²/(n−k) quantizes to an integer at ``term_scale`` BEFORE
-    the ≤ max_lag-term sum — order-free addition. Degenerate lags
+    ROUNDED value so both engines agree bit-exactly), n recovers as
+    n_pairs + lag, and each term ρ_k²/(n−k) quantizes to an integer at
+    ``term_scale`` BEFORE the ≤ max_lag-term sum — order-free
+    addition. NULL-slot caveat (ADVICE r11): the n_pairs + lag
+    recovery is exact only for a fully value-bearing grid; NULL-valued
+    grid slots (leading NULL observations — the :func:`mann_kendall`
+    scenario) also drop pairs from the ACF, so ``n_slots`` is the
+    EFFECTIVE pair-supported length, not the raw grid length, and the
+    n·(n+2) scaling uses that effective n. The oracle mirrors the
+    convention, so it is deterministic cross-engine — documented
+    rather than hidden behind a completeness claim. Degenerate lags
     (NULL ρ: constant series or < 2 pairs) are excluded and counted;
     keys with zero usable lags emit NULL Q. Returns
     (key, n_slots, n_lags_used, dof, q_stat), 6-decimal.

@@ -41,10 +41,10 @@ def test_odds_ratio_oracle(spark, duck):
                FROM documents),
     p AS (SELECT a, b FROM r WHERE a IS NOT NULL AND b IS NOT NULL),
     s AS (SELECT COUNT(*) AS n,
-                 SUM(CASE WHEN a AND b THEN 1 ELSE 0 END) AS n11,
-                 SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS n10,
-                 SUM(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS n01,
-                 SUM(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS n00
+                 COALESCE(SUM(CASE WHEN a AND b THEN 1 ELSE 0 END), 0) AS n11,
+                 COALESCE(SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END), 0) AS n10,
+                 COALESCE(SUM(CASE WHEN NOT a AND b THEN 1 ELSE 0 END), 0) AS n01,
+                 COALESCE(SUM(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END), 0) AS n00
           FROM p),
     e AS (SELECT *,
             (CAST(n11 AS DOUBLE) * CAST(n00 AS DOUBLE))
@@ -91,6 +91,16 @@ def test_odds_ratio_known_cases(spark):
         "a boolean, b boolean",
     )
     assert odds_ratio(withnull, "a", "b").first()["n"] == 2
+    # ADVICE-r11 pin: an empty pool (all-NULL flags) reports four ZERO
+    # cells — never NULL counts (the chi2_gof convention)
+    empty = spark.createDataFrame(
+        [(None, True), (True, None)], "a boolean, b boolean"
+    )
+    re_ = odds_ratio(empty, "a", "b").first()
+    assert (re_["n"], re_["n11"], re_["n10"], re_["n01"], re_["n00"]) == (
+        0, 0, 0, 0, 0,
+    )
+    assert re_["odds_ratio"] is None
 
 
 def test_chi2_gof_oracle(spark, duck):
@@ -320,7 +330,7 @@ def test_seasonal_decompose_oracle(spark, duck):
     WITH {_RS_CTE},
     q AS (SELECT k, CAST(round(value * 1000000) AS HUGEINT) AS vq,
                  CAST((slot_epoch // {_STEP}) % 24 AS INTEGER) AS pos
-          FROM resampled),
+          FROM resampled WHERE value IS NOT NULL),
     pp AS (SELECT k, pos, COUNT(*) AS np, SUM(vq) AS sp,
                   SUM(vq * vq) AS ssp
            FROM q GROUP BY 1, 2),
@@ -367,6 +377,28 @@ def test_seasonal_decompose_known_cases(spark):
     )
     r2 = seasonal_decompose(const, "k", "ts", "v", 3600, period_slots=4).first()
     assert r2["var_total"] == 0.0 and r2["var_explained"] is None
+
+
+def test_seasonal_decompose_null_slots(spark):
+    """ADVICE-r11 pin: leading NULL observations leave NULL-filled grid
+    slots — those are EXCLUDED from n_slots and the moments (pre-fix
+    they inflated the variance denominators); an all-NULL key emits no
+    row."""
+    from osmapreduceproject_spark.operators.windows import seasonal_decompose
+
+    base = datetime.datetime(2025, 1, 1)
+    rows = [(1, base + datetime.timedelta(hours=i), None) for i in range(4)]
+    rows += [
+        (1, base + datetime.timedelta(hours=4 + i), float(i % 4))
+        for i in range(20)
+    ]
+    rows += [(2, base + datetime.timedelta(hours=i), None) for i in range(8)]
+    df = spark.createDataFrame(rows, "k bigint, ts timestamp, v double")
+    out = seasonal_decompose(df, "k", "ts", "v", 3600, period_slots=4).collect()
+    assert len(out) == 1 and out[0]["k"] == 1
+    # 24 grid slots for key 1, first 4 NULL-filled → 20 value-bearing;
+    # the pure period-4 signal over those is fully explained
+    assert out[0]["n_slots"] == 20 and out[0]["var_explained"] == 1.0
 
 
 def test_ljung_box_oracle(spark, duck):
