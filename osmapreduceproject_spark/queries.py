@@ -6894,96 +6894,98 @@ from . import queries_r10  # noqa: E402,F401
 # before declaration).
 from . import queries_r11  # noqa: E402,F401
 
+# Register the round-12 tranche (q275–q286): the 12-operator wave staged
+# at r11 close, every (body, SQL) pair lifted verbatim from its
+# pre-verified parity test in tests/test_r13_oracles.py (hostile-TZ-
+# proofed under Australia/Eucla before declaration; all four ADVICE r11
+# findings closed in the wave pre-declaration).
+from . import queries_r12  # noqa: E402,F401
+
 
 # ---------------------------------------------------------------------------
 # Catalog ordering. The driver's CORRECTNESS file covers only the FIRST 50
 # ``queries()`` entries, so the verdict window is a scarce resource.
-# Round-11 window — the EXACT 50-slot list published at r10 close
-# (SURVEY.md §8 round-11 declaration map; VERDICT r10 #1/#2 hold the
-# round to it): (a) the 23 r11-NEW declarations q252–q274 in the
-# verdict's staged order — the stats family first (q252 Kruskal–Wallis,
-# q253 ANOVA, q254 Cohen's d, q262 weighted quantiles, q263 quantile
-# shift, q270 Wilson CI, q273 distribution shape), then the grid-join
-# completions (q259 ε-band, q266 kNN band — 2M×2M judge-reran), the
-# events rollups (q256 inter-event, q264 attribution, q265 weekly
-# churn, q274 DAU/WAU/MAU — 10M judge-reran), text (q255 LLR, q267
-# char-class), multimodal QC (q260 clipping, q261 border, q268 motion),
-# windows (q257 extrema, q269 Mann–Kendall), q258 cluster sizes, q271
-# cohesion, q272 late-arrival. (b) Canaries: q01 (scan-agg ground),
-# q31 (MinHash machinery), q208 (EWMA streaming twin, r8-stale).
-# (c) The committed overflow: the 4 remaining r4-graded entries
-# q85–q88 + the r5-graded singles q64/q92/q97/q107/q108/q114.
-# (d) The 14 next-stalest regrades (ALL last graded r6 — the oldest
-# grades left after c) in q-order. The remaining r6-graded cohort
-# (q89+, q-order) rotates to r12 behind any r12-new staging;
-# q51/q101/q102 stay rows-only by construction.
-# Cross-round coverage is the union of the eleven windows, and every
+# Round-12 window — the EXACT 50-slot list published at r11 close
+# (SURVEY.md §8 round-12 declaration map; VERDICT/ADVICE hold the round
+# to it): (a) the 12 r12-NEW declarations q275–q286 in the staged
+# order — stats (q275 odds ratio, q276 chi² GOF, q277 trimmed mean,
+# q278 group diversity), events (q279 max concurrency — 10M-interval
+# smoke), windows/series (q280 seasonal decompose — 10M-slot smoke,
+# q281 Ljung–Box), joins (q282 coverage-gap anti), similarity (q283
+# silhouette), multimodal QC (q284 audio SNR, q285 image exposure),
+# text (q286 tokenizer fertility). (b) Canaries: q01 (scan-agg
+# ground), q31 (MinHash machinery), q164 (running-totals streaming
+# twin, r8-graded — continuing the q159/q208 rotation). (c) The
+# committed r6-graded remainder in q-order (33 entries). (d) The 2
+# oldest r7-graded regrades (q43, q44). The remainder of the r7-graded
+# cohort rotates to r13; q51/q101/q102 stay rows-only by construction.
+# Cross-round coverage is the union of the twelve windows, and every
 # entry regardless of position is verified by tests/test_oracle_parity.py
 # against the same comparison.
 # ---------------------------------------------------------------------------
 
 _VERDICT_WINDOW = [
-    # (a) r11-new declarations — graded the round they land.
-    # Stats family first (verdict r10 #1 order):
-    "q252_kruskal_wallis",
-    "q253_anova_oneway",
-    "q254_cohens_d",
-    "q262_weighted_quantiles",
-    "q263_quantile_shift",
-    "q270_wilson_ci",
-    "q273_distribution_shape",
-    # grid-join completions:
-    "q259_epsilon_band_join",
-    "q266_knn_band_join",
-    # events rollups:
-    "q256_inter_event_stats",
-    "q264_attribution_models",
-    "q265_weekly_churn",
-    "q274_active_user_rollup",
-    # text:
-    "q255_collocation_llr",
-    "q267_char_class_report",
-    # multimodal QC:
-    "q260_audio_clipping",
-    "q261_image_border_uniformity",
-    "q268_video_motion_profile",
+    # (a) r12-new declarations — graded the round they land.
+    # Stats family first:
+    "q275_odds_ratio",
+    "q276_chi2_gof",
+    "q277_trimmed_mean",
+    "q278_group_diversity",
+    # events:
+    "q279_max_concurrency",
     # windows / series:
-    "q257_series_extrema",
-    "q269_mann_kendall",
-    # dedup / similarity / streaming:
-    "q258_cluster_size_stats",
-    "q271_cluster_cohesion",
-    "q272_late_arrival_report",
+    "q280_seasonal_decompose",
+    "q281_ljung_box",
+    # joins:
+    "q282_coverage_gap_join",
+    # similarity:
+    "q283_silhouette_report",
+    # multimodal QC:
+    "q284_audio_snr",
+    "q285_image_exposure",
+    # text:
+    "q286_tokenizer_fertility",
     # (b) canaries
     "q01_pricing_summary",  # scan-filter-agg ground
     "q31_minhash_lsh_pairs",  # MinHash machinery
-    "q208_ewma_stream_twin",  # streaming stateful twin (r8-stale)
-    # (c) committed overflow — last graded r4/r5 (the oldest grades left)
-    "q85_grouping_flags",
-    "q86_right_outer_join",
-    "q87_full_outer_join",
-    "q88_binaryfile_ingest",
-    "q64_multimodal_features",
-    "q92_dedup_clusters",
-    "q97_audio_features",
-    "q107_boilerplate_removal",
-    "q108_unigram_logprob",
-    "q114_dedup_clusters_star",
-    # (d) the 14 next-stalest regrades, all last graded r6, in q-order
-    "q02_global_sort",
-    "q24_asof_join",
-    "q26_tumbling_window",
-    "q41_pivot",
-    "q42_unpivot",
-    "q45_scalar_subquery",
-    "q46_min_by_max_by",
-    "q48_null_handling",
-    "q49_date_arith",
-    "q57_exists",
-    "q58_not_exists",
-    "q59_correlated_scalar",
-    "q74_map_funcs",
-    "q76_null_safe_eq",
+    "q164_running_totals_twin",  # streaming stateful twin (r8-stale)
+    # (c) the committed r6-graded remainder, in q-order
+    "q89_builtin_stats",
+    "q91_variant_type",
+    "q93_csv_source",
+    "q94_json_source",
+    "q95_sequence_packing",
+    "q96_regex_tokens",
+    "q98_pii_redaction",
+    "q99_normalize_text",
+    "q103_decontamination",
+    "q104_repetition_score",
+    "q105_source_mixing",
+    "q106_vocab_build",
+    "q109_word_entropy",
+    "q110_mixing_weights",
+    "q111_neardup_survivors",
+    "q112_shard_stats",
+    "q113_corpus_report",
+    "q122_event_funnel",
+    "q125_pq_topk",
+    "q127_orc_roundtrip",
+    "q142_event_anomaly",
+    "q152_bucketed_join",
+    "q156_chunk_dedup",
+    "q157_dedup_threshold_curve",
+    "q158_source_overlap_matrix",
+    "q160_split_leakage",
+    "q161_event_transitions",
+    "q162_vocab_health",
+    "q163_delta_dedup",
+    "q165_chunk_neardup",
+    "q166_ivf_balance",
+    "q167_late_supplier_blame",
+    "q168_minhash_calibration",
+    # (d) the 2 oldest r7-graded regrades
+    "q43_array_funcs",
+    "q44_json_map",
 ]
 
 
