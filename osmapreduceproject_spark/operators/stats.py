@@ -2420,3 +2420,305 @@ def group_diversity(
             6,
         ).alias("hhi"),
     )
+
+
+def _round6_half_away(x):
+    """Driver-side 6-decimal rounding that matches the ORACLE's round()
+    (and Spark's F.round): half away from zero — Python's built-in
+    round() is half-to-even and diverges on an exact .5 at the 7th
+    digit (the ADVICE-r11 image-exposure bug class, hit again by
+    mann_whitney_u's var_u on real data). Use this, not round(), in
+    every driver-side finalize."""
+    if x is None:
+        return None
+    return math.copysign(math.floor(abs(x) * 1e6 + 0.5), x) / 1e6
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Mann–Whitney U (Wilcoxon rank-sum) test between two groups — the
+    nonparametric 2-group location test completing the family around
+    :func:`welch_ttest` (parametric means), :func:`ks_test` (whole
+    distribution), and :func:`kruskal_wallis` (k groups; this is its
+    k = 2 member with the U effect-size convention a curation pipeline
+    actually reads — U/(n_a·n_b) is the probability a random group-a
+    value outranks a random group-b value). Emits U for GROUP A, the
+    null mean, the tie-corrected variance, and the normal-approximation
+    z WITHOUT continuity correction (documented so the oracle replays
+    the identical expression; the ±0.5 correction is a modeling choice).
+
+    Exactness: pooled DOUBLED midranks (exact integers, the
+    :func:`_doubled_midrank_map` machinery — no single-partition
+    window), per-group rank sums in DECIMAL(38,0), the tie term
+    Σ(t³ − t) in exact DECIMAL from per-value counts, and a
+    driver-side finalize over the BOUNDED per-group rows (two rows —
+    the :func:`kruskal_wallis` convention) in ONE fixed operand order
+    the oracle mirrors: 2U_a = S2_a − n_a(n_a+1) stays integer until
+    the final halving. All-tied pools (zero variance) emit NULL z.
+    One row: (n_a, n_b, u_stat, mean_u, var_u, z).
+    """
+    from ..plans.inspect import intermediates_mark, release_intermediates_since
+
+    dec = "decimal(38,0)"
+    v = F.col(value_col).cast("double")
+    g = F.col(group_col)
+    pool = df.where(
+        v.isNotNull() & ~F.isnan(v) & g.isin([group_a, group_b])
+    ).select((g == F.lit(group_a)).alias("__is_a"), v.alias("__v"))
+    mark = intermediates_mark()
+    r2 = _doubled_midrank_map(pool.select("__v"))
+    per = (
+        pool.join(r2, "__v")
+        .groupBy("__is_a")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(F.col("__r2").cast(dec)).alias("__s2"),
+        )
+    )
+    cn = F.col("__cn").cast(dec)
+    ties = pool.groupBy("__v").agg(F.count(F.lit(1)).alias("__cn")).agg(
+        F.coalesce(F.sum(cn * cn * cn - cn), F.lit(0).cast(dec)).alias("__t")
+    )
+    rows = {bool(r["__is_a"]): r for r in per.collect()}  # bounded: ≤ 2 rows
+    t_row = ties.first()
+    release_intermediates_since(mark)
+    na = int(rows[True]["__n"]) if True in rows else 0
+    nb = int(rows[False]["__n"]) if False in rows else 0
+    n = na + nb
+    u = mu = var = z = None
+    if na > 0 and nb > 0:
+        s2a = int(rows[True]["__s2"])
+        # 2U_a = S2_a − n_a(n_a+1): exact integer, halved once
+        u = (s2a - na * (na + 1)) / 2.0
+        mu = na * nb / 2.0
+        t_sum = int(t_row["__t"])
+        # fixed operand order, mirrored by the oracle expression
+        var = na * nb * ((n + 1.0) - float(t_sum) / (n * (n - 1.0))) / 12.0 \
+            if n >= 2 else 0.0
+        if var > 0:
+            z = (u - mu) / math.sqrt(var)
+    rnd = _round6_half_away
+    return df.sparkSession.createDataFrame(
+        [(na, nb, rnd(u), rnd(mu), rnd(var if na and nb else None), rnd(z))],
+        "n_a bigint, n_b bigint, u_stat double, mean_u double, "
+        "var_u double, z double",
+    )
+
+
+def friedman_test(
+    df: DataFrame,
+    block_col: str,
+    treatment_col: str,
+    value_col: str,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Friedman rank test of equal treatment effects across matched
+    blocks — the within-subject sibling of :func:`kruskal_wallis`
+    (rank k treatments WITHIN each block, so between-block level
+    differences cancel): "does the metric differ across event types
+    for the SAME user", the paired k-group readout next to
+    :func:`mcnemar_test`'s paired-binary case. Emits the tie-corrected
+    Q statistic and dof, not a p-value (the chi2 convention).
+
+    Per (block, treatment) the MEAN value aggregates first (quantized
+    micro-integer sums); only blocks observing ALL k global treatments
+    enter (incomplete blocks are dropped and counted — documented, the
+    complete-block textbook definition). Within-block midranks come
+    from a k×k within-block comparison join (k is the bounded
+    treatment cardinality, never data volume) with mean comparisons as
+    EXACT integer cross-products (S_a·c_b vs S_b·c_a — no float mean
+    ever compared); doubled midranks keep every rank integer. The
+    tie-corrected Q = (k−1)·(ΣR2_j² − n²k(k+1)²)/(Σr2² − nk(k+1)²)
+    is exact integer arithmetic until ONE final division (driver-side
+    over k bounded treatment rows, the kruskal_wallis convention).
+    All-tied blocks throughout → NULL Q. One row:
+    (n_blocks, n_blocks_dropped, k_treatments, dof, q_stat).
+    """
+    dec = "decimal(38,0)"
+    v = F.col(value_col).cast("double")
+    pool = df.where(v.isNotNull() & ~F.isnan(v)).select(
+        F.col(block_col).alias("__b"),
+        F.col(treatment_col).alias("__t"),
+        F.round(v * scale).cast(dec).alias("__vq"),
+    )
+    cell = pool.groupBy("__b", "__t").agg(
+        F.sum("__vq").alias("__s"), F.count(F.lit(1)).alias("__c")
+    )
+    k = cell.select("__t").distinct().count()  # bounded: treatment levels
+    sizes = cell.groupBy("__b").agg(F.count(F.lit(1)).alias("__kt"))
+    n_total = sizes.count()
+    complete = sizes.where(F.col("__kt") == k).select("__b")
+    n_blocks = complete.count()
+    dropped = n_total - n_blocks
+    q_stat = None
+    if k >= 2 and n_blocks >= 1:
+        c = cell.join(complete, "__b")
+        a = c.select("__b", F.col("__t").alias("__ta"),
+                     F.col("__s").alias("__sa"), F.col("__c").alias("__ca"))
+        b = c.select("__b", F.col("__t").alias("__tb"),
+                     F.col("__s").alias("__sb"), F.col("__c").alias("__cb"))
+        # exact fraction comparison: mean_a < mean_b ⟺ Sa·cb < Sb·ca
+        cmpj = a.join(b, "__b").select(
+            "__b", "__ta",
+            (F.col("__sb") * F.col("__ca") < F.col("__sa") * F.col("__cb"))
+            .cast("int").alias("__less"),
+            (F.col("__sb") * F.col("__ca") == F.col("__sa") * F.col("__cb"))
+            .cast("int").alias("__eq"),
+        )
+        # tied block occupies ranks L+1..L+T (L = #strictly-below,
+        # T = Σ__eq = #equal INCLUDING self) → midrank L + (T+1)/2,
+        # doubled = 2L + T + 1 — integer by construction:
+        ranks = cmpj.groupBy("__b", "__ta").agg(
+            (F.lit(2) * F.sum("__less") + F.sum("__eq") + F.lit(1)).alias("__r2")
+        )
+        per_t = ranks.groupBy("__ta").agg(
+            F.sum(F.col("__r2").cast(dec)).alias("__rsum")
+        )
+        tot = ranks.agg(
+            F.sum(F.col("__r2").cast(dec) * F.col("__r2")).alias("__rr")
+        ).first()
+        rows = per_t.collect()  # bounded: one row per treatment
+        num = sum(int(r["__rsum"]) ** 2 for r in rows) \
+            - n_blocks * n_blocks * k * (k + 1) * (k + 1)
+        den = int(tot["__rr"]) - n_blocks * k * (k + 1) * (k + 1)
+        if den > 0:
+            q_stat = (k - 1) * float(num) / float(den)
+    rnd = _round6_half_away
+    return df.sparkSession.createDataFrame(
+        [(n_blocks, dropped, k, max(k - 1, 0), rnd(q_stat))],
+        "n_blocks bigint, n_blocks_dropped bigint, k_treatments bigint, "
+        "dof bigint, q_stat double",
+    )
+
+
+def benjamini_hochberg(
+    df: DataFrame,
+    p_col: str,
+    alpha: float = 0.05,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Benjamini–Hochberg step-up FDR selection over a p-value column:
+    sort the m p-values ascending, find the LARGEST k with
+    p_(k) ≤ (k/m)·α, and reject everything at or below that threshold
+    — the multiple-testing gate a metrics pipeline runs over per-slice
+    test results (one :func:`welch_ttest`/:func:`ks_test` per segment
+    → which slices survive FDR control, not per-test α). Emits the
+    selection summary, not per-row flags (join ``p <= p_threshold``
+    downstream to materialize them).
+
+    Distributed WITHOUT a global sort: p-values quantize to
+    micro-units (the comparison convention — p, k·α/m agreement is
+    decided at micro-unit precision: pq·m ≤ c·αq in exact integers,
+    documented), per-distinct-value counts flow through the
+    :func:`_ranged_cumsum` broadcast-offset machinery for the
+    ascending cumulative count c(v) = #{p ≤ v} (= the step-up k for
+    the duplicate block's LAST member, which is exactly the member
+    step-up needs), and m arrives as a broadcast one-row aggregate.
+    NULL/NaN and out-of-[0,1] values are excluded and counted
+    (n_invalid — a p-value outside [0,1] is an upstream bug worth
+    surfacing, not aborting on). No rejections → n_rejected 0 with
+    NULL threshold. One row:
+    (m, n_invalid, alpha, n_rejected, p_threshold).
+    """
+    v = F.col(p_col).cast("double")
+    base = df.where(v.isNotNull() & ~F.isnan(v))
+    pool = base.where((v >= 0.0) & (v <= 1.0)).select(
+        F.round(v * scale).cast("bigint").alias("__pq")
+    )
+    invalid = base.where((v < 0.0) | (v > 1.0)).count()
+    aq = int(round(float(alpha) * scale))
+    per = pool.groupBy("__pq").agg(F.count(F.lit(1)).alias("__cn"))
+    cum = _ranged_cumsum(per, "__pq", ["__cn"])
+    m_frame = per.agg(F.coalesce(F.sum("__cn"), F.lit(0)).alias("__m"))
+    joined = cum.crossJoin(F.broadcast(m_frame))
+    passing = F.col("__pq") * F.col("__m") <= F.col("__cum___cn") * F.lit(aq)
+    sel = joined.agg(
+        F.max("__m").alias("m"),
+        F.max(F.when(passing, F.col("__pq"))).alias("__thr"),
+        F.coalesce(
+            F.max(F.when(passing, F.col("__cum___cn"))), F.lit(0)
+        ).alias("n_rejected"),
+    )
+    return sel.select(
+        F.coalesce(F.col("m"), F.lit(0)).cast("bigint").alias("m"),
+        F.lit(invalid).cast("bigint").alias("n_invalid"),
+        F.lit(float(alpha)).alias("alpha"),
+        F.col("n_rejected").cast("bigint"),
+        (F.col("__thr").cast("double") / scale).alias("p_threshold"),
+    )
+
+
+def hellinger_matrix(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    lo: float,
+    width: float,
+    n_buckets: int,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Pairwise Hellinger distance between the per-group distributions
+    of a numeric column over a FIXED equi-width binning — the
+    all-pairs drift matrix next to :func:`psi` (one candidate vs one
+    baseline) and :func:`ks_test` (two named groups): which sources
+    disagree about this metric's shape, at a bounded-metric scale
+    (H ∈ [0, 1], symmetric, triangle inequality — unlike PSI/KL it
+    never blows up on empty bins). H(a,b) = √(1 − Σ_i √(p_i·q_i)).
+
+    One histogram pass (the :func:`equi_depth_buckets` clamp-to-edge
+    binning convention via the shared bucket expression), then ALL
+    pairwise work happens on the bounded groups×buckets frame —
+    metadata scale, never data volume. Each Bhattacharyya term
+    √(c_a·c_b/(n_a·n_b)) quantizes to micro-units BEFORE the exact
+    order-free per-pair sum (the stats-family recipe); group pairs
+    sharing NO bucket emit BC = 0, H = 1 (built from the group
+    universe, not the join). The coefficient clamps at 1 before the
+    final √ (quantization can overshoot by micro-units). Returns one
+    row per unordered pair (group_a < group_b):
+    (group_a, group_b, n_a, n_b, bhattacharyya, hellinger), 6-decimal.
+    """
+    v = F.col(value_col).cast("double")
+    pool = df.where(v.isNotNull() & ~F.isnan(v)).select(
+        F.col(group_col).alias("__g"),
+        _bucket_expr(v, lo, width, n_buckets).alias("__bk"),
+    )
+    hist = pool.groupBy("__g", "__bk").agg(F.count(F.lit(1)).alias("__c"))
+    totals = hist.groupBy("__g").agg(F.sum("__c").alias("__n"))
+    ha = hist.select(F.col("__g").alias("__ga"), "__bk", F.col("__c").alias("__ca"))
+    hb = hist.select(F.col("__g").alias("__gb"), "__bk", F.col("__c").alias("__cb"))
+    term = F.round(
+        F.sqrt(
+            (F.col("__ca").cast("decimal(38,0)") * F.col("__cb")).cast("double")
+            / (F.col("__na").cast("decimal(38,0)") * F.col("__nb")).cast("double")
+        )
+        * scale
+    ).cast("bigint")
+    ta = totals.select(F.col("__g").alias("__ga"), F.col("__n").alias("__na"))
+    tb = totals.select(F.col("__g").alias("__gb"), F.col("__n").alias("__nb"))
+    bc = (
+        ha.join(hb, "__bk")
+        .where(F.col("__ga") < F.col("__gb"))
+        .join(ta, "__ga")
+        .join(tb, "__gb")
+        .groupBy("__ga", "__gb")
+        .agg(F.sum(term).alias("__bcq"))
+    )
+    pairs = ta.crossJoin(tb).where(F.col("__ga") < F.col("__gb"))
+    out = pairs.join(bc, ["__ga", "__gb"], "left").select(
+        F.col("__ga").alias("group_a"),
+        F.col("__gb").alias("group_b"),
+        F.col("__na").alias("n_a"),
+        F.col("__nb").alias("n_b"),
+        (F.coalesce(F.col("__bcq"), F.lit(0)).cast("double") / scale).alias("__bc"),
+    )
+    bcc = F.least(F.col("__bc"), F.lit(1.0))
+    return out.select(
+        "group_a", "group_b", "n_a", "n_b",
+        F.round("__bc", 6).alias("bhattacharyya"),
+        F.round(F.sqrt(F.lit(1.0) - bcc), 6).alias("hellinger"),
+    )

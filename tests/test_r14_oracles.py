@@ -1,0 +1,270 @@
+"""Cross-engine (DuckDB) parity for the r13-ready operators — the wave
+staged a round ahead of its declaration (SURVEY.md §8 staging
+discipline, seventh tranche after r8–r13; the file number continues
+the test-file series, the DECLARATION round is r13). Every operator
+lands with its oracle parity test in the same commit, so the future
+q-entry is a copy-paste of (body, SQL) pairs already green. Same
+driver-identical compare at sf0.01.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_CORRECT
+from tests.oracle_check import compare
+
+
+def _t(spark, name):
+    from osmapreduceproject_spark.queries import _t as t
+
+    return t(spark, SF_CORRECT, name)
+
+
+def test_mann_whitney_u_oracle(spark, duck):
+    """Rank-sum over the click/purchase value pools: doubled midranks,
+    exact tie term, one fixed-order finalize replayed in SQL."""
+    from osmapreduceproject_spark.operators.stats import mann_whitney_u
+
+    got = mann_whitney_u(_t(spark, "events"), "event_type", "value",
+                         "click", "purchase")
+    sql = """
+    WITH pool AS (
+      SELECT event_type = 'click' AS is_a, CAST(value AS DOUBLE) AS v
+      FROM events
+      WHERE value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))
+        AND event_type IN ('click', 'purchase')),
+    pv AS (SELECT v, COUNT(*) AS cn FROM pool GROUP BY v),
+    r2 AS (SELECT v, 2*(SUM(cn) OVER (ORDER BY v) - cn) + cn + 1 AS r2
+           FROM pv),
+    per AS (SELECT p.is_a, COUNT(*) AS n, SUM(CAST(r2.r2 AS HUGEINT)) AS s2
+            FROM pool p JOIN r2 ON r2.v = p.v GROUP BY 1),
+    ties AS (SELECT COALESCE(SUM(CAST(cn AS HUGEINT)*cn*cn - cn), 0) AS t
+             FROM pv),
+    f AS (SELECT
+            (SELECT n FROM per WHERE is_a) AS na,
+            (SELECT n FROM per WHERE NOT is_a) AS nb,
+            (SELECT s2 FROM per WHERE is_a) AS s2a,
+            (SELECT t FROM ties) AS t),
+    e AS (SELECT na, nb, na + nb AS n,
+                 (CAST(s2a - na*(na+1) AS DOUBLE)) / 2.0 AS u,
+                 na*nb / 2.0 AS mu,
+                 na*nb * ((na + nb + 1.0)
+                          - CAST(t AS DOUBLE)
+                            / ((na + nb) * (na + nb - 1.0))) / 12.0 AS var
+          FROM f)
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           round(u, 6) AS u_stat, round(mu, 6) AS mean_u,
+           round(var, 6) AS var_u,
+           CASE WHEN var > 0 THEN round((u - mu) / sqrt(var), 6) END AS z
+    FROM e
+    """
+    assert compare(got, duck.execute(sql).df()) == []
+    row = got.first()
+    assert 0 <= row["u_stat"] <= row["n_a"] * row["n_b"]
+
+
+def test_mann_whitney_known_cases(spark):
+    """Pins: a fully separated 3-vs-3 has U = 0 and z ≈ −1.963961; an
+    all-tied pool has zero variance → NULL z."""
+    from osmapreduceproject_spark.operators.stats import mann_whitney_u
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 3.0),
+         ("b", 4.0), ("b", 5.0), ("b", 6.0)],
+        "g string, v double",
+    )
+    r = mann_whitney_u(df, "g", "v", "a", "b").first()
+    assert r["u_stat"] == 0.0 and r["mean_u"] == 4.5 and r["var_u"] == 5.25
+    assert r["z"] == round((0.0 - 4.5) / 5.25 ** 0.5, 6)
+    tied = spark.createDataFrame(
+        [("a", 7.0)] * 3 + [("b", 7.0)] * 3, "g string, v double"
+    )
+    rt = mann_whitney_u(tied, "g", "v", "a", "b").first()
+    assert rt["z"] is None and rt["u_stat"] == 4.5  # midranks: U = n_a·n_b/2
+
+
+def test_friedman_oracle(spark, duck):
+    """Within-block (user) ranks of per-event-type mean values; exact
+    integer Q until one division, complete blocks only."""
+    from osmapreduceproject_spark.operators.stats import friedman_test
+
+    got = friedman_test(_t(spark, "events"), "user_id", "event_type", "value")
+    sql = """
+    WITH pool AS (
+      SELECT user_id AS b, event_type AS t,
+             CAST(round(CAST(value AS DOUBLE) * 1000000) AS HUGEINT) AS vq
+      FROM events
+      WHERE value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))),
+    cell AS (SELECT b, t, SUM(vq) AS s, COUNT(*) AS c FROM pool GROUP BY 1, 2),
+    kk AS (SELECT COUNT(DISTINCT t) AS k FROM cell),
+    sizes AS (SELECT b, COUNT(*) AS kt FROM cell GROUP BY b),
+    complete AS (SELECT b FROM sizes, kk WHERE kt = kk.k),
+    cc AS (SELECT cell.* FROM cell JOIN complete USING (b)),
+    cmp AS (SELECT a.b, a.t AS ta,
+              SUM(CASE WHEN bb.s * a.c < a.s * bb.c THEN 1 ELSE 0 END) AS less,
+              SUM(CASE WHEN bb.s * a.c = a.s * bb.c THEN 1 ELSE 0 END) AS eq
+            FROM cc a JOIN cc bb ON a.b = bb.b GROUP BY 1, 2),
+    ranks AS (SELECT b, ta, 2*less + eq + 1 AS r2 FROM cmp),
+    pert AS (SELECT ta, SUM(CAST(r2 AS HUGEINT)) AS rsum FROM ranks GROUP BY ta),
+    tot AS (SELECT SUM(CAST(r2 AS HUGEINT) * r2) AS rr FROM ranks),
+    nb AS (SELECT COUNT(*) AS n FROM complete),
+    nt AS (SELECT COUNT(*) AS ntot FROM sizes),
+    num AS (SELECT SUM(rsum * rsum) AS sr2 FROM pert),
+    e AS (SELECT nb.n, nt.ntot, kk.k,
+                 sr2 - CAST(nb.n AS HUGEINT) * nb.n * kk.k * (kk.k+1) * (kk.k+1)
+                   AS numv,
+                 rr - CAST(nb.n AS HUGEINT) * kk.k * (kk.k+1) * (kk.k+1) AS denv
+          FROM nb, nt, kk, num, tot)
+    SELECT CAST(n AS BIGINT) AS n_blocks,
+           CAST(ntot - n AS BIGINT) AS n_blocks_dropped,
+           CAST(k AS BIGINT) AS k_treatments,
+           CAST(greatest(k - 1, 0) AS BIGINT) AS dof,
+           CASE WHEN k >= 2 AND n >= 1 AND denv > 0 THEN
+             round((k - 1) * CAST(numv AS DOUBLE) / CAST(denv AS DOUBLE), 6)
+           END AS q_stat
+    FROM e
+    """
+    assert compare(got, duck.execute(sql).df()) == []
+    row = got.first()
+    assert row["n_blocks"] >= 1 and row["q_stat"] is not None
+    assert row["q_stat"] >= 0.0
+
+
+def test_friedman_known_cases(spark):
+    """Pins: 3 blocks × 3 treatments in a consistent order → Q = 6
+    (the textbook perfect-ordering value); an incomplete block drops."""
+    from osmapreduceproject_spark.operators.stats import friedman_test
+
+    rows = []
+    for b in range(3):
+        rows += [(b, "t1", 1.0 + b), (b, "t2", 2.0 + b), (b, "t3", 3.0 + b)]
+    df = spark.createDataFrame(rows, "b int, t string, v double")
+    r = friedman_test(df, "b", "t", "v").first()
+    assert r["q_stat"] == 6.0 and r["n_blocks"] == 3 and r["dof"] == 2
+    rows.append((9, "t1", 5.0))  # block 9 misses t2/t3 → dropped
+    df2 = spark.createDataFrame(rows, "b int, t string, v double")
+    r2 = friedman_test(df2, "b", "t", "v").first()
+    assert r2["n_blocks"] == 3 and r2["n_blocks_dropped"] == 1
+    assert r2["q_stat"] == 6.0
+    tied = spark.createDataFrame(
+        [(b, t, 1.0) for b in range(3) for t in ("x", "y")],
+        "b int, t string, v double",
+    )
+    rt = friedman_test(tied, "b", "t", "v").first()
+    assert rt["q_stat"] is None  # all tied → zero denominator
+
+
+def test_benjamini_hochberg_oracle(spark, duck):
+    """Step-up selection over a derived p-like column (fractional part
+    of |value|), micro-unit integer criterion replayed in SQL."""
+    from osmapreduceproject_spark.operators.stats import benjamini_hochberg
+
+    ev = _t(spark, "events")
+    scored = ev.select(
+        (F.abs(F.col("value")) - F.floor(F.abs(F.col("value")))).alias("p")
+    )
+    got = benjamini_hochberg(scored, "p", alpha=0.05)
+    sql = """
+    WITH base AS (
+      SELECT abs(CAST(value AS DOUBLE)) - floor(abs(CAST(value AS DOUBLE))) AS p
+      FROM events
+      WHERE value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))),
+    pool AS (SELECT CAST(round(p * 1000000) AS BIGINT) AS pq FROM base
+             WHERE p >= 0 AND p <= 1),
+    inv AS (SELECT COUNT(*) AS ninv FROM base WHERE p < 0 OR p > 1),
+    pv AS (SELECT pq, COUNT(*) AS cn FROM pool GROUP BY pq),
+    cum AS (SELECT pq, SUM(cn) OVER (ORDER BY pq) AS c FROM pv),
+    m AS (SELECT COALESCE(SUM(cn), 0) AS m FROM pv),
+    sel AS (SELECT MAX(CASE WHEN pq * m.m <= c * 50000 THEN pq END) AS thr,
+                   COALESCE(MAX(CASE WHEN pq * m.m <= c * 50000 THEN c END), 0)
+                     AS nrej
+            FROM cum, m)
+    SELECT CAST(m.m AS BIGINT) AS m, CAST(inv.ninv AS BIGINT) AS n_invalid,
+           CAST(0.05 AS DOUBLE) AS alpha,
+           CAST(sel.nrej AS BIGINT) AS n_rejected,
+           CAST(sel.thr AS DOUBLE) / 1000000 AS p_threshold
+    FROM m, inv, sel
+    """
+    assert compare(got, duck.execute(sql).df()) == []
+    row = got.first()
+    assert row["n_rejected"] <= row["m"]
+    if row["p_threshold"] is not None:
+        assert 0.0 <= row["p_threshold"] <= 0.05
+
+
+def test_benjamini_hochberg_known_cases(spark):
+    """Pins: [.01, .02, .2, .8] at α=.05 rejects exactly the first two
+    (threshold .02); all-large p rejects nothing (NULL threshold);
+    out-of-range values are counted, not fatal."""
+    from osmapreduceproject_spark.operators.stats import benjamini_hochberg
+
+    df = spark.createDataFrame(
+        [(0.01,), (0.02,), (0.2,), (0.8,)], "p double"
+    )
+    r = benjamini_hochberg(df, "p", alpha=0.05).first()
+    assert r["n_rejected"] == 2 and r["p_threshold"] == 0.02 and r["m"] == 4
+    none = spark.createDataFrame([(0.9,), (0.95,)], "p double")
+    rn = benjamini_hochberg(none, "p", alpha=0.05).first()
+    assert rn["n_rejected"] == 0 and rn["p_threshold"] is None
+    bad = spark.createDataFrame([(0.01,), (1.5,), (-0.2,)], "p double")
+    rb = benjamini_hochberg(bad, "p", alpha=0.05).first()
+    assert rb["m"] == 1 and rb["n_invalid"] == 2 and rb["n_rejected"] == 1
+
+
+def test_hellinger_matrix_oracle(spark, duck):
+    """Pairwise source drift over the n_chars histogram; micro-quantized
+    Bhattacharyya terms, pair universe from the group totals."""
+    from osmapreduceproject_spark.operators.stats import hellinger_matrix
+
+    got = hellinger_matrix(
+        _t(spark, "documents"), "source", "n_chars",
+        lo=0.0, width=100.0, n_buckets=30,
+    )
+    sql = """
+    WITH pool AS (
+      SELECT source AS g,
+             LEAST(CAST(floor((CAST(n_chars AS DOUBLE) - 0.0) / 100.0)
+                        AS INTEGER), 29) AS bk
+      FROM documents
+      WHERE n_chars IS NOT NULL AND NOT isnan(CAST(n_chars AS DOUBLE))),
+    hist AS (SELECT g, bk, COUNT(*) AS c FROM pool GROUP BY 1, 2),
+    tot AS (SELECT g, SUM(c) AS n FROM hist GROUP BY g),
+    bc AS (SELECT a.g AS ga, b.g AS gb,
+             SUM(CAST(round(sqrt(CAST(a.c * b.c AS DOUBLE)
+                                 / CAST(ta.n * tb.n AS DOUBLE)) * 1000000)
+                      AS BIGINT)) AS bcq
+           FROM hist a JOIN hist b ON a.bk = b.bk AND a.g < b.g
+           JOIN tot ta ON ta.g = a.g JOIN tot tb ON tb.g = b.g
+           GROUP BY 1, 2),
+    pairs AS (SELECT ta.g AS ga, tb.g AS gb, ta.n AS na, tb.n AS nb
+              FROM tot ta, tot tb WHERE ta.g < tb.g)
+    SELECT ga AS group_a, gb AS group_b,
+           CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           round(COALESCE(bcq, 0) / 1000000.0, 6) AS bhattacharyya,
+           round(sqrt(1.0 - LEAST(COALESCE(bcq, 0) / 1000000.0, 1.0)), 6)
+             AS hellinger
+    FROM pairs LEFT JOIN bc USING (ga, gb)
+    """
+    assert compare(got, duck.execute(sql).df()) == []
+    pdf = got.toPandas()
+    assert len(pdf) == 20 * 19 // 2  # every unordered source pair
+    assert ((pdf.hellinger >= 0) & (pdf.hellinger <= 1)).all()
+
+
+def test_hellinger_known_cases(spark):
+    """Pins: identical histograms → BC 1, H 0; disjoint supports →
+    BC 0, H 1 (the pair still reports — from the group universe)."""
+    from osmapreduceproject_spark.operators.stats import hellinger_matrix
+
+    same = spark.createDataFrame(
+        [("a", 1.0), ("a", 11.0), ("b", 1.0), ("b", 11.0)], "g string, v double"
+    )
+    r = hellinger_matrix(same, "g", "v", lo=0.0, width=10.0, n_buckets=4).first()
+    assert r["bhattacharyya"] == 1.0 and r["hellinger"] == 0.0
+    disj = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 21.0), ("b", 25.0)], "g string, v double"
+    )
+    rd = hellinger_matrix(disj, "g", "v", lo=0.0, width=10.0, n_buckets=4).first()
+    assert rd["bhattacharyya"] == 0.0 and rd["hellinger"] == 1.0
