@@ -1615,3 +1615,117 @@ def tokenizer_fertility(
             ),
         ).alias("regex_per_ws_ratio"),
     )
+
+
+def token_burstiness(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 5,
+) -> DataFrame:
+    """Per-token burstiness: among documents that contain a token at
+    all, what fraction contain it MORE than once — Church's adaptation
+    observation ("the second occurrence is much cheaper than the
+    first") as a per-token statistic. Content words repeat within the
+    documents that use them (burstiness ≫ their corpus rate predicts);
+    function words spread evenly; templated boilerplate maxes the
+    metric — the screen that separates topical vocabulary from both,
+    feeding the same curation decisions as :func:`vocab_health` and
+    q230's repetition rules but at vocabulary granularity.
+
+    ONE (token, doc) count (map-side combined — corpus token volume
+    collapses to the doc-frequency frame immediately), one token-keyed
+    aggregation; ratios are single IEEE divisions of exact integer
+    counts. NULL texts contribute nothing; tokens below ``min_df``
+    document-frequency are cut (the :func:`tfidf` min_df convention —
+    singleton tokens make burstiness a coin flip). Returns
+    (token, n_docs, n_docs_multi, total_count, burstiness,
+    mean_count_per_doc), 6-decimal.
+    """
+    pairs = df.select(
+        F.col(id_col).alias("__d"),
+        F.explode(tokens(F.col(text_col))).alias("token"),
+    ).groupBy("__d", "token").agg(F.count(F.lit(1)).alias("__c"))
+    agg = pairs.groupBy("token").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("__c") >= 2).cast("bigint")).alias("n_docs_multi"),
+        F.sum("__c").alias("total_count"),
+    )
+    return agg.where(F.col("n_docs") >= min_df).select(
+        "token",
+        "n_docs",
+        "n_docs_multi",
+        "total_count",
+        F.round(
+            F.col("n_docs_multi").cast("double") / F.col("n_docs"), 6
+        ).alias("burstiness"),
+        F.round(
+            F.col("total_count").cast("double") / F.col("n_docs"), 6
+        ).alias("mean_count_per_doc"),
+    )
+
+
+def heaps_law_fit(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Heaps'-law fit over the per-group (token count, vocabulary size)
+    points: least-squares slope β and intercept of
+    ln V = ln C + β·ln N across groups — "how fast does vocabulary
+    grow with corpus size here" (β ≈ 0.4–0.6 for natural text;
+    β near 0 flags a closed templated vocabulary, β near 1 flags
+    id-like token churn), the corpus-level companion to q106's vocab
+    build and q162's vocab health. One row, plus the fit's R².
+
+    Per-group token totals and distinct counts are exact integers (one
+    token explode → two group-keyed aggregations sharing the exchange);
+    each group's (ln N, ln V) pair quantizes to micro-units BEFORE the
+    regression moments (the stats-family recipe — the transcendental
+    step happens once per group, integer arithmetic after), and the
+    closed-form OLS runs over exact DECIMAL(38,0) moments of the
+    BOUNDED per-group rows into fixed-order IEEE divisions. Groups
+    with zero tokens drop (ln undefined); < 2 usable groups or zero
+    x-variance (all groups the same size) → NULL fit. Returns one row:
+    (n_groups, heaps_beta, heaps_log_c, r2), 6-decimal.
+    """
+    dec = "decimal(38,0)"
+    toks = df.select(
+        F.col(group_col).alias("__g"),
+        F.explode(tokens(F.col(text_col))).alias("__t"),
+    )
+    per = toks.groupBy("__g").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.count_distinct(F.col("__t")).alias("__v"),
+    ).where(F.col("__n") > 0)
+    pts = per.select(
+        F.round(F.log(F.col("__n").cast("double")) * scale).cast(dec).alias("__x"),
+        F.round(F.log(F.col("__v").cast("double")) * scale).cast(dec).alias("__y"),
+    )
+    mom = pts.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum("__x").alias("__sx"),
+        F.sum("__y").alias("__sy"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__sxx"),
+        F.sum(F.col("__y") * F.col("__y")).alias("__syy"),
+        F.sum(F.col("__x") * F.col("__y")).alias("__sxy"),
+    )
+    n = F.col("n_groups").cast("double")
+    sx, sy = F.col("__sx").cast("double"), F.col("__sy").cast("double")
+    sxx, syy = F.col("__sxx").cast("double"), F.col("__syy").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    cov = n * sxy - sx * sy
+    beta = cov / vx
+    ok = (F.col("n_groups") >= 2) & (vx > 0)
+    return mom.select(
+        "n_groups",
+        F.when(ok, F.round(beta, 6)).alias("heaps_beta"),
+        # intercept in the micro-unit log space, rescaled once
+        F.when(ok, F.round((sy - beta * sx) / n / F.lit(float(scale)), 6)).alias(
+            "heaps_log_c"
+        ),
+        F.when(ok & (vy > 0), F.round(cov * cov / (vx * vy), 6)).alias("r2"),
+    )

@@ -1341,3 +1341,102 @@ def ljung_box(
             ),
         ).alias("q_stat"),
     )
+
+
+def lagged_crosscorr(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    value_col: str,
+    split_col: str,
+    split_a,
+    split_b,
+    step_seconds: int,
+    max_lag: int = 3,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-key lagged cross-correlation between TWO series carved out of
+    one event stream (rows where ``split_col`` = a vs = b, each
+    regularized onto the shared absolute slot grid): for every lag
+    k ∈ [−max_lag, +max_lag], the Pearson correlation between series A
+    at t and series B at t+k — the lead/lag detector
+    :func:`series_correlation` (lag 0 only) and
+    :func:`series_autocorrelation` (self only) can't express: "do
+    clicks lead purchases, and by how many slots". Positive lag means
+    B LAGS A (A at t aligns with B later); read the argmax row per key.
+
+    Shape: two :func:`resample_ffill` passes (each hash-keyed, grids
+    aligned to the same absolute epoch multiples so the inner join on
+    (key, slot) is exact), ONE per-key window computes every shifted
+    column (lag for positive, lead for negative — the joined grid is
+    the intersection of two complete spans, itself complete, so
+    shift-by-k is exactly k slots), an unpivot to (key, lag) rows, and
+    quantized integer moments (the :func:`series_autocorrelation`
+    convention — per-operand DECIMAL casts, one fixed IEEE expression).
+    Pairs where either side is missing (shift ran off the span) drop;
+    degenerate groups (constant series, < 2 pairs) emit NULL. Returns
+    (key, lag, n_pairs, xcorr), 6-decimal.
+    """
+    sp = F.col(split_col)
+    a = resample_ffill(
+        df.where(sp == F.lit(split_a)), key, ts, value_col, step_seconds
+    ).select(key, "slot_epoch", F.col(value_col).alias("__va"))
+    b = resample_ffill(
+        df.where(sp == F.lit(split_b)), key, ts, value_col, step_seconds
+    ).select(key, "slot_epoch", F.col(value_col).alias("__vb"))
+    j = a.join(b, [key, "slot_epoch"])
+    w = Window.partitionBy(key).orderBy(F.col("slot_epoch").asc())
+    shifted = []
+    for k in range(-max_lag, max_lag + 1):
+        # positive lag pairs A(t) with B(t+k) — B later, i.e. B lags A
+        col = (
+            F.col("__vb") if k == 0
+            else F.lead("__vb", k).over(w) if k > 0
+            else F.lag("__vb", -k).over(w)
+        )
+        shifted.append(col.alias(f"__s{k + max_lag}"))
+    wide = j.select(key, "__va", *shifted)
+    stacked = wide.select(
+        key,
+        "__va",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("lag"),
+                        F.col(f"__s{k + max_lag}").alias("__u"),
+                    )
+                    for k in range(-max_lag, max_lag + 1)
+                ]
+            )
+        ).alias("__p"),
+    ).select(
+        key, F.col("__p.lag").alias("lag"), "__va", F.col("__p.__u").alias("__u")
+    ).where(F.col("__u").isNotNull())
+    xq = F.round(F.col("__va") * scale).cast("bigint")
+    yq = F.round(F.col("__u") * scale).cast("bigint")
+    sums = stacked.select(key, "lag", xq.alias("__x"), yq.alias("__y")).groupBy(
+        key, "lag"
+    ).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("__x").alias("__sx"),
+        F.sum("__y").alias("__sy"),
+        F.sum(F.col("__x").cast("decimal(38,0)") * F.col("__x")).alias("__sxx"),
+        F.sum(F.col("__y").cast("decimal(38,0)") * F.col("__y")).alias("__syy"),
+        F.sum(F.col("__x").cast("decimal(38,0)") * F.col("__y")).alias("__sxy"),
+    )
+    n = F.col("n_pairs").cast("double")
+    sx, sy = F.col("__sx").cast("double"), F.col("__sy").cast("double")
+    sxx, syy = F.col("__sxx").cast("double"), F.col("__syy").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    return sums.select(
+        key,
+        "lag",
+        "n_pairs",
+        F.when(
+            (F.col("n_pairs") >= 2) & (vx > 0) & (vy > 0),
+            F.round((n * sxy - sx * sy) / F.sqrt(vx * vy), 6),
+        ).alias("xcorr"),
+    )

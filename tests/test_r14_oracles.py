@@ -268,3 +268,212 @@ def test_hellinger_known_cases(spark):
     )
     rd = hellinger_matrix(disj, "g", "v", lo=0.0, width=10.0, n_buckets=4).first()
     assert rd["bhattacharyya"] == 0.0 and rd["hellinger"] == 1.0
+
+
+import datetime  # noqa: E402
+
+_XC_STEP = 3600
+_XC_US = _XC_STEP * 1_000_000
+
+
+def _xc_rs(alias: str, etype: str) -> str:
+    return f"""
+    obs_{alias} AS (SELECT user_id AS k, epoch_us(ts) AS e,
+                           CAST(value AS DOUBLE) AS v
+                    FROM events WHERE event_type = '{etype}'),
+    spans_{alias} AS (SELECT k, MIN(e) AS lo, MAX(e) AS hi
+                      FROM obs_{alias} GROUP BY k),
+    grid_{alias} AS (
+      SELECT k, unnest(range(
+        CAST(ceil(lo / {_XC_US}.0) * {_XC_US} AS BIGINT),
+        CAST(floor(hi / {_XC_US}.0) * {_XC_US} AS BIGINT) + 1,
+        {_XC_US})) AS e
+      FROM spans_{alias}),
+    rs_{alias} AS (
+      SELECT g.k, g.e // 1000000 AS slot_epoch, o.v AS value
+      FROM grid_{alias} g ASOF JOIN obs_{alias} o
+      ON g.k = o.k AND o.e <= g.e)"""
+
+
+def test_lagged_crosscorr_oracle(spark, duck):
+    """Click series vs purchase series per user at lags −3..+3 — two
+    resample passes, one window, quantized moments replayed in SQL."""
+    from osmapreduceproject_spark.operators.windows import lagged_crosscorr
+
+    got = lagged_crosscorr(
+        _t(spark, "events"), key="user_id", ts="ts", value_col="value",
+        split_col="event_type", split_a="click", split_b="purchase",
+        step_seconds=_XC_STEP, max_lag=3,
+    )
+    sql = f"""
+    WITH {_xc_rs('a', 'click')},
+    {_xc_rs('b', 'purchase')},
+    j AS (SELECT a.k, a.slot_epoch, a.value AS va, b.value AS vb
+          FROM rs_a a JOIN rs_b b
+          ON a.k = b.k AND a.slot_epoch = b.slot_epoch),
+    l AS (SELECT k, slot_epoch, va, vb,
+            lead(vb, 1) OVER w AS f1, lead(vb, 2) OVER w AS f2,
+            lead(vb, 3) OVER w AS f3,
+            lag(vb, 1) OVER w AS p1, lag(vb, 2) OVER w AS p2,
+            lag(vb, 3) OVER w AS p3
+          FROM j WINDOW w AS (PARTITION BY k ORDER BY slot_epoch)),
+    st AS (SELECT k, lg.lag AS lag, va AS v,
+             CASE lg.lag WHEN -3 THEN p3 WHEN -2 THEN p2 WHEN -1 THEN p1
+                         WHEN 0 THEN vb
+                         WHEN 1 THEN f1 WHEN 2 THEN f2 ELSE f3 END AS u
+           FROM l, (SELECT unnest([-3, -2, -1, 0, 1, 2, 3]) AS lag) lg
+           WHERE CASE lg.lag WHEN -3 THEN p3 WHEN -2 THEN p2 WHEN -1 THEN p1
+                             WHEN 0 THEN vb
+                             WHEN 1 THEN f1 WHEN 2 THEN f2 ELSE f3 END
+                 IS NOT NULL),
+    qq AS (SELECT k, lag, CAST(round(v * 1000000) AS BIGINT) AS x,
+                  CAST(round(u * 1000000) AS BIGINT) AS y
+           FROM st),
+    s AS (SELECT k, lag, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                 SUM(CAST(x AS HUGEINT) * x) AS sxx,
+                 SUM(CAST(y AS HUGEINT) * y) AS syy,
+                 SUM(CAST(x AS HUGEINT) * y) AS sxy
+          FROM qq GROUP BY 1, 2),
+    fin AS (SELECT *,
+              n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx AS vx,
+              n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy AS vy
+            FROM s)
+    SELECT k AS user_id, CAST(lag AS INTEGER) AS lag,
+           CAST(n AS BIGINT) AS n_pairs,
+           CASE WHEN n >= 2 AND vx > 0 AND vy > 0 THEN
+             round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+                   / sqrt(vx * vy), 6)
+           END AS xcorr
+    FROM fin
+    """
+    assert compare(got, duck.execute(sql).df()) == []
+    pdf = got.toPandas()
+    assert set(pdf.lag.unique()) <= set(range(-3, 4))
+    ok = pdf.dropna(subset=["xcorr"])
+    assert ((ok.xcorr >= -1.0 - 1e-9) & (ok.xcorr <= 1.0 + 1e-9)).all()
+
+
+def test_lagged_crosscorr_known_case(spark):
+    """Pin: B is A shifted 2 slots later → xcorr = 1 exactly at lag +2
+    (and the sign convention is 'positive lag = B lags A')."""
+    from osmapreduceproject_spark.operators.windows import lagged_crosscorr
+
+    base = datetime.datetime(2025, 1, 1)
+    rows = []
+    for i in range(24):
+        v = float((i * 7) % 11)
+        rows.append((1, "a", base + datetime.timedelta(hours=i), v))
+        rows.append((1, "b", base + datetime.timedelta(hours=i + 2), v))
+    df = spark.createDataFrame(rows, "k bigint, s string, ts timestamp, v double")
+    out = {r["lag"]: r for r in lagged_crosscorr(
+        df, "k", "ts", "v", "s", "a", "b", 3600, max_lag=3
+    ).collect()}
+    assert out[2]["xcorr"] == 1.0
+    # joined grid = hours 2..23 (22 slots); lead(2) drops the last two
+    assert out[2]["n_pairs"] == 20
+    assert out[0]["xcorr"] is None or out[0]["xcorr"] < 1.0
+
+
+def test_token_burstiness_oracle(spark, duck):
+    """Per-token within-doc repetition rates over the corpus; exact
+    integer counts, min_df cut, ratios as single divisions."""
+    from osmapreduceproject_spark.operators.text import token_burstiness
+
+    got = token_burstiness(_t(spark, "documents"), min_df=5)
+    sql = """
+    WITH pairs AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      FROM documents),
+    pc AS (SELECT doc_id, token, COUNT(*) AS c FROM pairs GROUP BY 1, 2),
+    a AS (SELECT token, COUNT(*) AS n_docs,
+                 SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS n_docs_multi,
+                 SUM(c) AS total_count
+          FROM pc GROUP BY token)
+    SELECT token, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_docs_multi AS BIGINT) AS n_docs_multi,
+           CAST(total_count AS BIGINT) AS total_count,
+           round(CAST(n_docs_multi AS DOUBLE) / n_docs, 6) AS burstiness,
+           round(CAST(total_count AS DOUBLE) / n_docs, 6) AS mean_count_per_doc
+    FROM a WHERE n_docs >= 5
+    """
+    assert compare(got, duck.execute(sql).df()) == []
+    pdf = got.toPandas()
+    assert ((pdf.burstiness >= 0) & (pdf.burstiness <= 1)).all()
+    assert (pdf.mean_count_per_doc >= 1).all()
+
+
+def test_token_burstiness_known_case(spark):
+    """Pin: a token in 5 docs, twice in 2 of them → burstiness 0.4,
+    mean 7/5; a 4-doc token is cut at min_df=5."""
+    from osmapreduceproject_spark.operators.text import token_burstiness
+
+    rows = [(i, "hot hot filler" if i < 2 else "hot filler") for i in range(5)]
+    rows += [(10 + i, "rare") for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["token"]: r for r in token_burstiness(df, min_df=5).collect()}
+    assert "rare" not in out
+    assert out["hot"]["n_docs"] == 5 and out["hot"]["n_docs_multi"] == 2
+    assert out["hot"]["burstiness"] == 0.4
+    assert out["hot"]["mean_count_per_doc"] == 1.4
+    assert out["filler"]["burstiness"] == 0.0
+
+
+def test_heaps_law_fit_oracle(spark, duck):
+    """OLS over micro-quantized per-source (ln N, ln V) points, exact
+    DECIMAL moments replayed in SQL."""
+    from osmapreduceproject_spark.operators.text import heaps_law_fit
+
+    got = heaps_law_fit(_t(spark, "documents"))
+    sql = """
+    WITH toks AS (
+      SELECT source AS g, unnest(string_split(text, ' ')) AS t
+      FROM documents),
+    per AS (SELECT g, COUNT(*) AS n, COUNT(DISTINCT t) AS v
+            FROM toks GROUP BY g HAVING COUNT(*) > 0),
+    pts AS (SELECT CAST(round(ln(CAST(n AS DOUBLE)) * 1000000) AS HUGEINT) AS x,
+                   CAST(round(ln(CAST(v AS DOUBLE)) * 1000000) AS HUGEINT) AS y
+            FROM per),
+    mom AS (SELECT COUNT(*) AS ng, SUM(x) AS sx, SUM(y) AS sy,
+                   SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+            FROM pts),
+    e AS (SELECT ng,
+                 ng * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx AS vx,
+                 ng * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy AS vy,
+                 ng * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy AS cov,
+                 CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+          FROM mom)
+    SELECT CAST(ng AS BIGINT) AS n_groups,
+           CASE WHEN ng >= 2 AND vx > 0 THEN round(cov / vx, 6) END AS heaps_beta,
+           CASE WHEN ng >= 2 AND vx > 0 THEN
+             round((syd - cov / vx * sxd) / ng / 1000000.0, 6)
+           END AS heaps_log_c,
+           CASE WHEN ng >= 2 AND vx > 0 AND vy > 0 THEN
+             round(cov * cov / (vx * vy), 6)
+           END AS r2
+    FROM e
+    """
+    assert compare(got, duck.execute(sql).df()) == []
+    row = got.first()
+    assert row["n_groups"] == 20
+    if row["r2"] is not None:
+        assert 0.0 <= row["r2"] <= 1.0 + 1e-9
+
+
+def test_heaps_law_known_cases(spark):
+    """Pins: equal-size groups have zero x-variance → NULL fit; a
+    perfect power law recovers its exponent."""
+    from osmapreduceproject_spark.operators.text import heaps_law_fit
+
+    same = spark.createDataFrame(
+        [("a", "x y z"), ("b", "p q r")], "source string, text string"
+    )
+    r = heaps_law_fit(same).first()
+    assert r["heaps_beta"] is None and r["n_groups"] == 2
+    # V = N: ln V = 0 + 1·ln N exactly (all-distinct tokens per group)
+    rows = [
+        ("g1", "t0 t1 t2 t3"),
+        ("g2", " ".join(f"u{i}" for i in range(16))),
+        ("g3", " ".join(f"w{i}" for i in range(64))),
+    ]
+    r2 = heaps_law_fit(spark.createDataFrame(rows, "source string, text string")).first()
+    assert r2["heaps_beta"] == 1.0 and r2["heaps_log_c"] == 0.0 and r2["r2"] == 1.0
