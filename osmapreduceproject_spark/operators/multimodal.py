@@ -1481,3 +1481,396 @@ def image_exposure_report(df: DataFrame, n_bins: int = 16) -> DataFrame:
         "media_id long, n_px long, entropy_bits double, shadow_frac double, "
         "highlight_frac double, gray_min long, gray_max long",
     )
+
+
+def image_channel_balance(df: DataFrame) -> DataFrame:
+    """Per-image color-cast QC over RAW8 RGB payloads: exact per-channel
+    means, the gray-world cast range (max channel mean − min channel
+    mean — a neutral scene averages equal channels; a strong cast is a
+    white-balance failure worth dropping or correcting before feature
+    extraction), and the dominant channel — the color companion to
+    :func:`image_exposure_report`'s luma screens.
+
+    Decode and the three channel sums reduce inside the Arrow batch
+    (payloads never shuffle; one summary row per image leaves the map);
+    sums are exact int64 (255·n_px bounded), means and the cast range
+    are single divisions of those integers replayed by the SQL oracle.
+    Dominant channel ties break r → g → b (first maximal in channel
+    order, documented). Returns (media_id, n_px, mean_r, mean_g,
+    mean_b, cast_range, dominant_channel), 6-decimal.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Self-contained closure: no module-global references.
+        import math as _math
+
+        import numpy as np
+        import pandas as pd
+
+        # half-up 6-decimal rounding (values non-negative) — matches the
+        # oracle's round(); Python round() is half-to-even (ADVICE r11)
+        r6 = lambda x: _math.floor(x * 1e6 + 0.5) / 1e6  # noqa: E731
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            for m, p, w, h in zip(
+                pdf["media_id"], pdf["payload"], pdf["width"], pdf["height"]
+            ):
+                buf = np.frombuffer(bytes(p), dtype=np.uint8)
+                w, h = int(w), int(h)
+                if buf.size != w * h * 3:
+                    raise ValueError(
+                        f"payload length {buf.size} is not a {h}x{w}x3 RAW8 RGB frame"
+                    )
+                px = buf.reshape(-1, 3).astype(np.int64)
+                n = px.shape[0]
+                sums = [int(px[:, k].sum()) for k in range(3)]
+                dom = "rgb"[sums.index(max(sums))]  # tie → first in r,g,b
+                rows.append(
+                    (
+                        int(m), int(n),
+                        r6(sums[0] / n),
+                        r6(sums[1] / n),
+                        r6(sums[2] / n),
+                        r6((max(sums) - min(sums)) / n),
+                        dom,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "n_px", "mean_r", "mean_g", "mean_b",
+                    "cast_range", "dominant_channel",
+                ],
+            )
+
+    return df.select(
+        "media_id", "payload",
+        F.col("meta.width").alias("width"), F.col("meta.height").alias("height"),
+    ).mapInPandas(
+        run,
+        "media_id long, n_px long, mean_r double, mean_g double, "
+        "mean_b double, cast_range double, dominant_channel string",
+    )
+
+
+def arith_video_frames_frozen(
+    spark,
+    n_videos: int = 24,
+    n_frames: int = 12,
+    freeze_from: int = 4,
+    freeze_len: int = 4,
+    width: int = 16,
+    height: int = 12,
+    delta_bytes: int = 12,
+) -> DataFrame:
+    """:func:`arith_video_frames` variant with a PLANTED FREEZE instead
+    of a scene cut: frames ``freeze_from .. freeze_from+freeze_len−1``
+    all repeat frame ``freeze_from``'s exact payload (a stalled
+    encoder / stuck capture), while every other frame carries the
+    usual per-frame motion (+f on the first ``delta_bytes`` bytes), so
+    adjacent non-frozen frames always differ. Every byte regenerable
+    by integer SQL: the effective motion index is
+    ``freeze_from`` inside the frozen range, ``f`` outside — the
+    fixture that upgrades :func:`video_freeze_detect` to a full
+    cross-engine value oracle. Schema: (media_id, kind, frame_idx,
+    payload, meta)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Self-contained closure: no module-global references.
+        import numpy as np
+        import pandas as pd
+
+        idx = np.arange(width * height * 3, dtype=np.int64)
+        motion = (idx < delta_bytes).astype(np.int64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vids, fids, payloads = [], [], []
+            for i in pdf["id"]:
+                vid, f = divmod(int(i), n_frames)
+                eff = freeze_from if freeze_from <= f < freeze_from + freeze_len else f
+                v = (31 * vid + 7 * idx + (idx * idx) % 251 + eff * motion) % 256
+                vids.append(vid)
+                fids.append(f)
+                payloads.append(v.astype(np.uint8).tobytes())
+            yield pd.DataFrame(
+                {"media_id": vids, "frame_idx": fids, "payload": payloads}
+            )
+
+    raw = spark.range(n_videos * n_frames).mapInPandas(
+        gen, "media_id long, frame_idx int, payload binary"
+    )
+    return raw.select(
+        "media_id",
+        F.lit("video").alias("kind"),
+        "frame_idx",
+        "payload",
+        F.struct(
+            F.lit(width).alias("width"),
+            F.lit(height).alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(n_frames).alias("n_frames"),
+        ).alias("meta"),
+    )
+
+
+def video_freeze_detect(frames: DataFrame) -> DataFrame:
+    """Per-video freeze detection: find runs of BYTE-IDENTICAL
+    consecutive frames — the stalled-encoder/stuck-capture screen that
+    :func:`video_motion_profile`'s perceptual dHash deliberately blurs
+    past (small motion can hash equal; a freeze is exact repetition).
+    Reports the static-pair count, fraction, and the longest identical
+    run — a training pipeline drops or deduplicates frozen spans
+    before paying for per-frame features.
+
+    Identity is decided on a position-weighted frame checksum
+    Σ byte_i·(i+1) (exact int64, computed INSIDE the Arrow batch —
+    payloads never shuffle, only (video, idx, checksum) triplets leave
+    the decode; byte-identical frames ALWAYS match, and distinct
+    frames collide only on an adversarial checksum collision —
+    documented, the fixture and any real stuck-capture case are
+    collision-free). One per-video lag window marks static pairs, the
+    lag-gap island pattern (:func:`audio_clipping_report`) sizes the
+    longest run. Single-frame videos emit zero pairs and NULL
+    fraction. Returns (media_id, n_frames, n_static_pairs,
+    freeze_frac, longest_freeze_frames), 6-decimal.
+    """
+    from pyspark.sql import Window
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Self-contained closure: no module-global references.
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            for m, fi, p in zip(
+                pdf["media_id"], pdf["frame_idx"], pdf["payload"]
+            ):
+                buf = np.frombuffer(bytes(p), dtype=np.uint8).astype(np.int64)
+                w = int((buf * (np.arange(buf.size, dtype=np.int64) + 1)).sum())
+                rows.append((int(m), int(fi), w))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_idx", "cksum"]
+            )
+
+    sums = frames.select("media_id", "frame_idx", "payload").mapInPandas(
+        run, "media_id long, frame_idx int, cksum long"
+    )
+    w = Window.partitionBy("media_id").orderBy(F.col("frame_idx").asc())
+    lagged = sums.withColumn("__pc", F.lag("cksum").over(w))
+    marked = lagged.select(
+        "media_id",
+        "frame_idx",
+        F.when(F.col("__pc").isNotNull(), (F.col("cksum") == F.col("__pc")).cast("int"))
+        .alias("__static"),
+    )
+    # islands over the static-pair indices (gap > 1 starts a new run)
+    st = marked.where(F.col("__static") == 1)
+    wi = Window.partitionBy("media_id").orderBy(F.col("frame_idx").asc())
+    isl = st.withColumn(
+        "__new",
+        F.when(
+            F.lag("frame_idx").over(wi).isNull()
+            | (F.col("frame_idx") - F.lag("frame_idx").over(wi) > 1),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "__island",
+        F.sum("__new").over(wi.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    runs = isl.groupBy("media_id", "__island").agg(
+        F.count(F.lit(1)).alias("__run")
+    ).groupBy("media_id").agg(F.max("__run").alias("__longest_pairs"))
+    base = marked.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.coalesce(F.sum("__static"), F.lit(0)).cast("bigint").alias(
+            "n_static_pairs"
+        ),
+    )
+    return base.join(runs, "media_id", "left").select(
+        "media_id",
+        "n_frames",
+        "n_static_pairs",
+        F.when(
+            F.col("n_frames") >= 2,
+            F.round(
+                F.col("n_static_pairs").cast("double") / (F.col("n_frames") - 1),
+                6,
+            ),
+        ).alias("freeze_frac"),
+        # a run of k static PAIRS is k+1 identical frames; no freeze → 1
+        F.coalesce(F.col("__longest_pairs") + 1, F.lit(1)).cast("bigint").alias(
+            "longest_freeze_frames"
+        ),
+    )
+
+
+def arith_raw_audio_am(
+    spark,
+    n: int = 32,
+    n_samples: int = 2048,
+    frame: int = 64,
+    period_frames: int = 4,
+    duty_frames: int = 2,
+) -> DataFrame:
+    """Amplitude-modulated arithmetic audio fixture: frame
+    ``fr = i // frame`` is QUIET (the ±1 LSB dither floor,
+    ``127 + (17·m + i) mod 3``) when ``fr mod period_frames <
+    duty_frames`` and LOUD (the arithmetic wave) otherwise — a
+    loud/quiet envelope with an exact ``period_frames`` cycle, every
+    sample regenerable by a CASE over integer SQL. The fixture that
+    gives :func:`audio_envelope_periodicity` a planted ground-truth
+    period. Same schema/meta contract as the other audio sources."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Self-contained closure: no module-global references.
+        import numpy as np
+        import pandas as pd
+
+        idx = np.arange(n_samples, dtype=np.int64)
+        quiet = (idx // frame) % period_frames < duty_frames
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            payloads = []
+            for m in pdf["id"]:
+                v = (17 * int(m) + 11 * idx + (idx * idx) % 89) % 256
+                v = np.where(quiet, 127 + (17 * int(m) + idx) % 3, v)
+                payloads.append(v.astype(np.uint8).tobytes())
+            yield pd.DataFrame({"media_id": pdf["id"].values, "payload": payloads})
+
+    raw = spark.range(n).mapInPandas(gen, "media_id long, payload binary")
+    return raw.select(
+        "media_id",
+        F.lit("audio").alias("kind"),
+        "payload",
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(16000).alias("sample_rate"),
+            F.lit(None).cast("int").alias("n_frames"),
+        ).alias("meta"),
+    )
+
+
+def audio_envelope_periodicity(
+    df: DataFrame,
+    frame: int = 64,
+    max_lag: int = 8,
+) -> DataFrame:
+    """Per-clip envelope periodicity: frame the 8-bit PCM payload into
+    ``frame``-sample amplitude masses (Σ|v − 128| — the
+    :func:`audio_snr_report` envelope), correlate the envelope with
+    itself at lags 1..max_lag, and report the best lag — the
+    beat/cadence estimate ("does this clip pulse, and how fast") that
+    triages rhythmic content before any real DSP, the audio analogue
+    of q246's series ACF.
+
+    Framing reduces INSIDE the Arrow batch — payloads never shuffle,
+    only (clip, frame, mass) rows leave the decode (n_samples/frame
+    per clip, bounded). The per-clip ACF rides ONE lag window over
+    exact integer masses (≤ 128·frame — integer moments, no
+    quantization needed) with the q246 conventions: available-pairs
+    correlation, NULL for constant/short series. best_lag is the
+    smallest lag attaining the maximal ROUNDED acf (deterministic
+    tiebreak, documented); clips with no usable lag emit NULL.
+    Returns (media_id, n_frames, best_lag, best_acf), 6-decimal.
+    """
+    from pyspark.sql import Window
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Self-contained closure: no module-global references.
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            for m, p in zip(pdf["media_id"], pdf["payload"]):
+                buf = np.frombuffer(bytes(p), dtype=np.uint8).astype(np.int64)
+                n_fr = buf.size // frame
+                amp = (
+                    np.abs(buf[: n_fr * frame] - 128)
+                    .reshape(n_fr, frame)
+                    .sum(axis=1)
+                )
+                rows.extend(
+                    (int(m), int(fr), int(a)) for fr, a in enumerate(amp)
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "fr", "amp"])
+
+    env = df.select("media_id", "payload").mapInPandas(
+        run, "media_id long, fr int, amp long"
+    )
+    w = Window.partitionBy("media_id").orderBy(F.col("fr").asc())
+    lag_cols = [
+        F.lag(F.col("amp"), k).over(w).alias(f"__lag{k}")
+        for k in range(1, max_lag + 1)
+    ]
+    wide = env.select("media_id", F.col("amp").alias("__v"), *lag_cols)
+    stacked = wide.select(
+        "media_id",
+        "__v",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("lag"), F.col(f"__lag{k}").alias("__u")
+                    )
+                    for k in range(1, max_lag + 1)
+                ]
+            )
+        ).alias("__p"),
+    ).select(
+        "media_id", F.col("__p.lag").alias("lag"), "__v",
+        F.col("__p.__u").alias("__u"),
+    ).where(F.col("__u").isNotNull())
+    dec = "decimal(38,0)"
+    sums = stacked.groupBy("media_id", "lag").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("__v").alias("__sx"),
+        F.sum("__u").alias("__sy"),
+        F.sum(F.col("__v").cast(dec) * F.col("__v")).alias("__sxx"),
+        F.sum(F.col("__u").cast(dec) * F.col("__u")).alias("__syy"),
+        F.sum(F.col("__v").cast(dec) * F.col("__u")).alias("__sxy"),
+    )
+    n = F.col("n_pairs").cast("double")
+    sx, sy = F.col("__sx").cast("double"), F.col("__sy").cast("double")
+    sxx, syy = F.col("__sxx").cast("double"), F.col("__syy").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    acf = sums.select(
+        "media_id",
+        "lag",
+        F.when(
+            (F.col("n_pairs") >= 2) & (vx > 0) & (vy > 0),
+            F.round((n * sxy - sx * sy) / F.sqrt(vx * vy), 6),
+        ).alias("__acf"),
+    )
+    n_frames = env.groupBy("media_id").agg(F.count(F.lit(1)).alias("n_frames"))
+    wb = Window.partitionBy("media_id").orderBy(
+        F.col("__acf").desc_nulls_last(), F.col("lag").asc()
+    )
+    best = (
+        acf.where(F.col("__acf").isNotNull())
+        .withColumn("__rn", F.row_number().over(wb))
+        .where(F.col("__rn") == 1)
+        .select(
+            "media_id",
+            F.col("lag").alias("best_lag"),
+            F.col("__acf").alias("best_acf"),
+        )
+    )
+    return n_frames.join(best, "media_id", "left").select(
+        "media_id",
+        "n_frames",
+        F.col("best_lag").cast("int"),
+        "best_acf",
+    )

@@ -477,3 +477,221 @@ def test_heaps_law_known_cases(spark):
     ]
     r2 = heaps_law_fit(spark.createDataFrame(rows, "source string, text string")).first()
     assert r2["heaps_beta"] == 1.0 and r2["heaps_log_c"] == 0.0 and r2["r2"] == 1.0
+
+
+_CB_CH = "((31*m + 7*(p*3 + {k}) + ((p*3 + {k})*(p*3 + {k})) % 251) % 256)"
+
+
+def test_image_channel_balance_oracle(spark, duck):
+    """Per-channel exact sums over the arithmetic RAW8 fixture; the
+    oracle regenerates every pixel and replays the floor(x·1e6+0.5)
+    half-up rounding recipe bit-for-bit."""
+    from osmapreduceproject_spark.operators.multimodal import (
+        arith_raw_images,
+        image_channel_balance,
+    )
+
+    imgs = arith_raw_images(spark, n=64, width=16, height=12)
+    got = image_channel_balance(imgs)
+    sql = f"""
+    WITH mm AS (SELECT unnest(range(64)) AS m),
+    px AS (SELECT m, unnest(range(192)) AS p FROM mm),
+    s AS (SELECT m, COUNT(*) AS n,
+                 SUM({_CB_CH.format(k=0)}) AS sr,
+                 SUM({_CB_CH.format(k=1)}) AS sg,
+                 SUM({_CB_CH.format(k=2)}) AS sb
+          FROM px GROUP BY m)
+    SELECT CAST(m AS BIGINT) AS media_id, CAST(n AS BIGINT) AS n_px,
+           floor(sr / CAST(n AS DOUBLE) * 1000000 + 0.5) / 1000000 AS mean_r,
+           floor(sg / CAST(n AS DOUBLE) * 1000000 + 0.5) / 1000000 AS mean_g,
+           floor(sb / CAST(n AS DOUBLE) * 1000000 + 0.5) / 1000000 AS mean_b,
+           floor((greatest(sr, sg, sb) - least(sr, sg, sb))
+                 / CAST(n AS DOUBLE) * 1000000 + 0.5) / 1000000 AS cast_range,
+           CASE WHEN sr >= sg AND sr >= sb THEN 'r'
+                WHEN sg >= sb THEN 'g' ELSE 'b' END AS dominant_channel
+    FROM s
+    """
+    assert compare(got, duck.execute(sql).df()) == []
+    pdf = got.toPandas()
+    assert (pdf.cast_range >= 0).all()
+    assert set(pdf.dominant_channel) <= {"r", "g", "b"}
+
+
+def test_image_channel_balance_known_case(spark):
+    """Pin on a hand-built frame: pure-red pixels → mean (255, 0, 0),
+    cast range 255, dominant 'r'."""
+    from osmapreduceproject_spark.operators.multimodal import image_channel_balance
+
+    payload = bytes([255, 0, 0] * 16)
+    df = spark.createDataFrame(
+        [(0, "image", payload, (4, 4, None, 1))],
+        "media_id long, kind string, payload binary, "
+        "meta struct<width:int,height:int,sample_rate:int,n_frames:int>",
+    )
+    r = image_channel_balance(df).first()
+    assert (r["mean_r"], r["mean_g"], r["mean_b"]) == (255.0, 0.0, 0.0)
+    assert r["cast_range"] == 255.0 and r["dominant_channel"] == "r"
+    gray = spark.createDataFrame(
+        [(1, "image", bytes([9, 9, 9] * 16), (4, 4, None, 1))],
+        "media_id long, kind string, payload binary, "
+        "meta struct<width:int,height:int,sample_rate:int,n_frames:int>",
+    )
+    rg = image_channel_balance(gray).first()
+    assert rg["cast_range"] == 0.0 and rg["dominant_channel"] == "r"  # tie → r
+
+
+def test_video_freeze_detect_oracle(spark, duck):
+    """Planted 4-frame freeze: the oracle regenerates every byte's
+    position-weighted checksum and replays the island logic."""
+    from osmapreduceproject_spark.operators.multimodal import (
+        arith_video_frames_frozen,
+        video_freeze_detect,
+    )
+
+    frames = arith_video_frames_frozen(
+        spark, n_videos=24, n_frames=12, freeze_from=4, freeze_len=4
+    )
+    got = video_freeze_detect(frames)
+    sql = """
+    WITH vv AS (SELECT unnest(range(24)) AS m),
+    ff AS (SELECT m, unnest(range(12)) AS f FROM vv),
+    by_ AS (SELECT m, f, unnest(range(576)) AS i FROM ff),
+    cs AS (SELECT m, f,
+             SUM(((31*m + 7*i + (i*i) % 251
+                   + (CASE WHEN f >= 4 AND f < 8 THEN 4 ELSE f END)
+                     * (CASE WHEN i < 12 THEN 1 ELSE 0 END)) % 256)
+                 * (i + 1)) AS w
+           FROM by_ GROUP BY 1, 2),
+    l AS (SELECT m, f, w, lag(w) OVER (PARTITION BY m ORDER BY f) AS pw
+          FROM cs),
+    mk AS (SELECT m, f,
+             CASE WHEN pw IS NOT NULL THEN
+               CASE WHEN w = pw THEN 1 ELSE 0 END END AS st
+           FROM l),
+    sp AS (SELECT m, f FROM mk WHERE st = 1),
+    isl AS (SELECT m, f,
+              CASE WHEN lag(f) OVER w2 IS NULL OR f - lag(f) OVER w2 > 1
+                   THEN 1 ELSE 0 END AS nw
+            FROM sp WINDOW w2 AS (PARTITION BY m ORDER BY f)),
+    grp AS (SELECT m, f, SUM(nw) OVER (PARTITION BY m ORDER BY f) AS island
+            FROM isl),
+    runs AS (SELECT m, island, COUNT(*) AS rl FROM grp GROUP BY 1, 2),
+    lng AS (SELECT m, MAX(rl) AS lp FROM runs GROUP BY m),
+    base AS (SELECT m, COUNT(*) AS n_frames,
+                    COALESCE(SUM(st), 0) AS n_static
+             FROM mk GROUP BY m)
+    SELECT CAST(base.m AS BIGINT) AS media_id,
+           CAST(n_frames AS BIGINT) AS n_frames,
+           CAST(n_static AS BIGINT) AS n_static_pairs,
+           CASE WHEN n_frames >= 2 THEN
+             round(CAST(n_static AS DOUBLE) / (n_frames - 1), 6)
+           END AS freeze_frac,
+           CAST(COALESCE(lng.lp + 1, 1) AS BIGINT) AS longest_freeze_frames
+    FROM base LEFT JOIN lng ON lng.m = base.m
+    """
+    assert compare(got, duck.execute(sql).df()) == []
+    rows = {r["media_id"]: r for r in got.collect()}
+    # planted: frames 4..7 identical → 3 static pairs, 4-frame run
+    assert all(rows[m]["n_static_pairs"] == 3 for m in range(24))
+    assert all(rows[m]["longest_freeze_frames"] == 4 for m in range(24))
+
+
+def test_video_freeze_known_cases(spark):
+    """Pins: a freeze-free clip reports zero pairs and run 1; a
+    single-frame video has NULL freeze_frac."""
+    from osmapreduceproject_spark.operators.multimodal import (
+        arith_video_frames_frozen,
+        video_freeze_detect,
+    )
+
+    clean = arith_video_frames_frozen(
+        spark, n_videos=2, n_frames=6, freeze_from=0, freeze_len=1
+    )
+    rows = video_freeze_detect(clean).collect()
+    assert all(r["n_static_pairs"] == 0 for r in rows)
+    assert all(r["longest_freeze_frames"] == 1 for r in rows)
+    one = arith_video_frames_frozen(
+        spark, n_videos=1, n_frames=1, freeze_from=0, freeze_len=1
+    )
+    r1 = video_freeze_detect(one).first()
+    assert r1["freeze_frac"] is None and r1["n_frames"] == 1
+
+
+def test_audio_envelope_periodicity_oracle(spark, duck):
+    """Planted 4-frame AM cycle: the oracle regenerates every sample,
+    frames the envelope, and replays the per-lag integer-moment ACF."""
+    from osmapreduceproject_spark.operators.multimodal import (
+        arith_raw_audio_am,
+        audio_envelope_periodicity,
+    )
+
+    clips = arith_raw_audio_am(spark, n=32, n_samples=2048)
+    got = audio_envelope_periodicity(clips, frame=64, max_lag=8)
+    lag_cols = ", ".join(
+        f"lag(amp, {k}) OVER w AS u{k}" for k in range(1, 9)
+    )
+    lag_case = " ".join(
+        f"WHEN {k} THEN u{k}" for k in range(1, 9)
+    )
+    sql = f"""
+    WITH t AS (SELECT unnest(range(32)) AS m),
+    s AS (SELECT m, unnest(range(2048)) AS i FROM t),
+    v AS (SELECT m, i,
+            CASE WHEN (i // 64) % 4 < 2 THEN 127 + (17*m + i) % 3
+                 ELSE (17*m + 11*i + (i*i) % 89) % 256 END AS val
+          FROM s),
+    env AS (SELECT m, i // 64 AS fr, SUM(abs(val - 128)) AS amp
+            FROM v GROUP BY 1, 2),
+    l AS (SELECT m, fr, amp, {lag_cols}
+          FROM env WINDOW w AS (PARTITION BY m ORDER BY fr)),
+    st AS (SELECT m, lg.lag AS lag, amp AS x,
+                  CASE lg.lag {lag_case} END AS y
+           FROM l, (SELECT unnest(range(1, 9)) AS lag) lg
+           WHERE CASE lg.lag {lag_case} END IS NOT NULL),
+    mo AS (SELECT m, lag, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                  SUM(CAST(x AS HUGEINT) * x) AS sxx,
+                  SUM(CAST(y AS HUGEINT) * y) AS syy,
+                  SUM(CAST(x AS HUGEINT) * y) AS sxy
+           FROM st GROUP BY 1, 2),
+    fin AS (SELECT *,
+              n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx AS vx,
+              n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy AS vy
+            FROM mo),
+    acf AS (SELECT m, lag,
+              CASE WHEN n >= 2 AND vx > 0 AND vy > 0 THEN
+                round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+                      / sqrt(vx * vy), 6)
+              END AS a
+            FROM fin),
+    best AS (SELECT m, lag, a,
+               ROW_NUMBER() OVER (PARTITION BY m ORDER BY a DESC, lag ASC) AS rn
+             FROM acf WHERE a IS NOT NULL),
+    nf AS (SELECT m, COUNT(*) AS n_frames FROM env GROUP BY m)
+    SELECT CAST(nf.m AS BIGINT) AS media_id,
+           CAST(n_frames AS BIGINT) AS n_frames,
+           CAST(b.lag AS INTEGER) AS best_lag, b.a AS best_acf
+    FROM nf LEFT JOIN (SELECT m, lag, a FROM best WHERE rn = 1) b
+    ON b.m = nf.m
+    """
+    assert compare(got, duck.execute(sql).df()) == []
+    rows = {r["media_id"]: r for r in got.collect()}
+    # the best lag is a multiple of the planted period (the lag-8
+    # harmonic legitimately competes with the fundamental)
+    assert all(rows[m]["best_lag"] % 4 == 0 for m in range(32))
+    assert all(rows[m]["best_acf"] > 0.9 for m in range(32))
+    # with the harmonic out of range the fundamental wins exactly
+    fund = audio_envelope_periodicity(clips, frame=64, max_lag=5)
+    assert all(r["best_lag"] == 4 for r in fund.collect())
+
+
+def test_audio_envelope_degenerate(spark):
+    """Pin: a constant-envelope clip (digital silence) has no usable
+    lag → NULL best_lag/best_acf."""
+    from osmapreduceproject_spark.operators.multimodal import (
+        arith_raw_audio_silence,
+        audio_envelope_periodicity,
+    )
+
+    pure = arith_raw_audio_silence(spark, n=2, n_samples=2048)
+    rows = audio_envelope_periodicity(pure, frame=64, max_lag=4).collect()
+    assert all(r["n_frames"] == 32 for r in rows)
