@@ -1061,3 +1061,55 @@ def cluster_size_stats(
     ).select(
         "cluster_size", "n_clusters", F.col("n_docs").cast("bigint").alias("n_docs")
     )
+
+
+def lsh_bucket_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+    hash_family: str = "md5",
+) -> DataFrame:
+    """Per-band health report of the MinHash LSH index: bucket count,
+    occupancy, the largest bucket, the singleton fraction, and the
+    exact candidate-pair mass Σ c·(c−1)/2 each band would emit — the
+    "is my banding parameterization sane" audit read BEFORE running
+    :func:`minhash_lsh_pairs` at scale (one mega-bucket in one band
+    IS the quadratic blowup; a ~100% singleton rate means the bands
+    are too selective to recall anything). The index-side companion
+    to q168's estimator-accuracy calibration.
+
+    Reuses the exact candidate-generation core (:func:`_band_buckets`
+    — same signatures, same banding the pair join consumes), then
+    aggregates ONLY bucket counts: pairs are COUNTED via c·(c−1)/2 in
+    DECIMAL(38,0), never materialized, so the report costs one
+    (band, hash) groupBy however skewed the buckets are. Returns one
+    row per band: (band, n_docs, n_buckets, max_bucket_size,
+    singleton_frac, mean_bucket_size, candidate_pairs), 6-decimal.
+    """
+    buckets = _band_buckets(df, id_col, text_col, num_hashes, bands, k, hash_family)
+    sizes = buckets.groupBy("band", "bh").agg(F.count(F.lit(1)).alias("__c"))
+    cd = F.col("__c").cast("decimal(38,0)")
+    agg = sizes.groupBy("band").agg(
+        F.sum("__c").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.max("__c").alias("max_bucket_size"),
+        F.sum((F.col("__c") == 1).cast("bigint")).alias("__singletons"),
+        # Σ c·(c−1) stays integral in DECIMAL(38,0); halve once after
+        F.sum(cd * (cd - 1)).alias("__pairs2"),
+    )
+    return agg.select(
+        "band",
+        "n_docs",
+        "n_buckets",
+        "max_bucket_size",
+        F.round(
+            F.col("__singletons").cast("double") / F.col("n_buckets"), 6
+        ).alias("singleton_frac"),
+        F.round(
+            F.col("n_docs").cast("double") / F.col("n_buckets"), 6
+        ).alias("mean_bucket_size"),
+        (F.col("__pairs2") / 2).cast("bigint").alias("candidate_pairs"),
+    )

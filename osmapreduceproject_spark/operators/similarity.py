@@ -935,3 +935,62 @@ def silhouette_report(
             F.round(F.sum("__sq").cast("double") / F.count("__sq") / 1_000_000, 6),
         ).alias("mean_silhouette"),
     )
+
+
+def knn_graph_stats(
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Health report of the directed k-nearest-neighbor graph over an
+    embedding corpus: reciprocity (what fraction of edges point both
+    ways — low reciprocity means asymmetric neighborhoods, the classic
+    hubness symptom), the maximum in-degree (hub strength), the count
+    of never-cited vectors (isolated from everyone's top-k — ANN
+    recall suffers exactly there), and the mean edge similarity — the
+    diagnostics an embedding-quality gate reads BEFORE trusting
+    :func:`lsh_topk`/:func:`ivf_topk` recall numbers, since hub-heavy
+    graphs are precisely where bucketed ANN breaks.
+
+    Edges come from the exact :func:`cosine_topk` baseline (broadcast
+    query side — the documented brute shape; swap an ANN edge list in
+    upstream for the 100 TB path, the stats stay the same). Reciprocity
+    is ONE self-equi-join of the edge list on swapped endpoints (edge
+    volume = n·k, never n²); in-degrees are one count; the mean rides
+    exact micro-integer sums of the ROUNDED sims. One row:
+    (n_nodes, k, n_edges, n_reciprocal, reciprocity, max_in_degree,
+    n_isolated, mean_sim), 6-decimal.
+    """
+    edges = cosine_topk(corpus, corpus, k, id_col=id_col, vec_col=vec_col)
+    e = edges.select(
+        F.col("query_id").alias("__q"),
+        F.col("neighbor_id").alias("__n"),
+        F.round(F.col("sim") * 1_000_000).cast("bigint").alias("__sq"),
+    )
+    rev = e.select(F.col("__q").alias("__n"), F.col("__n").alias("__q"))
+    recip = e.join(rev, ["__q", "__n"], "left_semi").count()
+    n_nodes = corpus.select(id_col).distinct().count()
+    indeg = e.groupBy("__n").agg(F.count(F.lit(1)).alias("__d"))
+    cited = indeg.count()
+    max_in = indeg.agg(F.coalesce(F.max("__d"), F.lit(0)).alias("m")).first()["m"]
+    agg = e.agg(
+        F.count(F.lit(1)).alias("n_edges"),
+        F.sum("__sq").alias("__ssim"),
+    ).first()
+    from .stats import _round6_half_away as rnd
+
+    n_edges = int(agg["n_edges"])
+    mean_sim = (
+        None if n_edges == 0 else int(agg["__ssim"]) / n_edges / 1_000_000
+    )
+    return corpus.sparkSession.createDataFrame(
+        [(
+            n_nodes, k, n_edges, recip,
+            rnd(recip / n_edges) if n_edges else None,
+            int(max_in), n_nodes - cited, rnd(mean_sim),
+        )],
+        "n_nodes bigint, k int, n_edges bigint, n_reciprocal bigint, "
+        "reciprocity double, max_in_degree bigint, n_isolated bigint, "
+        "mean_sim double",
+    )

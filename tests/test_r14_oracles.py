@@ -695,3 +695,178 @@ def test_audio_envelope_degenerate(spark):
     pure = arith_raw_audio_silence(spark, n=2, n_samples=2048)
     rows = audio_envelope_periodicity(pure, frame=64, max_lag=4).collect()
     assert all(r["n_frames"] == 32 for r in rows)
+
+
+_KG_DOT = (
+    "list_reduce(list_concat([CAST(0.0 AS DOUBLE)], "
+    "list_transform(range(1, 65), i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), "
+    "(x, y) -> x + y)"
+)
+
+
+def test_knn_graph_stats_oracle(spark, duck):
+    """kNN-graph reciprocity/hubness over the exact brute edge list;
+    the oracle replays cosine ranking and the micro-integer sim mean."""
+    from osmapreduceproject_spark.operators.similarity import knn_graph_stats
+
+    got = knn_graph_stats(_t(spark, "embeddings"), k=5)
+    dot = _KG_DOT.format(a="q.embedding", b="c.embedding")
+    nq = _KG_DOT.format(a="q.embedding", b="q.embedding")
+    nc = _KG_DOT.format(a="c.embedding", b="c.embedding")
+    sql = f"""
+    WITH scored AS (
+      SELECT q.vec_id AS qid, c.vec_id AS nid,
+             round({dot} / (sqrt({nq}) * sqrt({nc})), 6) AS sim
+      FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                   ORDER BY sim DESC, nid ASC) AS rn
+      FROM scored),
+    e AS (SELECT qid, nid, CAST(round(sim * 1000000) AS BIGINT) AS sq
+          FROM ranked WHERE rn <= 5),
+    recip AS (SELECT COUNT(*) AS r FROM e a
+              WHERE EXISTS (SELECT 1 FROM e b
+                            WHERE b.qid = a.nid AND b.nid = a.qid)),
+    indeg AS (SELECT nid, COUNT(*) AS d FROM e GROUP BY nid),
+    nn AS (SELECT COUNT(DISTINCT vec_id) AS n_nodes FROM embeddings),
+    ea AS (SELECT COUNT(*) AS n_edges, SUM(sq) AS ssim FROM e),
+    ind AS (SELECT COALESCE(MAX(d), 0) AS mx, COUNT(*) AS cited FROM indeg)
+    SELECT nn.n_nodes, CAST(5 AS INTEGER) AS k,
+           CAST(ea.n_edges AS BIGINT) AS n_edges,
+           CAST(recip.r AS BIGINT) AS n_reciprocal,
+           CASE WHEN ea.n_edges > 0 THEN
+             round(CAST(recip.r AS DOUBLE) / ea.n_edges, 6) END AS reciprocity,
+           CAST(ind.mx AS BIGINT) AS max_in_degree,
+           CAST(nn.n_nodes - ind.cited AS BIGINT) AS n_isolated,
+           CASE WHEN ea.n_edges > 0 THEN
+             round(CAST(ssim AS DOUBLE) / ea.n_edges / 1000000, 6)
+           END AS mean_sim
+    FROM nn, ea, recip, ind
+    """
+    assert compare(got, duck.execute(sql).df()) == []
+    row = got.first()
+    assert row["n_edges"] == row["n_nodes"] * 5
+    assert 0.0 <= row["reciprocity"] <= 1.0
+    assert row["n_reciprocal"] % 2 == 0  # mutual edges come in pairs
+
+
+def test_knn_graph_known_case(spark):
+    """Pin: two tight clusters of 3 identical-direction vectors with
+    k=2 → every edge reciprocal, no hubs beyond k, nobody isolated."""
+    from osmapreduceproject_spark.operators.similarity import knn_graph_stats
+
+    rows = []
+    for i in range(3):
+        rows.append((i, [1.0, 0.0, 0.0, float(i) * 1e-9]))
+    for i in range(3, 6):
+        rows.append((i, [0.0, 1.0, 0.0, float(i) * 1e-9]))
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    r = knn_graph_stats(df, k=2, vec_col="embedding").first()
+    assert r["n_nodes"] == 6 and r["n_edges"] == 12
+    assert r["reciprocity"] == 1.0 and r["n_isolated"] == 0
+    assert r["max_in_degree"] == 2
+
+
+def test_lsh_bucket_stats_oracle(spark, duck):
+    """Band-bucket occupancy over the exact q31 signature machinery;
+    the oracle reuses the shared minhash CTE's buckets."""
+    from osmapreduceproject_spark.operators.dedup import lsh_bucket_stats
+    from osmapreduceproject_spark.queries import _minhash_cte
+
+    got = lsh_bucket_stats(_t(spark, "documents"), num_hashes=16, bands=4)
+    sql = f"""
+    WITH {_minhash_cte(16, 4)},
+    bsizes AS (SELECT band, bh, COUNT(*) AS c FROM buckets GROUP BY 1, 2),
+    a AS (SELECT band, SUM(c) AS n_docs, COUNT(*) AS n_buckets,
+                 MAX(c) AS mx,
+                 SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS singles,
+                 SUM(CAST(c AS HUGEINT) * (c - 1)) AS p2
+          FROM bsizes GROUP BY band)
+    SELECT CAST(band AS INTEGER) AS band, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_buckets AS BIGINT) AS n_buckets,
+           CAST(mx AS BIGINT) AS max_bucket_size,
+           round(CAST(singles AS DOUBLE) / n_buckets, 6) AS singleton_frac,
+           round(CAST(n_docs AS DOUBLE) / n_buckets, 6) AS mean_bucket_size,
+           CAST(p2 / 2 AS BIGINT) AS candidate_pairs
+    FROM a
+    """
+    assert compare(got, duck.execute(sql).df()) == []
+    pdf = got.toPandas()
+    assert len(pdf) == 4 and (pdf.n_docs == 500).all()
+    assert (pdf.candidate_pairs >= 0).all()
+
+
+def test_lsh_bucket_known_case(spark):
+    """Pin: 4 identical docs + 2 unique ones in one band land as one
+    4-bucket (6 candidate pairs) + singletons."""
+    from osmapreduceproject_spark.operators.dedup import lsh_bucket_stats
+
+    docs = [(i, "alpha beta gamma delta epsilon zeta") for i in range(4)]
+    docs += [(10, "one two three four five six"),
+             (11, "seven eight nine ten eleven twelve")]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    out = {r["band"]: r for r in lsh_bucket_stats(df, num_hashes=8, bands=2).collect()}
+    for b in (0, 1):
+        assert out[b]["n_docs"] == 6
+        assert out[b]["max_bucket_size"] == 4
+        assert out[b]["candidate_pairs"] == 6
+        assert out[b]["n_buckets"] == 3 and out[b]["singleton_frac"] == round(2 / 3, 6)
+
+
+import os as _os  # noqa: E402
+
+
+@pytest.mark.skipif(
+    not _os.environ.get("SPARK_GRAFT_SCALE"),
+    reason="scale smoke: set SPARK_GRAFT_SCALE=1 (10M p-values through BH)",
+)
+def test_benjamini_hochberg_scale_smoke(spark):
+    """10M p-values, ~1M distinct micro-units, through the step-up
+    selection: with p ~ U(0,1) from the engine-hash mix and α = 0.05,
+    BH on a null-uniform sample rejects only a vanishing prefix; the
+    invariants n_rejected ≤ m and threshold ≤ α hold at volume.
+    Evidences the ranged-cumsum machinery on a 10M-row pool with a
+    million-value distinct frame — never a global sort."""
+    from osmapreduceproject_spark.operators.stats import benjamini_hochberg
+
+    df = spark.range(10_000_000).select(
+        (F.pmod(F.xxhash64(F.col("id")), F.lit(1_000_003)).cast("double")
+         / 1_000_003.0).alias("p")
+    )
+    r = benjamini_hochberg(df, "p", alpha=0.05).first()
+    assert r["m"] == 10_000_000 and r["n_invalid"] == 0
+    assert r["n_rejected"] <= r["m"]
+    if r["p_threshold"] is not None:
+        assert r["p_threshold"] <= 0.05
+
+
+@pytest.mark.skipif(
+    not _os.environ.get("SPARK_GRAFT_SCALE"),
+    reason="scale smoke: set SPARK_GRAFT_SCALE=1 (500k frames through freeze detect)",
+)
+def test_video_freeze_scale_smoke(spark):
+    """2,000 videos × 250 frames (500k frames, ~288 MB of payload)
+    through the checksum + island path: every video carries the same
+    planted 10-frame freeze — exactly 9 static pairs and a 10-frame
+    longest run, at volume. Evidences that only (video, idx, checksum)
+    triplets leave the Arrow decode and the windows hash on the video
+    key."""
+    from osmapreduceproject_spark.operators.multimodal import (
+        arith_video_frames_frozen,
+        video_freeze_detect,
+    )
+
+    frames = arith_video_frames_frozen(
+        spark, n_videos=2_000, n_frames=250, freeze_from=100, freeze_len=10
+    )
+    out = video_freeze_detect(frames)
+    agg = out.agg(
+        F.count(F.lit(1)).alias("vids"),
+        F.min("n_static_pairs").alias("mn"),
+        F.max("n_static_pairs").alias("mx"),
+        F.min("longest_freeze_frames").alias("lmn"),
+        F.max("longest_freeze_frames").alias("lmx"),
+    ).first()
+    assert agg["vids"] == 2_000
+    assert agg["mn"] == 9 and agg["mx"] == 9
+    assert agg["lmn"] == 10 and agg["lmx"] == 10
