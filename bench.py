@@ -227,6 +227,25 @@ BENCH_QUERIES = [
     "q272_late_arrival_report",  # ranged prefix-max watermark + window agg
     "q273_distribution_shape",  # one quantized 4-moment scan, scalar out
     "q274_active_user_rollup",  # user-day collapse + bounded horizon explode
+    # r12 additions (SURVEY §8 r12 map): the 12 r12-new declarations join
+    # the headline set the round they land — subtract these for
+    # like-for-like totals vs r11. Expected-expensive newcomers: q280/
+    # q281 (full resample grid + per-position moments / 3-lag ACF — the
+    # q246 family), q282 (interval cell explode + anti cell join), q283
+    # (16-centroid broadcast scoring over every embedding), q287-family
+    # rank machinery in q275's pool scan is cheap (documents-scale).
+    "q275_odds_ratio",  # one conditional-count scan, closed-form CI
+    "q276_chi2_gof",  # one count groupBy + DECIMAL moment, scalar out
+    "q277_trimmed_mean",  # exact percentile cuts + conditional scan
+    "q278_group_diversity",  # (group,cat) count + quantized entropy terms
+    "q279_max_concurrency",  # endpoint explode + per-key running sum
+    "q280_seasonal_decompose",  # grid + per-position moments + bounded fold
+    "q281_ljung_box",  # grid + 3-lag ACF + quantized term sum
+    "q282_coverage_gap_join",  # interval cell explode + anti cell join
+    "q283_silhouette_report",  # broadcast centroids + per-vector top-2
+    "q284_audio_snr",  # PCM frame mass + floor/signal split (Arrow)
+    "q285_image_exposure",  # luma histogram + entropy terms in-batch (Arrow)
+    "q286_tokenizer_fertility",  # three narrow counters + per-source agg
     "conf_sort_seeded",
     "conf_max_seeded",
 ]
@@ -664,7 +683,17 @@ def main() -> None:
             "(bounded horizon explode on the collapsed user-day frame); "
             "the three multimodal QC entries (q260/q261/q268) and q247 "
             "are fixture-scale - their timings are mostly Arrow "
-            "mapInPandas spin-up, not data."
+            "mapInPandas spin-up, not data. "
+            "r12 adds the 12 r12-new declarations q275-q286 to the "
+            "headline set (SURVEY r12 map) - subtract those twelve for "
+            "like-for-like totals vs r11. Expected-expensive by "
+            "construction among them: q280/q281 (full resample grid + "
+            "per-position moments / 3-lag quantized ACF - the q246 "
+            "family), q282 (interval cell explode + anti cell join, the "
+            "q241 machinery), q283 (16-centroid broadcast scoring over "
+            "every embedding + per-vector top-2); q284/q285 are "
+            "fixture-scale Arrow spin-up; q275-q278/q286 are "
+            "single-scan scalar reports."
         ),
         "reference": reference_timings(),
         "sched_floor_s": sched_floor_probe(spark),
