@@ -1631,11 +1631,15 @@ def video_freeze_detect(frames: DataFrame) -> DataFrame:
     the decode; byte-identical frames ALWAYS match, and distinct
     frames collide only on an adversarial checksum collision —
     documented, the fixture and any real stuck-capture case are
-    collision-free). One per-video lag window marks static pairs, the
-    lag-gap island pattern (:func:`audio_clipping_report`) sizes the
-    longest run. Single-frame videos emit zero pairs and NULL
-    fraction. Returns (media_id, n_frames, n_static_pairs,
-    freeze_frac, longest_freeze_frames), 6-decimal.
+    collision-free). One per-video lag window marks static pairs — a
+    pair counts only when the ``frame_idx`` delta is exactly 1, so the
+    pair notion and the island splitter's gap rule agree on what
+    "consecutive" means even for sampled/non-contiguous frame indices
+    (review finding, r12) — and the lag-gap island pattern
+    (:func:`audio_clipping_report`) sizes the longest run.
+    Single-frame videos emit zero pairs and NULL fraction. Returns
+    (media_id, n_frames, n_static_pairs, freeze_frac,
+    longest_freeze_frames), 6-decimal.
     """
     from pyspark.sql import Window
 
@@ -1662,12 +1666,23 @@ def video_freeze_detect(frames: DataFrame) -> DataFrame:
         run, "media_id long, frame_idx int, cksum long"
     )
     w = Window.partitionBy("media_id").orderBy(F.col("frame_idx").asc())
-    lagged = sums.withColumn("__pc", F.lag("cksum").over(w))
+    lagged = sums.withColumn("__pc", F.lag("cksum").over(w)).withColumn(
+        "__pf", F.lag("frame_idx").over(w)
+    )
+    # a static PAIR requires frame_idx delta == 1, matching the island
+    # splitter's gap > 1 rule — otherwise a sampled video (even indices
+    # only) would mark row-adjacent pairs static but fragment every run
+    # (review finding, r12)
     marked = lagged.select(
         "media_id",
         "frame_idx",
-        F.when(F.col("__pc").isNotNull(), (F.col("cksum") == F.col("__pc")).cast("int"))
-        .alias("__static"),
+        F.when(
+            F.col("__pc").isNotNull(),
+            (
+                (F.col("cksum") == F.col("__pc"))
+                & (F.col("frame_idx") - F.col("__pf") == 1)
+            ).cast("int"),
+        ).alias("__static"),
     )
     # islands over the static-pair indices (gap > 1 starts a new run)
     st = marked.where(F.col("__static") == 1)
@@ -1805,55 +1820,20 @@ def audio_envelope_periodicity(
                 )
             yield pd.DataFrame(rows, columns=["media_id", "fr", "amp"])
 
+    from .windows import _unpivot_lag_pearson
+
     env = df.select("media_id", "payload").mapInPandas(
         run, "media_id long, fr int, amp long"
     )
     w = Window.partitionBy("media_id").orderBy(F.col("fr").asc())
     lag_cols = [
-        F.lag(F.col("amp"), k).over(w).alias(f"__lag{k}")
+        F.lag(F.col("amp"), k).over(w).alias(f"__s{k - 1}")
         for k in range(1, max_lag + 1)
     ]
     wide = env.select("media_id", F.col("amp").alias("__v"), *lag_cols)
-    stacked = wide.select(
-        "media_id",
-        "__v",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(k).alias("lag"), F.col(f"__lag{k}").alias("__u")
-                    )
-                    for k in range(1, max_lag + 1)
-                ]
-            )
-        ).alias("__p"),
-    ).select(
-        "media_id", F.col("__p.lag").alias("lag"), "__v",
-        F.col("__p.__u").alias("__u"),
-    ).where(F.col("__u").isNotNull())
-    dec = "decimal(38,0)"
-    sums = stacked.groupBy("media_id", "lag").agg(
-        F.count(F.lit(1)).alias("n_pairs"),
-        F.sum("__v").alias("__sx"),
-        F.sum("__u").alias("__sy"),
-        F.sum(F.col("__v").cast(dec) * F.col("__v")).alias("__sxx"),
-        F.sum(F.col("__u").cast(dec) * F.col("__u")).alias("__syy"),
-        F.sum(F.col("__v").cast(dec) * F.col("__u")).alias("__sxy"),
-    )
-    n = F.col("n_pairs").cast("double")
-    sx, sy = F.col("__sx").cast("double"), F.col("__sy").cast("double")
-    sxx, syy = F.col("__sxx").cast("double"), F.col("__syy").cast("double")
-    sxy = F.col("__sxy").cast("double")
-    vx = n * sxx - sx * sx
-    vy = n * syy - sy * sy
-    acf = sums.select(
-        "media_id",
-        "lag",
-        F.when(
-            (F.col("n_pairs") >= 2) & (vx > 0) & (vy > 0),
-            F.round((n * sxy - sx * sy) / F.sqrt(vx * vy), 6),
-        ).alias("__acf"),
-    )
+    acf = _unpivot_lag_pearson(
+        wide, ["media_id"], list(range(1, max_lag + 1)), "__acf", scale=None
+    ).drop("n_pairs")
     n_frames = env.groupBy("media_id").agg(F.count(F.lit(1)).alias("n_frames"))
     wb = Window.partitionBy("media_id").orderBy(
         F.col("__acf").desc_nulls_last(), F.col("lag").asc()

@@ -962,11 +962,23 @@ def knn_graph_stats(
     (n_nodes, k, n_edges, n_reciprocal, reciprocity, max_in_degree,
     n_isolated, mean_sim), 6-decimal.
     """
+    from ..plans.inspect import (
+        intermediates_mark,
+        release_intermediates_since,
+        tracked_persist,
+    )
+
     edges = cosine_topk(corpus, corpus, k, id_col=id_col, vec_col=vec_col)
-    e = edges.select(
-        F.col("query_id").alias("__q"),
-        F.col("neighbor_id").alias("__n"),
-        F.round(F.col("sim") * 1_000_000).cast("bigint").alias("__sq"),
+    mark = intermediates_mark()
+    # the edge list feeds FIVE actions (reciprocity semi-join probes it
+    # twice more) — persist once so the O(n·n) brute scoring runs once,
+    # not per action (review finding, r12)
+    e = tracked_persist(
+        edges.select(
+            F.col("query_id").alias("__q"),
+            F.col("neighbor_id").alias("__n"),
+            F.round(F.col("sim") * 1_000_000).cast("bigint").alias("__sq"),
+        )
     )
     rev = e.select(F.col("__q").alias("__n"), F.col("__n").alias("__q"))
     recip = e.join(rev, ["__q", "__n"], "left_semi").count()
@@ -978,6 +990,7 @@ def knn_graph_stats(
         F.count(F.lit(1)).alias("n_edges"),
         F.sum("__sq").alias("__ssim"),
     ).first()
+    release_intermediates_since(mark)
     from .stats import _round6_half_away as rnd
 
     n_edges = int(agg["n_edges"])

@@ -613,7 +613,7 @@ def welch_ttest(
             dof = (se2 * se2) / (
                 vn_a * vn_a / (n_a - 1) + vn_b * vn_b / (n_b - 1)
             )
-    rnd = lambda v: None if v is None else round(v, 6)  # noqa: E731
+    rnd = _round6_half_away  # half-away like the oracle (r12 retrofit)
     return df.sparkSession.createDataFrame(
         [(n_a, n_b, rnd(mean_a), rnd(mean_b), rnd(t), rnd(dof))],
         "n_a bigint, n_b bigint, mean_a double, mean_b double, "
@@ -870,8 +870,9 @@ def bootstrap_mean_ci(
     hi_rank = max(1, math.ceil((1 - alpha / 2) * len(means)))
     return df.sparkSession.createDataFrame(
         [(
-            n, round(mean, 6),
-            round(means[lo_rank - 1], 6), round(means[hi_rank - 1], 6),
+            n, _round6_half_away(mean),
+            _round6_half_away(means[lo_rank - 1]),
+            _round6_half_away(means[hi_rank - 1]),
             n_resamples,
         )],
         "n bigint, mean double, ci_lo double, ci_hi double, n_resamples int",
@@ -1671,7 +1672,7 @@ def brown_forsythe_test(
         )
         if within > 0:
             f_stat = between / (within / (na + nb - 2))
-    rnd = lambda x: None if x is None else round(x, 6)  # noqa: E731
+    rnd = _round6_half_away  # half-away like the oracle (r12 retrofit)
     return df.sparkSession.createDataFrame(
         [
             (
@@ -1875,7 +1876,7 @@ def kruskal_wallis(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
         ssb = sb - cf
         if sst > 0:
             h = (n_total - 1) * ssb / sst
-    rnd = lambda x: None if x is None else round(x, 6)  # noqa: E731
+    rnd = _round6_half_away  # half-away like the oracle (r12 retrofit)
     return df.sparkSession.createDataFrame(
         [(n_total, k, max(k - 1, 0), rnd(h))],
         "n bigint, n_groups bigint, dof bigint, h_stat double",
@@ -1932,7 +1933,7 @@ def anova_oneway(
         ssw = float(srr) - sb
         if ssw > 0:
             f_stat = (ssb / (k - 1)) / (ssw / (n_total - k))
-    rnd = lambda x: None if x is None else round(x, 6)  # noqa: E731
+    rnd = _round6_half_away  # half-away like the oracle (r12 retrofit)
     return df.sparkSession.createDataFrame(
         [(n_total, k, max(k - 1, 0), max(n_total - k, 0), rnd(f_stat))],
         "n bigint, n_groups bigint, dof_between bigint, dof_within bigint, "
@@ -1991,7 +1992,7 @@ def cohens_d(
         if sp2 > 0:
             sd = math.sqrt(sp2)
             d = (mean_b - mean_a) / sd
-    rnd = lambda v_: None if v_ is None else round(v_, 6)  # noqa: E731
+    rnd = _round6_half_away  # half-away like the oracle (r12 retrofit)
     return df.sparkSession.createDataFrame(
         [(n_a, n_b, rnd(mean_a), rnd(mean_b), rnd(sd), rnd(d))],
         "n_a bigint, n_b bigint, mean_a double, mean_b double, "
@@ -2216,7 +2217,7 @@ def distribution_shape_report(
             skew = m3n / (m2n ** 1.5)
             kurt = m4n / (m2n * m2n) - 3.0
             jb = n / 6.0 * (skew * skew + kurt * kurt / 4.0)
-    rnd = lambda v: None if v is None else round(v, 6)  # noqa: E731
+    rnd = _round6_half_away  # half-away like the oracle (r12 retrofit)
     return df.sparkSession.createDataFrame(
         [(n, rnd(mean), rnd(skew), rnd(kurt), rnd(jb))],
         "n bigint, mean double, skewness double, kurtosis_excess double, "
@@ -2539,6 +2540,12 @@ def friedman_test(
     All-tied blocks throughout → NULL Q. One row:
     (n_blocks, n_blocks_dropped, k_treatments, dof, q_stat).
     """
+    from ..plans.inspect import (
+        intermediates_mark,
+        release_intermediates_since,
+        tracked_persist,
+    )
+
     dec = "decimal(38,0)"
     v = F.col(value_col).cast("double")
     pool = df.where(v.isNotNull() & ~F.isnan(v)).select(
@@ -2546,13 +2553,19 @@ def friedman_test(
         F.col(treatment_col).alias("__t"),
         F.round(v * scale).cast(dec).alias("__vq"),
     )
-    cell = pool.groupBy("__b", "__t").agg(
-        F.sum("__vq").alias("__s"), F.count(F.lit(1)).alias("__c")
+    mark = intermediates_mark()
+    # the cell frame feeds the k-count, the block sizes, and BOTH sides
+    # of the k×k comparison join — persist once so the input scans once,
+    # not five times (review finding, r12)
+    cell = tracked_persist(
+        pool.groupBy("__b", "__t").agg(
+            F.sum("__vq").alias("__s"), F.count(F.lit(1)).alias("__c")
+        )
     )
     k = cell.select("__t").distinct().count()  # bounded: treatment levels
     sizes = cell.groupBy("__b").agg(F.count(F.lit(1)).alias("__kt"))
     n_total = sizes.count()
-    complete = sizes.where(F.col("__kt") == k).select("__b")
+    complete = tracked_persist(sizes.where(F.col("__kt") == k).select("__b"))
     n_blocks = complete.count()
     dropped = n_total - n_blocks
     q_stat = None
@@ -2573,8 +2586,13 @@ def friedman_test(
         # tied block occupies ranks L+1..L+T (L = #strictly-below,
         # T = Σ__eq = #equal INCLUDING self) → midrank L + (T+1)/2,
         # doubled = 2L + T + 1 — integer by construction:
-        ranks = cmpj.groupBy("__b", "__ta").agg(
-            (F.lit(2) * F.sum("__less") + F.sum("__eq") + F.lit(1)).alias("__r2")
+        # ranks feeds both the per-treatment sums and the total moment
+        ranks = tracked_persist(
+            cmpj.groupBy("__b", "__ta").agg(
+                (F.lit(2) * F.sum("__less") + F.sum("__eq") + F.lit(1)).alias(
+                    "__r2"
+                )
+            )
         )
         per_t = ranks.groupBy("__ta").agg(
             F.sum(F.col("__r2").cast(dec)).alias("__rsum")
@@ -2588,6 +2606,7 @@ def friedman_test(
         den = int(tot["__rr"]) - n_blocks * k * (k + 1) * (k + 1)
         if den > 0:
             q_stat = (k - 1) * float(num) / float(den)
+    release_intermediates_since(mark)
     rnd = _round6_half_away
     return df.sparkSession.createDataFrame(
         [(n_blocks, dropped, k, max(k - 1, 0), rnd(q_stat))],
@@ -2630,7 +2649,13 @@ def benjamini_hochberg(
     pool = base.where((v >= 0.0) & (v <= 1.0)).select(
         F.round(v * scale).cast("bigint").alias("__pq")
     )
-    invalid = base.where((v < 0.0) | (v > 1.0)).count()
+    # lazy one-row aggregate, not an eager .count() — the operator
+    # stays plan-only until the caller acts (review finding, r12)
+    inv_frame = base.agg(
+        F.coalesce(
+            F.sum(((v < 0.0) | (v > 1.0)).cast("bigint")), F.lit(0)
+        ).alias("__inv")
+    )
     aq = int(round(float(alpha) * scale))
     per = pool.groupBy("__pq").agg(F.count(F.lit(1)).alias("__cn"))
     cum = _ranged_cumsum(per, "__pq", ["__cn"])
@@ -2644,9 +2669,9 @@ def benjamini_hochberg(
             F.max(F.when(passing, F.col("__cum___cn"))), F.lit(0)
         ).alias("n_rejected"),
     )
-    return sel.select(
+    return sel.crossJoin(F.broadcast(inv_frame)).select(
         F.coalesce(F.col("m"), F.lit(0)).cast("bigint").alias("m"),
-        F.lit(invalid).cast("bigint").alias("n_invalid"),
+        F.col("__inv").cast("bigint").alias("n_invalid"),
         F.lit(float(alpha)).alias("alpha"),
         F.col("n_rejected").cast("bigint"),
         (F.col("__thr").cast("double") / scale).alias("p_threshold"),

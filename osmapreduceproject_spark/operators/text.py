@@ -1686,7 +1686,8 @@ def heaps_law_fit(
     step happens once per group, integer arithmetic after), and the
     closed-form OLS runs over exact DECIMAL(38,0) moments of the
     BOUNDED per-group rows into fixed-order IEEE divisions. Groups
-    with zero tokens drop (ln undefined); < 2 usable groups or zero
+    with zero tokens drop AT THE EXPLODE (they emit no token rows, so
+    ln never sees them); < 2 usable groups or zero
     x-variance (all groups the same size) → NULL fit. Returns one row:
     (n_groups, heaps_beta, heaps_log_c, r2), 6-decimal.
     """
@@ -1695,10 +1696,12 @@ def heaps_law_fit(
         F.col(group_col).alias("__g"),
         F.explode(tokens(F.col(text_col))).alias("__t"),
     )
+    # zero-token groups never reach the groupBy (explode emits no rows
+    # for them), so every __n here is >= 1 and ln() is defined
     per = toks.groupBy("__g").agg(
         F.count(F.lit(1)).alias("__n"),
         F.count_distinct(F.col("__t")).alias("__v"),
-    ).where(F.col("__n") > 0)
+    )
     pts = per.select(
         F.round(F.log(F.col("__n").cast("double")) * scale).cast(dec).alias("__x"),
         F.round(F.log(F.col("__v").cast("double")) * scale).cast(dec).alias("__y"),

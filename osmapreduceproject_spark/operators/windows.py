@@ -887,6 +887,85 @@ def holt_linear(
     )
 
 
+def _unpivot_lag_pearson(
+    wide: DataFrame,
+    part_cols: list[str],
+    labels: list[int],
+    out_col: str,
+    scale: int | None,
+) -> DataFrame:
+    """THE lag-unpivot + quantized-integer-moment Pearson core, shared
+    by :func:`series_autocorrelation`, :func:`lagged_crosscorr`, and
+    multimodal.audio_envelope_periodicity (the r12 consolidation — the
+    r10 precedent for :func:`~.stats._ranged_cumsum`: one copy of the
+    subtle parts, not three). ``wide`` carries ``part_cols``, the base
+    series as ``__v``, and one pre-shifted column ``__s{i}`` per entry
+    of ``labels`` (the caller owns the window and the lag/lead
+    direction so graded plans keep their exact shift expressions).
+
+    Pairs where EITHER side is NULL drop — the shifted side running
+    off the span, or a NULL-VALUED slot on either side (the ADVICE-r11
+    phantom-observation class: counting a row whose x-moments are
+    skipped biases every denominator). ``scale`` quantizes doubles to
+    micro-integers; ``None`` means the inputs are already exact
+    integers. Per-operand DECIMAL(38,0) casts precede every product
+    (the corr_matrix overflow recipe). Returns
+    (*part_cols, lag, n_pairs, <out_col>), 6-decimal.
+    """
+    stacked = wide.select(
+        *part_cols,
+        "__v",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(lb).alias("lag"), F.col(f"__s{i}").alias("__u")
+                    )
+                    for i, lb in enumerate(labels)
+                ]
+            )
+        ).alias("__p"),
+    ).select(
+        *part_cols, F.col("__p.lag").alias("lag"), "__v",
+        F.col("__p.__u").alias("__u"),
+    ).where(F.col("__u").isNotNull() & F.col("__v").isNotNull())
+    if scale is None:
+        xq = F.col("__v").cast("bigint")
+        yq = F.col("__u").cast("bigint")
+    else:
+        xq = F.round(F.col("__v") * scale).cast("bigint")
+        yq = F.round(F.col("__u") * scale).cast("bigint")
+    sums = stacked.select(
+        *part_cols, "lag", xq.alias("__x"), yq.alias("__y")
+    ).groupBy(*part_cols, "lag").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("__x").alias("__sx"),
+        F.sum("__y").alias("__sy"),
+        # per-OPERAND decimal cast (the corr_matrix recipe): the bigint
+        # PRODUCT itself overflows at |value| > ~3037 (xq ≈ 1e10 →
+        # xq² ≈ 1e20 > int64), so the cast must precede the multiply,
+        # not just the sum
+        F.sum(F.col("__x").cast("decimal(38,0)") * F.col("__x")).alias("__sxx"),
+        F.sum(F.col("__y").cast("decimal(38,0)") * F.col("__y")).alias("__syy"),
+        F.sum(F.col("__x").cast("decimal(38,0)") * F.col("__y")).alias("__sxy"),
+    )
+    n = F.col("n_pairs").cast("double")
+    sx, sy = F.col("__sx").cast("double"), F.col("__sy").cast("double")
+    sxx, syy = F.col("__sxx").cast("double"), F.col("__syy").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    return sums.select(
+        *part_cols,
+        "lag",
+        "n_pairs",
+        F.when(
+            (F.col("n_pairs") >= 2) & (vx > 0) & (vy > 0),
+            F.round((n * sxy - sx * sy) / F.sqrt(vx * vy), 6),
+        ).alias(out_col),
+    )
+
+
 def series_autocorrelation(
     df: DataFrame,
     key: str,
@@ -909,64 +988,24 @@ def series_autocorrelation(
     Because :func:`resample_ffill` emits a COMPLETE grid per key,
     shift-by-k is exactly ``F.lag(v, k)`` over the (key, slot) window —
     no self-join per lag: ONE per-key window computes every lag column,
-    an unpivot turns them into (key, lag) rows, and quantized integer
-    moments (the series_correlation convention) finish per group.
-    Degenerate groups (constant series, < 2 pairs) emit NULL. Returns
+    then the shared :func:`_unpivot_lag_pearson` core (r12
+    consolidation) unpivots to (key, lag) rows and finishes with
+    quantized integer moments (the series_correlation convention).
+    Pairs where either slot carries a NULL value drop from n_pairs AND
+    the moments (the ADVICE-r11 convention — a NULL-valued slot from
+    leading NULL observations is not an observation). Degenerate
+    groups (constant series, < 2 pairs) emit NULL. Returns
     (key, lag, n_pairs, acf).
     """
     s = resample_ffill(df, key, ts, value_col, step_seconds)
     w = Window.partitionBy(key).orderBy(F.col("slot_epoch").asc())
     lag_cols = [
-        F.lag(F.col(value_col), k).over(w).alias(f"__lag{k}")
+        F.lag(F.col(value_col), k).over(w).alias(f"__s{k - 1}")
         for k in range(1, max_lag + 1)
     ]
     wide = s.select(key, F.col(value_col).alias("__v"), *lag_cols)
-    stacked = wide.select(
-        key,
-        "__v",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(k).alias("lag"), F.col(f"__lag{k}").alias("__u")
-                    )
-                    for k in range(1, max_lag + 1)
-                ]
-            )
-        ).alias("__p"),
-    ).select(
-        key, F.col("__p.lag").alias("lag"), "__v", F.col("__p.__u").alias("__u")
-    ).where(F.col("__u").isNotNull())
-    xq = F.round(F.col("__v") * scale).cast("bigint")
-    yq = F.round(F.col("__u") * scale).cast("bigint")
-    sums = stacked.select(key, "lag", xq.alias("__x"), yq.alias("__y")).groupBy(
-        key, "lag"
-    ).agg(
-        F.count(F.lit(1)).alias("n_pairs"),
-        F.sum("__x").alias("__sx"),
-        F.sum("__y").alias("__sy"),
-        # per-OPERAND decimal cast (the corr_matrix recipe): the bigint
-        # PRODUCT itself overflows at |value| > ~3037 (xq ≈ 1e10 →
-        # xq² ≈ 1e20 > int64), so the cast must precede the multiply,
-        # not just the sum
-        F.sum(F.col("__x").cast("decimal(38,0)") * F.col("__x")).alias("__sxx"),
-        F.sum(F.col("__y").cast("decimal(38,0)") * F.col("__y")).alias("__syy"),
-        F.sum(F.col("__x").cast("decimal(38,0)") * F.col("__y")).alias("__sxy"),
-    )
-    n = F.col("n_pairs").cast("double")
-    sx, sy = F.col("__sx").cast("double"), F.col("__sy").cast("double")
-    sxx, syy = F.col("__sxx").cast("double"), F.col("__syy").cast("double")
-    sxy = F.col("__sxy").cast("double")
-    vx = n * sxx - sx * sx
-    vy = n * syy - sy * sy
-    return sums.select(
-        key,
-        "lag",
-        "n_pairs",
-        F.when(
-            (F.col("n_pairs") >= 2) & (vx > 0) & (vy > 0),
-            F.round((n * sxy - sx * sy) / F.sqrt(vx * vy), 6),
-        ).alias("acf"),
+    return _unpivot_lag_pearson(
+        wide, [key], list(range(1, max_lag + 1)), "acf", scale
     )
 
 
@@ -1373,8 +1412,13 @@ def lagged_crosscorr(
     shift-by-k is exactly k slots), an unpivot to (key, lag) rows, and
     quantized integer moments (the :func:`series_autocorrelation`
     convention — per-operand DECIMAL casts, one fixed IEEE expression).
-    Pairs where either side is missing (shift ran off the span) drop;
-    degenerate groups (constant series, < 2 pairs) emit NULL. Returns
+    Pairs where EITHER side is missing drop — the shift running off the
+    span, or a NULL-VALUED slot on either side (leading NULL
+    observations, the :func:`mann_kendall`/:func:`seasonal_decompose`
+    scenario — review finding r12: filtering only the shifted side
+    would count phantom A-side slots in n_pairs while the x-moments
+    skip them, the exact ADVICE-r11 bias class). Degenerate groups
+    (constant series, < 2 pairs) emit NULL. Returns
     (key, lag, n_pairs, xcorr), 6-decimal.
     """
     sp = F.col(split_col)
@@ -1395,48 +1439,7 @@ def lagged_crosscorr(
             else F.lag("__vb", -k).over(w)
         )
         shifted.append(col.alias(f"__s{k + max_lag}"))
-    wide = j.select(key, "__va", *shifted)
-    stacked = wide.select(
-        key,
-        "__va",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(k).alias("lag"),
-                        F.col(f"__s{k + max_lag}").alias("__u"),
-                    )
-                    for k in range(-max_lag, max_lag + 1)
-                ]
-            )
-        ).alias("__p"),
-    ).select(
-        key, F.col("__p.lag").alias("lag"), "__va", F.col("__p.__u").alias("__u")
-    ).where(F.col("__u").isNotNull())
-    xq = F.round(F.col("__va") * scale).cast("bigint")
-    yq = F.round(F.col("__u") * scale).cast("bigint")
-    sums = stacked.select(key, "lag", xq.alias("__x"), yq.alias("__y")).groupBy(
-        key, "lag"
-    ).agg(
-        F.count(F.lit(1)).alias("n_pairs"),
-        F.sum("__x").alias("__sx"),
-        F.sum("__y").alias("__sy"),
-        F.sum(F.col("__x").cast("decimal(38,0)") * F.col("__x")).alias("__sxx"),
-        F.sum(F.col("__y").cast("decimal(38,0)") * F.col("__y")).alias("__syy"),
-        F.sum(F.col("__x").cast("decimal(38,0)") * F.col("__y")).alias("__sxy"),
-    )
-    n = F.col("n_pairs").cast("double")
-    sx, sy = F.col("__sx").cast("double"), F.col("__sy").cast("double")
-    sxx, syy = F.col("__sxx").cast("double"), F.col("__syy").cast("double")
-    sxy = F.col("__sxy").cast("double")
-    vx = n * sxx - sx * sx
-    vy = n * syy - sy * sy
-    return sums.select(
-        key,
-        "lag",
-        "n_pairs",
-        F.when(
-            (F.col("n_pairs") >= 2) & (vx > 0) & (vy > 0),
-            F.round((n * sxy - sx * sy) / F.sqrt(vx * vy), 6),
-        ).alias("xcorr"),
+    wide = j.select(key, F.col("__va").alias("__v"), *shifted)
+    return _unpivot_lag_pearson(
+        wide, [key], list(range(-max_lag, max_lag + 1)), "xcorr", scale
     )

@@ -83,9 +83,16 @@ from .queries_r11 import _COHESION_DOT, _COHESION_NORM, _MK_RS_CTE
 )
 def q275(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
+    # NULL text must leave rater_b NULL (excluded by odds_ratio's pool)
+    # like the oracle's len(string_split(NULL)) — bare F.size() returns
+    # -1 on NULL, a non-NULL False the oracle would not count (the q286
+    # F.size convention; review finding, r12)
     rated = d.select(
         (F.col("n_chars") >= 200).alias("rater_a"),
-        (F.size(F.split(F.col("text"), " ")) >= 30).alias("rater_b"),
+        F.when(
+            F.col("text").isNotNull(),
+            F.size(F.split(F.col("text"), " ")) >= 30,
+        ).alias("rater_b"),
     )
     return odds_ratio(rated, "rater_a", "rater_b")
 
@@ -318,7 +325,8 @@ def q280(spark, sf_dir):
     st AS (SELECT k, lg.lag AS lag, value AS v,
                   CASE lg.lag WHEN 1 THEN u1 WHEN 2 THEN u2 ELSE u3 END AS u
            FROM l, (SELECT unnest([1, 2, 3]) AS lag) lg
-           WHERE CASE lg.lag WHEN 1 THEN u1 WHEN 2 THEN u2 ELSE u3 END
+           WHERE value IS NOT NULL
+             AND CASE lg.lag WHEN 1 THEN u1 WHEN 2 THEN u2 ELSE u3 END
                  IS NOT NULL),
     qq AS (SELECT k, lag, CAST(round(v * 1000000) AS BIGINT) AS x,
                   CAST(round(u * 1000000) AS BIGINT) AS y

@@ -292,7 +292,8 @@ def test_series_autocorrelation_oracle(spark, duck):
     st AS (SELECT k, lg.lag AS lag, value AS v,
                   CASE lg.lag WHEN 1 THEN u1 WHEN 2 THEN u2 ELSE u3 END AS u
            FROM l, (SELECT unnest([1, 2, 3]) AS lag) lg
-           WHERE CASE lg.lag WHEN 1 THEN u1 WHEN 2 THEN u2 ELSE u3 END
+           WHERE value IS NOT NULL
+             AND CASE lg.lag WHEN 1 THEN u1 WHEN 2 THEN u2 ELSE u3 END
                  IS NOT NULL),
     q AS (SELECT k, lag, CAST(round(v * 1000000) AS BIGINT) AS x,
                  CAST(round(u * 1000000) AS BIGINT) AS y

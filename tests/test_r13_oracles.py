@@ -30,9 +30,14 @@ def test_odds_ratio_oracle(spark, duck):
     from osmapreduceproject_spark.operators.stats import odds_ratio
 
     d = _t(spark, "documents")
+    # NULL-text guard: F.size is -1 (non-NULL False) on NULL while the
+    # oracle's len(string_split) is NULL (review finding, r12)
     rated = d.select(
         (F.col("n_chars") >= 200).alias("rater_a"),
-        (F.size(F.split(F.col("text"), " ")) >= 30).alias("rater_b"),
+        F.when(
+            F.col("text").isNotNull(),
+            F.size(F.split(F.col("text"), " ")) >= 30,
+        ).alias("rater_b"),
     )
     got = odds_ratio(rated, "rater_a", "rater_b")
     sql = """
@@ -419,7 +424,8 @@ def test_ljung_box_oracle(spark, duck):
     st AS (SELECT k, lg.lag AS lag, value AS v,
                   CASE lg.lag WHEN 1 THEN u1 WHEN 2 THEN u2 ELSE u3 END AS u
            FROM l, (SELECT unnest([1, 2, 3]) AS lag) lg
-           WHERE CASE lg.lag WHEN 1 THEN u1 WHEN 2 THEN u2 ELSE u3 END
+           WHERE value IS NOT NULL
+             AND CASE lg.lag WHEN 1 THEN u1 WHEN 2 THEN u2 ELSE u3 END
                  IS NOT NULL),
     qq AS (SELECT k, lag, CAST(round(v * 1000000) AS BIGINT) AS x,
                   CAST(round(u * 1000000) AS BIGINT) AS y

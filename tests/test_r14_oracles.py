@@ -322,7 +322,8 @@ def test_lagged_crosscorr_oracle(spark, duck):
                          WHEN 0 THEN vb
                          WHEN 1 THEN f1 WHEN 2 THEN f2 ELSE f3 END AS u
            FROM l, (SELECT unnest([-3, -2, -1, 0, 1, 2, 3]) AS lag) lg
-           WHERE CASE lg.lag WHEN -3 THEN p3 WHEN -2 THEN p2 WHEN -1 THEN p1
+           WHERE va IS NOT NULL
+             AND CASE lg.lag WHEN -3 THEN p3 WHEN -2 THEN p2 WHEN -1 THEN p1
                              WHEN 0 THEN vb
                              WHEN 1 THEN f1 WHEN 2 THEN f2 ELSE f3 END
                  IS NOT NULL),
@@ -372,6 +373,29 @@ def test_lagged_crosscorr_known_case(spark):
     # joined grid = hours 2..23 (22 slots); lead(2) drops the last two
     assert out[2]["n_pairs"] == 20
     assert out[0]["xcorr"] is None or out[0]["xcorr"] < 1.0
+
+
+def test_lagged_crosscorr_null_slots(spark):
+    """Review pin (r12): leading NULL A-side observations leave
+    NULL-valued slots on the joined grid — those pairs DROP from
+    n_pairs and the moments (pre-fix they inflated n_pairs while the
+    x-sums skipped them, the ADVICE-r11 phantom-observation class)."""
+    from osmapreduceproject_spark.operators.windows import lagged_crosscorr
+
+    base = datetime.datetime(2025, 1, 1)
+    rows = []
+    for i in range(4):
+        rows.append((1, "a", base + datetime.timedelta(hours=i), None))
+    for i in range(4, 24):
+        rows.append((1, "a", base + datetime.timedelta(hours=i), float((i * 7) % 11)))
+    for i in range(24):
+        rows.append((1, "b", base + datetime.timedelta(hours=i), float((i * 7) % 11)))
+    df = spark.createDataFrame(rows, "k bigint, s string, ts timestamp, v double")
+    out = {r["lag"]: r for r in lagged_crosscorr(
+        df, "k", "ts", "v", "s", "a", "b", 3600, max_lag=3
+    ).collect()}
+    # joined grid = 24 slots, first 4 A-values NULL -> 20 usable lag-0 pairs
+    assert out[0]["n_pairs"] == 20 and out[0]["xcorr"] == 1.0
 
 
 def test_token_burstiness_oracle(spark, duck):
@@ -562,11 +586,12 @@ def test_video_freeze_detect_oracle(spark, duck):
                      * (CASE WHEN i < 12 THEN 1 ELSE 0 END)) % 256)
                  * (i + 1)) AS w
            FROM by_ GROUP BY 1, 2),
-    l AS (SELECT m, f, w, lag(w) OVER (PARTITION BY m ORDER BY f) AS pw
+    l AS (SELECT m, f, w, lag(w) OVER (PARTITION BY m ORDER BY f) AS pw,
+                 lag(f) OVER (PARTITION BY m ORDER BY f) AS pf
           FROM cs),
     mk AS (SELECT m, f,
              CASE WHEN pw IS NOT NULL THEN
-               CASE WHEN w = pw THEN 1 ELSE 0 END END AS st
+               CASE WHEN w = pw AND f - pf = 1 THEN 1 ELSE 0 END END AS st
            FROM l),
     sp AS (SELECT m, f FROM mk WHERE st = 1),
     isl AS (SELECT m, f,
@@ -615,6 +640,33 @@ def test_video_freeze_known_cases(spark):
     )
     r1 = video_freeze_detect(one).first()
     assert r1["freeze_frac"] is None and r1["n_frames"] == 1
+
+
+def test_video_freeze_gapped_indices(spark):
+    """Review pin (r12): identical frames at NON-consecutive indices
+    (a sampled video) are not freeze pairs — the pair rule and the
+    island splitter agree on frame_idx delta == 1."""
+    from osmapreduceproject_spark.operators.multimodal import video_freeze_detect
+
+    payload = bytes(range(48)) * 3
+    meta = (4, 4, None, 4)
+    rows = [(0, "video", f, payload, meta) for f in (0, 2, 4, 6)]
+    df = spark.createDataFrame(
+        rows,
+        "media_id long, kind string, frame_idx int, payload binary, "
+        "meta struct<width:int,height:int,sample_rate:int,n_frames:int>",
+    )
+    r = video_freeze_detect(df).first()
+    assert r["n_static_pairs"] == 0 and r["longest_freeze_frames"] == 1
+    # the same frames at contiguous indices ARE one 4-frame freeze
+    rows2 = [(1, "video", f, payload, meta) for f in (0, 1, 2, 3)]
+    df2 = spark.createDataFrame(
+        rows2,
+        "media_id long, kind string, frame_idx int, payload binary, "
+        "meta struct<width:int,height:int,sample_rate:int,n_frames:int>",
+    )
+    r2 = video_freeze_detect(df2).first()
+    assert r2["n_static_pairs"] == 3 and r2["longest_freeze_frames"] == 4
 
 
 def test_audio_envelope_periodicity_oracle(spark, duck):
