@@ -84,6 +84,11 @@ PLAN_QUERIES = [
     "q266_knn_band_join",    # band candidates + per-left bounded rank window
     "q272_late_arrival_report",  # ranged prefix-max watermark, no single partition
     "q274_active_user_rollup",  # user-day collapse BEFORE the horizon explode
+    # r12 tranche plan-shape carriers:
+    "q279_max_concurrency",  # endpoint explode + per-key running sum, no global sort
+    "q282_coverage_gap_join",  # grid-bucketed LEFT ANTI, no cartesian
+    "q283_silhouette_report",  # broadcast 16-row centroid frame, narrow scoring
+    "q280_seasonal_decompose",  # per-(key,pos) moment collapse + bounded fold
 ]
 
 
