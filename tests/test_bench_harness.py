@@ -184,3 +184,59 @@ def test_bench_queries_exist_in_catalog():
     missing = [n for n in bench.BENCH_QUERIES if n not in QUERIES]
     assert not missing, missing
     assert len(set(bench.BENCH_QUERIES)) == len(bench.BENCH_QUERIES)
+
+
+def test_compact_record_fits_driver_tail_budget():
+    """The driver keeps ~2000 bytes of stdout tail and parses the last
+    line; the compact line must fit with margin, keep the slowest
+    queries first, and point at the complete history record."""
+    full = {
+        "metric": "headline_queries_total_wall",
+        "value": 209.123,
+        "unit": "sec",
+        "queries": {f"q{i:03d}_some_operator_name": round(0.3 + 0.01 * i, 3) for i in range(200)},
+        "queries_warm": {f"q{i:03d}_some_operator_name": round(0.2 + 0.01 * i, 3) for i in range(200)},
+        "total_warm": 180.5,
+        "sf": 0.1,
+        "cpus": 32,
+        "notes": "n" * 20000,
+        "reference": {"ref_sort_total_ms": 4, "ref_max_map_ms": 1},
+        "sched_floor_s": 1.7,
+        "history_file": "bench_history/r12.json",
+    }
+    rec = bench.compact_record(full)
+    line = json.dumps(rec)
+    assert len(line) <= 1800
+    assert rec["metric"] == full["metric"] and rec["value"] == full["value"]
+    assert rec["n_queries"] == 200
+    assert rec["queries_omitted"] == 200 - len(rec["queries"])
+    assert 0 < len(rec["queries"]) < 200
+    # slowest-first: every included query is >= every omitted one
+    included = set(rec["queries"])
+    omitted_max = max(v for k, v in full["queries"].items() if k not in included)
+    assert min(rec["queries"].values()) >= omitted_max
+    # warm subset mirrors the included keys (prevents the tail-recovery
+    # fallback from ever scraping cold times as warm)
+    assert set(rec["queries_warm"]) <= included
+    assert rec["history_file"] == "bench_history/r12.json"
+    # and the line itself round-trips as the driver would parse it
+    assert json.loads(line)["queries_omitted"] == rec["queries_omitted"]
+
+
+def test_compact_record_small_suite_includes_everything():
+    full = {
+        "metric": "headline_queries_total_wall",
+        "value": 3.0,
+        "unit": "sec",
+        "queries": {"q01": 1.0, "q02": 2.0},
+        "queries_warm": {"q01": 0.9, "q02": 1.8},
+        "total_warm": 2.7,
+        "sf": 0.1,
+        "cpus": 32,
+        "reference": {},
+        "sched_floor_s": 1.0,
+    }
+    rec = bench.compact_record(full)
+    assert rec["queries"] == {"q02": 2.0, "q01": 1.0}
+    assert rec["queries_warm"] == {"q02": 1.8, "q01": 0.9}
+    assert rec["queries_omitted"] == 0
