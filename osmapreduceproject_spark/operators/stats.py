@@ -2747,3 +2747,277 @@ def hellinger_matrix(
         F.round("__bc", 6).alias("bhattacharyya"),
         F.round(F.sqrt(F.lit(1.0) - bcc), 6).alias("hellinger"),
     )
+
+
+def kaplan_meier(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+) -> DataFrame:
+    """Kaplan–Meier survival estimator over right-censored durations —
+    the time-to-event readout of retention/churn analysis (how long do
+    users/sessions/documents "survive"?) that plain cohort retention
+    counts (q124) can't give when observation windows differ: a
+    censored subject (still alive at the horizon) contributes to the
+    at-risk denominator up to its censoring time but never counts as a
+    death. One row per distinct duration with ≥1 event:
+    (t, n_risk, n_events, n_censored, survival).
+
+    Scale shape (the ranked_sort offset technique — NO single-partition
+    window): per-distinct-duration (count, deaths) → one
+    :func:`_ranged_cumsum` pass gives the at-risk count
+    n(t) = N − (cum_count(t) − count(t)); a second ranged pass over the
+    death times accumulates the micro-quantized log factors
+    qln(t) = round(ln(1 − d/n)·10⁶), so
+    S(t) = exp(Σ qln / 10⁶) — an integer prefix sum between two IEEE
+    transcendental calls with identical operand bits on any engine
+    (the q278/q285 quantized-log convention; ln of the exact rational
+    (n−d)/n). A time where d = n drives S to EXACT zero from that
+    point on (a quantized-flag prefix, not ln(0)). NULL/NaN durations
+    are excluded; ``event_col`` must be 0/1-coercible (censored = 0).
+    """
+    t = F.col(duration_col).cast("double")
+    e = F.col(event_col).cast("int")
+    pool = df.where(t.isNotNull() & ~F.isnan(t)).select(
+        t.alias("__t"), e.alias("__e")
+    )
+    per_t = pool.groupBy("__t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__c"),
+        F.sum("__e").cast("bigint").alias("__d"),
+    )
+    cum = _ranged_cumsum(per_t, "__t", ["__c"])
+    n_total = pool.agg(F.count(F.lit(1)).alias("__n"))
+    risk = cum.crossJoin(F.broadcast(n_total)).select(
+        "__t",
+        "__c",
+        "__d",
+        (F.col("__n") - (F.col("__cum___c") - F.col("__c"))).alias("__nr"),
+    )
+    deaths = risk.where(F.col("__d") > 0)
+    # factor (n−d)/n is an exact rational of two bigints: identical
+    # double on both engines; ln then micro-quantized half-up (F.round)
+    factor = (F.col("__nr") - F.col("__d")).cast("double") / F.col("__nr")
+    qd = deaths.select(
+        "__t",
+        "__nr",
+        "__d",
+        (F.col("__c") - F.col("__d")).alias("__cens"),
+        F.when(F.col("__d") < F.col("__nr"), F.round(F.log(factor) * 1_000_000))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("__qln"),
+        (F.col("__d") == F.col("__nr")).cast("int").alias("__z"),
+    )
+    out = _ranged_cumsum(qd, "__t", ["__qln", "__z"])
+    return out.select(
+        F.col("__t").alias("t"),
+        F.col("__nr").alias("n_risk"),
+        F.col("__d").alias("n_events"),
+        F.col("__cens").alias("n_censored"),
+        F.when(F.col("__cum___z") > 0, F.lit(0.0))
+        .otherwise(F.round(F.exp(F.col("__cum___qln").cast("double") / 1_000_000), 6))
+        .alias("survival"),
+    )
+
+
+def kendall_tau(
+    df: DataFrame,
+    key_col: str,
+    col_a: str,
+    col_b: str,
+    max_rows: int = 2000,
+) -> DataFrame:
+    """Kendall's τ-b rank correlation between two metrics per key — the
+    ordinal-association member of the correlation family
+    (:func:`spearman_corr` is corpus-global and midrank-based;
+    :func:`~.windows.mann_kendall_trend` is this machinery against TIME).
+    τ-b = (C − D) / √((n₀ − t_a)(n₀ − t_b)) with the standard tie terms
+    n₀ = n(n−1)/2, t = Σ tᵢ(tᵢ−1)/2.
+
+    All-pairs by definition — O(n²) per key — so the per-key bound is
+    MACHINE-ENFORCED (``max_rows``, the :func:`mann_kendall_trend`
+    convention) and the combinatorial pass runs as an Arrow-batched
+    grouped map over JVM-quantized integers (round(v·10⁶) computed in
+    Spark BEFORE the Arrow hop): concordant/discordant/tie counts are
+    exact integers, and the single finalize divides once and rounds
+    half-away-from-zero — bit-identical to the SQL oracle's self-join
+    count. Rows with a NULL/NaN in either metric are excluded (pairwise
+    deletion is per KEY, not per pair). Keys with n < 2 or a zero tie
+    denominator emit NULL tau. Returns
+    (key, n, n_concordant, n_discordant, tau_b).
+    """
+    ka = F.col(col_a).cast("double")
+    kb = F.col(col_b).cast("double")
+    pool = df.where(
+        ka.isNotNull() & ~F.isnan(ka) & kb.isNotNull() & ~F.isnan(kb)
+    ).select(
+        F.col(key_col).alias("__k"),
+        F.round(ka * 1_000_000).cast("bigint").alias("__qa"),
+        F.round(kb * 1_000_000).cast("bigint").alias("__qb"),
+    )
+    cap = int(max_rows)
+
+    def tau(pdf):
+        # Self-contained closure: no module-global references.
+        import math
+
+        import numpy as np
+        import pandas as pd
+
+        n = len(pdf)
+        if n > cap:
+            raise ValueError(
+                f"kendall_tau: a key has {n} rows, over max_rows={cap}; "
+                "the tau pass materializes O(n^2) pair signs - raise "
+                "max_rows explicitly if this volume is intended"
+            )
+        k = pdf["__k"].iloc[0]
+        if n < 2:
+            return pd.DataFrame(
+                {"__k": [k], "n": [n], "n_concordant": [0],
+                 "n_discordant": [0], "tau_b": [None]}
+            )
+        qa = pdf["__qa"].to_numpy(dtype=np.int64)
+        qb = pdf["__qb"].to_numpy(dtype=np.int64)
+        lo, hi = np.triu_indices(n, 1)
+        sa = np.sign(qa[hi] - qa[lo])
+        sb = np.sign(qb[hi] - qb[lo])
+        prod = sa * sb
+        c = int((prod > 0).sum())
+        d = int((prod < 0).sum())
+        n0 = n * (n - 1) // 2
+        ta = n0 - int((sa != 0).sum())
+        tb = n0 - int((sb != 0).sum())
+        tau_b = None
+        den = float(n0 - ta) * float(n0 - tb)
+        if den > 0:
+            x = (c - d) / math.sqrt(den)
+            tau_b = math.copysign(math.floor(abs(x) * 1e6 + 0.5), x) / 1e6
+        return pd.DataFrame(
+            {"__k": [k], "n": [n], "n_concordant": [c],
+             "n_discordant": [d], "tau_b": [tau_b]}
+        )
+
+    key_type = df.schema[key_col].dataType.simpleString()
+    out = pool.groupBy("__k").applyInPandas(
+        tau,
+        f"__k {key_type}, n bigint, n_concordant bigint, n_discordant bigint, "
+        "tau_b double",
+    )
+    return out.withColumnRenamed("__k", key_col)
+
+
+def dispersion_index(
+    df: DataFrame,
+    ts_col: str,
+    type_col: str,
+    step_seconds: int,
+) -> DataFrame:
+    """Index of dispersion (variance-to-mean ratio) of per-window event
+    counts, per event type — the Poissonness check of arrival streams
+    (σ²/μ = 1 under Poisson; ≫1 = bursty/clumped, ≪1 = regular), the
+    distributional complement to :func:`~.events` gap statistics. The
+    observation span is GLOBAL (min..max window over the whole stream),
+    so empty windows count as zeros for every type — a type that fires
+    once looks maximally clumped, as it should.
+
+    Exactness: window index = epoch_µs // (step·10⁶) (pure integer
+    floor division — timezone-free); per-(type, window) counts are
+    integers, Σc and Σc² accumulate in DECIMAL(38,0), and zero windows
+    enter through the closed form (they add nothing to Σc, Σc²):
+    μ = S/W, population σ² = (S₂ − S²/W)/W — one fixed operand order in
+    double, mirrored by the oracle. Returns
+    (type, n_events, n_windows, mean_per_window, variance,
+    dispersion_index); a type with zero mean emits NULL dispersion.
+    """
+    step_us = int(step_seconds) * 1_000_000
+    pool = df.where(F.col(ts_col).isNotNull()).select(
+        F.col(type_col).alias("__g"),
+        # pure integer epoch floor-division: timezone-free and exact
+        # (a double division could misround at a window boundary)
+        F.expr(f"unix_micros({ts_col}) div {step_us}").cast("bigint").alias("__w"),
+    )
+    span = pool.agg(
+        (F.max("__w") - F.min("__w") + 1).cast("bigint").alias("__nw")
+    )
+    cells = pool.groupBy("__g", "__w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__c")
+    )
+    dec = "decimal(38,0)"
+    per = cells.groupBy("__g").agg(
+        F.sum(F.col("__c").cast(dec)).alias("__s"),
+        F.sum((F.col("__c") * F.col("__c")).cast(dec)).alias("__s2"),
+    )
+    s = F.col("__s").cast("double")
+    s2 = F.col("__s2").cast("double")
+    w = F.col("__nw").cast("double")
+    mean = s / w
+    var = (s2 - s * s / w) / w
+    return per.crossJoin(F.broadcast(span)).select(
+        F.col("__g").alias(type_col),
+        F.col("__s").cast("bigint").alias("n_events"),
+        F.col("__nw").alias("n_windows"),
+        F.round(mean, 6).alias("mean_per_window"),
+        F.round(var, 6).alias("variance"),
+        F.when(s > 0, F.round(var / mean, 6)).alias("dispersion_index"),
+    )
+
+
+def grubbs_test(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Grubbs' maximum studentized deviate per group — the single-outlier
+    screen (G = max|x − x̄|/s) next to :func:`mad_outlier_bounds`
+    (robust fences) and :func:`winsorized_stats` (trim-and-keep): G
+    says whether the WORST point is surprising under normality, and
+    which side it sits on. The suspect value falls out of the closed
+    form max(max − x̄, x̄ − min) — no argmax join-back, ONE aggregation
+    pass (ties between sides go to the HIGH side, documented).
+
+    Exactness: values are micro-quantized (round(v·10⁶), the family
+    convention); n, Σq, Σq², min, max are exact integers/decimals; the
+    finalize x̄ = S/n, s² = (S₂ − S²/n)/(n−1) runs one fixed operand
+    order in double, mirrored by the oracle. Groups with n < 3 or zero
+    variance emit NULL G. Returns
+    (group, n, mean, stddev, g_stat, outlier_value, outlier_side).
+    """
+    v = F.col(value_col).cast("double")
+    pool = df.where(v.isNotNull() & ~F.isnan(v)).select(
+        F.col(group_col).alias("__g"),
+        F.round(v * 1_000_000).cast("bigint").alias("__q"),
+    )
+    dec = "decimal(38,0)"
+    per = pool.groupBy("__g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+        F.sum(F.col("__q").cast(dec)).alias("__s"),
+        F.sum((F.col("__q").cast(dec)) * F.col("__q")).alias("__s2"),
+        F.min("__q").alias("__lo"),
+        F.max("__q").alias("__hi"),
+    )
+    n = F.col("__n").cast("double")
+    s = F.col("__s").cast("double")
+    s2 = F.col("__s2").cast("double")
+    mean_q = s / n
+    var_q = (s2 - s * s / n) / (n - F.lit(1.0))
+    dev_hi = F.col("__hi") - mean_q
+    dev_lo = mean_q - F.col("__lo")
+    dev = F.greatest(dev_hi, dev_lo)
+    sd_q = F.sqrt(var_q)
+    g_ok = (F.col("__n") >= 3) & (var_q > 0)
+    return per.select(
+        F.col("__g").alias(group_col),
+        F.col("__n").alias("n"),
+        F.round(mean_q / 1_000_000, 6).alias("mean"),
+        F.when(F.col("__n") >= 2, F.round(sd_q / 1_000_000, 6)).alias("stddev"),
+        F.when(g_ok, F.round(dev / sd_q, 6)).alias("g_stat"),
+        F.when(
+            g_ok,
+            F.when(dev_hi >= dev_lo, F.col("__hi")).otherwise(F.col("__lo"))
+            .cast("double")
+            / 1_000_000,
+        ).alias("outlier_value"),
+        F.when(g_ok, F.when(dev_hi >= dev_lo, F.lit("high")).otherwise(F.lit("low")))
+        .alias("outlier_side"),
+    )

@@ -1,0 +1,285 @@
+"""Cross-engine (DuckDB) parity for the r14-ready operators — the wave
+staged a round ahead of its declaration (SURVEY.md §8 staging
+discipline, eighth tranche after r8–r14; the file number continues the
+test-file series, the DECLARATION round is r14). Every operator lands
+with its oracle parity test in the same commit, so the future q-entry
+is a copy-paste of (body, SQL) pairs already green. Same
+driver-identical compare at sf0.01.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_CORRECT
+from tests.oracle_check import compare
+
+
+def _t(spark, name):
+    from osmapreduceproject_spark.queries import _t as t
+
+    return t(spark, SF_CORRECT, name)
+
+
+# ---------------------------------------------------------------------------
+# stats family
+# ---------------------------------------------------------------------------
+
+_KM_CHURN_US = 24 * 3600 * 1_000_000  # churned = inactive for the final day
+
+
+def _km_frame(spark):
+    """Per-user observed lifetime in whole hours + churn flag: the
+    standard right-censored shaping (a user still active inside the
+    final day of the stream is censored, not dead)."""
+    ev = _t(spark, "events")
+    us = F.unix_micros(F.col("ts"))
+    per = ev.groupBy("user_id").agg(
+        F.min(us).alias("__lo"), F.max(us).alias("__hi")
+    )
+    horizon = per.agg(F.max("__hi").alias("__hz"))
+    return per.crossJoin(F.broadcast(horizon)).select(
+        F.expr("(__hi - __lo) div 3600000000").cast("bigint").alias("dur_hours"),
+        (F.col("__hi") < F.col("__hz") - F.lit(_KM_CHURN_US)).cast("int").alias(
+            "churned"
+        ),
+    )
+
+
+def test_kaplan_meier_oracle(spark, duck):
+    """User-lifetime survival over events — at-risk counts via ranged
+    prefix sums, quantized-ln survival product replayed in SQL."""
+    from osmapreduceproject_spark.operators.stats import kaplan_meier
+
+    got = kaplan_meier(_km_frame(spark), "dur_hours", "churned")
+    sql = f"""
+    WITH u AS (SELECT user_id, MIN(epoch_us(ts)) AS lo, MAX(epoch_us(ts)) AS hi
+               FROM events GROUP BY user_id),
+    h AS (SELECT MAX(hi) AS hz FROM u),
+    obs AS (SELECT CAST((hi - lo) // 3600000000 AS DOUBLE) AS t,
+                   CASE WHEN hi < hz - {_KM_CHURN_US} THEN 1 ELSE 0 END AS e
+            FROM u, h),
+    per AS (SELECT t, COUNT(*) AS c, SUM(e) AS d FROM obs GROUP BY t),
+    tot AS (SELECT SUM(c) AS n FROM per),
+    cum AS (SELECT t, c, d, n, SUM(c) OVER (ORDER BY t) AS cc FROM per, tot),
+    risk AS (SELECT t, c, d, n - (cc - c) AS nr FROM cum),
+    de AS (SELECT t, nr, d, c - d AS cens,
+                  CASE WHEN d < nr THEN CAST(round(
+                    ln(CAST(nr - d AS DOUBLE) / nr) * 1000000) AS BIGINT)
+                  ELSE 0 END AS qln,
+                  CASE WHEN d = nr THEN 1 ELSE 0 END AS z
+           FROM risk WHERE d > 0),
+    fin AS (SELECT t, nr, d, cens,
+                   SUM(qln) OVER (ORDER BY t) AS cq,
+                   SUM(z) OVER (ORDER BY t) AS cz
+            FROM de)
+    SELECT t, CAST(nr AS BIGINT) AS n_risk, CAST(d AS BIGINT) AS n_events,
+           CAST(cens AS BIGINT) AS n_censored,
+           CASE WHEN cz > 0 THEN 0.0
+                ELSE round(exp(CAST(cq AS DOUBLE) / 1000000), 6) END AS survival
+    FROM fin
+    """
+    assert compare(got, duck.execute(sql).df()) == []
+    pdf = got.orderBy("t").toPandas()
+    assert len(pdf) > 0
+    # survival is monotone non-increasing and in [0, 1]
+    assert (pdf.survival.diff().dropna() <= 1e-12).all()
+    assert pdf.survival.between(0.0, 1.0).all()
+
+
+def test_kaplan_meier_known_case(spark):
+    """Textbook pin: durations 1,2†,3,4† († censored) → S(1) = 3/4,
+    S(3) = 3/8; a terminal death (d = n_risk) pins S to exact 0."""
+    from osmapreduceproject_spark.operators.stats import kaplan_meier
+
+    df = spark.createDataFrame(
+        [(1.0, 1), (2.0, 0), (3.0, 1), (4.0, 0)], "t double, e int"
+    )
+    rows = {r["t"]: r for r in kaplan_meier(df, "t", "e").collect()}
+    assert set(rows) == {1.0, 3.0}
+    assert rows[1.0]["n_risk"] == 4 and rows[1.0]["n_events"] == 1
+    assert abs(rows[1.0]["survival"] - 0.75) < 1e-6
+    assert rows[3.0]["n_risk"] == 2
+    assert abs(rows[3.0]["survival"] - 0.375) < 1e-6
+    term = spark.createDataFrame([(1.0, 1), (2.0, 1)], "t double, e int")
+    rows = {r["t"]: r for r in kaplan_meier(term, "t", "e").collect()}
+    assert rows[2.0]["survival"] == 0.0  # d = n_risk → exact zero
+
+
+def test_kendall_tau_oracle(spark, duck):
+    """τ-b between event value and props length per user — exact
+    concordant/discordant/tie counts replayed by a per-key self-join."""
+    from osmapreduceproject_spark.operators.stats import kendall_tau
+
+    ev = _t(spark, "events").select(
+        "user_id",
+        F.col("value").cast("double").alias("v"),
+        F.length("props").cast("double").alias("plen"),
+    )
+    got = kendall_tau(ev, "user_id", "v", "plen")
+    sql = """
+    WITH p AS (
+      SELECT user_id AS k,
+             CAST(round(CAST(value AS DOUBLE) * 1000000) AS BIGINT) AS qa,
+             CAST(round(CAST(len(props) AS DOUBLE) * 1000000) AS BIGINT) AS qb,
+             row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+      FROM events
+      WHERE value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))
+        AND props IS NOT NULL),
+    pr AS (SELECT a.k, sign(b.qa - a.qa) AS sa, sign(b.qb - a.qb) AS sb
+           FROM p a JOIN p b ON a.k = b.k AND a.rn < b.rn),
+    ag AS (SELECT k,
+                  SUM(CASE WHEN sa * sb > 0 THEN 1 ELSE 0 END) AS c,
+                  SUM(CASE WHEN sa * sb < 0 THEN 1 ELSE 0 END) AS d,
+                  SUM(CASE WHEN sa != 0 THEN 1 ELSE 0 END) AS nza,
+                  SUM(CASE WHEN sb != 0 THEN 1 ELSE 0 END) AS nzb
+           FROM pr GROUP BY k),
+    cnt AS (SELECT k, COUNT(*) AS n FROM p GROUP BY k)
+    SELECT cnt.k AS user_id, CAST(cnt.n AS BIGINT) AS n,
+           CAST(COALESCE(ag.c, 0) AS BIGINT) AS n_concordant,
+           CAST(COALESCE(ag.d, 0) AS BIGINT) AS n_discordant,
+           CASE WHEN ag.nza * ag.nzb > 0 THEN
+             round((ag.c - ag.d)
+                   / sqrt(CAST(ag.nza AS DOUBLE) * ag.nzb), 6) END AS tau_b
+    FROM cnt LEFT JOIN ag ON ag.k = cnt.k
+    """
+    assert compare(got, duck.execute(sql).df()) == []
+    pdf = got.toPandas().dropna(subset=["tau_b"])
+    assert pdf.tau_b.between(-1.0, 1.0).all()
+
+
+def test_kendall_tau_known_cases(spark):
+    """Pins: a strictly monotone pair has τ = 1; a reversed pair −1;
+    an all-tied column NULL; the guard trips over max_rows."""
+    from osmapreduceproject_spark.operators.stats import kendall_tau
+
+    mono = spark.createDataFrame(
+        [(1, 1.0, 10.0), (1, 2.0, 20.0), (1, 3.0, 30.0),
+         (2, 1.0, 3.0), (2, 2.0, 2.0), (2, 3.0, 1.0)],
+        "k long, a double, b double",
+    )
+    rows = {r["k"]: r for r in kendall_tau(mono, "k", "a", "b").collect()}
+    assert rows[1]["tau_b"] == 1.0 and rows[2]["tau_b"] == -1.0
+    tied = spark.createDataFrame(
+        [(1, 1.0, 5.0), (1, 2.0, 5.0)], "k long, a double, b double"
+    )
+    assert kendall_tau(tied, "k", "a", "b").first()["tau_b"] is None
+    with pytest.raises(Exception, match="max_rows"):
+        kendall_tau(mono, "k", "a", "b", max_rows=2).collect()
+
+
+def test_dispersion_index_oracle(spark, duck):
+    """Hourly arrival counts per event type over the GLOBAL stream span
+    (empty windows are zeros) — integer moments, one fixed finalize."""
+    from osmapreduceproject_spark.operators.stats import dispersion_index
+
+    got = dispersion_index(_t(spark, "events"), "ts", "event_type", 3600)
+    sql = """
+    WITH p AS (SELECT event_type AS g, epoch_us(ts) // 3600000000 AS w
+               FROM events WHERE ts IS NOT NULL),
+    span AS (SELECT MAX(w) - MIN(w) + 1 AS nw FROM p),
+    cells AS (SELECT g, w, COUNT(*) AS c FROM p GROUP BY 1, 2),
+    per AS (SELECT g, SUM(CAST(c AS HUGEINT)) AS s,
+                   SUM(CAST(c AS HUGEINT) * c) AS s2
+            FROM cells GROUP BY g)
+    SELECT g AS event_type, CAST(s AS BIGINT) AS n_events,
+           CAST(nw AS BIGINT) AS n_windows,
+           round(CAST(s AS DOUBLE) / nw, 6) AS mean_per_window,
+           round((CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / nw)
+                 / nw, 6) AS variance,
+           CASE WHEN s > 0 THEN round(
+             ((CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / nw)
+              / nw) / (CAST(s AS DOUBLE) / nw), 6) END AS dispersion_index
+    FROM per, span
+    """
+    assert compare(got, duck.execute(sql).df()) == []
+    pdf = got.toPandas()
+    assert (pdf.dispersion_index > 0).all()
+    # every type shares the one global window span
+    assert pdf.n_windows.nunique() == 1
+
+
+def test_dispersion_index_known_case(spark):
+    """Pin: a perfectly regular stream (1 event per window) has
+    dispersion 0... over its own span; a one-burst stream is maximally
+    clumped (index = mean·(W−1)/W·W/... > 1)."""
+    from osmapreduceproject_spark.operators.stats import dispersion_index
+
+    regular = spark.createDataFrame(
+        [(f"2024-01-01 {h:02d}:30:00", "a") for h in range(10)],
+        "ts string, g string",
+    ).select(F.col("ts").cast("timestamp").alias("ts"), "g")
+    r = dispersion_index(regular, "ts", "g", 3600).first()
+    assert r["n_windows"] == 10 and r["mean_per_window"] == 1.0
+    assert r["dispersion_index"] == 0.0
+    burst = spark.createDataFrame(
+        [("2024-01-01 00:30:00", "a")] * 9 + [("2024-01-01 09:30:00", "a")],
+        "ts string, g string",
+    ).select(F.col("ts").cast("timestamp").alias("ts"), "g")
+    b = dispersion_index(burst, "ts", "g", 3600).first()
+    assert b["n_windows"] == 10 and b["dispersion_index"] > 1.0
+
+
+def test_grubbs_oracle(spark, duck):
+    """Max studentized deviate per event type — quantized moments, the
+    suspect value from the min/max closed form, no join-back."""
+    from osmapreduceproject_spark.operators.stats import grubbs_test
+
+    got = grubbs_test(_t(spark, "events"), "event_type", "value")
+    sql = """
+    WITH p AS (
+      SELECT event_type AS g,
+             CAST(round(CAST(value AS DOUBLE) * 1000000) AS BIGINT) AS q
+      FROM events
+      WHERE value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))),
+    per AS (SELECT g, COUNT(*) AS n, SUM(CAST(q AS HUGEINT)) AS s,
+                   SUM(CAST(q AS HUGEINT) * q) AS s2,
+                   MIN(q) AS lo, MAX(q) AS hi
+            FROM p GROUP BY g),
+    fin AS (SELECT g, n, lo, hi,
+                   CAST(s AS DOUBLE) / n AS mq,
+                   (CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+                     / (n - 1.0) AS vq
+            FROM per)
+    SELECT g AS event_type, CAST(n AS BIGINT) AS n,
+           round(mq / 1000000, 6) AS mean,
+           CASE WHEN n >= 2 THEN round(sqrt(vq) / 1000000, 6) END AS stddev,
+           CASE WHEN n >= 3 AND vq > 0 THEN
+             round(greatest(hi - mq, mq - lo) / sqrt(vq), 6) END AS g_stat,
+           CASE WHEN n >= 3 AND vq > 0 THEN
+             CASE WHEN hi - mq >= mq - lo THEN CAST(hi AS DOUBLE) / 1000000
+                  ELSE CAST(lo AS DOUBLE) / 1000000 END END AS outlier_value,
+           CASE WHEN n >= 3 AND vq > 0 THEN
+             CASE WHEN hi - mq >= mq - lo THEN 'high' ELSE 'low' END
+           END AS outlier_side
+    FROM fin
+    """
+    assert compare(got, duck.execute(sql).df()) == []
+    pdf = got.toPandas().dropna(subset=["g_stat"])
+    assert (pdf.g_stat > 0).all()
+    # G is bounded by (n−1)/√n
+    import math
+
+    assert all(
+        r.g_stat <= (r.n - 1) / math.sqrt(r.n) + 1e-9 for r in pdf.itertuples()
+    )
+
+
+def test_grubbs_known_cases(spark):
+    """Pins: one planted spike dominates (side=high); a constant group
+    and an n<3 group emit NULL G."""
+    from osmapreduceproject_spark.operators.stats import grubbs_test
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 1.1), ("a", 0.9), ("a", 1.05), ("a", 9.0),
+         ("b", 5.0), ("b", 5.0), ("b", 5.0),
+         ("c", 1.0), ("c", 2.0)],
+        "g string, v double",
+    )
+    rows = {r["g"]: r for r in grubbs_test(df, "g", "v").collect()}
+    assert rows["a"]["outlier_side"] == "high"
+    assert rows["a"]["outlier_value"] == 9.0
+    assert rows["a"]["g_stat"] > 1.5
+    assert rows["b"]["g_stat"] is None  # zero variance
+    assert rows["c"]["g_stat"] is None  # n < 3
