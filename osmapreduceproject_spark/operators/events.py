@@ -1000,3 +1000,87 @@ def max_concurrency(
         )
         .select(key, "n_intervals", "max_concurrent", "t_at_max_us")
     )
+
+
+def markov_stationary(
+    df: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    n_iter: int = 8,
+    max_states: int = 64,
+) -> DataFrame:
+    """Stationary distribution of the first-order event-type Markov
+    chain — the long-run "where does a user's attention settle" readout
+    on top of :func:`event_transitions`' one-step matrix (which it
+    reuses verbatim: per-user time-ordered ``lead`` pairs, tiebroken by
+    the unique event id). States that never transition OUT (a type that
+    only ever ends sequences) become self-loops (p = 1, the standard
+    absorbing completion), so probability mass is conserved exactly.
+
+    Exactness across engines: the power iteration runs on INTEGER
+    picoprobabilities — π₀ = round_half_up(10¹²/s) per state, each step
+    π'ⱼ = Σᵢ floor(πᵢ·pᵢⱼ + 0.5) with pᵢⱼ = nᵢⱼ/Tᵢ the exact-integer
+    ratio in double — so every engine sums the SAME integers in any
+    order (the quantized-term convention; float Σ would be
+    order-dependent). The chain is bounded (``max_states``, asserted),
+    so the iteration is driver-side control flow over ≤ s² collected
+    rows — the :func:`~.stats.mann_whitney_u` bounded-collect
+    convention, NOT a data-volume collect; event volume only flows
+    through the user-keyed lead window and the (from, to) count
+    aggregation. A reducible chain simply reports the mass the
+    iteration reaches in ``n_iter`` steps (documented, not hidden).
+    Returns one row per state: (state, n_out, stationary_prob).
+    """
+    import math
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col(id_col).asc()
+    )
+    pairs = df.select(
+        F.col(type_col).alias("__f"),
+        F.lead(type_col).over(w).alias("__t"),
+    ).where(F.col("__t").isNotNull())
+    counts = pairs.groupBy("__f", "__t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n")
+    )
+    states_df = df.select(F.col(type_col).alias("__s")).distinct()
+    states = sorted(r["__s"] for r in states_df.collect())  # bounded: ≤ max_states
+    if len(states) > max_states:
+        raise ValueError(
+            f"markov_stationary: {len(states)} states, over "
+            f"max_states={max_states}; the transition matrix is collected "
+            "driver-side - raise max_states explicitly if this is intended"
+        )
+    trans = counts.collect()  # bounded: ≤ states² rows
+    totals: dict = {}
+    for r in trans:
+        totals[r["__f"]] = totals.get(r["__f"], 0) + int(r["__n"])
+    # full matrix incl. absorbing self-loops: p = n/T (exact ints → one
+    # IEEE division, identical on any engine)
+    p: dict = {}
+    for r in trans:
+        p[(r["__f"], r["__t"])] = int(r["__n"]) / totals[r["__f"]]
+    for s in states:
+        if s not in totals:
+            p[(s, s)] = 1.0
+    scale = 1_000_000_000_000
+    pi = {s: int(math.floor(scale / len(states) + 0.5)) for s in states}
+    for _ in range(int(n_iter)):
+        nxt = {s: 0 for s in states}
+        for (i, j), pij in p.items():
+            if pi.get(i, 0):
+                nxt[j] += int(math.floor(pi[i] * pij + 0.5))
+        pi = nxt
+    # no rounding: both engines hold the IDENTICAL integer π, so the one
+    # division by 10¹² yields identical doubles (a round() here would be
+    # the banker's-rounding bug class _round6_half_away exists for)
+    rows = [
+        (s, int(totals.get(s, 0)), pi.get(s, 0) / scale) for s in states
+    ]
+    return df.sparkSession.createDataFrame(
+        rows, "state string, n_out bigint, stationary_prob double"
+    )

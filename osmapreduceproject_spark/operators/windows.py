@@ -1443,3 +1443,93 @@ def lagged_crosscorr(
     return _unpivot_lag_pearson(
         wide, [key], list(range(-max_lag, max_lag + 1)), "xcorr", scale
     )
+
+
+def periodogram(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    value_col: str,
+    step_seconds: int,
+    periods: tuple[int, ...] = (2, 3, 4, 6, 8, 12),
+) -> DataFrame:
+    """Discrete-Fourier power at FIXED candidate periods over the
+    resampled grid — the frequency-domain periodicity detector next to
+    :func:`series_autocorrelation` (lag domain) and
+    :func:`seasonal_decompose` (assumes the period is known): for each
+    key and candidate period p, power = (A² + B²)/n² with
+    A = Σ (v−v̄)·cos(2π·(t mod p)/p), B the sine sum — high power at
+    the true cycle length, near-zero elsewhere. Series are CENTERED
+    per key (mean subtracted) so the DC offset can't leak unequal
+    partial-cycle residue into every candidate.
+
+    Exactness: slot index and (t mod p) are pure integers; the mean is
+    the exact rational Σround(v·10⁶)/(n·10⁶); each trig term is
+    micro-quantized half-up BEFORE summation (round(vc·cos(x)·10⁶) —
+    the q278/q285 quantized-transcendental convention, with the 2π
+    literal pinned to one double so both engines evaluate cos on
+    identical operand bits), so the per-(key, period) sums are integer
+    and order-independent. The best period per key is flagged by a
+    (power desc, period asc) rank — a bounded per-key window over
+    len(``periods``) rows. Keys with fewer than 2 observed slots emit
+    no rows. Returns (key, period, n_slots, power, is_best).
+    """
+    two_pi = 6.283185307179586  # float(2·π), pinned as a literal
+    step = int(step_seconds)
+    s = resample_ffill(df, key, ts, value_col, step)
+    base = s.select(
+        F.col(key).alias("__k"),
+        "slot_epoch",
+        F.col(value_col).cast("double").alias("__v"),
+    )
+    per_key = base.groupBy("__k").agg(
+        F.min("slot_epoch").alias("__s0"),
+        F.sum(F.round(F.col("__v") * 1_000_000).cast("bigint")).alias("__sq"),
+        F.count("__v").alias("__nv"),
+    )
+    j = (
+        base.join(per_key, "__k")
+        .where(F.col("__v").isNotNull() & (F.col("__nv") >= 2))
+        .select(
+            "__k",
+            F.expr(f"(slot_epoch - __s0) div {step}").alias("__t"),
+            (
+                F.col("__v")
+                - (F.col("__sq").cast("double") / F.col("__nv")) / 1_000_000
+            ).alias("__vc"),
+        )
+        .withColumn("__p", F.explode(F.array(*[F.lit(int(p)) for p in periods])))
+    )
+    x = (F.lit(two_pi) * (F.col("__t") % F.col("__p"))) / F.col("__p")
+    terms = j.select(
+        "__k",
+        "__p",
+        F.round(F.col("__vc") * F.cos(x) * 1_000_000).cast("bigint").alias("__a"),
+        F.round(F.col("__vc") * F.sin(x) * 1_000_000).cast("bigint").alias("__b"),
+    )
+    g = terms.groupBy("__k", "__p").agg(
+        F.sum("__a").alias("__aq"),
+        F.sum("__b").alias("__bq"),
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+    )
+    ad = F.col("__aq").cast("double") / 1_000_000
+    bd = F.col("__bq").cast("double") / 1_000_000
+    nd = F.col("__n").cast("double")
+    scored = g.select(
+        "__k",
+        "__p",
+        F.col("__n").alias("n_slots"),
+        F.round((ad * ad + bd * bd) / (nd * nd), 6).alias("power"),
+    )
+    wr = Window.partitionBy("__k").orderBy(
+        F.col("power").desc(), F.col("__p").asc()
+    )
+    return scored.withColumn(
+        "is_best", (F.row_number().over(wr) == 1).cast("boolean")
+    ).select(
+        F.col("__k").alias(key),
+        F.col("__p").cast("int").alias("period"),
+        "n_slots",
+        "power",
+        "is_best",
+    )

@@ -283,3 +283,157 @@ def test_grubbs_known_cases(spark):
     assert rows["a"]["g_stat"] > 1.5
     assert rows["b"]["g_stat"] is None  # zero variance
     assert rows["c"]["g_stat"] is None  # n < 3
+
+
+# ---------------------------------------------------------------------------
+# events / windows families
+# ---------------------------------------------------------------------------
+
+
+def test_markov_stationary_oracle(spark, duck):
+    """Power iteration on integer picoprobabilities — 8 chained SQL
+    iterations sum the IDENTICAL integers the driver-side loop sums."""
+    from osmapreduceproject_spark.operators.events import markov_stationary
+
+    got = markov_stationary(_t(spark, "events"))
+    its = ["it0 AS (SELECT s.s AS j, CAST(floor(1000000000000.0 / ns.c + 0.5)"
+           " AS BIGINT) AS pi FROM states s, ns)"]
+    for k in range(1, 9):
+        its.append(
+            f"it{k} AS (SELECT p.j AS j, CAST(SUM(CAST(floor(it{k-1}.pi * p.p"
+            f" + 0.5) AS BIGINT)) AS BIGINT) AS pi FROM it{k-1}"
+            f" JOIN p ON p.i = it{k-1}.j GROUP BY p.j)"
+        )
+    sql = f"""
+    WITH pairs AS (
+      SELECT event_type AS f,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t
+      FROM events),
+    cnt AS (SELECT f, t, COUNT(*) AS n FROM pairs WHERE t IS NOT NULL
+            GROUP BY 1, 2),
+    tot AS (SELECT f, SUM(n) AS tn FROM cnt GROUP BY f),
+    states AS (SELECT DISTINCT event_type AS s FROM events),
+    ns AS (SELECT COUNT(*) AS c FROM states),
+    p AS (SELECT c.f AS i, c.t AS j, CAST(c.n AS DOUBLE) / tot.tn AS p
+          FROM cnt c JOIN tot ON tot.f = c.f
+          UNION ALL
+          SELECT s.s, s.s, 1.0 FROM states s
+          WHERE s.s NOT IN (SELECT f FROM tot)),
+    {", ".join(its)}
+    SELECT s.s AS state, CAST(COALESCE(tot.tn, 0) AS BIGINT) AS n_out,
+           CAST(COALESCE(it8.pi, 0) AS DOUBLE) / 1000000000000.0
+             AS stationary_prob
+    FROM states s LEFT JOIN tot ON tot.f = s.s LEFT JOIN it8 ON it8.j = s.s
+    """
+    assert compare(got, duck.execute(sql).df()) == []
+    pdf = got.toPandas()
+    # probability mass is conserved to quantization (≤ s·0.5 pico each step)
+    assert abs(pdf.stationary_prob.sum() - 1.0) < 1e-6
+    assert (pdf.stationary_prob >= 0).all()
+
+
+def test_markov_stationary_known_cases(spark):
+    """Pins: a 2-cycle a↔b settles at (0.5, 0.5); an absorbing terminal
+    state swallows all mass in one step; the state guard trips."""
+    from osmapreduceproject_spark.operators.events import markov_stationary
+
+    def ev(seq):
+        return spark.createDataFrame(
+            [(i, f"2024-01-01 00:00:{i:02d}", 1, s) for i, s in enumerate(seq)],
+            "event_id long, ts string, user_id long, event_type string",
+        ).select(
+            "event_id", F.col("ts").cast("timestamp").alias("ts"),
+            "user_id", "event_type",
+        )
+
+    cyc = {r["state"]: r for r in markov_stationary(ev("ababa")).collect()}
+    assert abs(cyc["a"]["stationary_prob"] - 0.5) < 1e-9
+    assert abs(cyc["b"]["stationary_prob"] - 0.5) < 1e-9
+    absb = {r["state"]: r for r in markov_stationary(ev("ab")).collect()}
+    assert absb["b"]["stationary_prob"] == 1.0
+    assert absb["b"]["n_out"] == 0  # terminal: never transitions out
+    # with an a→a self-loop, residual mass decays geometrically:
+    # after 8 iterations exactly 0.5·(1/2)⁸ remains in a
+    loop = {r["state"]: r for r in markov_stationary(ev("aab")).collect()}
+    assert loop["a"]["stationary_prob"] == 0.001953125
+    assert loop["b"]["stationary_prob"] == 0.998046875
+    with pytest.raises(Exception, match="max_states"):
+        markov_stationary(ev("abcde"), max_states=3)
+
+
+def test_periodogram_oracle(spark, duck):
+    """Fixed-period DFT power per user over the hourly grid — quantized
+    trig terms with a pinned 2π literal, replayed in SQL."""
+    from osmapreduceproject_spark.operators.windows import periodogram
+
+    got = periodogram(
+        _t(spark, "events"), key="user_id", ts="ts", value_col="value",
+        step_seconds=3600,
+    )
+    sql = """
+    WITH obs AS (SELECT user_id AS k, epoch_us(ts) AS e,
+                        CAST(value AS DOUBLE) AS v FROM events),
+    o2 AS (SELECT k, e, MAX(v) AS v FROM obs GROUP BY k, e),
+    spans AS (SELECT k, MIN(e) AS lo, MAX(e) AS hi FROM o2 GROUP BY k),
+    grid AS (SELECT k, unnest(range(
+               CAST(ceil(lo / 3600000000.0) * 3600000000 AS BIGINT),
+               CAST(floor(hi / 3600000000.0) * 3600000000 AS BIGINT) + 1,
+               3600000000)) AS e
+             FROM spans),
+    rs AS (SELECT g.k, g.e // 1000000 AS slot_epoch, o.v
+           FROM grid g ASOF JOIN o2 o ON g.k = o.k AND o.e <= g.e),
+    pk AS (SELECT k, MIN(slot_epoch) AS s0,
+                  SUM(CAST(round(v * 1000000) AS BIGINT)) AS sq,
+                  COUNT(v) AS nv
+           FROM rs GROUP BY k),
+    c AS (SELECT rs.k, (rs.slot_epoch - pk.s0) // 3600 AS t,
+                 rs.v - (CAST(pk.sq AS DOUBLE) / pk.nv) / 1000000 AS vc
+          FROM rs JOIN pk ON pk.k = rs.k
+          WHERE rs.v IS NOT NULL AND pk.nv >= 2),
+    terms AS (SELECT c.k, pp.p,
+                CAST(round(c.vc * cos((6.283185307179586 * (c.t % pp.p)) / pp.p)
+                           * 1000000) AS BIGINT) AS a,
+                CAST(round(c.vc * sin((6.283185307179586 * (c.t % pp.p)) / pp.p)
+                           * 1000000) AS BIGINT) AS b
+              FROM c, (SELECT unnest([2, 3, 4, 6, 8, 12]) AS p) pp),
+    g AS (SELECT k, p, SUM(a) AS aq, SUM(b) AS bq, COUNT(*) AS n
+          FROM terms GROUP BY 1, 2),
+    scored AS (SELECT k, p, CAST(n AS BIGINT) AS n_slots,
+                 round((CAST(aq AS DOUBLE) / 1000000 * (CAST(aq AS DOUBLE) / 1000000)
+                        + CAST(bq AS DOUBLE) / 1000000 * (CAST(bq AS DOUBLE) / 1000000))
+                       / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS power
+               FROM g)
+    SELECT k AS user_id, CAST(p AS INTEGER) AS period, n_slots, power,
+           (row_number() OVER (PARTITION BY k ORDER BY power DESC, p ASC) = 1)
+             AS is_best
+    FROM scored
+    """
+    assert compare(got, duck.execute(sql).df()) == []
+    pdf = got.toPandas()
+    assert (pdf.power >= 0).all()
+    assert pdf.groupby("user_id").is_best.sum().eq(1).all()
+
+
+def test_periodogram_known_case(spark):
+    """Pin: a pure period-4 sine lattice (0, 1, 0, −1 repeating over 24
+    hourly slots) peaks at period 4 with power 0.25; the 8/12-slot
+    candidates see only a harmonic (≈0)."""
+    from osmapreduceproject_spark.operators.windows import periodogram
+
+    vals = [0.0, 1.0, 0.0, -1.0] * 6
+    rows = [
+        (i, f"2024-01-01 {i:02d}:00:00", 1, v)
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, value double"
+    ).select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"),
+        "user_id", "value",
+    )
+    got = {r["period"]: r for r in
+           periodogram(df, "user_id", "ts", "value", 3600).collect()}
+    assert got[4]["is_best"]
+    assert abs(got[4]["power"] - 0.25) < 1e-3
+    for p in (2, 3, 6, 8, 12):
+        assert got[p]["power"] < 0.01
