@@ -1113,3 +1113,57 @@ def lsh_bucket_stats(
         ).alias("mean_bucket_size"),
         (F.col("__pairs2") / 2).cast("bigint").alias("candidate_pairs"),
     )
+
+
+def soft_dedup_weights(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    threshold: float = 0.8,
+    k: int = 3,
+) -> DataFrame:
+    """Soft deduplication: instead of DROPPING near-duplicates
+    (:func:`dedup_clusters` → keep-first), assign every document the
+    training weight 1/cluster_size — the repetition-discount used when
+    duplicates carry signal (popular ≠ redundant) but must not dominate
+    the loss. Reports the per-source effect: raw count, effective
+    (weighted) count, and the dedup discount 1 − effective/raw — the
+    number a data-mixing stage feeds back into its sampling rates.
+
+    Rides the SAME cluster assignment as the hard-dedup path (one
+    implementation: :func:`dedup_clusters` — banded candidates, never
+    N²), so hard and soft views can never disagree about what a
+    duplicate is. Exactness: weights are micro-quantized rationals
+    (round_half_up(10⁶/k) as integers), so per-source sums are exact
+    and the finalize is one division. Returns
+    (source, n_docs, effective_docs, dedup_discount).
+    """
+    clusters = dedup_clusters(df, id_col=id_col, text_col=text_col,
+                              threshold=threshold, k=k)
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__k")
+    )
+    weighted = (
+        clusters.join(sizes, "cluster_id")
+        .select(
+            id_col,
+            F.floor(F.lit(1_000_000.0) / F.col("__k") + F.lit(0.5))
+            .cast("bigint")
+            .alias("__wq"),
+        )
+        .join(df.select(id_col, source_col), id_col)
+    )
+    g = weighted.groupBy(source_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("__wq").alias("__eff"),
+    )
+    eff = F.col("__eff").cast("double")
+    return g.select(
+        source_col,
+        "n_docs",
+        F.round(eff / 1_000_000, 6).alias("effective_docs"),
+        F.round(F.lit(1.0) - eff / 1_000_000 / F.col("n_docs"), 6).alias(
+            "dedup_discount"
+        ),
+    )

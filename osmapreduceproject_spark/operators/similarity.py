@@ -1007,3 +1007,97 @@ def knn_graph_stats(
         "reciprocity double, max_in_degree bigint, n_isolated bigint, "
         "mean_sim double",
     )
+
+
+def centroid_similarity(
+    corpus: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Pairwise cosine similarity between GROUP CENTROIDS — the
+    corpus-geometry readout ("which sources/labels occupy the same
+    region of embedding space?") that complements :func:`cluster_drift`
+    (one group across time) and :func:`cluster_cohesion` (members vs
+    their own centroid): near-1 off-diagonal pairs are candidates for
+    merged curation or targeted decontamination.
+
+    Scale shape: one posexplode → (group, dim) aggregation (hash
+    exchange on the pair key, map-side combine — vector volume never
+    shuffles twice), then every downstream frame is bounded at
+    groups × dims; the pair join is a broadcast-size self-join on the
+    dim key. Exactness: coordinates micro-quantize once
+    (round(v·10⁶)), per-dim sums are exact DECIMAL, the centroid mean
+    is exact-integer-operand division, and every cross/self product is
+    re-quantized half-up BEFORE summation (round(mₐ·m_b/10⁶) — integer
+    sums, order-independent), so cosine =
+    dot/√(‖a‖²·‖b‖²) composes identical operands on both engines.
+    Zero-norm centroids emit NULL cosine. Returns
+    (group_a, group_b, n_a, n_b, cosine) for group_a < group_b.
+    """
+    ex = corpus.select(
+        F.col(group_col).alias("__g"),
+        F.posexplode(F.col(vec_col)).alias("__pos", "__v"),
+    )
+    q = ex.select(
+        "__g",
+        "__pos",
+        F.round(F.col("__v").cast("double") * 1_000_000).cast("bigint").alias("__q"),
+    )
+    cent = q.groupBy("__g", "__pos").agg(
+        F.sum(F.col("__q").cast("decimal(38,0)")).alias("__s"),
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+    )
+    m = cent.select(
+        "__g",
+        "__pos",
+        (F.col("__s").cast("double") / F.col("__n")).alias("__m"),  # micro-units
+    )
+    norms = m.groupBy("__g").agg(
+        F.sum(
+            F.round(F.col("__m") * F.col("__m") / 1_000_000).cast("bigint")
+        ).alias("__nrm"),
+        F.count(F.lit(1)).alias("__dims"),
+    )
+    counts = corpus.groupBy(F.col(group_col).alias("__g")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__cnt")
+    )
+    a = m.select(
+        F.col("__g").alias("__ga"), "__pos", F.col("__m").alias("__ma")
+    )
+    b = m.select(
+        F.col("__g").alias("__gb"), "__pos", F.col("__m").alias("__mb")
+    )
+    dots = (
+        a.join(b, "__pos")
+        .where(F.col("__ga") < F.col("__gb"))
+        .groupBy("__ga", "__gb")
+        .agg(
+            F.sum(
+                F.round(F.col("__ma") * F.col("__mb") / 1_000_000).cast("bigint")
+            ).alias("__dot")
+        )
+    )
+    na = norms.select(
+        F.col("__g").alias("__ga"), F.col("__nrm").alias("__nrma")
+    )
+    nb = norms.select(
+        F.col("__g").alias("__gb"), F.col("__nrm").alias("__nrmb")
+    )
+    ca = counts.select(F.col("__g").alias("__ga"), F.col("__cnt").alias("n_a"))
+    cb = counts.select(F.col("__g").alias("__gb"), F.col("__cnt").alias("n_b"))
+    out = dots.join(na, "__ga").join(nb, "__gb").join(ca, "__ga").join(cb, "__gb")
+    ok = (F.col("__nrma") > 0) & (F.col("__nrmb") > 0)
+    return out.select(
+        F.col("__ga").alias("group_a"),
+        F.col("__gb").alias("group_b"),
+        "n_a",
+        "n_b",
+        F.when(
+            ok,
+            F.round(
+                F.col("__dot").cast("double")
+                / F.sqrt(F.col("__nrma").cast("double") * F.col("__nrmb")),
+                6,
+            ),
+        ).alias("cosine"),
+    )

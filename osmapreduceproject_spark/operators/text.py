@@ -1732,3 +1732,131 @@ def heaps_law_fit(
         ),
         F.when(ok & (vy > 0), F.round(cov * cov / (vx * vy), 6)).alias("r2"),
     )
+
+
+def mojibake_report(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-source encoding-damage report — the cleaning gate that runs
+    BEFORE language-ID/quality scoring (mojibake inflates OOV rates and
+    poisons n-gram statistics silently): counts the classic markers of
+    a decode gone wrong — U+FFFD replacement characters, raw C0/DEL
+    control bytes that survived into text, and the ``â€``-family
+    UTF-8-read-as-Latin-1 digraphs — plus the informational ``Ã``
+    count (NOT flagged alone: "São" is legitimate text).
+
+    All counts are exact integer length deltas (replace/regexp strips —
+    the q267 char-class machinery), so the per-source rollup is pure
+    integer sums into one final rate division. A NULL text counts as an
+    empty document (coalesced, not dropped — the corpus-accounting
+    convention). Returns one row per source:
+    (source, n_docs, n_flagged, n_replacement, n_control, n_utf8_digraph,
+    n_a_tilde, markers_per_kchar).
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+
+    def count_sub(sub: str, width: int) -> F.Column:
+        return (
+            (F.length(t) - F.length(F.replace(t, F.lit(sub)))) / F.lit(width)
+        ).cast("bigint")
+
+    n_repl = count_sub("�", 1)
+    n_seq = count_sub("â€", 2)
+    n_atilde = count_sub("Ã", 1)
+    n_ctrl = (
+        F.length(t)
+        - F.length(
+            F.regexp_replace(t, "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]", "")
+        )
+    ).cast("bigint")
+    per_doc = df.select(
+        "source",
+        F.length(t).cast("bigint").alias("__len"),
+        n_repl.alias("__repl"),
+        n_ctrl.alias("__ctrl"),
+        n_seq.alias("__seq"),
+        n_atilde.alias("__at"),
+    )
+    flagged = (F.col("__repl") + F.col("__ctrl") + F.col("__seq")) > 0
+    g = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(flagged.cast("int")).cast("bigint").alias("n_flagged"),
+        F.sum("__repl").cast("bigint").alias("n_replacement"),
+        F.sum("__ctrl").cast("bigint").alias("n_control"),
+        F.sum("__seq").cast("bigint").alias("n_utf8_digraph"),
+        F.sum("__at").cast("bigint").alias("n_a_tilde"),
+        F.sum("__len").cast("bigint").alias("__chars"),
+    )
+    markers = F.col("n_replacement") + F.col("n_control") + F.col("n_utf8_digraph")
+    return g.select(
+        "source",
+        "n_docs",
+        "n_flagged",
+        "n_replacement",
+        "n_control",
+        "n_utf8_digraph",
+        "n_a_tilde",
+        F.when(
+            F.col("__chars") > 0,
+            F.round(markers.cast("double") * 1000 / F.col("__chars"), 6),
+        ).alias("markers_per_kchar"),
+    )
+
+
+def bigram_conditional_entropy(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-source conditional entropy H(next token | token) — the
+    PREDICTABILITY of a corpus's local word order, the second-order
+    companion to :func:`word_entropy` (unigram diversity): looping or
+    templated text has near-zero conditional entropy even when its
+    unigram entropy looks healthy, which is exactly the failure mode
+    repetition filters miss when the repeated unit is a whole phrase.
+
+    H = −Σ_{xy} (c_xy/N)·log2(c_xy/c_x) over whitespace bigrams, with
+    the prefix counts c_x derived FROM the bigram counts (so both
+    marginals describe the same pair population — no off-by-last-token
+    drift). Exactness: counts are integers, each c_xy·log2(c_xy/c_x)
+    term is micro-quantized half-up before summation (the q278
+    quantized-log convention), and the finalize is integer operands
+    into two divisions. Documents with fewer than 2 tokens contribute
+    no bigrams. Returns
+    (source, n_bigrams, n_bigram_types, n_prefix_types,
+    cond_entropy_bits).
+    """
+    toks = df.where(F.col(text_col).isNotNull()).select(
+        "source", F.split(F.col(text_col), " ").alias("__a")
+    )
+    big = (
+        toks.where(F.size("__a") >= 2)
+        .select(
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(__a) - 1), "
+                    "i -> struct(__a[i-1] AS x, __a[i] AS y))"
+                )
+            ).alias("__b"),
+        )
+        .select("source", F.col("__b.x").alias("__x"), F.col("__b.y").alias("__y"))
+    )
+    cxy = big.groupBy("source", "__x", "__y").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__cxy")
+    )
+    cx = cxy.groupBy("source", "__x").agg(F.sum("__cxy").alias("__cx"))
+    j = cxy.join(cx, ["source", "__x"]).select(
+        "source",
+        "__x",
+        "__cxy",
+        F.round(
+            F.col("__cxy")
+            * F.log2(F.col("__cxy").cast("double") / F.col("__cx"))
+            * 1_000_000
+        )
+        .cast("bigint")
+        .alias("__t"),
+    )
+    return j.groupBy("source").agg(
+        F.sum("__cxy").cast("bigint").alias("n_bigrams"),
+        F.count(F.lit(1)).cast("bigint").alias("n_bigram_types"),
+        F.countDistinct("__x").cast("bigint").alias("n_prefix_types"),
+        F.round(
+            -F.sum("__t").cast("double") / 1_000_000 / F.sum("__cxy"), 6
+        ).alias("cond_entropy_bits"),
+    )

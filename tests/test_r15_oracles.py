@@ -437,3 +437,212 @@ def test_periodogram_known_case(spark):
     assert abs(got[4]["power"] - 0.25) < 1e-3
     for p in (2, 3, 6, 8, 12):
         assert got[p]["power"] < 0.01
+
+
+# ---------------------------------------------------------------------------
+# similarity / text / dedup families
+# ---------------------------------------------------------------------------
+
+
+def test_centroid_similarity_oracle(spark, duck):
+    """Label-centroid cosine matrix over embeddings — quantized per-dim
+    means, re-quantized products, bounded pair join replayed in SQL."""
+    from osmapreduceproject_spark.operators.similarity import centroid_similarity
+
+    got = centroid_similarity(_t(spark, "embeddings"), "label")
+    sql = """
+    WITH ex AS (
+      SELECT label AS g, i - 1 AS pos,
+             CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS q
+      FROM embeddings,
+           LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) u),
+    cent AS (SELECT g, pos, SUM(CAST(q AS HUGEINT)) AS s, COUNT(*) AS n
+             FROM ex GROUP BY 1, 2),
+    m AS (SELECT g, pos, CAST(s AS DOUBLE) / n AS m FROM cent),
+    norms AS (SELECT g, SUM(CAST(round(m * m / 1000000) AS BIGINT)) AS nrm
+              FROM m GROUP BY g),
+    counts AS (SELECT label AS g, COUNT(*) AS cnt FROM embeddings GROUP BY 1),
+    dots AS (SELECT a.g AS ga, b.g AS gb,
+                    SUM(CAST(round(a.m * b.m / 1000000) AS BIGINT)) AS dot
+             FROM m a JOIN m b ON a.pos = b.pos AND a.g < b.g GROUP BY 1, 2)
+    SELECT d.ga AS group_a, d.gb AS group_b,
+           CAST(ca.cnt AS BIGINT) AS n_a, CAST(cb.cnt AS BIGINT) AS n_b,
+           CASE WHEN na.nrm > 0 AND nb.nrm > 0 THEN
+             round(CAST(d.dot AS DOUBLE)
+                   / sqrt(CAST(na.nrm AS DOUBLE) * nb.nrm), 6) END AS cosine
+    FROM dots d JOIN norms na ON na.g = d.ga JOIN norms nb ON nb.g = d.gb
+                JOIN counts ca ON ca.g = d.ga JOIN counts cb ON cb.g = d.gb
+    """
+    assert compare(got, duck.execute(sql).df()) == []
+    pdf = got.toPandas()
+    n_labels = pdf[["group_a", "group_b"]].stack().nunique()
+    assert len(pdf) == n_labels * (n_labels - 1) // 2
+    assert pdf.cosine.between(-1.0 - 1e-9, 1.0 + 1e-9).all()
+
+
+def test_centroid_similarity_known_cases(spark):
+    """Pins: identical centroids → cosine 1; orthogonal → 0."""
+    from osmapreduceproject_spark.operators.similarity import centroid_similarity
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (1, [1.0, 0.0]),
+         (2, [2.0, 0.0]),
+         (3, [0.0, 3.0])],
+        "label int, embedding array<float>",
+    )
+    rows = {(r["group_a"], r["group_b"]): r["cosine"]
+            for r in centroid_similarity(df, "label").collect()}
+    assert abs(rows[(1, 2)] - 1.0) < 1e-6  # parallel
+    assert abs(rows[(1, 3)]) < 1e-6        # orthogonal
+    assert abs(rows[(2, 3)]) < 1e-6
+
+
+def test_mojibake_report_oracle(spark, duck):
+    """Encoding-damage markers per source — integer length deltas,
+    global regexp strips on both engines."""
+    from osmapreduceproject_spark.operators.text import mojibake_report
+
+    got = mojibake_report(_t(spark, "documents"))
+    sql = r"""
+    WITH d AS (SELECT source, COALESCE(text, '') AS t FROM documents),
+    per AS (SELECT source, length(t) AS len,
+      CAST(length(t) - length(replace(t, chr(65533), '')) AS BIGINT) AS repl,
+      CAST(length(t) - length(regexp_replace(t,
+        '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g')) AS BIGINT) AS ctrl,
+      CAST((length(t) - length(replace(t, 'â€', ''))) / 2 AS BIGINT) AS seq,
+      CAST(length(t) - length(replace(t, 'Ã', '')) AS BIGINT) AS at
+      FROM d)
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN repl + ctrl + seq > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_flagged,
+           CAST(SUM(repl) AS BIGINT) AS n_replacement,
+           CAST(SUM(ctrl) AS BIGINT) AS n_control,
+           CAST(SUM(seq) AS BIGINT) AS n_utf8_digraph,
+           CAST(SUM(at) AS BIGINT) AS n_a_tilde,
+           CASE WHEN SUM(len) > 0 THEN
+             round(CAST(SUM(repl) + SUM(ctrl) + SUM(seq) AS DOUBLE) * 1000
+                   / SUM(len), 6) END AS markers_per_kchar
+    FROM per GROUP BY source
+    """
+    assert compare(got, duck.execute(sql).df()) == []
+
+
+def test_mojibake_report_known_case(spark):
+    """Pin: planted damage — one replacement char, one control byte, one
+    â€-digraph, one legitimate Ã (informational, unflagged)."""
+    from osmapreduceproject_spark.operators.text import mojibake_report
+
+    df = spark.createDataFrame(
+        [(1, "clean text here", "s1"),
+         (2, "bad � char", "s1"),
+         (3, "ctrl\x07bell", "s1"),
+         (4, "donâ€™t decode twice", "s2"),
+         (5, "SÃO PAULO", "s2"),  # Ã alone must NOT flag
+         (6, None, "s2")],
+        "doc_id long, text string, source string",
+    )
+    rows = {r["source"]: r for r in mojibake_report(df).collect()}
+    s1, s2 = rows["s1"], rows["s2"]
+    assert s1["n_docs"] == 3 and s1["n_flagged"] == 2
+    assert s1["n_replacement"] == 1 and s1["n_control"] == 1
+    assert s2["n_docs"] == 3 and s2["n_flagged"] == 1
+    assert s2["n_utf8_digraph"] == 1
+    assert s2["n_a_tilde"] == 1  # counted, not flagged
+
+
+def test_bigram_conditional_entropy_oracle(spark, duck):
+    """H(next|token) per source — bigram/prefix counts from one pair
+    population, quantized log terms replayed in SQL."""
+    from osmapreduceproject_spark.operators.text import bigram_conditional_entropy
+
+    got = bigram_conditional_entropy(_t(spark, "documents"))
+    sql = """
+    WITH t AS (SELECT source, string_split(text, ' ') AS a
+               FROM documents WHERE text IS NOT NULL),
+    big AS (SELECT source, a[i] AS x, a[i + 1] AS y
+            FROM t, LATERAL (SELECT unnest(range(1, len(a))) AS i) u
+            WHERE len(a) >= 2),
+    cxy AS (SELECT source, x, y, COUNT(*) AS c FROM big GROUP BY 1, 2, 3),
+    cx AS (SELECT source, x, SUM(c) AS cx FROM cxy GROUP BY 1, 2),
+    j AS (SELECT cxy.source, cxy.x, cxy.c,
+                 CAST(round(cxy.c * log2(CAST(cxy.c AS DOUBLE) / cx.cx)
+                            * 1000000) AS BIGINT) AS t
+          FROM cxy JOIN cx ON cx.source = cxy.source AND cx.x = cxy.x)
+    SELECT source, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+           CAST(COUNT(*) AS BIGINT) AS n_bigram_types,
+           CAST(COUNT(DISTINCT x) AS BIGINT) AS n_prefix_types,
+           round(-CAST(SUM(t) AS DOUBLE) / 1000000 / SUM(c), 6)
+             AS cond_entropy_bits
+    FROM j GROUP BY source
+    """
+    assert compare(got, duck.execute(sql).df()) == []
+    pdf = got.toPandas()
+    assert (pdf.cond_entropy_bits >= -1e-9).all()
+
+
+def test_bigram_conditional_entropy_known_cases(spark):
+    """Pins: a perfect loop (a b a b …) is fully predictable (H = 0);
+    a uniform 2-way branch from one prefix is exactly 1 bit."""
+    from osmapreduceproject_spark.operators.text import bigram_conditional_entropy
+
+    df = spark.createDataFrame(
+        [(1, "a b a b a", "loop"),
+         (2, "a b", "branch"), (3, "a c", "branch")],
+        "doc_id long, text string, source string",
+    )
+    rows = {r["source"]: r for r in bigram_conditional_entropy(df).collect()}
+    assert rows["loop"]["cond_entropy_bits"] == 0.0
+    assert abs(rows["branch"]["cond_entropy_bits"] - 1.0) < 1e-6
+    assert rows["branch"]["n_prefix_types"] == 1
+
+
+def test_soft_dedup_weights_oracle(spark, duck):
+    """1/cluster-size training weights over the SAME near-dup clusters
+    as the hard-dedup path — per-source effective mass in SQL."""
+    from osmapreduceproject_spark.operators.dedup import soft_dedup_weights
+    from osmapreduceproject_spark.queries import _JACCARD_PAIRS_CTE
+
+    got = soft_dedup_weights(_t(spark, "documents"))
+    sql = f"""
+    WITH RECURSIVE
+    {_JACCARD_PAIRS_CTE},
+    edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+              UNION ALL SELECT b_id, a_id FROM pairs),
+    walk AS (
+      SELECT doc_id AS node, doc_id AS label FROM documents
+      UNION
+      SELECT e.src AS node, w.label FROM edges e JOIN walk w ON w.node = e.dst),
+    clusters AS (SELECT node AS doc_id, MIN(label) AS cluster_id
+                 FROM walk GROUP BY node),
+    ksz AS (SELECT cluster_id, COUNT(*) AS k FROM clusters GROUP BY 1),
+    wts AS (SELECT c.doc_id,
+                   CAST(floor(1000000.0 / s.k + 0.5) AS BIGINT) AS wq
+            FROM clusters c JOIN ksz s USING (cluster_id)),
+    g AS (SELECT d.source, COUNT(*) AS n, SUM(w.wq) AS eff
+          FROM wts w JOIN documents d ON d.doc_id = w.doc_id GROUP BY 1)
+    SELECT source, CAST(n AS BIGINT) AS n_docs,
+           round(CAST(eff AS DOUBLE) / 1000000, 6) AS effective_docs,
+           round(1.0 - CAST(eff AS DOUBLE) / 1000000 / n, 6) AS dedup_discount
+    FROM g
+    """
+    assert compare(got, duck.execute(sql).df()) == []
+    pdf = got.toPandas()
+    assert (pdf.effective_docs <= pdf.n_docs + 1e-9).all()
+    assert pdf.dedup_discount.between(0.0, 1.0).all()
+
+
+def test_soft_dedup_weights_known_case(spark):
+    """Pin: 3 exact copies + 1 unique in one source → effective mass
+    3·(1/3) + 1 = 2 of 4 raw, discount 0.5; singletons weigh 1."""
+    from osmapreduceproject_spark.operators.dedup import soft_dedup_weights
+
+    body = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame(
+        [(1, body, "s"), (2, body, "s"), (3, body, "s"),
+         (4, "совершенно другой текст без общих слов вовсе", "s")],
+        "doc_id long, text string, source string",
+    )
+    r = soft_dedup_weights(df).first()
+    assert r["n_docs"] == 4
+    assert abs(r["effective_docs"] - 2.0) < 1e-5
+    assert abs(r["dedup_discount"] - 0.5) < 1e-5
