@@ -1854,3 +1854,262 @@ def audio_envelope_periodicity(
         F.col("best_lag").cast("int"),
         "best_acf",
     )
+
+
+def arith_raw_images_blurred(
+    spark, n: int = 64, width: int = 16, height: int = 12
+) -> DataFrame:
+    """:func:`arith_raw_images` variant where every ODD ``media_id`` is
+    horizontally box-blurred — interior pixels carry the same-row
+    same-channel 3-tap floor mean (v(i−3)+v(i)+v(i+3)) // 3, edge
+    columns copy the base formula — so the table mixes sharp and
+    smoothed images of the SAME underlying composition. Every byte
+    stays regenerable by integer SQL (the arithmetic-fixture
+    convention), which is what gives :func:`image_blur_score` a full
+    cross-engine value oracle instead of a rows-only check."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Self-contained closure: no module-global references.
+        import numpy as np
+        import pandas as pd
+
+        idx = np.arange(width * height * 3, dtype=np.int64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            payloads = []
+            for m in pdf["id"]:
+                v = (31 * int(m) + 7 * idx + (idx * idx) % 251) % 256
+                if int(m) % 2 == 1:
+                    img = v.reshape(height, width, 3)
+                    out = img.copy()
+                    out[:, 1 : width - 1, :] = (
+                        img[:, 0 : width - 2, :]
+                        + img[:, 1 : width - 1, :]
+                        + img[:, 2:width, :]
+                    ) // 3
+                    v = out.reshape(-1)
+                payloads.append(v.astype(np.uint8).tobytes())
+            yield pd.DataFrame({"media_id": pdf["id"].values, "payload": payloads})
+
+    raw = spark.range(n).mapInPandas(gen, "media_id long, payload binary")
+    return raw.select(
+        "media_id",
+        F.lit("image").alias("kind"),
+        "payload",
+        F.struct(
+            F.lit(width).alias("width"),
+            F.lit(height).alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(1).alias("n_frames"),
+        ).alias("meta"),
+    )
+
+
+def image_blur_score(df: DataFrame) -> DataFrame:
+    """Per-image sharpness via the variance of a horizontal Laplacian
+    over the gray plane — the classic blur screen (smoothing collapses
+    second-derivative energy) that a vision-data pipeline runs before
+    paying for embeddings: low variance = blurred/flat/duplicate-ish
+    frame, a drop or down-weight candidate. Complements
+    :func:`image_exposure_report` (tonal distribution) and
+    :func:`image_border_uniformity` (letterboxing).
+
+    Decode and reduce INSIDE the Arrow batch (payloads never shuffle):
+    gray = r+g+b per pixel (pure integers, no luma weights — exactly
+    regenerable in SQL), lap(x) = 2·g(x) − g(x−1) − g(x+1) over
+    interior columns, then exact integer n, Σlap, Σlap², Σ|lap| into
+    the one fixed-order finalize (population variance, 6-decimal
+    half-away rounding — the :func:`~.stats._round6_half_away`
+    convention inside the closure). A payload whose length doesn't
+    match the meta dims raises (decode error, not a silent skip).
+    Returns (media_id, n_lap, lap_var, mean_abs_lap).
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Self-contained closure: no module-global references.
+        import math
+
+        import numpy as np
+        import pandas as pd
+
+        def rnd6(x):
+            return math.copysign(math.floor(abs(x) * 1e6 + 0.5), x) / 1e6
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            for m, p, w, h in zip(
+                pdf["media_id"], pdf["payload"], pdf["width"], pdf["height"]
+            ):
+                buf = np.frombuffer(bytes(p), dtype=np.uint8)
+                w, h = int(w), int(h)
+                if buf.size != w * h * 3:
+                    raise ValueError(
+                        f"payload length {buf.size} is not a {h}x{w}x3 RAW8 RGB frame"
+                    )
+                gray = buf.reshape(h, w, 3).astype(np.int64).sum(axis=2)
+                lap = 2 * gray[:, 1:-1] - gray[:, :-2] - gray[:, 2:]
+                n = lap.size
+                s = int(lap.sum())
+                s2 = int((lap * lap).sum())
+                sa = int(np.abs(lap).sum())
+                var = (s2 - s * s / n) / n
+                rows.append((int(m), n, rnd6(var), rnd6(sa / n)))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "n_lap", "lap_var", "mean_abs_lap"]
+            )
+
+    flat = df.select(
+        "media_id",
+        "payload",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+    )
+    return flat.mapInPandas(
+        run,
+        "media_id long, n_lap bigint, lap_var double, mean_abs_lap double",
+    )
+
+
+def arith_video_frames_black(
+    spark,
+    n_videos: int = 24,
+    n_frames: int = 12,
+    black_from: int = 5,
+    black_len: int = 3,
+    width: int = 16,
+    height: int = 12,
+    delta_bytes: int = 12,
+) -> DataFrame:
+    """:func:`arith_video_frames` variant with a PLANTED BLACK SEGMENT:
+    frames ``black_from .. black_from+black_len−1`` carry the base
+    pixel formula reduced mod 8 (mean byte ≈ 3.5 — a fade-to-black /
+    dropped-signal span), every other frame the usual mod-256 formula
+    with per-frame motion. Every byte regenerable by integer SQL — the
+    fixture that upgrades :func:`video_black_frames` to a full
+    cross-engine value oracle. Schema: (media_id, kind, frame_idx,
+    payload, meta)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Self-contained closure: no module-global references.
+        import numpy as np
+        import pandas as pd
+
+        idx = np.arange(width * height * 3, dtype=np.int64)
+        motion = (idx < delta_bytes).astype(np.int64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vids, fids, payloads = [], [], []
+            for i in pdf["id"]:
+                vid, f = divmod(int(i), n_frames)
+                base = 31 * vid + 7 * idx + (idx * idx) % 251
+                if black_from <= f < black_from + black_len:
+                    v = base % 8
+                else:
+                    v = (base + f * motion) % 256
+                vids.append(vid)
+                fids.append(f)
+                payloads.append(v.astype(np.uint8).tobytes())
+            yield pd.DataFrame(
+                {"media_id": vids, "frame_idx": fids, "payload": payloads}
+            )
+
+    raw = spark.range(n_videos * n_frames).mapInPandas(
+        gen, "media_id long, frame_idx int, payload binary"
+    )
+    return raw.select(
+        "media_id",
+        F.lit("video").alias("kind"),
+        "frame_idx",
+        "payload",
+        F.struct(
+            F.lit(width).alias("width"),
+            F.lit(height).alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(n_frames).alias("n_frames"),
+        ).alias("meta"),
+    )
+
+
+def video_black_frames(frames: DataFrame, thr_mean: int = 32) -> DataFrame:
+    """Per-video black/blank-frame detection: frames whose mean byte
+    falls below ``thr_mean`` (decided as the INTEGER comparison
+    Σbytes < thr·size — no division, bit-identical anywhere), with
+    run-length accounting — the signal-loss/fade screen next to
+    :func:`video_freeze_detect` (repetition) and
+    :func:`scene_changes` (cuts): a training pipeline drops black
+    spans before paying for per-frame features.
+
+    Only (video, idx, luma-sum) triplets leave the Arrow decode —
+    payloads never shuffle. Consecutive means ``frame_idx`` delta 1
+    (the freeze-detect convention for sampled frame indices); runs are
+    the lag-gap island pattern. Returns
+    (media_id, n_frames, n_black, black_frac, longest_black_run).
+    """
+    from pyspark.sql import Window
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Self-contained closure: no module-global references.
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            for m, fi, p in zip(
+                pdf["media_id"], pdf["frame_idx"], pdf["payload"]
+            ):
+                buf = np.frombuffer(bytes(p), dtype=np.uint8).astype(np.int64)
+                rows.append((int(m), int(fi), int(buf.sum()), int(buf.size)))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_idx", "lsum", "size"]
+            )
+
+    sums = frames.select("media_id", "frame_idx", "payload").mapInPandas(
+        run, "media_id long, frame_idx int, lsum long, size long"
+    )
+    marked = sums.select(
+        "media_id",
+        "frame_idx",
+        (F.col("lsum") < F.lit(int(thr_mean)) * F.col("size")).cast("int").alias(
+            "__black"
+        ),
+    )
+    blk = marked.where(F.col("__black") == 1)
+    wi = Window.partitionBy("media_id").orderBy(F.col("frame_idx").asc())
+    isl = blk.withColumn(
+        "__new",
+        F.when(
+            F.lag("frame_idx").over(wi).isNull()
+            | (F.col("frame_idx") - F.lag("frame_idx").over(wi) > 1),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "__island",
+        F.sum("__new").over(wi.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    runs = (
+        isl.groupBy("media_id", "__island")
+        .agg(F.count(F.lit(1)).alias("__run"))
+        .groupBy("media_id")
+        .agg(F.max("__run").alias("__longest"))
+    )
+    base = marked.groupBy("media_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_frames"),
+        F.coalesce(F.sum("__black"), F.lit(0)).cast("bigint").alias("n_black"),
+    )
+    return base.join(runs, "media_id", "left").select(
+        "media_id",
+        "n_frames",
+        "n_black",
+        F.round(F.col("n_black").cast("double") / F.col("n_frames"), 6).alias(
+            "black_frac"
+        ),
+        F.coalesce(F.col("__longest"), F.lit(0)).cast("bigint").alias(
+            "longest_black_run"
+        ),
+    )

@@ -646,3 +646,148 @@ def test_soft_dedup_weights_known_case(spark):
     assert r["n_docs"] == 4
     assert abs(r["effective_docs"] - 2.0) < 1e-5
     assert abs(r["dedup_discount"] - 0.5) < 1e-5
+
+
+# ---------------------------------------------------------------------------
+# multimodal family
+# ---------------------------------------------------------------------------
+
+# the arith_raw_images pixel formula as a SQL fragment (i is an expression)
+def _px(i: str) -> str:
+    return f"((31*m + 7*({i}) + (({i})*({i}))%251) % 256)"
+
+
+def test_image_blur_score_oracle(spark, duck):
+    """Laplacian-variance sharpness over the mixed sharp/blurred
+    arithmetic fixture — the oracle regenerates every byte (including
+    the odd-id 3-tap floor blur) and replays the exact finalize."""
+    from osmapreduceproject_spark.operators.multimodal import (
+        arith_raw_images_blurred,
+        image_blur_score,
+    )
+
+    imgs = arith_raw_images_blurred(spark, n=64, width=16, height=12)
+    got = image_blur_score(imgs)
+    sql = f"""
+    WITH mm AS (SELECT unnest(range(64)) AS m),
+    px AS (SELECT m, unnest(range(576)) AS i FROM mm),
+    bl AS (SELECT m, i,
+             CASE WHEN m % 2 = 1 AND ((i // 3) % 16) BETWEEN 1 AND 14
+                  THEN ({_px('i-3')} + {_px('i')} + {_px('i+3')}) // 3
+                  ELSE {_px('i')} END AS v
+           FROM px),
+    gray AS (SELECT m, i // 48 AS y, (i // 3) % 16 AS x, SUM(v) AS gv
+             FROM bl GROUP BY 1, 2, 3),
+    g2 AS (SELECT m, y, x, gv, lag(gv) OVER w AS gl, lead(gv) OVER w AS gr
+           FROM gray WINDOW w AS (PARTITION BY m, y ORDER BY x)),
+    lap AS (SELECT m, 2*gv - gl - gr AS l FROM g2
+            WHERE gl IS NOT NULL AND gr IS NOT NULL),
+    agg AS (SELECT m, COUNT(*) AS n, SUM(l) AS s,
+                   SUM(CAST(l AS HUGEINT)*l) AS s2, SUM(ABS(l)) AS sa
+            FROM lap GROUP BY m)
+    SELECT CAST(m AS BIGINT) AS media_id, CAST(n AS BIGINT) AS n_lap,
+           floor((CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE)*CAST(s AS DOUBLE)/n)/n
+                 * 1000000 + 0.5) / 1000000 AS lap_var,
+           floor(CAST(sa AS DOUBLE)/n * 1000000 + 0.5) / 1000000 AS mean_abs_lap
+    FROM agg
+    """
+    assert compare(got, duck.execute(sql).df()) == []
+    pdf = got.toPandas()
+    # the planted blur must collapse second-derivative energy
+    sharp = pdf[pdf.media_id % 2 == 0].lap_var.mean()
+    blurred = pdf[pdf.media_id % 2 == 1].lap_var.mean()
+    assert blurred < sharp * 0.6
+
+
+def test_image_blur_score_known_case(spark):
+    """Pin: a constant image has zero Laplacian variance; a one-column
+    impulse has a hand-computable one."""
+    from osmapreduceproject_spark.operators.multimodal import image_blur_score
+
+    flat = spark.createDataFrame(
+        [(0, "image", bytes([7, 7, 7] * 16), (4, 4, None, 1))],
+        "media_id long, kind string, payload binary, "
+        "meta struct<width:int,height:int,sample_rate:int,n_frames:int>",
+    )
+    r = image_blur_score(flat).first()
+    assert r["n_lap"] == 8  # (w−2)·h = 2·4
+    assert r["lap_var"] == 0.0 and r["mean_abs_lap"] == 0.0
+    bad = spark.createDataFrame(
+        [(1, "image", bytes([1, 2, 3]), (4, 4, None, 1))],
+        "media_id long, kind string, payload binary, "
+        "meta struct<width:int,height:int,sample_rate:int,n_frames:int>",
+    )
+    with pytest.raises(Exception, match="RAW8"):
+        image_blur_score(bad).collect()
+
+
+def test_video_black_frames_oracle(spark, duck):
+    """Planted fade-to-black span — integer luma-sum threshold, island
+    runs, every byte regenerated in SQL."""
+    from osmapreduceproject_spark.operators.multimodal import (
+        arith_video_frames_black,
+        video_black_frames,
+    )
+
+    vids = arith_video_frames_black(
+        spark, n_videos=24, n_frames=12, black_from=5, black_len=3
+    )
+    got = video_black_frames(vids)
+    sql = """
+    WITH mm AS (SELECT unnest(range(288)) AS id),
+    fr AS (SELECT id // 12 AS m, id % 12 AS f FROM mm),
+    px AS (SELECT m, f, unnest(range(576)) AS i FROM fr),
+    v AS (SELECT m, f,
+            CASE WHEN f BETWEEN 5 AND 7
+                 THEN ((31*m + 7*i + (i*i)%251) % 8)
+                 ELSE ((31*m + 7*i + (i*i)%251
+                        + f * (CASE WHEN i < 12 THEN 1 ELSE 0 END)) % 256)
+            END AS b
+          FROM px),
+    s AS (SELECT m, f, SUM(b) AS lsum, COUNT(*) AS sz FROM v GROUP BY 1, 2),
+    mk AS (SELECT m, f, CASE WHEN lsum < 32 * sz THEN 1 ELSE 0 END AS blk FROM s),
+    bl AS (SELECT m, f, f - row_number() OVER (PARTITION BY m ORDER BY f) AS grp
+           FROM mk WHERE blk = 1),
+    runs AS (SELECT m, MAX(cnt) AS longest
+             FROM (SELECT m, grp, COUNT(*) AS cnt FROM bl GROUP BY 1, 2)
+             GROUP BY m),
+    base AS (SELECT m, COUNT(*) AS nf, SUM(blk) AS nb FROM mk GROUP BY m)
+    SELECT CAST(base.m AS BIGINT) AS media_id, CAST(nf AS BIGINT) AS n_frames,
+           CAST(nb AS BIGINT) AS n_black,
+           round(CAST(nb AS DOUBLE) / nf, 6) AS black_frac,
+           CAST(COALESCE(longest, 0) AS BIGINT) AS longest_black_run
+    FROM base LEFT JOIN runs ON runs.m = base.m
+    """
+    assert compare(got, duck.execute(sql).df()) == []
+    pdf = got.toPandas()
+    assert (pdf.n_black == 3).all()
+    assert (pdf.longest_black_run == 3).all()
+    assert (pdf.black_frac == 0.25).all()
+
+
+def test_video_black_frames_known_cases(spark):
+    """Pins: a clean video reports zero; sampled (even-only) frame
+    indices never merge separated black frames into one run."""
+    from osmapreduceproject_spark.operators.multimodal import (
+        arith_video_frames,
+        video_black_frames,
+    )
+
+    clean = arith_video_frames(spark, n_videos=2, n_frames=6)
+    pdf = video_black_frames(clean).toPandas()
+    assert (pdf.n_black == 0).all()
+    assert (pdf.longest_black_run == 0).all()
+    dark = bytes([0] * 48)
+    lit = bytes([200] * 48)
+    rows = [
+        # frame indices 0,2,4,6: two black frames at 2 and 6, separated
+        (0, "video", 0, lit), (0, "video", 2, dark),
+        (0, "video", 4, lit), (0, "video", 6, dark),
+    ]
+    df = spark.createDataFrame(
+        [(m, k, f, p, (4, 4, None, 4)) for m, k, f, p in rows],
+        "media_id long, kind string, frame_idx int, payload binary, "
+        "meta struct<width:int,height:int,sample_rate:int,n_frames:int>",
+    )
+    r = video_black_frames(df).first()
+    assert r["n_black"] == 2 and r["longest_black_run"] == 1
