@@ -866,3 +866,90 @@ def test_r14_wave_plan_shapes(spark):
     assert data_carrying_single_partitions(lb) == [], plan
     # candidate pairs are counted, never joined into existence
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+
+
+def test_r15_wave_plan_shapes(spark):
+    """Scale-shape assertions for the wave staged for the r14
+    declaration window: Kaplan–Meier's at-risk/survival prefixes ride
+    the ranged-offset machinery (no data-carrying single partition),
+    the dispersion/Grubbs/mojibake/entropy reports are key-hash
+    aggregations only, the periodogram's windows partition by key, the
+    centroid matrix reduces to bounded groups×dims frames before any
+    join, soft-dedup weights reuse the banded cluster path (no
+    cartesian), and the multimodal pair keeps payloads inside the
+    Arrow decode (only id/idx/scalar triplets shuffle)."""
+    from pyspark.sql import functions as F
+
+    from osmapreduceproject_spark.operators.dedup import soft_dedup_weights
+    from osmapreduceproject_spark.operators.multimodal import (
+        arith_raw_images_blurred,
+        arith_video_frames_black,
+        image_blur_score,
+        video_black_frames,
+    )
+    from osmapreduceproject_spark.operators.similarity import centroid_similarity
+    from osmapreduceproject_spark.operators.stats import (
+        dispersion_index,
+        grubbs_test,
+        kaplan_meier,
+        kendall_tau,
+    )
+    from osmapreduceproject_spark.operators.text import (
+        bigram_conditional_entropy,
+        mojibake_report,
+    )
+    from osmapreduceproject_spark.operators.windows import periodogram
+    from osmapreduceproject_spark.plans.inspect import (
+        data_carrying_single_partitions,
+        explain_str,
+    )
+    from osmapreduceproject_spark.queries import _t
+
+    sf = "/root/testdata/sf0.001"
+    ev = _t(spark, sf, "events")
+    docs = _t(spark, sf, "documents")
+    emb = _t(spark, sf, "embeddings")
+
+    km = kaplan_meier(
+        ev.select(F.col("value").alias("t"), F.lit(1).alias("e")), "t", "e"
+    )
+    assert data_carrying_single_partitions(km) == [], explain_str(km)
+
+    kt = kendall_tau(
+        ev.select("user_id", "value", F.length("props").alias("plen")),
+        "user_id", "value", "plen",
+    )
+    assert data_carrying_single_partitions(kt) == [], explain_str(kt)
+
+    di = dispersion_index(ev, "ts", "event_type", 3600)
+    assert data_carrying_single_partitions(di) == [], explain_str(di)
+
+    gr = grubbs_test(ev, "event_type", "value")
+    assert data_carrying_single_partitions(gr) == [], explain_str(gr)
+
+    pg = periodogram(ev, "user_id", "ts", "value", 3600)
+    assert data_carrying_single_partitions(pg) == [], explain_str(pg)
+
+    cs = centroid_similarity(emb, "label")
+    plan = explain_str(cs)
+    assert data_carrying_single_partitions(cs) == [], plan
+    assert "CartesianProduct" not in plan, plan
+
+    mj = mojibake_report(docs)
+    assert data_carrying_single_partitions(mj) == [], explain_str(mj)
+
+    be = bigram_conditional_entropy(docs)
+    assert data_carrying_single_partitions(be) == [], explain_str(be)
+
+    sw = soft_dedup_weights(docs)
+    plan = explain_str(sw)
+    assert data_carrying_single_partitions(sw) == [], plan
+    assert "CartesianProduct" not in plan, plan
+
+    ib = image_blur_score(arith_raw_images_blurred(spark, n=8))
+    plan = explain_str(ib)
+    assert data_carrying_single_partitions(ib) == [], plan
+    assert "Exchange" not in plan, plan  # zero-shuffle narrow decode
+
+    vb = video_black_frames(arith_video_frames_black(spark, n_videos=4))
+    assert data_carrying_single_partitions(vb) == [], explain_str(vb)

@@ -207,16 +207,16 @@ def test_dispersion_index_known_case(spark):
     from osmapreduceproject_spark.operators.stats import dispersion_index
 
     regular = spark.createDataFrame(
-        [(f"2024-01-01 {h:02d}:30:00", "a") for h in range(10)],
-        "ts string, g string",
-    ).select(F.col("ts").cast("timestamp").alias("ts"), "g")
+        [(h * 3_600_000_000 + 1_800_000_000, "a") for h in range(10)],
+        "us long, g string",
+    ).select(F.timestamp_micros("us").alias("ts"), "g")
     r = dispersion_index(regular, "ts", "g", 3600).first()
     assert r["n_windows"] == 10 and r["mean_per_window"] == 1.0
     assert r["dispersion_index"] == 0.0
     burst = spark.createDataFrame(
-        [("2024-01-01 00:30:00", "a")] * 9 + [("2024-01-01 09:30:00", "a")],
-        "ts string, g string",
-    ).select(F.col("ts").cast("timestamp").alias("ts"), "g")
+        [(1_800_000_000, "a")] * 9 + [(9 * 3_600_000_000 + 1_800_000_000, "a")],
+        "us long, g string",
+    ).select(F.timestamp_micros("us").alias("ts"), "g")
     b = dispersion_index(burst, "ts", "g", 3600).first()
     assert b["n_windows"] == 10 and b["dispersion_index"] > 1.0
 
@@ -421,14 +421,13 @@ def test_periodogram_known_case(spark):
     from osmapreduceproject_spark.operators.windows import periodogram
 
     vals = [0.0, 1.0, 0.0, -1.0] * 6
-    rows = [
-        (i, f"2024-01-01 {i:02d}:00:00", 1, v)
-        for i, v in enumerate(vals)
-    ]
+    # epoch-micros construction: hostile-session-TZ-proof (a naive
+    # string cast would shift slot boundaries under a +8:45 zone)
+    rows = [(i, i * 3_600_000_000, 1, v) for i, v in enumerate(vals)]
     df = spark.createDataFrame(
-        rows, "event_id long, ts string, user_id long, value double"
+        rows, "event_id long, us long, user_id long, value double"
     ).select(
-        "event_id", F.col("ts").cast("timestamp").alias("ts"),
+        "event_id", F.timestamp_micros("us").alias("ts"),
         "user_id", "value",
     )
     got = {r["period"]: r for r in
@@ -791,3 +790,70 @@ def test_video_black_frames_known_cases(spark):
     )
     r = video_black_frames(df).first()
     assert r["n_black"] == 2 and r["longest_black_run"] == 1
+
+
+# ---------------------------------------------------------------------------
+# gated scale smokes (SPARK_GRAFT_SCALE=1)
+# ---------------------------------------------------------------------------
+
+import os as _os  # noqa: E402
+
+
+@pytest.mark.skipif(
+    not _os.environ.get("SPARK_GRAFT_SCALE"),
+    reason="scale smoke: set SPARK_GRAFT_SCALE=1 (10M durations through Kaplan-Meier)",
+)
+def test_kaplan_meier_scale_smoke(spark):
+    """10M right-censored durations over ~100k distinct values through
+    both ranged-cumsum passes (at-risk counts + survival product):
+    S starts at (N − d₁-share)/N-ish, stays monotone, and the at-risk
+    count at the smallest death time equals the full pool — never a
+    global sort, never a single-partition window."""
+    from osmapreduceproject_spark.operators.stats import kaplan_meier
+
+    df = spark.range(10_000_000).select(
+        F.pmod(F.xxhash64("id"), F.lit(100_003)).cast("double").alias("t"),
+        F.pmod(F.xxhash64("id", F.lit(1)), F.lit(2)).cast("int").alias("e"),
+    )
+    km = kaplan_meier(df, "t", "e")
+    first = km.orderBy("t").first()
+    assert first["n_risk"] == 10_000_000
+    pdf = km.orderBy("t").toPandas()
+    assert len(pdf) > 50_000
+    assert (pdf.survival.diff().dropna() <= 1e-12).all()
+    assert pdf.survival.between(0.0, 1.0).all()
+
+
+@pytest.mark.skipif(
+    not _os.environ.get("SPARK_GRAFT_SCALE"),
+    reason="scale smoke: set SPARK_GRAFT_SCALE=1 (2M grid slots / 12M trig terms)",
+)
+def test_periodogram_scale_smoke(spark):
+    """1,000 keys × 2,000 hourly slots (2M grid rows, 12M quantized trig
+    terms across 6 candidate periods): every key reports exactly six
+    candidates, one best, n_slots = 2,000 — the grid and the term
+    explode stay key-partitioned at volume."""
+    from osmapreduceproject_spark.operators.windows import periodogram
+
+    n_keys, n_slots = 1_000, 2_000
+    df = spark.range(n_keys * n_slots).select(
+        (F.col("id") / n_slots).cast("bigint").alias("user_id"),
+        F.timestamp_micros(
+            (F.col("id") % n_slots) * F.lit(3_600_000_000)
+        ).alias("ts"),
+        (F.pmod(F.xxhash64("id"), F.lit(1000)).cast("double") / 100.0).alias(
+            "value"
+        ),
+    )
+    pg = periodogram(df, "user_id", "ts", "value", 3600)
+    agg = pg.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_cand"),
+        F.sum(F.col("is_best").cast("int")).alias("n_best"),
+        F.min("n_slots").alias("min_slots"),
+    )
+    bad = agg.where(
+        (F.col("n_cand") != 6) | (F.col("n_best") != 1)
+        | (F.col("min_slots") != n_slots)
+    ).count()
+    assert bad == 0
+    assert pg.where(F.col("power") < 0).count() == 0
