@@ -741,7 +741,24 @@ def main() -> None:
             "q241 machinery), q283 (16-centroid broadcast scoring over "
             "every embedding + per-vector top-2); q284/q285 are "
             "fixture-scale Arrow spin-up; q275-q278/q286 are "
-            "single-scan scalar reports."
+            "single-scan scalar reports. "
+            "r12 watch-list closure (VERDICT r10 item, quiet-host run): "
+            "q182 1.562 / q61 1.095 (AT its r8 1.105 baseline) / "
+            "q214 1.363 / q216 1.02 / q35 3.583 - all at-or-below r11 "
+            "warm; the r9-r11 'persistent minimum' class closes as "
+            "host-state. q113_corpus_report: r11's 1.696 was the FAST "
+            "outlier (r10 record 2.6-2.7; both r12 runs 2.32-2.36 rerun "
+            "minima) on a bit-identical census (7 BroadcastHashJoin / 26 "
+            "Exchange / 2 one-row SinglePartition) - returned to the r10 "
+            "baseline, closed. Method note: an r12 first pass started "
+            "minutes after a 27-min pytest suite ended and read geomean "
+            "1.096 vs r11; the quiet rerun reads 1.035 with every flag's "
+            "6-run minimum at-or-below its r11 warm except the q113 case "
+            "above - suite-adjacent load, not plans. The sched_floor "
+            "probe itself swung 1.304/1.968 across the two r12 runs "
+            "(r11: 1.716): treat single-probe deltas under ~50% as noise; "
+            "only a probe shift CORROBORATED by many-small-stage queries "
+            "moving together is evidence."
         ),
         "reference": reference_timings(),
         "sched_floor_s": sched_floor_probe(spark),
