@@ -1015,7 +1015,8 @@ def markov_stationary(
     chain — the long-run "where does a user's attention settle" readout
     on top of :func:`event_transitions`' one-step matrix (which it
     reuses verbatim: per-user time-ordered ``lead`` pairs, tiebroken by
-    the unique event id). States that never transition OUT (a type that
+    the unique event id; NULL types are excluded before pairing — a
+    NULL is not a state). States that never transition OUT (a type that
     only ever ends sequences) become self-loops (p = 1, the standard
     absorbing completion), so probability mass is conserved exactly.
 
@@ -1037,18 +1038,25 @@ def markov_stationary(
 
     from pyspark.sql import Window
 
+    # NULL types are excluded BEFORE pairing (a NULL is not a state; an
+    # a,NULL,b sequence therefore contributes a→b, documented)
+    pool = df.where(F.col(type_col).isNotNull())
     w = Window.partitionBy(user_col).orderBy(
         F.col(ts_col).asc(), F.col(id_col).asc()
     )
-    pairs = df.select(
+    pairs = pool.select(
         F.col(type_col).alias("__f"),
         F.lead(type_col).over(w).alias("__t"),
     ).where(F.col("__t").isNotNull())
     counts = pairs.groupBy("__f", "__t").agg(
         F.count(F.lit(1)).cast("bigint").alias("__n")
     )
-    states_df = df.select(F.col(type_col).alias("__s")).distinct()
-    states = sorted(r["__s"] for r in states_df.collect())  # bounded: ≤ max_states
+    states_df = pool.select(F.col(type_col).alias("__s")).distinct()
+    # limit(max+1): enough to detect overflow without ever collecting an
+    # unbounded state list
+    states = sorted(
+        r["__s"] for r in states_df.limit(max_states + 1).collect()
+    )
     if len(states) > max_states:
         raise ValueError(
             f"markov_stationary: {len(states)} states, over "

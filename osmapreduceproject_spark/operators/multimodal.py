@@ -1952,6 +1952,9 @@ def image_blur_score(df: DataFrame) -> DataFrame:
                 gray = buf.reshape(h, w, 3).astype(np.int64).sum(axis=2)
                 lap = 2 * gray[:, 1:-1] - gray[:, :-2] - gray[:, 2:]
                 n = lap.size
+                if n == 0:  # width < 3: no interior column, no Laplacian
+                    rows.append((int(m), 0, None, None))
+                    continue
                 s = int(lap.sum())
                 s2 = int((lap * lap).sum())
                 sa = int(np.abs(lap).sum())

@@ -857,3 +857,36 @@ def test_periodogram_scale_smoke(spark):
     ).count()
     assert bad == 0
     assert pg.where(F.col("power") < 0).count() == 0
+
+
+def test_markov_stationary_null_types(spark):
+    """A NULL event type is not a state: it is excluded before pairing,
+    so a,NULL,b contributes the a→b transition (documented)."""
+    from osmapreduceproject_spark.operators.events import markov_stationary
+
+    df = spark.createDataFrame(
+        [(0, 0, 1, "a"), (1, 1_000_000, 1, None), (2, 2_000_000, 1, "b")],
+        "event_id long, us long, user_id long, event_type string",
+    ).select(
+        "event_id", F.timestamp_micros("us").alias("ts"),
+        "user_id", "event_type",
+    )
+    rows = {r["state"]: r for r in markov_stationary(df).collect()}
+    assert set(rows) == {"a", "b"}
+    assert rows["a"]["n_out"] == 1  # the a→b pair bridged the NULL
+    assert rows["b"]["stationary_prob"] == 1.0
+
+
+def test_image_blur_score_degenerate_width(spark):
+    """Width < 3 has no interior column: zero Laplacian support, NULL
+    scores — not a crash, not a fake zero."""
+    from osmapreduceproject_spark.operators.multimodal import image_blur_score
+
+    thin = spark.createDataFrame(
+        [(0, "image", bytes([5, 5, 5] * 2 * 4), (2, 4, None, 1))],
+        "media_id long, kind string, payload binary, "
+        "meta struct<width:int,height:int,sample_rate:int,n_frames:int>",
+    )
+    r = image_blur_score(thin).first()
+    assert r["n_lap"] == 0
+    assert r["lap_var"] is None and r["mean_abs_lap"] is None
