@@ -2116,3 +2116,62 @@ def video_black_frames(frames: DataFrame, thr_mean: int = 32) -> DataFrame:
             "longest_black_run"
         ),
     )
+
+
+def audio_dynamic_range(df: DataFrame) -> DataFrame:
+    """Per-clip crest factor (peak / RMS of the centered 8-bit wave) and
+    its dB reading — the mastering-QC companion to
+    :func:`audio_clipping_report` (rail hits) and
+    :func:`audio_snr_report` (noise floor): a crest factor near 1
+    (≈0 dB) is a square-wave/over-compressed signal, a high one is
+    dynamic material; both extremes are drop candidates for
+    speech-corpus curation.
+
+    Decode and reduce INSIDE the Arrow batch: center c = v − 128
+    (exact ints), peak = max|c|, Σc² exact; RMS = √(Σc²/n) and
+    crest_db = 20·log10(peak/rms) are one fixed-order finalize with
+    half-away 6-decimal rounding (the closure-local
+    :func:`~.stats._round6_half_away` recipe). Silent clips (all
+    zeros → RMS 0) emit NULL crest. Returns
+    (media_id, n_samples, peak, rms, crest_db).
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Self-contained closure: no module-global references.
+        import math
+
+        import numpy as np
+        import pandas as pd
+
+        def rnd6(x):
+            return math.copysign(math.floor(abs(x) * 1e6 + 0.5), x) / 1e6
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            for m, p in zip(pdf["media_id"], pdf["payload"]):
+                c = np.frombuffer(bytes(p), dtype=np.uint8).astype(np.int64) - 128
+                n = c.size
+                if n == 0:
+                    rows.append((int(m), 0, 0, None, None))
+                    continue
+                peak = int(np.abs(c).max())
+                s2 = int((c * c).sum())
+                rms = math.sqrt(s2 / n)
+                crest = None
+                if rms > 0 and peak > 0:
+                    crest = rnd6(20.0 * math.log10(peak / rms))
+                rows.append(
+                    (int(m), n, peak, rnd6(rms) if n else None, crest)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "n_samples", "peak", "rms", "crest_db"],
+            )
+
+    return df.select("media_id", "payload").mapInPandas(
+        run,
+        "media_id long, n_samples bigint, peak bigint, rms double, "
+        "crest_db double",
+    )

@@ -1101,3 +1101,45 @@ def centroid_similarity(
             ),
         ).alias("cosine"),
     )
+
+
+def embedding_exact_dedup(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    precision: int = 4,
+) -> DataFrame:
+    """Exact-duplicate detection over an EMBEDDING column — the vector
+    twin of content-hash text dedup (re-encoded copies of the same
+    document produce bit-near-identical vectors; they waste index
+    space and bias ANN training): each vector canonicalizes to the
+    cross-engine md5 hash of its coordinates quantized at 10^−precision,
+    and identical signatures form duplicate groups. One summary row:
+    (n_vectors, n_signatures, n_dup_groups, n_redundant) — n_redundant
+    is the count a keep-first pass would drop.
+
+    Scale shape: one narrow map (transform + array_join + md5 — all
+    JVM built-ins, no Python) then one signature-keyed count; vectors
+    shuffle once as 60-bit hashes, never as arrays. Quantization uses
+    half-away rounding on each coordinate (F.round — the oracle's
+    round()), so the signature is engine-independent; NULL vectors are
+    excluded (documented).
+    """
+    from ..functions.hashing import md5_int
+
+    scale = 10 ** int(precision)
+    canon = F.expr(
+        f"array_join(transform({vec_col}, x -> "
+        f"CAST(CAST(round(CAST(x AS DOUBLE) * {scale}) AS BIGINT) AS STRING)"
+        "), ',')"
+    )
+    sigs = corpus.where(F.col(vec_col).isNotNull()).select(
+        md5_int(canon).alias("__sig")
+    )
+    per = sigs.groupBy("__sig").agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+    return per.agg(
+        F.sum("__n").cast("bigint").alias("n_vectors"),
+        F.count(F.lit(1)).cast("bigint").alias("n_signatures"),
+        F.sum((F.col("__n") > 1).cast("int")).cast("bigint").alias("n_dup_groups"),
+        F.sum(F.col("__n") - 1).cast("bigint").alias("n_redundant"),
+    )

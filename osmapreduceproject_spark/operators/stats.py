@@ -3021,3 +3021,84 @@ def grubbs_test(
         F.when(g_ok, F.when(dev_hi >= dev_lo, F.lit("high")).otherwise(F.lit("low")))
         .alias("outlier_side"),
     )
+
+
+def partial_correlation(
+    df: DataFrame,
+    col_x: str,
+    col_y: str,
+    col_z: str,
+) -> DataFrame:
+    """Partial Pearson correlation r_xy·z — the association between x
+    and y with the confounder z held fixed, the causal-hygiene
+    companion to :func:`corr_matrix` (raw pairwise r's routinely
+    reverse sign once a shared driver is controlled):
+    r_xy·z = (r_xy − r_xz·r_yz) / √((1 − r_xz²)(1 − r_yz²)).
+
+    One LISTWISE pool (rows where all three are non-NULL/non-NaN — the
+    three r's must describe the same population or the formula is
+    incoherent), one scan of micro-quantized integer moments in
+    DECIMAL(38,0), then a fixed-order finalize: every covariance term
+    n·Σab − Σa·Σb stays an EXACT integer until its one cast to double
+    (the oracle computes the identical HUGEINT then casts), so both
+    engines divide identical operand bits. Emits NULL partial_r when
+    either conditioning correlation is ±1 (degenerate denominator) or
+    any marginal variance is zero. Returns one row:
+    (n, r_xy, r_xz, r_yz, partial_r).
+    """
+    cx = F.col(col_x).cast("double")
+    cy = F.col(col_y).cast("double")
+    cz = F.col(col_z).cast("double")
+    ok = (
+        cx.isNotNull() & ~F.isnan(cx)
+        & cy.isNotNull() & ~F.isnan(cy)
+        & cz.isNotNull() & ~F.isnan(cz)
+    )
+    dec = "decimal(38,0)"
+    pool = df.where(ok).select(
+        F.round(cx * 1_000_000).cast("bigint").alias("__x"),
+        F.round(cy * 1_000_000).cast("bigint").alias("__y"),
+        F.round(cz * 1_000_000).cast("bigint").alias("__z"),
+    )
+    x, y, z = F.col("__x").cast(dec), F.col("__y").cast(dec), F.col("__z").cast(dec)
+    agg = pool.agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+        F.sum(x).alias("__sx"),
+        F.sum(y).alias("__sy"),
+        F.sum(z).alias("__sz"),
+        F.sum(x * F.col("__x")).alias("__sxx"),
+        F.sum(y * F.col("__y")).alias("__syy"),
+        F.sum(z * F.col("__z")).alias("__szz"),
+        F.sum(x * F.col("__y")).alias("__sxy"),
+        F.sum(x * F.col("__z")).alias("__sxz"),
+        F.sum(y * F.col("__z")).alias("__syz"),
+    )
+    row = agg.first()  # bounded: one row
+    n = int(row["__n"])
+    out = {"r_xy": None, "r_xz": None, "r_yz": None, "partial_r": None}
+    if n >= 2:
+        s = {k: int(row[f"__{k}"]) for k in
+             ("sx", "sy", "sz", "sxx", "syy", "szz", "sxy", "sxz", "syz")}
+        vxx = n * s["sxx"] - s["sx"] * s["sx"]
+        vyy = n * s["syy"] - s["sy"] * s["sy"]
+        vzz = n * s["szz"] - s["sz"] * s["sz"]
+
+        def r(vab, vaa, vbb):
+            if vaa <= 0 or vbb <= 0:
+                return None
+            return float(vab) / math.sqrt(float(vaa) * float(vbb))
+
+        rxy = r(n * s["sxy"] - s["sx"] * s["sy"], vxx, vyy)
+        rxz = r(n * s["sxz"] - s["sx"] * s["sz"], vxx, vzz)
+        ryz = r(n * s["syz"] - s["sy"] * s["sz"], vyy, vzz)
+        out["r_xy"], out["r_xz"], out["r_yz"] = rxy, rxz, ryz
+        if None not in (rxy, rxz, ryz):
+            den2 = (1.0 - rxz * rxz) * (1.0 - ryz * ryz)
+            if den2 > 0:
+                out["partial_r"] = (rxy - rxz * ryz) / math.sqrt(den2)
+    rnd = _round6_half_away
+    return df.sparkSession.createDataFrame(
+        [(n, rnd(out["r_xy"]), rnd(out["r_xz"]), rnd(out["r_yz"]),
+          rnd(out["partial_r"]))],
+        "n bigint, r_xy double, r_xz double, r_yz double, partial_r double",
+    )

@@ -1533,3 +1533,126 @@ def periodogram(
         "power",
         "is_best",
     )
+
+
+def hurst_exponent(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    value_col: str,
+    step_seconds: int,
+    window_sizes: tuple[int, ...] = (8, 16, 32, 64),
+) -> DataFrame:
+    """Hurst exponent per key via classic rescaled-range (R/S) analysis
+    over the resampled grid — the long-memory diagnostic
+    (H ≈ 0.5 noise, → 1 persistent/trending, → 0 mean-reverting) that
+    complements :func:`series_autocorrelation` (fixed lags) and
+    :func:`mann_kendall_trend` (monotone only): for each block size w,
+    the series splits into complete blocks, each block reports
+    R/S = (range of its mean-centered cumulative sums)/(its population
+    std), and H is the log–log OLS slope of the mean R/S against w.
+
+    Exactness: on the micro-quantized series, every block's centered
+    cumulative sum is scaled by w so it stays an EXACT integer
+    (w·run_i − i·Σq — no per-step mean subtraction in float), the
+    block's R/S is one fixed-order double expression from integer
+    operands, per-(key, w) means re-quantize the block R/S values
+    half-up before summing, and the ≤len(window_sizes)-point OLS runs
+    entirely on micro-quantized ln terms — the slope's numerator and
+    denominator are exact bigint combinations of integer products
+    (n·Σ(qx·qy) − Σqx·Σqy), so the scales cancel and only the final
+    division is float. Only complete blocks (exactly w slots, no NULL
+    values, positive std) count; keys with fewer than 2 usable block
+    sizes emit NULL H. Returns (key, n_sizes, hurst).
+    """
+    step = int(step_seconds)
+    s = resample_ffill(df, key, ts, value_col, step)
+    base = s.select(
+        F.col(key).alias("__k"),
+        "slot_epoch",
+        F.round(F.col(value_col) * 1_000_000).cast("bigint").alias("__q"),
+    ).where(F.col("__q").isNotNull())
+    s0 = base.groupBy("__k").agg(F.min("slot_epoch").alias("__s0"))
+    t = base.join(s0, "__k").select(
+        "__k",
+        F.expr(f"(slot_epoch - __s0) div {step}").alias("__t"),
+        "__q",
+    )
+    sized = t.withColumn(
+        "__w", F.explode(F.array(*[F.lit(int(w)) for w in window_sizes]))
+    ).select(
+        "__k",
+        "__w",
+        (F.col("__t") % F.col("__w")).alias("__i"),
+        F.expr("__t div __w").alias("__b"),
+        "__q",
+    )
+    dec = "decimal(38,0)"
+    blocks = sized.groupBy("__k", "__w", "__b").agg(
+        F.count(F.lit(1)).alias("__cnt"),
+        F.sum(F.col("__q").cast(dec)).alias("__sq"),
+        F.sum((F.col("__q").cast(dec)) * F.col("__q")).alias("__s2"),
+    )
+    wrun = Window.partitionBy("__k", "__w", "__b").orderBy(F.col("__i").asc())
+    run = (
+        sized.join(blocks, ["__k", "__w", "__b"])
+        .where(F.col("__cnt") == F.col("__w"))
+        .select(
+            "__k",
+            "__w",
+            "__b",
+            "__sq",
+            "__s2",
+            # w·run_i − (i+1)·Σq: exact bigint centered cumulative ·w
+            (
+                F.col("__w").cast("bigint")
+                * F.sum("__q").over(wrun.rowsBetween(Window.unboundedPreceding, 0))
+                - F.row_number().over(wrun) * F.col("__sq").cast("bigint")
+            ).alias("__cd"),
+        )
+    )
+    per_block = run.groupBy("__k", "__w", "__b", "__sq", "__s2").agg(
+        (F.max("__cd") - F.min("__cd")).alias("__rng")
+    )
+    wd = F.col("__w").cast("double")
+    sqd = F.col("__sq").cast("double")
+    s2d = F.col("__s2").cast("double")
+    var_q = s2d / wd - (sqd / wd) * (sqd / wd)  # in squared micro-units
+    rs = (F.col("__rng").cast("double") / wd) / F.sqrt(var_q)
+    usable = per_block.where(var_q > 0).select(
+        "__k", "__w", F.round(rs * 1_000_000).cast("bigint").alias("__rsq")
+    )
+    per_w = usable.groupBy("__k", "__w").agg(
+        F.sum("__rsq").alias("__srs"), F.count(F.lit(1)).alias("__nb")
+    ).where(F.col("__srs") > 0)
+    mean_rs = F.col("__srs").cast("double") / F.col("__nb") / 1_000_000
+    pts = per_w.select(
+        "__k",
+        F.round(F.log(F.col("__w").cast("double")) * 1_000_000)
+        .cast("bigint")
+        .alias("__qx"),
+        F.round(F.log(mean_rs) * 1_000_000).cast("bigint").alias("__qy"),
+    )
+    ols = pts.select(
+        "__k",
+        "__qx",
+        "__qy",
+        (F.col("__qx") * F.col("__qy")).alias("__qxy"),
+        (F.col("__qx") * F.col("__qx")).alias("__qxx"),
+    ).groupBy("__k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__np"),
+        F.sum("__qx").alias("__sx"),
+        F.sum("__qy").alias("__sy"),
+        F.sum("__qxy").alias("__sxy"),
+        F.sum("__qxx").alias("__sxx"),
+    )
+    num = F.col("__np") * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    den = F.col("__np") * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    return ols.select(
+        F.col("__k").alias(key),
+        F.col("__np").alias("n_sizes"),
+        F.when(
+            (F.col("__np") >= 2) & (den > 0),
+            F.round(num.cast("double") / den.cast("double"), 6),
+        ).alias("hurst"),
+    )

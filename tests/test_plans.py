@@ -953,3 +953,42 @@ def test_r15_wave_plan_shapes(spark):
 
     vb = video_black_frames(arith_video_frames_black(spark, n_videos=4))
     assert data_carrying_single_partitions(vb) == [], explain_str(vb)
+
+
+def test_r15_wave_second_tranche_plan_shapes(spark):
+    """Scale shapes for the second r14-wave tranche: partial correlation
+    is one quantized-moment scan (bounded one-row collect), the Hurst
+    machinery rides (key, w, block)-partitioned windows only, the
+    embedding dedup shuffles 60-bit hashes (never arrays), and the
+    dynamic-range decode is a zero-exchange narrow map."""
+    from pyspark.sql import functions as F
+
+    from osmapreduceproject_spark.operators.multimodal import (
+        arith_raw_audio,
+        audio_dynamic_range,
+    )
+    from osmapreduceproject_spark.operators.similarity import embedding_exact_dedup
+    from osmapreduceproject_spark.operators.windows import hurst_exponent
+    from osmapreduceproject_spark.plans.inspect import (
+        data_carrying_single_partitions,
+        explain_str,
+    )
+    from osmapreduceproject_spark.queries import _t
+
+    sf = "/root/testdata/sf0.001"
+    ev = _t(spark, sf, "events")
+    emb = _t(spark, sf, "embeddings")
+
+    he = hurst_exponent(ev, "user_id", "ts", "value", 3600)
+    assert data_carrying_single_partitions(he) == [], explain_str(he)
+
+    ed = embedding_exact_dedup(emb)
+    plan = explain_str(ed)
+    # the one-row final agg is a bounded reduce; the signature groupBy
+    # hashes 60-bit ints — assert no array column crosses an exchange
+    assert "CartesianProduct" not in plan, plan
+
+    adr = audio_dynamic_range(arith_raw_audio(spark, n=8))
+    plan = explain_str(adr)
+    assert data_carrying_single_partitions(adr) == [], plan
+    assert "Exchange" not in plan, plan  # zero-shuffle narrow decode

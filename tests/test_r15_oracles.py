@@ -890,3 +890,279 @@ def test_image_blur_score_degenerate_width(spark):
     r = image_blur_score(thin).first()
     assert r["n_lap"] == 0
     assert r["lap_var"] is None and r["mean_abs_lap"] is None
+
+
+# ---------------------------------------------------------------------------
+# second r14-wave tranche: partial correlation, Hurst, embedding dedup,
+# audio dynamic range
+# ---------------------------------------------------------------------------
+
+
+def test_partial_correlation_oracle(spark, duck):
+    """r(value, props-length | stream-hour): exact HUGEINT covariance
+    terms into one fixed-order finalize, replayed in SQL."""
+    from osmapreduceproject_spark.operators.stats import partial_correlation
+
+    ev = _t(spark, "events").select(
+        F.col("value").alias("v"),
+        F.length("props").cast("double").alias("plen"),
+        (F.unix_micros("ts") / F.lit(3600000000.0)).alias("hrs"),
+    )
+    got = partial_correlation(ev, "v", "plen", "hrs")
+    sql = """
+    WITH pool AS (
+      SELECT CAST(round(CAST(value AS DOUBLE) * 1000000) AS BIGINT) AS x,
+             CAST(round(CAST(len(props) AS DOUBLE) * 1000000) AS BIGINT) AS y,
+             CAST(round((epoch_us(ts) / 3600000000.0) * 1000000) AS BIGINT) AS z
+      FROM events
+      WHERE value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))
+        AND props IS NOT NULL AND ts IS NOT NULL),
+    s AS (SELECT COUNT(*) AS n,
+                 SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+                 SUM(CAST(z AS HUGEINT)) AS sz,
+                 SUM(CAST(x AS HUGEINT) * x) AS sxx,
+                 SUM(CAST(y AS HUGEINT) * y) AS syy,
+                 SUM(CAST(z AS HUGEINT) * z) AS szz,
+                 SUM(CAST(x AS HUGEINT) * y) AS sxy,
+                 SUM(CAST(x AS HUGEINT) * z) AS sxz,
+                 SUM(CAST(y AS HUGEINT) * z) AS syz
+          FROM pool),
+    v AS (SELECT n, n*sxx - sx*sx AS vxx, n*syy - sy*sy AS vyy,
+                 n*szz - sz*sz AS vzz, n*sxy - sx*sy AS vxy,
+                 n*sxz - sx*sz AS vxz, n*syz - sy*sz AS vyz
+          FROM s),
+    r AS (SELECT n,
+            CAST(vxy AS DOUBLE) / sqrt(CAST(vxx AS DOUBLE) * CAST(vyy AS DOUBLE)) AS rxy,
+            CAST(vxz AS DOUBLE) / sqrt(CAST(vxx AS DOUBLE) * CAST(vzz AS DOUBLE)) AS rxz,
+            CAST(vyz AS DOUBLE) / sqrt(CAST(vyy AS DOUBLE) * CAST(vzz AS DOUBLE)) AS ryz
+          FROM v WHERE vxx > 0 AND vyy > 0 AND vzz > 0)
+    SELECT CAST(n AS BIGINT) AS n, round(rxy, 6) AS r_xy, round(rxz, 6) AS r_xz,
+           round(ryz, 6) AS r_yz,
+           CASE WHEN (1 - rxz*rxz) * (1 - ryz*ryz) > 0 THEN
+             round((rxy - rxz*ryz) / sqrt((1 - rxz*rxz) * (1 - ryz*ryz)), 6)
+           END AS partial_r
+    FROM r
+    """
+    assert compare(got, duck.execute(sql).df()) == []
+    r = got.first()
+    for c in ("r_xy", "r_xz", "r_yz", "partial_r"):
+        if r[c] is not None:
+            assert -1.0 - 1e-9 <= r[c] <= 1.0 + 1e-9
+
+
+def test_partial_correlation_known_cases(spark):
+    """Pin: y = x exactly, z independent-ish → partial ≈ 1; y = z (x
+    spurious through z) → controlling z kills the x–y correlation."""
+    from osmapreduceproject_spark.operators.stats import partial_correlation
+
+    rows = [(float(i), float(i), float((i * 7) % 5)) for i in range(40)]
+    direct = partial_correlation(
+        spark.createDataFrame(rows, "x double, y double, z double"),
+        "x", "y", "z",
+    ).first()
+    assert direct["r_xy"] == 1.0 and abs(direct["partial_r"] - 1.0) < 1e-6
+    # x and y only co-move through z: y = z, x = z + alternating noise
+    rows2 = [
+        (float(z + (0.5 if i % 2 else -0.5)), float(z), float(z))
+        for i, z in enumerate([j % 7 for j in range(42)])
+    ]
+    spurious = partial_correlation(
+        spark.createDataFrame(rows2, "x double, y double, z double"),
+        "x", "y", "z",
+    ).first()
+    assert spurious["r_xy"] > 0.9  # raw correlation looks strong
+    assert spurious["partial_r"] is None or abs(spurious["partial_r"]) < 0.05
+
+
+def test_hurst_exponent_oracle(spark, duck):
+    """R/S analysis per user over the hourly grid — integer centered
+    cumulative sums, quantized block R/S, quantized log–log OLS."""
+    from osmapreduceproject_spark.operators.windows import hurst_exponent
+
+    got = hurst_exponent(
+        _t(spark, "events"), key="user_id", ts="ts", value_col="value",
+        step_seconds=3600,
+    )
+    sql = """
+    WITH obs AS (SELECT user_id AS k, epoch_us(ts) AS e,
+                        CAST(value AS DOUBLE) AS v FROM events),
+    o2 AS (SELECT k, e, MAX(v) AS v FROM obs GROUP BY 1, 2),
+    spans AS (SELECT k, MIN(e) AS lo, MAX(e) AS hi FROM o2 GROUP BY k),
+    grid AS (SELECT k, unnest(range(
+               CAST(ceil(lo / 3600000000.0) * 3600000000 AS BIGINT),
+               CAST(floor(hi / 3600000000.0) * 3600000000 AS BIGINT) + 1,
+               3600000000)) AS e
+             FROM spans),
+    rs_g AS (SELECT g.k, g.e // 1000000 AS slot_epoch, o.v
+             FROM grid g ASOF JOIN o2 o ON g.k = o.k AND o.e <= g.e),
+    q AS (SELECT k, slot_epoch, CAST(round(v * 1000000) AS BIGINT) AS q
+          FROM rs_g WHERE v IS NOT NULL),
+    s0 AS (SELECT k, MIN(slot_epoch) AS s0 FROM q GROUP BY k),
+    t AS (SELECT q.k, (q.slot_epoch - s0.s0) // 3600 AS t, q.q
+          FROM q JOIN s0 ON s0.k = q.k),
+    sz AS (SELECT t.k, ww.w, t.t % ww.w AS i, t.t // ww.w AS b, t.q
+           FROM t, (SELECT unnest([8, 16, 32, 64]) AS w) ww),
+    blocks AS (SELECT k, w, b, COUNT(*) AS cnt,
+                      SUM(CAST(q AS HUGEINT)) AS sq,
+                      SUM(CAST(q AS HUGEINT) * q) AS s2
+               FROM sz GROUP BY 1, 2, 3),
+    run AS (SELECT sz.k, sz.w, sz.b, blocks.sq, blocks.s2,
+              CAST(sz.w AS BIGINT)
+                * SUM(sz.q) OVER (PARTITION BY sz.k, sz.w, sz.b ORDER BY sz.i)
+              - (row_number() OVER (PARTITION BY sz.k, sz.w, sz.b ORDER BY sz.i))
+                * CAST(blocks.sq AS BIGINT) AS cd
+            FROM sz JOIN blocks
+              ON blocks.k = sz.k AND blocks.w = sz.w AND blocks.b = sz.b
+            WHERE blocks.cnt = sz.w),
+    pb AS (SELECT k, w, b, sq, s2, MAX(cd) - MIN(cd) AS rng
+           FROM run GROUP BY 1, 2, 3, 4, 5),
+    rsv AS (SELECT k, w, CAST(round(
+              ((CAST(rng AS DOUBLE) / w)
+               / sqrt(CAST(s2 AS DOUBLE)/w - (CAST(sq AS DOUBLE)/w)*(CAST(sq AS DOUBLE)/w)))
+              * 1000000) AS BIGINT) AS rsq
+            FROM pb
+            WHERE CAST(s2 AS DOUBLE)/w - (CAST(sq AS DOUBLE)/w)*(CAST(sq AS DOUBLE)/w) > 0),
+    pw AS (SELECT k, w, SUM(rsq) AS srs, COUNT(*) AS nb FROM rsv
+           GROUP BY 1, 2 HAVING SUM(rsq) > 0),
+    pts AS (SELECT k,
+              CAST(round(ln(CAST(w AS DOUBLE)) * 1000000) AS BIGINT) AS qx,
+              CAST(round(ln(CAST(srs AS DOUBLE) / nb / 1000000) * 1000000)
+                   AS BIGINT) AS qy
+            FROM pw),
+    ols AS (SELECT k, COUNT(*) AS np, SUM(qx) AS sx, SUM(qy) AS sy,
+                   SUM(qx*qy) AS sxy, SUM(qx*qx) AS sxx
+            FROM pts GROUP BY k)
+    SELECT k AS user_id, CAST(np AS BIGINT) AS n_sizes,
+           CASE WHEN np >= 2 AND np*sxx - sx*sx > 0 THEN
+             round(CAST(np*sxy - sx*sy AS DOUBLE)
+                   / CAST(np*sxx - sx*sx AS DOUBLE), 6) END AS hurst
+    FROM ols
+    """
+    assert compare(got, duck.execute(sql).df()) == []
+    pdf = got.toPandas().dropna(subset=["hurst"])
+    assert len(pdf) > 0
+    # R/S Hurst estimates live in a sane band
+    assert pdf.hurst.between(-0.5, 1.5).all()
+
+
+def test_hurst_exponent_known_cases(spark):
+    """Pins: a pure linear trend is maximally persistent (H ≈ 1); a
+    strict ±1 alternation is maximally anti-persistent (H ≈ 0)."""
+    from osmapreduceproject_spark.operators.windows import hurst_exponent
+
+    def series(vals):
+        rows = [(i, i * 3_600_000_000, 1, float(v)) for i, v in enumerate(vals)]
+        return spark.createDataFrame(
+            rows, "event_id long, us long, user_id long, value double"
+        ).select(
+            "event_id", F.timestamp_micros("us").alias("ts"),
+            "user_id", "value",
+        )
+
+    trend = hurst_exponent(
+        series(range(256)), "user_id", "ts", "value", 3600
+    ).first()
+    assert trend["n_sizes"] == 4
+    assert 0.9 < trend["hurst"] < 1.1
+    alt = hurst_exponent(
+        series([1.0 if i % 2 else -1.0 for i in range(256)]),
+        "user_id", "ts", "value", 3600,
+    ).first()
+    assert alt["hurst"] < 0.2
+
+
+def test_embedding_exact_dedup_oracle(spark, duck):
+    """Quantized-coordinate md5 signatures — the cross-engine hash
+    family over list_transform/array_join in SQL."""
+    from osmapreduceproject_spark.operators.similarity import embedding_exact_dedup
+    from osmapreduceproject_spark.queries import md5_int_sql
+
+    got = embedding_exact_dedup(_t(spark, "embeddings"))
+    sig = md5_int_sql(
+        "array_to_string(list_transform(embedding, "
+        "x -> CAST(CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT) AS VARCHAR)"
+        "), ',')"
+    )
+    sql = f"""
+    WITH sigs AS (SELECT {sig} AS sig FROM embeddings
+                  WHERE embedding IS NOT NULL),
+    per AS (SELECT sig, COUNT(*) AS n FROM sigs GROUP BY sig)
+    SELECT CAST(SUM(n) AS BIGINT) AS n_vectors,
+           CAST(COUNT(*) AS BIGINT) AS n_signatures,
+           CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups,
+           CAST(SUM(n - 1) AS BIGINT) AS n_redundant
+    FROM per
+    """
+    assert compare(got, duck.execute(sql).df()) == []
+    r = got.first()
+    assert r["n_vectors"] == r["n_signatures"] + r["n_redundant"]
+
+
+def test_embedding_exact_dedup_known_case(spark):
+    """Pin: within-precision twins collapse to one signature; a
+    distinct vector stays its own group."""
+    from osmapreduceproject_spark.operators.similarity import embedding_exact_dedup
+
+    df = spark.createDataFrame(
+        [(1, [0.50001, -1.0]), (2, [0.50002, -1.0]),  # both round to 5000
+         (3, [0.51, -1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    r = embedding_exact_dedup(df).first()
+    assert r["n_vectors"] == 3 and r["n_signatures"] == 2
+    assert r["n_dup_groups"] == 1 and r["n_redundant"] == 1
+
+
+def test_audio_dynamic_range_oracle(spark, duck):
+    """Crest factor over the arithmetic PCM fixture — exact centered
+    integer moments, every byte regenerated in SQL."""
+    from osmapreduceproject_spark.operators.multimodal import (
+        arith_raw_audio,
+        audio_dynamic_range,
+    )
+
+    got = audio_dynamic_range(arith_raw_audio(spark, n=64, n_samples=2048))
+    sql = """
+    WITH mm AS (SELECT unnest(range(64)) AS m),
+    smp AS (SELECT m, unnest(range(2048)) AS i FROM mm),
+    w AS (SELECT m, ((17*m + 11*i + (i*i)%89) % 256) - 128 AS c FROM smp),
+    agg AS (SELECT m, COUNT(*) AS n, MAX(ABS(c)) AS peak,
+                   SUM(CAST(c AS HUGEINT) * c) AS s2
+            FROM w GROUP BY m)
+    SELECT CAST(m AS BIGINT) AS media_id, CAST(n AS BIGINT) AS n_samples,
+           CAST(peak AS BIGINT) AS peak,
+           floor(sqrt(CAST(s2 AS DOUBLE) / n) * 1000000 + 0.5) / 1000000 AS rms,
+           CASE WHEN peak > 0 AND sqrt(CAST(s2 AS DOUBLE) / n) > 0 THEN
+             floor(20.0 * log10(peak / sqrt(CAST(s2 AS DOUBLE) / n))
+                   * 1000000 + 0.5) / 1000000 END AS crest_db
+    FROM agg
+    """
+    assert compare(got, duck.execute(sql).df()) == []
+    pdf = got.toPandas()
+    assert (pdf.crest_db >= 0).all()  # peak ≥ rms always
+
+
+def test_audio_dynamic_range_known_cases(spark):
+    """Pins: a constant full-scale square wave has crest 0 dB; a
+    single-impulse clip has a hand-computable high crest; silence →
+    NULL."""
+    from osmapreduceproject_spark.operators.multimodal import audio_dynamic_range
+
+    def clip(mid, payload):
+        return (mid, "audio", bytes(payload), (None, None, 16000, None))
+
+    schema = ("media_id long, kind string, payload binary, "
+              "meta struct<width:int,height:int,sample_rate:int,n_frames:int>")
+    df = spark.createDataFrame(
+        [clip(0, [228] * 64),          # constant +100 → crest 0 dB
+         clip(1, [128] * 63 + [228]),  # one impulse of 100
+         clip(2, [128] * 64)],         # silence → rms 0 → NULL
+        schema,
+    )
+    rows = {r["media_id"]: r for r in audio_dynamic_range(df).collect()}
+    assert rows[0]["crest_db"] == 0.0 and rows[0]["peak"] == 100
+    import math
+
+    expect = 20.0 * math.log10(100 / math.sqrt(100 * 100 / 64))
+    assert abs(rows[1]["crest_db"] - expect) < 1e-5
+    assert rows[2]["rms"] == 0.0 and rows[2]["crest_db"] is None
