@@ -1166,3 +1166,55 @@ def test_audio_dynamic_range_known_cases(spark):
     expect = 20.0 * math.log10(100 / math.sqrt(100 * 100 / 64))
     assert abs(rows[1]["crest_db"] - expect) < 1e-5
     assert rows[2]["rms"] == 0.0 and rows[2]["crest_db"] is None
+
+
+@pytest.mark.skipif(
+    not _os.environ.get("SPARK_GRAFT_SCALE"),
+    reason="scale smoke: set SPARK_GRAFT_SCALE=1 (2M slots through R/S Hurst)",
+)
+def test_hurst_scale_smoke(spark):
+    """1,000 keys × 2,048 hourly slots (2M grid rows, 8M sized rows
+    across 4 block sizes) through the full R/S machinery: every key
+    reports 4 usable sizes and a sane H — the block windows stay
+    (key, w, block)-partitioned at volume."""
+    from osmapreduceproject_spark.operators.windows import hurst_exponent
+
+    n_keys, n_slots = 1_000, 2_048
+    df = spark.range(n_keys * n_slots).select(
+        (F.col("id") / n_slots).cast("bigint").alias("user_id"),
+        F.timestamp_micros(
+            (F.col("id") % n_slots) * F.lit(3_600_000_000)
+        ).alias("ts"),
+        (F.pmod(F.xxhash64("id"), F.lit(1000)).cast("double") / 100.0).alias(
+            "value"
+        ),
+    )
+    he = hurst_exponent(df, "user_id", "ts", "value", 3600)
+    pdf = he.toPandas()
+    assert len(pdf) == n_keys
+    assert (pdf.n_sizes == 4).all()
+    # hash-noise series: H clusters near 0.5, never outside a sane band
+    assert pdf.hurst.between(-0.25, 1.25).all()
+
+
+@pytest.mark.skipif(
+    not _os.environ.get("SPARK_GRAFT_SCALE"),
+    reason="scale smoke: set SPARK_GRAFT_SCALE=1 (10M rows through partial correlation)",
+)
+def test_partial_correlation_scale_smoke(spark):
+    """10M rows, three hash-derived columns with a planted confounder
+    (x and y both load on z): raw r_xy is visibly positive, the partial
+    residual association collapses toward 0 — one scan, exact DECIMAL
+    moments at volume."""
+    from osmapreduceproject_spark.operators.stats import partial_correlation
+
+    z = F.pmod(F.xxhash64("id"), F.lit(1000)).cast("double")
+    nx = F.pmod(F.xxhash64("id", F.lit(1)), F.lit(1000)).cast("double")
+    ny = F.pmod(F.xxhash64("id", F.lit(2)), F.lit(1000)).cast("double")
+    df = spark.range(10_000_000).select(
+        (z + nx).alias("x"), (z + ny).alias("y"), z.alias("z")
+    )
+    r = partial_correlation(df, "x", "y", "z").first()
+    assert r["n"] == 10_000_000
+    assert r["r_xy"] > 0.3          # the confounder makes x–y look real
+    assert abs(r["partial_r"]) < 0.01  # controlling z removes it
