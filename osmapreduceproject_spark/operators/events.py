@@ -1036,20 +1036,19 @@ def markov_stationary(
     """
     import math
 
-    from pyspark.sql import Window
-
     # NULL types are excluded BEFORE pairing (a NULL is not a state; an
     # a,NULL,b sequence therefore contributes a→b, documented)
     pool = df.where(F.col(type_col).isNotNull())
-    w = Window.partitionBy(user_col).orderBy(
-        F.col(ts_col).asc(), F.col(id_col).asc()
-    )
-    pairs = pool.select(
-        F.col(type_col).alias("__f"),
-        F.lead(type_col).over(w).alias("__t"),
-    ).where(F.col("__t").isNotNull())
-    counts = pairs.groupBy("__f", "__t").agg(
-        F.count(F.lit(1)).cast("bigint").alias("__n")
+    # the one-step matrix IS event_transitions' — one implementation, so
+    # a fix to the pairing convention can never land in only one place
+    # (review finding, r12)
+    counts = event_transitions(
+        pool, user_col=user_col, type_col=type_col, ts_col=ts_col,
+        id_col=id_col,
+    ).select(
+        F.col("from_type").alias("__f"),
+        F.col("to_type").alias("__t"),
+        F.col("n_transitions").cast("bigint").alias("__n"),
     )
     states_df = pool.select(F.col(type_col).alias("__s")).distinct()
     # limit(max+1): enough to detect overflow without ever collecting an
@@ -1089,6 +1088,9 @@ def markov_stationary(
     rows = [
         (s, int(totals.get(s, 0)), pi.get(s, 0) / scale) for s in states
     ]
+    # the state column keeps the INPUT type (an int event-code column
+    # must not crash the pinned schema — review finding, r12)
+    state_type = df.schema[type_col].dataType.simpleString()
     return df.sparkSession.createDataFrame(
-        rows, "state string, n_out bigint, stationary_prob double"
+        rows, f"state {state_type}, n_out bigint, stationary_prob double"
     )

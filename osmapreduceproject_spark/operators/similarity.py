@@ -1056,7 +1056,6 @@ def centroid_similarity(
         F.sum(
             F.round(F.col("__m") * F.col("__m") / 1_000_000).cast("bigint")
         ).alias("__nrm"),
-        F.count(F.lit(1)).alias("__dims"),
     )
     counts = corpus.groupBy(F.col(group_col).alias("__g")).agg(
         F.count(F.lit(1)).cast("bigint").alias("__cnt")
@@ -1137,9 +1136,16 @@ def embedding_exact_dedup(
         md5_int(canon).alias("__sig")
     )
     per = sigs.groupBy("__sig").agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+    zero = F.lit(0).cast("bigint")
+    # coalesce: an empty/all-NULL corpus reports zeros, not NULL sums
+    # (review finding, r12)
     return per.agg(
-        F.sum("__n").cast("bigint").alias("n_vectors"),
+        F.coalesce(F.sum("__n"), zero).cast("bigint").alias("n_vectors"),
         F.count(F.lit(1)).cast("bigint").alias("n_signatures"),
-        F.sum((F.col("__n") > 1).cast("int")).cast("bigint").alias("n_dup_groups"),
-        F.sum(F.col("__n") - 1).cast("bigint").alias("n_redundant"),
+        F.coalesce(F.sum((F.col("__n") > 1).cast("int")), zero)
+        .cast("bigint")
+        .alias("n_dup_groups"),
+        F.coalesce(F.sum(F.col("__n") - 1), zero).cast("bigint").alias(
+            "n_redundant"
+        ),
     )

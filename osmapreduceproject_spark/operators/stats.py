@@ -2786,7 +2786,9 @@ def kaplan_meier(
         F.sum("__e").cast("bigint").alias("__d"),
     )
     cum = _ranged_cumsum(per_t, "__t", ["__c"])
-    n_total = pool.agg(F.count(F.lit(1)).alias("__n"))
+    # N = max inclusive prefix — read from the PERSISTED ranged frame,
+    # never a second pass over raw duration volume (review finding, r12)
+    n_total = cum.agg(F.max("__cum___c").alias("__n"))
     risk = cum.crossJoin(F.broadcast(n_total)).select(
         "__t",
         "__c",
@@ -2930,18 +2932,30 @@ def dispersion_index(
     (type, n_events, n_windows, mean_per_window, variance,
     dispersion_index); a type with zero mean emits NULL dispersion.
     """
+    from ..plans.inspect import tracked_persist
+
     step_us = int(step_seconds) * 1_000_000
     pool = df.where(F.col(ts_col).isNotNull()).select(
         F.col(type_col).alias("__g"),
-        # pure integer epoch floor-division: timezone-free and exact
-        # (a double division could misround at a window boundary)
-        F.expr(f"unix_micros({ts_col}) div {step_us}").cast("bigint").alias("__w"),
+        # pure integer epoch FLOOR division: timezone-free and exact.
+        # `div` truncates toward zero, which would merge the two windows
+        # adjacent to epoch 0 for pre-1970 timestamps (review finding,
+        # r12) — the pmod construction floors for any sign.
+        F.expr(
+            f"CAST((unix_micros({ts_col})"
+            f" - pmod(unix_micros({ts_col}), {step_us})) / {step_us} AS BIGINT)"
+        ).alias("__w"),
     )
-    span = pool.agg(
+    # cells is the reduced frame BOTH consumers read (the global span and
+    # the per-type moments) — persist it so neither re-reduces raw event
+    # volume (review finding, r12)
+    cells = tracked_persist(
+        pool.groupBy("__g", "__w").agg(
+            F.count(F.lit(1)).cast("bigint").alias("__c")
+        )
+    )
+    span = cells.agg(
         (F.max("__w") - F.min("__w") + 1).cast("bigint").alias("__nw")
-    )
-    cells = pool.groupBy("__g", "__w").agg(
-        F.count(F.lit(1)).cast("bigint").alias("__c")
     )
     dec = "decimal(38,0)"
     per = cells.groupBy("__g").agg(

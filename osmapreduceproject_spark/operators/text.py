@@ -1734,7 +1734,11 @@ def heaps_law_fit(
     )
 
 
-def mojibake_report(df: DataFrame, text_col: str = "text") -> DataFrame:
+def mojibake_report(
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
     """Per-source encoding-damage report — the cleaning gate that runs
     BEFORE language-ID/quality scoring (mojibake inflates OOV rates and
     poisons n-gram statistics silently): counts the classic markers of
@@ -1768,7 +1772,7 @@ def mojibake_report(df: DataFrame, text_col: str = "text") -> DataFrame:
         )
     ).cast("bigint")
     per_doc = df.select(
-        "source",
+        source_col,
         F.length(t).cast("bigint").alias("__len"),
         n_repl.alias("__repl"),
         n_ctrl.alias("__ctrl"),
@@ -1776,7 +1780,7 @@ def mojibake_report(df: DataFrame, text_col: str = "text") -> DataFrame:
         n_atilde.alias("__at"),
     )
     flagged = (F.col("__repl") + F.col("__ctrl") + F.col("__seq")) > 0
-    g = per_doc.groupBy("source").agg(
+    g = per_doc.groupBy(source_col).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum(flagged.cast("int")).cast("bigint").alias("n_flagged"),
         F.sum("__repl").cast("bigint").alias("n_replacement"),
@@ -1787,7 +1791,7 @@ def mojibake_report(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
     markers = F.col("n_replacement") + F.col("n_control") + F.col("n_utf8_digraph")
     return g.select(
-        "source",
+        source_col,
         "n_docs",
         "n_flagged",
         "n_replacement",
@@ -1801,7 +1805,11 @@ def mojibake_report(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def bigram_conditional_entropy(df: DataFrame, text_col: str = "text") -> DataFrame:
+def bigram_conditional_entropy(
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
     """Per-source conditional entropy H(next token | token) — the
     PREDICTABILITY of a corpus's local word order, the second-order
     companion to :func:`word_entropy` (unigram diversity): looping or
@@ -1821,12 +1829,12 @@ def bigram_conditional_entropy(df: DataFrame, text_col: str = "text") -> DataFra
     cond_entropy_bits).
     """
     toks = df.where(F.col(text_col).isNotNull()).select(
-        "source", F.split(F.col(text_col), " ").alias("__a")
+        source_col, tokens(F.col(text_col)).alias("__a")
     )
     big = (
         toks.where(F.size("__a") >= 2)
         .select(
-            "source",
+            source_col,
             F.explode(
                 F.expr(
                     "transform(sequence(1, size(__a) - 1), "
@@ -1834,14 +1842,14 @@ def bigram_conditional_entropy(df: DataFrame, text_col: str = "text") -> DataFra
                 )
             ).alias("__b"),
         )
-        .select("source", F.col("__b.x").alias("__x"), F.col("__b.y").alias("__y"))
+        .select(source_col, F.col("__b.x").alias("__x"), F.col("__b.y").alias("__y"))
     )
-    cxy = big.groupBy("source", "__x", "__y").agg(
+    cxy = big.groupBy(source_col, "__x", "__y").agg(
         F.count(F.lit(1)).cast("bigint").alias("__cxy")
     )
-    cx = cxy.groupBy("source", "__x").agg(F.sum("__cxy").alias("__cx"))
-    j = cxy.join(cx, ["source", "__x"]).select(
-        "source",
+    cx = cxy.groupBy(source_col, "__x").agg(F.sum("__cxy").alias("__cx"))
+    j = cxy.join(cx, [source_col, "__x"]).select(
+        source_col,
         "__x",
         "__cxy",
         F.round(
@@ -1852,7 +1860,7 @@ def bigram_conditional_entropy(df: DataFrame, text_col: str = "text") -> DataFra
         .cast("bigint")
         .alias("__t"),
     )
-    return j.groupBy("source").agg(
+    return j.groupBy(source_col).agg(
         F.sum("__cxy").cast("bigint").alias("n_bigrams"),
         F.count(F.lit(1)).cast("bigint").alias("n_bigram_types"),
         F.countDistinct("__x").cast("bigint").alias("n_prefix_types"),

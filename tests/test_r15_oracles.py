@@ -1218,3 +1218,48 @@ def test_partial_correlation_scale_smoke(spark):
     assert r["n"] == 10_000_000
     assert r["r_xy"] > 0.3          # the confounder makes x–y look real
     assert abs(r["partial_r"]) < 0.01  # controlling z removes it
+
+
+def test_dispersion_index_pre_1970_floor(spark):
+    """Window indexing FLOORS (truncation would merge the two windows
+    adjacent to epoch 0 — review finding, r12): one event each side of
+    1970-01-01 lands in two distinct hourly windows."""
+    from osmapreduceproject_spark.operators.stats import dispersion_index
+
+    df = spark.createDataFrame(
+        [(-1_800_000_000, "a"), (1_800_000_000, "a")], "us long, g string"
+    ).select(F.timestamp_micros("us").alias("ts"), "g")
+    r = dispersion_index(df, "ts", "g", 3600).first()
+    assert r["n_windows"] == 2
+    assert r["mean_per_window"] == 1.0 and r["dispersion_index"] == 0.0
+
+
+def test_markov_stationary_integer_states(spark):
+    """The state column keeps the input type: an int event-code chain
+    must not crash the output schema (review finding, r12)."""
+    from osmapreduceproject_spark.operators.events import markov_stationary
+
+    df = spark.createDataFrame(
+        [(0, 0, 1, 10), (1, 1_000_000, 1, 20), (2, 2_000_000, 1, 10)],
+        "event_id long, us long, user_id long, event_type int",
+    ).select(
+        "event_id", F.timestamp_micros("us").alias("ts"),
+        "user_id", "event_type",
+    )
+    got = markov_stationary(df)
+    assert dict(got.dtypes)["state"] == "int"
+    rows = {r["state"]: r for r in got.collect()}
+    assert abs(rows[10]["stationary_prob"] + rows[20]["stationary_prob"] - 1.0) < 1e-6
+
+
+def test_embedding_exact_dedup_empty_pool(spark):
+    """An all-NULL-embedding pool reports ZEROS, never NULL sums
+    (review finding, r12)."""
+    from osmapreduceproject_spark.operators.similarity import embedding_exact_dedup
+
+    df = spark.createDataFrame(
+        [(1, None), (2, None)], "vec_id long, embedding array<float>"
+    )
+    r = embedding_exact_dedup(df).first()
+    assert (r["n_vectors"], r["n_signatures"], r["n_dup_groups"],
+            r["n_redundant"]) == (0, 0, 0, 0)
