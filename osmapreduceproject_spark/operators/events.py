@@ -1094,3 +1094,71 @@ def markov_stationary(
     return df.sparkSession.createDataFrame(
         rows, f"state {state_type}, n_out bigint, stationary_prob double"
     )
+
+
+def cohort_ltv(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Cohort lifetime-value curve: users cohort by their FIRST active
+    epoch-week (:func:`week_index` — pure integer math, no week-start
+    convention), and each (cohort, age) cell reports the active-user
+    count plus the cohort's CUMULATIVE value per original member — the
+    revenue/engagement companion to :func:`retention_cohorts` (which
+    counts presence only; two cohorts with equal retention routinely
+    separate on LTV).
+
+    Exactness: values micro-quantize once (NULL value = zero
+    contribution but still activity, documented), per-cell sums are
+    exact bigints, and the running cumulative is a cohort-partitioned
+    window over the BOUNDED age axis (weeks, never event volume) —
+    cells exist only at ages with ≥1 active user, and the cumulative
+    is exact at every emitted cell. One user-keyed first-week
+    aggregation + one (cohort, age) aggregation: the only wide
+    exchanges hash on user and cohort keys. Returns
+    (cohort_week, age_weeks, n_active, cohort_size, cum_value,
+    ltv_per_user).
+    """
+    from pyspark.sql import Window
+
+    v = F.col(value_col).cast("double")
+    base = df.where(F.col(ts_col).isNotNull()).select(
+        F.col(user_col).alias("__u"),
+        week_index(ts_col).alias("__w"),
+        F.coalesce(
+            F.when(~F.isnan(v), F.round(v * 1_000_000)).cast("bigint"),
+            F.lit(0).cast("bigint"),
+        ).alias("__vq"),
+    )
+    first = base.groupBy("__u").agg(F.min("__w").alias("__cw"))
+    sizes = first.groupBy("__cw").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cohort_size")
+    )
+    cells = (
+        base.join(first, "__u")
+        .groupBy("__cw", (F.col("__w") - F.col("__cw")).alias("__age"))
+        .agg(
+            F.countDistinct("__u").cast("bigint").alias("n_active"),
+            F.sum("__vq").alias("__wsum"),
+        )
+    )
+    wcum = (
+        Window.partitionBy("__cw")
+        .orderBy(F.col("__age").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = cells.withColumn("__cum", F.sum("__wsum").over(wcum)).join(
+        sizes, "__cw"
+    )
+    return out.select(
+        F.col("__cw").alias("cohort_week"),
+        F.col("__age").alias("age_weeks"),
+        "n_active",
+        "cohort_size",
+        F.round(F.col("__cum").cast("double") / 1_000_000, 6).alias("cum_value"),
+        F.round(
+            F.col("__cum").cast("double") / 1_000_000 / F.col("cohort_size"), 6
+        ).alias("ltv_per_user"),
+    )

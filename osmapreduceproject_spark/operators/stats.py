@@ -784,6 +784,23 @@ _POIS1_CDF = [
 ]
 
 
+def _boot_lane_u(h: F.Column, lane: int) -> F.Column:
+    """One 20-bit uniform lane of a 60-bit content hash (the bootstrap
+    family's three-resamples-per-md5 cost reduction)."""
+    return (
+        F.shiftright(h, 20 * lane) % F.lit(1 << 20)
+    ).cast("double") / F.lit(float(1 << 20))
+
+
+def _pois1_weight(u: F.Column) -> F.Column:
+    """Poisson(1) weight from a uniform draw via the shared CDF ladder —
+    ONE implementation behind every bootstrap operator."""
+    w = F.lit(8)
+    for k in range(len(_POIS1_CDF) - 1, -1, -1):
+        w = F.when(u < F.lit(_POIS1_CDF[k]), F.lit(k)).otherwise(w)
+    return w
+
+
 def bootstrap_mean_ci(
     df: DataFrame,
     col: str,
@@ -844,13 +861,8 @@ def bootstrap_mean_ci(
     aggs = [F.count("__xq").alias("n"), F.sum("__xq").alias("sx")]
     for b in range(n_resamples):
         g, lane = b // 3, b % 3
-        u = (
-            F.shiftright(F.col(f"__h{g}"), 20 * lane) % F.lit(1 << 20)
-        ).cast("double") / F.lit(float(1 << 20))
-        w = F.lit(8)
-        for k in range(len(_POIS1_CDF) - 1, -1, -1):
-            w = F.when(u < F.lit(_POIS1_CDF[k]), F.lit(k)).otherwise(w)
-        w = F.when(F.col("__ok"), w).cast(dec)
+        u = _boot_lane_u(F.col(f"__h{g}"), lane)
+        w = F.when(F.col("__ok"), _pois1_weight(u)).cast(dec)
         aggs += [
             F.sum(w * F.col("__xq")).alias(f"swx_{b}"),
             F.sum(w).alias(f"sw_{b}"),
@@ -3115,4 +3127,100 @@ def partial_correlation(
         [(n, rnd(out["r_xy"]), rnd(out["r_xz"]), rnd(out["r_yz"]),
           rnd(out["partial_r"]))],
         "n bigint, r_xy double, r_xz double, r_yz double, partial_r double",
+    )
+
+
+def bootstrap_diff_ci(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+    n_resamples: int = 16,
+    alpha: float = 0.05,
+    scale: int = 1_000_000,
+    salt: str = "bootdiff|",
+    id_col: str | None = None,
+) -> DataFrame:
+    """Poisson-bootstrap confidence interval for a DIFFERENCE of group
+    means — the uncertainty band :func:`welch_ttest` can't give when
+    normality is doubtful, and the two-sample member of the
+    :func:`bootstrap_mean_ci` family (same Chamandy-style streaming
+    bootstrap: deterministic hash-seeded Poisson(1) weights, every
+    replicate's four weighted sums folding in ONE scan, driver state =
+    B replicate diffs). Replicates where either group draws zero total
+    weight are skipped (documented — with n ≫ B this is vanishing).
+
+    Seeding follows the family contract: ``id_col`` defaults to the
+    value's string form (block-resampling of equal values; prefer an
+    explicit integer id for row-level draws and oracle safety). Exact
+    integer quantization end-to-end; the CI is the discrete ceil-rank
+    quantile of the sorted replicate diffs. Returns one row:
+    (n_a, n_b, mean_a, mean_b, diff, ci_lo, ci_hi, n_resamples).
+    """
+    from ..functions.hashing import md5_int
+
+    dec = "decimal(38,0)"
+    x = F.col(value_col).cast("double")
+    g = F.col(group_col)
+    ok = x.isNotNull() & ~F.isnan(x) & g.isin([group_a, group_b])
+    xq = F.when(ok, F.round(x * scale)).cast(dec)
+    rid = F.col(id_col).cast("string") if id_col else x.cast("string")
+    n_groups = (n_resamples + 2) // 3
+    proj = df.select(
+        ok.alias("__ok"),
+        (ok & (g == F.lit(group_a))).alias("__ga"),
+        xq.alias("__xq"),
+        *[
+            md5_int(F.concat(F.lit(salt), rid, F.lit(f"|{grp}"))).alias(f"__h{grp}")
+            for grp in range(n_groups)
+        ],
+    )
+    in_a, in_b = F.col("__ga"), F.col("__ok") & ~F.col("__ga")
+    aggs = [
+        F.count(F.when(in_a, 1)).alias("na"),
+        F.count(F.when(in_b, 1)).alias("nb"),
+        F.sum(F.when(in_a, F.col("__xq"))).alias("sxa"),
+        F.sum(F.when(in_b, F.col("__xq"))).alias("sxb"),
+    ]
+    for b in range(n_resamples):
+        grp, lane = b // 3, b % 3
+        w = _pois1_weight(_boot_lane_u(F.col(f"__h{grp}"), lane)).cast(dec)
+        aggs += [
+            F.sum(F.when(in_a, w * F.col("__xq"))).alias(f"swxa_{b}"),
+            F.sum(F.when(in_a, w)).alias(f"swa_{b}"),
+            F.sum(F.when(in_b, w * F.col("__xq"))).alias(f"swxb_{b}"),
+            F.sum(F.when(in_b, w)).alias(f"swb_{b}"),
+        ]
+    row = proj.agg(*aggs).first()  # bounded: one row
+    na, nb = int(row["na"] or 0), int(row["nb"] or 0)
+    if na == 0 or nb == 0:
+        raise ValueError(
+            f"bootstrap_diff_ci: empty group pool ({group_a!r}: {na}, "
+            f"{group_b!r}: {nb})"
+        )
+    mean_a = float(int(row["sxa"])) / na / scale
+    mean_b = float(int(row["sxb"])) / nb / scale
+    diffs = []
+    for b in range(n_resamples):
+        swa, swb = int(row[f"swa_{b}"] or 0), int(row[f"swb_{b}"] or 0)
+        if swa > 0 and swb > 0:
+            diffs.append(
+                float(int(row[f"swxa_{b}"])) / swa / scale
+                - float(int(row[f"swxb_{b}"])) / swb / scale
+            )
+    diffs.sort()
+    rnd = _round6_half_away
+    lo = hi = None
+    if diffs:
+        lo_rank = max(1, math.ceil(alpha / 2 * len(diffs)))
+        hi_rank = max(1, math.ceil((1 - alpha / 2) * len(diffs)))
+        lo, hi = rnd(diffs[lo_rank - 1]), rnd(diffs[hi_rank - 1])
+    return df.sparkSession.createDataFrame(
+        [(
+            na, nb, rnd(mean_a), rnd(mean_b), rnd(mean_a - mean_b),
+            lo, hi, n_resamples,
+        )],
+        "n_a bigint, n_b bigint, mean_a double, mean_b double, diff double, "
+        "ci_lo double, ci_hi double, n_resamples int",
     )

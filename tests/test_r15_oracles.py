@@ -1263,3 +1263,226 @@ def test_embedding_exact_dedup_empty_pool(spark):
     r = embedding_exact_dedup(df).first()
     assert (r["n_vectors"], r["n_signatures"], r["n_dup_groups"],
             r["n_redundant"]) == (0, 0, 0, 0)
+
+
+# ---------------------------------------------------------------------------
+# third r14-wave tranche: bootstrap diff CI, forecast backtest, cohort LTV
+# ---------------------------------------------------------------------------
+
+
+def test_bootstrap_diff_ci_oracle(spark, duck):
+    """Two-group streaming Poisson bootstrap (click − purchase value
+    means, B=16, id-seeded): four weighted sums per replicate in one
+    scan, replicate diffs ranked by the ceil-rank rule in SQL."""
+    from osmapreduceproject_spark.operators.stats import _POIS1_CDF, bootstrap_diff_ci
+    from osmapreduceproject_spark.queries import md5_int_sql
+
+    got = bootstrap_diff_ci(
+        _t(spark, "events"), "event_type", "value", "click", "purchase",
+        n_resamples=16, id_col="event_id",
+    )
+    w_case = "CASE " + " ".join(
+        f"WHEN u{{b}} < {t!r} THEN {k}" for k, t in enumerate(_POIS1_CDF)
+    ) + " ELSE 8 END"
+    cols, sums = [], []
+    for g in range((16 + 2) // 3):
+        h = md5_int_sql(f"'bootdiff|' || CAST(event_id AS VARCHAR) || '|{g}'")
+        cols.append(f"{h} AS h{g}")
+    for b in range(16):
+        g, lane = b // 3, b % 3
+        cols.append(
+            f"CAST((h{g} >> {20 * lane}) % 1048576 AS DOUBLE) / 1048576.0 AS u{b}"
+        )
+        wb = w_case.format(b=b)
+        sums.append(
+            f"SUM(CASE WHEN ga THEN CAST({wb} AS HUGEINT) * xq END) AS swxa_{b}, "
+            f"SUM(CASE WHEN ga THEN CAST({wb} AS HUGEINT) END) AS swa_{b}, "
+            f"SUM(CASE WHEN NOT ga THEN CAST({wb} AS HUGEINT) * xq END) AS swxb_{b}, "
+            f"SUM(CASE WHEN NOT ga THEN CAST({wb} AS HUGEINT) END) AS swb_{b}"
+        )
+    diff_list = ", ".join(
+        f"CASE WHEN swa_{b} > 0 AND swb_{b} > 0 THEN "
+        f"CAST(swxa_{b} AS DOUBLE)/swa_{b}/1000000 "
+        f"- CAST(swxb_{b} AS DOUBLE)/swb_{b}/1000000 END"
+        for b in range(16)
+    )
+    sql = f"""
+    WITH base AS (
+      SELECT event_type = 'click' AS ga,
+             CAST(round(CAST(value AS DOUBLE) * 1000000) AS HUGEINT) AS xq,
+             {', '.join(cols)}
+      FROM events
+      WHERE value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))
+        AND event_type IN ('click', 'purchase')),
+    s AS (SELECT SUM(CASE WHEN ga THEN 1 ELSE 0 END) AS na,
+                 SUM(CASE WHEN NOT ga THEN 1 ELSE 0 END) AS nb,
+                 SUM(CASE WHEN ga THEN xq END) AS sxa,
+                 SUM(CASE WHEN NOT ga THEN xq END) AS sxb,
+                 {', '.join(sums)}
+          FROM base),
+    diffs AS (SELECT s.na, s.nb, s.sxa, s.sxb, unnest([{diff_list}]) AS d
+              FROM s),
+    ranked AS (SELECT na, nb, sxa, sxb, d,
+                      ROW_NUMBER() OVER (ORDER BY d) AS rk,
+                      COUNT(*) OVER () AS nd
+               FROM diffs WHERE d IS NOT NULL)
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           round(CAST(sxa AS DOUBLE)/na/1000000, 6) AS mean_a,
+           round(CAST(sxb AS DOUBLE)/nb/1000000, 6) AS mean_b,
+           round(CAST(sxa AS DOUBLE)/na/1000000
+                 - CAST(sxb AS DOUBLE)/nb/1000000, 6) AS diff,
+           round(MAX(CASE WHEN rk = greatest(1, CAST(ceil(0.025 * nd) AS BIGINT))
+                          THEN d END), 6) AS ci_lo,
+           round(MAX(CASE WHEN rk = greatest(1, CAST(ceil(0.975 * nd) AS BIGINT))
+                          THEN d END), 6) AS ci_hi,
+           16 AS n_resamples
+    FROM ranked GROUP BY na, nb, sxa, sxb
+    """
+    assert compare(got, duck.execute(sql).df()) == []
+    r = got.first()
+    assert r["ci_lo"] <= r["ci_hi"]
+
+
+def test_bootstrap_diff_ci_known_cases(spark):
+    """Pins: well-separated groups put 0 far outside the CI with the
+    right sign; an empty group raises."""
+    from osmapreduceproject_spark.operators.stats import bootstrap_diff_ci
+
+    df = spark.createDataFrame(
+        [(i, "a", 100.0 + (i % 3)) for i in range(30)]
+        + [(100 + i, "b", 1.0 + (i % 3)) for i in range(30)],
+        "event_id long, g string, v double",
+    )
+    r = bootstrap_diff_ci(df, "g", "v", "a", "b", id_col="event_id").first()
+    assert 95 < r["diff"] < 103
+    assert r["ci_lo"] > 90 and r["ci_hi"] < 110
+    with pytest.raises(Exception, match="empty group"):
+        bootstrap_diff_ci(df, "g", "v", "a", "missing", id_col="event_id")
+
+
+def test_forecast_backtest_oracle(spark, duck):
+    """One-step-ahead EWMA errors per user — the integer state walk
+    lagged and aggregated, replayed by the recursive-CTE fold."""
+    from osmapreduceproject_spark.operators.windows import forecast_backtest
+    from osmapreduceproject_spark.queries_r8 import _RESAMPLE_CTE
+
+    got = forecast_backtest(
+        _t(spark, "events"), key="user_id", ts="ts", value_col="value",
+        step_seconds=3600, alpha=0.3,
+    )
+    sql = f"""
+    WITH RECURSIVE {_RESAMPLE_CTE},
+    numbered AS (
+      SELECT k, slot_epoch, value,
+             ROW_NUMBER() OVER (PARTITION BY k ORDER BY slot_epoch) AS ord
+      FROM resampled),
+    walk AS (
+      SELECT k, ord, slot_epoch, value,
+             CAST(round(value * 1000000) AS BIGINT) AS eq
+      FROM numbered WHERE ord = 1
+      UNION ALL
+      SELECT n.k, n.ord, n.slot_epoch, n.value,
+             CAST(round(CAST(0.3 AS DOUBLE) * round(n.value * 1000000)
+                        + CAST(0.7 AS DOUBLE) * w.eq) AS BIGINT)
+      FROM numbered n JOIN walk w ON n.k = w.k AND n.ord = w.ord + 1),
+    l AS (SELECT k, CAST(round(value * 1000000) AS BIGINT) AS vq,
+                 lag(eq) OVER (PARTITION BY k ORDER BY slot_epoch) AS fq
+          FROM walk),
+    t AS (SELECT k, vq - fq AS e, abs(vq - fq) AS ae,
+                 CASE WHEN vq != 0 THEN
+                   CAST(round(abs(vq - fq) / abs(vq) * 1000000) AS BIGINT)
+                 END AS mq
+          FROM l WHERE fq IS NOT NULL)
+    SELECT k AS user_id, CAST(COUNT(*) AS BIGINT) AS n_forecasts,
+           round(CAST(SUM(ae) AS DOUBLE) / COUNT(*) / 1000000, 6) AS mae,
+           round(CAST(SUM(e) AS DOUBLE) / COUNT(*) / 1000000, 6) AS bias,
+           CAST(COUNT(mq) AS BIGINT) AS n_mape,
+           CASE WHEN COUNT(mq) > 0 THEN
+             round(CAST(SUM(mq) AS DOUBLE) / COUNT(mq) / 1000000, 6)
+           END AS mape
+    FROM t GROUP BY k
+    """
+    assert compare(got, duck.execute(sql).df()) == []
+    pdf = got.toPandas()
+    assert (pdf.mae >= pdf.bias.abs() - 1e-9).all()  # |mean e| ≤ mean |e|
+
+
+def test_forecast_backtest_known_case(spark):
+    """Pin: a constant series forecasts itself perfectly (MAE 0); a
+    +1-per-slot ramp under α=0.5 settles at a constant one-step error."""
+    from osmapreduceproject_spark.operators.windows import forecast_backtest
+
+    def series(vals):
+        rows = [(i, i * 3_600_000_000, 1, float(v)) for i, v in enumerate(vals)]
+        return spark.createDataFrame(
+            rows, "event_id long, us long, user_id long, value double"
+        ).select(
+            "event_id", F.timestamp_micros("us").alias("ts"),
+            "user_id", "value",
+        )
+
+    const = forecast_backtest(
+        series([5.0] * 24), "user_id", "ts", "value", 3600
+    ).first()
+    assert const["mae"] == 0.0 and const["bias"] == 0.0
+    ramp = forecast_backtest(
+        series(range(64)), "user_id", "ts", "value", 3600, alpha=0.5
+    ).first()
+    # s_t lags the ramp by a constant: error v_t − s_{t−1} → 2 as t→∞
+    assert 1.5 < ramp["mae"] < 2.1
+    assert ramp["bias"] == ramp["mae"]  # the ramp never under-runs
+
+
+def test_cohort_ltv_oracle(spark, duck):
+    """First-active-week cohorts with cumulative per-member value —
+    exact integer cells + a bounded cohort-partitioned running sum."""
+    from osmapreduceproject_spark.operators.events import cohort_ltv
+
+    got = cohort_ltv(_t(spark, "events"))
+    sql = """
+    WITH base AS (
+      SELECT user_id AS u,
+             epoch_us(ts) // 1000000 // 604800 AS w,
+             COALESCE(CASE WHEN NOT isnan(CAST(value AS DOUBLE)) THEN
+               CAST(round(CAST(value AS DOUBLE) * 1000000) AS BIGINT) END, 0)
+               AS vq
+      FROM events WHERE ts IS NOT NULL),
+    first AS (SELECT u, MIN(w) AS cw FROM base GROUP BY u),
+    sizes AS (SELECT cw, COUNT(*) AS cohort_size FROM first GROUP BY cw),
+    cells AS (SELECT f.cw, b.w - f.cw AS age,
+                     COUNT(DISTINCT b.u) AS n_active,
+                     SUM(b.vq) AS wsum
+              FROM base b JOIN first f ON f.u = b.u
+              GROUP BY 1, 2),
+    cum AS (SELECT cw, age, n_active, wsum,
+                   SUM(wsum) OVER (PARTITION BY cw ORDER BY age) AS c
+            FROM cells)
+    SELECT cum.cw AS cohort_week, CAST(age AS BIGINT) AS age_weeks,
+           CAST(n_active AS BIGINT) AS n_active,
+           CAST(sizes.cohort_size AS BIGINT) AS cohort_size,
+           round(CAST(c AS DOUBLE) / 1000000, 6) AS cum_value,
+           round(CAST(c AS DOUBLE) / 1000000 / sizes.cohort_size, 6)
+             AS ltv_per_user
+    FROM cum JOIN sizes ON sizes.cw = cum.cw
+    """
+    assert compare(got, duck.execute(sql).df()) == []
+    pdf = got.toPandas()
+    assert (pdf.n_active <= pdf.cohort_size).all()
+
+
+def test_cohort_ltv_known_case(spark):
+    """Pin: two users cohort at week 0; one returns in week 1 — the
+    age-1 cell accumulates on top of age 0 and divides by BOTH
+    original members."""
+    from osmapreduceproject_spark.operators.events import cohort_ltv
+
+    wk = 604800 * 1_000_000
+    df = spark.createDataFrame(
+        [(1, 0, 10.0), (2, 1_000_000, 30.0), (1, wk + 5, 20.0)],
+        "user_id long, us long, value double",
+    ).select("user_id", F.timestamp_micros("us").alias("ts"), "value")
+    rows = {r["age_weeks"]: r for r in cohort_ltv(df).collect()}
+    assert rows[0]["n_active"] == 2 and rows[0]["cohort_size"] == 2
+    assert rows[0]["cum_value"] == 40.0 and rows[0]["ltv_per_user"] == 20.0
+    assert rows[1]["n_active"] == 1
+    assert rows[1]["cum_value"] == 60.0 and rows[1]["ltv_per_user"] == 30.0
