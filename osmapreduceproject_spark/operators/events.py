@@ -1111,8 +1111,9 @@ def cohort_ltv(
     separate on LTV).
 
     Exactness: values micro-quantize once (NULL value = zero
-    contribution but still activity, documented), per-cell sums are
-    exact bigints, and the running cumulative is a cohort-partitioned
+    contribution but still activity; a NULL user is excluded entirely —
+    not a member, documented), per-cell sums accumulate in
+    DECIMAL(38,0), and the running cumulative is a cohort-partitioned
     window over the BOUNDED age axis (weeks, never event volume) —
     cells exist only at ages with ≥1 active user, and the cumulative
     is exact at every emitted cell. One user-keyed first-week
@@ -1124,7 +1125,12 @@ def cohort_ltv(
     from pyspark.sql import Window
 
     v = F.col(value_col).cast("double")
-    base = df.where(F.col(ts_col).isNotNull()).select(
+    # a NULL user is not a cohort member: an equi-join would silently
+    # drop its activity while the size count kept it (review finding,
+    # r12) — exclude it from BOTH sides up front, documented
+    base = df.where(
+        F.col(ts_col).isNotNull() & F.col(user_col).isNotNull()
+    ).select(
         F.col(user_col).alias("__u"),
         week_index(ts_col).alias("__w"),
         F.coalesce(
@@ -1136,12 +1142,15 @@ def cohort_ltv(
     sizes = first.groupBy("__cw").agg(
         F.count(F.lit(1)).cast("bigint").alias("cohort_size")
     )
+    # sums accumulate in DECIMAL(38,0) — a large cohort's micro-unit
+    # mass can pass 2^63 and bigint SUM would wrap silently (review
+    # finding, r12; the bootstrap/dispersion convention)
     cells = (
         base.join(first, "__u")
         .groupBy("__cw", (F.col("__w") - F.col("__cw")).alias("__age"))
         .agg(
             F.countDistinct("__u").cast("bigint").alias("n_active"),
-            F.sum("__vq").alias("__wsum"),
+            F.sum(F.col("__vq").cast("decimal(38,0)")).alias("__wsum"),
         )
     )
     wcum = (

@@ -2952,11 +2952,13 @@ def dispersion_index(
         # pure integer epoch FLOOR division: timezone-free and exact.
         # `div` truncates toward zero, which would merge the two windows
         # adjacent to epoch 0 for pre-1970 timestamps (review finding,
-        # r12) — the pmod construction floors for any sign.
+        # r12) — the pmod construction makes the numerator an exact
+        # multiple, so truncating `div` IS floor for any sign, with no
+        # double round-trip (second review finding, r12).
         F.expr(
-            f"CAST((unix_micros({ts_col})"
-            f" - pmod(unix_micros({ts_col}), {step_us})) / {step_us} AS BIGINT)"
-        ).alias("__w"),
+            f"(unix_micros({ts_col})"
+            f" - pmod(unix_micros({ts_col}), {step_us})) div {step_us}"
+        ).cast("bigint").alias("__w"),
     )
     # cells is the reduced frame BOTH consumers read (the global span and
     # the per-type moments) — persist it so neither re-reduces raw event
@@ -3130,6 +3132,52 @@ def partial_correlation(
     )
 
 
+def _bootstrap_diff_scan(
+    df, group_col, value_col, group_a, group_b, n_resamples, scale, salt,
+    id_col,
+):
+    """The ONE-scan lazy aggregation behind :func:`bootstrap_diff_ci` —
+    factored out so the plan-shape pin can assert the no-per-replicate-
+    pass claim on the actual plan (review finding, r12)."""
+    from ..functions.hashing import md5_int
+
+    dec = "decimal(38,0)"
+    x = F.col(value_col).cast("double")
+    g = F.col(group_col)
+    ok = x.isNotNull() & ~F.isnan(x) & g.isin([group_a, group_b])
+    rid = F.col(id_col).cast("string") if id_col else x.cast("string")
+    n_groups = (n_resamples + 2) // 3
+    # prefilter BEFORE hashing: rows outside both groups contribute to
+    # no aggregate, so the md5 ladder (the scan's dominant per-row
+    # cost) must never run on them (review finding, r12); matches the
+    # oracle's WHERE clause
+    proj = df.where(ok).select(
+        (g == F.lit(group_a)).alias("__ga"),
+        F.round(x * scale).cast(dec).alias("__xq"),
+        *[
+            md5_int(F.concat(F.lit(salt), rid, F.lit(f"|{grp}"))).alias(f"__h{grp}")
+            for grp in range(n_groups)
+        ],
+    )
+    in_a, in_b = F.col("__ga"), ~F.col("__ga")
+    aggs = [
+        F.count(F.when(in_a, 1)).alias("na"),
+        F.count(F.when(in_b, 1)).alias("nb"),
+        F.sum(F.when(in_a, F.col("__xq"))).alias("sxa"),
+        F.sum(F.when(in_b, F.col("__xq"))).alias("sxb"),
+    ]
+    for b in range(n_resamples):
+        grp, lane = b // 3, b % 3
+        w = _pois1_weight(_boot_lane_u(F.col(f"__h{grp}"), lane)).cast(dec)
+        aggs += [
+            F.sum(F.when(in_a, w * F.col("__xq"))).alias(f"swxa_{b}"),
+            F.sum(F.when(in_a, w)).alias(f"swa_{b}"),
+            F.sum(F.when(in_b, w * F.col("__xq"))).alias(f"swxb_{b}"),
+            F.sum(F.when(in_b, w)).alias(f"swb_{b}"),
+        ]
+    return proj.agg(*aggs)
+
+
 def bootstrap_diff_ci(
     df: DataFrame,
     group_col: str,
@@ -3158,41 +3206,10 @@ def bootstrap_diff_ci(
     quantile of the sorted replicate diffs. Returns one row:
     (n_a, n_b, mean_a, mean_b, diff, ci_lo, ci_hi, n_resamples).
     """
-    from ..functions.hashing import md5_int
-
-    dec = "decimal(38,0)"
-    x = F.col(value_col).cast("double")
-    g = F.col(group_col)
-    ok = x.isNotNull() & ~F.isnan(x) & g.isin([group_a, group_b])
-    xq = F.when(ok, F.round(x * scale)).cast(dec)
-    rid = F.col(id_col).cast("string") if id_col else x.cast("string")
-    n_groups = (n_resamples + 2) // 3
-    proj = df.select(
-        ok.alias("__ok"),
-        (ok & (g == F.lit(group_a))).alias("__ga"),
-        xq.alias("__xq"),
-        *[
-            md5_int(F.concat(F.lit(salt), rid, F.lit(f"|{grp}"))).alias(f"__h{grp}")
-            for grp in range(n_groups)
-        ],
-    )
-    in_a, in_b = F.col("__ga"), F.col("__ok") & ~F.col("__ga")
-    aggs = [
-        F.count(F.when(in_a, 1)).alias("na"),
-        F.count(F.when(in_b, 1)).alias("nb"),
-        F.sum(F.when(in_a, F.col("__xq"))).alias("sxa"),
-        F.sum(F.when(in_b, F.col("__xq"))).alias("sxb"),
-    ]
-    for b in range(n_resamples):
-        grp, lane = b // 3, b % 3
-        w = _pois1_weight(_boot_lane_u(F.col(f"__h{grp}"), lane)).cast(dec)
-        aggs += [
-            F.sum(F.when(in_a, w * F.col("__xq"))).alias(f"swxa_{b}"),
-            F.sum(F.when(in_a, w)).alias(f"swa_{b}"),
-            F.sum(F.when(in_b, w * F.col("__xq"))).alias(f"swxb_{b}"),
-            F.sum(F.when(in_b, w)).alias(f"swb_{b}"),
-        ]
-    row = proj.agg(*aggs).first()  # bounded: one row
+    row = _bootstrap_diff_scan(
+        df, group_col, value_col, group_a, group_b, n_resamples, scale,
+        salt, id_col,
+    ).first()  # bounded: one row
     na, nb = int(row["na"] or 0), int(row["nb"] or 0)
     if na == 0 or nb == 0:
         raise ValueError(

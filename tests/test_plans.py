@@ -1020,9 +1020,24 @@ def test_r15_wave_third_tranche_plan_shapes(spark):
     assert data_carrying_single_partitions(lv) == [], plan
     assert "CartesianProduct" not in plan, plan
 
-    # bootstrap_diff_ci finalizes driver-side from a one-row agg; assert
-    # the SCAN plan is a single aggregation with no joins/windows by
-    # running it end-to-end on the small fixture (one row, sane values)
+    # the ONE-scan claim is asserted on the actual lazy agg plan (the
+    # factored _bootstrap_diff_scan): no join, no window, no
+    # per-replicate pass — a single scan feeds one aggregation chain
+    # whose only SinglePartition exchange carries pre-aggregated
+    # partials (review finding, r12)
+    from osmapreduceproject_spark.operators.stats import _bootstrap_diff_scan
+
+    scan = _bootstrap_diff_scan(
+        ev, "event_type", "value", "click", "purchase", 16, 1_000_000,
+        "bootdiff|", "event_id",
+    )
+    plan = explain_str(scan)
+    assert "Join" not in plan and "Window" not in plan, plan
+    import re as _re
+
+    # exactly ONE scan node (the formatted plan prints each node twice:
+    # tree line + detail section — count the numbered detail headers)
+    assert len(_re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
     r = bootstrap_diff_ci(
         ev, "event_type", "value", "click", "purchase", id_col="event_id"
     ).first()

@@ -1486,3 +1486,18 @@ def test_cohort_ltv_known_case(spark):
     assert rows[0]["cum_value"] == 40.0 and rows[0]["ltv_per_user"] == 20.0
     assert rows[1]["n_active"] == 1
     assert rows[1]["cum_value"] == 60.0 and rows[1]["ltv_per_user"] == 30.0
+
+
+def test_cohort_ltv_null_user_excluded(spark):
+    """A NULL user is not a cohort member: it must appear in NEITHER
+    cohort_size nor the value mass (review finding, r12 — an equi-join
+    dropped its activity while the size count kept it)."""
+    from osmapreduceproject_spark.operators.events import cohort_ltv
+
+    df = spark.createDataFrame(
+        [(1, 0, 10.0), (None, 1_000_000, 999.0)],
+        "user_id long, us long, value double",
+    ).select("user_id", F.timestamp_micros("us").alias("ts"), "value")
+    r = cohort_ltv(df).first()
+    assert r["cohort_size"] == 1 and r["n_active"] == 1
+    assert r["cum_value"] == 10.0 and r["ltv_per_user"] == 10.0
