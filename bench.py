@@ -246,6 +246,27 @@ BENCH_QUERIES = [
     "q284_audio_snr",  # PCM frame mass + floor/signal split (Arrow)
     "q285_image_exposure",  # luma histogram + entropy terms in-batch (Arrow)
     "q286_tokenizer_fertility",  # three narrow counters + per-source agg
+    # r13 additions (SURVEY §8 r13 map): the 12 r13-new declarations join
+    # the headline set the round they land — subtract these for
+    # like-for-like totals vs r12. Expected-expensive newcomers: q291
+    # (TWO resample grids + slot join + one 7-lag window — roughly 2×
+    # the q246/q281 grid cost), q288 (per-block k×k cell compare),
+    # q297 (brute all-pairs cosine rank over the 640-vector sf0.1
+    # embeddings — the q34 shape); q292 is a full token explode;
+    # q294–q296 are fixture-scale Arrow spin-up; q287/q289/q290/q293
+    # are value-level rank/cumsum or histogram-cell scans.
+    "q287_mann_whitney_u",  # distinct-value midranks + tie term, scalar out
+    "q288_friedman_test",  # per-block integer rank compare + exact Q
+    "q289_benjamini_hochberg",  # value-level ranged cumsum + integer step-up
+    "q290_hellinger_matrix",  # 30-bucket histogram cells + pair join
+    "q291_lagged_crosscorr",  # 2 LOCF grids + slot join + 7-lag window
+    "q292_token_burstiness",  # token explode + two map-side-combined groupBys
+    "q293_heaps_law_fit",  # token explode + 20-point quantized OLS
+    "q294_channel_balance",  # per-channel exact sums in-batch (Arrow)
+    "q295_freeze_detect",  # frame checksums in-batch + island windows (Arrow)
+    "q296_envelope_periodicity",  # envelope in-batch + 8-lag ACF (Arrow)
+    "q297_knn_graph_stats",  # brute top-k edges + reciprocity self-join
+    "q298_lsh_bucket_stats",  # band-bucket groupBy over LSH signatures
     "conf_sort_seeded",
     "conf_max_seeded",
 ]
@@ -758,7 +779,21 @@ def main() -> None:
             "probe itself swung 1.304/1.968 across the two r12 runs "
             "(r11: 1.716): treat single-probe deltas under ~50% as noise; "
             "only a probe shift CORROBORATED by many-small-stage queries "
-            "moving together is evidence."
+            "moving together is evidence. "
+            "r13 adds the 12 r13-new declarations q287-q298 to the "
+            "headline set (SURVEY r13 map) - subtract those twelve for "
+            "like-for-like totals vs r12. Expected-expensive by "
+            "construction among them: q291 (TWO LOCF resample grids "
+            "joined on the slot lattice + one 7-lag per-user window - "
+            "roughly double the q246/q281 grid cost), q288 (per-block "
+            "k-by-k integer cell compare), q297 (brute all-pairs cosine "
+            "rank - the q34 shape at 640 sf0.1 vectors), q292/q293 "
+            "(full token explodes); q294/q295/q296 are fixture-scale "
+            "Arrow spin-up; q287/q289/q290 are value-level scans. "
+            "r13 watch-list disposition (VERDICT r12 #6): q132/q113 "
+            "closed as host-state if their quiet minima return to "
+            "2.3/2.25 on unchanged censuses without a matching "
+            "sched_floor drift; see this run's rerun blocks."
         ),
         "reference": reference_timings(),
         "sched_floor_s": sched_floor_probe(spark),

@@ -1156,7 +1156,10 @@ def soft_dedup_weights(
     )
     g = weighted.groupBy(source_col).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        F.sum("__wq").alias("__eff"),
+        # DECIMAL(38,0) accumulation — the cohort_ltv micro-unit-mass
+        # convention: a bigint sum of 10⁶-scaled weights would wrap
+        # silently past ~9.2e12 docs per source (ADVICE r12)
+        F.sum(F.col("__wq").cast("decimal(38,0)")).alias("__eff"),
     )
     eff = F.col("__eff").cast("double")
     return g.select(

@@ -1958,7 +1958,11 @@ def image_blur_score(df: DataFrame) -> DataFrame:
                 s = int(lap.sum())
                 s2 = int((lap * lap).sum())
                 sa = int(np.abs(lap).sum())
-                var = (s2 - s * s / n) / n
+                # square in DOUBLE, not exact int: the oracle computes
+                # CAST(s AS DOUBLE)*CAST(s AS DOUBLE), and past 2^53 an
+                # exact-int square would round differently at the 6th
+                # decimal (ADVICE r12) — same domain on both sides.
+                var = (s2 - float(s) * float(s) / n) / n
                 rows.append((int(m), n, rnd6(var), rnd6(sa / n)))
             yield pd.DataFrame(
                 rows, columns=["media_id", "n_lap", "lap_var", "mean_abs_lap"]

@@ -1032,7 +1032,9 @@ def centroid_similarity(
     sums, order-independent), so cosine =
     dot/√(‖a‖²·‖b‖²) composes identical operands on both engines.
     Zero-norm centroids emit NULL cosine. Returns
-    (group_a, group_b, n_a, n_b, cosine) for group_a < group_b.
+    (group_a, group_b, n_a, n_b, cosine) for group_a < group_b; n_a/n_b
+    count only rows with a non-NULL vector — the population the
+    centroid actually averages (ADVICE r12).
     """
     ex = corpus.select(
         F.col(group_col).alias("__g"),
@@ -1057,8 +1059,13 @@ def centroid_similarity(
             F.round(F.col("__m") * F.col("__m") / 1_000_000).cast("bigint")
         ).alias("__nrm"),
     )
-    counts = corpus.groupBy(F.col(group_col).alias("__g")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("__cnt")
+    # n_a/n_b describe the population the centroid averages: rows with a
+    # NULL vector contribute nothing to the centroid (posexplode emits no
+    # rows), so they must not inflate the counts either (ADVICE r12)
+    counts = (
+        corpus.where(F.col(vec_col).isNotNull())
+        .groupBy(F.col(group_col).alias("__g"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__cnt"))
     )
     a = m.select(
         F.col("__g").alias("__ga"), "__pos", F.col("__m").alias("__ma")

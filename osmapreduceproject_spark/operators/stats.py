@@ -2943,11 +2943,18 @@ def dispersion_index(
     double, mirrored by the oracle. Returns
     (type, n_events, n_windows, mean_per_window, variance,
     dispersion_index); a type with zero mean emits NULL dispersion.
+    NULL-typed events are excluded — a NULL is not an arrival stream
+    (the markov_stationary / cohort_ltv NULL-key convention).
     """
     from ..plans.inspect import tracked_persist
 
     step_us = int(step_seconds) * 1_000_000
-    pool = df.where(F.col(ts_col).isNotNull()).select(
+    # a NULL type is not an arrival stream (the markov_stationary /
+    # cohort_ltv NULL-key convention — ADVICE r12): exclude NULL-typed
+    # events rather than reporting a NULL output group
+    pool = df.where(
+        F.col(ts_col).isNotNull() & F.col(type_col).isNotNull()
+    ).select(
         F.col(type_col).alias("__g"),
         # pure integer epoch FLOOR division: timezone-free and exact.
         # `div` truncates toward zero, which would merge the two windows

@@ -6901,91 +6901,99 @@ from . import queries_r11  # noqa: E402,F401
 # findings closed in the wave pre-declaration).
 from . import queries_r12  # noqa: E402,F401
 
+# Register the round-13 tranche (q287–q298): the 12-operator wave staged
+# at r12 close, every (body, SQL) pair lifted verbatim from its
+# pre-verified parity test in tests/test_r14_oracles.py (hostile-TZ-
+# proofed under Australia/Eucla before declaration; benjamini_hochberg
+# and video_freeze_detect carry judge-re-run gated scale smokes at 10M
+# p-values / 500k frames).
+from . import queries_r13  # noqa: E402,F401
+
 
 # ---------------------------------------------------------------------------
 # Catalog ordering. The driver's CORRECTNESS file covers only the FIRST 50
 # ``queries()`` entries, so the verdict window is a scarce resource.
-# Round-12 window — the EXACT 50-slot list published at r11 close
-# (SURVEY.md §8 round-12 declaration map; VERDICT/ADVICE hold the round
-# to it): (a) the 12 r12-NEW declarations q275–q286 in the staged
-# order — stats (q275 odds ratio, q276 chi² GOF, q277 trimmed mean,
-# q278 group diversity), events (q279 max concurrency — 10M-interval
-# smoke), windows/series (q280 seasonal decompose — 10M-slot smoke,
-# q281 Ljung–Box), joins (q282 coverage-gap anti), similarity (q283
-# silhouette), multimodal QC (q284 audio SNR, q285 image exposure),
-# text (q286 tokenizer fertility). (b) Canaries: q01 (scan-agg
-# ground), q31 (MinHash machinery), q164 (running-totals streaming
-# twin, r8-graded — continuing the q159/q208 rotation). (c) The
-# committed r6-graded remainder in q-order (33 entries). (d) The 2
-# oldest r7-graded regrades (q43, q44). The remainder of the r7-graded
-# cohort rotates to r13; q51/q101/q102 stay rows-only by construction.
-# Cross-round coverage is the union of the twelve windows, and every
+# Round-13 window — the EXACT 50-slot list published at r12 close
+# (SURVEY.md §8 round-13 declaration map; VERDICT/ADVICE hold the round
+# to it): (a) the 12 r13-NEW declarations q287–q298 in the staged
+# order — stats (q287 Mann–Whitney U, q288 Friedman, q289
+# Benjamini–Hochberg — 10M-p-value smoke, q290 Hellinger matrix),
+# windows (q291 lagged cross-correlation), text (q292 token
+# burstiness, q293 Heaps-law fit), multimodal QC (q294 channel
+# balance, q295 freeze detect — 500k-frame smoke, q296 envelope
+# periodicity), similarity (q297 kNN-graph stats), dedup (q298 LSH
+# bucket stats). (b) Canaries: q01 (scan-agg ground), q31 (MinHash
+# machinery), q100 (session-window streaming twin, r8-graded —
+# continuing the q159/q208/q164 rotation). (c) The first 35 of the
+# committed 44-entry r7-graded cohort in q-order (q47 … q155 — the
+# stalest grades left, incl. the UDF-surface rows q53–q56). The
+# cohort's remaining 9 (q169–q177) rotate to r14;
+# q51/q101/q102 stay rows-only by construction.
+# Cross-round coverage is the union of the thirteen windows, and every
 # entry regardless of position is verified by tests/test_oracle_parity.py
 # against the same comparison.
 # ---------------------------------------------------------------------------
 
 _VERDICT_WINDOW = [
-    # (a) r12-new declarations — graded the round they land.
+    # (a) r13-new declarations — graded the round they land.
     # Stats family first:
-    "q275_odds_ratio",
-    "q276_chi2_gof",
-    "q277_trimmed_mean",
-    "q278_group_diversity",
-    # events:
-    "q279_max_concurrency",
+    "q287_mann_whitney_u",
+    "q288_friedman_test",
+    "q289_benjamini_hochberg",
+    "q290_hellinger_matrix",
     # windows / series:
-    "q280_seasonal_decompose",
-    "q281_ljung_box",
-    # joins:
-    "q282_coverage_gap_join",
-    # similarity:
-    "q283_silhouette_report",
-    # multimodal QC:
-    "q284_audio_snr",
-    "q285_image_exposure",
+    "q291_lagged_crosscorr",
     # text:
-    "q286_tokenizer_fertility",
+    "q292_token_burstiness",
+    "q293_heaps_law_fit",
+    # multimodal QC:
+    "q294_channel_balance",
+    "q295_freeze_detect",
+    "q296_envelope_periodicity",
+    # similarity:
+    "q297_knn_graph_stats",
+    # dedup:
+    "q298_lsh_bucket_stats",
     # (b) canaries
     "q01_pricing_summary",  # scan-filter-agg ground
     "q31_minhash_lsh_pairs",  # MinHash machinery
-    "q164_running_totals_twin",  # streaming stateful twin (r8-stale)
-    # (c) the committed r6-graded remainder, in q-order
-    "q89_builtin_stats",
-    "q91_variant_type",
-    "q93_csv_source",
-    "q94_json_source",
-    "q95_sequence_packing",
-    "q96_regex_tokens",
-    "q98_pii_redaction",
-    "q99_normalize_text",
-    "q103_decontamination",
-    "q104_repetition_score",
-    "q105_source_mixing",
-    "q106_vocab_build",
-    "q109_word_entropy",
-    "q110_mixing_weights",
-    "q111_neardup_survivors",
-    "q112_shard_stats",
-    "q113_corpus_report",
-    "q122_event_funnel",
-    "q125_pq_topk",
-    "q127_orc_roundtrip",
-    "q142_event_anomaly",
-    "q152_bucketed_join",
-    "q156_chunk_dedup",
-    "q157_dedup_threshold_curve",
-    "q158_source_overlap_matrix",
-    "q160_split_leakage",
-    "q161_event_transitions",
-    "q162_vocab_health",
-    "q163_delta_dedup",
-    "q165_chunk_neardup",
-    "q166_ivf_balance",
-    "q167_late_supplier_blame",
-    "q168_minhash_calibration",
-    # (d) the 2 oldest r7-graded regrades
-    "q43_array_funcs",
-    "q44_json_map",
+    "q100_session_window",  # streaming session-window twin (r8-stale)
+    # (c) the first 35 of the committed r7-graded cohort, in q-order
+    "q47_regex",
+    "q50_range_join",
+    "q53_pandas_udf",
+    "q54_grouped_map",
+    "q55_grouped_agg_udaf",
+    "q56_udtf",
+    "q60_theta_join",
+    "q115_training_shuffle",
+    "q116_filter_report",
+    "q117_cross_decontamination",
+    "q118_source_caps",
+    "q119_dup_ngram_fraction",
+    "q120_length_histogram",
+    "q121_quality_quartiles",
+    "q123_embedding_norms",
+    "q124_retention_cohorts",
+    "q126_dup_spans",
+    "q128_skew_report",
+    "q129_disjunctive_join",
+    "q130_integrity_audit",
+    "q131_epoch_plan",
+    "q132_image_dhash_dedup",
+    "q133_image_neardup",
+    "q134_bpe_pair_counts",
+    "q135_ab_metrics",
+    "q136_audio_fingerprint",
+    "q137_hybrid_retrieval",
+    "q138_dedup_impact",
+    "q139_packing_efficiency",
+    "q140_zorder_layout",
+    "q141_rolling_active_users",
+    "q146_dupgraph_degrees",
+    "q149_snapshot_diff",
+    "q150_dedup_keep_best",
+    "q155_session_metrics",
 ]
 
 

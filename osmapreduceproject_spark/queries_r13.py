@@ -1,0 +1,698 @@
+"""Round-13 catalog tranche: the staged-operator declarations (q287–q298).
+
+Every entry was pre-verified a round early — its Spark body and oracle
+SQL are the same (body, SQL) pair its parity test ran green before
+declaration (tests/test_r14_oracles.py, SURVEY.md §8 staging
+discipline, sixth declaration tranche after r8/r9/r10/r11/r12; the
+whole suite additionally re-ran green under the hostile
+Australia/Eucla session zone before the declaring round opened, and
+benjamini_hochberg / video_freeze_detect carry judge-re-run gated
+scale smokes at 10M p-values / 500k frames). Split out of queries.py
+for file hygiene; the registration decorator, fixture readers, and
+cross-engine float rules (queries.py module docstring) are shared.
+
+Imported by queries.py immediately before the verdict-window rotation,
+so these entries participate in the same QUERIES dict, the same
+tests/test_oracle_parity.py sweep, and the same driver grading.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .operators.dedup import lsh_bucket_stats
+from .operators.multimodal import (
+    arith_raw_audio_am,
+    arith_raw_images,
+    arith_video_frames_frozen,
+    audio_envelope_periodicity,
+    image_channel_balance,
+    video_freeze_detect,
+)
+from .operators.similarity import knn_graph_stats
+from .operators.stats import (
+    benjamini_hochberg,
+    friedman_test,
+    hellinger_matrix,
+    mann_whitney_u,
+)
+from .operators.text import heaps_law_fit, token_burstiness
+from .operators.windows import lagged_crosscorr
+from .queries import _minhash_cte, _t, q
+
+
+@q(
+    "q287_mann_whitney_u",
+    """
+    WITH pool AS (
+      SELECT event_type = 'click' AS is_a, CAST(value AS DOUBLE) AS v
+      FROM events
+      WHERE value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))
+        AND event_type IN ('click', 'purchase')),
+    pv AS (SELECT v, COUNT(*) AS cn FROM pool GROUP BY v),
+    r2 AS (SELECT v, 2*(SUM(cn) OVER (ORDER BY v) - cn) + cn + 1 AS r2
+           FROM pv),
+    per AS (SELECT p.is_a, COUNT(*) AS n, SUM(CAST(r2.r2 AS HUGEINT)) AS s2
+            FROM pool p JOIN r2 ON r2.v = p.v GROUP BY 1),
+    ties AS (SELECT COALESCE(SUM(CAST(cn AS HUGEINT)*cn*cn - cn), 0) AS t
+             FROM pv),
+    f AS (SELECT
+            (SELECT n FROM per WHERE is_a) AS na,
+            (SELECT n FROM per WHERE NOT is_a) AS nb,
+            (SELECT s2 FROM per WHERE is_a) AS s2a,
+            (SELECT t FROM ties) AS t),
+    e AS (SELECT na, nb, na + nb AS n,
+                 (CAST(s2a - na*(na+1) AS DOUBLE)) / 2.0 AS u,
+                 na*nb / 2.0 AS mu,
+                 na*nb * ((na + nb + 1.0)
+                          - CAST(t AS DOUBLE)
+                            / ((na + nb) * (na + nb - 1.0))) / 12.0 AS var
+          FROM f)
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           round(u, 6) AS u_stat, round(mu, 6) AS mean_u,
+           round(var, 6) AS var_u,
+           CASE WHEN var > 0 THEN round((u - mu) / sqrt(var), 6) END AS z
+    FROM e
+    """,
+    "Mann–Whitney U rank-sum test (operators/stats.py mann_whitney_u, "
+    "click vs purchase value pools): the nonparametric two-sample "
+    "location test beside q249's rank-biserial — 'did purchases move "
+    "the value distribution' without a normality assumption. Doubled "
+    "midranks over the DISTINCT-value frame (the q249/q252 recipe: "
+    "ranks come from a value-level cumsum, never a row-level global "
+    "sort), the exact Σ(t³−t) tie correction in HUGEINT, and ONE "
+    "fixed-order double finalize for U, its null moments, and the "
+    "tie-corrected z — both engines replay the identical expression "
+    "over identical integers. The wave's own parity gate caught "
+    "banker's-rounding drift here live (ADVICE r12 class) — the "
+    "_round6_half_away recipe pins the 6-decimal half-up finalize. "
+    "Separated 3-vs-3 (U=0, z=−1.963961) and all-tied (NULL z, "
+    "U=n·m/2) pins unit-tested.",
+)
+def q287(spark, sf_dir):
+    return mann_whitney_u(
+        _t(spark, sf_dir, "events"), "event_type", "value", "click", "purchase"
+    )
+
+
+@q(
+    "q288_friedman_test",
+    """
+    WITH pool AS (
+      SELECT user_id AS b, event_type AS t,
+             CAST(round(CAST(value AS DOUBLE) * 1000000) AS HUGEINT) AS vq
+      FROM events
+      WHERE value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))),
+    cell AS (SELECT b, t, SUM(vq) AS s, COUNT(*) AS c FROM pool GROUP BY 1, 2),
+    kk AS (SELECT COUNT(DISTINCT t) AS k FROM cell),
+    sizes AS (SELECT b, COUNT(*) AS kt FROM cell GROUP BY b),
+    complete AS (SELECT b FROM sizes, kk WHERE kt = kk.k),
+    cc AS (SELECT cell.* FROM cell JOIN complete USING (b)),
+    cmp AS (SELECT a.b, a.t AS ta,
+              SUM(CASE WHEN bb.s * a.c < a.s * bb.c THEN 1 ELSE 0 END) AS less,
+              SUM(CASE WHEN bb.s * a.c = a.s * bb.c THEN 1 ELSE 0 END) AS eq
+            FROM cc a JOIN cc bb ON a.b = bb.b GROUP BY 1, 2),
+    ranks AS (SELECT b, ta, 2*less + eq + 1 AS r2 FROM cmp),
+    pert AS (SELECT ta, SUM(CAST(r2 AS HUGEINT)) AS rsum FROM ranks GROUP BY ta),
+    tot AS (SELECT SUM(CAST(r2 AS HUGEINT) * r2) AS rr FROM ranks),
+    nb AS (SELECT COUNT(*) AS n FROM complete),
+    nt AS (SELECT COUNT(*) AS ntot FROM sizes),
+    num AS (SELECT SUM(rsum * rsum) AS sr2 FROM pert),
+    e AS (SELECT nb.n, nt.ntot, kk.k,
+                 sr2 - CAST(nb.n AS HUGEINT) * nb.n * kk.k * (kk.k+1) * (kk.k+1)
+                   AS numv,
+                 rr - CAST(nb.n AS HUGEINT) * kk.k * (kk.k+1) * (kk.k+1) AS denv
+          FROM nb, nt, kk, num, tot)
+    SELECT CAST(n AS BIGINT) AS n_blocks,
+           CAST(ntot - n AS BIGINT) AS n_blocks_dropped,
+           CAST(k AS BIGINT) AS k_treatments,
+           CAST(greatest(k - 1, 0) AS BIGINT) AS dof,
+           CASE WHEN k >= 2 AND n >= 1 AND denv > 0 THEN
+             round((k - 1) * CAST(numv AS DOUBLE) / CAST(denv AS DOUBLE), 6)
+           END AS q_stat
+    FROM e
+    """,
+    "Friedman test (operators/stats.py friedman_test — user blocks × "
+    "event-type treatments over per-cell mean value): the "
+    "repeated-measures cousin of q252's Kruskal–Wallis, answering "
+    "'does treatment rank consistently WITHIN each user' with "
+    "between-user level differences blocked out. Within-block ranks "
+    "come from an exact integer cross-comparison of the k-row cells "
+    "(s·c cross-multiplication — NO division, so ties rank "
+    "identically in both engines), blocks missing a treatment DROP "
+    "(complete-block design, the dropped count reported), and the "
+    "tie-generalized Q = (k−1)·num/den uses exact HUGEINT moments "
+    "until ONE division. The per-block k×k compare is bounded by the "
+    "treatment-level cardinality (k ≤ distinct event types), never "
+    "event rows. Textbook perfect-ordering (Q=6), incomplete-block, "
+    "and all-tied (NULL Q) pins unit-tested.",
+)
+def q288(spark, sf_dir):
+    return friedman_test(
+        _t(spark, sf_dir, "events"), "user_id", "event_type", "value"
+    )
+
+
+@q(
+    "q289_benjamini_hochberg",
+    """
+    WITH base AS (
+      SELECT abs(CAST(value AS DOUBLE)) - floor(abs(CAST(value AS DOUBLE))) AS p
+      FROM events
+      WHERE value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))),
+    pool AS (SELECT CAST(round(p * 1000000) AS BIGINT) AS pq FROM base
+             WHERE p >= 0 AND p <= 1),
+    inv AS (SELECT COUNT(*) AS ninv FROM base WHERE p < 0 OR p > 1),
+    pv AS (SELECT pq, COUNT(*) AS cn FROM pool GROUP BY pq),
+    cum AS (SELECT pq, SUM(cn) OVER (ORDER BY pq) AS c FROM pv),
+    m AS (SELECT COALESCE(SUM(cn), 0) AS m FROM pv),
+    sel AS (SELECT MAX(CASE WHEN pq * m.m <= c * 50000 THEN pq END) AS thr,
+                   COALESCE(MAX(CASE WHEN pq * m.m <= c * 50000 THEN c END), 0)
+                     AS nrej
+            FROM cum, m)
+    SELECT CAST(m.m AS BIGINT) AS m, CAST(inv.ninv AS BIGINT) AS n_invalid,
+           CAST(0.05 AS DOUBLE) AS alpha,
+           CAST(sel.nrej AS BIGINT) AS n_rejected,
+           CAST(sel.thr AS DOUBLE) / 1000000 AS p_threshold
+    FROM m, inv, sel
+    """,
+    "Benjamini–Hochberg FDR step-up selection (operators/stats.py "
+    "benjamini_hochberg at α=0.05 over a derived p-like column — the "
+    "fractional part of |value|): the multiple-testing gate an "
+    "eval/filter pipeline runs over thousands of per-segment "
+    "p-values before acting on 'significant' ones. The textbook "
+    "procedure sorts all m p-values; this plan NEVER does — p-values "
+    "quantize to micro-units, the step-up criterion p·m ≤ rank·α "
+    "becomes an exact INTEGER comparison (pq·m ≤ c·α_q) over the "
+    "DISTINCT-value cumulative frame, and the cumsum rides the "
+    "_ranged_cumsum range-partition machinery, so the 100 TB shape "
+    "is a value-level aggregate + bounded offsets (judge-re-run 10M "
+    "p-value scale smoke, seconds). Out-of-range values are counted "
+    "(n_invalid), not fatal; hand step-up ([.01,.02,.2,.8] → 2 "
+    "rejections at threshold .02) and reject-nothing (NULL "
+    "threshold) pins unit-tested.",
+)
+def q289(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    scored = ev.select(
+        (F.abs(F.col("value")) - F.floor(F.abs(F.col("value")))).alias("p")
+    )
+    return benjamini_hochberg(scored, "p", alpha=0.05)
+
+
+@q(
+    "q290_hellinger_matrix",
+    """
+    WITH pool AS (
+      SELECT source AS g,
+             LEAST(CAST(floor((CAST(n_chars AS DOUBLE) - 0.0) / 100.0)
+                        AS INTEGER), 29) AS bk
+      FROM documents
+      WHERE n_chars IS NOT NULL AND NOT isnan(CAST(n_chars AS DOUBLE))),
+    hist AS (SELECT g, bk, COUNT(*) AS c FROM pool GROUP BY 1, 2),
+    tot AS (SELECT g, SUM(c) AS n FROM hist GROUP BY g),
+    bc AS (SELECT a.g AS ga, b.g AS gb,
+             SUM(CAST(round(sqrt(CAST(a.c * b.c AS DOUBLE)
+                                 / CAST(ta.n * tb.n AS DOUBLE)) * 1000000)
+                      AS BIGINT)) AS bcq
+           FROM hist a JOIN hist b ON a.bk = b.bk AND a.g < b.g
+           JOIN tot ta ON ta.g = a.g JOIN tot tb ON tb.g = b.g
+           GROUP BY 1, 2),
+    pairs AS (SELECT ta.g AS ga, tb.g AS gb, ta.n AS na, tb.n AS nb
+              FROM tot ta, tot tb WHERE ta.g < tb.g)
+    SELECT ga AS group_a, gb AS group_b,
+           CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           round(COALESCE(bcq, 0) / 1000000.0, 6) AS bhattacharyya,
+           round(sqrt(1.0 - LEAST(COALESCE(bcq, 0) / 1000000.0, 1.0)), 6)
+             AS hellinger
+    FROM pairs LEFT JOIN bc USING (ga, gb)
+    """,
+    "Pairwise Hellinger distance matrix (operators/stats.py "
+    "hellinger_matrix — every source pair's n_chars histogram "
+    "drift): the all-pairs generalization of q247's two-sample "
+    "drift check, the readout a corpus-mixing pipeline reads to "
+    "find which sources have diverged from which (q158's overlap "
+    "matrix for CONTENT; this is the same shape for DISTRIBUTIONS). "
+    "Scale: rows collapse to (group, bucket) histogram cells FIRST "
+    "(30 fixed buckets — one map-side-combined count), so the "
+    "'all pairs' join is over g·30 cells, never rows; Bhattacharyya "
+    "terms quantize to micro-units before the exact per-pair sum; "
+    "the pair universe comes from the group-totals frame, so "
+    "disjoint-support pairs still report (BC 0, H 1 — LEFT JOIN + "
+    "COALESCE, parity-pinned). Identical (H=0) and disjoint (H=1) "
+    "pins unit-tested.",
+)
+def q290(spark, sf_dir):
+    return hellinger_matrix(
+        _t(spark, sf_dir, "documents"), "source", "n_chars",
+        lo=0.0, width=100.0, n_buckets=30,
+    )
+
+
+_XC_STEP = 3600
+_XC_US = _XC_STEP * 1_000_000
+
+
+def _xc_rs(alias: str, etype: str) -> str:
+    """One side of the q291 oracle: resample an event-type's value
+    series to the step grid by last-observation-carried-forward (the
+    graded q78/q246 ASOF construction, replayed in DuckDB)."""
+    return f"""
+    obs_{alias} AS (SELECT user_id AS k, epoch_us(ts) AS e,
+                           CAST(value AS DOUBLE) AS v
+                    FROM events WHERE event_type = '{etype}'),
+    spans_{alias} AS (SELECT k, MIN(e) AS lo, MAX(e) AS hi
+                      FROM obs_{alias} GROUP BY k),
+    grid_{alias} AS (
+      SELECT k, unnest(range(
+        CAST(ceil(lo / {_XC_US}.0) * {_XC_US} AS BIGINT),
+        CAST(floor(hi / {_XC_US}.0) * {_XC_US} AS BIGINT) + 1,
+        {_XC_US})) AS e
+      FROM spans_{alias}),
+    rs_{alias} AS (
+      SELECT g.k, g.e // 1000000 AS slot_epoch, o.v AS value
+      FROM grid_{alias} g ASOF JOIN obs_{alias} o
+      ON g.k = o.k AND o.e <= g.e)"""
+
+
+@q(
+    "q291_lagged_crosscorr",
+    f"""
+    WITH {_xc_rs('a', 'click')},
+    {_xc_rs('b', 'purchase')},
+    j AS (SELECT a.k, a.slot_epoch, a.value AS va, b.value AS vb
+          FROM rs_a a JOIN rs_b b
+          ON a.k = b.k AND a.slot_epoch = b.slot_epoch),
+    l AS (SELECT k, slot_epoch, va, vb,
+            lead(vb, 1) OVER w AS f1, lead(vb, 2) OVER w AS f2,
+            lead(vb, 3) OVER w AS f3,
+            lag(vb, 1) OVER w AS p1, lag(vb, 2) OVER w AS p2,
+            lag(vb, 3) OVER w AS p3
+          FROM j WINDOW w AS (PARTITION BY k ORDER BY slot_epoch)),
+    st AS (SELECT k, lg.lag AS lag, va AS v,
+             CASE lg.lag WHEN -3 THEN p3 WHEN -2 THEN p2 WHEN -1 THEN p1
+                         WHEN 0 THEN vb
+                         WHEN 1 THEN f1 WHEN 2 THEN f2 ELSE f3 END AS u
+           FROM l, (SELECT unnest([-3, -2, -1, 0, 1, 2, 3]) AS lag) lg
+           WHERE va IS NOT NULL
+             AND CASE lg.lag WHEN -3 THEN p3 WHEN -2 THEN p2 WHEN -1 THEN p1
+                             WHEN 0 THEN vb
+                             WHEN 1 THEN f1 WHEN 2 THEN f2 ELSE f3 END
+                 IS NOT NULL),
+    qq AS (SELECT k, lag, CAST(round(v * 1000000) AS BIGINT) AS x,
+                  CAST(round(u * 1000000) AS BIGINT) AS y
+           FROM st),
+    s AS (SELECT k, lag, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                 SUM(CAST(x AS HUGEINT) * x) AS sxx,
+                 SUM(CAST(y AS HUGEINT) * y) AS syy,
+                 SUM(CAST(x AS HUGEINT) * y) AS sxy
+          FROM qq GROUP BY 1, 2),
+    fin AS (SELECT *,
+              n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx AS vx,
+              n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy AS vy
+            FROM s)
+    SELECT k AS user_id, CAST(lag AS INTEGER) AS lag,
+           CAST(n AS BIGINT) AS n_pairs,
+           CASE WHEN n >= 2 AND vx > 0 AND vy > 0 THEN
+             round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+                   / sqrt(vx * vy), 6)
+           END AS xcorr
+    FROM fin
+    """,
+    "Per-user lagged cross-correlation (operators/windows.py "
+    "lagged_crosscorr — the click series vs the purchase series at "
+    "lags −3..+3 hours): 'does activity in stream A LEAD activity "
+    "in stream B, and by how much' — the lead-lag readout beside "
+    "q246's single-series ACF (sign convention pinned: positive "
+    "lag = B lags A). Two LOCF resample passes (the graded q78 "
+    "machinery) join on the slot grid, ONE per-key window materializes "
+    "all 2·max_lag+1 shifted columns in a single pass (never one "
+    "window per lag), pairs with a NULL on either side DROP from "
+    "n_pairs and the moments (the ADVICE-r11 phantom-observation "
+    "class, review-pinned), and per-lag Pearson runs over "
+    "micro-quantized exact integer moments. Shifted-copy pin: B = A "
+    "delayed 2 slots → xcorr exactly 1 at lag +2.",
+)
+def q291(spark, sf_dir):
+    return lagged_crosscorr(
+        _t(spark, sf_dir, "events"), key="user_id", ts="ts",
+        value_col="value", split_col="event_type",
+        split_a="click", split_b="purchase",
+        step_seconds=_XC_STEP, max_lag=3,
+    )
+
+
+@q(
+    "q292_token_burstiness",
+    """
+    WITH pairs AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      FROM documents),
+    pc AS (SELECT doc_id, token, COUNT(*) AS c FROM pairs GROUP BY 1, 2),
+    a AS (SELECT token, COUNT(*) AS n_docs,
+                 SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS n_docs_multi,
+                 SUM(c) AS total_count
+          FROM pc GROUP BY token)
+    SELECT token, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_docs_multi AS BIGINT) AS n_docs_multi,
+           CAST(total_count AS BIGINT) AS total_count,
+           round(CAST(n_docs_multi AS DOUBLE) / n_docs, 6) AS burstiness,
+           round(CAST(total_count AS DOUBLE) / n_docs, 6) AS mean_count_per_doc
+    FROM a WHERE n_docs >= 5
+    """,
+    "Per-token burstiness report (operators/text.py token_burstiness, "
+    "min_df=5): of the documents containing a token, what fraction "
+    "repeat it — Church's 'burstiness' signal separating content "
+    "words (bursty: once a doc mentions them it mentions them again) "
+    "from function words, the lexical screen a vocab/quality "
+    "pipeline reads beside q106's vocab build and q109's entropy. "
+    "Two map-side-combined groupBys — (doc, token) counts collapse "
+    "the corpus FIRST, then the token rollup aggregates doc-level "
+    "cells; the min_df cut bounds the output to tokens a vocab would "
+    "keep; ratios are single divisions over exact integer counts. "
+    "Hand-count pin: a token twice-repeated in 2 of 5 docs → "
+    "burstiness 0.4, mean 1.4; sub-min_df tokens cut.",
+)
+def q292(spark, sf_dir):
+    return token_burstiness(_t(spark, sf_dir, "documents"), min_df=5)
+
+
+@q(
+    "q293_heaps_law_fit",
+    """
+    WITH toks AS (
+      SELECT source AS g, unnest(string_split(text, ' ')) AS t
+      FROM documents),
+    per AS (SELECT g, COUNT(*) AS n, COUNT(DISTINCT t) AS v
+            FROM toks GROUP BY g HAVING COUNT(*) > 0),
+    pts AS (SELECT CAST(round(ln(CAST(n AS DOUBLE)) * 1000000) AS HUGEINT) AS x,
+                   CAST(round(ln(CAST(v AS DOUBLE)) * 1000000) AS HUGEINT) AS y
+            FROM per),
+    mom AS (SELECT COUNT(*) AS ng, SUM(x) AS sx, SUM(y) AS sy,
+                   SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+            FROM pts),
+    e AS (SELECT ng,
+                 ng * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx AS vx,
+                 ng * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy AS vy,
+                 ng * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy AS cov,
+                 CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+          FROM mom)
+    SELECT CAST(ng AS BIGINT) AS n_groups,
+           CASE WHEN ng >= 2 AND vx > 0 THEN round(cov / vx, 6) END AS heaps_beta,
+           CASE WHEN ng >= 2 AND vx > 0 THEN
+             round((syd - cov / vx * sxd) / ng / 1000000.0, 6)
+           END AS heaps_log_c,
+           CASE WHEN ng >= 2 AND vx > 0 AND vy > 0 THEN
+             round(cov * cov / (vx * vy), 6)
+           END AS r2
+    FROM e
+    """,
+    "Heaps-law fit (operators/text.py heaps_law_fit — OLS of "
+    "ln(vocab) on ln(tokens) across per-source points): V = C·N^β "
+    "is the empirical law for how vocabulary grows with corpus "
+    "size; the fitted β tells a tokenizer/vocab pipeline whether a "
+    "source's lexical growth is normal (β ≈ 0.5) or anomalous "
+    "(boilerplate β→0, noise/encoding-damage β→1) — the "
+    "growth-curve companion to q162's static vocab health. Per-group "
+    "(N, V) from ONE token explode + groupBy (COUNT + COUNT "
+    "DISTINCT), then a 20-point OLS over micro-quantized ln-points "
+    "with exact HUGEINT moments and closed-form slope/intercept/R² — "
+    "the q244 regression recipe. Equal-size groups → zero "
+    "x-variance → NULL fit (pinned); perfect power law (all-distinct "
+    "tokens: β=1, C=1, R²=1) pinned.",
+)
+def q293(spark, sf_dir):
+    return heaps_law_fit(_t(spark, sf_dir, "documents"))
+
+
+_CB_CH = "((31*m + 7*(p*3 + {k}) + ((p*3 + {k})*(p*3 + {k})) % 251) % 256)"
+
+
+@q(
+    "q294_channel_balance",
+    f"""
+    WITH mm AS (SELECT unnest(range(64)) AS m),
+    px AS (SELECT m, unnest(range(192)) AS p FROM mm),
+    s AS (SELECT m, COUNT(*) AS n,
+                 SUM({_CB_CH.format(k=0)}) AS sr,
+                 SUM({_CB_CH.format(k=1)}) AS sg,
+                 SUM({_CB_CH.format(k=2)}) AS sb
+          FROM px GROUP BY m)
+    SELECT CAST(m AS BIGINT) AS media_id, CAST(n AS BIGINT) AS n_px,
+           floor(sr / CAST(n AS DOUBLE) * 1000000 + 0.5) / 1000000 AS mean_r,
+           floor(sg / CAST(n AS DOUBLE) * 1000000 + 0.5) / 1000000 AS mean_g,
+           floor(sb / CAST(n AS DOUBLE) * 1000000 + 0.5) / 1000000 AS mean_b,
+           floor((greatest(sr, sg, sb) - least(sr, sg, sb))
+                 / CAST(n AS DOUBLE) * 1000000 + 0.5) / 1000000 AS cast_range,
+           CASE WHEN sr >= sg AND sr >= sb THEN 'r'
+                WHEN sg >= sb THEN 'g' ELSE 'b' END AS dominant_channel
+    FROM s
+    """,
+    "Image color-cast QC (operators/multimodal.py "
+    "image_channel_balance over RAW8 RGB payloads): per-channel "
+    "means, the max−min channel-mean spread ('cast range'), and the "
+    "dominant channel — the white-balance screen a vision-ingest "
+    "pipeline reads beside q285's exposure report (exposure finds "
+    "too-dark/too-bright; this finds tinted scans, night-vision "
+    "green, sepia boilerplate). Per-channel EXACT integer sums "
+    "reduce inside the Arrow batch — payloads never shuffle, one "
+    "summary row per image leaves the map; the three means and the "
+    "spread replay the floor(x·1e6+0.5) half-up micro-unit recipe "
+    "bit-for-bit in both engines (the ADVICE-r11 rounding "
+    "convention); dominant-channel ties break r ≥ g ≥ b "
+    "(hand-pinned on a gray frame). The oracle regenerates every "
+    "pixel of the arithmetic RAW8 fixture from its closed-form byte "
+    "formula; pure-red pin: means (255,0,0), range 255, dominant r.",
+)
+def q294(spark, sf_dir):
+    imgs = arith_raw_images(spark, n=64, width=16, height=12)
+    return image_channel_balance(imgs)
+
+
+@q(
+    "q295_freeze_detect",
+    """
+    WITH vv AS (SELECT unnest(range(24)) AS m),
+    ff AS (SELECT m, unnest(range(12)) AS f FROM vv),
+    by_ AS (SELECT m, f, unnest(range(576)) AS i FROM ff),
+    cs AS (SELECT m, f,
+             SUM(((31*m + 7*i + (i*i) % 251
+                   + (CASE WHEN f >= 4 AND f < 8 THEN 4 ELSE f END)
+                     * (CASE WHEN i < 12 THEN 1 ELSE 0 END)) % 256)
+                 * (i + 1)) AS w
+           FROM by_ GROUP BY 1, 2),
+    l AS (SELECT m, f, w, lag(w) OVER (PARTITION BY m ORDER BY f) AS pw,
+                 lag(f) OVER (PARTITION BY m ORDER BY f) AS pf
+          FROM cs),
+    mk AS (SELECT m, f,
+             CASE WHEN pw IS NOT NULL THEN
+               CASE WHEN w = pw AND f - pf = 1 THEN 1 ELSE 0 END END AS st
+           FROM l),
+    sp AS (SELECT m, f FROM mk WHERE st = 1),
+    isl AS (SELECT m, f,
+              CASE WHEN lag(f) OVER w2 IS NULL OR f - lag(f) OVER w2 > 1
+                   THEN 1 ELSE 0 END AS nw
+            FROM sp WINDOW w2 AS (PARTITION BY m ORDER BY f)),
+    grp AS (SELECT m, f, SUM(nw) OVER (PARTITION BY m ORDER BY f) AS island
+            FROM isl),
+    runs AS (SELECT m, island, COUNT(*) AS rl FROM grp GROUP BY 1, 2),
+    lng AS (SELECT m, MAX(rl) AS lp FROM runs GROUP BY m),
+    base AS (SELECT m, COUNT(*) AS n_frames,
+                    COALESCE(SUM(st), 0) AS n_static
+             FROM mk GROUP BY m)
+    SELECT CAST(base.m AS BIGINT) AS media_id,
+           CAST(n_frames AS BIGINT) AS n_frames,
+           CAST(n_static AS BIGINT) AS n_static_pairs,
+           CASE WHEN n_frames >= 2 THEN
+             round(CAST(n_static AS DOUBLE) / (n_frames - 1), 6)
+           END AS freeze_frac,
+           CAST(COALESCE(lng.lp + 1, 1) AS BIGINT) AS longest_freeze_frames
+    FROM base LEFT JOIN lng ON lng.m = base.m
+    """,
+    "Video freeze detection (operators/multimodal.py "
+    "video_freeze_detect — consecutive-identical-frame pairs and the "
+    "longest freeze run per video): the 'is this clip actually "
+    "moving' QC a video-ingest pipeline runs before paying for frame "
+    "sampling and embedding (q268's motion report measures HOW MUCH "
+    "change; this finds stuck-encoder/looping spans). Each frame "
+    "reduces to a position-weighted byte checksum INSIDE the Arrow "
+    "batch — only (video, frame_idx, checksum) triplets ever "
+    "shuffle, never payloads (judge-re-run 500k-frame scale smoke); "
+    "pair rule and island splitter both require frame_idx delta = 1, "
+    "so sampled/gapped videos never report phantom freezes "
+    "(review-pinned); the islands-then-runs longest-streak "
+    "machinery is the q141 gaps-and-islands shape. Planted "
+    "4-frame freeze → 3 static pairs, longest run 4 (parity + "
+    "unit-pinned); freeze-free and single-frame (NULL freeze_frac) "
+    "pins unit-tested.",
+)
+def q295(spark, sf_dir):
+    frames = arith_video_frames_frozen(
+        spark, n_videos=24, n_frames=12, freeze_from=4, freeze_len=4
+    )
+    return video_freeze_detect(frames)
+
+
+_AEP_LAG_COLS = ", ".join(f"lag(amp, {k}) OVER w AS u{k}" for k in range(1, 9))
+_AEP_LAG_CASE = " ".join(f"WHEN {k} THEN u{k}" for k in range(1, 9))
+
+
+@q(
+    "q296_envelope_periodicity",
+    f"""
+    WITH t AS (SELECT unnest(range(32)) AS m),
+    s AS (SELECT m, unnest(range(2048)) AS i FROM t),
+    v AS (SELECT m, i,
+            CASE WHEN (i // 64) % 4 < 2 THEN 127 + (17*m + i) % 3
+                 ELSE (17*m + 11*i + (i*i) % 89) % 256 END AS val
+          FROM s),
+    env AS (SELECT m, i // 64 AS fr, SUM(abs(val - 128)) AS amp
+            FROM v GROUP BY 1, 2),
+    l AS (SELECT m, fr, amp, {_AEP_LAG_COLS}
+          FROM env WINDOW w AS (PARTITION BY m ORDER BY fr)),
+    st AS (SELECT m, lg.lag AS lag, amp AS x,
+                  CASE lg.lag {_AEP_LAG_CASE} END AS y
+           FROM l, (SELECT unnest(range(1, 9)) AS lag) lg
+           WHERE CASE lg.lag {_AEP_LAG_CASE} END IS NOT NULL),
+    mo AS (SELECT m, lag, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                  SUM(CAST(x AS HUGEINT) * x) AS sxx,
+                  SUM(CAST(y AS HUGEINT) * y) AS syy,
+                  SUM(CAST(x AS HUGEINT) * y) AS sxy
+           FROM st GROUP BY 1, 2),
+    fin AS (SELECT *,
+              n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx AS vx,
+              n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy AS vy
+            FROM mo),
+    acf AS (SELECT m, lag,
+              CASE WHEN n >= 2 AND vx > 0 AND vy > 0 THEN
+                round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+                      / sqrt(vx * vy), 6)
+              END AS a
+            FROM fin),
+    best AS (SELECT m, lag, a,
+               ROW_NUMBER() OVER (PARTITION BY m ORDER BY a DESC, lag ASC) AS rn
+             FROM acf WHERE a IS NOT NULL),
+    nf AS (SELECT m, COUNT(*) AS n_frames FROM env GROUP BY m)
+    SELECT CAST(nf.m AS BIGINT) AS media_id,
+           CAST(n_frames AS BIGINT) AS n_frames,
+           CAST(b.lag AS INTEGER) AS best_lag, b.a AS best_acf
+    FROM nf LEFT JOIN (SELECT m, lag, a FROM best WHERE rn = 1) b
+    ON b.m = nf.m
+    """,
+    "Audio envelope periodicity (operators/multimodal.py "
+    "audio_envelope_periodicity — per-clip best-ACF lag over the "
+    "64-sample amplitude envelope, lags 1..8): finds rhythmic "
+    "amplitude modulation (alarm loops, hold-music beds, metronomic "
+    "noise) that q242's silence detector and q284's SNR both miss — "
+    "the 'is this a loop' screen before paying for transcription. "
+    "Samples reduce to per-frame amplitude mass INSIDE the Arrow "
+    "batch (payloads never shuffle — the envelope, at 1/64th the "
+    "rows, is all that leaves the map); ONE per-clip window "
+    "materializes all 8 lagged envelope columns; per-lag Pearson "
+    "ACF runs the exact integer-moment recipe; the best lag is a "
+    "bounded top-1 rank with ties to the SHORTEST lag (both "
+    "engines). Planted 4-frame AM cycle pins: best lag ≡ 0 (mod 4) "
+    "with the lag-8 harmonic in range, exactly 4 when max_lag=5; "
+    "constant-envelope silence → NULL best_lag (no usable lag).",
+)
+def q296(spark, sf_dir):
+    clips = arith_raw_audio_am(spark, n=32, n_samples=2048)
+    return audio_envelope_periodicity(clips, frame=64, max_lag=8)
+
+
+_KG_DOT = (
+    "list_reduce(list_concat([CAST(0.0 AS DOUBLE)], "
+    "list_transform(range(1, 65), i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), "
+    "(x, y) -> x + y)"
+)
+_KG_D = _KG_DOT.format(a="q.embedding", b="c.embedding")
+_KG_NQ = _KG_DOT.format(a="q.embedding", b="q.embedding")
+_KG_NC = _KG_DOT.format(a="c.embedding", b="c.embedding")
+
+
+@q(
+    "q297_knn_graph_stats",
+    f"""
+    WITH scored AS (
+      SELECT q.vec_id AS qid, c.vec_id AS nid,
+             round({_KG_D} / (sqrt({_KG_NQ}) * sqrt({_KG_NC})), 6) AS sim
+      FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                   ORDER BY sim DESC, nid ASC) AS rn
+      FROM scored),
+    e AS (SELECT qid, nid, CAST(round(sim * 1000000) AS BIGINT) AS sq
+          FROM ranked WHERE rn <= 5),
+    recip AS (SELECT COUNT(*) AS r FROM e a
+              WHERE EXISTS (SELECT 1 FROM e b
+                            WHERE b.qid = a.nid AND b.nid = a.qid)),
+    indeg AS (SELECT nid, COUNT(*) AS d FROM e GROUP BY nid),
+    nn AS (SELECT COUNT(DISTINCT vec_id) AS n_nodes FROM embeddings),
+    ea AS (SELECT COUNT(*) AS n_edges, SUM(sq) AS ssim FROM e),
+    ind AS (SELECT COALESCE(MAX(d), 0) AS mx, COUNT(*) AS cited FROM indeg)
+    SELECT nn.n_nodes, CAST(5 AS INTEGER) AS k,
+           CAST(ea.n_edges AS BIGINT) AS n_edges,
+           CAST(recip.r AS BIGINT) AS n_reciprocal,
+           CASE WHEN ea.n_edges > 0 THEN
+             round(CAST(recip.r AS DOUBLE) / ea.n_edges, 6) END AS reciprocity,
+           CAST(ind.mx AS BIGINT) AS max_in_degree,
+           CAST(nn.n_nodes - ind.cited AS BIGINT) AS n_isolated,
+           CASE WHEN ea.n_edges > 0 THEN
+             round(CAST(ssim AS DOUBLE) / ea.n_edges / 1000000, 6)
+           END AS mean_sim
+    FROM nn, ea, recip, ind
+    """,
+    "kNN-graph health report (operators/similarity.py knn_graph_stats "
+    "at k=5 over the 64-d embeddings): reciprocity (mutual-neighbor "
+    "fraction — LOW means hubness is eating the graph), max "
+    "in-degree (hub severity), isolated-node count (vectors nobody "
+    "cites), and mean edge similarity — the diagnostics an "
+    "ANN-index/embedding-QA pipeline reads before trusting retrieval "
+    "(q166 checks the IVF index's balance; this checks the GEOMETRY "
+    "the index serves). The edge list is the exact brute top-k (the "
+    "graded q34 machinery — per-query rank, ties to smaller "
+    "neighbor id); reciprocity is a self-join on the k·n edge frame "
+    "(never n²); similarity quantizes to micro-units before the "
+    "exact mean. Two-tight-clusters pin: every edge reciprocal, "
+    "max in-degree = k, nobody isolated. Mutual edges come in pairs "
+    "(parity-asserted: n_reciprocal is even).",
+)
+def q297(spark, sf_dir):
+    return knn_graph_stats(_t(spark, sf_dir, "embeddings"), k=5)
+
+
+@q(
+    "q298_lsh_bucket_stats",
+    f"""
+    WITH {_minhash_cte(16, 4)},
+    bsizes AS (SELECT band, bh, COUNT(*) AS c FROM buckets GROUP BY 1, 2),
+    a AS (SELECT band, SUM(c) AS n_docs, COUNT(*) AS n_buckets,
+                 MAX(c) AS mx,
+                 SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS singles,
+                 SUM(CAST(c AS HUGEINT) * (c - 1)) AS p2
+          FROM bsizes GROUP BY band)
+    SELECT CAST(band AS INTEGER) AS band, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_buckets AS BIGINT) AS n_buckets,
+           CAST(mx AS BIGINT) AS max_bucket_size,
+           round(CAST(singles AS DOUBLE) / n_buckets, 6) AS singleton_frac,
+           round(CAST(n_docs AS DOUBLE) / n_buckets, 6) AS mean_bucket_size,
+           CAST(p2 / 2 AS BIGINT) AS candidate_pairs
+    FROM a
+    """,
+    "LSH band-bucket occupancy report (operators/dedup.py "
+    "lsh_bucket_stats over the exact q31 signature machinery, 16 "
+    "hashes × 4 bands): per-band bucket count, max bucket size, "
+    "singleton fraction, and the candidate-pair mass Σ C(c,2) — the "
+    "capacity-planning readout for the MinHash join itself (q168 "
+    "calibrates RECALL at a threshold; this predicts COST: a "
+    "skewed band whose candidate_pairs explodes is the scale "
+    "bottleneck to fix with more bands or bucket caps BEFORE the "
+    "pair join runs at 100 TB). One groupBy over the (band, "
+    "bucket-hash) frame the LSH join already materializes — "
+    "signatures shuffle, never texts; pair mass in exact HUGEINT. "
+    "Planted-dup pin: 4 identical docs in one band → a 4-bucket "
+    "with 6 candidate pairs; per-band doc mass conserves the "
+    "corpus (parity-pinned).",
+)
+def q298(spark, sf_dir):
+    return lsh_bucket_stats(_t(spark, sf_dir, "documents"), num_hashes=16, bands=4)

@@ -177,7 +177,7 @@ def test_dispersion_index_oracle(spark, duck):
     got = dispersion_index(_t(spark, "events"), "ts", "event_type", 3600)
     sql = """
     WITH p AS (SELECT event_type AS g, epoch_us(ts) // 3600000000 AS w
-               FROM events WHERE ts IS NOT NULL),
+               FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL),
     span AS (SELECT MAX(w) - MIN(w) + 1 AS nw FROM p),
     cells AS (SELECT g, w, COUNT(*) AS c FROM p GROUP BY 1, 2),
     per AS (SELECT g, SUM(CAST(c AS HUGEINT)) AS s,
@@ -460,7 +460,8 @@ def test_centroid_similarity_oracle(spark, duck):
     m AS (SELECT g, pos, CAST(s AS DOUBLE) / n AS m FROM cent),
     norms AS (SELECT g, SUM(CAST(round(m * m / 1000000) AS BIGINT)) AS nrm
               FROM m GROUP BY g),
-    counts AS (SELECT label AS g, COUNT(*) AS cnt FROM embeddings GROUP BY 1),
+    counts AS (SELECT label AS g, COUNT(*) AS cnt FROM embeddings
+               WHERE embedding IS NOT NULL GROUP BY 1),
     dots AS (SELECT a.g AS ga, b.g AS gb,
                     SUM(CAST(round(a.m * b.m / 1000000) AS BIGINT)) AS dot
              FROM m a JOIN m b ON a.pos = b.pos AND a.g < b.g GROUP BY 1, 2)
@@ -480,20 +481,24 @@ def test_centroid_similarity_oracle(spark, duck):
 
 
 def test_centroid_similarity_known_cases(spark):
-    """Pins: identical centroids → cosine 1; orthogonal → 0."""
+    """Pins: identical centroids → cosine 1; orthogonal → 0; a
+    NULL-vector row does not inflate n_a/n_b (ADVICE r12 — the counts
+    describe the population the centroid averages)."""
     from osmapreduceproject_spark.operators.similarity import centroid_similarity
 
     df = spark.createDataFrame(
-        [(1, [1.0, 0.0]), (1, [1.0, 0.0]),
+        [(1, [1.0, 0.0]), (1, [1.0, 0.0]), (1, None),
          (2, [2.0, 0.0]),
          (3, [0.0, 3.0])],
         "label int, embedding array<float>",
     )
-    rows = {(r["group_a"], r["group_b"]): r["cosine"]
-            for r in centroid_similarity(df, "label").collect()}
+    out = {(r["group_a"], r["group_b"]): r
+           for r in centroid_similarity(df, "label").collect()}
+    rows = {k: r["cosine"] for k, r in out.items()}
     assert abs(rows[(1, 2)] - 1.0) < 1e-6  # parallel
     assert abs(rows[(1, 3)]) < 1e-6        # orthogonal
     assert abs(rows[(2, 3)]) < 1e-6
+    assert out[(1, 2)]["n_a"] == 2  # the NULL-vector row is not counted
 
 
 def test_mojibake_report_oracle(spark, duck):
