@@ -78,8 +78,38 @@ def curate_corpus(
 def curation_report(stages: list[tuple[str, DataFrame]]) -> list[tuple[str, int]]:
     """Force a (stage, surviving_docs) count per stage — the funnel a
     curation run publishes. Each count is one job; run on the cluster
-    that runs the pipeline, never collect the data itself."""
-    return [(name, df.count()) for name, df in stages]
+    that runs the pipeline, never collect the data itself.
+
+    The expensive shared prefixes are persisted ACROSS the counts
+    (VERDICT r12): without the cache, the ``near_dedup`` count runs
+    MinHash + connected components once and the ``source_cap`` count
+    re-runs the entire clustering subtree a second time (at 100 TB
+    that is ~2× the clustering work for one report). Counting in stage
+    order materializes ``exact_dedup`` before the near-dup stages read
+    it and ``near_dedup`` before ``source_cap`` reads it — Spark's
+    cache manager matches the persisted logical plans inside the later
+    stages' trees, so the clustering subtree evaluates exactly once.
+    Caches are released after the report; the stage frames stay valid
+    (they degrade to recompute, never to stale data).
+    """
+    from .plans.inspect import (
+        intermediates_mark,
+        release_intermediates_since,
+        tracked_persist,
+    )
+
+    persist_stages = {"exact_dedup", "near_dedup"}
+    mark = intermediates_mark()
+    try:
+        return [
+            (
+                name,
+                (tracked_persist(df) if name in persist_stages else df).count(),
+            )
+            for name, df in stages
+        ]
+    finally:
+        release_intermediates_since(mark)
 
 
 def decontaminate(

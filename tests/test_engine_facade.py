@@ -59,6 +59,29 @@ def test_curate_pipeline_stages_monotone(spark):
     assert set(stages[-1][1].columns) == set(docs.columns)
 
 
+def test_curation_report_releases_its_caches(spark):
+    """VERDICT r12 #4: curation_report persists the exact_dedup /
+    near_dedup stage frames across the six counts (so the clustering
+    subtree evaluates once) and RELEASES them afterwards — the stage
+    frames stay usable (degrade to recompute) and the intermediate
+    registry returns to its pre-call depth."""
+    from osmapreduceproject_spark.pipelines import curate_corpus, curation_report
+    from osmapreduceproject_spark.plans.inspect import (
+        intermediates_mark,
+        release_intermediates,
+    )
+    from tests.conftest import SF_SMOKE
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    stages = curate_corpus(docs, min_tokens=1, max_tokens=100000, cap=40)
+    mark = intermediates_mark()  # after the pipeline's own build caches
+    report = curation_report(stages)
+    assert intermediates_mark() == mark, "report leaked stage caches"
+    # the stage frames survive the release — same counts on recompute
+    assert stages[-1][1].count() == dict(report)["source_cap"]
+    release_intermediates()
+
+
 def test_curate_cli_end_to_end(tmp_path):
     """`python -m osmapreduceproject_spark curate` over the fixture:
     writes curated parquet and prints a JSON funnel report. Subprocess on
