@@ -1171,3 +1171,100 @@ def cohort_ltv(
             F.col("__cum").cast("double") / 1_000_000 / F.col("cohort_size"), 6
         ).alias("ltv_per_user"),
     )
+
+
+def concurrency_profile(
+    df: DataFrame,
+    key: str,
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Time-weighted concurrency profile per key — the Little's-law
+    readout beside :func:`max_concurrency`'s peak: total busy mass
+    Σ(end−start), covered (union) time, observation span, the
+    time-AVERAGED concurrency busy/span (= arrival rate × mean
+    duration — the L = λW identity a capacity plan checks), the duty
+    cycle covered/span, and the mean concurrency while active
+    busy/covered. Peak says "provision for this"; the averages say
+    "how far from peak you usually run".
+
+    ONE endpoint sweep serves every statistic: ±1 endpoints (half-open
+    [s, e) — the max_concurrency ordering, −1 before +1 at equal
+    timestamps), one per-key (t, delta)-ordered window yields both the
+    running count and the gap to the next endpoint, covered time sums
+    the gaps where the running count is positive, and busy mass is
+    Σ(−delta·t) — the endpoint identity Σe − Σs, so the interval frame
+    is never re-scanned. Tie groups are order-free for every output:
+    zero-width gaps contribute nothing, and the group-final running
+    sum is order-independent (the max_concurrency argument). Empty
+    intervals (end ≤ start) drop; all times integer epoch µs
+    (session-timezone-immune). Returns
+    (key, n_intervals, span_us, busy_us, covered_us, peak_concurrent,
+    mean_concurrency, utilization, mean_active_concurrency),
+    6-decimal ratios.
+    """
+    from pyspark.sql import Window
+
+    iv = df.where(F.col(end_col) > F.col(start_col))
+    s = iv.select(
+        F.col(key).alias("__k"),
+        F.unix_micros(F.col(start_col)).alias("__t"),
+        F.lit(1).alias("__d"),
+    )
+    e = iv.select(
+        F.col(key).alias("__k"),
+        F.unix_micros(F.col(end_col)).alias("__t"),
+        F.lit(-1).alias("__d"),
+    )
+    pts = s.unionAll(e)
+    ordering = [F.col("__t").asc(), F.col("__d").asc()]
+    w = (
+        Window.partitionBy("__k")
+        .orderBy(*ordering)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wl = Window.partitionBy("__k").orderBy(*ordering)
+    run = pts.select(
+        "__k",
+        "__t",
+        "__d",
+        F.sum("__d").over(w).alias("__run"),
+        F.lead("__t").over(wl).alias("__nt"),
+    )
+    agg = run.groupBy(F.col("__k").alias(key)).agg(
+        F.sum((F.col("__d") == 1).cast("bigint")).alias("n_intervals"),
+        (F.max("__t") - F.min("__t")).cast("bigint").alias("span_us"),
+        # ±epoch_µs terms are ~1.7e15 each: a bigint partial sum wraps
+        # past ~5k endpoints per key — DECIMAL(38,0) accumulation (the
+        # soft_dedup/cohort_ltv micro-unit-mass convention); the
+        # telescoped Σ(e−s) result always fits bigint
+        F.sum((-F.col("__d") * F.col("__t")).cast("decimal(38,0)"))
+        .cast("bigint")
+        .alias("busy_us"),
+        F.coalesce(
+            F.sum(
+                F.when(F.col("__run") > 0, F.col("__nt") - F.col("__t"))
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("covered_us"),
+        F.max("__run").cast("bigint").alias("peak_concurrent"),
+    )
+    return agg.select(
+        key,
+        "n_intervals",
+        "span_us",
+        "busy_us",
+        "covered_us",
+        "peak_concurrent",
+        F.round(F.col("busy_us").cast("double") / F.col("span_us"), 6).alias(
+            "mean_concurrency"
+        ),
+        F.round(F.col("covered_us").cast("double") / F.col("span_us"), 6).alias(
+            "utilization"
+        ),
+        F.round(F.col("busy_us").cast("double") / F.col("covered_us"), 6).alias(
+            "mean_active_concurrency"
+        ),
+    )

@@ -2179,3 +2179,285 @@ def audio_dynamic_range(df: DataFrame) -> DataFrame:
         "media_id long, n_samples bigint, peak bigint, rms double, "
         "crest_db double",
     )
+
+
+def image_colorfulness(df: DataFrame) -> DataFrame:
+    """Hasler–Süsstrunk colorfulness metric per RAW8 RGB image:
+    M = √(σ²_rg + σ²_yb) + 0.3·√(μ²_rg + μ²_yb) over the opponent
+    channels rg = R−G and yb = (R+G)/2 − B — the "is this basically
+    grayscale / a flat graphic" screen a vision-ingest pipeline reads
+    beside :func:`image_exposure_report` (exposure) and
+    :func:`image_channel_balance` (tint): screenshots, scanned text,
+    and synthetic charts score near zero; natural photos score high.
+
+    Exactness: opponent values stay INTEGER inside the Arrow batch —
+    rg and the doubled yb2 = R+G−2B accumulate exact int64 moments
+    (Σx, Σx²), payloads never shuffle, one summary row per image
+    leaves the map. The finalize mirrors the oracle operand-for-
+    operand: population variance (Σx² − (Σx)²/n)/n with the prefix
+    square taken in DOUBLE (the blur-score squaring-domain convention,
+    ADVICE r12), the yb moments rescaled by /2 and /4 AFTER the
+    integer math, 6-decimal half-away rounding. Returns
+    (media_id, n_px, mean_rg, mean_yb, std_rg, std_yb, colorfulness).
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Self-contained closure: no module-global references.
+        import math
+
+        import numpy as np
+        import pandas as pd
+
+        def rnd6(x):
+            return math.copysign(math.floor(abs(x) * 1e6 + 0.5), x) / 1e6
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            for m, p, w, h in zip(
+                pdf["media_id"], pdf["payload"], pdf["width"], pdf["height"]
+            ):
+                buf = np.frombuffer(bytes(p), dtype=np.uint8)
+                w, h = int(w), int(h)
+                if buf.size != w * h * 3:
+                    raise ValueError(
+                        f"payload length {buf.size} is not a {h}x{w}x3 RAW8 RGB frame"
+                    )
+                px = buf.reshape(-1, 3).astype(np.int64)
+                rg = px[:, 0] - px[:, 1]
+                yb2 = px[:, 0] + px[:, 1] - 2 * px[:, 2]
+                n = rg.size
+                sr, srr = int(rg.sum()), int((rg * rg).sum())
+                sy, syy = int(yb2.sum()), int((yb2 * yb2).sum())
+                vr = (srr - float(sr) * float(sr) / n) / n
+                vy = ((syy - float(sy) * float(sy) / n) / n) / 4.0
+                mr = sr / n
+                my = (sy / n) / 2.0
+                colorful = math.sqrt(vr + vy) + 0.3 * math.sqrt(mr * mr + my * my)
+                rows.append((
+                    int(m), n, rnd6(mr), rnd6(my),
+                    rnd6(math.sqrt(vr)), rnd6(math.sqrt(vy)), rnd6(colorful),
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "n_px", "mean_rg", "mean_yb",
+                    "std_rg", "std_yb", "colorfulness",
+                ],
+            )
+
+    flat = df.select(
+        "media_id",
+        "payload",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+    )
+    return flat.mapInPandas(
+        run,
+        "media_id long, n_px bigint, mean_rg double, mean_yb double, "
+        "std_rg double, std_yb double, colorfulness double",
+    )
+
+
+def audio_zero_crossing(df: DataFrame) -> DataFrame:
+    """Zero-crossing rate per 8-bit-PCM clip — the classic cheap
+    voiced/unvoiced and tone-vs-noise discriminator (speech vowels
+    cross rarely, fricatives and white noise constantly, pure DC
+    never): the spectral-free screen beside :func:`audio_snr_report`
+    (level) and :func:`audio_envelope_periodicity` (rhythm) that a
+    transcription pipeline reads to route clips before paying for a
+    model.
+
+    A sample is non-negative iff byte ≥ 128 (the 8-bit-PCM midpoint);
+    a crossing is a sign change between CONSECUTIVE samples, counted
+    as an exact integer INSIDE the Arrow batch (payloads never
+    shuffle; one row per clip leaves the map). zcr = crossings/(n−1)
+    is one division, 6-decimal half-away; a single-sample (or empty)
+    clip has no pairs → NULL zcr. Returns
+    (media_id, n_samples, n_crossings, zcr).
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Self-contained closure: no module-global references.
+        import math
+
+        import numpy as np
+        import pandas as pd
+
+        def rnd6(x):
+            return math.copysign(math.floor(abs(x) * 1e6 + 0.5), x) / 1e6
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            for m, p in zip(pdf["media_id"], pdf["payload"]):
+                buf = np.frombuffer(bytes(p), dtype=np.uint8)
+                n = buf.size
+                if n < 2:
+                    rows.append((int(m), n, 0, None))
+                    continue
+                nonneg = buf >= 128
+                cross = int((nonneg[1:] != nonneg[:-1]).sum())
+                rows.append((int(m), n, cross, rnd6(cross / (n - 1))))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "n_samples", "n_crossings", "zcr"]
+            )
+
+    return df.select("media_id", "payload").mapInPandas(
+        run, "media_id long, n_samples bigint, n_crossings bigint, zcr double"
+    )
+
+
+def arith_video_frames_looped(
+    spark,
+    n_videos: int = 24,
+    n_frames: int = 12,
+    period: int = 4,
+    width: int = 16,
+    height: int = 12,
+    delta_bytes: int = 12,
+) -> DataFrame:
+    """:func:`arith_video_frames` variant whose content CYCLES with a
+    planted period: frame f carries motion index ``f mod period``, so
+    frames exactly ``period`` apart are byte-identical while adjacent
+    frames differ (period ≥ 2) — a stuck playlist / looping screen
+    recording. ``period`` ≥ ``n_frames`` yields a loop-free clip;
+    ``period = 1`` degenerates to an all-frozen clip (every frame
+    identical — the freeze-detect fixture's limit case). Every byte is
+    regenerable by integer SQL — the fixture that gives
+    :func:`video_loop_detect` a full cross-engine value oracle.
+    Schema: (media_id, kind, frame_idx, payload, meta).
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Self-contained closure: no module-global references.
+        import numpy as np
+        import pandas as pd
+
+        idx = np.arange(width * height * 3, dtype=np.int64)
+        motion = (idx < delta_bytes).astype(np.int64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vids, fids, payloads = [], [], []
+            for i in pdf["id"]:
+                vid, f = divmod(int(i), n_frames)
+                eff = f % period
+                v = (31 * vid + 7 * idx + (idx * idx) % 251 + eff * motion) % 256
+                vids.append(vid)
+                fids.append(f)
+                payloads.append(v.astype(np.uint8).tobytes())
+            yield pd.DataFrame(
+                {"media_id": vids, "frame_idx": fids, "payload": payloads}
+            )
+
+    raw = spark.range(n_videos * n_frames).mapInPandas(
+        gen, "media_id long, frame_idx int, payload binary"
+    )
+    return raw.select(
+        "media_id",
+        F.lit("video").alias("kind"),
+        "frame_idx",
+        "payload",
+        F.struct(
+            F.lit(width).alias("width"),
+            F.lit(height).alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(n_frames).alias("n_frames"),
+        ).alias("meta"),
+    )
+
+
+def video_loop_detect(frames: DataFrame) -> DataFrame:
+    """Per-video LOOP detection: byte-identical frames at ANY distance —
+    the repeated-content screen that :func:`video_freeze_detect`
+    (identical CONSECUTIVE frames only) deliberately misses: a looping
+    screen recording or stuck playlist repeats frames at its period,
+    never adjacently. Reports the distinct-frame count, the repeated-
+    pair count, and the minimum and DOMINANT repeat gaps — a clip
+    whose dominant gap g covers most frames is a loop of period g; a
+    dominant gap of 1 is a freeze (agreeing with freeze detect).
+
+    Shape: the freeze-detect checksum recipe — each frame reduces to a
+    position-weighted byte checksum Σ byte_i·(i+1) INSIDE the Arrow
+    batch, so only (video, frame_idx, checksum) triplets shuffle.
+    Repeats are consecutive occurrences of the same checksum in
+    frame order: ONE per-(video, checksum) lag window yields the gap
+    list, and the dominant gap is a bounded count-rank with ties to
+    the SMALLEST gap (both engines). Distinct frames collide only on
+    an adversarial checksum collision (documented — the freeze-detect
+    caveat). Returns (media_id, n_frames, n_distinct_frames,
+    n_repeat_pairs, min_repeat_gap, dominant_gap, dominant_gap_n);
+    loop-free clips report zero pairs and NULL gaps.
+    """
+    from pyspark.sql import Window
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Self-contained closure: no module-global references.
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            for m, fi, p in zip(
+                pdf["media_id"], pdf["frame_idx"], pdf["payload"]
+            ):
+                buf = np.frombuffer(bytes(p), dtype=np.uint8).astype(np.int64)
+                w = int((buf * (np.arange(buf.size, dtype=np.int64) + 1)).sum())
+                rows.append((int(m), int(fi), w))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_idx", "cksum"]
+            )
+
+    sums = frames.select("media_id", "frame_idx", "payload").mapInPandas(
+        run, "media_id long, frame_idx int, cksum long"
+    )
+    wg = Window.partitionBy("media_id", "cksum").orderBy(
+        F.col("frame_idx").asc()
+    )
+    gaps = sums.select(
+        "media_id",
+        (F.col("frame_idx") - F.lag("frame_idx").over(wg)).alias("__gap"),
+    ).where(F.col("__gap").isNotNull())
+    per_gap = gaps.groupBy("media_id", "__gap").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__c")
+    )
+    wr = Window.partitionBy("media_id").orderBy(
+        F.col("__c").desc(), F.col("__gap").asc()
+    )
+    dom = (
+        per_gap.withColumn("__rn", F.row_number().over(wr))
+        .where(F.col("__rn") == 1)
+        .select(
+            "media_id",
+            F.col("__gap").alias("dominant_gap"),
+            F.col("__c").alias("dominant_gap_n"),
+        )
+    )
+    rep = per_gap.groupBy("media_id").agg(
+        F.sum("__c").cast("bigint").alias("n_repeat_pairs"),
+        F.min("__gap").cast("int").alias("min_repeat_gap"),
+    )
+    base = sums.groupBy("media_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_frames"),
+        F.countDistinct("cksum").cast("bigint").alias("n_distinct_frames"),
+    )
+    return (
+        base.join(rep, "media_id", "left")
+        .join(dom, "media_id", "left")
+        .select(
+            "media_id",
+            "n_frames",
+            "n_distinct_frames",
+            F.coalesce(F.col("n_repeat_pairs"), F.lit(0)).cast("bigint").alias(
+                "n_repeat_pairs"
+            ),
+            "min_repeat_gap",
+            F.col("dominant_gap").cast("int").alias("dominant_gap"),
+            "dominant_gap_n",
+        )
+    )

@@ -1156,3 +1156,77 @@ def embedding_exact_dedup(
             "n_redundant"
         ),
     )
+
+
+def dim_truncation_report(
+    corpus: DataFrame,
+    k: int = 5,
+    trunc_dim: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Retrieval quality under dimension truncation: recall@k of the
+    FIRST-``trunc_dim``-coordinates neighbor ranking against the
+    full-dimension ranking — the Matryoshka/MRL question ("can we
+    serve search on half the vector and halve the index RAM?") an
+    embedding-serving pipeline answers empirically before committing
+    to a truncated index, and the drift screen for embeddings that
+    were TRAINED matryoshka (their truncated recall should be near 1;
+    a low number means the prefix dims don't carry the geometry).
+
+    Both edge lists come from the exact :func:`cosine_topk` baseline
+    (the documented brute shape — broadcast queries, per-query bounded
+    rank, rounded-sim + id tiebreak on both engines); the truncated
+    side scores on ``slice(vec, 1, trunc_dim)``. Overlap is ONE
+    equi-join of the two n·k edge frames on (query, neighbor) — never
+    n². Per-query recall (overlap/k — an exact rational) micro-
+    quantizes half-up before the exact mean; queries whose truncated
+    list reproduces the full list exactly count toward
+    frac_full_recall. One row: (n_queries, k, trunc_dim, mean_recall,
+    frac_full_recall).
+    """
+    if trunc_dim < 1:
+        raise ValueError(f"dim_truncation_report: trunc_dim must be ≥ 1, got {trunc_dim}")
+    full = cosine_topk(corpus, corpus, k, id_col=id_col, vec_col=vec_col).select(
+        F.col("query_id").alias("__q"), F.col("neighbor_id").alias("__n")
+    )
+    tcorp = corpus.select(
+        F.col(id_col), F.slice(F.col(vec_col), 1, trunc_dim).alias(vec_col)
+    )
+    trunc = cosine_topk(tcorp, tcorp, k, id_col=id_col, vec_col=vec_col).select(
+        F.col("query_id").alias("__q"), F.col("neighbor_id").alias("__n")
+    )
+    hits = full.join(trunc, ["__q", "__n"], "left_semi")
+    per_q = full.select("__q").distinct().join(
+        hits.groupBy("__q").agg(F.count(F.lit(1)).cast("bigint").alias("__h")),
+        "__q",
+        "left",
+    ).select(
+        "__q", F.coalesce(F.col("__h"), F.lit(0)).alias("__h")
+    )
+    scored = per_q.select(
+        F.round(F.col("__h").cast("double") / k * 1_000_000)
+        .cast("bigint")
+        .alias("__qr"),
+        (F.col("__h") == k).cast("bigint").alias("__full"),
+    )
+    agg = scored.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+        F.sum("__qr").alias("__sr"),
+        F.sum("__full").alias("__nf"),
+    )
+    return agg.select(
+        "n_queries",
+        F.lit(int(k)).alias("k"),
+        F.lit(int(trunc_dim)).alias("trunc_dim"),
+        F.when(
+            F.col("n_queries") > 0,
+            F.round(
+                F.col("__sr").cast("double") / F.col("n_queries") / 1_000_000, 6
+            ),
+        ).alias("mean_recall"),
+        F.when(
+            F.col("n_queries") > 0,
+            F.round(F.col("__nf").cast("double") / F.col("n_queries"), 6),
+        ).alias("frac_full_recall"),
+    )

@@ -3248,3 +3248,339 @@ def bootstrap_diff_ci(
         "n_a bigint, n_b bigint, mean_a double, mean_b double, diff double, "
         "ci_lo double, ci_hi double, n_resamples int",
     )
+
+
+def mood_median_test(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Mood's median test — a 2×k chi-squared on above-the-grand-median
+    counts per group: the coarsest, most outlier-proof k-sample
+    location test (Kruskal–Wallis reads all ranks; this reads ONE bit
+    per row), the screen to run when heavy tails or sentinel values
+    make even rank statistics suspect.
+
+    The grand median is the exact discrete percentile (the
+    :func:`exact_percentile` machinery — bounded histogram + batched
+    rank scan, never a global sort), dichotomization "v > median" is
+    ONE conditional-count pass producing exact integer cells, and the
+    2×k χ² finalizes per group as D²/(n·n_g·A) with the inner
+    difference D = a_g·n − n_g·A exact in bigint and the square taken
+    in DOUBLE on both engines (the image-blur squaring-domain
+    convention, ADVICE r12); per-group terms micro-quantize half-up
+    before the exact order-free sum. NULL/NaN values and NULL groups
+    are excluded (a NULL is not a sample — the family convention).
+    Returns one row: (n, k_groups, grand_median, n_above, chi2, dof);
+    a degenerate split (every row on one side, e.g. >50% of mass AT
+    the median) or k < 2 reports NULL chi2.
+    """
+    g = F.col(group_col)
+    v = F.col(value_col).cast("double")
+    pool = df.where(g.isNotNull() & v.isNotNull() & ~F.isnan(v)).select(
+        g.alias("__g"), v.alias("__v")
+    )
+    med = exact_percentile(pool, "__v", [0.5])[0]
+    per = pool.groupBy("__g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+        F.sum((F.col("__v") > F.lit(med)).cast("bigint")).alias("__a"),
+    )
+    tot = per.agg(
+        F.sum("__n").cast("bigint").alias("__nt"),
+        F.sum("__a").cast("bigint").alias("__at"),
+        F.count(F.lit(1)).cast("bigint").alias("__k"),
+    )
+    cells = per.crossJoin(F.broadcast(tot))
+    # D_a = a·n − n_g·A and D_b = b·n − n_g·B are exact bigints;
+    # squares and divisions run in double, one fixed operand order
+    da = (F.col("__a") * F.col("__nt") - F.col("__n") * F.col("__at")).cast(
+        "double"
+    )
+    b_g = F.col("__n") - F.col("__a")
+    bt = F.col("__nt") - F.col("__at")
+    db = (b_g * F.col("__nt") - F.col("__n") * bt).cast("double")
+    ok = (F.col("__at") > 0) & (bt > 0)
+    term = (
+        da * da / (F.col("__nt").cast("double") * F.col("__n") * F.col("__at"))
+        + db * db / (F.col("__nt").cast("double") * F.col("__n") * bt)
+    )
+    qterm = cells.select(
+        "__nt",
+        "__at",
+        "__k",
+        F.when(ok, F.floor(term * 1_000_000 + F.lit(0.5)).cast("bigint")).alias(
+            "__qt"
+        ),
+    )
+    agg = qterm.groupBy("__nt", "__at", "__k").agg(
+        F.sum("__qt").alias("__chi2q")
+    )
+    return agg.select(
+        F.col("__nt").alias("n"),
+        F.col("__k").alias("k_groups"),
+        F.lit(float(med)).alias("grand_median"),
+        F.col("__at").alias("n_above"),
+        F.when(
+            (F.col("__k") >= 2) & F.col("__chi2q").isNotNull(),
+            F.round(F.col("__chi2q").cast("double") / 1_000_000, 6),
+        ).alias("chi2"),
+        F.greatest(F.col("__k") - 1, F.lit(0)).cast("bigint").alias("dof"),
+    )
+
+
+def cochran_q(
+    df: DataFrame,
+    block_col: str,
+    treatment_col: str,
+    outcome_col: str,
+) -> DataFrame:
+    """Cochran's Q — the k-treatment repeated-measures test for BINARY
+    outcomes (did any of k filters/variants/models succeed on the same
+    blocks at different rates?): the binary sibling of
+    :func:`friedman_test` (ranks) and the k-way generalization of
+    :func:`mcnemar_test` (k = 2 ⇒ Q = McNemar's statistic without
+    continuity correction).
+
+    A block's cell value is "any success" (MAX of the 0/1 outcome over
+    that block×treatment's rows); blocks missing a treatment DROP
+    (complete-block design, dropped count reported — the Friedman
+    convention). Q = (k−1)·(k·ΣG² − N²)/(k·N − ΣB²) over column totals
+    G_j, row totals B_i, and grand total N — every moment an exact
+    DECIMAL(38,0) integer, ONE division at the end, so both engines
+    replay the identical rational. All-constant blocks (every B_i = 0
+    or k) zero the denominator → NULL Q. Returns one row:
+    (n_blocks, n_blocks_dropped, k_treatments, dof, q_stat).
+    """
+    b = F.col(block_col)
+    t = F.col(treatment_col)
+    x = F.col(outcome_col).cast("int")
+    pool = df.where(b.isNotNull() & t.isNotNull() & x.isNotNull()).select(
+        b.alias("__b"), t.alias("__t"), (x != 0).cast("int").alias("__x")
+    )
+    cell = pool.groupBy("__b", "__t").agg(F.max("__x").alias("__v"))
+    kk = cell.agg(F.countDistinct("__t").cast("bigint").alias("__k"))
+    sizes = cell.groupBy("__b").agg(F.count(F.lit(1)).alias("__kt"))
+    tagged = sizes.crossJoin(F.broadcast(kk))
+    complete = tagged.where(F.col("__kt") == F.col("__k")).select("__b")
+    n_all = sizes.agg(F.count(F.lit(1)).cast("bigint").alias("__ntot"))
+    cc = cell.join(complete, "__b")
+    dec = "decimal(38,0)"
+    rows = cc.groupBy("__b").agg(F.sum("__v").cast("bigint").alias("__bi"))
+    rowm = rows.agg(
+        F.count(F.lit(1)).cast("bigint").alias("__nb"),
+        F.coalesce(F.sum(F.col("__bi").cast(dec)), F.lit(0).cast(dec)).alias(
+            "__nn"
+        ),
+        F.coalesce(
+            F.sum((F.col("__bi") * F.col("__bi")).cast(dec)), F.lit(0).cast(dec)
+        ).alias("__sb2"),
+    )
+    cols = cc.groupBy("__t").agg(F.sum("__v").cast("bigint").alias("__gj"))
+    colm = cols.agg(
+        F.coalesce(
+            F.sum((F.col("__gj") * F.col("__gj")).cast(dec)), F.lit(0).cast(dec)
+        ).alias("__sg2")
+    )
+    e = rowm.crossJoin(F.broadcast(colm)).crossJoin(F.broadcast(kk)).crossJoin(
+        F.broadcast(n_all)
+    )
+    num = F.col("__k").cast(dec) * F.col("__sg2") - F.col("__nn") * F.col("__nn")
+    den = F.col("__k").cast(dec) * F.col("__nn") - F.col("__sb2")
+    return e.select(
+        F.col("__nb").alias("n_blocks"),
+        (F.col("__ntot") - F.col("__nb")).cast("bigint").alias(
+            "n_blocks_dropped"
+        ),
+        F.col("__k").alias("k_treatments"),
+        F.greatest(F.col("__k") - 1, F.lit(0)).cast("bigint").alias("dof"),
+        F.when(
+            (F.col("__k") >= 2) & (F.col("__nb") >= 1) & (den > 0),
+            F.round(
+                (F.col("__k") - 1).cast("double")
+                * num.cast("double")
+                / den.cast("double"),
+                6,
+            ),
+        ).alias("q_stat"),
+    )
+
+
+def contingency_residuals(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Per-cell drill-down of a contingency table: observed vs expected
+    counts with Pearson and adjusted (Haberman) standardized residuals —
+    the "WHICH cell drives the association" readout behind
+    :func:`chi2_independence`'s single χ² number (the statistic says
+    sources and languages are dependent; this says source X is the one
+    over-represented in language Y, and by how many σ).
+
+    One (a, b)-keyed count produces the contingency frame; marginals
+    are two windows OVER that frame (r·c rows — metadata-scale, the
+    chi2_independence shape, no second input scan) and the grand total
+    broadcasts back as a one-row frame. Expected e = rt·ct/n and both
+    residuals are fixed-order double expressions over exact integer
+    marginals (rt·ct stays within bigint to 10⁸-row marginals; the
+    division is the first float op). Only OBSERVED cells are emitted —
+    a structural zero never appears (its residual is computable from
+    the marginals; emitting the full r×c universe is a caller-side
+    cross join when wanted). NULL categories count as levels (real
+    segments — the chi2_independence convention). Returns
+    (a, b, observed, expected, pearson_residual, adj_residual,
+    chi2_contribution), 6-decimal; a single-level dimension zeroes the
+    adjusted residual's denominator → NULL adj_residual.
+    """
+    cont = df.groupBy(
+        F.col(col_a).alias("__a"), F.col(col_b).alias("__b")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("o"))
+    wa = Window.partitionBy("__a")
+    wb = Window.partitionBy("__b")
+    cells = cont.select(
+        "__a",
+        "__b",
+        "o",
+        F.sum("o").over(wa).cast("bigint").alias("rt"),
+        F.sum("o").over(wb).cast("bigint").alias("ct"),
+    )
+    tot = cont.agg(F.sum("o").cast("bigint").alias("n"))
+    j = cells.crossJoin(F.broadcast(tot))
+    e = (F.col("rt") * F.col("ct")).cast("double") / F.col("n")
+    diff = F.col("o").cast("double") - e
+    adj_var = (
+        e
+        * (F.lit(1.0) - F.col("rt").cast("double") / F.col("n"))
+        * (F.lit(1.0) - F.col("ct").cast("double") / F.col("n"))
+    )
+    return j.select(
+        F.col("__a").alias(col_a),
+        F.col("__b").alias(col_b),
+        F.col("o").alias("observed"),
+        F.round(e, 6).alias("expected"),
+        F.round(diff / F.sqrt(e), 6).alias("pearson_residual"),
+        F.when(adj_var > 0, F.round(diff / F.sqrt(adj_var), 6)).alias(
+            "adj_residual"
+        ),
+        F.round(diff * diff / e, 6).alias("chi2_contribution"),
+    )
+
+
+def nelson_aalen(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+) -> DataFrame:
+    """Nelson–Aalen cumulative-hazard estimator over right-censored
+    durations — :func:`kaplan_meier`'s additive sibling: H(t) = Σ d/n
+    over event times ≤ t, with the Fleming–Harrington survival
+    exp(−H(t)) that is more stable than the KM product in small
+    at-risk tails (and the estimator whose INCREMENTS d/n are the raw
+    hazard a churn model fits). Same contract as kaplan_meier: one row
+    per distinct duration with ≥1 event, censored subjects leave the
+    risk set at their censoring time without contributing an event.
+
+    Scale shape: IDENTICAL to kaplan_meier — per-distinct-duration
+    (count, deaths), one :func:`_ranged_cumsum` for the at-risk
+    denominator, a second ranged pass accumulating the micro-quantized
+    hazard increments qh = round(d/n·10⁶) (an integer prefix sum;
+    d/n is an exact rational of two bigints, identical double on both
+    engines), so H(t) = cum_qh/10⁶ and exp(−H) is one transcendental
+    over identical bits. NULL/NaN durations are excluded;
+    ``event_col`` is 0/1-coercible (censored = 0). Returns
+    (t, n_risk, n_events, n_censored, cum_hazard, fh_survival).
+    """
+    t = F.col(duration_col).cast("double")
+    e = F.col(event_col).cast("int")
+    pool = df.where(t.isNotNull() & ~F.isnan(t)).select(
+        t.alias("__t"), e.alias("__e")
+    )
+    per_t = pool.groupBy("__t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__c"),
+        F.sum("__e").cast("bigint").alias("__d"),
+    )
+    cum = _ranged_cumsum(per_t, "__t", ["__c"])
+    n_total = cum.agg(F.max("__cum___c").alias("__n"))
+    risk = cum.crossJoin(F.broadcast(n_total)).select(
+        "__t",
+        "__c",
+        "__d",
+        (F.col("__n") - (F.col("__cum___c") - F.col("__c"))).alias("__nr"),
+    )
+    deaths = risk.where(F.col("__d") > 0)
+    qd = deaths.select(
+        "__t",
+        "__nr",
+        "__d",
+        (F.col("__c") - F.col("__d")).alias("__cens"),
+        F.round(F.col("__d").cast("double") / F.col("__nr") * 1_000_000)
+        .cast("bigint")
+        .alias("__qh"),
+    )
+    out = _ranged_cumsum(qd, "__t", ["__qh"])
+    hz = F.col("__cum___qh").cast("double") / 1_000_000
+    return out.select(
+        F.col("__t").alias("t"),
+        F.col("__nr").alias("n_risk"),
+        F.col("__d").alias("n_events"),
+        F.col("__cens").alias("n_censored"),
+        F.round(hz, 6).alias("cum_hazard"),
+        F.round(F.exp(-hz), 6).alias("fh_survival"),
+    )
+
+
+def mean_excess_report(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Peaks-over-threshold tail report per group — the
+    extreme-value-theory screen (mean excess over a high threshold ≈
+    the GPD's location/scale read-out) for latency SLOs, cost spikes,
+    and outlier budgets: "of the requests over 500 ms, HOW far over
+    are they on average, and is that tail fattening by segment?" —
+    the tail counterpart to :func:`winsorized_stats` (which clamps the
+    tail this measures) and :func:`mad_outlier_bounds` (which flags
+    points; this characterizes the exceedance mass).
+
+    ONE conditional-count scan per the odds-ratio recipe: exceedances
+    (v > u) contribute their micro-quantized excess round((v−u)·10⁶)
+    to an exact bigint sum, so the mean excess is a single division
+    over integers both engines replay; max_value is an exact MAX.
+    NULL/NaN values are excluded; NULL groups are excluded (the
+    family convention). Returns
+    (group, n, n_exceed, exceed_frac, mean_excess, max_value); a
+    group with zero exceedances reports NULL mean_excess and its
+    (sub-threshold) max_value.
+    """
+    g = F.col(group_col)
+    v = F.col(value_col).cast("double")
+    pool = df.where(g.isNotNull() & v.isNotNull() & ~F.isnan(v)).select(
+        g.alias("__g"), v.alias("__v")
+    )
+    u = F.lit(float(threshold))
+    exceed = F.col("__v") > u
+    out = pool.groupBy("__g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(exceed.cast("bigint")).alias("n_exceed"),
+        # DECIMAL(38,0) accumulation — micro-unit excess mass can pass
+        # 2^63 at corpus scale (the soft_dedup/cohort_ltv convention)
+        F.sum(
+            F.when(
+                exceed, F.round((F.col("__v") - u) * 1_000_000).cast("bigint")
+            ).cast("decimal(38,0)")
+        ).alias("__sq"),
+        F.max("__v").alias("max_value"),
+    )
+    return out.select(
+        F.col("__g").alias(group_col),
+        "n",
+        "n_exceed",
+        F.round(F.col("n_exceed").cast("double") / F.col("n"), 6).alias(
+            "exceed_frac"
+        ),
+        F.when(
+            F.col("n_exceed") > 0,
+            F.round(
+                F.col("__sq").cast("double") / F.col("n_exceed") / 1_000_000, 6
+            ),
+        ).alias("mean_excess"),
+        "max_value",
+    )

@@ -1868,3 +1868,164 @@ def bigram_conditional_entropy(
             -F.sum("__t").cast("double") / 1_000_000 / F.sum("__cxy"), 6
         ).alias("cond_entropy_bits"),
     )
+
+
+def template_prefix_report(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """Per-source template detection over document OPENINGS and
+    CLOSINGS: the most common first-k-token prefix and last-k-token
+    suffix, their document shares, and the distinct-prefix ratio — the
+    boilerplate screen that catches what token-level frequency
+    (:func:`remove_boilerplate_tokens`) can't: a source whose docs all
+    START with the same cookie banner / license header / nav block has
+    a top_prefix_share near 1 and a distinct_prefix_ratio near 0, the
+    signature of scraped template pages a curation pipeline strips or
+    caps before training.
+
+    Shape: ONE narrow per-doc map builds the k-token prefix/suffix
+    strings (JVM split/slice/join — no UDF, no token explode), two
+    (source, gram) counts collapse to bounded per-source candidate
+    frames, and the top-1 per source is a rank over the count frame
+    with ties broken lexicographically (both engines). Docs with NULL
+    text are excluded; docs shorter than k tokens contribute their
+    whole text (slice caps at length). Returns one row per source:
+    (source, n_docs, top_prefix, top_prefix_n, top_prefix_share,
+    distinct_prefix_ratio, top_suffix, top_suffix_n,
+    top_suffix_share), 6-decimal shares.
+    """
+    from pyspark.sql import Window
+
+    toks = F.split(F.col(text_col), " ")
+    pre = F.array_join(F.slice(toks, 1, k), " ")
+    suf = F.array_join(
+        F.when(F.size(toks) <= k, toks).otherwise(F.slice(toks, -k, k)), " "
+    )
+    pool = df.where(F.col(text_col).isNotNull()).select(
+        F.col(source_col).alias("__s"),
+        pre.alias("__pre"),
+        suf.alias("__suf"),
+    )
+
+    def top1(frame: DataFrame, gram: str, out_g: str, out_n: str) -> DataFrame:
+        counts = frame.groupBy("__s", gram).agg(
+            F.count(F.lit(1)).cast("bigint").alias("__c")
+        )
+        w = Window.partitionBy("__s").orderBy(
+            F.col("__c").desc(), F.col(gram).asc()
+        )
+        return (
+            counts.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .select(
+                "__s", F.col(gram).alias(out_g), F.col("__c").alias(out_n)
+            )
+        )
+
+    base = pool.groupBy("__s").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct("__pre").cast("bigint").alias("__dp"),
+    )
+    tp = top1(pool, "__pre", "top_prefix", "top_prefix_n")
+    ts = top1(pool, "__suf", "top_suffix", "top_suffix_n")
+    return (
+        base.join(tp, "__s")
+        .join(ts, "__s")
+        .select(
+            F.col("__s").alias(source_col),
+            "n_docs",
+            "top_prefix",
+            "top_prefix_n",
+            F.round(
+                F.col("top_prefix_n").cast("double") / F.col("n_docs"), 6
+            ).alias("top_prefix_share"),
+            F.round(F.col("__dp").cast("double") / F.col("n_docs"), 6).alias(
+                "distinct_prefix_ratio"
+            ),
+            "top_suffix",
+            "top_suffix_n",
+            F.round(
+                F.col("top_suffix_n").cast("double") / F.col("n_docs"), 6
+            ).alias("top_suffix_share"),
+        )
+    )
+
+
+_CODE_SYMBOLS = r"[{}()\[\];=<>&|#*]"
+_CODE_KEYWORDS = (
+    r"\b(def|class|import|return|function|var|const|void|public|static|"
+    r"printf|include|lambda|elif|endif|struct|typedef)\b"
+)
+
+
+def code_detect_report(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    symbol_threshold: float = 0.03,
+    keyword_threshold: float = 0.01,
+) -> DataFrame:
+    """Code-vs-prose screen per source: symbol-character density
+    (brackets/operators per char), programming-keyword density (per
+    whitespace token), and the fraction of documents tripping either
+    threshold — the "is this source secretly a code dump" readout a
+    data-mixing stage needs BEFORE setting language weights (code in
+    the prose mix skews tokenizer fertility q286 and quality scores
+    q113; prose in the code mix starves syntax). Heuristic by design —
+    a classifier would need labels; these two densities are the
+    standard cheap separators.
+
+    ONE narrow per-doc pass (JVM length/regexp_replace/regexp_count —
+    no UDF, no explode): symbol count = length delta after stripping
+    the symbol class, keyword count = global regex count; per-doc
+    densities micro-quantize half-up BEFORE the exact per-source sums
+    (the family recipe), so means are single divisions over integers.
+    Docs with NULL or empty text are excluded (no density exists).
+    Returns (source, n_docs, code_docs, code_frac,
+    mean_symbol_density, mean_keyword_density), 6-decimal.
+    """
+    txt = F.col(text_col)
+    pool = df.where(txt.isNotNull() & (F.length(txt) > 0)).select(
+        F.col(source_col).alias("__s"),
+        F.length(txt).cast("bigint").alias("__nc"),
+        (
+            F.length(txt)
+            - F.length(F.regexp_replace(txt, _CODE_SYMBOLS, ""))
+        ).cast("bigint").alias("__sym"),
+        F.regexp_count(txt, F.lit(_CODE_KEYWORDS)).cast("bigint").alias("__kw"),
+        F.size(F.split(txt, " ")).cast("bigint").alias("__nt"),
+    )
+    sd = F.col("__sym").cast("double") / F.col("__nc")
+    kd = F.col("__kw").cast("double") / F.col("__nt")
+    scored = pool.select(
+        "__s",
+        F.round(sd * 1_000_000).cast("bigint").alias("__qsd"),
+        F.round(kd * 1_000_000).cast("bigint").alias("__qkd"),
+        (
+            (sd >= F.lit(float(symbol_threshold)))
+            | (kd >= F.lit(float(keyword_threshold)))
+        ).cast("bigint").alias("__code"),
+    )
+    agg = scored.groupBy("__s").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("__code").cast("bigint").alias("code_docs"),
+        F.sum("__qsd").alias("__ssd"),
+        F.sum("__qkd").alias("__skd"),
+    )
+    return agg.select(
+        F.col("__s").alias(source_col),
+        "n_docs",
+        "code_docs",
+        F.round(F.col("code_docs").cast("double") / F.col("n_docs"), 6).alias(
+            "code_frac"
+        ),
+        F.round(
+            F.col("__ssd").cast("double") / F.col("n_docs") / 1_000_000, 6
+        ).alias("mean_symbol_density"),
+        F.round(
+            F.col("__skd").cast("double") / F.col("n_docs") / 1_000_000, 6
+        ).alias("mean_keyword_density"),
+    )

@@ -1042,3 +1042,113 @@ def test_r15_wave_third_tranche_plan_shapes(spark):
         ev, "event_type", "value", "click", "purchase", id_col="event_id"
     ).first()
     assert r["n_a"] > 0 and r["n_b"] > 0 and r["ci_lo"] <= r["ci_hi"]
+
+
+def test_r16_wave_plan_shapes(spark):
+    """Scale shapes for the wave staged for the r15 declaration window:
+    the Mood/Cochran/residual reports reduce to bounded cell frames
+    before any join (broadcast one-row totals, never cartesian),
+    Nelson–Aalen rides the same ranged-offset machinery as
+    Kaplan–Meier (no data-carrying single partition), the concurrency
+    sweep and loop-detect windows partition by key, the text screens
+    are JVM regex maps (no Python UDF), and the multimodal pair keeps
+    payloads inside the Arrow decode (zero exchanges)."""
+    from pyspark.sql import functions as F
+
+    from osmapreduceproject_spark.operators.events import concurrency_profile
+    from osmapreduceproject_spark.operators.multimodal import (
+        arith_raw_audio,
+        arith_raw_images,
+        arith_video_frames_looped,
+        audio_zero_crossing,
+        image_colorfulness,
+        video_loop_detect,
+    )
+    from osmapreduceproject_spark.operators.similarity import dim_truncation_report
+    from osmapreduceproject_spark.operators.stats import (
+        cochran_q,
+        contingency_residuals,
+        mean_excess_report,
+        mood_median_test,
+        nelson_aalen,
+    )
+    from osmapreduceproject_spark.operators.text import (
+        code_detect_report,
+        template_prefix_report,
+    )
+    from osmapreduceproject_spark.plans.inspect import (
+        data_carrying_single_partitions,
+        explain_str,
+    )
+    from osmapreduceproject_spark.queries import _t
+
+    sf = "/root/testdata/sf0.001"
+    ev = _t(spark, sf, "events")
+    docs = _t(spark, sf, "documents")
+    emb = _t(spark, sf, "embeddings")
+
+    mm = mood_median_test(ev, "event_type", "value")
+    plan = explain_str(mm)
+    assert data_carrying_single_partitions(mm) == [], plan
+    assert "CartesianProduct" not in plan, plan
+
+    cq = cochran_q(
+        ev.select(
+            "user_id", "event_type", (F.col("value") > 50).cast("int").alias("x")
+        ),
+        "user_id", "event_type", "x",
+    )
+    plan = explain_str(cq)
+    assert data_carrying_single_partitions(cq) == [], plan
+    assert "CartesianProduct" not in plan, plan
+
+    cr = contingency_residuals(docs, "source", "lang")
+    plan = explain_str(cr)
+    assert data_carrying_single_partitions(cr) == [], plan
+    assert "CartesianProduct" not in plan, plan
+
+    na = nelson_aalen(
+        ev.select(F.col("value").alias("t"), F.lit(1).alias("e")), "t", "e"
+    )
+    assert data_carrying_single_partitions(na) == [], explain_str(na)
+
+    me = mean_excess_report(ev, "event_type", "value", 10.0)
+    assert data_carrying_single_partitions(me) == [], explain_str(me)
+
+    iv = ev.select(
+        "user_id",
+        F.col("ts").alias("s"),
+        F.timestamp_micros(
+            F.unix_micros("ts") + F.floor(F.col("value")).cast("bigint") * 1_000_000
+        ).alias("e"),
+    )
+    cp = concurrency_profile(iv, "user_id", "s", "e")
+    assert data_carrying_single_partitions(cp) == [], explain_str(cp)
+
+    tp = template_prefix_report(docs)
+    plan = explain_str(tp)
+    assert data_carrying_single_partitions(tp) == [], plan
+    assert "BatchEvalPython" not in plan, plan  # JVM split/slice only
+
+    cd = code_detect_report(docs)
+    plan = explain_str(cd)
+    assert data_carrying_single_partitions(cd) == [], plan
+    assert "BatchEvalPython" not in plan, plan  # JVM regex only
+
+    ic = image_colorfulness(arith_raw_images(spark, n=8))
+    plan = explain_str(ic)
+    assert data_carrying_single_partitions(ic) == [], plan
+    assert "Exchange" not in plan, plan  # zero-shuffle narrow decode
+
+    zc = audio_zero_crossing(arith_raw_audio(spark, n=8))
+    plan = explain_str(zc)
+    assert data_carrying_single_partitions(zc) == [], plan
+    assert "Exchange" not in plan, plan  # zero-shuffle narrow decode
+
+    vl = video_loop_detect(arith_video_frames_looped(spark, n_videos=4))
+    assert data_carrying_single_partitions(vl) == [], explain_str(vl)
+
+    dt = dim_truncation_report(emb, k=3, trunc_dim=8)
+    plan = explain_str(dt)
+    assert data_carrying_single_partitions(dt) == [], plan
+    assert "CartesianProduct" not in plan, plan
