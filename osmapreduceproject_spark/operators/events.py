@@ -1268,3 +1268,79 @@ def concurrency_profile(
             "mean_active_concurrency"
         ),
     )
+
+
+def cooccurrence_lift(
+    df: DataFrame,
+    scope_col: str,
+    type_col: str,
+    min_both: int = 1,
+) -> DataFrame:
+    """Market-basket co-occurrence report over event types: for every
+    observed pair of types, the scopes (users/sessions) containing
+    both, the support, the LIFT P(A∩B)/(P(A)·P(B)), and the Jaccard
+    overlap — the "which behaviors travel together" readout behind
+    :func:`event_transitions` (which sees ORDER within a stream; this
+    sees set-level association across scopes) and the categorical
+    sibling of :func:`~.stats.chi2_independence` (one number for the
+    whole table; this names the pairs).
+
+    Shape: the corpus collapses to the DISTINCT (scope, type) frame
+    FIRST (one map-side-combined dedup — event volume never joins);
+    the pair frame is a self-equi-join on the scope key, bounded per
+    scope by the type cardinality squared, never scope². Lift and
+    Jaccard are fixed-order doubles over exact integer supports
+    (n_both·N / (n_a·n_b) — the integer products stay within bigint
+    to 3·10⁹ scopes). NULL scopes/types are excluded (the family
+    convention); pairs are emitted once as (type_a < type_b). Returns
+    (type_a, type_b, n_scopes, n_a, n_b, n_both, support, lift,
+    jaccard), 6-decimal, cut at ``min_both`` co-occurrences.
+    """
+    sc = F.col(scope_col)
+    tc = F.col(type_col)
+    pool = (
+        df.where(sc.isNotNull() & tc.isNotNull())
+        .select(sc.alias("__s"), tc.alias("__t"))
+        .distinct()
+    )
+    n_scopes = pool.agg(F.countDistinct("__s").cast("bigint").alias("__n"))
+    per_type = pool.groupBy("__t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__c")
+    )
+    a = pool.select(F.col("__s"), F.col("__t").alias("__ta"))
+    b = pool.select(F.col("__s"), F.col("__t").alias("__tb"))
+    both = (
+        a.join(b, "__s")
+        .where(F.col("__ta") < F.col("__tb"))
+        .groupBy("__ta", "__tb")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_both"))
+        .where(F.col("n_both") >= int(min_both))
+    )
+    ca = per_type.select(F.col("__t").alias("__ta"), F.col("__c").alias("n_a"))
+    cb = per_type.select(F.col("__t").alias("__tb"), F.col("__c").alias("n_b"))
+    j = (
+        both.join(ca, "__ta")
+        .join(cb, "__tb")
+        .crossJoin(F.broadcast(n_scopes))
+    )
+    return j.select(
+        F.col("__ta").alias("type_a"),
+        F.col("__tb").alias("type_b"),
+        F.col("__n").alias("n_scopes"),
+        "n_a",
+        "n_b",
+        "n_both",
+        F.round(F.col("n_both").cast("double") / F.col("__n"), 6).alias(
+            "support"
+        ),
+        F.round(
+            F.col("n_both").cast("double") * F.col("__n")
+            / (F.col("n_a").cast("double") * F.col("n_b")),
+            6,
+        ).alias("lift"),
+        F.round(
+            F.col("n_both").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_both")),
+            6,
+        ).alias("jaccard"),
+    )

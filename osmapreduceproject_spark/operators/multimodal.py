@@ -2461,3 +2461,78 @@ def video_loop_detect(frames: DataFrame) -> DataFrame:
             "dominant_gap_n",
         )
     )
+
+
+def image_symmetry(df: DataFrame) -> DataFrame:
+    """Horizontal-mirror symmetry per RAW8 RGB image: the absolute
+    gray-mass difference between the left half and the MIRRORED right
+    half, normalized by the two halves' combined mass — 1.0 = a
+    perfectly mirror-symmetric frame. Symmetric frames are the
+    signature of logos, borders/letterboxes, test cards, and template
+    graphics a vision-curation pipeline down-weights (natural photos
+    are rarely mirror-exact): the structural complement to
+    :func:`image_border_uniformity` (edges) and
+    :func:`image_colorfulness` (palette).
+
+    Gray stays the INTEGER channel sum r+g+b (no division — exact);
+    the pairwise |left − mirrored-right| mass and both half-masses are
+    exact int64 sums INSIDE the Arrow batch (payloads never shuffle;
+    one row per image leaves the map). symmetry_score =
+    1 − diff/(left+right) is one fixed-order double (triangle
+    inequality bounds it to [0, 1]); an odd width ignores the center
+    column; a zero-mass (all-black) frame reports NULL score (0/0 is
+    a convention, not a number). Returns
+    (media_id, n_px_pairs, diff_mass, half_mass, symmetry_score),
+    6-decimal.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Self-contained closure: no module-global references.
+        import math
+
+        import numpy as np
+        import pandas as pd
+
+        def rnd6(x):
+            return math.copysign(math.floor(abs(x) * 1e6 + 0.5), x) / 1e6
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            for m, p, w, h in zip(
+                pdf["media_id"], pdf["payload"], pdf["width"], pdf["height"]
+            ):
+                buf = np.frombuffer(bytes(p), dtype=np.uint8)
+                w, h = int(w), int(h)
+                if buf.size != w * h * 3:
+                    raise ValueError(
+                        f"payload length {buf.size} is not a {h}x{w}x3 RAW8 RGB frame"
+                    )
+                gray = buf.reshape(h, w, 3).astype(np.int64).sum(axis=2)
+                half = w // 2
+                left = gray[:, :half]
+                right = np.flip(gray[:, w - half:], axis=1)
+                diff = int(np.abs(left - right).sum())
+                hm = int(left.sum() + right.sum())
+                score = None if hm == 0 else rnd6(1.0 - diff / hm)
+                rows.append((int(m), h * half, diff, hm, score))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "n_px_pairs", "diff_mass", "half_mass",
+                    "symmetry_score",
+                ],
+            )
+
+    flat = df.select(
+        "media_id",
+        "payload",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+    )
+    return flat.mapInPandas(
+        run,
+        "media_id long, n_px_pairs bigint, diff_mass bigint, half_mass bigint, "
+        "symmetry_score double",
+    )

@@ -1230,3 +1230,88 @@ def dim_truncation_report(
             F.round(F.col("__nf").cast("double") / F.col("n_queries"), 6),
         ).alias("frac_full_recall"),
     )
+
+
+def pq_reconstruction_error(
+    corpus: DataFrame,
+    m: int = 4,
+    k_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Reconstruction-quality report for the :func:`pq_topk` product
+    quantizer: encode every vector with the SAME deterministic codebook
+    (first ``k_codes`` corpus vectors' subvectors) and measure the
+    squared-L2 error the code words lose — the "is 64× compression
+    safe here" number an index build publishes BEFORE queries trust
+    :func:`pq_topk`'s distance estimates (:func:`recall_at_k` measures
+    the end effect; this isolates the quantizer's own distortion and
+    the relative error that drives it).
+
+    Shape: corpus × broadcast(codebook) (m·k_codes rows), the per-
+    (vector, subspace) argmin distance via partial-aggregating MIN —
+    the pq_topk encode pass with the distance KEPT; per-vector errors
+    and squared norms micro-quantize half-up before exact DECIMAL
+    sums, so both means are single divisions over integers. One row:
+    (n_vectors, m, k_codes, mean_sq_error, mean_vec_sq_norm,
+    rel_error = mse/mean-norm), 6-decimal; an empty corpus raises (no
+    codebook exists).
+    """
+    if dim is None:
+        row = corpus.select(vec_col).head()
+        if row is None or row[0] is None:
+            raise ValueError(
+                f"pq_reconstruction_error: cannot infer vector dim from an "
+                f"empty corpus / null {vec_col!r}; pass dim= explicitly"
+            )
+        dim = len(row[0])
+    d_sub = dim // m
+    wc = Window.orderBy(id_col)
+    cb = (
+        corpus.orderBy(id_col)
+        .limit(k_codes)
+        .select(
+            (F.row_number().over(wc) - 1).alias("code"),
+            F.col(vec_col).alias("__cvec"),
+        )
+        .select(
+            "code",
+            "__cvec",
+            F.explode(F.array(*[F.lit(j) for j in range(1, m + 1)])).alias("j"),
+        )
+    )
+    enc = (
+        corpus.select(id_col, vec_col)
+        .crossJoin(F.broadcast(cb))
+        .withColumn(
+            "__d", _sq_subdist(F.col(vec_col), F.col("__cvec"), F.col("j"), d_sub)
+        )
+        .groupBy(id_col, "j")
+        .agg(F.min("__d").alias("__mind"))
+    )
+    per_vec = enc.groupBy(id_col).agg(
+        F.sum(F.round(F.col("__mind") * 1_000_000).cast("bigint")).alias("__eq")
+    )
+    norms = corpus.select(
+        F.col(id_col),
+        F.round(dot(F.col(vec_col), F.col(vec_col)) * 1_000_000)
+        .cast("bigint")
+        .alias("__nq"),
+    )
+    dec = "decimal(38,0)"
+    agg = per_vec.join(norms, id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+        F.sum(F.col("__eq").cast(dec)).alias("__se"),
+        F.sum(F.col("__nq").cast(dec)).alias("__sn"),
+    )
+    mse = F.col("__se").cast("double") / F.col("n_vectors") / 1_000_000
+    mnorm = F.col("__sn").cast("double") / F.col("n_vectors") / 1_000_000
+    return agg.select(
+        "n_vectors",
+        F.lit(int(m)).alias("m"),
+        F.lit(int(k_codes)).alias("k_codes"),
+        F.round(mse, 6).alias("mean_sq_error"),
+        F.round(mnorm, 6).alias("mean_vec_sq_norm"),
+        F.when(mnorm > 0, F.round(mse / mnorm, 6)).alias("rel_error"),
+    )

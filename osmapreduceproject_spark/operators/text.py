@@ -2029,3 +2029,53 @@ def code_detect_report(
             F.col("__skd").cast("double") / F.col("n_docs") / 1_000_000, 6
         ).alias("mean_keyword_density"),
     )
+
+
+def vocab_coverage_curve(
+    df: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Vocabulary coverage as a function of the frequency cutoff: for
+    every DISTINCT token frequency f, how many vocabulary types occur
+    ≥ f times and what share of the corpus' token MASS they cover —
+    the curve a tokenizer/vocab budget decision reads ("a 30k vocab
+    covers 97% of tokens; the long tail buys 3%"): the cumulative
+    complement of :func:`build_vocab`'s top-k cut and the corpus-level
+    view behind :func:`vocab_health`'s scalar ratios.
+
+    Shape: one token count (map-side combined), collapsed AGAIN to the
+    count-of-counts frame (one row per distinct frequency — the
+    Zipf-tail frame, bounded far below vocab size), then ONE
+    :func:`~.stats._ranged_cumsum` pass over the frequency axis gives
+    both cumulative types and cumulative mass with no global sort.
+    Mass accumulates in exact bigint (token totals fit to 9.2e18).
+    Returns one row per distinct frequency, descending-coverage:
+    (min_count, n_types_at, types_ge, mass_ge, coverage), 6-decimal;
+    coverage at the smallest frequency is exactly 1.
+    """
+    from .stats import _ranged_cumsum
+
+    toks = (
+        df.where(F.col(text_col).isNotNull())
+        .select(F.explode(tokens(F.col(text_col))).alias("__t"))
+        .groupBy("__t")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__c"))
+    )
+    freq = toks.groupBy("__c").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__nt"),
+        (F.count(F.lit(1)) * F.col("__c")).cast("bigint").alias("__mass"),
+    )
+    cum = _ranged_cumsum(freq, "__c", ["__nt", "__mass"])
+    tot = cum.agg(
+        F.max("__cum___nt").alias("__v"), F.max("__cum___mass").alias("__m")
+    )
+    j = cum.crossJoin(F.broadcast(tot))
+    types_ge = F.col("__v") - (F.col("__cum___nt") - F.col("__nt"))
+    mass_ge = F.col("__m") - (F.col("__cum___mass") - F.col("__mass"))
+    return j.select(
+        F.col("__c").alias("min_count"),
+        F.col("__nt").alias("n_types_at"),
+        types_ge.cast("bigint").alias("types_ge"),
+        mass_ge.cast("bigint").alias("mass_ge"),
+        F.round(mass_ge.cast("double") / F.col("__m"), 6).alias("coverage"),
+    )

@@ -1716,3 +1716,160 @@ def forecast_backtest(
             ),
         ).alias("mape"),
     ).withColumnRenamed("__k", key)
+
+
+def runs_test(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    value_col: str,
+) -> DataFrame:
+    """Wald–Wolfowitz runs test per key: is the series' above/below-its-
+    own-median sign sequence RANDOM in time order, or does it cluster
+    (trending/regime-switching: few long runs → z ≪ 0) or oscillate
+    (mean-reverting/alternating: many short runs → z ≫ 0)? The
+    sequence-randomness screen beside :func:`series_autocorrelation`
+    (which measures linear dependence; runs see any sign structure) and
+    :func:`mann_kendall_trend` (monotone trend only).
+
+    The split point is the key's own DISCRETE median (the
+    :func:`_disc_median_per_key` machinery — exact, per-key bounded);
+    observations EQUAL to the median are excluded (the classic
+    convention; their count is reported). Runs count from ONE per-key
+    lag window over (epoch µs, value)-ordered rows — the value tiebreak
+    makes equal-timestamp rows deterministic on both engines. The null
+    moments E[R] = 1 + 2n₁n₂/n and Var[R] = 2n₁n₂(2n₁n₂−n)/(n²(n−1))
+    are fixed-order double expressions over exact integer counts.
+    Returns (key, n_above, n_below, n_ties, n_runs, expected_runs, z),
+    6-decimal; a one-sided key (n₁ = 0 or n₂ = 0) or n < 2 reports
+    NULL z.
+    """
+    k = F.col(key)
+    v = F.col(value_col).cast("double")
+    pool = df.where(k.isNotNull() & v.isNotNull() & ~F.isnan(v)).select(
+        k.alias("__k"),
+        F.unix_micros(F.col(ts)).alias("__e"),
+        v.alias("__v"),
+    )
+    med = _disc_median_per_key(pool, "__k", "__v", "__med")
+    tagged = pool.join(med, "__k")
+    ties = tagged.groupBy("__k").agg(
+        F.sum((F.col("__v") == F.col("__med")).cast("bigint")).alias("n_ties")
+    )
+    signed = tagged.where(F.col("__v") != F.col("__med")).select(
+        "__k", "__e", "__v", (F.col("__v") > F.col("__med")).cast("int").alias("__s")
+    )
+    w = Window.partitionBy("__k").orderBy(F.col("__e").asc(), F.col("__v").asc())
+    flipped = signed.select(
+        "__k",
+        "__s",
+        F.when(
+            F.lag("__s").over(w).isNotNull(),
+            (F.col("__s") != F.lag("__s").over(w)).cast("bigint"),
+        ).alias("__flip"),
+    )
+    agg = flipped.groupBy("__k").agg(
+        F.sum("__s").cast("bigint").alias("n_above"),
+        F.sum(F.lit(1) - F.col("__s")).cast("bigint").alias("n_below"),
+        (F.coalesce(F.sum("__flip"), F.lit(0)) + 1).cast("bigint").alias("n_runs"),
+    )
+    n1 = F.col("n_above").cast("double")
+    n2 = F.col("n_below").cast("double")
+    n = n1 + n2
+    e_runs = F.lit(1.0) + 2.0 * n1 * n2 / n
+    var = (2.0 * n1 * n2 * (2.0 * n1 * n2 - n)) / (n * n * (n - 1.0))
+    ok = (F.col("n_above") > 0) & (F.col("n_below") > 0) & (n > 1)
+    out = agg.join(ties, "__k").select(
+        F.col("__k").alias(key),
+        "n_above",
+        "n_below",
+        "n_ties",
+        "n_runs",
+        F.when(ok, F.round(e_runs, 6)).alias("expected_runs"),
+        F.when(
+            ok & (var > 0),
+            F.round((F.col("n_runs").cast("double") - e_runs) / F.sqrt(var), 6),
+        ).alias("z"),
+    )
+    return out
+
+
+def step_change_report(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    value_col: str,
+    step_seconds: int,
+) -> DataFrame:
+    """Retrospective level-shift locator per key — the binary-
+    segmentation FIRST split: over the regularized grid, the slot
+    boundary maximizing |mean(after) − mean(before)|, with both
+    segment means and the shift magnitude. The offline counterpart to
+    :func:`cusum_changepoints` (online alarm with thresholds): CUSUM
+    says "something drifted, around here"; this names THE split a
+    report can annotate, thresholds-free.
+
+    One :func:`resample_ffill` pass builds the grid (NULL-valued
+    leading slots excluded — the lagged_crosscorr convention), values
+    micro-quantize once, ONE per-key window yields prefix counts and
+    exact integer prefix sums, every interior boundary's segment means
+    are fixed-order doubles over those integers, and the argmax is a
+    bounded per-key rank on (quantized |shift| desc, slot asc) — ties
+    break to the EARLIEST boundary on both engines. Returns
+    (key, n_slots, split_slot_epoch [last slot of the left segment],
+    mean_before, mean_after, shift), 6-decimal; keys with < 2
+    value-bearing slots emit no row.
+    """
+    s = resample_ffill(df, key, ts, value_col, step_seconds)
+    pool = s.where(F.col(value_col).isNotNull()).select(
+        F.col(key).alias("__k"),
+        F.col("slot_epoch").alias("__t"),
+        F.round(F.col(value_col) * 1_000_000).cast("bigint").alias("__q"),
+    )
+    w = (
+        Window.partitionBy("__k")
+        .orderBy(F.col("__t").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wk = Window.partitionBy("__k")
+    pref = pool.select(
+        "__k",
+        "__t",
+        F.row_number().over(
+            Window.partitionBy("__k").orderBy(F.col("__t").asc())
+        ).alias("__i"),
+        F.sum("__q").over(w).alias("__si"),
+        F.count(F.lit(1)).over(wk).alias("__n"),
+        F.sum("__q").over(wk).alias("__s"),
+    )
+    cand = pref.where(F.col("__i") < F.col("__n"))
+    mean_l = F.col("__si").cast("double") / F.col("__i") / 1_000_000
+    mean_r = (
+        (F.col("__s") - F.col("__si")).cast("double")
+        / (F.col("__n") - F.col("__i"))
+        / 1_000_000
+    )
+    diff = mean_r - mean_l
+    scored = cand.select(
+        "__k",
+        "__t",
+        "__n",
+        mean_l.alias("__ml"),
+        mean_r.alias("__mr"),
+        diff.alias("__d"),
+        F.round(F.abs(diff) * 1_000_000).cast("bigint").alias("__qd"),
+    )
+    wr = Window.partitionBy("__k").orderBy(
+        F.col("__qd").desc(), F.col("__t").asc()
+    )
+    best = scored.withColumn("__rn", F.row_number().over(wr)).where(
+        F.col("__rn") == 1
+    )
+    return best.select(
+        F.col("__k").alias(key),
+        F.col("__n").alias("n_slots"),
+        F.col("__t").alias("split_slot_epoch"),
+        F.round(F.col("__ml"), 6).alias("mean_before"),
+        F.round(F.col("__mr"), 6).alias("mean_after"),
+        F.round(F.col("__d"), 6).alias("shift"),
+    )

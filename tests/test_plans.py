@@ -1152,3 +1152,61 @@ def test_r16_wave_plan_shapes(spark):
     plan = explain_str(dt)
     assert data_carrying_single_partitions(dt) == [], plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_r16_wave_second_tranche_plan_shapes(spark):
+    """Scale shapes for the second r15-wave tranche: runs/step-change
+    ride per-key windows only, co-occurrence pairs join on the scope
+    key (never scope²... the pair frame is types²-bounded per scope),
+    the coverage curve rides the ranged-cumsum machinery, the PQ
+    encode is corpus × broadcast codebook (no cartesian against raw
+    vectors), and the symmetry decode is a zero-exchange narrow map."""
+    from pyspark.sql import functions as F
+
+    from osmapreduceproject_spark.operators.events import cooccurrence_lift
+    from osmapreduceproject_spark.operators.multimodal import (
+        arith_raw_images,
+        image_symmetry,
+    )
+    from osmapreduceproject_spark.operators.similarity import (
+        pq_reconstruction_error,
+    )
+    from osmapreduceproject_spark.operators.text import vocab_coverage_curve
+    from osmapreduceproject_spark.operators.windows import (
+        runs_test,
+        step_change_report,
+    )
+    from osmapreduceproject_spark.plans.inspect import (
+        data_carrying_single_partitions,
+        explain_str,
+    )
+    from osmapreduceproject_spark.queries import _t
+
+    sf = "/root/testdata/sf0.001"
+    ev = _t(spark, sf, "events")
+    docs = _t(spark, sf, "documents")
+    emb = _t(spark, sf, "embeddings")
+
+    rt = runs_test(ev, "user_id", "ts", "value")
+    assert data_carrying_single_partitions(rt) == [], explain_str(rt)
+
+    sc = step_change_report(ev, "user_id", "ts", "value", 3600)
+    assert data_carrying_single_partitions(sc) == [], explain_str(sc)
+
+    cl = cooccurrence_lift(ev, "user_id", "event_type")
+    plan = explain_str(cl)
+    assert data_carrying_single_partitions(cl) == [], plan
+    assert "CartesianProduct" not in plan, plan
+
+    vc = vocab_coverage_curve(docs)
+    assert data_carrying_single_partitions(vc) == [], explain_str(vc)
+
+    pq = pq_reconstruction_error(emb, m=4, k_codes=16, dim=64)
+    plan = explain_str(pq)
+    assert data_carrying_single_partitions(pq) == [], plan
+    assert "CartesianProduct" not in plan, plan
+
+    sy = image_symmetry(arith_raw_images(spark, n=8))
+    plan = explain_str(sy)
+    assert data_carrying_single_partitions(sy) == [], plan
+    assert "Exchange" not in plan, plan  # zero-shuffle narrow decode

@@ -943,3 +943,405 @@ def test_concurrency_profile_scale_smoke(spark):
     assert agg["pmin"] == 10 and agg["pmax"] == 10
     assert agg["imin"] == per_key
     assert agg["umin"] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# second tranche (staged later in round 13; same gates)
+# ---------------------------------------------------------------------------
+
+
+def test_runs_test_oracle(spark, duck):
+    """Wald–Wolfowitz runs vs each user's own discrete median, time
+    order with value tiebreak, closed-form moments replayed in SQL."""
+    from osmapreduceproject_spark.operators.windows import runs_test
+
+    got = runs_test(_t(spark, "events"), "user_id", "ts", "value")
+    sql = """
+    WITH pool AS (
+      SELECT user_id AS k, epoch_us(ts) AS e, CAST(value AS DOUBLE) AS v
+      FROM events
+      WHERE user_id IS NOT NULL AND value IS NOT NULL
+        AND NOT isnan(CAST(value AS DOUBLE))),
+    med AS (SELECT k, v AS m FROM (
+              SELECT k, v, ROW_NUMBER() OVER (PARTITION BY k ORDER BY v) AS rn,
+                     COUNT(*) OVER (PARTITION BY k) AS n
+              FROM pool) WHERE rn = CAST(ceil(n / 2.0) AS BIGINT)),
+    tagged AS (SELECT p.k, p.e, p.v, m.m FROM pool p JOIN med m ON m.k = p.k),
+    tcount AS (SELECT k, SUM(CASE WHEN v = m THEN 1 ELSE 0 END) AS n_ties
+               FROM tagged GROUP BY k),
+    sg AS (SELECT k, e, v, CASE WHEN v > m THEN 1 ELSE 0 END AS s
+           FROM tagged WHERE v <> m),
+    fl AS (SELECT k, s,
+             CASE WHEN LAG(s) OVER (PARTITION BY k ORDER BY e, v) IS NOT NULL
+               THEN CASE WHEN s <> LAG(s) OVER (PARTITION BY k ORDER BY e, v)
+                         THEN 1 ELSE 0 END END AS flip
+           FROM sg),
+    a AS (SELECT k, SUM(s) AS n1, SUM(1 - s) AS n2,
+                 COALESCE(SUM(flip), 0) + 1 AS r
+          FROM fl GROUP BY k),
+    f AS (SELECT a.k, a.n1, a.n2, tc.n_ties, a.r,
+            CAST(n1 AS DOUBLE) AS d1, CAST(n2 AS DOUBLE) AS d2
+          FROM a JOIN tcount tc ON tc.k = a.k),
+    g AS (SELECT k, n1, n2, n_ties, r,
+            1.0 + 2.0 * d1 * d2 / (d1 + d2) AS er,
+            (2.0 * d1 * d2 * (2.0 * d1 * d2 - (d1 + d2)))
+              / ((d1 + d2) * (d1 + d2) * ((d1 + d2) - 1.0)) AS vr
+          FROM f)
+    SELECT k AS user_id, CAST(n1 AS BIGINT) AS n_above,
+           CAST(n2 AS BIGINT) AS n_below, CAST(n_ties AS BIGINT) AS n_ties,
+           CAST(r AS BIGINT) AS n_runs,
+           CASE WHEN n1 > 0 AND n2 > 0 AND n1 + n2 > 1 THEN round(er, 6)
+           END AS expected_runs,
+           CASE WHEN n1 > 0 AND n2 > 0 AND n1 + n2 > 1 AND vr > 0 THEN
+             round((r - er) / sqrt(vr), 6) END AS z
+    FROM g
+    """
+    assert compare(got, duck.execute(sql).df()) == []
+    pdf = got.toPandas()
+    assert (pdf.n_runs >= 1).all()
+    assert (pdf.n_runs <= pdf.n_above + pdf.n_below).all()
+
+
+def test_runs_test_known_cases(spark):
+    """Pins: a strictly monotone 1..9 series has 2 runs (z from the
+    closed form, negative); an all-equal series has no signed rows and
+    emits no row."""
+    import datetime
+
+    from osmapreduceproject_spark.operators.windows import runs_test
+
+    base = datetime.datetime(2025, 1, 1)
+    rows = [
+        (1, base + datetime.timedelta(hours=i), float(i + 1)) for i in range(9)
+    ]
+    rows += [(2, base + datetime.timedelta(hours=i), 5.0) for i in range(4)]
+    df = spark.createDataFrame(rows, "k bigint, ts timestamp, v double")
+    out = {r["k"]: r for r in runs_test(df, "k", "ts", "v").collect()}
+    r1 = out[1]
+    # median 5 excluded; signs 0000 1111 -> 2 runs of 4+4
+    assert r1["n_above"] == 4 and r1["n_below"] == 4 and r1["n_ties"] == 1
+    assert r1["n_runs"] == 2
+    e = 1.0 + 2.0 * 4 * 4 / 8
+    var = (2.0 * 16 * (32 - 8)) / (8 * 8 * 7.0)
+    assert r1["expected_runs"] == round(e, 6)
+    assert r1["z"] == math.copysign(
+        math.floor(abs((2 - e) / math.sqrt(var)) * 1e6 + 0.5), (2 - e)
+    ) / 1e6
+    assert 2 not in out  # all-tied key emits no row
+
+
+_SC_STEP = 3600
+_SC_US = _SC_STEP * 1_000_000
+
+
+def test_step_change_report_oracle(spark, duck):
+    """Best mean-shift split per user over the hourly LOCF grid —
+    prefix sums, quantized argmax, replayed in SQL."""
+    from osmapreduceproject_spark.operators.windows import step_change_report
+
+    ev = _t(spark, "events").where(
+        F.col("value").isNotNull() & ~F.isnan(F.col("value"))
+    )
+    got = step_change_report(ev, "user_id", "ts", "value", _SC_STEP)
+    sql = f"""
+    WITH obs AS (SELECT user_id AS k, epoch_us(ts) AS e,
+                        CAST(value AS DOUBLE) AS v
+                 FROM events
+                 WHERE value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))),
+    spans AS (SELECT k, MIN(e) AS lo, MAX(e) AS hi FROM obs GROUP BY k),
+    grid AS (SELECT k, unnest(range(
+               CAST(ceil(lo / {_SC_US}.0) * {_SC_US} AS BIGINT),
+               CAST(floor(hi / {_SC_US}.0) * {_SC_US} AS BIGINT) + 1,
+               {_SC_US})) AS e
+             FROM spans),
+    rs AS (SELECT g.k, g.e // 1000000 AS t, o.v
+           FROM grid g ASOF JOIN obs o ON g.k = o.k AND o.e <= g.e),
+    pool AS (SELECT k, t, CAST(round(v * 1000000) AS BIGINT) AS q
+             FROM rs WHERE v IS NOT NULL),
+    pref AS (SELECT k, t, ROW_NUMBER() OVER (PARTITION BY k ORDER BY t) AS i,
+               SUM(q) OVER (PARTITION BY k ORDER BY t
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS si,
+               COUNT(*) OVER (PARTITION BY k) AS n,
+               SUM(q) OVER (PARTITION BY k) AS s
+             FROM pool),
+    cand AS (SELECT *, CAST(si AS DOUBLE) / i / 1000000 AS ml,
+                    CAST(s - si AS DOUBLE) / (n - i) / 1000000 AS mr
+             FROM pref WHERE i < n),
+    sc AS (SELECT k, t, n, ml, mr, mr - ml AS d,
+                 CAST(round(abs(mr - ml) * 1000000) AS BIGINT) AS qd
+           FROM cand),
+    best AS (SELECT * FROM (
+               SELECT *, ROW_NUMBER() OVER (PARTITION BY k
+                                            ORDER BY qd DESC, t ASC) AS rn
+               FROM sc) WHERE rn = 1)
+    SELECT k AS user_id, CAST(n AS BIGINT) AS n_slots,
+           CAST(t AS BIGINT) AS split_slot_epoch,
+           round(ml, 6) AS mean_before, round(mr, 6) AS mean_after,
+           round(d, 6) AS shift
+    FROM best
+    """
+    assert compare(got, duck.execute(sql).df()) == []
+    pdf = got.toPandas()
+    assert (pdf.n_slots >= 2).all()
+
+
+def test_step_change_known_case(spark):
+    """Pin: 6 slots at 10 then 6 at 20 → the split lands on the last
+    level-10 slot with means (10, 20) and shift exactly 10."""
+    import datetime
+
+    from osmapreduceproject_spark.operators.windows import step_change_report
+
+    base = datetime.datetime(2025, 1, 1)
+    rows = [
+        (1, base + datetime.timedelta(hours=h), 10.0 if h < 6 else 20.0)
+        for h in range(12)
+    ]
+    df = spark.createDataFrame(rows, "k bigint, ts timestamp, v double")
+    r = step_change_report(df, "k", "ts", "v", 3600).first()
+    assert r["n_slots"] == 12
+    assert r["mean_before"] == 10.0 and r["mean_after"] == 20.0
+    assert r["shift"] == 10.0
+    split = datetime.datetime(2025, 1, 1, 5, tzinfo=datetime.timezone.utc)
+    assert r["split_slot_epoch"] == int(split.timestamp())
+
+
+def test_cooccurrence_lift_oracle(spark, duck):
+    """Event-type pair lift/jaccard over distinct user scopes; exact
+    supports, fixed-order ratios replayed in SQL."""
+    from osmapreduceproject_spark.operators.events import cooccurrence_lift
+
+    got = cooccurrence_lift(_t(spark, "events"), "user_id", "event_type")
+    sql = """
+    WITH pool AS (SELECT DISTINCT user_id AS s, event_type AS t FROM events
+                  WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+    nn AS (SELECT COUNT(DISTINCT s) AS n FROM pool),
+    pt AS (SELECT t, COUNT(*) AS c FROM pool GROUP BY t),
+    pr AS (SELECT a.t AS ta, b.t AS tb, COUNT(*) AS nb
+           FROM pool a JOIN pool b ON a.s = b.s AND a.t < b.t GROUP BY 1, 2)
+    SELECT ta AS type_a, tb AS type_b, CAST(nn.n AS BIGINT) AS n_scopes,
+           CAST(ca.c AS BIGINT) AS n_a, CAST(cb.c AS BIGINT) AS n_b,
+           CAST(nb AS BIGINT) AS n_both,
+           round(CAST(nb AS DOUBLE) / nn.n, 6) AS support,
+           round(CAST(nb AS DOUBLE) * nn.n / (CAST(ca.c AS DOUBLE) * cb.c), 6)
+             AS lift,
+           round(CAST(nb AS DOUBLE) / (ca.c + cb.c - nb), 6) AS jaccard
+    FROM pr JOIN pt ca ON ca.t = pr.ta JOIN pt cb ON cb.t = pr.tb, nn
+    WHERE nb >= 1
+    """
+    assert compare(got, duck.execute(sql).df()) == []
+    pdf = got.toPandas()
+    assert (pdf.n_both <= pdf[["n_a", "n_b"]].min(axis=1)).all()
+    assert pdf.support.between(0, 1).all()
+    assert pdf.jaccard.between(0, 1).all()
+
+
+def test_cooccurrence_lift_known_case(spark):
+    """Pin: u1{a,b}, u2{a,b}, u3{a}, u4{c} → (a,b) support 1/2,
+    lift 4/3, jaccard 2/3; pairs never co-occurring are absent."""
+    from osmapreduceproject_spark.operators.events import cooccurrence_lift
+
+    rows = [(1, "a"), (1, "b"), (2, "a"), (2, "b"), (3, "a"), (4, "c"),
+            (1, "a")]  # duplicate event collapses in the distinct frame
+    df = spark.createDataFrame(rows, "u bigint, t string")
+    out = {(r["type_a"], r["type_b"]): r
+           for r in cooccurrence_lift(df, "u", "t").collect()}
+    ab = out[("a", "b")]
+    assert ab["n_scopes"] == 4 and ab["n_both"] == 2
+    assert ab["n_a"] == 3 and ab["n_b"] == 2
+    assert ab["support"] == 0.5
+    assert ab["lift"] == round(2 * 4 / (3 * 2), 6)
+    assert ab["jaccard"] == round(2 / 3, 6)
+    assert ("a", "c") not in out and ("b", "c") not in out
+
+
+def test_vocab_coverage_curve_oracle(spark, duck):
+    """Frequency-threshold coverage over the corpus vocabulary; ranged
+    cumulative types/mass replayed in SQL."""
+    from osmapreduceproject_spark.operators.text import vocab_coverage_curve
+
+    got = vocab_coverage_curve(_t(spark, "documents"))
+    sql = """
+    WITH toks AS (SELECT unnest(string_split(text, ' ')) AS t
+                  FROM documents WHERE text IS NOT NULL),
+    tc AS (SELECT t, COUNT(*) AS c FROM toks GROUP BY t),
+    freq AS (SELECT c, COUNT(*) AS nt, COUNT(*) * c AS mass FROM tc GROUP BY c),
+    cum AS (SELECT c, nt, mass, SUM(nt) OVER (ORDER BY c) AS cn,
+                   SUM(mass) OVER (ORDER BY c) AS cm
+            FROM freq),
+    tot AS (SELECT SUM(nt) AS v, SUM(mass) AS m FROM freq)
+    SELECT c AS min_count, CAST(nt AS BIGINT) AS n_types_at,
+           CAST(v - (cn - nt) AS BIGINT) AS types_ge,
+           CAST(m - (cm - mass) AS BIGINT) AS mass_ge,
+           round(CAST(m - (cm - mass) AS DOUBLE) / m, 6) AS coverage
+    FROM cum, tot
+    """
+    assert compare(got, duck.execute(sql).df()) == []
+    pdf = got.sort("min_count").toPandas()
+    assert pdf.coverage.iloc[0] == 1.0  # the smallest cutoff covers all
+    assert (pdf.coverage.diff().dropna() <= 1e-12).all()  # monotone down
+
+
+def test_vocab_coverage_known_case(spark):
+    """Pin: 'x x x y y z' → cutoffs 1/2/3 cover 6/6, 5/6, 3/6 of the
+    token mass with 3/2/1 surviving types."""
+    from osmapreduceproject_spark.operators.text import vocab_coverage_curve
+
+    df = spark.createDataFrame([(1, "x x x y y z")], "doc_id bigint, text string")
+    rows = {r["min_count"]: r for r in vocab_coverage_curve(df).collect()}
+    assert rows[1]["types_ge"] == 3 and rows[1]["coverage"] == 1.0
+    assert rows[2]["types_ge"] == 2 and rows[2]["mass_ge"] == 5
+    assert rows[2]["coverage"] == round(5 / 6, 6)
+    assert rows[3]["types_ge"] == 1 and rows[3]["coverage"] == 0.5
+
+
+_SY_CH = "((31*m + 7*({p}*3 + {k}) + (({p}*3 + {k})*({p}*3 + {k})) % 251) % 256)"
+
+
+def _sym_gray(p: str) -> str:
+    return " + ".join(_SY_CH.format(p=p, k=k) for k in (0, 1, 2))
+
+
+def test_image_symmetry_oracle(spark, duck):
+    """Mirror-difference mass over the arithmetic RAW8 fixture; the
+    oracle regenerates both halves pixel-for-pixel."""
+    from osmapreduceproject_spark.operators.multimodal import (
+        arith_raw_images,
+        image_symmetry,
+    )
+
+    imgs = arith_raw_images(spark, n=64, width=16, height=12)
+    got = image_symmetry(imgs)
+    sql = f"""
+    WITH mm AS (SELECT unnest(range(64)) AS m),
+    yy AS (SELECT m, unnest(range(12)) AS y FROM mm),
+    xx AS (SELECT m, y, unnest(range(8)) AS x FROM yy),
+    pp AS (SELECT m, y*16 + x AS p1, y*16 + (15 - x) AS p2 FROM xx),
+    g AS (SELECT m, {_sym_gray('p1')} AS g1, {_sym_gray('p2')} AS g2 FROM pp),
+    a AS (SELECT m, COUNT(*) AS np, SUM(abs(g1 - g2)) AS diff,
+                 SUM(g1 + g2) AS hm
+          FROM g GROUP BY m)
+    SELECT CAST(m AS BIGINT) AS media_id, CAST(np AS BIGINT) AS n_px_pairs,
+           CAST(diff AS BIGINT) AS diff_mass, CAST(hm AS BIGINT) AS half_mass,
+           CASE WHEN hm > 0 THEN
+             {_rnd6_sql('1.0 - CAST(diff AS DOUBLE) / hm')} END
+             AS symmetry_score
+    FROM a
+    """
+    assert compare(got, duck.execute(sql).df()) == []
+    pdf = got.toPandas()
+    assert (pdf.n_px_pairs == 96).all()
+    assert pdf.symmetry_score.between(0, 1).all()
+
+
+def test_image_symmetry_known_cases(spark):
+    """Pins: a mirror-symmetric frame scores exactly 1; an all-black
+    frame has NULL score (0/0); a half-black/half-white frame scores
+    1 − 765·pairs/hm computed by hand."""
+    from osmapreduceproject_spark.operators.multimodal import image_symmetry
+
+    meta = "meta struct<width:int,height:int,sample_rate:int,n_frames:int>"
+    sym_row = bytes([5, 5, 5, 9, 9, 9, 9, 9, 9, 5, 5, 5])  # [5,9,9,5] gray row
+    sym = spark.createDataFrame(
+        [(0, "image", sym_row * 2, (4, 2, None, 1))],
+        f"media_id long, kind string, payload binary, {meta}",
+    )
+    rs = image_symmetry(sym).first()
+    assert rs["symmetry_score"] == 1.0 and rs["diff_mass"] == 0
+    black = spark.createDataFrame(
+        [(1, "image", bytes(24), (4, 2, None, 1))],
+        f"media_id long, kind string, payload binary, {meta}",
+    )
+    rb = image_symmetry(black).first()
+    assert rb["symmetry_score"] is None and rb["half_mass"] == 0
+    # left half white (255,255,255), right half black
+    hw_row = bytes([255] * 6 + [0] * 6)
+    hw = spark.createDataFrame(
+        [(2, "image", hw_row * 2, (4, 2, None, 1))],
+        f"media_id long, kind string, payload binary, {meta}",
+    )
+    rh = image_symmetry(hw).first()
+    # per row: pairs (255·3 vs 0) ×2 → diff 765·2, masses 765·2
+    assert rh["diff_mass"] == 765 * 4 and rh["half_mass"] == 765 * 4
+    assert rh["symmetry_score"] == 0.0
+
+
+def test_pq_reconstruction_error_oracle(spark, duck):
+    """PQ encode distortion over the 64-d embeddings (m=4, 16 codes);
+    the oracle replays codebook, per-subspace argmin, and the
+    quantized error/norm means."""
+    from osmapreduceproject_spark.operators.similarity import (
+        pq_reconstruction_error,
+    )
+
+    got = pq_reconstruction_error(_t(spark, "embeddings"), m=4, k_codes=16)
+    subdist = (
+        "list_reduce(list_concat([CAST(0.0 AS DOUBLE)], "
+        "list_transform(range((s.j - 1) * 16 + 1, (s.j - 1) * 16 + 17), "
+        "i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE)) "
+        "* (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE)))), "
+        "(x, y) -> x + y)"
+    )
+    selfdot = (
+        "list_reduce(list_concat([CAST(0.0 AS DOUBLE)], "
+        "list_transform(range(1, 65), "
+        "i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))), "
+        "(x, y) -> x + y)"
+    )
+    sql = f"""
+    WITH cb AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code,
+                       embedding AS cvec
+                FROM (SELECT vec_id, embedding FROM embeddings
+                      ORDER BY vec_id LIMIT 16)),
+    sub AS (SELECT unnest(range(1, 5)) AS j),
+    enc AS (SELECT e.vec_id, s.j, MIN({subdist}) AS mind
+            FROM embeddings e CROSS JOIN cb c CROSS JOIN sub s
+            GROUP BY 1, 2),
+    pv AS (SELECT vec_id, SUM(CAST(round(mind * 1000000) AS BIGINT)) AS eq
+           FROM enc GROUP BY vec_id),
+    nr AS (SELECT vec_id, CAST(round({selfdot} * 1000000) AS BIGINT) AS nq
+           FROM embeddings e),
+    a AS (SELECT COUNT(*) AS n, SUM(CAST(eq AS HUGEINT)) AS se,
+                 SUM(CAST(nq AS HUGEINT)) AS sn
+          FROM pv JOIN nr USING (vec_id))
+    SELECT CAST(n AS BIGINT) AS n_vectors, CAST(4 AS INTEGER) AS m,
+           CAST(16 AS INTEGER) AS k_codes,
+           round(CAST(se AS DOUBLE) / n / 1000000, 6) AS mean_sq_error,
+           round(CAST(sn AS DOUBLE) / n / 1000000, 6) AS mean_vec_sq_norm,
+           CASE WHEN CAST(sn AS DOUBLE) / n / 1000000 > 0 THEN
+             round((CAST(se AS DOUBLE) / n / 1000000)
+                   / (CAST(sn AS DOUBLE) / n / 1000000), 6) END AS rel_error
+    FROM a
+    """
+    assert compare(got, duck.execute(sql).df()) == []
+    row = got.first()
+    assert row["mean_sq_error"] >= 0.0
+    assert row["rel_error"] is not None and row["rel_error"] >= 0.0
+
+
+def test_pq_reconstruction_known_cases(spark):
+    """Pins: a corpus that IS the codebook reconstructs exactly (mse
+    0); a midpoint vector loses the hand-computed distance."""
+    from osmapreduceproject_spark.operators.similarity import (
+        pq_reconstruction_error,
+    )
+
+    ident = spark.createDataFrame(
+        [(i, [float(i), 0.0, 0.0, 0.0]) for i in range(2)],
+        "vec_id bigint, embedding array<double>",
+    )
+    r0 = pq_reconstruction_error(ident, m=2, k_codes=2).first()
+    assert r0["mean_sq_error"] == 0.0 and r0["rel_error"] == 0.0
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0, 0.0, 0.0]),
+         (1, [1.0, 1.0, 1.0, 1.0]),
+         (2, [0.5, 0.5, 0.5, 0.5])],
+        "vec_id bigint, embedding array<double>",
+    )
+    r = pq_reconstruction_error(df, m=2, k_codes=2).first()
+    # v2: each 2-d subspace is 0.5 from both codes -> error 0.5 + 0.5
+    assert r["n_vectors"] == 3
+    assert r["mean_sq_error"] == round(1.0 / 3, 6)
+    assert r["mean_vec_sq_norm"] == round((0.0 + 4.0 + 1.0) / 3, 6)
+    assert r["rel_error"] == round((1.0 / 3) / (5.0 / 3), 6)

@@ -89,6 +89,11 @@ PLAN_QUERIES = [
     "q282_coverage_gap_join",  # grid-bucketed LEFT ANTI, no cartesian
     "q283_silhouette_report",  # broadcast 16-row centroid frame, narrow scoring
     "q280_seasonal_decompose",  # per-(key,pos) moment collapse + bounded fold
+    "q289_benjamini_hochberg",  # value-level ranged cumsum, NO global sort
+    "q291_lagged_crosscorr",  # two LOCF grids + ONE 7-lag per-key window
+    "q295_freeze_detect",  # Arrow checksum decode; only triplets shuffle
+    "q297_knn_graph_stats",  # broadcast brute scoring + bounded per-query rank
+    "q298_lsh_bucket_stats",  # band-bucket groupBy over LSH signatures
 ]
 
 
