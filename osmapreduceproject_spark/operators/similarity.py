@@ -65,12 +65,29 @@ def cosine_topk(
     keyed by query_id (bounded cardinality). Ranking uses the *rounded*
     similarity plus the neighbor id as tiebreak so results are fully
     deterministic across engines and partitionings.
+
+    Norms are precomputed ONCE PER ROW on each side before the pair
+    join (bench finding, r13: the all-pairs q297 grade spent 2/3 of
+    its 77 s re-folding the same two norms per PAIR — 4M pairs × 3
+    interpreted 64-element folds; precomputing cuts the per-pair work
+    to the one irreducible dot, measured 77 → 30 s). Bit-identical to
+    the per-pair form: the norm is the SAME sequential fold over the
+    SAME vector, and the finalize keeps the operand order
+    dot/(corpus_norm · query_norm). (A codegen'd getItem-chain dot was
+    ALSO measured here and is ~1.5× SLOWER than the fold at dim 64 —
+    the 64-term Add tree defeats janino again; see the module note.)
     """
     q = queries.select(
         F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qvec")
-    )
-    scored = corpus.join(F.broadcast(q), F.col(id_col) != F.col(query_id_col)).withColumn(
-        "sim", F.round(cosine(F.col(vec_col), F.col("__qvec")), 6)
+    ).withColumn("__qn", norm(F.col("__qvec")))
+    c = corpus.withColumn("__cn", norm(F.col(vec_col)))
+    scored = c.join(F.broadcast(q), F.col(id_col) != F.col(query_id_col)).withColumn(
+        "sim",
+        F.round(
+            dot(F.col(vec_col), F.col("__qvec"))
+            / (F.col("__cn") * F.col("__qn")),
+            6,
+        ),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("sim").desc(), F.col(id_col).asc())
     return (
