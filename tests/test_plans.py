@@ -1210,3 +1210,34 @@ def test_r16_wave_second_tranche_plan_shapes(spark):
     plan = explain_str(sy)
     assert data_carrying_single_partitions(sy) == [], plan
     assert "Exchange" not in plan, plan  # zero-shuffle narrow decode
+
+
+def test_r16_wave_third_tranche_plan_shapes(spark):
+    """Scale shapes for the third r15-wave tranche: Jonckheere–Terpstra
+    is value-level × pairs (per-group windows + ONE as-of union-window
+    pass — no cartesian, no data-carrying single partition), and the
+    shot-stats machinery is the q239 Arrow dHash with per-video
+    windows only."""
+    from osmapreduceproject_spark.operators.multimodal import (
+        arith_video_frames,
+        video_shot_stats,
+    )
+    from osmapreduceproject_spark.operators.stats import jonckheere_terpstra
+    from osmapreduceproject_spark.plans.inspect import (
+        data_carrying_single_partitions,
+        explain_str,
+    )
+    from osmapreduceproject_spark.queries import _t
+
+    sf = "/root/testdata/sf0.001"
+    ev = _t(spark, sf, "events")
+
+    jt = jonckheere_terpstra(ev, "event_type", "value")
+    plan = explain_str(jt)
+    assert data_carrying_single_partitions(jt) == [], plan
+    assert "CartesianProduct" not in plan, plan
+
+    vs = video_shot_stats(
+        arith_video_frames(spark, n_videos=4, n_frames=6, cut_at=3)
+    )
+    assert data_carrying_single_partitions(vs) == [], explain_str(vs)

@@ -1345,3 +1345,166 @@ def test_pq_reconstruction_known_cases(spark):
     assert r["mean_sq_error"] == round(1.0 / 3, 6)
     assert r["mean_vec_sq_norm"] == round((0.0 + 4.0 + 1.0) / 3, 6)
     assert r["rel_error"] == round((1.0 / 3) / (5.0 / 3), 6)
+
+
+# ---------------------------------------------------------------------------
+# third tranche (staged later in round 13; same gates)
+# ---------------------------------------------------------------------------
+
+
+def test_jonckheere_terpstra_oracle(spark, duck):
+    """Ordered-groups trend over event-type value pools: pair U sums
+    via the as-of cumulative probe, exact doubled-U integers, no-tie
+    moments replayed in SQL (DuckDB ASOF JOIN mirrors the operator's
+    asof_join)."""
+    from osmapreduceproject_spark.operators.stats import jonckheere_terpstra
+
+    got = jonckheere_terpstra(_t(spark, "events"), "event_type", "value")
+    sql = """
+    WITH pool AS (
+      SELECT event_type AS g, CAST(value AS DOUBLE) AS v FROM events
+      WHERE event_type IS NOT NULL AND value IS NOT NULL
+        AND NOT isnan(CAST(value AS DOUBLE))),
+    pv AS (SELECT g, v, COUNT(*) AS c FROM pool GROUP BY 1, 2),
+    cum AS (SELECT g, v, c, SUM(c) OVER (PARTITION BY g ORDER BY v) AS cc
+            FROM pv),
+    gs AS (SELECT g, SUM(c) AS n FROM pv GROUP BY g),
+    pairs AS (SELECT a.g AS gi, b.g AS gj FROM gs a, gs b WHERE a.g < b.g),
+    jrows AS (SELECT p.gi, p.gj, j.v, j.c
+              FROM pairs p JOIN pv j ON j.g = p.gj),
+    m AS (SELECT jr.gi, jr.gj, jr.v, jr.c, ci.v AS vr, ci.cc, ci.c AS cic
+          FROM jrows jr ASOF LEFT JOIN cum ci
+          ON ci.g = jr.gi AND ci.v <= jr.v),
+    terms AS (SELECT c * (2 * (COALESCE(cc, 0)
+                               - CASE WHEN vr = v THEN cic ELSE 0 END)
+                          + CASE WHEN vr = v THEN cic ELSE 0 END) AS u2
+              FROM m),
+    jt AS (SELECT COALESCE(SUM(CAST(u2 AS HUGEINT)), 0) AS jt2 FROM terms),
+    mom AS (SELECT SUM(n) AS nn, COUNT(*) AS k,
+                   SUM(CAST(n AS HUGEINT) * n) AS sn2,
+                   SUM(CAST(n AS HUGEINT) * n * (2 * n + 3)) AS sn23
+            FROM gs),
+    e AS (SELECT jt2, nn, k,
+            (CAST(nn AS DOUBLE) * nn - CAST(sn2 AS DOUBLE)) / 4 AS mean_jt,
+            (CAST(nn AS DOUBLE) * nn * (2 * nn + 3)
+             - CAST(sn23 AS DOUBLE)) / 72 AS var_jt
+          FROM jt, mom)
+    SELECT CAST(k AS BIGINT) AS k_groups, CAST(nn AS BIGINT) AS n,
+           round(CAST(jt2 AS DOUBLE) / 2, 6) AS jt_stat,
+           CASE WHEN k >= 2 THEN round(mean_jt, 6) END AS mean_jt,
+           CASE WHEN k >= 2 THEN round(var_jt, 6) END AS var_jt,
+           CASE WHEN k >= 2 AND var_jt > 0 THEN
+             round((CAST(jt2 AS DOUBLE) / 2 - mean_jt) / sqrt(var_jt), 6)
+           END AS z
+    FROM e
+    """
+    assert compare(got, duck.execute(sql).df()) == []
+    row = got.first()
+    assert row["jt_stat"] >= 0.0
+    assert row["k_groups"] >= 2 and row["z"] is not None
+
+
+def test_jonckheere_terpstra_known_cases(spark):
+    """Pins: perfectly ordered groups hit the maximum JT = Σ nᵢnⱼ with
+    the closed-form z; reversed order hits 0; an all-tied pool lands
+    exactly on the null mean (z = 0)."""
+    from osmapreduceproject_spark.operators.stats import jonckheere_terpstra
+
+    up = [("a", 1.0), ("a", 2.0), ("b", 3.0), ("b", 4.0), ("c", 5.0), ("c", 6.0)]
+    r = jonckheere_terpstra(
+        spark.createDataFrame(up, "g string, v double"), "g", "v"
+    ).first()
+    assert r["jt_stat"] == 12.0 and r["mean_jt"] == 6.0
+    var = (36 * 15 - 3 * (4 * 7)) / 72.0
+    assert r["var_jt"] == round(var, 6)
+    assert r["z"] == math.copysign(
+        math.floor(abs(6.0 / math.sqrt(var)) * 1e6 + 0.5), 1
+    ) / 1e6
+    down = [(g, -v) for g, v in up]
+    rd = jonckheere_terpstra(
+        spark.createDataFrame(down, "g string, v double"), "g", "v"
+    ).first()
+    assert rd["jt_stat"] == 0.0 and rd["z"] == -r["z"]
+    tied = [(g, 7.0) for g, _ in up]
+    rt = jonckheere_terpstra(
+        spark.createDataFrame(tied, "g string, v double"), "g", "v"
+    ).first()
+    assert rt["jt_stat"] == 6.0 and rt["z"] == 0.0
+
+
+def test_video_shot_stats_oracle(spark, duck):
+    """Shot structure over the q239 planted-cut fixture; the oracle
+    regenerates every dHash and replays the island run lengths."""
+    from osmapreduceproject_spark.operators.multimodal import (
+        arith_video_frames,
+        video_shot_stats,
+    )
+    from osmapreduceproject_spark.queries_r9 import _scene_hash_sql
+
+    frames = arith_video_frames(
+        spark, n_videos=24, n_frames=12, cut_at=6, width=16, height=12,
+        delta_bytes=12,
+    )
+    got = video_shot_stats(frames, max_hamming=10)
+    sql = f"""
+    WITH frames AS (
+      SELECT v.vid, f.f,
+             CASE WHEN f.f < 6 THEN v.vid ELSE v.vid + 500 END AS m
+      FROM (SELECT unnest(range(24)) AS vid) v,
+           (SELECT unnest(range(12)) AS f) f),
+    hh AS (SELECT vid, f, {_scene_hash_sql(16, 12, 12)} AS hv FROM frames),
+    signed AS (
+      SELECT vid, f,
+             CAST(CASE WHEN hv >= CAST('9223372036854775808' AS HUGEINT)
+                       THEN hv - CAST('18446744073709551616' AS HUGEINT)
+                       ELSE hv END AS BIGINT) AS dhash
+      FROM hh),
+    lagged AS (
+      SELECT vid, f, dhash,
+             LAG(dhash) OVER (PARTITION BY vid ORDER BY f) AS ph
+      FROM signed),
+    marked AS (
+      SELECT vid, f,
+             CASE WHEN ph IS NULL OR bit_count(xor(dhash, ph)) > 10
+                  THEN 1 ELSE 0 END AS st
+      FROM lagged),
+    ids AS (SELECT vid, f, SUM(st) OVER (PARTITION BY vid ORDER BY f) AS shot
+            FROM marked),
+    shots AS (SELECT vid, shot, COUNT(*) AS len FROM ids GROUP BY 1, 2),
+    a AS (SELECT vid, SUM(len) AS nf, COUNT(*) AS ns,
+                 MAX(len) AS lg, MIN(len) AS sh
+          FROM shots GROUP BY vid)
+    SELECT CAST(vid AS BIGINT) AS media_id, CAST(nf AS BIGINT) AS n_frames,
+           CAST(ns - 1 AS BIGINT) AS n_cuts, CAST(ns AS BIGINT) AS n_shots,
+           round(CAST(nf AS DOUBLE) / ns, 6) AS mean_shot_frames,
+           CAST(lg AS BIGINT) AS longest_shot_frames,
+           CAST(sh AS BIGINT) AS shortest_shot_frames
+    FROM a
+    """
+    assert compare(got, duck.execute(sql).df()) == []
+    rows = {r["media_id"]: r for r in got.collect()}
+    # the planted cut at frame 6 splits every clip into two 6-frame shots
+    assert all(rows[m]["n_shots"] == 2 for m in range(24))
+    assert all(rows[m]["longest_shot_frames"] == 6 for m in range(24))
+    assert all(rows[m]["mean_shot_frames"] == 6.0 for m in range(24))
+
+
+def test_video_shot_stats_known_cases(spark):
+    """Pins: a cut-free clip is one shot spanning every frame; the
+    shot axis counts ROWS, so sampled (gapped) indices still form one
+    shot when content is continuous."""
+    from osmapreduceproject_spark.operators.multimodal import (
+        arith_video_frames,
+        video_shot_stats,
+    )
+
+    clean = arith_video_frames(
+        spark, n_videos=2, n_frames=8, cut_at=8, width=16, height=12,
+        delta_bytes=12,
+    )
+    rows = video_shot_stats(clean, max_hamming=10).collect()
+    assert all(r["n_shots"] == 1 and r["n_cuts"] == 0 for r in rows)
+    assert all(r["longest_shot_frames"] == 8 for r in rows)
+    sampled = clean.where(F.col("frame_idx") % 2 == 0)
+    rs = video_shot_stats(sampled, max_hamming=10).collect()
+    assert all(r["n_frames"] == 4 and r["n_shots"] == 1 for r in rs)
