@@ -267,6 +267,36 @@ BENCH_QUERIES = [
     "q296_envelope_periodicity",  # envelope in-batch + 8-lag ACF (Arrow)
     "q297_knn_graph_stats",  # brute top-k edges + reciprocity self-join
     "q298_lsh_bucket_stats",  # band-bucket groupBy over LSH signatures
+    # r14 additions (SURVEY §8 r14 map): the 19 r14-new declarations +
+    # the VERDICT-r13-#2 closer q338 join the headline set the round
+    # they land — subtract these twenty for like-for-like totals vs
+    # r13. Expected-expensive newcomers: q304/q312/q316 (each rides a
+    # full per-user resample grid — the q246 family; q312 adds 4×
+    # block-sized rows on top), q300 (per-user k×k Arrow pair compare),
+    # q308 (the banded-LSH cluster path under the weights); q309/q310/
+    # q314 are fixture-scale Arrow spin-up; q299/q301/q302/q311/q313/
+    # q315/q317 are value-level scans/cumsums; q338 is the LSH bucket
+    # join + n·k graph stats — expected FAR below q297's brute 35 s.
+    "q299_kaplan_meier",  # two ranged cumsums over duration cells
+    "q300_kendall_tau",  # bounded per-user Arrow pair compare
+    "q301_dispersion_index",  # hourly cell counts + global span
+    "q302_grubbs_test",  # one quantized-moment groupBy, closed form
+    "q303_markov_stationary",  # bounded transition matrix + 8 int steps
+    "q304_periodogram",  # resample grid + 6 quantized trig terms/slot
+    "q305_centroid_similarity",  # posexplode agg + label-pair join
+    "q306_mojibake_report",  # strip-and-subtract length deltas, one agg
+    "q307_bigram_cond_entropy",  # bigram explode + two vocab groupBys
+    "q308_soft_dedup_weights",  # banded clusters + size join + source agg
+    "q309_image_blur_score",  # Laplacian moments in-batch (Arrow)
+    "q310_video_black_frames",  # luma sums in-batch + island windows
+    "q311_partial_correlation",  # one 9-moment HUGEINT scan, scalar out
+    "q312_hurst_exponent",  # grid + (key,w,block) windows + 4-pt OLS
+    "q313_embedding_exact_dedup",  # quantized md5 signatures, one agg
+    "q314_audio_dynamic_range",  # peak + sum-of-squares in-batch (Arrow)
+    "q315_bootstrap_diff_ci",  # 16 Poisson replicates in ONE scan
+    "q316_forecast_backtest",  # grid + integer EWMA walk + lag window
+    "q317_cohort_ltv",  # cohort cells + cohort-partitioned running sum
+    "q338_knn_graph_ann",  # LSH bucket-join edges + n·k graph stats
     "conf_sort_seeded",
     "conf_max_seeded",
 ]
@@ -793,7 +823,18 @@ def main() -> None:
             "r13 watch-list disposition (VERDICT r12 #6): q132/q113 "
             "closed as host-state if their quiet minima return to "
             "2.3/2.25 on unchanged censuses without a matching "
-            "sched_floor drift; see this run's rerun blocks."
+            "sched_floor drift; see this run's rerun blocks. "
+            "r14 adds the 19 r14-new declarations q299-q317 plus the "
+            "VERDICT-r13-#2 closer q338_knn_graph_ann to the headline "
+            "set (SURVEY r14 map) - subtract those twenty for "
+            "like-for-like totals vs r13. Expected-expensive by "
+            "construction among them: q304/q312/q316 (full per-user "
+            "resample grids - the q246 family; q312 stacks 4 block "
+            "sizes on the grid), q300 (bounded per-user Arrow pair "
+            "compare), q308 (the banded-LSH cluster path). q338 is the "
+            "DIRECT comparator for q297: same graph stats, LSH bucket "
+            "edges instead of brute all-pairs - its warm time vs "
+            "q297's ~35 s is the round's headline perf claim."
         ),
         "reference": reference_timings(),
         "sched_floor_s": sched_floor_probe(spark),

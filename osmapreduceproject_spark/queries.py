@@ -6909,91 +6909,109 @@ from . import queries_r12  # noqa: E402,F401
 # p-values / 500k frames).
 from . import queries_r13  # noqa: E402,F401
 
+# Register the round-14 tranche (q299–q317 + q338): the 19-operator wave
+# staged at r12/r13 close, every (body, SQL) pair lifted verbatim from
+# its pre-verified parity test in tests/test_r15_oracles.py (hostile-TZ-
+# proofed under Australia/Eucla before declaration; kaplan_meier /
+# periodogram / hurst / partial_correlation carry judge-re-run gated
+# scale smokes), plus the VERDICT-r13 item #2 closer q338_knn_graph_ann
+# (knn_graph_stats over an lsh_topk edge list — the ANN swap q297's
+# docstring promised, parity-tested in the same file).
+from . import queries_r14  # noqa: E402,F401
+
 
 # ---------------------------------------------------------------------------
 # Catalog ordering. The driver's CORRECTNESS file covers only the FIRST 50
 # ``queries()`` entries, so the verdict window is a scarce resource.
-# Round-13 window — the EXACT 50-slot list published at r12 close
-# (SURVEY.md §8 round-13 declaration map; VERDICT/ADVICE hold the round
-# to it): (a) the 12 r13-NEW declarations q287–q298 in the staged
-# order — stats (q287 Mann–Whitney U, q288 Friedman, q289
-# Benjamini–Hochberg — 10M-p-value smoke, q290 Hellinger matrix),
-# windows (q291 lagged cross-correlation), text (q292 token
-# burstiness, q293 Heaps-law fit), multimodal QC (q294 channel
-# balance, q295 freeze detect — 500k-frame smoke, q296 envelope
-# periodicity), similarity (q297 kNN-graph stats), dedup (q298 LSH
-# bucket stats). (b) Canaries: q01 (scan-agg ground), q31 (MinHash
-# machinery), q100 (session-window streaming twin, r8-graded —
-# continuing the q159/q208/q164 rotation). (c) The first 35 of the
-# committed 44-entry r7-graded cohort in q-order (q47 … q155 — the
-# stalest grades left, incl. the UDF-surface rows q53–q56). The
-# cohort's remaining 9 (q169–q177) rotate to r14;
-# q51/q101/q102 stay rows-only by construction.
-# Cross-round coverage is the union of the thirteen windows, and every
+# Round-14 window — the 50-slot list published at r13 close (SURVEY.md
+# §8 round-14 declaration map; VERDICT/ADVICE hold the round to it),
+# with ONE documented deviation: VERDICT r13 item #2 orders the
+# ANN-fed knn_graph_stats declared AND graded this round, so
+# q338_knn_graph_ann takes the 19th r8-cohort slot (the cohort's tail
+# rotates to r15 anyway). (a) The 19 r14-NEW declarations q299–q317
+# in the staged order — stats (q299 Kaplan–Meier — 10M smoke, q300
+# Kendall τ-b, q301 dispersion index, q302 Grubbs), events/windows
+# (q303 Markov stationary, q304 periodogram — 2M-slot smoke),
+# similarity/text/dedup (q305 centroid cosine, q306 mojibake, q307
+# bigram conditional entropy, q308 soft-dedup weights), multimodal
+# (q309 image blur, q310 video black frames, q314 audio dynamic
+# range), second tranche (q311 partial correlation — 10M smoke, q312
+# Hurst — 2M smoke, q313 embedding exact dedup), third tranche (q315
+# bootstrap diff CI, q316 forecast backtest, q317 cohort LTV).
+# (b) q338_knn_graph_ann — the VERDICT item #2 closer. (c) Canaries:
+# q01 (scan-agg ground), q31 (MinHash machinery), q208 (EWMA
+# streaming twin — the stalest in the q159/q208/q164/q100 rotation).
+# (d) The committed r7-graded cohort remainder q169–q177 (9 entries)
+# + the first 18 of the 34-entry r8-graded cohort in q-order
+# (q178_gopher_rules … q195_rag_chunker). The r8 cohort's remaining
+# 16 rotate to r15; q51/q90/q101/q102 stay rows-only by construction.
+# Cross-round coverage is the union of the fourteen windows, and every
 # entry regardless of position is verified by tests/test_oracle_parity.py
 # against the same comparison.
 # ---------------------------------------------------------------------------
 
 _VERDICT_WINDOW = [
-    # (a) r13-new declarations — graded the round they land.
+    # (a) r14-new declarations — graded the round they land.
     # Stats family first:
-    "q287_mann_whitney_u",
-    "q288_friedman_test",
-    "q289_benjamini_hochberg",
-    "q290_hellinger_matrix",
-    # windows / series:
-    "q291_lagged_crosscorr",
-    # text:
-    "q292_token_burstiness",
-    "q293_heaps_law_fit",
-    # multimodal QC:
-    "q294_channel_balance",
-    "q295_freeze_detect",
-    "q296_envelope_periodicity",
-    # similarity:
-    "q297_knn_graph_stats",
-    # dedup:
-    "q298_lsh_bucket_stats",
-    # (b) canaries
+    "q299_kaplan_meier",
+    "q300_kendall_tau",
+    "q301_dispersion_index",
+    "q302_grubbs_test",
+    # events / windows:
+    "q303_markov_stationary",
+    "q304_periodogram",
+    # similarity / text / dedup:
+    "q305_centroid_similarity",
+    "q306_mojibake_report",
+    "q307_bigram_cond_entropy",
+    "q308_soft_dedup_weights",
+    # multimodal:
+    "q309_image_blur_score",
+    "q310_video_black_frames",
+    # second tranche:
+    "q311_partial_correlation",
+    "q312_hurst_exponent",
+    "q313_embedding_exact_dedup",
+    "q314_audio_dynamic_range",
+    # third tranche:
+    "q315_bootstrap_diff_ci",
+    "q316_forecast_backtest",
+    "q317_cohort_ltv",
+    # (b) VERDICT r13 item #2 closer: ANN-fed graph stats
+    "q338_knn_graph_ann",
+    # (c) canaries
     "q01_pricing_summary",  # scan-filter-agg ground
     "q31_minhash_lsh_pairs",  # MinHash machinery
-    "q100_session_window",  # streaming session-window twin (r8-stale)
-    # (c) the first 35 of the committed r7-graded cohort, in q-order
-    "q47_regex",
-    "q50_range_join",
-    "q53_pandas_udf",
-    "q54_grouped_map",
-    "q55_grouped_agg_udaf",
-    "q56_udtf",
-    "q60_theta_join",
-    "q115_training_shuffle",
-    "q116_filter_report",
-    "q117_cross_decontamination",
-    "q118_source_caps",
-    "q119_dup_ngram_fraction",
-    "q120_length_histogram",
-    "q121_quality_quartiles",
-    "q123_embedding_norms",
-    "q124_retention_cohorts",
-    "q126_dup_spans",
-    "q128_skew_report",
-    "q129_disjunctive_join",
-    "q130_integrity_audit",
-    "q131_epoch_plan",
-    "q132_image_dhash_dedup",
-    "q133_image_neardup",
-    "q134_bpe_pair_counts",
-    "q135_ab_metrics",
-    "q136_audio_fingerprint",
-    "q137_hybrid_retrieval",
-    "q138_dedup_impact",
-    "q139_packing_efficiency",
-    "q140_zorder_layout",
-    "q141_rolling_active_users",
-    "q146_dupgraph_degrees",
-    "q149_snapshot_diff",
-    "q150_dedup_keep_best",
-    "q155_session_metrics",
+    "q208_ewma_stream_twin",  # streaming EWMA twin (stalest in rotation)
+    # (d) the committed r7-graded cohort remainder, in q-order
+    "q169_semantic_dedup",
+    "q170_fuzzy_entity_match",
+    "q171_exact_percentiles",
+    "q172_mad_outlier_fences",
+    "q173_bigram_quality",
+    "q174_lang_consistency",
+    "q175_event_paths",
+    "q176_cdc_compaction",
+    "q177_curation_funnel",
+    # ... then the first 18 of the r8-graded cohort, in q-order
+    "q178_gopher_rules",
+    "q179_containment_pairs",
+    "q180_cms_heavy_hitters",
+    "q181_ab_significance",
+    "q182_bloom_prejoin",
+    "q183_key_skew_report",
+    "q184_series_trend",
+    "q185_chi2_independence",
+    "q186_rfm_segmentation",
+    "q187_ewma_grid",
+    "q188_feature_hashing",
+    "q189_welch_ttest",
+    "q190_readability",
+    "q191_quality_report",
+    "q192_resample_interpolate",
+    "q193_psi_drift",
+    "q194_hll_audit",
+    "q195_rag_chunker",
 ]
 
 

@@ -1,0 +1,1135 @@
+"""Round-14 catalog tranche: the staged-operator declarations (q299–q317).
+
+Every entry was pre-verified a round early — its Spark body and oracle
+SQL are the same (body, SQL) pair its parity test ran green before
+declaration (tests/test_r15_oracles.py, SURVEY.md §8 staging
+discipline, seventh declaration tranche after r8/r9/r10/r11/r12/r13;
+the whole staged file additionally re-ran green under the hostile
+Australia/Eucla session zone before the declaring round opened, and
+kaplan_meier / periodogram / hurst_exponent / partial_correlation
+carry judge-re-run gated scale smokes at 10M durations / 2M slots /
+2M slots / 10M rows). Split out of queries.py for file hygiene; the
+registration decorator, fixture readers, and cross-engine float rules
+(queries.py module docstring) are shared.
+
+Imported by queries.py immediately before the verdict-window rotation,
+so these entries participate in the same QUERIES dict, the same
+tests/test_oracle_parity.py sweep, and the same driver grading.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .functions.hashing import md5_int_sql
+from .operators.dedup import soft_dedup_weights
+from .operators.events import cohort_ltv, markov_stationary
+from .operators.multimodal import (
+    arith_raw_audio,
+    arith_raw_images_blurred,
+    arith_video_frames_black,
+    audio_dynamic_range,
+    image_blur_score,
+    video_black_frames,
+)
+from .operators.similarity import centroid_similarity, embedding_exact_dedup
+from .operators.stats import (
+    _POIS1_CDF,
+    bootstrap_diff_ci,
+    dispersion_index,
+    grubbs_test,
+    kaplan_meier,
+    kendall_tau,
+    partial_correlation,
+)
+from .operators.text import bigram_conditional_entropy, mojibake_report
+from .operators.windows import forecast_backtest, hurst_exponent, periodogram
+from .operators.similarity import knn_graph_stats, lsh_topk
+from .queries import _JACCARD_PAIRS_CTE, _cosine_sql, _sparse_sig_sql, _t, q
+from .queries_r8 import _RESAMPLE_CTE
+
+# ---------------------------------------------------------------------------
+# stats family
+# ---------------------------------------------------------------------------
+
+_KM_CHURN_US = 24 * 3600 * 1_000_000  # churned = inactive for the final day
+
+
+@q(
+    "q299_kaplan_meier",
+    f"""
+    WITH u AS (SELECT user_id, MIN(epoch_us(ts)) AS lo, MAX(epoch_us(ts)) AS hi
+               FROM events GROUP BY user_id),
+    h AS (SELECT MAX(hi) AS hz FROM u),
+    obs AS (SELECT CAST((hi - lo) // 3600000000 AS DOUBLE) AS t,
+                   CASE WHEN hi < hz - {_KM_CHURN_US} THEN 1 ELSE 0 END AS e
+            FROM u, h),
+    per AS (SELECT t, COUNT(*) AS c, SUM(e) AS d FROM obs GROUP BY t),
+    tot AS (SELECT SUM(c) AS n FROM per),
+    cum AS (SELECT t, c, d, n, SUM(c) OVER (ORDER BY t) AS cc FROM per, tot),
+    risk AS (SELECT t, c, d, n - (cc - c) AS nr FROM cum),
+    de AS (SELECT t, nr, d, c - d AS cens,
+                  CASE WHEN d < nr THEN CAST(round(
+                    ln(CAST(nr - d AS DOUBLE) / nr) * 1000000) AS BIGINT)
+                  ELSE 0 END AS qln,
+                  CASE WHEN d = nr THEN 1 ELSE 0 END AS z
+           FROM risk WHERE d > 0),
+    fin AS (SELECT t, nr, d, cens,
+                   SUM(qln) OVER (ORDER BY t) AS cq,
+                   SUM(z) OVER (ORDER BY t) AS cz
+            FROM de)
+    SELECT t, CAST(nr AS BIGINT) AS n_risk, CAST(d AS BIGINT) AS n_events,
+           CAST(cens AS BIGINT) AS n_censored,
+           CASE WHEN cz > 0 THEN 0.0
+                ELSE round(exp(CAST(cq AS DOUBLE) / 1000000), 6) END AS survival
+    FROM fin
+    """,
+    "Kaplan–Meier survival (operators/stats.py kaplan_meier over "
+    "per-user observed lifetimes in whole hours; a user still active "
+    "inside the stream's final day is right-CENSORED, not dead — the "
+    "standard churn shaping): the retention curve an "
+    "events-warehouse reads before any parametric lifetime model. "
+    "NEITHER pass sorts globally: the at-risk counts ride "
+    "_ranged_cumsum (value-level cells + bounded range offsets), and "
+    "the survival product becomes a SECOND ranged cumsum of "
+    "micro-quantized ln(1 − d/n) terms — both engines sum identical "
+    "integers, exp at the very end (judge-re-run 10M-duration / "
+    "100k-distinct scale smoke, seconds). A terminal death "
+    "(d = n_risk) pins S to exact 0 through the z-flag channel, "
+    "never exp(ln 0). Textbook 1,2†,3,4† pin: S(1)=3/4, S(3)=3/8.",
+)
+def q299(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    per = ev.groupBy("user_id").agg(
+        F.min(us).alias("__lo"), F.max(us).alias("__hi")
+    )
+    horizon = per.agg(F.max("__hi").alias("__hz"))
+    obs = per.crossJoin(F.broadcast(horizon)).select(
+        F.expr("(__hi - __lo) div 3600000000").cast("bigint").alias("dur_hours"),
+        (F.col("__hi") < F.col("__hz") - F.lit(_KM_CHURN_US)).cast("int").alias(
+            "churned"
+        ),
+    )
+    return kaplan_meier(obs, "dur_hours", "churned")
+
+
+@q(
+    "q300_kendall_tau",
+    """
+    WITH p AS (
+      SELECT user_id AS k,
+             CAST(round(CAST(value AS DOUBLE) * 1000000) AS BIGINT) AS qa,
+             CAST(round(CAST(len(props) AS DOUBLE) * 1000000) AS BIGINT) AS qb,
+             row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+      FROM events
+      WHERE value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))
+        AND props IS NOT NULL),
+    pr AS (SELECT a.k, sign(b.qa - a.qa) AS sa, sign(b.qb - a.qb) AS sb
+           FROM p a JOIN p b ON a.k = b.k AND a.rn < b.rn),
+    ag AS (SELECT k,
+                  SUM(CASE WHEN sa * sb > 0 THEN 1 ELSE 0 END) AS c,
+                  SUM(CASE WHEN sa * sb < 0 THEN 1 ELSE 0 END) AS d,
+                  SUM(CASE WHEN sa != 0 THEN 1 ELSE 0 END) AS nza,
+                  SUM(CASE WHEN sb != 0 THEN 1 ELSE 0 END) AS nzb
+           FROM pr GROUP BY k),
+    cnt AS (SELECT k, COUNT(*) AS n FROM p GROUP BY k)
+    SELECT cnt.k AS user_id, CAST(cnt.n AS BIGINT) AS n,
+           CAST(COALESCE(ag.c, 0) AS BIGINT) AS n_concordant,
+           CAST(COALESCE(ag.d, 0) AS BIGINT) AS n_discordant,
+           CASE WHEN ag.nza * ag.nzb > 0 THEN
+             round((ag.c - ag.d)
+                   / sqrt(CAST(ag.nza AS DOUBLE) * ag.nzb), 6) END AS tau_b
+    FROM cnt LEFT JOIN ag ON ag.k = cnt.k
+    """,
+    "Kendall τ-b per user between event value and props length "
+    "(operators/stats.py kendall_tau): the rank-concordance "
+    "complement of q59's Pearson and q252's Spearman machinery — "
+    "robust to monotone transforms AND exactly tie-aware through the "
+    "τ-b denominator. The O(n²) pair compare runs INSIDE each "
+    "bounded key group as an Arrow grouped map over JVM-quantized "
+    "integers (the q54 applyInPandas surface; a max_rows guard "
+    "raises loudly rather than letting one huge key go quadratic), "
+    "so nothing quadratic ever crosses the shuffle — the 100 TB "
+    "shape is one hash exchange on the key. Both engines compare "
+    "the IDENTICAL micro-quantized integers, so sign() agrees "
+    "bit-for-bit. Monotone τ=1 / reversed τ=−1 / all-tied NULL / "
+    "guard-trip pins unit-tested.",
+)
+def q300(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("value").cast("double").alias("v"),
+        F.length("props").cast("double").alias("plen"),
+    )
+    return kendall_tau(ev, "user_id", "v", "plen")
+
+
+@q(
+    "q301_dispersion_index",
+    """
+    WITH p AS (SELECT event_type AS g, epoch_us(ts) // 3600000000 AS w
+               FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+    span AS (SELECT MAX(w) - MIN(w) + 1 AS nw FROM p),
+    cells AS (SELECT g, w, COUNT(*) AS c FROM p GROUP BY 1, 2),
+    per AS (SELECT g, SUM(CAST(c AS HUGEINT)) AS s,
+                   SUM(CAST(c AS HUGEINT) * c) AS s2
+            FROM cells GROUP BY g)
+    SELECT g AS event_type, CAST(s AS BIGINT) AS n_events,
+           CAST(nw AS BIGINT) AS n_windows,
+           round(CAST(s AS DOUBLE) / nw, 6) AS mean_per_window,
+           round((CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / nw)
+                 / nw, 6) AS variance,
+           CASE WHEN s > 0 THEN round(
+             ((CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / nw)
+              / nw) / (CAST(s AS DOUBLE) / nw), 6) END AS dispersion_index
+    FROM per, span
+    """,
+    "Poisson dispersion index per event type (operators/stats.py "
+    "dispersion_index — variance-to-mean of hourly arrival counts "
+    "over the GLOBAL stream span): the burstiness screen beside "
+    "q292's per-token Church adaptation — index 1 = Poisson, > 1 = "
+    "clumped arrivals, < 1 = pacing. Empty windows are ZEROS in the "
+    "closed form (the span divides, zero cells never materialize), "
+    "window indexing FLOOR-divides the pmod-floored epoch (pre-1970 "
+    "events land in distinct windows — review-pinned), the reduced "
+    "cells frame persists so the span never re-reduces raw volume, "
+    "and the moments stay exact HUGEINT until one fixed finalize. "
+    "Regular-stream (index 0) and one-burst (index > 1) pins "
+    "unit-tested; NULL-typed events are excluded (ADVICE r12).",
+)
+def q301(spark, sf_dir):
+    return dispersion_index(_t(spark, sf_dir, "events"), "ts", "event_type", 3600)
+
+
+@q(
+    "q302_grubbs_test",
+    """
+    WITH p AS (
+      SELECT event_type AS g,
+             CAST(round(CAST(value AS DOUBLE) * 1000000) AS BIGINT) AS q
+      FROM events
+      WHERE value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))),
+    per AS (SELECT g, COUNT(*) AS n, SUM(CAST(q AS HUGEINT)) AS s,
+                   SUM(CAST(q AS HUGEINT) * q) AS s2,
+                   MIN(q) AS lo, MAX(q) AS hi
+            FROM p GROUP BY g),
+    fin AS (SELECT g, n, lo, hi,
+                   CAST(s AS DOUBLE) / n AS mq,
+                   (CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+                     / (n - 1.0) AS vq
+            FROM per)
+    SELECT g AS event_type, CAST(n AS BIGINT) AS n,
+           round(mq / 1000000, 6) AS mean,
+           CASE WHEN n >= 2 THEN round(sqrt(vq) / 1000000, 6) END AS stddev,
+           CASE WHEN n >= 3 AND vq > 0 THEN
+             round(greatest(hi - mq, mq - lo) / sqrt(vq), 6) END AS g_stat,
+           CASE WHEN n >= 3 AND vq > 0 THEN
+             CASE WHEN hi - mq >= mq - lo THEN CAST(hi AS DOUBLE) / 1000000
+                  ELSE CAST(lo AS DOUBLE) / 1000000 END END AS outlier_value,
+           CASE WHEN n >= 3 AND vq > 0 THEN
+             CASE WHEN hi - mq >= mq - lo THEN 'high' ELSE 'low' END
+           END AS outlier_side
+    FROM fin
+    """,
+    "Grubbs outlier test per event type (operators/stats.py "
+    "grubbs_test — max studentized deviate |x−mean|/s): the "
+    "single-outlier screen an eval pipeline runs before trusting a "
+    "group mean. ONE aggregation computes n, exact HUGEINT "
+    "quantized moments, min AND max — the suspect value comes from "
+    "the min/max CLOSED FORM (G is always attained at an extreme), "
+    "so there is no argmax join-back, no second scan, no window. "
+    "Degenerate groups degrade to NULL G (zero variance or n < 3), "
+    "never NaN. Planted-spike (side=high, value recovered exactly) "
+    "and NULL-G pins unit-tested; G ≤ (n−1)/√n bound asserted on "
+    "real data.",
+)
+def q302(spark, sf_dir):
+    return grubbs_test(_t(spark, sf_dir, "events"), "event_type", "value")
+
+
+# ---------------------------------------------------------------------------
+# events / windows families
+# ---------------------------------------------------------------------------
+
+_MARKOV_ITS = [
+    "it0 AS (SELECT s.s AS j, CAST(floor(1000000000000.0 / ns.c + 0.5)"
+    " AS BIGINT) AS pi FROM states s, ns)"
+]
+for _k in range(1, 9):
+    _MARKOV_ITS.append(
+        f"it{_k} AS (SELECT p.j AS j, CAST(SUM(CAST(floor(it{_k-1}.pi * p.p"
+        f" + 0.5) AS BIGINT)) AS BIGINT) AS pi FROM it{_k-1}"
+        f" JOIN p ON p.i = it{_k-1}.j GROUP BY p.j)"
+    )
+
+
+@q(
+    "q303_markov_stationary",
+    f"""
+    WITH pairs AS (
+      SELECT event_type AS f,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t
+      FROM events),
+    cnt AS (SELECT f, t, COUNT(*) AS n FROM pairs WHERE t IS NOT NULL
+            GROUP BY 1, 2),
+    tot AS (SELECT f, SUM(n) AS tn FROM cnt GROUP BY f),
+    states AS (SELECT DISTINCT event_type AS s FROM events),
+    ns AS (SELECT COUNT(*) AS c FROM states),
+    p AS (SELECT c.f AS i, c.t AS j, CAST(c.n AS DOUBLE) / tot.tn AS p
+          FROM cnt c JOIN tot ON tot.f = c.f
+          UNION ALL
+          SELECT s.s, s.s, 1.0 FROM states s
+          WHERE s.s NOT IN (SELECT f FROM tot)),
+    {", ".join(_MARKOV_ITS)}
+    SELECT s.s AS state, CAST(COALESCE(tot.tn, 0) AS BIGINT) AS n_out,
+           CAST(COALESCE(it8.pi, 0) AS DOUBLE) / 1000000000000.0
+             AS stationary_prob
+    FROM states s LEFT JOIN tot ON tot.f = s.s LEFT JOIN it8 ON it8.j = s.s
+    """,
+    "Markov stationary distribution over the event-type chain "
+    "(operators/events.py markov_stationary — 8 power-iteration "
+    "steps on the per-user transition matrix, absorbing self-loops "
+    "for terminal states): 'where does a user session settle' — the "
+    "long-run occupancy readout beside q235's raw transition counts "
+    "(which it reuses VERBATIM — one pairing implementation). The "
+    "iteration state is integer PICOPROBABILITIES: every engine "
+    "sums identical floor(π·p + 0.5) integers each step, so 8 "
+    "chained CTE iterations in DuckDB reproduce the driver-side "
+    "loop bit-for-bit — the matrix is bounded by distinct event "
+    "types (collect bounded by limit(max_states+1), loud guard "
+    "above), so the per-step work is a broadcast-scale join however "
+    "large the event stream. 2-cycle (0.5/0.5), absorbing terminal, "
+    "exact geometric-decay 0.998046875, NULL-bridge, and int-state "
+    "schema pins unit-tested.",
+)
+def q303(spark, sf_dir):
+    return markov_stationary(_t(spark, sf_dir, "events"))
+
+
+@q(
+    "q304_periodogram",
+    """
+    WITH obs AS (SELECT user_id AS k, epoch_us(ts) AS e,
+                        CAST(value AS DOUBLE) AS v FROM events),
+    o2 AS (SELECT k, e, MAX(v) AS v FROM obs GROUP BY k, e),
+    spans AS (SELECT k, MIN(e) AS lo, MAX(e) AS hi FROM o2 GROUP BY k),
+    grid AS (SELECT k, unnest(range(
+               CAST(ceil(lo / 3600000000.0) * 3600000000 AS BIGINT),
+               CAST(floor(hi / 3600000000.0) * 3600000000 AS BIGINT) + 1,
+               3600000000)) AS e
+             FROM spans),
+    rs AS (SELECT g.k, g.e // 1000000 AS slot_epoch, o.v
+           FROM grid g ASOF JOIN o2 o ON g.k = o.k AND o.e <= g.e),
+    pk AS (SELECT k, MIN(slot_epoch) AS s0,
+                  SUM(CAST(round(v * 1000000) AS BIGINT)) AS sq,
+                  COUNT(v) AS nv
+           FROM rs GROUP BY k),
+    c AS (SELECT rs.k, (rs.slot_epoch - pk.s0) // 3600 AS t,
+                 rs.v - (CAST(pk.sq AS DOUBLE) / pk.nv) / 1000000 AS vc
+          FROM rs JOIN pk ON pk.k = rs.k
+          WHERE rs.v IS NOT NULL AND pk.nv >= 2),
+    terms AS (SELECT c.k, pp.p,
+                CAST(round(c.vc * cos((6.283185307179586 * (c.t % pp.p)) / pp.p)
+                           * 1000000) AS BIGINT) AS a,
+                CAST(round(c.vc * sin((6.283185307179586 * (c.t % pp.p)) / pp.p)
+                           * 1000000) AS BIGINT) AS b
+              FROM c, (SELECT unnest([2, 3, 4, 6, 8, 12]) AS p) pp),
+    g AS (SELECT k, p, SUM(a) AS aq, SUM(b) AS bq, COUNT(*) AS n
+          FROM terms GROUP BY 1, 2),
+    scored AS (SELECT k, p, CAST(n AS BIGINT) AS n_slots,
+                 round((CAST(aq AS DOUBLE) / 1000000 * (CAST(aq AS DOUBLE) / 1000000)
+                        + CAST(bq AS DOUBLE) / 1000000 * (CAST(bq AS DOUBLE) / 1000000))
+                       / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS power
+               FROM g)
+    SELECT k AS user_id, CAST(p AS INTEGER) AS period, n_slots, power,
+           (row_number() OVER (PARTITION BY k ORDER BY power DESC, p ASC) = 1)
+             AS is_best
+    FROM scored
+    """,
+    "Fixed-period DFT periodogram per user (operators/windows.py "
+    "periodogram — power at candidate periods 2/3/4/6/8/12 hours "
+    "over the forward-filled hourly grid): 'does this series have a "
+    "daily-fraction rhythm' — the seasonality detector beside "
+    "q259's STL-ish decomposition, restricted to a FIXED candidate "
+    "set so the work is 6 quantized trig terms per slot, never an "
+    "FFT. Rides the SHARED resample grid (q72 machinery: per-key "
+    "span → sequence → as-of fill), centers with quantized means, "
+    "pins the 2π literal so both engines compute identical trig "
+    "arguments, and sums exact micro-quantized terms — power "
+    "finalizes once (judge-re-run 2M-slot / 12M-term scale smoke). "
+    "Sine-lattice pin: period-4 lattice peaks at p=4 with power "
+    "0.25, harmonics < 0.01.",
+)
+def q304(spark, sf_dir):
+    return periodogram(
+        _t(spark, sf_dir, "events"), key="user_id", ts="ts", value_col="value",
+        step_seconds=3600,
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity / text / dedup families
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "q305_centroid_similarity",
+    """
+    WITH ex AS (
+      SELECT label AS g, i - 1 AS pos,
+             CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS q
+      FROM embeddings,
+           LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) u),
+    cent AS (SELECT g, pos, SUM(CAST(q AS HUGEINT)) AS s, COUNT(*) AS n
+             FROM ex GROUP BY 1, 2),
+    m AS (SELECT g, pos, CAST(s AS DOUBLE) / n AS m FROM cent),
+    norms AS (SELECT g, SUM(CAST(round(m * m / 1000000) AS BIGINT)) AS nrm
+              FROM m GROUP BY g),
+    counts AS (SELECT label AS g, COUNT(*) AS cnt FROM embeddings
+               WHERE embedding IS NOT NULL GROUP BY 1),
+    dots AS (SELECT a.g AS ga, b.g AS gb,
+                    SUM(CAST(round(a.m * b.m / 1000000) AS BIGINT)) AS dot
+             FROM m a JOIN m b ON a.pos = b.pos AND a.g < b.g GROUP BY 1, 2)
+    SELECT d.ga AS group_a, d.gb AS group_b,
+           CAST(ca.cnt AS BIGINT) AS n_a, CAST(cb.cnt AS BIGINT) AS n_b,
+           CASE WHEN na.nrm > 0 AND nb.nrm > 0 THEN
+             round(CAST(d.dot AS DOUBLE)
+                   / sqrt(CAST(na.nrm AS DOUBLE) * nb.nrm), 6) END AS cosine
+    FROM dots d JOIN norms na ON na.g = d.ga JOIN norms nb ON nb.g = d.gb
+                JOIN counts ca ON ca.g = d.ga JOIN counts cb ON cb.g = d.gb
+    """,
+    "Label-centroid cosine matrix (operators/similarity.py "
+    "centroid_similarity over the embeddings table): 'how separable "
+    "are my labels in embedding space' — the class-geometry readout "
+    "a curriculum/eval pipeline checks before training a classifier "
+    "head. ONE posexplode aggregation reduces vectors to per-(label, "
+    "dim) quantized means; everything after is bounded by "
+    "labels × dims (the pair join is label-level, never row-level), "
+    "so the 100 TB shape is one narrow exchange + centroid-scale "
+    "frames. Counts describe the population the centroid averages — "
+    "NULL-vector rows are excluded from n_a/n_b (ADVICE r12, "
+    "pinned). Parallel (cos 1) / orthogonal (cos 0) pins "
+    "unit-tested.",
+)
+def q305(spark, sf_dir):
+    return centroid_similarity(_t(spark, sf_dir, "embeddings"), "label")
+
+
+@q(
+    "q306_mojibake_report",
+    r"""
+    WITH d AS (SELECT source, COALESCE(text, '') AS t FROM documents),
+    per AS (SELECT source, length(t) AS len,
+      CAST(length(t) - length(replace(t, chr(65533), '')) AS BIGINT) AS repl,
+      CAST(length(t) - length(regexp_replace(t,
+        '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g')) AS BIGINT) AS ctrl,
+      CAST((length(t) - length(replace(t, 'â€', ''))) / 2 AS BIGINT) AS seq,
+      CAST(length(t) - length(replace(t, 'Ã', '')) AS BIGINT) AS at
+      FROM d)
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN repl + ctrl + seq > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_flagged,
+           CAST(SUM(repl) AS BIGINT) AS n_replacement,
+           CAST(SUM(ctrl) AS BIGINT) AS n_control,
+           CAST(SUM(seq) AS BIGINT) AS n_utf8_digraph,
+           CAST(SUM(at) AS BIGINT) AS n_a_tilde,
+           CASE WHEN SUM(len) > 0 THEN
+             round(CAST(SUM(repl) + SUM(ctrl) + SUM(seq) AS DOUBLE) * 1000
+                   / SUM(len), 6) END AS markers_per_kchar
+    FROM per GROUP BY source
+    """,
+    "Encoding-damage (mojibake) report per source "
+    "(operators/text.py mojibake_report): U+FFFD replacement chars, "
+    "C0/DEL control bytes, and the â€-digraph double-decode "
+    "signature counted as EXACT length deltas (strip-and-subtract — "
+    "narrow codegen string ops, no regex extraction loop, no UDF); "
+    "the lone Ã count is informational only, so legitimate "
+    "'SÃO PAULO' text never flags (pinned). The per-doc flag "
+    "aggregates map-side into one row per source — the corpus-hygiene "
+    "screen beside q116's filter report that tells an ingest "
+    "pipeline WHICH upstream source is feeding it double-decoded "
+    "text. Planted-damage pin: one marker of each class lands in "
+    "the right counter.",
+)
+def q306(spark, sf_dir):
+    return mojibake_report(_t(spark, sf_dir, "documents"))
+
+
+@q(
+    "q307_bigram_cond_entropy",
+    """
+    WITH t AS (SELECT source, string_split(text, ' ') AS a
+               FROM documents WHERE text IS NOT NULL),
+    big AS (SELECT source, a[i] AS x, a[i + 1] AS y
+            FROM t, LATERAL (SELECT unnest(range(1, len(a))) AS i) u
+            WHERE len(a) >= 2),
+    cxy AS (SELECT source, x, y, COUNT(*) AS c FROM big GROUP BY 1, 2, 3),
+    cx AS (SELECT source, x, SUM(c) AS cx FROM cxy GROUP BY 1, 2),
+    j AS (SELECT cxy.source, cxy.x, cxy.c,
+                 CAST(round(cxy.c * log2(CAST(cxy.c AS DOUBLE) / cx.cx)
+                            * 1000000) AS BIGINT) AS t
+          FROM cxy JOIN cx ON cx.source = cxy.source AND cx.x = cxy.x)
+    SELECT source, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+           CAST(COUNT(*) AS BIGINT) AS n_bigram_types,
+           CAST(COUNT(DISTINCT x) AS BIGINT) AS n_prefix_types,
+           round(-CAST(SUM(t) AS DOUBLE) / 1000000 / SUM(c), 6)
+             AS cond_entropy_bits
+    FROM j GROUP BY source
+    """,
+    "Bigram conditional entropy H(next|token) per source "
+    "(operators/text.py bigram_conditional_entropy): catches "
+    "phrase-level template loops that q120/q230's UNIGRAM entropy "
+    "misses — a corpus that repeats 'click here to subscribe' has "
+    "healthy unigram diversity but near-zero next-token surprise. "
+    "ONE pair population (the shared tokens() helper posexploded "
+    "with its successor) feeds both the bigram and prefix counts; "
+    "quantized c·log2(c/cx) terms sum exactly in both engines; the "
+    "100 TB shape is two hash aggregations on (source, x[, y]) — "
+    "vocabulary-level frames, never document-level state. Loop pin "
+    "H = 0; uniform 2-way branch pin H = 1 exactly.",
+)
+def q307(spark, sf_dir):
+    return bigram_conditional_entropy(_t(spark, sf_dir, "documents"))
+
+
+@q(
+    "q308_soft_dedup_weights",
+    f"""
+    WITH RECURSIVE
+    {_JACCARD_PAIRS_CTE},
+    edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+              UNION ALL SELECT b_id, a_id FROM pairs),
+    walk AS (
+      SELECT doc_id AS node, doc_id AS label FROM documents
+      UNION
+      SELECT e.src AS node, w.label FROM edges e JOIN walk w ON w.node = e.dst),
+    clusters AS (SELECT node AS doc_id, MIN(label) AS cluster_id
+                 FROM walk GROUP BY node),
+    ksz AS (SELECT cluster_id, COUNT(*) AS k FROM clusters GROUP BY 1),
+    wts AS (SELECT c.doc_id,
+                   CAST(floor(1000000.0 / s.k + 0.5) AS BIGINT) AS wq
+            FROM clusters c JOIN ksz s USING (cluster_id)),
+    g AS (SELECT d.source, COUNT(*) AS n, SUM(w.wq) AS eff
+          FROM wts w JOIN documents d ON d.doc_id = w.doc_id GROUP BY 1)
+    SELECT source, CAST(n AS BIGINT) AS n_docs,
+           round(CAST(eff AS DOUBLE) / 1000000, 6) AS effective_docs,
+           round(1.0 - CAST(eff AS DOUBLE) / 1000000 / n, 6) AS dedup_discount
+    FROM g
+    """,
+    "Soft-dedup training weights (operators/dedup.py "
+    "soft_dedup_weights — 1/cluster-size per-document weights over "
+    "the SAME dedup_clusters assignment the hard-dedup path uses): "
+    "the 'keep everything, downweight copies' alternative to q113's "
+    "hard drop — total training mass per near-dup cluster is exactly "
+    "1, so effective_docs per source reads how much UNIQUE signal a "
+    "source contributes. Weights quantize to micro-units with the "
+    "shared half-up recipe and the per-source mass sums exact "
+    "integers (DECIMAL(38,0) — ADVICE r12, no double drift at "
+    "corpus scale); the plan on top of the cluster assignment is one "
+    "broadcast-scale size join + one source aggregation. 3-copies "
+    "pin: effective mass 3·(1/3)+1 = 2 of 4 raw, discount 0.5.",
+)
+def q308(spark, sf_dir):
+    return soft_dedup_weights(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# multimodal family
+# ---------------------------------------------------------------------------
+
+# the arith_raw_images pixel formula as a SQL fragment (i is an expression)
+def _px(i: str) -> str:
+    return f"((31*m + 7*({i}) + (({i})*({i}))%251) % 256)"
+
+
+@q(
+    "q309_image_blur_score",
+    f"""
+    WITH mm AS (SELECT unnest(range(64)) AS m),
+    px AS (SELECT m, unnest(range(576)) AS i FROM mm),
+    bl AS (SELECT m, i,
+             CASE WHEN m % 2 = 1 AND ((i // 3) % 16) BETWEEN 1 AND 14
+                  THEN ({_px('i-3')} + {_px('i')} + {_px('i+3')}) // 3
+                  ELSE {_px('i')} END AS v
+           FROM px),
+    gray AS (SELECT m, i // 48 AS y, (i // 3) % 16 AS x, SUM(v) AS gv
+             FROM bl GROUP BY 1, 2, 3),
+    g2 AS (SELECT m, y, x, gv, lag(gv) OVER w AS gl, lead(gv) OVER w AS gr
+           FROM gray WINDOW w AS (PARTITION BY m, y ORDER BY x)),
+    lap AS (SELECT m, 2*gv - gl - gr AS l FROM g2
+            WHERE gl IS NOT NULL AND gr IS NOT NULL),
+    agg AS (SELECT m, COUNT(*) AS n, SUM(l) AS s,
+                   SUM(CAST(l AS HUGEINT)*l) AS s2, SUM(ABS(l)) AS sa
+            FROM lap GROUP BY m)
+    SELECT CAST(m AS BIGINT) AS media_id, CAST(n AS BIGINT) AS n_lap,
+           floor((CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE)*CAST(s AS DOUBLE)/n)/n
+                 * 1000000 + 0.5) / 1000000 AS lap_var,
+           floor(CAST(sa AS DOUBLE)/n * 1000000 + 0.5) / 1000000 AS mean_abs_lap
+    FROM agg
+    """,
+    "Image sharpness / blur score (operators/multimodal.py "
+    "image_blur_score — horizontal-Laplacian variance over RAW8 "
+    "grayscale sums): the focus-QC screen a vision-ingest pipeline "
+    "runs beside q294's color-cast and q285's exposure reports — "
+    "blur collapses second-derivative energy, so lap_var separates "
+    "sharp from soft scans without decoding beyond raw bytes. The "
+    "Laplacian, its exact integer moments, and the half-up finalize "
+    "all reduce INSIDE the Arrow batch — payloads never shuffle, one "
+    "summary row per image leaves the map (zero-exchange decode, "
+    "plan-pinned). The oracle regenerates every byte of the mixed "
+    "fixture INCLUDING the odd-id 3-tap floor blur, and the planted "
+    "blur must collapse lap_var below 0.6× sharp (asserted). "
+    "Flat-image (exact 0), width<3 (NULL, review-pinned), and "
+    "bad-payload (loud RAW8 error) pins unit-tested.",
+)
+def q309(spark, sf_dir):
+    imgs = arith_raw_images_blurred(spark, n=64, width=16, height=12)
+    return image_blur_score(imgs)
+
+
+@q(
+    "q310_video_black_frames",
+    """
+    WITH mm AS (SELECT unnest(range(288)) AS id),
+    fr AS (SELECT id // 12 AS m, id % 12 AS f FROM mm),
+    px AS (SELECT m, f, unnest(range(576)) AS i FROM fr),
+    v AS (SELECT m, f,
+            CASE WHEN f BETWEEN 5 AND 7
+                 THEN ((31*m + 7*i + (i*i)%251) % 8)
+                 ELSE ((31*m + 7*i + (i*i)%251
+                        + f * (CASE WHEN i < 12 THEN 1 ELSE 0 END)) % 256)
+            END AS b
+          FROM px),
+    s AS (SELECT m, f, SUM(b) AS lsum, COUNT(*) AS sz FROM v GROUP BY 1, 2),
+    mk AS (SELECT m, f, CASE WHEN lsum < 32 * sz THEN 1 ELSE 0 END AS blk FROM s),
+    bl AS (SELECT m, f, f - row_number() OVER (PARTITION BY m ORDER BY f) AS grp
+           FROM mk WHERE blk = 1),
+    runs AS (SELECT m, MAX(cnt) AS longest
+             FROM (SELECT m, grp, COUNT(*) AS cnt FROM bl GROUP BY 1, 2)
+             GROUP BY m),
+    base AS (SELECT m, COUNT(*) AS nf, SUM(blk) AS nb FROM mk GROUP BY m)
+    SELECT CAST(base.m AS BIGINT) AS media_id, CAST(nf AS BIGINT) AS n_frames,
+           CAST(nb AS BIGINT) AS n_black,
+           round(CAST(nb AS DOUBLE) / nf, 6) AS black_frac,
+           CAST(COALESCE(longest, 0) AS BIGINT) AS longest_black_run
+    FROM base LEFT JOIN runs ON runs.m = base.m
+    """,
+    "Video black-frame detection (operators/multimodal.py "
+    "video_black_frames — integer luma-sum threshold per frame, "
+    "island runs per video): finds fade-to-black spans, dead-air "
+    "leaders, and capture dropouts before a frame-sampling pipeline "
+    "wastes embedding budget on them — the darkness complement of "
+    "q295's freeze detector. Each frame reduces to ONE integer "
+    "luma sum inside the Arrow batch (threshold compares lsum "
+    "against 32·n_px in integers — no per-pixel floats, payloads "
+    "never shuffle); the run machinery is the shared "
+    "gaps-and-islands shape over frame_idx with the delta-1 rule, "
+    "so sampled/gapped videos never merge separated black frames "
+    "into one run (pinned). The oracle regenerates every byte of "
+    "the planted fade fixture: all 24 videos report exactly 3 black "
+    "frames, longest run 3, black_frac 0.25 (asserted).",
+)
+def q310(spark, sf_dir):
+    vids = arith_video_frames_black(
+        spark, n_videos=24, n_frames=12, black_from=5, black_len=3
+    )
+    return video_black_frames(vids)
+
+
+# ---------------------------------------------------------------------------
+# second staged tranche: partial correlation, Hurst, embedding dedup,
+# audio dynamic range
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "q311_partial_correlation",
+    """
+    WITH pool AS (
+      SELECT CAST(round(CAST(value AS DOUBLE) * 1000000) AS BIGINT) AS x,
+             CAST(round(CAST(len(props) AS DOUBLE) * 1000000) AS BIGINT) AS y,
+             CAST(round((epoch_us(ts) / 3600000000.0) * 1000000) AS BIGINT) AS z
+      FROM events
+      WHERE value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))
+        AND props IS NOT NULL AND ts IS NOT NULL),
+    s AS (SELECT COUNT(*) AS n,
+                 SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+                 SUM(CAST(z AS HUGEINT)) AS sz,
+                 SUM(CAST(x AS HUGEINT) * x) AS sxx,
+                 SUM(CAST(y AS HUGEINT) * y) AS syy,
+                 SUM(CAST(z AS HUGEINT) * z) AS szz,
+                 SUM(CAST(x AS HUGEINT) * y) AS sxy,
+                 SUM(CAST(x AS HUGEINT) * z) AS sxz,
+                 SUM(CAST(y AS HUGEINT) * z) AS syz
+          FROM pool),
+    v AS (SELECT n, n*sxx - sx*sx AS vxx, n*syy - sy*sy AS vyy,
+                 n*szz - sz*sz AS vzz, n*sxy - sx*sy AS vxy,
+                 n*sxz - sx*sz AS vxz, n*syz - sy*sz AS vyz
+          FROM s),
+    r AS (SELECT n,
+            CAST(vxy AS DOUBLE) / sqrt(CAST(vxx AS DOUBLE) * CAST(vyy AS DOUBLE)) AS rxy,
+            CAST(vxz AS DOUBLE) / sqrt(CAST(vxx AS DOUBLE) * CAST(vzz AS DOUBLE)) AS rxz,
+            CAST(vyz AS DOUBLE) / sqrt(CAST(vyy AS DOUBLE) * CAST(vzz AS DOUBLE)) AS ryz
+          FROM v WHERE vxx > 0 AND vyy > 0 AND vzz > 0)
+    SELECT CAST(n AS BIGINT) AS n, round(rxy, 6) AS r_xy, round(rxz, 6) AS r_xz,
+           round(ryz, 6) AS r_yz,
+           CASE WHEN (1 - rxz*rxz) * (1 - ryz*ryz) > 0 THEN
+             round((rxy - rxz*ryz) / sqrt((1 - rxz*rxz) * (1 - ryz*ryz)), 6)
+           END AS partial_r
+    FROM r
+    """,
+    "Partial correlation r(value, props-length | stream-hour) "
+    "(operators/stats.py partial_correlation): 'is the value–length "
+    "association real, or do both just drift with time' — the "
+    "confounder-controlled complement of q59's raw Pearson, the "
+    "first question an A/B readout faces when both metrics trend. "
+    "ONE scan computes all nine exact HUGEINT covariance terms over "
+    "micro-quantized columns; the three pairwise r's and the "
+    "partial finalize in one fixed-order expression (no join, no "
+    "window, no second pass — plan-pinned; judge-re-run 10M-row "
+    "smoke with a planted confounder collapses partial_r below "
+    "0.01). Direct y=x (partial ≈ 1) and spurious-through-z "
+    "(partial ≈ 0 while raw r > 0.9) pins unit-tested.",
+)
+def q311(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("value").alias("v"),
+        F.length("props").cast("double").alias("plen"),
+        (F.unix_micros("ts") / F.lit(3600000000.0)).alias("hrs"),
+    )
+    return partial_correlation(ev, "v", "plen", "hrs")
+
+
+@q(
+    "q312_hurst_exponent",
+    """
+    WITH obs AS (SELECT user_id AS k, epoch_us(ts) AS e,
+                        CAST(value AS DOUBLE) AS v FROM events),
+    o2 AS (SELECT k, e, MAX(v) AS v FROM obs GROUP BY 1, 2),
+    spans AS (SELECT k, MIN(e) AS lo, MAX(e) AS hi FROM o2 GROUP BY k),
+    grid AS (SELECT k, unnest(range(
+               CAST(ceil(lo / 3600000000.0) * 3600000000 AS BIGINT),
+               CAST(floor(hi / 3600000000.0) * 3600000000 AS BIGINT) + 1,
+               3600000000)) AS e
+             FROM spans),
+    rs_g AS (SELECT g.k, g.e // 1000000 AS slot_epoch, o.v
+             FROM grid g ASOF JOIN o2 o ON g.k = o.k AND o.e <= g.e),
+    q AS (SELECT k, slot_epoch, CAST(round(v * 1000000) AS BIGINT) AS q
+          FROM rs_g WHERE v IS NOT NULL),
+    s0 AS (SELECT k, MIN(slot_epoch) AS s0 FROM q GROUP BY k),
+    t AS (SELECT q.k, (q.slot_epoch - s0.s0) // 3600 AS t, q.q
+          FROM q JOIN s0 ON s0.k = q.k),
+    sz AS (SELECT t.k, ww.w, t.t % ww.w AS i, t.t // ww.w AS b, t.q
+           FROM t, (SELECT unnest([8, 16, 32, 64]) AS w) ww),
+    blocks AS (SELECT k, w, b, COUNT(*) AS cnt,
+                      SUM(CAST(q AS HUGEINT)) AS sq,
+                      SUM(CAST(q AS HUGEINT) * q) AS s2
+               FROM sz GROUP BY 1, 2, 3),
+    run AS (SELECT sz.k, sz.w, sz.b, blocks.sq, blocks.s2,
+              CAST(sz.w AS BIGINT)
+                * SUM(sz.q) OVER (PARTITION BY sz.k, sz.w, sz.b ORDER BY sz.i)
+              - (row_number() OVER (PARTITION BY sz.k, sz.w, sz.b ORDER BY sz.i))
+                * CAST(blocks.sq AS BIGINT) AS cd
+            FROM sz JOIN blocks
+              ON blocks.k = sz.k AND blocks.w = sz.w AND blocks.b = sz.b
+            WHERE blocks.cnt = sz.w),
+    pb AS (SELECT k, w, b, sq, s2, MAX(cd) - MIN(cd) AS rng
+           FROM run GROUP BY 1, 2, 3, 4, 5),
+    rsv AS (SELECT k, w, CAST(round(
+              ((CAST(rng AS DOUBLE) / w)
+               / sqrt(CAST(s2 AS DOUBLE)/w - (CAST(sq AS DOUBLE)/w)*(CAST(sq AS DOUBLE)/w)))
+              * 1000000) AS BIGINT) AS rsq
+            FROM pb
+            WHERE CAST(s2 AS DOUBLE)/w - (CAST(sq AS DOUBLE)/w)*(CAST(sq AS DOUBLE)/w) > 0),
+    pw AS (SELECT k, w, SUM(rsq) AS srs, COUNT(*) AS nb FROM rsv
+           GROUP BY 1, 2 HAVING SUM(rsq) > 0),
+    pts AS (SELECT k,
+              CAST(round(ln(CAST(w AS DOUBLE)) * 1000000) AS BIGINT) AS qx,
+              CAST(round(ln(CAST(srs AS DOUBLE) / nb / 1000000) * 1000000)
+                   AS BIGINT) AS qy
+            FROM pw),
+    ols AS (SELECT k, COUNT(*) AS np, SUM(qx) AS sx, SUM(qy) AS sy,
+                   SUM(qx*qy) AS sxy, SUM(qx*qx) AS sxx
+            FROM pts GROUP BY k)
+    SELECT k AS user_id, CAST(np AS BIGINT) AS n_sizes,
+           CASE WHEN np >= 2 AND np*sxx - sx*sx > 0 THEN
+             round(CAST(np*sxy - sx*sy AS DOUBLE)
+                   / CAST(np*sxx - sx*sx AS DOUBLE), 6) END AS hurst
+    FROM ols
+    """,
+    "Hurst exponent per user via R/S analysis (operators/windows.py "
+    "hurst_exponent — rescaled range over block sizes 8/16/32/64 on "
+    "the hourly grid, log–log OLS slope): the long-memory detector "
+    "beside q304's fixed-period rhythms — H > 0.5 = persistent "
+    "trends, H < 0.5 = mean-reverting, 0.5 = random walk. Rides the "
+    "SHARED resample grid; the centered cumulative deviation is an "
+    "INTEGER window per (key, size, block) — w·cumsum − i·blocksum "
+    "stays exact, so the block range is exact; block R/S quantizes "
+    "once; the OLS runs over ≤ 4 points per key (judge-re-run "
+    "2M-slot / 8M-sized-row scale smoke, every window "
+    "(key,w,block)-partitioned). Linear-trend (H ≈ 1) and strict "
+    "alternation (H ≈ 0) pins unit-tested.",
+)
+def q312(spark, sf_dir):
+    return hurst_exponent(
+        _t(spark, sf_dir, "events"), key="user_id", ts="ts", value_col="value",
+        step_seconds=3600,
+    )
+
+
+_EED_SIG = md5_int_sql(
+    "array_to_string(list_transform(embedding, "
+    "x -> CAST(CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT) AS VARCHAR)"
+    "), ',')"
+)
+
+
+@q(
+    "q313_embedding_exact_dedup",
+    f"""
+    WITH sigs AS (SELECT {_EED_SIG} AS sig FROM embeddings
+                  WHERE embedding IS NOT NULL),
+    per AS (SELECT sig, COUNT(*) AS n FROM sigs GROUP BY sig)
+    SELECT CAST(SUM(n) AS BIGINT) AS n_vectors,
+           CAST(COUNT(*) AS BIGINT) AS n_signatures,
+           CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups,
+           CAST(SUM(n - 1) AS BIGINT) AS n_redundant
+    FROM per
+    """,
+    "Embedding exact-dedup census (operators/similarity.py "
+    "embedding_exact_dedup — md5 signatures over 1e-4-quantized "
+    "coordinates): the vector-store hygiene count that finds "
+    "re-embedded copies and within-precision twins BEFORE any ANN "
+    "index is built — the embedding-space sibling of q30's exact "
+    "text dedup. Signatures hash the quantized coordinate string "
+    "with the shared cross-engine md5 family "
+    "(functions/hashing.py), so only 16-byte hashes ever shuffle, "
+    "never vectors; the census is one hash aggregation + one "
+    "summary row. An all-NULL pool reports ZEROS, never NULL sums "
+    "(review-pinned); within-precision twins collapse while a "
+    "distinct vector stays its own group (pinned).",
+)
+def q313(spark, sf_dir):
+    return embedding_exact_dedup(_t(spark, sf_dir, "embeddings"))
+
+
+@q(
+    "q314_audio_dynamic_range",
+    """
+    WITH mm AS (SELECT unnest(range(64)) AS m),
+    smp AS (SELECT m, unnest(range(2048)) AS i FROM mm),
+    w AS (SELECT m, ((17*m + 11*i + (i*i)%89) % 256) - 128 AS c FROM smp),
+    agg AS (SELECT m, COUNT(*) AS n, MAX(ABS(c)) AS peak,
+                   SUM(CAST(c AS HUGEINT) * c) AS s2
+            FROM w GROUP BY m)
+    SELECT CAST(m AS BIGINT) AS media_id, CAST(n AS BIGINT) AS n_samples,
+           CAST(peak AS BIGINT) AS peak,
+           floor(sqrt(CAST(s2 AS DOUBLE) / n) * 1000000 + 0.5) / 1000000 AS rms,
+           CASE WHEN peak > 0 AND sqrt(CAST(s2 AS DOUBLE) / n) > 0 THEN
+             floor(20.0 * log10(peak / sqrt(CAST(s2 AS DOUBLE) / n))
+                   * 1000000 + 0.5) / 1000000 END AS crest_db
+    FROM agg
+    """,
+    "Audio dynamic range / crest factor (operators/multimodal.py "
+    "audio_dynamic_range — 20·log10(peak/rms) over centered PCM8 "
+    "samples): the loudness-war QC screen beside q136's fingerprint "
+    "and q296's envelope periodicity — brick-walled/compressed "
+    "audio shows a LOW crest, clean speech a high one. Peak and the "
+    "exact HUGEINT sum-of-squares reduce INSIDE the Arrow batch "
+    "(payloads never shuffle, one row per clip leaves the map); rms "
+    "and crest finalize once with the shared half-up micro-unit "
+    "recipe. The oracle regenerates every fixture byte. Pins: "
+    "constant full-scale square wave = exact 0 dB, single impulse "
+    "matches the hand formula, silence → NULL crest (never a "
+    "divide-by-zero).",
+)
+def q314(spark, sf_dir):
+    return audio_dynamic_range(arith_raw_audio(spark, n=64, n_samples=2048))
+
+
+# ---------------------------------------------------------------------------
+# third staged tranche: bootstrap diff CI, forecast backtest, cohort LTV
+# ---------------------------------------------------------------------------
+
+
+def _bootstrap_diff_sql() -> str:
+    w_case = "CASE " + " ".join(
+        f"WHEN u{{b}} < {t!r} THEN {k}" for k, t in enumerate(_POIS1_CDF)
+    ) + " ELSE 8 END"
+    cols, sums = [], []
+    for g in range((16 + 2) // 3):
+        h = md5_int_sql(f"'bootdiff|' || CAST(event_id AS VARCHAR) || '|{g}'")
+        cols.append(f"{h} AS h{g}")
+    for b in range(16):
+        g, lane = b // 3, b % 3
+        cols.append(
+            f"CAST((h{g} >> {20 * lane}) % 1048576 AS DOUBLE) / 1048576.0 AS u{b}"
+        )
+        wb = w_case.format(b=b)
+        sums.append(
+            f"SUM(CASE WHEN ga THEN CAST({wb} AS HUGEINT) * xq END) AS swxa_{b}, "
+            f"SUM(CASE WHEN ga THEN CAST({wb} AS HUGEINT) END) AS swa_{b}, "
+            f"SUM(CASE WHEN NOT ga THEN CAST({wb} AS HUGEINT) * xq END) AS swxb_{b}, "
+            f"SUM(CASE WHEN NOT ga THEN CAST({wb} AS HUGEINT) END) AS swb_{b}"
+        )
+    diff_list = ", ".join(
+        f"CASE WHEN swa_{b} > 0 AND swb_{b} > 0 THEN "
+        f"CAST(swxa_{b} AS DOUBLE)/swa_{b}/1000000 "
+        f"- CAST(swxb_{b} AS DOUBLE)/swb_{b}/1000000 END"
+        for b in range(16)
+    )
+    return f"""
+    WITH base AS (
+      SELECT event_type = 'click' AS ga,
+             CAST(round(CAST(value AS DOUBLE) * 1000000) AS HUGEINT) AS xq,
+             {', '.join(cols)}
+      FROM events
+      WHERE value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))
+        AND event_type IN ('click', 'purchase')),
+    s AS (SELECT SUM(CASE WHEN ga THEN 1 ELSE 0 END) AS na,
+                 SUM(CASE WHEN NOT ga THEN 1 ELSE 0 END) AS nb,
+                 SUM(CASE WHEN ga THEN xq END) AS sxa,
+                 SUM(CASE WHEN NOT ga THEN xq END) AS sxb,
+                 {', '.join(sums)}
+          FROM base),
+    diffs AS (SELECT s.na, s.nb, s.sxa, s.sxb, unnest([{diff_list}]) AS d
+              FROM s),
+    ranked AS (SELECT na, nb, sxa, sxb, d,
+                      ROW_NUMBER() OVER (ORDER BY d) AS rk,
+                      COUNT(*) OVER () AS nd
+               FROM diffs WHERE d IS NOT NULL)
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           round(CAST(sxa AS DOUBLE)/na/1000000, 6) AS mean_a,
+           round(CAST(sxb AS DOUBLE)/nb/1000000, 6) AS mean_b,
+           round(CAST(sxa AS DOUBLE)/na/1000000
+                 - CAST(sxb AS DOUBLE)/nb/1000000, 6) AS diff,
+           round(MAX(CASE WHEN rk = greatest(1, CAST(ceil(0.025 * nd) AS BIGINT))
+                          THEN d END), 6) AS ci_lo,
+           round(MAX(CASE WHEN rk = greatest(1, CAST(ceil(0.975 * nd) AS BIGINT))
+                          THEN d END), 6) AS ci_hi,
+           16 AS n_resamples
+    FROM ranked GROUP BY na, nb, sxa, sxb
+    """
+
+
+@q(
+    "q315_bootstrap_diff_ci",
+    _bootstrap_diff_sql(),
+    "Two-group bootstrap difference-of-means CI "
+    "(operators/stats.py bootstrap_diff_ci — click − purchase value "
+    "means, B=16 streaming Poisson(1) replicates, id-seeded): the "
+    "distribution-free uncertainty band q135's A/B readout needs "
+    "before calling a winner — the two-sample extension of q197's "
+    "one-sample bootstrap, sharing the SAME _pois1_weight/"
+    "_boot_lane_u md5 ladder (one hashing implementation, q197 "
+    "parity re-verified after the extraction). Every replicate is "
+    "four weighted sums in ONE scan (no per-replicate pass — the "
+    "lazy one-scan aggregation is exposed so the plan pin asserts "
+    "it on the ACTUAL plan: one scan node, no join, no window); "
+    "groups prefilter before the md5 ladder; replicate diffs rank "
+    "by the ceil-rank rule over B values on the driver. "
+    "Separated-groups (0 far outside the CI, right sign) and "
+    "empty-group (loud error) pins unit-tested.",
+)
+def q315(spark, sf_dir):
+    return bootstrap_diff_ci(
+        _t(spark, sf_dir, "events"), "event_type", "value", "click", "purchase",
+        n_resamples=16, id_col="event_id",
+    )
+
+
+@q(
+    "q316_forecast_backtest",
+    f"""
+    WITH RECURSIVE {_RESAMPLE_CTE},
+    numbered AS (
+      SELECT k, slot_epoch, value,
+             ROW_NUMBER() OVER (PARTITION BY k ORDER BY slot_epoch) AS ord
+      FROM resampled),
+    walk AS (
+      SELECT k, ord, slot_epoch, value,
+             CAST(round(value * 1000000) AS BIGINT) AS eq
+      FROM numbered WHERE ord = 1
+      UNION ALL
+      SELECT n.k, n.ord, n.slot_epoch, n.value,
+             CAST(round(CAST(0.3 AS DOUBLE) * round(n.value * 1000000)
+                        + CAST(0.7 AS DOUBLE) * w.eq) AS BIGINT)
+      FROM numbered n JOIN walk w ON n.k = w.k AND n.ord = w.ord + 1),
+    l AS (SELECT k, CAST(round(value * 1000000) AS BIGINT) AS vq,
+                 lag(eq) OVER (PARTITION BY k ORDER BY slot_epoch) AS fq
+          FROM walk),
+    t AS (SELECT k, vq - fq AS e, abs(vq - fq) AS ae,
+                 CASE WHEN vq != 0 THEN
+                   CAST(round(abs(vq - fq) / abs(vq) * 1000000) AS BIGINT)
+                 END AS mq
+          FROM l WHERE fq IS NOT NULL)
+    SELECT k AS user_id, CAST(COUNT(*) AS BIGINT) AS n_forecasts,
+           round(CAST(SUM(ae) AS DOUBLE) / COUNT(*) / 1000000, 6) AS mae,
+           round(CAST(SUM(e) AS DOUBLE) / COUNT(*) / 1000000, 6) AS bias,
+           CAST(COUNT(mq) AS BIGINT) AS n_mape,
+           CASE WHEN COUNT(mq) > 0 THEN
+             round(CAST(SUM(mq) AS DOUBLE) / COUNT(mq) / 1000000, 6)
+           END AS mape
+    FROM t GROUP BY k
+    """,
+    "One-step-ahead EWMA forecast backtest per user "
+    "(operators/windows.py forecast_backtest — α=0.3 over the "
+    "shared hourly resample grid, MAE / bias / MAPE of v_t against "
+    "s_{{t−1}}): 'would the smoother q73 ships actually have "
+    "predicted this series' — the residual-quality readout a "
+    "monitoring pipeline reads before alerting on forecast misses. "
+    "The EWMA state is the SAME integer-quantized per-key walk as "
+    "q73's (both engines round each step identically; the oracle "
+    "replays it with a recursive-CTE fold), lagged ONE per-key "
+    "window, then reduced to exact integer error moments — no "
+    "driver loop, no per-step action. Constant-series (MAE 0) and "
+    "ramp-lag (error → 2, bias = mae) pins unit-tested.",
+)
+def q316(spark, sf_dir):
+    return forecast_backtest(
+        _t(spark, sf_dir, "events"), key="user_id", ts="ts", value_col="value",
+        step_seconds=3600, alpha=0.3,
+    )
+
+
+@q(
+    "q317_cohort_ltv",
+    """
+    WITH base AS (
+      SELECT user_id AS u,
+             epoch_us(ts) // 1000000 // 604800 AS w,
+             COALESCE(CASE WHEN NOT isnan(CAST(value AS DOUBLE)) THEN
+               CAST(round(CAST(value AS DOUBLE) * 1000000) AS BIGINT) END, 0)
+               AS vq
+      FROM events WHERE ts IS NOT NULL),
+    first AS (SELECT u, MIN(w) AS cw FROM base GROUP BY u),
+    sizes AS (SELECT cw, COUNT(*) AS cohort_size FROM first GROUP BY cw),
+    cells AS (SELECT f.cw, b.w - f.cw AS age,
+                     COUNT(DISTINCT b.u) AS n_active,
+                     SUM(b.vq) AS wsum
+              FROM base b JOIN first f ON f.u = b.u
+              GROUP BY 1, 2),
+    cum AS (SELECT cw, age, n_active, wsum,
+                   SUM(wsum) OVER (PARTITION BY cw ORDER BY age) AS c
+            FROM cells)
+    SELECT cum.cw AS cohort_week, CAST(age AS BIGINT) AS age_weeks,
+           CAST(n_active AS BIGINT) AS n_active,
+           CAST(sizes.cohort_size AS BIGINT) AS cohort_size,
+           round(CAST(c AS DOUBLE) / 1000000, 6) AS cum_value,
+           round(CAST(c AS DOUBLE) / 1000000 / sizes.cohort_size, 6)
+             AS ltv_per_user
+    FROM cum JOIN sizes ON sizes.cw = cum.cw
+    """,
+    "Cohort lifetime value (operators/events.py cohort_ltv — "
+    "first-active-week cohorts, cumulative per-original-member "
+    "value by cohort age): the LTV curve q124's retention triangle "
+    "counts users for, extended to VALUE — 'how much has the "
+    "week-N cohort produced per signup by age k'. Per-(cohort, age) "
+    "cells carry exact DECIMAL(38,0) micro-value sums (no double "
+    "drift at corpus scale — review-pinned) and a distinct-user "
+    "count; the running total is a cohort-partitioned window over "
+    "cohort-level cells, never event rows. NULL users are excluded "
+    "from BOTH membership and value mass (review finding, pinned); "
+    "two-member accumulation pin: the age-1 cell stacks on age 0 "
+    "and divides by both original members.",
+)
+def q317(spark, sf_dir):
+    return cohort_ltv(_t(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r13 item #2: the ANN-fed kNN-graph health report. q297 keeps the
+# brute cosine_topk edge list as the fixture-scale baseline; this entry
+# grades the 100 TB path — the SAME knn_graph_stats over an lsh_topk edge
+# list, so candidate generation is bucket equi-joins, never all-pairs.
+# ---------------------------------------------------------------------------
+
+_KG_ANN_K = 5
+_KG_ANN_PLANES = 6
+_KG_ANN_TABLES = 6
+
+
+def _knn_ann_oracle(
+    k: int = _KG_ANN_K,
+    dim: int = 64,
+    num_planes: int = _KG_ANN_PLANES,
+    num_tables: int = _KG_ANN_TABLES,
+) -> str:
+    """DuckDB replica of lsh_topk(corpus, corpus, k) → knn_graph_stats:
+    identical sparse-plane signatures → identical candidate set →
+    identical re-ranked edge list (the q52 machinery, self-join form) →
+    the q297 graph-stats finalize verbatim."""
+    buckets = "\n      UNION ALL ".join(
+        f"SELECT vec_id, {t} AS tbl, {_sparse_sig_sql(dim, num_planes, t)} AS sig "
+        f"FROM embeddings"
+        for t in range(num_tables)
+    )
+    return f"""
+    WITH buckets AS (
+      {buckets}),
+    cand AS (
+      SELECT DISTINCT c.vec_id AS nid, q.vec_id AS qid
+      FROM buckets c JOIN buckets q ON c.tbl = q.tbl AND c.sig = q.sig
+      WHERE c.vec_id != q.vec_id),
+    scored AS (
+      SELECT cand.qid, cand.nid,
+             round({_cosine_sql('e.embedding', 'eq.embedding')}, 6) AS sim
+      FROM cand
+      JOIN embeddings e ON e.vec_id = cand.nid
+      JOIN embeddings eq ON eq.vec_id = cand.qid),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                   ORDER BY sim DESC, nid ASC) AS rn
+      FROM scored),
+    e AS (SELECT qid, nid, CAST(round(sim * 1000000) AS BIGINT) AS sq
+          FROM ranked WHERE rn <= {k}),
+    recip AS (SELECT COUNT(*) AS r FROM e a
+              WHERE EXISTS (SELECT 1 FROM e b
+                            WHERE b.qid = a.nid AND b.nid = a.qid)),
+    indeg AS (SELECT nid, COUNT(*) AS d FROM e GROUP BY nid),
+    nn AS (SELECT COUNT(DISTINCT vec_id) AS n_nodes FROM embeddings),
+    ea AS (SELECT COUNT(*) AS n_edges, SUM(sq) AS ssim FROM e),
+    ind AS (SELECT COALESCE(MAX(d), 0) AS mx, COUNT(*) AS cited FROM indeg)
+    SELECT nn.n_nodes, CAST({k} AS INTEGER) AS k,
+           CAST(ea.n_edges AS BIGINT) AS n_edges,
+           CAST(recip.r AS BIGINT) AS n_reciprocal,
+           CASE WHEN ea.n_edges > 0 THEN
+             round(CAST(recip.r AS DOUBLE) / ea.n_edges, 6) END AS reciprocity,
+           CAST(ind.mx AS BIGINT) AS max_in_degree,
+           CAST(nn.n_nodes - ind.cited AS BIGINT) AS n_isolated,
+           CASE WHEN ea.n_edges > 0 THEN
+             round(CAST(ssim AS DOUBLE) / ea.n_edges / 1000000, 6)
+           END AS mean_sim
+    FROM nn, ea, recip, ind
+    """
+
+
+@q(
+    "q338_knn_graph_ann",
+    _knn_ann_oracle(),
+    "ANN-fed kNN-graph health report (operators/similarity.py "
+    "knn_graph_stats with edges= lsh_topk(corpus, corpus, k=5, "
+    "planes=6, tables=6) — VERDICT r13 item #2): the SAME "
+    "reciprocity / hubness / isolation / mean-sim diagnostics as "
+    "q297, computed over the edge list a production ANN index would "
+    "actually serve. Candidate generation is SRP-LSH bucket "
+    "equi-joins on (table, signature) — never the brute all-pairs "
+    "broadcast join (plan-asserted: no CartesianProduct, no "
+    "BroadcastNestedLoop), so the 100 TB shape is hash exchanges on "
+    "bounded buckets + one n·k edge frame; q297's brute form stays "
+    "as the fixture-scale recall/parity baseline and q203's recall "
+    "gate grades the LSH family's fidelity. The oracle replicates "
+    "the exact sparse-plane bucket pipeline (q52 machinery, "
+    "self-join form), so both engines surface the identical "
+    "candidate set, identical re-ranked top-k, and identical "
+    "one-row stats. Identical-cluster pin: full within-cluster "
+    "recall, every edge reciprocal, nobody isolated.",
+)
+def q338(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    ann_edges = lsh_topk(
+        emb, emb, k=_KG_ANN_K,
+        num_planes=_KG_ANN_PLANES, num_tables=_KG_ANN_TABLES,
+    )
+    return knn_graph_stats(emb, k=_KG_ANN_K, edges=ann_edges)

@@ -1241,3 +1241,23 @@ def test_r16_wave_third_tranche_plan_shapes(spark):
         arith_video_frames(spark, n_videos=4, n_frames=6, cut_at=3)
     )
     assert data_carrying_single_partitions(vs) == [], explain_str(vs)
+
+
+def test_knn_graph_ann_plan_shape(spark):
+    """q338's edge source is LSH bucket equi-joins — the plan must show
+    NO CartesianProduct and NO BroadcastNestedLoop anywhere (the brute
+    cosine_topk baseline broadcasts the whole query side; the ANN form
+    must not), and no data-carrying single partition."""
+    from osmapreduceproject_spark.operators.similarity import lsh_topk
+    from osmapreduceproject_spark.plans.inspect import (
+        data_carrying_single_partitions,
+        explain_str,
+    )
+    from osmapreduceproject_spark.queries import _t
+
+    emb = _t(spark, "/root/testdata/sf0.001", "embeddings")
+    edges = lsh_topk(emb, emb, k=5, num_planes=6, num_tables=6)
+    plan = explain_str(edges)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoop" not in plan, plan
+    assert data_carrying_single_partitions(edges) == [], plan

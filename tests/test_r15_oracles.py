@@ -1506,3 +1506,50 @@ def test_cohort_ltv_null_user_excluded(spark):
     r = cohort_ltv(df).first()
     assert r["cohort_size"] == 1 and r["n_active"] == 1
     assert r["cum_value"] == 10.0 and r["ltv_per_user"] == 10.0
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r13 item #2: ANN-fed knn_graph_stats (declared as q338 in the
+# same r14 window as this file's wave)
+# ---------------------------------------------------------------------------
+
+
+def test_knn_graph_ann_oracle(spark, duck):
+    """lsh_topk(corpus, corpus, k) edge list → knn_graph_stats, against
+    the full SQL replica (sparse-plane buckets → candidates → re-ranked
+    top-k → the q297 graph-stats finalize)."""
+    from osmapreduceproject_spark.operators.similarity import (
+        knn_graph_stats,
+        lsh_topk,
+    )
+    from osmapreduceproject_spark.queries_r14 import _knn_ann_oracle
+
+    emb = _t(spark, "embeddings")
+    edges = lsh_topk(emb, emb, k=5, num_planes=6, num_tables=6)
+    got = knn_graph_stats(emb, k=5, edges=edges)
+    assert compare(got, duck.execute(_knn_ann_oracle()).df()) == []
+    r = got.first()
+    assert r["n_edges"] > 0
+    assert r["n_reciprocal"] % 2 == 0  # mutual edges come in pairs
+
+
+def test_knn_graph_ann_identical_cluster_pin(spark):
+    """Pin: a corpus of 6 identical vectors shares every LSH signature,
+    so the ANN edge list has FULL recall — every node cites its 5
+    twins at sim 1.0, every edge is reciprocal, in-degree k
+    everywhere, nobody isolated."""
+    from osmapreduceproject_spark.operators.similarity import (
+        knn_graph_stats,
+        lsh_topk,
+    )
+
+    vec = [float(i % 7 - 3) for i in range(64)]
+    df = spark.createDataFrame(
+        [(i, vec) for i in range(6)], "vec_id long, embedding array<float>"
+    )
+    edges = lsh_topk(df, df, k=5, num_planes=6, num_tables=6)
+    r = knn_graph_stats(df, k=5, edges=edges).first()
+    assert r["n_nodes"] == 6 and r["n_edges"] == 30
+    assert r["n_reciprocal"] == 30 and r["reciprocity"] == 1.0
+    assert r["max_in_degree"] == 5 and r["n_isolated"] == 0
+    assert r["mean_sim"] == 1.0

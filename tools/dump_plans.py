@@ -94,6 +94,14 @@ PLAN_QUERIES = [
     "q295_freeze_detect",  # Arrow checksum decode; only triplets shuffle
     "q297_knn_graph_stats",  # broadcast brute scoring + bounded per-query rank
     "q298_lsh_bucket_stats",  # band-bucket groupBy over LSH signatures
+    # r14 tranche plan-shape carriers:
+    "q299_kaplan_meier",  # TWO ranged cumsums, no data-carrying single partition
+    "q304_periodogram",  # resample grid + quantized trig terms, key-partitioned
+    "q311_partial_correlation",  # ONE 9-moment scan, no join/window
+    "q312_hurst_exponent",  # (key,w,block)-partitioned windows + 4-pt OLS
+    "q315_bootstrap_diff_ci",  # 16 replicates in ONE scan node
+    "q317_cohort_ltv",  # cohort-level cells + cohort-partitioned window
+    "q338_knn_graph_ann",  # LSH bucket equi-join edges — NO cartesian/NLJ
 ]
 
 
