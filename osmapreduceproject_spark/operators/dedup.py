@@ -1170,3 +1170,75 @@ def soft_dedup_weights(
             "dedup_discount"
         ),
     )
+
+
+def cross_source_dup_matrix(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    threshold: float = 0.8,
+    k: int = 3,
+) -> DataFrame:
+    """Source×source near-duplicate matrix: every exact-Jaccard
+    near-dup pair (:func:`ngram_jaccard_pairs` VERBATIM — same
+    shingles, same threshold, one pairing implementation) mapped to
+    its unordered source pair and counted — the provenance readout on
+    top of the dedup machinery: WITHIN-source counts find sources that
+    syndicate themselves (boilerplate mills), CROSS-source counts find
+    scrape-of-a-scrape pairs where dedup order decides which source's
+    docs survive (and therefore whose distribution the training set
+    inherits — the q118 source-cap decision input).
+
+    Shape on top of the pair frame: two hash joins to the (id, source)
+    projection, one count per unordered source pair (source_a ≤
+    source_b lexicographically, documented), plus the distinct-doc
+    involvement count (a posexplode of the two endpoint ids — 2 rows
+    per pair, never document volume). Returns
+    (source_a, source_b, n_pairs, n_docs_involved, within_source).
+    """
+    pairs = ngram_jaccard_pairs(
+        df, id_col=id_col, text_col=text_col, threshold=threshold, k=k
+    )
+    src = df.select(F.col(id_col), F.col(source_col))
+    j = (
+        pairs.select(f"a_{id_col}", f"b_{id_col}")
+        .join(
+            src.select(
+                F.col(id_col).alias(f"a_{id_col}"),
+                F.col(source_col).alias("__sa"),
+            ),
+            f"a_{id_col}",
+        )
+        .join(
+            src.select(
+                F.col(id_col).alias(f"b_{id_col}"),
+                F.col(source_col).alias("__sb"),
+            ),
+            f"b_{id_col}",
+        )
+        .select(
+            F.least("__sa", "__sb").alias("source_a"),
+            F.greatest("__sa", "__sb").alias("source_b"),
+            F.col(f"a_{id_col}").alias("__ia"),
+            F.col(f"b_{id_col}").alias("__ib"),
+        )
+    )
+    docs = (
+        j.select(
+            "source_a", "source_b",
+            F.explode(F.array("__ia", "__ib")).alias("__d"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count_distinct("__d").alias("n_docs_involved"))
+    )
+    cnt = j.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+    return cnt.join(docs, ["source_a", "source_b"]).select(
+        "source_a",
+        "source_b",
+        F.col("n_pairs").cast("bigint").alias("n_pairs"),
+        F.col("n_docs_involved").cast("bigint").alias("n_docs_involved"),
+        (F.col("source_a") == F.col("source_b")).alias("within_source"),
+    )

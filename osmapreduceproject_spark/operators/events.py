@@ -1002,6 +1002,71 @@ def max_concurrency(
     )
 
 
+def _markov_core(
+    df: DataFrame,
+    user_col: str,
+    type_col: str,
+    ts_col: str,
+    id_col: str,
+    n_iter: int,
+    max_states: int,
+    caller: str,
+):
+    """Shared Markov machinery for :func:`markov_stationary` and
+    :func:`entropy_rate` — ONE pairing implementation (review finding,
+    r12: a fix to the pairing convention must never land in only one
+    place). Builds the bounded transition matrix from
+    :func:`event_transitions` (NULL types excluded BEFORE pairing — a
+    NULL is not a state), completes terminal states with absorbing
+    self-loops, and runs the integer-picoprobability power iteration
+    (π'ⱼ = Σᵢ floor(πᵢ·pᵢⱼ + 0.5), so every engine sums identical
+    integers). Returns (states, totals, p, pi, scale)."""
+    import math
+
+    pool = df.where(F.col(type_col).isNotNull())
+    counts = event_transitions(
+        pool, user_col=user_col, type_col=type_col, ts_col=ts_col,
+        id_col=id_col,
+    ).select(
+        F.col("from_type").alias("__f"),
+        F.col("to_type").alias("__t"),
+        F.col("n_transitions").cast("bigint").alias("__n"),
+    )
+    states_df = pool.select(F.col(type_col).alias("__s")).distinct()
+    # limit(max+1): enough to detect overflow without ever collecting an
+    # unbounded state list
+    states = sorted(
+        r["__s"] for r in states_df.limit(max_states + 1).collect()
+    )
+    if len(states) > max_states:
+        raise ValueError(
+            f"{caller}: {len(states)} states, over "
+            f"max_states={max_states}; the transition matrix is collected "
+            "driver-side - raise max_states explicitly if this is intended"
+        )
+    trans = counts.collect()  # bounded: ≤ states² rows
+    totals: dict = {}
+    for r in trans:
+        totals[r["__f"]] = totals.get(r["__f"], 0) + int(r["__n"])
+    # full matrix incl. absorbing self-loops: p = n/T (exact ints → one
+    # IEEE division, identical on any engine)
+    p: dict = {}
+    for r in trans:
+        p[(r["__f"], r["__t"])] = int(r["__n"]) / totals[r["__f"]]
+    for s in states:
+        if s not in totals:
+            p[(s, s)] = 1.0
+    scale = 1_000_000_000_000
+    pi = {s: int(math.floor(scale / len(states) + 0.5)) for s in states}
+    for _ in range(int(n_iter)):
+        nxt = {s: 0 for s in states}
+        for (i, j), pij in p.items():
+            if pi.get(i, 0):
+                nxt[j] += int(math.floor(pi[i] * pij + 0.5))
+        pi = nxt
+    return states, totals, p, pi, scale
+
+
 def markov_stationary(
     df: DataFrame,
     user_col: str = "user_id",
@@ -1034,54 +1099,10 @@ def markov_stationary(
     iteration reaches in ``n_iter`` steps (documented, not hidden).
     Returns one row per state: (state, n_out, stationary_prob).
     """
-    import math
-
-    # NULL types are excluded BEFORE pairing (a NULL is not a state; an
-    # a,NULL,b sequence therefore contributes a→b, documented)
-    pool = df.where(F.col(type_col).isNotNull())
-    # the one-step matrix IS event_transitions' — one implementation, so
-    # a fix to the pairing convention can never land in only one place
-    # (review finding, r12)
-    counts = event_transitions(
-        pool, user_col=user_col, type_col=type_col, ts_col=ts_col,
-        id_col=id_col,
-    ).select(
-        F.col("from_type").alias("__f"),
-        F.col("to_type").alias("__t"),
-        F.col("n_transitions").cast("bigint").alias("__n"),
+    states, totals, p, pi, scale = _markov_core(
+        df, user_col, type_col, ts_col, id_col, n_iter, max_states,
+        caller="markov_stationary",
     )
-    states_df = pool.select(F.col(type_col).alias("__s")).distinct()
-    # limit(max+1): enough to detect overflow without ever collecting an
-    # unbounded state list
-    states = sorted(
-        r["__s"] for r in states_df.limit(max_states + 1).collect()
-    )
-    if len(states) > max_states:
-        raise ValueError(
-            f"markov_stationary: {len(states)} states, over "
-            f"max_states={max_states}; the transition matrix is collected "
-            "driver-side - raise max_states explicitly if this is intended"
-        )
-    trans = counts.collect()  # bounded: ≤ states² rows
-    totals: dict = {}
-    for r in trans:
-        totals[r["__f"]] = totals.get(r["__f"], 0) + int(r["__n"])
-    # full matrix incl. absorbing self-loops: p = n/T (exact ints → one
-    # IEEE division, identical on any engine)
-    p: dict = {}
-    for r in trans:
-        p[(r["__f"], r["__t"])] = int(r["__n"]) / totals[r["__f"]]
-    for s in states:
-        if s not in totals:
-            p[(s, s)] = 1.0
-    scale = 1_000_000_000_000
-    pi = {s: int(math.floor(scale / len(states) + 0.5)) for s in states}
-    for _ in range(int(n_iter)):
-        nxt = {s: 0 for s in states}
-        for (i, j), pij in p.items():
-            if pi.get(i, 0):
-                nxt[j] += int(math.floor(pi[i] * pij + 0.5))
-        pi = nxt
     # no rounding: both engines hold the IDENTICAL integer π, so the one
     # division by 10¹² yields identical doubles (a round() here would be
     # the banker's-rounding bug class _round6_half_away exists for)
@@ -1343,4 +1364,157 @@ def cooccurrence_lift(
             / (F.col("n_a") + F.col("n_b") - F.col("n_both")),
             6,
         ).alias("jaccard"),
+    )
+
+
+def entropy_rate(
+    df: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    n_iter: int = 8,
+    max_states: int = 64,
+    term_scale: int = 1_000_000,
+) -> DataFrame:
+    """Entropy rate of the first-order event-type Markov chain —
+    H = −Σᵢ πᵢ Σⱼ pᵢⱼ log₂ pᵢⱼ, "how many bits does the NEXT action
+    carry once you know the current one": the sequence-predictability
+    readout on top of :func:`markov_stationary` (long-run occupancy)
+    and :func:`event_transitions` (the matrix itself). A bot replaying
+    one loop scores near 0; organic browsing scores near the uniform
+    bound log₂(s). Both the π iteration and the matrix come from the
+    SHARED :func:`_markov_core` (one pairing implementation — NULL
+    types excluded before pairing, absorbing self-loop completion, the
+    integer-picoprobability power iteration).
+
+    Exactness: per-state conditional entropies quantize as
+    hᵢ = −Σⱼ round_half_away(pᵢⱼ·log₂(pᵢⱼ)·10⁶) over the exact-integer
+    ratios pᵢⱼ = nᵢⱼ/Tᵢ (absorbing p = 1 rows contribute exactly 0);
+    the rate is the EXACT integer dot product Σ πᵢ_pico·hᵢ_micro
+    (arbitrary-precision driver-side, HUGEINT in the oracle) divided
+    once by 10¹²·10⁶. The whole computation is bounded by the state
+    cardinality (``max_states``, loud guard) — event volume only flows
+    through the shared lead window and the (from, to) count. One row:
+    (n_states, n_transitions, entropy_rate_bits, max_entropy_bits,
+    normalized_entropy); a 1-state chain reports rate 0 with NULL
+    normalization (log₂ 1 = 0). PERIODIC chains inherit
+    :func:`markov_stationary`'s documented ``n_iter`` behavior: raw
+    power iteration oscillates instead of converging, so π is the
+    n_iter-step occupancy, not the cycle-averaged limit (real event
+    streams have self-loops and are aperiodic; the pin uses one).
+    """
+    import math
+
+    states, totals, p, pi, scale = _markov_core(
+        df, user_col, type_col, ts_col, id_col, n_iter, max_states,
+        caller="entropy_rate",
+    )
+    # hᵢ in NEGATED micro-bits: −Σⱼ round_half_away(p·log₂p·10⁶) —
+    # p·log₂p ≤ 0, so the half-away round matches the oracle's round()
+    h_micro: dict = {}
+    for (i, _j), pij in p.items():
+        if pij > 0:
+            x = pij * math.log2(pij) * term_scale
+            q = int(math.copysign(math.floor(abs(x) + 0.5), x))
+            h_micro[i] = h_micro.get(i, 0) - q
+    acc = 0
+    for s in states:
+        acc += pi.get(s, 0) * h_micro.get(s, 0)  # exact big-int product
+    rate = acc / scale / term_scale
+    n_states = len(states)
+    max_bits = math.log2(n_states)
+    from .stats import _round6_half_away as _rnd
+
+    return df.sparkSession.createDataFrame(
+        [(
+            n_states,
+            int(sum(totals.values())),
+            _rnd(rate),
+            _rnd(max_bits),
+            _rnd(rate / max_bits) if max_bits > 0 else None,
+        )],
+        "n_states bigint, n_transitions bigint, entropy_rate_bits double, "
+        "max_entropy_bits double, normalized_entropy double",
+    )
+
+
+def retention_halflife(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Retention half-life per weekly cohort — fit ln(active fraction)
+    against cohort age by least squares and convert the decay slope to
+    "weeks until half the cohort stops showing up": the ONE number a
+    growth dashboard wants from :func:`retention_cohorts`' triangle
+    (which this rides verbatim — same distinct (user, week) collapse,
+    same epoch-week indexing, no new pass over event volume).
+
+    Exactness: the active fraction at age a is the exact integer ratio
+    n_active(a)/cohort_size (cohort_size = the age-0 count, present by
+    construction); fit points quantize as (a,
+    round_half_away(ln(frac)·10⁶)) — ages ≥ 1 only, the a = 0 point is
+    identically ln 1 = 0 and would just anchor the intercept; the OLS
+    slope is exact integer cross-moments divided ONCE; half-life =
+    −ln 2/slope with the ln 2 literal pinned (0.6931471805599453) so
+    both engines divide identical doubles. Cohorts with < 2 usable
+    ages or a non-negative slope emit NULL half-life (a cohort that
+    grows has no decay to halve). Output one row per cohort:
+    (cohort_week, cohort_size, n_ages, slope, half_life_weeks).
+    """
+    _LN2 = 0.6931471805599453  # float(ln 2), pinned as a literal
+
+    tri = retention_cohorts(df, user_col=user_col, ts_col=ts_col)
+    base = tri.where(F.col("week_offset") == 0).select(
+        "cohort_week", F.col("n_users").alias("__size")
+    )
+    pts = (
+        tri.where(F.col("week_offset") >= 1)
+        .join(base, "cohort_week")
+        .select(
+            "cohort_week",
+            "__size",
+            F.col("week_offset").cast("bigint").alias("__x"),
+            # ln(exact integer ratio), micro-quantized half-up — ratios
+            # are < 1 so ln < 0 and Spark's HALF_UP round() on the
+            # NEGATED... use the sign-symmetric floor recipe instead
+            (
+                -F.floor(
+                    -F.log(
+                        F.col("n_users").cast("double") / F.col("__size")
+                    ) * 1_000_000 + F.lit(0.5)
+                )
+            ).cast("bigint").alias("__qy"),
+        )
+    )
+    ols = pts.groupBy("cohort_week").agg(
+        F.max("__size").alias("cohort_size"),
+        F.count(F.lit(1)).alias("n_ages"),
+        F.sum("__x").alias("__sx"),
+        F.sum("__qy").alias("__sy"),
+        F.sum(F.col("__x") * F.col("__qy")).alias("__sxy"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__sxx"),
+    )
+    n = F.col("n_ages")
+    den = (n * F.col("__sxx") - F.col("__sx") * F.col("__sx")).cast("double")
+    num = (n * F.col("__sxy") - F.col("__sx") * F.col("__sy")).cast("double")
+    slope = num / den / 1_000_000
+    ok = (n >= 2) & (den > 0)
+    full = base.join(ols.drop("cohort_size"), "cohort_week", "left")
+    # slope is an EXACT integer ratio — emit the raw double division
+    # (identical bits on both engines); half_life is positive, so the
+    # floor(x·10⁶ + 0.5) recipe is the cross-engine half-up round (the
+    # multimodal convention — F.round's BigDecimal path and a
+    # float-multiply round() disagree exactly on rational boundaries)
+    half = F.lit(-_LN2) / slope
+    return full.select(
+        "cohort_week",
+        F.col("__size").alias("cohort_size"),
+        F.coalesce(F.col("n_ages"), F.lit(0)).cast("bigint").alias("n_ages"),
+        F.when(ok, slope).alias("slope"),
+        F.when(
+            ok & (slope < 0),
+            F.floor(half * 1_000_000 + F.lit(0.5)) / 1_000_000,
+        ).alias("half_life_weeks"),
     )

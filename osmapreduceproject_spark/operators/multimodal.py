@@ -2601,3 +2601,207 @@ def video_shot_stats(frames: DataFrame, max_hamming: int = 10) -> DataFrame:
         "longest_shot_frames",
         "shortest_shot_frames",
     )
+
+
+def arith_video_frames_fade(
+    spark,
+    n_videos: int = 24,
+    n_frames: int = 12,
+    width: int = 16,
+    height: int = 12,
+) -> DataFrame:
+    """:func:`arith_video_frames` variant with a PLANTED LINEAR FADE:
+    every frame carries the base pixel formula scaled by the integer
+    ramp ``(n_frames−1−f) // (n_frames−1)`` applied as
+    ``v = (base % 256) · (n_frames−1−f) // (n_frames−1)`` — frame 0 is
+    full brightness, the final frame is exactly black, and the
+    brightness trajectory is monotonically decreasing in between (an
+    end-of-clip fade-out / dying backlight). Every byte regenerable by
+    integer SQL (one multiply + one floor division) — the fixture that
+    gives :func:`video_brightness_slope` a full cross-engine value
+    oracle. Schema: (media_id, kind, frame_idx, payload, meta)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Self-contained closure: no module-global references.
+        import numpy as np
+        import pandas as pd
+
+        idx = np.arange(width * height * 3, dtype=np.int64)
+        denom = n_frames - 1
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vids, fids, payloads = [], [], []
+            for i in pdf["id"]:
+                vid, f = divmod(int(i), n_frames)
+                base = (31 * vid + 7 * idx + (idx * idx) % 251) % 256
+                v = base * (denom - f) // denom if denom > 0 else base
+                vids.append(vid)
+                fids.append(f)
+                payloads.append(v.astype(np.uint8).tobytes())
+            yield pd.DataFrame(
+                {"media_id": vids, "frame_idx": fids, "payload": payloads}
+            )
+
+    raw = spark.range(n_videos * n_frames).mapInPandas(
+        gen, "media_id long, frame_idx int, payload binary"
+    )
+    return raw.select(
+        "media_id",
+        F.lit("video").alias("kind"),
+        "frame_idx",
+        "payload",
+        F.struct(
+            F.lit(width).alias("width"),
+            F.lit(height).alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(n_frames).alias("n_frames"),
+        ).alias("meta"),
+    )
+
+
+def video_brightness_slope(frames: DataFrame) -> DataFrame:
+    """Per-video brightness trajectory: the least-squares slope of mean
+    frame luma against frame index — the fade/exposure-drift detector
+    completing the temporal-QC row (:func:`video_black_frames` finds
+    frames ALREADY dark, :func:`video_freeze_detect` repetition,
+    :func:`video_motion_profile` content change; this catches a clip
+    DRIFTING dark or blooming bright before any single frame trips a
+    threshold). A steady camera scores ≈ 0; a fade-out a clearly
+    negative slope.
+
+    Each frame reduces to ONE integer luma sum inside the Arrow batch
+    (payloads never shuffle — the :func:`video_black_frames` decode
+    convention); per-frame mean luma quantizes as the EXACT integer
+    floor division lsum·10⁶ div size; the OLS over (frame_idx, qm)
+    points is exact integer cross-moments per video divided ONCE.
+    Returns (media_id, n_frames, mean_luma, luma_slope_per_frame,
+    luma_range); videos with < 2 frames or a degenerate index spread
+    emit NULL slope.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Self-contained closure: no module-global references.
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            for m, fi, p in zip(
+                pdf["media_id"], pdf["frame_idx"], pdf["payload"]
+            ):
+                buf = np.frombuffer(bytes(p), dtype=np.uint8).astype(np.int64)
+                rows.append((int(m), int(fi), int(buf.sum()), int(buf.size)))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_idx", "lsum", "size"]
+            )
+
+    sums = frames.select("media_id", "frame_idx", "payload").mapInPandas(
+        run, "media_id long, frame_idx int, lsum long, size long"
+    )
+    # mean luma per frame in micro-units: EXACT integer floor division
+    # (lsum ≤ 255·size keeps lsum·10⁶ far inside int64)
+    qm = F.expr("lsum * 1000000 div size")
+    x = F.col("frame_idx").cast("bigint")
+    pts = sums.select("media_id", x.alias("__x"), qm.alias("__qm"))
+    agg = pts.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.sum("__x").alias("__sx"),
+        F.sum("__qm").alias("__sy"),
+        F.sum(F.col("__x") * F.col("__qm")).alias("__sxy"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__sxx"),
+        F.min("__qm").alias("__lo"),
+        F.max("__qm").alias("__hi"),
+    )
+    n = F.col("n_frames")
+    den = (n * F.col("__sxx") - F.col("__sx") * F.col("__sx")).cast("double")
+    num = (n * F.col("__sxy") - F.col("__sx") * F.col("__sy")).cast("double")
+    ok = (n >= 2) & (den > 0)
+    # mean and slope are EXACT integer ratios — emit the raw double
+    # division (identical bits on both engines) instead of rounding:
+    # these rationals land on .5-at-the-7th-digit boundaries routinely,
+    # exactly where F.round (BigDecimal half-up) and a float-multiply
+    # round() disagree (the mann_whitney/ADVICE-r11 bug class)
+    return agg.select(
+        "media_id",
+        n.cast("bigint").alias("n_frames"),
+        (F.col("__sy").cast("double") / n / 1_000_000).alias("mean_luma"),
+        F.when(ok, num / den / 1_000_000).alias("luma_slope_per_frame"),
+        ((F.col("__hi") - F.col("__lo")).cast("double") / 1_000_000).alias(
+            "luma_range"
+        ),
+    )
+
+
+def image_palette_size(df: DataFrame, bits_per_channel: int = 4) -> DataFrame:
+    """Per-image effective palette census over RAW8 RGB payloads:
+    distinct quantized colors (each channel keeps its top
+    ``bits_per_channel`` bits — RGB444 by default, 4096 possible
+    colors) and the share of the single most common one — the
+    synthetic-content screen next to :func:`image_colorfulness`
+    (spread) and :func:`image_exposure_report` (luma): screenshots,
+    charts, and solid-background renders live on a handful of colors
+    with one dominant; photographs spread across hundreds.
+
+    Decode, quantize, and the distinct/top-share census all reduce
+    inside the Arrow batch (payloads never shuffle; one summary row
+    per image leaves the map). The color key is the pure integer
+    (r≫s)·2^(2b) + (g≫s)·2^b + (b≫s); the top share is the exact
+    integer ratio max_count/n_px with the half-up 6-decimal finalize.
+    Top-color ties break toward the SMALLEST color key (documented —
+    deterministic across engines). Returns
+    (media_id, n_px, n_colors, top_color_key, top_color_share).
+    """
+    shift = 8 - int(bits_per_channel)
+    bpc = int(bits_per_channel)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Self-contained closure: no module-global references.
+        import math as _math
+
+        import numpy as np
+        import pandas as pd
+
+        r6 = lambda x: _math.floor(x * 1e6 + 0.5) / 1e6  # noqa: E731
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            for m, p, w, h in zip(
+                pdf["media_id"], pdf["payload"], pdf["width"], pdf["height"]
+            ):
+                buf = np.frombuffer(bytes(p), dtype=np.uint8)
+                w, h = int(w), int(h)
+                if buf.size != w * h * 3:
+                    raise ValueError(
+                        f"payload length {buf.size} is not a {h}x{w}x3 RAW8 RGB frame"
+                    )
+                px = buf.reshape(-1, 3).astype(np.int64) >> shift
+                key = (px[:, 0] << (2 * bpc)) + (px[:, 1] << bpc) + px[:, 2]
+                keys, counts = np.unique(key, return_counts=True)
+                top = int(counts.max())
+                # tie → smallest key: np.unique returns sorted keys, so
+                # argmax takes the first (smallest) maximal key
+                top_key = int(keys[int(counts.argmax())])
+                n = int(key.size)
+                rows.append(
+                    (int(m), n, int(keys.size), top_key, r6(top / n))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "n_px", "n_colors", "top_color_key",
+                    "top_color_share",
+                ],
+            )
+
+    return df.select(
+        "media_id", "payload",
+        F.col("meta.width").alias("width"), F.col("meta.height").alias("height"),
+    ).mapInPandas(
+        run,
+        "media_id long, n_px long, n_colors long, top_color_key long, "
+        "top_color_share double",
+    )

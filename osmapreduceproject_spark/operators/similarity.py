@@ -1340,3 +1340,74 @@ def pq_reconstruction_error(
         F.round(mnorm, 6).alias("mean_vec_sq_norm"),
         F.when(mnorm > 0, F.round(mse / mnorm, 6)).alias("rel_error"),
     )
+
+
+def neighbor_label_purity(
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    edges: DataFrame | None = None,
+) -> DataFrame:
+    """Label purity of the k-nearest-neighbor graph: per query label,
+    the fraction of outgoing kNN edges that land on a SAME-label
+    neighbor — the leave-one-out sanity check of an embedding space
+    ("do my labels actually cluster?") that :func:`silhouette_report`
+    answers with centroid geometry and this answers with the LOCAL
+    neighborhoods retrieval will actually serve. Low purity for one
+    label = that class is shattered in embedding space; low purity
+    everywhere = the embeddings don't encode the labels at all.
+
+    ``edges`` follows the :func:`knn_graph_stats` convention: ``None``
+    builds the exact :func:`cosine_topk` baseline (fixture-scale —
+    O(n²·d)); the 100 TB path passes an ANN edge list
+    (``lsh_topk(corpus, corpus, k)`` — bucket equi-joins, never
+    all-pairs). On top of the edge frame: two hash joins to the
+    (id, label) projection and one label-keyed count — n·k edge rows,
+    never n². NULL-labeled vectors are excluded from BOTH ends (a
+    NULL is not a class, the markov/cohort convention). Returns one
+    row per label: (label, n_queries, n_edges, n_same_label, purity),
+    purity 6-decimal.
+    """
+    if edges is None:
+        edges = cosine_topk(corpus, corpus, k, id_col=id_col, vec_col=vec_col)
+    lab = corpus.where(F.col(label_col).isNotNull()).select(
+        F.col(id_col), F.col(label_col)
+    )
+    j = (
+        edges.select("query_id", "neighbor_id")
+        .join(
+            lab.select(
+                F.col(id_col).alias("query_id"),
+                F.col(label_col).alias("__ql"),
+            ),
+            "query_id",
+        )
+        .join(
+            lab.select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col(label_col).alias("__nl"),
+            ),
+            "neighbor_id",
+        )
+    )
+    out = j.groupBy(F.col("__ql").alias("label")).agg(
+        F.count_distinct("query_id").alias("n_queries"),
+        F.count(F.lit(1)).alias("n_edges"),
+        F.sum(
+            F.when(F.col("__ql") == F.col("__nl"), 1).otherwise(0)
+        ).alias("n_same_label"),
+    )
+    # purity is an exact integer ratio: the floor(x·10⁶ + 0.5) recipe is
+    # the cross-engine half-up round (the multimodal convention)
+    ratio = F.col("n_same_label").cast("double") / F.col("n_edges")
+    return out.select(
+        "label",
+        F.col("n_queries").cast("bigint").alias("n_queries"),
+        F.col("n_edges").cast("bigint").alias("n_edges"),
+        F.col("n_same_label").cast("bigint").alias("n_same_label"),
+        (F.floor(ratio * 1_000_000 + F.lit(0.5)) / 1_000_000).alias(
+            "purity"
+        ),
+    )

@@ -3685,3 +3685,225 @@ def jonckheere_terpstra(
             "z"
         ),
     )
+
+
+def wilcoxon_signed_rank(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Wilcoxon signed-rank test over PAIRED per-key means — the
+    within-subject two-condition location test completing the family:
+    :func:`mann_whitney_u` compares two INDEPENDENT pools,
+    :func:`friedman_test` handles k paired treatments, this is the
+    k = 2 paired member ("did condition A move the metric for the SAME
+    user"). Pairs form per key: d = mean(value | a) − mean(value | b),
+    keys observing only one condition drop (complete-pair design,
+    counted), and exact zero differences drop per the classic
+    Wilcoxon convention (counted, documented). Emits W⁺ (rank mass of
+    positive differences), W⁻, the null mean n(n+1)/4, the
+    tie-corrected variance n(n+1)(2n+1)/24 − Σ(t³−t)/48, and the
+    normal-approximation z WITHOUT continuity correction (the
+    :func:`mann_whitney_u` convention, so the oracle replays the
+    identical expression).
+
+    Exactness: per-(key, condition) means are exact-integer
+    micro-sums divided ONCE; d quantizes to micro-units
+    (round(d·10⁶) — both engines difference the identical doubles);
+    |d| ranks via DOUBLED midranks (:func:`_doubled_midrank_map` — no
+    single-partition window); rank sums and the tie term Σ(t³−t)
+    accumulate in DECIMAL(38,0); ONE driver-side finalize over
+    bounded per-sign rows halves the doubled sums and rounds
+    half-away. All-tied-|d| degenerate variance emits NULL z. One
+    row: (n_pairs, n_dropped_zero, n_incomplete, w_plus, w_minus,
+    mean_w, var_w, z).
+    """
+    from ..plans.inspect import intermediates_mark, release_intermediates_since
+
+    dec = "decimal(38,0)"
+    v = F.col(value_col).cast("double")
+    g = F.col(group_col)
+    pool = df.where(
+        v.isNotNull() & ~F.isnan(v) & g.isin([group_a, group_b])
+        & F.col(key_col).isNotNull()
+    ).select(
+        F.col(key_col).alias("__k"),
+        (g == F.lit(group_a)).alias("__is_a"),
+        F.round(v * 1_000_000).cast(dec).alias("__vq"),
+    )
+    per = pool.groupBy("__k", "__is_a").agg(
+        F.sum("__vq").alias("__s"), F.count(F.lit(1)).alias("__c")
+    )
+    means = per.groupBy("__k").agg(
+        F.count(F.lit(1)).alias("__sides"),
+        F.max(F.when(F.col("__is_a"), F.col("__s"))).alias("__sa"),
+        F.max(F.when(F.col("__is_a"), F.col("__c"))).alias("__ca"),
+        F.max(F.when(~F.col("__is_a"), F.col("__s"))).alias("__sb"),
+        F.max(F.when(~F.col("__is_a"), F.col("__c"))).alias("__cb"),
+    )
+    # d in micro-units: one fixed expression over exact integers — the
+    # oracle differences the identical doubles before the round
+    d_micro = F.round(
+        F.col("__sa").cast("double") / F.col("__ca")
+        - F.col("__sb").cast("double") / F.col("__cb")
+    ).cast("bigint")
+    diffs = means.select(
+        (F.col("__sides") == 2).alias("__complete"),
+        F.when(F.col("__sides") == 2, d_micro).alias("__d"),
+    )
+    mark = intermediates_mark()
+    from ..plans.inspect import tracked_persist
+
+    diffs = tracked_persist(diffs)
+    counts = diffs.agg(
+        F.sum(F.when(~F.col("__complete"), 1).otherwise(0)).alias("__inc"),
+        F.sum(
+            F.when(F.col("__complete") & (F.col("__d") == 0), 1).otherwise(0)
+        ).alias("__zero"),
+    ).first()
+    nz = diffs.where(F.col("__complete") & (F.col("__d") != 0)).select(
+        F.col("__d").alias("__dd"), F.abs(F.col("__d")).alias("__v")
+    )
+    r2 = _doubled_midrank_map(nz.select("__v"))
+    per_sign = (
+        nz.join(r2, "__v")
+        .groupBy((F.col("__dd") > 0).alias("__pos"))
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(F.col("__r2").cast(dec)).alias("__s2"),
+        )
+    )
+    cn = F.col("__cn").cast(dec)
+    ties = nz.groupBy("__v").agg(F.count(F.lit(1)).alias("__cn")).agg(
+        F.coalesce(F.sum(cn * cn * cn - cn), F.lit(0).cast(dec)).alias("__t")
+    )
+    rows = {bool(r["__pos"]): r for r in per_sign.collect()}  # bounded: ≤ 2
+    t_row = ties.first()
+    release_intermediates_since(mark)
+    np_ = int(rows[True]["__n"]) if True in rows else 0
+    nn_ = int(rows[False]["__n"]) if False in rows else 0
+    n = np_ + nn_
+    # doubled rank sums: W = S2/2, exact until the one halving
+    s2p = int(rows[True]["__s2"]) if True in rows else 0
+    s2n = int(rows[False]["__s2"]) if False in rows else 0
+    w_plus = w_minus = mean_w = var = z = None
+    if n > 0:
+        w_plus = s2p / 2.0
+        w_minus = s2n / 2.0
+        mean_w = n * (n + 1) / 4.0
+        t_sum = int(t_row["__t"])
+        # fixed operand order, mirrored by the oracle expression
+        var = n * (n + 1) * (2 * n + 1) / 24.0 - float(t_sum) / 48.0
+        if var > 0:
+            z = (w_plus - mean_w) / math.sqrt(var)
+        else:
+            z = None
+    rnd = _round6_half_away
+    return df.sparkSession.createDataFrame(
+        [(
+            n, int(counts["__zero"] or 0), int(counts["__inc"] or 0),
+            rnd(w_plus), rnd(w_minus), rnd(mean_w),
+            rnd(var), rnd(z),
+        )],
+        "n_pairs bigint, n_dropped_zero bigint, n_incomplete bigint, "
+        "w_plus double, w_minus double, mean_w double, var_w double, "
+        "z double",
+    )
+
+
+def theil_u(
+    df: DataFrame,
+    col_x: str,
+    col_y: str,
+    scale: int = 1_000_000_000,
+) -> DataFrame:
+    """Theil's uncertainty coefficient between two categorical columns —
+    the ASYMMETRIC association measure the χ² family can't give:
+    U(y|x) = (H(y) − H(y|x)) / H(y) reads "what fraction of y's
+    uncertainty does knowing x remove", and U(y|x) ≠ U(x|y) exposes
+    direction (a source column may fully determine language while
+    language barely narrows source). Completes the categorical kit
+    beside :func:`chi2_independence` (significance),
+    :func:`mutual_information` (symmetric bits), and
+    :func:`group_diversity` (single-column entropy).
+
+    Exactness: one (x, y) count aggregation feeds everything; every
+    entropy term quantizes as round(c·log2(c/total)·scale) over
+    EXACT integer count ratios, terms sum as integers (both engines
+    sum identical integers in any order), and the three entropies
+    finalize in one fixed expression. A zero-entropy target (constant
+    column) emits NULL U in that direction, never a division blowup.
+    One row: (n, n_x_levels, n_y_levels, h_x, h_y, h_xy, u_y_given_x,
+    u_x_given_y), entropies in bits, 6-decimal.
+    """
+    from ..plans.inspect import (
+        intermediates_mark,
+        release_intermediates_since,
+        tracked_persist,
+    )
+
+    dec = "decimal(38,0)"
+    pool = df.where(
+        F.col(col_x).isNotNull() & F.col(col_y).isNotNull()
+    ).select(F.col(col_x).alias("__x"), F.col(col_y).alias("__y"))
+    mark = intermediates_mark()
+    # the cell frame feeds the total, both marginals, and the joint term
+    # sum — persist once so the input scans once, not four times
+    cells = tracked_persist(
+        pool.groupBy("__x", "__y").agg(
+            F.count(F.lit(1)).cast("bigint").alias("__c")
+        )
+    )
+    tot = cells.agg(
+        F.sum(F.col("__c").cast(dec)).alias("__n"),
+    ).first()
+    n = int(tot["__n"] or 0)
+    if n == 0:
+        release_intermediates_since(mark)
+        return df.sparkSession.createDataFrame(
+            [(0, 0, 0, None, None, None, None, None)],
+            "n bigint, n_x_levels bigint, n_y_levels bigint, h_x double, "
+            "h_y double, h_xy double, u_y_given_x double, "
+            "u_x_given_y double",
+        )
+    n_lit = F.lit(n).cast("double")
+
+    def term(c):
+        return F.round(
+            c.cast("double") * F.log2(c.cast("double") / n_lit)
+            * F.lit(scale)
+        ).cast(dec)
+
+    hx_q = (
+        cells.groupBy("__x").agg(F.sum("__c").alias("__cx"))
+        .agg(F.sum(term(F.col("__cx"))).alias("__q"),
+             F.count(F.lit(1)).alias("__lv"))
+        .first()
+    )
+    hy_q = (
+        cells.groupBy("__y").agg(F.sum("__c").alias("__cy"))
+        .agg(F.sum(term(F.col("__cy"))).alias("__q"),
+             F.count(F.lit(1)).alias("__lv"))
+        .first()
+    )
+    hxy_q = cells.agg(F.sum(term(F.col("__c"))).alias("__q")).first()
+    release_intermediates_since(mark)
+    # H = log-sum identity: Σ c·log2(c/n) = −n·H, so H = −q/(scale·n)
+    h_x = -int(hx_q["__q"]) / scale / n
+    h_y = -int(hy_q["__q"]) / scale / n
+    h_xy = -int(hxy_q["__q"]) / scale / n
+    # H(y|x) = H(x,y) − H(x); U(y|x) = (H(y) − H(y|x)) / H(y)
+    u_yx = (h_y - (h_xy - h_x)) / h_y if h_y > 0 else None
+    u_xy = (h_x - (h_xy - h_y)) / h_x if h_x > 0 else None
+    rnd = _round6_half_away
+    return df.sparkSession.createDataFrame(
+        [(
+            n, int(hx_q["__lv"]), int(hy_q["__lv"]),
+            rnd(h_x), rnd(h_y), rnd(h_xy), rnd(u_yx), rnd(u_xy),
+        )],
+        "n bigint, n_x_levels bigint, n_y_levels bigint, h_x double, "
+        "h_y double, h_xy double, u_y_given_x double, u_x_given_y double",
+    )

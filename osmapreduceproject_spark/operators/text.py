@@ -2079,3 +2079,96 @@ def vocab_coverage_curve(
         mass_ge.cast("bigint").alias("mass_ge"),
         F.round(mass_ge.cast("double") / F.col("__m"), 6).alias("coverage"),
     )
+
+
+def casing_report(
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    shout_threshold: float = 0.3,
+    min_alpha_tokens: int = 5,
+) -> DataFrame:
+    """Token-casing profile per source: ALL-CAPS and Title-Case token
+    fractions plus a count of "shouting" documents (ALL-CAPS fraction
+    over ``shout_threshold`` among docs with at least
+    ``min_alpha_tokens`` alphabetic tokens) — the casing complement to
+    :func:`char_class_report` (which counts character classes; two
+    corpora with identical letter ratios can still differ wildly in
+    HEADLINE STYLE vs sentence case) and a cheap screen for
+    scraped-navigation/forum-shout noise before training.
+
+    Definitions are pure string predicates over the shared
+    :func:`tokens` split (narrow codegen, no regex extraction loop):
+    a token is alphabetic when lower(t) ≠ upper(t) (has at least one
+    cased letter — digits/punctuation-only tokens don't dilute the
+    fractions), ALL-CAPS when t = upper(t), Title-Case when it is not
+    ALL-CAPS and its first character upper-cases itself. Per-doc
+    counts reduce inside one higher-order fold; fractions are exact
+    integer ratios finalized once, 6-decimal. Returns
+    (source, n_docs, n_alpha_tokens, allcaps_frac, titlecase_frac,
+    n_shouting_docs).
+    """
+    toks = tokens(F.col(text_col))
+
+    def count_if(pred) -> Column:
+        return F.aggregate(
+            toks,
+            F.lit(0).cast("bigint"),
+            lambda acc, t: acc + F.when(pred(t), 1).otherwise(0),
+        )
+
+    def is_alpha(t):
+        return F.lower(t) != F.upper(t)
+
+    def is_caps(t):
+        return is_alpha(t) & (t == F.upper(t))
+
+    def is_title(t):
+        first = F.substring(t, 1, 1)
+        return (
+            is_alpha(t)
+            & (t != F.upper(t))
+            & (first == F.upper(first))
+            & (first != F.lower(first))
+        )
+
+    per = df.where(F.col(text_col).isNotNull()).select(
+        F.col(source_col).alias("source"),
+        count_if(is_alpha).alias("__na"),
+        count_if(is_caps).alias("__nc"),
+        count_if(is_title).alias("__nt"),
+    )
+    shout = (
+        (F.col("__na") >= min_alpha_tokens)
+        & (
+            F.col("__nc").cast("double")
+            >= F.lit(float(shout_threshold)) * F.col("__na").cast("double")
+        )
+    ).cast("int")
+    agg = per.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("__na").cast("bigint").alias("n_alpha_tokens"),
+        F.sum("__nc").alias("__sc"),
+        F.sum("__nt").alias("__st"),
+        F.sum(shout).cast("bigint").alias("n_shouting_docs"),
+    )
+    # the fractions are exact integer ratios: the floor(x·10⁶ + 0.5)
+    # recipe is the cross-engine half-up round (F.round's BigDecimal
+    # path and a float-multiply round() disagree on .5 boundaries)
+    def r6(c):
+        return F.floor(c * 1_000_000 + F.lit(0.5)) / 1_000_000
+
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_alpha_tokens",
+        F.when(
+            F.col("n_alpha_tokens") > 0,
+            r6(F.col("__sc").cast("double") / F.col("n_alpha_tokens")),
+        ).alias("allcaps_frac"),
+        F.when(
+            F.col("n_alpha_tokens") > 0,
+            r6(F.col("__st").cast("double") / F.col("n_alpha_tokens")),
+        ).alias("titlecase_frac"),
+        "n_shouting_docs",
+    )

@@ -1873,3 +1873,229 @@ def step_change_report(
         F.round(F.col("__mr"), 6).alias("mean_after"),
         F.round(F.col("__d"), 6).alias("shift"),
     )
+
+
+def theil_sen(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    value_col: str,
+    max_rows: int = 2000,
+) -> DataFrame:
+    """Theil–Sen robust trend per key — the MEDIAN of all pairwise
+    slopes (vⱼ−vᵢ)/(tⱼ−tᵢ), in value-units per HOUR: the outlier-proof
+    alternative to :func:`series_trend`'s least-squares line (one wild
+    spike moves an OLS slope arbitrarily; it moves a median of
+    O(n²) slopes not at all — breakdown point ≈ 29%). The ordinal
+    cousin is :func:`mann_kendall_trend` (sign-only); Theil–Sen is its
+    canonical slope estimator.
+
+    All-pairs by definition — O(n²) per key — so the per-key bound is
+    MACHINE-ENFORCED (``max_rows``, the kendall_tau convention) and
+    the pair pass runs as an Arrow-batched grouped map over
+    JVM-quantized integers: slopes compute as the fixed expression
+    ((qvⱼ−qvᵢ)/10⁶) / ((qtⱼ−qtᵢ)/(3600·10⁶)) over exact micro-value /
+    epoch-µs integers (identical doubles on both engines), zero-Δt
+    pairs drop (two observations in the same microsecond have no
+    slope — counted via n_pairs), and the median averages the two
+    middle order statistics ((m−1)//2 and m//2, the same element twice
+    when m is odd) before ONE half-away 6-decimal round. Keys with
+    n < 2 or no usable pair emit NULL slope. Returns
+    (key, n, n_pairs, slope_per_hour).
+    """
+    v = F.col(value_col).cast("double")
+    pool = df.where(
+        v.isNotNull() & ~F.isnan(v) & F.col(ts).isNotNull()
+    ).select(
+        F.col(key).alias("__k"),
+        F.unix_micros(F.col(ts)).alias("__qt"),
+        F.round(v * 1_000_000).cast("bigint").alias("__qv"),
+    )
+    cap = int(max_rows)
+
+    def ts_slope(pdf):
+        # Self-contained closure: no module-global references.
+        import math
+
+        import numpy as np
+        import pandas as pd
+
+        n = len(pdf)
+        if n > cap:
+            raise ValueError(
+                f"theil_sen: a key has {n} rows, over max_rows={cap}; "
+                "the slope pass materializes O(n^2) pairs - raise "
+                "max_rows explicitly if this volume is intended"
+            )
+        k = pdf["__k"].iloc[0]
+        if n < 2:
+            return pd.DataFrame(
+                {"__k": [k], "n": [n], "n_pairs": [0],
+                 "slope_per_hour": [None]}
+            )
+        qt = pdf["__qt"].to_numpy(dtype=np.int64)
+        qv = pdf["__qv"].to_numpy(dtype=np.int64)
+        lo, hi = np.triu_indices(n, 1)
+        dt = qt[hi] - qt[lo]
+        dv = qv[hi] - qv[lo]
+        keep = dt != 0
+        m = int(keep.sum())
+        if m == 0:
+            return pd.DataFrame(
+                {"__k": [k], "n": [n], "n_pairs": [0],
+                 "slope_per_hour": [None]}
+            )
+        # fixed operand order, mirrored by the oracle expression
+        slopes = (dv[keep].astype(np.float64) / 1e6) / (
+            dt[keep].astype(np.float64) / 3600e6
+        )
+        slopes.sort()
+        med = (slopes[(m - 1) // 2] + slopes[m // 2]) / 2.0
+        out = math.copysign(math.floor(abs(med) * 1e6 + 0.5), med) / 1e6
+        return pd.DataFrame(
+            {"__k": [k], "n": [n], "n_pairs": [m], "slope_per_hour": [out]}
+        )
+
+    key_type = df.schema[key].dataType.simpleString()
+    out = pool.groupBy("__k").applyInPandas(
+        ts_slope,
+        f"__k {key_type}, n bigint, n_pairs bigint, slope_per_hour double",
+    )
+    return out.withColumnRenamed("__k", key)
+
+
+def max_drawdown(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    value_col: str,
+    id_col: str | None = None,
+) -> DataFrame:
+    """Maximum drawdown per key — the deepest peak-to-trough fall of the
+    value series in time order (max over t of running_max − v, plus the
+    same as a fraction of the peak it fell from): the "worst slide"
+    risk statistic next to :func:`series_extrema` (which finds global
+    extremes — a series can set its low BEFORE its high and have zero
+    drawdown) and :func:`cusum_changepoints` (mean shifts, not falls).
+
+    One per-key ordered running-max window over micro-quantized
+    integers (tiebroken by ``id_col`` when given, so duplicate
+    timestamps order deterministically), then one aggregation: the
+    absolute drawdown is exact integer max(runmax − q); the fractional
+    form quantizes (runmax − q)/runmax per row (exact ints → one
+    double division) only where the running peak is positive, and
+    takes the max. Rows with NULL/NaN values drop. Keys where the
+    series never falls report exact 0. Returns
+    (key, n_obs, peak_value, max_drawdown, max_drawdown_frac).
+    """
+    v = F.col(value_col).cast("double")
+    pool = df.where(
+        v.isNotNull() & ~F.isnan(v) & F.col(ts).isNotNull()
+    ).select(
+        F.col(key).alias("__k"),
+        F.col(ts).alias("__ts"),
+        *([F.col(id_col).alias("__id")] if id_col else []),
+        F.round(v * 1_000_000).cast("bigint").alias("__q"),
+    )
+    order = [F.col("__ts").asc()] + (
+        [F.col("__id").asc()] if id_col else []
+    )
+    w = (
+        Window.partitionBy("__k")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = pool.select(
+        "__k", "__q", F.max("__q").over(w).alias("__peak")
+    )
+    dd = F.col("__peak") - F.col("__q")
+    frac = F.when(
+        F.col("__peak") > 0,
+        dd.cast("double") / F.col("__peak").cast("double"),
+    )
+    agg = run.groupBy("__k").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        (F.max("__q").cast("double") / 1_000_000).alias("peak_value"),
+        (F.max(dd).cast("double") / 1_000_000).alias("max_drawdown"),
+        # frac is a non-negative exact rational: the floor(x·10⁶ + 0.5)
+        # recipe is the cross-engine half-up round (rounding commutes
+        # with max — both monotone)
+        (F.floor(F.max(frac) * 1_000_000 + F.lit(0.5)) / 1_000_000).alias(
+            "max_drawdown_frac"
+        ),
+    )
+    return agg.withColumnRenamed("__k", key)
+
+
+def spectral_entropy(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    value_col: str,
+    step_seconds: int,
+    periods: tuple[int, ...] = (2, 3, 4, 6, 8, 12),
+) -> DataFrame:
+    """Spectral entropy per key — Shannon entropy of the normalized
+    :func:`periodogram` power distribution over the fixed candidate
+    set: ONE number for "is this series rhythmic or noise" (a pure
+    cycle concentrates power in one candidate → entropy near 0; flat
+    noise spreads it → entropy near log₂ of the candidate count). The
+    scalar screen a monitoring pipeline reads before paying for the
+    full per-period table, and the frequency-domain twin of
+    :func:`~.stats.dispersion_index`'s time-domain burstiness.
+
+    Rides :func:`periodogram` VERBATIM (same grid, same quantized trig
+    terms, same centered series — one implementation), then: powers
+    re-quantize to micro-units, the per-key total is an exact integer
+    sum, each nonzero candidate contributes
+    round_half_away((p/T)·log₂(p/T)·10⁹) over the exact integer ratio,
+    and the entropy finalizes once (half-away, 6-decimal). The
+    normalization divides by log₂(len(periods)) — a pinned-literal
+    double both engines compute identically. Keys whose candidates all
+    score zero power (constant series) emit NULL entropy. Returns
+    (key, n_candidates, n_nonzero, dominant_period,
+    spectral_entropy_bits, normalized_entropy).
+    """
+    import math
+
+    pg = periodogram(df, key, ts, value_col, step_seconds, periods=periods)
+    pq = F.round(F.col("power") * 1_000_000).cast("bigint")
+    per = pg.groupBy(key).agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.sum(F.when(pq > 0, 1).otherwise(0)).alias("n_nonzero"),
+        F.max(F.when(F.col("is_best"), F.col("period"))).alias(
+            "dominant_period"
+        ),
+        F.sum(pq).alias("__t"),
+        F.collect_list(F.struct(F.col("period"), pq.alias("__pq"))).alias(
+            "__ps"
+        ),
+    )
+    # Σ (p/T)·log₂(p/T) over the bounded candidate list — a higher-order
+    # array fold over ≤ len(periods) elements, micro-quantized half-up
+    # per term (the sign-symmetric floor recipe: terms are ≤ 0)
+    t_d = F.col("__t").cast("double")
+    ratio = lambda x: x["__pq"].cast("double") / t_d  # noqa: E731
+    term = lambda x: (  # noqa: E731
+        -F.floor(-(ratio(x) * F.log2(ratio(x))) * 1e9 + F.lit(0.5))
+    ).cast("bigint")
+    sum_terms = F.aggregate(
+        F.filter("__ps", lambda x: x["__pq"] > 0),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + term(x),
+    )
+    max_bits = math.log2(len(periods))
+    h = -sum_terms.cast("double") / 1e9
+    ok = F.col("__t") > 0
+    # both outputs are non-negative: the floor(x·10⁶ + 0.5) recipe is
+    # the cross-engine half-up round (h is an exact n/10⁹ rational —
+    # F.round's BigDecimal path would diverge on .5 boundaries)
+    r6 = lambda c: F.floor(c * 1_000_000 + F.lit(0.5)) / 1_000_000  # noqa: E731
+    return per.select(
+        key,
+        "n_candidates",
+        F.col("n_nonzero").cast("bigint").alias("n_nonzero"),
+        "dominant_period",
+        F.when(ok, r6(h)).alias("spectral_entropy_bits"),
+        F.when(ok, r6(h / F.lit(max_bits))).alias("normalized_entropy"),
+    )

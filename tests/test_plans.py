@@ -1261,3 +1261,88 @@ def test_knn_graph_ann_plan_shape(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoop" not in plan, plan
     assert data_carrying_single_partitions(edges) == [], plan
+
+
+def test_r17_wave_plan_shapes(spark):
+    """Scale-shape assertions for the wave staged for the r16
+    declaration window: the wilcoxon midranks ride the ranged-offset
+    machinery (no data-carrying single partition), theil_u / casing /
+    cross-source reports are key-hash aggregations only, the
+    theil_sen pair pass stays inside the per-key Arrow group, the
+    drawdown window partitions by key, spectral entropy reuses the
+    periodogram grid, brightness-slope payloads never leave the Arrow
+    decode, and the purity joins hash on vector ids — no cartesian
+    anywhere."""
+    from pyspark.sql import functions as F
+
+    from osmapreduceproject_spark.operators.dedup import cross_source_dup_matrix
+    from osmapreduceproject_spark.operators.events import retention_halflife
+    from osmapreduceproject_spark.operators.multimodal import (
+        arith_video_frames_fade,
+        video_brightness_slope,
+    )
+    from osmapreduceproject_spark.operators.similarity import (
+        lsh_topk,
+        neighbor_label_purity,
+    )
+    from osmapreduceproject_spark.operators.stats import theil_u
+    from osmapreduceproject_spark.operators.text import casing_report
+    from osmapreduceproject_spark.operators.windows import (
+        max_drawdown,
+        spectral_entropy,
+        theil_sen,
+    )
+    from osmapreduceproject_spark.plans.inspect import (
+        data_carrying_single_partitions,
+        explain_str,
+    )
+    from osmapreduceproject_spark.queries import _t
+
+    sf = "/root/testdata/sf0.001"
+    ev = _t(spark, sf, "events")
+    docs = _t(spark, sf, "documents")
+    emb = _t(spark, sf, "embeddings")
+
+    tu = theil_u(ev, "event_type", "user_id")
+    assert tu.count() == 1  # bounded one-row finalize, no crash
+
+    ts_ = theil_sen(ev, "user_id", "ts", "value")
+    plan = explain_str(ts_)
+    assert data_carrying_single_partitions(ts_) == [], plan
+    assert "CartesianProduct" not in plan, plan
+
+    dd = max_drawdown(ev, "user_id", "ts", "value", id_col="event_id")
+    plan = explain_str(dd)
+    assert data_carrying_single_partitions(dd) == [], plan
+
+    se = spectral_entropy(ev, "user_id", "ts", "value", 3600)
+    plan = explain_str(se)
+    assert data_carrying_single_partitions(se) == [], plan
+
+    rh = retention_halflife(ev)
+    plan = explain_str(rh)
+    assert data_carrying_single_partitions(rh) == [], plan
+    assert "CartesianProduct" not in plan, plan
+
+    cr = casing_report(docs)
+    plan = explain_str(cr)
+    assert data_carrying_single_partitions(cr) == [], plan
+
+    vb = video_brightness_slope(arith_video_frames_fade(spark, 2, 4))
+    plan = explain_str(vb)
+    assert data_carrying_single_partitions(vb) == [], plan
+    # payloads reduce inside the Arrow decode: the only exchange after
+    # the decode hashes the (media_id, …) summary triplets, and the
+    # per-video OLS is ONE hash aggregate — no window, no join
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan, plan
+
+    pu = neighbor_label_purity(
+        emb, k=3, edges=lsh_topk(emb, emb, k=3, num_planes=6, num_tables=6)
+    )
+    plan = explain_str(pu)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoop" not in plan, plan
+
+    xs = cross_source_dup_matrix(docs)
+    plan = explain_str(xs)
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
