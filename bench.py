@@ -302,6 +302,41 @@ BENCH_QUERIES = [
 ]
 
 
+def _jvm_gc_ms(spark) -> int:
+    """Cumulative stop-the-world GC milliseconds of the (single, local)
+    JVM — driver = executor on local[N], so this is the whole story."""
+    beans = (
+        spark._jvm.java.lang.management.ManagementFactory
+        .getGarbageCollectorMXBeans()
+    )
+    return int(sum(beans.get(i).getCollectionTime() for i in range(beans.size())))
+
+
+def _jvm_heap_mb(spark) -> int:
+    rt = spark._jvm.java.lang.Runtime.getRuntime()
+    return int((rt.totalMemory() - rt.freeMemory()) / 1_048_576)
+
+
+def _n_persistent_rdds(spark) -> int:
+    """Leaked-persist detector: release_intermediates() should return
+    this to ~0 between queries; a monotone climb is bookkeeping debt."""
+    return int(spark.sparkContext._jsc.getPersistentRDDs().size())
+
+
+def pressure_probe(spark, sf_dir: str, queries) -> float:
+    """One fixed q01 warm execution — the in-suite pressure probe
+    (VERDICT r13 #5): re-timed every ~25 suite positions, so a
+    MONOTONE CLIMB across the suite = accumulating JVM/block-manager
+    pressure, while a FLAT trajectory with an inflated suite total =
+    suite-external interference (host load, page cache). q01 is the
+    scan-agg ground canary: narrow codegen, no persist, no Python."""
+    t0 = time.perf_counter()
+    queries["q01_pricing_summary"].fn(spark, sf_dir).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    return round(time.perf_counter() - t0, 3)
+
+
 def sched_floor_probe(spark, chains: int = 3, shuffles_per_chain: int = 8) -> float:
     """Time a fixed synthetic pipeline of tiny shuffle stages (~100 rows
     per exchange) — pure scheduler + stage-launch overhead, no data.
@@ -565,6 +600,11 @@ def compact_record(out: dict, budget: int = 1800) -> dict:
         "queries_note": "slowest-first subset; complete per-query record in history_file",
         "reference": out.get("reference", {}),
         "sched_floor_s": out.get("sched_floor_s"),
+        # the two smallest VERDICT-r13-#5 pressure signals ride the
+        # compact line; the full per-query gc/heap record stays in the
+        # history file
+        "probe_traj_s": (out.get("pressure") or {}).get("probe_traj_s"),
+        "gc_total_s": (out.get("pressure") or {}).get("gc_total_s"),
     }
     if "history_file" in out:
         rec["history_file"] = out["history_file"]
@@ -594,7 +634,24 @@ def main() -> None:
 
     times: dict[str, float] = {}
     warm: dict[str, float] = {}
-    for name in BENCH_QUERIES:
+    # VERDICT r13 #5 instrumentation: the in-suite warm inflation has
+    # recurred two rounds (suite geomean ~1.1× while every isolated
+    # rerun minimum sits at baseline on unchanged censuses). These
+    # counters separate the hypotheses mechanically: a climbing probe
+    # trajectory / GC share / persistent-RDD count = pressure
+    # accumulating ACROSS the suite; flat counters + inflated totals =
+    # suite-external (host) interference.
+    gc_ms: dict[str, int] = {}
+    probe_traj: list[float] = []
+    heap_traj: list[int] = []
+    rdd_traj: list[int] = []
+    gc0_run = _jvm_gc_ms(spark)
+    for qi, name in enumerate(BENCH_QUERIES):
+        if qi % 25 == 0:
+            probe_traj.append(pressure_probe(spark, SF_DIR, QUERIES))
+            heap_traj.append(_jvm_heap_mb(spark))
+            rdd_traj.append(_n_persistent_rdds(spark))
+        gc0 = _jvm_gc_ms(spark)
         fn = QUERIES[name].fn
         # cold: includes plan build + codegen compile (what a one-shot job pays)
         t0 = time.perf_counter()
@@ -614,6 +671,11 @@ def main() -> None:
             # per-invocation, not cross-query state
             release_intermediates()
         warm[name] = round(best, 3)
+        gc_ms[name] = _jvm_gc_ms(spark) - gc0
+    probe_traj.append(pressure_probe(spark, SF_DIR, QUERIES))
+    heap_traj.append(_jvm_heap_mb(spark))
+    rdd_traj.append(_n_persistent_rdds(spark))
+    gc_total_s = round((_jvm_gc_ms(spark) - gc0_run) / 1000.0, 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     prev = previous_round_warm()
@@ -838,6 +900,19 @@ def main() -> None:
         ),
         "reference": reference_timings(),
         "sched_floor_s": sched_floor_probe(spark),
+        # VERDICT r13 #5: the in-suite pressure counters. probe_traj is
+        # a fixed q01 warm run timed every 25 suite positions (plus one
+        # final) — flat trajectory + inflated totals = suite-external
+        # interference; a monotone climb = accumulating JVM pressure
+        # (then read gc_ms_per_query / heap_mb_traj / persistent_rdd_traj
+        # for the mechanism).
+        "pressure": {
+            "probe_traj_s": probe_traj,
+            "heap_mb_traj": heap_traj,
+            "persistent_rdd_traj": rdd_traj,
+            "gc_total_s": gc_total_s,
+            "gc_ms_per_query": gc_ms,
+        },
     }
     # Complete in-repo record for next round's flagger (never truncated).
     this_round = _latest_driver_round() + 1
