@@ -2805,3 +2805,63 @@ def image_palette_size(df: DataFrame, bits_per_channel: int = 4) -> DataFrame:
         "media_id long, n_px long, n_colors long, top_color_key long, "
         "top_color_share double",
     )
+
+
+def video_frame_entropy(frames: DataFrame) -> DataFrame:
+    """Per-video byte-entropy trajectory: each frame reduces to ONE
+    quantized Shannon entropy of its byte histogram (micro-bits,
+    0 = flat/black, 8 = uniform noise), per video the mean/min/max —
+    the content-complexity screen completing the temporal-QC row (a
+    near-zero MIN flags embedded black/flat spans the mean hides; a
+    suspiciously HIGH mean flags noise/static; both are drop-or-route
+    signals before paying for frame embeddings).
+
+    The 256-bin histogram and the entropy both reduce INSIDE the Arrow
+    batch — only (video, frame_idx, entropy-micro-int) triplets leave
+    the decode, payloads never shuffle. Exactness: per-frame terms
+    quantize as round_half_away(c·log₂(c/n)·10⁶) over exact integer
+    ratios, the per-frame entropy re-quantizes as
+    floor(−S/n + 0.5) micro-bits (S = the exact term-sum integer), and
+    the per-video mean is the exact integer ratio Σhq/n_frames emitted
+    UNROUNDED — both engines divide identical integers. Returns
+    (media_id, n_frames, mean_entropy_bits, min_entropy_bits,
+    max_entropy_bits).
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Self-contained closure: no module-global references.
+        import math as _math
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            for m, fi, p in zip(
+                pdf["media_id"], pdf["frame_idx"], pdf["payload"]
+            ):
+                buf = np.frombuffer(bytes(p), dtype=np.uint8)
+                n = int(buf.size)
+                counts = np.bincount(buf, minlength=256)
+                s = 0
+                for c in counts[counts > 0]:
+                    c = int(c)
+                    x = c * _math.log2(c / n) * 1_000_000
+                    s += int(_math.copysign(_math.floor(abs(x) + 0.5), x))
+                hq = int(_math.floor(-s / n + 0.5))  # micro-bits, ≥ 0
+                rows.append((int(m), int(fi), hq))
+            yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "hq"])
+
+    ent = frames.select("media_id", "frame_idx", "payload").mapInPandas(
+        run, "media_id long, frame_idx int, hq long"
+    )
+    return ent.groupBy("media_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_frames"),
+        (F.sum("hq").cast("double") / F.count(F.lit(1)) / 1_000_000).alias(
+            "mean_entropy_bits"
+        ),
+        (F.min("hq").cast("double") / 1_000_000).alias("min_entropy_bits"),
+        (F.max("hq").cast("double") / 1_000_000).alias("max_entropy_bits"),
+    )

@@ -3907,3 +3907,78 @@ def theil_u(
         "n bigint, n_x_levels bigint, n_y_levels bigint, h_x double, "
         "h_y double, h_xy double, u_y_given_x double, u_x_given_y double",
     )
+
+
+def cramers_v_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Pairwise Cramér's V over a bounded list of categorical columns —
+    the normalized [0, 1] association matrix a feature-selection /
+    leakage screen reads where :func:`chi2_independence` gives one
+    pair's raw χ² and :func:`theil_u` the asymmetric directional view:
+    V = √(χ²/(n·(min(r,c)−1))) puts every pair on one comparable scale
+    regardless of cardinality.
+
+    Per pair (one aggregation pipeline each, unioned — the column list
+    is bounded API input, never data): (x, y) cell counts reduce once,
+    marginals re-aggregate from the CELL frame (never a second input
+    scan), and χ² uses the identity χ² = n·(Σ c²ₓᵧ/(cₓ·c•ᵧ)) − n with
+    each term micro-quantized as round(c²/(cx·cy)·10¹²) over exact
+    integer ratios — both engines sum identical integers, ONE
+    driver-side finalize per pair over bounded totals (the
+    mann_whitney convention). Pairs with min(r, c) = 1 (a constant
+    column) emit NULL V. Returns one row per unordered pair:
+    (col_x, col_y, n, levels_x, levels_y, chi2, cramers_v).
+    """
+    from ..plans.inspect import (
+        intermediates_mark,
+        release_intermediates_since,
+        tracked_persist,
+    )
+
+    dec = "decimal(38,0)"
+    rows = []
+    for i in range(len(cols)):
+        for j in range(i + 1, len(cols)):
+            cx, cy = cols[i], cols[j]
+            pool = df.where(
+                F.col(cx).isNotNull() & F.col(cy).isNotNull()
+            ).select(F.col(cx).alias("__x"), F.col(cy).alias("__y"))
+            mark = intermediates_mark()
+            cells = tracked_persist(
+                pool.groupBy("__x", "__y").agg(
+                    F.count(F.lit(1)).cast("bigint").alias("__c")
+                )
+            )
+            mx = cells.groupBy("__x").agg(F.sum("__c").alias("__cx"))
+            my = cells.groupBy("__y").agg(F.sum("__c").alias("__cy"))
+            term = F.round(
+                F.col("__c").cast("double") * F.col("__c")
+                / (F.col("__cx").cast("double") * F.col("__cy"))
+                * F.lit(1_000_000_000_000)
+            ).cast(dec)
+            fin = (
+                cells.join(mx, "__x").join(my, "__y")
+                .agg(
+                    F.sum(F.col("__c").cast(dec)).alias("__n"),
+                    F.count_distinct("__x").alias("__lx"),
+                    F.count_distinct("__y").alias("__ly"),
+                    F.sum(term).alias("__t"),
+                )
+                .first()
+            )
+            release_intermediates_since(mark)
+            n = int(fin["__n"] or 0)
+            lx, ly = int(fin["__lx"]), int(fin["__ly"])
+            chi2 = v = None
+            if n > 0:
+                # χ² = n·Σterm/10¹² − n: exact ints until one finalize
+                chi2 = n * int(fin["__t"]) / 1e12 - n
+                dof_min = min(lx, ly) - 1
+                if dof_min > 0:
+                    v = math.sqrt(max(chi2, 0.0) / (n * dof_min))
+            rnd = _round6_half_away
+            rows.append((cx, cy, n, lx, ly, rnd(chi2), rnd(v)))
+    return df.sparkSession.createDataFrame(
+        rows,
+        "col_x string, col_y string, n bigint, levels_x bigint, "
+        "levels_y bigint, chi2 double, cramers_v double",
+    )

@@ -2099,3 +2099,80 @@ def spectral_entropy(
         F.when(ok, r6(h)).alias("spectral_entropy_bits"),
         F.when(ok, r6(h / F.lit(max_bits))).alias("normalized_entropy"),
     )
+
+
+def variance_ratio_test(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    value_col: str,
+    step_seconds: int,
+    q: int = 4,
+) -> DataFrame:
+    """Lo–MacKinlay variance ratio per key — Var(q-step change) /
+    (q · Var(1-step change)) over the regular grid: the random-walk
+    test completing the memory family (:func:`hurst_exponent` reads
+    long memory from R/S scaling; :func:`series_autocorrelation` one
+    lag at a time; VR reads it as ONE calibrated number — a random
+    walk scores 1, a trending series > 1, a mean-reverting one < 1).
+
+    Rides :func:`resample_ffill` VERBATIM (same grid, same fill, same
+    staleness semantics — one resampling implementation); filled
+    values micro-quantize once, both difference series come from ONE
+    per-key ordered lag window (lag 1 and lag q over the same
+    exchange), q-step changes are OVERLAPPING (the Lo–MacKinlay
+    convention; n_q = n_slots − q), and both population variances are
+    exact DECIMAL(38,0) moments divided in one fixed order. The ratio
+    is an exact-rational double emitted UNROUNDED (identical bits on
+    both engines — the floor-recipe convention's sibling). Keys with a
+    degenerate 1-step variance (a constant or perfectly linear grid)
+    emit NULL vr. Returns
+    (key, n_slots, n_diffs_1, n_diffs_q, variance_1, variance_q, vr).
+    """
+    dec = "decimal(38,0)"
+    step_q = int(q)
+    rs = resample_ffill(df, key, ts, value_col, step_seconds)
+    qv = F.round(F.col("value") * 1_000_000).cast("bigint")
+    base = rs.select(F.col(key).alias("__k"), F.col("slot_epoch"), qv.alias("__q"))
+    w = Window.partitionBy("__k").orderBy(F.col("slot_epoch").asc())
+    d = base.select(
+        "__k",
+        (F.col("__q") - F.lag("__q", 1).over(w)).alias("__d1"),
+        (F.col("__q") - F.lag("__q", step_q).over(w)).alias("__dq"),
+    )
+    agg = d.groupBy("__k").agg(
+        (F.count(F.lit(1))).alias("n_slots"),
+        F.count("__d1").alias("__n1"),
+        F.count("__dq").alias("__nq"),
+        F.sum(F.col("__d1").cast(dec)).alias("__s1"),
+        F.sum((F.col("__d1").cast(dec) * F.col("__d1")).cast(dec)).alias("__ss1"),
+        F.sum(F.col("__dq").cast(dec)).alias("__sq"),
+        F.sum((F.col("__dq").cast(dec) * F.col("__dq")).cast(dec)).alias("__ssq"),
+    )
+    n1 = F.col("__n1").cast("double")
+    nq = F.col("__nq").cast("double")
+    # population variance of the micro-int diffs, in value units²:
+    # (Σd² − (Σd)²/n)/n / 10¹² — one fixed operand order
+    v1 = (
+        (F.col("__ss1").cast("double")
+         - F.col("__s1").cast("double") * F.col("__s1").cast("double") / n1)
+        / n1 / 1e12
+    )
+    vq = (
+        (F.col("__ssq").cast("double")
+         - F.col("__sq").cast("double") * F.col("__sq").cast("double") / nq)
+        / nq / 1e12
+    )
+    ok1 = F.col("__n1") >= 2
+    okq = F.col("__nq") >= 2
+    return agg.select(
+        F.col("__k").alias(key),
+        F.col("n_slots").cast("bigint").alias("n_slots"),
+        F.col("__n1").cast("bigint").alias("n_diffs_1"),
+        F.col("__nq").cast("bigint").alias("n_diffs_q"),
+        F.when(ok1, v1).alias("variance_1"),
+        F.when(okq, vq).alias("variance_q"),
+        F.when(ok1 & okq & (v1 > 0), vq / (F.lit(float(step_q)) * v1)).alias(
+            "vr"
+        ),
+    )

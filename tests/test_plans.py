@@ -1346,3 +1346,40 @@ def test_r17_wave_plan_shapes(spark):
     xs = cross_source_dup_matrix(docs)
     plan = explain_str(xs)
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
+
+
+def test_r17_wave_second_tranche_plan_shapes(spark):
+    """Scale-shape assertions for the second r17-wave tranche: the
+    variance-ratio lag windows partition by key over the shared
+    resample grid (no data-carrying single partition, no join), the
+    Cramér's V pair pipeline joins hash on the bounded level frames
+    (no cartesian), and frame-entropy payloads reduce inside the Arrow
+    decode (one hash aggregate after, no window, no join)."""
+    from osmapreduceproject_spark.operators.multimodal import (
+        arith_video_frames,
+        video_frame_entropy,
+    )
+    from osmapreduceproject_spark.operators.stats import cramers_v_matrix
+    from osmapreduceproject_spark.operators.windows import variance_ratio_test
+    from osmapreduceproject_spark.plans.inspect import (
+        data_carrying_single_partitions,
+        explain_str,
+    )
+    from osmapreduceproject_spark.queries import _t
+
+    sf = "/root/testdata/sf0.001"
+    ev = _t(spark, sf, "events")
+    docs = _t(spark, sf, "documents")
+
+    vr = variance_ratio_test(ev, "user_id", "ts", "value", 3600, q=4)
+    plan = explain_str(vr)
+    assert data_carrying_single_partitions(vr) == [], plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan, plan
+
+    cv = cramers_v_matrix(docs, ["source", "lang"])
+    assert cv.count() == 1  # bounded one-row-per-pair driver frame
+
+    fe = video_frame_entropy(arith_video_frames(spark, 2, 4))
+    plan = explain_str(fe)
+    assert data_carrying_single_partitions(fe) == [], plan
+    assert "SortMergeJoin" not in plan and "Window" not in plan, plan

@@ -944,3 +944,271 @@ def test_cross_source_dup_matrix_known_case(spark):
     assert x["within_source"] is False
     w = rows[("src_a", "src_a")]
     assert w["n_pairs"] == 1 and w["within_source"] is True
+
+
+# ---------------------------------------------------------------------------
+# second r16-wave tranche: variance ratio, Cramér's V matrix, frame entropy
+# ---------------------------------------------------------------------------
+
+
+def test_variance_ratio_oracle(spark, duck):
+    """Lo–MacKinlay VR over the shared hourly resample grid — one lag
+    window for both difference series, exact DECIMAL moments, the
+    unrounded ratio replayed in SQL."""
+    from osmapreduceproject_spark.operators.windows import variance_ratio_test
+    from osmapreduceproject_spark.queries_r8 import _RESAMPLE_CTE
+
+    got = variance_ratio_test(
+        _t(spark, "events"), "user_id", "ts", "value", 3600, q=4
+    )
+    sql = f"""
+    WITH {_RESAMPLE_CTE},
+    b AS (SELECT k, slot_epoch,
+                 CAST(round(value * 1000000) AS BIGINT) AS q
+          FROM resampled),
+    d AS (SELECT k, q - lag(q, 1) OVER w AS d1, q - lag(q, 4) OVER w AS dq
+          FROM b WINDOW w AS (PARTITION BY k ORDER BY slot_epoch)),
+    a AS (SELECT k, COUNT(*) AS n_slots, COUNT(d1) AS n1, COUNT(dq) AS nq,
+                 SUM(CAST(d1 AS HUGEINT)) AS s1,
+                 SUM(CAST(d1 AS HUGEINT) * d1) AS ss1,
+                 SUM(CAST(dq AS HUGEINT)) AS sq,
+                 SUM(CAST(dq AS HUGEINT) * dq) AS ssq
+          FROM d GROUP BY k),
+    v AS (SELECT k, n_slots, n1, nq,
+            CASE WHEN n1 >= 2 THEN
+              (CAST(ss1 AS DOUBLE)
+               - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n1)
+              / n1 / 1000000000000.0 END AS v1,
+            CASE WHEN nq >= 2 THEN
+              (CAST(ssq AS DOUBLE)
+               - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE) / nq)
+              / nq / 1000000000000.0 END AS vq
+          FROM a)
+    SELECT k AS user_id, CAST(n_slots AS BIGINT) AS n_slots,
+           CAST(n1 AS BIGINT) AS n_diffs_1, CAST(nq AS BIGINT) AS n_diffs_q,
+           v1 AS variance_1, vq AS variance_q,
+           CASE WHEN n1 >= 2 AND nq >= 2 AND v1 > 0 THEN
+             vq / (4.0 * v1) END AS vr
+    FROM v
+    """
+    assert compare(got, duck.execute(sql).df()) == []
+    pdf = got.toPandas()
+    assert (pdf.vr.dropna() >= 0).all()
+
+
+def test_variance_ratio_known_cases(spark):
+    """Pins: a strict ±1 alternation has zero 4-step variance (VR = 0);
+    a perfect linear ramp has zero 1-step variance (NULL VR — nothing
+    to calibrate against); a persistent two-regime walk scores VR > 1."""
+    from osmapreduceproject_spark.operators.windows import variance_ratio_test
+
+    def series(vals):
+        rows = [(i, i * 3_600_000_000, 1, float(v))
+                for i, v in enumerate(vals)]
+        return spark.createDataFrame(
+            rows, "event_id long, us long, user_id long, value double"
+        ).select(
+            "event_id", F.timestamp_micros("us").alias("ts"),
+            "user_id", "value",
+        )
+
+    alt = variance_ratio_test(
+        series([1.0 if i % 2 else -1.0 for i in range(24)]),
+        "user_id", "ts", "value", 3600, q=4,
+    ).first()
+    assert alt["vr"] == 0.0 and alt["variance_q"] == 0.0
+    ramp = variance_ratio_test(
+        series(range(24)), "user_id", "ts", "value", 3600, q=4
+    ).first()
+    assert ramp["variance_1"] == 0.0 and ramp["vr"] is None
+    trend = variance_ratio_test(
+        series([0, 1, 2, 3, 4, 5, 6, 7, 8, 7, 6, 5, 4, 3, 2, 1]
+               + [0, 1, 2, 3, 4, 5, 6, 7]),
+        "user_id", "ts", "value", 3600, q=4,
+    ).first()
+    assert trend["vr"] > 1.0  # locally persistent moves compound
+
+
+def test_cramers_v_matrix_oracle(spark, duck):
+    """source↔lang Cramér's V — quantized χ² identity terms over the
+    cell frame, the one-pair matrix replayed in SQL."""
+    from osmapreduceproject_spark.operators.stats import cramers_v_matrix
+
+    got = cramers_v_matrix(_t(spark, "documents"), ["source", "lang"])
+    sql = """
+    WITH pool AS (SELECT source AS x, lang AS y FROM documents
+                  WHERE source IS NOT NULL AND lang IS NOT NULL),
+    cells AS (SELECT x, y, COUNT(*) AS c FROM pool GROUP BY 1, 2),
+    mx AS (SELECT x, SUM(c) AS cx FROM cells GROUP BY x),
+    my AS (SELECT y, SUM(c) AS cy FROM cells GROUP BY y),
+    f AS (SELECT SUM(CAST(c AS HUGEINT)) AS n,
+                 COUNT(DISTINCT cells.x) AS lx,
+                 COUNT(DISTINCT cells.y) AS ly,
+                 SUM(CAST(round(CAST(c AS DOUBLE) * c
+                      / (CAST(cx AS DOUBLE) * cy)
+                      * 1000000000000) AS HUGEINT)) AS t
+          FROM cells JOIN mx USING (x) JOIN my USING (y)),
+    e AS (SELECT n, lx, ly,
+                 CAST(n * t AS DOUBLE) / 1000000000000.0
+                   - CAST(n AS DOUBLE) AS chi2
+          FROM f)
+    SELECT 'source' AS col_x, 'lang' AS col_y, CAST(n AS BIGINT) AS n,
+           CAST(lx AS BIGINT) AS levels_x, CAST(ly AS BIGINT) AS levels_y,
+           round(chi2, 6) AS chi2,
+           CASE WHEN least(lx, ly) > 1 THEN
+             round(sqrt(greatest(chi2, 0) / CAST(n * (least(lx, ly) - 1)
+                                                 AS DOUBLE)), 6)
+           END AS cramers_v
+    FROM e
+    """
+    assert compare(got, duck.execute(sql).df()) == []
+    r = got.first()
+    assert 0 <= r["cramers_v"] <= 1 + 1e-9
+
+
+def test_cramers_v_matrix_known_cases(spark):
+    """Pins: a perfectly associated 2×2 scores V = 1; an independent
+    2×2 scores V = 0; a constant column emits NULL V; three columns
+    produce the 3 unordered pairs."""
+    from osmapreduceproject_spark.operators.stats import cramers_v_matrix
+
+    perfect = spark.createDataFrame(
+        [("a", "x", "k")] * 4 + [("b", "y", "k")] * 4,
+        "c1 string, c2 string, c3 string",
+    )
+    rows = {(r["col_x"], r["col_y"]): r
+            for r in cramers_v_matrix(perfect, ["c1", "c2", "c3"]).collect()}
+    assert len(rows) == 3
+    assert rows[("c1", "c2")]["cramers_v"] == 1.0
+    assert rows[("c1", "c3")]["cramers_v"] is None  # c3 constant
+    indep = spark.createDataFrame(
+        [("a", "x"), ("a", "y"), ("b", "x"), ("b", "y")],
+        "c1 string, c2 string",
+    )
+    i = cramers_v_matrix(indep, ["c1", "c2"]).first()
+    assert i["chi2"] == 0.0 and i["cramers_v"] == 0.0
+
+
+def test_video_frame_entropy_oracle(spark, duck):
+    """Per-frame byte entropy over the scene-cut fixture — every byte
+    regenerated, the quantized term sum and per-video trajectory
+    replayed in SQL."""
+    from osmapreduceproject_spark.operators.multimodal import (
+        arith_video_frames,
+        video_frame_entropy,
+    )
+
+    got = video_frame_entropy(
+        arith_video_frames(spark, n_videos=12, n_frames=8, cut_at=4)
+    )
+    sql = """
+    WITH mm AS (SELECT unnest(range(96)) AS id),
+    fr AS (SELECT id // 8 AS vid, id % 8 AS f FROM mm),
+    px AS (SELECT vid, f, unnest(range(576)) AS i FROM fr),
+    v AS (SELECT vid, f,
+            (31 * (CASE WHEN f < 4 THEN vid ELSE vid + 500 END)
+             + 7*i + (i*i)%251
+             + f * (CASE WHEN i < 12 THEN 1 ELSE 0 END)) % 256 AS b
+          FROM px),
+    hist AS (SELECT vid, f, b, COUNT(*) AS c FROM v GROUP BY 1, 2, 3),
+    trm AS (SELECT vid, f,
+              SUM(CAST(round(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE) / 576)
+                             * 1000000) AS BIGINT)) AS s
+            FROM hist GROUP BY 1, 2),
+    hq AS (SELECT vid, f,
+             CAST(floor(-CAST(s AS DOUBLE) / 576 + 0.5) AS BIGINT) AS hq
+           FROM trm)
+    SELECT CAST(vid AS BIGINT) AS media_id,
+           CAST(COUNT(*) AS BIGINT) AS n_frames,
+           CAST(SUM(hq) AS DOUBLE) / COUNT(*) / 1000000 AS mean_entropy_bits,
+           CAST(MIN(hq) AS DOUBLE) / 1000000 AS min_entropy_bits,
+           CAST(MAX(hq) AS DOUBLE) / 1000000 AS max_entropy_bits
+    FROM hq GROUP BY vid
+    """
+    assert compare(got, duck.execute(sql).df()) == []
+    pdf = got.toPandas()
+    assert pdf.mean_entropy_bits.between(0, 8).all()
+
+
+def test_video_frame_entropy_known_cases(spark):
+    """Pins: a flat frame has exactly 0 bits; a 50/50 two-value frame
+    exactly 1 bit; the per-video min/max bracket the mean."""
+    from osmapreduceproject_spark.operators.multimodal import (
+        video_frame_entropy,
+    )
+
+    schema = ("media_id long, kind string, frame_idx int, payload binary, "
+              "meta struct<width:int,height:int,sample_rate:int,n_frames:int>")
+    df = spark.createDataFrame(
+        [(0, "video", 0, bytes([7] * 48), (4, 4, None, 2)),
+         (0, "video", 1, bytes([0] * 24 + [255] * 24), (4, 4, None, 2))],
+        schema,
+    )
+    r = video_frame_entropy(df).first()
+    assert r["n_frames"] == 2
+    assert r["min_entropy_bits"] == 0.0
+    assert r["max_entropy_bits"] == 1.0
+    assert r["mean_entropy_bits"] == 0.5
+
+
+# ---------------------------------------------------------------------------
+# gated scale smokes (SPARK_GRAFT_SCALE=1)
+# ---------------------------------------------------------------------------
+
+import os as _os  # noqa: E402
+
+
+@pytest.mark.skipif(
+    not _os.environ.get("SPARK_GRAFT_SCALE"),
+    reason="scale smoke: set SPARK_GRAFT_SCALE=1 (10M rows through max_drawdown)",
+)
+def test_max_drawdown_scale_smoke(spark):
+    """10M rows over 1,000 keys through the running-peak window: every
+    key reports, drawdowns are non-negative and bounded by the peak
+    spread — the window stays key-partitioned at volume."""
+    from osmapreduceproject_spark.operators.windows import max_drawdown
+
+    df = spark.range(10_000_000).select(
+        (F.col("id") % 1000).alias("k"),
+        F.timestamp_micros(F.col("id") * 1000).alias("ts"),
+        (F.pmod(F.xxhash64("id"), F.lit(100_000)).cast("double") / 100.0)
+        .alias("v"),
+        F.col("id").alias("eid"),
+    )
+    dd = max_drawdown(df, "k", "ts", "v", id_col="eid")
+    pdf = dd.toPandas()
+    assert len(pdf) == 1000
+    assert (pdf.max_drawdown >= 0).all()
+    assert (pdf.max_drawdown <= pdf.peak_value - pdf.peak_value.min() + 1000).all()
+    assert pdf.max_drawdown_frac.between(0, 1).all()
+
+
+@pytest.mark.skipif(
+    not _os.environ.get("SPARK_GRAFT_SCALE"),
+    reason="scale smoke: set SPARK_GRAFT_SCALE=1 (1,000 keys × 500 rows through theil_sen)",
+)
+def test_theil_sen_scale_smoke(spark):
+    """1,000 keys × 500 observations (124,750 pairs per key, ~125M pair
+    slopes total) through the bounded Arrow pair pass: every key
+    reports the full pair count and a sane slope — the quadratic work
+    stays inside per-key groups, nothing quadratic crosses the
+    shuffle."""
+    from osmapreduceproject_spark.operators.windows import theil_sen
+
+    n_keys, n_obs = 1_000, 500
+    df = spark.range(n_keys * n_obs).select(
+        (F.col("id") / n_obs).cast("bigint").alias("k"),
+        F.timestamp_micros(
+            (F.col("id") % n_obs) * F.lit(3_600_000_000)
+        ).alias("ts"),
+        (
+            (F.col("id") % n_obs).cast("double") * 2.0
+            + F.pmod(F.xxhash64("id"), F.lit(100)).cast("double") / 100.0
+        ).alias("v"),
+    )
+    ts_ = theil_sen(df, "k", "ts", "v")
+    pdf = ts_.toPandas()
+    assert len(pdf) == n_keys
+    assert (pdf.n_pairs == n_obs * (n_obs - 1) // 2).all()
+    # the planted slope is 2/hour with sub-unit noise: medians hug it
+    assert pdf.slope_per_hour.between(1.9, 2.1).all()
