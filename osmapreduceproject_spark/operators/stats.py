@@ -3982,3 +3982,65 @@ def cramers_v_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
         "col_x string, col_y string, n bigint, levels_x bigint, "
         "levels_y bigint, chi2 double, cramers_v double",
     )
+
+
+def cochran_armitage(
+    df: DataFrame,
+    score_col: str,
+    success_col: str,
+) -> DataFrame:
+    """Cochran–Armitage trend test — does a BINARY outcome's rate trend
+    monotonically across ORDERED integer groups: the proportions
+    member of the ordered-alternatives family
+    (:func:`jonckheere_terpstra` handles a continuous outcome,
+    :func:`chi2_independence` ignores the ordering entirely and burns
+    power on it). T = Σ sₓ·x against its null moments under the pooled
+    rate: E[T] = p̄·Σnₓx, Var[T] = p̄(1−p̄)(Σnₓx² − (Σnₓx)²/N); the
+    z sign reads the direction (positive = the rate rises with the
+    score).
+
+    ONE aggregation over (score, success) pairs computes every moment
+    in exact DECIMAL(38,0) (scores are integers by contract — bucket
+    upstream); the finalize is driver-side over the bounded one-row
+    totals in a fixed operand order the oracle mirrors, rounding
+    half-away. Degenerate inputs (one score level, or a pooled rate
+    of exactly 0 or 1) emit NULL z — no trend is estimable. NULL
+    scores/outcomes are excluded. Returns one row:
+    (n, n_success, n_score_levels, t_stat, mean_t, var_t, z).
+    """
+    dec = "decimal(38,0)"
+    x = F.col(score_col).cast("bigint")
+    s = F.col(success_col).cast("boolean").cast("int")
+    pool = df.where(
+        F.col(score_col).isNotNull() & F.col(success_col).isNotNull()
+    ).select(x.alias("__x"), s.alias("__s"))
+    agg = pool.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__s").alias("__ns"),
+        F.count_distinct("__x").alias("__lv"),
+        F.sum((F.col("__s") * F.col("__x")).cast(dec)).alias("__t"),
+        F.sum(F.col("__x").cast(dec)).alias("__ex"),
+        F.sum((F.col("__x") * F.col("__x")).cast(dec)).alias("__exx"),
+    ).first()
+    n = int(agg["__n"] or 0)
+    ns = int(agg["__ns"] or 0)
+    lv = int(agg["__lv"] or 0)
+    t = mean_t = var_t = z = None
+    if n > 0:
+        t = float(int(agg["__t"]))
+        ex, exx = int(agg["__ex"]), int(agg["__exx"])
+        # p̄·Ex and p̄(1−p̄)(Exx − Ex²/N): exact ints into fixed-order
+        # double expressions, mirrored by the oracle
+        pbar = ns / n
+        mean_t = pbar * ex
+        var_t = pbar * (1.0 - pbar) * (exx - float(ex) * ex / n)
+        if lv >= 2 and var_t > 0:
+            z = (t - mean_t) / math.sqrt(var_t)
+        else:
+            z = None
+    rnd = _round6_half_away
+    return df.sparkSession.createDataFrame(
+        [(n, ns, lv, rnd(t), rnd(mean_t), rnd(var_t), rnd(z))],
+        "n bigint, n_success bigint, n_score_levels bigint, t_stat double, "
+        "mean_t double, var_t double, z double",
+    )

@@ -2172,3 +2172,110 @@ def casing_report(
         ).alias("titlecase_frac"),
         "n_shouting_docs",
     )
+
+
+def distinctive_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    k: int = 10,
+    alpha0: float = 500.0,
+    min_count: int = 3,
+) -> DataFrame:
+    """Fightin'-Words distinctive terms per source (Monroe/Colaresi/
+    Quinn 2008: log-odds-ratio with an informative Dirichlet prior,
+    z-scored): for each source, the top-``k`` tokens most
+    OVER-represented against the rest of the corpus — the token-level
+    "what makes this source different" readout that
+    :func:`vocab_divergence` (one scalar per corpus pair) and
+    :func:`tfidf` (within-document salience, no uncertainty) can't
+    give. The prior (corpus frequencies scaled to ``alpha0``
+    pseudo-counts) shrinks rare-token odds toward zero and the
+    variance term 1/(y_iw+a_w) + 1/(y_jw+a_w) kills the
+    low-count false positives raw log-odds rankings drown in.
+
+    One (source, token) count aggregation feeds everything; corpus
+    totals re-aggregate from the SAME frame (never a second token
+    explode); the rest-of-corpus counts are the closed-form
+    differences y_w − y_iw / n − n_i (no anti-join); every δ/σ²/z is
+    ONE fixed-order double expression over exact integer counts —
+    both engines compute identical doubles, so the per-source
+    (z desc, token asc) top-k rank is deterministic, and z rounds
+    with the sign-symmetric floor recipe. Tokens under ``min_count``
+    in the source are excluded (documented — the prior already
+    shrinks them; the cut keeps the candidate frame lean). Returns
+    (source, token, n_source, n_rest, log_odds_z, rank).
+    """
+    from pyspark.sql import Window
+
+    from ..plans.inspect import tracked_persist
+
+    toks = df.where(
+        F.col(text_col).isNotNull() & F.col(source_col).isNotNull()
+    ).select(
+        F.col(source_col).alias("__s"),
+        F.explode(tokens(F.col(text_col))).alias("__w"),
+    ).where(F.col("__w") != "")
+    # the (source, token) cells feed the corpus token totals, the
+    # per-source totals, and the scored frame — tracked_persist once;
+    # the returned frame is lazy, so release is the CALLER's
+    # release_intermediates() (the _doubled_midrank_map convention)
+    cells = tracked_persist(
+        toks.groupBy("__s", "__w").agg(
+            F.count(F.lit(1)).cast("bigint").alias("__y")
+        )
+    )
+    word_tot = cells.groupBy("__w").agg(F.sum("__y").alias("__yw"))
+    src_tot = cells.groupBy("__s").agg(F.sum("__y").alias("__ni"))
+    n_total = int(
+        cells.agg(F.coalesce(F.sum("__y"), F.lit(0)).alias("n")).first()["n"]
+    )
+    if n_total == 0:
+        return df.sparkSession.createDataFrame(
+            [],
+            "source string, token string, n_source bigint, n_rest bigint, "
+            "log_odds_z double, rank int",
+        )
+    a0 = float(alpha0)
+    scored = (
+        cells.where(F.col("__y") >= int(min_count))
+        .join(word_tot, "__w")
+        .join(src_tot, "__s")
+    )
+    n_lit = F.lit(float(n_total))
+    aw = F.lit(a0) * F.col("__yw") / n_lit
+    yi = F.col("__y").cast("double")
+    yj = (F.col("__yw") - F.col("__y")).cast("double")
+    ni = F.col("__ni").cast("double")
+    nj = n_lit - F.col("__ni")
+    # fixed operand order throughout — the oracle mirrors it verbatim
+    delta = (
+        F.log((yi + aw) / (ni + F.lit(a0) - yi - aw))
+        - F.log((yj + aw) / (nj + F.lit(a0) - yj - aw))
+    )
+    var = F.lit(1.0) / (yi + aw) + F.lit(1.0) / (yj + aw)
+    z = delta / F.sqrt(var)
+    w = Window.partitionBy("__s").orderBy(F.col("__z").desc(), F.col("__w").asc())
+    out = (
+        scored.select(
+            "__s", "__w",
+            F.col("__y").alias("n_source"),
+            (F.col("__yw") - F.col("__y")).cast("bigint").alias("n_rest"),
+            z.alias("__z"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= int(k))
+        .select(
+            F.col("__s").alias("source"),
+            F.col("__w").alias("token"),
+            "n_source",
+            "n_rest",
+            (
+                F.signum(F.col("__z"))
+                * F.floor(F.abs(F.col("__z")) * 1_000_000 + F.lit(0.5))
+                / 1_000_000
+            ).alias("log_odds_z"),
+            "rank",
+        )
+    )
+    return out

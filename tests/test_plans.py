@@ -1383,3 +1383,39 @@ def test_r17_wave_second_tranche_plan_shapes(spark):
     plan = explain_str(fe)
     assert data_carrying_single_partitions(fe) == [], plan
     assert "SortMergeJoin" not in plan and "Window" not in plan, plan
+
+
+def test_r17_wave_third_tranche_plan_shapes(spark):
+    """Scale-shape assertions for the third r17-wave tranche: the
+    distinctive-terms pipeline is vocabulary-level after the one token
+    explode (cell-keyed hash joins, a source-partitioned rank window,
+    no cartesian, no data-carrying single partition), and
+    Cochran–Armitage is ONE aggregation into a bounded finalize."""
+    from osmapreduceproject_spark.operators.stats import cochran_armitage
+    from osmapreduceproject_spark.operators.text import distinctive_terms
+    from osmapreduceproject_spark.plans.inspect import (
+        data_carrying_single_partitions,
+        explain_str,
+        release_intermediates,
+    )
+    from osmapreduceproject_spark.queries import _t
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    docs = _t(spark, sf, "documents")
+    ev = _t(spark, sf, "events")
+
+    dt = distinctive_terms(docs)
+    plan = explain_str(dt)
+    assert data_carrying_single_partitions(dt) == [], plan
+    assert "CartesianProduct" not in plan, plan
+    release_intermediates()
+
+    ca = cochran_armitage(
+        ev.select(
+            F.expr("length(props) div 10").alias("b"),
+            (F.col("event_type") == "purchase").alias("ok"),
+        ),
+        "b", "ok",
+    )
+    assert ca.count() == 1

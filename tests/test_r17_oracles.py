@@ -1212,3 +1212,130 @@ def test_theil_sen_scale_smoke(spark):
     assert (pdf.n_pairs == n_obs * (n_obs - 1) // 2).all()
     # the planted slope is 2/hour with sub-unit noise: medians hug it
     assert pdf.slope_per_hour.between(1.9, 2.1).all()
+
+
+# ---------------------------------------------------------------------------
+# third r16-wave tranche: distinctive terms, Cochran–Armitage trend
+# ---------------------------------------------------------------------------
+
+
+def test_distinctive_terms_oracle(spark, duck):
+    """Monroe log-odds with informative Dirichlet prior — per-source
+    token counts, the fixed-order δ/σ²/z expressions, and the ranked
+    top-k replayed in SQL."""
+    from osmapreduceproject_spark.operators.text import distinctive_terms
+
+    got = distinctive_terms(_t(spark, "documents"))
+    sql = """
+    WITH tok AS (SELECT source AS s, unnest(string_split(text, ' ')) AS w
+                 FROM documents
+                 WHERE text IS NOT NULL AND source IS NOT NULL),
+    tok2 AS (SELECT s, w FROM tok WHERE w != ''),
+    cells AS (SELECT s, w, COUNT(*) AS y FROM tok2 GROUP BY 1, 2),
+    wt AS (SELECT w, SUM(y) AS yw FROM cells GROUP BY w),
+    st AS (SELECT s, SUM(y) AS ni FROM cells GROUP BY s),
+    nn AS (SELECT SUM(y) AS n FROM cells),
+    sc AS (SELECT c.s, c.w, c.y, wt.yw, st.ni, nn.n,
+             (500.0 * wt.yw) / nn.n AS aw
+           FROM cells c JOIN wt USING (w) JOIN st USING (s), nn
+           WHERE c.y >= 3),
+    zz AS (SELECT s, w, y, yw - y AS yrest,
+             (ln((CAST(y AS DOUBLE) + aw)
+                 / (CAST(ni AS DOUBLE) + 500.0 - CAST(y AS DOUBLE) - aw))
+              - ln((CAST(yw - y AS DOUBLE) + aw)
+                   / (CAST(n AS DOUBLE) - ni + 500.0
+                      - CAST(yw - y AS DOUBLE) - aw)))
+             / sqrt(1.0 / (CAST(y AS DOUBLE) + aw)
+                    + 1.0 / (CAST(yw - y AS DOUBLE) + aw)) AS z
+           FROM sc),
+    rk AS (SELECT s, w, y, yrest, z,
+             ROW_NUMBER() OVER (PARTITION BY s ORDER BY z DESC, w ASC)
+               AS rank
+           FROM zz)
+    SELECT s AS source, w AS token, CAST(y AS BIGINT) AS n_source,
+           CAST(yrest AS BIGINT) AS n_rest,
+           CASE WHEN z >= 0 THEN floor(z * 1000000 + 0.5) / 1000000
+                ELSE -floor(-z * 1000000 + 0.5) / 1000000 END AS log_odds_z,
+           CAST(rank AS INT) AS rank
+    FROM rk WHERE rank <= 10
+    """
+    assert compare(got, duck.execute(sql).df()) == []
+    pdf = got.toPandas()
+    assert pdf.groupby("source")["rank"].max().le(10).all()
+
+
+def test_distinctive_terms_known_case(spark):
+    """Pin: a token saturating one source and absent elsewhere ranks
+    first for that source with a clearly positive z; shared filler
+    never outranks it."""
+    from osmapreduceproject_spark.operators.text import distinctive_terms
+
+    filler = "the quick brown fox jumps over the lazy dog"
+    rows = [(i, filler + " zebra zebra zebra", "a") for i in range(6)]
+    rows += [(100 + i, filler, "b") for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = distinctive_terms(df, k=3).toPandas()
+    top_a = out[(out.source == "a") & (out["rank"] == 1)].iloc[0]
+    assert top_a.token == "zebra"
+    assert top_a.n_source == 18 and top_a.n_rest == 0
+    assert top_a.log_odds_z > 1.0
+
+
+def test_cochran_armitage_oracle(spark, duck):
+    """Trend in purchase share across props-length buckets — exact
+    DECIMAL moments, the fixed-order finalize replayed in SQL."""
+    from osmapreduceproject_spark.operators.stats import cochran_armitage
+
+    ev = _t(spark, "events").select(
+        F.expr("length(props) div 10").alias("bucket"),
+        (F.col("event_type") == "purchase").alias("purchased"),
+    )
+    got = cochran_armitage(ev, "bucket", "purchased")
+    sql = """
+    WITH pool AS (
+      SELECT CAST(len(props) // 10 AS BIGINT) AS x,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS s
+      FROM events WHERE props IS NOT NULL AND event_type IS NOT NULL),
+    a AS (SELECT COUNT(*) AS n, SUM(s) AS ns, COUNT(DISTINCT x) AS lv,
+                 SUM(CAST(s * x AS HUGEINT)) AS t,
+                 SUM(CAST(x AS HUGEINT)) AS ex,
+                 SUM(CAST(x * x AS HUGEINT)) AS exx
+          FROM pool),
+    e AS (SELECT n, ns, lv, CAST(t AS DOUBLE) AS t,
+                 (CAST(ns AS DOUBLE) / n) * CAST(ex AS DOUBLE) AS mt,
+                 (CAST(ns AS DOUBLE) / n) * (1.0 - CAST(ns AS DOUBLE) / n)
+                   * (CAST(exx AS DOUBLE)
+                      - CAST(ex AS DOUBLE) * ex / n) AS vt
+          FROM a)
+    SELECT CAST(n AS BIGINT) AS n, CAST(ns AS BIGINT) AS n_success,
+           CAST(lv AS BIGINT) AS n_score_levels,
+           round(t, 6) AS t_stat, round(mt, 6) AS mean_t,
+           round(vt, 6) AS var_t,
+           CASE WHEN lv >= 2 AND vt > 0 THEN
+             round((t - mt) / sqrt(vt), 6) END AS z
+    FROM e
+    """
+    assert compare(got, duck.execute(sql).df()) == []
+
+
+def test_cochran_armitage_known_cases(spark):
+    """Pins: hand case (rates 0/10, 5/10, 10/10 over scores 0,1,2 →
+    T = 25, E = 15, Var = 5, z = 4.472136); a single score level and
+    an all-success pool emit NULL z."""
+    from osmapreduceproject_spark.operators.stats import cochran_armitage
+
+    rows = []
+    for x, k in ((0, 0), (1, 5), (2, 10)):
+        for i in range(10):
+            rows.append((x, i < k))
+    df = spark.createDataFrame(rows, "x long, ok boolean")
+    r = cochran_armitage(df, "x", "ok").first()
+    assert r["n"] == 30 and r["n_success"] == 15
+    assert r["t_stat"] == 25.0 and r["mean_t"] == 15.0 and r["var_t"] == 5.0
+    assert r["z"] == 4.472136
+    one = spark.createDataFrame([(1, True), (1, False)], "x long, ok boolean")
+    assert cochran_armitage(one, "x", "ok").first()["z"] is None
+    allsucc = spark.createDataFrame(
+        [(0, True), (1, True)], "x long, ok boolean"
+    )
+    assert cochran_armitage(allsucc, "x", "ok").first()["z"] is None
