@@ -1188,7 +1188,11 @@ def cross_source_dup_matrix(
     syndicate themselves (boilerplate mills), CROSS-source counts find
     scrape-of-a-scrape pairs where dedup order decides which source's
     docs survive (and therefore whose distribution the training set
-    inherits — the q118 source-cap decision input).
+    inherits — the q118 source-cap decision input). Promotes
+    q158_source_overlap_matrix's inline query to the operator surface
+    (documented overlap): this adds the distinct-doc involvement count
+    and the within_source flag, and defaults to the uncapped pair
+    semantics where q158 grades the max_df=5 operating point.
 
     Shape on top of the pair frame: two hash joins to the (id, source)
     projection, one count per unordered source pair (source_a ≤
