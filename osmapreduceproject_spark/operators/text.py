@@ -2203,7 +2203,12 @@ def distinctive_terms(
     (z desc, token asc) top-k rank is deterministic, and z rounds
     with the sign-symmetric floor recipe. Tokens under ``min_count``
     in the source are excluded (documented — the prior already
-    shrinks them; the cut keeps the candidate frame lean). Returns
+    shrinks them; the cut keeps the candidate frame lean). Degenerate
+    limit (documented): a source consisting of ONE repeated token
+    that is also the entire corpus drives the first odds denominator
+    to zero (infinite log-odds) — both engines produce the same ±inf,
+    but the statistic is meaningless there, as it is in the original
+    formulation. Returns
     (source, token, n_source, n_rest, log_odds_z, rank).
     """
     from pyspark.sql import Window
