@@ -647,7 +647,10 @@ def main() -> None:
     rdd_traj: list[int] = []
     gc0_run = _jvm_gc_ms(spark)
     for qi, name in enumerate(BENCH_QUERIES):
-        if qi % 25 == 0:
+        # probe at qi % 25 == 1, not 0: a probe at position 0 executes
+        # q01 immediately before q01's own cold measurement and warms
+        # page cache/JIT under the cold canary (ADVICE r14)
+        if qi % 25 == 1:
             probe_traj.append(pressure_probe(spark, SF_DIR, QUERIES))
             heap_traj.append(_jvm_heap_mb(spark))
             rdd_traj.append(_n_persistent_rdds(spark))

@@ -1410,6 +1410,16 @@ def entropy_rate(
         df, user_col, type_col, ts_col, id_col, n_iter, max_states,
         caller="entropy_rate",
     )
+    if not states:
+        # Zero states (empty frame or all-NULL event types): the chain
+        # has no occupancy, so the rate is undefined — emit the typed
+        # zero/NULL row the theil_u empty-pool convention uses instead
+        # of letting log₂(0) raise (ADVICE r14).
+        return df.sparkSession.createDataFrame(
+            [(0, 0, None, None, None)],
+            "n_states bigint, n_transitions bigint, entropy_rate_bits "
+            "double, max_entropy_bits double, normalized_entropy double",
+        )
     # hᵢ in NEGATED micro-bits: −Σⱼ round_half_away(p·log₂p·10⁶) —
     # p·log₂p ≤ 0, so the half-away round matches the oracle's round()
     h_micro: dict = {}

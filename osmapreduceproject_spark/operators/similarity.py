@@ -188,6 +188,15 @@ def lsh_topk(
     13.5 → 9.6 s warm at sf0.1, bit-identical output — same candidate
     set, same fold, same dot/(corpus_norm · query_norm) operand
     order).
+
+    PRECONDITION: ``id_col`` must be unique per row on BOTH sides
+    (ADVICE r14). The narrow-candidate distinct collapses on
+    (id, query_id) and then re-joins vectors BY ID — a duplicated id
+    would re-expand each collapsed pair into the rank window, where
+    the old vector-carrying distinct silently merged them. Every
+    caller feeds key-deduplicated frames (vec_id is the embeddings
+    table's key); assert upstream if a new call site can't guarantee
+    it.
     """
     def sigs_only(df: DataFrame, idc: str) -> DataFrame:
         sig_cols = []

@@ -270,11 +270,12 @@ for _k in range(1, 9):
     WITH pairs AS (
       SELECT event_type AS f,
              lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t
-      FROM events),
+      FROM events WHERE event_type IS NOT NULL),
     cnt AS (SELECT f, t, COUNT(*) AS n FROM pairs WHERE t IS NOT NULL
             GROUP BY 1, 2),
     tot AS (SELECT f, SUM(n) AS tn FROM cnt GROUP BY f),
-    states AS (SELECT DISTINCT event_type AS s FROM events),
+    states AS (SELECT DISTINCT event_type AS s FROM events
+               WHERE event_type IS NOT NULL),
     ns AS (SELECT COUNT(*) AS c FROM states),
     p AS (SELECT c.f AS i, c.t AS j, CAST(c.n AS DOUBLE) / tot.tn AS p
           FROM cnt c JOIN tot ON tot.f = c.f

@@ -305,6 +305,16 @@ def test_entropy_rate_known_cases(spark):
     assert single["n_states"] == 1
     assert single["entropy_rate_bits"] == 0.0
     assert single["normalized_entropy"] is None
+    # zero states (all-NULL types): the typed zero/NULL row, not a
+    # math.log2(0) ValueError (ADVICE r14 — theil_u convention)
+    allnull = ev(["aa"]).withColumn(
+        "event_type", F.lit(None).cast("string")
+    )
+    rz = entropy_rate(allnull).first()
+    assert rz["n_states"] == 0 and rz["n_transitions"] == 0
+    assert rz["entropy_rate_bits"] is None
+    assert rz["max_entropy_bits"] is None
+    assert rz["normalized_entropy"] is None
 
 
 def test_retention_halflife_oracle(spark, duck):
