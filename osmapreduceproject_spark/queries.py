@@ -6919,99 +6919,105 @@ from . import queries_r13  # noqa: E402,F401
 # docstring promised, parity-tested in the same file).
 from . import queries_r14  # noqa: E402,F401
 
+# Register the round-15 tranche (q318–q337): the 20-operator wave staged
+# at r13 close across three tranches, every (body, SQL) pair lifted
+# verbatim from its pre-verified parity test in tests/test_r16_oracles.py
+# (hostile-TZ-proofed under Australia/Eucla before declaration;
+# nelson_aalen / concurrency_profile carry judge-re-run gated scale
+# smokes at 10M durations / 4M intervals).
+from . import queries_r15  # noqa: E402,F401
+
 
 # ---------------------------------------------------------------------------
 # Catalog ordering. The driver's CORRECTNESS file covers only the FIRST 50
 # ``queries()`` entries, so the verdict window is a scarce resource.
-# Round-14 window — the 50-slot list published at r13 close (SURVEY.md
-# §8 round-14 declaration map; VERDICT/ADVICE hold the round to it),
-# with ONE documented deviation: VERDICT r13 item #2 orders the
-# ANN-fed knn_graph_stats declared AND graded this round, so
-# q338_knn_graph_ann takes the 19th r8-cohort slot (the cohort's tail
-# rotates to r15 anyway). (a) The 19 r14-NEW declarations q299–q317
-# in the staged order — stats (q299 Kaplan–Meier — 10M smoke, q300
-# Kendall τ-b, q301 dispersion index, q302 Grubbs), events/windows
-# (q303 Markov stationary, q304 periodogram — 2M-slot smoke),
-# similarity/text/dedup (q305 centroid cosine, q306 mojibake, q307
-# bigram conditional entropy, q308 soft-dedup weights), multimodal
-# (q309 image blur, q310 video black frames, q314 audio dynamic
-# range), second tranche (q311 partial correlation — 10M smoke, q312
-# Hurst — 2M smoke, q313 embedding exact dedup), third tranche (q315
-# bootstrap diff CI, q316 forecast backtest, q317 cohort LTV).
-# (b) q338_knn_graph_ann — the VERDICT item #2 closer. (c) Canaries:
-# q01 (scan-agg ground), q31 (MinHash machinery), q208 (EWMA
-# streaming twin — the stalest in the q159/q208/q164/q100 rotation).
-# (d) The committed r7-graded cohort remainder q169–q177 (9 entries)
-# + the first 18 of the 34-entry r8-graded cohort in q-order
-# (q178_gopher_rules … q195_rag_chunker). The r8 cohort's remaining
-# 16 rotate to r15; q51/q90/q101/q102 stay rows-only by construction.
-# Cross-round coverage is the union of the fourteen windows, and every
-# entry regardless of position is verified by tests/test_oracle_parity.py
-# against the same comparison.
+# Round-15 window — exactly the 50-slot list published at r14 close
+# (SURVEY.md §8 "Suggested r15 window"; VERDICT r15 items #1–#3 hold
+# the round to it). (a) The 20 r15-NEW declarations q318–q337 in
+# q-order (= the three staged tranches) — stats (q318 Mood median,
+# q319 Cochran Q, q320 contingency residuals, q321 Nelson–Aalen —
+# 10M smoke, q322 mean excess), events (q323 concurrency profile —
+# 4M smoke, q332 co-occurrence lift), text (q324 template prefixes,
+# q325 code detect, q333 vocab coverage), multimodal (q326
+# colorfulness, q327 zero-crossing, q328 loop detect, q334 symmetry,
+# q337 shot stats), similarity (q329 dim truncation, q335 PQ
+# reconstruction), windows (q330 runs test, q331 step change), and
+# q336 Jonckheere–Terpstra. (b) Canaries: q01 (scan-agg ground), q31
+# (MinHash machinery), q159 (streaming dedup twin — the catalog's
+# STALEST grade, r10; VERDICT r14 item #2 and the published rotation
+# both name it). (c) The committed r8-graded cohort remainder in
+# q-order (16 entries: q196_negative_sampling … q212_merged_schema_read,
+# q208 excluded — regraded r14). (d) Topping up from the r9-graded
+# cohort in q-order (11 entries: q05–q15). q51/q90/q101/q102 stay
+# rows-only by construction. Cross-round coverage is the union of the
+# fifteen windows, and every entry regardless of position is verified
+# by tests/test_oracle_parity.py against the same comparison.
 # ---------------------------------------------------------------------------
 
 _VERDICT_WINDOW = [
-    # (a) r14-new declarations — graded the round they land.
-    # Stats family first:
-    "q299_kaplan_meier",
-    "q300_kendall_tau",
-    "q301_dispersion_index",
-    "q302_grubbs_test",
-    # events / windows:
-    "q303_markov_stationary",
-    "q304_periodogram",
-    # similarity / text / dedup:
-    "q305_centroid_similarity",
-    "q306_mojibake_report",
-    "q307_bigram_cond_entropy",
-    "q308_soft_dedup_weights",
+    # (a) r15-new declarations — graded the round they land.
+    # stats family:
+    "q318_mood_median_test",
+    "q319_cochran_q",
+    "q320_contingency_residuals",
+    "q321_nelson_aalen",
+    "q322_mean_excess",
+    # events:
+    "q323_concurrency_profile",
+    # text:
+    "q324_template_prefixes",
+    "q325_code_detect",
     # multimodal:
-    "q309_image_blur_score",
-    "q310_video_black_frames",
-    # second tranche:
-    "q311_partial_correlation",
-    "q312_hurst_exponent",
-    "q313_embedding_exact_dedup",
-    "q314_audio_dynamic_range",
+    "q326_image_colorfulness",
+    "q327_audio_zero_crossing",
+    "q328_video_loop_detect",
+    # similarity:
+    "q329_dim_truncation",
+    # second tranche — windows / events / text / multimodal / similarity:
+    "q330_runs_test",
+    "q331_step_change",
+    "q332_cooccurrence_lift",
+    "q333_vocab_coverage",
+    "q334_image_symmetry",
+    "q335_pq_reconstruction",
     # third tranche:
-    "q315_bootstrap_diff_ci",
-    "q316_forecast_backtest",
-    "q317_cohort_ltv",
-    # (b) VERDICT r13 item #2 closer: ANN-fed graph stats
-    "q338_knn_graph_ann",
-    # (c) canaries
+    "q336_jonckheere_terpstra",
+    "q337_video_shot_stats",
+    # (b) canaries + the stalest streaming twin (r10 — the
+    # q159/q208/q164/q100 rotation, VERDICT r14 item #2)
     "q01_pricing_summary",  # scan-filter-agg ground
     "q31_minhash_lsh_pairs",  # MinHash machinery
-    "q208_ewma_stream_twin",  # streaming EWMA twin (stalest in rotation)
-    # (d) the committed r7-graded cohort remainder, in q-order
-    "q169_semantic_dedup",
-    "q170_fuzzy_entity_match",
-    "q171_exact_percentiles",
-    "q172_mad_outlier_fences",
-    "q173_bigram_quality",
-    "q174_lang_consistency",
-    "q175_event_paths",
-    "q176_cdc_compaction",
-    "q177_curation_funnel",
-    # ... then the first 18 of the r8-graded cohort, in q-order
-    "q178_gopher_rules",
-    "q179_containment_pairs",
-    "q180_cms_heavy_hitters",
-    "q181_ab_significance",
-    "q182_bloom_prejoin",
-    "q183_key_skew_report",
-    "q184_series_trend",
-    "q185_chi2_independence",
-    "q186_rfm_segmentation",
-    "q187_ewma_grid",
-    "q188_feature_hashing",
-    "q189_welch_ttest",
-    "q190_readability",
-    "q191_quality_report",
-    "q192_resample_interpolate",
-    "q193_psi_drift",
-    "q194_hll_audit",
-    "q195_rag_chunker",
+    "q159_stream_dedup_twin",  # streaming dedup twin (stalest grade)
+    # (c) the committed r8-graded cohort remainder, in q-order
+    # (q208 regraded r14, so the 17-name span is 16 entries)
+    "q196_negative_sampling",
+    "q197_bootstrap_ci",
+    "q198_windowed_funnel",
+    "q199_cusum_changepoints",
+    "q200_target_encoding",
+    "q201_expect_report",
+    "q202_benford_audit",
+    "q203_ann_recall_gate",
+    "q204_mutual_information",
+    "q205_seasonal_profile",
+    "q206_temporal_split",
+    "q207_activity_streaks",
+    "q209_vocab_divergence",
+    "q210_bot_detection",
+    "q211_group_percentiles",
+    "q212_merged_schema_read",
+    # (d) topping up from the r9-graded cohort, in q-order
+    "q05_region_revenue",
+    "q06_left_join",
+    "q07_semi_join",
+    "q08_anti_join",
+    "q09_window_funcs",
+    "q10_rollup",
+    "q11_cube",
+    "q12_grouping_sets",
+    "q13_intersect",
+    "q14_except",
+    "q15_union_distinct",
 ]
 
 
