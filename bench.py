@@ -297,6 +297,34 @@ BENCH_QUERIES = [
     "q316_forecast_backtest",  # grid + integer EWMA walk + lag window
     "q317_cohort_ltv",  # cohort cells + cohort-partitioned running sum
     "q338_knn_graph_ann",  # LSH bucket-join edges + n·k graph stats
+    # r15 additions (SURVEY §8 r15 map): the 20 r15-new declarations
+    # join the headline set the round they land — subtract these
+    # twenty for like-for-like totals vs r14. Expected-expensive
+    # newcomers: q331 (per-user LOCF resample grid — the q246 family),
+    # q329 (TWO brute pair rankings over the embeddings), q335 (the
+    # codebook-encode broadcast join); q326/q327/q328/q334/q337 are
+    # fixture-scale Arrow spin-up; the stats/text entries are
+    # value-level cell scans or narrow regex maps.
+    "q318_mood_median_test",  # exact rank median + 2×k quantized terms
+    "q319_cochran_q",  # cell collapse + exact integer row/col moments
+    "q320_contingency_residuals",  # one count agg + window marginals
+    "q321_nelson_aalen",  # two ranged cumsums over duration cells
+    "q322_mean_excess",  # one conditional-moment groupBy (DECIMAL mass)
+    "q323_concurrency_profile",  # ±1 endpoint sweep, per-key windows
+    "q324_template_prefixes",  # 5-token slices + per-source top-1 windows
+    "q325_code_detect",  # two regex densities in one narrow codegen map
+    "q326_image_colorfulness",  # opponent integer moments in-batch (Arrow)
+    "q327_audio_zero_crossing",  # sign-diff reduction in-batch (Arrow)
+    "q328_video_loop_detect",  # frame checksums in-batch + gap windows
+    "q329_dim_truncation",  # two brute pair rankings + overlap join
+    "q330_runs_test",  # per-key median + flip window, closed moments
+    "q331_step_change",  # LOCF grid + prefix-sum split argmax
+    "q332_cooccurrence_lift",  # distinct scopes + scope-keyed pair join
+    "q333_vocab_coverage",  # count-of-counts + ranged cumsum
+    "q334_image_symmetry",  # mirror-pair integer masses in-batch (Arrow)
+    "q335_pq_reconstruction",  # codebook broadcast encode, kept distance
+    "q336_jonckheere_terpstra",  # value cells + asof cumulative probes
+    "q337_video_shot_stats",  # dHash in-batch + island shot windows
     "conf_sort_seeded",
     "conf_max_seeded",
 ]
@@ -898,8 +926,19 @@ def main() -> None:
             "sizes on the grid), q300 (bounded per-user Arrow pair "
             "compare), q308 (the banded-LSH cluster path). q338 is the "
             "DIRECT comparator for q297: same graph stats, LSH bucket "
-            "edges instead of brute all-pairs - its warm time vs "
-            "q297's ~35 s is the round's headline perf claim."
+            "edges instead of brute all-pairs. "
+            "r15 contains q297's standing cost (VERDICT r14 #4): the "
+            "brute baseline now grades over the documented vec_id%3==0 "
+            "sub-corpus (~1/9 the pair work - expect ~35 s -> low "
+            "single digits, NOT a host effect), the r15 window adds the "
+            "20 staged declarations q318-q337 (subtract those for "
+            "like-for-like vs r14; the Arrow multimodal six are "
+            "fixture-scale spin-up, q329/q335 are the brute-pair and "
+            "codebook-encode embedding scans, the rest are value-level "
+            "cell scans), and the first pressure probe moved from suite "
+            "position 0 to 1 so the q01 cold canary is no longer "
+            "probe-warmed (ADVICE r14 - expect a one-time q01 cold "
+            "step-up vs r14, not a regression)."
         ),
         "reference": reference_timings(),
         "sched_floor_s": sched_floor_probe(spark),

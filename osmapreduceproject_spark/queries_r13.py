@@ -613,10 +613,12 @@ _KG_NC = _KG_DOT.format(a="c.embedding", b="c.embedding")
 @q(
     "q297_knn_graph_stats",
     f"""
-    WITH scored AS (
+    WITH sub AS (SELECT vec_id, embedding FROM embeddings
+                 WHERE vec_id % 3 = 0),
+    scored AS (
       SELECT q.vec_id AS qid, c.vec_id AS nid,
              round({_KG_D} / (sqrt({_KG_NQ}) * sqrt({_KG_NC})), 6) AS sim
-      FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id),
+      FROM sub q JOIN sub c ON c.vec_id <> q.vec_id),
     ranked AS (
       SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
                                    ORDER BY sim DESC, nid ASC) AS rn
@@ -627,7 +629,7 @@ _KG_NC = _KG_DOT.format(a="c.embedding", b="c.embedding")
               WHERE EXISTS (SELECT 1 FROM e b
                             WHERE b.qid = a.nid AND b.nid = a.qid)),
     indeg AS (SELECT nid, COUNT(*) AS d FROM e GROUP BY nid),
-    nn AS (SELECT COUNT(DISTINCT vec_id) AS n_nodes FROM embeddings),
+    nn AS (SELECT COUNT(DISTINCT vec_id) AS n_nodes FROM sub),
     ea AS (SELECT COUNT(*) AS n_edges, SUM(sq) AS ssim FROM e),
     ind AS (SELECT COALESCE(MAX(d), 0) AS mx, COUNT(*) AS cited FROM indeg)
     SELECT nn.n_nodes, CAST(5 AS INTEGER) AS k,
@@ -653,12 +655,22 @@ _KG_NC = _KG_DOT.format(a="c.embedding", b="c.embedding")
     "graded q34 machinery — per-query rank, ties to smaller "
     "neighbor id); reciprocity is a self-join on the k·n edge frame "
     "(never n²); similarity quantizes to micro-units before the "
-    "exact mean. Two-tight-clusters pin: every edge reciprocal, "
+    "exact mean. OPERATING POINT (VERDICT r14 item #4): the brute "
+    "O(n²·d) form is deliberately the small-corpus oracle/recall "
+    "baseline — the production-scale twin is q338's lsh_topk edge "
+    "feed — so this entry grades over the deterministic vec_id ≡ 0 "
+    "(mod 3) sub-corpus (~1/3 of vectors, ~1/9 the pair work; "
+    "id-based, content-independent, mirrored in the oracle), which "
+    "exercises the identical plan shape while keeping the suite "
+    "wall bounded. Two-tight-clusters pin: every edge reciprocal, "
     "max in-degree = k, nobody isolated. Mutual edges come in pairs "
     "(parity-asserted: n_reciprocal is even).",
 )
 def q297(spark, sf_dir):
-    return knn_graph_stats(_t(spark, sf_dir, "embeddings"), k=5)
+    emb = _t(spark, sf_dir, "embeddings").where(
+        F.col("vec_id") % 3 == 0
+    )
+    return knn_graph_stats(emb, k=5)
 
 
 @q(
