@@ -2582,29 +2582,14 @@ def friedman_test(
     dropped = n_total - n_blocks
     q_stat = None
     if k >= 2 and n_blocks >= 1:
-        c = cell.join(complete, "__b")
-        a = c.select("__b", F.col("__t").alias("__ta"),
-                     F.col("__s").alias("__sa"), F.col("__c").alias("__ca"))
-        b = c.select("__b", F.col("__t").alias("__tb"),
-                     F.col("__s").alias("__sb"), F.col("__c").alias("__cb"))
-        # exact fraction comparison: mean_a < mean_b ⟺ Sa·cb < Sb·ca
-        cmpj = a.join(b, "__b").select(
-            "__b", "__ta",
-            (F.col("__sb") * F.col("__ca") < F.col("__sa") * F.col("__cb"))
-            .cast("int").alias("__less"),
-            (F.col("__sb") * F.col("__ca") == F.col("__sa") * F.col("__cb"))
-            .cast("int").alias("__eq"),
-        )
         # tied block occupies ranks L+1..L+T (L = #strictly-below,
-        # T = Σ__eq = #equal INCLUDING self) → midrank L + (T+1)/2,
-        # doubled = 2L + T + 1 — integer by construction:
+        # T = #equal INCLUDING self) → midrank L + (T+1)/2, doubled =
+        # 2L + T + 1 — integer by construction; the k×k comparison
+        # join lives in _block_doubled_midranks, shared verbatim with
+        # page_trend_test (one ranking implementation).
         # ranks feeds both the per-treatment sums and the total moment
         ranks = tracked_persist(
-            cmpj.groupBy("__b", "__ta").agg(
-                (F.lit(2) * F.sum("__less") + F.sum("__eq") + F.lit(1)).alias(
-                    "__r2"
-                )
-            )
+            _block_doubled_midranks(cell.join(complete, "__b"))
         )
         per_t = ranks.groupBy("__ta").agg(
             F.sum(F.col("__r2").cast(dec)).alias("__rsum")
@@ -4043,4 +4028,411 @@ def cochran_armitage(
         [(n, ns, lv, rnd(t), rnd(mean_t), rnd(var_t), rnd(z))],
         "n bigint, n_success bigint, n_score_levels bigint, t_stat double, "
         "mean_t double, var_t double, z double",
+    )
+
+
+def fleiss_kappa(
+    df: DataFrame,
+    item_col: str,
+    category_col: str,
+) -> DataFrame:
+    """Fleiss' kappa — chance-corrected multi-rater agreement when each
+    ITEM receives several categorical ratings (here: each row is one
+    rating event): "do the raters/models/heuristics assign the same
+    label beyond what the label base rates predict", the k-category,
+    n-rater generalization of :func:`cohens_kappa` (which is locked to
+    exactly two raters). The readout an annotation-QA or
+    ensemble-labeling pipeline wants before trusting majority votes.
+
+    Conventions (documented because implementations differ on unequal
+    rating counts): items with fewer than 2 ratings cannot express
+    agreement and DROP (counted in ``n_items_dropped``); per-item
+    agreement is P_i = (Σ_j n_ij² − n_i)/(n_i(n_i−1)) — valid for
+    VARYING n_i; the chance term P_e = Σ_j p_j² uses the pooled
+    category shares over participating items. Exactness: every count
+    is an exact integer; P_i quantizes half-up to micro-units per item
+    so P̄ is an exact integer sum with ONE division; P_e is the exact
+    integer Σc_j² over N² in one fixed-order double division; κ
+    finalizes half-away. A single-category pool has P_e = 1 → NULL κ
+    (0/0). Scale shape: two bounded aggregations (items, categories) —
+    rating volume flows through one (item, category) count; no
+    windows, no driver state. One row:
+    (n_items, n_items_dropped, n_categories, n_ratings, p_bar, p_e,
+    kappa).
+    """
+    dec = "decimal(38,0)"
+    i = F.col(item_col)
+    c = F.col(category_col)
+    pool = df.where(i.isNotNull() & c.isNotNull()).select(
+        i.alias("__i"), c.alias("__c")
+    )
+    cell = pool.groupBy("__i", "__c").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n")
+    )
+    per_item = cell.groupBy("__i").agg(
+        F.sum("__n").alias("__ni"),
+        F.sum(F.col("__n") * F.col("__n")).alias("__a2"),
+        F.count(F.lit(1)).alias("__kcats"),
+    )
+    kept = per_item.where(F.col("__ni") >= 2)
+    # P_i = (Σn² − n)/(n(n−1)) ∈ [0,1]: double in fixed order, half-up
+    pi_q = F.floor(
+        (F.col("__a2") - F.col("__ni")).cast("double")
+        / (F.col("__ni") * (F.col("__ni") - 1)).cast("double")
+        * 1_000_000
+        + F.lit(0.5)
+    ).cast("bigint")
+    items = kept.agg(
+        F.count(F.lit(1)).cast("bigint").alias("__m"),
+        F.coalesce(F.sum(pi_q.cast(dec)), F.lit(0).cast(dec)).alias("__sp"),
+        F.coalesce(F.sum(F.col("__ni").cast(dec)), F.lit(0).cast(dec)).alias(
+            "__nr"
+        ),
+    )
+    dropped = per_item.where(F.col("__ni") < 2).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__d")
+    )
+    # category totals over PARTICIPATING items only
+    cats = (
+        cell.join(kept.select("__i"), "__i")
+        .groupBy("__c")
+        .agg(F.sum("__n").alias("__cj"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("__ncat"),
+            F.coalesce(
+                F.sum(F.col("__cj").cast(dec) * F.col("__cj")),
+                F.lit(0).cast(dec),
+            ).alias("__sc2"),
+        )
+    )
+    one = items.crossJoin(F.broadcast(dropped)).crossJoin(F.broadcast(cats))
+    pbar = F.col("__sp").cast("double") / F.col("__m") / 1_000_000
+    pe = (
+        F.col("__sc2").cast("double")
+        / (F.col("__nr").cast("double") * F.col("__nr").cast("double"))
+    )
+    kap = (pbar - pe) / (F.lit(1.0) - pe)
+    h6 = lambda x: F.floor(x * 1_000_000 + F.lit(0.5)) / 1_000_000  # noqa: E731
+    s6 = lambda x: (  # noqa: E731  signed half-away
+        F.when(x >= 0, F.floor(x * 1_000_000 + F.lit(0.5))).otherwise(
+            -F.floor(-x * 1_000_000 + F.lit(0.5))
+        )
+        / 1_000_000
+    )
+    return one.select(
+        F.col("__m").alias("n_items"),
+        F.col("__d").alias("n_items_dropped"),
+        F.col("__ncat").alias("n_categories"),
+        F.col("__nr").cast("bigint").alias("n_ratings"),
+        F.when(F.col("__m") > 0, h6(pbar)).alias("p_bar"),
+        F.when(F.col("__m") > 0, h6(pe)).alias("p_e"),
+        F.when((F.col("__m") > 0) & (pe < 1.0), s6(kap)).alias("kappa"),
+    )
+
+
+def _block_doubled_midranks(c: DataFrame) -> DataFrame:
+    """Within-block doubled midranks over a complete-block cell frame
+    (__b, __t, __s, __c) — the :func:`friedman_test` k×k comparison
+    join, extracted so :func:`page_trend_test` rides the IDENTICAL
+    ranking (exact integer fraction comparisons S_a·c_b vs S_b·c_a, no
+    float mean ever compared; doubled midranks 2L + T + 1 stay
+    integer). Returns (__b, __ta, __r2)."""
+    a = c.select("__b", F.col("__t").alias("__ta"),
+                 F.col("__s").alias("__sa"), F.col("__c").alias("__ca"))
+    b = c.select("__b", F.col("__t").alias("__tb"),
+                 F.col("__s").alias("__sb"), F.col("__c").alias("__cb"))
+    cmpj = a.join(b, "__b").select(
+        "__b", "__ta",
+        (F.col("__sb") * F.col("__ca") < F.col("__sa") * F.col("__cb"))
+        .cast("int").alias("__less"),
+        (F.col("__sb") * F.col("__ca") == F.col("__sa") * F.col("__cb"))
+        .cast("int").alias("__eq"),
+    )
+    return cmpj.groupBy("__b", "__ta").agg(
+        (F.lit(2) * F.sum("__less") + F.sum("__eq") + F.lit(1)).alias("__r2")
+    )
+
+
+def page_trend_test(
+    df: DataFrame,
+    block_col: str,
+    treatment_col: str,
+    value_col: str,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Page's L trend test — the ORDERED-alternative member of the
+    matched-blocks family: where :func:`friedman_test` asks "do the k
+    treatments differ at all within blocks", Page's L asks "do they
+    INCREASE in a prespecified order" and buys the same power advantage
+    over Friedman that :func:`jonckheere_terpstra` buys over
+    Kruskal–Wallis for independent groups. The treatment order is the
+    ascending label sort (the JT convention — encode the hypothesis in
+    the labels).
+
+    Rides friedman's machinery verbatim (:func:`_block_doubled_midranks`
+    — one ranking implementation; complete blocks only, dropped count
+    reported; per-cell MEAN compared as exact integer cross-products).
+    L = Σ_j j·R_j stays exact through the doubled-rank channel
+    (L2 = Σ j·R2_j is an exact integer; L = L2/2 exact at .5
+    resolution). The z finalize uses the classical NO-TIE moments
+    E[L] = b·k(k+1)²/4, Var[L] = b(k³−k)²/(144(k−1)) — documented
+    (midrank ties make the variance conservative, the runs_test/JT
+    convention). k < 3 or zero variance → NULL z. One row: (n_blocks,
+    n_blocks_dropped, k_treatments, l_stat, mean_l, var_l, z).
+    """
+    from ..plans.inspect import (
+        intermediates_mark,
+        release_intermediates_since,
+        tracked_persist,
+    )
+
+    dec = "decimal(38,0)"
+    v = F.col(value_col).cast("double")
+    pool = df.where(v.isNotNull() & ~F.isnan(v)).select(
+        F.col(block_col).alias("__b"),
+        F.col(treatment_col).alias("__t"),
+        F.round(v * scale).cast(dec).alias("__vq"),
+    )
+    mark = intermediates_mark()
+    cell = tracked_persist(
+        pool.groupBy("__b", "__t").agg(
+            F.sum("__vq").alias("__s"), F.count(F.lit(1)).alias("__c")
+        )
+    )
+    k = cell.select("__t").distinct().count()  # bounded: treatment levels
+    sizes = cell.groupBy("__b").agg(F.count(F.lit(1)).alias("__kt"))
+    n_total = sizes.count()
+    complete = tracked_persist(sizes.where(F.col("__kt") == k).select("__b"))
+    n_blocks = complete.count()
+    dropped = n_total - n_blocks
+    l_stat = mean_l = var_l = z = None
+    if k >= 2 and n_blocks >= 1:
+        ranks = _block_doubled_midranks(cell.join(complete, "__b"))
+        per_t = ranks.groupBy("__ta").agg(
+            F.sum(F.col("__r2").cast(dec)).alias("__rsum")
+        )
+        rows = sorted(per_t.collect(), key=lambda r: r["__ta"])  # bounded: k
+        l2 = sum((j + 1) * int(r["__rsum"]) for j, r in enumerate(rows))
+        l_stat = l2 / 2.0  # doubled ranks halve exactly (.5 resolution)
+        mean_l = n_blocks * k * (k + 1) * (k + 1) / 4.0
+        var_l = (
+            n_blocks * (k**3 - k) ** 2 / (144.0 * (k - 1)) if k >= 2 else None
+        )
+        if k >= 3 and var_l and var_l > 0:
+            z = (l_stat - mean_l) / math.sqrt(var_l)
+    release_intermediates_since(mark)
+    rnd = _round6_half_away
+    return df.sparkSession.createDataFrame(
+        [(n_blocks, dropped, k, rnd(l_stat), rnd(mean_l), rnd(var_l), rnd(z))],
+        "n_blocks bigint, n_blocks_dropped bigint, k_treatments bigint, "
+        "l_stat double, mean_l double, var_l double, z double",
+    )
+
+
+def inequality_report(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Inequality indices per group — Hoover (robin-hood share), Theil T
+    (entropy-based, decomposable), and Atkinson ε=1 (geometric-mean
+    based) over a positive metric: how CONCENTRATED is the mass (doc
+    length, revenue, event volume) inside each group — the
+    distribution-shape companions to :func:`gini_concentration`
+    (q232), each with a different sensitivity (Hoover: the middle;
+    Theil: the top; Atkinson-1: the bottom). A corpus-mix review reads
+    these to see whether a source's token mass rides on a few mega-docs.
+
+    Conventions: NULL/NaN and NONPOSITIVE values are excluded and
+    counted (logarithmic indices need x > 0 — documented). Exactness:
+    values quantize to micro-units; Hoover = Σ|x_i·n − S| / (2·S·n) is
+    EXACT integer arithmetic end-to-end with one final division; Theil
+    and Atkinson terms quantize per DISTINCT value (x·ln-terms in
+    fixed-order doubles, half-up to micro-units, weighted by the exact
+    value count) so both engines sum identical integers; the exp/µ
+    finalizes are fixed-order doubles rounded half-away. All-equal
+    groups report exactly 0 on all three. Scale shape: one value-level
+    collapse per group (bounded by distinct values), one group
+    aggregate — no windows over data volume, no driver state. Returns
+    (group, n, n_excluded, mean, hoover, theil_t, atkinson).
+    """
+    dec = "decimal(38,0)"
+    g = F.col(group_col)
+    v = F.col(value_col).cast("double")
+    base = df.where(g.isNotNull()).select(
+        g.alias("__g"),
+        F.when(v.isNotNull() & ~F.isnan(v), v).alias("__v"),
+    )
+    excl = base.where(F.col("__v").isNull() | (F.col("__v") <= 0)).groupBy(
+        "__g"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("__nx"))
+    pool = base.where(F.col("__v") > 0).select(
+        "__g", F.round(F.col("__v") * scale).cast(dec).alias("__vq")
+    )
+    cells = pool.groupBy("__g", "__vq").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__c")
+    )
+    tot = cells.groupBy("__g").agg(
+        F.sum("__c").cast("bigint").alias("__n"),
+        F.sum(F.col("__vq") * F.col("__c")).alias("__s"),
+    )
+    j = cells.join(tot, "__g")
+    # Hoover: Σ|x·n − S|·c over 2·S·n — exact integers until one division
+    hov_num = F.sum(
+        F.abs(F.col("__vq") * F.col("__n") - F.col("__s")) * F.col("__c")
+    )
+    # Theil T term per distinct value: t = x·n/S; q = half-up(t·ln t·1e6)
+    t_ratio = (
+        F.col("__vq").cast("double")
+        * F.col("__n").cast("double")
+        / F.col("__s").cast("double")
+    )
+    th_term = t_ratio * F.log(t_ratio) * 1_000_000
+    th_q = F.when(th_term >= 0, F.floor(th_term + F.lit(0.5))).otherwise(
+        -F.floor(-th_term + F.lit(0.5))
+    ).cast("bigint")
+    # Atkinson(1): ln x per distinct value, half-away micro-quantized
+    ln_term = F.log(F.col("__vq").cast("double")) * 1_000_000
+    ln_q = F.when(ln_term >= 0, F.floor(ln_term + F.lit(0.5))).otherwise(
+        -F.floor(-ln_term + F.lit(0.5))
+    ).cast("bigint")
+    agg = j.groupBy("__g", "__n", "__s").agg(
+        hov_num.alias("__hnum"),
+        F.sum(th_q.cast(dec) * F.col("__c")).alias("__tq"),
+        F.sum(ln_q.cast(dec) * F.col("__c")).alias("__lq"),
+    )
+    mu = F.col("__s").cast("double") / F.col("__n") / scale
+    theil = F.col("__tq").cast("double") / F.col("__n") / 1_000_000
+    geo = F.exp(
+        F.col("__lq").cast("double") / F.col("__n") / 1_000_000
+    ) / scale  # back to value units
+    atk = F.lit(1.0) - geo / mu
+    h6 = lambda x: F.floor(x * 1_000_000 + F.lit(0.5)) / 1_000_000  # noqa: E731
+    s6 = lambda x: (  # noqa: E731
+        F.when(x >= 0, F.floor(x * 1_000_000 + F.lit(0.5))).otherwise(
+            -F.floor(-x * 1_000_000 + F.lit(0.5))
+        )
+        / 1_000_000
+    )
+    return (
+        agg.join(excl, agg["__g"] == excl["__g"], "left")
+        .select(
+            agg["__g"].alias(group_col),
+            F.col("__n").alias("n"),
+            F.coalesce(F.col("__nx"), F.lit(0)).cast("bigint").alias(
+                "n_excluded"
+            ),
+            h6(mu).alias("mean"),
+            # |x·n − S| = n·|x − μ|, so Hoover = Σ|x−μ|/(2S) = hnum/(2·S·n)
+            h6(
+                F.col("__hnum").cast("double")
+                / (F.lit(2.0) * F.col("__s").cast("double"))
+                / F.col("__n").cast("double")
+            ).alias("hoover"),
+            s6(theil).alias("theil_t"),
+            s6(atk).alias("atkinson"),
+        )
+    )
+
+
+def gamma_concordance(
+    df: DataFrame,
+    col_x: str,
+    col_y: str,
+) -> DataFrame:
+    """Goodman–Kruskal gamma and Somers' D between two ORDINAL columns —
+    the tie-aware concordance pair the ordered-association toolkit
+    needs between :func:`kendall_tau` (τ-b, per-key and tie-penalized)
+    and :func:`spearman_corr` (rank linear): gamma ignores ties
+    entirely ((C−D)/(C+D), the "among untied pairs, how often do the
+    orders agree" readout), Somers' D_yx charges ties on the DEPENDENT
+    axis only — the asymmetric effect size behind rank-based AUC.
+
+    Scale shape: data volume collapses ONCE to the (x, y) contingency
+    cells (bounded by the product of distinct levels — document the
+    ordinal-input contract); concordant/discordant mass is the
+    cell×cell join over that bounded frame with strict </> predicates
+    (cells², never rows²); every product accumulates in DECIMAL(38,0).
+    Ties come from the exact marginals: T_x = Σ r_i(r_i−1)/2 − T_xy …
+    all integer. Finalizes are two fixed-order double divisions rounded
+    half-away. Degenerate pools (C+D = 0, e.g. a constant column) →
+    NULL gamma/D. NULL/NaN rows excluded. One row: (n, n_x_levels,
+    n_y_levels, n_concordant, n_discordant, gamma, somers_d_yx).
+    """
+    dec = "decimal(38,0)"
+    x = F.col(col_x).cast("double")
+    y = F.col(col_y).cast("double")
+    pool = df.where(
+        x.isNotNull() & ~F.isnan(x) & y.isNotNull() & ~F.isnan(y)
+    ).select(x.alias("__x"), y.alias("__y"))
+    cells = pool.groupBy("__x", "__y").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__c")
+    )
+    a = cells.select(
+        F.col("__x").alias("__xa"), F.col("__y").alias("__ya"),
+        F.col("__c").alias("__ca"),
+    )
+    b = cells.select(
+        F.col("__x").alias("__xb"), F.col("__y").alias("__yb"),
+        F.col("__c").alias("__cb"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("__xa") < F.col("__xb"))
+        & (F.col("__ya") != F.col("__yb")),
+    ).select(
+        (F.col("__ca").cast(dec) * F.col("__cb")).alias("__m"),
+        (F.col("__ya") < F.col("__yb")).cast("int").alias("__conc"),
+    )
+    cd = pairs.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("__conc") == 1, F.col("__m"))),
+            F.lit(0).cast(dec),
+        ).alias("__cc"),
+        F.coalesce(
+            F.sum(F.when(F.col("__conc") == 0, F.col("__m"))),
+            F.lit(0).cast(dec),
+        ).alias("__dd"),
+    )
+    # tie mass on y (for Somers' D_yx): pairs tied on y but NOT on x.
+    # From marginals: T_y_pairs = Σ_y s_y(s_y−1)/2 − Σ_cells c(c−1)/2
+    #                − (pairs tied on BOTH removed via cell term) …
+    # exactly: ties_y_only = Σ_y s_y² − Σ_cells c² over 2 minus the
+    # within-cell pairs already excluded by the c² term.
+    ycnt = cells.groupBy("__y").agg(F.sum("__c").alias("__sy"))
+    ty = ycnt.agg(
+        F.coalesce(
+            F.sum(F.col("__sy").cast(dec) * F.col("__sy")), F.lit(0).cast(dec)
+        ).alias("__sy2")
+    )
+    cc2 = cells.agg(
+        F.coalesce(
+            F.sum(F.col("__c").cast(dec) * F.col("__c")), F.lit(0).cast(dec)
+        ).alias("__sc2"),
+        F.sum("__c").cast("bigint").alias("__n"),
+        F.countDistinct("__x").cast("bigint").alias("__nx"),
+        F.countDistinct("__y").cast("bigint").alias("__ny"),
+    )
+    one = cd.crossJoin(F.broadcast(ty)).crossJoin(F.broadcast(cc2))
+    c_d = F.col("__cc").cast("double")
+    d_d = F.col("__dd").cast("double")
+    # ties on y with x differing, as PAIR counts (halved exact integers)
+    tyo = (F.col("__sy2") - F.col("__sc2")).cast("double") / 2.0
+    gamma = (c_d - d_d) / (c_d + d_d)
+    somers = (c_d - d_d) / (c_d + d_d + tyo)
+    s6 = lambda v: (  # noqa: E731
+        F.when(v >= 0, F.floor(v * 1_000_000 + F.lit(0.5))).otherwise(
+            -F.floor(-v * 1_000_000 + F.lit(0.5))
+        )
+        / 1_000_000
+    )
+    return one.select(
+        F.col("__n").alias("n"),
+        F.col("__nx").alias("n_x_levels"),
+        F.col("__ny").alias("n_y_levels"),
+        F.col("__cc").cast("bigint").alias("n_concordant"),
+        F.col("__dd").cast("bigint").alias("n_discordant"),
+        F.when(c_d + d_d > 0, s6(gamma)).alias("gamma"),
+        F.when(c_d + d_d + tyo > 0, s6(somers)).alias("somers_d_yx"),
     )
