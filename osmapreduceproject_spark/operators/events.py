@@ -1528,3 +1528,163 @@ def retention_halflife(
             F.floor(half * 1_000_000 + F.lit(0.5)) / 1_000_000,
         ).alias("half_life_weeks"),
     )
+
+
+def transition_perplexity(
+    df: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-user behavioral perplexity under the GLOBAL first-order
+    transition model — cross-entropy of each user's own (from → to)
+    sequence against the corpus-wide :func:`event_transitions` matrix:
+    the "how surprising is this user's behavior" score that turns the
+    Markov machinery into an anomaly detector (bots replay one loop →
+    perplexity near 1; scripted fuzzers jump uniformly → perplexity
+    near the branching factor). The event-stream twin of a language
+    model scoring documents.
+
+    Exactness: model probabilities are the exact integer ratios
+    n_ft/n_f; the per-TRANSITION-TYPE surprisal quantizes ONCE as
+    q_ft = round_half_up(−log₂(n_ft/n_f)·10⁶) (micro-bits, computed
+    in one fixed-order double expression), so every user's bit total
+    is the exact integer Σ count_u,ft·q_ft — both engines sum
+    identical integers, ONE division by the user's transition count,
+    exp2 at the very end. Every user transition exists in the model
+    by construction (the model is fit on the same pool), so no
+    smoothing channel is needed — documented. NULL types are excluded
+    BEFORE pairing (the :func:`_markov_core` convention — a NULL is
+    not a state); users with zero transitions emit no row.
+
+    Scale shape: ONE user-keyed lead window builds pairs, the model is
+    a bounded types² aggregate joined back on (from, to) — user volume
+    never joins user volume, no collect, no driver state. Returns
+    (user, n_transitions, cross_entropy_bits, perplexity).
+    """
+    from pyspark.sql import Window
+
+    dec = "decimal(38,0)"
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col(id_col).asc()
+    )
+    pool = df.where(F.col(type_col).isNotNull())
+    pairs = pool.select(
+        F.col(user_col).alias("__u"),
+        F.col(type_col).alias("__f"),
+        F.lead(type_col).over(w).alias("__t"),
+    ).where(F.col("__t").isNotNull())
+    upairs = pairs.groupBy("__u", "__f", "__t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__uc")
+    )
+    model = pairs.groupBy("__f", "__t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n")
+    )
+    wrow = Window.partitionBy("__f")
+    scored = model.select(
+        "__f",
+        "__t",
+        F.floor(
+            -F.log2(
+                F.col("__n").cast("double")
+                / F.sum("__n").over(wrow).cast("double")
+            )
+            * 1_000_000
+            + F.lit(0.5)
+        ).cast("bigint").alias("__q"),
+    )
+    per_user = (
+        upairs.join(scored, ["__f", "__t"])
+        .groupBy("__u")
+        .agg(
+            F.sum("__uc").cast("bigint").alias("n_transitions"),
+            F.sum(F.col("__uc").cast(dec) * F.col("__q")).alias("__bits2"),
+        )
+    )
+    bits = (
+        F.col("__bits2").cast("double")
+        / F.col("n_transitions").cast("double")
+        / 1_000_000
+    )
+    h6 = lambda x: F.floor(x * 1_000_000 + F.lit(0.5)) / 1_000_000  # noqa: E731
+    return per_user.select(
+        F.col("__u").alias(user_col),
+        "n_transitions",
+        h6(bits).alias("cross_entropy_bits"),
+        h6(F.pow(F.lit(2.0), bits)).alias("perplexity"),
+    )
+
+
+def hitting_time(
+    df: DataFrame,
+    target: str,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    n_iter: int = 8,
+    max_states: int = 64,
+) -> DataFrame:
+    """Truncated expected hitting time to a TARGET event type — from
+    each state, the expected number of steps the first-order chain
+    spends before reaching ``target``, capped at an ``n_iter``-step
+    horizon: the "how far is each behavior from conversion" readout
+    that turns :func:`markov_stationary`'s long-run view into a
+    goal-directed one (funnel tools like q122 count OBSERVED paths;
+    this prices every state under the fitted model, including paths no
+    single user completed).
+
+    Semantics (documented): h⁰ ≡ 0 and
+    hᵐ⁺¹(i) = 0 if i = target else 1 + Σⱼ p(i,j)·hᵐ(j) — the value
+    iteration whose limit is the true expected hitting time; at a
+    finite horizon, states that cannot reach the target read exactly
+    the horizon n_iter (the natural "at least this far" reading).
+    Exactness: the iteration runs on INTEGER MICRO-STEPS
+    (hᵐ⁺¹ᵢ = 10⁶ + Σⱼ floor(pᵢⱼ·hᵐⱼ + 0.5), pᵢⱼ = exact-integer-ratio
+    doubles), the :func:`markov_stationary` picoprobability recipe —
+    every engine sums identical integers, replayable as chained SQL
+    CTEs. Shares :func:`_markov_core` verbatim (one pairing
+    implementation; NULL types excluded; absorbing self-loop
+    completion — a terminal non-target state self-loops and rides to
+    the horizon). Unknown ``target`` raises loudly. Bounded by
+    ``max_states`` (asserted) — event volume only flows through the
+    shared lead window and (from, to) count. One row per state:
+    (state, n_out, is_target, hitting_steps).
+    """
+    states, totals, p, _pi, _scale = _markov_core(
+        df, user_col, type_col, ts_col, id_col, n_iter, max_states,
+        caller="hitting_time",
+    )
+    if target not in states:
+        raise ValueError(
+            f"hitting_time: target {target!r} is not an observed state"
+        )
+    import math
+
+    step = 1_000_000
+    h = {s: 0 for s in states}
+    for _ in range(int(n_iter)):
+        nxt = {}
+        for s in states:
+            if s == target:
+                nxt[s] = 0
+                continue
+            acc = step
+            for (i, j), pij in p.items():
+                if i == s and h.get(j, 0):
+                    acc += int(math.floor(pij * h[j] + 0.5))
+            nxt[s] = acc
+        h = nxt
+    return df.sparkSession.createDataFrame(
+        [
+            (
+                s,
+                int(totals.get(s, 0)),
+                s == target,
+                h[s] / step,
+            )
+            for s in states
+        ],
+        "state string, n_out bigint, is_target boolean, hitting_steps double",
+    )

@@ -2865,3 +2865,244 @@ def video_frame_entropy(frames: DataFrame) -> DataFrame:
         (F.min("hq").cast("double") / 1_000_000).alias("min_entropy_bits"),
         (F.max("hq").cast("double") / 1_000_000).alias("max_entropy_bits"),
     )
+
+
+def video_flicker_report(frames: DataFrame) -> DataFrame:
+    """Per-video flicker detection — the sign-ALTERNATION rate of
+    consecutive frame-luma deltas plus their mean per-pixel magnitude:
+    strobing captures, corrupted interlacing, and ad-roll flash
+    sequences oscillate (delta signs flip every frame) where normal
+    footage trends or cuts — the temporal complement of
+    :func:`video_black_frames` (level), :func:`video_freeze_detect`
+    (repetition), and :func:`video_motion_profile` (magnitude): this
+    reads the SIGN STRUCTURE. A frame-sampling policy skips flicker
+    spans the way it skips freezes.
+
+    Each frame reduces to ONE integer luma sum inside the Arrow batch
+    (payloads never shuffle); deltas and their sign flips are per-video
+    lag windows over the tiny sum frame. ZERO deltas (exact repeats —
+    freeze frames) are EXCLUDED from the alternation sequence and
+    counted (the :func:`~.windows.runs_test` at-median convention:
+    a freeze is not evidence either way), so flip_rate = flips /
+    (nonzero-deltas − 1). Integer masses end-to-end; the two ratios
+    divide once each, half-up micro-rounded. Videos with < 2 nonzero
+    deltas report NULL flip_rate; < 2 frames report NULL mean too.
+    Returns (media_id, n_frames, n_deltas, n_zero_deltas, flip_rate,
+    mean_abs_delta_px).
+    """
+    from pyspark.sql import Window
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Self-contained closure: no module-global references.
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            for m, fi, p in zip(
+                pdf["media_id"], pdf["frame_idx"], pdf["payload"]
+            ):
+                buf = np.frombuffer(bytes(p), dtype=np.uint8).astype(np.int64)
+                rows.append((int(m), int(fi), int(buf.sum()), int(buf.size)))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_idx", "lsum", "size"]
+            )
+
+    sums = frames.select("media_id", "frame_idx", "payload").mapInPandas(
+        run, "media_id long, frame_idx int, lsum long, size long"
+    )
+    wi = Window.partitionBy("media_id").orderBy(F.col("frame_idx").asc())
+    deltas = sums.select(
+        "media_id",
+        "size",
+        (F.col("lsum") - F.lag("lsum").over(wi)).alias("__d"),
+    )
+    # the sign sequence needs its own per-video order: carry frame_idx
+    nzo = sums.select(
+        "media_id",
+        "frame_idx",
+        "size",
+        (F.col("lsum") - F.lag("lsum").over(wi)).alias("__d"),
+    ).where(F.col("__d").isNotNull() & (F.col("__d") != 0))
+    ws = Window.partitionBy("media_id").orderBy(F.col("frame_idx").asc())
+    flips = nzo.select(
+        "media_id",
+        F.when(
+            F.lag(F.col("__d") > 0).over(ws).isNotNull()
+            & (F.lag(F.col("__d") > 0).over(ws) != (F.col("__d") > 0)),
+            1,
+        ).otherwise(0).alias("__flip"),
+        F.abs("__d").alias("__ad"),
+        "size",
+    )
+    per_nz = flips.groupBy("media_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__nnz"),
+        F.sum("__flip").cast("bigint").alias("__nf"),
+    )
+    base = deltas.groupBy("media_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_frames"),
+        F.sum(F.when(F.col("__d").isNotNull(), 1).otherwise(0))
+        .cast("bigint").alias("n_deltas"),
+        F.sum(F.when(F.col("__d") == 0, 1).otherwise(0))
+        .cast("bigint").alias("n_zero_deltas"),
+        F.sum(F.when(F.col("__d").isNotNull(), F.abs("__d")))
+        .cast("decimal(38,0)").alias("__sad"),
+        F.max("size").alias("__px"),
+    )
+    h6 = lambda x: F.floor(x * 1_000_000 + F.lit(0.5)) / 1_000_000  # noqa: E731
+    return base.join(per_nz, "media_id", "left").select(
+        "media_id",
+        "n_frames",
+        "n_deltas",
+        "n_zero_deltas",
+        F.when(
+            F.coalesce(F.col("__nnz"), F.lit(0)) >= 2,
+            h6(
+                F.col("__nf").cast("double")
+                / (F.col("__nnz") - 1).cast("double")
+            ),
+        ).alias("flip_rate"),
+        F.when(
+            F.col("n_deltas") >= 1,
+            h6(
+                F.col("__sad").cast("double")
+                / F.col("n_deltas").cast("double")
+                / F.col("__px").cast("double")
+            ),
+        ).alias("mean_abs_delta_px"),
+    )
+
+
+def arith_raw_images_letterboxed(
+    spark,
+    n: int = 64,
+    width: int = 16,
+    height: int = 12,
+    top_rows: int = 2,
+    bottom_rows: int = 1,
+) -> DataFrame:
+    """:func:`arith_raw_images` variant with PLANTED LETTERBOX BANDS:
+    the first ``top_rows`` and last ``bottom_rows`` pixel rows carry
+    the base formula reduced mod 8 (near-black matte bars — the
+    :func:`arith_video_frames_black` convention), every interior row
+    the usual mod-256 formula. Every byte regenerable by integer SQL —
+    the fixture that makes :func:`image_letterbox_detect` a full
+    cross-engine value oracle. Schema: (media_id, kind, payload, meta).
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Self-contained closure: no module-global references.
+        import numpy as np
+        import pandas as pd
+
+        idx = np.arange(width * height * 3, dtype=np.int64)
+        row = (idx // 3) // width
+        barred = (row < top_rows) | (row >= height - bottom_rows)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids, payloads = [], []
+            for i in pdf["id"]:
+                m = int(i)
+                base = 31 * m + 7 * idx + (idx * idx) % 251
+                v = np.where(barred, base % 8, base % 256)
+                ids.append(m)
+                payloads.append(v.astype(np.uint8).tobytes())
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    raw = spark.range(n).mapInPandas(gen, "media_id long, payload binary")
+    return raw.select(
+        "media_id",
+        F.lit("image").alias("kind"),
+        "payload",
+        F.struct(
+            F.lit(width).alias("width"),
+            F.lit(height).alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(1).alias("n_frames"),
+        ).alias("meta"),
+    )
+
+
+def image_letterbox_detect(df: DataFrame, thr_mean: int = 32) -> DataFrame:
+    """Per-image letterbox/pillarbox-bar detection (horizontal bands):
+    count the near-black pixel rows hugging the TOP and BOTTOM edges —
+    matte bars mean the true content is smaller than the stored frame,
+    so crops, embeddings, and dedup hashes should run on the interior
+    (:func:`image_border_uniformity` flags uniform 1-px borders;
+    this measures multi-row BLACK bands specifically, the video-matte
+    case). A row is dark when its integer luma sum clears
+    Σbytes < thr·row_size (the :func:`video_black_frames` integer
+    comparison — no division, bit-identical anywhere).
+
+    Each image reduces INSIDE the Arrow batch to one (row, luma-sum)
+    pair per pixel row — payloads never shuffle, ``height`` rows per
+    image leave the map. Band depths need no island machinery: the top
+    band is the index of the FIRST bright row (MIN over a conditional),
+    the bottom band is rows-below-the-LAST-bright-row — an all-dark
+    image reports both bands = height with zero content rows and is
+    NOT letterboxed (no content to frame; documented). letterboxed =
+    both bands ≥ 1 with content between. Returns (media_id, n_rows,
+    top_band, bottom_band, n_content_rows, letterboxed).
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Self-contained closure: no module-global references.
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            for m, p, w, h in zip(
+                pdf["media_id"], pdf["payload"], pdf["width"], pdf["height"]
+            ):
+                buf = np.frombuffer(bytes(p), dtype=np.uint8).astype(np.int64)
+                w, h = int(w), int(h)
+                if buf.size != w * h * 3:
+                    raise ValueError(
+                        f"image_letterbox_detect: media {int(m)} payload "
+                        f"size {buf.size} != {w}x{h}x3 RAW8"
+                    )
+                per_row = buf.reshape(h, w * 3).sum(axis=1)
+                for y in range(h):
+                    rows.append((int(m), y, int(per_row[y]), w * 3))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "y", "rsum", "row_size"]
+            )
+
+    sums = df.select(
+        "media_id",
+        "payload",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+    ).mapInPandas(run, "media_id long, y int, rsum long, row_size long")
+    marked = sums.select(
+        "media_id",
+        "y",
+        (F.col("rsum") >= F.lit(int(thr_mean)) * F.col("row_size"))
+        .cast("int").alias("__bright"),
+    )
+    agg = marked.groupBy("media_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.min(F.when(F.col("__bright") == 1, F.col("y"))).alias("__first"),
+        F.max(F.when(F.col("__bright") == 1, F.col("y"))).alias("__last"),
+        F.sum("__bright").cast("bigint").alias("n_content_rows"),
+    )
+    top = F.coalesce(F.col("__first").cast("bigint"), F.col("n_rows"))
+    bot = F.coalesce(
+        F.col("n_rows") - 1 - F.col("__last").cast("bigint"), F.col("n_rows")
+    )
+    return agg.select(
+        "media_id",
+        "n_rows",
+        top.alias("top_band"),
+        bot.alias("bottom_band"),
+        "n_content_rows",
+        (
+            (top >= 1) & (bot >= 1) & (F.col("n_content_rows") > 0)
+        ).alias("letterboxed"),
+    )

@@ -439,3 +439,121 @@ def group_kfold(
             % int(k)
         ).cast("int"),
     )
+
+
+def neyman_allocation(
+    df: DataFrame,
+    stratum_col: str,
+    value_col: str,
+    budget: int = 1000,
+) -> DataFrame:
+    """Neyman-optimal stratified sample allocation — split a sampling
+    budget across strata proportional to N_h·σ_h (stratum size × its
+    population sd), the allocation that minimizes the variance of the
+    stratified mean estimator: the planning table a labeling or
+    eval-subset pipeline computes BEFORE :func:`stratified_sample`
+    draws rows (equal or proportional allocation over-samples flat
+    strata and starves volatile ones). The proportional column is
+    reported beside it so the reviewer sees exactly where Neyman
+    disagrees.
+
+    Exactness and determinism: values quantize to micro-units; each
+    stratum's σ comes from exact DECIMAL(38,0) moments with ONE
+    fixed-order double finalize, and the weight w_h = N_h·σ_h
+    re-quantizes half-up to micro-units so the allocation arithmetic
+    is INTEGER end-to-end: base_h = ⌊budget·qw_h / Σqw⌋ by integer
+    division, and the leftover seats go to the largest exact integer
+    remainders budget·qw_h mod Σqw (ties → smaller stratum label) —
+    the largest-remainder method, deterministic on any engine, summing
+    to exactly ``budget``. Zero-variance strata get Neyman weight 0
+    (pure Neyman, documented — floor allocations upstream if a
+    minimum per stratum is required); an all-zero-weight pool reports
+    NULL shares with zero allocations. NULL/NaN values are excluded
+    from moments but strata keep their row counts from the non-NULL
+    pool only (documented). Scale shape: one groupBy for moments, one
+    k-row window for remainder ranks — data volume never shuffles
+    twice, no driver state. Returns (stratum, n, sd, neyman_share,
+    n_neyman, n_proportional).
+    """
+    dec = "decimal(38,0)"
+    v = F.col(value_col).cast("double")
+    pool = df.where(
+        F.col(stratum_col).isNotNull() & v.isNotNull() & ~F.isnan(v)
+    ).select(
+        F.col(stratum_col).alias("__h"),
+        F.round(v * 1_000_000).cast(dec).alias("__vq"),
+    )
+    per = pool.groupBy("__h").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+        F.sum("__vq").alias("__s"),
+        F.sum(F.col("__vq") * F.col("__vq")).alias("__ss"),
+    )
+    n_d = F.col("__n").cast("double")
+    # population sd in value units, one fixed-order expression
+    sd = F.sqrt(
+        (F.col("__ss").cast("double")
+         - F.col("__s").cast("double") * F.col("__s").cast("double") / n_d)
+        / n_d
+    ) / 1_000_000
+    qw = F.floor(n_d * sd * 1_000_000 + F.lit(0.5)).cast(dec)
+    wts = per.select(
+        "__h",
+        "__n",
+        F.floor(sd * 1_000_000 + F.lit(0.5)).cast("bigint").alias("__qsd"),
+        qw.alias("__w"),
+    )
+    tot = wts.agg(
+        F.sum("__w").alias("__tw"),
+        F.sum(F.col("__n").cast(dec)).alias("__tn"),
+    )
+    j = wts.crossJoin(F.broadcast(tot))
+
+    def _largest_remainder(weight, total, tag):
+        # an all-zero weight pool (every stratum constant) has no
+        # Neyman direction: guard the 0-divisor, allocations stay 0
+        base = F.when(
+            total > 0, F.floor((F.lit(budget) * weight) / total)
+        ).otherwise(F.lit(0)).cast("bigint").alias(f"__base_{tag}")
+        rem = F.when(total > 0, (F.lit(budget) * weight) % total).otherwise(
+            F.lit(0)
+        )
+        return base, rem.alias(f"__rem_{tag}")
+
+    nb, nr = _largest_remainder(F.col("__w"), F.col("__tw"), "n")
+    pb, pr = _largest_remainder(F.col("__n").cast(dec), F.col("__tn"), "p")
+    staged = j.select(
+        "__h", "__n", "__qsd", "__w", "__tw", nb, nr, pb, pr
+    )
+    wn = Window.orderBy(F.col("__rem_n").desc(), F.col("__h").asc())
+    wp = Window.orderBy(F.col("__rem_p").desc(), F.col("__h").asc())
+    # the rank windows run over k stratum rows (bounded), not data volume
+    short_n = F.lit(budget) - F.sum("__base_n").over(
+        Window.partitionBy()
+    )
+    short_p = F.lit(budget) - F.sum("__base_p").over(
+        Window.partitionBy()
+    )
+    ranked = staged.select(
+        "*",
+        F.row_number().over(wn).alias("__rk_n"),
+        F.row_number().over(wp).alias("__rk_p"),
+    ).select(
+        "*",
+        (F.col("__rk_n") <= short_n).cast("int").alias("__extra_n"),
+        (F.col("__rk_p") <= short_p).cast("int").alias("__extra_p"),
+    )
+    h6 = lambda x: F.floor(x * 1_000_000 + F.lit(0.5)) / 1_000_000  # noqa: E731
+    return ranked.select(
+        F.col("__h").alias(stratum_col),
+        F.col("__n").alias("n"),
+        (F.col("__qsd").cast("double") / 1_000_000).alias("sd"),
+        F.when(
+            F.col("__tw") > 0,
+            h6(F.col("__w").cast("double") / F.col("__tw").cast("double")),
+        ).alias("neyman_share"),
+        F.when(F.col("__tw") > 0, F.col("__base_n") + F.col("__extra_n"))
+        .otherwise(F.lit(0)).cast("bigint").alias("n_neyman"),
+        (F.col("__base_p") + F.col("__extra_p")).cast("bigint").alias(
+            "n_proportional"
+        ),
+    )

@@ -1451,3 +1451,89 @@ def neighbor_label_purity(
             "purity"
         ),
     )
+
+
+def embedding_dim_variance(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-dimension variance census of an embedding column, reduced to
+    the anisotropy summary an embedding-QA pass reads BEFORE building
+    any index: total variance (trace), the hottest dimension and its
+    share, and the participation ratio PR = (Σv)²/Σv² — the effective
+    number of active dimensions (PR = d for isotropic noise, PR → 1
+    when one axis carries everything). Collapsed/anisotropic embedding
+    spaces break cosine-ANN recall long before q203's gate can say
+    why; rogue dimensions also tell you :func:`dim_truncation_report`'s
+    prefix assumption is unsafe.
+
+    Scale shape: ONE posexplode streams (dim, value) pairs into a
+    d-key aggregation (map-side combined — vector volume never
+    shuffles, d·partitions rows do); the finalize is a second
+    aggregation over the d per-dim rows. Exactness: values quantize to
+    micro-units; per-dim Σx and Σx² accumulate DECIMAL(38,0); each
+    per-dim variance finalizes in ONE fixed-order double expression
+    and re-quantizes half-up to micro-units so trace, shares, and PR
+    are sums/ratios of identical integers on both engines. Identical
+    vectors → all variances 0 → NULL shares/PR (0/0 guarded); the
+    hottest-dim tiebreak is the smaller dim index. One row:
+    (n_vectors, n_dims, total_variance, max_dim_variance, max_var_dim,
+    top_dim_share, participation_ratio).
+    """
+    dec = "decimal(38,0)"
+    pool = df.where(F.col(vec_col).isNotNull())
+    cells = pool.select(
+        F.posexplode(F.col(vec_col)).alias("__dim", "__x")
+    ).select(
+        "__dim",
+        F.round(F.col("__x").cast("double") * 1_000_000)
+        .cast("bigint").alias("__xq"),
+    )
+    per_dim = cells.groupBy("__dim").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+        F.sum(F.col("__xq").cast(dec)).alias("__s"),
+        F.sum(F.col("__xq").cast(dec) * F.col("__xq")).alias("__ss"),
+    )
+    n_d = F.col("__n").cast("double")
+    # population variance in VALUE units²: (Σx²−(Σx)²/n)/n / 10¹²
+    var_d = (
+        (F.col("__ss").cast("double")
+         - F.col("__s").cast("double") * F.col("__s").cast("double") / n_d)
+        / n_d
+        / 1e12
+    )
+    qvar = per_dim.select(
+        "__dim",
+        "__n",
+        F.floor(var_d * 1_000_000 + F.lit(0.5)).cast("bigint").alias("__qv"),
+    )
+    # argmax with smaller-dim tiebreak: max over (qv, −dim) structs —
+    # a struct max compares fields in order, no window-in-agg needed
+    agg = qvar.agg(
+        F.max("__n").alias("__nvec"),
+        F.count(F.lit(1)).cast("bigint").alias("n_dims"),
+        F.sum(F.col("__qv").cast(dec)).alias("__trace"),
+        F.max(
+            F.struct(F.col("__qv").alias("v"), (-F.col("__dim")).alias("nd"))
+        ).alias("__top"),
+        F.sum(F.col("__qv").cast(dec) * F.col("__qv")).alias("__ss2"),
+    )
+    tr = F.col("__trace").cast("double")
+    h6 = lambda x: F.floor(x * 1_000_000 + F.lit(0.5)) / 1_000_000  # noqa: E731
+    return agg.select(
+        F.col("__nvec").cast("bigint").alias("n_vectors"),
+        "n_dims",
+        (tr / 1_000_000).alias("total_variance"),
+        (F.col("__top.v").cast("double") / 1_000_000).alias(
+            "max_dim_variance"
+        ),
+        (-F.col("__top.nd")).cast("int").alias("max_var_dim"),
+        F.when(
+            F.col("__trace") > 0, h6(F.col("__top.v").cast("double") / tr)
+        ).alias("top_dim_share"),
+        F.when(
+            F.col("__ss2") > 0,
+            h6(tr * tr / F.col("__ss2").cast("double")),
+        ).alias("participation_ratio"),
+    )

@@ -2284,3 +2284,106 @@ def distinctive_terms(
         )
     )
     return out
+
+
+def bigram_surprise(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document bigram surprisal under the CORPUS bigram language
+    model (add-1 smoothed) — the sequence-aware quality score the
+    unigram logprob (q108) can't give: a doc made of common words in
+    impossible orders scores high surprise, spam that repeats one
+    frequent bigram scores low. bits_per_bigram is the doc's
+    cross-entropy against the corpus; the training-data analogue of
+    "score every document with a small LM and cut the tails".
+
+    Model and exactness: the model is the corpus (prev, next) count
+    table with add-1 smoothing over the full token vocabulary V
+    (P = (c_fw + 1)/(c_f + V), c_f = the first-token bigram total —
+    the standard conditional completion, so unseen continuations are
+    priceable). Surprisal quantizes ONCE per bigram TYPE as
+    round_half_up(−log₂P·10⁶) micro-bits in a fixed-order double
+    expression; each doc's total is then the exact integer sum of its
+    instance counts × type surprisals — identical integers on both
+    engines, ONE division per doc. Docs with < 2 tokens have no
+    bigrams and emit no row (documented).
+
+    Scale shape: bigrams come from ONE JVM-side arrays_zip of two
+    array slices (no posexplode self-join — a single explode of the
+    zipped pairs); the model is a bigram-type aggregation (bounded by
+    distinct bigrams, with map-side combine) joined back onto
+    per-(doc, bigram) counts by type; V and the total arrive as one
+    broadcast row. No Python, no windows over token volume, no
+    driver state. Returns (id, group, n_bigrams, bits_per_bigram).
+    """
+    dec = "decimal(38,0)"
+    toks = tokens(F.col(text_col))
+    base = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("__id"),
+        F.col(group_col).alias("__g"),
+        toks.alias("__tk"),
+    ).where(F.size("__tk") >= 2)
+    n = F.size("__tk")
+    pairs = base.select(
+        "__id",
+        "__g",
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("__tk"), 1, n - 1).alias("f"),
+                F.slice(F.col("__tk"), 2, n - 1).alias("w"),
+            )
+        ).alias("__bg"),
+    ).select(
+        "__id", "__g",
+        F.col("__bg.f").alias("__f"), F.col("__bg.w").alias("__w"),
+    )
+    doc_counts = pairs.groupBy("__id", "__g", "__f", "__w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__dc")
+    )
+    model = pairs.groupBy("__f", "__w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__c")
+    )
+    # V = full token vocabulary (all positions), the smoothing support
+    vocab = (
+        df.where(F.col(text_col).isNotNull())
+        .select(F.explode(tokens(F.col(text_col))).alias("__t"))
+        .agg(F.countDistinct("__t").cast("bigint").alias("__v"))
+    )
+    wrow = Window.partitionBy("__f")
+    scored = model.withColumn(
+        "__cf", F.sum("__c").over(wrow).cast("bigint")
+    ).crossJoin(F.broadcast(vocab)).select(
+        "__f",
+        "__w",
+        F.floor(
+            -F.log2(
+                (F.col("__c") + F.lit(1)).cast("double")
+                / (F.col("__cf") + F.col("__v")).cast("double")
+            )
+            * 1_000_000
+            + F.lit(0.5)
+        ).cast("bigint").alias("__q"),
+    )
+    per_doc = (
+        doc_counts.join(scored, ["__f", "__w"])
+        .groupBy("__id", "__g")
+        .agg(
+            F.sum("__dc").cast("bigint").alias("n_bigrams"),
+            F.sum(F.col("__dc").cast(dec) * F.col("__q")).alias("__bits2"),
+        )
+    )
+    bits = (
+        F.col("__bits2").cast("double")
+        / F.col("n_bigrams").cast("double")
+        / 1_000_000
+    )
+    h6 = lambda x: F.floor(x * 1_000_000 + F.lit(0.5)) / 1_000_000  # noqa: E731
+    return per_doc.select(
+        F.col("__id").alias(id_col),
+        F.col("__g").alias(group_col),
+        "n_bigrams",
+        h6(bits).alias("bits_per_bigram"),
+    )

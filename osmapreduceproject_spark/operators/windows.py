@@ -2176,3 +2176,73 @@ def variance_ratio_test(
             "vr"
         ),
     )
+
+
+def durbin_watson(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    value_col: str,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Durbin–Watson statistic per key series — Σ(Δe)²/Σe² over the
+    mean-centered series in time order: THE classic first-order
+    autocorrelation screen (DW ≈ 2 ⇒ independent residuals, → 0 ⇒
+    positive serial correlation, → 4 ⇒ alternation), read before
+    trusting any i.i.d.-assuming test (:func:`runs_test` gives the
+    sign-sequence view; DW gives the magnitude view) and after a trend
+    fit (:func:`series_trend`) to check what the fit left behind.
+
+    Exactness: the mean CANCELS in the numerator (Δe = Δx), so the
+    numerator is the exact integer Σ(x_i − x_{i−1})² over micro-
+    quantized values from ONE per-key lag window; the denominator is
+    the exact centered moment n·Σx² − S² over n; DW = n·num/(n·Σx²−S²)
+    divides ONCE in fixed-order doubles (the common 10¹² quantization
+    factor cancels exactly). rho_approx = 1 − DW/2 is the implied
+    lag-1 coefficient. Time order tiebreaks on the quantized value
+    (documented — duplicate timestamps order deterministically on both
+    engines). Keys need n ≥ 2 (no pairs → no row); a constant series
+    has zero denominator → NULL DW. All accumulation DECIMAL(38,0).
+    Returns (key, n, dw, rho_approx).
+    """
+    dec = "decimal(38,0)"
+    v = F.col(value_col).cast("double")
+    pool = df.where(
+        F.col(key).isNotNull() & v.isNotNull() & ~F.isnan(v)
+    ).select(
+        F.col(key).alias("__k"),
+        F.col(ts).alias("__ts"),
+        F.round(v * scale).cast("bigint").alias("__vq"),
+    )
+    w = Window.partitionBy("__k").orderBy(
+        F.col("__ts").asc(), F.col("__vq").asc()
+    )
+    lagged = pool.select(
+        "__k",
+        "__vq",
+        (F.col("__vq") - F.lag("__vq").over(w)).alias("__d"),
+    )
+    agg = lagged.groupBy("__k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+        F.sum(F.col("__vq").cast(dec)).alias("__s"),
+        F.sum(F.col("__vq").cast(dec) * F.col("__vq")).alias("__ss"),
+        F.sum(F.col("__d").cast(dec) * F.col("__d")).alias("__num"),
+    )
+    n_d = F.col("__n").cast("double")
+    den = (
+        n_d * F.col("__ss").cast("double")
+        - F.col("__s").cast("double") * F.col("__s").cast("double")
+    )
+    dw = n_d * F.col("__num").cast("double") / den
+    h6 = lambda x: (  # noqa: E731  signed half-away micro round
+        F.when(x >= 0, F.floor(x * 1_000_000 + F.lit(0.5))).otherwise(
+            -F.floor(-x * 1_000_000 + F.lit(0.5))
+        )
+        / 1_000_000
+    )
+    return agg.where(F.col("__n") >= 2).select(
+        F.col("__k").alias(key),
+        F.col("__n").alias("n"),
+        F.when(den > 0, h6(dw)).alias("dw"),
+        F.when(den > 0, h6(F.lit(1.0) - dw / 2.0)).alias("rho_approx"),
+    )
