@@ -524,23 +524,45 @@ def neyman_allocation(
     staged = j.select(
         "__h", "__n", "__qsd", "__w", "__tw", nb, nr, pb, pr
     )
-    wn = Window.orderBy(F.col("__rem_n").desc(), F.col("__h").asc())
-    wp = Window.orderBy(F.col("__rem_p").desc(), F.col("__h").asc())
-    # the rank windows run over k stratum rows (bounded), not data volume
-    short_n = F.lit(budget) - F.sum("__base_n").over(
-        Window.partitionBy()
+    # remainder ranks WITHOUT an unpartitioned window (which would move
+    # the frame to one partition): a bounded k×k comparison join over
+    # the stratum rows — the friedman/JT midrank pattern. rank = 1 +
+    # #{rows strictly ahead in (rem DESC, label ASC) order}.
+    other = staged.select(
+        F.col("__h").alias("__h2"),
+        F.col("__rem_n").alias("__rem_n2"),
+        F.col("__rem_p").alias("__rem_p2"),
     )
-    short_p = F.lit(budget) - F.sum("__base_p").over(
-        Window.partitionBy()
+    ahead_n = (F.col("__rem_n2") > F.col("__rem_n")) | (
+        (F.col("__rem_n2") == F.col("__rem_n"))
+        & (F.col("__h2") < F.col("__h"))
     )
-    ranked = staged.select(
+    ahead_p = (F.col("__rem_p2") > F.col("__rem_p")) | (
+        (F.col("__rem_p2") == F.col("__rem_p"))
+        & (F.col("__h2") < F.col("__h"))
+    )
+    # constant-key equi-join (k×k over the bounded stratum frame — a
+    # hash join, not a CartesianProduct; k = stratum cardinality)
+    rk = (
+        staged.withColumn("__one", F.lit(1))
+        .join(other.withColumn("__one", F.lit(1)), "__one")
+        .groupBy(
+            "__h", "__n", "__qsd", "__w", "__tw",
+            "__base_n", "__rem_n", "__base_p", "__rem_p",
+        )
+        .agg(
+            (F.lit(1) + F.sum(ahead_n.cast("int"))).alias("__rk_n"),
+            (F.lit(1) + F.sum(ahead_p.cast("int"))).alias("__rk_p"),
+        )
+    )
+    shorts = staged.agg(
+        (F.lit(budget) - F.sum("__base_n")).alias("__short_n"),
+        (F.lit(budget) - F.sum("__base_p")).alias("__short_p"),
+    )
+    ranked = rk.crossJoin(F.broadcast(shorts)).select(
         "*",
-        F.row_number().over(wn).alias("__rk_n"),
-        F.row_number().over(wp).alias("__rk_p"),
-    ).select(
-        "*",
-        (F.col("__rk_n") <= short_n).cast("int").alias("__extra_n"),
-        (F.col("__rk_p") <= short_p).cast("int").alias("__extra_p"),
+        (F.col("__rk_n") <= F.col("__short_n")).cast("int").alias("__extra_n"),
+        (F.col("__rk_p") <= F.col("__short_p")).cast("int").alias("__extra_p"),
     )
     h6 = lambda x: F.floor(x * 1_000_000 + F.lit(0.5)) / 1_000_000  # noqa: E731
     return ranked.select(

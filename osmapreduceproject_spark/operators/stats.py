@@ -4264,9 +4264,13 @@ def inequality_report(
         g.alias("__g"),
         F.when(v.isNotNull() & ~F.isnan(v), v).alias("__v"),
     )
-    excl = base.where(F.col("__v").isNull() | (F.col("__v") <= 0)).groupBy(
-        "__g"
-    ).agg(F.count(F.lit(1)).cast("bigint").alias("__nx"))
+    # distinct alias on the join key: excl and agg share base's lineage,
+    # and a same-name self-join condition is trivially true in Spark
+    excl = (
+        base.where(F.col("__v").isNull() | (F.col("__v") <= 0))
+        .groupBy(F.col("__g").alias("__gx"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__nx"))
+    )
     pool = base.where(F.col("__v") > 0).select(
         "__g", F.round(F.col("__v") * scale).cast(dec).alias("__vq")
     )
@@ -4316,9 +4320,9 @@ def inequality_report(
         / 1_000_000
     )
     return (
-        agg.join(excl, agg["__g"] == excl["__g"], "left")
+        agg.join(excl, F.col("__g") == F.col("__gx"), "left")
         .select(
-            agg["__g"].alias(group_col),
+            F.col("__g").alias(group_col),
             F.col("__n").alias("n"),
             F.coalesce(F.col("__nx"), F.lit(0)).cast("bigint").alias(
                 "n_excluded"

@@ -1419,3 +1419,74 @@ def test_r17_wave_third_tranche_plan_shapes(spark):
         "b", "ok",
     )
     assert ca.count() == 1
+
+
+def test_r18_wave_plan_shapes(spark):
+    """Scale-shape assertions for the staged r18 wave: the distributed
+    members keep data volume out of cartesians and single partitions —
+    fleiss/gamma/inequality/neyman collapse to bounded cell frames
+    before any join, DW/perplexity/bigram-surprise ride key-partitioned
+    windows and type-keyed joins, and the multimodal pair reduce inside
+    the Arrow batch (only per-frame/per-row integer sums shuffle)."""
+    from pyspark.sql import functions as F
+
+    from osmapreduceproject_spark.operators.events import transition_perplexity
+    from osmapreduceproject_spark.operators.multimodal import (
+        arith_raw_images_letterboxed,
+        arith_video_frames,
+        image_letterbox_detect,
+        video_flicker_report,
+    )
+    from osmapreduceproject_spark.operators.sampling import neyman_allocation
+    from osmapreduceproject_spark.operators.similarity import (
+        embedding_dim_variance,
+    )
+    from osmapreduceproject_spark.operators.stats import (
+        fleiss_kappa,
+        gamma_concordance,
+        inequality_report,
+    )
+    from osmapreduceproject_spark.operators.text import bigram_surprise
+    from osmapreduceproject_spark.operators.windows import durbin_watson
+    from osmapreduceproject_spark.plans.inspect import (
+        data_carrying_single_partitions,
+        explain_str,
+        release_intermediates,
+    )
+    from osmapreduceproject_spark.queries import _t
+
+    sf = "/root/testdata/sf0.001"
+    ev = _t(spark, sf, "events")
+    docs = _t(spark, sf, "documents")
+    emb = _t(spark, sf, "embeddings")
+    li = _t(spark, sf, "lineitem")
+
+    for frame in (
+        fleiss_kappa(ev, "user_id", "event_type"),
+        gamma_concordance(li, "l_quantity", "l_discount"),
+        inequality_report(
+            docs.select("source", F.length("text").cast("double").alias("v")),
+            "source", "v",
+        ),
+        durbin_watson(ev, "user_id", "ts", "value"),
+        transition_perplexity(ev),
+        bigram_surprise(docs),
+        neyman_allocation(
+            docs.select("source", F.length("text").cast("double").alias("v")),
+            "source", "v",
+        ),
+        embedding_dim_variance(emb),
+        video_flicker_report(
+            arith_video_frames(spark, n_videos=4, n_frames=6, cut_at=3)
+        ),
+        image_letterbox_detect(
+            arith_raw_images_letterboxed(spark, n=4)
+        ),
+    ):
+        plan = explain_str(frame)
+        # one-row broadcast finalizes (the stats-family crossJoin
+        # convention) are fine; a CartesianProduct or a data-carrying
+        # single partition is not
+        assert "CartesianProduct" not in plan, plan
+        assert data_carrying_single_partitions(frame) == [], plan
+    release_intermediates()
