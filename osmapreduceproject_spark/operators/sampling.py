@@ -579,3 +579,66 @@ def neyman_allocation(
             "n_proportional"
         ),
     )
+
+
+def effective_sample_size(
+    df: DataFrame,
+    group_col: str,
+    weight_col: str,
+) -> DataFrame:
+    """Per-group effective sample size of a weighted pool — Kish's
+    ESS = (Σw)²/Σw² and the design effect deff = n·Σw²/(Σw)² — the
+    diagnostic a weighted training mix needs BEFORE trusting
+    :func:`mixing_weights`/:func:`rebalance_to_mix` output: a source
+    whose ESS collapses far below its row count is dominated by a few
+    heavy documents, and any metric computed over it has the variance
+    of ESS rows, not n rows. Also reports the heaviest single row's
+    weight share (the degenerate-mix smoke alarm).
+
+    Conventions: NULL/NaN/≤0 weights are excluded and counted —
+    a zero-weight row contributes nothing to any weighted estimate,
+    so letting it inflate n would overstate the design effect.
+    Exactness: weights micro-quantize once (floor(w·10⁶ + 0.5) —
+    exact-rational inputs, never F.round); Σw, Σw², max w accumulate
+    in exact DECIMAL; ESS/deff/share are fixed-order double
+    expressions over those integers. Scale shape: ONE groupBy over
+    row volume into a bounded per-group frame; no windows, no driver
+    state. Returns (group, n, n_excluded, ess, ess_ratio, deff,
+    max_weight_share), 6-decimal; groups whose weights all quantize
+    to zero report NULL ratios.
+    """
+    dec = "decimal(38,0)"
+    g = F.col(group_col)
+    w = F.col(weight_col).cast("double")
+    q = F.floor(w * 1_000_000 + F.lit(0.5)).cast("bigint")
+    base = df.where(g.isNotNull()).select(
+        g.alias("__g"),
+        F.when(w.isNotNull() & ~F.isnan(w) & (w > 0), q).alias("__q"),
+    )
+    per = base.groupBy("__g").agg(
+        F.sum(F.col("__q").isNotNull().cast("bigint")).alias("n"),
+        F.sum(F.col("__q").isNull().cast("bigint")).alias("n_excluded"),
+        F.coalesce(F.sum(F.col("__q").cast(dec)), F.lit(0).cast(dec)).alias(
+            "__sw"
+        ),
+        F.coalesce(
+            F.sum(F.col("__q").cast(dec) * F.col("__q")), F.lit(0).cast(dec)
+        ).alias("__sw2"),
+        F.coalesce(F.max("__q"), F.lit(0)).alias("__mx"),
+    )
+    sw = F.col("__sw").cast("double")
+    sw2 = F.col("__sw2").cast("double")
+    ess = sw * sw / sw2
+    ok = F.col("__sw2") > 0
+    h6 = lambda x: F.floor(x * 1_000_000 + F.lit(0.5)) / 1_000_000  # noqa: E731
+    return per.select(
+        F.col("__g").alias(group_col),
+        F.col("n").cast("bigint"),
+        F.col("n_excluded").cast("bigint"),
+        F.when(ok, h6(ess)).alias("ess"),
+        F.when(ok, h6(ess / F.col("n"))).alias("ess_ratio"),
+        F.when(ok, h6(F.col("n") * sw2 / (sw * sw))).alias("deff"),
+        F.when(ok, h6(F.col("__mx").cast("double") / sw)).alias(
+            "max_weight_share"
+        ),
+    )

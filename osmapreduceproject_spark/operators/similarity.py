@@ -1537,3 +1537,122 @@ def embedding_dim_variance(
             h6(tr * tr / F.col("__ss2").cast("double")),
         ).alias("participation_ratio"),
     )
+
+
+def hubness_report(
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    edges: DataFrame | None = None,
+) -> DataFrame:
+    """In-degree (k-occurrence) distribution of the kNN graph — the
+    hubness diagnosis that :func:`knn_graph_stats` only headlines
+    (max in-degree, isolated count): high-dimensional embedding
+    spaces concentrate distances, so a few "hub" vectors appear in
+    everyone's top-k while "antihubs" appear in no one's
+    (Radovanović et al., JMLR 2010) — and retrieval/dedup quality
+    degrades exactly there. Reports the distribution's CV and
+    skewness, hub mass under the classic N_k > mean + 2σ definition
+    (share of ALL edges landing on hubs), and the antihub fraction.
+
+    ``edges`` follows the :func:`knn_graph_stats` convention:
+    ``None`` builds the exact :func:`cosine_topk` edge list (an
+    O(n²·d) brute pass — small-corpus oracle/recall reference ONLY);
+    the 100 TB path passes a prebuilt ANN edge list
+    (``lsh_topk``/:func:`ivf_topk` output, columns
+    (query_id, neighbor_id, sim)) so candidates come from bucket
+    equi-joins, never all-pairs. Scale shape: edge volume collapses
+    to ONE per-node in-degree frame (left join against the distinct
+    id frame keeps zero-degree nodes); exact integer moments
+    (Σd, Σd², Σd³) in DECIMAL feed a broadcast one-row threshold; a
+    second bounded pass classifies nodes. The in-degree frame is
+    tracked-persisted (two passes) — callers release via
+    plans.inspect.release_intermediates(). One row:
+    (n_nodes, k, n_edges, mean_in_degree, indeg_cv, indeg_skewness,
+    n_hubs, hub_edge_share, n_antihubs, antihub_frac), 6-decimal;
+    an empty corpus reports NULL ratios, a zero-variance in-degree
+    distribution (every node cited exactly k times) reports NULL
+    CV-normalized stats with zero hubs.
+    """
+    from ..plans.inspect import tracked_persist
+
+    if edges is None:
+        edges = cosine_topk(corpus, corpus, k, id_col=id_col, vec_col=vec_col)
+    ids = corpus.select(F.col(id_col).alias("__id")).distinct()
+    indeg = edges.groupBy(F.col("neighbor_id").alias("__id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__di")
+    )
+    d = tracked_persist(
+        ids.join(indeg, "__id", "left").select(
+            F.coalesce(F.col("__di"), F.lit(0)).cast("bigint").alias("__d")
+        )
+    )
+    dec = "decimal(38,0)"
+    dq = F.col("__d").cast(dec)
+    mom = d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+        F.coalesce(F.sum(dq), F.lit(0).cast(dec)).alias("__s1"),
+        F.coalesce(F.sum(dq * dq), F.lit(0).cast(dec)).alias("__s2"),
+        F.coalesce(F.sum(dq * dq * dq), F.lit(0).cast(dec)).alias("__s3"),
+    )
+    # population central moments in ONE fixed operand order (exact
+    # integer sums → identical doubles on any engine)
+    n_d = F.col("__n").cast("double")
+    mean = F.col("__s1").cast("double") / n_d
+    m2 = F.col("__s2").cast("double") / n_d - mean * mean
+    m3 = (
+        F.col("__s3").cast("double") / n_d
+        - F.lit(3.0) * mean * (F.col("__s2").cast("double") / n_d)
+        + F.lit(2.0) * mean * mean * mean
+    )
+    thr = mom.select(
+        "__n", "__s1", "__s2", "__s3",
+        F.when(m2 > 0, mean + F.lit(2.0) * F.sqrt(m2)).alias("__thr"),
+    )
+    cls = d.crossJoin(F.broadcast(thr)).agg(
+        F.sum(
+            (F.col("__thr").isNotNull() & (F.col("__d") > F.col("__thr")))
+            .cast("bigint")
+        ).alias("__nh"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("__thr").isNotNull()
+                    & (F.col("__d") > F.col("__thr")),
+                    F.col("__d"),
+                ).otherwise(F.lit(0)).cast(dec)
+            ),
+            F.lit(0).cast(dec),
+        ).alias("__he"),
+        F.sum((F.col("__d") == 0).cast("bigint")).alias("__na"),
+    )
+    one = cls.crossJoin(F.broadcast(thr))
+    ok = F.col("__n") > 0
+    okv = ok & (m2 > 0)
+    h6 = lambda x: F.floor(x * 1_000_000 + F.lit(0.5)) / 1_000_000  # noqa: E731
+    s6 = lambda x: (  # noqa: E731
+        F.when(x >= 0, F.floor(x * 1_000_000 + F.lit(0.5))).otherwise(
+            -F.floor(-x * 1_000_000 + F.lit(0.5))
+        )
+        / 1_000_000
+    )
+    return one.select(
+        F.col("__n").alias("n_nodes"),
+        F.lit(k).cast("int").alias("k"),
+        F.col("__s1").cast("bigint").alias("n_edges"),
+        F.when(ok, h6(mean)).alias("mean_in_degree"),
+        F.when(okv & (F.col("__s1") > 0), h6(F.sqrt(m2) / mean)).alias(
+            "indeg_cv"
+        ),
+        F.when(okv, s6(m3 / F.sqrt(m2 * m2 * m2))).alias("indeg_skewness"),
+        F.coalesce(F.col("__nh"), F.lit(0)).cast("bigint").alias("n_hubs"),
+        F.when(
+            ok & (F.col("__s1") > 0),
+            h6(F.col("__he").cast("double") / F.col("__s1").cast("double")),
+        ).alias("hub_edge_share"),
+        F.coalesce(F.col("__na"), F.lit(0)).cast("bigint").alias("n_antihubs"),
+        F.when(ok, h6(F.col("__na").cast("double") / n_d)).alias(
+            "antihub_frac"
+        ),
+    )

@@ -4440,3 +4440,321 @@ def gamma_concordance(
         F.when(c_d + d_d > 0, s6(gamma)).alias("gamma"),
         F.when(c_d + d_d + tyo > 0, s6(somers)).alias("somers_d_yx"),
     )
+
+
+def logrank_test(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Log-rank (Mantel–Cox) test — do two groups share a survival
+    curve? The hypothesis test completing the survival kit:
+    :func:`kaplan_meier` and :func:`nelson_aalen` ESTIMATE curves,
+    this asks whether cohort A churns faster than cohort B once
+    right-censoring is handled correctly — the comparison plain
+    retention-rate deltas get wrong whenever observation windows
+    differ. At each pooled event time t the group-A death count is
+    compared against its hypergeometric expectation
+    E₁(t) = d·n₁/n, with variance
+    V(t) = d·n₁·(n−n₁)·(n−d) / (n²·(n−1));
+    χ² = (Σd₁ − ΣE₁)²/ΣV and z = (Σd₁ − ΣE₁)/√ΣV (A dying MORE than
+    expected → positive z).
+
+    Scale shape: the :func:`kaplan_meier` machinery with a group tag —
+    per-distinct-duration counts (c, c₁, d, d₁), ONE
+    :func:`_ranged_cumsum` pass over [c, c₁] gives both at-risk
+    series, and the per-time E/V terms micro-quantize half-up
+    (floor(x·10⁶ + 0.5) — exact-rational inputs, so never F.round;
+    the video_brightness_slope cross-engine catch) into exact DECIMAL
+    sums; the finalize is one fixed-order double expression over a
+    broadcast one-row frame. NULL/NaN durations and rows outside the
+    two groups are excluded; ``event_col`` is 0/1-coercible. One row:
+    (n_a, n_b, observed_a, expected_a, variance, z, chi2); an empty
+    group or zero variance reports NULL z/chi2.
+    """
+    dec = "decimal(38,0)"
+    t = F.col(duration_col).cast("double")
+    e = F.col(event_col).cast("int")
+    g = F.col(group_col)
+    pool = df.where(
+        t.isNotNull() & ~F.isnan(t) & g.isin([group_a, group_b])
+    ).select(
+        t.alias("__t"),
+        e.alias("__e"),
+        (g == F.lit(group_a)).cast("int").alias("__a"),
+    )
+    per_t = pool.groupBy("__t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__c"),
+        F.sum("__a").cast("bigint").alias("__c1"),
+        F.sum("__e").cast("bigint").alias("__d"),
+        F.sum(F.col("__e") * F.col("__a")).cast("bigint").alias("__d1"),
+    )
+    cum = _ranged_cumsum(per_t, "__t", ["__c", "__c1"])
+    tot = cum.agg(
+        F.coalesce(F.max("__cum___c"), F.lit(0)).cast("bigint").alias("__nn"),
+        F.coalesce(F.max("__cum___c1"), F.lit(0)).cast("bigint").alias("__na"),
+    )
+    risk = cum.crossJoin(F.broadcast(tot)).select(
+        "__d",
+        "__d1",
+        (F.col("__nn") - (F.col("__cum___c") - F.col("__c"))).alias("__nr"),
+        (F.col("__na") - (F.col("__cum___c1") - F.col("__c1"))).alias("__nr1"),
+    )
+    nr = F.col("__nr").cast("double")
+    nr1 = F.col("__nr1").cast("double")
+    dd = F.col("__d").cast("double")
+    # exact-rational per-time terms, micro-quantized half-up; the V
+    # operand order is pinned and mirrored verbatim by the oracle
+    qe = F.floor(dd * nr1 / nr * 1_000_000 + F.lit(0.5)).cast(dec)
+    qv = F.when(
+        F.col("__nr") > 1,
+        F.floor(
+            dd * nr1 * (nr - nr1) * (nr - dd) / (nr * nr * (nr - F.lit(1.0)))
+            * 1_000_000
+            + F.lit(0.5)
+        ),
+    ).otherwise(F.lit(0)).cast(dec)
+    terms = risk.where(F.col("__d") > 0).agg(
+        F.coalesce(F.sum("__d1"), F.lit(0)).cast("bigint").alias("__o1"),
+        F.coalesce(F.sum(qe), F.lit(0).cast(dec)).alias("__qe"),
+        F.coalesce(F.sum(qv), F.lit(0).cast(dec)).alias("__qv"),
+    )
+    one = terms.crossJoin(F.broadcast(tot))
+    e1 = F.col("__qe").cast("double") / 1_000_000
+    var = F.col("__qv").cast("double") / 1_000_000
+    diff = F.col("__o1").cast("double") - e1
+    both = (F.col("__na") > 0) & (F.col("__nn") > F.col("__na"))
+    h6 = lambda x: F.floor(x * 1_000_000 + F.lit(0.5)) / 1_000_000  # noqa: E731
+    return one.select(
+        F.col("__na").alias("n_a"),
+        (F.col("__nn") - F.col("__na")).alias("n_b"),
+        F.col("__o1").alias("observed_a"),
+        F.when(both, h6(e1)).alias("expected_a"),
+        F.when(both, h6(var)).alias("variance"),
+        F.when(both & (var > 0), F.round(diff / F.sqrt(var), 6)).alias("z"),
+        F.when(both & (var > 0), F.round(diff * diff / var, 6)).alias("chi2"),
+    )
+
+
+def cronbach_alpha(
+    df: DataFrame,
+    subject_col: str,
+    item_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Cronbach's alpha — internal-consistency reliability of a
+    multi-item scale: "do the k items/judges/heuristic scores move
+    together across subjects enough to justify summing them into one
+    score?" The reliability member of the agreement family —
+    :func:`cohens_kappa`/:func:`fleiss_kappa` handle CATEGORICAL
+    labels, alpha handles NUMERIC item scores (an LLM-judge ensemble,
+    a multi-probe quality rubric):
+    α = k/(k−1) · (1 − Σᵢ Var(itemᵢ) / Var(total)).
+
+    Conventions (documented): the item set is the distinct observed
+    items; only subjects observing ALL k items participate
+    (complete-case — dropped subjects counted); duplicate
+    (subject, item) measurements average first; SAMPLE variances
+    (n−1). Exactness: values micro-quantize once
+    (floor(v·10⁶ + 0.5)); per-item and per-subject-total moments
+    (Σx, Σx²) accumulate in exact DECIMAL; each item's
+    n·Σx²−(Σx)² numerator stays exact DECIMAL and the variance ratio
+    is ONE fixed-order double expression — per-item numerators SUM
+    exactly before any division, so no float-sum order dependence.
+    Scale shape: one (subject, item) cell aggregation → a bounded
+    per-item frame and a per-subject total frame → two one-row
+    aggregates broadcast into the finalize; no windows, no driver
+    state. One row: (k_items, n_subjects, n_subjects_dropped, alpha);
+    k < 2, n < 2, or zero total variance reports NULL alpha.
+    """
+    dec = "decimal(38,0)"
+    s = F.col(subject_col)
+    i = F.col(item_col)
+    v = F.col(value_col).cast("double")
+    pool = df.where(s.isNotNull() & i.isNotNull() & v.isNotNull() & ~F.isnan(v))
+    # duplicate measurements average via exact micro-sums divided ONCE
+    # (F.avg over raw doubles is partition-order-dependent — the
+    # wilcoxon paired-means recipe)
+    qv = F.floor(v * 1_000_000 + F.lit(0.5)).cast(dec)
+    cell = pool.groupBy(s.alias("__s"), i.alias("__i")).agg(
+        F.floor(
+            F.sum(qv).cast("double") / F.count(F.lit(1)) + F.lit(0.5)
+        ).cast("bigint").alias("__q")
+    )
+    k_items = cell.select("__i").distinct().agg(
+        F.count(F.lit(1)).cast("bigint").alias("__k")
+    )
+    per_subj = cell.groupBy("__s").agg(
+        F.count(F.lit(1)).alias("__ki"),
+        F.sum(F.col("__q").cast(dec)).alias("__tot"),
+    )
+    complete = per_subj.crossJoin(F.broadcast(k_items)).where(
+        F.col("__ki") == F.col("__k")
+    )
+    # subject-total moments (exact DECIMAL over micro-units)
+    subj_mom = complete.agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+        F.coalesce(F.sum("__tot"), F.lit(0).cast(dec)).alias("__st"),
+        F.coalesce(F.sum(F.col("__tot") * F.col("__tot")), F.lit(0).cast(dec))
+        .alias("__st2"),
+    )
+    dropped = per_subj.crossJoin(F.broadcast(k_items)).where(
+        F.col("__ki") < F.col("__k")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("__dr"))
+    # per-item exact variance numerators n·Σx²−(Σx)², summed exactly
+    item_mom = (
+        cell.join(complete.select("__s"), "__s")
+        .groupBy("__i")
+        .agg(
+            F.sum(F.col("__q").cast(dec)).alias("__sx"),
+            F.sum(F.col("__q").cast(dec) * F.col("__q")).alias("__sx2"),
+            F.count(F.lit(1)).cast("bigint").alias("__ni"),
+        )
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("__ni") * F.col("__sx2")
+                    - F.col("__sx") * F.col("__sx")
+                ),
+                F.lit(0).cast(dec),
+            ).alias("__sinum")
+        )
+    )
+    one = (
+        subj_mom.crossJoin(F.broadcast(item_mom))
+        .crossJoin(F.broadcast(k_items))
+        .crossJoin(F.broadcast(dropped))
+    )
+    n_d = F.col("__n").cast("double")
+    # Σ itemvar / totalvar: both share the n(n−1) denominator, so the
+    # ratio is Σ per-item numerators over the total numerator — exact
+    # DECIMAL until this ONE division
+    tot_num = (
+        F.col("__n") * F.col("__st2") - F.col("__st") * F.col("__st")
+    ).cast("double")
+    ratio = F.col("__sinum").cast("double") / tot_num
+    k_d = F.col("__k").cast("double")
+    alpha = k_d / (k_d - F.lit(1.0)) * (F.lit(1.0) - ratio)
+    s6 = lambda x: (  # noqa: E731
+        F.when(x >= 0, F.floor(x * 1_000_000 + F.lit(0.5))).otherwise(
+            -F.floor(-x * 1_000_000 + F.lit(0.5))
+        )
+        / 1_000_000
+    )
+    ok = (F.col("__k") >= 2) & (F.col("__n") >= 2) & (tot_num > 0)
+    return one.select(
+        F.col("__k").alias("k_items"),
+        F.col("__n").alias("n_subjects"),
+        F.col("__dr").alias("n_subjects_dropped"),
+        F.when(ok, s6(alpha)).alias("alpha"),
+    )
+
+
+def bartlett_test(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Bartlett's test for equal variances across k groups — the
+    parametric, more powerful sibling of :func:`brown_forsythe_test`
+    (which trades power for robustness to non-normality; run both —
+    agreement is evidence, disagreement localizes the tail problem):
+    T = [(N−k)·ln(Sₚ²) − Σ(nᵢ−1)·ln(Sᵢ²)] / C with the usual
+    correction C = 1 + (Σ 1/(nᵢ−1) − 1/(N−k)) / (3(k−1)), T ~ χ²(k−1).
+
+    Conventions: groups need nᵢ ≥ 2; a ZERO-variance group makes
+    ln(Sᵢ²) undefined — such groups are excluded and counted
+    (``n_groups_degenerate``), the documented deviation from engines
+    that return NaN. Exactness: values micro-quantize once; per-group
+    moments in exact DECIMAL so every Sᵢ² is the exact rational
+    (n·Σx²−(Σx)²)/(n(n−1)) in micro²-units; each group's
+    (nᵢ−1)·ln(Sᵢ²) and 1/(nᵢ−1) term micro-quantizes half-away
+    BEFORE the sum (float-sum order independence — the
+    :func:`fleiss_kappa` recipe), and the finalize is one fixed-order
+    double expression. Scale shape: one groupBy over value volume →
+    bounded per-group frame → one-row aggregate; no windows, no
+    driver state. One row: (k_groups, n, n_groups_degenerate,
+    pooled_var, chi2, df); k < 2 after exclusions reports NULL
+    chi2/df.
+    """
+    dec = "decimal(38,0)"
+    g = F.col(group_col)
+    v = F.col(value_col).cast("double")
+    pool = df.where(g.isNotNull() & v.isNotNull() & ~F.isnan(v)).select(
+        g.alias("__g"),
+        F.floor(v * 1_000_000 + F.lit(0.5)).cast("bigint").alias("__q"),
+    )
+    per_g = pool.groupBy("__g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+        F.sum(F.col("__q").cast(dec)).alias("__sx"),
+        F.sum(F.col("__q").cast(dec) * F.col("__q")).alias("__sx2"),
+    )
+    num = (F.col("__n") * F.col("__sx2") - F.col("__sx") * F.col("__sx"))
+    eligible = per_g.where(F.col("__n") >= 2).select(
+        "__n",
+        num.alias("__num"),
+        (F.col("__n") * (F.col("__n") - 1)).cast(dec).alias("__den"),
+    )
+    live = eligible.where(F.col("__num") > 0)
+    # Sᵢ² in micro²-units: exact rational → identical double; the
+    # ssq numerator (nᵢ−1)·Sᵢ² = num/n stays an exact rational too
+    s2 = F.col("__num").cast("double") / F.col("__den").cast("double")
+    nm1 = (F.col("__n") - 1).cast("double")
+    s6q = lambda x: (  # noqa: E731  signed micro-quantize half-away
+        F.when(x >= 0, F.floor(x * 1_000_000 + F.lit(0.5))).otherwise(
+            -F.floor(-x * 1_000_000 + F.lit(0.5))
+        ).cast("decimal(38,0)")
+    )
+    terms = live.agg(
+        F.count(F.lit(1)).cast("bigint").alias("__k"),
+        F.coalesce(F.sum("__n"), F.lit(0)).cast("bigint").alias("__nn"),
+        F.coalesce(F.sum(s6q(nm1 * F.log(s2))), F.lit(0).cast(dec)).alias(
+            "__qln"
+        ),
+        # pooled numerator Σ(nᵢ−1)Sᵢ² in micro²-units: num/n is an
+        # exact rational per group — quantize half-up (nonneg) and sum
+        F.coalesce(
+            F.sum(
+                F.floor(
+                    F.col("__num").cast("double")
+                    / F.col("__n").cast("double")
+                    + F.lit(0.5)
+                ).cast(dec)
+            ),
+            F.lit(0).cast(dec),
+        ).alias("__qssq"),
+        F.coalesce(
+            F.sum(s6q(F.lit(1.0) / nm1)), F.lit(0).cast(dec)
+        ).alias("__qinv"),
+    )
+    degen = eligible.where(~(F.col("__num") > 0)).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__dg")
+    )
+    one = terms.crossJoin(F.broadcast(degen))
+    k_d = F.col("__k").cast("double")
+    nmk = (F.col("__nn") - F.col("__k")).cast("double")
+    sp2 = F.col("__qssq").cast("double") / nmk
+    t_num = nmk * F.log(sp2) - F.col("__qln").cast("double") / 1_000_000
+    corr = F.lit(1.0) + (
+        F.col("__qinv").cast("double") / 1_000_000 - F.lit(1.0) / nmk
+    ) / (F.lit(3.0) * (k_d - F.lit(1.0)))
+    ok = F.col("__k") >= 2
+    h6 = lambda x: F.floor(x * 1_000_000 + F.lit(0.5)) / 1_000_000  # noqa: E731
+    s6 = lambda x: (  # noqa: E731
+        F.when(x >= 0, F.floor(x * 1_000_000 + F.lit(0.5))).otherwise(
+            -F.floor(-x * 1_000_000 + F.lit(0.5))
+        )
+        / 1_000_000
+    )
+    return one.select(
+        F.col("__k").alias("k_groups"),
+        F.col("__nn").alias("n"),
+        F.col("__dg").alias("n_groups_degenerate"),
+        # pooled variance back in value²-units (micro² → ÷10¹²)
+        F.when(ok, h6(sp2 / F.lit(1_000_000_000_000.0))).alias("pooled_var"),
+        F.when(ok, s6(t_num / corr)).alias("chi2"),
+        F.when(ok, (F.col("__k") - 1).cast("bigint")).alias("df"),
+    )

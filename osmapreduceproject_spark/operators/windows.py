@@ -2246,3 +2246,92 @@ def durbin_watson(
         F.when(den > 0, h6(dw)).alias("dw"),
         F.when(den > 0, h6(F.lit(1.0) - dw / 2.0)).alias("rho_approx"),
     )
+
+
+def turning_points_test(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    value_col: str,
+) -> DataFrame:
+    """Turning-points randomness test per key: count interior local
+    extrema (strict peaks and troughs) in the time-ordered series and
+    compare against the i.i.d. null E[T] = 2(n−2)/3,
+    Var[T] = (16n−29)/90 — the oscillation-vs-smoothness screen beside
+    :func:`runs_test` (sign clustering around the median; turning
+    points see LOCAL shape, so a slow drift with jitter reads random
+    here while runs flags it) and :func:`series_autocorrelation`
+    (linear dependence only). z ≪ 0 → too few turns (smooth/trending),
+    z ≫ 0 → too many (anti-persistent, faster than noise).
+
+    Convention (documented): consecutive EQUAL values collapse to
+    their first row before counting (the classic tie treatment —
+    a plateau is one observation; collapsed rows are counted), so
+    every kept neighbor pair differs and peaks/troughs are strict.
+    Order is (epoch µs, value) — the :func:`runs_test` deterministic
+    tiebreak. Scale shape: two per-key lag/lead windows (key-
+    partitioned, never global) and one groupBy; the null moments are
+    fixed-order doubles over exact integer counts. Returns
+    (key, n, n_collapsed, n_turning_points, expected, z), 6-decimal;
+    n < 3 after collapsing reports NULL expected/z.
+    """
+    k = F.col(key)
+    v = F.col(value_col).cast("double")
+    pool = df.where(k.isNotNull() & v.isNotNull() & ~F.isnan(v)).select(
+        k.alias("__k"),
+        F.unix_micros(F.col(ts)).alias("__e"),
+        v.alias("__v"),
+    )
+    w = Window.partitionBy("__k").orderBy(F.col("__e").asc(), F.col("__v").asc())
+    lagged = pool.select(
+        "__k", "__e", "__v", F.lag("__v").over(w).alias("__pv")
+    )
+    kept = lagged.where(
+        F.col("__pv").isNull() | (F.col("__v") != F.col("__pv"))
+    )
+    collapsed = lagged.groupBy("__k").agg(
+        F.sum(
+            (F.col("__pv").isNotNull() & (F.col("__v") == F.col("__pv")))
+            .cast("bigint")
+        ).alias("n_collapsed")
+    )
+    w2 = Window.partitionBy("__k").orderBy(
+        F.col("__e").asc(), F.col("__v").asc()
+    )
+    tri = kept.select(
+        "__k",
+        "__v",
+        F.lag("__v").over(w2).alias("__p"),
+        F.lead("__v").over(w2).alias("__x"),
+    )
+    turn = (
+        F.col("__p").isNotNull()
+        & F.col("__x").isNotNull()
+        & (
+            (F.col("__v") - F.col("__p")) * (F.col("__v") - F.col("__x"))
+            > 0
+        )
+    ).cast("bigint")
+    agg = tri.groupBy("__k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(turn).alias("n_turning_points"),
+    )
+    n_d = F.col("n").cast("double")
+    e_t = F.lit(2.0) * (n_d - F.lit(2.0)) / F.lit(3.0)
+    var = (F.lit(16.0) * n_d - F.lit(29.0)) / F.lit(90.0)
+    ok = F.col("n") >= 3
+    return agg.join(collapsed, "__k").select(
+        F.col("__k").alias(key),
+        "n",
+        "n_collapsed",
+        "n_turning_points",
+        F.when(ok, F.round(e_t, 6)).alias("expected"),
+        F.when(
+            ok & (var > 0),
+            F.round(
+                (F.col("n_turning_points").cast("double") - e_t)
+                / F.sqrt(var),
+                6,
+            ),
+        ).alias("z"),
+    )

@@ -1490,3 +1490,58 @@ def test_r18_wave_plan_shapes(spark):
         assert "CartesianProduct" not in plan, plan
         assert data_carrying_single_partitions(frame) == [], plan
     release_intermediates()
+
+
+def test_r18_wave_fourth_tranche_plan_shapes(spark):
+    """Same scale-shape assertions for the fourth tranche: logrank
+    rides the ranged-cumsum at-risk machinery, cronbach/bartlett/ESS
+    collapse to bounded group/cell frames before any join, turning
+    points is key-partitioned windows only, and hubness collapses
+    edge volume to one per-node in-degree frame with a broadcast
+    threshold."""
+    from pyspark.sql import functions as F
+
+    from osmapreduceproject_spark.operators.sampling import (
+        effective_sample_size,
+    )
+    from osmapreduceproject_spark.operators.similarity import hubness_report
+    from osmapreduceproject_spark.operators.stats import (
+        bartlett_test,
+        cronbach_alpha,
+        logrank_test,
+    )
+    from osmapreduceproject_spark.operators.windows import turning_points_test
+    from osmapreduceproject_spark.plans.inspect import (
+        data_carrying_single_partitions,
+        explain_str,
+        release_intermediates,
+    )
+    from osmapreduceproject_spark.queries import _t
+
+    sf = "/root/testdata/sf0.001"
+    ev = _t(spark, sf, "events")
+    docs = _t(spark, sf, "documents")
+    emb = _t(spark, sf, "embeddings").where(F.col("vec_id") % 5 == 0)
+    li = _t(spark, sf, "lineitem").select(
+        F.col("l_quantity").cast("double").alias("t"),
+        (F.col("l_returnflag") == "R").cast("int").alias("e"),
+        F.col("l_linestatus").alias("g"),
+    )
+    for frame in (
+        logrank_test(li, "t", "e", "g", "O", "F"),
+        cronbach_alpha(ev, "user_id", "event_type", "value"),
+        bartlett_test(ev, "event_type", "value"),
+        turning_points_test(ev, "user_id", "ts", "value"),
+        effective_sample_size(
+            docs.select("source", F.length("text").cast("double").alias("w")),
+            "source", "w",
+        ),
+        hubness_report(emb, k=3),
+    ):
+        plan = explain_str(frame)
+        # one-row broadcast finalizes (the stats-family crossJoin
+        # convention) are fine; a CartesianProduct or a data-carrying
+        # single partition is not
+        assert "CartesianProduct" not in plan, plan
+        assert data_carrying_single_partitions(frame) == [], plan
+    release_intermediates()

@@ -1003,3 +1003,554 @@ def test_neyman_known_cases(spark):
     outc = neyman_allocation(const, "s", "v", budget=4).collect()
     assert all(r["neyman_share"] is None and r["n_neyman"] == 0 for r in outc)
     assert sum(r["n_proportional"] for r in outc) == 4
+
+
+# ---------------------------------------------------------------------------
+# fourth tranche: logrank / cronbach / bartlett / turning points / ESS /
+# hubness
+# ---------------------------------------------------------------------------
+
+
+def test_logrank_test_oracle(spark, duck):
+    """Two-group survival comparison: durations = l_quantity, event =
+    returnflag 'R', groups = linestatus O vs F; the ranged-cumsum
+    at-risk series and the micro-quantized E/V terms replayed in SQL
+    with the pinned operand order."""
+    from osmapreduceproject_spark.operators.stats import logrank_test
+
+    li = _t(spark, "lineitem").select(
+        F.col("l_quantity").cast("double").alias("t"),
+        (F.col("l_returnflag") == "R").cast("int").alias("e"),
+        F.col("l_linestatus").alias("g"),
+    )
+    got = logrank_test(li, "t", "e", "g", "O", "F")
+    sql = """
+    WITH pool AS (
+      SELECT CAST(l_quantity AS DOUBLE) AS t,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS e,
+             CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END AS a
+      FROM lineitem
+      WHERE l_linestatus IN ('O', 'F') AND l_quantity IS NOT NULL),
+    per_t AS (SELECT t, COUNT(*) AS c, SUM(a) AS c1, SUM(e) AS d,
+                     SUM(e * a) AS d1
+              FROM pool GROUP BY t),
+    cum AS (SELECT *, SUM(c) OVER (ORDER BY t) AS cc,
+                   SUM(c1) OVER (ORDER BY t) AS cc1 FROM per_t),
+    tot AS (SELECT COALESCE(MAX(cc), 0) AS nn, COALESCE(MAX(cc1), 0) AS na
+            FROM cum),
+    risk AS (SELECT d, d1, nn - (cc - c) AS nr, na - (cc1 - c1) AS nr1
+             FROM cum, tot),
+    terms AS (SELECT
+        COALESCE(SUM(d1), 0) AS o1,
+        COALESCE(SUM(CAST(floor(CAST(d AS DOUBLE) * CAST(nr1 AS DOUBLE)
+          / CAST(nr AS DOUBLE) * 1000000 + 0.5) AS HUGEINT)), 0) AS qe,
+        COALESCE(SUM(CASE WHEN nr > 1 THEN
+          CAST(floor(CAST(d AS DOUBLE) * CAST(nr1 AS DOUBLE)
+            * (CAST(nr AS DOUBLE) - CAST(nr1 AS DOUBLE))
+            * (CAST(nr AS DOUBLE) - CAST(d AS DOUBLE))
+            / (CAST(nr AS DOUBLE) * CAST(nr AS DOUBLE)
+               * (CAST(nr AS DOUBLE) - 1.0))
+            * 1000000 + 0.5) AS HUGEINT) ELSE 0 END), 0) AS qv
+      FROM risk WHERE d > 0)
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nn - na AS BIGINT) AS n_b,
+           CAST(o1 AS BIGINT) AS observed_a,
+           CASE WHEN na > 0 AND nn > na THEN
+             floor(CAST(qe AS DOUBLE) / 1000000 * 1000000 + 0.5) / 1000000
+           END AS expected_a,
+           CASE WHEN na > 0 AND nn > na THEN
+             floor(CAST(qv AS DOUBLE) / 1000000 * 1000000 + 0.5) / 1000000
+           END AS variance,
+           CASE WHEN na > 0 AND nn > na AND qv > 0 THEN
+             round((CAST(o1 AS DOUBLE) - CAST(qe AS DOUBLE) / 1000000)
+                   / sqrt(CAST(qv AS DOUBLE) / 1000000), 6)
+           END AS z,
+           CASE WHEN na > 0 AND nn > na AND qv > 0 THEN
+             round((CAST(o1 AS DOUBLE) - CAST(qe AS DOUBLE) / 1000000)
+                   * (CAST(o1 AS DOUBLE) - CAST(qe AS DOUBLE) / 1000000)
+                   / (CAST(qv AS DOUBLE) / 1000000), 6)
+           END AS chi2
+    FROM terms, tot
+    """
+    assert compare(got, duck.execute(sql).df()) == []
+    r = got.first()
+    assert r["n_a"] > 0 and r["n_b"] > 0
+    assert r["chi2"] is None or r["chi2"] >= 0
+
+
+def test_logrank_known_cases(spark):
+    """Pins: A dying strictly before B (all events) → O=3, E=1.15,
+    V=0.6775, z=2.24759; identical groups → z=0, chi2=0; an
+    all-censored B still contributes at-risk mass (hand E/V)."""
+    import math as m
+
+    from osmapreduceproject_spark.operators.stats import logrank_test
+
+    sep = spark.createDataFrame(
+        [(1.0, 1, "a"), (2.0, 1, "a"), (3.0, 1, "a"),
+         (4.0, 1, "b"), (5.0, 1, "b"), (6.0, 1, "b")],
+        "t double, e int, g string",
+    )
+    r = logrank_test(sep, "t", "e", "g", "a", "b").first()
+    assert r["observed_a"] == 3 and r["expected_a"] == 1.15
+    assert r["variance"] == 0.6775
+    assert r["z"] == 2.24759 and r["chi2"] == 5.051661
+    same = spark.createDataFrame(
+        [(1.0, 1, "a"), (2.0, 1, "a"), (1.0, 1, "b"), (2.0, 1, "b")],
+        "t double, e int, g string",
+    )
+    rs = logrank_test(same, "t", "e", "g", "a", "b").first()
+    assert rs["z"] == 0.0 and rs["chi2"] == 0.0
+    cens = spark.createDataFrame(
+        [(1.0, 1, "a"), (2.0, 1, "a"), (3.0, 0, "b"), (4.0, 0, "b")],
+        "t double, e int, g string",
+    )
+    rc = logrank_test(cens, "t", "e", "g", "a", "b").first()
+    assert rc["observed_a"] == 2 and rc["expected_a"] == 0.833333
+    assert rc["variance"] == 0.472222
+    assert rc["z"] == round((2 - 0.833333) / m.sqrt(0.472222), 6)
+
+
+def test_cronbach_alpha_oracle(spark, duck):
+    """Internal consistency: subjects = users, items = event types,
+    scores = value; complete-case item matrix and the exact
+    DECIMAL variance-numerator ratio replayed in SQL."""
+    from osmapreduceproject_spark.operators.stats import cronbach_alpha
+
+    got = cronbach_alpha(_t(spark, "events"), "user_id", "event_type", "value")
+    sql = """
+    WITH pool AS (
+      SELECT user_id AS s, event_type AS i,
+             CAST(floor(CAST(value AS DOUBLE) * 1000000 + 0.5) AS HUGEINT)
+               AS qv
+      FROM events
+      WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        AND value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))),
+    cell AS (SELECT s, i,
+               CAST(floor(CAST(SUM(qv) AS DOUBLE) / COUNT(*) + 0.5)
+                 AS BIGINT) AS q
+             FROM pool GROUP BY s, i),
+    k AS (SELECT COUNT(DISTINCT i) AS k FROM cell),
+    per_subj AS (SELECT s, COUNT(*) AS ki, SUM(CAST(q AS HUGEINT)) AS tot
+                 FROM cell GROUP BY s),
+    complete AS (SELECT per_subj.* FROM per_subj, k WHERE ki = k.k),
+    subj_mom AS (SELECT COUNT(*) AS n,
+                   COALESCE(SUM(tot), 0) AS st,
+                   COALESCE(SUM(tot * tot), 0) AS st2
+                 FROM complete),
+    dropped AS (SELECT COUNT(*) AS dr FROM per_subj, k WHERE ki < k.k),
+    item_mom AS (
+      SELECT COALESCE(SUM(ni * sx2 - sx * sx), 0) AS sinum FROM (
+        SELECT cell.i, SUM(CAST(cell.q AS HUGEINT)) AS sx,
+               SUM(CAST(cell.q AS HUGEINT) * cell.q) AS sx2,
+               COUNT(*) AS ni
+        FROM cell JOIN complete ON complete.s = cell.s
+        GROUP BY cell.i)),
+    fin AS (SELECT k.k, n, dr, sinum,
+              CAST(n * st2 - st * st AS DOUBLE) AS totnum
+            FROM subj_mom, item_mom, dropped, k)
+    SELECT CAST(k AS BIGINT) AS k_items, CAST(n AS BIGINT) AS n_subjects,
+           CAST(dr AS BIGINT) AS n_subjects_dropped,
+           CASE WHEN k >= 2 AND n >= 2 AND totnum > 0 THEN
+             CASE WHEN CAST(k AS DOUBLE) / (CAST(k AS DOUBLE) - 1.0)
+                    * (1.0 - CAST(sinum AS DOUBLE) / totnum) >= 0
+               THEN floor(CAST(k AS DOUBLE) / (CAST(k AS DOUBLE) - 1.0)
+                    * (1.0 - CAST(sinum AS DOUBLE) / totnum)
+                    * 1000000 + 0.5)
+               ELSE -floor(-(CAST(k AS DOUBLE) / (CAST(k AS DOUBLE) - 1.0)
+                    * (1.0 - CAST(sinum AS DOUBLE) / totnum))
+                    * 1000000 + 0.5)
+             END / 1000000
+           END AS alpha
+    FROM fin
+    """
+    assert compare(got, duck.execute(sql).df()) == []
+    r = got.first()
+    assert r["k_items"] >= 2 and r["n_subjects"] + r["n_subjects_dropped"] > 0
+
+
+def test_cronbach_known_cases(spark):
+    """Pins: two perfectly-correlated items → α = 1; hand 2-item case
+    → α = 104/107; an incomplete subject drops (counted) without
+    moving α; constant totals (zero variance) → NULL α."""
+    from osmapreduceproject_spark.operators.stats import cronbach_alpha
+
+    perfect = spark.createDataFrame(
+        [(s, i, float(s)) for s in (1, 2, 3) for i in ("i1", "i2")],
+        "s long, i string, v double",
+    )
+    assert cronbach_alpha(perfect, "s", "i", "v").first()["alpha"] == 1.0
+    hand = spark.createDataFrame(
+        [(1, "i1", 1.0), (2, "i1", 2.0), (3, "i1", 3.0), (4, "i1", 4.0),
+         (1, "i2", 2.0), (2, "i2", 3.0), (3, "i2", 4.0), (4, "i2", 6.0)],
+        "s long, i string, v double",
+    )
+    # ratio = (20+35)/107 → α = 104/107 = 0.971963 (half-away micro)
+    assert cronbach_alpha(hand, "s", "i", "v").first()["alpha"] == 0.971963
+    withdrop = hand.union(
+        spark.createDataFrame([(5, "i1", 9.0)], "s long, i string, v double")
+    )
+    rd = cronbach_alpha(withdrop, "s", "i", "v").first()
+    assert rd["alpha"] == 0.971963 and rd["n_subjects_dropped"] == 1
+    const = spark.createDataFrame(
+        [(1, "i1", 1.0), (1, "i2", 3.0), (2, "i1", 2.0), (2, "i2", 2.0)],
+        "s long, i string, v double",
+    )
+    assert cronbach_alpha(const, "s", "i", "v").first()["alpha"] is None
+
+
+def test_bartlett_test_oracle(spark, duck):
+    """Equal-variance test: l_discount by returnflag; exact DECIMAL
+    per-group moments, micro-quantized log terms, and the pinned
+    correction-factor operand order replayed in SQL."""
+    from osmapreduceproject_spark.operators.stats import bartlett_test
+
+    got = bartlett_test(_t(spark, "lineitem"), "l_returnflag", "l_discount")
+    sql = """
+    WITH pool AS (
+      SELECT l_returnflag AS g,
+             CAST(floor(CAST(l_discount AS DOUBLE) * 1000000 + 0.5)
+               AS HUGEINT) AS q
+      FROM lineitem
+      WHERE l_returnflag IS NOT NULL AND l_discount IS NOT NULL),
+    per_g AS (SELECT g, COUNT(*) AS n, SUM(q) AS sx, SUM(q * q) AS sx2
+              FROM pool GROUP BY g),
+    eligible AS (SELECT n, n * sx2 - sx * sx AS num,
+                        CAST(n AS HUGEINT) * (n - 1) AS den
+                 FROM per_g WHERE n >= 2),
+    live AS (SELECT * FROM eligible WHERE num > 0),
+    terms AS (SELECT COUNT(*) AS k, COALESCE(SUM(n), 0) AS nn,
+        COALESCE(SUM(CASE WHEN (CAST(n AS DOUBLE) - 1.0)
+            * ln(CAST(num AS DOUBLE) / CAST(den AS DOUBLE)) >= 0
+          THEN CAST(floor((CAST(n AS DOUBLE) - 1.0)
+            * ln(CAST(num AS DOUBLE) / CAST(den AS DOUBLE))
+            * 1000000 + 0.5) AS HUGEINT)
+          ELSE -CAST(floor(-((CAST(n AS DOUBLE) - 1.0)
+            * ln(CAST(num AS DOUBLE) / CAST(den AS DOUBLE)))
+            * 1000000 + 0.5) AS HUGEINT) END), 0) AS qln,
+        COALESCE(SUM(CAST(floor(CAST(num AS DOUBLE) / CAST(n AS DOUBLE)
+          + 0.5) AS HUGEINT)), 0) AS qssq,
+        COALESCE(SUM(CASE WHEN 1.0 / (CAST(n AS DOUBLE) - 1.0) >= 0
+          THEN CAST(floor(1.0 / (CAST(n AS DOUBLE) - 1.0) * 1000000 + 0.5)
+            AS HUGEINT)
+          ELSE 0 END), 0) AS qinv
+      FROM live),
+    degen AS (SELECT COUNT(*) AS dg FROM eligible WHERE NOT (num > 0)),
+    fin AS (SELECT k, nn, dg,
+              CAST(qssq AS DOUBLE) / CAST(nn - k AS DOUBLE) AS sp2,
+              CAST(nn - k AS DOUBLE)
+                * ln(CAST(qssq AS DOUBLE) / CAST(nn - k AS DOUBLE))
+                - CAST(qln AS DOUBLE) / 1000000 AS tnum,
+              1.0 + (CAST(qinv AS DOUBLE) / 1000000
+                - 1.0 / CAST(nn - k AS DOUBLE))
+                / (3.0 * (CAST(k AS DOUBLE) - 1.0)) AS corr
+            FROM terms, degen)
+    SELECT CAST(k AS BIGINT) AS k_groups, CAST(nn AS BIGINT) AS n,
+           CAST(dg AS BIGINT) AS n_groups_degenerate,
+           CASE WHEN k >= 2 THEN
+             floor(sp2 / 1000000000000.0 * 1000000 + 0.5) / 1000000
+           END AS pooled_var,
+           CASE WHEN k >= 2 THEN
+             CASE WHEN tnum / corr >= 0
+               THEN floor(tnum / corr * 1000000 + 0.5)
+               ELSE -floor(-(tnum / corr) * 1000000 + 0.5)
+             END / 1000000
+           END AS chi2,
+           CASE WHEN k >= 2 THEN CAST(k - 1 AS BIGINT) END AS df
+    FROM fin
+    """
+    assert compare(got, duck.execute(sql).df()) == []
+    r = got.first()
+    assert r["k_groups"] >= 2 and r["chi2"] is not None
+
+
+def test_bartlett_known_cases(spark):
+    """Pins: hand 2-group case (s² = 5/3 vs 20/3) → T = 1.147596 with
+    pooled 25/6; a zero-variance group excludes and counts; a single
+    live group → NULL chi2."""
+    from osmapreduceproject_spark.operators.stats import bartlett_test
+
+    hand = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0),
+         ("b", 1.0), ("b", 3.0), ("b", 5.0), ("b", 7.0)],
+        "g string, v double",
+    )
+    r = bartlett_test(hand, "g", "v").first()
+    assert r["pooled_var"] == 4.166667 and r["chi2"] == 1.147596
+    assert r["df"] == 1 and r["n_groups_degenerate"] == 0
+    degen = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 5.0), ("b", 5.0),
+         ("c", 1.0), ("c", 4.0)],
+        "g string, v double",
+    )
+    rd = bartlett_test(degen, "g", "v").first()
+    assert rd["n_groups_degenerate"] == 1 and rd["pooled_var"] == 2.166667
+    assert rd["chi2"] == 0.587154
+    solo = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 5.0), ("b", 5.0)],
+        "g string, v double",
+    )
+    rs = bartlett_test(solo, "g", "v").first()
+    assert rs["k_groups"] == 1 and rs["chi2"] is None
+
+
+def test_turning_points_test_oracle(spark, duck):
+    """Per-user local-extrema randomness over (epoch µs, value)-ordered
+    event values; the plateau collapse and strict-peak counting
+    replayed with SQL window functions."""
+    from osmapreduceproject_spark.operators.windows import (
+        turning_points_test,
+    )
+
+    got = turning_points_test(_t(spark, "events"), "user_id", "ts", "value")
+    sql = """
+    WITH pool AS (
+      SELECT user_id AS k, epoch_us(ts) AS e, CAST(value AS DOUBLE) AS v
+      FROM events
+      WHERE user_id IS NOT NULL AND value IS NOT NULL
+        AND NOT isnan(CAST(value AS DOUBLE))),
+    lagged AS (SELECT k, e, v,
+                 lag(v) OVER (PARTITION BY k ORDER BY e, v) AS pv
+               FROM pool),
+    collapsed AS (SELECT k,
+                    SUM(CASE WHEN pv IS NOT NULL AND v = pv THEN 1
+                        ELSE 0 END) AS n_collapsed
+                  FROM lagged GROUP BY k),
+    kept AS (SELECT k, e, v FROM lagged WHERE pv IS NULL OR v <> pv),
+    tri AS (SELECT k, v,
+              lag(v) OVER (PARTITION BY k ORDER BY e, v) AS p,
+              lead(v) OVER (PARTITION BY k ORDER BY e, v) AS x
+            FROM kept),
+    agg AS (SELECT k, COUNT(*) AS n,
+              SUM(CASE WHEN p IS NOT NULL AND x IS NOT NULL
+                  AND (v - p) * (v - x) > 0 THEN 1 ELSE 0 END) AS t
+            FROM tri GROUP BY k)
+    SELECT agg.k AS user_id, CAST(n AS BIGINT) AS n,
+           CAST(n_collapsed AS BIGINT) AS n_collapsed,
+           CAST(t AS BIGINT) AS n_turning_points,
+           CASE WHEN n >= 3 THEN
+             round(2.0 * (CAST(n AS DOUBLE) - 2.0) / 3.0, 6)
+           END AS expected,
+           CASE WHEN n >= 3
+                  AND (16.0 * CAST(n AS DOUBLE) - 29.0) / 90.0 > 0 THEN
+             round((CAST(t AS DOUBLE)
+                    - 2.0 * (CAST(n AS DOUBLE) - 2.0) / 3.0)
+                   / sqrt((16.0 * CAST(n AS DOUBLE) - 29.0) / 90.0), 6)
+           END AS z
+    FROM agg JOIN collapsed ON collapsed.k = agg.k
+    """
+    assert compare(got, duck.execute(sql).df()) == []
+    pdf = got.toPandas()
+    assert len(pdf) > 0 and (pdf.n_turning_points <= pdf.n - 2).all()
+
+
+def test_turning_points_known_cases(spark):
+    """Pins: [1,3,2,4,3] → T=3, z=1.328422; a monotone series → T=0,
+    z=−2.656845; plateaus collapse first ([1,1,2,2,1] → n=3,
+    2 collapsed, T=1)."""
+    import datetime as dt
+
+    from osmapreduceproject_spark.operators.windows import (
+        turning_points_test,
+    )
+
+    T = lambda i: dt.datetime(2024, 1, 1, 0, 0, i)  # noqa: E731
+    rows = [("k1", T(i), v) for i, v in enumerate([1.0, 3.0, 2.0, 4.0, 3.0])]
+    rows += [("k2", T(i), float(v)) for i, v in enumerate([1, 2, 3, 4, 5])]
+    rows += [("k3", T(i), v) for i, v in enumerate([1.0, 1.0, 2.0, 2.0, 1.0])]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    out = {r["k"]: r for r in turning_points_test(df, "k", "ts", "v").collect()}
+    assert out["k1"]["n_turning_points"] == 3 and out["k1"]["z"] == 1.328422
+    assert out["k2"]["n_turning_points"] == 0 and out["k2"]["z"] == -2.656845
+    assert out["k3"]["n"] == 3 and out["k3"]["n_collapsed"] == 2
+    assert out["k3"]["n_turning_points"] == 1 and out["k3"]["expected"] == 0.666667
+
+
+def test_effective_sample_size_oracle(spark, duck):
+    """Kish ESS per source with text length as the weight; the
+    micro-quantized exact moments replayed in SQL."""
+    from osmapreduceproject_spark.operators.sampling import (
+        effective_sample_size,
+    )
+
+    docs = _t(spark, "documents").select(
+        "source", F.length("text").cast("double").alias("w")
+    )
+    got = effective_sample_size(docs, "source", "w")
+    sql = """
+    WITH base AS (
+      SELECT source AS g,
+             CASE WHEN len(text) IS NOT NULL AND len(text) > 0 THEN
+               CAST(floor(CAST(len(text) AS DOUBLE) * 1000000 + 0.5)
+                 AS HUGEINT)
+             END AS q
+      FROM documents WHERE source IS NOT NULL),
+    per AS (SELECT g,
+              SUM(CASE WHEN q IS NOT NULL THEN 1 ELSE 0 END) AS n,
+              SUM(CASE WHEN q IS NULL THEN 1 ELSE 0 END) AS nx,
+              COALESCE(SUM(q), 0) AS sw, COALESCE(SUM(q * q), 0) AS sw2,
+              COALESCE(MAX(q), 0) AS mx
+            FROM base GROUP BY g)
+    SELECT g AS source, CAST(n AS BIGINT) AS n,
+           CAST(nx AS BIGINT) AS n_excluded,
+           CASE WHEN sw2 > 0 THEN
+             floor(CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE)
+                   / CAST(sw2 AS DOUBLE) * 1000000 + 0.5) / 1000000
+           END AS ess,
+           CASE WHEN sw2 > 0 THEN
+             floor(CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE)
+                   / CAST(sw2 AS DOUBLE) / n * 1000000 + 0.5) / 1000000
+           END AS ess_ratio,
+           CASE WHEN sw2 > 0 THEN
+             floor(n * CAST(sw2 AS DOUBLE)
+                   / (CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE))
+                   * 1000000 + 0.5) / 1000000
+           END AS deff,
+           CASE WHEN sw2 > 0 THEN
+             floor(CAST(mx AS DOUBLE) / CAST(sw AS DOUBLE) * 1000000 + 0.5)
+               / 1000000
+           END AS max_weight_share
+    FROM per
+    """
+    assert compare(got, duck.execute(sql).df()) == []
+    pdf = got.toPandas()
+    assert (pdf.ess <= pdf.n + 1e-9).all() and (pdf.deff >= 1.0 - 1e-9).all()
+
+
+def test_effective_sample_size_known_cases(spark):
+    """Pins: equal weights → ESS = n, deff = 1; weights 3:1 → ESS 1.6,
+    deff 1.25, max share 0.75; non-positive weights exclude."""
+    from osmapreduceproject_spark.operators.sampling import (
+        effective_sample_size,
+    )
+
+    w = spark.createDataFrame(
+        [("a", 1.0), ("a", 1.0), ("a", 1.0), ("a", 1.0),
+         ("b", 3.0), ("b", 1.0), ("c", -1.0), ("c", 2.0)],
+        "g string, w double",
+    )
+    out = {r["g"]: r for r in effective_sample_size(w, "g", "w").collect()}
+    assert out["a"]["ess"] == 4.0 and out["a"]["deff"] == 1.0
+    assert out["a"]["max_weight_share"] == 0.25
+    assert out["b"]["ess"] == 1.6 and out["b"]["deff"] == 1.25
+    assert out["b"]["max_weight_share"] == 0.75
+    assert out["c"]["n"] == 1 and out["c"]["n_excluded"] == 1
+
+
+def test_hubness_report_oracle(spark, duck):
+    """k-occurrence distribution over the exact brute top-3 graph on
+    the vec_id ≡ 0 (mod 5) sub-corpus (the q297 operating-point
+    convention); the in-degree moments, mean+2σ hub threshold, and
+    antihub census replayed in SQL."""
+    from osmapreduceproject_spark.operators.similarity import hubness_report
+    from osmapreduceproject_spark.plans.inspect import release_intermediates
+
+    emb = _t(spark, "embeddings").where(F.col("vec_id") % 5 == 0)
+    got = hubness_report(emb, k=3)
+    dot = (
+        "list_reduce(list_concat([CAST(0.0 AS DOUBLE)], "
+        "list_transform(range(1, 65), i -> CAST({a}[i] AS DOUBLE) "
+        "* CAST({b}[i] AS DOUBLE))), (x, y) -> x + y)"
+    )
+    d_qc = dot.format(a="q.embedding", b="c.embedding")
+    d_qq = dot.format(a="q.embedding", b="q.embedding")
+    d_cc = dot.format(a="c.embedding", b="c.embedding")
+    sql = f"""
+    WITH sub AS (SELECT vec_id, embedding FROM embeddings
+                 WHERE vec_id % 5 = 0),
+    scored AS (
+      SELECT q.vec_id AS qid, c.vec_id AS nid,
+             round({d_qc} / (sqrt({d_qq}) * sqrt({d_cc})), 6) AS sim
+      FROM sub q JOIN sub c ON c.vec_id <> q.vec_id),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                   ORDER BY sim DESC, nid ASC) AS rn
+      FROM scored),
+    e AS (SELECT qid, nid FROM ranked WHERE rn <= 3),
+    indeg AS (SELECT sub.vec_id,
+                COALESCE(d.c, 0) AS d
+              FROM sub LEFT JOIN
+                (SELECT nid, COUNT(*) AS c FROM e GROUP BY nid) d
+                ON d.nid = sub.vec_id),
+    mom AS (SELECT COUNT(*) AS n, COALESCE(SUM(CAST(d AS HUGEINT)), 0) AS s1,
+              COALESCE(SUM(CAST(d AS HUGEINT) * d), 0) AS s2,
+              COALESCE(SUM(CAST(d AS HUGEINT) * d * d), 0) AS s3
+            FROM indeg),
+    fin0 AS (SELECT n, s1, s2, s3,
+               CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+               CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+                 - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) AS m2
+             FROM mom),
+    thr AS (SELECT *,
+              CASE WHEN m2 > 0 THEN mean + 2.0 * sqrt(m2) END AS t
+            FROM fin0),
+    cls AS (SELECT
+              SUM(CASE WHEN t IS NOT NULL AND d > t THEN 1 ELSE 0 END) AS nh,
+              COALESCE(SUM(CASE WHEN t IS NOT NULL AND d > t
+                  THEN CAST(d AS HUGEINT) ELSE 0 END), 0) AS he,
+              SUM(CASE WHEN d = 0 THEN 1 ELSE 0 END) AS na
+            FROM indeg, thr),
+    fin AS (SELECT thr.*, cls.nh, cls.he, cls.na,
+              CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)
+                - 3.0 * mean * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+                + 2.0 * mean * mean * mean AS m3
+            FROM thr, cls)
+    SELECT CAST(n AS BIGINT) AS n_nodes, CAST(3 AS INTEGER) AS k,
+           CAST(s1 AS BIGINT) AS n_edges,
+           CASE WHEN n > 0 THEN floor(mean * 1000000 + 0.5) / 1000000 END
+             AS mean_in_degree,
+           CASE WHEN n > 0 AND m2 > 0 AND s1 > 0 THEN
+             floor(sqrt(m2) / mean * 1000000 + 0.5) / 1000000
+           END AS indeg_cv,
+           CASE WHEN n > 0 AND m2 > 0 THEN
+             CASE WHEN m3 / sqrt(m2 * m2 * m2) >= 0
+               THEN floor(m3 / sqrt(m2 * m2 * m2) * 1000000 + 0.5)
+               ELSE -floor(-(m3 / sqrt(m2 * m2 * m2)) * 1000000 + 0.5)
+             END / 1000000
+           END AS indeg_skewness,
+           CAST(COALESCE(nh, 0) AS BIGINT) AS n_hubs,
+           CASE WHEN n > 0 AND s1 > 0 THEN
+             floor(CAST(he AS DOUBLE) / CAST(s1 AS DOUBLE) * 1000000 + 0.5)
+               / 1000000
+           END AS hub_edge_share,
+           CAST(COALESCE(na, 0) AS BIGINT) AS n_antihubs,
+           CASE WHEN n > 0 THEN
+             floor(CAST(na AS DOUBLE) / CAST(n AS DOUBLE) * 1000000 + 0.5)
+               / 1000000
+           END AS antihub_frac
+    FROM fin
+    """
+    assert compare(got, duck.execute(sql).df()) == []
+    r = got.first()
+    assert r["n_edges"] == 3 * r["n_nodes"]
+    release_intermediates()
+
+
+def test_hubness_known_cases(spark):
+    """Pins: a hand edge list with one popular node → skew 0.816497,
+    2 antihubs; a uniform 1-regular ring → zero variance (NULL
+    cv/skew), no hubs, no antihubs."""
+    from osmapreduceproject_spark.operators.similarity import hubness_report
+    from osmapreduceproject_spark.plans.inspect import release_intermediates
+
+    corpus = spark.createDataFrame(
+        [(i, [0.0]) for i in range(1, 5)], "vec_id long, embedding array<double>"
+    )
+    edges = spark.createDataFrame(
+        [(1, 2, 0.9), (2, 1, 0.8), (3, 1, 0.7), (4, 1, 0.6)],
+        "query_id long, neighbor_id long, sim double",
+    )
+    r = hubness_report(corpus, k=1, edges=edges).first()
+    assert r["mean_in_degree"] == 1.0 and r["indeg_cv"] == 1.224745
+    assert r["indeg_skewness"] == 0.816497
+    assert r["n_hubs"] == 0 and r["n_antihubs"] == 2
+    assert r["antihub_frac"] == 0.5
+    ring = spark.createDataFrame(
+        [(i, (i % 4) + 1, 0.5) for i in range(1, 5)],
+        "query_id long, neighbor_id long, sim double",
+    )
+    rr = hubness_report(corpus, k=1, edges=ring).first()
+    assert rr["indeg_cv"] is None and rr["indeg_skewness"] is None
+    assert rr["n_hubs"] == 0 and rr["n_antihubs"] == 0
+    assert rr["mean_in_degree"] == 1.0
+    release_intermediates()
