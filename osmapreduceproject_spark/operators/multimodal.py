@@ -3106,3 +3106,116 @@ def image_letterbox_detect(df: DataFrame, thr_mean: int = 32) -> DataFrame:
             (top >= 1) & (bot >= 1) & (F.col("n_content_rows") > 0)
         ).alias("letterboxed"),
     )
+
+
+def audio_spectral_flatness(
+    df: DataFrame,
+    n_head: int = 256,
+    n_bins: int = 32,
+) -> DataFrame:
+    """Spectral flatness (Wiener entropy) per 8-bit-PCM clip — the
+    tonality screen the time-domain kit can't give:
+    :func:`audio_zero_crossing` counts sign flips and
+    :func:`audio_envelope_periodicity` sees rhythm, but a pure tone
+    and narrowband noise can share both; flatness = geometric/
+    arithmetic mean of the DFT power spectrum separates them
+    (→1 white-noise-flat, →0 tonal/peaked) — the route-before-
+    transcribe signal beside :func:`audio_snr_report`.
+
+    OPERATING POINT (documented): the DFT runs over the first
+    ``n_head`` samples (the clip head — a tonality screen, not a full
+    spectrogram) at integer bins 1..``n_bins``, mean-removed so the
+    DC offset can't masquerade as a peak. Exactness: the head mean is
+    the exact rational Σv/n over byte integers; each trig term
+    micro-quantizes half-away BEFORE summation (the
+    :func:`~.windows.periodogram` quantized-transcendental convention,
+    2π pinned to one double literal) so per-bin A/B sums are exact
+    integers; power A²+B² accumulates in arbitrary-precision integers
+    (HUGEINT in the oracle); per-bin ln(P) micro-quantizes before the
+    exact integer sum, and the flatness/share finalize is a pinned
+    operand-order double expression. Payloads never shuffle — one row
+    per clip leaves the Arrow batch. Returns (media_id, n_samples,
+    n_bins_used, spectral_flatness, dominant_bin, dominant_share);
+    any zero-power bin pins flatness to exact 0.0 (geometric mean);
+    clips with fewer than 2 head samples emit NULL flatness.
+    """
+    nh = int(n_head)
+    nb = int(n_bins)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Self-contained closure: no module-global references.
+        import math
+
+        import numpy as np
+        import pandas as pd
+
+        two_pi = 6.283185307179586  # float(2·π), pinned as a literal
+
+        def rnd6(x):
+            return math.copysign(math.floor(abs(x) * 1e6 + 0.5), x) / 1e6
+
+        def qaway(arr):
+            return np.copysign(np.floor(np.abs(arr) * 1e6 + 0.5), arr).astype(
+                np.int64
+            )
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            for m, p in zip(pdf["media_id"], pdf["payload"]):
+                buf = np.frombuffer(bytes(p), dtype=np.uint8)
+                n_total = buf.size
+                head = buf[:nh].astype(np.float64)
+                hn = head.size
+                bins = min(nb, hn - 1)
+                if hn < 2 or bins < 1:
+                    rows.append((int(m), n_total, 0, None, None, None))
+                    continue
+                mean = float(int(head.sum())) / hn
+                vc = head - mean
+                idx = np.arange(hn, dtype=np.int64)
+                powers = []
+                for b in range(1, bins + 1):
+                    x = two_pi * ((b * idx) % hn) / hn
+                    aq = int(qaway(vc * np.cos(x)).sum())
+                    bq = int(qaway(vc * np.sin(x)).sum())
+                    powers.append(aq * aq + bq * bq)  # python ints: exact
+                sp = sum(powers)
+                if any(pw == 0 for pw in powers) or sp == 0:
+                    flat = 0.0 if sp > 0 else None
+                else:
+                    qs = sum(
+                        int(
+                            math.copysign(
+                                math.floor(
+                                    abs(math.log(float(pw))) * 1e6 + 0.5
+                                ),
+                                math.log(float(pw)),
+                            )
+                        )
+                        for pw in powers
+                    )
+                    flat = rnd6(
+                        math.exp(qs / bins / 1e6) / (float(sp) / bins)
+                    )
+                dom = None
+                share = None
+                if sp > 0:
+                    mx = max(powers)
+                    dom = powers.index(mx) + 1
+                    share = rnd6(float(mx) / float(sp))
+                rows.append((int(m), n_total, bins, flat, dom, share))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "n_samples", "n_bins_used",
+                    "spectral_flatness", "dominant_bin", "dominant_share",
+                ],
+            )
+
+    return df.select("media_id", "payload").mapInPandas(
+        run,
+        "media_id long, n_samples bigint, n_bins_used int, "
+        "spectral_flatness double, dominant_bin int, dominant_share double",
+    )

@@ -2335,3 +2335,114 @@ def turning_points_test(
             ),
         ).alias("z"),
     )
+
+
+def sample_entropy(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    value_col: str,
+    r_frac: float = 0.2,
+    max_rows: int = 2000,
+) -> DataFrame:
+    """Sample entropy (SampEn, m = 2) per key — the series-complexity
+    readout beside :func:`spectral_entropy` (frequency concentration)
+    and :func:`series_autocorrelation` (linear memory): the negative
+    log conditional probability that two length-2 template matches
+    stay matched one step further, SampEn = ln(B/A). Low = regular/
+    predictable (periodic telemetry, heartbeat-like), high = chaotic;
+    self-matches are excluded by construction (Richman & Moorman's fix
+    to ApEn's bias). Tolerance r = ``r_frac``·σ (population σ of the
+    key's own series — the standard normalization), Chebyshev
+    distance, matches counted with ≤ r.
+
+    Template convention: indices run over the n−2 positions whose
+    m+1 extension exists, so A ≤ B structurally and the pair
+    normalizations cancel in the ratio. Order is (epoch µs, value) —
+    the :func:`runs_test` deterministic tiebreak; NULL/NaN values are
+    excluded (the sequence closes over gaps). All-pairs by definition
+    — O(n²) per key — so the per-key bound is MACHINE-ENFORCED
+    (``max_rows``, the :func:`~.stats.kendall_tau` convention) and the
+    combinatorial pass runs as an Arrow-batched grouped map over
+    JVM-quantized integers (round(v·10⁶) BEFORE the Arrow hop):
+    match counts are exact integers, σ comes from exact integer
+    moments, and the one ln finalize rounds half-away — bit-identical
+    to the SQL oracle's self-join count. Returns
+    (key, n, n_templates, r_tol, n_matches_m, n_matches_m1,
+    sample_entropy); n < 4 emits NULL entropy, A = 0 emits NULL
+    (no extension ever survives — entropy unbounded).
+    """
+    k = F.col(key)
+    v = F.col(value_col).cast("double")
+    pool = df.where(k.isNotNull() & v.isNotNull() & ~F.isnan(v)).select(
+        k.alias("__k"),
+        F.unix_micros(F.col(ts)).alias("__e"),
+        F.round(v * 1_000_000).cast("bigint").alias("__q"),
+        v.alias("__v"),
+    )
+    cap = int(max_rows)
+    rf = float(r_frac)
+
+    def se(pdf):
+        # Self-contained closure: no module-global references.
+        import math
+
+        import numpy as np
+        import pandas as pd
+
+        n = len(pdf)
+        if n > cap:
+            raise ValueError(
+                f"sample_entropy: a key has {n} rows, over max_rows={cap}; "
+                "the template pass materializes O(n^2) pairs - raise "
+                "max_rows explicitly if this volume is intended"
+            )
+        kv = pdf["__k"].iloc[0]
+
+        def rnd6(x):
+            return math.copysign(math.floor(abs(x) * 1e6 + 0.5), x) / 1e6
+
+        if n < 4:
+            return pd.DataFrame(
+                {"__k": [kv], "n": [n], "n_templates": [max(0, n - 2)],
+                 "r_tol": [None], "n_matches_m": [0], "n_matches_m1": [0],
+                 "sample_entropy": [None]}
+            )
+        o = pdf.sort_values(["__e", "__v"], kind="mergesort")
+        q = o["__q"].to_numpy(dtype=np.int64)
+        # population σ in micro-units from exact integer moments; the
+        # operand order (sqrt of the exact difference, then /n) is
+        # mirrored by the oracle
+        s1 = int(q.sum())
+        s2 = int((q.astype(object) * q.astype(object)).sum())
+        sd = math.sqrt(float(n * s2 - s1 * s1)) / n
+        r = rf * sd
+        t = q[: n - 2]
+        t1 = q[1: n - 1]
+        t2 = q[2:]
+        lo, hi = np.triu_indices(n - 2, 1)
+        d0 = np.abs(t[hi] - t[lo])
+        d1 = np.abs(t1[hi] - t1[lo])
+        d2 = np.abs(t2[hi] - t2[lo])
+        mb = (d0 <= r) & (d1 <= r)
+        b = int(mb.sum())
+        a = int((mb & (d2 <= r)).sum())
+        ent = None
+        if a > 0 and b > 0:
+            ent = rnd6(math.log(float(b) / float(a)))
+        return pd.DataFrame(
+            {"__k": [kv], "n": [n], "n_templates": [n - 2],
+             "r_tol": [rnd6(r / 1e6)], "n_matches_m": [b],
+             "n_matches_m1": [a], "sample_entropy": [ent]}
+        )
+
+    key_type = df.schema[key].dataType.simpleString()
+    out = pool.groupBy("__k").applyInPandas(
+        se,
+        f"__k {key_type}, n bigint, n_templates bigint, r_tol double, "
+        "n_matches_m bigint, n_matches_m1 bigint, sample_entropy double",
+    )
+    return out.select(
+        F.col("__k").alias(key), "n", "n_templates", "r_tol",
+        "n_matches_m", "n_matches_m1", "sample_entropy",
+    )

@@ -1527,6 +1527,16 @@ def test_r18_wave_fourth_tranche_plan_shapes(spark):
         (F.col("l_returnflag") == "R").cast("int").alias("e"),
         F.col("l_linestatus").alias("g"),
     )
+    from osmapreduceproject_spark.operators.multimodal import (
+        arith_raw_audio,
+        audio_spectral_flatness,
+    )
+    from osmapreduceproject_spark.operators.windows import sample_entropy
+
+    # the flatness map is payload-local: the whole report must run
+    # with ZERO exchanges (the blur-score pin pattern)
+    flat = audio_spectral_flatness(arith_raw_audio(spark, n=4, n_samples=256))
+    assert "Exchange" not in explain_str(flat), explain_str(flat)
     for frame in (
         logrank_test(li, "t", "e", "g", "O", "F"),
         cronbach_alpha(ev, "user_id", "event_type", "value"),
@@ -1537,6 +1547,7 @@ def test_r18_wave_fourth_tranche_plan_shapes(spark):
             "source", "w",
         ),
         hubness_report(emb, k=3),
+        sample_entropy(ev, "user_id", "ts", "value"),
     ):
         plan = explain_str(frame)
         # one-row broadcast finalizes (the stats-family crossJoin

@@ -1554,3 +1554,193 @@ def test_hubness_known_cases(spark):
     assert rr["n_hubs"] == 0 and rr["n_antihubs"] == 0
     assert rr["mean_in_degree"] == 1.0
     release_intermediates()
+
+
+def test_sample_entropy_oracle(spark, duck):
+    """SampEn(m=2, r=0.2σ) per user over (epoch µs, value)-ordered
+    event values; the template self-join match counts and the exact
+    integer σ moments replayed in SQL."""
+    from osmapreduceproject_spark.operators.windows import sample_entropy
+
+    got = sample_entropy(_t(spark, "events"), "user_id", "ts", "value")
+    sql = """
+    WITH pool AS (
+      SELECT user_id AS k, epoch_us(ts) AS e,
+             CAST(round(CAST(value AS DOUBLE) * 1000000) AS BIGINT) AS q,
+             CAST(value AS DOUBLE) AS v
+      FROM events
+      WHERE user_id IS NOT NULL AND value IS NOT NULL
+        AND NOT isnan(CAST(value AS DOUBLE))),
+    seq AS (SELECT k, q,
+              ROW_NUMBER() OVER (PARTITION BY k ORDER BY e, v) AS rn,
+              COUNT(*) OVER (PARTITION BY k) AS n
+            FROM pool),
+    mom AS (SELECT k, MAX(n) AS n, SUM(CAST(q AS HUGEINT)) AS s1,
+                   SUM(CAST(q AS HUGEINT) * q) AS s2
+            FROM seq GROUP BY k),
+    tol AS (SELECT k, n,
+              0.2 * (sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)) / n) AS r
+            FROM mom WHERE n >= 4),
+    tmpl AS (SELECT seq.k, rn, q,
+               LEAD(q, 1) OVER (PARTITION BY seq.k ORDER BY rn) AS q1,
+               LEAD(q, 2) OVER (PARTITION BY seq.k ORDER BY rn) AS q2,
+               n
+             FROM seq),
+    t AS (SELECT * FROM tmpl WHERE rn <= n - 2),
+    pairs AS (SELECT a.k,
+                CASE WHEN abs(a.q - b.q) <= tol.r
+                     AND abs(a.q1 - b.q1) <= tol.r THEN 1 ELSE 0 END AS mb,
+                CASE WHEN abs(a.q - b.q) <= tol.r
+                     AND abs(a.q1 - b.q1) <= tol.r
+                     AND abs(a.q2 - b.q2) <= tol.r THEN 1 ELSE 0 END AS ma
+              FROM t a JOIN t b ON a.k = b.k AND a.rn < b.rn
+              JOIN tol ON tol.k = a.k),
+    cnt AS (SELECT k, SUM(mb) AS b, SUM(ma) AS a FROM pairs GROUP BY k),
+    small AS (SELECT k, n FROM mom WHERE n < 4)
+    SELECT k AS user_id, CAST(n AS BIGINT) AS n,
+           CAST(GREATEST(0, n - 2) AS BIGINT) AS n_templates,
+           CAST(NULL AS DOUBLE) AS r_tol, CAST(0 AS BIGINT) AS n_matches_m,
+           CAST(0 AS BIGINT) AS n_matches_m1,
+           CAST(NULL AS DOUBLE) AS sample_entropy
+    FROM small
+    UNION ALL
+    SELECT tol.k AS user_id, CAST(tol.n AS BIGINT) AS n,
+           CAST(tol.n - 2 AS BIGINT) AS n_templates,
+           floor(tol.r / 1000000 * 1000000 + 0.5) / 1000000 AS r_tol,
+           CAST(COALESCE(cnt.b, 0) AS BIGINT) AS n_matches_m,
+           CAST(COALESCE(cnt.a, 0) AS BIGINT) AS n_matches_m1,
+           CASE WHEN COALESCE(cnt.a, 0) > 0 AND COALESCE(cnt.b, 0) > 0 THEN
+             CASE WHEN ln(CAST(cnt.b AS DOUBLE) / CAST(cnt.a AS DOUBLE)) >= 0
+               THEN floor(ln(CAST(cnt.b AS DOUBLE) / CAST(cnt.a AS DOUBLE))
+                          * 1000000 + 0.5)
+               ELSE -floor(-ln(CAST(cnt.b AS DOUBLE) / CAST(cnt.a AS DOUBLE))
+                           * 1000000 + 0.5)
+             END / 1000000
+           END AS sample_entropy
+    FROM tol LEFT JOIN cnt ON cnt.k = tol.k
+    """
+    assert compare(got, duck.execute(sql).df()) == []
+    pdf = got.toPandas()
+    assert (pdf.n_matches_m1 <= pdf.n_matches_m).all()
+
+
+def test_sample_entropy_known_cases(spark):
+    """Pins: a constant series matches everywhere → SampEn 0; a pure
+    alternation is perfectly predictable → 0; a planted surprise
+    ([1,2,1,2,1,9]) → ln(2/1) = 0.693147 with r = 0.573488; n < 4 →
+    NULL."""
+    import datetime as dt
+
+    from osmapreduceproject_spark.operators.windows import sample_entropy
+
+    T = lambda i: dt.datetime(2024, 1, 1, 0, 0, i)  # noqa: E731
+    rows = [("c", T(i), 5.0) for i in range(6)]
+    rows += [("alt", T(i), float(i % 2)) for i in range(6)]
+    rows += [("h", T(i), v) for i, v in enumerate(
+        [1.0, 2.0, 1.0, 2.0, 1.0, 9.0])]
+    rows += [("tiny", T(i), float(i)) for i in range(3)]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    out = {r["k"]: r for r in sample_entropy(df, "k", "ts", "v").collect()}
+    assert out["c"]["n_matches_m"] == 6 and out["c"]["sample_entropy"] == 0.0
+    assert out["alt"]["n_matches_m"] == 2 and out["alt"]["sample_entropy"] == 0.0
+    assert out["h"]["n_matches_m"] == 2 and out["h"]["n_matches_m1"] == 1
+    assert out["h"]["sample_entropy"] == 0.693147
+    assert out["h"]["r_tol"] == 0.573488
+    assert out["tiny"]["sample_entropy"] is None
+
+
+def test_audio_spectral_flatness_oracle(spark, duck):
+    """Wiener flatness over the arithmetic PCM fixture's 256-sample
+    head at bins 1..32; the quantized-trig DFT, HUGEINT powers, and
+    the pinned flatness finalize replayed in SQL."""
+    from osmapreduceproject_spark.operators.multimodal import (
+        arith_raw_audio,
+        audio_spectral_flatness,
+    )
+
+    clips = arith_raw_audio(spark, n=16, n_samples=2048)
+    got = audio_spectral_flatness(clips)
+    sql = """
+    WITH t AS (SELECT unnest(range(16)) AS m),
+    s AS (SELECT m, unnest(range(256)) AS i FROM t),
+    v AS (SELECT m, i,
+            CAST((17*m + 11*i + (i*i) % 89) % 256 AS DOUBLE) AS val
+          FROM s),
+    mu AS (SELECT m, SUM(val) / 256 AS mean FROM v GROUP BY m),
+    c AS (SELECT v.m, v.i, v.val - mu.mean AS vc
+          FROM v JOIN mu ON mu.m = v.m),
+    terms AS (SELECT m, b, i,
+        vc * cos(6.283185307179586 * ((b * i) % 256) / 256) AS tc,
+        vc * sin(6.283185307179586 * ((b * i) % 256) / 256) AS ts
+      FROM c, (SELECT unnest(range(1, 33)) AS b)),
+    q AS (SELECT m, b,
+        SUM(CASE WHEN tc >= 0
+            THEN CAST(floor(tc * 1000000 + 0.5) AS HUGEINT)
+            ELSE -CAST(floor(-tc * 1000000 + 0.5) AS HUGEINT) END) AS aq,
+        SUM(CASE WHEN ts >= 0
+            THEN CAST(floor(ts * 1000000 + 0.5) AS HUGEINT)
+            ELSE -CAST(floor(-ts * 1000000 + 0.5) AS HUGEINT) END) AS bq
+      FROM terms GROUP BY m, b),
+    pw AS (SELECT m, b, aq * aq + bq * bq AS p FROM q),
+    agg AS (SELECT m, SUM(p) AS sp, COUNT(*) AS nb,
+              SUM(CASE WHEN p = 0 THEN 1 ELSE 0 END) AS z,
+              COALESCE(SUM(CASE WHEN p > 0 THEN
+                CASE WHEN ln(CAST(p AS DOUBLE)) >= 0
+                  THEN CAST(floor(ln(CAST(p AS DOUBLE)) * 1000000 + 0.5)
+                    AS HUGEINT)
+                  ELSE -CAST(floor(-ln(CAST(p AS DOUBLE)) * 1000000 + 0.5)
+                    AS HUGEINT) END ELSE 0 END), 0) AS qs
+            FROM pw GROUP BY m),
+    dom AS (SELECT m, b AS dominant_bin, p AS mx FROM (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY m
+                ORDER BY p DESC, b ASC) AS rn FROM pw) WHERE rn = 1)
+    SELECT CAST(agg.m AS BIGINT) AS media_id,
+           CAST(2048 AS BIGINT) AS n_samples,
+           CAST(32 AS INTEGER) AS n_bins_used,
+           CASE WHEN sp = 0 THEN NULL
+                WHEN z > 0 THEN 0.0
+                ELSE floor(exp(CAST(qs AS DOUBLE) / nb / 1000000)
+                       / (CAST(sp AS DOUBLE) / nb) * 1000000 + 0.5) / 1000000
+           END AS spectral_flatness,
+           CASE WHEN sp > 0 THEN CAST(dom.dominant_bin AS INTEGER) END
+             AS dominant_bin,
+           CASE WHEN sp > 0 THEN
+             floor(CAST(dom.mx AS DOUBLE) / CAST(sp AS DOUBLE)
+                   * 1000000 + 0.5) / 1000000
+           END AS dominant_share
+    FROM agg JOIN dom ON dom.m = agg.m
+    """
+    assert compare(got, duck.execute(sql).df()) == []
+    pdf = got.toPandas()
+    assert pdf.spectral_flatness.between(0, 1).all()
+
+
+def test_audio_spectral_flatness_known_cases(spark):
+    """Pins: a pure integer-bin cosine is tonal (dominant bin 2,
+    share ≈ 1, flatness pinned to 0 by the zero-leakage-bin
+    convention); a constant clip has zero spectrum → NULLs; a
+    sub-2-sample clip → NULL row."""
+    from osmapreduceproject_spark.operators.multimodal import (
+        audio_spectral_flatness,
+    )
+    import math
+
+    meta = "meta struct<width:int,height:int,sample_rate:int,n_frames:int>"
+    tone = bytes(
+        128 + round(100 * math.cos(2 * math.pi * 2 * i / 64))
+        for i in range(64)
+    )
+    aud = spark.createDataFrame(
+        [(0, "audio", tone, (None, None, 16000, None)),
+         (1, "audio", bytes([128] * 64), (None, None, 16000, None)),
+         (2, "audio", bytes([7]), (None, None, 16000, None))],
+        f"media_id long, kind string, payload binary, {meta}",
+    )
+    out = {r["media_id"]: r
+           for r in audio_spectral_flatness(aud, n_head=64, n_bins=8).collect()}
+    assert out[0]["dominant_bin"] == 2 and out[0]["dominant_share"] > 0.999
+    assert out[0]["spectral_flatness"] == 0.0
+    assert out[1]["spectral_flatness"] is None
+    assert out[1]["dominant_bin"] is None
+    assert out[2]["n_bins_used"] == 0
+    assert out[2]["spectral_flatness"] is None
