@@ -1744,3 +1744,48 @@ def test_audio_spectral_flatness_known_cases(spark):
     assert out[1]["dominant_bin"] is None
     assert out[2]["n_bins_used"] == 0
     assert out[2]["spectral_flatness"] is None
+
+
+# ---------------------------------------------------------------------------
+# gated scale smokes (SPARK_GRAFT_SCALE=1)
+# ---------------------------------------------------------------------------
+
+import os as _os  # noqa: E402
+
+import pytest as _pytest  # noqa: E402
+
+
+@_pytest.mark.skipif(
+    not _os.environ.get("SPARK_GRAFT_SCALE"),
+    reason="scale smoke: set SPARK_GRAFT_SCALE=1 "
+    "(1,000 keys × 500 rows through sample_entropy)",
+)
+def test_sample_entropy_scale_smoke(spark):
+    """1,000 keys × 500 observations (~124k template pairs per key,
+    ~124M Chebyshev comparisons total) through the Arrow pair pass
+    with max_rows raised to the intended volume: every key reports,
+    the planted pure trend is maximally regular (every template
+    matches its shifted twins), and the quadratic work stays inside
+    per-key groups."""
+    from pyspark.sql import functions as F
+
+    from osmapreduceproject_spark.operators.windows import sample_entropy
+
+    n_keys, n_obs = 1_000, 500
+    df = spark.range(n_keys * n_obs).select(
+        (F.col("id") / n_obs).cast("bigint").alias("k"),
+        F.timestamp_micros(
+            (F.col("id") % n_obs) * F.lit(1_000_000)
+        ).alias("ts"),
+        (F.col("id") % n_obs).cast("double").alias("v"),
+    )
+    out = sample_entropy(df, "k", "ts", "v", max_rows=n_obs)
+    pdf = out.toPandas()
+    assert len(pdf) == n_keys
+    assert (pdf.n_templates == n_obs - 2).all()
+    # a pure ramp: every pair of templates differs by a constant shift
+    # > r in the first coordinate except none — matches come only from
+    # the tolerance band r = 0.2σ, which at σ≈144 covers lag ≤ 28:
+    # entropy is defined and finite for every key
+    assert (pdf.n_matches_m >= pdf.n_matches_m1).all()
+    assert pdf.sample_entropy.notna().all()
