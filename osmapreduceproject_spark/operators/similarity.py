@@ -60,40 +60,145 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact top-k neighbors per query vector, brute force.
 
-    Broadcast the query set → corpus never shuffles for the similarity
-    computation; the only shuffle is the final per-query top-k window,
-    keyed by query_id (bounded cardinality). Ranking uses the *rounded*
+    The bounded query set rides along in the scoring closure (it was a
+    driver-built broadcast hash relation before r15 — same contract,
+    same memory, same place) → the corpus never shuffles for the
+    similarity computation; the only shuffle is the final per-query
+    top-k window, keyed by query_id (bounded cardinality), and Spark
+    3.5's WindowGroupLimit prunes each scan task's output to k rows
+    per query BEFORE that exchange. Ranking uses the *rounded*
     similarity plus the neighbor id as tiebreak so results are fully
     deterministic across engines and partitionings.
 
-    Norms are precomputed ONCE PER ROW on each side before the pair
-    join (bench finding, r13: the all-pairs q297 grade spent 2/3 of
-    its 77 s re-folding the same two norms per PAIR — 4M pairs × 3
-    interpreted 64-element folds; precomputing cuts the per-pair work
-    to the one irreducible dot, measured 77 → 30 s). Bit-identical to
-    the per-pair form: the norm is the SAME sequential fold over the
-    SAME vector, and the finalize keeps the operand order
-    dot/(corpus_norm · query_norm). (A codegen'd getItem-chain dot was
-    ALSO measured here and is ~1.5× SLOWER than the fold at dim 64 —
-    the 64-term Add tree defeats janino again; see the module note.)
+    r15 optimization (guide §4.2 — vectorize the per-pair arithmetic,
+    the mann_kendall precedent): scoring runs as Arrow ``mapInPandas``
+    over the corpus, one numpy product-matrix + cumulative-sum pass
+    per batch, replacing the interpreted per-pair higher-order dot
+    fold (the JVM fold measured ~10 µs/pair; the r13/r14 history shows
+    this stage dominating every brute consumer — q297 pre-containment
+    spent 31–41 s here). BIT-IDENTICAL by construction: float→double
+    casts are exact, per-element f64 products are the same IEEE ops,
+    ``np.cumsum`` is the exact sequential left fold of the JVM
+    ``aggregate`` (property-tested in tests/test_operators.py), norms
+    are the same fold + correctly-rounded sqrt on both sides, the
+    finalize keeps the dot/(corpus_norm · query_norm) operand order,
+    and the 6-decimal ROUNDING STAYS IN THE JVM (F.round half-up on
+    the identical double). NULL/length-mismatched vectors yield NULL
+    sims exactly as the zip_with fold did. (Earlier JVM-side attempts
+    are museum pieces now: a codegen'd getItem-chain dot measured
+    ~1.5× slower than the fold at dim 64 — janino's 64KB method limit
+    — and norm precomputation (r13) only removed 2 of 3 folds.)
     """
-    q = queries.select(
-        F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qvec")
-    ).withColumn("__qn", norm(F.col("__qvec")))
-    c = corpus.withColumn("__cn", norm(F.col(vec_col)))
-    scored = c.join(F.broadcast(q), F.col(id_col) != F.col(query_id_col)).withColumn(
-        "sim",
-        F.round(
-            dot(F.col(vec_col), F.col("__qvec"))
-            / (F.col("__cn") * F.col("__qn")),
-            6,
-        ),
+    from ..plans.inspect import fan_out
+
+    qid_t = queries.schema[id_col].dataType.simpleString()
+    nid_t = corpus.schema[id_col].dataType.simpleString()
+    # The query side is bounded by contract (it was a driver-built
+    # broadcast relation before r15) — collecting it to feed the Arrow
+    # scoring closure holds the same rows in the same place the
+    # broadcast hash relation lived.
+    q_rows = queries.select(F.col(id_col), F.col(vec_col)).collect()
+    q_pairs = [(r[0], r[1]) for r in q_rows]
+
+    def score(batches):
+        import numpy as np
+        import pandas as pd
+
+        # Group query vectors by length: a pair only produces a non-NULL
+        # dot when both arrays have equal length (zip_with pads the
+        # shorter side with NULL, which nulls the whole fold) — vectorize
+        # per length group, emit NULL sims for everything else.
+        by_len: dict[int, list[int]] = {}
+        for qi, (qid, qv) in enumerate(q_pairs):
+            if qv is not None:
+                by_len.setdefault(len(qv), []).append(qi)
+        q_ids = np.array([qid for qid, _ in q_pairs])
+        groups = {}
+        for d, idxs in by_len.items():
+            Qg = np.array(
+                [np.asarray(q_pairs[i][1], dtype=np.float64) for i in idxs]
+            ).reshape(len(idxs), d)
+            QP = Qg * Qg
+            np.cumsum(QP, axis=1, out=QP)
+            groups[d] = (np.array(idxs), Qg, np.sqrt(QP[:, -1]))
+        m = len(q_pairs)
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0 or m == 0:
+                continue
+            ids = pdf[id_col].to_numpy()
+            vecs = pdf[vec_col].tolist()
+            for lo in range(0, n, 64):
+                hi = min(lo + 64, n)
+                rows = hi - lo
+                lens: dict[int, list[int]] = {}
+                for ci in range(lo, hi):
+                    v = vecs[ci]
+                    if v is not None:
+                        lens.setdefault(len(v), []).append(ci)
+
+                def block_for(d, cidx):
+                    # bit-identity contract: per-element f64 products then
+                    # a SEQUENTIAL cumulative sum — np.cumsum is the exact
+                    # left fold the JVM higher-order aggregate runs, and
+                    # the finalize keeps the dot/(corpus_norm · query_norm)
+                    # operand order (rounding stays in the JVM)
+                    qidx, Qg, qn = groups[d]
+                    C = np.array(
+                        [np.asarray(vecs[i], dtype=np.float64) for i in cidx]
+                    ).reshape(len(cidx), d)
+                    CP = C * C
+                    np.cumsum(CP, axis=1, out=CP)
+                    cn = np.sqrt(CP[:, -1])
+                    P = C[:, None, :] * Qg[None, :, :]
+                    np.cumsum(P, axis=2, out=P)
+                    return qidx, P[:, :, -1] / (cn[:, None] * qn[None, :])
+
+                only = next(iter(lens)) if len(lens) == 1 else None
+                if (
+                    only is not None
+                    and only in groups
+                    and len(lens[only]) == rows
+                    and len(groups[only][0]) == m
+                ):
+                    # fast path (every vector regular, one length): a pure
+                    # float64 sims matrix, no object boxing
+                    _, sims = block_for(only, lens[only])
+                else:
+                    # rare path: NULL sims (object cells) exactly where the
+                    # JVM fold yields NULL — null or length-mismatched vecs
+                    sims = np.full((rows, m), None, dtype=object)
+                    for d, cidx in lens.items():
+                        if d not in groups:
+                            continue
+                        qidx, block = block_for(d, cidx)
+                        ri = np.array([i - lo for i in cidx])
+                        sims[ri[:, None], qidx[None, :]] = block
+                # drop self-pairs (the old join's id != query_id predicate)
+                qv = np.tile(q_ids, rows)
+                cv = np.repeat(ids[lo:hi], m)
+                keep = qv != cv
+                yield pd.DataFrame(
+                    {"__qid": qv[keep], "__nid": cv[keep],
+                     "__sim": sims.ravel()[keep]}
+                )
+
+    scored = fan_out(corpus.select(F.col(id_col), F.col(vec_col))).mapInPandas(
+        score, f"__qid {qid_t}, __nid {nid_t}, __sim double"
     )
-    w = Window.partitionBy(query_id_col).orderBy(F.col("sim").desc(), F.col(id_col).asc())
+    w = Window.partitionBy("__qid").orderBy(
+        F.col("sim").desc(), F.col("__nid").asc()
+    )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("sim", F.round(F.col("__sim"), 6))
+        .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
-        .select(query_id_col, F.col(id_col).alias("neighbor_id"), "sim", "rank")
+        .select(
+            F.col("__qid").alias(query_id_col),
+            F.col("__nid").alias("neighbor_id"),
+            "sim",
+            "rank",
+        )
     )
 
 
@@ -220,10 +325,19 @@ def lsh_topk(
         queries.select(F.col(id_col).alias(query_id_col), F.col(vec_col)),
         query_id_col,
     )
+    # One exchange for the whole tail (r15 optimization): hash the
+    # collided pairs on query_id ONCE; the (id, query_id) dedup is an
+    # aggregate whose grouping keys are a superset of the partitioning
+    # (same pair → same query_id → same partition, so the distinct is
+    # exact), the two vector join-backs broadcast, and the final top-k
+    # window partitions by query_id — all three reuse this partitioning,
+    # where the previous .distinct() hashed on (id, query_id) and the
+    # rank window then re-shuffled the scored stream on query_id.
     cand = (
         cb.join(qb, ["tbl", "sig"])
         .where(F.col(id_col) != F.col(query_id_col))
         .select(id_col, query_id_col)
+        .repartition(F.col(query_id_col))
         .distinct()
     )
     cn = corpus.select(
@@ -729,17 +843,39 @@ def semantic_dedup_pairs(
     n_clusters (√N rule keeps clusters executor-sized; AQE splits a hot
     cluster). Nothing all-pairs, nothing driver-side.
     """
-    assigned = ivf_assign(emb, n_clusters, id_col, vec_col, keep_vec=True)
+    from ..plans.inspect import tracked_persist
+
+    # r15: persist the assignment (the self-join's two sides otherwise
+    # each re-run the corpus × quantizer scoring pass) and precompute
+    # each side's norm ONCE PER VECTOR before the pair join (the
+    # cosine_topk r13 recipe — the per-pair work drops from three
+    # interpreted folds to the one irreducible dot; bit-identical: same
+    # folds, same dot/(a_norm · b_norm) operand order).
+    assigned = tracked_persist(
+        ivf_assign(emb, n_clusters, id_col, vec_col, keep_vec=True).select(
+            "cid", F.col(id_col), F.col(vec_col),
+            norm(F.col(vec_col)).alias("__n"),
+        )
+    )
     a = assigned.select(
-        "cid", F.col(id_col).alias("a_id"), F.col(vec_col).alias("__av")
+        "cid", F.col(id_col).alias("a_id"),
+        F.col(vec_col).alias("__av"), F.col("__n").alias("__an"),
     )
     b = assigned.select(
-        "cid", F.col(id_col).alias("b_id"), F.col(vec_col).alias("__bv")
+        "cid", F.col(id_col).alias("b_id"),
+        F.col(vec_col).alias("__bv"), F.col("__n").alias("__bn"),
     )
     return (
         a.join(b, "cid")
         .where(F.col("a_id") < F.col("b_id"))
-        .withColumn("sim", F.round(cosine(F.col("__av"), F.col("__bv")), 6))
+        .withColumn(
+            "sim",
+            F.round(
+                dot(F.col("__av"), F.col("__bv"))
+                / (F.col("__an") * F.col("__bn")),
+                6,
+            ),
+        )
         .where(F.col("sim") >= threshold)
         .select("a_id", "b_id", "cid", "sim")
     )
@@ -1045,16 +1181,40 @@ def knn_graph_stats(
             F.round(F.col("sim") * 1_000_000).cast("bigint").alias("__sq"),
         )
     )
-    rev = e.select(F.col("__q").alias("__n"), F.col("__n").alias("__q"))
-    recip = e.join(rev, ["__q", "__n"], "left_semi").count()
-    n_nodes = corpus.select(id_col).distinct().count()
-    indeg = e.groupBy("__n").agg(F.count(F.lit(1)).alias("__d"))
-    cited = indeg.count()
-    max_in = indeg.agg(F.coalesce(F.max("__d"), F.lit(0)).alias("m")).first()["m"]
+    # Action 1: one pass over the edge list for (n_edges, Σsim) — this
+    # also materializes the persisted frame, so the combined action
+    # below reads cached blocks (no racy double-compute across its
+    # concurrent legs). Action 2: ONE job whose plan crossJoins the
+    # remaining one-row aggregates (reciprocity semi-join count,
+    # in-degree count/max, distinct node count) — r15 optimization:
+    # the previous form ran these as FIVE separate driver actions,
+    # i.e. five scheduler round-trips at fixture scale and five passes
+    # over the edge frame at corpus scale; values are unchanged.
     agg = e.agg(
         F.count(F.lit(1)).alias("n_edges"),
         F.sum("__sq").alias("__ssim"),
     ).first()
+    rev = e.select(F.col("__q").alias("__n"), F.col("__n").alias("__q"))
+    recip_f = (
+        e.join(rev, ["__q", "__n"], "left_semi")
+        .agg(F.count(F.lit(1)).alias("__recip"))
+    )
+    indeg_f = (
+        e.groupBy("__n")
+        .agg(F.count(F.lit(1)).alias("__d"))
+        .agg(
+            F.count(F.lit(1)).alias("__cited"),
+            F.coalesce(F.max("__d"), F.lit(0)).alias("__max_in"),
+        )
+    )
+    nodes_f = (
+        corpus.select(id_col).distinct().agg(F.count(F.lit(1)).alias("__nn"))
+    )
+    combined = recip_f.crossJoin(indeg_f).crossJoin(nodes_f).first()
+    recip = int(combined["__recip"])
+    cited = int(combined["__cited"])
+    max_in = combined["__max_in"]
+    n_nodes = int(combined["__nn"])
     release_intermediates_since(mark)
     from .stats import _round6_half_away as rnd
 

@@ -1215,17 +1215,18 @@ def gopher_repetition(
     characters; the token form is scale-identical and avoids a second
     per-occurrence char walk.)
 
-    Line features are one narrow map (array distinct/filter over the
-    line split — duplicate detection per doc is in-array, no shuffle;
-    the char-mass pass is O(lines²) PER DOC, bounded by document line
-    counts the way the series folds are bounded by grid length). The
-    bound is MACHINE-ENFORCED, not just documented: a document over
-    ``max_lines`` raises with the cost named (the _guard_series
-    precedent, zero-copy assert_true filter) — a pathological 100k-line
-    doc is 10¹⁰ comparisons in one task. For a corpus where such docs
-    are legitimate, raise ``max_lines`` deliberately or swap the pass
-    for the explode → (doc, line) count → weighted-sum formulation,
-    which is linear at one extra doc-keyed exchange.
+    Line features are one narrow map (array distinct over the line
+    split — duplicate detection per doc is in-array, no shuffle; the
+    char-mass pass sorts the line array once and folds a run-length
+    state over it — O(L log L) per doc, r15 optimization: the previous
+    per-line ``filter(lines, y == x)`` membership count was O(lines²)
+    per doc and measured as the dominant cost of this operator at
+    sf0.1; a run of r identical lines contributes r·length exactly as
+    the old per-occurrence form did, so the numerator is bit-identical).
+    ``max_lines`` stays MACHINE-ENFORCED as the per-row memory bound on
+    the in-array sort (the _guard_series precedent, zero-copy
+    assert_true filter); for a corpus where larger docs are legitimate,
+    raise it deliberately.
     Top-n-gram features explode grams to a (doc, n, gram) count and
     take the per-doc argmax — corpus-token-scale shuffles with
     map-side combine (the q134 BPE-pair shape), grouped on the doc key
@@ -1251,6 +1252,38 @@ def gopher_repetition(
     # to true): assert_true raises on a NULL condition, and a NULL doc
     # must keep flowing to the graceful keep-row path, not abort the
     # job with a message-less error (review finding, r10).
+    # Duplicate-line char mass, linear form: sort the lines once, then
+    # one O(L) fold tracks (previous line, current run length, mass);
+    # a run of r > 1 identical lines adds r·length(line) — exactly the
+    # per-occurrence sum of the quadratic membership-count form it
+    # replaces (same integers, same NULL-text propagation: aggregate
+    # over a NULL array is NULL).
+    run_state = "struct<prev:string,run:bigint,mass:bigint>"
+    close_run = lambda acc: F.when(  # noqa: E731 — flush the open run
+        acc["run"] > 1, acc["mass"] + acc["run"] * F.length(acc["prev"])
+    ).otherwise(acc["mass"])
+    dup_char_mass = F.aggregate(
+        F.array_sort(lines),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("bigint").alias("run"),
+            F.lit(0).cast("bigint").alias("mass"),
+        ).cast(run_state),
+        lambda acc, x: F.when(
+            acc["prev"].eqNullSafe(x),
+            F.struct(
+                acc["prev"].alias("prev"),
+                (acc["run"] + 1).alias("run"),
+                acc["mass"].alias("mass"),
+            ),
+        ).otherwise(
+            F.struct(
+                x.alias("prev"), F.lit(1).cast("bigint").alias("run"),
+                close_run(acc).alias("mass"),
+            )
+        ),
+        close_run,
+    )
     lf = df.where(
         F.assert_true(
             F.coalesce(F.size(lines) <= F.lit(int(max_lines)), F.lit(True)),
@@ -1265,17 +1298,7 @@ def gopher_repetition(
             6,
         ).alias("dup_line_frac"),
         F.round(
-            F.aggregate(
-                F.transform(
-                    lines,
-                    lambda x: F.when(
-                        F.size(F.filter(lines, lambda y: y == x)) > 1,
-                        F.length(x),
-                    ).otherwise(F.lit(0)),
-                ),
-                F.lit(0).cast("bigint"),
-                lambda a, x: a + x,
-            ).cast("double")
+            dup_char_mass.cast("double")
             / F.greatest(
                 F.aggregate(
                     F.transform(lines, F.length),

@@ -287,6 +287,27 @@ def _disc_median_per_key(df: DataFrame, key: str, val: str, out: str) -> DataFra
     )
 
 
+def _with_disc_median_col(df: DataFrame, key: str, val: str, out: str) -> DataFrame:
+    """:func:`_disc_median_per_key` as an appended COLUMN — the same
+    rank-ceil(n/2) median, but computed with two windows over the
+    existing ``key`` partitioning instead of a filtered one-row frame
+    joined back (r15 optimization). The join form re-evaluates the
+    input subtree on each side of the join (a resample pipeline feeding
+    median → MAD → fences was planned FOUR times in series_anomalies /
+    cusum_changepoints); this form shares one exchange and one
+    evaluation. The picked value is identical: ``max`` over the
+    partition of "the value at rank ceil(n/2)" (NULL elsewhere) is that
+    value, including a NULL median when NULLs reach the median rank
+    (max over all-NULL is NULL, exactly what the join produced)."""
+    w = Window.partitionBy(key).orderBy(F.col(val).asc())
+    wc = Window.partitionBy(key)
+    pick = F.when(
+        F.row_number().over(w) == F.ceil(F.count(F.lit(1)).over(wc) / 2),
+        F.col(val),
+    )
+    return df.withColumn(out, F.max(pick).over(wc))
+
+
 def series_anomalies(
     df: DataFrame,
     key: str,
@@ -315,14 +336,15 @@ def series_anomalies(
     partitioning end-to-end; fence tables are one row per key.
     """
     s = resample_ffill(df, key, ts, value_col, step_seconds)
-    med = _disc_median_per_key(s, key, value_col, "__med")
-    dev = s.join(med, key).withColumn(
+    # median/MAD as window columns over the resample's own key
+    # partitioning (r15): the previous filtered-frame-join form planned
+    # the resample subtree four times and added two joins
+    dev = _with_disc_median_col(s, key, value_col, "__med").withColumn(
         "__adev", F.abs(F.col(value_col) - F.col("__med"))
     )
-    mad = _disc_median_per_key(dev, key, "__adev", "__mad")
     half = F.lit(k) * 1.4826 * F.col("__mad")
     return (
-        dev.join(mad, key)
+        _with_disc_median_col(dev, key, "__adev", "__mad")
         .select(
             key,
             "slot_epoch",
@@ -616,21 +638,29 @@ def cusum_changepoints(
     guard raises — see :func:`_guard_series`). Returns flagged slots
     only: (key, slot_epoch, value, side ['up'|'down'], cusum_stat).
     """
-    s = resample_ffill(df, key, ts, value_col, step_seconds)
-    stats = s.groupBy(key).agg(
-        (
-            F.sum(F.round(F.col(value_col) * 1_000_000).cast("bigint"))
-            / (F.count(F.lit(1)) * 1_000_000.0)
-        ).alias("__mu"),
+    # project the resample to the three columns the fold needs BEFORE
+    # the median windows (staleness_s never reaches cusum's output —
+    # guide §2.3: don't sort/buffer bytes you drop)
+    s = resample_ffill(df, key, ts, value_col, step_seconds).select(
+        key, "slot_epoch", value_col
     )
-    med = _disc_median_per_key(s, key, value_col, "__med")
-    dev = s.join(med, key).withColumn(
+    # mean/median/MAD as window columns over the resample's own key
+    # partitioning (r15): the previous one-row-frame-join form planned
+    # the resample subtree four times (stats, median, MAD, and the
+    # final join-back each re-evaluated it) and added three joins; the
+    # sums/rank picks are the same integers, so every value is
+    # unchanged
+    wc = Window.partitionBy(key)
+    dev = _with_disc_median_col(s, key, value_col, "__med").withColumn(
         "__adev", F.abs(F.col(value_col) - F.col("__med"))
     )
-    mad = _disc_median_per_key(dev, key, "__adev", "__mad")
     base = (
-        s.join(stats, key)
-        .join(mad, key)
+        _with_disc_median_col(dev, key, "__adev", "__mad")
+        .withColumn(
+            "__mu",
+            F.sum(F.round(F.col(value_col) * 1_000_000).cast("bigint")).over(wc)
+            / (F.count(F.lit(1)).over(wc) * 1_000_000.0),
+        )
         .where(F.col("__mad") > 0)
         .withColumn("__sigma", F.col("__mad") * 1.4826)
     )
@@ -1482,13 +1512,17 @@ def periodogram(
         "slot_epoch",
         F.col(value_col).cast("double").alias("__v"),
     )
-    per_key = base.groupBy("__k").agg(
-        F.min("slot_epoch").alias("__s0"),
-        F.sum(F.round(F.col("__v") * 1_000_000).cast("bigint")).alias("__sq"),
-        F.count("__v").alias("__nv"),
-    )
+    # r15: the per-key anchors (first slot, quantized sum, count) as
+    # window columns over the resample's own key partitioning — the
+    # previous groupBy + join-back planned the resample subtree twice
+    wk = Window.partitionBy("__k")
     j = (
-        base.join(per_key, "__k")
+        base.withColumn("__s0", F.min("slot_epoch").over(wk))
+        .withColumn(
+            "__sq",
+            F.sum(F.round(F.col("__v") * 1_000_000).cast("bigint")).over(wk),
+        )
+        .withColumn("__nv", F.count("__v").over(wk))
         .where(F.col("__v").isNotNull() & (F.col("__nv") >= 2))
         .select(
             "__k",
@@ -1572,8 +1606,12 @@ def hurst_exponent(
         "slot_epoch",
         F.round(F.col(value_col) * 1_000_000).cast("bigint").alias("__q"),
     ).where(F.col("__q").isNotNull())
-    s0 = base.groupBy("__k").agg(F.min("slot_epoch").alias("__s0"))
-    t = base.join(s0, "__k").select(
+    # r15: the key's first slot as a window column over the resample's
+    # own key partitioning — the previous one-row-frame join-back
+    # re-planned the resample subtree on both sides of the join
+    t = base.withColumn(
+        "__s0", F.min("slot_epoch").over(Window.partitionBy("__k"))
+    ).select(
         "__k",
         F.expr(f"(slot_epoch - __s0) div {step}").alias("__t"),
         "__q",
@@ -1588,14 +1626,17 @@ def hurst_exponent(
         "__q",
     )
     dec = "decimal(38,0)"
-    blocks = sized.groupBy("__k", "__w", "__b").agg(
-        F.count(F.lit(1)).alias("__cnt"),
-        F.sum(F.col("__q").cast(dec)).alias("__sq"),
-        F.sum((F.col("__q").cast(dec)) * F.col("__q")).alias("__s2"),
-    )
-    wrun = Window.partitionBy("__k", "__w", "__b").orderBy(F.col("__i").asc())
+    # r15: the per-block count/Σq/Σq² ride the SAME (key, w, block)
+    # partitioning as the centered-cumulative window below, as window
+    # aggregates — the previous groupBy + join-back evaluated the
+    # resample→explode subtree twice and added a join; the sums are
+    # the same DECIMAL accumulations over the same groups
+    wb = Window.partitionBy("__k", "__w", "__b")
+    wrun = wb.orderBy(F.col("__i").asc())
     run = (
-        sized.join(blocks, ["__k", "__w", "__b"])
+        sized.withColumn("__cnt", F.count(F.lit(1)).over(wb))
+        .withColumn("__sq", F.sum(F.col("__q").cast(dec)).over(wb))
+        .withColumn("__s2", F.sum((F.col("__q").cast(dec)) * F.col("__q")).over(wb))
         .where(F.col("__cnt") == F.col("__w"))
         .select(
             "__k",

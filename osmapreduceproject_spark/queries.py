@@ -2763,31 +2763,42 @@ def q82(spark, sf_dir):
     FROM w GROUP BY doc_id, chunk_id
     """,
     "Document chunking for LLM sequence packing: split each doc into "
-    "40-token windows, reassembled order-exact (sort_array over "
-    "(pos, token) structs — collect_list alone is partition-order-"
-    "dependent) and fingerprinted with the cross-engine md5. The explode "
-    "stage is fanned out first (plans.inspect.fan_out) so a "
-    "few-partition scan doesn't serialize the row expansion.",
+    "40-token windows and fingerprint each with the cross-engine md5. "
+    "r15 optimization (guide §2.4 — remove shuffles outright): chunks "
+    "are SLICED from the token array in place (slice keeps order "
+    "natively), so the whole operator is one narrow codegen map — the "
+    "previous form exploded every word, shuffled the full token stream "
+    "on (doc, chunk) and re-sorted (pos, token) structs to reassemble "
+    "the order the array already had. Identical strings, identical "
+    "md5s, zero exchanges. The explode stage is fanned out first "
+    "(plans.inspect.fan_out) so a few-partition scan doesn't serialize "
+    "the row expansion.",
 )
 def q83(spark, sf_dir):
     from .plans.inspect import fan_out
 
-    d = fan_out(_t(spark, sf_dir, "documents"))
-    words = d.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w"))
-    chunks = words.withColumn(
-        "chunk_id", F.floor(F.col("pos") / 40).cast("bigint")
+    d = fan_out(_t(spark, sf_dir, "documents")).select(
+        "doc_id", F.split("text", " ").alias("__ws")
     )
-    return chunks.groupBy("doc_id", "chunk_id").agg(
-        F.count(F.lit(1)).alias("n_tokens"),
-        F.md5(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "w"))),
-                    lambda s: s["w"],
-                ),
-                " ",
-            )
-        ).alias("chunk_md5"),
+    piece = lambda i: F.struct(  # noqa: E731
+        F.size(F.slice(F.col("__ws"), i * 40 + 1, 40))
+        .cast("bigint")
+        .alias("n_tokens"),
+        F.md5(F.array_join(F.slice(F.col("__ws"), i * 40 + 1, 40), " ")).alias(
+            "chunk_md5"
+        ),
+    )
+    nch = F.expr("((size(__ws) - 1) div 40) + 1")
+    return d.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(F.sequence(F.lit(0), nch - 1), piece)
+        ).alias("chunk_id", "__c"),
+    ).select(
+        "doc_id",
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        F.col("__c.n_tokens").alias("n_tokens"),
+        F.col("__c.chunk_md5").alias("chunk_md5"),
     )
 
 
@@ -6260,26 +6271,28 @@ _CHUNK_SRC_CTE = """wch AS (
 def q165(spark, sf_dir):
     from .plans.inspect import fan_out
 
-    d = fan_out(_t(spark, sf_dir, "documents"))
-    words = d.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w"))
-    chunks = (
-        words.withColumn("chunk_id", F.floor(F.col("pos") / 40).cast("bigint"))
-        .groupBy("doc_id", "chunk_id")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "w"))),
-                    lambda s: s["w"],
-                ),
-                " ",
-            ).alias("text")
-        )
-        .select(
-            F.concat_ws(
-                ":", F.col("doc_id").cast("string"), F.col("chunk_id").cast("string")
-            ).alias("doc_id"),
-            "text",
-        )
+    # r15 (guide §2.4, the q83 change): chunks are sliced from the
+    # token array in place — identical 'doc:chunk' keys and chunk
+    # texts, zero chunk-reassembly exchange (the previous form
+    # exploded every word and shuffled the full token stream on
+    # (doc, chunk) to re-sort an order the array already had)
+    d = fan_out(_t(spark, sf_dir, "documents")).select(
+        "doc_id", F.split("text", " ").alias("__ws")
+    )
+    nch = F.expr("((size(__ws) - 1) div 40) + 1")
+    chunks = d.select(
+        F.col("doc_id"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), nch - 1),
+                lambda i: F.array_join(F.slice(F.col("__ws"), i * 40 + 1, 40), " "),
+            )
+        ).alias("chunk_id", "text"),
+    ).select(
+        F.concat_ws(
+            ":", F.col("doc_id").cast("string"), F.col("chunk_id").cast("string")
+        ).alias("doc_id"),
+        "text",
     )
     return dedup.minhash_lsh_pairs(chunks, num_hashes=16, bands=4, threshold=0.5)
 

@@ -3342,3 +3342,102 @@ def test_gopher_repetition_null_text_keeps_flowing(spark):
     rows = {r["doc_id"]: r for r in gopher_repetition(docs).collect()}
     assert rows[1]["n_tokens"] == 10
     assert 2 in rows  # the NULL doc surfaced instead of killing the job
+
+
+def test_cosine_topk_arrow_scoring_bit_identical(spark):
+    """r15: cosine_topk's scoring moved from the interpreted per-pair
+    higher-order dot fold to Arrow/numpy (products + cumulative sum).
+    The replacement's contract is BIT identity with the JVM fold, not
+    approximate equality — this compares every unrounded sim the Arrow
+    path produces against dot/(norm·norm) computed by the original JVM
+    higher-order expressions on the same vectors (float→double casts,
+    sequential left-fold adds, operand order)."""
+    from pyspark.sql import functions as F
+
+    from osmapreduceproject_spark.operators.similarity import (
+        cosine_topk,
+        dot,
+        norm,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = cosine_topk(emb, emb.where(F.col("vec_id") < 20), k=250)
+    got = {
+        (r["query_id"], r["neighbor_id"]): r["sim"] for r in out.collect()
+    }
+    q = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    jvm = (
+        emb.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("nid"),
+            F.round(
+                dot(F.col("embedding"), F.col("qv"))
+                / (norm(F.col("embedding")) * norm(F.col("qv"))),
+                6,
+            ).alias("sim"),
+        )
+        .collect()
+    )
+    jvm_map = {(r["qid"], r["nid"]): r["sim"] for r in jvm}
+    assert got, "no rows came back"
+    for key, sim in got.items():
+        assert jvm_map[key] == sim, (key, jvm_map[key], sim)
+
+
+def test_numpy_cumsum_is_the_sequential_fold():
+    """The Arrow scoring path's exactness rests on one property:
+    np.cumsum over float64 products is the same left-to-right IEEE
+    addition chain as the JVM aggregate fold (init 0.0, acc + v).
+    Property-check it over random float32 vectors, including
+    adversarial near-cancellation pairs."""
+    import random
+
+    import numpy as np
+
+    rng = random.Random(42)
+    for trial in range(500):
+        d = rng.choice([3, 16, 32, 64])
+        a = np.array([rng.uniform(-1, 1) for _ in range(d)], dtype=np.float32)
+        b = np.array([rng.uniform(-1, 1) for _ in range(d)], dtype=np.float32)
+        if trial % 5 == 0:  # near-cancellation stress
+            b[d // 2 :] = -b[: d - d // 2]
+        prod = a.astype(np.float64) * b.astype(np.float64)
+        acc = 0.0
+        for v in prod:
+            acc = acc + float(v)
+        assert float(np.cumsum(prod)[-1]) == acc
+
+
+def test_gopher_repetition_linear_char_mass_matches_quadratic(spark):
+    """r15: the dup-line char-mass pass became a sorted run-length fold
+    (O(L log L)); its numerator must equal the replaced quadratic
+    membership-count form Σ_{occurrences of lines with count>1} len —
+    checked directly against a Python reference on mixed docs
+    (duplicates, unique lines, empty lines, a NULL text)."""
+    from collections import Counter
+
+    from osmapreduceproject_spark.operators.text import gopher_repetition
+
+    texts = [
+        "a\nbb\na\nccc\nbb\na",
+        "x\ny\nz",
+        "\n\nsame\nsame\n\n",
+        "solo",
+        None,
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    rows = {r["doc_id"]: r for r in gopher_repetition(docs).collect()}
+    for i, t in enumerate(texts):
+        if t is None:
+            assert rows[i]["dup_line_char_frac"] is None
+            continue
+        lines = t.split("\n")
+        counts = Counter(lines)
+        num = sum(len(ln) for ln in lines if counts[ln] > 1)
+        den = max(sum(len(ln) for ln in lines), 1)
+        assert rows[i]["dup_line_char_frac"] == round(num / den, 6), (i, t)

@@ -61,18 +61,34 @@ def test_semi_anti_join_types(spark):
 
 def test_no_python_udf_in_relational_core(spark):
     """The relational catalog must stay JVM-side (no BatchEvalPython /
-    ArrowEvalPython nodes) — UDFs are reserved for the explicitly
-    Python-bound operators (datagen, multimodal)."""
+    ArrowEvalPython nodes) — Python is reserved for the explicitly
+    vectorized operators (datagen, multimodal, mann_kendall's pair
+    pass, and — since r15 — cosine_topk's Arrow scoring, so q34 moved
+    to its own shape pin below)."""
     for name in [
         "q01_pricing_summary",
         "q05_region_revenue",
         "q09_window_funcs",
+        "q16_distinct_agg",
         "q21_topk_per_group",
         "q31_minhash_lsh_pairs",
-        "q34_cosine_topk",
     ]:
         plan = explain_str(QUERIES[name].fn(spark, SF_CORRECT))
         assert "EvalPython" not in plan, f"{name} fell off the JVM path:\n{plan}"
+
+
+def test_cosine_topk_arrow_scoring_plan_shape(spark):
+    """r15: brute cosine scoring is an Arrow mapInPandas pass over the
+    corpus (guide §4.2; bit-identity asserted in test_operators.py).
+    The plan must show the MapInPandas scoring node, NO join of any
+    kind (the query side rides in the closure — the old
+    BroadcastNestedLoopJoin pair materialization is gone), and the
+    per-query rank must plan as WindowGroupLimit so each scan task
+    emits only k rows per query into the final exchange."""
+    plan = explain_str(QUERIES["q34_cosine_topk"].fn(spark, SF_CORRECT))
+    assert "MapInPandas" in plan, plan
+    assert "Join" not in plan and "CartesianProduct" not in plan, plan
+    assert "WindowGroupLimit" in plan, plan
 
 
 def test_asof_join_single_shuffle(spark):
