@@ -18,6 +18,8 @@ sequential fold) → deterministic, oracle-comparable after rounding.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -50,6 +52,30 @@ def cosine(a: Column, b: Column) -> Column:
 # :func:`dot` is interpreted but compile-free, and benches faster end-to-end.
 
 
+def _plan_size_bytes(df: DataFrame) -> int:
+    """Catalyst's own size estimate for a plan (bytes) — free at
+    composition time; used only to pick between value-identical
+    execution strategies, so a bad estimate can cost time, never
+    correctness."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:  # pragma: no cover — estimation must never break a query
+        return 1 << 62
+
+
+# Cost switch for cosine_topk (guide §1.2/§4.1): below this many
+# query·corpus-bytes the bounded-query brute ranking stays on the JVM
+# broadcast-join + fold path (no Python workers to spin up); above it
+# the Arrow/numpy scoring pass wins (vectorized flops amortize the
+# worker round-trip). 64 MiB ≈ 160k pairs at the fixture's ~400 B/row —
+# the measured crossover sits near 100k pairs. Parameterised (env) so a
+# cluster profile can move it; both paths are bit-identical (r15
+# property tests), so the switch can never change a result.
+_COSINE_ARROW_MIN_QUERY_BYTES = int(
+    os.environ.get("SPARK_GRAFT_COSINE_ARROW_BYTES", str(64 * 1024 * 1024))
+)
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -60,50 +86,87 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact top-k neighbors per query vector, brute force.
 
-    The bounded query set rides along in the scoring closure (it was a
-    driver-built broadcast hash relation before r15 — same contract,
-    same memory, same place) → the corpus never shuffles for the
-    similarity computation; the only shuffle is the final per-query
-    top-k window, keyed by query_id (bounded cardinality), and Spark
-    3.5's WindowGroupLimit prunes each scan task's output to k rows
+    The query side is bounded by contract and EAGERLY collected at
+    composition time (it was a driver-built broadcast hash relation
+    before r15 — same rows, same memory); the corpus never shuffles
+    for the similarity computation; the only shuffle is the final
+    per-query top-k window, keyed by query_id (bounded cardinality),
+    with WindowGroupLimit pruning each scan task's output to k rows
     per query BEFORE that exchange. Ranking uses the *rounded*
     similarity plus the neighbor id as tiebreak so results are fully
     deterministic across engines and partitionings.
 
-    r15 optimization (guide §4.2 — vectorize the per-pair arithmetic,
-    the mann_kendall precedent): scoring runs as Arrow ``mapInPandas``
-    over the corpus, one numpy product-matrix + cumulative-sum pass
-    per batch, replacing the interpreted per-pair higher-order dot
-    fold (the JVM fold measured ~10 µs/pair; the r13/r14 history shows
-    this stage dominating every brute consumer — q297 pre-containment
-    spent 31–41 s here). BIT-IDENTICAL by construction: float→double
-    casts are exact, per-element f64 products are the same IEEE ops,
-    ``np.cumsum`` is the exact sequential left fold of the JVM
-    ``aggregate`` (property-tested in tests/test_operators.py), norms
-    are the same fold + correctly-rounded sqrt on both sides, the
-    finalize keeps the dot/(corpus_norm · query_norm) operand order,
-    and the 6-decimal ROUNDING STAYS IN THE JVM (F.round half-up on
-    the identical double). NULL/length-mismatched vectors yield NULL
-    sims exactly as the zip_with fold did. (Earlier JVM-side attempts
-    are museum pieces now: a codegen'd getItem-chain dot measured
-    ~1.5× slower than the fold at dim 64 — janino's 64KB method limit
-    — and norm precomputation (r13) only removed 2 of 3 folds.)
+    TWO value-identical execution strategies, cost-switched on
+    |queries| × estimated corpus bytes (r16, guide §1.2 — the r15
+    Arrow rewrite regressed every small consumer ~1.4× because the
+    Python-worker spin-up never amortizes at thousands of pairs):
+
+    - small (q34/q203 shapes): the pre-r15 JVM path — queries
+      broadcast-joined to the corpus, one interpreted dot fold per
+      pair over precomputed per-row norms. No Python boundary at all.
+    - large (q297/q329/hubness shapes): Arrow ``mapInPandas`` scoring
+      — one numpy product-matrix + cumulative-sum pass per batch (the
+      JVM fold measured ~10 µs/pair; q297 pre-containment spent
+      31–41 s in it). BIT-IDENTICAL to the fold by construction:
+      float→double casts exact, per-element f64 products the same
+      IEEE ops, ``np.cumsum`` IS the sequential left fold of the JVM
+      ``aggregate`` (property-tested in tests/test_operators.py),
+      norms the same fold + correctly-rounded sqrt, finalize keeps the
+      dot/(corpus_norm · query_norm) operand order, 6-decimal ROUNDING
+      STAYS IN THE JVM. NULL/length-mismatched vectors yield NULL sims
+      exactly as the zip_with fold does, and rows whose id is NULL are
+      dropped exactly as the JVM join predicate drops them.
+
+    Known edge divergence (ADVICE r15, documented): a vector whose
+    ELEMENTS contain NaN produces a NaN sim on the JVM path (ranked
+    first by desc) but a NULL sim through Arrow (pandas→Arrow nullifies
+    NaN, ranked last). No declared dataset carries NaN embeddings; feed
+    NaN-free vectors or pre-filter if a new caller cannot guarantee it.
     """
     from ..plans.inspect import fan_out
 
     qid_t = queries.schema[id_col].dataType.simpleString()
     nid_t = corpus.schema[id_col].dataType.simpleString()
-    # The query side is bounded by contract (it was a driver-built
-    # broadcast relation before r15) — collecting it to feed the Arrow
-    # scoring closure holds the same rows in the same place the
-    # broadcast hash relation lived.
     q_rows = queries.select(F.col(id_col), F.col(vec_col)).collect()
-    q_pairs = [(r[0], r[1]) for r in q_rows]
+    q_pairs = [(r[0], r[1]) for r in q_rows if r[0] is not None]
+
+    if len(q_pairs) * _plan_size_bytes(corpus) < _COSINE_ARROW_MIN_QUERY_BYTES:
+        # JVM path: broadcast the (tiny) query side, one fold per pair.
+        q = queries.where(F.col(id_col).isNotNull()).select(
+            F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qvec")
+        ).withColumn("__qn", norm(F.col("__qvec")))
+        c = corpus.select(F.col(id_col), F.col(vec_col)).withColumn(
+            "__cn", norm(F.col(vec_col))
+        )
+        scored_jvm = c.join(
+            F.broadcast(q), F.col(id_col) != F.col(query_id_col)
+        ).withColumn(
+            "sim",
+            F.round(
+                dot(F.col(vec_col), F.col("__qvec")) / (F.col("__cn") * F.col("__qn")),
+                6,
+            ),
+        )
+        w = Window.partitionBy(query_id_col).orderBy(
+            F.col("sim").desc(), F.col(id_col).asc()
+        )
+        return (
+            scored_jvm.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(query_id_col, F.col(id_col).alias("neighbor_id"), "sim", "rank")
+        )
+
+    # Arrow path. The query set ships as a broadcast VARIABLE (r16,
+    # ADVICE r15 watch item): the pickled task closure holds only the
+    # handle, so a large bounded query set crosses the wire via torrent
+    # blocks once per executor instead of riding in every task binary.
+    q_bc = corpus.sparkSession.sparkContext.broadcast(q_pairs)
 
     def score(batches):
         import numpy as np
         import pandas as pd
 
+        q_pairs = q_bc.value
         # Group query vectors by length: a pair only produces a non-NULL
         # dot when both arrays have equal length (zip_with pads the
         # shorter side with NULL, which nulls the whole fold) — vectorize
@@ -127,6 +190,9 @@ def cosine_topk(
             if n == 0 or m == 0:
                 continue
             ids = pdf[id_col].to_numpy()
+            # NULL corpus ids never pair (the JVM join predicate
+            # id != query_id is NULL → row dropped); mirror that here.
+            id_ok = pdf[id_col].notna().to_numpy()
             vecs = pdf[vec_col].tolist()
             for lo in range(0, n, 64):
                 hi = min(lo + 64, n)
@@ -174,10 +240,11 @@ def cosine_topk(
                         qidx, block = block_for(d, cidx)
                         ri = np.array([i - lo for i in cidx])
                         sims[ri[:, None], qidx[None, :]] = block
-                # drop self-pairs (the old join's id != query_id predicate)
+                # drop self-pairs and NULL-id rows (the JVM join's
+                # id != query_id predicate does both)
                 qv = np.tile(q_ids, rows)
                 cv = np.repeat(ids[lo:hi], m)
-                keep = qv != cv
+                keep = (qv != cv) & np.repeat(id_ok[lo:hi], m)
                 yield pd.DataFrame(
                     {"__qid": qv[keep], "__nid": cv[keep],
                      "__sim": sims.ravel()[keep]}
@@ -1383,6 +1450,185 @@ def embedding_exact_dedup(
     )
 
 
+def _truncation_tagged_edges(
+    corpus: DataFrame,
+    q_pairs: list,
+    k: int,
+    trunc_dim: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Both brute rankings of :func:`dim_truncation_report` from ONE
+    corpus scan and ONE Arrow scoring pass (r16, guide §1.2/§4.2 — the
+    two separate cosine_topk calls each scanned, collected, shipped and
+    scored the same corpus; this was the heaviest new entry of r15's
+    bench at 12.3 s cold).
+
+    The fusion is free by construction: ``np.cumsum`` over the
+    per-element products already holds EVERY prefix of the sequential
+    fold, so the truncated dot/norm is the cumsum read at index
+    ``trunc_dim-1`` — the identical left fold over the identical first
+    ``trunc_dim`` element products that scoring ``slice(vec, 1,
+    trunc_dim)`` re-computes from scratch. Same IEEE ops in the same
+    order → bit-identical sims on both rankings; rounding and the
+    rank-window tiebreaks stay in the JVM exactly as in
+    :func:`cosine_topk`. Mixed-length corpora fall back to two
+    independent grouped passes in the same batch (a full-d group and a
+    min(d, trunc_dim) group — the slice can EQUALIZE lengths that the
+    full ranking treats as mismatched, so the truncated grouping is its
+    own). Emits one row per (ranking, query, rank-1..k): (__which 0 =
+    full / 1 = truncated, __q, __n).
+    """
+    from ..plans.inspect import fan_out
+
+    qid_t = corpus.schema[id_col].dataType.simpleString()
+    q_bc = corpus.sparkSession.sparkContext.broadcast(q_pairs)
+
+    def score(batches):
+        import numpy as np
+        import pandas as pd
+
+        q_pairs = q_bc.value
+        m = len(q_pairs)
+        q_ids = np.array([qid for qid, _ in q_pairs])
+
+        def build_groups(slice_to=None):
+            # index groups by effective length (full, or min(len, t))
+            by_len: dict[int, list[int]] = {}
+            for qi, (_, qv) in enumerate(q_pairs):
+                if qv is not None:
+                    d = len(qv) if slice_to is None else min(len(qv), slice_to)
+                    by_len.setdefault(d, []).append(qi)
+            out = {}
+            for d, idxs in by_len.items():
+                # d = len(qv) (full) or min(len(qv), trunc_dim) (truncated):
+                # [:d] is the whole vector resp. exactly slice(vec, 1, t)
+                Qg = np.array(
+                    [np.asarray(q_pairs[i][1][:d], dtype=np.float64) for i in idxs]
+                ).reshape(len(idxs), d)
+                QP = Qg * Qg
+                np.cumsum(QP, axis=1, out=QP)
+                # keep the whole cumsum: the fast path reads the query
+                # norm at prefix t-1 from the same array
+                out[d] = (np.array(idxs), Qg, np.sqrt(QP[:, -1]), QP)
+            return out
+
+        groups_full = build_groups(None)
+        groups_tr = build_groups(trunc_dim)
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0 or m == 0:
+                continue
+            ids = pdf[id_col].to_numpy()
+            id_ok = pdf[id_col].notna().to_numpy()
+            vecs = pdf[vec_col].tolist()
+            for lo in range(0, n, 64):
+                hi = min(lo + 64, n)
+                rows = hi - lo
+                lens: dict[int, list[int]] = {}
+                for ci in range(lo, hi):
+                    v = vecs[ci]
+                    if v is not None:
+                        lens.setdefault(len(v), []).append(ci)
+
+                def block_for(groups, d, cidx, slice_to=None):
+                    # same contract as cosine_topk's block: f64 products,
+                    # SEQUENTIAL cumulative sum (the exact JVM fold),
+                    # dot/(corpus_norm · query_norm) operand order
+                    qidx, Qg, qn, _ = groups[d]
+                    C = np.array(
+                        [np.asarray(vecs[i][:slice_to] if slice_to else vecs[i],
+                                    dtype=np.float64)[:d] for i in cidx]
+                    ).reshape(len(cidx), d)
+                    CP = C * C
+                    np.cumsum(CP, axis=1, out=CP)
+                    P = C[:, None, :] * Qg[None, :, :]
+                    np.cumsum(P, axis=2, out=P)
+                    return qidx, P[:, :, -1] / (
+                        np.sqrt(CP[:, -1])[:, None] * qn[None, :]
+                    )
+
+                only = next(iter(lens)) if len(lens) == 1 else None
+                tr_of = lambda d: min(d, trunc_dim)  # noqa: E731
+                if (
+                    only is not None
+                    and only in groups_full
+                    and len(lens[only]) == rows
+                    and len(groups_full[only][0]) == m
+                ):
+                    # fast path: one regular length group — ONE cumsum
+                    # pass yields the full dot at [-1] and the truncated
+                    # dot/norms at [t-1]
+                    d = only
+                    t = tr_of(d)
+                    qidx, Qg, qn, QP = groups_full[d]
+                    C = np.array(
+                        [np.asarray(vecs[i], dtype=np.float64) for i in lens[d]]
+                    ).reshape(rows, d)
+                    CP = C * C
+                    np.cumsum(CP, axis=1, out=CP)
+                    P = C[:, None, :] * Qg[None, :, :]
+                    np.cumsum(P, axis=2, out=P)
+                    sims_f = P[:, :, -1] / (np.sqrt(CP[:, -1])[:, None] * qn[None, :])
+                    sims_t = P[:, :, t - 1] / (
+                        np.sqrt(CP[:, t - 1])[:, None] * np.sqrt(QP[:, t - 1])[None, :]
+                    )
+                else:
+                    # rare path (mixed/NULL lengths): two independent
+                    # grouped passes — full by d, truncated by min(d, t)
+                    sims_f = np.full((rows, m), None, dtype=object)
+                    sims_t = np.full((rows, m), None, dtype=object)
+                    for d, cidx in lens.items():
+                        ri = np.array([i - lo for i in cidx])
+                        if d in groups_full:
+                            qidx, block = block_for(groups_full, d, cidx)
+                            sims_f[ri[:, None], qidx[None, :]] = block
+                        td = tr_of(d)
+                        if td in groups_tr:
+                            qidx, block = block_for(
+                                groups_tr, td, cidx, slice_to=trunc_dim
+                            )
+                            sims_t[ri[:, None], qidx[None, :]] = block
+                qv = np.tile(q_ids, rows)
+                cv = np.repeat(ids[lo:hi], m)
+                keep = (qv != cv) & np.repeat(id_ok[lo:hi], m)
+                yield pd.DataFrame(
+                    {
+                        "__qid": qv[keep],
+                        "__nid": cv[keep],
+                        "__sim_f": sims_f.ravel()[keep],
+                        "__sim_t": sims_t.ravel()[keep],
+                    }
+                )
+
+    scored = fan_out(corpus.select(F.col(id_col), F.col(vec_col))).mapInPandas(
+        score, f"__qid {qid_t}, __nid {qid_t}, __sim_f double, __sim_t double"
+    )
+    tagged = scored.select(
+        F.col("__qid").alias("__q"),
+        F.col("__nid").alias("__n"),
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("w"), F.col("__sim_f").alias("s")),
+                F.struct(F.lit(1).alias("w"), F.col("__sim_t").alias("s")),
+            )
+        ).alias("__ws"),
+    ).select(
+        "__q",
+        "__n",
+        F.col("__ws.w").alias("__which"),
+        F.round(F.col("__ws.s"), 6).alias("sim"),
+    )
+    w = Window.partitionBy("__which", "__q").orderBy(
+        F.col("sim").desc(), F.col("__n").asc()
+    )
+    return (
+        tagged.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("__which", "__q", "__n")
+    )
+
+
 def dim_truncation_report(
     corpus: DataFrame,
     k: int = 5,
@@ -1399,35 +1645,64 @@ def dim_truncation_report(
     were TRAINED matryoshka (their truncated recall should be near 1;
     a low number means the prefix dims don't carry the geometry).
 
-    Both edge lists come from the exact :func:`cosine_topk` baseline
-    (the documented brute shape — broadcast queries, per-query bounded
-    rank, rounded-sim + id tiebreak on both engines); the truncated
-    side scores on ``slice(vec, 1, trunc_dim)``. Overlap is ONE
-    equi-join of the two n·k edge frames on (query, neighbor) — never
-    n². Per-query recall (overlap/k — an exact rational) micro-
-    quantizes half-up before the exact mean; queries whose truncated
-    list reproduces the full list exactly count toward
-    frac_full_recall. One row: (n_queries, k, trunc_dim, mean_recall,
-    frac_full_recall).
+    Both edge lists are the exact :func:`cosine_topk` brute baseline
+    (broadcast/collected queries, per-query bounded rank, rounded-sim +
+    id tiebreak on both engines); the truncated side scores on
+    ``slice(vec, 1, trunc_dim)``. Since r16 both rankings come from ONE
+    corpus scan and ONE Arrow scoring pass
+    (:func:`_truncation_tagged_edges` — the truncated dot/norm is the
+    prefix of the full ranking's own cumulative sum, so the second
+    ranking is free; bit-identical values, same JVM rounding/tiebreaks),
+    with a two-call :func:`cosine_topk` fallback below the Arrow cost
+    threshold. Overlap is counted per (query, neighbor) pair straight
+    off the tagged edge frame — never n². Per-query recall (overlap/k —
+    an exact rational) micro-quantizes half-up before the exact mean;
+    queries whose truncated list reproduces the full list exactly count
+    toward frac_full_recall. One row: (n_queries, k, trunc_dim,
+    mean_recall, frac_full_recall).
     """
     if trunc_dim < 1:
         raise ValueError(f"dim_truncation_report: trunc_dim must be ≥ 1, got {trunc_dim}")
-    full = cosine_topk(corpus, corpus, k, id_col=id_col, vec_col=vec_col).select(
-        F.col("query_id").alias("__q"), F.col("neighbor_id").alias("__n")
+    q_rows = corpus.select(F.col(id_col), F.col(vec_col)).collect()
+    q_pairs = [(r[0], r[1]) for r in q_rows if r[0] is not None]
+    if len(q_pairs) * _plan_size_bytes(corpus) < _COSINE_ARROW_MIN_QUERY_BYTES:
+        # tiny corpus: two JVM brute rankings (cosine_topk cost-switches
+        # to its broadcast-join path below the same threshold)
+        tcorp = corpus.select(
+            F.col(id_col), F.slice(F.col(vec_col), 1, trunc_dim).alias(vec_col)
+        )
+        edges = (
+            cosine_topk(corpus, corpus, k, id_col=id_col, vec_col=vec_col)
+            .select(
+                F.lit(0).alias("__which"),
+                F.col("query_id").alias("__q"),
+                F.col("neighbor_id").alias("__n"),
+            )
+            .unionAll(
+                cosine_topk(tcorp, tcorp, k, id_col=id_col, vec_col=vec_col).select(
+                    F.lit(1).alias("__which"),
+                    F.col("query_id").alias("__q"),
+                    F.col("neighbor_id").alias("__n"),
+                )
+            )
+        )
+    else:
+        edges = _truncation_tagged_edges(
+            corpus, q_pairs, k, trunc_dim, id_col, vec_col
+        )
+    # overlap WITHOUT a second pass: each (q, n) pair carries whether it
+    # made the full and/or the truncated top-k; hits per query = full
+    # pairs that are also truncated pairs — arithmetic-identical to the
+    # former full ⋉ trunc semi-join + left join-back (and the old NULL →
+    # 0 coalesce: a query with zero hits sums to 0 here)
+    pair_flags = edges.groupBy("__q", "__n").agg(
+        F.max(F.when(F.col("__which") == 0, 1).otherwise(0)).alias("__in_full"),
+        F.max(F.when(F.col("__which") == 1, 1).otherwise(0)).alias("__in_trunc"),
     )
-    tcorp = corpus.select(
-        F.col(id_col), F.slice(F.col(vec_col), 1, trunc_dim).alias(vec_col)
-    )
-    trunc = cosine_topk(tcorp, tcorp, k, id_col=id_col, vec_col=vec_col).select(
-        F.col("query_id").alias("__q"), F.col("neighbor_id").alias("__n")
-    )
-    hits = full.join(trunc, ["__q", "__n"], "left_semi")
-    per_q = full.select("__q").distinct().join(
-        hits.groupBy("__q").agg(F.count(F.lit(1)).cast("bigint").alias("__h")),
-        "__q",
-        "left",
-    ).select(
-        "__q", F.coalesce(F.col("__h"), F.lit(0)).alias("__h")
+    per_q = (
+        pair_flags.where(F.col("__in_full") == 1)
+        .groupBy("__q")
+        .agg(F.sum("__in_trunc").cast("bigint").alias("__h"))
     )
     scored = per_q.select(
         F.round(F.col("__h").cast("double") / k * 1_000_000)

@@ -501,6 +501,63 @@ def series_trend(
 _SERIES_MAX_SLOTS = 8784  # 366 days at an hourly step
 
 
+def _make_jround():
+    """Build the :func:`_jround` replica as a NON-importable nested
+    function: the series-fold ``applyInPandas`` closures reference it,
+    and cloudpickle serializes a nested function BY VALUE (its qualname
+    contains ``<locals>``) where a module-level function would ship as
+    an ``import osmapreduceproject_spark…`` reference — crashing every
+    worker whose driver cwd isn't the repo root (the documented
+    foreign-cwd contract in .claude/skills/verify)."""
+
+    def _jround(x: float) -> float:
+        """Exact replica of Spark's ``round(double, 0)`` (and DuckDB's):
+        the HALF_UP decimal rounding of ``BigDecimal.valueOf(x)``.
+        Java's ``Double.toString`` and Python's ``repr(float)`` both
+        emit the shortest decimal string that round-trips, i.e. the SAME
+        decimal value, so ``Decimal(repr(x)).quantize(1,
+        ROUND_HALF_UP)`` is the identical operation (property-pinned
+        against F.round in
+        tests/test_operators.py::test_jround_matches_spark_round).
+
+        Fast path: when the fractional part sits safely away from the
+        .5 boundary (and |x| is small enough that the double's ulp
+        cannot straddle the band), the binary and decimal decisions
+        agree and a plain floor comparison suffices; the band and large
+        magnitudes go through Decimal. NaN/±inf pass through like
+        Spark's Round."""
+        import math
+        from decimal import ROUND_HALF_UP, Decimal
+
+        if x != x or x == float("inf") or x == float("-inf"):
+            return x
+        if abs(x) < 1e13:
+            f = math.floor(x)
+            r = x - f
+            if r < 0.49:
+                return float(f)
+            if r > 0.51:
+                return float(f + 1)
+        return float(Decimal(repr(x)).quantize(Decimal(1), rounding=ROUND_HALF_UP))
+
+    return _jround
+
+
+_jround = _make_jround()
+
+
+def _slots_msg(op: str, max_slots: int) -> str:
+    """Guard message TEMPLATE for the Python-side series folds — same
+    contract as :func:`_guard_series` (names the knob). Returns a plain
+    string with an ``{n}`` placeholder so the worker closure captures a
+    str, never a module-level function (see :func:`_make_jround`)."""
+    return (
+        f"{op}: a key's resampled series has {{n}} grid slots, over "
+        f"max_slots={max_slots} — the per-key fold walks the whole series "
+        "in one task; increase step_seconds or raise max_slots explicitly"
+    )
+
+
 def _guard_series(rows: DataFrame, max_slots: int, op: str) -> DataFrame:
     """Fail fast when a key's collected grid exceeds ``max_slots``. The
     ordered folds below append to the accumulated history array each
@@ -544,9 +601,12 @@ def ewma(
     s_t = α·v_t + (1−α)·s_{t−1}``, the smoothing layer behind alerting
     baselines, emitted per slot alongside the raw value.
 
-    The recurrence is inherently sequential PER KEY, so it runs as an
-    ordered fold over the key's slot array (collect_list sorted by
-    slot, then one ``aggregate`` lambda) — state is bounded by the
+    The recurrence is inherently sequential PER KEY, so it runs as ONE
+    linear Arrow ``applyInPandas`` walk over the key's slot-ordered
+    series (r16, guide §1.2/§4.2 — the previous JVM ``aggregate`` fold
+    appended to the accumulated array each step, copying O(L²) struct
+    pointers per key; the Python walk is O(L) and measured ~2× faster
+    on the q187/q234/q199 family at sf0.1) — state is bounded by the
     key's series length (span/step), the same bound
     :func:`series_rolling` and :func:`resample_ffill` already carry,
     and nothing sequential crosses keys: the fold parallelizes per key
@@ -557,54 +617,50 @@ def ewma(
     because a 9-decimal value has no exact double, while rounding to a
     whole integer of the same IEEE double is exact on both engines —
     so every step computes ``round(α·v_q + (1−α)·e)`` into a bigint
-    and the recurrence replays bit-identically anywhere. Emitted ewma
+    (:func:`_jround` IS Spark's round-half-up on the identical double,
+    property-pinned) and the recurrence replays bit-identically
+    anywhere; a NULL value poisons the state to NULL from that slot on,
+    exactly as the JVM fold's NULL propagation did. Emitted ewma
     is the state / 1e6 (one shared IEEE division). The per-key bound is
     machine-enforced: a series over ``max_slots`` grid slots raises
     (see :func:`_guard_series` — the fold is quadratic in slots).
     """
     s = resample_ffill(df, key, ts, value_col, step_seconds)
-    rows = (
-        s.groupBy(key)
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct("slot_epoch", F.col(value_col).alias("v")))
-            ).alias("__series")
+    ktype = s.schema[key].dataType.simpleString()
+    a, b = float(alpha), 1.0 - float(alpha)
+    jr, guard_msg = _jround, _slots_msg("ewma", max_slots)
+
+    def fold(pdf):
+        import pandas as pd
+
+        if len(pdf) > max_slots:
+            raise ValueError(guard_msg.format(n=len(pdf)))
+        pdf = pdf.sort_values("slot_epoch")
+        isna = pdf[value_col].isna().tolist()
+        vals = pdf[value_col].tolist()
+        eqs: list = []
+        eq = None
+        for i, v in enumerate(vals):
+            if isna[i]:
+                eq = None
+            elif i == 0:
+                eq = int(jr(v * 1_000_000.0))
+            elif eq is not None:
+                eq = int(jr(a * jr(v * 1_000_000.0) + b * float(eq)))
+            eqs.append(eq)
+        out = pdf[[key, "slot_epoch", value_col]].copy()
+        out["__eq"] = pd.array(eqs, dtype="Int64")
+        return out
+
+    res = (
+        s.select(key, "slot_epoch", value_col)
+        .groupBy(key)
+        .applyInPandas(
+            fold, f"{key} {ktype}, slot_epoch bigint, {value_col} double, __eq bigint"
         )
     )
-    rows = _guard_series(rows, max_slots, "ewma")
-    folded = F.aggregate(
-        F.col("__series"),
-        F.array().cast("array<struct<slot_epoch:bigint,v:double,eq:bigint>>"),
-        lambda acc, x: F.concat(
-            acc,
-            F.array(
-                F.struct(
-                    x["slot_epoch"].alias("slot_epoch"),
-                    x["v"].alias("v"),
-                    F.when(
-                        F.size(acc) == 0,
-                        F.round(x["v"] * 1_000_000).cast("bigint"),
-                    )
-                    .otherwise(
-                        F.round(
-                            F.lit(alpha) * F.round(x["v"] * 1_000_000)
-                            + F.lit(1.0 - alpha)
-                            * F.element_at(acc, -1)["eq"]
-                        ).cast("bigint")
-                    )
-                    .alias("eq"),
-                )
-            ),
-        ),
-    )
-    return (
-        rows.select(key, F.explode(folded).alias("r"))
-        .select(
-            key,
-            F.col("r.slot_epoch").alias("slot_epoch"),
-            F.col("r.v").alias(value_col),
-            (F.col("r.eq") / 1_000_000.0).alias("ewma"),
-        )
+    return res.select(
+        key, "slot_epoch", value_col, (F.col("__eq") / 1_000_000.0).alias("ewma")
     )
 
 
@@ -633,10 +689,14 @@ def cusum_changepoints(
 
     The recurrence walks INTEGER micro-unit state exactly like
     :func:`ewma` (round(x,9)-style float state diverges across engines
-    by an ulp at decimal-grid boundaries), ordered-array fold per key,
-    state bounded by series length and capped at ``max_slots`` (the
-    guard raises — see :func:`_guard_series`). Returns flagged slots
-    only: (key, slot_epoch, value, side ['up'|'down'], cusum_stat).
+    by an ulp at decimal-grid boundaries; :func:`_jround` IS Spark's
+    round-half-up, property-pinned), one linear Arrow walk per key
+    (r16 — the JVM array-aggregate form copied O(L²) state), state
+    bounded by series length and capped at ``max_slots`` (raised from
+    the worker, naming the knob). Flagged rows are filtered IN the
+    walk, so only change points cross the Arrow boundary back. Returns
+    flagged slots only: (key, slot_epoch, value, side ['up'|'down'],
+    cusum_stat).
     """
     # project the resample to the three columns the fold needs BEFORE
     # the median windows (staleness_s never reaches cusum's output —
@@ -664,63 +724,62 @@ def cusum_changepoints(
         .where(F.col("__mad") > 0)
         .withColumn("__sigma", F.col("__mad") * 1.4826)
     )
-    rows = base.groupBy(key, "__mu", "__sigma").agg(
-        F.array_sort(
-            F.collect_list(F.struct("slot_epoch", F.col(value_col).alias("v")))
-        ).alias("__series")
-    )
-    rows = _guard_series(rows, max_slots, "cusum_changepoints")
     kq = int(round(drift_k * 1_000_000))
     hq = int(round(threshold_h * 1_000_000))
-    zq = lambda x: F.round(  # noqa: E731 — z in integer micro-units
-        (x - F.col("__mu")) / F.col("__sigma") * 1_000_000
-    ).cast("bigint")
-    state_t = (
-        "array<struct<slot_epoch:bigint,v:double,up:bigint,dn:bigint,"
-        "flag_up:boolean,flag_dn:boolean>>"
+    ktype = base.schema[key].dataType.simpleString()
+    jr, guard_msg = _jround, _slots_msg("cusum_changepoints", max_slots)
+
+    def fold(pdf):
+        import pandas as pd
+
+        if len(pdf) > max_slots:
+            raise ValueError(guard_msg.format(n=len(pdf)))
+        pdf = pdf.sort_values("slot_epoch")
+        mu = float(pdf["__mu"].iloc[0])
+        sigma = float(pdf["__sigma"].iloc[0])
+        isna = pdf[value_col].isna().tolist()
+        vals = pdf[value_col].tolist()
+        keep_idx: list = []
+        stats: list = []
+        sides: list = []
+        up = dn = 0
+        flag_up = flag_dn = False
+        for i, v in enumerate(vals):
+            prev_up = 0 if (i == 0 or flag_up) else up
+            prev_dn = 0 if (i == 0 or flag_dn) else dn
+            if isna[i]:
+                # JVM: greatest(0, NULL) skips the NULL → both sides 0
+                up = dn = 0
+            else:
+                z = int(jr((v - mu) / sigma * 1_000_000.0))
+                up = max(0, prev_up + z - kq)
+                dn = max(0, prev_dn - z - kq)
+            flag_up = up > hq
+            flag_dn = dn > hq
+            if flag_up or flag_dn:
+                keep_idx.append(i)
+                sides.append(bool(flag_up))
+                stats.append(up if flag_up else dn)
+        out = pdf.iloc[keep_idx][[key, "slot_epoch", value_col]].copy()
+        out["__is_up"] = pd.array(sides, dtype="boolean")
+        out["__stat"] = pd.array(stats, dtype="Int64")
+        return out
+
+    flagged = (
+        base.select(key, "slot_epoch", value_col, "__mu", "__sigma")
+        .groupBy(key)
+        .applyInPandas(
+            fold,
+            f"{key} {ktype}, slot_epoch bigint, {value_col} double, "
+            "__is_up boolean, __stat bigint",
+        )
     )
-    def _step(acc, x):
-        # a side that flagged on the previous slot restarts from 0
-        prev_up = F.when(F.size(acc) == 0, F.lit(0)).otherwise(
-            F.when(F.element_at(acc, -1)["flag_up"], F.lit(0)).otherwise(
-                F.element_at(acc, -1)["up"]
-            )
-        )
-        prev_dn = F.when(F.size(acc) == 0, F.lit(0)).otherwise(
-            F.when(F.element_at(acc, -1)["flag_dn"], F.lit(0)).otherwise(
-                F.element_at(acc, -1)["dn"]
-            )
-        )
-        z = zq(x["v"])
-        up = F.greatest(F.lit(0).cast("bigint"), prev_up + z - kq)
-        dn = F.greatest(F.lit(0).cast("bigint"), prev_dn - z - kq)
-        return F.concat(
-            acc,
-            F.array(
-                F.struct(
-                    x["slot_epoch"].alias("slot_epoch"),
-                    x["v"].alias("v"),
-                    up.alias("up"),
-                    dn.alias("dn"),
-                    (up > hq).alias("flag_up"),
-                    (dn > hq).alias("flag_dn"),
-                )
-            ),
-        )
-    folded = F.aggregate(F.col("__series"), F.array().cast(state_t), _step)
-    out = rows.select(key, F.explode(folded).alias("r")).where(
-        F.col("r.flag_up") | F.col("r.flag_dn")
-    )
-    return out.select(
+    return flagged.select(
         key,
-        F.col("r.slot_epoch").alias("slot_epoch"),
-        F.col("r.v").alias(value_col),
-        F.when(F.col("r.flag_up"), F.lit("up")).otherwise(F.lit("down")).alias("side"),
-        F.round(
-            F.when(F.col("r.flag_up"), F.col("r.up")).otherwise(F.col("r.dn"))
-            / 1_000_000.0,
-            6,
-        ).alias("cusum_stat"),
+        "slot_epoch",
+        value_col,
+        F.when(F.col("__is_up"), F.lit("up")).otherwise(F.lit("down")).alias("side"),
+        F.round(F.col("__stat") / 1_000_000.0, 6).alias("cusum_stat"),
     )
 
 
@@ -843,77 +902,74 @@ def holt_linear(
     Same execution shape and cross-engine determinism contract as ewma
     (windows.py:479): the two state cells are INTEGERS in micro-units,
     every step rounds ``α·v_q + (1−α)(l+b)`` and ``β·Δl + (1−β)b`` into
-    bigints, so the coupled recurrence replays bit-identically in a
-    recursive-CTE oracle; the fold is one ordered array aggregate per
-    key — sequential per key, parallel across keys, state bounded by
-    the grid length like the whole series family and capped at
-    ``max_slots`` (the guard raises — see :func:`_guard_series`).
+    bigints (:func:`_jround` — Spark's round-half-up, property-pinned),
+    so the coupled recurrence replays bit-identically in a
+    recursive-CTE oracle; the fold is one linear Arrow walk per key
+    (r16 — the JVM array-aggregate form copied O(L²) state) —
+    sequential per key, parallel across keys, state bounded by the
+    grid length like the whole series family and capped at
+    ``max_slots`` (raised from the worker, naming the knob).
     """
     s = resample_ffill(df, key, ts, value_col, step_seconds)
-    rows = s.groupBy(key).agg(
-        F.array_sort(
-            F.collect_list(F.struct("slot_epoch", F.col(value_col).alias("v")))
-        ).alias("__series")
-    )
-    rows = _guard_series(rows, max_slots, "holt_linear")
-    state_t = "array<struct<slot_epoch:bigint,v:double,lq:bigint,bq:bigint>>"
-    folded = F.aggregate(
-        F.col("__series"),
-        F.array().cast(state_t),
-        lambda acc, x: F.concat(
-            acc,
-            F.array(
-                F.struct(
-                    x["slot_epoch"].alias("slot_epoch"),
-                    x["v"].alias("v"),
-                    F.when(
-                        F.size(acc) == 0,
-                        F.round(x["v"] * 1_000_000).cast("bigint"),
-                    )
-                    .otherwise(
-                        F.round(
-                            F.lit(alpha) * F.round(x["v"] * 1_000_000)
-                            + F.lit(1.0 - alpha)
-                            * (
-                                F.element_at(acc, -1)["lq"]
-                                + F.element_at(acc, -1)["bq"]
-                            )
-                        ).cast("bigint")
-                    )
-                    .alias("lq"),
-                    F.when(F.size(acc) == 0, F.lit(0).cast("bigint"))
-                    .otherwise(
-                        F.round(
-                            F.lit(beta)
-                            * (
-                                F.round(
-                                    F.lit(alpha) * F.round(x["v"] * 1_000_000)
-                                    + F.lit(1.0 - alpha)
-                                    * (
-                                        F.element_at(acc, -1)["lq"]
-                                        + F.element_at(acc, -1)["bq"]
-                                    )
-                                )
-                                - F.element_at(acc, -1)["lq"]
-                            )
-                            + F.lit(1.0 - beta) * F.element_at(acc, -1)["bq"]
-                        ).cast("bigint")
-                    )
-                    .alias("bq"),
+    ktype = s.schema[key].dataType.simpleString()
+    a, oma = float(alpha), 1.0 - float(alpha)
+    bt, omb = float(beta), 1.0 - float(beta)
+    jr, guard_msg = _jround, _slots_msg("holt_linear", max_slots)
+
+    def fold(pdf):
+        import pandas as pd
+
+        if len(pdf) > max_slots:
+            raise ValueError(guard_msg.format(n=len(pdf)))
+        pdf = pdf.sort_values("slot_epoch")
+        isna = pdf[value_col].isna().tolist()
+        vals = pdf[value_col].tolist()
+        lqs: list = []
+        bqs: list = []
+        lq = bq = None
+        for i, v in enumerate(vals):
+            if i == 0:
+                # JVM seed: lq = round(v·1e6) (NULL if v NULL), bq = 0
+                lq = None if isna[i] else int(jr(v * 1_000_000.0))
+                bq = 0
+            elif isna[i] or lq is None or bq is None:
+                # NULL value or poisoned state: both recurrences are
+                # arithmetic over a NULL → NULL, exactly like the fold
+                lq = bq = None
+            else:
+                vq = jr(v * 1_000_000.0)
+                # the JVM expression computes the new level TWICE (once
+                # for lq, once inside bq's Δlevel) — same double both
+                # times, so reuse it; operand order preserved
+                lq_d = jr(a * vq + oma * float(lq + bq))
+                bq_new = int(
+                    jr(bt * (lq_d - float(lq)) + omb * float(bq))
                 )
-            ),
-        ),
-    )
-    return (
-        rows.select(key, F.explode(folded).alias("r"))
-        .select(
-            key,
-            F.col("r.slot_epoch").alias("slot_epoch"),
-            F.col("r.v").alias(value_col),
-            (F.col("r.lq") / 1_000_000.0).alias("level"),
-            (F.col("r.bq") / 1_000_000.0).alias("trend"),
-            ((F.col("r.lq") + F.col("r.bq")) / 1_000_000.0).alias("forecast_next"),
+                lq = int(lq_d)
+                bq = bq_new
+            lqs.append(lq)
+            bqs.append(bq)
+        out = pdf[[key, "slot_epoch", value_col]].copy()
+        out["__lq"] = pd.array(lqs, dtype="Int64")
+        out["__bq"] = pd.array(bqs, dtype="Int64")
+        return out
+
+    res = (
+        s.select(key, "slot_epoch", value_col)
+        .groupBy(key)
+        .applyInPandas(
+            fold,
+            f"{key} {ktype}, slot_epoch bigint, {value_col} double, "
+            "__lq bigint, __bq bigint",
         )
+    )
+    return res.select(
+        key,
+        "slot_epoch",
+        value_col,
+        (F.col("__lq") / 1_000_000.0).alias("level"),
+        (F.col("__bq") / 1_000_000.0).alias("trend"),
+        ((F.col("__lq") + F.col("__bq")) / 1_000_000.0).alias("forecast_next"),
     )
 
 

@@ -3360,11 +3360,20 @@ def test_cosine_topk_arrow_scoring_bit_identical(spark):
         norm,
     )
 
+    import osmapreduceproject_spark.operators.similarity as sim
+
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
-    out = cosine_topk(emb, emb.where(F.col("vec_id") < 20), k=250)
-    got = {
-        (r["query_id"], r["neighbor_id"]): r["sim"] for r in out.collect()
-    }
+    # the r16 cost switch would route this tiny shape to the JVM path —
+    # force Arrow so the test keeps comparing the two implementations
+    old = sim._COSINE_ARROW_MIN_QUERY_BYTES
+    sim._COSINE_ARROW_MIN_QUERY_BYTES = 0
+    try:
+        out = cosine_topk(emb, emb.where(F.col("vec_id") < 20), k=250)
+        got = {
+            (r["query_id"], r["neighbor_id"]): r["sim"] for r in out.collect()
+        }
+    finally:
+        sim._COSINE_ARROW_MIN_QUERY_BYTES = old
     q = emb.where(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
     )
@@ -3385,6 +3394,167 @@ def test_cosine_topk_arrow_scoring_bit_identical(spark):
     assert got, "no rows came back"
     for key, sim in got.items():
         assert jvm_map[key] == sim, (key, jvm_map[key], sim)
+
+
+def test_jround_matches_spark_round(spark):
+    """r16: the series folds (ewma/holt/cusum) moved to linear Python
+    walks; their exactness rests on _jround being Spark's
+    round(double, 0) — BigDecimal.valueOf (Double.toString's shortest
+    round-trip decimal == Python repr) + HALF_UP. Pin it against
+    F.round itself over adversarial doubles: exact .5 boundaries,
+    near-boundary shortest-repr traps, negatives, large magnitudes
+    (beyond the fast path's 1e13 cutoff), and random micro-unit-scale
+    values from the folds' actual operating range."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from osmapreduceproject_spark.operators.windows import _jround
+
+    rng = random.Random(7)
+    xs = [0.5, 1.5, 2.5, -0.5, -1.5, -2.5, 0.49999999999999994,
+          0.5000000000000001, -0.49999999999999994, 4503599627370496.5,
+          1e13 + 0.5, -1e13 - 0.5, 9.007199254740993e15, 0.0, -0.0,
+          1234567.4999999999, 1234567.5000000001, -1234567.4999999999]
+    xs += [rng.uniform(-1e12, 1e12) for _ in range(400)]
+    xs += [rng.uniform(-5, 5) + k for k in (0.5, -0.5) for _ in range(100)]
+    # the folds' real shape: alpha·round(v·1e6) + (1-alpha)·int_state
+    xs += [
+        0.3 * _jround(rng.uniform(-1000, 1000) * 1e6)
+        + 0.7 * float(rng.randint(-10**9, 10**9))
+        for _ in range(200)
+    ]
+    df = spark.createDataFrame([(x,) for x in xs], "x double")
+    got = [r["r"] for r in df.select(F.round("x").alias("r")).collect()]
+    for x, g in zip(xs, got):
+        assert _jround(x) == g, (x, _jround(x), g)
+
+
+def test_series_folds_match_jvm_aggregate_fold(spark):
+    """r16: ewma/holt_linear/cusum_changepoints walk their recurrences
+    in one linear Arrow pass per key instead of the O(L²) JVM
+    concat-aggregate. The walk must reproduce the JVM fold's outputs
+    EXACTLY — including NULL poisoning (a NULL value nulls ewma/holt
+    state from that slot on; cusum resets both sides to 0 via
+    greatest(0, NULL)) — checked against a literal replica of the old
+    fold expressions on mixed series."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from osmapreduceproject_spark.operators.windows import (
+        cusum_changepoints,
+        ewma,
+        holt_linear,
+        resample_ffill,
+    )
+
+    base = datetime.datetime(2025, 3, 1)
+    rows = []
+    import random
+
+    rng = random.Random(99)
+    for k in (1, 2, 3):
+        for i in range(60):
+            v = None if (k == 2 and i in (0, 7)) else rng.uniform(-50, 950) + (
+                3000 if (k == 3 and i > 40) else 0
+            )
+            rows.append((k, base + datetime.timedelta(hours=i), v))
+    df = spark.createDataFrame(rows, "k bigint, ts timestamp, v double")
+
+    # EWMA vs the old JVM fold, replayed literally
+    got = {
+        (r["k"], r["slot_epoch"]): r["ewma"]
+        for r in ewma(df, "k", "ts", "v", 3600).collect()
+    }
+    s = resample_ffill(df, "k", "ts", "v", 3600)
+    series = s.groupBy("k").agg(
+        F.array_sort(
+            F.collect_list(F.struct("slot_epoch", F.col("v").alias("v")))
+        ).alias("__series")
+    )
+    alpha = 0.3
+    folded = F.aggregate(
+        F.col("__series"),
+        F.array().cast("array<struct<slot_epoch:bigint,v:double,eq:bigint>>"),
+        lambda acc, x: F.concat(
+            acc,
+            F.array(
+                F.struct(
+                    x["slot_epoch"].alias("slot_epoch"),
+                    x["v"].alias("v"),
+                    F.when(
+                        F.size(acc) == 0,
+                        F.round(x["v"] * 1_000_000).cast("bigint"),
+                    )
+                    .otherwise(
+                        F.round(
+                            F.lit(alpha) * F.round(x["v"] * 1_000_000)
+                            + F.lit(1.0 - alpha) * F.element_at(acc, -1)["eq"]
+                        ).cast("bigint")
+                    )
+                    .alias("eq"),
+                )
+            ),
+        ),
+    )
+    ref = {
+        (r["k"], r["slot_epoch"]): r["ewma"]
+        for r in series.select("k", F.explode(folded).alias("r"))
+        .select("k", F.col("r.slot_epoch").alias("slot_epoch"),
+                (F.col("r.eq") / 1_000_000.0).alias("ewma"))
+        .collect()
+    }
+    assert got == ref
+
+    # holt/cusum: cross-checked value-for-value against their DuckDB
+    # recursive-CTE oracles elsewhere; here pin the walk's own shape on
+    # the same frame (deterministic row sets, no exceptions, and holt's
+    # NULL poisoning mirrors ewma's)
+    h = {
+        (r["k"], r["slot_epoch"]): (r["level"], r["trend"])
+        for r in holt_linear(df, "k", "ts", "v", 3600).collect()
+    }
+    assert any(k[0] == 2 for k in h)
+    null_slots = [v for kk, v in h.items() if kk[0] == 2]
+    assert any(lv is None for lv, _ in null_slots)
+    c = cusum_changepoints(df, "k", "ts", "v", 3600).collect()
+    assert any(r["k"] == 3 and r["side"] == "up" for r in c)
+    """r16: dim_truncation_report computes both brute rankings in ONE
+    Arrow pass (the truncated dot/norm is the prefix of the full
+    ranking's cumsum). The fused pass must reproduce the two-call
+    cosine_topk composition exactly — including mixed-length vectors
+    (where the slice EQUALIZES lengths the full ranking treats as
+    mismatched), NULL vectors and NULL ids — on both the regular
+    fixture and an adversarial frame."""
+    import osmapreduceproject_spark.operators.similarity as sim
+
+    def report_rows(df, k, t, force):
+        old = sim._COSINE_ARROW_MIN_QUERY_BYTES
+        sim._COSINE_ARROW_MIN_QUERY_BYTES = 0 if force == "arrow" else 1 << 62
+        try:
+            out = sim.dim_truncation_report(df, k=k, trunc_dim=t)
+            return sorted(tuple(r) for r in out.collect())
+        finally:
+            sim._COSINE_ARROW_MIN_QUERY_BYTES = old
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    assert report_rows(emb, 5, 32, "arrow") == report_rows(emb, 5, 32, "jvm")
+
+    adv = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [0.9, 0.1, 0.0, 0.0]),
+            (3, [0.0, 1.0]),          # shorter than trunc_dim slice source
+            (4, [0.1, 0.95, 0.2]),    # length 3: full-mismatch vs 1/2,
+            (5, None),                # NULL vector → NULL sims
+            (None, [1.0, 1.0, 1.0, 1.0]),  # NULL id → dropped pair rows
+            (6, [0.5, 0.5, 0.5]),
+        ],
+        "vec_id bigint, embedding array<float>",
+    )
+    assert report_rows(adv, 2, 2, "arrow") == report_rows(adv, 2, 2, "jvm")
+    assert report_rows(adv, 3, 3, "arrow") == report_rows(adv, 3, 3, "jvm")
 
 
 def test_numpy_cumsum_is_the_sequential_fold():

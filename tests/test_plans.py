@@ -77,15 +77,30 @@ def test_no_python_udf_in_relational_core(spark):
         assert "EvalPython" not in plan, f"{name} fell off the JVM path:\n{plan}"
 
 
-def test_cosine_topk_arrow_scoring_plan_shape(spark):
-    """r15: brute cosine scoring is an Arrow mapInPandas pass over the
-    corpus (guide §4.2; bit-identity asserted in test_operators.py).
-    The plan must show the MapInPandas scoring node, NO join of any
-    kind (the query side rides in the closure — the old
-    BroadcastNestedLoopJoin pair materialization is gone), and the
-    per-query rank must plan as WindowGroupLimit so each scan task
-    emits only k rows per query into the final exchange."""
+def test_cosine_topk_cost_switch_plan_shapes(spark):
+    """r16: brute cosine scoring is COST-SWITCHED (guide §1.2/§4.1).
+    Small query·corpus products (q34's 5×2000 shape) stay on the pure
+    JVM broadcast-join + fold path — no Python workers to spin up, the
+    r15 regression; above the threshold the Arrow mapInPandas pass
+    takes over (bit-identity asserted in test_operators.py). Both
+    shapes pin WindowGroupLimit so each scan task emits only k rows
+    per query into the final exchange."""
+    import osmapreduceproject_spark.operators.similarity as sim
+
+    # q34's operating point: JVM path — no Python evaluation node at all
     plan = explain_str(QUERIES["q34_cosine_topk"].fn(spark, SF_CORRECT))
+    assert "MapInPandas" not in plan and "EvalPython" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "WindowGroupLimit" in plan, plan
+
+    # forced-large threshold: Arrow scoring, NO join of any kind (the
+    # query side ships as a broadcast variable read by the closure)
+    old = sim._COSINE_ARROW_MIN_QUERY_BYTES
+    sim._COSINE_ARROW_MIN_QUERY_BYTES = 0
+    try:
+        plan = explain_str(QUERIES["q34_cosine_topk"].fn(spark, SF_CORRECT))
+    finally:
+        sim._COSINE_ARROW_MIN_QUERY_BYTES = old
     assert "MapInPandas" in plan, plan
     assert "Join" not in plan and "CartesianProduct" not in plan, plan
     assert "WindowGroupLimit" in plan, plan
